@@ -1,0 +1,53 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet table loader for the driver testdata dirs (TESTDATA.md).
+  *
+  * All queries receive `(spark, sfDir)` and read tables through here so that
+  * column pruning / predicate pushdown reach the parquet scans unimpeded.
+  */
+object Tables {
+  def apply(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark only reads as a
+    * raw long (spark.sql.legacy.parquet.nanosAsLong=true, set by every
+    * session builder in graft). Normalize to TimestampType (µs). The
+    * testdata generator emits µs-resolution values, so `ns div 1000` is
+    * lossless here and matches DuckDB's ns-native read.
+    */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    val raw = apply(s, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case _ => raw
+    }
+  }
+
+  def lineitem(s: SparkSession, dir: String): DataFrame  = apply(s, dir, "lineitem")
+  def orders(s: SparkSession, dir: String): DataFrame    = apply(s, dir, "orders")
+  def customer(s: SparkSession, dir: String): DataFrame  = apply(s, dir, "customer")
+  def supplier(s: SparkSession, dir: String): DataFrame  = apply(s, dir, "supplier")
+  def part(s: SparkSession, dir: String): DataFrame      = apply(s, dir, "part")
+  def nation(s: SparkSession, dir: String): DataFrame    = apply(s, dir, "nation")
+  def region(s: SparkSession, dir: String): DataFrame    = apply(s, dir, "region")
+  def documents(s: SparkSession, dir: String): DataFrame = apply(s, dir, "documents")
+  def embeddings(s: SparkSession, dir: String): DataFrame = apply(s, dir, "embeddings")
+}
+
+/** One registrable query: the Spark implementation plus (optionally) the
+  * equivalent DuckDB SQL the driver uses as a correctness oracle.
+  */
+final case class QDef(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object QDef {
+  def apply(name: String, oracle: String)(fn: (SparkSession, String) => DataFrame): QDef =
+    QDef(name, fn, Some(oracle))
+  def noOracle(name: String)(fn: (SparkSession, String) => DataFrame): QDef =
+    QDef(name, fn, None)
+}
