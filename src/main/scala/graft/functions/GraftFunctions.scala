@@ -1,0 +1,125 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction
+import org.apache.spark.sql.GraftBridge
+
+/** Column-API surface + SQL registration for the sketch functions —
+  * the Spark equivalent of the reference's 355-object SQL extension
+  * surface (pipelinedb--1.0.0.sql). Use either:
+  *
+  *   import graft.functions.GraftFunctions._
+  *   df.groupBy("k").agg(hll_count_distinct(col("x")))
+  *
+  * or `GraftFunctions.register(spark)` then SQL:
+  *
+  *   SELECT k, hll_cardinality(hll_agg(x)) FROM t GROUP BY k
+  */
+object GraftFunctions {
+
+  private def col(e: Expression): Column = GraftBridge.column(e)
+  private def ex(c: Column): Expression = GraftBridge.expression(c)
+  private def agg(a: AggregateFunction): Column = col(a.toAggregateExpression())
+
+  // ---- aggregates producing storable state (BinaryType) ----
+  def hll_agg(c: Column): Column = agg(HllAgg(ex(c)))
+  def hll_agg(c: Column, p: Int): Column = agg(HllAgg(ex(c), p))
+  def hll_union_agg(c: Column): Column = agg(HllUnionAgg(ex(c)))
+  def bloom_agg(c: Column): Column = agg(BloomAgg(ex(c)))
+  def bloom_agg(c: Column, fpr: Double, n: Int): Column = agg(BloomAgg(ex(c), fpr, n))
+  def bloom_union_agg(c: Column): Column = agg(BloomUnionAgg(ex(c)))
+  def bloom_intersection_agg(c: Column): Column = agg(BloomIntersectionAgg(ex(c)))
+  def freq_agg(c: Column): Column = agg(FreqAgg(ex(c)))
+  def freq_agg(c: Column, eps: Double, confidence: Double): Column =
+    agg(FreqAgg(ex(c), eps, confidence))
+  def freq_merge_agg(c: Column): Column = agg(FreqMergeAgg(ex(c)))
+  def dist_agg(c: Column): Column = agg(DistAgg(ex(c)))
+  def dist_agg(c: Column, compression: Double): Column = agg(DistAgg(ex(c), compression))
+  def dist_merge_agg(c: Column): Column = agg(DistMergeAgg(ex(c)))
+  def topk_agg(c: Column, k: Int): Column = agg(TopKAgg(ex(c), k))
+  def topk_merge_agg(c: Column): Column = agg(TopKMergeAgg(ex(c)))
+
+  // ---- finalizing aggregates ----
+  def hll_count_distinct(c: Column): Column = agg(HllCountDistinct(ex(c)))
+
+  // ---- scalar finalizers / inspectors ----
+  def hll_cardinality(c: Column): Column = col(HllCardinality(ex(c)))
+  def bloom_contains(state: Column, v: Column): Column = col(BloomContains(ex(state), ex(v)))
+  def bloom_cardinality(c: Column): Column = col(BloomCardinality(ex(c)))
+  def freq(state: Column, v: Column): Column = col(CmsFreq(ex(state), ex(v)))
+  def freq_total(c: Column): Column = col(CmsTotal(ex(c)))
+  def freq_norm(state: Column, v: Column): Column = col(CmsFreqNorm(ex(state), ex(v)))
+  def dist_quantile(state: Column, q: Column): Column = col(DistQuantile(ex(state), ex(q)))
+  def dist_cdf(state: Column, x: Column): Column = col(DistCdf(ex(state), ex(x)))
+  def topk_values(c: Column): Column = col(TopKValues(ex(c)))
+  def topk_freqs(c: Column): Column = col(TopKFreqs(ex(c)))
+  def topk(c: Column): Column = col(TopKMap(ex(c)))
+
+  // ---- SQL registration ----
+
+  private def intLit(e: Expression): Int =
+    e.eval(null) match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => other.toString.toInt
+    }
+  private def dblLit(e: Expression): Double =
+    e.eval(null) match {
+      case d: Double => d
+      case f: Float => f.toDouble
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
+      case i: Int => i.toDouble
+      case other => other.toString.toDouble
+    }
+
+  /** Registers every sketch function for SQL use in this session. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    def fn(name: String)(builder: Seq[Expression] => Expression): Unit =
+      reg.createOrReplaceTempFunction(name, builder, "internal")
+
+    fn("hll_agg") {
+      case Seq(c) => HllAgg(c)
+      case Seq(c, p) => HllAgg(c, intLit(p))
+    }
+    fn("hll_count_distinct") { case Seq(c) => HllCountDistinct(c) }
+    fn("hll_union_agg") { case Seq(c) => HllUnionAgg(c) }
+    fn("hll_cardinality") { case Seq(c) => HllCardinality(c) }
+
+    fn("bloom_agg") {
+      case Seq(c) => BloomAgg(c)
+      case Seq(c, p, n) => BloomAgg(c, dblLit(p), intLit(n))
+    }
+    fn("bloom_union_agg") { case Seq(c) => BloomUnionAgg(c) }
+    fn("bloom_intersection_agg") { case Seq(c) => BloomIntersectionAgg(c) }
+    fn("bloom_contains") { case Seq(s, v) => BloomContains(s, v) }
+    fn("bloom_cardinality") { case Seq(c) => BloomCardinality(c) }
+
+    fn("freq_agg") {
+      case Seq(c) => FreqAgg(c)
+      case Seq(c, eps, conf) => FreqAgg(c, dblLit(eps), dblLit(conf))
+    }
+    fn("freq_merge_agg") { case Seq(c) => FreqMergeAgg(c) }
+    fn("freq") { case Seq(s, v) => CmsFreq(s, v) }
+    fn("freq_total") { case Seq(c) => CmsTotal(c) }
+    fn("freq_norm") { case Seq(s, v) => CmsFreqNorm(s, v) }
+
+    fn("dist_agg") {
+      case Seq(c) => DistAgg(c)
+      case Seq(c, comp) => DistAgg(c, dblLit(comp))
+    }
+    fn("dist_merge_agg") { case Seq(c) => DistMergeAgg(c) }
+    fn("dist_quantile") { case Seq(s, q) => DistQuantile(s, q) }
+    fn("dist_cdf") { case Seq(s, x) => DistCdf(s, x) }
+
+    fn("topk_agg") {
+      case Seq(c) => TopKAgg(c)
+      case Seq(c, k) => TopKAgg(c, intLit(k))
+    }
+    fn("topk_merge_agg") { case Seq(c) => TopKMergeAgg(c) }
+    fn("topk_values") { case Seq(c) => TopKValues(c) }
+    fn("topk_freqs") { case Seq(c) => TopKFreqs(c) }
+    fn("topk") { case Seq(c) => TopKMap(c) }
+  }
+}

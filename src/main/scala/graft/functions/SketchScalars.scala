@@ -1,0 +1,134 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import graft.sketch._
+
+/** Scalar finalizers / inspectors over serialized sketch states — the
+  * read-path functions the overlay views apply (reference scalars:
+  * hll_cardinality, bloom_contains, freq, dist_quantile, topk — see
+  * pipelinedb--1.0.0.sql:1095-2438). These run on finalized aggregate
+  * output (rows ≈ groups, not events), so CodegenFallback is fine.
+  */
+
+case class HllCardinality(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "hll_cardinality"
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    HyperLogLog.deserialize(v.asInstanceOf[Array[Byte]]).cardinality
+  override protected def withNewChildInternal(c: Expression): HllCardinality = copy(child = c)
+}
+
+case class BloomContains(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def prettyName: String = "bloom_contains"
+  override def dataType: DataType = BooleanType
+  override def nullSafeEval(state: Any, value: Any): Any =
+    BloomFilter.deserialize(state.asInstanceOf[Array[Byte]]).contains(value)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): BloomContains =
+    copy(left = l, right = r)
+}
+
+case class BloomCardinality(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "bloom_cardinality"
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    BloomFilter.deserialize(v.asInstanceOf[Array[Byte]]).cardinality
+  override protected def withNewChildInternal(c: Expression): BloomCardinality = copy(child = c)
+}
+
+/** freq(cms_state, value) → estimated count (upper bound). */
+case class CmsFreq(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def prettyName: String = "freq"
+  override def dataType: DataType = LongType
+  override def nullSafeEval(state: Any, value: Any): Any =
+    CountMinSketch.deserialize(state.asInstanceOf[Array[Byte]]).estimate(value)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CmsFreq =
+    copy(left = l, right = r)
+}
+
+case class CmsTotal(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "freq_total"
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    CountMinSketch.deserialize(v.asInstanceOf[Array[Byte]]).total
+  override protected def withNewChildInternal(c: Expression): CmsTotal = copy(child = c)
+}
+
+/** freq_norm(cms_state, value) → estimated frequency in [0,1]. */
+case class CmsFreqNorm(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def prettyName: String = "freq_norm"
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(state: Any, value: Any): Any =
+    CountMinSketch.deserialize(state.asInstanceOf[Array[Byte]]).estimateNorm(value)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CmsFreqNorm =
+    copy(left = l, right = r)
+}
+
+/** dist_quantile(tdigest_state, q) → value at quantile q. */
+case class DistQuantile(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def prettyName: String = "dist_quantile"
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(state: Any, q: Any): Any =
+    TDigest.deserialize(state.asInstanceOf[Array[Byte]]).quantile(SketchAgg.toDouble(q))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DistQuantile =
+    copy(left = l, right = r)
+}
+
+/** dist_cdf(tdigest_state, x) → fraction of mass ≤ x. */
+case class DistCdf(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def prettyName: String = "dist_cdf"
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(state: Any, x: Any): Any =
+    TDigest.deserialize(state.asInstanceOf[Array[Byte]]).cdf(SketchAgg.toDouble(x))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DistCdf =
+    copy(left = l, right = r)
+}
+
+/** topk_values(topk_state) → array<string> of the top-k values. */
+case class TopKValues(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "topk_values"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any = {
+    val top = SpaceSaving.deserialize(v.asInstanceOf[Array[Byte]]).topK
+    new GenericArrayData(top.map { case (b, _, _) => UTF8String.fromBytes(b) }.toArray[Any])
+  }
+  override protected def withNewChildInternal(c: Expression): TopKValues = copy(child = c)
+}
+
+/** topk_freqs(topk_state) → array<bigint> of the top-k estimated counts. */
+case class TopKFreqs(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "topk_freqs"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any = {
+    val top = SpaceSaving.deserialize(v.asInstanceOf[Array[Byte]]).topK
+    new GenericArrayData(top.map(_._2).toArray[Any])
+  }
+  override protected def withNewChildInternal(c: Expression): TopKFreqs = copy(child = c)
+}
+
+/** topk(topk_state) → map<string, bigint> value → estimated count. */
+case class TopKMap(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "topk"
+  override def dataType: DataType = MapType(StringType, LongType, valueContainsNull = false)
+  override def nullSafeEval(v: Any): Any = {
+    val top = SpaceSaving.deserialize(v.asInstanceOf[Array[Byte]]).topK
+    new ArrayBasedMapData(
+      new GenericArrayData(top.map { case (b, _, _) => UTF8String.fromBytes(b) }.toArray[Any]),
+      new GenericArrayData(top.map(_._2).toArray[Any]))
+  }
+  override protected def withNewChildInternal(c: Expression): TopKMap = copy(child = c)
+}

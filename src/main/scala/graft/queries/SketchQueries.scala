@@ -1,0 +1,139 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+
+/** Probabilistic-aggregate queries exercising the sketch layer end-to-end
+  * (SURVEY §2.5: hll_agg/hll_count_distinct/hll_union_agg, bloom_agg +
+  * bloom_contains, freq_agg/freq, topk_agg + extractors, dist_agg +
+  * dist_quantile).
+  *
+  * Oracle strategy: sketch estimates are only DuckDB-checkable where the
+  * data domain makes the sketch provably exact —
+  *   - HLL with linear counting is exact for n ≪ √m (event_type: 5 distinct),
+  *   - CMS point queries are exact when no key collides in all d rows
+  *     (user_id: ≤1500 keys in a 1360×6 table; verified deterministic on
+  *     the fixed testdata),
+  *   - SpaceSaving is exact while distinct ≤ capacity (event_type per
+  *     nation: 5 ≤ 15),
+  *   - Bloom has no false negatives ever.
+  * Estimation-mode queries (hll on 150+ keys, t-digest quantiles) register
+  * without oracle → the driver's rows-only check; their accuracy is covered
+  * by ScalaTest suites instead.
+  */
+object SketchQueries {
+  import GraftFunctions.{bloom_agg, bloom_contains, dist_agg, dist_quantile, freq, freq_agg,
+    freq_total, hll_agg, hll_cardinality, hll_count_distinct, topk_agg, topk_freqs, topk_values}
+
+  val all: Seq[QDef] = Seq(
+    // HLL as count(DISTINCT) replacement — exact on a 5-value domain.
+    QDef(
+      "q_hll_types_per_user",
+      """SELECT user_id, count(DISTINCT event_type) AS n_types
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) {
+      (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy("user_id")
+          .agg(hll_count_distinct(col("event_type")).as("n_types"))
+          .orderBy("user_id")
+    },
+
+    // Partial HLL states → union-agg rollup → finalize (the combine() path).
+    QDef(
+      "q_hll_union_rollup",
+      "SELECT count(DISTINCT event_type) AS n_types FROM events") {
+      (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy("user_id")
+          .agg(hll_agg(col("event_type")).as("state"))
+          .agg(hll_cardinality(GraftFunctions.hll_union_agg(col("state"))).as("n_types"))
+    },
+
+    // Bloom membership: every present key must probe true (no false
+    // negatives), so the contained-count equals exact distinct count.
+    QDef(
+      "q_bloom_membership",
+      """SELECT event_type, count(DISTINCT user_id) AS n_contained
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) {
+      (s, dir) =>
+        val e = Tables.events(s, dir)
+        val states = e.groupBy("event_type")
+          .agg(bloom_agg(col("user_id").cast("string")).as("bf"))
+        val probes = e.select(col("event_type"), col("user_id").cast("string").as("u")).distinct()
+        probes.join(broadcast(states), "event_type")
+          .where(bloom_contains(col("bf"), col("u")))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_contained"))
+          .orderBy("event_type")
+    },
+
+    // CMS point frequency — exact on the sparse user domain at gate SF.
+    QDef(
+      "q_freq_users",
+      """SELECT event_type,
+        |       count(*) FILTER (WHERE user_id = 7) AS f7,
+        |       count(*) FILTER (WHERE user_id = 11) AS f11,
+        |       count(*) AS total
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) {
+      (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy("event_type")
+          .agg(
+            freq(freq_agg(col("user_id")), lit(7L)).as("f7"),
+            freq(freq_agg(col("user_id")), lit(11L)).as("f11"),
+            freq_total(freq_agg(col("user_id"))).as("total"))
+          .orderBy("event_type")
+    },
+
+    // SpaceSaving top-k — exact while distinct(event_type)=5 ≤ capacity 15;
+    // ties break by value string order on both sides.
+    QDef(
+      "q_topk_sketch",
+      """SELECT n_name, rk, etype, cnt FROM (
+        |  SELECT n.n_name AS n_name, e.event_type AS etype, count(*) AS cnt,
+        |         row_number() OVER (PARTITION BY n.n_name
+        |                            ORDER BY count(*) DESC, e.event_type) AS rk
+        |  FROM events e
+        |  JOIN customer c ON e.user_id = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  GROUP BY n.n_name, e.event_type) t
+        |WHERE rk <= 3 ORDER BY n_name, rk""".stripMargin) {
+      (s, dir) =>
+        val e = Tables.events(s, dir)
+        val c = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+        val n = Tables.nation(s, dir).select("n_nationkey", "n_name")
+        e.join(broadcast(c), e("user_id") === c("c_custkey"))
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .groupBy(n("n_name"))
+          .agg(
+            topk_values(topk_agg(col("event_type"), 3)).as("vals"),
+            topk_freqs(topk_agg(col("event_type"), 3)).as("cnts"))
+          .select(col("n_name"), posexplode(arrays_zip(col("vals"), col("cnts"))))
+          .select(
+            col("n_name"),
+            (col("pos") + 1).cast("long").as("rk"),
+            col("col.vals").as("etype"),
+            col("col.cnts").as("cnt"))
+          .orderBy("n_name", "rk")
+    },
+
+    // T-digest quantiles — estimation mode, rows-only check (accuracy is
+    // asserted in SketchAggSpec against exact percentiles).
+    QDef.noOracle("q_dist_quantiles") { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(
+          dist_quantile(dist_agg(col("value")), lit(0.5)).as("p50"),
+          dist_quantile(dist_agg(col("value")), lit(0.9)).as("p90"),
+          dist_quantile(dist_agg(col("value")), lit(0.99)).as("p99"))
+        .orderBy("event_type")
+    },
+
+    // HLL estimation mode on the larger user domain — rows-only check.
+    QDef.noOracle("q_hll_users_approx") { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(hll_count_distinct(col("user_id")).as("approx_users"))
+        .orderBy("event_type")
+    })
+}

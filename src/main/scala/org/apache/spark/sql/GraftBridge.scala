@@ -1,0 +1,12 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Minimal bridge into Spark's `private[sql]` Column↔Expression converters
+  * (Spark 4 moved Column to a node-based API; the classic converters are the
+  * supported internal path — org.apache.spark.sql.classic.ExpressionUtils).
+  */
+object GraftBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

@@ -1,0 +1,132 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.GraftFunctions._
+
+class SketchAggSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    GraftFunctions.register(s)
+    s
+  }
+
+  import spark.implicits._
+
+  private def events = {
+    val rng = new scala.util.Random(99)
+    (1 to 20000).map { i =>
+      (s"type${i % 4}", s"user${rng.nextInt(500)}", rng.nextDouble() * 100)
+    }.toDF("etype", "user", "value")
+  }
+
+  test("hll_count_distinct ~ countDistinct; invariant to partitioning") {
+    val df = events.cache()
+    val exact = df.groupBy("etype").agg(countDistinct($"user").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (parts <- Seq(1, 4, 13)) {
+      val est = df.repartition(parts).groupBy("etype")
+        .agg(hll_count_distinct($"user").as("n")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      exact.foreach { case (k, n) =>
+        assert(math.abs(est(k) - n) <= math.max(2, n / 50), s"$k: est=${est(k)} exact=$n")
+      }
+    }
+    // determinism across partitionings (register max is order-free)
+    val a = df.repartition(3).groupBy("etype").agg(hll_count_distinct($"user")).collect().toSeq
+    val b = df.repartition(11).groupBy("etype").agg(hll_count_distinct($"user")).collect().toSeq
+    assert(a.map(_.toSeq).toSet == b.map(_.toSeq).toSet)
+  }
+
+  test("hll state column + hll_union_agg == direct rollup (combine parity)") {
+    val df = events
+    // per (etype,user-bucket) states, then union to per-etype
+    val states = df.withColumn("bucket", pmod(hash($"user"), lit(8)))
+      .groupBy("etype", "bucket").agg(hll_agg($"user").as("state"))
+    val rolled = states.groupBy("etype")
+      .agg(hll_cardinality(GraftFunctions.hll_union_agg($"state")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val direct = df.groupBy("etype").agg(hll_count_distinct($"user").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rolled == direct)
+  }
+
+  test("bloom_agg: no false negatives through SQL") {
+    val df = events.limit(2000).cache()
+    df.createOrReplaceTempView("ev_bloom")
+    val state = spark.sql(
+      "SELECT bloom_agg(user) AS bf FROM ev_bloom").collect()(0).getAs[Array[Byte]](0)
+    val users = df.select("user").distinct().as[String].collect()
+    val bf = graft.sketch.BloomFilter.deserialize(state)
+    assert(users.forall(bf.contains))
+  }
+
+  test("freq_agg exact on sparse domain; freq via SQL") {
+    events.createOrReplaceTempView("ev_freq")
+    val got = spark.sql(
+      """SELECT etype, freq(freq_agg(user), 'user7') AS f7, freq_total(freq_agg(user)) AS tot
+        |FROM ev_freq GROUP BY etype ORDER BY etype""".stripMargin).collect()
+    val exact = events.where($"user" === "user7").groupBy("etype").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = events.groupBy("etype").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    got.foreach { r =>
+      val et = r.getString(0)
+      assert(r.getLong(1) == exact.getOrElse(et, 0L), s"freq mismatch for $et")
+      assert(r.getLong(2) == totals(et))
+    }
+  }
+
+  test("dist_agg quantiles close to exact percentiles") {
+    val got = events.groupBy("etype")
+      .agg(dist_quantile(dist_agg($"value"), lit(0.5)).as("p50"),
+           dist_quantile(dist_agg($"value"), lit(0.99)).as("p99"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    val exact = events.groupBy("etype")
+      .agg(expr("percentile(value, 0.5)").as("p50"), expr("percentile(value, 0.99)").as("p99"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    got.foreach { case (et, p50, p99) =>
+      assert(math.abs(p50 - exact(et)._1) < 1.5, s"$et p50 $p50 vs ${exact(et)._1}")
+      assert(math.abs(p99 - exact(et)._2) < 1.5, s"$et p99 $p99 vs ${exact(et)._2}")
+    }
+  }
+
+  test("topk_agg returns true heavy hitters with exact counts on skewed data") {
+    val skewed = ((1 to 5000).map(_ => "big") ++ (1 to 2000).map(_ => "mid") ++
+      (1 to 50).flatMap(i => Seq.fill(10)(s"small$i")))
+      .map(Tuple1(_)).toDF("v")
+    val r = skewed.agg(
+      topk_values(topk_agg($"v", 3)).as("vals"),
+      topk_freqs(topk_agg($"v", 3)).as("freqs")).collect()(0)
+    val vals = r.getSeq[String](0)
+    val freqs = r.getSeq[Long](1)
+    assert(vals.take(2) == Seq("big", "mid"))
+    assert(freqs.take(2) == Seq(5000L, 2000L))
+  }
+
+  test("sketch states survive parquet write/read and re-merge") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_state").toString
+    events.withColumn("bucket", pmod(hash($"user"), lit(4)))
+      .groupBy("etype", "bucket")
+      .agg(hll_agg($"user").as("hll"), dist_agg($"value").as("dist"))
+      .write.mode("overwrite").parquet(dir)
+    val re = spark.read.parquet(dir).groupBy("etype")
+      .agg(hll_cardinality(GraftFunctions.hll_union_agg($"hll")).as("n"),
+           dist_quantile(dist_merge_agg($"dist"), lit(0.5)).as("p50"))
+    val direct = events.groupBy("etype").agg(hll_count_distinct($"user").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    re.collect().foreach { r =>
+      assert(r.getLong(1) == direct(r.getString(0)))
+      assert(!r.getDouble(2).isNaN)
+    }
+  }
+}
