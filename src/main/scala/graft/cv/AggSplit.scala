@@ -1,0 +1,198 @@
+package graft.cv
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+
+/** The three-way aggregate split at the heart of the engine — the Spark
+  * re-expression of the reference's worker-partial / combiner-combine /
+  * overlay-finalize decomposition (/root/reference/src/planner.c:60-193,
+  * analyzer.c:2762-3078):
+  *
+  *   - [[partial]]: aggregate Column computing the stored state from raw
+  *     events (the matrel column — transition + serialize),
+  *   - [[reAgg]]: aggregate Column merging many stored states into one
+  *     (the combine function; used by the upsert merge, sliding-window
+  *     overlay re-combines, and user-facing `combine()` re-grouping),
+  *   - [[finalize]]: scalar Column turning a state into the user-facing
+  *     value (the overlay view's finalize call).
+  *
+  * Laws (asserted in CvSpec): for any partition of rows R = R₁ ∪ … ∪ Rₙ,
+  *   finalize(reAgg(partial(R₁), …, partial(Rₙ))) == direct_agg(R).
+  */
+final case class AggSplit(
+    partial: Column,
+    reAgg: Column => Column,
+    finalizer: Column => Column)
+
+object AggSplit {
+
+  /** count(*) / count(x) → bigint state, merged by sum. */
+  def count(c: Option[Column]): AggSplit = AggSplit(
+    partial = c.map(org.apache.spark.sql.functions.count)
+      .getOrElse(org.apache.spark.sql.functions.count(lit(1))),
+    reAgg = s => sum(s),
+    finalizer = s => coalesce(s, lit(0L)))
+
+  def sumOf(c: Column): AggSplit =
+    AggSplit(sum(c), s => sum(s), identity)
+
+  def minOf(c: Column): AggSplit =
+    AggSplit(min(c), s => min(s), identity)
+
+  def maxOf(c: Column): AggSplit =
+    AggSplit(max(c), s => max(s), identity)
+
+  /** avg → {sum, cnt} struct state (reference: bigint[2]/float8[3] transition
+    * arrays, pipelinedb--1.0.0.sql:142-225).
+    */
+  def avgOf(c: Column): AggSplit = AggSplit(
+    partial = struct(
+      sum(c.cast("double")).as("s"),
+      org.apache.spark.sql.functions.count(c).as("n")),
+    reAgg = st => struct(sum(st.getField("s")).as("s"), sum(st.getField("n")).as("n")),
+    finalizer = st => st.getField("s") / st.getField("n"))
+
+  /** Variance family → {n, Σx, Σx²} state (sql:458-689). */
+  private def momentsPartial(c: Column): Column = {
+    val d = c.cast("double")
+    struct(
+      org.apache.spark.sql.functions.count(d).as("n"),
+      sum(d).as("sx"),
+      sum(d * d).as("sxx"))
+  }
+  private def momentsReAgg(st: Column): Column = struct(
+    sum(st.getField("n")).as("n"),
+    sum(st.getField("sx")).as("sx"),
+    sum(st.getField("sxx")).as("sxx"))
+
+  private def varPopExpr(st: Column): Column = {
+    val n = st.getField("n"); val sx = st.getField("sx"); val sxx = st.getField("sxx")
+    when(n > 0, (sxx - sx * sx / n) / n)
+  }
+  private def varSampExpr(st: Column): Column = {
+    val n = st.getField("n"); val sx = st.getField("sx"); val sxx = st.getField("sxx")
+    when(n > 1, (sxx - sx * sx / n) / (n - 1))
+  }
+
+  def varSamp(c: Column): AggSplit = AggSplit(momentsPartial(c), momentsReAgg, varSampExpr)
+  def varPop(c: Column): AggSplit = AggSplit(momentsPartial(c), momentsReAgg, varPopExpr)
+  def stddevSamp(c: Column): AggSplit = AggSplit(momentsPartial(c), momentsReAgg, st => sqrt(varSampExpr(st)))
+  def stddevPop(c: Column): AggSplit = AggSplit(momentsPartial(c), momentsReAgg, st => sqrt(varPopExpr(st)))
+
+  /** Bivariate family → {n, Σx, Σx², Σy, Σy², Σxy} state (float8[6] in the
+    * reference, sql:267-457). Convention matches SQL: corr(y, x).
+    */
+  private def bivarPartial(y: Column, x: Column): Column = {
+    val yy = y.cast("double"); val xx = x.cast("double")
+    // only rows where both sides are non-null count (SQL semantics)
+    val both = when(yy.isNotNull && xx.isNotNull, 1)
+    struct(
+      org.apache.spark.sql.functions.count(both).as("n"),
+      sum(when(both.isNotNull, xx)).as("sx"),
+      sum(when(both.isNotNull, xx * xx)).as("sxx"),
+      sum(when(both.isNotNull, yy)).as("sy"),
+      sum(when(both.isNotNull, yy * yy)).as("syy"),
+      sum(when(both.isNotNull, xx * yy)).as("sxy"))
+  }
+  private def bivarReAgg(st: Column): Column = struct(
+    sum(st.getField("n")).as("n"),
+    sum(st.getField("sx")).as("sx"),
+    sum(st.getField("sxx")).as("sxx"),
+    sum(st.getField("sy")).as("sy"),
+    sum(st.getField("syy")).as("syy"),
+    sum(st.getField("sxy")).as("sxy"))
+
+  def corrOf(y: Column, x: Column): AggSplit = AggSplit(bivarPartial(y, x), bivarReAgg, { st =>
+    val n = st.getField("n")
+    val sx = st.getField("sx"); val sxx = st.getField("sxx")
+    val sy = st.getField("sy"); val syy = st.getField("syy"); val sxy = st.getField("sxy")
+    val cov = sxy - sx * sy / n
+    val vx = sxx - sx * sx / n
+    val vy = syy - sy * sy / n
+    when(n > 0 && vx > 0 && vy > 0, cov / sqrt(vx * vy))
+  })
+  def covarPop(y: Column, x: Column): AggSplit = AggSplit(bivarPartial(y, x), bivarReAgg, { st =>
+    val n = st.getField("n")
+    when(n > 0, (st.getField("sxy") - st.getField("sx") * st.getField("sy") / n) / n)
+  })
+  def covarSamp(y: Column, x: Column): AggSplit = AggSplit(bivarPartial(y, x), bivarReAgg, { st =>
+    val n = st.getField("n")
+    when(n > 1, (st.getField("sxy") - st.getField("sx") * st.getField("sy") / n) / (n - 1))
+  })
+
+  /** count(DISTINCT x) → HLL state (the reference's forced rewrite,
+    * analyzer.c:91-106: hll_count_distinct).
+    */
+  def hllCountDistinct(c: Column): AggSplit = AggSplit(
+    partial = GraftFunctions.hll_agg(c),
+    reAgg = s => GraftFunctions.hll_union_agg(s),
+    finalizer = s => GraftFunctions.hll_cardinality(s))
+
+  def hllAgg(c: Column): AggSplit = AggSplit(
+    GraftFunctions.hll_agg(c), s => GraftFunctions.hll_union_agg(s), identity)
+
+  def bloomAgg(c: Column): AggSplit = AggSplit(
+    GraftFunctions.bloom_agg(c), s => GraftFunctions.bloom_union_agg(s), identity)
+
+  def freqAgg(c: Column): AggSplit = AggSplit(
+    GraftFunctions.freq_agg(c), s => GraftFunctions.freq_merge_agg(s), identity)
+
+  def distAgg(c: Column): AggSplit = AggSplit(
+    GraftFunctions.dist_agg(c), s => GraftFunctions.dist_merge_agg(s), identity)
+
+  def topkAgg(c: Column, k: Int): AggSplit = AggSplit(
+    GraftFunctions.topk_agg(c, k), s => GraftFunctions.topk_merge_agg(s), identity)
+
+  /** set_agg / array_agg(DISTINCT) → dedup array state (aggfuncs.c:315-460).
+    * Sorted for deterministic output.
+    */
+  def setAgg(c: Column): AggSplit = AggSplit(
+    partial = sort_array(collect_set(c)),
+    reAgg = s => sort_array(array_distinct(flatten(collect_list(s)))),
+    finalizer = identity)
+
+  /** combinable_array_agg → concatenated array state (order follows combine
+    * order, nondeterministic like the reference — aggfuncs.c:62-313).
+    */
+  def arrayAgg(c: Column): AggSplit = AggSplit(
+    partial = collect_list(c),
+    reAgg = s => flatten(collect_list(s)),
+    finalizer = identity)
+
+  /** keyed_min/keyed_max (kv.c): state keeps {ord, val} so merges can
+    * re-compare.
+    */
+  def keyedMin(ord: Column, value: Column): AggSplit = AggSplit(
+    partial = min_by(struct(ord.as("o"), value.as("v")), ord),
+    reAgg = s => min_by(s, s.getField("o")),
+    finalizer = s => s.getField("v"))
+
+  def keyedMax(ord: Column, value: Column): AggSplit = AggSplit(
+    partial = max_by(struct(ord.as("o"), value.as("v")), ord),
+    reAgg = s => max_by(s, s.getField("o")),
+    finalizer = s => s.getField("v"))
+
+  /** Exact percentile_cont (reference cq_percentile_cont keeps the full
+    * sorted sample — sql:1503-1602). State = sorted array; finalize does
+    * linear interpolation.
+    */
+  def percentileCont(c: Column, q: Double): AggSplit = AggSplit(
+    partial = sort_array(collect_list(c.cast("double"))),
+    reAgg = s => sort_array(flatten(collect_list(s))),
+    finalizer = { s =>
+      val n = size(s)
+      val idx = (n - 1).cast("double") * lit(q)
+      val lo = floor(idx).cast("int")
+      val hi = ceil(idx).cast("int")
+      val frac = idx - lo.cast("double")
+      when(n > 0,
+        element_at(s, lo + 1) * (lit(1.0) - frac) + element_at(s, hi + 1) * frac)
+    })
+
+  /** first_values(n): smallest-n mergeable list. */
+  def firstValues(c: Column, n: Int): AggSplit = AggSplit(
+    partial = slice(sort_array(collect_list(c)), 1, n),
+    reAgg = s => slice(sort_array(flatten(collect_list(s))), 1, n),
+    finalizer = identity)
+}

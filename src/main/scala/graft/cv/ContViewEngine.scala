@@ -1,0 +1,237 @@
+package graft.cv
+
+import java.nio.file.{Files, Paths}
+import scala.collection.mutable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** The engine: streams + continuous views + the ingest/read lifecycle —
+  * the Spark re-expression of the reference's worker/combiner/overlay
+  * pipeline (SURVEY §3.2):
+  *
+  *   insertInto(stream, batch)                        [stream INSERT]
+  *     → per reading CV: plan.workerPartials(batch)   [worker: partial agg,
+  *        one shuffle on the group key ≈ worker→combiner hash routing]
+  *     → StateStore.upsert(partials, reAggs)          [combiner: merge with
+  *        on-disk groups, bucket-level rewrite ≈ PhysicalGroupLookup+upsert]
+  *     → changes append (old/new/delta)               [output stream emit]
+  *
+  *   overlay(cv)          → finalize(state)           [read-time overlay view]
+  *   combine(cv, keys)    → reAgg+finalize at coarser grouping
+  *   expireTtl(cv)        → state delete              [reaper]
+  *
+  * Sliding windows follow the reference design (analyzer.c:1672-1768): the
+  * worker groups into step buckets (date_round(ts, step)); the overlay
+  * filters live buckets at read time and re-combines — results change
+  * between reads with no new data, and storage expiry (TTL reaper) is
+  * decoupled from read-time expiry (sw_expiration.sql semantics).
+  */
+final class ContViewEngine(val spark: SparkSession, val root: String) {
+
+  import CvPlanner._
+
+  final case class StreamDef(name: String, schema: StructType)
+  final case class CvHandle(plan: CvPlan, store: StateStore, streamName: String,
+      active: Boolean = true, changes: Boolean = true)
+
+  private val streams = mutable.LinkedHashMap.empty[String, StreamDef]
+  private val views = mutable.LinkedHashMap.empty[String, CvHandle]
+  private val readers = mutable.LinkedHashMap.empty[String, mutable.Buffer[String]] // stream → CVs
+  private val transforms = mutable.LinkedHashMap.empty[String, (CvPlan, String)] // CT → (plan-ish, sink stream)
+
+  graft.functions.GraftFunctions.register(spark)
+
+  /** CREATE FOREIGN TABLE s (...) SERVER pipelinedb analogue: registers the
+    * stream schema as an empty relation so CV SQL analyzes against it.
+    * `arrival_timestamp` is appended implicitly (pipeline_stream.c:101-132).
+    */
+  def createStream(name: String, schema: StructType): Unit = {
+    val withArrival =
+      if (schema.fieldNames.contains("arrival_timestamp")) schema
+      else schema.add("arrival_timestamp", "timestamp")
+    streams(name) = StreamDef(name, withArrival)
+    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), withArrival)
+      .createOrReplaceTempView(name)
+    readers.getOrElseUpdate(name, mutable.Buffer.empty)
+  }
+
+  /** CREATE VIEW name WITH (action=materialize, ...) AS selectSql. */
+  def createContView(name: String, selectSql: String,
+      options: CvOptions = CvOptions(), emitChanges: Boolean = true): CvHandle = {
+    val plan = CvPlanner.plan(spark, name, selectSql, options,
+      streamSchemas = streams.values.map(_.schema.fieldNames.toSeq).toSeq)
+    // resolve which registered stream the plan's leaf is (by schema)
+    val leafNames = plan.streamLeaf.output.map(_.name)
+    val streamName = streams.values.find(_.schema.fieldNames.toSeq == leafNames)
+      .map(_.name).getOrElse(throw new IllegalStateException(
+        s"CV $name does not read a registered stream (leaf: ${leafNames.mkString(",")})"))
+    val store = new StateStore(spark, s"$root/$name/state", plan.stateKeys)
+    val handle = CvHandle(plan, store, streamName, changes = emitChanges)
+    views(name) = handle
+    readers.getOrElseUpdate(streamName, mutable.Buffer.empty) += name
+    handle
+  }
+
+  def activate(name: String): Unit = views.get(name).foreach(h => views(name) = h.copy(active = true))
+  def deactivate(name: String): Unit = views.get(name).foreach(h => views(name) = h.copy(active = false))
+
+  def truncateContView(name: String): Unit = views(name).store.truncate()
+
+  /** INSERT INTO stream — routes the batch through every active reading CV
+    * synchronously (stream_insert_level=sync_commit semantics).
+    */
+  def insertInto(streamName: String, batch: DataFrame): Unit = {
+    val withArrival =
+      if (batch.columns.contains("arrival_timestamp")) batch
+      else batch.withColumn("arrival_timestamp", current_timestamp())
+    readers.getOrElse(streamName, mutable.Buffer.empty).foreach { cvName =>
+      val h = views(cvName)
+      if (h.active) ingestBatch(h, withArrival)
+    }
+  }
+
+  private def ingestBatch(h: CvHandle, batch: DataFrame): Unit = {
+    val partials = h.plan.workerPartials(spark, batch)
+    // partial-agg result is reused by the merge and the changes emit
+    val cached = partials.persist()
+    try {
+      val (oldRows, newRows) = h.store.upsert(cached, h.plan.reAggs)
+      if (h.changes) emitChanges(h, oldRows, newRows, cached)
+    } finally cached.unpersist()
+  }
+
+  /** Output-stream emit: (old, new, delta) structs per upserted group
+    * (reference combiner.c:1503-1610; osrel schema pipeline_stream.h:40-42).
+    * old/new carry finalized values; delta carries the applied partial state
+    * so downstream CVs can combine((delta).col) (delta_streams.sql:7-21).
+    */
+  private def emitChanges(
+      h: CvHandle, oldRows: Option[DataFrame], newRows: DataFrame, delta: DataFrame): Unit = {
+    val keys = h.plan.stateKeys
+    def finalized(df: DataFrame): DataFrame =
+      df.select((keys.map(col) ++ h.plan.finalizeCols): _*)
+    val newF = finalized(newRows)
+      .select(col("*"), struct(h.plan.aggs.map(a => col(a.name)): _*).as("new"))
+      .select((keys.map(col) :+ col("new")): _*)
+    val oldF = finalized(oldRows.getOrElse(newRows.limit(0)))
+      .select(col("*"), struct(h.plan.aggs.map(a => col(a.name)): _*).as("old"))
+      .select((keys.map(col) :+ col("old")): _*)
+    val deltaF = delta.select(col("*"),
+        struct(h.plan.aggs.map(a => col(a.stateName).as(a.name)): _*).as("delta"))
+      .select((keys.map(col) :+ col("delta")): _*)
+    val changes = newF
+      .join(oldF, keys, "left_outer")
+      .join(deltaF, keys, "left_outer")
+      .withColumn("arrival_timestamp", current_timestamp())
+    changes.write.mode("append").parquet(s"$root/${h.plan.name}/changes")
+  }
+
+  /** The overlay view: SELECT keys, finalize(state) FROM matrel — plus, for
+    * sliding windows, the read-time filter to live buckets and re-combine
+    * across step buckets (analyzer.c:2715-2760).
+    */
+  def overlay(name: String, now: Option[java.sql.Timestamp] = None): DataFrame = {
+    val h = views(name)
+    val state = h.store.read().getOrElse(emptyState(h))
+    h.plan.sw match {
+      case None =>
+        state.select((h.plan.keyNames.map(col) ++ h.plan.finalizeCols): _*)
+      case Some(sw) =>
+        val cutoff = now.map(ts => lit(ts)).getOrElse(current_timestamp()) -
+          expr(s"INTERVAL ${sw.windowSeconds} SECOND")
+        val live = state.where(col(sw.bucketCol) > cutoff)
+        combineState(h, live, h.plan.keyNames)
+    }
+  }
+
+  /** User-facing combine(): re-aggregate stored states at a coarser key
+    * (reference RewriteCombineAggs, analyzer.c:4446-4615).
+    */
+  def combine(name: String, coarserKeys: Seq[String]): DataFrame = {
+    val h = views(name)
+    val state = h.store.read().getOrElse(emptyState(h))
+    combineState(h, state, coarserKeys)
+  }
+
+  private def combineState(h: CvHandle, state: DataFrame, keys: Seq[String]): DataFrame = {
+    val merged = h.plan.aggs.map(a => a.split.reAgg(col(a.stateName)).as(a.stateName))
+    val grouped =
+      if (keys.isEmpty) state.agg(merged.head, merged.tail: _*)
+      else state.groupBy(keys.map(col): _*).agg(merged.head, merged.tail: _*)
+    grouped.select((keys.map(col) ++ h.plan.finalizeCols): _*)
+  }
+
+  private def emptyState(h: CvHandle): DataFrame = {
+    // derive the state schema by planning over an empty batch
+    val stream = streams(h.streamName)
+    val empty = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), stream.schema)
+    h.plan.workerPartials(spark, empty).limit(0)
+  }
+
+  /** The output stream (output_of('cv')): all (old, new, delta) changes. */
+  def outputOf(name: String): Option[DataFrame] = {
+    val dir = s"$root/$name/changes"
+    if (Files.exists(Paths.get(dir))) Some(spark.read.parquet(dir)) else None
+  }
+
+  /** TTL reaper pass (reaper.c:49-352): delete state older than ttl. */
+  def expireTtl(name: String, now: Option[java.sql.Timestamp] = None): Unit = {
+    val h = views(name)
+    val (ttlSpec, ttlCol) = (h.plan.options.ttl, h.plan.options.ttlColumn, h.plan.sw) match {
+      case (Some(t), colOpt, _) =>
+        (t, colOpt.getOrElse(h.plan.sw.map(_.bucketCol).getOrElse(
+          throw new IllegalArgumentException(s"CV $name has ttl but no ttl_column"))))
+      case (None, _, Some(sw)) => (s"${sw.windowSeconds} seconds", sw.bucketCol)
+      case _ => return
+    }
+    val seconds = ttlSpec match {
+      case s if s.matches("(?i)\\s*\\d+\\s*\\w+\\s*") =>
+        CvPlannerIntervals.seconds(s)
+      case other => throw new IllegalArgumentException(s"bad ttl: $other")
+    }
+    val cutoff = now.map(ts => lit(ts)).getOrElse(current_timestamp()) -
+      expr(s"INTERVAL $seconds SECOND")
+    views(name).store.deleteWhere(col(ttlCol) < cutoff)
+  }
+
+  /** Structured Streaming driver for a CV: every micro-batch runs the same
+    * ingest path (foreachBatch ≈ the combiner's sync cycle).
+    */
+  def startStreaming(cvName: String, stream: DataFrame,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+      : StreamingQuery = {
+    val h = views(cvName)
+    stream.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", s"$root/${cvName}/_checkpoint")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val withArrival =
+          if (batch.columns.contains("arrival_timestamp")) batch
+          else batch.withColumn("arrival_timestamp", current_timestamp())
+        ingestBatch(h, withArrival)
+      }
+      .start()
+  }
+}
+
+private object CvPlannerIntervals {
+  def seconds(spec: String): Long = {
+    val m = """(?i)\s*(\d+)\s*(second|sec|s|minute|min|m|hour|h|day|d)s?\s*""".r
+    spec match {
+      case m(n, unit) =>
+        val mult = unit.toLowerCase match {
+          case "second" | "sec" | "s" => 1L
+          case "minute" | "min" | "m" => 60L
+          case "hour" | "h" => 3600L
+          case "day" | "d" => 86400L
+        }
+        n.toLong * mult
+      case _ => throw new IllegalArgumentException(s"cannot parse interval: '$spec'")
+    }
+  }
+}

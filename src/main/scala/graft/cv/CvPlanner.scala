@@ -1,0 +1,264 @@
+package graft.cv
+
+import org.apache.spark.sql.{Column, DataFrame, GraftBridge, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Expression, SortOrder, WindowExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.functions.{col, lit}
+
+/** The continuous-view planner — the Spark analogue of the reference's
+  * `TransformSelectStmtForContProcess` (/root/reference/src/analyzer.c:
+  * 2762-3078): takes the CV's SELECT (parsed and analyzed by Catalyst
+  * against the registered stream schema), enforces the reference's
+  * restriction wall (analyzer.c:1183-1344), and splits every aggregate into
+  * (partial-state column, merge aggregate, finalize expression).
+  *
+  * The child plan below the Aggregate (projections, filters, stream–table
+  * joins) is kept as an analyzed LogicalPlan; at ingest time the stream
+  * leaf (an empty LocalRelation registered for the stream) is substituted
+  * with the micro-batch's plan, preserving attribute exprIds so the whole
+  * tree stays resolved — the planner runs once per CV, not per batch.
+  */
+object CvPlanner {
+
+  final case class CvOptions(
+      sw: Option[String] = None,          // sliding window width, e.g. "1 hour"
+      swColumn: String = "arrival_timestamp",
+      stepFactor: Double = 5.0,           // bucket = stepFactor% of window
+      ttl: Option[String] = None,
+      ttlColumn: Option[String] = None)
+
+  final case class SwSpec(windowSeconds: Long, stepSeconds: Long, tsColumn: String) {
+    val bucketCol = "__sw_bucket"
+  }
+
+  final case class PlannedAgg(name: String, split: AggSplit) {
+    val stateName: String = s"__state_$name"
+  }
+
+  final case class CvPlan(
+      name: String,
+      childPlan: LogicalPlan,
+      streamLeaf: LocalRelation,
+      keyNames: Seq[String],
+      keyExprs: Seq[Column],
+      aggs: Seq[PlannedAgg],
+      sw: Option[SwSpec],
+      options: CvOptions) {
+
+    /** All state-table key columns (user keys + SW bucket). */
+    def stateKeys: Seq[String] = keyNames ++ sw.map(_.bucketCol).toSeq
+
+    def reAggs: Seq[(String, Column => Column)] =
+      aggs.map(a => a.stateName -> a.split.reAgg)
+
+    /** Bind the worker plan to a concrete micro-batch DataFrame. */
+    def bindBatch(spark: SparkSession, batch: DataFrame): DataFrame = {
+      val batchPlan = GraftBridge.analyzed(batch)
+      require(batchPlan.output.length >= streamLeaf.output.length,
+        s"batch schema too narrow for stream: ${batchPlan.schema.simpleString}")
+      val byName = batchPlan.output.map(a => a.name -> a).toMap
+      val bound = childPlan.transformUp {
+        case lr: LocalRelation if lr.output.map(_.exprId) == streamLeaf.output.map(_.exprId) =>
+          Project(
+            streamLeaf.output.map { exp =>
+              val act = byName.getOrElse(exp.name,
+                throw new IllegalArgumentException(s"batch missing stream column ${exp.name}"))
+              Alias(org.apache.spark.sql.catalyst.expressions.Cast(act, exp.dataType), exp.name)(
+                exprId = exp.exprId)
+            },
+            batchPlan)
+      }
+      GraftBridge.ofRows(spark, bound)
+    }
+
+    /** Worker aggregation: micro-batch → one row per touched group with
+      * partial state columns (AGGSPLIT_INITIAL_SERIAL analogue).
+      */
+    def workerPartials(spark: SparkSession, batch: DataFrame): DataFrame = {
+      var df = bindBatch(spark, batch)
+      keyNames.zip(keyExprs).foreach { case (n, e) => df = df.withColumn(n, e) }
+      sw.foreach { s =>
+        df = df.withColumn(s.bucketCol, dateRound(col(s.tsColumn), s.stepSeconds))
+      }
+      val stateCols = aggs.map(a => a.split.partial.as(a.stateName))
+      df.groupBy(stateKeys.map(col): _*).agg(stateCols.head, stateCols.tail: _*)
+    }
+
+    /** Finalize columns over a state DataFrame. */
+    def finalizeCols: Seq[Column] =
+      aggs.map(a => a.split.finalizer(col(a.stateName)).as(a.name))
+  }
+
+  /** date_round(ts, step): floor a timestamp to an arbitrary second interval
+    * (reference miscutils.c:305-331 — THE sliding-window bucketing primitive).
+    */
+  def dateRound(ts: Column, stepSeconds: Long): Column =
+    org.apache.spark.sql.functions.timestamp_seconds(
+      org.apache.spark.sql.functions.floor(ts.cast("double") / stepSeconds) * stepSeconds)
+
+  private def parseIntervalSeconds(spec: String): Long = {
+    val m = """(?i)\s*(\d+)\s*(second|sec|s|minute|min|m|hour|h|day|d)s?\s*""".r
+    spec match {
+      case m(n, unit) =>
+        val mult = unit.toLowerCase match {
+          case "second" | "sec" | "s" => 1L
+          case "minute" | "min" | "m" => 60L
+          case "hour" | "h" => 3600L
+          case "day" | "d" => 86400L
+        }
+        n.toLong * mult
+      case _ => throw new IllegalArgumentException(s"cannot parse interval: '$spec'")
+    }
+  }
+
+  /** Plan a CV from its SELECT text. The stream must already be registered
+    * as a temp view with the stream's schema (empty LocalRelation).
+    */
+  def plan(spark: SparkSession, name: String, selectSql: String,
+      options: CvOptions = CvOptions(),
+      streamSchemas: Seq[Seq[String]] = Nil): CvPlan = {
+    val analyzed = GraftBridge.analyzed(spark.sql(selectSql))
+    validate(analyzed)
+
+    val (agg, above) = findAggregate(analyzed)
+
+    // the stream leaf: the LocalRelation whose columns match a registered
+    // stream schema (other LocalRelations are static in-memory dims)
+    val leaves = agg.child.collect { case lr: LocalRelation => lr }
+    val isStream: LocalRelation => Boolean =
+      if (streamSchemas.isEmpty) (_ => true)
+      else lr => streamSchemas.contains(lr.output.map(_.name))
+    val streamLeaves = leaves.filter(isStream)
+    require(streamLeaves.length == 1,
+      if (streamLeaves.isEmpty) "continuous views must read exactly one stream (none found)"
+      else "stream-stream JOINs are not supported in continuous views") // analyzer.c:1264-1274
+    val streamLeaf = streamLeaves.head
+
+    // group keys: named output columns whose expression is a grouping expr
+    val groupingSet = agg.groupingExpressions.map(_.canonicalized).toSet
+    val keyOutputs = agg.aggregateExpressions.filter {
+      case a: Alias => groupingSet.contains(a.child.canonicalized)
+      case a: Attribute => groupingSet.contains(a.canonicalized)
+      case _ => false
+    }
+    // every grouping expression must surface as an output column — the state
+    // table is keyed by the output keys, so a hidden grouping key would
+    // silently change the aggregation grain
+    val coveredGroupings = keyOutputs.map {
+      case a: Alias => a.child.canonicalized
+      case a: Attribute => a.canonicalized
+    }.toSet
+    require(groupingSet.subsetOf(coveredGroupings),
+      "every GROUP BY expression must appear in the continuous view's select list")
+
+    val keyNames = keyOutputs.map(_.name)
+    val keyExprs = keyOutputs.map {
+      case a: Alias => GraftBridge.column(a.child)
+      case a: Attribute => GraftBridge.column(a)
+    }
+
+    // aggregates: everything else must be Alias(AggregateExpression)
+    val planned = agg.aggregateExpressions.filterNot(keyOutputs.contains).map {
+      case a: Alias =>
+        val aggExprs = a.child.collect { case ae: AggregateExpression => ae }
+        require(aggExprs.length == 1 && a.child.isInstanceOf[AggregateExpression],
+          s"continuous views require plain aggregate columns; got: ${a.sql}. " +
+            "Wrap scalar post-processing in the overlay query instead.")
+        PlannedAgg(a.name, splitOf(aggExprs.head))
+      case other =>
+        throw new IllegalArgumentException(
+          s"unsupported select item in continuous view: ${other.sql}")
+    }
+    require(planned.nonEmpty, "continuous views must contain at least one aggregate")
+
+    val sw = options.sw.map { w =>
+      val winSec = parseIntervalSeconds(w)
+      val stepSec = math.max(1L, (winSec * options.stepFactor / 100.0).toLong)
+      SwSpec(winSec, stepSec, options.swColumn)
+    }
+
+    CvPlan(name, agg.child, streamLeaf, keyNames, keyExprs, planned, sw, options)
+  }
+
+  /** The restriction wall (analyzer.c:1183-1344). */
+  private def validate(plan: LogicalPlan): Unit = {
+    plan.foreach {
+      case _: Sort =>
+        throw new IllegalArgumentException("ORDER BY is not supported in continuous views")
+      case f: Filter if f.child.isInstanceOf[Aggregate] =>
+        throw new IllegalArgumentException("HAVING is not supported in continuous views")
+      case _: Window =>
+        throw new IllegalArgumentException("window functions are not supported in continuous views")
+      case p if p.expressions.exists(_.exists(_.isInstanceOf[WindowExpression])) =>
+        throw new IllegalArgumentException("window functions are not supported in continuous views")
+      case _ => ()
+    }
+  }
+
+  private def findAggregate(plan: LogicalPlan): (Aggregate, Seq[LogicalPlan]) = {
+    plan match {
+      case a: Aggregate => (a, Nil)
+      case p: Project => p.child match {
+        case a: Aggregate => (a, Seq(p))
+        case _ => throw new IllegalArgumentException(
+          "continuous views must be a single-level aggregate over a stream")
+      }
+      case other => throw new IllegalArgumentException(
+        s"continuous views must aggregate; got ${other.nodeName} " +
+          "(use a continuous transform for stateless queries)")
+    }
+  }
+
+  /** Map a Catalyst AggregateExpression onto our 3-way split — the
+    * counterpart of the reference's `GetCombineAggs` catalog lookup
+    * (analyzer.c:4282-4446).
+    */
+  private def splitOf(ae: AggregateExpression): AggSplit = {
+    def c(e: Expression): Column = GraftBridge.column(e)
+    ae.aggregateFunction match {
+      case f: Count if ae.isDistinct =>
+        // count(DISTINCT x) → hll_count_distinct (analyzer.c:91-106)
+        AggSplit.hllCountDistinct(c(f.children.head))
+      case _ if ae.isDistinct && !ae.aggregateFunction.isInstanceOf[CollectSet] =>
+        throw new IllegalArgumentException(
+          s"DISTINCT is only supported for count()/set_agg in continuous views " +
+            s"(got ${ae.aggregateFunction.prettyName})") // analyzer.c:1306-1317
+      case f: Count =>
+        AggSplit.count(f.children.headOption
+          .filterNot(_.foldable) // count(*) arrives as count(1): state is just a row count
+          .map(e => c(e)))
+      case f: Sum => AggSplit.sumOf(c(f.child))
+      case f: Min => AggSplit.minOf(c(f.child))
+      case f: Max => AggSplit.maxOf(c(f.child))
+      case f: Average => AggSplit.avgOf(c(f.child))
+      case f: VarianceSamp => AggSplit.varSamp(c(f.child))
+      case f: VariancePop => AggSplit.varPop(c(f.child))
+      case f: StddevSamp => AggSplit.stddevSamp(c(f.child))
+      case f: StddevPop => AggSplit.stddevPop(c(f.child))
+      case f: Corr => AggSplit.corrOf(c(f.y), c(f.x))
+      case f: CovPopulation => AggSplit.covarPop(c(f.left), c(f.right))
+      case f: CovSample => AggSplit.covarSamp(c(f.left), c(f.right))
+      case f: CollectSet => AggSplit.setAgg(c(f.child))
+      case f: CollectList => AggSplit.arrayAgg(c(f.child))
+      case f: MaxBy => AggSplit.keyedMax(c(f.orderingExpr), c(f.valueExpr))
+      case f: MinBy => AggSplit.keyedMin(c(f.orderingExpr), c(f.valueExpr))
+      case f: graft.functions.HllAgg => AggSplit.hllAgg(c(f.child))
+      case f: graft.functions.HllCountDistinct => AggSplit.hllCountDistinct(c(f.child))
+      case f: graft.functions.BloomAgg => AggSplit.bloomAgg(c(f.child))
+      case f: graft.functions.FreqAgg => AggSplit.freqAgg(c(f.child))
+      case f: graft.functions.DistAgg => AggSplit.distAgg(c(f.child))
+      case f: graft.functions.TopKAgg => AggSplit.topkAgg(c(f.child), f.k)
+      case f: Percentile =>
+        val q = f.percentageExpression.eval(null) match {
+          case d: Double => d
+          case dec: org.apache.spark.sql.types.Decimal => dec.toDouble
+          case other => other.toString.toDouble
+        }
+        AggSplit.percentileCont(c(f.child), q)
+      case other =>
+        throw new IllegalArgumentException(
+          s"aggregate '${other.prettyName}' has no streaming (combinable) variant yet")
+    }
+  }
+}

@@ -1,0 +1,183 @@
+package graft.cv
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The materialization-table analogue (reference matrel, pipeline_query.c:
+  * 1600-1900): one row per group holding partial aggregate state, keyed and
+  * physically bucketed by a 64-bit hash of the group columns — the same
+  * layout role as the reference's `hash_group` lookup index
+  * (pipeline_query.c:771-901).
+  *
+  * Layout (plain parquet + a tiny JSON manifest; no table format needed):
+  *
+  *   root/v<N>/__bucket=<b>/part-*.parquet   — state files, one dir per bucket
+  *   root/_manifest.json                     — {version, buckets: {b: "v<N>/__bucket=<b>"}}
+  *
+  * An upsert only reads and rewrites the buckets containing updated groups
+  * (the incoming micro-batch is partial-aggregated first, so per-batch work
+  * is O(groups-touched), never O(events) against storage). Untouched buckets
+  * stay on their old files via the manifest — a poor man's snapshot commit,
+  * the same idea a real deployment would delegate to Delta/Iceberg MERGE.
+  * Manifest swap is atomic (temp file + rename), readers see old or new.
+  *
+  * Scale notes (100 TB): numBuckets scales with cluster size (buckets ≈
+  * executors × few); the merge shuffle is a single hash partitioning on the
+  * group key, identical to the reference's worker→combiner routing
+  * (combiner_receiver.c:160-177). Bucket-level rewrite keeps write
+  * amplification at (touched buckets / total) instead of full-table.
+  */
+final class StateStore(
+    spark: SparkSession,
+    val root: String,
+    val keyCols: Seq[String],
+    val numBuckets: Int = 32) {
+
+  private val BucketCol = "__bucket"
+  private def manifestPath: Path = Paths.get(root, "_manifest.json")
+
+  private def bucketOf: org.apache.spark.sql.Column =
+    pmod(xxhash64(keyCols.map(col): _*), lit(numBuckets))
+
+  // ---- manifest ----
+
+  private case class Manifest(version: Long, buckets: Map[Int, String])
+
+  private def readManifest(): Option[Manifest] =
+    if (!Files.exists(manifestPath)) None
+    else {
+      val txt = Files.readString(manifestPath)
+      // minimal parser for the flat structure we write
+      val version = """"version"\s*:\s*(\d+)""".r.findFirstMatchIn(txt).get.group(1).toLong
+      val pairs = """"(\d+)"\s*:\s*"([^"]+)"""".r.findAllMatchIn(txt)
+        .map(m => m.group(1).toInt -> m.group(2)).toMap
+      Some(Manifest(version, pairs))
+    }
+
+  private def writeManifest(m: Manifest): Unit = {
+    val entries = m.buckets.toSeq.sortBy(_._1)
+      .map { case (b, p) => s""""$b": "$p"""" }.mkString(",")
+    val txt = s"""{"version": ${m.version}, "buckets": {$entries}}"""
+    val tmp = Paths.get(root, s"_manifest.tmp.${m.version}")
+    Files.createDirectories(Paths.get(root))
+    Files.writeString(tmp, txt)
+    Files.move(tmp, manifestPath, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def exists: Boolean = readManifest().isDefined
+
+  /** Current state as a DataFrame (without the bucket column). */
+  def read(): Option[DataFrame] = readBuckets(None)
+
+  /** State restricted to the given bucket ids (file-level pruning). */
+  private def readBuckets(only: Option[Set[Int]]): Option[DataFrame] =
+    readManifest().flatMap { m =>
+      val wanted = only.map(s => m.buckets.view.filterKeys(s).toMap).getOrElse(m.buckets)
+      val paths = wanted.values.map(rel => s"$root/$rel").toSeq
+      if (paths.isEmpty) None
+      else Some(spark.read.parquet(paths: _*))
+    }
+
+  /** Merge partial-aggregated updates into the store.
+    *
+    * @param updates one row per group: keyCols ++ state columns
+    * @param reAgg   per-state-column merge aggregates (state col name → agg builder)
+    * @return (oldRows, newRows) for the touched groups — the output-stream feed
+    */
+  def upsert(
+      updates: DataFrame,
+      reAgg: Seq[(String, org.apache.spark.sql.Column => org.apache.spark.sql.Column)])
+      : (Option[DataFrame], DataFrame) = {
+    val up = updates.withColumn(BucketCol, bucketOf)
+
+    // touched buckets: tiny collect (≤ numBuckets ints)
+    val touched = up.select(BucketCol).distinct()
+      .collect().map(_.getLong(0).toInt).toSet
+
+    val manifest = readManifest()
+    val existingTouched = readBuckets(Some(touched))
+
+    // Materialize the pre-image eagerly: the version files it reads may be
+    // GC'd right after the new version commits, but the changes emitter
+    // consumes these rows afterwards (reference does lookup+emit in one
+    // transaction — combiner.c:1402-1638; localCheckpoint is our snapshot).
+    val old = existingTouched.map { ex =>
+      ex.join(up.select(keyCols.map(col): _*).distinct(), keyCols, "left_semi")
+        .localCheckpoint()
+    }
+
+    val merged = existingTouched match {
+      case None => up
+      case Some(ex) =>
+        val exB = ex.withColumn(BucketCol, bucketOf)
+        val stateCols = reAgg.map { case (name, agg) => agg(col(name)).as(name) }
+        exB.select(up.columns.map(col): _*).unionByName(up)
+          .groupBy((keyCols :+ BucketCol).map(col): _*)
+          .agg(stateCols.head, stateCols.tail: _*)
+    }
+
+    val version = manifest.map(_.version + 1).getOrElse(0L)
+    val outDir = s"$root/v$version"
+    // one file per bucket: partition-dir write, shuffle only the touched groups
+    merged
+      .repartition(math.max(touched.size, 1), col(BucketCol))
+      .write.partitionBy(BucketCol).mode("overwrite").parquet(outDir)
+
+    val newBuckets = manifest.map(_.buckets).getOrElse(Map.empty) ++
+      touched.map(b => b -> s"v$version/$BucketCol=$b").toMap
+    writeManifest(Manifest(version, newBuckets))
+    gcOldVersions(keep = newBuckets.values.map(_.takeWhile(_ != '/')).toSet)
+
+    val newRows = readBuckets(Some(touched)).get
+      .join(up.select(keyCols.map(col): _*).distinct(), keyCols, "left_semi")
+    (old, newRows)
+  }
+
+  /** Drop state rows matching the predicate (TTL reaper — reaper.c:49-352).
+    * Rewrites only buckets that still hold matching rows.
+    */
+  def deleteWhere(predicate: org.apache.spark.sql.Column): Unit = {
+    readManifest().foreach { m =>
+      val cur = readBuckets(None).getOrElse(return)
+      val affected = cur.where(predicate).withColumn(BucketCol, bucketOf)
+        .select(BucketCol).distinct().collect().map(_.getLong(0).toInt).toSet
+      if (affected.isEmpty) return
+      val keep = readBuckets(Some(affected)).get.where(!coalesce(predicate, lit(false)))
+        .withColumn(BucketCol, bucketOf)
+      val version = m.version + 1
+      keep.repartition(math.max(affected.size, 1), col(BucketCol))
+        .write.partitionBy(BucketCol).mode("overwrite").parquet(s"$root/v$version")
+      // buckets that became empty still get a manifest entry only if files exist
+      val writtenBuckets = Option(Paths.get(root, s"v$version").toFile.list())
+        .map(_.toSeq.filter(_.startsWith(s"$BucketCol=")).map(_.stripPrefix(s"$BucketCol=").toInt).toSet)
+        .getOrElse(Set.empty[Int])
+      val newBuckets = (m.buckets -- affected) ++
+        writtenBuckets.map(b => b -> s"v$version/$BucketCol=$b").toMap
+      writeManifest(Manifest(version, newBuckets))
+      gcOldVersions(keep = newBuckets.values.map(_.takeWhile(_ != '/')).toSet)
+    }
+  }
+
+  def truncate(): Unit = {
+    if (Files.exists(Paths.get(root))) {
+      Files.walk(Paths.get(root)).iterator().asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
+  }
+
+  /** Remove version dirs no longer referenced by any bucket. */
+  private def gcOldVersions(keep: Set[String]): Unit = {
+    val rootPath = Paths.get(root)
+    if (!Files.exists(rootPath)) return
+    Files.list(rootPath).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("v"))
+      .filterNot(p => keep.contains(p.getFileName.toString))
+      .toSeq
+      .foreach { dir =>
+        Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      }
+  }
+}

@@ -129,11 +129,16 @@ object SketchQueries {
         .orderBy("event_type")
     },
 
-    // HLL estimation mode on the larger user domain — rows-only check.
-    QDef.noOracle("q_hll_users_approx") { (s, dir) =>
-      Tables.events(s, dir)
-        .groupBy("event_type")
-        .agg(hll_count_distinct(col("user_id")).as("approx_users"))
-        .orderBy("event_type")
+    // HLL on the full user domain — the explicit small-range encoding keeps
+    // this exact up to m/8 = 2048 distinct (covers every testdata SF).
+    QDef(
+      "q_hll_users",
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) {
+      (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy("event_type")
+          .agg(hll_count_distinct(col("user_id")).as("n_users"))
+          .orderBy("event_type")
     })
 }

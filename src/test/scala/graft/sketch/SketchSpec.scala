@@ -23,10 +23,17 @@ class SketchSpec extends AnyFunSuite {
     assert(math.abs(est - 100000) < 2000, s"estimate $est")
   }
 
-  test("hll: small cardinalities exact via linear counting") {
+  test("hll: small cardinalities exact via explicit mode (up to m/8)") {
     val h = HyperLogLog.empty()
     (1 to 100).foreach(i => h.add(i.toLong))
     assert(h.cardinality == 100)
+    val h2 = HyperLogLog.empty()
+    (1 to 2000).foreach(i => h2.add(s"u$i"))
+    assert(h2.isExplicit && h2.cardinality == 2000)
+    // merging explicit shards stays exact
+    val a = HyperLogLog.empty(); val b = HyperLogLog.empty()
+    (1 to 1000).foreach(i => a.add(i)); (500 to 1500).foreach(i => b.add(i))
+    assert(a.merge(b).cardinality == 1500)
   }
 
   test("hll: merge == union; idempotent, commutative") {
