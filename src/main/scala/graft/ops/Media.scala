@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video as opaque binary columns
+  * with typed metadata, processed per partition in bounded batches.
+  *
+  * The Spark side is real — schema, partition sizing, per-partition batch
+  * iteration, metadata propagation. The codec itself is a pluggable
+  * [[MediaDecoder]]; this container has no image/audio libraries, so the
+  * default is [[FakeDecoder]], a clearly-marked deterministic stand-in that
+  * parses our synthetic header format. Swap in a JNI/javacv decoder by
+  * implementing the trait — no pipeline change.
+  *
+  * Scale notes: media bytes dominate row size, so the pipeline (a) never
+  * shuffles raw bytes after decode (metadata is extracted first, bytes
+  * dropped or passed through by need), (b) repartitions by target partition
+  * BYTES not row count before heavy decode, (c) processes rows iterator-
+  * style inside partitions — no per-partition materialization.
+  */
+object Media {
+
+  final case class MediaMeta(
+      format: String, width: Int, height: Int, nFrames: Int, durationMs: Long)
+
+  trait MediaDecoder extends Serializable {
+    def decode(bytes: Array[Byte]): MediaMeta
+    /** Deterministic per-frame sampling positions for video/audio. */
+    def sampleFrames(meta: MediaMeta, every: Int): Seq[Int] =
+      (0 until meta.nFrames by math.max(1, every)).toSeq
+  }
+
+  /** STUB — deterministic fake codec for the zero-dependency container.
+    * Reads our synthetic 16-byte header: [fmt:1][w:2][h:2][frames:2][...].
+    * A real deployment implements MediaDecoder over javacv/ffmpeg.
+    */
+  object FakeDecoder extends MediaDecoder {
+    override def decode(bytes: Array[Byte]): MediaMeta = {
+      if (bytes == null || bytes.length < 8)
+        return MediaMeta("unknown", 0, 0, 0, 0L)
+      def u16(i: Int): Int = ((bytes(i) & 0xff) << 8) | (bytes(i + 1) & 0xff)
+      val fmt = (bytes(0) & 0x03) match {
+        case 0 => "jpeg"; case 1 => "png"; case 2 => "wav"; case _ => "mp4"
+      }
+      MediaMeta(fmt, u16(1) % 4096, u16(3) % 4096, u16(5) % 1024, (u16(5) % 1024) * 40L)
+    }
+  }
+
+  /** Synthesizes a deterministic binary media column from any seed column —
+    * testdata has no real media, so the pipeline is driven by fake bytes
+    * derived from md5 (stable across engines and runs).
+    */
+  def syntheticMediaBytes(seed: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    unhex(md5(seed.cast("string")))
+
+  /** Decode pass: binary column → typed metadata struct, iterator-style per
+    * partition, bytes not retained in the output.
+    */
+  def extractMetadata(
+      df: DataFrame, idCol: String, bytesCol: String,
+      decoder: MediaDecoder = FakeDecoder,
+      targetPartitionBytes: Long = 64L * 1024 * 1024): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    // size-aware partitioning: estimate bytes and aim at targetPartitionBytes
+    val sized = df.select(col(idCol).cast("long").as("media_id"), col(bytesCol).as("bytes"))
+    val totalBytes = sized.agg(sum(length(col("bytes")))).collect()(0).getLong(0) max 1L
+    val parts = math.max(1, math.min(2048, (totalBytes / targetPartitionBytes).toInt + 1))
+
+    val decoded: Dataset[(Long, String, Int, Int, Int, Long)] =
+      sized.repartition(parts)
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          it.map { case (id, bytes) =>
+            val m = decoder.decode(bytes)
+            (id, m.format, m.width, m.height, m.nFrames, m.durationMs)
+          }
+        }
+    decoded.toDF("media_id", "format", "width", "height", "n_frames", "duration_ms")
+  }
+
+  /** Frame-sample pass: explode deterministic frame indices per video row.
+    * The per-frame decode is the stub boundary (??? in a real codec's
+    * place would go the pixel work); Spark-side shape is the real one.
+    */
+  def sampleFrames(meta: DataFrame, every: Int,
+      decoder: MediaDecoder = FakeDecoder): DataFrame =
+    meta.where(col("n_frames") > 0)
+      .select(col("media_id"), col("format"),
+        explode(sequence(lit(0), col("n_frames") - 1,
+          lit(math.max(1, every)))).as("frame_idx"))
+}

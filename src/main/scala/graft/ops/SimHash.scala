@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, GraftBridge}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.functions._
+import graft.sketch.Hashing
+
+/** SimHash near-duplicate detection: 64-bit fingerprints whose Hamming
+  * distance tracks cosine similarity of the token multiset (Charikar's
+  * scheme). Near-dup search partitions the fingerprint into 4×16-bit
+  * chunks — any pair within Hamming distance ≤3 must agree on at least one
+  * chunk (pigeonhole), so the candidate join is an equi-join on
+  * (chunk index, chunk value): shuffle on 4 small keys per doc, never a
+  * cross join. Verification = popcount of xor (codegen'd bit_count).
+  */
+object SimHash {
+
+  /** simhash64(tokens_array) → long fingerprint. */
+  case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def prettyName: String = "simhash64"
+    override def dataType: DataType = LongType
+    override def nullSafeEval(v: Any): Any = {
+      val arr = v.asInstanceOf[ArrayData]
+      val acc = new Array[Int](64)
+      var i = 0
+      val n = arr.numElements()
+      while (i < n) {
+        val h = Hashing.hash64(arr.getUTF8String(i).getBytes)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+          b += 1
+        }
+        i += 1
+      }
+      var fp = 0L
+      var b = 0
+      while (b < 64) {
+        if (acc(b) > 0) fp |= (1L << b)
+        b += 1
+      }
+      fp
+    }
+    override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+  }
+
+  def simhash64(tokens: Column): Column =
+    GraftBridge.column(SimHash64(GraftBridge.expression(tokens)))
+
+  /** Pairs with Hamming distance ≤ maxDist (requires maxDist ≤ 3 for the
+    * 4-chunk pigeonhole to guarantee recall 1.0).
+    */
+  def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3): DataFrame = {
+    require(maxDist <= 3, "4-chunk banding guarantees recall only for distance ≤ 3")
+    val fp = df.select(col(idCol).as("id"),
+      simhash64(TextOps.tokens(col(textCol))).as("fp"))
+
+    val chunked = fp.select(col("id"), col("fp"),
+        posexplode(array((0 until 4).map(i =>
+          shiftright(col("fp"), i * 16).bitwiseAND(lit(0xffffL))): _*)))
+      .select(col("id"), col("fp"), col("pos").as("chunk"), col("col").as("cval"))
+
+    val l = chunked.alias("l")
+    val r = chunked.alias("r")
+    l.join(r,
+        col("l.chunk") === col("r.chunk") &&
+        col("l.cval") === col("r.cval") &&
+        col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        bit_count(col("l.fp").bitwiseXOR(col("r.fp"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxDist)
+  }
+}

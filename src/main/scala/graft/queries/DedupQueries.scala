@@ -1,0 +1,129 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{AnnSearch, LangId, Media, MinHashLsh, SimHash, TextOps}
+
+/** Training-data-pipeline operators over `documents`/`embeddings`:
+  * MinHash+LSH near-dup (oracle: DuckDB brute-force n-gram Jaccard),
+  * exact n-gram Jaccard (oracle), SimHash near-dup, LSH ANN, language ID,
+  * multimodal metadata extraction (rows-only: custom hash pipelines).
+  *
+  * The near-dup corpora are seeded deterministically (documents ∪ perturbed
+  * copies of even doc_ids) because the synthetic corpus has no natural
+  * near-duplicates; both engines construct the identical corpus in SQL.
+  */
+object DedupQueries {
+
+  /** documents ∪ near-dup copies of even doc_ids (id + 1000000). */
+  private def seededCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select("doc_id", "text")
+    d.unionByName(
+      d.where(pmod(col("doc_id"), lit(2)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" zz yy")).as("text")))
+  }
+
+  private val corpusSql =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text || ' zz yy' AS text
+      |  FROM documents WHERE doc_id % 2 = 0
+      |)""".stripMargin
+
+  private val shinglesSql =
+    """sh AS (
+      |  SELECT doc_id,
+      |         list_distinct(list_transform(range(1, greatest(len(toks)-1, 1)),
+      |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+      |  FROM (SELECT doc_id,
+      |               list_filter(regexp_split_to_array(text, ' '), t -> t <> '') AS toks
+      |        FROM corpus)
+      |)""".stripMargin
+
+  val all: Seq[QDef] = Seq(
+    // MinHash → banded LSH → exact-Jaccard verify; DuckDB re-derives the
+    // answer by brute force over all pairs. Equality holds because the
+    // band/row choice (64×2) puts miss probability at (1-0.36)^64 ≈ 4e-13
+    // for pairs at the 0.6 threshold.
+    QDef(
+      "q_minhash_neardup",
+      s"""WITH $corpusSql, $shinglesSql
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |             (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
+         |FROM sh a, sh b
+         |WHERE a.doc_id < b.doc_id
+         |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.6
+         |ORDER BY id_a, id_b""".stripMargin) {
+      (s, dir) =>
+        MinHashLsh.nearDuplicates(seededCorpus(s, dir), "doc_id", "text", threshold = 0.6)
+          .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+          .orderBy("id_a", "id_b")
+    },
+
+    // Exact n-gram Jaccard similarity matrix over a probe set.
+    QDef(
+      "q_ngram_jaccard",
+      """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 30),
+        |     sh AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(range(1, greatest(len(toks)-1, 1)),
+        |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        |  FROM (SELECT doc_id,
+        |               list_filter(regexp_split_to_array(text, ' '), t -> t <> '') AS toks
+        |        FROM corpus))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |             (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
+        |FROM sh a, sh b
+        |WHERE a.doc_id < b.doc_id
+        |  AND len(list_intersect(a.sh, b.sh)) > 0
+        |ORDER BY id_a, id_b""".stripMargin) {
+      (s, dir) =>
+        val docs = Tables.documents(s, dir).where(col("doc_id") < 30)
+          .select(col("doc_id"), TextOps.shingles(col("text")).as("sh"))
+        val a = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+        val b = docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+        a.join(b, col("id_a") < col("id_b"))
+          .where(size(array_intersect(col("sh_a"), col("sh_b"))) > 0)
+          .select(col("id_a"), col("id_b"),
+            round(TextOps.jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
+          .orderBy("id_a", "id_b")
+    },
+
+    // SimHash fingerprint near-dup — custom 64-bit hash, rows-only check
+    // (equivalence with brute-force Hamming is asserted in OpsSpec).
+    QDef.noOracle("q_simhash_neardup") { (s, dir) =>
+      SimHash.nearDuplicates(seededCorpus(s, dir), "doc_id", "text", maxDist = 3)
+        .orderBy("id_a", "id_b")
+    },
+
+    // LSH ANN — approximate by design, rows-only (recall vs brute force is
+    // asserted in OpsSpec; the exact-cosine baseline q_knn_cosine is oracled).
+    QDef.noOracle("q_ann_lsh") { (s, dir) =>
+      AnnSearch.lshKnn(Tables.embeddings(s, dir), dim = 64, nProbes = 10, k = 3,
+        numTables = 16, bitsPerTable = 4)
+    },
+
+    // Language ID heuristic — profile internals not oracle-expressible.
+    QDef.noOracle("q_langid") { (s, dir) =>
+      Tables.documents(s, dir).where(col("doc_id") < 100)
+        .select(col("doc_id"), LangId.detect(col("text")).as("d"))
+        .select(col("doc_id"), col("d.lang").as("lang_pred"), col("d.confidence").as("confidence"))
+        .orderBy("doc_id")
+    },
+
+    // Multimodal plumbing: synthetic binary media → metadata extraction →
+    // per-format stats (deterministic; decoder is the documented stub).
+    QDef.noOracle("q_media_meta") { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val media = docs.select(col("doc_id"), Media.syntheticMediaBytes(col("text")).as("bytes"))
+      Media.extractMetadata(media, "doc_id", "bytes")
+        .groupBy("format")
+        .agg(count(lit(1)).as("n"), avg("width").as("avg_w"), sum("n_frames").as("frames"))
+        .orderBy("format")
+    })
+}

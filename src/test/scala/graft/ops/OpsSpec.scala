@@ -1,0 +1,133 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class OpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  import spark.implicits._
+
+  private val vocab = Seq("spark", "query", "row", "data", "join", "filter", "scan",
+    "merge", "sort", "key", "hash", "table", "stream", "batch", "group", "window",
+    "order", "value", "fast", "slow")
+
+  /** Synthetic corpus: 120 base docs + near-dup of every 3rd (2 tokens appended). */
+  private def corpus: DataFrame = {
+    val rng = new scala.util.Random(7)
+    val base = (0 until 120).map { i =>
+      (i.toLong, (0 until 40).map(_ => vocab(rng.nextInt(vocab.size))).mkString(" "))
+    }
+    val dups = base.filter(_._1 % 3 == 0).map { case (id, t) => (id + 100000L, t + " zz yy") }
+    (base ++ dups).toDF("doc_id", "text")
+  }
+
+  private def bruteForcePairs(df: DataFrame, threshold: Double): Set[(Long, Long)] = {
+    val sh = df.select(col("doc_id"), TextOps.shingles(col("text")).as("sh"))
+    val l = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val r = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    l.join(r, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), TextOps.jaccard(col("sh_a"), col("sh_b")).as("j"))
+      .where(col("j") >= threshold)
+      .collect().map(row => (row.getLong(0), row.getLong(1))).toSet
+  }
+
+  test("minhash-lsh near-dups == brute-force exact jaccard at τ=0.6") {
+    val df = corpus.cache()
+    val expected = bruteForcePairs(df, 0.6)
+    assert(expected.nonEmpty, "seeded corpus must contain near-dups")
+    val got = MinHashLsh.nearDuplicates(df, "doc_id", "text", 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected) // b=64, r=2 → recall ~1 at 0.6; exact verify kills FPs
+  }
+
+  test("minhash signature is deterministic and partition-invariant") {
+    val df = corpus
+    val a = df.repartition(1)
+      .select(MinHashLsh.minhashSignature(TextOps.shingles(col("text")), 16))
+      .collect().map(_.getSeq[Long](0))
+    val b = df.repartition(7)
+      .select(MinHashLsh.minhashSignature(TextOps.shingles(col("text")), 16))
+      .collect().map(_.getSeq[Long](0))
+    assert(a.toSet == b.toSet)
+  }
+
+  test("simhash: perturbed docs within hamming 3; banding finds all such pairs") {
+    val df = corpus.cache()
+    // brute-force hamming over fingerprints
+    val fp = df.select(col("doc_id"), SimHash.simhash64(TextOps.tokens(col("text"))).as("fp"))
+    val l = fp.select(col("doc_id").as("id_a"), col("fp").as("fa"))
+    val r = fp.select(col("doc_id").as("id_b"), col("fp").as("fb"))
+    val expected = l.join(r, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), bit_count(col("fa").bitwiseXOR(col("fb"))).as("h"))
+      .where(col("h") <= 3)
+      .collect().map(row => (row.getLong(0), row.getLong(1))).toSet
+    val got = SimHash.nearDuplicates(df, "doc_id", "text", 3)
+      .collect().map(row => (row.getLong(0), row.getLong(1))).toSet
+    assert(got == expected)
+    // seeded near-dups should be among them (2 appended tokens on 40 barely move the fp)
+    assert(expected.exists { case (a, b) => b == a + 100000L })
+  }
+
+  test("ann lsh recall vs brute force on testdata embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val exact = graft.queries.SimilarityQueries.bruteForceKnn(
+        spark, "/root/testdata/sf0.001", nProbes = 20, k = 5)
+      .select("probe_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // testdata embeddings are near-random (top-1 cosine ≈ 0.35), so the
+    // useful operating point is few bits × many tables; clustered real
+    // embeddings take more bits per table for a sharper candidate cut
+    val approx = AnnSearch.lshKnn(emb, dim = 64, nProbes = 20, k = 5,
+        numTables = 16, bitsPerTable = 4)
+      .select("probe_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"LSH recall too low: $recall")
+  }
+
+  test("langid classifies crafted samples") {
+    val samples = Seq(
+      ("en", "the cat and the dog went to the house in the garden"),
+      ("es", "el perro y la casa de los vecinos en la calle"),
+      ("de", "der hund und die katze von dem haus ist nicht da"),
+      ("fr", "le chien est dans la maison pour les enfants qui dorment"),
+      ("zh", "这是一个中文句子用于测试语言识别功能")).toDF("expected", "text")
+    val got = samples.select(col("expected"), LangId.detect(col("text")).as("d"))
+      .select(col("expected"), col("d.lang").as("got"))
+      .collect()
+    got.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"expected ${r.getString(0)} got ${r.getString(1)}"))
+  }
+
+  test("media pipeline: deterministic metadata + frame sampling over binary columns") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val media = docs.select(col("doc_id"), Media.syntheticMediaBytes(col("text")).as("bytes"))
+    val meta = Media.extractMetadata(media, "doc_id", "bytes")
+    assert(meta.count() == docs.count())
+    assert(meta.columns.toSeq ==
+      Seq("media_id", "format", "width", "height", "n_frames", "duration_ms"))
+    // deterministic across runs
+    val counts1 = meta.groupBy("format").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val meta2 = Media.extractMetadata(media.repartition(5), "doc_id", "bytes")
+    val counts2 = meta2.groupBy("format").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts1 == counts2 && counts1.values.sum == docs.count())
+    // frame sampling explodes only rows with frames, stride honored
+    val frames = Media.sampleFrames(meta, every = 10)
+    val chk = frames.groupBy("media_id").agg(count(lit(1)).as("n"))
+      .join(meta, "media_id")
+      .where(col("n") =!= ceil(col("n_frames").cast("double") / 10.0).cast("long"))
+    assert(chk.count() == 0)
+  }
+}
