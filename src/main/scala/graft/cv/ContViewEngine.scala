@@ -86,10 +86,17 @@ final class ContViewEngine(val spark: SparkSession, val root: String) {
     val withArrival =
       if (batch.columns.contains("arrival_timestamp")) batch
       else batch.withColumn("arrival_timestamp", current_timestamp())
-    readers.getOrElse(streamName, mutable.Buffer.empty).foreach { cvName =>
-      val h = views(cvName)
-      if (h.active) ingestBatch(h, withArrival)
-    }
+    // Fan the batch out to all reading CVs concurrently — their state
+    // stores are independent, and the per-CV pipelines are small jobs that
+    // interleave well on the scheduler (the reference runs one worker proc
+    // per CV for the same reason, scheduler.c:615-698).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val active = readers.getOrElse(streamName, mutable.Buffer.empty)
+      .map(views(_)).filter(_.active).toSeq
+    val work = active.map(h => Future(ingestBatch(h, withArrival)))
+    work.foreach(f => Await.result(f, Duration.Inf))
   }
 
   private def ingestBatch(h: CvHandle, batch: DataFrame): Unit = {
@@ -97,7 +104,7 @@ final class ContViewEngine(val spark: SparkSession, val root: String) {
     // partial-agg result is reused by the merge and the changes emit
     val cached = partials.persist()
     try {
-      val (oldRows, newRows) = h.store.upsert(cached, h.plan.reAggs)
+      val (oldRows, newRows) = h.store.upsert(cached, h.plan.reAggs, needOldRows = h.changes)
       if (h.changes) emitChanges(h, oldRows, newRows, cached)
     } finally cached.unpersist()
   }

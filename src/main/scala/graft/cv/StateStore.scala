@@ -89,7 +89,8 @@ final class StateStore(
     */
   def upsert(
       updates: DataFrame,
-      reAgg: Seq[(String, org.apache.spark.sql.Column => org.apache.spark.sql.Column)])
+      reAgg: Seq[(String, org.apache.spark.sql.Column => org.apache.spark.sql.Column)],
+      needOldRows: Boolean = true)
       : (Option[DataFrame], DataFrame) = {
     val up = updates.withColumn(BucketCol, bucketOf)
 
@@ -104,10 +105,12 @@ final class StateStore(
     // GC'd right after the new version commits, but the changes emitter
     // consumes these rows afterwards (reference does lookup+emit in one
     // transaction — combiner.c:1402-1638; localCheckpoint is our snapshot).
-    val old = existingTouched.map { ex =>
-      ex.join(up.select(keyCols.map(col): _*).distinct(), keyCols, "left_semi")
-        .localCheckpoint()
-    }
+    val old =
+      if (!needOldRows) None
+      else existingTouched.map { ex =>
+        ex.join(up.select(keyCols.map(col): _*).distinct(), keyCols, "left_semi")
+          .localCheckpoint()
+      }
 
     val merged = existingTouched match {
       case None => up

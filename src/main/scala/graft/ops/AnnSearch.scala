@@ -24,12 +24,47 @@ object AnnSearch {
     Array.fill(numTables, bitsPerTable)(Array.fill(dim)(rng.nextGaussian()))
   }
 
-  /** Bucket id of a vector column for one table: B sign bits packed. */
-  private def bucketExpr(v: Column, tablePlanes: Array[Array[Double]]): Column =
-    tablePlanes.zipWithIndex.map { case (plane, bit) =>
-      val planeCol = array(plane.map(lit): _*)
-      when(dotd(v, planeCol) >= 0, lit(1L << bit)).otherwise(lit(0L))
-    }.reduce(_ + _)
+  /** lsh_buckets(vec) → array<long>: one packed sign-bit bucket per table,
+    * computed in a single pass over the vector (a Catalyst expression —
+    * higher-order-function lambdas are not whole-stage-codegen'd and cost
+    * ~10× on the corpus side).
+    */
+  case class LshBuckets(child: org.apache.spark.sql.catalyst.expressions.Expression,
+      planes: Array[Array[Array[Double]]])
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    import org.apache.spark.sql.types._
+    override def prettyName: String = "lsh_buckets"
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(v: Any): Any = {
+      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray()
+      val out = new Array[Any](planes.length)
+      var t = 0
+      while (t < planes.length) {
+        val tp = planes(t)
+        var bucket = 0L
+        var b = 0
+        while (b < tp.length) {
+          val plane = tp(b)
+          var dot = 0.0
+          var i = 0
+          val n = math.min(arr.length, plane.length)
+          while (i < n) { dot += arr(i) * plane(i); i += 1 }
+          if (dot >= 0) bucket |= (1L << b)
+          b += 1
+        }
+        out(t) = bucket
+        t += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(
+        c: org.apache.spark.sql.catalyst.expressions.Expression): LshBuckets = copy(child = c)
+  }
+
+  private def lshBuckets(v: Column, planes: Array[Array[Array[Double]]]): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      LshBuckets(org.apache.spark.sql.GraftBridge.expression(v), planes))
 
   /** LSH top-k: for each probe (vec_id < nProbes), k nearest by cosine among
     * LSH candidates.
@@ -41,7 +76,7 @@ object AnnSearch {
     def bucketed(df: DataFrame, idName: String, vName: String): DataFrame =
       df.select(
         col(idName), col(vName),
-        posexplode(array(ps.map(tp => bucketExpr(col(vName), tp)): _*)))
+        posexplode(lshBuckets(col(vName), ps)))
         .select(col(idName), col(vName), col("pos").as("tbl"), col("col").as("bkt"))
 
     val corpus = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))

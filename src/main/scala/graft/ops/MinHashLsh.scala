@@ -57,7 +57,13 @@ object MinHashLsh {
   def minhashSignature(shingles: Column, k: Int): Column =
     GraftBridge.column(MinHashSignature(GraftBridge.expression(shingles), k))
 
-  /** Candidate pairs (idA < idB) via banded LSH over `df(idCol, textCol)`. */
+  /** Candidate pairs (idA < idB) via banded LSH over `df(idCol, textCol)`,
+    * prefiltered by minhash agreement: the fraction of equal signature
+    * components estimates Jaccard, and P(est < 0.3 | j ≥ 0.6) ≤
+    * exp(-2k·0.09) ≈ 1e-10 at k=128 — so the (expensive) exact shingle
+    * verify only ever sees near-real pairs, while random band collisions
+    * (est ≈ 0.05) die on cheap long comparisons.
+    */
   def candidatePairs(
       df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numBands: Int = 64, rowsPerBand: Int = 2): DataFrame = {
@@ -65,6 +71,7 @@ object MinHashLsh {
     val sig = df.select(
       col(idCol).as("id"),
       minhashSignature(TextOps.shingles(col(textCol), shingleN), k).as("sig"))
+      .persist()
 
     // band b covers sig[b*r .. b*r+r-1]; bucket = hash of the band slice
     val banded = sig.select(
@@ -74,15 +81,25 @@ object MinHashLsh {
           sequence(lit(0), lit(numBands - 1)),
           b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b))))
       .select(col("id"), col("pos").as("band"), col("col").as("bucket"))
+      .persist() // both sides of the self-join read this
 
     val l = banded.alias("l")
     val r = banded.alias("r")
-    l.join(r,
+    val rawPairs = l.join(r,
         col("l.band") === col("r.band") &&
         col("l.bucket") === col("r.bucket") &&
         col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .distinct()
+
+    val agree = size(filter(
+      zip_with(col("sig_a"), col("sig_b"), (x, y) => (x === y).cast("int")),
+      e => e === 1)).cast("double") / k
+    rawPairs
+      .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sig.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .where(agree >= 0.3)
+      .select(col("id_a"), col("id_b"))
   }
 
   /** Full near-dup pipeline: LSH candidates verified with exact Jaccard. */
@@ -90,7 +107,9 @@ object MinHashLsh {
       df: DataFrame, idCol: String, textCol: String, threshold: Double,
       shingleN: Int = 3, numBands: Int = 64, rowsPerBand: Int = 2): DataFrame = {
     val pairs = candidatePairs(df, idCol, textCol, shingleN, numBands, rowsPerBand)
+    // shingle arrays feed both sides of the verify join — compute once
     val sh = df.select(col(idCol).as("id"), TextOps.shingles(col(textCol), shingleN).as("sh"))
+      .persist()
     pairs
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
