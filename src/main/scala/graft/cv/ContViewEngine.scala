@@ -32,14 +32,22 @@ final class ContViewEngine(val spark: SparkSession, val root: String) {
 
   import CvPlanner._
 
-  final case class StreamDef(name: String, schema: StructType)
+  final case class StreamDef(name: String, schema: StructType,
+      leafIds: Seq[org.apache.spark.sql.catalyst.expressions.ExprId])
   final case class CvHandle(plan: CvPlan, store: StateStore, streamName: String,
       active: Boolean = true, changes: Boolean = true)
 
+  final case class CtHandle(
+      plan: CtPlan,
+      streamName: String,
+      sinkStream: Option[String],
+      outputFunc: Option[DataFrame => Unit],
+      active: Boolean = true)
+
   private val streams = mutable.LinkedHashMap.empty[String, StreamDef]
   private val views = mutable.LinkedHashMap.empty[String, CvHandle]
-  private val readers = mutable.LinkedHashMap.empty[String, mutable.Buffer[String]] // stream → CVs
-  private val transforms = mutable.LinkedHashMap.empty[String, (CvPlan, String)] // CT → (plan-ish, sink stream)
+  private val readers = mutable.LinkedHashMap.empty[String, mutable.Buffer[String]] // stream → CQs
+  private val transforms = mutable.LinkedHashMap.empty[String, CtHandle]
 
   graft.functions.GraftFunctions.register(spark)
 
@@ -51,9 +59,15 @@ final class ContViewEngine(val spark: SparkSession, val root: String) {
     val withArrival =
       if (schema.fieldNames.contains("arrival_timestamp")) schema
       else schema.add("arrival_timestamp", "timestamp")
-    streams(name) = StreamDef(name, withArrival)
     spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), withArrival)
       .createOrReplaceTempView(name)
+    // capture the registered view's leaf attribute ids — they uniquely
+    // identify this stream in any analyzed CV/CT plan (two streams may
+    // share a schema, so names alone cannot disambiguate)
+    val leafIds = org.apache.spark.sql.GraftBridge.analyzed(spark.table(name))
+      .collect { case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => lr }
+      .head.output.map(_.exprId)
+    streams(name) = StreamDef(name, withArrival, leafIds)
     readers.getOrElseUpdate(name, mutable.Buffer.empty)
   }
 
@@ -61,12 +75,11 @@ final class ContViewEngine(val spark: SparkSession, val root: String) {
   def createContView(name: String, selectSql: String,
       options: CvOptions = CvOptions(), emitChanges: Boolean = true): CvHandle = {
     val plan = CvPlanner.plan(spark, name, selectSql, options,
-      streamSchemas = streams.values.map(_.schema.fieldNames.toSeq).toSeq)
-    // resolve which registered stream the plan's leaf is (by schema)
-    val leafNames = plan.streamLeaf.output.map(_.name)
-    val streamName = streams.values.find(_.schema.fieldNames.toSeq == leafNames)
+      streamLeafIds = streams.values.map(_.leafIds).toSeq)
+    val leafIds = plan.streamLeaf.output.map(_.exprId)
+    val streamName = streams.values.find(_.leafIds == leafIds)
       .map(_.name).getOrElse(throw new IllegalStateException(
-        s"CV $name does not read a registered stream (leaf: ${leafNames.mkString(",")})"))
+        s"CV $name does not read a registered stream"))
     val store = new StateStore(spark, s"$root/$name/state", plan.stateKeys)
     val handle = CvHandle(plan, store, streamName, changes = emitChanges)
     views(name) = handle
@@ -74,8 +87,35 @@ final class ContViewEngine(val spark: SparkSession, val root: String) {
     handle
   }
 
-  def activate(name: String): Unit = views.get(name).foreach(h => views(name) = h.copy(active = true))
-  def deactivate(name: String): Unit = views.get(name).foreach(h => views(name) = h.copy(active = false))
+  /** CREATE VIEW t WITH (action=transform [, outputfunc=…]) AS selectSql —
+    * stateless per-batch select/project/join; output goes to the CT's own
+    * output stream, an optional sink stream (insert_into_stream chaining,
+    * stream_fdw.c:589-640), and/or a callback (trigger outputfunc).
+    */
+  def createContTransform(name: String, selectSql: String,
+      sinkStream: Option[String] = None,
+      outputFunc: Option[DataFrame => Unit] = None): CtHandle = {
+    val plan = CvPlanner.planTransform(spark, name, selectSql,
+      streamLeafIds = streams.values.map(_.leafIds).toSeq)
+    val leafIds = plan.streamLeaf.output.map(_.exprId)
+    val streamName = streams.values.find(_.leafIds == leafIds)
+      .map(_.name).getOrElse(throw new IllegalStateException(
+        s"CT $name does not read a registered stream"))
+    sinkStream.foreach(sk => require(streams.contains(sk), s"unknown sink stream $sk"))
+    val handle = CtHandle(plan, streamName, sinkStream, outputFunc)
+    transforms(name) = handle
+    readers.getOrElseUpdate(streamName, mutable.Buffer.empty) += name
+    handle
+  }
+
+  def activate(name: String): Unit = {
+    views.get(name).foreach(h => views(name) = h.copy(active = true))
+    transforms.get(name).foreach(h => transforms(name) = h.copy(active = true))
+  }
+  def deactivate(name: String): Unit = {
+    views.get(name).foreach(h => views(name) = h.copy(active = false))
+    transforms.get(name).foreach(h => transforms(name) = h.copy(active = false))
+  }
 
   def truncateContView(name: String): Unit = views(name).store.truncate()
 
@@ -93,10 +133,36 @@ final class ContViewEngine(val spark: SparkSession, val root: String) {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    val active = readers.getOrElse(streamName, mutable.Buffer.empty)
-      .map(views(_)).filter(_.active).toSeq
-    val work = active.map(h => Future(ingestBatch(h, withArrival)))
+    val names = readers.getOrElse(streamName, mutable.Buffer.empty).toSeq
+    val activeCvs = names.flatMap(views.get).filter(_.active)
+    val work = activeCvs.map(h => Future(ingestBatch(h, withArrival)))
     work.foreach(f => Await.result(f, Duration.Inf))
+    // transforms run after the views (sequentially: they may re-enter
+    // insertInto for chained streams)
+    names.flatMap(transforms.get).filter(_.active).foreach(h => runTransform(h, withArrival))
+  }
+
+  private def runTransform(h: CtHandle, batch: DataFrame): Unit = {
+    val out = h.plan.bindBatch(spark, batch)
+      .withColumn("arrival_timestamp", current_timestamp())
+    out.write.mode("append").parquet(s"$root/${h.plan.name}/changes")
+    h.outputFunc.foreach(f => f(out))
+    // insert_into_stream chaining: the transform's output becomes a batch
+    // on the sink stream
+    h.sinkStream.foreach(sk => insertInto(sk, out))
+  }
+
+  /** pipelinedb.combine_table('cv', table): batch-merge a compatible table
+    * of partial states into the CV's state (reference combiner.c:2252-2350 —
+    * used for backfill and partition-rebuild).
+    */
+  def combineTable(name: String, partials: DataFrame): Unit = {
+    val h = views(name)
+    val expected = (h.plan.stateKeys ++ h.plan.aggs.map(_.stateName)).toSet
+    require(expected.subsetOf(partials.columns.toSet),
+      s"combine_table input must carry columns ${expected.mkString(", ")}")
+    h.store.upsert(partials.select(expected.toSeq.map(col): _*), h.plan.reAggs,
+      needOldRows = false)
   }
 
   private def ingestBatch(h: CvHandle, batch: DataFrame): Unit = {

@@ -53,24 +53,8 @@ object CvPlanner {
       aggs.map(a => a.stateName -> a.split.reAgg)
 
     /** Bind the worker plan to a concrete micro-batch DataFrame. */
-    def bindBatch(spark: SparkSession, batch: DataFrame): DataFrame = {
-      val batchPlan = GraftBridge.analyzed(batch)
-      require(batchPlan.output.length >= streamLeaf.output.length,
-        s"batch schema too narrow for stream: ${batchPlan.schema.simpleString}")
-      val byName = batchPlan.output.map(a => a.name -> a).toMap
-      val bound = childPlan.transformUp {
-        case lr: LocalRelation if lr.output.map(_.exprId) == streamLeaf.output.map(_.exprId) =>
-          Project(
-            streamLeaf.output.map { exp =>
-              val act = byName.getOrElse(exp.name,
-                throw new IllegalArgumentException(s"batch missing stream column ${exp.name}"))
-              Alias(org.apache.spark.sql.catalyst.expressions.Cast(act, exp.dataType), exp.name)(
-                exprId = exp.exprId)
-            },
-            batchPlan)
-      }
-      GraftBridge.ofRows(spark, bound)
-    }
+    def bindBatch(spark: SparkSession, batch: DataFrame): DataFrame =
+      CvPlanner.bindStreamLeaf(spark, childPlan, streamLeaf, batch)
 
     /** Worker aggregation: micro-batch → one row per touched group with
       * partial state columns (AGGSPLIT_INITIAL_SERIAL analogue).
@@ -88,6 +72,63 @@ object CvPlanner {
     /** Finalize columns over a state DataFrame. */
     def finalizeCols: Seq[Column] =
       aggs.map(a => a.split.finalizer(col(a.stateName)).as(a.name))
+  }
+
+  /** Substitute the stream's empty LocalRelation leaf with the micro-batch
+    * plan, matching columns by name with casts and preserving the leaf's
+    * exprIds so the rest of the analyzed tree stays resolved.
+    */
+  def bindStreamLeaf(spark: SparkSession, plan: LogicalPlan,
+      streamLeaf: LocalRelation, batch: DataFrame): DataFrame = {
+    val batchPlan = GraftBridge.analyzed(batch)
+    val byName = batchPlan.output.map(a => a.name -> a).toMap
+    val bound = plan.transformUp {
+      case lr: LocalRelation if lr.output.map(_.exprId) == streamLeaf.output.map(_.exprId) =>
+        Project(
+          streamLeaf.output.map { exp =>
+            val act = byName.getOrElse(exp.name,
+              throw new IllegalArgumentException(s"batch missing stream column ${exp.name}"))
+            Alias(org.apache.spark.sql.catalyst.expressions.Cast(act, exp.dataType), exp.name)(
+              exprId = exp.exprId)
+          },
+          batchPlan)
+    }
+    GraftBridge.ofRows(spark, bound)
+  }
+
+  /** A continuous transform's plan: the full stateless SELECT over the
+    * stream (projections/filters/stream–table joins), no aggregation
+    * (reference DefineContTransform, pipeline_query.c:984).
+    */
+  final case class CtPlan(
+      name: String,
+      plan: LogicalPlan,
+      streamLeaf: LocalRelation) {
+    def bindBatch(spark: SparkSession, batch: DataFrame): DataFrame =
+      CvPlanner.bindStreamLeaf(spark, plan, streamLeaf, batch)
+  }
+
+  /** Plan a continuous transform: same restriction wall minus the
+    * must-aggregate rule (transforms must NOT aggregate).
+    */
+  def planTransform(spark: SparkSession, name: String, selectSql: String,
+      streamLeafIds: Seq[Seq[org.apache.spark.sql.catalyst.expressions.ExprId]] = Nil): CtPlan = {
+    val analyzed = GraftBridge.analyzed(spark.sql(selectSql))
+    validate(analyzed)
+    analyzed.foreach {
+      case _: Aggregate => throw new IllegalArgumentException(
+        "continuous transforms are stateless; use a continuous view to aggregate")
+      case _ => ()
+    }
+    val leaves = analyzed.collect { case lr: LocalRelation => lr }
+    val isStream: LocalRelation => Boolean =
+      if (streamLeafIds.isEmpty) (_ => true)
+      else lr => streamLeafIds.contains(lr.output.map(_.exprId))
+    val streamLeaves = leaves.filter(isStream)
+    require(streamLeaves.length == 1,
+      if (streamLeaves.isEmpty) "continuous transforms must read exactly one stream"
+      else "stream-stream JOINs are not supported in continuous transforms")
+    CtPlan(name, analyzed, streamLeaves.head)
   }
 
   /** date_round(ts, step): floor a timestamp to an arbitrary second interval
@@ -117,18 +158,18 @@ object CvPlanner {
     */
   def plan(spark: SparkSession, name: String, selectSql: String,
       options: CvOptions = CvOptions(),
-      streamSchemas: Seq[Seq[String]] = Nil): CvPlan = {
+      streamLeafIds: Seq[Seq[org.apache.spark.sql.catalyst.expressions.ExprId]] = Nil): CvPlan = {
     val analyzed = GraftBridge.analyzed(spark.sql(selectSql))
     validate(analyzed)
 
     val (agg, above) = findAggregate(analyzed)
 
-    // the stream leaf: the LocalRelation whose columns match a registered
-    // stream schema (other LocalRelations are static in-memory dims)
+    // the stream leaf: the LocalRelation whose attribute ids match a
+    // registered stream view (other LocalRelations are static in-memory dims)
     val leaves = agg.child.collect { case lr: LocalRelation => lr }
     val isStream: LocalRelation => Boolean =
-      if (streamSchemas.isEmpty) (_ => true)
-      else lr => streamSchemas.contains(lr.output.map(_.name))
+      if (streamLeafIds.isEmpty) (_ => true)
+      else lr => streamLeafIds.contains(lr.output.map(_.exprId))
     val streamLeaves = leaves.filter(isStream)
     require(streamLeaves.length == 1,
       if (streamLeaves.isEmpty) "continuous views must read exactly one stream (none found)"

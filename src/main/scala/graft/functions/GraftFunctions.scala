@@ -121,5 +121,47 @@ object GraftFunctions {
     fn("topk_values") { case Seq(c) => TopKValues(c) }
     fn("topk_freqs") { case Seq(c) => TopKFreqs(c) }
     fn("topk") { case Seq(c) => TopKMap(c) }
+
+    // date_round(ts, interval): floor to an arbitrary interval — the
+    // reference's bucketing primitive (miscutils.c:305-331). Accepts an
+    // INTERVAL literal, a '5 minutes' string, or integer seconds.
+    fn("date_round") { case Seq(ts, ivl) =>
+      import org.apache.spark.sql.catalyst.expressions.{Cast, Divide, Floor, Literal, Multiply, SecondsToTimestamp}
+      import org.apache.spark.sql.types.DoubleType
+      val secs = Literal(intervalSeconds(ivl).toDouble)
+      SecondsToTimestamp(
+        Multiply(Cast(Floor(Divide(Cast(ts, DoubleType), secs)), DoubleType), secs))
+    }
+
+    // hash_group / ls_hash_group: 64-bit group-key hash (hashfuncs.c:93-214);
+    // ls_ variant leads with the time column for locality — same hash here,
+    // argument order carries the locality intent.
+    fn("hash_group") { exprs => new org.apache.spark.sql.catalyst.expressions.XxHash64(exprs) }
+    fn("ls_hash_group") { exprs => new org.apache.spark.sql.catalyst.expressions.XxHash64(exprs) }
+  }
+
+  /** Seconds from an interval-ish literal expression. */
+  private def intervalSeconds(e: Expression): Long = e.eval(null) match {
+    case l: Long if e.dataType.isInstanceOf[org.apache.spark.sql.types.DayTimeIntervalType] =>
+      l / 1000000L
+    case cal: org.apache.spark.unsafe.types.CalendarInterval =>
+      require(cal.months == 0, "date_round intervals must be day-time (no months)")
+      cal.days * 86400L + cal.microseconds / 1000000L
+    case s: org.apache.spark.unsafe.types.UTF8String =>
+      val m = """(?i)\s*(\d+)\s*(second|sec|s|minute|min|m|hour|h|day|d)s?\s*""".r
+      s.toString match {
+        case m(n, unit) =>
+          val mult = unit.toLowerCase match {
+            case "second" | "sec" | "s" => 1L
+            case "minute" | "min" | "m" => 60L
+            case "hour" | "h" => 3600L
+            case "day" | "d" => 86400L
+          }
+          n.toLong * mult
+        case other => throw new IllegalArgumentException(s"cannot parse interval: '$other'")
+      }
+    case i: Int => i.toLong
+    case l: Long => l
+    case other => throw new IllegalArgumentException(s"cannot parse interval: $other")
   }
 }

@@ -41,6 +41,15 @@ object CvQueries {
         emitChanges = false)
       eng.createContView("v_os",
         "SELECT user_id, count(*) AS n FROM ev_stream GROUP BY user_id")
+      // continuous transform chain: hot events re-routed to a second stream
+      // feeding its own CV (insert_into_stream semantics)
+      eng.createStream("ev_hot", events.schema)
+      eng.createContTransform("t_hot",
+        "SELECT event_id, ts, user_id, event_type, value, props FROM ev_stream WHERE value > 100",
+        sinkStream = Some("ev_hot"))
+      eng.createContView("v_hot",
+        "SELECT event_type, count(*) AS n FROM ev_hot GROUP BY event_type",
+        emitChanges = false)
       (0 until NumChunks).foreach { i =>
         eng.insertInto("ev_stream", events.where(pmod(col("event_id"), lit(NumChunks)) === i))
       }
@@ -85,6 +94,15 @@ object CvQueries {
       (s, dir) =>
         val maxTs = Tables.events(s, dir).agg(max("ts")).collect()(0).getTimestamp(0)
         engineFor(s, dir).overlay("v_sw", Some(maxTs)).orderBy("event_type")
+    },
+
+    // cont_transform: stateless transform chained into a downstream CV.
+    QDef(
+      "q_cv_transform_chain",
+      """SELECT event_type, count(*) AS n FROM events
+        |WHERE value > 100 GROUP BY event_type ORDER BY event_type""".stripMargin) {
+      (s, dir) =>
+        engineFor(s, dir).overlay("v_hot").orderBy("event_type")
     },
 
     // delta_streams: the output stream's delta states sum back to the input.

@@ -228,4 +228,67 @@ class CvSpec extends AnyFunSuite {
     bad("SELECT a.key, count(*) AS n FROM sa a JOIN sb b ON a.key = b.key GROUP BY a.key")
     bad("SELECT key, sum(DISTINCT x) AS s FROM sa GROUP BY key")
   }
+
+  test("continuous transform: filter/project to output stream + chained CV (cont_transform.sql)") {
+    val eng = newEngine()
+    eng.createStream("ct_in", streamSchema)
+    eng.createStream("ct_mid", streamSchema)
+    var callbackRows = 0L
+    eng.createContTransform("t_hot",
+      "SELECT key, x, v, ts FROM ct_in WHERE x >= 50",
+      sinkStream = Some("ct_mid"),
+      outputFunc = Some(df => callbackRows += df.count()))
+    eng.createContView("v_hot", "SELECT key, count(*) AS n FROM ct_mid GROUP BY key")
+    allRows.grouped(1000).foreach(c => eng.insertInto("ct_in", mkBatch(c)))
+    // CT output stream carries exactly the filtered rows
+    val os = eng.outputOf("t_hot").get
+    val expectN = allRows.count(_._2 >= 50)
+    assert(os.count() == expectN)
+    assert(callbackRows == expectN)
+    // chained CV aggregates the transformed stream
+    val got = asMap(eng.overlay("v_hot"))
+    val expect = asMap(mkBatch(allRows).where($"x" >= 50)
+      .groupBy("key").agg(count(lit(1)).as("n")))
+    assert(got == expect)
+    // transforms must not aggregate
+    intercept[Exception](eng.createContTransform("t_bad",
+      "SELECT key, count(*) AS n FROM ct_in GROUP BY key"))
+  }
+
+  test("combine_table merges a partials table into CV state (combiner.c:2252)") {
+    val eng = newEngine()
+    eng.createStream("cb_s", streamSchema)
+    val h = eng.createContView("v_cb", "SELECT key, count(*) AS n, sum(x) AS sx FROM cb_s GROUP BY key")
+    val (first, second) = allRows.splitAt(1500)
+    eng.insertInto("cb_s", mkBatch(first))
+    // backfill: partial states computed outside the stream path
+    val partials = h.plan.workerPartials(spark,
+      mkBatch(second).withColumn("arrival_timestamp", current_timestamp()))
+    eng.combineTable("v_cb", partials)
+    val got = asMap(eng.overlay("v_cb"))
+    val expect = asMap(mkBatch(allRows).groupBy("key")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx")))
+    assert(got == expect)
+  }
+
+  test("structured streaming driver: MemoryStream -> foreachBatch ingest (scheduler parity)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val eng = newEngine()
+    eng.createStream("st_s", streamSchema)
+    eng.createContView("v_st", "SELECT key, count(*) AS n, sum(x) AS sx FROM st_s GROUP BY key")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(String, Long, Double, java.sql.Timestamp)]
+    val stream = ms.toDF().toDF("key", "x", "v", "ts")
+    val q = eng.startStreaming("v_st", stream)
+    val (b1, b2) = allRows.splitAt(1200)
+    ms.addData(b1)
+    q.processAllAvailable()
+    ms.addData(b2)
+    q.processAllAvailable()
+    q.stop()
+    val got = asMap(eng.overlay("v_st"))
+    val expect = asMap(mkBatch(allRows).groupBy("key")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx")))
+    assert(got == expect)
+  }
 }

@@ -129,4 +129,21 @@ class SketchAggSpec extends AnyFunSuite {
       assert(!r.getDouble(2).isNaN)
     }
   }
+
+  test("date_round and hash_group SQL functions") {
+    val df = (1 to 100).map(i =>
+      (s"k${i % 3}", java.sql.Timestamp.valueOf(f"2024-01-01 10:${i % 60}%02d:30"))
+    ).toDF("k", "ts")
+    df.createOrReplaceTempView("dr_t")
+    val rows = spark.sql(
+      """SELECT date_round(ts, INTERVAL 15 MINUTE) AS b, count(*) AS n
+        |FROM dr_t GROUP BY 1 ORDER BY 1""".stripMargin).collect()
+    assert(rows.map(_.getLong(1)).sum == 100)
+    assert(rows.forall(r => r.getTimestamp(0).getTime % (15 * 60 * 1000) == 0))
+    val viaStr = spark.sql("SELECT date_round(ts, '15 minutes') AS b FROM dr_t").collect()
+    assert(viaStr.forall(r => r.getTimestamp(0).getTime % (15 * 60 * 1000) == 0))
+    val hg = spark.sql("SELECT hash_group(k, ts) AS h, ls_hash_group(ts, k) AS lh FROM dr_t")
+      .collect()
+    assert(hg.forall(r => !r.isNullAt(0) && !r.isNullAt(1)))
+  }
 }
