@@ -121,6 +121,62 @@ object AggSplit {
     when(n > 1, (st.getField("sxy") - st.getField("sx") * st.getField("sy") / n) / (n - 1))
   })
 
+  // regr_* family — all finalize off the same 6-moment bivariate state
+  // (reference sql:267-457 keeps float8[6] for every one of them)
+  def regrCount(y: Column, x: Column): AggSplit =
+    AggSplit(bivarPartial(y, x), bivarReAgg, st => st.getField("n"))
+  def regrAvgX(y: Column, x: Column): AggSplit =
+    AggSplit(bivarPartial(y, x), bivarReAgg, st =>
+      when(st.getField("n") > 0, st.getField("sx") / st.getField("n")))
+  def regrAvgY(y: Column, x: Column): AggSplit =
+    AggSplit(bivarPartial(y, x), bivarReAgg, st =>
+      when(st.getField("n") > 0, st.getField("sy") / st.getField("n")))
+  def regrSXX(y: Column, x: Column): AggSplit =
+    AggSplit(bivarPartial(y, x), bivarReAgg, st =>
+      when(st.getField("n") > 0,
+        st.getField("sxx") - st.getField("sx") * st.getField("sx") / st.getField("n")))
+  def regrSYY(y: Column, x: Column): AggSplit =
+    AggSplit(bivarPartial(y, x), bivarReAgg, st =>
+      when(st.getField("n") > 0,
+        st.getField("syy") - st.getField("sy") * st.getField("sy") / st.getField("n")))
+  def regrSXY(y: Column, x: Column): AggSplit =
+    AggSplit(bivarPartial(y, x), bivarReAgg, st =>
+      when(st.getField("n") > 0,
+        st.getField("sxy") - st.getField("sx") * st.getField("sy") / st.getField("n")))
+  def regrSlope(y: Column, x: Column): AggSplit =
+    AggSplit(bivarPartial(y, x), bivarReAgg, { st =>
+      val n = st.getField("n")
+      val vx = st.getField("sxx") - st.getField("sx") * st.getField("sx") / n
+      val cov = st.getField("sxy") - st.getField("sx") * st.getField("sy") / n
+      when(n > 0 && vx =!= 0.0, cov / vx)
+    })
+  def regrIntercept(y: Column, x: Column): AggSplit =
+    AggSplit(bivarPartial(y, x), bivarReAgg, { st =>
+      val n = st.getField("n")
+      val vx = st.getField("sxx") - st.getField("sx") * st.getField("sx") / n
+      val cov = st.getField("sxy") - st.getField("sx") * st.getField("sy") / n
+      when(n > 0 && vx =!= 0.0,
+        (st.getField("sy") - (cov / vx) * st.getField("sx")) / n)
+    })
+  def regrR2(y: Column, x: Column): AggSplit =
+    AggSplit(bivarPartial(y, x), bivarReAgg, { st =>
+      val n = st.getField("n")
+      val vx = st.getField("sxx") - st.getField("sx") * st.getField("sx") / n
+      val vy = st.getField("syy") - st.getField("sy") * st.getField("sy") / n
+      val cov = st.getField("sxy") - st.getField("sx") * st.getField("sy") / n
+      when(n > 0 && vx =!= 0.0,
+        when(vy === 0.0, lit(1.0)).otherwise(cov * cov / (vx * vy)))
+    })
+
+  /** combinable_string_agg (aggfuncs.c:989-1230): array state, delimiter
+    * join at finalize; sorted for deterministic output (the reference's
+    * combine order is nondeterministic — we pick a canonical order).
+    */
+  def stringAgg(c: Column, delim: String): AggSplit = AggSplit(
+    partial = collect_list(c.cast("string")),
+    reAgg = s => flatten(collect_list(s)),
+    finalizer = s => array_join(sort_array(s), delim))
+
   /** count(DISTINCT x) → HLL state (the reference's forced rewrite,
     * analyzer.c:91-106: hll_count_distinct).
     */

@@ -280,6 +280,21 @@ object CvPlanner {
       case f: Corr => AggSplit.corrOf(c(f.y), c(f.x))
       case f: CovPopulation => AggSplit.covarPop(c(f.left), c(f.right))
       case f: CovSample => AggSplit.covarSamp(c(f.left), c(f.right))
+      case f: RegrCount => AggSplit.regrCount(c(f.children(0)), c(f.children(1)))
+      case f: RegrAvgX => AggSplit.regrAvgX(c(f.children(0)), c(f.children(1)))
+      case f: RegrAvgY => AggSplit.regrAvgY(c(f.children(0)), c(f.children(1)))
+      case f: RegrSXX => AggSplit.regrSXX(c(f.children(0)), c(f.children(1)))
+      case f: RegrSYY => AggSplit.regrSYY(c(f.children(0)), c(f.children(1)))
+      case f: RegrSXY => AggSplit.regrSXY(c(f.children(0)), c(f.children(1)))
+      case f: RegrSlope => AggSplit.regrSlope(c(f.children(0)), c(f.children(1)))
+      case f: RegrIntercept => AggSplit.regrIntercept(c(f.children(0)), c(f.children(1)))
+      case f: RegrR2 => AggSplit.regrR2(c(f.children(0)), c(f.children(1)))
+      case f: ListAgg =>
+        val delim = f.delimiter.eval(null) match {
+          case null => ""
+          case s => s.toString
+        }
+        AggSplit.stringAgg(c(f.child), delim)
       case f: CollectSet => AggSplit.setAgg(c(f.child))
       case f: CollectList => AggSplit.arrayAgg(c(f.child))
       case f: MaxBy => AggSplit.keyedMax(c(f.orderingExpr), c(f.valueExpr))

@@ -138,6 +138,60 @@ object GraftFunctions {
     // argument order carries the locality intent.
     fn("hash_group") { exprs => new org.apache.spark.sql.catalyst.expressions.XxHash64(exprs) }
     fn("ls_hash_group") { exprs => new org.apache.spark.sql.catalyst.expressions.XxHash64(exprs) }
+
+    // ---- PipelineDB-named aggregate aliases over Spark natives ----
+    locally {
+      import org.apache.spark.sql.catalyst.expressions._
+      import org.apache.spark.sql.catalyst.expressions.aggregate._
+      import org.apache.spark.sql.types.{DoubleType, LongType}
+      def aggE(f: AggregateFunction): Expression = f.toAggregateExpression()
+
+      // set_agg / set_cardinality / exact_count_distinct (sql:971-1062)
+      fn("set_agg") { case Seq(c) => CollectSet(c) }
+      fn("set_cardinality") { case Seq(c) => Size(c, legacySizeOfNull = false) }
+      fn("exact_count_distinct") { case Seq(c) =>
+        Cast(Size(aggE(CollectSet(c)), legacySizeOfNull = false), LongType)
+      }
+
+      // keyed_min/keyed_max (kv.c): value at the min/max key
+      fn("keyed_min") { case Seq(key, value) => MinBy(value, key) }
+      fn("keyed_max") { case Seq(key, value) => MaxBy(value, key) }
+
+      // combinable_array_agg / combinable_string_agg (aggfuncs.c)
+      fn("combinable_array_agg") { case Seq(c) => CollectList(c) }
+      fn("string_agg") { case Seq(c, d) => ListAgg(c, d) }
+
+      // first_values(n, col): smallest-n mergeable list
+      fn("first_values") { case Seq(n, c) =>
+        val k = intLit(n)
+        Slice(new SortArray(aggE(CollectList(c))), Literal(1), Literal(k))
+      }
+
+      // hypothetical-set aggregates (sql:1274-1502): rank of a hypothetical
+      // value v within the accumulated x values
+      def countLt(v: Expression, x: Expression): Expression =
+        aggE(Count(Seq(CaseWhen(Seq((LessThan(x, v), Literal(1))), None))))
+      def countLe(v: Expression, x: Expression): Expression =
+        aggE(Count(Seq(CaseWhen(Seq((LessThanOrEqual(x, v), Literal(1))), None))))
+      def countAll: Expression = aggE(Count(Seq(Literal(1))))
+
+      fn("combinable_rank") { case Seq(v, x) => Add(Literal(1L), countLt(v, x)) }
+      fn("combinable_percent_rank") { case Seq(v, x) =>
+        Divide(Cast(countLt(v, x), DoubleType), Cast(Add(countAll, Literal(1L)), DoubleType))
+      }
+      fn("combinable_cume_dist") { case Seq(v, x) =>
+        Divide(Cast(Add(countLe(v, x), Literal(1L)), DoubleType),
+          Cast(Add(countAll, Literal(1L)), DoubleType))
+      }
+      fn("combinable_dense_rank") { case Seq(v, x) =>
+        // distinct values strictly below the hypothetical value, via HLL
+        // (reference uses an HLL too — hllfuncs.c:524)
+        Add(Literal(1L),
+          aggE(HllCountDistinct(CaseWhen(Seq((LessThan(x, v), x)), None))))
+      }
+      // ordered-set percentile: exact, full-sample (sql:1503-1602)
+      fn("combinable_percentile_cont") { case Seq(q, x) => new Percentile(x, q) }
+    }
   }
 
   /** Seconds from an interval-ish literal expression. */

@@ -291,4 +291,32 @@ class CvSpec extends AnyFunSuite {
       .agg(count(lit(1)).as("n"), sum("x").as("sx")))
     assert(got == expect)
   }
+
+  test("regr_* family and string_agg split in CVs (cont_regr.sql)") {
+    val eng = newEngine()
+    eng.createStream("rg_s", streamSchema)
+    eng.createContView("v_regr",
+      """SELECT key, regr_count(v, x) AS n, regr_slope(v, x) AS sl,
+        |       regr_intercept(v, x) AS ic, regr_r2(v, x) AS r2,
+        |       regr_avgx(v, x) AS ax, regr_avgy(v, x) AS ay,
+        |       regr_sxx(v, x) AS sxx, regr_syy(v, x) AS syy, regr_sxy(v, x) AS sxy,
+        |       listagg(x, ',') AS la
+        |FROM rg_s GROUP BY key""".stripMargin)
+    allRows.grouped(1000).foreach(c => eng.insertInto("rg_s", mkBatch(c)))
+    val got = eng.overlay("v_regr").collect()
+      .map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    val expect = mkBatch(allRows).groupBy("key").agg(
+      expr("regr_count(v, x)").as("n"), expr("regr_slope(v, x)").as("sl"),
+      expr("regr_intercept(v, x)").as("ic"), expr("regr_r2(v, x)").as("r2"),
+      expr("regr_avgx(v, x)").as("ax"), expr("regr_avgy(v, x)").as("ay"),
+      expr("regr_sxx(v, x)").as("sxx"), expr("regr_syy(v, x)").as("syy"),
+      expr("regr_sxy(v, x)").as("sxy"),
+      array_join(sort_array(collect_list($"x".cast("string"))), ",").as("la"))
+      .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    assert(got.keySet == expect.keySet)
+    for (k <- got.keySet; (a, b) <- got(k).zip(expect(k))) (a, b) match {
+      case (x: Double, y: Double) => assert(math.abs(x - y) < 1e-6, s"$k: $x vs $y")
+      case (x, y) => assert(x == y, s"$k: $x vs $y")
+    }
+  }
 }

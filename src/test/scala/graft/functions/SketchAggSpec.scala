@@ -146,4 +146,44 @@ class SketchAggSpec extends AnyFunSuite {
       .collect()
     assert(hg.forall(r => !r.isNullAt(0) && !r.isNullAt(1)))
   }
+
+  test("pipelinedb-named aggregate aliases match their window/exact equivalents") {
+    events.createOrReplaceTempView("alias_t")
+    val r = spark.sql(
+      """SELECT etype,
+        |       set_cardinality(set_agg(user)) AS sc,
+        |       exact_count_distinct(user) AS ecd,
+        |       keyed_min(value, user) AS kmin,
+        |       keyed_max(value, user) AS kmax,
+        |       first_values(3, user) AS fv,
+        |       combinable_rank(50.0, value) AS crank,
+        |       round(combinable_cume_dist(50.0, value), 6) AS ccume,
+        |       combinable_dense_rank(50.0, value) AS cdrank,
+        |       round(combinable_percentile_cont(0.5, value), 6) AS cpc
+        |FROM alias_t GROUP BY etype ORDER BY etype""".stripMargin).collect()
+    val exact = events.groupBy("etype").agg(
+      countDistinct($"user").as("ecd"),
+      min_by($"user", $"value").as("kmin"),
+      max_by($"user", $"value").as("kmax"),
+      slice(sort_array(collect_list($"user")), 1, 3).as("fv"),
+      (lit(1L) + count(when($"value" < 50.0, 1))).as("crank"),
+      round((count(when($"value" <= 50.0, 1)) + 1).cast("double") /
+        (count(lit(1)) + 1).cast("double"), 6).as("ccume"),
+      (lit(1L) + countDistinct(when($"value" < 50.0, $"value"))).as("cdrank"),
+      round(expr("percentile(value, 0.5)"), 6).as("cpc"))
+      .orderBy("etype").collect()
+    def num(r: org.apache.spark.sql.Row, i: Int): Long = r.getAs[Number](i).longValue
+    r.zip(exact).foreach { case (got, exp) =>
+      assert(num(got, 1) == num(exp, 1), "set_cardinality")   // sc == ecd
+      assert(num(got, 2) == num(exp, 1), "exact_count_distinct")
+      assert(got.getString(3) == exp.getString(2), "keyed_min")
+      assert(got.getString(4) == exp.getString(3), "keyed_max")
+      assert(got.getSeq[String](5) == exp.getSeq[String](4), "first_values")
+      assert(num(got, 6) == num(exp, 5), "combinable_rank")
+      assert(math.abs(got.getDouble(7) - exp.getDouble(6)) < 1e-9, "cume_dist")
+      // dense rank via HLL explicit mode is exact up to 2048 distinct below
+      assert(math.abs(num(got, 8) - num(exp, 7)) <= num(exp, 7) / 50 + 2, "dense_rank")
+      assert(math.abs(got.getDouble(9) - exp.getDouble(8)) < 1e-9, "percentile_cont")
+    }
+  }
 }
