@@ -143,13 +143,19 @@ final class ContViewEngine(val spark: SparkSession, val root: String) {
   }
 
   private def runTransform(h: CtHandle, batch: DataFrame): Unit = {
-    val out = h.plan.bindBatch(spark, batch)
-      .withColumn("arrival_timestamp", current_timestamp())
-    out.write.mode("append").parquet(s"$root/${h.plan.name}/changes")
-    h.outputFunc.foreach(f => f(out))
-    // insert_into_stream chaining: the transform's output becomes a batch
-    // on the sink stream
-    h.sinkStream.foreach(sk => insertInto(sk, out))
+    val t0 = System.nanoTime()
+    var failed = false
+    try {
+      val out = h.plan.bindBatch(spark, batch)
+        .withColumn("arrival_timestamp", current_timestamp())
+      out.write.mode("append").parquet(s"$root/${h.plan.name}/changes")
+      h.outputFunc.foreach(f => f(out))
+      // insert_into_stream chaining: the transform's output becomes a batch
+      // on the sink stream
+      h.sinkStream.foreach(sk => insertInto(sk, out))
+    } catch { case e: Throwable => failed = true; throw e }
+    finally recordStats(h.plan.name, "transform", 0L,
+      (System.nanoTime() - t0) / 1000000, failed)
   }
 
   /** pipelinedb.combine_table('cv', table): batch-merge a compatible table
@@ -165,14 +171,45 @@ final class ContViewEngine(val spark: SparkSession, val root: String) {
       needOldRows = false)
   }
 
+  /** Per-CQ runtime counters (reference pipelinedb.proc_stats/query_stats,
+    * stats.c) — batches/groups in, errors, cumulative exec ms.
+    */
+  final case class CqStats(
+      name: String, kind: String, batches: Long,
+      groupsOut: Long, errors: Long, execMs: Long)
+  private val statsMap = mutable.LinkedHashMap.empty[String, CqStats]
+
+  private def recordStats(name: String, kind: String,
+      groupsOut: Long, ms: Long, failed: Boolean): Unit = synchronized {
+    val s = statsMap.getOrElse(name, CqStats(name, kind, 0, 0, 0, 0))
+    statsMap(name) = s.copy(
+      batches = s.batches + 1,
+      groupsOut = s.groupsOut + groupsOut,
+      errors = s.errors + (if (failed) 1 else 0), execMs = s.execMs + ms)
+  }
+
+  /** Monitoring view: one row per continuous query (proc_stats analogue). */
+  def stats(): DataFrame = {
+    import spark.implicits._
+    statsMap.values.toSeq.toDF()
+  }
+
   private def ingestBatch(h: CvHandle, batch: DataFrame): Unit = {
+    val t0 = System.nanoTime()
+    var groups = 0L
+    var failed = false
     val partials = h.plan.workerPartials(spark, batch)
     // partial-agg result is reused by the merge and the changes emit
     val cached = partials.persist()
     try {
       val (oldRows, newRows) = h.store.upsert(cached, h.plan.reAggs, needOldRows = h.changes)
+      groups = cached.count()
       if (h.changes) emitChanges(h, oldRows, newRows, cached)
-    } finally cached.unpersist()
+    } catch { case e: Throwable => failed = true; throw e }
+    finally {
+      cached.unpersist()
+      recordStats(h.plan.name, "view", groups, (System.nanoTime() - t0) / 1000000, failed)
+    }
   }
 
   /** Output-stream emit: (old, new, delta) structs per upserted group

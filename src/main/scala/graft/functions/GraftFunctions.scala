@@ -191,6 +191,24 @@ object GraftFunctions {
       }
       // ordered-set percentile: exact, full-sample (sql:1503-1602)
       fn("combinable_percentile_cont") { case Seq(q, x) => new Percentile(x, q) }
+
+      // bucket_agg + inspectors (aggfuncs.c:462-987)
+      fn("bucket_agg") { exprs => BucketAgg(exprs) }
+      fn("bucket_cardinalities") { case Seq(c) => BucketCardinalities(c) }
+      fn("bucket_ids") { case Seq(c) => BucketIds(c) }
+
+      // json aggregate family (json.c / jsonb.c)
+      fn("json_object_int_sum") { case Seq(c) => JsonIntSumAgg(c) }
+      fn("json_agg") { case Seq(c) =>
+        org.apache.spark.sql.catalyst.expressions.StructsToJson(
+          Map.empty, new SortArray(aggE(CollectList(c))))
+      }
+      fn("json_object_agg") { case Seq(k, v) =>
+        org.apache.spark.sql.catalyst.expressions.StructsToJson(
+          Map.empty,
+          org.apache.spark.sql.catalyst.expressions.MapFromEntries(
+            aggE(CollectList(CreateStruct(Seq(k, v))))))
+      }
     }
   }
 

@@ -66,6 +66,31 @@ object AnnSearch {
     org.apache.spark.sql.GraftBridge.column(
       LshBuckets(org.apache.spark.sql.GraftBridge.expression(v), planes))
 
+  /** Embedding-cosine near-duplicate pairs: corpus self-join through the
+    * LSH buckets (near-identical vectors collide with probability ~1 even
+    * at high bits), then exact-cosine verification — same candidates-then-
+    * verify shape as MinHashLsh, so only (id, table, bucket) triples
+    * shuffle and vectors re-join for candidates only.
+    */
+  def cosineNearDuplicates(emb: DataFrame, dim: Int, threshold: Double,
+      numTables: Int = 8, bitsPerTable: Int = 12, seed: Long = 42L): DataFrame = {
+    val ps = planes(dim, numTables, bitsPerTable, seed)
+    val corpus = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val bucketed = corpus.select(
+        col("vec_id"), col("v"), posexplode(lshBuckets(col("v"), ps)))
+      .select(col("vec_id"), col("v"), col("pos").as("tbl"), col("col").as("bkt"))
+    val l = bucketed.select(col("vec_id").as("id_a"), col("v").as("va"),
+      col("tbl"), col("bkt"))
+    val r = bucketed.select(col("vec_id").as("id_b"), col("v").as("vb"),
+      col("tbl").as("tbl_r"), col("bkt").as("bkt_r"))
+    l.join(r, col("tbl") === col("tbl_r") && col("bkt") === col("bkt_r") &&
+        col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("cos"))
+      .where(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+  }
+
   /** LSH top-k: for each probe (vec_id < nProbes), k nearest by cosine among
     * LSH candidates.
     */

@@ -101,6 +101,33 @@ object DedupQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // Embedding-cosine near-dup: seeded exact copies of even vec_ids; LSH
+    // candidate recall at cos≈1 is 1-1.6e-10, exact cosine verifies — so
+    // DuckDB brute force over the same seeded corpus is a valid oracle.
+    QDef(
+      "q_cosine_neardup",
+      """WITH corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000 AS vec_id, embedding
+        |  FROM embeddings WHERE vec_id % 2 = 0)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                                    CAST(b.embedding AS DOUBLE[])), 4) AS cos
+        |FROM corpus a, corpus b
+        |WHERE a.vec_id < b.vec_id
+        |  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                             CAST(b.embedding AS DOUBLE[])) >= 0.99
+        |ORDER BY id_a, id_b""".stripMargin) {
+      (s, dir) =>
+        val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+        val seeded = e.unionByName(
+          e.where(pmod(col("vec_id"), lit(2)) === 0)
+            .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
+        AnnSearch.cosineNearDuplicates(seeded, dim = 64, threshold = 0.99)
+          .orderBy("id_a", "id_b")
+    },
+
     // LSH ANN — approximate by design, rows-only (recall vs brute force is
     // asserted in OpsSpec; the exact-cosine baseline q_knn_cosine is oracled).
     QDef.noOracle("q_ann_lsh") { (s, dir) =>

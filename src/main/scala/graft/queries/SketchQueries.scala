@@ -129,6 +129,39 @@ object SketchQueries {
         .orderBy("event_type")
     },
 
+    // json_object_int_sum over the props column (reference json.c) — the
+    // map output probed at key 'k' so the oracle is plain SQL.
+    QDef(
+      "q_json_object_int_sum",
+      """SELECT event_type,
+        |       sum(CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT)) AS k_sum
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) {
+      (s, dir) =>
+        GraftFunctions.register(s)
+        Tables.events(s, dir).createOrReplaceTempView("ev_jois")
+        s.sql("""SELECT event_type,
+                |       element_at(json_object_int_sum(props), 'k') AS k_sum
+                |FROM ev_jois GROUP BY event_type ORDER BY event_type""".stripMargin)
+    },
+
+    // bucket_agg: each distinct user lands in the bucket (day-of-month) of
+    // their LATEST event (reference bucket_agg.sql semantics).
+    QDef(
+      "q_bucket_agg",
+      """SELECT event_type, bucket, count(*) AS n FROM (
+        |  SELECT event_type, user_id, arg_max(CAST(day(ts) AS INT), ts) AS bucket
+        |  FROM events GROUP BY event_type, user_id) t
+        |GROUP BY event_type, bucket ORDER BY event_type, bucket""".stripMargin) {
+      (s, dir) =>
+        GraftFunctions.register(s)
+        Tables.events(s, dir).createOrReplaceTempView("ev_ba")
+        s.sql("""SELECT event_type,
+                |       explode(bucket_cardinalities(
+                |         bucket_agg(user_id, day(ts), ts))) AS (bucket, n)
+                |FROM ev_ba GROUP BY event_type""".stripMargin)
+          .orderBy("event_type", "bucket")
+    },
+
     // HLL on the full user domain — the explicit small-range encoding keeps
     // this exact up to m/8 = 2048 distinct (covers every testdata SF).
     QDef(

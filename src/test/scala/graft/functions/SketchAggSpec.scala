@@ -186,4 +186,45 @@ class SketchAggSpec extends AnyFunSuite {
       assert(math.abs(got.getDouble(9) - exp.getDouble(8)) < 1e-9, "percentile_cont")
     }
   }
+
+  test("bucket_agg assigns distinct values to latest-timestamp bucket") {
+    val rows = Seq(
+      ("a", "u1", 1, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      ("a", "u1", 2, java.sql.Timestamp.valueOf("2024-01-02 00:00:00")), // u1 → bucket 2 (later)
+      ("a", "u2", 1, java.sql.Timestamp.valueOf("2024-01-03 00:00:00")),
+      ("a", "u3", 3, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      ("b", "u1", 7, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+    ).toDF("g", "u", "bkt", "ts")
+    rows.createOrReplaceTempView("ba_t")
+    val got = spark.sql(
+      """SELECT g, bucket_cardinalities(bucket_agg(u, bkt, ts)) AS cards,
+        |       bucket_ids(bucket_agg(u, bkt, ts)) AS ids
+        |FROM ba_t GROUP BY g ORDER BY g""".stripMargin).collect()
+    val a = got(0)
+    assert(a.getMap[Int, Long](1).toMap == Map(1 -> 1L, 2 -> 1L, 3 -> 1L)) // u2→1, u1→2, u3→3
+    assert(a.getSeq[Int](2) == Seq(1, 2, 3))
+    val b = got(1)
+    assert(b.getMap[Int, Long](1).toMap == Map(7 -> 1L))
+    // partition invariance
+    val p1 = rows.repartition(1).groupBy("g")
+      .agg(expr("bucket_cardinalities(bucket_agg(u, bkt, ts))")).collect().map(_.toSeq).toSet
+    val p7 = rows.repartition(7).groupBy("g")
+      .agg(expr("bucket_cardinalities(bucket_agg(u, bkt, ts))")).collect().map(_.toSeq).toSet
+    assert(p1 == p7)
+  }
+
+  test("json_object_int_sum / json_agg / json_object_agg") {
+    val rows = Seq(("a", """{"x": 3, "y": 1}"""), ("a", """{"x": 2}"""), ("b", """{"z": 5}"""))
+      .toDF("g", "j")
+    rows.createOrReplaceTempView("js_t")
+    val got = spark.sql(
+      """SELECT g, json_object_int_sum(j) AS sums FROM js_t GROUP BY g ORDER BY g""").collect()
+    assert(got(0).getMap[String, Long](1).toMap == Map("x" -> 5L, "y" -> 1L))
+    assert(got(1).getMap[String, Long](1).toMap == Map("z" -> 5L))
+    val ja = spark.sql("SELECT json_agg(g) AS arr FROM js_t").collect()(0).getString(0)
+    assert(ja == """["a","a","b"]""")
+    val jo = spark.sql(
+      "SELECT json_object_agg(g, j) AS o FROM js_t WHERE g = 'b'").collect()(0).getString(0)
+    assert(jo.contains("\"b\"") && jo.contains("5"))
+  }
 }

@@ -130,4 +130,20 @@ class OpsSpec extends AnyFunSuite {
       .where(col("n") =!= ceil(col("n_frames").cast("double") / 10.0).cast("long"))
     assert(chk.count() == 0)
   }
+
+  test("embedding-cosine near-dup finds seeded duplicate vectors") {
+    val rng = new scala.util.Random(3)
+    val base = (0 until 300).map(i => (i.toLong, Array.fill(32)(rng.nextGaussian().toFloat)))
+    // near-dups: tiny perturbation of every 5th vector
+    val dups = base.filter(_._1 % 5 == 0).map { case (id, v) =>
+      (id + 10000L, v.map(x => x + 0.01f * rng.nextGaussian().toFloat))
+    }
+    val emb = (base ++ dups).toDF("vec_id", "embedding")
+    val got = AnnSearch.cosineNearDuplicates(emb, dim = 32, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = base.filter(_._1 % 5 == 0).map(b => (b._1, b._1 + 10000L)).toSet
+    // every seeded pair found (random pairs have cosine ~0, never ≥0.99)
+    assert(expected.subsetOf(got), s"missing ${(expected -- got).size} of ${expected.size}")
+    assert(got.forall { case (a, b) => b == a + 10000L })
+  }
 }
