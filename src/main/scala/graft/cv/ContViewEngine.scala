@@ -50,6 +50,69 @@ final class ContViewEngine(val spark: SparkSession, val root: String) {
   private val transforms = mutable.LinkedHashMap.empty[String, CtHandle]
 
   graft.functions.GraftFunctions.register(spark)
+  loadCatalog()
+
+  // ---- catalog persistence (reference pipelinedb.cont_query +
+  // pipelinedb.stream catalogs, pipeline_query.h:23-67) ----
+
+  private case class CatalogEntry(
+      kind: String, name: String, payload: String, // stream: schema DDL; cv/ct: SELECT sql
+      sw: String, swColumn: String, stepFactor: Double,
+      ttl: String, ttlColumn: String, sink: String, changes: Boolean)
+
+  private def catalogPath = Paths.get(root, "_catalog.jsonl")
+  private var loading = false
+
+  private def q(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  private def appendCatalog(e: CatalogEntry): Unit = if (!loading) {
+    Files.createDirectories(Paths.get(root))
+    val line = s"""{"kind":${q(e.kind)},"name":${q(e.name)},"payload":${q(e.payload)},""" +
+      s""""sw":${q(e.sw)},"swColumn":${q(e.swColumn)},"stepFactor":${e.stepFactor},""" +
+      s""""ttl":${q(e.ttl)},"ttlColumn":${q(e.ttlColumn)},"sink":${q(e.sink)},"changes":${e.changes}}"""
+    Files.writeString(catalogPath, line + "\n",
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+  }
+
+  /** Rebuild streams/CVs/CTs from the persisted catalog — definitions (and
+    * their state tables, which live under the same root) survive restarts.
+    */
+  private def loadCatalog(): Unit = {
+    if (!Files.exists(catalogPath)) return
+    loading = true
+    try {
+      val fieldRe = """"(\w+)":(?:"((?:[^"\\]|\\.)*)"|([0-9.]+|true|false))""".r
+      Files.readAllLines(catalogPath).forEach { line =>
+        val fields = fieldRe.findAllMatchIn(line).map { m =>
+          val raw = Option(m.group(2)).getOrElse(m.group(3))
+          m.group(1) -> raw.replace("\\\"", "\"").replace("\\\\", "\\").replace("\\n", "\n")
+        }.toMap
+        fields("kind") match {
+          case "stream" =>
+            createStream(fields("name"), StructType.fromDDL(fields("payload")))
+          case "view" =>
+            val opts = CvOptions(
+              sw = Option(fields("sw")).filter(_.nonEmpty),
+              swColumn = fields("swColumn"),
+              stepFactor = fields("stepFactor").toDouble,
+              ttl = Option(fields("ttl")).filter(_.nonEmpty),
+              ttlColumn = Option(fields("ttlColumn")).filter(_.nonEmpty))
+            createContView(fields("name"), fields("payload"), opts,
+              emitChanges = fields("changes").toBoolean)
+          case "transform" =>
+            createContTransform(fields("name"), fields("payload"),
+              sinkStream = Option(fields("sink")).filter(_.nonEmpty))
+          case _ => ()
+        }
+      }
+    } finally loading = false
+  }
 
   /** CREATE FOREIGN TABLE s (...) SERVER pipelinedb analogue: registers the
     * stream schema as an empty relation so CV SQL analyzes against it.
@@ -69,6 +132,7 @@ final class ContViewEngine(val spark: SparkSession, val root: String) {
       .head.output.map(_.exprId)
     streams(name) = StreamDef(name, withArrival, leafIds)
     readers.getOrElseUpdate(name, mutable.Buffer.empty)
+    appendCatalog(CatalogEntry("stream", name, withArrival.toDDL, "", "", 0, "", "", "", changes = false))
   }
 
   /** CREATE VIEW name WITH (action=materialize, ...) AS selectSql. */
@@ -84,6 +148,9 @@ final class ContViewEngine(val spark: SparkSession, val root: String) {
     val handle = CvHandle(plan, store, streamName, changes = emitChanges)
     views(name) = handle
     readers.getOrElseUpdate(streamName, mutable.Buffer.empty) += name
+    appendCatalog(CatalogEntry("view", name, selectSql,
+      options.sw.getOrElse(""), options.swColumn, options.stepFactor,
+      options.ttl.getOrElse(""), options.ttlColumn.getOrElse(""), "", changes = emitChanges))
     handle
   }
 
@@ -105,6 +172,8 @@ final class ContViewEngine(val spark: SparkSession, val root: String) {
     val handle = CtHandle(plan, streamName, sinkStream, outputFunc)
     transforms(name) = handle
     readers.getOrElseUpdate(streamName, mutable.Buffer.empty) += name
+    appendCatalog(CatalogEntry("transform", name, selectSql, "", "", 0, "", "",
+      sinkStream.getOrElse(""), changes = false))
     handle
   }
 

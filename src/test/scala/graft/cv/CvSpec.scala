@@ -319,4 +319,30 @@ class CvSpec extends AnyFunSuite {
       case (x, y) => assert(x == y, s"$k: $x vs $y")
     }
   }
+
+  test("catalog persistence: definitions and state survive an engine restart") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cat").toString
+    val eng1 = new ContViewEngine(spark, root)
+    eng1.createStream("cat_s", streamSchema)
+    eng1.createContView("v_cat", "SELECT key, count(*) AS n, avg(v) AS av FROM cat_s GROUP BY key")
+    eng1.createContView("v_cat_sw", "SELECT key, count(*) AS n FROM cat_s GROUP BY key",
+      CvPlanner.CvOptions(sw = Some("1000 seconds"), swColumn = "ts"))
+    val (first, second) = allRows.splitAt(1500)
+    eng1.insertInto("cat_s", mkBatch(first))
+
+    // a brand-new engine over the same root must see the defs AND the state
+    val eng2 = new ContViewEngine(spark, root)
+    eng2.insertInto("cat_s", mkBatch(second))
+    val got = asMap(eng2.overlay("v_cat"))
+    val expect = asMap(mkBatch(allRows).groupBy("key")
+      .agg(count(lit(1)).as("n"), avg("v").as("av")))
+    assert(got.keySet == expect.keySet)
+    for (k <- got.keySet) {
+      assert(got(k).head == expect(k).head)
+      assert(math.abs(got(k)(1).asInstanceOf[Double] - expect(k)(1).asInstanceOf[Double]) < 1e-9)
+    }
+    // SW options survived too (overlay at a pinned now still filters buckets)
+    assert(eng2.overlay("v_cat_sw", Some(tAt(99999))).count() == 0)
+    assert(eng2.overlay("v_cat_sw", Some(tAt(3000))).count() > 0)
+  }
 }
