@@ -267,7 +267,27 @@ final class ContViewEngine(val spark: SparkSession, val root: String) {
     val t0 = System.nanoTime()
     var groups = 0L
     var failed = false
-    val partials = h.plan.workerPartials(spark, batch)
+    val raw = h.plan.workerPartials(spark, batch)
+    // LIMIT n on a CV caps total materialized groups (cont_limit.sql):
+    // updates to existing groups always apply; NEW groups only admit while
+    // the cap has room, chosen deterministically by key order.
+    val partials = h.plan.limit match {
+      case None => raw
+      case Some(n) =>
+        val keys = h.plan.stateKeys
+        h.store.read() match {
+          case None => raw.orderBy(keys.map(col): _*).limit(n)
+          case Some(existing) =>
+            val existingKeys = existing.select(keys.map(col): _*).persist()
+            val current = existingKeys.count()
+            val updatesToExisting = raw.join(existingKeys, keys, "left_semi")
+            val newAdmitted = raw.join(existingKeys, keys, "left_anti")
+              .orderBy(keys.map(col): _*)
+              .limit(math.max(0, n - current.toInt))
+            existingKeys.unpersist()
+            updatesToExisting.unionByName(newAdmitted)
+        }
+    }
     // partial-agg result is reused by the merge and the changes emit
     val cached = partials.persist()
     try {
@@ -324,6 +344,13 @@ final class ContViewEngine(val spark: SparkSession, val root: String) {
         combineState(h, live, h.plan.keyNames)
     }
   }
+
+  /** Register the overlay as a session temp view so the CV is queryable by
+    * name in SQL — `SELECT * FROM <cv>` like the reference's overlay view.
+    * Re-resolves state at each call; call again after ingests for snapshots.
+    */
+  def registerOverlay(name: String, now: Option[java.sql.Timestamp] = None): Unit =
+    overlay(name, now).createOrReplaceTempView(name)
 
   /** User-facing combine(): re-aggregate stored states at a coarser key
     * (reference RewriteCombineAggs, analyzer.c:4446-4615).

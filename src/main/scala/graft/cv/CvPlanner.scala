@@ -44,7 +44,8 @@ object CvPlanner {
       keyExprs: Seq[Column],
       aggs: Seq[PlannedAgg],
       sw: Option[SwSpec],
-      options: CvOptions) {
+      options: CvOptions,
+      limit: Option[Int] = None) {
 
     /** All state-table key columns (user keys + SW bucket). */
     def stateKeys: Seq[String] = keyNames ++ sw.map(_.bucketCol).toSeq
@@ -162,7 +163,7 @@ object CvPlanner {
     val analyzed = GraftBridge.analyzed(spark.sql(selectSql))
     validate(analyzed)
 
-    val (agg, above) = findAggregate(analyzed)
+    val (agg, limitOpt) = findAggregate(analyzed)
 
     // the stream leaf: the LocalRelation whose attribute ids match a
     // registered stream view (other LocalRelations are static in-memory dims)
@@ -219,7 +220,7 @@ object CvPlanner {
       SwSpec(winSec, stepSec, options.swColumn)
     }
 
-    CvPlan(name, agg.child, streamLeaf, keyNames, keyExprs, planned, sw, options)
+    CvPlan(name, agg.child, streamLeaf, keyNames, keyExprs, planned, sw, options, limitOpt)
   }
 
   /** The restriction wall (analyzer.c:1183-1344). */
@@ -237,18 +238,22 @@ object CvPlanner {
     }
   }
 
-  private def findAggregate(plan: LogicalPlan): (Aggregate, Seq[LogicalPlan]) = {
-    plan match {
-      case a: Aggregate => (a, Nil)
-      case p: Project => p.child match {
-        case a: Aggregate => (a, Seq(p))
-        case _ => throw new IllegalArgumentException(
-          "continuous views must be a single-level aggregate over a stream")
-      }
+  /** Unwrap Project/LIMIT layers above the Aggregate. LIMIT n acts as a cap
+    * on total rows materialized (cont_limit.sql:1-16 — hoisted into the
+    * worker in the reference).
+    */
+  private def findAggregate(plan: LogicalPlan): (Aggregate, Option[Int]) = {
+    def loop(p: LogicalPlan, limit: Option[Int]): (Aggregate, Option[Int]) = p match {
+      case a: Aggregate => (a, limit)
+      case GlobalLimit(lim, child) =>
+        loop(child, Some(lim.eval(null).toString.toInt))
+      case LocalLimit(_, child) => loop(child, limit)
+      case pr: Project => loop(pr.child, limit)
       case other => throw new IllegalArgumentException(
         s"continuous views must aggregate; got ${other.nodeName} " +
           "(use a continuous transform for stateless queries)")
     }
+    loop(plan, None)
   }
 
   /** Map a Catalyst AggregateExpression onto our 3-way split — the

@@ -345,4 +345,31 @@ class CvSpec extends AnyFunSuite {
     assert(eng2.overlay("v_cat_sw", Some(tAt(99999))).count() == 0)
     assert(eng2.overlay("v_cat_sw", Some(tAt(3000))).count() > 0)
   }
+
+  test("LIMIT caps total materialized groups; updates to admitted groups continue (cont_limit.sql)") {
+    val eng = newEngine()
+    eng.createStream("lim_s", streamSchema)
+    eng.createContView("v_lim",
+      "SELECT key, count(*) AS n FROM lim_s GROUP BY key LIMIT 3")
+    allRows.grouped(1000).foreach(c => eng.insertInto("lim_s", mkBatch(c)))
+    val got = asMap(eng.overlay("v_lim"))
+    assert(got.size == 3)
+    // admitted groups are the 3 smallest keys (deterministic admission) and
+    // keep accumulating across batches
+    val admitted = allRows.map(_._1).distinct.sorted.take(3).toSet
+    assert(got.keySet == admitted)
+    val expect = asMap(mkBatch(allRows).where($"key".isin(admitted.toSeq: _*))
+      .groupBy("key").agg(count(lit(1)).as("n")))
+    assert(got == expect)
+  }
+
+  test("registerOverlay makes the CV queryable by name in SQL") {
+    val eng = newEngine()
+    eng.createStream("ro_s", streamSchema)
+    eng.createContView("v_ro", "SELECT key, count(*) AS n FROM ro_s GROUP BY key")
+    eng.insertInto("ro_s", mkBatch(allRows))
+    eng.registerOverlay("v_ro")
+    val total = spark.sql("SELECT sum(n) AS t FROM v_ro").collect()(0).getLong(0)
+    assert(total == allRows.size)
+  }
 }
