@@ -372,4 +372,26 @@ class CvSpec extends AnyFunSuite {
     val total = spark.sql("SELECT sum(n) AS t FROM v_ro").collect()(0).getLong(0)
     assert(total == allRows.size)
   }
+
+  test("activate/deactivate gates ingestion; truncate clears state (cont_activate.sql)") {
+    val eng = newEngine()
+    eng.createStream("act_s", streamSchema)
+    eng.createContView("v_act", "SELECT key, count(*) AS n FROM act_s GROUP BY key")
+    val chunks = allRows.grouped(1000).toSeq
+    eng.insertInto("act_s", mkBatch(chunks(0)))
+    eng.deactivate("v_act")
+    eng.insertInto("act_s", mkBatch(chunks(1))) // dropped while inactive
+    eng.activate("v_act")
+    eng.insertInto("act_s", mkBatch(chunks(2)))
+    val got = asMap(eng.overlay("v_act"))
+    val expect = asMap(mkBatch(chunks(0) ++ chunks(2)).groupBy("key")
+      .agg(count(lit(1)).as("n")))
+    assert(got == expect) // middle batch never materialized
+    // truncate drops all state; the view reads empty, then re-accumulates
+    eng.truncateContView("v_act")
+    assert(eng.overlay("v_act").count() == 0)
+    eng.insertInto("act_s", mkBatch(chunks(0)))
+    assert(asMap(eng.overlay("v_act")) ==
+      asMap(mkBatch(chunks(0)).groupBy("key").agg(count(lit(1)).as("n"))))
+  }
 }
