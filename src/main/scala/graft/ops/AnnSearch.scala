@@ -91,6 +91,78 @@ object AnnSearch {
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
   }
 
+  /** ivf_assign(vec) → array<int>: ids of the nprobe nearest coarse
+    * centroids by cosine, single pass (same codegen-free-expression
+    * rationale as LshBuckets).
+    */
+  case class IvfAssign(child: org.apache.spark.sql.catalyst.expressions.Expression,
+      centroids: Array[Array[Double]], nprobe: Int)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    import org.apache.spark.sql.types._
+    override def prettyName: String = "ivf_assign"
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullSafeEval(v: Any): Any = {
+      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray()
+      var vn = 0.0
+      var i = 0
+      while (i < arr.length) { vn += arr(i) * arr(i); i += 1 }
+      vn = math.sqrt(vn)
+      val sims = centroids.zipWithIndex.map { case (cvec, ci) =>
+        var dot = 0.0; var cn = 0.0
+        var j = 0
+        val n = math.min(arr.length, cvec.length)
+        while (j < n) { dot += arr(j) * cvec(j); cn += cvec(j) * cvec(j); j += 1 }
+        (dot / (vn * math.sqrt(cn) + 1e-12), ci)
+      }
+      val top = sims.sortBy { case (s, ci) => (-s, ci) }.take(nprobe).map(_._2)
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(top.toArray[Any])
+    }
+    override protected def withNewChildInternal(
+        c: org.apache.spark.sql.catalyst.expressions.Expression): IvfAssign = copy(child = c)
+  }
+
+  /** IVF-flat top-k: a coarse quantizer partitions the corpus into inverted
+    * lists (each vector in its single nearest-centroid list); probes search
+    * only their nprobe nearest lists. Here the quantizer is deterministic —
+    * the first nCentroids corpus vectors — standing in for a k-means fit;
+    * at scale the lists become the partitioning key, so a probe touches
+    * nprobe/nCentroids of the data. Recall tracks that scanned fraction on
+    * unclustered vectors and far exceeds it on clustered ones.
+    */
+  def ivfKnn(emb: DataFrame, dim: Int, nProbes: Int, k: Int,
+      nCentroids: Int = 16, nprobe: Int = 6): DataFrame = {
+    val corpus = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val centroids: Array[Array[Double]] = corpus
+      .where(col("vec_id") < nCentroids).orderBy("vec_id")
+      .collect().map(_.getSeq[Double](1).toArray)
+
+    def assign(df: DataFrame, idName: String, vName: String, np: Int): DataFrame =
+      df.select(col(idName), col(vName),
+          explode(org.apache.spark.sql.GraftBridge.column(
+            IvfAssign(org.apache.spark.sql.GraftBridge.expression(col(vName)), centroids, np)))
+            .as("cluster"))
+
+    val lists = assign(corpus, "vec_id", "v", 1) // corpus: single list each
+    val probes = assign(
+      corpus.where(col("vec_id") < nProbes)
+        .select(col("vec_id").as("probe_id"), col("v").as("pv")),
+      "probe_id", "pv", nprobe)
+
+    val cands = probes.join(lists,
+        probes("cluster") === lists("cluster") && col("probe_id") =!= col("vec_id"))
+      .select(col("probe_id"), col("pv"), col("vec_id").as("neighbor_id"), col("v"))
+    val scored = cands.select(col("probe_id"), col("neighbor_id"),
+      cosine(col("pv"), col("v")).as("raw_sim"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(round(col("raw_sim"), 6).desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("probe_id"), col("neighbor_id"), round(col("raw_sim"), 4).as("sim"),
+        col("rk").cast("long").as("rk"))
+      .orderBy("probe_id", "rk")
+  }
+
   /** LSH top-k: for each probe (vec_id < nProbes), k nearest by cosine among
     * LSH candidates.
     */

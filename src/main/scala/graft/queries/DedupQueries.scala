@@ -135,6 +135,12 @@ object DedupQueries {
         numTables = 16, bitsPerTable = 4)
     },
 
+    // IVF-flat ANN — second scale path (inverted lists); rows-only like LSH.
+    QDef.noOracle("q_ann_ivf") { (s, dir) =>
+      AnnSearch.ivfKnn(Tables.embeddings(s, dir), dim = 64, nProbes = 10, k = 3,
+        nCentroids = 16, nprobe = 6)
+    },
+
     // Language ID heuristic — profile internals not oracle-expressible.
     QDef.noOracle("q_langid") { (s, dir) =>
       Tables.documents(s, dir).where(col("doc_id") < 100)

@@ -146,4 +146,45 @@ class OpsSpec extends AnyFunSuite {
     assert(expected.subsetOf(got), s"missing ${(expected -- got).size} of ${expected.size}")
     assert(got.forall { case (a, b) => b == a + 10000L })
   }
+
+  test("ivf ann: recall tracks scanned fraction on unclustered data; exact on clustered") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val exact = graft.queries.SimilarityQueries.bruteForceKnn(
+        spark, "/root/testdata/sf0.001", nProbes = 20, k = 5)
+      .select("probe_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // near-random vectors: nprobe/nCentroids = 8/16 scans ~half the corpus
+    val approx = AnnSearch.ivfKnn(emb, dim = 64, nProbes = 20, k = 5,
+        nCentroids = 16, nprobe = 8)
+      .select("probe_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.35, s"IVF recall too low: $recall")
+
+    // clustered data: points tight around their centroid -> near-perfect recall
+    val rng = new scala.util.Random(13)
+    val centers = Array.fill(8)(Array.fill(16)(rng.nextGaussian() * 5))
+    val pts = (0 until 400).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(x => (x + 0.1 * rng.nextGaussian()).toFloat))
+    }.toDF("vec_id", "embedding")
+    val exactC = {
+      import org.apache.spark.sql.expressions.Window
+      val e = pts.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val p = e.where(col("vec_id") < 10).select(col("vec_id").as("probe_id"), col("v").as("pv"))
+      val j = e.join(broadcast(p), col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+          graft.queries.SimilarityQueries.cosine(col("pv"), col("v")).as("s"))
+      val w = Window.partitionBy("probe_id").orderBy(col("s").desc, col("neighbor_id"))
+      j.withColumn("rk", row_number().over(w)).where(col("rk") <= 5)
+        .select("probe_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val approxC = AnnSearch.ivfKnn(pts, dim = 16, nProbes = 10, k = 5,
+        nCentroids = 8, nprobe = 2)
+      .select("probe_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recallC = (exactC & approxC).size.toDouble / exactC.size
+    assert(recallC >= 0.9, s"IVF recall on clustered data too low: $recallC")
+  }
 }
