@@ -233,7 +233,7 @@ final class ContViewEngine(val spark: SparkSession, val root: String) {
     */
   def combineTable(name: String, partials: DataFrame): Unit = {
     val h = views(name)
-    val expected = (h.plan.stateKeys ++ h.plan.aggs.map(_.stateName)).toSet
+    val expected = (h.plan.stateKeys ++ h.plan.stateNames).toSet
     require(expected.subsetOf(partials.columns.toSet),
       s"combine_table input must carry columns ${expected.mkString(", ")}")
     h.store.upsert(partials.select(expected.toSeq.map(col): _*), h.plan.reAggs,
@@ -318,7 +318,10 @@ final class ContViewEngine(val spark: SparkSession, val root: String) {
       .select(col("*"), struct(h.plan.aggs.map(a => col(a.name)): _*).as("old"))
       .select((keys.map(col) :+ col("old")): _*)
     val deltaF = delta.select(col("*"),
-        struct(h.plan.aggs.map(a => col(a.stateName).as(a.name)): _*).as("delta"))
+        struct(h.plan.aggs.flatMap(a => a.states match {
+          case Seq((only, _)) => Seq(col(only).as(a.name))
+          case many => many.map { case (n, _) => col(n).as(n.stripPrefix("__state_")) }
+        }): _*).as("delta"))
       .select((keys.map(col) :+ col("delta")): _*)
     val changes = newF
       .join(oldF, keys, "left_outer")
@@ -362,7 +365,7 @@ final class ContViewEngine(val spark: SparkSession, val root: String) {
   }
 
   private def combineState(h: CvHandle, state: DataFrame, keys: Seq[String]): DataFrame = {
-    val merged = h.plan.aggs.map(a => a.split.reAgg(col(a.stateName)).as(a.stateName))
+    val merged = h.plan.reAggs.map { case (n, re) => re(col(n)).as(n) }
     val grouped =
       if (keys.isEmpty) state.agg(merged.head, merged.tail: _*)
       else state.groupBy(keys.map(col): _*).agg(merged.head, merged.tail: _*)

@@ -5,6 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Expression, 
 import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.functions.{col, lit}
+import scala.collection.mutable
 
 /** The continuous-view planner — the Spark analogue of the reference's
   * `TransformSelectStmtForContProcess` (/root/reference/src/analyzer.c:
@@ -32,8 +33,19 @@ object CvPlanner {
     val bucketCol = "__sw_bucket"
   }
 
-  final case class PlannedAgg(name: String, split: AggSplit) {
-    val stateName: String = s"__state_$name"
+  /** One output column of a CV: possibly several state columns (a scalar
+    * expression over multiple aggregates decomposes into one state per
+    * contained aggregate) plus a finalizer rebuilding the output from the
+    * finalized sub-aggregates.
+    */
+  final case class PlannedAgg(
+      name: String,
+      states: Seq[(String, AggSplit)],
+      buildFinal: Seq[Column] => Column)
+
+  object PlannedAgg {
+    def simple(name: String, split: AggSplit): PlannedAgg =
+      PlannedAgg(name, Seq(s"__state_$name" -> split), cols => split.finalizer(cols.head))
   }
 
   final case class CvPlan(
@@ -51,7 +63,7 @@ object CvPlanner {
     def stateKeys: Seq[String] = keyNames ++ sw.map(_.bucketCol).toSeq
 
     def reAggs: Seq[(String, Column => Column)] =
-      aggs.map(a => a.stateName -> a.split.reAgg)
+      aggs.flatMap(a => a.states.map { case (n, sp) => n -> sp.reAgg })
 
     /** Bind the worker plan to a concrete micro-batch DataFrame. */
     def bindBatch(spark: SparkSession, batch: DataFrame): DataFrame =
@@ -66,13 +78,16 @@ object CvPlanner {
       sw.foreach { s =>
         df = df.withColumn(s.bucketCol, dateRound(col(s.tsColumn), s.stepSeconds))
       }
-      val stateCols = aggs.map(a => a.split.partial.as(a.stateName))
+      val stateCols = aggs.flatMap(a => a.states.map { case (n, sp) => sp.partial.as(n) })
       df.groupBy(stateKeys.map(col): _*).agg(stateCols.head, stateCols.tail: _*)
     }
 
     /** Finalize columns over a state DataFrame. */
     def finalizeCols: Seq[Column] =
-      aggs.map(a => a.split.finalizer(col(a.stateName)).as(a.name))
+      aggs.map(a => a.buildFinal(a.states.map(st => col(st._1))).as(a.name))
+
+    /** All state column names (the matrel schema minus keys). */
+    def stateNames: Seq[String] = aggs.flatMap(_.states.map(_._1))
   }
 
   /** Substitute the stream's empty LocalRelation leaf with the micro-batch
@@ -200,14 +215,42 @@ object CvPlanner {
       case a: Attribute => GraftBridge.column(a)
     }
 
-    // aggregates: everything else must be Alias(AggregateExpression)
+    // aggregates: remaining select items — either a plain aggregate or a
+    // scalar expression over aggregates (sum(x)/count(*), count(*)+1,
+    // combinable_rank(...)): each contained aggregate becomes a state
+    // column and the scalar shell is rebuilt over the finalized values.
     val planned = agg.aggregateExpressions.filterNot(keyOutputs.contains).map {
       case a: Alias =>
-        val aggExprs = a.child.collect { case ae: AggregateExpression => ae }
-        require(aggExprs.length == 1 && a.child.isInstanceOf[AggregateExpression],
-          s"continuous views require plain aggregate columns; got: ${a.sql}. " +
-            "Wrap scalar post-processing in the overlay query instead.")
-        PlannedAgg(a.name, splitOf(aggExprs.head))
+        a.child match {
+          case ae: AggregateExpression => PlannedAgg.simple(a.name, splitOf(ae))
+          case composite =>
+            val aggExprs = {
+              // distinct by canonical form, keeping first occurrence order
+              val seen = mutable.LinkedHashMap.empty[Expression, AggregateExpression]
+              composite.foreach {
+                case ae: AggregateExpression =>
+                  seen.getOrElseUpdate(ae.canonicalized, ae); ()
+                case _ => ()
+              }
+              seen.values.toSeq
+            }
+            require(aggExprs.nonEmpty,
+              s"unsupported select item in continuous view: ${a.sql} " +
+                "(neither a group key nor an aggregate)")
+            val states = aggExprs.zipWithIndex.map { case (ae, i) =>
+              (s"__state_${a.name}_$i", splitOf(ae))
+            }
+            val byCanon = aggExprs.map(_.canonicalized).zipWithIndex.toMap
+            val buildFinal: Seq[Column] => Column = { stateCols =>
+              val finals = states.zip(stateCols).map { case ((_, sp), c) =>
+                GraftBridge.expression(sp.finalizer(c))
+              }
+              GraftBridge.column(composite.transformUp {
+                case ae: AggregateExpression => finals(byCanon(ae.canonicalized))
+              })
+            }
+            PlannedAgg(a.name, states, buildFinal)
+        }
       case other =>
         throw new IllegalArgumentException(
           s"unsupported select item in continuous view: ${other.sql}")

@@ -394,4 +394,32 @@ class CvSpec extends AnyFunSuite {
     assert(asMap(eng.overlay("v_act")) ==
       asMap(mkBatch(chunks(0)).groupBy("key").agg(count(lit(1)).as("n"))))
   }
+
+  test("scalar expressions over aggregates in CVs (ratio, count+1, hypothetical rank)") {
+    val eng = newEngine()
+    eng.createStream("sx_s", streamSchema)
+    eng.createContView("v_sx",
+      """SELECT key, sum(v) / count(*) AS mean_v, count(*) + 1 AS np1,
+        |       1 + count(CASE WHEN x < 50 THEN 1 END) AS hypo_rank,
+        |       round(avg(v) * 2, 6) AS twice_avg
+        |FROM sx_s GROUP BY key""".stripMargin)
+    allRows.grouped(1000).foreach(c => eng.insertInto("sx_s", mkBatch(c)))
+    val got = eng.overlay("v_sx").collect()
+      .map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    val expect = mkBatch(allRows).groupBy("key").agg(
+      (sum($"v") / count(lit(1))).as("mean_v"),
+      (count(lit(1)) + 1).as("np1"),
+      (lit(1) + count(when($"x" < 50, 1))).as("hypo_rank"),
+      round(avg($"v") * 2, 6).as("twice_avg"))
+      .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    assert(got.keySet == expect.keySet)
+    for (k <- got.keySet; (a, b) <- got(k).zip(expect(k))) (a, b) match {
+      case (x: Double, y: Double) => assert(math.abs(x - y) < 1e-9, s"$k: $x vs $y")
+      case (x, y) => assert(x == y, s"$k: $x vs $y")
+    }
+    // combine() to the global grain also works through rebuilt finalizers
+    val all = eng.combine("v_sx", Seq()).collect()(0)
+    val n = allRows.size
+    assert(all.getLong(1) == n + 1)
+  }
 }
