@@ -48,6 +48,11 @@ final class ContViewEngine(val spark: SparkSession, val root: String) {
   private val views = mutable.LinkedHashMap.empty[String, CvHandle]
   private val readers = mutable.LinkedHashMap.empty[String, mutable.Buffer[String]] // stream → CQs
   private val transforms = mutable.LinkedHashMap.empty[String, CtHandle]
+  // name → definition signature, for idempotent re-creates: replayed setup
+  // code (or a catalog replay followed by unconditional creates) must not
+  // register the same CQ twice — a duplicate readers entry would run
+  // ingestBatch twice concurrently against the SAME StateStore.
+  private val defSignatures = mutable.HashMap.empty[String, String]
 
   graft.functions.GraftFunctions.register(spark)
   loadCatalog()
@@ -135,23 +140,40 @@ final class ContViewEngine(val spark: SparkSession, val root: String) {
     appendCatalog(CatalogEntry("stream", name, withArrival.toDDL, "", "", 0, "", "", "", changes = false))
   }
 
-  /** CREATE VIEW name WITH (action=materialize, ...) AS selectSql. */
+  private def idempotent[H](name: String, signature: String)(create: => H): Option[H] =
+    defSignatures.get(name) match {
+      case Some(existing) =>
+        require(existing == signature,
+          s"continuous query '$name' already exists with a different definition")
+        None // no-op re-create: same name, same definition
+      case None =>
+        defSignatures(name) = signature
+        Some(create)
+    }
+
+  /** CREATE VIEW name WITH (action=materialize, ...) AS selectSql.
+    * Re-creating an existing view with the same definition is a no-op;
+    * with a different definition it errors.
+    */
   def createContView(name: String, selectSql: String,
       options: CvOptions = CvOptions(), emitChanges: Boolean = true): CvHandle = {
-    val plan = CvPlanner.plan(spark, name, selectSql, options,
-      streamLeafIds = streams.values.map(_.leafIds).toSeq)
-    val leafIds = plan.streamLeaf.output.map(_.exprId)
-    val streamName = streams.values.find(_.leafIds == leafIds)
-      .map(_.name).getOrElse(throw new IllegalStateException(
-        s"CV $name does not read a registered stream"))
-    val store = new StateStore(spark, s"$root/$name/state", plan.stateKeys)
-    val handle = CvHandle(plan, store, streamName, changes = emitChanges)
-    views(name) = handle
-    readers.getOrElseUpdate(streamName, mutable.Buffer.empty) += name
-    appendCatalog(CatalogEntry("view", name, selectSql,
-      options.sw.getOrElse(""), options.swColumn, options.stepFactor,
-      options.ttl.getOrElse(""), options.ttlColumn.getOrElse(""), "", changes = emitChanges))
-    handle
+    idempotent(name, s"view|$selectSql|$options|$emitChanges") {
+      val plan = CvPlanner.plan(spark, name, selectSql, options,
+        streamLeafIds = streams.values.map(_.leafIds).toSeq)
+      val leafIds = plan.streamLeaf.output.map(_.exprId)
+      val streamName = streams.values.find(_.leafIds == leafIds)
+        .map(_.name).getOrElse(throw new IllegalStateException(
+          s"CV $name does not read a registered stream"))
+      val store = new StateStore(spark, s"$root/$name/state", plan.stateKeys)
+      val handle = CvHandle(plan, store, streamName, changes = emitChanges)
+      views(name) = handle
+      val rs = readers.getOrElseUpdate(streamName, mutable.Buffer.empty)
+      if (!rs.contains(name)) rs += name
+      appendCatalog(CatalogEntry("view", name, selectSql,
+        options.sw.getOrElse(""), options.swColumn, options.stepFactor,
+        options.ttl.getOrElse(""), options.ttlColumn.getOrElse(""), "", changes = emitChanges))
+      handle
+    }.getOrElse(views(name))
   }
 
   /** CREATE VIEW t WITH (action=transform [, outputfunc=…]) AS selectSql —
@@ -162,19 +184,22 @@ final class ContViewEngine(val spark: SparkSession, val root: String) {
   def createContTransform(name: String, selectSql: String,
       sinkStream: Option[String] = None,
       outputFunc: Option[DataFrame => Unit] = None): CtHandle = {
-    val plan = CvPlanner.planTransform(spark, name, selectSql,
-      streamLeafIds = streams.values.map(_.leafIds).toSeq)
-    val leafIds = plan.streamLeaf.output.map(_.exprId)
-    val streamName = streams.values.find(_.leafIds == leafIds)
-      .map(_.name).getOrElse(throw new IllegalStateException(
-        s"CT $name does not read a registered stream"))
-    sinkStream.foreach(sk => require(streams.contains(sk), s"unknown sink stream $sk"))
-    val handle = CtHandle(plan, streamName, sinkStream, outputFunc)
-    transforms(name) = handle
-    readers.getOrElseUpdate(streamName, mutable.Buffer.empty) += name
-    appendCatalog(CatalogEntry("transform", name, selectSql, "", "", 0, "", "",
-      sinkStream.getOrElse(""), changes = false))
-    handle
+    idempotent(name, s"transform|$selectSql|$sinkStream") {
+      val plan = CvPlanner.planTransform(spark, name, selectSql,
+        streamLeafIds = streams.values.map(_.leafIds).toSeq)
+      val leafIds = plan.streamLeaf.output.map(_.exprId)
+      val streamName = streams.values.find(_.leafIds == leafIds)
+        .map(_.name).getOrElse(throw new IllegalStateException(
+          s"CT $name does not read a registered stream"))
+      sinkStream.foreach(sk => require(streams.contains(sk), s"unknown sink stream $sk"))
+      val handle = CtHandle(plan, streamName, sinkStream, outputFunc)
+      transforms(name) = handle
+      val rs = readers.getOrElseUpdate(streamName, mutable.Buffer.empty)
+      if (!rs.contains(name)) rs += name
+      appendCatalog(CatalogEntry("transform", name, selectSql, "", "", 0, "", "",
+        sinkStream.getOrElse(""), changes = false))
+      handle
+    }.getOrElse(transforms(name))
   }
 
   def activate(name: String): Unit = {
@@ -280,8 +305,12 @@ final class ContViewEngine(val spark: SparkSession, val root: String) {
           case Some(existing) =>
             val existingKeys = existing.select(keys.map(col): _*).persist()
             val current = existingKeys.count()
-            val updatesToExisting = raw.join(existingKeys, keys, "left_semi")
-            val newAdmitted = raw.join(existingKeys, keys, "left_anti")
+            // null-safe (<=>) equality: a NULL group key must still match its
+            // existing state row, else its updates land in the "new" branch
+            // and get dropped once the cap is full.
+            val cond = keys.map(k => raw(k) <=> existingKeys(k)).reduce(_ && _)
+            val updatesToExisting = raw.join(existingKeys, cond, "left_semi")
+            val newAdmitted = raw.join(existingKeys, cond, "left_anti")
               .orderBy(keys.map(col): _*)
               .limit(math.max(0, n - current.toInt))
             existingKeys.unpersist()
@@ -323,9 +352,15 @@ final class ContViewEngine(val spark: SparkSession, val root: String) {
           case many => many.map { case (n, _) => col(n).as(n.stripPrefix("__state_")) }
         }): _*).as("delta"))
       .select((keys.map(col) :+ col("delta")): _*)
-    val changes = newF
-      .join(oldF, keys, "left_outer")
-      .join(deltaF, keys, "left_outer")
+    // null-safe joins: a NULL group key's old/delta must line up with its
+    // new row, not dangle as an eternal "first-seen" group.
+    def nsJoin(l: DataFrame, r: DataFrame): DataFrame = {
+      val cond = keys.map(k => l(k) <=> r(k)).reduce(_ && _)
+      val payload = r.columns.filterNot(keys.contains).map(r(_))
+      l.join(r, cond, "left_outer")
+        .select(l.columns.map(l(_)) ++ payload: _*)
+    }
+    val changes = nsJoin(nsJoin(newF, oldF), deltaF)
       .withColumn("arrival_timestamp", current_timestamp())
     changes.write.mode("append").parquet(s"$root/${h.plan.name}/changes")
   }

@@ -92,6 +92,7 @@ final class StateStore(
       reAgg: Seq[(String, org.apache.spark.sql.Column => org.apache.spark.sql.Column)],
       needOldRows: Boolean = true)
       : (Option[DataFrame], DataFrame) = {
+    flushPendingGc() // previous version's consumers are done by now (see below)
     val up = updates.withColumn(BucketCol, bucketOf)
 
     // touched buckets: tiny collect (≤ numBuckets ints)
@@ -101,16 +102,19 @@ final class StateStore(
     val manifest = readManifest()
     val existingTouched = readBuckets(Some(touched))
 
+    // null-safe key match: NULL group keys still select their state row
+    def semiOnKeys(l: DataFrame): DataFrame = {
+      val r = up.select(keyCols.map(col): _*).distinct()
+      l.join(r, keyCols.map(k => l(k) <=> r(k)).reduce(_ && _), "left_semi")
+    }
+
     // Materialize the pre-image eagerly: the version files it reads may be
     // GC'd right after the new version commits, but the changes emitter
     // consumes these rows afterwards (reference does lookup+emit in one
     // transaction — combiner.c:1402-1638; localCheckpoint is our snapshot).
     val old =
       if (!needOldRows) None
-      else existingTouched.map { ex =>
-        ex.join(up.select(keyCols.map(col): _*).distinct(), keyCols, "left_semi")
-          .localCheckpoint()
-      }
+      else existingTouched.map(ex => semiOnKeys(ex).localCheckpoint())
 
     val merged = existingTouched match {
       case None => up
@@ -132,10 +136,13 @@ final class StateStore(
     val newBuckets = manifest.map(_.buckets).getOrElse(Map.empty) ++
       touched.map(b => b -> s"v$version/$BucketCol=$b").toMap
     writeManifest(Manifest(version, newBuckets))
-    gcOldVersions(keep = newBuckets.values.map(_.takeWhile(_ != '/')).toSet)
+    // Defer deleting superseded version dirs until the NEXT mutation: the
+    // returned newRows (and the caller's lazily-evaluated delta, which for
+    // LIMIT CVs joins against the pre-merge state) still reference this
+    // cycle's inputs; deleting now would FAILED_READ_FILE on cache eviction.
+    deferGcOldVersions(keep = newBuckets.values.map(_.takeWhile(_ != '/')).toSet)
 
-    val newRows = readBuckets(Some(touched)).get
-      .join(up.select(keyCols.map(col): _*).distinct(), keyCols, "left_semi")
+    val newRows = semiOnKeys(readBuckets(Some(touched)).get)
     (old, newRows)
   }
 
@@ -143,6 +150,7 @@ final class StateStore(
     * Rewrites only buckets that still hold matching rows.
     */
   def deleteWhere(predicate: org.apache.spark.sql.Column): Unit = {
+    flushPendingGc()
     readManifest().foreach { m =>
       val cur = readBuckets(None).getOrElse(return)
       val affected = cur.where(predicate).withColumn(BucketCol, bucketOf)
@@ -160,7 +168,7 @@ final class StateStore(
       val newBuckets = (m.buckets -- affected) ++
         writtenBuckets.map(b => b -> s"v$version/$BucketCol=$b").toMap
       writeManifest(Manifest(version, newBuckets))
-      gcOldVersions(keep = newBuckets.values.map(_.takeWhile(_ != '/')).toSet)
+      deferGcOldVersions(keep = newBuckets.values.map(_.takeWhile(_ != '/')).toSet)
     }
   }
 
@@ -171,16 +179,25 @@ final class StateStore(
     }
   }
 
-  /** Remove version dirs no longer referenced by any bucket. */
-  private def gcOldVersions(keep: Set[String]): Unit = {
+  /** Version dirs superseded by the last commit, deleted at the next
+    * mutation — by which point the previous cycle's readers have drained.
+    */
+  private var pendingGc: Set[Path] = Set.empty
+
+  private def deferGcOldVersions(keep: Set[String]): Unit = {
     val rootPath = Paths.get(root)
     if (!Files.exists(rootPath)) return
-    Files.list(rootPath).iterator().asScala
+    pendingGc = Files.list(rootPath).iterator().asScala
       .filter(p => p.getFileName.toString.startsWith("v"))
       .filterNot(p => keep.contains(p.getFileName.toString))
-      .toSeq
-      .foreach { dir =>
+      .toSet
+  }
+
+  private def flushPendingGc(): Unit = {
+    pendingGc.foreach { dir =>
+      if (Files.exists(dir))
         Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-      }
+    }
+    pendingGc = Set.empty
   }
 }

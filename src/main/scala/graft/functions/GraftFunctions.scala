@@ -176,8 +176,11 @@ object GraftFunctions {
       def countAll: Expression = aggE(Count(Seq(Literal(1))))
 
       fn("combinable_rank") { case Seq(v, x) => Add(Literal(1L), countLt(v, x)) }
+      // (rank-1)/rowcount = countLt/N — reference hllfuncs.c
+      // cq_hypothetical_percent_rank_final divides by the accumulated row
+      // count, NOT N+1 (cume_dist below is the one that uses N+1).
       fn("combinable_percent_rank") { case Seq(v, x) =>
-        Divide(Cast(countLt(v, x), DoubleType), Cast(Add(countAll, Literal(1L)), DoubleType))
+        Divide(Cast(countLt(v, x), DoubleType), Cast(countAll, DoubleType))
       }
       fn("combinable_cume_dist") { case Seq(v, x) =>
         Divide(Cast(Add(countLe(v, x), Literal(1L)), DoubleType),
@@ -203,11 +206,14 @@ object GraftFunctions {
         org.apache.spark.sql.catalyst.expressions.StructsToJson(
           Map.empty, new SortArray(aggE(CollectList(c))))
       }
+      // Duplicate keys keep the greatest value per key (sort + last-wins
+      // dedup) — deterministic under parallel merge, and dup-tolerant like
+      // the reference (which emits arrival-order duplicates in JSON text).
       fn("json_object_agg") { case Seq(k, v) =>
         org.apache.spark.sql.catalyst.expressions.StructsToJson(
           Map.empty,
           org.apache.spark.sql.catalyst.expressions.MapFromEntries(
-            aggE(CollectList(CreateStruct(Seq(k, v))))))
+            DedupEntriesByKey(new SortArray(aggE(CollectList(CreateStruct(Seq(k, v))))))))
       }
     }
   }

@@ -128,6 +128,37 @@ case class BucketIds(child: Expression)
   override protected def withNewChildInternal(c: Expression): BucketIds = copy(child = c)
 }
 
+/** Keeps the last entry per key in an array<struct<k,v>> (input should be
+  * sorted so "last" is deterministic — greatest value wins per key). Feeds
+  * MapFromEntries in json_object_agg: the reference json_object_agg accepts
+  * duplicate keys (json.c just concatenates), whereas Spark's default
+  * mapKeyDedupPolicy=EXCEPTION would make the query throw at runtime.
+  */
+case class DedupEntriesByKey(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "dedup_entries_by_key"
+  override def dataType: DataType = child.dataType
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val elemType = child.dataType.asInstanceOf[ArrayType].elementType.asInstanceOf[StructType]
+    val n = arr.numElements()
+    val lastIdx = new java.util.LinkedHashMap[Any, Int]()
+    var i = 0
+    while (i < n) {
+      val e = arr.getStruct(i, elemType.length)
+      val k = if (e == null || e.isNullAt(0)) null else e.get(0, elemType.fields(0).dataType)
+      lastIdx.put(k, i)
+      i += 1
+    }
+    val out = new Array[Any](lastIdx.size())
+    val it = lastIdx.values().iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = arr.getStruct(it.next(), elemType.length); j += 1 }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): DedupEntriesByKey = copy(child = c)
+}
+
 /** json_object_int_sum('{"k": n, …}') — sums integer values per key across
   * all input objects (reference json.c json_object_int_sum_transfn).
   * Output: map<string,bigint>.

@@ -166,12 +166,16 @@ object RelationalQueries {
     // --- first_values.sql: mergeable smallest-n list ---
     QDef(
       "q_first_values",
-      """SELECT event_type, (list_sort(list(event_id)))[1:5] AS first5
+      """SELECT event_type,
+        |       array_to_string((list_sort(list(event_id)))[1:5], ',') AS first5
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) {
       (s, dir) =>
+        // Output as a joined string: the gate's row-sort chokes on list cells.
         Tables.events(s, dir)
           .groupBy("event_type")
-          .agg(slice(sort_array(collect_list(col("event_id"))), 1, 5).as("first5"))
+          .agg(concat_ws(",",
+            slice(sort_array(collect_list(col("event_id"))), 1, 5).cast("array<string>"))
+            .as("first5"))
           .orderBy("event_type")
     },
 
@@ -194,7 +198,7 @@ object RelationalQueries {
     QDef(
       "q_json_int_sum",
       """SELECT event_type,
-        |       sum(CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT)) AS k_sum
+        |       CAST(sum(CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT)) AS BIGINT) AS k_sum
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) {
       (s, dir) =>
         Tables.events(s, dir)

@@ -134,7 +134,7 @@ object SketchQueries {
     QDef(
       "q_json_object_int_sum",
       """SELECT event_type,
-        |       sum(CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT)) AS k_sum
+        |       CAST(sum(CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT)) AS BIGINT) AS k_sum
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) {
       (s, dir) =>
         GraftFunctions.register(s)

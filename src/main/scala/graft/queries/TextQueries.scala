@@ -52,8 +52,8 @@ object TextQueries {
     QDef(
       "q_token_count",
       """SELECT source,
-        |       sum(length(list_filter(regexp_split_to_array(text, ' '), x -> x <> ''))) AS n_tokens,
-        |       sum(length(text)) AS n_chars_total
+        |       CAST(sum(length(list_filter(regexp_split_to_array(text, ' '), x -> x <> ''))) AS BIGINT) AS n_tokens,
+        |       CAST(sum(length(text)) AS BIGINT) AS n_chars_total
         |FROM documents GROUP BY source ORDER BY source""".stripMargin) {
       (s, dir) =>
         Tables.documents(s, dir)

@@ -61,6 +61,24 @@ class CvSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("re-creating a CV with the same definition is a no-op (no double ingest)") {
+    val eng = newEngine()
+    eng.createStream("s_idem", streamSchema)
+    val sql = "SELECT key, count(*) AS n FROM s_idem GROUP BY key"
+    eng.createContView("v_idem", sql)
+    // unconditional setup code after a restart replays the catalog and then
+    // creates again — must NOT register a second reader on the same store
+    eng.createContView("v_idem", sql)
+    eng.insertInto("s_idem", mkBatch(allRows.take(500)))
+    val got = asMap(eng.overlay("v_idem"))
+    val expect = asMap(mkBatch(allRows.take(500)).groupBy("key").agg(count(lit(1)).as("n")))
+    assert(got == expect)
+    // a conflicting definition under the same name must be rejected
+    intercept[IllegalArgumentException] {
+      eng.createContView("v_idem", "SELECT key, count(*) AS m FROM s_idem GROUP BY key")
+    }
+  }
+
   test("exact aggregate battery: incremental == single-shot (user_combine.sql)") {
     val eng = newEngine()
     eng.createStream("s2", streamSchema)

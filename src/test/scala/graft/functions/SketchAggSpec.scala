@@ -159,7 +159,8 @@ class SketchAggSpec extends AnyFunSuite {
         |       combinable_rank(50.0, value) AS crank,
         |       round(combinable_cume_dist(50.0, value), 6) AS ccume,
         |       combinable_dense_rank(50.0, value) AS cdrank,
-        |       round(combinable_percentile_cont(0.5, value), 6) AS cpc
+        |       round(combinable_percentile_cont(0.5, value), 6) AS cpc,
+        |       round(combinable_percent_rank(50.0, value), 6) AS cpr
         |FROM alias_t GROUP BY etype ORDER BY etype""".stripMargin).collect()
     val exact = events.groupBy("etype").agg(
       countDistinct($"user").as("ecd"),
@@ -170,7 +171,10 @@ class SketchAggSpec extends AnyFunSuite {
       round((count(when($"value" <= 50.0, 1)) + 1).cast("double") /
         (count(lit(1)) + 1).cast("double"), 6).as("ccume"),
       (lit(1L) + countDistinct(when($"value" < 50.0, $"value"))).as("cdrank"),
-      round(expr("percentile(value, 0.5)"), 6).as("cpc"))
+      round(expr("percentile(value, 0.5)"), 6).as("cpc"),
+      // (rank-1)/N = countLt/N (hllfuncs.c cq_hypothetical_percent_rank_final)
+      round(count(when($"value" < 50.0, 1)).cast("double") /
+        count(lit(1)).cast("double"), 6).as("cpr"))
       .orderBy("etype").collect()
     def num(r: org.apache.spark.sql.Row, i: Int): Long = r.getAs[Number](i).longValue
     r.zip(exact).foreach { case (got, exp) =>
@@ -184,7 +188,17 @@ class SketchAggSpec extends AnyFunSuite {
       // dense rank via HLL explicit mode is exact up to 2048 distinct below
       assert(math.abs(num(got, 8) - num(exp, 7)) <= num(exp, 7) / 50 + 2, "dense_rank")
       assert(math.abs(got.getDouble(9) - exp.getDouble(8)) < 1e-9, "percentile_cont")
+      assert(math.abs(got.getDouble(10) - exp.getDouble(9)) < 1e-9, "percent_rank")
     }
+  }
+
+  test("json_object_agg tolerates duplicate keys (greatest value wins)") {
+    Seq(("a", "k1", 1L), ("a", "k1", 5L), ("a", "k2", 2L), ("b", "k3", 7L))
+      .toDF("g", "k", "v").createOrReplaceTempView("joa_t")
+    val got = spark.sql(
+      "SELECT g, json_object_agg(k, v) AS j FROM joa_t GROUP BY g ORDER BY g").collect()
+    assert(got(0).getString(1) == """{"k1":5,"k2":2}""")
+    assert(got(1).getString(1) == """{"k3":7}""")
   }
 
   test("bucket_agg assigns distinct values to latest-timestamp bucket") {
