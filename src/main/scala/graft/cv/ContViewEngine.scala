@@ -42,7 +42,8 @@ final class ContViewEngine(val spark: SparkSession, val root: String) {
       streamName: String,
       sinkStream: Option[String],
       outputFunc: Option[DataFrame => Unit],
-      active: Boolean = true)
+      active: Boolean = true,
+      changes: Boolean = true)
 
   private val streams = mutable.LinkedHashMap.empty[String, StreamDef]
   private val views = mutable.LinkedHashMap.empty[String, CvHandle]
@@ -112,7 +113,8 @@ final class ContViewEngine(val spark: SparkSession, val root: String) {
               emitChanges = fields("changes").toBoolean)
           case "transform" =>
             createContTransform(fields("name"), fields("payload"),
-              sinkStream = Option(fields("sink")).filter(_.nonEmpty))
+              sinkStream = Option(fields("sink")).filter(_.nonEmpty),
+              emitChanges = fields("changes").toBoolean)
           case _ => ()
         }
       }
@@ -183,8 +185,9 @@ final class ContViewEngine(val spark: SparkSession, val root: String) {
     */
   def createContTransform(name: String, selectSql: String,
       sinkStream: Option[String] = None,
-      outputFunc: Option[DataFrame => Unit] = None): CtHandle = {
-    idempotent(name, s"transform|$selectSql|$sinkStream") {
+      outputFunc: Option[DataFrame => Unit] = None,
+      emitChanges: Boolean = true): CtHandle = {
+    idempotent(name, s"transform|$selectSql|$sinkStream|$emitChanges") {
       val plan = CvPlanner.planTransform(spark, name, selectSql,
         streamLeafIds = streams.values.map(_.leafIds).toSeq)
       val leafIds = plan.streamLeaf.output.map(_.exprId)
@@ -192,12 +195,12 @@ final class ContViewEngine(val spark: SparkSession, val root: String) {
         .map(_.name).getOrElse(throw new IllegalStateException(
           s"CT $name does not read a registered stream"))
       sinkStream.foreach(sk => require(streams.contains(sk), s"unknown sink stream $sk"))
-      val handle = CtHandle(plan, streamName, sinkStream, outputFunc)
+      val handle = CtHandle(plan, streamName, sinkStream, outputFunc, changes = emitChanges)
       transforms(name) = handle
       val rs = readers.getOrElseUpdate(streamName, mutable.Buffer.empty)
       if (!rs.contains(name)) rs += name
       appendCatalog(CatalogEntry("transform", name, selectSql, "", "", 0, "", "",
-        sinkStream.getOrElse(""), changes = false))
+        sinkStream.getOrElse(""), changes = emitChanges))
       handle
     }.getOrElse(transforms(name))
   }
@@ -242,7 +245,9 @@ final class ContViewEngine(val spark: SparkSession, val root: String) {
     try {
       val out = h.plan.bindBatch(spark, batch)
         .withColumn("arrival_timestamp", current_timestamp())
-      out.write.mode("append").parquet(s"$root/${h.plan.name}/changes")
+      // the CT's own output stream (output_of) is skippable when nothing
+      // downstream reads it — saves one write job per batch
+      if (h.changes) out.write.mode("append").parquet(s"$root/${h.plan.name}/changes")
       h.outputFunc.foreach(f => f(out))
       // insert_into_stream chaining: the transform's output becomes a batch
       // on the sink stream
@@ -320,8 +325,9 @@ final class ContViewEngine(val spark: SparkSession, val root: String) {
     // partial-agg result is reused by the merge and the changes emit
     val cached = partials.persist()
     try {
-      val (oldRows, newRows) = h.store.upsert(cached, h.plan.reAggs, needOldRows = h.changes)
-      groups = cached.count()
+      val (oldRows, newRows, touched) =
+        h.store.upsert(cached, h.plan.reAggs, needOldRows = h.changes)
+      groups = touched
       if (h.changes) emitChanges(h, oldRows, newRows, cached)
     } catch { case e: Throwable => failed = true; throw e }
     finally {

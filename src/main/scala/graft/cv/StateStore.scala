@@ -85,19 +85,23 @@ final class StateStore(
     *
     * @param updates one row per group: keyCols ++ state columns
     * @param reAgg   per-state-column merge aggregates (state col name → agg builder)
-    * @return (oldRows, newRows) for the touched groups — the output-stream feed
+    * @return (oldRows, newRows, groupsTouched) — the output-stream feed plus
+    *         the update-group count (free byproduct of the bucket scan, so
+    *         callers don't pay a separate count() job)
     */
   def upsert(
       updates: DataFrame,
       reAgg: Seq[(String, org.apache.spark.sql.Column => org.apache.spark.sql.Column)],
       needOldRows: Boolean = true)
-      : (Option[DataFrame], DataFrame) = {
+      : (Option[DataFrame], DataFrame, Long) = {
     flushPendingGc() // previous version's consumers are done by now (see below)
     val up = updates.withColumn(BucketCol, bucketOf)
 
-    // touched buckets: tiny collect (≤ numBuckets ints)
-    val touched = up.select(BucketCol).distinct()
-      .collect().map(_.getLong(0).toInt).toSet
+    // touched buckets + group count in ONE job: ≤ numBuckets tiny rows back
+    val bucketCounts = up.groupBy(BucketCol).count()
+      .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    val touched = bucketCounts.keySet
+    val groupsTouched = bucketCounts.values.sum
 
     val manifest = readManifest()
     val existingTouched = readBuckets(Some(touched))
@@ -143,7 +147,7 @@ final class StateStore(
     deferGcOldVersions(keep = newBuckets.values.map(_.takeWhile(_ != '/')).toSet)
 
     val newRows = semiOnKeys(readBuckets(Some(touched)).get)
-    (old, newRows)
+    (old, newRows, groupsTouched)
   }
 
   /** Drop state rows matching the predicate (TTL reaper — reaper.c:49-352).

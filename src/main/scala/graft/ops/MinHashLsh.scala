@@ -57,6 +57,36 @@ object MinHashLsh {
   def minhashSignature(shingles: Column, k: Int): Column =
     GraftBridge.column(MinHashSignature(GraftBridge.expression(shingles), k))
 
+  /** minhash_buckets(sig) → array<long>: one LSH bucket hash per band,
+    * band index folded into the hash so a single 64-bit value identifies
+    * (band, bucket). One pass over the signature — the equivalent
+    * transform/sequence/slice/xxhash64 HOF chain evaluates interpreted and
+    * cost more than the rest of the pipeline combined.
+    */
+  case class MinHashBuckets(child: Expression, numBands: Int, rowsPerBand: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def prettyName: String = "minhash_buckets"
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(v: Any): Any = {
+      val sig = v.asInstanceOf[ArrayData]
+      val out = new Array[Any](numBands)
+      var b = 0
+      while (b < numBands) {
+        var h = b.toLong * 0x9E3779B97F4A7C15L
+        var j = 0
+        while (j < rowsPerBand) {
+          h = java.lang.Long.rotateLeft(h ^ Hashing.fmix64(sig.getLong(b * rowsPerBand + j)), 27) *
+            0x100000001B3L
+          j += 1
+        }
+        out(b) = Hashing.fmix64(h)
+        b += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): MinHashBuckets = copy(child = c)
+  }
+
   /** Candidate pairs (idA < idB) via banded LSH over `df(idCol, textCol)`,
     * prefiltered by minhash agreement: the fraction of equal signature
     * components estimates Jaccard, and P(est < 0.3 | j ≥ 0.6) ≤
@@ -66,30 +96,40 @@ object MinHashLsh {
     */
   def candidatePairs(
       df: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, numBands: Int = 64, rowsPerBand: Int = 2): DataFrame = {
-    val k = numBands * rowsPerBand
-    val sig = df.select(
-      col(idCol).as("id"),
-      minhashSignature(TextOps.shingles(col(textCol), shingleN), k).as("sig"))
-      .persist()
+      shingleN: Int = 3, numBands: Int = 64, rowsPerBand: Int = 2): DataFrame =
+    candidatePairsFromShingles(
+      df.select(col(idCol).as("id"), TextOps.shingles(col(textCol), shingleN).as("sh")),
+      numBands, rowsPerBand)
 
-    // band b covers sig[b*r .. b*r+r-1]; bucket = hash of the band slice
+  private def candidatePairsFromShingles(
+      sh: DataFrame, numBands: Int, rowsPerBand: Int): DataFrame = {
+    val k = numBands * rowsPerBand
+    val sig = sh.select(col("id"), minhashSignature(col("sh"), k).as("sig"))
+      .persist() // read by the banding pass and the agree-prefilter joins
+
+    // band b covers sig[b*r .. b*r+r-1]; bucket = hash of the band slice,
+    // seeded with b so one 64-bit key identifies (band, bucket) — a cross-
+    // band hash collision merely creates a candidate the exact-verify kills.
     val banded = sig.select(
       col("id"),
-      posexplode(
-        transform(
-          sequence(lit(0), lit(numBands - 1)),
-          b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b))))
-      .select(col("id"), col("pos").as("band"), col("col").as("bucket"))
-      .persist() // both sides of the self-join read this
+      explode(GraftBridge.column(MinHashBuckets(
+        GraftBridge.expression(col("sig")), numBands, rowsPerBand))).as("bucket"))
+      .persist() // read by the hot-bucket count and both sides of the pair join
 
-    val l = banded.alias("l")
-    val r = banded.alias("r")
-    val rawPairs = l.join(r,
-        col("l.band") === col("r.band") &&
-        col("l.bucket") === col("r.bucket") &&
-        col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+    // Nearly every bucket is a singleton, so first drop those with a plain
+    // codegen'd count (collect_list over ~|docs|×bands mostly-singleton
+    // groups trips ObjectHashAggregate's sort-based fallback), then self-join
+    // only the surviving rows — a broadcast-sized set on real corpora. The
+    // hot-bucket set is proportional to the near-dup density, not corpus
+    // size; at extreme dup skew the join degrades to the same O(s²) pairs
+    // any formulation must emit.
+    val hot = banded.groupBy("bucket").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") > 1).select("bucket")
+    val survivors = banded.join(broadcast(hot), "bucket")
+    val rawPairs = survivors.select(col("bucket"), col("id").as("id_a"))
+      .join(survivors.select(col("bucket"), col("id").as("id_b")), "bucket")
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
       .distinct()
 
     val agree = size(filter(
@@ -102,14 +142,16 @@ object MinHashLsh {
       .select(col("id_a"), col("id_b"))
   }
 
-  /** Full near-dup pipeline: LSH candidates verified with exact Jaccard. */
+  /** Full near-dup pipeline: LSH candidates verified with exact Jaccard.
+    * Shingle arrays are computed once and shared by the signature stage and
+    * the verify joins.
+    */
   def nearDuplicates(
       df: DataFrame, idCol: String, textCol: String, threshold: Double,
       shingleN: Int = 3, numBands: Int = 64, rowsPerBand: Int = 2): DataFrame = {
-    val pairs = candidatePairs(df, idCol, textCol, shingleN, numBands, rowsPerBand)
-    // shingle arrays feed both sides of the verify join — compute once
     val sh = df.select(col(idCol).as("id"), TextOps.shingles(col(textCol), shingleN).as("sh"))
       .persist()
+    val pairs = candidatePairsFromShingles(sh, numBands, rowsPerBand)
     pairs
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")

@@ -1,26 +1,64 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
 
-/** Text primitives for the dedup/similarity operators — pure Column
-  * compositions (codegen'd, no UDFs): whitespace tokenization, word
-  * n-gram shingling, exact Jaccard.
+/** Text primitives for the dedup/similarity operators: whitespace
+  * tokenization, word n-gram shingling, exact Jaccard. Shingling is a
+  * dedicated expression — the equivalent higher-order-function pipeline
+  * (transform + element_at + concat_ws) is not whole-stage-codegen'd and
+  * ran ~10× slower on the corpus scan, which dominated the near-dup
+  * pipelines.
   */
 object TextOps {
+
+  /** word_shingles(text, n) → distinct space-joined word n-grams in first-
+    * occurrence order (whitespace tokens, empties dropped). Documents with
+    * fewer than n tokens yield an empty array.
+    */
+  case class WordShingles(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def prettyName: String = "word_shingles"
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(v: Any): Any = {
+      val toksAll = v.asInstanceOf[UTF8String].toString.split(' ')
+      val toks = new Array[String](toksAll.length)
+      var m = 0
+      var i = 0
+      while (i < toksAll.length) {
+        if (toksAll(i).nonEmpty) { toks(m) = toksAll(i); m += 1 }
+        i += 1
+      }
+      val out = new java.util.LinkedHashSet[String]()
+      i = 0
+      while (i <= m - n) {
+        val sb = new java.lang.StringBuilder(toks(i))
+        var j = 1
+        while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+        out.add(sb.toString)
+        i += 1
+      }
+      val arr = new Array[Any](out.size)
+      val it = out.iterator()
+      var k = 0
+      while (it.hasNext) { arr(k) = UTF8String.fromString(it.next()); k += 1 }
+      new GenericArrayData(arr)
+    }
+    override protected def withNewChildInternal(c: Expression): WordShingles = copy(child = c)
+  }
 
   /** Whitespace tokens, empties dropped. */
   def tokens(text: Column): Column =
     filter(split(text, " "), t => t =!= "")
 
-  /** Distinct word n-gram shingles (1-based element_at). */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val toks = tokens(text)
-    array_distinct(
-      transform(
-        sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
-        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
-  }
+  /** Distinct word n-gram shingles. */
+  def shingles(text: Column, n: Int = 3): Column =
+    GraftBridge.column(WordShingles(GraftBridge.expression(text), n))
 
   /** Exact Jaccard similarity of two distinct-element arrays. */
   def jaccard(a: Column, b: Column): Column = {

@@ -46,12 +46,17 @@ object CvQueries {
       eng.createStream("ev_hot", events.schema)
       eng.createContTransform("t_hot",
         "SELECT event_id, ts, user_id, event_type, value, props FROM ev_stream WHERE value > 100",
-        sinkStream = Some("ev_hot"))
+        sinkStream = Some("ev_hot"),
+        emitChanges = false) // nothing reads output_of(t_hot); v_hot gets the rows via the sink
       eng.createContView("v_hot",
         "SELECT event_type, count(*) AS n FROM ev_hot GROUP BY event_type",
         emitChanges = false)
       (0 until NumChunks).foreach { i =>
-        eng.insertInto("ev_stream", events.where(pmod(col("event_id"), lit(NumChunks)) === i))
+        // persist the chunk: all six CQs consume it (each with 2+ jobs) —
+        // without this every job re-scans the events parquet
+        val chunk = events.where(pmod(col("event_id"), lit(NumChunks)) === i).persist()
+        try eng.insertInto("ev_stream", chunk)
+        finally chunk.unpersist()
       }
       eng
     })

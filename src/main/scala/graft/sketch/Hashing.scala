@@ -15,6 +15,9 @@ object Hashing {
 
   @inline private def rotl(x: Long, r: Int): Long = (x << r) | (x >>> (64 - r))
 
+  /** Public 64-bit finalizer (murmur3 fmix) for fast long mixing. */
+  def fmix64(k: Long): Long = fmix(k)
+
   @inline private def fmix(kIn: Long): Long = {
     var k = kIn
     k ^= k >>> 33
