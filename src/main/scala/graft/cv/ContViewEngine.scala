@@ -28,9 +28,26 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * between reads with no new data, and storage expiry (TTL reaper) is
   * decoupled from read-time expiry (sw_expiration.sql semantics).
   */
-final class ContViewEngine(val spark: SparkSession, val root: String) {
+final class ContViewEngine(val spark: SparkSession, val root: String,
+    ingestShufflePartitions: Int = 8) {
 
   import CvPlanner._
+
+  /** Planning runs on the caller's session (stream and dimension temp
+    * views live there); all ingest ACTIONS run on a derived session tuned for
+    * micro-batch-sized jobs: a handful of shuffle partitions (a micro-batch
+    * is bounded by batch_size/batch_mem — reference config.c:357-372 — not
+    * by cluster width; size this up for real deployments) and no AQE (its
+    * per-query-stage scheduling adds more latency than it saves on jobs
+    * this small). The caller's session keeps its own settings for ad-hoc
+    * reads of overlays/state.
+    */
+  private val exec: SparkSession = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", ingestShufflePartitions.toString)
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    s
+  }
 
   final case class StreamDef(name: String, schema: StructType,
       leafIds: Seq[org.apache.spark.sql.catalyst.expressions.ExprId])
@@ -56,6 +73,7 @@ final class ContViewEngine(val spark: SparkSession, val root: String) {
   private val defSignatures = mutable.HashMap.empty[String, String]
 
   graft.functions.GraftFunctions.register(spark)
+  graft.functions.GraftFunctions.register(exec)
   loadCatalog()
 
   // ---- catalog persistence (reference pipelinedb.cont_query +
@@ -166,7 +184,12 @@ final class ContViewEngine(val spark: SparkSession, val root: String) {
       val streamName = streams.values.find(_.leafIds == leafIds)
         .map(_.name).getOrElse(throw new IllegalStateException(
           s"CV $name does not read a registered stream"))
-      val store = new StateStore(spark, s"$root/$name/state", plan.stateKeys)
+      // bucket count follows the ingest shuffle width: buckets are the
+      // scale-out unit (≈ executors × few on a real cluster), and micro-
+      // batch merges should not pay list/write overhead for more dirs than
+      // the ingest session can even fill in parallel
+      val store = new StateStore(exec, s"$root/$name/state", plan.stateKeys,
+        numBuckets = math.max(8, ingestShufflePartitions))
       val handle = CvHandle(plan, store, streamName, changes = emitChanges)
       views(name) = handle
       val rs = readers.getOrElseUpdate(streamName, mutable.Buffer.empty)
@@ -232,18 +255,22 @@ final class ContViewEngine(val spark: SparkSession, val root: String) {
     import scala.concurrent.ExecutionContext.Implicits.global
     val names = readers.getOrElse(streamName, mutable.Buffer.empty).toSeq
     val activeCvs = names.flatMap(views.get).filter(_.active)
-    val work = activeCvs.map(h => Future(ingestBatch(h, withArrival)))
-    work.foreach(f => Await.result(f, Duration.Inf))
-    // transforms run after the views (sequentially: they may re-enter
-    // insertInto for chained streams)
-    names.flatMap(transforms.get).filter(_.active).foreach(h => runTransform(h, withArrival))
+    val activeCts = names.flatMap(transforms.get).filter(_.active)
+    // transforms are independent consumers of the same batch (the reference
+    // runs CVs and CTs in separate worker procs) — overlap them with the
+    // view ingests; chained insertInto re-entry happens inside the future
+    val work = activeCvs.map(h => Future(ingestBatch(h, withArrival))) ++
+      activeCts.map(h => Future(runTransform(h, withArrival)))
+    // blocking{}: a chained transform re-enters insertInto inside a future,
+    // and the nested Await must not starve the global pool
+    work.foreach(f => scala.concurrent.blocking { Await.result(f, Duration.Inf) })
   }
 
   private def runTransform(h: CtHandle, batch: DataFrame): Unit = {
     val t0 = System.nanoTime()
     var failed = false
     try {
-      val out = h.plan.bindBatch(spark, batch)
+      val out = h.plan.bindBatch(exec, batch)
         .withColumn("arrival_timestamp", current_timestamp())
       // the CT's own output stream (output_of) is skippable when nothing
       // downstream reads it — saves one write job per batch
@@ -270,12 +297,6 @@ final class ContViewEngine(val spark: SparkSession, val root: String) {
       needOldRows = false)
   }
 
-  /** Per-CQ runtime counters (reference pipelinedb.proc_stats/query_stats,
-    * stats.c) — batches/groups in, errors, cumulative exec ms.
-    */
-  final case class CqStats(
-      name: String, kind: String, batches: Long,
-      groupsOut: Long, errors: Long, execMs: Long)
   private val statsMap = mutable.LinkedHashMap.empty[String, CqStats]
 
   private def recordStats(name: String, kind: String,
@@ -297,7 +318,7 @@ final class ContViewEngine(val spark: SparkSession, val root: String) {
     val t0 = System.nanoTime()
     var groups = 0L
     var failed = false
-    val raw = h.plan.workerPartials(spark, batch)
+    val raw = h.plan.workerPartials(exec, batch)
     // LIMIT n on a CV caps total materialized groups (cont_limit.sql):
     // updates to existing groups always apply; NEW groups only admit while
     // the cap has room, chosen deterministically by key order.
@@ -322,16 +343,23 @@ final class ContViewEngine(val spark: SparkSession, val root: String) {
             updatesToExisting.unionByName(newAdmitted)
         }
     }
-    // partial-agg result is reused by the merge and the changes emit
-    val cached = partials.persist()
+    // Persist the partial-agg result only when it has two consumers (the
+    // merge AND the changes emit / LIMIT admission joins); otherwise the
+    // states are evaluated exactly once, inside the merge-write job, and
+    // the touched-bucket scan runs state-free off the raw key rows.
+    val multiUse = h.changes || h.plan.limit.isDefined
+    val cached = if (multiUse) partials.persist() else partials
+    val keysHint =
+      if (multiUse) None else Some(h.plan.workerKeyRows(exec, batch))
     try {
       val (oldRows, newRows, touched) =
-        h.store.upsert(cached, h.plan.reAggs, needOldRows = h.changes)
+        h.store.upsert(cached, h.plan.reAggs, needOldRows = h.changes,
+          groupKeysHint = keysHint)
       groups = touched
       if (h.changes) emitChanges(h, oldRows, newRows, cached)
     } catch { case e: Throwable => failed = true; throw e }
     finally {
-      cached.unpersist()
+      if (multiUse) cached.unpersist()
       recordStats(h.plan.name, "view", groups, (System.nanoTime() - t0) / 1000000, failed)
     }
   }
@@ -394,7 +422,10 @@ final class ContViewEngine(val spark: SparkSession, val root: String) {
     * Re-resolves state at each call; call again after ingests for snapshots.
     */
   def registerOverlay(name: String, now: Option[java.sql.Timestamp] = None): Unit =
-    overlay(name, now).createOrReplaceTempView(name)
+    // rebind onto the caller's session so `spark.sql("... FROM cv")` resolves
+    org.apache.spark.sql.GraftBridge.ofRows(spark,
+      org.apache.spark.sql.GraftBridge.analyzed(overlay(name, now)))
+      .createOrReplaceTempView(name)
 
   /** User-facing combine(): re-aggregate stored states at a coarser key
     * (reference RewriteCombineAggs, analyzer.c:4446-4615).
@@ -416,15 +447,15 @@ final class ContViewEngine(val spark: SparkSession, val root: String) {
   private def emptyState(h: CvHandle): DataFrame = {
     // derive the state schema by planning over an empty batch
     val stream = streams(h.streamName)
-    val empty = spark.createDataFrame(
+    val empty = exec.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](), stream.schema)
-    h.plan.workerPartials(spark, empty).limit(0)
+    h.plan.workerPartials(exec, empty).limit(0)
   }
 
   /** The output stream (output_of('cv')): all (old, new, delta) changes. */
   def outputOf(name: String): Option[DataFrame] = {
     val dir = s"$root/$name/changes"
-    if (Files.exists(Paths.get(dir))) Some(spark.read.parquet(dir)) else None
+    if (Files.exists(Paths.get(dir))) Some(exec.read.parquet(dir)) else None
   }
 
   /** TTL reaper pass (reaper.c:49-352): delete state older than ttl. */
@@ -468,6 +499,14 @@ final class ContViewEngine(val spark: SparkSession, val root: String) {
       .start()
   }
 }
+
+/** Per-CQ runtime counters (reference pipelinedb.proc_stats/query_stats,
+  * stats.c) — batches/groups in, errors, cumulative exec ms. Top-level so
+  * Spark can derive an Encoder (inner case classes cannot be encoded).
+  */
+final case class CqStats(
+    name: String, kind: String, batches: Long,
+    groupsOut: Long, errors: Long, execMs: Long)
 
 private object CvPlannerIntervals {
   def seconds(spec: String): Long = {

@@ -82,6 +82,18 @@ object CvPlanner {
       df.groupBy(stateKeys.map(col): _*).agg(stateCols.head, stateCols.tail: _*)
     }
 
+    /** Group-key rows of a micro-batch (no aggregation): feeds the state
+      * store's touched-bucket scan without evaluating aggregate states.
+      */
+    def workerKeyRows(spark: SparkSession, batch: DataFrame): DataFrame = {
+      var df = bindBatch(spark, batch)
+      keyNames.zip(keyExprs).foreach { case (n, e) => df = df.withColumn(n, e) }
+      sw.foreach { s =>
+        df = df.withColumn(s.bucketCol, dateRound(col(s.tsColumn), s.stepSeconds))
+      }
+      df.select(stateKeys.map(col): _*)
+    }
+
     /** Finalize columns over a state DataFrame. */
     def finalizeCols: Seq[Column] =
       aggs.map(a => a.buildFinal(a.states.map(st => col(st._1))).as(a.name))
