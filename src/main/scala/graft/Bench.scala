@@ -23,10 +23,20 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // warm-up: touch every table (footers into cache) + exercise codegen
-    graft.queries.Tables.lineitem(spark, sfDir).count()
-    graft.queries.Tables.events(spark, sfDir).count()
-    spark.sql("SELECT sum(x) FROM range(1000000) t(x)").collect()
+    // warm-up: read every table's payload columns (parquet pages into the
+    // OS cache — count() alone prunes them away) and exercise the codegen /
+    // exchange machinery the queries rely on (agg, window, broadcast join)
+    import org.apache.spark.sql.functions._
+    graft.queries.Tables.lineitem(spark, sfDir)
+      .agg(sum("l_quantity"), sum("l_extendedprice")).collect()
+    graft.queries.Tables.orders(spark, sfDir).agg(sum("o_totalprice")).collect()
+    graft.queries.Tables.events(spark, sfDir).agg(sum("value"), max("ts")).collect()
+    graft.queries.Tables.documents(spark, sfDir).agg(sum(length(col("text")))).collect()
+    graft.queries.Tables.embeddings(spark, sfDir).agg(sum(size(col("embedding")))).collect()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("r").orderBy("x")
+    val small = spark.range(100).select(col("id").as("x"), pmod(col("id"), lit(7)).as("r"))
+    small.join(broadcast(small.select(col("x").as("y"))), col("x") === col("y"))
+      .withColumn("rk", row_number().over(w)).agg(sum("rk")).collect()
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -76,16 +76,22 @@ object AnnSearch {
       numTables: Int = 8, bitsPerTable: Int = 12, seed: Long = 42L): DataFrame = {
     val ps = planes(dim, numTables, bitsPerTable, seed)
     val corpus = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val bucketed = corpus.select(
-        col("vec_id"), col("v"), posexplode(lshBuckets(col("v"), ps)))
-      .select(col("vec_id"), col("v"), col("pos").as("tbl"), col("col").as("bkt"))
-    val l = bucketed.select(col("vec_id").as("id_a"), col("v").as("va"),
-      col("tbl"), col("bkt"))
-    val r = bucketed.select(col("vec_id").as("id_b"), col("v").as("vb"),
+      .persist() // bucket pass + two candidate re-joins
+    // candidate generation shuffles only (id, table, bucket) triples — the
+    // vectors re-join for the (rare) candidate pairs afterwards, instead of
+    // riding through the self-join shuffle |tables|× per vector
+    val bucketed = corpus.select(col("vec_id"), posexplode(lshBuckets(col("v"), ps)))
+      .select(col("vec_id"), col("pos").as("tbl"), col("col").as("bkt"))
+    val l = bucketed.select(col("vec_id").as("id_a"), col("tbl"), col("bkt"))
+    val r = bucketed.select(col("vec_id").as("id_b"),
       col("tbl").as("tbl_r"), col("bkt").as("bkt_r"))
-    l.join(r, col("tbl") === col("tbl_r") && col("bkt") === col("bkt_r") &&
+    val pairs = l.join(r, col("tbl") === col("tbl_r") && col("bkt") === col("bkt_r") &&
         col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    pairs
+      .join(corpus.select(col("vec_id").as("id_a"), col("v").as("va")), "id_a")
+      .join(corpus.select(col("vec_id").as("id_b"), col("v").as("vb")), "id_b")
       .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("cos"))
       .where(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
@@ -122,20 +128,69 @@ object AnnSearch {
         c: org.apache.spark.sql.catalyst.expressions.Expression): IvfAssign = copy(child = c)
   }
 
-  /** IVF-flat top-k: a coarse quantizer partitions the corpus into inverted
-    * lists (each vector in its single nearest-centroid list); probes search
-    * only their nprobe nearest lists. Here the quantizer is deterministic —
-    * the first nCentroids corpus vectors — standing in for a k-means fit;
-    * at scale the lists become the partitioning key, so a probe touches
-    * nprobe/nCentroids of the data. Recall tracks that scanned fraction on
-    * unclustered vectors and far exceeds it on clustered ones.
+  /** Deterministic driver-side Lloyd k-means on a corpus sample — the IVF
+    * coarse quantizer fit. At 100 TB the sample comes from a bounded
+    * per-partition takeSample; a few thousand vectors suffice to place
+    * nCentroids coarse centers, and the fit stays a driver-side
+    * scratch-computation (the corpus-wide assignment is the distributed
+    * part). Seeded farthest-point init + fixed iteration count keep the
+    * result reproducible across runs.
+    */
+  private[ops] def kmeansFit(sample: Array[Array[Double]], k: Int,
+      iters: Int = 8, seed: Long = 7L): Array[Array[Double]] = {
+    require(sample.nonEmpty, "kmeans: empty sample")
+    val dim = sample.head.length
+    val rng = new scala.util.Random(seed)
+    // farthest-point (k-means++ style, deterministic) init
+    val centers = scala.collection.mutable.ArrayBuffer(sample(rng.nextInt(sample.length)))
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    while (centers.length < math.min(k, sample.length)) {
+      centers += sample.maxBy(v => centers.map(c => d2(v, c)).min)
+    }
+    var cs = centers.toArray
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(cs.length)(new Array[Double](dim))
+      val counts = new Array[Long](cs.length)
+      sample.foreach { v =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < cs.length) {
+          val d = d2(v, cs(c)); if (d < bestD) { bestD = d; best = c }; c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+      }
+      cs = cs.indices.map { c =>
+        if (counts(c) == 0) cs(c)
+        else sums(c).map(_ / counts(c))
+      }.toArray
+      it += 1
+    }
+    cs
+  }
+
+  /** IVF-flat top-k: a k-means coarse quantizer partitions the corpus into
+    * inverted lists (each vector in its single nearest-centroid list);
+    * probes search only their nprobe nearest lists. At scale the list id
+    * becomes the partitioning key, so a probe touches ~nprobe/nCentroids of
+    * the data; recall tracks that scanned fraction on unclustered vectors
+    * and far exceeds it on clustered ones. The probe side is broadcast, so
+    * corpus vectors are scored map-side and never shuffle.
     */
   def ivfKnn(emb: DataFrame, dim: Int, nProbes: Int, k: Int,
-      nCentroids: Int = 16, nprobe: Int = 6): DataFrame = {
+      nCentroids: Int = 16, nprobe: Int = 6,
+      fitSample: Int = 4096, seed: Long = 7L): DataFrame = {
     val corpus = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val centroids: Array[Array[Double]] = corpus
-      .where(col("vec_id") < nCentroids).orderBy("vec_id")
+    val sample: Array[Array[Double]] = corpus
+      .orderBy("vec_id").limit(fitSample) // deterministic sample
       .collect().map(_.getSeq[Double](1).toArray)
+    val centroids = kmeansFit(sample, nCentroids, seed = seed)
 
     def assign(df: DataFrame, idName: String, vName: String, np: Int): DataFrame =
       df.select(col(idName), col(vName),
@@ -149,11 +204,12 @@ object AnnSearch {
         .select(col("vec_id").as("probe_id"), col("v").as("pv")),
       "probe_id", "pv", nprobe)
 
-    val cands = probes.join(lists,
+    // broadcast the probe set: candidates are scored where the corpus rows
+    // live — no corpus vector ever crosses a shuffle
+    val scored = broadcast(probes).join(lists,
         probes("cluster") === lists("cluster") && col("probe_id") =!= col("vec_id"))
-      .select(col("probe_id"), col("pv"), col("vec_id").as("neighbor_id"), col("v"))
-    val scored = cands.select(col("probe_id"), col("neighbor_id"),
-      cosine(col("pv"), col("v")).as("raw_sim"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("pv"), col("v")).as("raw_sim"))
     val w = Window.partitionBy("probe_id")
       .orderBy(round(col("raw_sim"), 6).desc, col("neighbor_id"))
     scored.withColumn("rk", row_number().over(w))
@@ -183,15 +239,14 @@ object AnnSearch {
     val corpusB = bucketed(corpus, "vec_id", "v")
     val probesB = bucketed(probes, "probe_id", "pv")
 
-    val cands = probesB.join(corpusB,
+    // broadcast probes and score IN the map-side join, then dedupe on the
+    // tiny (probe, neighbor, sim) triples — corpus vectors never shuffle
+    val scored = broadcast(probesB).join(corpusB,
         probesB("tbl") === corpusB("tbl") && probesB("bkt") === corpusB("bkt") &&
         col("probe_id") =!= col("vec_id"))
-      .select(col("probe_id"), col("pv"), col("vec_id").as("neighbor_id"), col("v"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("pv"), col("v")).as("raw_sim"))
       .dropDuplicates("probe_id", "neighbor_id")
-
-    val scored = cands.select(
-      col("probe_id"), col("neighbor_id"),
-      cosine(col("pv"), col("v")).as("raw_sim"))
     val w = Window.partitionBy("probe_id")
       .orderBy(round(col("raw_sim"), 6).desc, col("neighbor_id"))
     scored.withColumn("rk", row_number().over(w))
