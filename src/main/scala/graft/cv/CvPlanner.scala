@@ -57,10 +57,16 @@ object CvPlanner {
       aggs: Seq[PlannedAgg],
       sw: Option[SwSpec],
       options: CvOptions,
-      limit: Option[Int] = None) {
+      limit: Option[Int] = None,
+      // hidden grouping keys that never surface in the overlay — currently
+      // only the grouping-set id (GROUP BY ROLLUP/CUBE/GROUPING SETS):
+      // groups from different grouping sets must not merge even when their
+      // visible key columns coincide (a rolled-up NULL vs a genuine NULL)
+      hiddenKeys: Seq[(String, Column)] = Nil) {
 
-    /** All state-table key columns (user keys + SW bucket). */
-    def stateKeys: Seq[String] = keyNames ++ sw.map(_.bucketCol).toSeq
+    /** All state-table key columns (user keys + hidden keys + SW bucket). */
+    def stateKeys: Seq[String] =
+      keyNames ++ hiddenKeys.map(_._1) ++ sw.map(_.bucketCol).toSeq
 
     def reAggs: Seq[(String, Column => Column)] =
       aggs.flatMap(a => a.states.map { case (n, sp) => n -> sp.reAgg })
@@ -72,26 +78,28 @@ object CvPlanner {
     /** Worker aggregation: micro-batch → one row per touched group with
       * partial state columns (AGGSPLIT_INITIAL_SERIAL analogue).
       */
+    /** Aliased state-key columns over the bound child plan. Built from
+      * resolved expressions (not name lookups): an Expand child (grouping
+      * sets) re-emits grouping columns under their original names, so
+      * by-name resolution would be ambiguous.
+      */
+    private def stateKeyCols(df: DataFrame): Seq[Column] =
+      keyNames.zip(keyExprs).map { case (n, e) => e.as(n) } ++
+        hiddenKeys.map { case (n, e) => e.as(n) } ++
+        sw.map(s => dateRound(df(s.tsColumn), s.stepSeconds).as(s.bucketCol))
+
     def workerPartials(spark: SparkSession, batch: DataFrame): DataFrame = {
-      var df = bindBatch(spark, batch)
-      keyNames.zip(keyExprs).foreach { case (n, e) => df = df.withColumn(n, e) }
-      sw.foreach { s =>
-        df = df.withColumn(s.bucketCol, dateRound(col(s.tsColumn), s.stepSeconds))
-      }
+      val df = bindBatch(spark, batch)
       val stateCols = aggs.flatMap(a => a.states.map { case (n, sp) => sp.partial.as(n) })
-      df.groupBy(stateKeys.map(col): _*).agg(stateCols.head, stateCols.tail: _*)
+      df.groupBy(stateKeyCols(df): _*).agg(stateCols.head, stateCols.tail: _*)
     }
 
     /** Group-key rows of a micro-batch (no aggregation): feeds the state
       * store's touched-bucket scan without evaluating aggregate states.
       */
     def workerKeyRows(spark: SparkSession, batch: DataFrame): DataFrame = {
-      var df = bindBatch(spark, batch)
-      keyNames.zip(keyExprs).foreach { case (n, e) => df = df.withColumn(n, e) }
-      sw.foreach { s =>
-        df = df.withColumn(s.bucketCol, dateRound(col(s.tsColumn), s.stepSeconds))
-      }
-      df.select(stateKeys.map(col): _*)
+      val df = bindBatch(spark, batch)
+      df.select(stateKeyCols(df): _*)
     }
 
     /** Finalize columns over a state DataFrame. */
@@ -204,22 +212,44 @@ object CvPlanner {
       else "stream-stream JOINs are not supported in continuous views") // analyzer.c:1264-1274
     val streamLeaf = streamLeaves.head
 
-    // group keys: named output columns whose expression is a grouping expr
+    // group keys: named output columns whose expression is a grouping expr,
+    // plus (for GROUPING SETS / ROLLUP / CUBE) outputs derived purely from
+    // grouping columns — e.g. grouping(a)*2+grouping(b) AS gid — which are
+    // functionally dependent on the grouping and so safely join the key set
     val groupingSet = agg.groupingExpressions.map(_.canonicalized).toSet
+    // only bare grouping ATTRIBUTES license derived keys (references of a
+    // composite grouping expr like x%2 do NOT determine the group)
+    val groupingAttrIds = agg.groupingExpressions
+      .collect { case a: Attribute => a.exprId }.toSet
+    def isDerivedKey(e: Expression): Boolean =
+      !e.exists(_.isInstanceOf[AggregateExpression]) &&
+        e.references.nonEmpty && e.references.forall(a => groupingAttrIds.contains(a.exprId))
     val keyOutputs = agg.aggregateExpressions.filter {
-      case a: Alias => groupingSet.contains(a.child.canonicalized)
+      case a: Alias => groupingSet.contains(a.child.canonicalized) || isDerivedKey(a.child)
       case a: Attribute => groupingSet.contains(a.canonicalized)
       case _ => false
     }
     // every grouping expression must surface as an output column — the state
     // table is keyed by the output keys, so a hidden grouping key would
-    // silently change the aggregation grain
+    // silently change the aggregation grain. Sole exception: Catalyst's
+    // internal grouping-set id, which we key by invisibly (rolled-up NULLs
+    // must not merge with genuine NULL groups — cont_grouping_sets.sql).
     val coveredGroupings = keyOutputs.map {
       case a: Alias => a.child.canonicalized
       case a: Attribute => a.canonicalized
     }.toSet
-    require(groupingSet.subsetOf(coveredGroupings),
+    val uncovered = agg.groupingExpressions
+      .filterNot(g => coveredGroupings.contains(g.canonicalized))
+    val (groupingIdKeys, missing) = uncovered.partition {
+      case a: Attribute =>
+        a.name == org.apache.spark.sql.catalyst.expressions.VirtualColumn.groupingIdName
+      case _ => false
+    }
+    require(missing.isEmpty,
       "every GROUP BY expression must appear in the continuous view's select list")
+    val hiddenKeys = groupingIdKeys.zipWithIndex.map { case (e, i) =>
+      s"__grouping_id$i" -> GraftBridge.column(e)
+    }
 
     val keyNames = keyOutputs.map(_.name)
     val keyExprs = keyOutputs.map {
@@ -275,7 +305,8 @@ object CvPlanner {
       SwSpec(winSec, stepSec, options.swColumn)
     }
 
-    CvPlan(name, agg.child, streamLeaf, keyNames, keyExprs, planned, sw, options, limitOpt)
+    CvPlan(name, agg.child, streamLeaf, keyNames, keyExprs, planned, sw, options, limitOpt,
+      hiddenKeys = hiddenKeys)
   }
 
   /** The restriction wall (analyzer.c:1183-1344). */

@@ -41,6 +41,13 @@ object CvQueries {
         emitChanges = false)
       eng.createContView("v_os",
         "SELECT user_id, count(*) AS n FROM ev_stream GROUP BY user_id")
+      // grouping sets inside a CV: state keyed by (keys, grouping_id)
+      eng.createContView("v_rollup",
+        """SELECT event_type, user_id % 10 AS ub,
+          |       grouping(event_type)*2 + grouping(user_id % 10) AS gid,
+          |       count(*) AS n, sum(value) AS sv
+          |FROM ev_stream GROUP BY ROLLUP(event_type, user_id % 10)""".stripMargin,
+        emitChanges = false)
       // continuous transform chain: hot events re-routed to a second stream
       // feeding its own CV (insert_into_stream semantics)
       eng.createStream("ev_hot", events.schema)
@@ -116,5 +123,21 @@ object CvQueries {
       "SELECT count(*) AS total FROM events") {
       (s, dir) =>
         engineFor(s, dir).outputOf("v_os").get.agg(sum(col("delta.n")).as("total"))
+    },
+
+    // cont_grouping_sets: ROLLUP maintained incrementally inside a CV — the
+    // hidden grouping-id key keeps rolled-up NULLs apart from real NULLs.
+    QDef(
+      "q_cv_rollup",
+      """SELECT event_type, user_id % 10 AS ub,
+        |       grouping(event_type)*2 + grouping(user_id % 10) AS gid,
+        |       count(*) AS n, round(sum(value), 2) AS sv
+        |FROM events GROUP BY ROLLUP(event_type, user_id % 10)
+        |ORDER BY gid, event_type, ub""".stripMargin) {
+      (s, dir) =>
+        engineFor(s, dir).overlay("v_rollup")
+          .select(col("event_type"), col("ub"), col("gid").cast("long").as("gid"),
+            col("n"), round(col("sv"), 2).as("sv"))
+          .orderBy("gid", "event_type", "ub")
     })
 }

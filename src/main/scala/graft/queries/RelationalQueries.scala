@@ -264,7 +264,8 @@ object RelationalQueries {
         Tables.lineitem(s, dir)
           .rollup("l_returnflag", "l_linestatus")
           .agg(
-            (grouping(col("l_returnflag")) * 2 + grouping(col("l_linestatus"))).as("gid"),
+            (grouping(col("l_returnflag")) * 2 + grouping(col("l_linestatus")))
+              .cast("long").as("gid"),
             count(lit(1)).as("n"),
             round(sum("l_quantity"), 2).as("sum_qty"))
           .orderBy("gid", "l_returnflag", "l_linestatus")
@@ -282,7 +283,8 @@ object RelationalQueries {
         Tables.orders(s, dir)
           .cube("o_orderstatus", "o_orderpriority")
           .agg(
-            (grouping(col("o_orderstatus")) * 2 + grouping(col("o_orderpriority"))).as("gid"),
+            (grouping(col("o_orderstatus")) * 2 + grouping(col("o_orderpriority")))
+              .cast("long").as("gid"),
             count(lit(1)).as("n"),
             round(sum("o_totalprice"), 2).as("total"))
           .orderBy("gid", "o_orderstatus", "o_orderpriority")

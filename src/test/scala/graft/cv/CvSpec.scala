@@ -79,6 +79,29 @@ class CvSpec extends AnyFunSuite {
     }
   }
 
+  test("ROLLUP/CUBE continuous view: incremental == single-shot (cont_grouping_sets.sql)") {
+    val eng = newEngine()
+    eng.createStream("s_gs", streamSchema)
+    eng.createContView("v_gs",
+      """SELECT key, x % 2 AS xb,
+        |       grouping(key)*2 + grouping(x % 2) AS gid,
+        |       count(*) AS n, sum(v) AS sv
+        |FROM s_gs GROUP BY ROLLUP(key, x % 2)""".stripMargin,
+      emitChanges = false)
+    allRows.grouped(1000).foreach(c => eng.insertInto("s_gs", mkBatch(c)))
+    val got = eng.overlay("v_gs")
+      .select(col("key"), col("xb"), col("gid"), col("n"), round(col("sv"), 4).as("sv"))
+      .collect().map(_.toSeq).toSet
+    val expect = mkBatch(allRows)
+      .withColumn("xb0", col("x") % 2)
+      .rollup("key", "xb0")
+      .agg((grouping(col("key")) * 2 + grouping(col("xb0"))).as("gid"),
+        count(lit(1)).as("n"), round(sum("v"), 4).as("sv"))
+      .select(col("key"), col("xb0"), col("gid"), col("n"), col("sv"))
+      .collect().map(_.toSeq).toSet
+    assert(got == expect)
+  }
+
   test("exact aggregate battery: incremental == single-shot (user_combine.sql)") {
     val eng = newEngine()
     eng.createStream("s2", streamSchema)
