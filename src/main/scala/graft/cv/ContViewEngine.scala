@@ -243,6 +243,9 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     * synchronously (stream_insert_level=sync_commit semantics).
     */
   def insertInto(streamName: String, batch: DataFrame): Unit = {
+    synchronized {
+      streamBatches(streamName) = streamBatches.getOrElse(streamName, 0L) + 1L
+    }
     val withArrival =
       if (batch.columns.contains("arrival_timestamp")) batch
       else batch.withColumn("arrival_timestamp", current_timestamp())
@@ -308,10 +311,72 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
       errors = s.errors + (if (failed) 1 else 0), execMs = s.execMs + ms)
   }
 
-  /** Monitoring view: one row per continuous query (proc_stats analogue). */
+  /** Monitoring view: one row per continuous query (reference
+    * pipelinedb.query_stats / proc_stats, stats.c).
+    */
   def stats(): DataFrame = {
     import spark.implicits._
     statsMap.values.toSeq.toDF()
+  }
+
+  private val streamBatches = mutable.LinkedHashMap.empty[String, Long]
+
+  /** Per-stream ingest counters (reference pipelinedb.stream_stats). */
+  def streamStats(): DataFrame = {
+    import spark.implicits._
+    streams.keys.toSeq.map { s =>
+      StreamStats(s, streamBatches.getOrElse(s, 0L),
+        readers.get(s).map(_.size.toLong).getOrElse(0L))
+    }.toDF()
+  }
+
+  /** (stream, continuous query) reader pairs (pipelinedb.stream_readers). */
+  def streamReaders(): DataFrame = {
+    import spark.implicits._
+    readers.toSeq.flatMap { case (s, rs) => rs.map(r => (s, r)) }
+      .toDF("stream", "cq")
+  }
+
+  /** One-row engine summary (reference pipelinedb.db_stats). */
+  def dbStats(): DataFrame = {
+    import spark.implicits._
+    val qs = statsMap.values
+    Seq(DbStats(
+      streams.size.toLong, views.size.toLong, transforms.size.toLong,
+      streamBatches.values.sum, qs.map(_.groupsOut).sum,
+      qs.map(_.errors).sum, qs.map(_.execMs).sum)).toDF()
+  }
+
+  /** Engine version string (reference pipelinedb.version()). */
+  def version: String = ContViewEngine.Version
+
+  /** The worker-side plan a CV runs per micro-batch (reference
+    * pipelinedb.get_worker_querydef): group keys + partial-state columns.
+    */
+  def workerQueryDef(name: String): String = {
+    val h = views(name)
+    val states = h.plan.aggs.flatMap(_.states.map(_._1))
+    s"WORKER ${h.plan.name}: batch -> GROUP BY (${h.plan.stateKeys.mkString(", ")}) " +
+      s"-> partial states (${states.mkString(", ")})"
+  }
+
+  /** The combiner-side merge plan (reference get_combiner_querydef):
+    * per-state merge aggregates applied against the stored groups.
+    */
+  def combinerQueryDef(name: String): String = {
+    val h = views(name)
+    s"COMBINER ${h.plan.name}: MERGE state ON (${h.plan.stateKeys.mkString(", ")}) " +
+      s"USING (${h.plan.reAggs.map(_._1).mkString(", ")}) -> overlay finalize " +
+      s"(${h.plan.aggs.map(_.name).mkString(", ")})"
+  }
+
+  /** COPY FROM: bulk-load a file directly into a stream (reference copy.c,
+    * commands.c:201-217) — any Spark DataSource format.
+    */
+  def copyInto(streamName: String, path: String, format: String = "parquet",
+      options: Map[String, String] = Map.empty): Unit = {
+    val df = exec.read.format(format).options(options).load(path)
+    insertInto(streamName, df)
   }
 
   private def ingestBatch(h: CvHandle, batch: DataFrame): Unit = {
@@ -507,6 +572,18 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
 final case class CqStats(
     name: String, kind: String, batches: Long,
     groupsOut: Long, errors: Long, execMs: Long)
+
+/** Per-stream ingest counters (reference pipelinedb.stream_stats shape). */
+final case class StreamStats(stream: String, batches: Long, readers: Long)
+
+/** Whole-engine summary row (reference pipelinedb.db_stats shape). */
+final case class DbStats(
+    streams: Long, views: Long, transforms: Long,
+    batches: Long, groupsOut: Long, errors: Long, execMs: Long)
+
+object ContViewEngine {
+  val Version = "graft 0.2.0 (spark-native continuous views)"
+}
 
 private object CvPlannerIntervals {
   def seconds(spec: String): Long = {

@@ -122,6 +122,42 @@ object GraftFunctions {
     fn("topk_freqs") { case Seq(c) => TopKFreqs(c) }
     fn("topk") { case Seq(c) => TopKMap(c) }
 
+    // ---- scalar sketch constructors / mutators / printers ----
+    // (reference *_empty / *_add / *_print, sql:1095-2438; empties are
+    // literal serialized states — constant-folded for free)
+    locally {
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      import org.apache.spark.sql.types.BinaryType
+      import graft.sketch._
+      fn("hll_empty") {
+        case Seq() => Literal(HyperLogLog.empty().serialize(), BinaryType)
+        case Seq(p) => Literal(HyperLogLog.empty(intLit(p)).serialize(), BinaryType)
+      }
+      fn("bloom_empty") {
+        case Seq() => Literal(BloomFilter.empty().serialize(), BinaryType)
+        case Seq(p, n) => Literal(BloomFilter.empty(dblLit(p), intLit(n)).serialize(), BinaryType)
+      }
+      fn("freq_empty") {
+        case Seq() => Literal(CountMinSketch.empty().serialize(), BinaryType)
+        case Seq(eps, conf) =>
+          Literal(CountMinSketch.empty(dblLit(eps), dblLit(conf)).serialize(), BinaryType)
+      }
+      fn("dist_empty") {
+        case Seq() => Literal(TDigest.empty().serialize(), BinaryType)
+        case Seq(c) => Literal(TDigest.empty(dblLit(c)).serialize(), BinaryType)
+      }
+      fn("topk_empty") {
+        case Seq() => Literal(SpaceSaving.empty().serialize(), BinaryType)
+        case Seq(k) => Literal(SpaceSaving.empty(intLit(k)).serialize(), BinaryType)
+      }
+      Seq("hll", "bloom", "freq", "dist", "topk").foreach { kind =>
+        fn(s"${kind}_add") { case Seq(s, v) => SketchAdd(s, v, kind) }
+        fn(s"${kind}_print") { case Seq(s) => SketchPrint(s, kind) }
+      }
+      // reference name for the topk mutator
+      fn("topk_increment") { case Seq(s, v) => SketchAdd(s, v, "topk") }
+    }
+
     // date_round(ts, interval): floor to an arbitrary interval — the
     // reference's bucketing primitive (miscutils.c:305-331). Accepts an
     // INTERVAL literal, a '5 minutes' string, or integer seconds.

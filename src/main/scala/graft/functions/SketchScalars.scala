@@ -132,3 +132,79 @@ case class TopKMap(child: Expression)
   }
   override protected def withNewChildInternal(c: Expression): TopKMap = copy(child = c)
 }
+
+/** Scalar sketch mutators: <sketch>_add(state, value) — add one element to
+  * a serialized state outside aggregation (reference hll_add, bloom_add,
+  * freq_add, dist_add, topk_increment — sql:1095-2438). A NULL state means
+  * "start from an empty sketch" (reference behavior); a NULL value returns
+  * the state unchanged. The matching <sketch>_empty() constructors are
+  * registered as plain binary literals of the serialized empty state.
+  */
+case class SketchAdd(left: Expression, right: Expression, kind: String)
+    extends BinaryExpression with CodegenFallback {
+  override def prettyName: String = s"${kind}_add"
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val state = left.eval(input)
+    val value = right.eval(input)
+    if (value == null && state != null) return state
+    val bytes = Option(state).map(_.asInstanceOf[Array[Byte]])
+    kind match {
+      case "hll" =>
+        val s = bytes.map(HyperLogLog.deserialize).getOrElse(HyperLogLog.empty())
+        if (value != null) s.add(value)
+        s.serialize()
+      case "bloom" =>
+        val s = bytes.map(BloomFilter.deserialize).getOrElse(BloomFilter.empty())
+        if (value != null) s.add(value)
+        s.serialize()
+      case "freq" =>
+        val s = bytes.map(CountMinSketch.deserialize).getOrElse(CountMinSketch.empty())
+        if (value != null) s.add(value)
+        s.serialize()
+      case "dist" =>
+        val s = bytes.map(TDigest.deserialize).getOrElse(TDigest.empty())
+        if (value != null) s.add(SketchAgg.toDouble(value))
+        s.serialize()
+      case "topk" =>
+        val s = bytes.map(SpaceSaving.deserialize).getOrElse(SpaceSaving.empty())
+        if (value != null) s.add(value)
+        s.serialize()
+    }
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SketchAdd =
+    copy(left = l, right = r)
+}
+
+/** <sketch>_print(state) → compact text description (reference *_print). */
+case class SketchPrint(child: Expression, kind: String)
+    extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = s"${kind}_print"
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any = {
+    val bytes = v.asInstanceOf[Array[Byte]]
+    val txt = kind match {
+      case "hll" =>
+        val s = HyperLogLog.deserialize(bytes)
+        s"hll { cardinality: ${s.cardinality}, bytes: ${bytes.length} }"
+      case "bloom" =>
+        val s = BloomFilter.deserialize(bytes)
+        s"bloom { cardinality: ${s.cardinality}, bytes: ${bytes.length} }"
+      case "freq" =>
+        val s = CountMinSketch.deserialize(bytes)
+        s"cmsketch { total: ${s.total}, bytes: ${bytes.length} }"
+      case "dist" =>
+        val s = TDigest.deserialize(bytes)
+        s"tdigest { p50: ${s.quantile(0.5)}, bytes: ${bytes.length} }"
+      case "topk" =>
+        val s = SpaceSaving.deserialize(bytes)
+        val entries = s.topK.map { case (b, c, _) =>
+          s"${new String(b, "UTF-8")}:$c"
+        }.mkString(", ")
+        s"topk { $entries }"
+    }
+    UTF8String.fromString(txt)
+  }
+  override protected def withNewChildInternal(c: Expression): SketchPrint = copy(child = c)
+}

@@ -102,6 +102,33 @@ class CvSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("monitoring views, querydefs, version, COPY FROM (stats.c / copy.c)") {
+    val eng = newEngine()
+    eng.createStream("s_mon", streamSchema)
+    eng.createContView("v_mon", "SELECT key, count(*) AS n FROM s_mon GROUP BY key",
+      emitChanges = false)
+    eng.insertInto("s_mon", mkBatch(allRows.take(400)))
+    // COPY FROM: bulk-load a parquet file into the stream
+    val dir = java.nio.file.Files.createTempDirectory("graft_copy").toString + "/in"
+    mkBatch(allRows.slice(400, 800)).write.parquet(dir)
+    eng.copyInto("s_mon", dir)
+    val got = asMap(eng.overlay("v_mon"))
+    val expect = asMap(mkBatch(allRows.take(800)).groupBy("key").agg(count(lit(1)).as("n")))
+    assert(got == expect)
+
+    val qs = eng.stats().collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(qs("v_mon") == 2) // two batches
+    val ss = eng.streamStats().collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(ss.exists { case (s, b, rd) => s == "s_mon" && b == 2 && rd == 1 })
+    assert(eng.streamReaders().collect().map(r => (r.getString(0), r.getString(1)))
+      .contains(("s_mon", "v_mon")))
+    val db = eng.dbStats().collect()(0)
+    assert(db.getLong(0) >= 1 && db.getLong(3) >= 2)
+    assert(eng.version.nonEmpty)
+    assert(eng.workerQueryDef("v_mon").contains("GROUP BY (key)"))
+    assert(eng.combinerQueryDef("v_mon").contains("MERGE state ON (key)"))
+  }
+
   test("exact aggregate battery: incremental == single-shot (user_combine.sql)") {
     val eng = newEngine()
     eng.createStream("s2", streamSchema)

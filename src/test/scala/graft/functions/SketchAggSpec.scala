@@ -192,6 +192,27 @@ class SketchAggSpec extends AnyFunSuite {
     }
   }
 
+  test("sketch scalar constructors/mutators/printers (*_empty, *_add, *_print)") {
+    val r = spark.sql(
+      """SELECT hll_cardinality(hll_add(hll_add(hll_empty(), 'a'), 'b')) AS hc,
+        |       bloom_contains(bloom_add(bloom_empty(), 'x'), 'x') AS bc,
+        |       bloom_contains(bloom_add(CAST(NULL AS BINARY), 'x'), 'y') AS bn,
+        |       freq(freq_add(freq_add(freq_empty(), 7), 7), 7) AS f7,
+        |       dist_quantile(dist_add(dist_add(dist_add(dist_empty(), 1.0), 2.0), 3.0), 0.5) AS dq,
+        |       topk(topk_increment(topk_add(topk_empty(3), 'u'), 'u')) AS tk,
+        |       hll_print(hll_add(hll_empty(), 'a')) AS hp,
+        |       topk_print(topk_add(topk_empty(3), 'v')) AS tp
+        |""".stripMargin).collect()(0)
+    assert(r.getLong(0) == 2L)
+    assert(r.getBoolean(1))
+    assert(!r.getBoolean(2))
+    assert(r.getLong(3) == 2L)
+    assert(math.abs(r.getDouble(4) - 2.0) < 1e-9)
+    assert(r.getMap[String, Long](5).toMap == Map("u" -> 2L))
+    assert(r.getString(6).startsWith("hll {"))
+    assert(r.getString(7).contains("v:1"))
+  }
+
   test("json_object_agg tolerates duplicate keys (greatest value wins)") {
     Seq(("a", "k1", 1L), ("a", "k1", 5L), ("a", "k2", 2L), ("b", "k3", 7L))
       .toDF("g", "k", "v").createOrReplaceTempView("joa_t")
