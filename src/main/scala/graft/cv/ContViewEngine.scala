@@ -133,6 +133,11 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
             createContTransform(fields("name"), fields("payload"),
               sinkStream = Option(fields("sink")).filter(_.nonEmpty),
               emitChanges = fields("changes").toBoolean)
+          case "activate" => activate(fields("name"))
+          case "deactivate" => deactivate(fields("name"))
+          case "set_ttl" =>
+            setTtl(fields("name"), Option(fields("ttl")).filter(_.nonEmpty),
+              Option(fields("ttlColumn")).filter(_.nonEmpty))
           case _ => ()
         }
       }
@@ -228,13 +233,31 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     }.getOrElse(transforms(name))
   }
 
+  /** activate/deactivate persist across restarts (the reference stores the
+    * active flag in its cont_query catalog row).
+    */
   def activate(name: String): Unit = {
     views.get(name).foreach(h => views(name) = h.copy(active = true))
     transforms.get(name).foreach(h => transforms(name) = h.copy(active = true))
+    appendCatalog(CatalogEntry("activate", name, "", "", "", 0, "", "", "", changes = false))
   }
   def deactivate(name: String): Unit = {
     views.get(name).foreach(h => views(name) = h.copy(active = false))
     transforms.get(name).foreach(h => transforms(name) = h.copy(active = false))
+    appendCatalog(CatalogEntry("deactivate", name, "", "", "", 0, "", "", "", changes = false))
+  }
+
+  /** pipelinedb.set_ttl(cv, ttl, ttl_column): change (or clear) a CV's TTL
+    * at runtime; the reaper (`expireTtl`) picks it up on its next pass.
+    */
+  def setTtl(name: String, ttl: Option[String], ttlColumn: Option[String] = None): Unit = {
+    val h = views(name)
+    val opts = h.plan.options.copy(
+      ttl = ttl,
+      ttlColumn = ttlColumn.orElse(h.plan.options.ttlColumn))
+    views(name) = h.copy(plan = h.plan.copy(options = opts))
+    appendCatalog(CatalogEntry("set_ttl", name, "", "", "", 0,
+      ttl.getOrElse(""), opts.ttlColumn.getOrElse(""), "", changes = false))
   }
 
   def truncateContView(name: String): Unit = views(name).store.truncate()
@@ -540,7 +563,16 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     }
     val cutoff = now.map(ts => lit(ts)).getOrElse(current_timestamp()) -
       expr(s"INTERVAL $seconds SECOND")
-    views(name).store.deleteWhere(col(ttlCol) < cutoff)
+    // the ttl column may be a state key (bucket / group column, referenced
+    // directly) or an aggregate output (e.g. max(ts) AS latest — referenced
+    // through its finalizer over the stored state columns)
+    val ttlColExpr =
+      if (h.plan.stateKeys.contains(ttlCol)) col(ttlCol)
+      else h.plan.aggs.find(_.name == ttlCol)
+        .map(a => a.buildFinal(a.states.map(st => col(st._1))))
+        .getOrElse(throw new IllegalArgumentException(
+          s"ttl_column '$ttlCol' is neither a group key nor an output of CV $name"))
+    views(name).store.deleteWhere(ttlColExpr < cutoff)
   }
 
   /** Structured Streaming driver for a CV: every micro-batch runs the same

@@ -129,6 +129,47 @@ class CvSpec extends AnyFunSuite {
     assert(eng.combinerQueryDef("v_mon").contains("MERGE state ON (key)"))
   }
 
+  test("crash recovery: streaming restart from checkpoint is exactly-once (test_crash_recovery.py)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_rec").toString
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_src").toString + "/in"
+    val eng1 = new ContViewEngine(spark, root)
+    eng1.createStream("s_rec", streamSchema)
+    eng1.createContView("v_rec",
+      "SELECT key, count(*) AS n FROM s_rec GROUP BY key", emitChanges = false)
+    mkBatch(allRows.take(500)).write.mode("append").parquet(srcDir)
+    val srcSchema = mkBatch(allRows.take(1)).schema
+    val q1 = eng1.startStreaming("v_rec", spark.readStream.schema(srcSchema).parquet(srcDir))
+    q1.processAllAvailable()
+    q1.stop()
+    // "crash": more data lands while the query is down
+    mkBatch(allRows.slice(500, 900)).write.mode("append").parquet(srcDir)
+    val eng2 = new ContViewEngine(spark, root) // catalog replay, state preserved
+    val q2 = eng2.startStreaming("v_rec", spark.readStream.schema(srcSchema).parquet(srcDir))
+    q2.processAllAvailable()
+    q2.stop()
+    val got = asMap(eng2.overlay("v_rec"))
+    val expect = asMap(mkBatch(allRows.take(900)).groupBy("key").agg(count(lit(1)).as("n")))
+    assert(got == expect) // files before the crash are not re-applied, later ones are
+  }
+
+  test("set_ttl changes reaping at runtime and persists across restart (ttl_expiration.sql)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ttl2").toString
+    val eng = new ContViewEngine(spark, root)
+    eng.createStream("s_st", streamSchema)
+    eng.createContView("v_st",
+      "SELECT key, max(ts) AS latest, count(*) AS n FROM s_st GROUP BY key",
+      emitChanges = false)
+    eng.insertInto("s_st", mkBatch(allRows.take(1000)))
+    // no ttl yet: expireTtl is a no-op
+    eng.expireTtl("v_st", Some(tAt(5000)))
+    assert(eng.overlay("v_st").count() > 0)
+    eng.setTtl("v_st", Some("600 seconds"), Some("latest"))
+    val eng2 = new ContViewEngine(spark, root) // set_ttl survives restart
+    eng2.expireTtl("v_st", Some(tAt(5000)))   // rows older than t+4400 only
+    val left = eng2.overlay("v_st")
+    assert(left.count() == left.where(col("latest") > lit(tAt(4400))).count())
+  }
+
   test("exact aggregate battery: incremental == single-shot (user_combine.sql)") {
     val eng = newEngine()
     eng.createStream("s2", streamSchema)
