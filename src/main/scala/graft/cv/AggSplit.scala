@@ -23,9 +23,63 @@ import graft.functions.GraftFunctions
 final case class AggSplit(
     partial: Column,
     reAgg: Column => Column,
-    finalizer: Column => Column)
+    finalizer: Column => Column,
+    // serializable descriptor ("avg", "string_agg:,", "topk:3", …) stamped
+    // into the state column's metadata so SQL-level combine() can rebuild
+    // the merge+finalize pair from a bare stored column — the Spark-native
+    // counterpart of the reference's pipelinedb.combine catalog lookup
+    // (RewriteCombineAggs, analyzer.c:4446-4615)
+    kind: String = "") {
+  def withKind(k: String): AggSplit = copy(kind = k)
+}
 
 object AggSplit {
+
+  /** Rebuild the (reAgg, finalizer) pair from a kind descriptor. The input
+    * column is irrelevant — merge and finalize operate on stored state.
+    */
+  def resolve(kind: String): AggSplit = {
+    val parts = kind.split(":", 2)
+    val d = lit(null)
+    parts(0) match {
+      case "count" => count(None)
+      case "sum" => sumOf(d)
+      case "min" => minOf(d)
+      case "max" => maxOf(d)
+      case "avg" => avgOf(d)
+      case "var_samp" => varSamp(d)
+      case "var_pop" => varPop(d)
+      case "stddev_samp" => stddevSamp(d)
+      case "stddev_pop" => stddevPop(d)
+      case "corr" => corrOf(d, d)
+      case "covar_pop" => covarPop(d, d)
+      case "covar_samp" => covarSamp(d, d)
+      case "regr_count" => regrCount(d, d)
+      case "regr_avgx" => regrAvgX(d, d)
+      case "regr_avgy" => regrAvgY(d, d)
+      case "regr_sxx" => regrSXX(d, d)
+      case "regr_syy" => regrSYY(d, d)
+      case "regr_sxy" => regrSXY(d, d)
+      case "regr_slope" => regrSlope(d, d)
+      case "regr_intercept" => regrIntercept(d, d)
+      case "regr_r2" => regrR2(d, d)
+      case "string_agg" => stringAgg(d, if (parts.length > 1) parts(1) else "")
+      case "hll_count_distinct" => hllCountDistinct(d)
+      case "hll" => hllAgg(d)
+      case "bloom" => bloomAgg(d)
+      case "freq" => freqAgg(d)
+      case "dist" => distAgg(d)
+      case "topk" => topkAgg(d, parts(1).toInt)
+      case "set_agg" => setAgg(d)
+      case "array_agg" => arrayAgg(d)
+      case "keyed_min" => keyedMin(d, d)
+      case "keyed_max" => keyedMax(d, d)
+      case "percentile_cont" => percentileCont(d, parts(1).toDouble)
+      case "first_values" => firstValues(d, parts(1).toInt)
+      case other => throw new IllegalArgumentException(
+        s"combine(): unknown stored-state kind '$other'")
+    }
+  }
 
   /** count(*) / count(x) → bigint state, merged by sum. */
   def count(c: Option[Column]): AggSplit = AggSplit(

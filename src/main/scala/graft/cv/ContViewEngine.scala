@@ -540,6 +540,18 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     h.plan.workerPartials(exec, empty).limit(0)
   }
 
+  /** The raw materialization table (reference `<cv>_mrel`): group keys +
+    * partial-state columns, each state column tagged with its combine-kind
+    * metadata — so SQL `combine(col)` re-aggregates it at any grouping
+    * (matrels_writable read parity).
+    */
+  def stateOf(name: String): DataFrame =
+    // rebound onto the caller's session so temp views registered from it
+    // resolve in caller SQL
+    org.apache.spark.sql.GraftBridge.ofRows(spark,
+      org.apache.spark.sql.GraftBridge.analyzed(
+        views(name).store.read().getOrElse(emptyState(views(name)))))
+
   /** The output stream (output_of('cv')): all (old, new, delta) changes. */
   def outputOf(name: String): Option[DataFrame] = {
     val dir = s"$root/$name/changes"

@@ -22,6 +22,9 @@ import scala.collection.mutable
   */
 object CvPlanner {
 
+  /** Metadata key carrying a state column's combine-kind descriptor. */
+  val CombineKindKey = "graft.combine"
+
   final case class CvOptions(
       sw: Option[String] = None,          // sliding window width, e.g. "1 hour"
       swColumn: String = "arrival_timestamp",
@@ -90,7 +93,13 @@ object CvPlanner {
 
     def workerPartials(spark: SparkSession, batch: DataFrame): DataFrame = {
       val df = bindBatch(spark, batch)
-      val stateCols = aggs.flatMap(a => a.states.map { case (n, sp) => sp.partial.as(n) })
+      // each state column carries its combine-kind as metadata, so any later
+      // reader of the state table can resolve combine() on the bare column
+      val stateCols = aggs.flatMap(a => a.states.map { case (n, sp) =>
+        if (sp.kind.isEmpty) sp.partial.as(n)
+        else sp.partial.as(n, new org.apache.spark.sql.types.MetadataBuilder()
+          .putString(CvPlanner.CombineKindKey, sp.kind).build())
+      })
       df.groupBy(stateKeyCols(df): _*).agg(stateCols.head, stateCols.tail: _*)
     }
 
@@ -351,7 +360,7 @@ object CvPlanner {
     ae.aggregateFunction match {
       case f: Count if ae.isDistinct =>
         // count(DISTINCT x) → hll_count_distinct (analyzer.c:91-106)
-        AggSplit.hllCountDistinct(c(f.children.head))
+        AggSplit.hllCountDistinct(c(f.children.head)).withKind("hll_count_distinct")
       case _ if ae.isDistinct && !ae.aggregateFunction.isInstanceOf[CollectSet] =>
         throw new IllegalArgumentException(
           s"DISTINCT is only supported for count()/set_agg in continuous views " +
@@ -359,50 +368,63 @@ object CvPlanner {
       case f: Count =>
         AggSplit.count(f.children.headOption
           .filterNot(_.foldable) // count(*) arrives as count(1): state is just a row count
-          .map(e => c(e)))
-      case f: Sum => AggSplit.sumOf(c(f.child))
-      case f: Min => AggSplit.minOf(c(f.child))
-      case f: Max => AggSplit.maxOf(c(f.child))
-      case f: Average => AggSplit.avgOf(c(f.child))
-      case f: VarianceSamp => AggSplit.varSamp(c(f.child))
-      case f: VariancePop => AggSplit.varPop(c(f.child))
-      case f: StddevSamp => AggSplit.stddevSamp(c(f.child))
-      case f: StddevPop => AggSplit.stddevPop(c(f.child))
-      case f: Corr => AggSplit.corrOf(c(f.y), c(f.x))
-      case f: CovPopulation => AggSplit.covarPop(c(f.left), c(f.right))
-      case f: CovSample => AggSplit.covarSamp(c(f.left), c(f.right))
-      case f: RegrCount => AggSplit.regrCount(c(f.children(0)), c(f.children(1)))
-      case f: RegrAvgX => AggSplit.regrAvgX(c(f.children(0)), c(f.children(1)))
-      case f: RegrAvgY => AggSplit.regrAvgY(c(f.children(0)), c(f.children(1)))
-      case f: RegrSXX => AggSplit.regrSXX(c(f.children(0)), c(f.children(1)))
-      case f: RegrSYY => AggSplit.regrSYY(c(f.children(0)), c(f.children(1)))
-      case f: RegrSXY => AggSplit.regrSXY(c(f.children(0)), c(f.children(1)))
-      case f: RegrSlope => AggSplit.regrSlope(c(f.children(0)), c(f.children(1)))
-      case f: RegrIntercept => AggSplit.regrIntercept(c(f.children(0)), c(f.children(1)))
-      case f: RegrR2 => AggSplit.regrR2(c(f.children(0)), c(f.children(1)))
+          .map(e => c(e))).withKind("count")
+      case f: Sum => AggSplit.sumOf(c(f.child)).withKind("sum")
+      case f: Min => AggSplit.minOf(c(f.child)).withKind("min")
+      case f: Max => AggSplit.maxOf(c(f.child)).withKind("max")
+      case f: Average => AggSplit.avgOf(c(f.child)).withKind("avg")
+      case f: VarianceSamp => AggSplit.varSamp(c(f.child)).withKind("var_samp")
+      case f: VariancePop => AggSplit.varPop(c(f.child)).withKind("var_pop")
+      case f: StddevSamp => AggSplit.stddevSamp(c(f.child)).withKind("stddev_samp")
+      case f: StddevPop => AggSplit.stddevPop(c(f.child)).withKind("stddev_pop")
+      case f: Corr => AggSplit.corrOf(c(f.y), c(f.x)).withKind("corr")
+      case f: CovPopulation => AggSplit.covarPop(c(f.left), c(f.right)).withKind("covar_pop")
+      case f: CovSample => AggSplit.covarSamp(c(f.left), c(f.right)).withKind("covar_samp")
+      case f: RegrCount =>
+        AggSplit.regrCount(c(f.children(0)), c(f.children(1))).withKind("regr_count")
+      case f: RegrAvgX =>
+        AggSplit.regrAvgX(c(f.children(0)), c(f.children(1))).withKind("regr_avgx")
+      case f: RegrAvgY =>
+        AggSplit.regrAvgY(c(f.children(0)), c(f.children(1))).withKind("regr_avgy")
+      case f: RegrSXX =>
+        AggSplit.regrSXX(c(f.children(0)), c(f.children(1))).withKind("regr_sxx")
+      case f: RegrSYY =>
+        AggSplit.regrSYY(c(f.children(0)), c(f.children(1))).withKind("regr_syy")
+      case f: RegrSXY =>
+        AggSplit.regrSXY(c(f.children(0)), c(f.children(1))).withKind("regr_sxy")
+      case f: RegrSlope =>
+        AggSplit.regrSlope(c(f.children(0)), c(f.children(1))).withKind("regr_slope")
+      case f: RegrIntercept =>
+        AggSplit.regrIntercept(c(f.children(0)), c(f.children(1))).withKind("regr_intercept")
+      case f: RegrR2 =>
+        AggSplit.regrR2(c(f.children(0)), c(f.children(1))).withKind("regr_r2")
       case f: ListAgg =>
         val delim = f.delimiter.eval(null) match {
           case null => ""
           case s => s.toString
         }
-        AggSplit.stringAgg(c(f.child), delim)
-      case f: CollectSet => AggSplit.setAgg(c(f.child))
-      case f: CollectList => AggSplit.arrayAgg(c(f.child))
-      case f: MaxBy => AggSplit.keyedMax(c(f.orderingExpr), c(f.valueExpr))
-      case f: MinBy => AggSplit.keyedMin(c(f.orderingExpr), c(f.valueExpr))
-      case f: graft.functions.HllAgg => AggSplit.hllAgg(c(f.child))
-      case f: graft.functions.HllCountDistinct => AggSplit.hllCountDistinct(c(f.child))
-      case f: graft.functions.BloomAgg => AggSplit.bloomAgg(c(f.child))
-      case f: graft.functions.FreqAgg => AggSplit.freqAgg(c(f.child))
-      case f: graft.functions.DistAgg => AggSplit.distAgg(c(f.child))
-      case f: graft.functions.TopKAgg => AggSplit.topkAgg(c(f.child), f.k)
+        AggSplit.stringAgg(c(f.child), delim).withKind(s"string_agg:$delim")
+      case f: CollectSet => AggSplit.setAgg(c(f.child)).withKind("set_agg")
+      case f: CollectList => AggSplit.arrayAgg(c(f.child)).withKind("array_agg")
+      case f: MaxBy =>
+        AggSplit.keyedMax(c(f.orderingExpr), c(f.valueExpr)).withKind("keyed_max")
+      case f: MinBy =>
+        AggSplit.keyedMin(c(f.orderingExpr), c(f.valueExpr)).withKind("keyed_min")
+      case f: graft.functions.HllAgg => AggSplit.hllAgg(c(f.child)).withKind("hll")
+      case f: graft.functions.HllCountDistinct =>
+        AggSplit.hllCountDistinct(c(f.child)).withKind("hll_count_distinct")
+      case f: graft.functions.BloomAgg => AggSplit.bloomAgg(c(f.child)).withKind("bloom")
+      case f: graft.functions.FreqAgg => AggSplit.freqAgg(c(f.child)).withKind("freq")
+      case f: graft.functions.DistAgg => AggSplit.distAgg(c(f.child)).withKind("dist")
+      case f: graft.functions.TopKAgg =>
+        AggSplit.topkAgg(c(f.child), f.k).withKind(s"topk:${f.k}")
       case f: Percentile =>
         val q = f.percentageExpression.eval(null) match {
           case d: Double => d
           case dec: org.apache.spark.sql.types.Decimal => dec.toDouble
           case other => other.toString.toDouble
         }
-        AggSplit.percentileCont(c(f.child), q)
+        AggSplit.percentileCont(c(f.child), q).withKind(s"percentile_cont:$q")
       case other =>
         throw new IllegalArgumentException(
           s"aggregate '${other.prettyName}' has no streaming (combinable) variant yet")

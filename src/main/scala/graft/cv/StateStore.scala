@@ -142,7 +142,11 @@ final class StateStore(
       case None => up
       case Some(ex) =>
         val exB = ex.withColumn(BucketCol, bucketOf)
-        val stateCols = reAgg.map { case (name, agg) => agg(col(name)).as(name) }
+        // preserve state-column metadata (combine-kind tags) across merges
+        val metaByName = updates.schema.fields.map(f => f.name -> f.metadata).toMap
+        val stateCols = reAgg.map { case (name, agg) =>
+          agg(col(name)).as(name, metaByName(name))
+        }
         exB.select(up.columns.map(col): _*).unionByName(up)
           .groupBy((keyCols :+ BucketCol).map(col): _*)
           .agg(stateCols.head, stateCols.tail: _*)

@@ -122,6 +122,28 @@ object GraftFunctions {
     fn("topk_freqs") { case Seq(c) => TopKFreqs(c) }
     fn("topk") { case Seq(c) => TopKMap(c) }
 
+    // combine(stateCol): merge stored partial states and finalize — the
+    // user-facing re-aggregation over matrel columns (reference
+    // RewriteCombineAggs, analyzer.c:4446-4615). Resolution is metadata-
+    // driven: the CV planner stamps every state column with its combine-kind
+    // (CvPlanner.CombineKindKey), parquet round-trips the tag, and this
+    // builder rebuilds the merge aggregate + finalizer from it. Function
+    // resolution runs only once children are resolved, so the attribute's
+    // metadata is available here.
+    fn("combine") { case Seq(attr) =>
+      import org.apache.spark.sql.catalyst.expressions.AttributeReference
+      val kindKey = graft.cv.CvPlanner.CombineKindKey
+      val kind = attr match {
+        case a: AttributeReference if a.metadata.contains(kindKey) =>
+          a.metadata.getString(kindKey)
+        case other => throw new IllegalArgumentException(
+          s"combine() requires a stored continuous-view state column " +
+            s"(no '$kindKey' metadata on ${other.sql})")
+      }
+      val split = graft.cv.AggSplit.resolve(kind)
+      GraftBridge.toExpression(split.finalizer(split.reAgg(col(attr))))
+    }
+
     // ---- scalar sketch constructors / mutators / printers ----
     // (reference *_empty / *_add / *_print, sql:1095-2438; empties are
     // literal serialized states — constant-folded for free)

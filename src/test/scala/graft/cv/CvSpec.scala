@@ -170,6 +170,31 @@ class CvSpec extends AnyFunSuite {
     assert(left.count() == left.where(col("latest") > lit(tAt(4400))).count())
   }
 
+  test("SQL combine() over bare state columns via metadata (user_combine.sql)") {
+    val eng = newEngine()
+    eng.createStream("s_cmb", streamSchema)
+    eng.createContView("v_cmb",
+      """SELECT key, count(*) AS n, avg(v) AS av, count(DISTINCT x) AS nd
+        |FROM s_cmb GROUP BY key""".stripMargin, emitChanges = false)
+    allRows.take(1500).grouped(500).foreach(c => eng.insertInto("s_cmb", mkBatch(c)))
+    // the matrel read back from parquet still carries the combine-kind tags
+    eng.stateOf("v_cmb").createOrReplaceTempView("v_cmb_mrel")
+    val got = spark.sql(
+      """SELECT combine(__state_n) AS n, round(combine(__state_av), 6) AS av,
+        |       combine(__state_nd) AS nd
+        |FROM v_cmb_mrel""".stripMargin).collect()(0)
+    val exp = mkBatch(allRows.take(1500))
+      .agg(count(lit(1)).as("n"), round(avg("v"), 6).as("av"),
+        countDistinct(col("x")).as("nd")).collect()(0)
+    assert(got.getLong(0) == exp.getLong(0))
+    assert(math.abs(got.getDouble(1) - exp.getDouble(1)) < 1e-9)
+    assert(got.getLong(2) == exp.getLong(2))
+    // combine() on a non-state column is rejected
+    intercept[Exception] {
+      spark.sql("SELECT combine(key) FROM v_cmb_mrel").collect()
+    }
+  }
+
   test("exact aggregate battery: incremental == single-shot (user_combine.sql)") {
     val eng = newEngine()
     eng.createStream("s2", streamSchema)
