@@ -558,6 +558,27 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     if (Files.exists(Paths.get(dir))) Some(exec.read.parquet(dir)) else None
   }
 
+  /** combine((delta).col) over a CV's output stream: merge the partial-state
+    * deltas at a coarser grouping and finalize — hierarchical rollups
+    * without re-reading raw data (reference delta_streams.sql:7-58,
+    * analyze_osrel_combine).
+    */
+  def combineOutputDeltas(name: String, coarserKeys: Seq[String]): DataFrame = {
+    val h = views(name)
+    val changes = outputOf(name).getOrElse(
+      throw new IllegalStateException(s"CV $name has no output stream"))
+    // flatten the delta struct back into state-named columns, then reuse the
+    // normal merge+finalize path
+    val flat = changes.select((coarserKeys.map(col) ++ h.plan.aggs.flatMap(a =>
+      a.states match {
+        case Seq((only, _)) => Seq(col(s"delta.${a.name}").as(only))
+        case many => many.map { case (n, _) =>
+          col(s"delta.${n.stripPrefix("__state_")}").as(n)
+        }
+      })): _*)
+    combineState(h, flat, coarserKeys)
+  }
+
   /** TTL reaper pass (reaper.c:49-352): delete state older than ttl. */
   def expireTtl(name: String, now: Option[java.sql.Timestamp] = None): Unit = {
     val h = views(name)
