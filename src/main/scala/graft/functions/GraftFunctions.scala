@@ -116,6 +116,7 @@ object GraftFunctions {
     fn("topk_agg") {
       case Seq(c) => TopKAgg(c)
       case Seq(c, k) => TopKAgg(c, intLit(k))
+      case Seq(c, k, w) => TopKWeightedAgg(Seq(c, w), intLit(k)) // weighted variant
     }
     fn("topk_merge_agg") { case Seq(c) => TopKMergeAgg(c) }
     fn("topk_values") { case Seq(c) => TopKValues(c) }
@@ -256,6 +257,7 @@ object GraftFunctions {
       // bucket_agg + inspectors (aggfuncs.c:462-987)
       fn("bucket_agg") { exprs => BucketAgg(exprs) }
       fn("bucket_cardinalities") { case Seq(c) => BucketCardinalities(c) }
+      fn("bucket_cardinality") { case Seq(c, id) => BucketCardinalityAt(c, id) }
       fn("bucket_ids") { case Seq(c) => BucketIds(c) }
 
       // json aggregate family (json.c / jsonb.c)
@@ -267,11 +269,18 @@ object GraftFunctions {
       // Duplicate keys keep the greatest value per key (sort + last-wins
       // dedup) — deterministic under parallel merge, and dup-tolerant like
       // the reference (which emits arrival-order duplicates in JSON text).
-      fn("json_object_agg") { case Seq(k, v) =>
+      def jsonObjectAgg(k: Expression, v: Expression): Expression =
         org.apache.spark.sql.catalyst.expressions.StructsToJson(
           Map.empty,
           org.apache.spark.sql.catalyst.expressions.MapFromEntries(
             DedupEntriesByKey(new SortArray(aggE(CollectList(CreateStruct(Seq(k, v))))))))
+      fn("json_object_agg") { case Seq(k, v) => jsonObjectAgg(k, v) }
+      // jsonb variants are the same binary-agnostic JSON text here (the
+      // json/jsonb split is a Postgres storage distinction)
+      fn("jsonb_object_agg") { case Seq(k, v) => jsonObjectAgg(k, v) }
+      fn("jsonb_agg") { case Seq(c) =>
+        org.apache.spark.sql.catalyst.expressions.StructsToJson(
+          Map.empty, new SortArray(aggE(CollectList(c))))
       }
     }
   }

@@ -117,6 +117,22 @@ case class BucketCardinalities(child: Expression)
   override protected def withNewChildInternal(c: Expression): BucketCardinalities = copy(child = c)
 }
 
+/** bucket_cardinality(state, bucket_id) → distinct-value count of ONE bucket
+  * (reference bucket_cardinality, sql:2371-2395).
+  */
+case class BucketCardinalityAt(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+  override def prettyName: String = "bucket_cardinality"
+  override def dataType: DataType = LongType
+  override def nullSafeEval(state: Any, id: Any): Any = {
+    val target = id.toString.toDouble.toInt
+    BucketState.deserialize(state.asInstanceOf[Array[Byte]])
+      .cardinalities.find(_._1 == target).map(_._2).getOrElse(0L)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): BucketCardinalityAt =
+    copy(left = l, right = r)
+}
+
 /** bucket_ids(state) → array<int> of occupied buckets (ascending). */
 case class BucketIds(child: Expression)
     extends UnaryExpression with CodegenFallback {

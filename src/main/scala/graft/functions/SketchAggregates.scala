@@ -171,6 +171,38 @@ case class TopKAgg(
   override protected def withNewChildInternal(c: Expression): TopKAgg = copy(child = c)
 }
 
+/** topk_agg(x, k, w) — weighted Filtered-Space-Saving variant (reference
+  * sql:1815-1903 weighted overloads): each row contributes `w` instead of 1.
+  */
+case class TopKWeightedAgg(
+    children: Seq[Expression],
+    k: Int = SpaceSaving.DefaultK,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[SpaceSaving] {
+  require(children.length == 2, "topk_agg(value, k, weight)")
+  override def prettyName: String = "topk_agg"
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+  override def createAggregationBuffer(): SpaceSaving = SpaceSaving.empty(k)
+  override def update(b: SpaceSaving, input: InternalRow): SpaceSaving = {
+    val v = children(0).eval(input)
+    val w = children(1).eval(input)
+    if (v != null && w != null) b.add(v.toString, w.toString.toDouble.toLong)
+    b
+  }
+  override def merge(b: SpaceSaving, o: SpaceSaving): SpaceSaving = b.merge(o)
+  override def eval(b: SpaceSaving): Any = b.serialize()
+  override def serialize(b: SpaceSaving): Array[Byte] = b.serialize()
+  override def deserialize(bytes: Array[Byte]): SpaceSaving = SpaceSaving.deserialize(bytes)
+  override def withNewMutableAggBufferOffset(o: Int): TopKWeightedAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TopKWeightedAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): TopKWeightedAgg =
+    copy(children = c)
+}
+
 /** Buffer for state-merging aggregates: distinguishes "no input yet" from an
   * accumulated sketch so the identity element never needs materializing and
   * non-default sketch parameters are adopted from the first input state.

@@ -213,6 +213,24 @@ class SketchAggSpec extends AnyFunSuite {
     assert(r.getString(7).contains("v:1"))
   }
 
+  test("weighted topk_agg, bucket_cardinality, jsonb aliases") {
+    Seq(("g", "a", 5L), ("g", "b", 2L), ("g", "a", 4L), ("g", "c", 1L))
+      .toDF("g", "v", "w").createOrReplaceTempView("wtk_t")
+    val r = spark.sql(
+      """SELECT topk(topk_agg(v, 2, w)) AS tk,
+        |       jsonb_agg(w) AS ja, jsonb_object_agg(v, w) AS joa
+        |FROM wtk_t GROUP BY g""".stripMargin).collect()(0)
+    assert(r.getMap[String, Long](0).toMap == Map("a" -> 9L, "b" -> 2L))
+    assert(r.getString(1) == "[1,2,4,5]")
+    assert(r.getString(2) == """{"a":5,"b":2,"c":1}""")
+    val bc = spark.sql(
+      """SELECT bucket_cardinality(bucket_agg(v, w), 5) AS c5,
+        |       bucket_cardinality(bucket_agg(v, w), 9) AS c9
+        |FROM wtk_t GROUP BY g""".stripMargin).collect()(0)
+    assert(bc.getLong(0) == 1L) // only 'a' latest-lands in bucket 5? (no ts: larger bucket wins ties)
+    assert(bc.getLong(1) == 0L)
+  }
+
   test("json_object_agg tolerates duplicate keys (greatest value wins)") {
     Seq(("a", "k1", 1L), ("a", "k1", 5L), ("a", "k2", 2L), ("b", "k3", 7L))
       .toDF("g", "k", "v").createOrReplaceTempView("joa_t")
