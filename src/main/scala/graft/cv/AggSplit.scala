@@ -75,6 +75,8 @@ object AggSplit {
       case "keyed_min" => keyedMin(d, d)
       case "keyed_max" => keyedMax(d, d)
       case "percentile_cont" => percentileCont(d, parts(1).toDouble)
+      case "percentile_cont_multi" =>
+        percentileContMulti(d, parts(1).split(",").toSeq.map(_.toDouble))
       case "first_values" => firstValues(d, parts(1).toInt)
       case other => throw new IllegalArgumentException(
         s"combine(): unknown stored-state kind '$other'")
@@ -299,6 +301,26 @@ object AggSplit {
       when(n > 0,
         element_at(s, lo + 1) * (lit(1.0) - frac) + element_at(s, hi + 1) * frac)
     })
+
+  /** percentile_cont over an ARRAY of quantiles — one shared full-sample
+    * state, finalize interpolates each q (reference sql:1503-1602 array
+    * overloads).
+    */
+  def percentileContMulti(c: Column, qs: Seq[Double]): AggSplit = AggSplit(
+    partial = sort_array(collect_list(c.cast("double"))),
+    reAgg = s => sort_array(flatten(collect_list(s))),
+    finalizer = { s =>
+      val n = size(s)
+      val parts = qs.map { q =>
+        val idx = (n - 1).cast("double") * lit(q)
+        val lo = floor(idx).cast("int")
+        val hi = ceil(idx).cast("int")
+        val frac = idx - lo.cast("double")
+        element_at(s, lo + 1) * (lit(1.0) - frac) + element_at(s, hi + 1) * frac
+      }
+      when(n > 0, array(parts: _*))
+    },
+    kind = s"percentile_cont_multi:${qs.mkString(",")}")
 
   /** first_values(n): smallest-n mergeable list. */
   def firstValues(c: Column, n: Int): AggSplit = AggSplit(

@@ -419,12 +419,19 @@ object CvPlanner {
       case f: graft.functions.TopKAgg =>
         AggSplit.topkAgg(c(f.child), f.k).withKind(s"topk:${f.k}")
       case f: Percentile =>
-        val q = f.percentageExpression.eval(null) match {
+        def toD(v: Any): Double = v match {
           case d: Double => d
           case dec: org.apache.spark.sql.types.Decimal => dec.toDouble
           case other => other.toString.toDouble
         }
-        AggSplit.percentileCont(c(f.child), q).withKind(s"percentile_cont:$q")
+        f.percentageExpression.eval(null) match {
+          case arr: org.apache.spark.sql.catalyst.util.ArrayData =>
+            val qs = arr.toObjectArray(org.apache.spark.sql.types.DoubleType).toSeq.map(toD)
+            AggSplit.percentileContMulti(c(f.child), qs)
+          case one =>
+            val q = toD(one)
+            AggSplit.percentileCont(c(f.child), q).withKind(s"percentile_cont:$q")
+        }
       case other =>
         throw new IllegalArgumentException(
           s"aggregate '${other.prettyName}' has no streaming (combinable) variant yet")

@@ -145,6 +145,22 @@ object GraftFunctions {
       GraftBridge.toExpression(split.finalizer(split.reAgg(col(attr))))
     }
 
+    // finalize(stateCol): apply ONLY the finalize step to a stored state
+    // (reference pipelinedb.finalize, miscutils.c:343-466) — same metadata-
+    // driven resolution as combine(), without the merge.
+    fn("finalize") { case Seq(attr) =>
+      import org.apache.spark.sql.catalyst.expressions.AttributeReference
+      val kindKey = graft.cv.CvPlanner.CombineKindKey
+      val kind = attr match {
+        case a: AttributeReference if a.metadata.contains(kindKey) =>
+          a.metadata.getString(kindKey)
+        case other => throw new IllegalArgumentException(
+          s"finalize() requires a stored continuous-view state column " +
+            s"(no '$kindKey' metadata on ${other.sql})")
+      }
+      GraftBridge.toExpression(graft.cv.AggSplit.resolve(kind).finalizer(col(attr)))
+    }
+
     // ---- scalar sketch constructors / mutators / printers ----
     // (reference *_empty / *_add / *_print, sql:1095-2438; empties are
     // literal serialized states — constant-folded for free)

@@ -215,6 +215,30 @@ class CvSpec extends AnyFunSuite {
       rounded(eng.overlay("v_cd")))
   }
 
+  test("array percentile_cont in CV + SQL finalize() (cont_os_agg.sql)") {
+    val eng = newEngine()
+    eng.createStream("s_pc", streamSchema)
+    eng.createContView("v_pc",
+      "SELECT key, percentile(v, array(0.5, 0.9)) AS ps FROM s_pc GROUP BY key",
+      emitChanges = false)
+    allRows.take(1200).grouped(400).foreach(c => eng.insertInto("s_pc", mkBatch(c)))
+    val got = eng.overlay("v_pc").collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val exp = mkBatch(allRows.take(1200)).groupBy("key")
+      .agg(expr("percentile(v, array(0.5, 0.9))").as("ps")).collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    got.foreach { case (k, vs) =>
+      vs.zip(exp(k)).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9, k) }
+    }
+    // finalize(): the finalize step alone over the stored state column
+    eng.stateOf("v_pc").createOrReplaceTempView("v_pc_mrel")
+    val fin = spark.sql("SELECT key, finalize(__state_ps) AS ps FROM v_pc_mrel").collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    fin.foreach { case (k, vs) =>
+      vs.zip(exp(k)).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9, k) }
+    }
+  }
+
   test("exact aggregate battery: incremental == single-shot (user_combine.sql)") {
     val eng = newEngine()
     eng.createStream("s2", streamSchema)
