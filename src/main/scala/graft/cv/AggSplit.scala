@@ -35,6 +35,14 @@ final case class AggSplit(
 
 object AggSplit {
 
+  // kind → split reconstruction for custom (user-registered) combinables,
+  // consulted by resolve() after the built-in kinds
+  private val customKinds =
+    scala.collection.mutable.Map.empty[String, () => AggSplit]
+
+  def registerKind(kind: String, mk: () => AggSplit): Unit =
+    customKinds(kind) = mk
+
   /** Rebuild the (reAgg, finalizer) pair from a kind descriptor. The input
     * column is irrelevant — merge and finalize operate on stored state.
     */
@@ -78,8 +86,9 @@ object AggSplit {
       case "percentile_cont_multi" =>
         percentileContMulti(d, parts(1).split(",").toSeq.map(_.toDouble))
       case "first_values" => firstValues(d, parts(1).toInt)
-      case other => throw new IllegalArgumentException(
-        s"combine(): unknown stored-state kind '$other'")
+      case other => customKinds.get(kind).map(_()).getOrElse(
+        throw new IllegalArgumentException(
+          s"combine(): unknown stored-state kind '$other'"))
     }
   }
 

@@ -25,6 +25,21 @@ object CvPlanner {
   /** Metadata key carrying a state column's combine-kind descriptor. */
   val CombineKindKey = "graft.combine"
 
+  // §2.10 extension point: user-registrable combinable aggregates — the
+  // counterpart of the reference's pipelinedb.combine catalog +
+  // search_for_combine_aggregate (analyzer.c:4181-4330). Keyed by the
+  // aggregate function's prettyName as it appears in the analyzed plan.
+  private val customSplits =
+    mutable.Map.empty[String, AggregateExpression => AggSplit]
+
+  /** Make a custom aggregate usable inside continuous views by supplying
+    * its partial/merge/finalize split. Also registers the split's kind for
+    * SQL combine()/finalize() resolution when the returned AggSplit carries
+    * a non-empty kind.
+    */
+  def registerCombinable(fnName: String, split: AggregateExpression => AggSplit): Unit =
+    customSplits(fnName.toLowerCase) = split
+
   final case class CvOptions(
       sw: Option[String] = None,          // sliding window width, e.g. "1 hour"
       swColumn: String = "arrival_timestamp",
@@ -432,6 +447,8 @@ object CvPlanner {
             val q = toD(one)
             AggSplit.percentileCont(c(f.child), q).withKind(s"percentile_cont:$q")
         }
+      case other if customSplits.contains(other.prettyName.toLowerCase) =>
+        customSplits(other.prettyName.toLowerCase)(ae)
       case other =>
         throw new IllegalArgumentException(
           s"aggregate '${other.prettyName}' has no streaming (combinable) variant yet")

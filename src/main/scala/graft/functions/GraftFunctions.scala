@@ -272,9 +272,23 @@ object GraftFunctions {
 
       // bucket_agg + inspectors (aggfuncs.c:462-987)
       fn("bucket_agg") { exprs => BucketAgg(exprs) }
+      fn("bucket_merge_agg") { case Seq(c) => BucketMergeAgg(c) }
       fn("bucket_cardinalities") { case Seq(c) => BucketCardinalities(c) }
       fn("bucket_cardinality") { case Seq(c, id) => BucketCardinalityAt(c, id) }
       fn("bucket_ids") { case Seq(c) => BucketIds(c) }
+      fn("json_map_merge_agg") { case Seq(c) => JsonMapMergeAgg(c) }
+
+      // Register bucket_agg / json_object_int_sum as combinable inside
+      // continuous views (the reference treats every aggregate this way via
+      // its combine catalog; these two are typed-imperative and so need
+      // explicit merge aggregates). Also the model for USER combinables:
+      // CvPlanner.registerCombinable + AggSplit.registerKind.
+      graft.cv.CvPlanner.registerCombinable("bucket_agg", bucketSplit)
+      graft.cv.AggSplit.registerKind("bucket_agg",
+        () => bucketSplit(null).copy(partial = org.apache.spark.sql.functions.lit(null)))
+      graft.cv.CvPlanner.registerCombinable("json_object_int_sum", jsonIntSumSplit)
+      graft.cv.AggSplit.registerKind("json_object_int_sum",
+        () => jsonIntSumSplit(null).copy(partial = org.apache.spark.sql.functions.lit(null)))
 
       // json aggregate family (json.c / jsonb.c)
       fn("json_object_int_sum") { case Seq(c) => JsonIntSumAgg(c) }
@@ -300,6 +314,27 @@ object GraftFunctions {
       }
     }
   }
+
+  /** bucket_agg as a CV-combinable: partial = the original aggregate's
+    * serialized state, merge = bucket_merge_agg, finalize = identity.
+    */
+  private val bucketSplit
+      : org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression =>
+        graft.cv.AggSplit =
+    ae => graft.cv.AggSplit(
+      partial = if (ae == null) null else col(ae),
+      reAgg = s => agg(BucketMergeAgg(ex(s))),
+      finalizer = identity,
+      kind = "bucket_agg")
+
+  private val jsonIntSumSplit
+      : org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression =>
+        graft.cv.AggSplit =
+    ae => graft.cv.AggSplit(
+      partial = if (ae == null) null else col(ae),
+      reAgg = s => agg(JsonMapMergeAgg(ex(s))),
+      finalizer = identity,
+      kind = "json_object_int_sum")
 
   /** Seconds from an interval-ish literal expression. */
   private def intervalSeconds(e: Expression): Long = e.eval(null) match {

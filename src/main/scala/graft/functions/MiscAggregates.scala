@@ -117,6 +117,79 @@ case class BucketCardinalities(child: Expression)
   override protected def withNewChildInternal(c: Expression): BucketCardinalities = copy(child = c)
 }
 
+/** bucket_merge_agg(state) — merges serialized bucket_agg states (the
+  * combine function that makes bucket_agg a stored-state combinable
+  * aggregate inside continuous views).
+  */
+case class BucketMergeAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[BucketState]
+    with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+  override def prettyName: String = "bucket_merge_agg"
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+  override def createAggregationBuffer(): BucketState = new BucketState
+  override def update(b: BucketState, input: InternalRow): BucketState = {
+    val v = child.eval(input)
+    if (v != null) b.mergeWith(BucketState.deserialize(v.asInstanceOf[Array[Byte]]))
+    b
+  }
+  override def merge(b: BucketState, o: BucketState): BucketState = b.mergeWith(o)
+  override def eval(b: BucketState): Any = b.serialize()
+  override def serialize(b: BucketState): Array[Byte] = b.serialize()
+  override def deserialize(bytes: Array[Byte]): BucketState = BucketState.deserialize(bytes)
+  override def withNewMutableAggBufferOffset(o: Int): BucketMergeAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): BucketMergeAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): BucketMergeAgg = copy(child = c)
+}
+
+/** json_map_merge_agg(map) — merges map<string,bigint> key-sums states (the
+  * combine function for json_object_int_sum in continuous views).
+  */
+case class JsonMapMergeAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[KeySums]
+    with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+  override def prettyName: String = "json_map_merge_agg"
+  override def nullable: Boolean = false
+  override def dataType: DataType = MapType(StringType, LongType, valueContainsNull = false)
+  override def createAggregationBuffer(): KeySums = new KeySums
+  override def update(b: KeySums, input: InternalRow): KeySums = {
+    val v = child.eval(input)
+    if (v != null) {
+      val m = v.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData]
+      val ks = m.keyArray(); val vs = m.valueArray()
+      var i = 0
+      while (i < m.numElements()) {
+        val k = ks.getUTF8String(i).toString
+        b.sums(k) = b.sums.getOrElse(k, 0L) + vs.getLong(i)
+        i += 1
+      }
+    }
+    b
+  }
+  override def merge(b: KeySums, o: KeySums): KeySums = b.mergeWith(o)
+  override def eval(b: KeySums): Any = {
+    val entries = b.sums.toSeq.sortBy(_._1)
+    new ArrayBasedMapData(
+      new GenericArrayData(entries.map(e => UTF8String.fromString(e._1)).toArray[Any]),
+      new GenericArrayData(entries.map(_._2).toArray[Any]))
+  }
+  override def serialize(b: KeySums): Array[Byte] = b.serialize()
+  override def deserialize(bytes: Array[Byte]): KeySums = KeySums.deserialize(bytes)
+  override def withNewMutableAggBufferOffset(o: Int): JsonMapMergeAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): JsonMapMergeAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): JsonMapMergeAgg = copy(child = c)
+}
+
 /** bucket_cardinality(state, bucket_id) → distinct-value count of ONE bucket
   * (reference bucket_cardinality, sql:2371-2395).
   */

@@ -239,6 +239,40 @@ class CvSpec extends AnyFunSuite {
     }
   }
 
+  test("custom combinable aggregates in CVs: bucket_agg + json_object_int_sum (§2.10 registry)") {
+    val eng = newEngine()
+    eng.createStream("s_cust", streamSchema)
+    eng.createContView("v_cust",
+      """SELECT key,
+        |       bucket_agg(x, CAST(pmod(x, 3) AS INT), ts) AS ba,
+        |       json_object_int_sum(concat('{"a":', CAST(pmod(x, 5) AS STRING), '}')) AS js
+        |FROM s_cust GROUP BY key""".stripMargin, emitChanges = false)
+    allRows.take(1200).grouped(400).foreach(c => eng.insertInto("s_cust", mkBatch(c)))
+    val got = eng.overlay("v_cust")
+      .select(col("key"), expr("bucket_cardinalities(ba)").as("bc"),
+        element_at(col("js"), "a").as("a_sum"))
+      .collect().map(r => r.getString(0) -> (r.getMap[Int, Long](1).toMap, r.getLong(2))).toMap
+    mkBatch(allRows.take(1200)).createOrReplaceTempView("cust_full")
+    val exp = spark.sql(
+      """SELECT key, bucket_cardinalities(bucket_agg(x, CAST(pmod(x, 3) AS INT), ts)) AS bc,
+        |       element_at(json_object_int_sum(concat('{"a":', CAST(pmod(x, 5) AS STRING), '}')), 'a') AS a_sum
+        |FROM cust_full GROUP BY key""".stripMargin)
+      .collect().map(r => r.getString(0) -> (r.getMap[Int, Long](1).toMap, r.getLong(2))).toMap
+    assert(got == exp)
+    // SQL combine() over the custom states at a coarser (global) grouping
+    eng.stateOf("v_cust").createOrReplaceTempView("v_cust_mrel")
+    val g = spark.sql(
+      """SELECT bucket_cardinalities(combine(__state_ba)) AS bc,
+        |       element_at(combine(__state_js), 'a') AS a_sum FROM v_cust_mrel""".stripMargin)
+      .collect()(0)
+    val ge = spark.sql(
+      """SELECT bucket_cardinalities(bucket_agg(x, CAST(pmod(x, 3) AS INT), ts)) AS bc,
+        |       element_at(json_object_int_sum(concat('{"a":', CAST(pmod(x, 5) AS STRING), '}')), 'a') AS a_sum
+        |FROM cust_full""".stripMargin).collect()(0)
+    assert(g.getMap[Int, Long](0).toMap == ge.getMap[Int, Long](0).toMap)
+    assert(g.getLong(1) == ge.getLong(1))
+  }
+
   test("exact aggregate battery: incremental == single-shot (user_combine.sql)") {
     val eng = newEngine()
     eng.createStream("s2", streamSchema)
