@@ -91,4 +91,43 @@ object Media {
       .select(col("media_id"), col("format"),
         explode(sequence(lit(0), col("n_frames") - 1,
           lit(math.max(1, every)))).as("frame_idx"))
+
+  /** Feature-extract pass: binary → fixed-dim float vector, the embedding-
+    * extraction shape that feeds the ANN operators. Deterministic stub
+    * features (hash-seeded) in place of a real vision/audio model; the
+    * Spark side — size-aware partitioning, iterator processing, vectors
+    * (not bytes) in the output — is the production shape.
+    */
+  def extractFeatures(
+      df: DataFrame, idCol: String, bytesCol: String, dim: Int = 64,
+      targetPartitionBytes: Long = 64L * 1024 * 1024): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sized = df.select(col(idCol).cast("long").as("media_id"), col(bytesCol).as("bytes"))
+    val totalBytes = sized.agg(sum(length(col("bytes")))).collect()(0).getLong(0) max 1L
+    val parts = math.max(1, math.min(2048, (totalBytes / targetPartitionBytes).toInt + 1))
+    sized.repartition(parts)
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          // STUB: hash-seeded unit-norm vector stands in for model inference
+          val h = graft.sketch.Hashing.murmur128(if (bytes == null) Array.empty else bytes)
+          val v = new Array[Float](dim)
+          var s = h.h1
+          var i = 0
+          var norm = 0.0
+          while (i < dim) {
+            s = graft.sketch.Hashing.fmix64(s + i * h.h2)
+            v(i) = (s.toDouble / Long.MaxValue).toFloat
+            norm += v(i) * v(i)
+            i += 1
+          }
+          val inv = (1.0 / math.sqrt(norm max 1e-12)).toFloat
+          i = 0
+          while (i < dim) { v(i) *= inv; i += 1 }
+          (id, v.toSeq)
+        }
+      }
+      .toDF("media_id", "feature")
+  }
 }

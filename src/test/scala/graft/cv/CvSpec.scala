@@ -273,6 +273,23 @@ class CvSpec extends AnyFunSuite {
     assert(g.getLong(1) == ge.getLong(1))
   }
 
+  test("CV over a subselect (cont_subselect.sql)") {
+    val eng = newEngine()
+    eng.createStream("s_sub", streamSchema)
+    eng.createContView("v_sub",
+      """SELECT k2, count(*) AS n, sum(x2) AS sx FROM
+        |  (SELECT concat(key, '_', CAST(pmod(x, 2) AS STRING)) AS k2, x * 2 AS x2
+        |   FROM s_sub WHERE v > 1.0)
+        |GROUP BY k2""".stripMargin, emitChanges = false)
+    allRows.take(1500).grouped(500).foreach(c => eng.insertInto("s_sub", mkBatch(c)))
+    val got = asMap(eng.overlay("v_sub"))
+    val expect = asMap(mkBatch(allRows.take(1500)).where(col("v") > 1.0)
+      .select(concat(col("key"), lit("_"), pmod(col("x"), lit(2)).cast("string")).as("k2"),
+        (col("x") * 2).as("x2"))
+      .groupBy("k2").agg(count(lit(1)).as("n"), sum("x2").as("sx")))
+    assert(got == expect)
+  }
+
   test("exact aggregate battery: incremental == single-shot (user_combine.sql)") {
     val eng = newEngine()
     eng.createStream("s2", streamSchema)

@@ -129,6 +129,17 @@ class OpsSpec extends AnyFunSuite {
       .join(meta, "media_id")
       .where(col("n") =!= ceil(col("n_frames").cast("double") / 10.0).cast("long"))
     assert(chk.count() == 0)
+    // feature extraction: unit-norm fixed-dim vectors, partition-invariant
+    val feats = Media.extractFeatures(media, "doc_id", "bytes", dim = 16)
+    assert(feats.count() == docs.count())
+    val norms = feats.select(
+      org.apache.spark.sql.functions.aggregate(col("feature"), lit(0.0d),
+        (acc, x) => acc + x.cast("double") * x.cast("double")).as("n2")).collect()
+    norms.foreach(r => assert(math.abs(r.getDouble(0) - 1.0) < 1e-3))
+    val f1 = feats.orderBy("media_id").collect().map(_.getSeq[Float](1))
+    val f2 = Media.extractFeatures(media.repartition(7), "doc_id", "bytes", dim = 16)
+      .orderBy("media_id").collect().map(_.getSeq[Float](1))
+    assert(f1.zip(f2).forall { case (a, b) => a == b })
   }
 
   test("embedding-cosine near-dup finds seeded duplicate vectors") {
