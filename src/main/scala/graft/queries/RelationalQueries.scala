@@ -144,20 +144,26 @@ object RelationalQueries {
           .orderBy("event_type")
     },
 
-    // --- keyed_min_max.sql: argmin/argmax (kv.c) ---
+    // --- keyed_min_max.sql: argmin/argmax (kv.c). Ties on value exist at
+    //     larger SFs, so the ordering key is the (value, event_id) pair on
+    //     the Spark side and the oracle picks the matching extreme id —
+    //     deterministic on both engines. ---
     QDef(
       "q_keyed_min_max",
-      """SELECT event_type,
-        |       min_by(event_id, value) AS argmin_ev,
-        |       max_by(event_id, value) AS argmax_ev,
-        |       round(min(value), 2) AS min_v, round(max(value), 2) AS max_v
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) {
+      """WITH m AS (SELECT event_type, min(value) AS mn, max(value) AS mx
+        |           FROM events GROUP BY event_type)
+        |SELECT e.event_type,
+        |       min(CASE WHEN e.value = m.mn THEN e.event_id END) AS argmin_ev,
+        |       max(CASE WHEN e.value = m.mx THEN e.event_id END) AS argmax_ev,
+        |       round(min(e.value), 2) AS min_v, round(max(e.value), 2) AS max_v
+        |FROM events e JOIN m USING (event_type)
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin) {
       (s, dir) =>
         Tables.events(s, dir)
           .groupBy("event_type")
           .agg(
-            min_by(col("event_id"), col("value")).as("argmin_ev"),
-            max_by(col("event_id"), col("value")).as("argmax_ev"),
+            min_by(col("event_id"), struct(col("value"), col("event_id"))).as("argmin_ev"),
+            max_by(col("event_id"), struct(col("value"), col("event_id"))).as("argmax_ev"),
             round(min("value"), 2).as("min_v"),
             round(max("value"), 2).as("max_v"))
           .orderBy("event_type")
