@@ -402,6 +402,49 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     insertInto(streamName, df)
   }
 
+  // per-CV high-water mark of already-ticked SW buckets (bucket end time)
+  private val swTickMarks = mutable.HashMap.empty[String, java.sql.Timestamp]
+
+  /** SW tick pass (reference combiner.c:992-1141 `tick_sw_groups` +
+    * `project_sw_overlay_into_ostream`): emit expiry rows to the output
+    * stream for step buckets that left the window since the last tick —
+    * `old` carries the bucket's finalized values, `new` is NULL (the bucket
+    * no longer contributes), `delta` carries the expiring partial state so
+    * downstream CVs can retract it.
+    */
+  def tickSw(name: String, now: Option[java.sql.Timestamp] = None): Long = {
+    val h = views(name)
+    val sw = h.plan.sw.getOrElse(
+      throw new IllegalArgumentException(s"CV $name is not a sliding-window view"))
+    require(h.changes, s"CV $name has no output stream (emitChanges=false)")
+    val nowTs = now.getOrElse(new java.sql.Timestamp(System.currentTimeMillis()))
+    val cutoff = new java.sql.Timestamp(nowTs.getTime - sw.windowSeconds * 1000L)
+    val lastMark = swTickMarks.getOrElse(name, new java.sql.Timestamp(0L))
+    val state = h.store.read().getOrElse { swTickMarks(name) = cutoff; return 0L }
+    val expired = state
+      .where(col(sw.bucketCol) <= lit(cutoff) && col(sw.bucketCol) > lit(lastMark))
+      .persist()
+    val n = expired.count()
+    if (n > 0) {
+      val keys = h.plan.stateKeys
+      val oldStruct = struct(h.plan.aggs.map(a =>
+        a.buildFinal(a.states.map(st => col(st._1))).as(a.name)): _*)
+      val deltaStruct = struct(h.plan.aggs.flatMap(a => a.states match {
+        case Seq((only, _)) => Seq(col(only).as(a.name))
+        case many => many.map { case (sn, _) => col(sn).as(sn.stripPrefix("__state_")) }
+      }): _*)
+      val base = expired.select((keys.map(col) :+ oldStruct.as("old") :+
+        deltaStruct.as("delta")): _*)
+      base
+        .withColumn("new", lit(null).cast(base.schema("old").dataType))
+        .withColumn("arrival_timestamp", current_timestamp())
+        .write.mode("append").parquet(s"$root/${h.plan.name}/changes")
+    }
+    expired.unpersist()
+    swTickMarks(name) = cutoff
+    n
+  }
+
   private def ingestBatch(h: CvHandle, batch: DataFrame): Unit = {
     val t0 = System.nanoTime()
     var groups = 0L

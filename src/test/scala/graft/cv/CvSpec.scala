@@ -290,6 +290,28 @@ class CvSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("sliding-window ticks emit expiry deltas to the output stream (combiner.c tick_sw_groups)") {
+    val eng = newEngine()
+    eng.createStream("s_tick", streamSchema)
+    eng.createContView("v_tick",
+      "SELECT key, count(*) AS n FROM s_tick GROUP BY key",
+      CvPlanner.CvOptions(sw = Some("1000 seconds"), swColumn = "ts"))
+    // two epochs: old rows (0..500s) and fresh rows (2000..2500s)
+    eng.insertInto("s_tick", mkBatch(allRows.take(500))) // ts ≈ t0+1..500s
+    eng.insertInto("s_tick",
+      mkBatch(allRows.slice(500, 1000).map { case (k, x, v, _) => (k, x, v, tAt(2400)) }))
+    // at now = t0+2500s the old epoch's buckets are outside the window
+    val ticked = eng.tickSw("v_tick", Some(tAt(2500)))
+    assert(ticked > 0, "expired buckets must tick")
+    val changes = eng.outputOf("v_tick").get
+    val tickRows = changes.where(col("new").isNull && col("old").isNotNull)
+    assert(tickRows.count() == ticked)
+    // ticked counts equal the expired epoch's contribution
+    assert(tickRows.agg(sum(col("old.n"))).collect()(0).getLong(0) == 500L)
+    // a second tick at the same now is a no-op (high-water mark advanced)
+    assert(eng.tickSw("v_tick", Some(tAt(2500))) == 0L)
+  }
+
   test("exact aggregate battery: incremental == single-shot (user_combine.sql)") {
     val eng = newEngine()
     eng.createStream("s2", streamSchema)
