@@ -79,8 +79,20 @@ final class StateStore(
 
   def exists: Boolean = readManifest().isDefined
 
+  // Post-commit snapshot of the full state, persisted lazily: the next
+  // merge (and any overlay read) serves from executor memory instead of
+  // re-listing/re-scanning the bucket dirs. Invalidated by every mutation;
+  // spill-safe (MEMORY_AND_DISK) and bounded by state size, which the
+  // design keeps at O(groups), never O(events).
+  private var cachedState: Option[DataFrame] = None
+
+  private def refreshCache(): Unit = {
+    cachedState.foreach(_.unpersist())
+    cachedState = readBuckets(None).map(_.persist())
+  }
+
   /** Current state as a DataFrame (without the bucket column). */
-  def read(): Option[DataFrame] = readBuckets(None)
+  def read(): Option[DataFrame] = cachedState.orElse(readBuckets(None))
 
   /** State restricted to the given bucket ids (file-level pruning). */
   private def readBuckets(only: Option[Set[Int]]): Option[DataFrame] =
@@ -122,7 +134,9 @@ final class StateStore(
     val groupsTouched = bucketCounts.values.sum
 
     val manifest = readManifest()
-    val existingTouched = readBuckets(Some(touched))
+    val existingTouched = cachedState
+      .map(_.where(bucketOf.isInCollection(touched.map(_.toLong))))
+      .orElse(readBuckets(Some(touched)))
 
     // null-safe key match: NULL group keys still select their state row
     def semiOnKeys(l: DataFrame): DataFrame = {
@@ -175,6 +189,7 @@ final class StateStore(
     // LIMIT CVs joins against the pre-merge state) still reference this
     // cycle's inputs; deleting now would FAILED_READ_FILE on cache eviction.
     deferGcOldVersions(keep = newBuckets.values.map(_.takeWhile(_ != '/')).toSet)
+    refreshCache()
 
     val newRows = semiOnKeys(readBuckets(Some(touched)).get)
     (old, newRows, groupsTouched)
@@ -203,10 +218,13 @@ final class StateStore(
         writtenBuckets.map(b => b -> s"v$version/$BucketCol=$b").toMap
       writeManifest(Manifest(version, newBuckets))
       deferGcOldVersions(keep = newBuckets.values.map(_.takeWhile(_ != '/')).toSet)
+      refreshCache()
     }
   }
 
   def truncate(): Unit = {
+    cachedState.foreach(_.unpersist())
+    cachedState = None
     if (Files.exists(Paths.get(root))) {
       Files.walk(Paths.get(root)).iterator().asScala.toSeq.reverse
         .foreach(p => Files.deleteIfExists(p))
