@@ -119,11 +119,17 @@ final class StateStore(
       : (Option[DataFrame], DataFrame, Long) = {
     flushPendingGc() // previous version's consumers are done by now (see below)
     val up = updates.withColumn(BucketCol, bucketOf)
+    val manifest = readManifest()
 
-    // Touched buckets + group count in ONE job (≤ numBuckets tiny rows
-    // back). With a groupKeysHint (raw per-event key rows) the scan skips
-    // aggregate-state evaluation entirely — the states then get computed
-    // exactly once, inside the merge-write job.
+    // Touched buckets + group count. Empty store: the scan job would be
+    // pure overhead (nothing to prune, nothing to merge) — write directly
+    // and take the touched set from the written partition dirs and the
+    // group count from an observe() metric on the same job. Non-empty
+    // store: ONE job (≤ numBuckets tiny rows back); with a groupKeysHint
+    // (raw per-event key rows) the scan skips aggregate-state evaluation
+    // entirely — states get computed exactly once, in the merge-write job.
+    if (manifest.isEmpty) return firstWrite(up)
+
     val bucketSource = groupKeysHint match {
       case Some(keys) => keys.distinct().withColumn(BucketCol, bucketOf)
       case None => up
@@ -132,8 +138,6 @@ final class StateStore(
       .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap)
     val touched = bucketCounts.keySet
     val groupsTouched = bucketCounts.values.sum
-
-    val manifest = readManifest()
     val existingTouched = cachedState
       .map(_.where(bucketOf.isInCollection(touched.map(_.toLong))))
       .orElse(readBuckets(Some(touched)))
@@ -193,6 +197,27 @@ final class StateStore(
 
     val newRows = semiOnKeys(readBuckets(Some(touched)).get)
     (old, newRows, groupsTouched)
+  }
+
+  /** First commit into an empty store: single write job; touched buckets
+    * come from the partition dirs the write produced, the group count from
+    * an observe() metric riding the same job.
+    */
+  private def firstWrite(up: DataFrame): (Option[DataFrame], DataFrame, Long) = {
+    val outDir = s"$root/v0"
+    val obs = org.apache.spark.sql.Observation()
+    timed("first-write")(up.observe(obs, org.apache.spark.sql.functions.count(lit(1)).as("n"))
+      .repartition(numBuckets, col(BucketCol))
+      .write.partitionBy(BucketCol).mode("overwrite").parquet(outDir))
+    val groupsTouched = obs.get("n").asInstanceOf[Long]
+    val written = Option(Paths.get(outDir).toFile.list())
+      .map(_.toSeq.filter(_.startsWith(s"$BucketCol="))
+        .map(_.stripPrefix(s"$BucketCol=").toInt).toSet)
+      .getOrElse(Set.empty[Int])
+    writeManifest(Manifest(0L, written.map(b => b -> s"v0/$BucketCol=$b").toMap))
+    refreshCache()
+    val newRows = read().getOrElse(up.limit(0).drop(BucketCol))
+    (None, newRows, groupsTouched)
   }
 
   /** Drop state rows matching the predicate (TTL reaper — reaper.c:49-352).
