@@ -141,8 +141,37 @@ object DedupQueries {
         nCentroids = 16, nprobe = 6)
     },
 
-    // Language ID heuristic — profile internals not oracle-expressible.
-    QDef.noOracle("q_langid") { (s, dir) =>
+    // Language ID heuristic — the scoring is pure deterministic string/set
+    // math, so DuckDB can recompute it exactly: per-language stopword-hit
+    // ratio over distinct stripped tokens (CJK char fraction for zh),
+    // argmax by (score, lang).
+    QDef(
+      "q_langid",
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(
+        |           list_filter(regexp_split_to_array(lower(text), ' '), x -> x <> ''),
+        |           s -> regexp_replace(s, '[^\p{L}]', '', 'g'))) AS dt,
+        |         text
+        |  FROM documents WHERE doc_id < 100
+        |), scored AS (
+        |  SELECT doc_id, l.lang AS lang,
+        |    CASE WHEN l.lang = 'zh'
+        |      THEN CAST(length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS DOUBLE)
+        |           / greatest(length(text), 1)
+        |      ELSE CAST(len(list_intersect(dt, l.words)) AS DOUBLE) / greatest(len(dt), 1)
+        |    END AS score
+        |  FROM toks, (VALUES
+        |      ('de', ['der','die','und','das','von','zu','mit','den','ist','nicht']),
+        |      ('en', ['the','and','of','to','in','is','that','it','for','with']),
+        |      ('es', ['el','la','de','que','y','en','los','del','las','por']),
+        |      ('fr', ['le','la','les','des','est','dans','que','une','pour','qui']),
+        |      ('zh', CAST([] AS VARCHAR[]))) AS l(lang, words)
+        |)
+        |SELECT doc_id,
+        |       (max({'s': score, 'l': lang})).l AS lang_pred,
+        |       round((max({'s': score, 'l': lang})).s, 4) AS confidence
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
       Tables.documents(s, dir).where(col("doc_id") < 100)
         .select(col("doc_id"), LangId.detect(col("text")).as("d"))
         .select(col("doc_id"), col("d.lang").as("lang_pred"), col("d.confidence").as("confidence"))
