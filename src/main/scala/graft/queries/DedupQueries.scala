@@ -179,13 +179,28 @@ object DedupQueries {
     },
 
     // Multimodal plumbing: synthetic binary media → metadata extraction →
-    // per-format stats (deterministic; decoder is the documented stub).
-    QDef.noOracle("q_media_meta") { (s, dir) =>
+    // per-format stats. The synthetic bytes are unhex(md5(text)) and the
+    // stub decoder's header parse is pure arithmetic on those bytes, so
+    // DuckDB recomputes the whole pipeline from md5 hex substrings.
+    QDef(
+      "q_media_meta",
+      """WITH m AS (
+        |  SELECT CASE CAST('0x' || substr(md5(text), 1, 2) AS INT) & 3
+        |           WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' WHEN 2 THEN 'wav'
+        |           ELSE 'mp4' END AS format,
+        |         CAST('0x' || substr(md5(text), 3, 4) AS INT) % 4096 AS width,
+        |         CAST('0x' || substr(md5(text), 11, 4) AS INT) % 1024 AS n_frames
+        |  FROM documents
+        |)
+        |SELECT format, count(*) AS n, round(avg(width), 4) AS avg_w,
+        |       CAST(sum(n_frames) AS BIGINT) AS frames
+        |FROM m GROUP BY format ORDER BY format""".stripMargin) { (s, dir) =>
       val docs = Tables.documents(s, dir)
       val media = docs.select(col("doc_id"), Media.syntheticMediaBytes(col("text")).as("bytes"))
       Media.extractMetadata(media, "doc_id", "bytes")
         .groupBy("format")
-        .agg(count(lit(1)).as("n"), avg("width").as("avg_w"), sum("n_frames").as("frames"))
+        .agg(count(lit(1)).as("n"), round(avg("width"), 4).as("avg_w"),
+          sum("n_frames").cast("long").as("frames"))
         .orderBy("format")
     })
 }
