@@ -264,8 +264,13 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
 
   /** INSERT INTO stream — routes the batch through every active reading CV
     * synchronously (stream_insert_level=sync_commit semantics).
+    *
+    * @param targets when set, only the named continuous queries receive the
+    *                batch (the reference `stream_targets` GUC, config.c:349 /
+    *                GetLocalStreamReaders)
     */
-  def insertInto(streamName: String, batch: DataFrame): Unit = {
+  def insertInto(streamName: String, batch: DataFrame,
+      targets: Option[Set[String]] = None): Unit = {
     synchronized {
       streamBatches(streamName) = streamBatches.getOrElse(streamName, 0L) + 1L
     }
@@ -280,6 +285,7 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
     val names = readers.getOrElse(streamName, mutable.Buffer.empty).toSeq
+      .filter(n => targets.forall(_.contains(n)))
     val activeCvs = names.flatMap(views.get).filter(_.active)
     val activeCts = names.flatMap(transforms.get).filter(_.active)
     // transforms are independent consumers of the same batch (the reference

@@ -312,6 +312,20 @@ class CvSpec extends AnyFunSuite {
     assert(eng.tickSw("v_tick", Some(tAt(2500))) == 0L)
   }
 
+  test("stream_targets: insert routed to a subset of reading CQs (config.c:349)") {
+    val eng = newEngine()
+    eng.createStream("s_tgt", streamSchema)
+    eng.createContView("v_tgt_a", "SELECT key, count(*) AS n FROM s_tgt GROUP BY key",
+      emitChanges = false)
+    eng.createContView("v_tgt_b", "SELECT key, count(*) AS n FROM s_tgt GROUP BY key",
+      emitChanges = false)
+    eng.insertInto("s_tgt", mkBatch(allRows.take(300)))
+    eng.insertInto("s_tgt", mkBatch(allRows.slice(300, 500)),
+      targets = Some(Set("v_tgt_a"))) // only A sees the second batch
+    assert(eng.overlay("v_tgt_a").agg(sum("n")).collect()(0).getLong(0) == 500L)
+    assert(eng.overlay("v_tgt_b").agg(sum("n")).collect()(0).getLong(0) == 300L)
+  }
+
   test("exact aggregate battery: incremental == single-shot (user_combine.sql)") {
     val eng = newEngine()
     eng.createStream("s2", streamSchema)
