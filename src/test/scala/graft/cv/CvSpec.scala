@@ -326,6 +326,54 @@ class CvSpec extends AnyFunSuite {
     assert(eng.overlay("v_tgt_b").agg(sum("n")).collect()(0).getLong(0) == 300L)
   }
 
+  test("sliding window composes with ROLLUP (sw + grouping sets)") {
+    val eng = newEngine()
+    eng.createStream("s_swgs", streamSchema)
+    eng.createContView("v_swgs",
+      """SELECT key, grouping(key) AS gid, count(*) AS n
+        |FROM s_swgs GROUP BY ROLLUP(key)""".stripMargin,
+      CvPlanner.CvOptions(sw = Some("1000 seconds"), swColumn = "ts"),
+      emitChanges = false)
+    eng.insertInto("s_swgs", mkBatch(allRows.take(1500))) // ts spans 1..1500s
+    // at now = t0+1500s the cutoff is t0+500s; expiry is bucket-granular
+    // (step = 50s = 5% of the window) so the boundary bucket [500,550) is
+    // already out — live rows are those in buckets strictly after 500s
+    val live = allRows.take(1500).filter(_._4.getTime >= tAt(550).getTime)
+    val got = eng.overlay("v_swgs", Some(tAt(1500))).collect()
+      .map(r => (r.getString(0), r.getByte(1), r.getLong(2))).toSet
+    val expect = mkBatch(live).rollup("key")
+      .agg(grouping(col("key")).as("gid"), count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getByte(1), r.getLong(2))).toSet
+    // bucket granularity: allow only exact match — step buckets align on
+    // 50s (5% of 1000s) and 500s is a bucket boundary, so live sets agree
+    assert(got == expect)
+  }
+
+  test("dump/restore: the engine root directory is fully portable (test_dump_restore.py)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_dump").toString
+    val eng1 = new ContViewEngine(spark, root)
+    eng1.createStream("s_dr", streamSchema)
+    eng1.createContView("v_dr", "SELECT key, count(*) AS n, sum(x) AS sx FROM s_dr GROUP BY key")
+    eng1.insertInto("s_dr", mkBatch(allRows.take(700)))
+    val before = asMap(eng1.overlay("v_dr"))
+    // "dump": copy the whole root; "restore": open an engine over the copy
+    val restored = java.nio.file.Files.createTempDirectory("graft_restore").toString
+    val src = java.nio.file.Paths.get(root)
+    java.nio.file.Files.walk(src).forEach { p =>
+      val dst = java.nio.file.Paths.get(restored).resolve(src.relativize(p))
+      if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(dst)
+      else java.nio.file.Files.copy(p, dst,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    val eng2 = new ContViewEngine(spark, restored)
+    assert(asMap(eng2.overlay("v_dr")) == before)
+    // and the restored engine keeps ingesting
+    eng2.insertInto("s_dr", mkBatch(allRows.slice(700, 900)))
+    val after = asMap(eng2.overlay("v_dr"))
+    assert(after == asMap(mkBatch(allRows.take(900)).groupBy("key")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"))))
+  }
+
   test("exact aggregate battery: incremental == single-shot (user_combine.sql)") {
     val eng = newEngine()
     eng.createStream("s2", streamSchema)
