@@ -274,9 +274,16 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     synchronized {
       streamBatches(streamName) = streamBatches.getOrElse(streamName, 0L) + 1L
     }
+    // Stamp the arrival timestamp as a LITERAL, not current_timestamp():
+    // the ingest pipeline runs several Spark actions over the same batch
+    // (touched-bucket hint, merge-write, changes emit), and an unevaluated
+    // current_timestamp() would re-resolve per action — rows could land in
+    // one SW step bucket during the hint scan and another during the merge,
+    // leaving the manifest pointing at partitions that were never written.
     val withArrival =
       if (batch.columns.contains("arrival_timestamp")) batch
-      else batch.withColumn("arrival_timestamp", current_timestamp())
+      else batch.withColumn("arrival_timestamp",
+        lit(new java.sql.Timestamp(System.currentTimeMillis())))
     // Fan the batch out to all reading CVs concurrently — their state
     // stores are independent, and the per-CV pipelines are small jobs that
     // interleave well on the scheduler (the reference runs one worker proc
@@ -302,8 +309,11 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     val t0 = System.nanoTime()
     var failed = false
     try {
+      // literal stamp for the same reason as insertInto: the output feeds a
+      // chained stream whose CVs may bucket on arrival_timestamp
       val out = h.plan.bindBatch(exec, batch)
-        .withColumn("arrival_timestamp", current_timestamp())
+        .withColumn("arrival_timestamp",
+          lit(new java.sql.Timestamp(System.currentTimeMillis())))
       // the CT's own output stream (output_of) is skippable when nothing
       // downstream reads it — saves one write job per batch
       if (h.changes) out.write.mode("append").parquet(s"$root/${h.plan.name}/changes")
@@ -408,8 +418,30 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     insertInto(streamName, df)
   }
 
-  // per-CV high-water mark of already-ticked SW buckets (bucket end time)
+  // Per-CV high-water mark of already-ticked SW buckets (bucket end time).
+  // Persisted beside the CV's state (one small file, rewritten per tick) so
+  // a restarted engine does not re-emit expiry rows for buckets that were
+  // already retracted before the restart.
   private val swTickMarks = mutable.HashMap.empty[String, java.sql.Timestamp]
+
+  private def tickMarkPath(name: String) = Paths.get(root, name, "_sw_tickmark")
+
+  private def loadTickMark(name: String): java.sql.Timestamp =
+    swTickMarks.getOrElseUpdate(name, {
+      val p = tickMarkPath(name)
+      if (Files.exists(p)) new java.sql.Timestamp(Files.readString(p).trim.toLong)
+      else new java.sql.Timestamp(0L)
+    })
+
+  private def saveTickMark(name: String, mark: java.sql.Timestamp): Unit = {
+    swTickMarks(name) = mark
+    val p = tickMarkPath(name)
+    Files.createDirectories(p.getParent)
+    val tmp = p.resolveSibling("_sw_tickmark.tmp")
+    Files.writeString(tmp, mark.getTime.toString)
+    Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
 
   /** SW tick pass (reference combiner.c:992-1141 `tick_sw_groups` +
     * `project_sw_overlay_into_ostream`): emit expiry rows to the output
@@ -425,8 +457,8 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     require(h.changes, s"CV $name has no output stream (emitChanges=false)")
     val nowTs = now.getOrElse(new java.sql.Timestamp(System.currentTimeMillis()))
     val cutoff = new java.sql.Timestamp(nowTs.getTime - sw.windowSeconds * 1000L)
-    val lastMark = swTickMarks.getOrElse(name, new java.sql.Timestamp(0L))
-    val state = h.store.read().getOrElse { swTickMarks(name) = cutoff; return 0L }
+    val lastMark = loadTickMark(name)
+    val state = h.store.read().getOrElse { saveTickMark(name, cutoff); return 0L }
     val expired = state
       .where(col(sw.bucketCol) <= lit(cutoff) && col(sw.bucketCol) > lit(lastMark))
       .persist()
@@ -447,7 +479,7 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
         .write.mode("append").parquet(s"$root/${h.plan.name}/changes")
     }
     expired.unpersist()
-    swTickMarks(name) = cutoff
+    saveTickMark(name, cutoff)
     n
   }
 
@@ -486,8 +518,16 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     // the touched-bucket scan runs state-free off the raw key rows.
     val multiUse = h.changes || h.plan.limit.isDefined
     val cached = if (multiUse) partials.persist() else partials
+    // The hint evaluates the batch a second time in a separate job; if any
+    // expression in the bound plan is non-deterministic (rand(), an
+    // un-stamped current_timestamp()...), the two evaluations could compute
+    // different group keys — skip the hint and let the merge derive buckets.
+    def deterministic(df: DataFrame): Boolean =
+      !org.apache.spark.sql.GraftBridge.analyzed(df)
+        .exists(p => p.expressions.exists(e => e.exists(!_.deterministic)))
     val keysHint =
-      if (multiUse) None else Some(h.plan.workerKeyRows(exec, batch))
+      if (multiUse) None
+      else Some(h.plan.workerKeyRows(exec, batch)).filter(deterministic)
     try {
       val (oldRows, newRows, touched) =
         h.store.upsert(cached, h.plan.reAggs, needOldRows = h.changes,
@@ -616,6 +656,13 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     val h = views(name)
     val changes = outputOf(name).getOrElse(
       throw new IllegalStateException(s"CV $name has no output stream"))
+      // Upsert rows carry the APPLIED partial state as delta (additive);
+      // tickSw expiry rows (new IS NULL) carry the expiring bucket's full
+      // state as delta — a retraction marker, not an addition. Summing both
+      // would double-count every expired bucket, so the rollup merges only
+      // the additive rows: it reflects everything ever added to the CV,
+      // not the currently-live window (delta_streams.sql semantics).
+      .where(col("new").isNotNull)
     // flatten the delta struct back into state-named columns, then reuse the
     // normal merge+finalize path
     val flat = changes.select((coarserKeys.map(col) ++ h.plan.aggs.flatMap(a =>
@@ -672,7 +719,8 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val withArrival =
           if (batch.columns.contains("arrival_timestamp")) batch
-          else batch.withColumn("arrival_timestamp", current_timestamp())
+          else batch.withColumn("arrival_timestamp",
+            lit(new java.sql.Timestamp(System.currentTimeMillis())))
         ingestBatch(h, withArrival)
       }
       .start()

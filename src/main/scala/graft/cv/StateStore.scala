@@ -136,6 +136,13 @@ final class StateStore(
     }
     val bucketCounts = timed("bucket-scan")(bucketSource.groupBy(BucketCol).count()
       .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap)
+    // a micro-batch whose rows were all filtered out touches nothing: no new
+    // version, no manifest bump — return empty old/new frames so the changes
+    // emitter writes zero rows
+    if (bucketCounts.isEmpty) {
+      val empty = updates.limit(0)
+      return (if (needOldRows) Some(empty) else None, empty, 0L)
+    }
     val touched = bucketCounts.keySet
     val groupsTouched = bucketCounts.values.sum
     val existingTouched = cachedState

@@ -310,6 +310,33 @@ class CvSpec extends AnyFunSuite {
     assert(tickRows.agg(sum(col("old.n"))).collect()(0).getLong(0) == 500L)
     // a second tick at the same now is a no-op (high-water mark advanced)
     assert(eng.tickSw("v_tick", Some(tAt(2500))) == 0L)
+    // delta rollup ignores the retraction rows: it reflects everything ever
+    // ADDED (1000 rows), not added-plus-re-counted-expired (1500)
+    assert(eng.combineOutputDeltas("v_tick", Seq())
+      .agg(sum("n")).collect()(0).getLong(0) == 1000L)
+    // the tick high-water mark survives a restart: a fresh engine on the
+    // same root must not re-emit expiry rows for already-ticked buckets
+    val eng2 = new ContViewEngine(spark, eng.root)
+    assert(eng2.tickSw("v_tick", Some(tAt(2500))) == 0L)
+  }
+
+  test("micro-batch fully filtered by the CV's WHERE leaves state untouched") {
+    val eng = newEngine()
+    eng.createStream("s_nil", streamSchema)
+    eng.createContView("v_nil",
+      "SELECT key, count(*) AS n FROM s_nil WHERE x < 50 GROUP BY key")
+    eng.insertInto("s_nil", mkBatch(allRows.take(400)))
+    val before = asMap(eng.overlay("v_nil"))
+    // every row of this batch fails the WHERE → zero update groups against a
+    // non-empty store; must be a clean no-op (no new version, no crash)
+    eng.insertInto("s_nil",
+      mkBatch(allRows.slice(400, 600).map { case (k, _, v, ts) => (k, 99L, v, ts) }))
+    assert(asMap(eng.overlay("v_nil")) == before)
+    // and the store still accepts subsequent real updates
+    eng.insertInto("s_nil", mkBatch(allRows.slice(600, 800)))
+    val expect = asMap(mkBatch(allRows.take(400) ++ allRows.slice(600, 800))
+      .where(col("x") < 50).groupBy("key").agg(count(lit(1)).as("n")))
+    assert(asMap(eng.overlay("v_nil")) == expect)
   }
 
   test("stream_targets: insert routed to a subset of reading CQs (config.c:349)") {
