@@ -512,26 +512,15 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
             updatesToExisting.unionByName(newAdmitted)
         }
     }
-    // Persist the partial-agg result only when it has two consumers (the
-    // merge AND the changes emit / LIMIT admission joins); otherwise the
-    // states are evaluated exactly once, inside the merge-write job, and
-    // the touched-bucket scan runs state-free off the raw key rows.
+    // Persist the partial-agg result when it has consumers beyond the merge
+    // (the changes emit / LIMIT admission joins) — the store's own scan job
+    // materializes the cache, so states are still evaluated exactly once.
+    // Otherwise the store persists (and releases) the partials itself.
     val multiUse = h.changes || h.plan.limit.isDefined
     val cached = if (multiUse) partials.persist() else partials
-    // The hint evaluates the batch a second time in a separate job; if any
-    // expression in the bound plan is non-deterministic (rand(), an
-    // un-stamped current_timestamp()...), the two evaluations could compute
-    // different group keys — skip the hint and let the merge derive buckets.
-    def deterministic(df: DataFrame): Boolean =
-      !org.apache.spark.sql.GraftBridge.analyzed(df)
-        .exists(p => p.expressions.exists(e => e.exists(!_.deterministic)))
-    val keysHint =
-      if (multiUse) None
-      else Some(h.plan.workerKeyRows(exec, batch)).filter(deterministic)
     try {
       val (oldRows, newRows, touched) =
-        h.store.upsert(cached, h.plan.reAggs, needOldRows = h.changes,
-          groupKeysHint = keysHint)
+        h.store.upsert(cached, h.plan.reAggs, needOldRows = h.changes)
       groups = touched
       if (h.changes) emitChanges(h, oldRows, newRows, cached)
     } catch { case e: Throwable => failed = true; throw e }

@@ -118,14 +118,6 @@ object CvPlanner {
       df.groupBy(stateKeyCols(df): _*).agg(stateCols.head, stateCols.tail: _*)
     }
 
-    /** Group-key rows of a micro-batch (no aggregation): feeds the state
-      * store's touched-bucket scan without evaluating aggregate states.
-      */
-    def workerKeyRows(spark: SparkSession, batch: DataFrame): DataFrame = {
-      val df = bindBatch(spark, batch)
-      df.select(stateKeyCols(df): _*)
-    }
-
     /** Finalize columns over a state DataFrame. */
     def finalizeCols: Seq[Column] =
       aggs.map(a => a.buildFinal(a.states.map(st => col(st._1))).as(a.name))

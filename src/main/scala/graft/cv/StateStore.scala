@@ -114,37 +114,41 @@ final class StateStore(
   def upsert(
       updates: DataFrame,
       reAgg: Seq[(String, org.apache.spark.sql.Column => org.apache.spark.sql.Column)],
-      needOldRows: Boolean = true,
-      groupKeysHint: Option[DataFrame] = None)
+      needOldRows: Boolean = true)
       : (Option[DataFrame], DataFrame, Long) = {
     flushPendingGc() // previous version's consumers are done by now (see below)
     val up = updates.withColumn(BucketCol, bucketOf)
     val manifest = readManifest()
 
-    // Touched buckets + group count. Empty store: the scan job would be
-    // pure overhead (nothing to prune, nothing to merge) — write directly
-    // and take the touched set from the written partition dirs and the
-    // group count from an observe() metric on the same job. Non-empty
-    // store: ONE job (≤ numBuckets tiny rows back); with a groupKeysHint
-    // (raw per-event key rows) the scan skips aggregate-state evaluation
-    // entirely — states get computed exactly once, in the merge-write job.
+    // Empty store: a scan job would be pure overhead (nothing to prune,
+    // nothing to merge) — write directly and take the touched set from the
+    // written partition dirs and the group count from an observe() metric
+    // riding the same job.
     if (manifest.isEmpty) return firstWrite(up)
 
-    val bucketSource = groupKeysHint match {
-      case Some(keys) => keys.distinct().withColumn(BucketCol, bucketOf)
-      case None => up
-    }
-    val bucketCounts = timed("bucket-scan")(bucketSource.groupBy(BucketCol).count()
-      .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap)
+    // Touched buckets + group count come from ONE job that also materializes
+    // the partial-aggregated updates into executor cache: the merge job then
+    // reads the cached partials (narrow) instead of re-aggregating the raw
+    // batch — aggregate states are evaluated exactly once per micro-batch,
+    // so a non-deterministic input can never put the scan and the merge in
+    // different buckets.
+    val selfPersist = updates.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    if (selfPersist) updates.persist()
+    val obs = org.apache.spark.sql.Observation()
+    timed("scan+cache")(up
+      .observe(obs, collect_set(col(BucketCol)).as("touched"), count(lit(1)).as("n"))
+      .foreach(_ => ()))
+    val touched = obs.get("touched").asInstanceOf[scala.collection.Seq[Long]]
+      .map(_.toInt).toSet
+    val groupsTouched = obs.get("n").asInstanceOf[Long]
     // a micro-batch whose rows were all filtered out touches nothing: no new
     // version, no manifest bump — return empty old/new frames so the changes
     // emitter writes zero rows
-    if (bucketCounts.isEmpty) {
+    if (touched.isEmpty) {
+      if (selfPersist) updates.unpersist()
       val empty = updates.limit(0)
       return (if (needOldRows) Some(empty) else None, empty, 0L)
     }
-    val touched = bucketCounts.keySet
-    val groupsTouched = bucketCounts.values.sum
     val existingTouched = cachedState
       .map(_.where(bucketOf.isInCollection(touched.map(_.toLong))))
       .orElse(readBuckets(Some(touched)))
@@ -201,6 +205,7 @@ final class StateStore(
     // cycle's inputs; deleting now would FAILED_READ_FILE on cache eviction.
     deferGcOldVersions(keep = newBuckets.values.map(_.takeWhile(_ != '/')).toSet)
     refreshCache()
+    if (selfPersist) updates.unpersist() // merge has run; no later consumer
 
     val newRows = semiOnKeys(readBuckets(Some(touched)).get)
     (old, newRows, groupsTouched)
