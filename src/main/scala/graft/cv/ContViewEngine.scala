@@ -602,6 +602,22 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     combineState(h, state, coarserKeys)
   }
 
+  /** sw_combine(): like combine() but honoring a sliding-window CV's
+    * read-time expiry — only live step buckets contribute (reference
+    * sw_combine, pipelinedb--1.0.0.sql:122-140; window filter
+    * analyzer.c:2715-2760).
+    */
+  def swCombine(name: String, coarserKeys: Seq[String],
+      now: Option[java.sql.Timestamp] = None): DataFrame = {
+    val h = views(name)
+    val sw = h.plan.sw.getOrElse(
+      throw new IllegalArgumentException(s"CV $name is not a sliding-window view"))
+    val state = h.store.read().getOrElse(emptyState(h))
+    val cutoff = now.map(ts => lit(ts)).getOrElse(current_timestamp()) -
+      expr(s"INTERVAL ${sw.windowSeconds} SECOND")
+    combineState(h, state.where(col(sw.bucketCol) > cutoff), coarserKeys)
+  }
+
   private def combineState(h: CvHandle, state: DataFrame, keys: Seq[String]): DataFrame = {
     val merged = h.plan.reAggs.map { case (n, re) => re(col(n)).as(n) }
     val grouped =

@@ -76,8 +76,25 @@ object GraftFunctions {
   /** Registers every sketch function for SQL use in this session. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+    installAll((name, builder) => reg.createOrReplaceTempFunction(name, builder, "internal"))
+  }
+
+  /** Plug the whole function surface into a SparkSessionExtensions — the
+    * cluster-deployment path: `--conf spark.sql.extensions=graft.GraftExtensions`
+    * makes every session carry the functions without any library call.
+    */
+  def injectInto(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    installAll { (name, builder) =>
+      ext.injectFunction((
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo("graft", name),
+        builder))
+    }
+
+  /** The full function catalog, fed to whichever registry sink applies. */
+  private def installAll(install: (String, Seq[Expression] => Expression) => Unit): Unit = {
     def fn(name: String)(builder: Seq[Expression] => Expression): Unit =
-      reg.createOrReplaceTempFunction(name, builder, "internal")
+      install(name, builder)
 
     fn("hll_agg") {
       case Seq(c) => HllAgg(c)

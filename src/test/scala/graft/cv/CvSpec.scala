@@ -320,6 +320,32 @@ class CvSpec extends AnyFunSuite {
     assert(eng2.tickSw("v_tick", Some(tAt(2500))) == 0L)
   }
 
+  test("sw_combine: coarser re-aggregation honors the window filter (user_combine.sql)") {
+    val eng = newEngine()
+    eng.createStream("s_swc", streamSchema)
+    eng.createContView("v_swc",
+      "SELECT key, x % 2 AS xb, count(*) AS n, sum(v) AS sv FROM s_swc GROUP BY key, x % 2",
+      CvPlanner.CvOptions(sw = Some("1000 seconds"), swColumn = "ts", stepFactor = 5),
+      emitChanges = false)
+    allRows.grouped(1000).foreach(c => eng.insertInto("s_swc", mkBatch(c)))
+    // combine away the xb key at now = t+3000: only live step buckets count
+    val bucketCut = new Timestamp((tAt(3000).getTime / 1000 - 1000) / 50 * 50 * 1000)
+    val got = asMap(eng.swCombine("v_swc", Seq("key"), Some(tAt(3000)))
+      .select(col("key"), col("n"), round(col("sv"), 6).as("sv")))
+    val expect = asMap(mkBatch(allRows)
+      .where(CvPlanner.dateRound($"ts", 50) > lit(bucketCut))
+      .groupBy("key").agg(count(lit(1)).as("n"), round(sum("v"), 6).as("sv")))
+    assert(got == expect)
+    // plain combine() ignores the window: it merges ALL stored buckets
+    val all = asMap(eng.combine("v_swc", Seq("key")))
+    val allExpect = asMap(mkBatch(allRows).groupBy("key").agg(count(lit(1)).as("n")))
+    assert(all.view.mapValues(_.head).toMap == allExpect.view.mapValues(_.head).toMap)
+    // sw_combine on a non-SW view is rejected
+    eng.createContView("v_swc_plain",
+      "SELECT key, count(*) AS n FROM s_swc GROUP BY key", emitChanges = false)
+    intercept[IllegalArgumentException] { eng.swCombine("v_swc_plain", Seq("key")) }
+  }
+
   test("micro-batch fully filtered by the CV's WHERE leaves state untouched") {
     val eng = newEngine()
     eng.createStream("s_nil", streamSchema)
