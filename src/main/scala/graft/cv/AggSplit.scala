@@ -78,6 +78,8 @@ object AggSplit {
       case "freq" => freqAgg(d)
       case "dist" => distAgg(d)
       case "topk" => topkAgg(d, parts(1).toInt)
+      case "topk_merge" => // merge-of-merges: k travels inside the state
+        AggSplit(d, s => GraftFunctions.topk_merge_agg(s), identity, kind = "topk_merge")
       case "set_agg" => setAgg(d)
       case "array_agg" => arrayAgg(d)
       case "keyed_min" => keyedMin(d, d)

@@ -149,9 +149,14 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     * `arrival_timestamp` is appended implicitly (pipeline_stream.c:101-132).
     */
   def createStream(name: String, schema: StructType): Unit = {
+    // streams accept NULLs in any column (missing INSERT fields default to
+    // NULL — stream_fdw.c:270-438), and batches often arrive from parquet
+    // where nothing is NOT NULL: normalize recursively so batch-to-leaf
+    // coercion casts never fight over nullability
+    val nullable = asNullable(schema).asInstanceOf[StructType]
     val withArrival =
-      if (schema.fieldNames.contains("arrival_timestamp")) schema
-      else schema.add("arrival_timestamp", "timestamp")
+      if (nullable.fieldNames.contains("arrival_timestamp")) nullable
+      else nullable.add("arrival_timestamp", "timestamp")
     spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), withArrival)
       .createOrReplaceTempView(name)
     // capture the registered view's leaf attribute ids — they uniquely
@@ -163,6 +168,17 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     streams(name) = StreamDef(name, withArrival, leafIds)
     readers.getOrElseUpdate(name, mutable.Buffer.empty)
     appendCatalog(CatalogEntry("stream", name, withArrival.toDDL, "", "", 0, "", "", "", changes = false))
+  }
+
+  private def asNullable(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case s: StructType =>
+        StructType(s.fields.map(f => f.copy(dataType = asNullable(f.dataType), nullable = true)))
+      case a: ArrayType => a.copy(elementType = asNullable(a.elementType))
+      case m: MapType => m.copy(valueType = asNullable(m.valueType))
+      case other => other
+    }
   }
 
   private def idempotent[H](name: String, signature: String)(create: => H): Option[H] =
@@ -199,6 +215,14 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
       views(name) = handle
       val rs = readers.getOrElseUpdate(streamName, mutable.Buffer.empty)
       if (!rs.contains(name)) rs += name
+      // the CV's output stream is itself a registered stream (reference
+      // `<name>_osrel`, a foreign table like any other stream): downstream
+      // CVs/CTs can read `FROM <name>_osrel` and receive every change batch
+      // continuously (delta CQ chaining, analyzer.c:776-830)
+      if (emitChanges) {
+        val e = emptyState(handle)
+        createStream(osrelName(name), changesFrame(handle, Some(e), e, e).schema)
+      }
       appendCatalog(CatalogEntry("view", name, selectSql,
         options.sw.getOrElse(""), options.swColumn, options.stepFactor,
         options.ttl.getOrElse(""), options.ttlColumn.getOrElse(""), "", changes = emitChanges))
@@ -227,6 +251,13 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
       transforms(name) = handle
       val rs = readers.getOrElseUpdate(streamName, mutable.Buffer.empty)
       if (!rs.contains(name)) rs += name
+      // a CT's output stream carries its projected rows (+ arrival), readable
+      // by downstream CQs like any stream (transform_receiver.c → osrel)
+      if (emitChanges) {
+        val osSchema = org.apache.spark.sql.types.StructType(
+          plan.plan.schema.fields.filterNot(_.name == "arrival_timestamp"))
+        createStream(osrelName(name), osSchema)
+      }
       appendCatalog(CatalogEntry("transform", name, selectSql, "", "", 0, "", "",
         sinkStream.getOrElse(""), changes = emitChanges))
       handle
@@ -321,6 +352,9 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
       // insert_into_stream chaining: the transform's output becomes a batch
       // on the sink stream
       h.sinkStream.foreach(sk => insertInto(sk, out))
+      // output_of(ct) readers get the same rows as a stream batch
+      val osrel = osrelName(h.plan.name)
+      if (h.changes && readers.get(osrel).exists(_.nonEmpty)) insertInto(osrel, out)
     } catch { case e: Throwable => failed = true; throw e }
     finally recordStats(h.plan.name, "transform", 0L,
       (System.nanoTime() - t0) / 1000000, failed)
@@ -535,8 +569,8 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     * old/new carry finalized values; delta carries the applied partial state
     * so downstream CVs can combine((delta).col) (delta_streams.sql:7-21).
     */
-  private def emitChanges(
-      h: CvHandle, oldRows: Option[DataFrame], newRows: DataFrame, delta: DataFrame): Unit = {
+  private def changesFrame(
+      h: CvHandle, oldRows: Option[DataFrame], newRows: DataFrame, delta: DataFrame): DataFrame = {
     val keys = h.plan.stateKeys
     def finalized(df: DataFrame): DataFrame =
       df.select((keys.map(col) ++ h.plan.finalizeCols): _*)
@@ -560,9 +594,25 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
       l.join(r, cond, "left_outer")
         .select(l.columns.map(l(_)) ++ payload: _*)
     }
-    val changes = nsJoin(nsJoin(newF, oldF), deltaF)
-      .withColumn("arrival_timestamp", current_timestamp())
-    changes.write.mode("append").parquet(s"$root/${h.plan.name}/changes")
+    nsJoin(nsJoin(newF, oldF), deltaF)
+      .withColumn("arrival_timestamp",
+        lit(new java.sql.Timestamp(System.currentTimeMillis())))
+  }
+
+  private def emitChanges(
+      h: CvHandle, oldRows: Option[DataFrame], newRows: DataFrame, delta: DataFrame): Unit = {
+    val changes = changesFrame(h, oldRows, newRows, delta)
+    val osrel = osrelName(h.plan.name)
+    val routed = readers.get(osrel).exists(_.nonEmpty)
+    // two consumers (archive write + downstream CQs) → evaluate once
+    val c = if (routed) changes.persist() else changes
+    c.write.mode("append").parquet(s"$root/${h.plan.name}/changes")
+    // output streams ARE streams (pipeline_stream.h:40-42): route the change
+    // batch into any CQ reading output_of(this) — delta CQ chaining without
+    // re-reading the archived parquet (delta_streams.sql:7-58)
+    if (routed) {
+      try insertInto(osrel, c) finally c.unpersist()
+    }
   }
 
   /** The overlay view: SELECT keys, finalize(state) FROM matrel — plus, for
@@ -645,6 +695,11 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     org.apache.spark.sql.GraftBridge.ofRows(spark,
       org.apache.spark.sql.GraftBridge.analyzed(
         views(name).store.read().getOrElse(emptyState(views(name)))))
+
+  /** Name of a CQ's output stream (reference `<name>_osrel`, matrel.h:42-46);
+    * usable in downstream CV/CT SQL: `... FROM output_of("cv")`.
+    */
+  def osrelName(name: String): String = s"${name}_osrel"
 
   /** The output stream (output_of('cv')): all (old, new, delta) changes. */
   def outputOf(name: String): Option[DataFrame] = {

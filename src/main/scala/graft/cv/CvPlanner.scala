@@ -165,7 +165,7 @@ object CvPlanner {
     */
   def planTransform(spark: SparkSession, name: String, selectSql: String,
       streamLeafIds: Seq[Seq[org.apache.spark.sql.catalyst.expressions.ExprId]] = Nil): CtPlan = {
-    val analyzed = GraftBridge.analyzed(spark.sql(selectSql))
+    val analyzed = stripViews(GraftBridge.analyzed(spark.sql(selectSql)))
     validate(analyzed)
     analyzed.foreach {
       case _: Aggregate => throw new IllegalArgumentException(
@@ -211,7 +211,7 @@ object CvPlanner {
   def plan(spark: SparkSession, name: String, selectSql: String,
       options: CvOptions = CvOptions(),
       streamLeafIds: Seq[Seq[org.apache.spark.sql.catalyst.expressions.ExprId]] = Nil): CvPlan = {
-    val analyzed = GraftBridge.analyzed(spark.sql(selectSql))
+    val analyzed = stripViews(GraftBridge.analyzed(spark.sql(selectSql)))
     validate(analyzed)
 
     val (agg, limitOpt) = findAggregate(analyzed)
@@ -325,6 +325,14 @@ object CvPlanner {
       hiddenKeys = hiddenKeys)
   }
 
+  /** Temp-view wrappers are pure metadata (the optimizer's EliminateView
+    * drops them too); stripping them up front lets bindStreamLeaf substitute
+    * the stream leaf without tripping View's child-output invariant (a
+    * cast-for-coercion projection changes attribute nullability).
+    */
+  private def stripViews(plan: LogicalPlan): LogicalPlan =
+    plan.transformUp { case v: View => v.child }
+
   /** The restriction wall (analyzer.c:1183-1344). */
   private def validate(plan: LogicalPlan): Unit = {
     plan.foreach {
@@ -418,6 +426,24 @@ object CvPlanner {
       case f: MinBy =>
         AggSplit.keyedMin(c(f.orderingExpr), c(f.valueExpr)).withKind("keyed_min")
       case f: graft.functions.HllAgg => AggSplit.hllAgg(c(f.child)).withKind("hll")
+      // merge-aggregates over ALREADY-SERIALIZED states: a CV reading a
+      // delta stream (FROM <cv>_osrel) re-aggregates the partial states in
+      // (delta).col — partial AND merge are both the union/merge function
+      case f: graft.functions.HllUnionAgg =>
+        AggSplit(graft.functions.GraftFunctions.hll_union_agg(c(f.child)),
+          s => graft.functions.GraftFunctions.hll_union_agg(s), identity).withKind("hll")
+      case f: graft.functions.BloomUnionAgg =>
+        AggSplit(graft.functions.GraftFunctions.bloom_union_agg(c(f.child)),
+          s => graft.functions.GraftFunctions.bloom_union_agg(s), identity).withKind("bloom")
+      case f: graft.functions.FreqMergeAgg =>
+        AggSplit(graft.functions.GraftFunctions.freq_merge_agg(c(f.child)),
+          s => graft.functions.GraftFunctions.freq_merge_agg(s), identity).withKind("freq")
+      case f: graft.functions.DistMergeAgg =>
+        AggSplit(graft.functions.GraftFunctions.dist_merge_agg(c(f.child)),
+          s => graft.functions.GraftFunctions.dist_merge_agg(s), identity).withKind("dist")
+      case f: graft.functions.TopKMergeAgg =>
+        AggSplit(graft.functions.GraftFunctions.topk_merge_agg(c(f.child)),
+          s => graft.functions.GraftFunctions.topk_merge_agg(s), identity).withKind("topk_merge")
       case f: graft.functions.HllCountDistinct =>
         AggSplit.hllCountDistinct(c(f.child)).withKind("hll_count_distinct")
       case f: graft.functions.BloomAgg => AggSplit.bloomAgg(c(f.child)).withKind("bloom")

@@ -41,6 +41,13 @@ object CvQueries {
         emitChanges = false)
       eng.createContView("v_os",
         "SELECT user_id, count(*) AS n FROM ev_stream GROUP BY user_id")
+      // continuous delta chaining: a second-level CV reading v_os's OUTPUT
+      // STREAM (not the raw events) — every upsert's delta batch re-aggregates
+      // at a coarser key (delta_streams.sql:7-58)
+      eng.createContView("v_os_rollup",
+        s"""SELECT CAST(user_id % 10 AS BIGINT) AS ub, sum(delta.n) AS n
+           |FROM ${eng.osrelName("v_os")} GROUP BY CAST(user_id % 10 AS BIGINT)""".stripMargin,
+        emitChanges = false)
       // grouping sets inside a CV: state keyed by (keys, grouping_id)
       eng.createContView("v_rollup",
         """SELECT event_type, user_id % 10 AS ub,
@@ -131,6 +138,16 @@ object CvQueries {
       "SELECT count(*) AS total FROM events") {
       (s, dir) =>
         engineFor(s, dir).outputOf("v_os").get.agg(sum(col("delta.n")).as("total"))
+    },
+
+    // delta_streams chaining: the CHAINED CV (maintained continuously off
+    // v_os's output stream) equals a single-shot batch rollup of the input.
+    QDef(
+      "q_cv_chained",
+      """SELECT CAST(user_id % 10 AS BIGINT) AS ub, CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1 ORDER BY ub""".stripMargin) {
+      (s, dir) =>
+        engineFor(s, dir).overlay("v_os_rollup").orderBy("ub")
     },
 
     // cont_grouping_sets: ROLLUP maintained incrementally inside a CV — the

@@ -17,11 +17,16 @@ class GraftExtensionsSpec extends AnyFunSuite {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
     try {
+      // withExtensions drives the same injection hook that
+      // `--conf spark.sql.extensions=graft.GraftExtensions` invokes at
+      // session construction; the conf-string path itself needs the conf
+      // present when the SparkContext launches, which a shared-context test
+      // JVM cannot arrange deterministically.
       val s = SparkSession.builder()
         .master("local[2]")
         .config("spark.sql.shuffle.partitions", "2")
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.extensions", "graft.GraftExtensions")
+        .withExtensions(new GraftExtensions())
         .getOrCreate()
       s.sparkContext.setLogLevel("WARN")
 

@@ -582,6 +582,36 @@ class CvSpec extends AnyFunSuite {
     assert(total == allRows.size) // deltas sum to the full event count
   }
 
+  test("continuous delta chaining: CV reads another CV's output stream (delta_streams.sql)") {
+    val eng = newEngine()
+    eng.createStream("s_ch", streamSchema)
+    // level 1: fine grain (key, x%2) with a count, a sum, and an HLL state
+    eng.createContView("v_l1",
+      """SELECT key, x % 2 AS xb, count(*) AS n, sum(v) AS sv,
+        |count(DISTINCT x) AS nd FROM s_ch GROUP BY key, x % 2""".stripMargin)
+    // level 2 reads the level-1 OUTPUT STREAM: numeric deltas re-aggregate
+    // with plain sum; the HLL delta state merges with hll_union_agg
+    eng.createContView("v_l2",
+      s"""SELECT key, sum(delta.n) AS n, sum(delta.sv) AS sv,
+         |hll_union_agg(delta.nd) AS nd_state
+         |FROM ${eng.osrelName("v_l1")} GROUP BY key""".stripMargin,
+      emitChanges = false)
+    allRows.grouped(1000).foreach(c => eng.insertInto("s_ch", mkBatch(c)))
+    val got = asMap(eng.overlay("v_l2")
+      .select(col("key"), col("n"), round(col("sv"), 6).as("sv"),
+        graft.functions.GraftFunctions.hll_cardinality(col("nd_state")).as("nd")))
+    val expect = asMap(mkBatch(allRows).groupBy("key")
+      .agg(count(lit(1)).as("n"), round(sum("v"), 6).as("sv"),
+        countDistinct(col("x")).as("nd"))) // domain 0..99: HLL is exact-ish
+    assert(got.keySet == expect.keySet)
+    got.foreach { case (k, vs) =>
+      assert(vs.head == expect(k).head, s"count for $k")
+      assert(vs(1) == expect(k)(1), s"sum for $k")
+      val (gotNd, expNd) = (vs(2).asInstanceOf[Long], expect(k)(2).asInstanceOf[Long])
+      assert(math.abs(gotNd - expNd) <= math.max(2L, expNd / 50), s"nd for $k")
+    }
+  }
+
   test("restriction wall rejects HAVING / ORDER BY / window / stream-stream join") {
     val eng = newEngine()
     eng.createStream("sa", streamSchema)
