@@ -302,6 +302,7 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     */
   def insertInto(streamName: String, batch: DataFrame,
       targets: Option[Set[String]] = None): Unit = {
+    require(streams.contains(streamName), s"unknown stream $streamName")
     synchronized {
       streamBatches(streamName) = streamBatches.getOrElse(streamName, 0L) + 1L
     }
@@ -334,6 +335,46 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     // blocking{}: a chained transform re-enters insertInto inside a future,
     // and the nested Await must not starve the global pool
     work.foreach(f => scala.concurrent.blocking { Await.result(f, Duration.Inf) })
+  }
+
+  // ---- async ingest (stream_insert_level=async, microbatch.h:51-56) ----
+  // One ingest thread preserves batch order per engine (the reference routes
+  // a stream's inserts through its worker queue); the semaphore is the IPC
+  // high-watermark (ipc_hwm=10, config.c:381-388): more than 10 undrained
+  // batches block the producer — bounded memory, natural backpressure.
+  private val asyncPool = java.util.concurrent.Executors.newSingleThreadExecutor(r => {
+    val t = new Thread(r, "graft-async-ingest"); t.setDaemon(true); t
+  })
+  private val asyncSlots = new java.util.concurrent.Semaphore(10)
+  private val pendingAsync = mutable.Buffer.empty[java.util.concurrent.Future[_]]
+  private val asyncErrors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+
+  /** INSERT with stream_insert_level=async: enqueue and return immediately.
+    * Failures surface at the next flush(). The default synchronous
+    * insertInto is sync_commit; sync_receive (ack on enqueue) behaves like
+    * async here because enqueueing cannot fail once admitted.
+    */
+  def insertIntoAsync(streamName: String, batch: DataFrame,
+      targets: Option[Set[String]] = None): Unit = {
+    asyncSlots.acquire()
+    synchronized {
+      pendingAsync += asyncPool.submit(new Runnable {
+        override def run(): Unit =
+          try insertInto(streamName, batch, targets)
+          catch { case t: Throwable => asyncErrors.add(t) }
+          finally asyncSlots.release()
+      })
+    }
+  }
+
+  /** pipelinedb.flush(): barrier until every enqueued batch has fully
+    * committed (miscutils.c:835-889); rethrows the first async failure.
+    */
+  def flush(): Unit = {
+    val pending = synchronized { val p = pendingAsync.toList; pendingAsync.clear(); p }
+    pending.foreach(_.get())
+    val err = asyncErrors.poll()
+    if (err != null) { asyncErrors.clear(); throw err }
   }
 
   private def runTransform(h: CtHandle, batch: DataFrame): Unit = {

@@ -582,6 +582,21 @@ class CvSpec extends AnyFunSuite {
     assert(total == allRows.size) // deltas sum to the full event count
   }
 
+  test("async insert level + flush barrier (stream_insert_level, pipelinedb.flush)") {
+    val eng = newEngine()
+    eng.createStream("s_async", streamSchema)
+    eng.createContView("v_async", "SELECT key, count(*) AS n FROM s_async GROUP BY key",
+      emitChanges = false)
+    allRows.take(1200).grouped(300).foreach(c => eng.insertIntoAsync("s_async", mkBatch(c)))
+    eng.flush() // barrier: all four batches committed
+    val got = asMap(eng.overlay("v_async"))
+    val expect = asMap(mkBatch(allRows.take(1200)).groupBy("key").agg(count(lit(1)).as("n")))
+    assert(got == expect)
+    // an async failure (unknown stream) surfaces at flush, not at enqueue
+    eng.insertIntoAsync("s_async_nope", mkBatch(allRows.take(10)))
+    intercept[Throwable] { eng.flush() }
+  }
+
   test("continuous delta chaining: CV reads another CV's output stream (delta_streams.sql)") {
     val eng = newEngine()
     eng.createStream("s_ch", streamSchema)
