@@ -805,6 +805,45 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     views(name).store.deleteWhere(ttlColExpr < cutoff)
   }
 
+  // ---- background reaper (reference reaper procs, reaper.c:49-352; SW
+  // ticks ride the same timer like the combiner's tick pass) ----
+
+  private var reaper: Option[java.util.concurrent.ScheduledExecutorService] = None
+
+  /** Start the TTL reaper: every `intervalMs`, delete expired state from
+    * every CV with a TTL (explicit or sliding-window-implied) and emit SW
+    * expiry ticks for sliding-window CVs with output streams. Idempotent;
+    * errors are swallowed per pass (the reaper must outlive bad batches).
+    */
+  def startReaper(intervalMs: Long = 1000L): Unit = synchronized {
+    if (reaper.isDefined) return
+    val ex = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(r => {
+      val t = new Thread(r, "graft-reaper"); t.setDaemon(true); t
+    })
+    ex.scheduleWithFixedDelay(() => reapOnce(), intervalMs, intervalMs,
+      java.util.concurrent.TimeUnit.MILLISECONDS)
+    reaper = Some(ex)
+  }
+
+  def stopReaper(): Unit = synchronized {
+    reaper.foreach(_.shutdownNow())
+    reaper = None
+  }
+
+  /** One reaper pass over every view (also callable directly from tests /
+    * external schedulers).
+    */
+  def reapOnce(now: Option[java.sql.Timestamp] = None): Unit =
+    views.toSeq.foreach { case (name, h) =>
+      try {
+        // tick BEFORE deleting: expiry rows need the expiring state still
+        // present (the reference's reaper likewise lags the combiner's tick
+        // pass — sw_expiration.sql keeps mrel rows past view expiry)
+        if (h.plan.sw.isDefined && h.changes) tickSw(name, now)
+        if (h.plan.options.ttl.isDefined || h.plan.sw.isDefined) expireTtl(name, now)
+      } catch { case _: Throwable => () } // next pass retries
+    }
+
   /** Structured Streaming driver for a CV: every micro-batch runs the same
     * ingest path (foreachBatch ≈ the combiner's sync cycle).
     */

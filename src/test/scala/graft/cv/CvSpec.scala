@@ -582,6 +582,28 @@ class CvSpec extends AnyFunSuite {
     assert(total == allRows.size) // deltas sum to the full event count
   }
 
+  test("reaper pass: SW tick precedes storage expiry (reaper.c + tick_sw_groups)") {
+    val eng = newEngine()
+    eng.createStream("s_reap", streamSchema)
+    eng.createContView("v_reap",
+      "SELECT key, count(*) AS n FROM s_reap GROUP BY key",
+      CvPlanner.CvOptions(sw = Some("1000 seconds"), swColumn = "ts"))
+    eng.insertInto("s_reap", mkBatch(allRows.take(500))) // ts in (0, 500]
+    // one reaper pass at now = t+2500: all buckets expired — the pass must
+    // FIRST emit tick retractions, THEN delete the state
+    eng.reapOnce(Some(tAt(2500)))
+    val ticks = eng.outputOf("v_reap").get.where(col("new").isNull && col("old").isNotNull)
+    assert(ticks.agg(sum(col("old.n"))).collect()(0).getLong(0) == 500L)
+    assert(eng.overlay("v_reap", Some(tAt(2500))).count() == 0)
+    assert(eng.stateOf("v_reap").count() == 0) // storage reaped too
+    // second pass: nothing left, nothing re-emitted
+    eng.reapOnce(Some(tAt(2600)))
+    assert(ticks.count() == eng.outputOf("v_reap").get
+      .where(col("new").isNull && col("old").isNotNull).count())
+    // background scheduler starts/stops cleanly
+    eng.startReaper(60000L); eng.startReaper(60000L); eng.stopReaper()
+  }
+
   test("async insert level + flush barrier (stream_insert_level, pipelinedb.flush)") {
     val eng = newEngine()
     eng.createStream("s_async", streamSchema)
