@@ -102,10 +102,26 @@ object MinHashLsh {
       numBands, rowsPerBand)
 
   private def candidatePairsFromShingles(
-      sh: DataFrame, numBands: Int, rowsPerBand: Int): DataFrame = {
+      sh: DataFrame, numBands: Int, rowsPerBand: Int): DataFrame =
+    verifiedPairs(sh, numBands, rowsPerBand, exactThreshold = None)
+
+  /** Candidate generation + (optionally) exact verification in ONE pass over
+    * the candidate pairs: each side joins the per-doc frame once, carrying
+    * BOTH the signature (cheap agree prefilter) and, when verifying, the
+    * shingle set — the expensive array intersection only evaluates on rows
+    * that survive the agree check (conditional projection), and the pair
+    * stream crosses half the joins of a staged pipeline.
+    */
+  private def verifiedPairs(
+      sh: DataFrame, numBands: Int, rowsPerBand: Int,
+      exactThreshold: Option[Double]): DataFrame = {
     val k = numBands * rowsPerBand
-    val sig = sh.select(col("id"), minhashSignature(col("sh"), k).as("sig"))
-      .persist() // read by the banding pass and the agree-prefilter joins
+    // the candidate-only path skips caching shingle arrays
+    val perDocCols =
+      if (exactThreshold.isDefined) Seq(col("id"), col("sh"))
+      else Seq(col("id"))
+    val sig = sh.select(perDocCols :+ minhashSignature(col("sh"), k).as("sig"): _*)
+      .persist() // read by the banding pass and both sides of the pair join
 
     // band b covers sig[b*r .. b*r+r-1]; bucket = hash of the band slice,
     // seeded with b so one 64-bit key identifies (band, bucket) — a cross-
@@ -135,28 +151,38 @@ object MinHashLsh {
     val agree = size(filter(
       zip_with(col("sig_a"), col("sig_b"), (x, y) => (x === y).cast("int")),
       e => e === 1)).cast("double") / k
-    rawPairs
-      .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
-      .join(sig.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
-      .where(agree >= 0.3)
-      .select(col("id_a"), col("id_b"))
+    val joined = exactThreshold match {
+      case None =>
+        rawPairs
+          .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+          .join(sig.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+          .where(agree >= 0.3)
+          .select(col("id_a"), col("id_b"))
+      case Some(t) =>
+        // jaccard (array intersect — the expensive step) evaluates only when
+        // the agree prefilter passes: random band collisions (agree ≈ 0.05)
+        // die on 128 long comparisons, never touching the shingle sets
+        rawPairs
+          .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a"),
+            col("sh").as("sh_a")), "id_a")
+          .join(sig.select(col("id").as("id_b"), col("sig").as("sig_b"),
+            col("sh").as("sh_b")), "id_b")
+          .select(col("id_a"), col("id_b"),
+            when(agree >= 0.3, TextOps.jaccard(col("sh_a"), col("sh_b")))
+              .otherwise(lit(-1.0)).as("jaccard"))
+          .where(col("jaccard") >= t)
+    }
+    joined
   }
 
-  /** Full near-dup pipeline: LSH candidates verified with exact Jaccard.
-    * Shingle arrays are computed once and shared by the signature stage and
-    * the verify joins.
+  /** Full near-dup pipeline: LSH candidates verified with exact Jaccard in
+    * the same pass (shingle arrays computed once, shared by signature stage
+    * and verify joins).
     */
   def nearDuplicates(
       df: DataFrame, idCol: String, textCol: String, threshold: Double,
       shingleN: Int = 3, numBands: Int = 64, rowsPerBand: Int = 2): DataFrame = {
     val sh = df.select(col(idCol).as("id"), TextOps.shingles(col(textCol), shingleN).as("sh"))
-      .persist()
-    val pairs = candidatePairsFromShingles(sh, numBands, rowsPerBand)
-    pairs
-      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        TextOps.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
-      .where(col("jaccard") >= threshold)
+    verifiedPairs(sh, numBands, rowsPerBand, exactThreshold = Some(threshold))
   }
 }
