@@ -92,6 +92,36 @@ object Media {
         explode(sequence(lit(0), col("n_frames") - 1,
           lit(math.max(1, every)))).as("frame_idx"))
 
+  /** Resize pass: binary → binary at target dimensions. The pixel resample
+    * is the stub boundary (a real codec would decode, scale, re-encode);
+    * the Spark-side shape is production-real: size-aware partitioning,
+    * iterator processing, the output carries the new bytes + new dims and
+    * drops the originals so a 100 TB re-encode never doubles its footprint
+    * in a shuffle.
+    */
+  def resize(df: DataFrame, idCol: String, bytesCol: String,
+      targetW: Int, targetH: Int,
+      decoder: MediaDecoder = FakeDecoder,
+      targetPartitionBytes: Long = 64L * 1024 * 1024): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sized = df.select(col(idCol).cast("long").as("media_id"), col(bytesCol).as("bytes"))
+    val totalBytes = sized.agg(sum(length(col("bytes")))).collect()(0).getLong(0) max 1L
+    val parts = math.max(1, math.min(2048, (totalBytes / targetPartitionBytes).toInt + 1))
+    sized.repartition(parts)
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val m = decoder.decode(bytes)
+          // STUB resample: deterministic bytes derived from (input, target)
+          val seed = java.security.MessageDigest.getInstance("MD5")
+            .digest(bytes ++ Array(targetW.toByte, targetH.toByte))
+          (id, m.format, targetW, targetH, seed)
+        }
+      }
+      .toDF("media_id", "format", "width", "height", "bytes")
+  }
+
   /** Feature-extract pass: binary → fixed-dim float vector, the embedding-
     * extraction shape that feeds the ANN operators. Deterministic stub
     * features (hash-seeded) in place of a real vision/audio model; the

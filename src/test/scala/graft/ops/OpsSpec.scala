@@ -140,6 +140,17 @@ class OpsSpec extends AnyFunSuite {
     val f2 = Media.extractFeatures(media.repartition(7), "doc_id", "bytes", dim = 16)
       .orderBy("media_id").collect().map(_.getSeq[Float](1))
     assert(f1.zip(f2).forall { case (a, b) => a == b })
+    // resize: every row re-emitted at target dims with fresh bytes, format
+    // preserved, deterministic across partitionings
+    val rs = Media.resize(media, "doc_id", "bytes", targetW = 64, targetH = 32)
+    assert(rs.count() == docs.count())
+    assert(rs.where(col("width") =!= 64 || col("height") =!= 32).count() == 0)
+    val r1 = rs.orderBy("media_id").collect().map(r => r.getAs[Array[Byte]]("bytes").toSeq)
+    val r2 = Media.resize(media.repartition(3), "doc_id", "bytes", 64, 32)
+      .orderBy("media_id").collect().map(r => r.getAs[Array[Byte]]("bytes").toSeq)
+    assert(r1.zip(r2).forall { case (a, b) => a == b })
+    assert(rs.select("format").distinct().count() ==
+      meta.select("format").distinct().count())
   }
 
   test("embedding-cosine near-dup finds seeded duplicate vectors") {
