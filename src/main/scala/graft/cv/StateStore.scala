@@ -134,6 +134,7 @@ final class StateStore(
     // different buckets.
     val selfPersist = updates.storageLevel == org.apache.spark.storage.StorageLevel.NONE
     if (selfPersist) updates.persist()
+    try {
     val obs = org.apache.spark.sql.Observation()
     timed("scan+cache")(up
       .observe(obs, collect_set(col(BucketCol)).as("touched"), count(lit(1)).as("n"))
@@ -145,7 +146,6 @@ final class StateStore(
     // version, no manifest bump — return empty old/new frames so the changes
     // emitter writes zero rows
     if (touched.isEmpty) {
-      if (selfPersist) updates.unpersist()
       val empty = updates.limit(0)
       return (if (needOldRows) Some(empty) else None, empty, 0L)
     }
@@ -205,10 +205,13 @@ final class StateStore(
     // cycle's inputs; deleting now would FAILED_READ_FILE on cache eviction.
     deferGcOldVersions(keep = newBuckets.values.map(_.takeWhile(_ != '/')).toSet)
     refreshCache()
-    if (selfPersist) updates.unpersist() // merge has run; no later consumer
 
     val newRows = semiOnKeys(readBuckets(Some(touched)).get)
     (old, newRows, groupsTouched)
+    } finally {
+      // merge has run (or failed) — the cache has no later consumer either way
+      if (selfPersist) updates.unpersist()
+    }
   }
 
   /** First commit into an empty store: single write job; touched buckets
