@@ -41,6 +41,16 @@ object ProfileCv {
         emitChanges = false)
       e.createContView("v_os",
         "SELECT user_id, count(*) AS n FROM ev_stream GROUP BY user_id")
+      e.createContView("v_os_rollup",
+        s"""SELECT CAST(user_id % 10 AS BIGINT) AS ub, sum(delta.n) AS n
+           |FROM ${e.osrelName("v_os")} GROUP BY CAST(user_id % 10 AS BIGINT)""".stripMargin,
+        emitChanges = false)
+      e.createContView("v_rollup",
+        """SELECT event_type, user_id % 10 AS ub,
+          |       grouping(event_type)*2 + grouping(user_id % 10) AS gid,
+          |       count(*) AS n, sum(value) AS sv
+          |FROM ev_stream GROUP BY ROLLUP(event_type, user_id % 10)""".stripMargin,
+        emitChanges = false)
       e.createStream("ev_hot", events.schema)
       e.createContTransform("t_hot",
         "SELECT event_id, ts, user_id, event_type, value, props FROM ev_stream WHERE value > 100",

@@ -53,7 +53,12 @@ final class StateStore(
 
   // ---- manifest ----
 
-  private case class Manifest(version: Long, buckets: Map[Int, String])
+  /** `small` tracks whether the whole state still fits the single-job
+    * full-rewrite merge path (see [[SmallStateBytes]]). Once a store grows
+    * past the threshold it stays on the bucket-pruned path for good — the
+    * flag is how we avoid ever re-measuring a large store's file tree.
+    */
+  private case class Manifest(version: Long, buckets: Map[Int, String], small: Boolean)
 
   private def readManifest(): Option[Manifest] =
     if (!Files.exists(manifestPath)) None
@@ -63,19 +68,38 @@ final class StateStore(
       val version = """"version"\s*:\s*(\d+)""".r.findFirstMatchIn(txt).get.group(1).toLong
       val pairs = """"(\d+)"\s*:\s*"([^"]+)"""".r.findAllMatchIn(txt)
         .map(m => m.group(1).toInt -> m.group(2)).toMap
-      Some(Manifest(version, pairs))
+      val small = """"small"\s*:\s*(true|false)""".r.findFirstMatchIn(txt)
+        .map(_.group(1).toBoolean)
+        .getOrElse(measureSmall(pairs)) // manifest written before the flag existed
+      Some(Manifest(version, pairs, small))
     }
 
   private def writeManifest(m: Manifest): Unit = {
     val entries = m.buckets.toSeq.sortBy(_._1)
       .map { case (b, p) => s""""$b": "$p"""" }.mkString(",")
-    val txt = s"""{"version": ${m.version}, "buckets": {$entries}}"""
+    val txt = s"""{"version": ${m.version}, "small": ${m.small}, "buckets": {$entries}}"""
     val tmp = Paths.get(root, s"_manifest.tmp.${m.version}")
     Files.createDirectories(Paths.get(root))
     Files.writeString(tmp, txt)
     Files.move(tmp, manifestPath, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
   }
+
+  /** Below this many state bytes on disk, a merge rewrites the whole state
+    * in one job instead of pre-scanning for touched buckets — per-micro-batch
+    * job count beats write amplification while the state is tiny.
+    */
+  private val SmallStateBytes = 64L * 1024 * 1024
+
+  private def dirBytes(rel: String): Long = {
+    val p = Paths.get(root, rel)
+    if (!Files.exists(p)) 0L
+    else Files.walk(p).iterator().asScala.filter(Files.isRegularFile(_))
+      .map(Files.size).sum
+  }
+
+  private def measureSmall(buckets: Map[Int, String]): Boolean =
+    buckets.values.map(dirBytes).sum < SmallStateBytes
 
   def exists: Boolean = readManifest().isDefined
 
@@ -126,6 +150,12 @@ final class StateStore(
     // riding the same job.
     if (manifest.isEmpty) return firstWrite(up)
 
+    // Small state: merge against the full (cached) state and rewrite it in
+    // ONE job — the touched-bucket pre-scan pays for itself only once bucket
+    // pruning actually skips meaningful I/O.
+    if (manifest.get.small)
+      return smallMerge(manifest.get, updates, up, reAgg, needOldRows)
+
     // Touched buckets + group count come from ONE job that also materializes
     // the partial-aggregated updates into executor cache: the merge job then
     // reads the cached partials (narrow) instead of re-aggregating the raw
@@ -159,13 +189,12 @@ final class StateStore(
       l.join(r, keyCols.map(k => l(k) <=> r(k)).reduce(_ && _), "left_semi")
     }
 
-    // Materialize the pre-image eagerly: the version files it reads may be
-    // GC'd right after the new version commits, but the changes emitter
-    // consumes these rows afterwards (reference does lookup+emit in one
-    // transaction — combiner.c:1402-1638; localCheckpoint is our snapshot).
-    val old =
-      if (!needOldRows) None
-      else existingTouched.map(ex => timed("old-snapshot")(semiOnKeys(ex).localCheckpoint()))
+    // Lazy pre-image: the superseded version's files stay on disk until the
+    // NEXT mutation (deferred GC flushes then), and the engine consumes old
+    // rows synchronously within this ingest cycle (reference does lookup+emit
+    // in one transaction — combiner.c:1402-1638) — so reading them re-scans
+    // the pre-merge bucket files instead of paying a snapshot job here.
+    val old = if (!needOldRows) None else existingTouched.map(semiOnKeys)
 
     val merged = existingTouched match {
       case None => up
@@ -198,7 +227,7 @@ final class StateStore(
 
     val newBuckets = manifest.map(_.buckets).getOrElse(Map.empty) ++
       touched.map(b => b -> s"v$version/$BucketCol=$b").toMap
-    writeManifest(Manifest(version, newBuckets))
+    writeManifest(Manifest(version, newBuckets, small = false))
     // Defer deleting superseded version dirs until the NEXT mutation: the
     // returned newRows (and the caller's lazily-evaluated delta, which for
     // LIMIT CVs joins against the pre-merge state) still reference this
@@ -214,6 +243,85 @@ final class StateStore(
     }
   }
 
+  /** Small-state merge: one job — union the full (cached) state with the
+    * batch partials, re-aggregate, rewrite every bucket. No touched-bucket
+    * pre-scan: the touched set IS the set of written partition dirs, and the
+    * update-group count rides an observe() on the updates side of the union.
+    * Single-evaluation also means a non-deterministic batch can never put
+    * the scan and the merge in different buckets, so no persist is needed.
+    */
+  private def smallMerge(
+      m: Manifest,
+      updates: DataFrame,
+      up: DataFrame,
+      reAgg: Seq[(String, org.apache.spark.sql.Column => org.apache.spark.sql.Column)],
+      needOldRows: Boolean): (Option[DataFrame], DataFrame, Long) = {
+    val existing = cachedState.orElse(readBuckets(None)).get
+
+    // null-safe key match: NULL group keys still select their state row
+    def semiOnKeys(l: DataFrame): DataFrame = {
+      val r = up.select(keyCols.map(col): _*).distinct()
+      l.join(r, keyCols.map(k => l(k) <=> r(k)).reduce(_ && _), "left_semi")
+    }
+    // Lazy pre-image: superseded version files stay on disk until the NEXT
+    // mutation (deferred GC), and the engine consumes old rows synchronously
+    // within this ingest cycle — no snapshot job needed.
+    val old = if (needOldRows) Some(semiOnKeys(existing)) else None
+
+    val obs = org.apache.spark.sql.Observation()
+    val counted = up.observe(obs, count(lit(1)).as("n"))
+    val exB = existing.withColumn(BucketCol, bucketOf)
+    // preserve state-column metadata (combine-kind tags) across merges
+    val metaByName = updates.schema.fields.map(f => f.name -> f.metadata).toMap
+    val stateCols = reAgg.map { case (name, agg) =>
+      agg(col(name)).as(name, metaByName(name))
+    }
+    // The union chain MUST start from `counted`: the Observation is registered
+    // on `updates`' session, ExecutionListenerBus delivers events only for
+    // actions run by that same session, and the write below runs on the
+    // session of the Dataset heading this chain. `updates` may come from a
+    // different session than the store's (combine_table passes caller-built
+    // partials) — heading the chain with exB would strand obs.get forever.
+    val merged = counted.unionByName(exB.select(counted.columns.map(col): _*))
+      .groupBy((keyCols :+ BucketCol).map(col): _*)
+      .agg(stateCols.head, stateCols.tail: _*)
+
+    val version = m.version + 1
+    val outDir = s"$root/v$version"
+    timed("small-merge")(merged.coalesce(1)
+      .write.partitionBy(BucketCol).mode("overwrite").parquet(outDir))
+    val groupsTouched = observedCount(obs, updates.count())
+    val written = writtenBuckets(outDir)
+    // full rewrite: the manifest is replaced wholesale by this version
+    val newBuckets = written.map(b => b -> s"v$version/$BucketCol=$b").toMap
+    writeManifest(Manifest(version, newBuckets,
+      small = newBuckets.values.map(dirBytes).sum < SmallStateBytes))
+    deferGcOldVersions(keep = Set(s"v$version"))
+    refreshCache()
+    val newRows = semiOnKeys(readBuckets(Some(written)).get)
+    (old, newRows, groupsTouched)
+  }
+
+  /** obs.get with a timeout fallback: if the optimizer pruned the observed
+    * subtree (AQE empty-relation propagation on a zero-row batch can delete
+    * the CollectMetrics node), the metric never arrives and a bare get()
+    * would block forever. The fallback re-counts — stats-only accuracy.
+    */
+  private def observedCount(obs: org.apache.spark.sql.Observation,
+      fallback: => Long): Long = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    try Await.result(Future(obs.get("n").asInstanceOf[Long]), 15.seconds)
+    catch { case _: java.util.concurrent.TimeoutException => fallback }
+  }
+
+  private def writtenBuckets(outDir: String): Set[Int] =
+    Option(Paths.get(outDir).toFile.list())
+      .map(_.toSeq.filter(_.startsWith(s"$BucketCol="))
+        .map(_.stripPrefix(s"$BucketCol=").toInt).toSet)
+      .getOrElse(Set.empty[Int])
+
   /** First commit into an empty store: single write job; touched buckets
     * come from the partition dirs the write produced, the group count from
     * an observe() metric riding the same job.
@@ -224,12 +332,10 @@ final class StateStore(
     timed("first-write")(up.observe(obs, org.apache.spark.sql.functions.count(lit(1)).as("n"))
       .repartition(numBuckets, col(BucketCol))
       .write.partitionBy(BucketCol).mode("overwrite").parquet(outDir))
-    val groupsTouched = obs.get("n").asInstanceOf[Long]
-    val written = Option(Paths.get(outDir).toFile.list())
-      .map(_.toSeq.filter(_.startsWith(s"$BucketCol="))
-        .map(_.stripPrefix(s"$BucketCol=").toInt).toSet)
-      .getOrElse(Set.empty[Int])
-    writeManifest(Manifest(0L, written.map(b => b -> s"v0/$BucketCol=$b").toMap))
+    val groupsTouched = observedCount(obs, up.count())
+    val written = writtenBuckets(outDir)
+    writeManifest(Manifest(0L, written.map(b => b -> s"v0/$BucketCol=$b").toMap,
+      small = written.map(b => dirBytes(s"v0/$BucketCol=$b")).sum < SmallStateBytes))
     refreshCache()
     val newRows = read().getOrElse(up.limit(0).drop(BucketCol))
     (None, newRows, groupsTouched)
@@ -251,12 +357,12 @@ final class StateStore(
       keep.repartition(math.max(affected.size, 1), col(BucketCol))
         .write.partitionBy(BucketCol).mode("overwrite").parquet(s"$root/v$version")
       // buckets that became empty still get a manifest entry only if files exist
-      val writtenBuckets = Option(Paths.get(root, s"v$version").toFile.list())
-        .map(_.toSeq.filter(_.startsWith(s"$BucketCol=")).map(_.stripPrefix(s"$BucketCol=").toInt).toSet)
-        .getOrElse(Set.empty[Int])
+      val written = writtenBuckets(s"$root/v$version")
       val newBuckets = (m.buckets -- affected) ++
-        writtenBuckets.map(b => b -> s"v$version/$BucketCol=$b").toMap
-      writeManifest(Manifest(version, newBuckets))
+        written.map(b => b -> s"v$version/$BucketCol=$b").toMap
+      // deletes only shrink state: a small store stays small, and a large
+      // store stays on the pruned path (no re-measuring walk)
+      writeManifest(Manifest(version, newBuckets, small = m.small))
       deferGcOldVersions(keep = newBuckets.values.map(_.takeWhile(_ != '/')).toSet)
       refreshCache()
     }

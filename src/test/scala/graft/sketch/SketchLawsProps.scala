@@ -119,11 +119,15 @@ object SketchLawsProps extends Properties("sketch-merge-laws") {
       val merged = tdOf(l).merge(tdOf(r))
       val est = merged.quantile(q)
       val sorted = xs.sorted
-      // rank error bound: the estimate must sit within 15% rank of q
-      val rank = sorted.count(_ <= est).toDouble / sorted.length
+      // rank error bound: with ties a value occupies a rank INTERVAL
+      // [count(<est), count(<=est)]/n — q must fall within 15% of it
+      // (all-duplicate inputs make any single-point rank ill-defined)
+      val lo = sorted.count(_ < est).toDouble / sorted.length
+      val hi = sorted.count(_ <= est).toDouble / sorted.length
       val tol = 0.15 + 2.0 / sorted.length
+      val dist = if (q < lo) lo - q else if (q > hi) q - hi else 0.0
       val rt = TDigest.deserialize(merged.serialize())
-      math.abs(rank - q) <= tol && rt.quantile(q) == est
+      dist <= tol && rt.quantile(q) == est
     }
 
   // guard Prop implicits usage
