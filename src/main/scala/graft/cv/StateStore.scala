@@ -70,7 +70,15 @@ final class StateStore(
         .map(m => m.group(1).toInt -> m.group(2)).toMap
       val small = """"small"\s*:\s*(true|false)""".r.findFirstMatchIn(txt)
         .map(_.group(1).toBoolean)
-        .getOrElse(measureSmall(pairs)) // manifest written before the flag existed
+        .getOrElse {
+          // manifest written before the flag existed: measure once, then
+          // rewrite the manifest immediately so no later read (exists/read/
+          // readBuckets all land here, several times per batch) repeats the
+          // full file-tree walk
+          val s = measureSmall(pairs)
+          writeManifest(Manifest(version, pairs, s))
+          s
+        }
       Some(Manifest(version, pairs, small))
     }
 
@@ -243,12 +251,15 @@ final class StateStore(
     }
   }
 
-  /** Small-state merge: one job — union the full (cached) state with the
-    * batch partials, re-aggregate, rewrite every bucket. No touched-bucket
-    * pre-scan: the touched set IS the set of written partition dirs, and the
-    * update-group count rides an observe() on the updates side of the union.
-    * Single-evaluation also means a non-deterministic batch can never put
-    * the scan and the merge in different buckets, so no persist is needed.
+  /** Small-state merge: union the full (cached) state with the batch
+    * partials, re-aggregate, rewrite every bucket in one write job. No
+    * touched-bucket pre-scan: the touched set IS the set of written partition
+    * dirs. The batch partials are self-persisted (mirroring the large path)
+    * so the count, the semi-joins, and the merge all read one materialized
+    * evaluation — a non-deterministic batch can never report old/new key
+    * sets inconsistent with what was merged — and the count doubles as the
+    * empty-batch short-circuit (a zero-row micro-batch must not rewrite the
+    * state or bump the version).
     */
   private def smallMerge(
       m: Manifest,
@@ -256,50 +267,65 @@ final class StateStore(
       up: DataFrame,
       reAgg: Seq[(String, org.apache.spark.sql.Column => org.apache.spark.sql.Column)],
       needOldRows: Boolean): (Option[DataFrame], DataFrame, Long) = {
-    val existing = cachedState.orElse(readBuckets(None)).get
+    val selfPersist = updates.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    if (selfPersist) updates.persist()
+    try {
+      val groupsTouched = updates.count() // materializes the cache
+      if (groupsTouched == 0L) {
+        val empty = updates.limit(0)
+        return (if (needOldRows) Some(empty) else None, empty, 0L)
+      }
+      // A deleteWhere/TTL pass (or a fully-filtered first batch) can leave a
+      // manifest whose bucket map is empty — treat missing state as empty
+      // rather than crashing, and fall through to a plain re-agg write.
+      val existingOpt = cachedState.orElse(readBuckets(None))
 
-    // null-safe key match: NULL group keys still select their state row
-    def semiOnKeys(l: DataFrame): DataFrame = {
-      val r = up.select(keyCols.map(col): _*).distinct()
-      l.join(r, keyCols.map(k => l(k) <=> r(k)).reduce(_ && _), "left_semi")
+      // null-safe key match: NULL group keys still select their state row
+      def semiOnKeys(l: DataFrame): DataFrame = {
+        val r = up.select(keyCols.map(col): _*).distinct()
+        l.join(r, keyCols.map(k => l(k) <=> r(k)).reduce(_ && _), "left_semi")
+      }
+      // Lazy pre-image: superseded version files stay on disk until the NEXT
+      // mutation (deferred GC), and the engine consumes old rows synchronously
+      // within this ingest cycle — no snapshot job needed.
+      val old = if (needOldRows) existingOpt.map(semiOnKeys) else None
+
+      // preserve state-column metadata (combine-kind tags) across merges
+      val metaByName = updates.schema.fields.map(f => f.name -> f.metadata).toMap
+      val stateCols = reAgg.map { case (name, agg) =>
+        agg(col(name)).as(name, metaByName(name))
+      }
+      // The union chain MUST start from `up`: the write below runs on the
+      // session of the Dataset heading the chain, and `updates` may come from
+      // a different session than the store's (combine_table passes
+      // caller-built partials).
+      val unioned = existingOpt match {
+        case Some(existing) =>
+          val exB = existing.withColumn(BucketCol, bucketOf)
+          up.unionByName(exB.select(up.columns.map(col): _*))
+        case None => up
+      }
+      val merged = unioned
+        .groupBy((keyCols :+ BucketCol).map(col): _*)
+        .agg(stateCols.head, stateCols.tail: _*)
+
+      val version = m.version + 1
+      val outDir = s"$root/v$version"
+      timed("small-merge")(merged.coalesce(1)
+        .write.partitionBy(BucketCol).mode("overwrite").parquet(outDir))
+      val written = writtenBuckets(outDir)
+      // full rewrite: the manifest is replaced wholesale by this version
+      val newBuckets = written.map(b => b -> s"v$version/$BucketCol=$b").toMap
+      writeManifest(Manifest(version, newBuckets,
+        small = newBuckets.values.map(dirBytes).sum < SmallStateBytes))
+      deferGcOldVersions(keep = Set(s"v$version"))
+      refreshCache()
+      val newRows = semiOnKeys(readBuckets(Some(written)).get)
+      (old, newRows, groupsTouched)
+    } finally {
+      // merge has run (or failed) — the cache has no later consumer either way
+      if (selfPersist) updates.unpersist()
     }
-    // Lazy pre-image: superseded version files stay on disk until the NEXT
-    // mutation (deferred GC), and the engine consumes old rows synchronously
-    // within this ingest cycle — no snapshot job needed.
-    val old = if (needOldRows) Some(semiOnKeys(existing)) else None
-
-    val obs = org.apache.spark.sql.Observation()
-    val counted = up.observe(obs, count(lit(1)).as("n"))
-    val exB = existing.withColumn(BucketCol, bucketOf)
-    // preserve state-column metadata (combine-kind tags) across merges
-    val metaByName = updates.schema.fields.map(f => f.name -> f.metadata).toMap
-    val stateCols = reAgg.map { case (name, agg) =>
-      agg(col(name)).as(name, metaByName(name))
-    }
-    // The union chain MUST start from `counted`: the Observation is registered
-    // on `updates`' session, ExecutionListenerBus delivers events only for
-    // actions run by that same session, and the write below runs on the
-    // session of the Dataset heading this chain. `updates` may come from a
-    // different session than the store's (combine_table passes caller-built
-    // partials) — heading the chain with exB would strand obs.get forever.
-    val merged = counted.unionByName(exB.select(counted.columns.map(col): _*))
-      .groupBy((keyCols :+ BucketCol).map(col): _*)
-      .agg(stateCols.head, stateCols.tail: _*)
-
-    val version = m.version + 1
-    val outDir = s"$root/v$version"
-    timed("small-merge")(merged.coalesce(1)
-      .write.partitionBy(BucketCol).mode("overwrite").parquet(outDir))
-    val groupsTouched = observedCount(obs, updates.count())
-    val written = writtenBuckets(outDir)
-    // full rewrite: the manifest is replaced wholesale by this version
-    val newBuckets = written.map(b => b -> s"v$version/$BucketCol=$b").toMap
-    writeManifest(Manifest(version, newBuckets,
-      small = newBuckets.values.map(dirBytes).sum < SmallStateBytes))
-    deferGcOldVersions(keep = Set(s"v$version"))
-    refreshCache()
-    val newRows = semiOnKeys(readBuckets(Some(written)).get)
-    (old, newRows, groupsTouched)
   }
 
   /** obs.get with a timeout fallback: if the optimizer pruned the observed
@@ -309,11 +335,17 @@ final class StateStore(
     */
   private def observedCount(obs: org.apache.spark.sql.Observation,
       fallback: => Long): Long = {
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration._
-    import scala.concurrent.ExecutionContext.Implicits.global
-    try Await.result(Future(obs.get("n").asInstanceOf[Long]), 15.seconds)
-    catch { case _: java.util.concurrent.TimeoutException => fallback }
+    // Poll the observation's completion handle with a bounded deadline
+    // instead of Await-ing an uninterruptible obs.get Future (which leaked
+    // one blocked global-EC thread per pruned-observation batch); get() is
+    // only called once the metric has already arrived, so it never blocks.
+    val fut = obs.future
+    val deadlineNs = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    while (System.nanoTime() < deadlineNs) {
+      if (fut.isCompleted) return obs.get("n").asInstanceOf[Long]
+      Thread.sleep(25)
+    }
+    fallback
   }
 
   private def writtenBuckets(outDir: String): Set[Int] =

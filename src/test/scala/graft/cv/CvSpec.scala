@@ -1,5 +1,6 @@
 package graft.cv
 
+import java.nio.file.Paths
 import java.sql.Timestamp
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -168,6 +169,43 @@ class CvSpec extends AnyFunSuite {
     eng2.expireTtl("v_st", Some(tAt(5000)))   // rows older than t+4400 only
     val left = eng2.overlay("v_st")
     assert(left.count() == left.where(col("latest") > lit(tAt(4400))).count())
+  }
+
+  test("ingest after TTL reaping empties a small store (smallMerge empty-state regression)") {
+    val eng = newEngine()
+    eng.createStream("s_mt", streamSchema)
+    eng.createContView("v_mt",
+      "SELECT key, max(ts) AS latest, count(*) AS n FROM s_mt GROUP BY key",
+      emitChanges = false)
+    eng.insertInto("s_mt", mkBatch(allRows.take(200))) // ts in (0, 200]
+    eng.setTtl("v_mt", Some("60 seconds"), Some("latest"))
+    eng.expireTtl("v_mt", Some(tAt(5000))) // everything expired → bucketless manifest
+    assert(eng.overlay("v_mt").count() == 0)
+    // previously threw NoSuchElementException (smallMerge .get on missing state)
+    eng.insertInto("s_mt", mkBatch(allRows.slice(200, 400)))
+    val got = asMap(eng.overlay("v_mt").select("key", "n"))
+    val expect = asMap(mkBatch(allRows.slice(200, 400))
+      .groupBy("key").agg(count(lit(1)).as("n")))
+    assert(got == expect)
+  }
+
+  test("zero-row micro-batch on a small store does not bump the state version") {
+    val root = java.nio.file.Files.createTempDirectory("graft_zb").toString
+    val eng = new ContViewEngine(spark, root)
+    eng.createStream("s_z", streamSchema)
+    // WHERE filters out everything in the second batch
+    eng.createContView("v_z",
+      "SELECT key, count(*) AS n FROM s_z WHERE x < 1000 GROUP BY key",
+      emitChanges = false)
+    eng.insertInto("s_z", mkBatch(allRows.take(300)))
+    val before = asMap(eng.overlay("v_z"))
+    def versions = Option(Paths.get(root, "v_z", "state").toFile.list()).get
+      .count(_.startsWith("v"))
+    val versionsBefore = versions
+    val filtered = allRows.slice(300, 600).map { case (k, _, v, ts) => (k, 5000L, v, ts) }
+    eng.insertInto("s_z", mkBatch(filtered)) // all rows fail the predicate
+    assert(asMap(eng.overlay("v_z")) == before)
+    assert(versions == versionsBefore) // no state rewrite for an empty batch
   }
 
   test("SQL combine() over bare state columns via metadata (user_combine.sql)") {
