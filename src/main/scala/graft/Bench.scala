@@ -45,15 +45,29 @@ object Bench {
     val small = spark.range(100).select(col("id").as("x"), pmod(col("id"), lit(7)).as("r"))
     small.join(broadcast(small.select(col("x").as("y"))), col("x") === col("y"))
       .withColumn("rk", row_number().over(w)).agg(sum("rk")).collect()
+    // Min-of-N consecutive runs per query: a single-shot timing turns any
+    // transient co-tenant load into a phantom regression, while the minimum
+    // is robust to contention and still honest (no caching between runs —
+    // each repeat re-executes the full plan). loadavg is recorded alongside
+    // so a noisy-machine run is visible in the artifact itself.
+    val repeats = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to repeats).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val loadavg =
+      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .trim.split(" ").take(3).mkString(" ")
+      catch { case _: Throwable => "" }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":$repeats,"loadavg":"$loadavg"}""")
     spark.stop()
   }
 }
