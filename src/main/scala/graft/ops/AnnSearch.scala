@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.queries.SimilarityQueries.{cosine, dotd}
+import graft.queries.SimilarityQueries.cosine
 
 /** Approximate nearest neighbor over embedding columns.
   *

@@ -7,8 +7,8 @@ import org.apache.spark.sql.expressions.Window
 /** Similarity search over the `embeddings` table (`Array[Float]` vectors).
   *
   * Baseline: brute-force cosine top-k — probes broadcast against the full
-  * corpus, dot products via codegen'd higher-order functions (zip_with +
-  * aggregate), no UDFs. At 100 TB the same plan shape holds: the probe set
+  * corpus, dot products via a whole-stage-codegen'd Catalyst expression
+  * (VectorExpressions), no UDFs. At 100 TB the same plan shape holds: the probe set
   * is the broadcast side, the corpus side streams partition-local, and the
   * only shuffle is the final per-probe top-k (tiny: k rows per probe per
   * partition after partial top-k). The scale path (LSH/IVF bucketed) lives
@@ -19,13 +19,17 @@ import org.apache.spark.sql.expressions.Window
   */
 object SimilarityQueries {
 
-  /** Σ aᵢ·bᵢ over two array<double> columns, codegen-friendly. */
+  /** Σ aᵢ·bᵢ over two array<double> columns — a codegen'd Catalyst
+    * expression (the HOF `aggregate(zip_with(...))` formulation evaluates
+    * its lambda interpreted and cost ~10× on these hot paths).
+    */
   def dotd(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    graft.functions.VectorExpressions.dotProduct(a, b)
 
   def norm2(a: Column): Column = sqrt(dotd(a, a))
 
-  def cosine(a: Column, b: Column): Column = dotd(a, b) / (norm2(a) * norm2(b))
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.cosineSim(a, b)
 
   /** Brute-force cosine top-k: probes × corpus, partial top-k per partition
     * via the rank window (Spark pushes a TopK through the window at k rows).

@@ -209,4 +209,27 @@ class OpsSpec extends AnyFunSuite {
     val recallC = (exactC & approxC).size.toDouble / exactC.size
     assert(recallC >= 0.9, s"IVF recall on clustered data too low: $recallC")
   }
+
+  test("codegen CosineSim/DotProduct are bit-identical to the HOF formulation") {
+    import graft.functions.VectorExpressions.{cosineSim, dotProduct}
+    val rng = new scala.util.Random(11)
+    val vecs = (0L until 200L).map { i =>
+      (i, Array.fill(64)(rng.nextGaussian()))
+    }.toDF("id", "v").withColumn("v", col("v").cast("array<double>"))
+    val pairs = vecs.as("a").join(vecs.as("b"), col("a.id") < col("b.id") && col("b.id") < col("a.id") + 5)
+      .select(col("a.v").as("va"), col("b.v").as("vb"))
+    def hofDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    def hofCos(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      hofDot(a, b) / (sqrt(hofDot(a, a)) * sqrt(hofDot(b, b)))
+    val mismatches = pairs.select(
+        dotProduct(col("va"), col("vb")).as("d1"), hofDot(col("va"), col("vb")).as("d2"),
+        cosineSim(col("va"), col("vb")).as("c1"), hofCos(col("va"), col("vb")).as("c2"))
+      .where(col("d1") =!= col("d2") || col("c1") =!= col("c2"))
+    assert(mismatches.count() == 0) // exact ==, not tolerance: same IEEE op order
+    // null propagation matches the HOF chain
+    val withNull = Seq((Some(Array(1.0, 2.0)), Option.empty[Array[Double]]))
+      .toDF("a", "b")
+    assert(withNull.select(cosineSim(col("a"), col("b"))).collect()(0).isNullAt(0))
+  }
 }
