@@ -71,9 +71,18 @@ object AnnSearch {
     * at high bits), then exact-cosine verification — same candidates-then-
     * verify shape as MinHashLsh, so only (id, table, bucket) triples
     * shuffle and vectors re-join for candidates only.
+    *
+    * Skew guard (MinHashLsh.verifiedPairs pattern): singleton buckets are
+    * dropped before the self-join via a broadcast hot-set, and any bucket
+    * larger than `maxBucketSize` — a dense duplicate cluster whose self-join
+    * would emit O(s²) rows — is excluded from candidate generation and
+    * REPORTED on stderr rather than silently absorbed. Members of such a
+    * cluster still pair through their other `numTables-1` tables unless
+    * oversized in all of them.
     */
   def cosineNearDuplicates(emb: DataFrame, dim: Int, threshold: Double,
-      numTables: Int = 8, bitsPerTable: Int = 12, seed: Long = 42L): DataFrame = {
+      numTables: Int = 8, bitsPerTable: Int = 12, seed: Long = 42L,
+      maxBucketSize: Int = 4096): DataFrame = {
     val ps = planes(dim, numTables, bitsPerTable, seed)
     val corpus = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .persist() // bucket pass + two candidate re-joins
@@ -82,8 +91,20 @@ object AnnSearch {
     // riding through the self-join shuffle |tables|× per vector
     val bucketed = corpus.select(col("vec_id"), posexplode(lshBuckets(col("v"), ps)))
       .select(col("vec_id"), col("pos").as("tbl"), col("col").as("bkt"))
-    val l = bucketed.select(col("vec_id").as("id_a"), col("tbl"), col("bkt"))
-    val r = bucketed.select(col("vec_id").as("id_b"),
+      .persist() // bucket-count pass + both sides of the pair join
+    val counts = bucketed.groupBy("tbl", "bkt").agg(count(lit(1)).as("cnt"))
+    val oversized = counts.where(col("cnt") > maxBucketSize)
+      .orderBy(col("cnt").desc).limit(20).collect()
+    if (oversized.nonEmpty)
+      System.err.println(s"[graft] cosineNearDuplicates: ${oversized.length}+ " +
+        s"bucket(s) over maxBucketSize=$maxBucketSize excluded from candidate " +
+        s"generation (largest=${oversized.head.getLong(2)}); raise maxBucketSize " +
+        "to trade wall-clock for completeness")
+    val hot = counts.where(col("cnt") > 1 && col("cnt") <= maxBucketSize)
+      .select("tbl", "bkt")
+    val survivors = bucketed.join(broadcast(hot), Seq("tbl", "bkt"))
+    val l = survivors.select(col("vec_id").as("id_a"), col("tbl"), col("bkt"))
+    val r = survivors.select(col("vec_id").as("id_b"),
       col("tbl").as("tbl_r"), col("bkt").as("bkt_r"))
     val pairs = l.join(r, col("tbl") === col("tbl_r") && col("bkt") === col("bkt_r") &&
         col("id_a") < col("id_b"))

@@ -232,4 +232,21 @@ class OpsSpec extends AnyFunSuite {
       .toDF("a", "b")
     assert(withNull.select(cosineSim(col("a"), col("b"))).collect()(0).isNullAt(0))
   }
+
+  test("cosine near-dup: oversized-bucket guard bounds candidates on a dense cluster") {
+    val rng = new scala.util.Random(3)
+    val base = Array.fill(32)(rng.nextGaussian())
+    // 1000 identical vectors: they collide in EVERY table, so without the
+    // guard the self-join emits ~8 x 500k candidate rows
+    val dense = (0L until 1000L).map(i => (i, base.clone()))
+    val others = (2000L until 2100L).map(i => (i, Array.fill(32)(rng.nextGaussian())))
+    val emb = (dense ++ others).toDF("vec_id", "embedding")
+    val got = AnnSearch.cosineNearDuplicates(emb, 32, 0.95, maxBucketSize = 100)
+    // the dense cluster's buckets are over cap in all tables -> excluded
+    // (and reported); the surviving candidate set stays bounded
+    assert(got.count() < 1000L)
+    // with the cap above the cluster size the same pairs come back in full
+    val full = AnnSearch.cosineNearDuplicates(emb, 32, 0.95, maxBucketSize = 4096)
+    assert(full.count() == 1000L * 999 / 2)
+  }
 }
