@@ -94,11 +94,27 @@ object DedupQueries {
           .orderBy("id_a", "id_b")
     },
 
-    // SimHash fingerprint near-dup — custom 64-bit hash, rows-only check
-    // (equivalence with brute-force Hamming is asserted in OpsSpec).
-    QDef.noOracle("q_simhash_neardup") { (s, dir) =>
-      SimHash.nearDuplicates(seededCorpus(s, dir), "doc_id", "text", maxDist = 3)
-        .orderBy("id_a", "id_b")
+    // SimHash near-dup, oracled on its seeded-recall subset: the corpus is
+    // documents ∪ EXACT copies of even doc_ids, and identical text ⇒
+    // identical fingerprint ⇒ Hamming 0 (4-chunk banding has recall 1 at
+    // distance 0), so restricting the output to self-copy pairs
+    // (id_b = id_a + 1000000) yields a deterministic, DuckDB-expressible
+    // result: every even doc_id at distance 0. The unrestricted
+    // Hamming ≤ 3 behavior (which also surfaces natural near-dup pairs in
+    // this corpus) is verified against brute-force Hamming in OpsSpec.
+    QDef(
+      "q_simhash_neardup",
+      """SELECT doc_id AS id_a, doc_id + 1000000 AS id_b, CAST(0 AS INT) AS hamming
+        |FROM documents WHERE doc_id % 2 = 0
+        |ORDER BY id_a""".stripMargin) { (s, dir) =>
+      val d = Tables.documents(s, dir).select("doc_id", "text")
+      val corpus = d.unionByName(
+        d.where(pmod(col("doc_id"), lit(2)) === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      SimHash.nearDuplicates(corpus, "doc_id", "text", maxDist = 3)
+        .where(col("id_b") === col("id_a") + 1000000L)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
+        .orderBy("id_a")
     },
 
     // Embedding-cosine near-dup: seeded exact copies of even vec_ids; LSH
@@ -128,17 +144,41 @@ object DedupQueries {
           .orderBy("id_a", "id_b")
     },
 
-    // LSH ANN — approximate by design, rows-only (recall vs brute force is
-    // asserted in OpsSpec; the exact-cosine baseline q_knn_cosine is oracled).
-    QDef.noOracle("q_ann_lsh") { (s, dir) =>
-      AnnSearch.lshKnn(Tables.embeddings(s, dir), dim = 64, nProbes = 10, k = 3,
+    // LSH ANN on a forced-rank-1 domain: every probe (vec_id < 10) gets an
+    // exact duplicate seeded at vec_id+100000. An identical vector collides
+    // in every LSH table and scores cosine 1.0 — the maximum — so the rank-1
+    // row per probe is forced to (probe, probe+100000, 1.0) and is a DuckDB
+    // constant (no natural pair reaches round(sim, 6) = 1 on gaussian
+    // vectors). Top-k recall behavior stays covered by OpsSpec.
+    QDef(
+      "q_ann_lsh",
+      """SELECT vec_id AS probe_id, vec_id + 100000 AS neighbor_id,
+        |       CAST(1.0 AS DOUBLE) AS sim, CAST(1 AS BIGINT) AS rk
+        |FROM embeddings WHERE vec_id < 10 ORDER BY probe_id""".stripMargin) { (s, dir) =>
+      val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val seeded = e.unionByName(
+        e.where(col("vec_id") < 10)
+          .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
+      AnnSearch.lshKnn(seeded, dim = 64, nProbes = 10, k = 3,
         numTables = 16, bitsPerTable = 4)
+        .where(col("rk") === 1)
     },
 
-    // IVF-flat ANN — second scale path (inverted lists); rows-only like LSH.
-    QDef.noOracle("q_ann_ivf") { (s, dir) =>
-      AnnSearch.ivfKnn(Tables.embeddings(s, dir), dim = 64, nProbes = 10, k = 3,
+    // IVF-flat ANN — second scale path (inverted lists); same forced-rank-1
+    // oracle domain as q_ann_lsh (the duplicate lands in the probe's own
+    // nearest inverted list, nprobe ≥ 1 always scans it).
+    QDef(
+      "q_ann_ivf",
+      """SELECT vec_id AS probe_id, vec_id + 100000 AS neighbor_id,
+        |       CAST(1.0 AS DOUBLE) AS sim, CAST(1 AS BIGINT) AS rk
+        |FROM embeddings WHERE vec_id < 10 ORDER BY probe_id""".stripMargin) { (s, dir) =>
+      val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val seeded = e.unionByName(
+        e.where(col("vec_id") < 10)
+          .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
+      AnnSearch.ivfKnn(seeded, dim = 64, nProbes = 10, k = 3,
         nCentroids = 16, nprobe = 6)
+        .where(col("rk") === 1)
     },
 
     // Language ID heuristic — the scoring is pure deterministic string/set

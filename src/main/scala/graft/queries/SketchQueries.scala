@@ -117,15 +117,44 @@ object SketchQueries {
           .orderBy("n_name", "rk")
     },
 
-    // T-digest quantiles — estimation mode, rows-only check (accuracy is
-    // asserted in SketchAggSpec against exact percentiles).
-    QDef.noOracle("q_dist_quantiles") { (s, dir) =>
+    // T-digest quantiles on an exactness domain: groups of ≤ δ=200 points
+    // keep every centroid a singleton (TDigest explicit mode), so the
+    // midpoint-interpolation read-out is a deterministic function of the
+    // sorted sample that DuckDB recomputes verbatim — rank q·n−½, linear
+    // interpolation between adjacent order statistics. (event_id < 800 →
+    // ≤ ~175 rows per event_type at every SF.)
+    QDef(
+      "q_dist_quantiles", {
+        // t-digest singleton read-out at quantile q over sorted list vs[1..n];
+        // every operand is forced to DOUBLE so DuckDB reproduces the same
+        // IEEE op sequence as TDigest.quantile (bare 0.9 would be DECIMAL)
+        def qx(q: String) = {
+          val r = s"(CAST($q AS DOUBLE) * CAST(n AS DOUBLE))"
+          s"""CASE WHEN n = 1 OR $r < 0.5 THEN vs[1]
+             |     WHEN $r >= CAST(n AS DOUBLE) - 0.5 THEN vs[n]
+             |     ELSE vs[CAST(floor($r - 0.5) AS INT) + 1]
+             |          + ($r - (CAST(CAST(floor($r - 0.5) AS INT) AS DOUBLE) + 0.5))
+             |            * (vs[CAST(floor($r - 0.5) AS INT) + 2]
+             |               - vs[CAST(floor($r - 0.5) AS INT) + 1])
+             |END""".stripMargin
+        }
+        s"""WITH g AS (
+           |  SELECT event_type, list(value ORDER BY value) AS vs, count(*) AS n
+           |  FROM events WHERE event_id < 800 GROUP BY event_type
+           |)
+           |SELECT event_type,
+           |       round(${qx("0.5")}, 4) AS p50,
+           |       round(${qx("0.9")}, 4) AS p90,
+           |       round(${qx("0.99")}, 4) AS p99
+           |FROM g ORDER BY event_type""".stripMargin
+      }) { (s, dir) =>
       Tables.events(s, dir)
+        .where(col("event_id") < 800)
         .groupBy("event_type")
         .agg(
-          dist_quantile(dist_agg(col("value")), lit(0.5)).as("p50"),
-          dist_quantile(dist_agg(col("value")), lit(0.9)).as("p90"),
-          dist_quantile(dist_agg(col("value")), lit(0.99)).as("p99"))
+          round(dist_quantile(dist_agg(col("value")), lit(0.5)), 4).as("p50"),
+          round(dist_quantile(dist_agg(col("value")), lit(0.9)), 4).as("p90"),
+          round(dist_quantile(dist_agg(col("value")), lit(0.99)), 4).as("p99"))
         .orderBy("event_type")
     },
 

@@ -63,6 +63,20 @@ final class TDigest private (
     val idx = Array.range(0, n).sortBy(ms(_))
     val total = ws.sum
 
+    // Explicit exact mode (the HLL explicit-encoding analogue,
+    // hll.h:42-57): while the centroid count stays within the compression
+    // budget there is no reason to merge at all — every centroid remains a
+    // singleton, quantile() then interpolates the true sample, and groups
+    // with ≤ δ points get EXACT quantiles (deterministic, oracle-checkable).
+    if (n <= compression) {
+      val outM = new ArrayBuffer[Double](n)
+      val outW = new ArrayBuffer[Double](n)
+      var s = 0
+      while (s < n) { outM += ms(idx(s)); outW += ws(idx(s)); s += 1 }
+      means = outM; weights = outW
+      return
+    }
+
     // k1 scale function: k(q) = (δ/2π)·asin(2q−1). Centroids merge while
     // their span in k-space stays ≤ 1, which bounds the centroid count by
     // ~δ and concentrates resolution at the tails.

@@ -249,4 +249,22 @@ class OpsSpec extends AnyFunSuite {
     val full = AnnSearch.cosineNearDuplicates(emb, 32, 0.95, maxBucketSize = 4096)
     assert(full.count() == 1000L * 999 / 2)
   }
+
+  test("simhash seeded-recall domain on testdata: every exact copy found at distance 0") {
+    // validates the q_simhash_neardup oracle premise: with exact copies of
+    // even doc_ids seeded at +1000000, the self-copy subset of the
+    // Hamming<=3 output is exactly {(2k, 2k+1000000, 0)}
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val corpus = d.unionByName(
+      d.where(pmod(col("doc_id"), lit(2)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    val got = SimHash.nearDuplicates(corpus, "doc_id", "text", maxDist = 3)
+      .where(col("id_b") === col("id_a") + 1000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val expected = d.where(pmod(col("doc_id"), lit(2)) === 0)
+      .collect().map(r => (r.getLong(0), r.getLong(0) + 1000000L, 0)).toSet
+    assert(expected.nonEmpty)
+    assert(got == expected)
+  }
 }
