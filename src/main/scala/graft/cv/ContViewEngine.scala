@@ -144,6 +144,25 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     } finally loading = false
   }
 
+  /** SQL DDL front door (reference commands.c:219-253): CREATE STREAM /
+    * CREATE [CONTINUOUS] VIEW WITH (...) / CREATE CONTINUOUS TRANSFORM /
+    * ACTIVATE / DEACTIVATE, parsed by [[CvDdl]] into the API calls below.
+    * The SELECT body is analyzed by Catalyst via [[CvPlanner]] like any
+    * API-created continuous query.
+    */
+  def sql(ddl: String): Unit = CvDdl.parse(ddl) match {
+    case CvDdl.CreateStream(name, schemaDdl) =>
+      createStream(name, StructType.fromDDL(schemaDdl))
+    case CvDdl.CreateView(name, select, opts, changes) =>
+      createContView(name, select, opts, emitChanges = changes); ()
+    case CvDdl.CreateTransform(name, select, sink, changes) =>
+      sink.foreach { s => require(streams.contains(s),
+        s"outputfunc insert_into_stream('$s'): unknown stream $s") }
+      createContTransform(name, select, sinkStream = sink, emitChanges = changes); ()
+    case CvDdl.Activate(name) => activate(name)
+    case CvDdl.Deactivate(name) => deactivate(name)
+  }
+
   /** CREATE FOREIGN TABLE s (...) SERVER pipelinedb analogue: registers the
     * stream schema as an empty relation so CV SQL analyzes against it.
     * `arrival_timestamp` is appended implicitly (pipeline_stream.c:101-132).

@@ -1,0 +1,189 @@
+package graft.cv
+
+import graft.cv.CvPlanner.CvOptions
+
+/** SQL DDL front door — the reference's primary user interface
+  * (commands.c:219-253 `PipelineProcessUtility`; option desugaring
+  * analyzer.c:3714-3765 `GetContQueryAction` + 1771-1835
+  * `ApplyStorageOptions`; every regress test is written in this dialect).
+  * Parses the CREATE statements into the engine API calls:
+  *
+  *   CREATE STREAM s (key string, x bigint, ts timestamp)
+  *   CREATE FOREIGN TABLE s (k text, n int8) SERVER pipelinedb   -- PG spelling
+  *   CREATE CONTINUOUS VIEW v WITH (sw = '1 hour', step_factor = 10)
+  *     AS SELECT key, count(*) AS n FROM s GROUP BY key
+  *   CREATE VIEW v WITH (action = materialize, ttl = '1 day', ttl_column = m)
+  *     AS SELECT ...                                             -- 1.0 spelling
+  *   CREATE CONTINUOUS TRANSFORM t
+  *     WITH (outputfunc = insert_into_stream('other'))
+  *     AS SELECT ... FROM s WHERE ...
+  *   ACTIVATE v / DEACTIVATE v
+  *
+  * The SELECT body itself is NOT parsed here — it goes verbatim to
+  * [[CvPlanner]], which analyzes it with Catalyst against the registered
+  * stream schemas (the reference likewise hands the view query to PG's
+  * parser and only owns the WITH-clause surface).
+  */
+object CvDdl {
+
+  sealed trait Stmt
+  final case class CreateStream(name: String, schemaDdl: String) extends Stmt
+  final case class CreateView(
+      name: String, select: String, options: CvOptions, emitChanges: Boolean) extends Stmt
+  final case class CreateTransform(
+      name: String, select: String, sink: Option[String], emitChanges: Boolean) extends Stmt
+  final case class Activate(name: String) extends Stmt
+  final case class Deactivate(name: String) extends Stmt
+
+  private val StreamRe =
+    """(?is)\s*CREATE\s+STREAM\s+([\w.]+)\s*\((.*)\)\s*;?\s*""".r
+  private val ForeignTableRe =
+    """(?is)\s*CREATE\s+FOREIGN\s+TABLE\s+([\w.]+)\s*\((.*)\)\s*SERVER\s+\w+\s*;?\s*""".r
+  private val ContViewRe =
+    """(?is)\s*CREATE\s+CONTINUOUS\s+VIEW\s+([\w.]+)\s*(?:WITH\s*\((.*?)\))?\s*AS\s+(SELECT\b.*?)\s*;?\s*""".r
+  private val ContTransformRe =
+    """(?is)\s*CREATE\s+CONTINUOUS\s+TRANSFORM\s+([\w.]+)\s*(?:WITH\s*\((.*?)\))?\s*AS\s+(SELECT\b.*?)\s*;?\s*""".r
+  private val ViewWithRe =
+    """(?is)\s*CREATE\s+VIEW\s+([\w.]+)\s+WITH\s*\((.*?)\)\s*AS\s+(SELECT\b.*?)\s*;?\s*""".r
+  private val ActivateRe = """(?is)\s*ACTIVATE\s+([\w.]+)\s*;?\s*""".r
+  private val DeactivateRe = """(?is)\s*DEACTIVATE\s+([\w.]+)\s*;?\s*""".r
+
+  def parse(ddl: String): Stmt = ddl match {
+    case StreamRe(name, cols) => CreateStream(name, normalizeTypes(cols))
+    case ForeignTableRe(name, cols) => CreateStream(name, normalizeTypes(cols))
+    case ContViewRe(name, opts, select) =>
+      buildQuery(name, select, parseOptions(opts), defaultAction = "materialize")
+    case ContTransformRe(name, opts, select) =>
+      buildQuery(name, select, parseOptions(opts), defaultAction = "transform")
+    case ViewWithRe(name, opts, select) =>
+      val parsed = parseOptions(opts)
+      val action = parsed.getOrElse("action",
+        throw new IllegalArgumentException(
+          "CREATE VIEW needs WITH (action = materialize | transform) " +
+            "to be a continuous query"))
+      buildQuery(name, select, parsed, defaultAction = action)
+    case ActivateRe(name) => Activate(name)
+    case DeactivateRe(name) => Deactivate(name)
+    case other => throw new IllegalArgumentException(
+      s"unrecognized DDL: ${other.trim.take(80)} — expected CREATE STREAM / " +
+        "CREATE [CONTINUOUS] VIEW / CREATE CONTINUOUS TRANSFORM / ACTIVATE / DEACTIVATE")
+  }
+
+  private def buildQuery(
+      name: String, select: String, opts: Map[String, String], defaultAction: String): Stmt = {
+    val action = opts.getOrElse("action", defaultAction).toLowerCase
+    val emitChanges = opts.get("changes").forall(_.toBoolean)
+    val known = Set("action", "sw", "sw_column", "step_factor", "ttl", "ttl_column",
+      "changes", "outputfunc", "sink", "pk", "fillfactor", "batch")
+    val unknown = opts.keySet -- known
+    require(unknown.isEmpty, s"unknown WITH option(s): ${unknown.mkString(", ")}")
+    action match {
+      case "materialize" =>
+        require(!opts.contains("outputfunc") && !opts.contains("sink"),
+          "outputfunc/sink apply to transforms, not materialized views")
+        val defaults = CvOptions()
+        CreateView(name, select, CvOptions(
+          sw = opts.get("sw"),
+          swColumn = opts.getOrElse("sw_column", defaults.swColumn),
+          stepFactor = opts.get("step_factor").map(_.toDouble).getOrElse(defaults.stepFactor),
+          ttl = opts.get("ttl"),
+          ttlColumn = opts.get("ttl_column")), emitChanges)
+      case "transform" =>
+        require(Seq("sw", "ttl", "step_factor").forall(!opts.contains(_)),
+          "sw/ttl options apply to materialized views, not transforms")
+        // outputfunc = insert_into_stream('s') is the one function the
+        // reference ships for chaining (stream_fdw.c:589-640); arbitrary
+        // trigger functions need the Scala API's outputFunc callback.
+        val sink = opts.get("sink").orElse(opts.get("outputfunc").map { f =>
+          val m = """(?i)(?:pipelinedb\.)?insert_into_stream\s*\(\s*'([^']+)'\s*\)""".r
+          f match {
+            case m(s) => s
+            case other => throw new IllegalArgumentException(
+              s"unsupported outputfunc '$other' — only insert_into_stream('stream') " +
+                "is expressible in DDL; pass a Scala callback to createContTransform " +
+                "for custom output functions")
+          }
+        })
+        CreateTransform(name, select, sink, emitChanges)
+      case other =>
+        throw new IllegalArgumentException(s"unknown action '$other' " +
+          "(expected materialize or transform)")
+    }
+  }
+
+  /** Parse `k = v, k2 = 'v2', outputfunc = fn('arg')` — commas split only at
+    * paren/quote depth zero, values lose one layer of single quotes.
+    */
+  private[cv] def parseOptions(opts: String): Map[String, String] = {
+    if (opts == null || opts.trim.isEmpty) return Map.empty
+    splitTopLevel(opts, ',').map { kv =>
+      val eq = indexOfTopLevel(kv, '=')
+      require(eq > 0, s"malformed WITH option: '$kv' (expected key = value)")
+      val k = kv.substring(0, eq).trim.toLowerCase
+      val raw = kv.substring(eq + 1).trim
+      val v =
+        if (raw.length >= 2 && raw.head == '\'' && raw.last == '\'' && !raw.drop(1).dropRight(1).contains('\''))
+          raw.drop(1).dropRight(1)
+        else raw
+      k -> v
+    }.toMap
+  }
+
+  private def splitTopLevel(s: String, sep: Char): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var inQuote = false
+    s.foreach { c =>
+      if (c == '\'') { inQuote = !inQuote; cur += c }
+      else if (inQuote) cur += c
+      else if (c == '(') { depth += 1; cur += c }
+      else if (c == ')') { depth -= 1; cur += c }
+      else if (c == sep && depth == 0) { out += cur.result(); cur.clear() }
+      else cur += c
+    }
+    if (cur.nonEmpty) out += cur.result()
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  private def indexOfTopLevel(s: String, c: Char): Int = {
+    var inQuote = false
+    var i = 0
+    while (i < s.length) {
+      if (s(i) == '\'') inQuote = !inQuote
+      else if (s(i) == c && !inQuote) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** PostgreSQL type spellings → Spark DDL types, so reference-dialect
+    * stream definitions (typed_streams.sql shapes) parse as-is. Unknown
+    * words pass through for Spark's own DDL parser to judge.
+    */
+  private[cv] def normalizeTypes(cols: String): String = {
+    val typeMap = Map(
+      "text" -> "string", "varchar" -> "string", "char" -> "string",
+      "int2" -> "smallint", "int4" -> "int", "int8" -> "bigint",
+      "integer" -> "int", "serial" -> "int", "bigserial" -> "bigint",
+      "float4" -> "float", "float8" -> "double",
+      "real" -> "float", "numeric" -> "decimal(38,18)",
+      "bool" -> "boolean", "bytea" -> "binary",
+      "timestamptz" -> "timestamp", "timestamp_tz" -> "timestamp",
+      "json" -> "string", "jsonb" -> "string", "uuid" -> "string")
+    splitTopLevel(cols, ',').map { colDef =>
+      val parts = colDef.trim.split("\\s+", 2)
+      if (parts.length < 2) colDef
+      else {
+        val t = parts(1).trim
+        val mapped = t.toLowerCase match {
+          case v if v.matches("(?:var)?char\\s*\\(\\d+\\)") => "string"
+          case n if n.startsWith("numeric") && n.contains("(") =>
+            n.replaceFirst("numeric", "decimal")
+          case other => typeMap.getOrElse(other, t)
+        }
+        s"${parts(0)} $mapped"
+      }
+    }.mkString(", ")
+  }
+}

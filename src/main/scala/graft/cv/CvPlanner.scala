@@ -316,8 +316,17 @@ object CvPlanner {
     require(planned.nonEmpty, "continuous views must contain at least one aggregate")
 
     val sw = options.sw.map { w =>
+      // step_factor range check (reference analyzer.c:1705-1729 +
+      // config.c:333-340: sliding_window_step_factor clamps to 0–50) — an
+      // out-of-range factor would silently yield one bucket per window,
+      // which defeats read-time expiry entirely.
+      require(options.stepFactor > 0 && options.stepFactor <= 50,
+        s"step_factor must be in (0, 50] (got ${options.stepFactor})")
       val winSec = parseIntervalSeconds(w)
       val stepSec = math.max(1L, (winSec * options.stepFactor / 100.0).toLong)
+      require(stepSec < winSec,
+        s"sliding window '$w' is too narrow for step_factor ${options.stepFactor}: " +
+          "the whole window rounds to a single step bucket")
       SwSpec(winSec, stepSec, options.swColumn)
     }
 

@@ -178,6 +178,24 @@ object GraftFunctions {
       GraftBridge.toExpression(graft.cv.AggSplit.resolve(kind).finalizer(col(attr)))
     }
 
+    // deserialize(stateCol): wire format → internal transition state
+    // (reference pipelinedb.deserialize, miscutils.c:468-560). Stored state
+    // columns here already ARE the internal representation (the parquet
+    // reader deserialized them), so this validates that the argument is a
+    // tagged state column and passes it through unchanged — its output
+    // still carries the combine-kind metadata, so combine(deserialize(c))
+    // and finalize(deserialize(c)) compose like the reference's call chain.
+    fn("deserialize") { case Seq(attr) =>
+      import org.apache.spark.sql.catalyst.expressions.AttributeReference
+      val kindKey = graft.cv.CvPlanner.CombineKindKey
+      attr match {
+        case a: AttributeReference if a.metadata.contains(kindKey) => a
+        case other => throw new IllegalArgumentException(
+          s"deserialize() requires a stored continuous-view state column " +
+            s"(no '$kindKey' metadata on ${other.sql})")
+      }
+    }
+
     // ---- scalar sketch constructors / mutators / printers ----
     // (reference *_empty / *_add / *_print, sql:1095-2438; empties are
     // literal serialized states — constant-folded for free)

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.cv.{ContViewEngine, CvPlanner}
+import graft.cv.ContViewEngine
 
 /** End-to-end continuous-view queries for the driver gate: the events table
   * is replayed through the ingest path in multiple batches (FIXTURES.md §2),
@@ -27,18 +27,19 @@ object CvQueries {
       val eng = new ContViewEngine(s, root)
       val events = Tables.events(s, dir)
       eng.createStream("ev_stream", events.schema)
-      eng.createContView("v_counts",
-        "SELECT event_type, count(*) AS n, sum(value) AS sv FROM ev_stream GROUP BY event_type",
-        emitChanges = false)
+      // the DDL front door maintains this one (commands.c:219-253 UX) —
+      // q_cv_count's oracle row doubles as the DDL path's correctness gate
+      eng.sql("""CREATE CONTINUOUS VIEW v_counts WITH (changes = false) AS
+                |SELECT event_type, count(*) AS n, sum(value) AS sv
+                |FROM ev_stream GROUP BY event_type""".stripMargin)
       eng.createContView("v_by_user",
         """SELECT event_type, user_id AS uid, count(*) AS n, avg(value) AS av,
           |count(DISTINCT user_id) AS nd FROM ev_stream
           |GROUP BY event_type, user_id""".stripMargin,
         emitChanges = false)
-      eng.createContView("v_sw",
-        "SELECT event_type, count(*) AS n FROM ev_stream GROUP BY event_type",
-        CvPlanner.CvOptions(sw = Some("7 days"), swColumn = "ts"),
-        emitChanges = false)
+      eng.sql("""CREATE CONTINUOUS VIEW v_sw
+                |WITH (sw = '7 days', sw_column = ts, changes = false) AS
+                |SELECT event_type, count(*) AS n FROM ev_stream GROUP BY event_type""".stripMargin)
       eng.createContView("v_os",
         "SELECT user_id, count(*) AS n FROM ev_stream GROUP BY user_id")
       // continuous delta chaining: a second-level CV reading v_os's OUTPUT

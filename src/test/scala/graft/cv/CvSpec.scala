@@ -231,6 +231,18 @@ class CvSpec extends AnyFunSuite {
     intercept[Exception] {
       spark.sql("SELECT combine(key) FROM v_cmb_mrel").collect()
     }
+    // deserialize(state) (miscutils.c:468-560): identity on stored states —
+    // the parquet read already produced the internal representation — and
+    // it composes under combine()/finalize() like the reference call chain
+    val des = spark.sql(
+      """SELECT combine(deserialize(__state_n)) AS n,
+        |       round(combine(deserialize(__state_av)), 6) AS av
+        |FROM v_cmb_mrel""".stripMargin).collect()(0)
+    assert(des.getLong(0) == exp.getLong(0))
+    assert(math.abs(des.getDouble(1) - exp.getDouble(1)) < 1e-9)
+    intercept[Exception] {
+      spark.sql("SELECT deserialize(key) FROM v_cmb_mrel").collect()
+    }
   }
 
   test("combineOutputDeltas: rollup over the delta stream (delta_streams.sql)") {
@@ -698,6 +710,66 @@ class CvSpec extends AnyFunSuite {
     bad("SELECT key, count(*) OVER (PARTITION BY key) AS n FROM sa")
     bad("SELECT a.key, count(*) AS n FROM sa a JOIN sb b ON a.key = b.key GROUP BY a.key")
     bad("SELECT key, sum(DISTINCT x) AS s FROM sa GROUP BY key")
+  }
+
+  test("step_factor validation: out-of-range and single-bucket windows rejected (analyzer.c:1705)") {
+    val eng = newEngine()
+    eng.createStream("s_sf", streamSchema)
+    def cv(name: String, opts: CvPlanner.CvOptions): Unit =
+      eng.createContView(name, s"SELECT key, count(*) AS n FROM s_sf GROUP BY key",
+        opts, emitChanges = false)
+    // reference clamps sliding_window_step_factor to 0–50 (config.c:333-340)
+    intercept[IllegalArgumentException](
+      cv("v_sf_hi", CvPlanner.CvOptions(sw = Some("1 hour"), stepFactor = 200)))
+    intercept[IllegalArgumentException](
+      cv("v_sf_zero", CvPlanner.CvOptions(sw = Some("1 hour"), stepFactor = 0)))
+    // a window narrow enough to round to ONE step bucket defeats read-time
+    // expiry — rejected like the reference's min-view-factor check
+    intercept[IllegalArgumentException](
+      cv("v_sf_narrow", CvPlanner.CvOptions(sw = Some("1 second"), stepFactor = 50)))
+    // in-range factors plan fine
+    cv("v_sf_ok", CvPlanner.CvOptions(sw = Some("1 hour"), stepFactor = 50))
+  }
+
+  test("SQL DDL front door: stream / CV / transform / activate (commands.c:219-253)") {
+    val eng = newEngine()
+    // PG type spellings accepted (typed_streams.sql parity)
+    eng.sql("CREATE STREAM s_ddl (key text, x int8, v float8, ts timestamptz)")
+    eng.sql("""CREATE CONTINUOUS VIEW v_ddl AS
+              |SELECT key, count(*) AS n, sum(x) AS sx FROM s_ddl GROUP BY key""".stripMargin)
+    // 1.0 spelling with the action option + storage options
+    eng.sql("""CREATE VIEW v_ddl_sw WITH (action = materialize, sw = '1 hour',
+              |  sw_column = ts, step_factor = 10, changes = false) AS
+              |SELECT key, count(*) AS n FROM s_ddl GROUP BY key""".stripMargin)
+    // transform chaining via outputfunc, PG foreign-table stream spelling
+    eng.sql("CREATE FOREIGN TABLE s_ddl_hot (key text, x int8) SERVER pipelinedb")
+    eng.sql("""CREATE CONTINUOUS TRANSFORM t_ddl
+              |WITH (outputfunc = insert_into_stream('s_ddl_hot'), changes = false) AS
+              |SELECT key, x FROM s_ddl WHERE x >= 50""".stripMargin)
+    eng.sql("""CREATE CONTINUOUS VIEW v_ddl_hot WITH (changes = false) AS
+              |SELECT key, count(*) AS n FROM s_ddl_hot GROUP BY key""".stripMargin)
+
+    val rows = allRows.take(1000)
+    rows.grouped(500).foreach(c => eng.insertInto("s_ddl", mkBatch(c)))
+    assert(asMap(eng.overlay("v_ddl")) ==
+      asMap(mkBatch(rows).groupBy("key").agg(count(lit(1)).as("n"), sum("x").as("sx"))))
+    assert(asMap(eng.overlay("v_ddl_hot")) ==
+      asMap(mkBatch(rows).where($"x" >= 50).groupBy("key").agg(count(lit(1)).as("n"))))
+    // SW options flowed through: bucketed state, pinned-now overlay works
+    assert(eng.overlay("v_ddl_sw", Some(tAt(2000))).collect().nonEmpty)
+
+    // DEACTIVATE gates ingest; ACTIVATE restores it
+    eng.sql("DEACTIVATE v_ddl")
+    eng.insertInto("s_ddl", mkBatch(allRows.slice(1000, 1500)))
+    assert(eng.overlay("v_ddl").agg(sum("n")).collect()(0).getLong(0) == 1000)
+    eng.sql("ACTIVATE v_ddl")
+
+    // malformed / unknown constructs are rejected
+    intercept[IllegalArgumentException](eng.sql("CREATE TABLE nope (x int)"))
+    intercept[IllegalArgumentException](eng.sql(
+      "CREATE CONTINUOUS VIEW v_bad WITH (bogus = 1) AS SELECT key, count(*) AS n FROM s_ddl GROUP BY key"))
+    intercept[IllegalArgumentException](eng.sql(
+      "CREATE VIEW v_bad AS SELECT key, count(*) AS n FROM s_ddl GROUP BY key"))
   }
 
   test("continuous transform: filter/project to output stream + chained CV (cont_transform.sql)") {
