@@ -114,8 +114,12 @@ object Media {
         it.map { case (id, bytes) =>
           val m = decoder.decode(bytes)
           // STUB resample: deterministic bytes derived from (input, target)
+          // via md5 over "hex(input):WxH" — a text-domain derivation so an
+          // external oracle (q_media_resize) can recompute the output bytes
+          // without binary md5 support
+          val hex = bytes.map(b => f"$b%02x").mkString
           val seed = java.security.MessageDigest.getInstance("MD5")
-            .digest(bytes ++ Array(targetW.toByte, targetH.toByte))
+            .digest(s"$hex:${targetW}x$targetH".getBytes(java.nio.charset.StandardCharsets.UTF_8))
           (id, m.format, targetW, targetH, seed)
         }
       }

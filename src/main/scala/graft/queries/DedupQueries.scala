@@ -242,5 +242,26 @@ object DedupQueries {
         .agg(count(lit(1)).as("n"), round(avg("width"), 4).as("avg_w"),
           sum("n_frames").cast("long").as("frames"))
         .orderBy("format")
+    },
+
+    // Resize pass: binary → binary at target dims. The stub resample is
+    // md5 over "hex(input):WxH" (text domain), so DuckDB recomputes the
+    // output bytes exactly: input bytes are unhex(md5(text)), whose
+    // lowercase hex is md5(text) itself.
+    QDef(
+      "q_media_resize",
+      """SELECT doc_id AS media_id,
+        |       CASE CAST('0x' || substr(md5(text), 1, 2) AS INT) & 3
+        |         WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' WHEN 2 THEN 'wav'
+        |         ELSE 'mp4' END AS format,
+        |       64 AS width, 64 AS height,
+        |       md5(md5(text) || ':64x64') AS fp
+        |FROM documents ORDER BY media_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val media = docs.select(col("doc_id"), Media.syntheticMediaBytes(col("text")).as("bytes"))
+      Media.resize(media, "doc_id", "bytes", targetW = 64, targetH = 64)
+        .select(col("media_id"), col("format"), col("width"), col("height"),
+          lower(hex(col("bytes"))).as("fp"))
+        .orderBy("media_id")
     })
 }
