@@ -63,11 +63,33 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // Large-state probe: the CV ingest pipeline with the small-state fast
+    // path disabled (smallStateBytes=0), so every merge takes the
+    // bucket-pruned path — the code that runs once state outgrows a single
+    // executor's memory at production scale. Timed separately so the
+    // headline total stays comparable across rounds.
+    val largeStateSec = {
+      val root = java.nio.file.Files.createTempDirectory("graft_lgbench").toString
+      val eng = new graft.cv.ContViewEngine(spark, root, smallStateBytes = 0L)
+      val events = graft.queries.Tables.events(spark, sfDir)
+      eng.createStream("lg_stream", events.schema)
+      eng.createContView("v_lg",
+        """SELECT user_id, count(*) AS n, sum(value) AS sv, avg(value) AS av
+          |FROM lg_stream GROUP BY user_id""".stripMargin,
+        emitChanges = false)
+      val chunks = 2
+      val t0 = System.nanoTime()
+      (0 until chunks).foreach { i =>
+        val chunk = events.where(pmod(col("event_id"), lit(chunks)) === i).persist()
+        try eng.insertInto("lg_stream", chunk) finally chunk.unpersist()
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
     val loadavg =
       try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
         .trim.split(" ").take(3).mkString(" ")
       catch { case _: Throwable => "" }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":$repeats,"loadavg":"$loadavg"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":$repeats,"cv_large_state_sec":$largeStateSec,"loadavg":"$loadavg"}""")
     spark.stop()
   }
 }

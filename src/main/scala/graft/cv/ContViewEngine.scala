@@ -29,7 +29,8 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * decoupled from read-time expiry (sw_expiration.sql semantics).
   */
 final class ContViewEngine(val spark: SparkSession, val root: String,
-    ingestShufflePartitions: Int = 8) {
+    ingestShufflePartitions: Int = 8,
+    smallStateBytes: Long = StateStore.DefaultSmallStateBytes) {
 
   import CvPlanner._
 
@@ -135,6 +136,11 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
               emitChanges = fields("changes").toBoolean)
           case "activate" => activate(fields("name"))
           case "deactivate" => deactivate(fields("name"))
+          case "drop" => fields("payload") match {
+            case "view" => dropContView(fields("name"))
+            case "transform" => dropContTransform(fields("name"))
+            case "stream" => dropStream(fields("name"))
+          }
           case "set_ttl" =>
             setTtl(fields("name"), Option(fields("ttl")).filter(_.nonEmpty),
               Option(fields("ttlColumn")).filter(_.nonEmpty))
@@ -161,6 +167,28 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
       createContTransform(name, select, sinkStream = sink, emitChanges = changes); ()
     case CvDdl.Activate(name) => activate(name)
     case CvDdl.Deactivate(name) => deactivate(name)
+    case CvDdl.Drop(kind, name) => kind match {
+      case "view" if views.contains(name) => dropContView(name)
+      case "view" if transforms.contains(name) => dropContTransform(name)
+      case "view" => throw new IllegalArgumentException(s"unknown continuous query $name")
+      case "transform" => dropContTransform(name)
+      case _ => dropStream(name)
+    }
+    case CvDdl.Insert(name, columns, valuesSql) =>
+      require(streams.contains(name), s"unknown stream $name")
+      val schema = streams(name).schema
+      val cols = columns.getOrElse(
+        schema.fieldNames.filterNot(_ == "arrival_timestamp").toSeq)
+      cols.foreach(c => require(schema.fieldNames.contains(c),
+        s"stream $name has no column $c"))
+      // VALUES rows analyzed by Catalyst as an inline table (expressions
+      // allowed, like the reference's stream_exprs.sql inserts); missing
+      // stream columns default to NULL with cast coercion
+      // (stream_fdw.c:270-438 semantics)
+      var df = spark.sql(s"SELECT * FROM (VALUES $valuesSql) AS t(${cols.mkString(", ")})")
+      schema.fields.filterNot(f => cols.contains(f.name) || f.name == "arrival_timestamp")
+        .foreach(f => df = df.withColumn(f.name, lit(null).cast(f.dataType)))
+      insertInto(name, df)
   }
 
   /** CREATE FOREIGN TABLE s (...) SERVER pipelinedb analogue: registers the
@@ -229,7 +257,8 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
       // batch merges should not pay list/write overhead for more dirs than
       // the ingest session can even fill in parallel
       val store = new StateStore(exec, s"$root/$name/state", plan.stateKeys,
-        numBuckets = math.max(8, ingestShufflePartitions))
+        numBuckets = math.max(8, ingestShufflePartitions),
+        smallStateBytes = smallStateBytes)
       val handle = CvHandle(plan, store, streamName, changes = emitChanges)
       views(name) = handle
       val rs = readers.getOrElseUpdate(streamName, mutable.Buffer.empty)
@@ -311,6 +340,68 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
   }
 
   def truncateContView(name: String): Unit = views(name).store.truncate()
+
+  // ---- DROP (reference ExecDropContQuery path: dropping a CV cascades to
+  // its matrel/osrel/seq/def relations, pipeline_query.c:552-684) ----
+
+  private def deleteDir(p: java.nio.file.Path): Unit =
+    if (Files.exists(p))
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => { Files.deleteIfExists(f); () })
+
+  /** DROP a continuous view: removes the definition, its state and changes
+    * storage, and its output stream. Fails while downstream CQs still read
+    * the output stream — drop the readers first (the reference's dependency
+    * machinery enforces the same order).
+    */
+  def dropContView(name: String): Unit = synchronized {
+    val h = views.getOrElse(name,
+      throw new IllegalArgumentException(s"unknown continuous view $name"))
+    val osrel = osrelName(name)
+    require(!readers.get(osrel).exists(_.nonEmpty),
+      s"cannot drop $name: continuous queries ${readers(osrel).mkString(", ")} read $osrel")
+    views.remove(name)
+    defSignatures.remove(name)
+    readers.get(h.streamName).foreach(b => { b -= name; () })
+    streams.remove(osrel)
+    readers.remove(osrel)
+    swTickMarks.remove(name)
+    // during catalog replay the on-disk layout already reflects the drop
+    // (and may now belong to a later same-name definition) — only a live
+    // drop removes storage
+    if (!loading) {
+      h.store.truncate()
+      deleteDir(Paths.get(root, name))
+    }
+    appendCatalog(CatalogEntry("drop", name, "view", "", "", 0, "", "", "", changes = false))
+  }
+
+  /** DROP a continuous transform (same cascade minus the state table). */
+  def dropContTransform(name: String): Unit = synchronized {
+    val h = transforms.getOrElse(name,
+      throw new IllegalArgumentException(s"unknown continuous transform $name"))
+    val osrel = osrelName(name)
+    require(!readers.get(osrel).exists(_.nonEmpty),
+      s"cannot drop $name: continuous queries ${readers(osrel).mkString(", ")} read $osrel")
+    transforms.remove(name)
+    defSignatures.remove(name)
+    readers.get(h.streamName).foreach(b => { b -= name; () })
+    streams.remove(osrel)
+    readers.remove(osrel)
+    if (!loading) deleteDir(Paths.get(root, name))
+    appendCatalog(CatalogEntry("drop", name, "transform", "", "", 0, "", "", "", changes = false))
+  }
+
+  /** DROP a stream; fails while continuous queries still read it. */
+  def dropStream(name: String): Unit = synchronized {
+    require(streams.contains(name), s"unknown stream $name")
+    require(!readers.get(name).exists(_.nonEmpty),
+      s"cannot drop stream $name: read by ${readers(name).mkString(", ")}")
+    streams.remove(name)
+    readers.remove(name)
+    spark.catalog.dropTempView(name)
+    appendCatalog(CatalogEntry("drop", name, "stream", "", "", 0, "", "", "", changes = false))
+  }
 
   /** INSERT INTO stream — routes the batch through every active reading CV
     * synchronously (stream_insert_level=sync_commit semantics).
@@ -434,14 +525,19 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
   }
 
   private val statsMap = mutable.LinkedHashMap.empty[String, CqStats]
+  // per-proc split: CQ name → (workerMs, combinerMs) accumulated
+  private val procMsMap = mutable.LinkedHashMap.empty[String, (Long, Long)]
 
   private def recordStats(name: String, kind: String,
-      groupsOut: Long, ms: Long, failed: Boolean): Unit = synchronized {
+      groupsOut: Long, ms: Long, failed: Boolean,
+      workerMs: Long = 0L, combinerMs: Long = 0L): Unit = synchronized {
     val s = statsMap.getOrElse(name, CqStats(name, kind, 0, 0, 0, 0))
     statsMap(name) = s.copy(
       batches = s.batches + 1,
       groupsOut = s.groupsOut + groupsOut,
       errors = s.errors + (if (failed) 1 else 0), execMs = s.execMs + ms)
+    val (w0, c0) = procMsMap.getOrElse(name, (0L, 0L))
+    procMsMap(name) = (w0 + workerMs, c0 + combinerMs)
   }
 
   /** Monitoring view: one row per continuous query (reference
@@ -450,6 +546,26 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
   def stats(): DataFrame = {
     import spark.implicits._
     statsMap.values.toSeq.toDF()
+  }
+
+  /** Per-process timing split (reference pipelinedb.proc_stats /
+    * proc_query_stats, stats.c:556): one row per (CQ, proc) where proc is
+    * `worker` (micro-batch partial aggregation) or `combiner` (merge with
+    * stored state). Transforms have no combiner — their whole exec is the
+    * worker row.
+    */
+  def procStats(): DataFrame = {
+    import spark.implicits._
+    synchronized {
+      statsMap.values.toSeq.flatMap { s =>
+        val (w, c) = procMsMap.getOrElse(s.name, (0L, 0L))
+        if (s.kind == "transform")
+          Seq(ProcStats(s.name, "worker", s.batches, s.execMs, s.errors))
+        else Seq(
+          ProcStats(s.name, "worker", s.batches, w, s.errors),
+          ProcStats(s.name, "combiner", s.batches, c, s.errors))
+      }
+    }.toDF()
   }
 
   private val streamBatches = mutable.LinkedHashMap.empty[String, Long]
@@ -516,7 +632,9 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
   // Persisted beside the CV's state (one small file, rewritten per tick) so
   // a restarted engine does not re-emit expiry rows for buckets that were
   // already retracted before the restart.
-  private val swTickMarks = mutable.HashMap.empty[String, java.sql.Timestamp]
+  // lazy: dropContView touches this during the constructor's catalog replay,
+  // before later-declared fields would otherwise initialize
+  private lazy val swTickMarks = mutable.HashMap.empty[String, java.sql.Timestamp]
 
   private def tickMarkPath(name: String) = Paths.get(root, name, "_sw_tickmark")
 
@@ -620,7 +738,8 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     } catch { case e: Throwable => failed = true; throw e }
     finally {
       if (multiUse) cached.unpersist()
-      recordStats(h.plan.name, "view", groups, (System.nanoTime() - t0) / 1000000, failed)
+      recordStats(h.plan.name, "view", groups, (System.nanoTime() - t0) / 1000000, failed,
+        workerMs = h.store.lastWorkerMs, combinerMs = h.store.lastCombinerMs)
     }
   }
 
@@ -893,6 +1012,10 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
 final case class CqStats(
     name: String, kind: String, batches: Long,
     groupsOut: Long, errors: Long, execMs: Long)
+
+/** Per-(CQ, proc) timing row (reference pipelinedb.proc_stats shape). */
+final case class ProcStats(
+    name: String, proc: String, batches: Long, execMs: Long, errors: Long)
 
 /** Per-stream ingest counters (reference pipelinedb.stream_stats shape). */
 final case class StreamStats(stream: String, batches: Long, readers: Long)

@@ -17,6 +17,8 @@ import graft.cv.CvPlanner.CvOptions
   *   CREATE CONTINUOUS TRANSFORM t
   *     WITH (outputfunc = insert_into_stream('other'))
   *     AS SELECT ... FROM s WHERE ...
+  *   INSERT INTO s (key, x) VALUES ('a', 1), ('b', 2)
+  *   DROP CONTINUOUS VIEW v / DROP STREAM s
   *   ACTIVATE v / DEACTIVATE v
   *
   * The SELECT body itself is NOT parsed here — it goes verbatim to
@@ -34,6 +36,10 @@ object CvDdl {
       name: String, select: String, sink: Option[String], emitChanges: Boolean) extends Stmt
   final case class Activate(name: String) extends Stmt
   final case class Deactivate(name: String) extends Stmt
+  /** kind ∈ view | transform | stream (plain DROP VIEW resolves either CQ kind). */
+  final case class Drop(kind: String, name: String) extends Stmt
+  final case class Insert(stream: String, columns: Option[Seq[String]], valuesSql: String)
+    extends Stmt
 
   private val StreamRe =
     """(?is)\s*CREATE\s+STREAM\s+([\w.]+)\s*\((.*)\)\s*;?\s*""".r
@@ -47,6 +53,10 @@ object CvDdl {
     """(?is)\s*CREATE\s+VIEW\s+([\w.]+)\s+WITH\s*\((.*?)\)\s*AS\s+(SELECT\b.*?)\s*;?\s*""".r
   private val ActivateRe = """(?is)\s*ACTIVATE\s+([\w.]+)\s*;?\s*""".r
   private val DeactivateRe = """(?is)\s*DEACTIVATE\s+([\w.]+)\s*;?\s*""".r
+  private val DropRe =
+    """(?is)\s*DROP\s+(CONTINUOUS\s+VIEW|CONTINUOUS\s+TRANSFORM|VIEW|STREAM|FOREIGN\s+TABLE)\s+([\w.]+)\s*;?\s*""".r
+  private val InsertRe =
+    """(?is)\s*INSERT\s+INTO\s+([\w.]+)\s*(?:\(([^)]*)\)\s*)?VALUES\s*(.+?)\s*;?\s*""".r
 
   def parse(ddl: String): Stmt = ddl match {
     case StreamRe(name, cols) => CreateStream(name, normalizeTypes(cols))
@@ -64,9 +74,20 @@ object CvDdl {
       buildQuery(name, select, parsed, defaultAction = action)
     case ActivateRe(name) => Activate(name)
     case DeactivateRe(name) => Deactivate(name)
+    case DropRe(kind, name) =>
+      val k = kind.toLowerCase.replaceAll("\\s+", " ") match {
+        case "continuous view" | "view" => "view"
+        case "continuous transform" => "transform"
+        case _ => "stream" // STREAM | FOREIGN TABLE
+      }
+      Drop(k, name)
+    case InsertRe(name, cols, values) =>
+      val columns = Option(cols).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      Insert(name, columns, values)
     case other => throw new IllegalArgumentException(
       s"unrecognized DDL: ${other.trim.take(80)} — expected CREATE STREAM / " +
-        "CREATE [CONTINUOUS] VIEW / CREATE CONTINUOUS TRANSFORM / ACTIVATE / DEACTIVATE")
+        "CREATE [CONTINUOUS] VIEW / CREATE CONTINUOUS TRANSFORM / DROP … / " +
+        "INSERT INTO … VALUES … / ACTIVATE / DEACTIVATE")
   }
 
   private def buildQuery(

@@ -33,7 +33,8 @@ final class StateStore(
     spark: SparkSession,
     val root: String,
     val keyCols: Seq[String],
-    val numBuckets: Int = 32) {
+    val numBuckets: Int = 32,
+    smallStateBytes: Long = StateStore.DefaultSmallStateBytes) {
 
   private val BucketCol = "__bucket"
   private def manifestPath: Path = Paths.get(root, "_manifest.json")
@@ -96,8 +97,22 @@ final class StateStore(
   /** Below this many state bytes on disk, a merge rewrites the whole state
     * in one job instead of pre-scanning for touched buckets — per-micro-batch
     * job count beats write amplification while the state is tiny.
+    * Constructor-tunable so benches/tests can force the bucket-pruned path
+    * (the one that matters at scale) without 64 MB of state.
     */
-  private val SmallStateBytes = 64L * 1024 * 1024
+  private val SmallStateBytes = smallStateBytes
+
+  // Wall-clock of the last upsert's two phases, for the per-proc stats
+  // surface (reference proc_stats worker/combiner split, stats.c): "worker"
+  // = the job that materializes the micro-batch's partial aggregates,
+  // "combiner" = the merge+write against stored state. Read by the engine
+  // right after upsert() returns (same-thread call sequence).
+  @volatile private[cv] var lastWorkerMs: Long = 0L
+  @volatile private[cv] var lastCombinerMs: Long = 0L
+  @inline private def phase[T](set: Long => Unit)(f: => T): T = {
+    val t = System.nanoTime()
+    try f finally set((System.nanoTime() - t) / 1000000L)
+  }
 
   private def dirBytes(rel: String): Long = {
     val p = Paths.get(root, rel)
@@ -174,9 +189,9 @@ final class StateStore(
     if (selfPersist) updates.persist()
     try {
     val obs = org.apache.spark.sql.Observation()
-    timed("scan+cache")(up
+    phase(lastWorkerMs = _)(timed("scan+cache")(up
       .observe(obs, collect_set(col(BucketCol)).as("touched"), count(lit(1)).as("n"))
-      .foreach(_ => ()))
+      .foreach(_ => ())))
     val touched = obs.get("touched").asInstanceOf[scala.collection.Seq[Long]]
       .map(_.toInt).toSet
     val groupsTouched = obs.get("n").asInstanceOf[Long]
@@ -184,6 +199,7 @@ final class StateStore(
     // version, no manifest bump — return empty old/new frames so the changes
     // emitter writes zero rows
     if (touched.isEmpty) {
+      lastCombinerMs = 0L
       val empty = updates.limit(0)
       return (if (needOldRows) Some(empty) else None, empty, 0L)
     }
@@ -230,8 +246,8 @@ final class StateStore(
     val arranged =
       if (writeTasks <= 2) merged.coalesce(writeTasks)
       else merged.repartition(writeTasks, col(BucketCol))
-    timed("merge-write")(arranged
-      .write.partitionBy(BucketCol).mode("overwrite").parquet(outDir))
+    phase(lastCombinerMs = _)(timed("merge-write")(arranged
+      .write.partitionBy(BucketCol).mode("overwrite").parquet(outDir)))
 
     val newBuckets = manifest.map(_.buckets).getOrElse(Map.empty) ++
       touched.map(b => b -> s"v$version/$BucketCol=$b").toMap
@@ -270,8 +286,9 @@ final class StateStore(
     val selfPersist = updates.storageLevel == org.apache.spark.storage.StorageLevel.NONE
     if (selfPersist) updates.persist()
     try {
-      val groupsTouched = updates.count() // materializes the cache
+      val groupsTouched = phase(lastWorkerMs = _)(updates.count()) // materializes the cache
       if (groupsTouched == 0L) {
+        lastCombinerMs = 0L
         val empty = updates.limit(0)
         return (if (needOldRows) Some(empty) else None, empty, 0L)
       }
@@ -311,8 +328,8 @@ final class StateStore(
 
       val version = m.version + 1
       val outDir = s"$root/v$version"
-      timed("small-merge")(merged.coalesce(1)
-        .write.partitionBy(BucketCol).mode("overwrite").parquet(outDir))
+      phase(lastCombinerMs = _)(timed("small-merge")(merged.coalesce(1)
+        .write.partitionBy(BucketCol).mode("overwrite").parquet(outDir)))
       val written = writtenBuckets(outDir)
       // full rewrite: the manifest is replaced wholesale by this version
       val newBuckets = written.map(b => b -> s"v$version/$BucketCol=$b").toMap
@@ -361,9 +378,12 @@ final class StateStore(
   private def firstWrite(up: DataFrame): (Option[DataFrame], DataFrame, Long) = {
     val outDir = s"$root/v0"
     val obs = org.apache.spark.sql.Observation()
-    timed("first-write")(up.observe(obs, org.apache.spark.sql.functions.count(lit(1)).as("n"))
+    // one fused job computes partials AND writes: no separate worker phase
+    lastWorkerMs = 0L
+    phase(lastCombinerMs = _)(
+      timed("first-write")(up.observe(obs, org.apache.spark.sql.functions.count(lit(1)).as("n"))
       .repartition(numBuckets, col(BucketCol))
-      .write.partitionBy(BucketCol).mode("overwrite").parquet(outDir))
+      .write.partitionBy(BucketCol).mode("overwrite").parquet(outDir)))
     val groupsTouched = observedCount(obs, up.count())
     val written = writtenBuckets(outDir)
     writeManifest(Manifest(0L, written.map(b => b -> s"v0/$BucketCol=$b").toMap,
@@ -430,4 +450,9 @@ final class StateStore(
     }
     pendingGc = Set.empty
   }
+}
+
+object StateStore {
+  /** Default small-state threshold (see the `SmallStateBytes` doc). */
+  val DefaultSmallStateBytes: Long = 64L * 1024 * 1024
 }

@@ -119,6 +119,14 @@ class CvSpec extends AnyFunSuite {
 
     val qs = eng.stats().collect().map(r => r.getString(0) -> r.getLong(2)).toMap
     assert(qs("v_mon") == 2) // two batches
+    // per-proc split (proc_stats parity): worker + combiner rows, both
+    // covering every batch — the second batch runs a real merge, so the
+    // combiner must have accumulated wall time
+    val ps = eng.procStats().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(ps(("v_mon", "worker"))._1 == 2)
+    assert(ps(("v_mon", "combiner"))._1 == 2)
+    assert(ps(("v_mon", "combiner"))._2 > 0)
     val ss = eng.streamStats().collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     assert(ss.exists { case (s, b, rd) => s == "s_mon" && b == 2 && rd == 1 })
     assert(eng.streamReaders().collect().map(r => (r.getString(0), r.getString(1)))
@@ -712,6 +720,31 @@ class CvSpec extends AnyFunSuite {
     bad("SELECT key, sum(DISTINCT x) AS s FROM sa GROUP BY key")
   }
 
+  test("bucket-pruned merge path: forced-large store stays correct at every batch") {
+    // smallStateBytes=0 disables the small-state fast path, so every merge
+    // (first write, pruned merges, changes emission) runs the code that
+    // handles production-scale state — the path the bench's large-state
+    // probe times.
+    val dir = java.nio.file.Files.createTempDirectory("graft_lg").toString
+    val eng = new ContViewEngine(spark, dir, smallStateBytes = 0L)
+    eng.createStream("s_lg", streamSchema)
+    eng.createContView("v_lg",
+      "SELECT key, count(*) AS n, sum(v) AS sv FROM s_lg GROUP BY key")
+    allRows.grouped(750).foreach(c => eng.insertInto("s_lg", mkBatch(c)))
+    val got = asMap(eng.overlay("v_lg")
+      .select(col("key"), col("n"), round(col("sv"), 6).as("sv")))
+    val expect = asMap(mkBatch(allRows).groupBy("key")
+      .agg(count(lit(1)).as("n"), round(sum("v"), 6).as("sv")))
+    assert(got == expect)
+    // delta stream emitted on the pruned path sums back to the input too
+    assert(eng.outputOf("v_lg").get.agg(sum(col("delta.n"))).collect()(0).getLong(0)
+      == allRows.size)
+    // and the per-proc split saw real combiner work on every batch
+    val ps = eng.procStats().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(ps(("v_lg", "combiner")) == 4)
+  }
+
   test("step_factor validation: out-of-range and single-bucket windows rejected (analyzer.c:1705)") {
     val eng = newEngine()
     eng.createStream("s_sf", streamSchema)
@@ -770,6 +803,38 @@ class CvSpec extends AnyFunSuite {
       "CREATE CONTINUOUS VIEW v_bad WITH (bogus = 1) AS SELECT key, count(*) AS n FROM s_ddl GROUP BY key"))
     intercept[IllegalArgumentException](eng.sql(
       "CREATE VIEW v_bad AS SELECT key, count(*) AS n FROM s_ddl GROUP BY key"))
+  }
+
+  test("SQL INSERT INTO ... VALUES and DROP statements (stream_fdw.c inserts, drop cascade)") {
+    val eng = newEngine()
+    eng.sql("CREATE STREAM s_ins (key text, x int8, v float8, ts timestamptz)")
+    eng.sql("""CREATE CONTINUOUS VIEW v_ins WITH (changes = false) AS
+              |SELECT key, count(*) AS n, sum(x) AS sx FROM s_ins GROUP BY key""".stripMargin)
+    // multi-row VALUES with expressions; missing columns (v, ts) → NULL
+    eng.sql("INSERT INTO s_ins (key, x) VALUES ('a', 1), ('a', 2), ('b', 10 + 5)")
+    eng.sql("INSERT INTO s_ins (key, x, v) VALUES ('b', 4, 2.5)")
+    val got = asMap(eng.overlay("v_ins"))
+    assert(got == Map("a" -> Seq(2L, 3L), "b" -> Seq(2L, 19L)))
+
+    // stream with readers cannot be dropped; after dropping the CV it can
+    intercept[IllegalArgumentException](eng.sql("DROP STREAM s_ins"))
+    eng.sql("DROP CONTINUOUS VIEW v_ins")
+    intercept[Exception](eng.overlay("v_ins"))
+    eng.sql("DROP STREAM s_ins")
+    intercept[Exception](eng.sql("INSERT INTO s_ins (key, x) VALUES ('c', 1)"))
+
+    // a dropped name is reusable with a different definition
+    eng.sql("CREATE STREAM s_ins (key text, x int8)")
+    eng.sql("""CREATE CONTINUOUS VIEW v_ins WITH (changes = false) AS
+              |SELECT key, sum(x) AS sx FROM s_ins GROUP BY key""".stripMargin)
+    eng.sql("INSERT INTO s_ins VALUES ('z', 7)")
+    assert(asMap(eng.overlay("v_ins")) == Map("z" -> Seq(7L)))
+
+    // drops survive a restart: replaying the catalog must not resurrect
+    // the dropped definitions (the first v_ins took a different shape)
+    val eng2 = new ContViewEngine(spark, eng.root)
+    eng2.insertInto("s_ins", Seq(("z", 3L)).toDF("key", "x"))
+    assert(asMap(eng2.overlay("v_ins")) == Map("z" -> Seq(10L)))
   }
 
   test("continuous transform: filter/project to output stream + chained CV (cont_transform.sql)") {
