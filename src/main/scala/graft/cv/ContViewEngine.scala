@@ -189,7 +189,23 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
       schema.fields.filterNot(f => cols.contains(f.name) || f.name == "arrival_timestamp")
         .foreach(f => df = df.withColumn(f.name, lit(null).cast(f.dataType)))
       insertInto(name, df)
+    case CvDdl.InsertSelect(name, select) =>
+      require(streams.contains(name), s"unknown stream $name")
+      val schema = streams(name).schema
+      var df = spark.sql(select)
+      schema.fields.filterNot(f =>
+          df.columns.contains(f.name) || f.name == "arrival_timestamp")
+        .foreach(f => df = df.withColumn(f.name, lit(null).cast(f.dataType)))
+      insertInto(name, df)
   }
+
+  /** `FROM output_of('cv')` → the CQ's registered output stream — the
+    * reference's RewriteFromClause (analyzer.c:776-830). Purely textual;
+    * the definition keeps the user's spelling in the catalog.
+    */
+  private def rewriteOutputOf(sql: String): String =
+    """(?i)output_of\s*\(\s*'([\w.]+)'\s*\)""".r
+      .replaceAllIn(sql, m => osrelName(m.group(1)))
 
   /** CREATE FOREIGN TABLE s (...) SERVER pipelinedb analogue: registers the
     * stream schema as an empty relation so CV SQL analyzes against it.
@@ -246,7 +262,7 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
   def createContView(name: String, selectSql: String,
       options: CvOptions = CvOptions(), emitChanges: Boolean = true): CvHandle = {
     idempotent(name, s"view|$selectSql|$options|$emitChanges") {
-      val plan = CvPlanner.plan(spark, name, selectSql, options,
+      val plan = CvPlanner.plan(spark, name, rewriteOutputOf(selectSql), options,
         streamLeafIds = streams.values.map(_.leafIds).toSeq)
       val leafIds = plan.streamLeaf.output.map(_.exprId)
       val streamName = streams.values.find(_.leafIds == leafIds)
@@ -288,7 +304,7 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
       outputFunc: Option[DataFrame => Unit] = None,
       emitChanges: Boolean = true): CtHandle = {
     idempotent(name, s"transform|$selectSql|$sinkStream|$emitChanges") {
-      val plan = CvPlanner.planTransform(spark, name, selectSql,
+      val plan = CvPlanner.planTransform(spark, name, rewriteOutputOf(selectSql),
         streamLeafIds = streams.values.map(_.leafIds).toSeq)
       val leafIds = plan.streamLeaf.output.map(_.exprId)
       val streamName = streams.values.find(_.leafIds == leafIds)

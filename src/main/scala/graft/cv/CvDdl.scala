@@ -40,6 +40,8 @@ object CvDdl {
   final case class Drop(kind: String, name: String) extends Stmt
   final case class Insert(stream: String, columns: Option[Seq[String]], valuesSql: String)
     extends Stmt
+  /** INSERT INTO s SELECT … (stream_insert_subselect.sql shape). */
+  final case class InsertSelect(stream: String, select: String) extends Stmt
 
   private val StreamRe =
     """(?is)\s*CREATE\s+STREAM\s+([\w.]+)\s*\((.*)\)\s*;?\s*""".r
@@ -57,6 +59,8 @@ object CvDdl {
     """(?is)\s*DROP\s+(CONTINUOUS\s+VIEW|CONTINUOUS\s+TRANSFORM|VIEW|STREAM|FOREIGN\s+TABLE)\s+([\w.]+)\s*;?\s*""".r
   private val InsertRe =
     """(?is)\s*INSERT\s+INTO\s+([\w.]+)\s*(?:\(([^)]*)\)\s*)?VALUES\s*(.+?)\s*;?\s*""".r
+  private val InsertSelectRe =
+    """(?is)\s*INSERT\s+INTO\s+([\w.]+)\s+(SELECT\b.*?)\s*;?\s*""".r
 
   def parse(ddl: String): Stmt = ddl match {
     case StreamRe(name, cols) => CreateStream(name, normalizeTypes(cols))
@@ -84,6 +88,7 @@ object CvDdl {
     case InsertRe(name, cols, values) =>
       val columns = Option(cols).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       Insert(name, columns, values)
+    case InsertSelectRe(name, select) => InsertSelect(name, select)
     case other => throw new IllegalArgumentException(
       s"unrecognized DDL: ${other.trim.take(80)} — expected CREATE STREAM / " +
         "CREATE [CONTINUOUS] VIEW / CREATE CONTINUOUS TRANSFORM / DROP … / " +

@@ -46,8 +46,8 @@ object CvQueries {
       // STREAM (not the raw events) — every upsert's delta batch re-aggregates
       // at a coarser key (delta_streams.sql:7-58)
       eng.createContView("v_os_rollup",
-        s"""SELECT CAST(user_id % 10 AS BIGINT) AS ub, sum(delta.n) AS n
-           |FROM ${eng.osrelName("v_os")} GROUP BY CAST(user_id % 10 AS BIGINT)""".stripMargin,
+        """SELECT CAST(user_id % 10 AS BIGINT) AS ub, sum(delta.n) AS n
+          |FROM output_of('v_os') GROUP BY CAST(user_id % 10 AS BIGINT)""".stripMargin,
         emitChanges = false)
       // grouping sets inside a CV: state keyed by (keys, grouping_id)
       eng.createContView("v_rollup",

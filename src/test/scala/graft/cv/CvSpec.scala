@@ -837,6 +837,27 @@ class CvSpec extends AnyFunSuite {
     assert(asMap(eng2.overlay("v_ins")) == Map("z" -> Seq(10L)))
   }
 
+  test("output_of('cv') FROM rewriting + INSERT INTO SELECT (analyzer.c:776-830)") {
+    val eng = newEngine()
+    eng.createStream("s_oo", streamSchema)
+    eng.createContView("v_oo", "SELECT key, count(*) AS n FROM s_oo GROUP BY key")
+    // downstream CV reads the output stream via the reference spelling
+    eng.createContView("v_oo_roll",
+      "SELECT 1 AS g, sum(delta.n) AS total FROM output_of('v_oo') GROUP BY 1",
+      emitChanges = false)
+    eng.insertInto("s_oo", mkBatch(allRows.take(600)))
+    eng.insertInto("s_oo", mkBatch(allRows.slice(600, 900)))
+    def total(): Long =
+      eng.overlay("v_oo_roll").select("total").collect()(0).getLong(0)
+    assert(total() == 900L)
+    // INSERT INTO stream SELECT ... (stream_insert_subselect.sql): feed a
+    // stream from a registered relation with projection + filter
+    mkBatch(allRows.take(100)).createOrReplaceTempView("src_rows")
+    eng.sql("INSERT INTO s_oo SELECT key, x, v, ts FROM src_rows WHERE x >= 50")
+    val expect = 900L + allRows.take(100).count(_._2 >= 50)
+    assert(total() == expect)
+  }
+
   test("continuous transform: filter/project to output stream + chained CV (cont_transform.sql)") {
     val eng = newEngine()
     eng.createStream("ct_in", streamSchema)
