@@ -53,9 +53,7 @@ object ProfileMinhash {
       .distinct().persist()
     time("bucket-group pairs")(rawPairs.count())
 
-    val agree = size(filter(
-      zip_with(col("sig_a"), col("sig_b"), (x, y) => (x === y).cast("int")),
-      e => e === 1)).cast("double") / 128
+    val agree = MinHashLsh.sigAgree(col("sig_a"), col("sig_b"))
     val pairs = rawPairs
       .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
       .join(sig.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")

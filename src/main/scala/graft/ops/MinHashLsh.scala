@@ -57,6 +57,40 @@ object MinHashLsh {
   def minhashSignature(shingles: Column, k: Int): Column =
     GraftBridge.column(MinHashSignature(GraftBridge.expression(shingles), k))
 
+  /** sig_agree(a, b) → fraction of equal signature components, fused into a
+    * single codegen'd loop. The `zip_with`+`filter`+`size` chain evaluates
+    * its lambdas interpreted (one virtual call per component per pair) and
+    * was the dominant cost of the candidate prefilter at 128 components.
+    */
+  case class SignatureAgreement(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    override def prettyName: String = "sig_agree"
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(a: Any, b: Any): Any =
+      MinHashLsh.sigAgreeEval(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"graft.ops.MinHashLsh.sigAgreeEval($a, $b)")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): SignatureAgreement =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** Fraction of positions where the two signatures agree (codegen-callable). */
+  def sigAgreeEval(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    if (n == 0) return 0.0
+    var eq = 0
+    var i = 0
+    while (i < n) { if (a.getLong(i) == b.getLong(i)) eq += 1; i += 1 }
+    eq.toDouble / n
+  }
+
+  def sigAgree(a: Column, b: Column): Column =
+    GraftBridge.column(SignatureAgreement(GraftBridge.expression(a), GraftBridge.expression(b)))
+
   /** minhash_buckets(sig) → array<long>: one LSH bucket hash per band,
     * band index folded into the hash so a single 64-bit value identifies
     * (band, bucket). One pass over the signature — the equivalent
@@ -148,9 +182,7 @@ object MinHashLsh {
       .select(col("id_a"), col("id_b"))
       .distinct()
 
-    val agree = size(filter(
-      zip_with(col("sig_a"), col("sig_b"), (x, y) => (x === y).cast("int")),
-      e => e === 1)).cast("double") / k
+    val agree = sigAgree(col("sig_a"), col("sig_b"))
     val joined = exactThreshold match {
       case None =>
         rawPairs

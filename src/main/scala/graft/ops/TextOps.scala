@@ -60,10 +60,47 @@ object TextOps {
   def shingles(text: Column, n: Int = 3): Column =
     GraftBridge.column(WordShingles(GraftBridge.expression(text), n))
 
-  /** Exact Jaccard similarity of two distinct-element arrays. */
-  def jaccard(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(a, b)).cast("double")
-    val union = size(a) + size(b) - size(array_intersect(a, b))
-    when(union > 0, inter / union).otherwise(lit(0.0))
+  /** jaccard_sim(a, b) over distinct-element string arrays, one pass:
+    * hash-set membership count, no intersection array materialized. The
+    * array_intersect formulation allocates (and dedupes) a fresh array and —
+    * appearing in both numerator and denominator — evaluated twice per pair
+    * on the near-dup verify path.
+    */
+  case class JaccardSim(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    override def prettyName: String = "jaccard_sim"
+    override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+    override def nullSafeEval(a: Any, b: Any): Any =
+      TextOps.jaccardEval(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"graft.ops.TextOps.jaccardEval($a, $b)")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): JaccardSim =
+      copy(left = newLeft, right = newRight)
   }
+
+  /** |A∩B| / |A∪B| for distinct-element arrays (callable from codegen). */
+  def jaccardEval(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    // membership set over the smaller side
+    val (small, nSmall, big, nBig) = if (na <= nb) (a, na, b, nb) else (b, nb, a, na)
+    val set = new java.util.HashSet[UTF8String](math.max(4, nSmall * 2))
+    var i = 0
+    while (i < nSmall) { set.add(small.getUTF8String(i)); i += 1 }
+    var inter = 0
+    i = 0
+    while (i < nBig) { if (set.contains(big.getUTF8String(i))) inter += 1; i += 1 }
+    val union = na + nb - inter
+    if (union > 0) inter.toDouble / union else 0.0
+  }
+
+  /** Exact Jaccard similarity of two distinct-element arrays. */
+  def jaccard(a: Column, b: Column): Column =
+    GraftBridge.column(JaccardSim(GraftBridge.expression(a), GraftBridge.expression(b)))
 }

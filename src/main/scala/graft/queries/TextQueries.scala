@@ -76,12 +76,15 @@ object TextQueries {
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) {
       (s, dir) =>
         val t = col("text")
+        // literal replace/translate, not regexp_replace: the java.util.regex
+        // engine on full document text was the single most expensive scalar
+        // in the bench (~8x the literal codegen'd ops), for a fixed pattern
         Tables.documents(s, dir)
           .groupBy("lang")
           .agg(
-            round(avg(length(regexp_replace(t, " ", "")).cast("double") / length(t)), 6)
+            round(avg(length(translate(t, " ", "")).cast("double") / length(t)), 6)
               .as("ink_ratio"),
-            round(avg((length(t) - length(regexp_replace(t, "the", ""))).cast("double") / 3.0), 4)
+            round(avg((length(t) - length(replace(t, lit("the")))).cast("double") / 3.0), 4)
               .as("avg_the_count"))
           .orderBy("lang")
     },

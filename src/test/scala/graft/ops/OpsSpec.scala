@@ -233,6 +233,43 @@ class OpsSpec extends AnyFunSuite {
     assert(withNull.select(cosineSim(col("a"), col("b"))).collect()(0).isNullAt(0))
   }
 
+  test("JaccardSim/SignatureAgreement match their HOF/array_intersect formulations") {
+    val rng = new scala.util.Random(7)
+    val words = (0 until 40).map(i => s"w$i")
+    val docs = (0L until 150L).map { i =>
+      (i, Seq.fill(8 + rng.nextInt(12))(words(rng.nextInt(words.length))).distinct)
+    }.toDF("id", "sh")
+    val pairs = docs.as("a").join(docs.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.sh").as("sa"), col("b.sh").as("sb"))
+    def hofJaccard(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
+      val inter = size(array_intersect(a, b)).cast("double")
+      val union = size(a) + size(b) - size(array_intersect(a, b))
+      when(union > 0, inter / union).otherwise(lit(0.0))
+    }
+    val jacMismatch = pairs.select(
+        TextOps.jaccard(col("sa"), col("sb")).as("j1"),
+        hofJaccard(col("sa"), col("sb")).as("j2"))
+      .where(col("j1") =!= col("j2"))
+    assert(jacMismatch.count() == 0) // exact ==: same integer counts, same division
+
+    val sigs = (0L until 100L).map { i =>
+      (i, Array.fill(128)(rng.nextLong(8))) // small domain -> frequent agreement
+    }.toDF("id", "sig")
+    val sigPairs = sigs.as("a").join(sigs.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.sig").as("sa"), col("b.sig").as("sb"))
+    def hofAgree(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      size(filter(zip_with(a, b, (x, y) => (x === y).cast("int")), e => e === 1))
+        .cast("double") / 128
+    val agreeMismatch = sigPairs.select(
+        MinHashLsh.sigAgree(col("sa"), col("sb")).as("a1"),
+        hofAgree(col("sa"), col("sb")).as("a2"))
+      .where(col("a1") =!= col("a2"))
+    assert(agreeMismatch.count() == 0)
+    // null propagation
+    val withNull = Seq((Some(Seq("a", "b")), Option.empty[Seq[String]])).toDF("a", "b")
+    assert(withNull.select(TextOps.jaccard(col("a"), col("b"))).collect()(0).isNullAt(0))
+  }
+
   test("cosine near-dup: oversized-bucket guard bounds candidates on a dense cluster") {
     val rng = new scala.util.Random(3)
     val base = Array.fill(32)(rng.nextGaussian())
