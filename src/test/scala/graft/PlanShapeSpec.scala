@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression gate for every registry query.
+  *
+  * The correctness gate (Verify + DuckDB oracle) can't see a plan go
+  * quadratic or a filter stop reaching the scan — results stay right while
+  * the 100-TB story silently dies. This spec pins the plan properties that
+  * matter at scale:
+  *
+  *   - no CartesianProduct anywhere, ever;
+  *   - BroadcastNestedLoopJoin only where the broadcast side is bounded by
+  *     construction (probe sets, scalar subqueries) — each exemption
+  *     justified inline;
+  *   - per-query shuffle budget: the number of Exchange nodes in the
+  *     executed plan never grows past today's count;
+  *   - predicate pushdown / column pruning reach the parquet scans on the
+  *     representative queries.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private val dir = "/root/testdata/sf0.001"
+
+  // Bounded-broadcast nested-loop joins, each intentional:
+  //   q_knn_cosine     — ≤10 probe vectors broadcast against the corpus
+  //                      (theta join vec_id <> probe_id); the corpus side
+  //                      streams partition-local, never shuffles
+  //   q_ngram_jaccard  — 30-doc probe set, all-pairs by design (theta join
+  //                      id_a < id_b over a fixed sample)
+  //   q_sliding_window — 1-row scalar subquery (max(ts)) joined to pin the
+  //                      window edge deterministically
+  private val bnljAllowed = Set("q_knn_cosine", "q_ngram_jaccard", "q_sliding_window")
+
+  // Shuffle ceilings measured on the current plans (Exchange nodes in the
+  // executed plan, ReusedExchange excluded). A regression here means a new
+  // shuffle appeared — at 100 TB that's the difference between one pass
+  // over the data and two.
+  private val exchangeCeiling = Map(
+    "q_ann_ivf" -> 3, "q_ann_lsh" -> 4, "q_avg" -> 2, "q_bloom_membership" -> 5,
+    "q_bucket_agg" -> 2, "q_cosine_neardup" -> 9, "q_count_group" -> 3,
+    "q_cube" -> 2, "q_cv_chained" -> 1, "q_cv_combine" -> 2, "q_cv_count" -> 1,
+    "q_cv_delta_rollup" -> 1, "q_cv_rollup" -> 1, "q_cv_sliding" -> 2,
+    "q_cv_transform_chain" -> 1, "q_date_round" -> 1, "q_dedup_exact" -> 2,
+    "q_dist_quantiles" -> 2, "q_distinct" -> 2, "q_doc_stats" -> 3,
+    "q_embedding_stats" -> 2, "q_fingerprint" -> 0, "q_first_values" -> 2,
+    "q_freq_users" -> 2, "q_hll_types_per_user" -> 2, "q_hll_union_rollup" -> 2,
+    "q_hll_users" -> 2, "q_hypothetical_rank" -> 2, "q_json_int_sum" -> 2,
+    "q_json_object_int_sum" -> 2, "q_keyed_min_max" -> 2, "q_knn_cosine" -> 3,
+    "q_langid" -> 1, "q_limit" -> 0, "q_media_meta" -> 1, "q_media_resize" -> 1,
+    "q_minhash_neardup" -> 9, "q_ngram_jaccard" -> 2, "q_percentile" -> 2,
+    "q_quality_score" -> 2, "q_regr" -> 2, "q_revenue_nation" -> 5,
+    "q_rollup" -> 2, "q_set_agg" -> 3, "q_simhash_neardup" -> 3,
+    "q_sliding_window" -> 4, "q_stream_table_join" -> 4, "q_string_agg" -> 3,
+    "q_sum_min_max" -> 2, "q_token_count" -> 2, "q_topk" -> 3,
+    "q_topk_sketch" -> 4, "q_var_stddev" -> 2)
+
+  private lazy val plans: Map[String, String] =
+    SparkEntry.queries.map { case (name, fn) =>
+      name -> fn(spark, dir).queryExecution.executedPlan.toString
+    }
+
+  test("every registry query has a pinned shuffle ceiling") {
+    val missing = SparkEntry.queries.keySet -- exchangeCeiling.keySet
+    assert(missing.isEmpty, s"add new queries to exchangeCeiling: $missing")
+  }
+
+  test("no CartesianProduct in any registry query plan") {
+    val offenders = plans.collect {
+      case (n, p) if p.contains("CartesianProduct") => n
+    }
+    assert(offenders.isEmpty, s"cartesian joins in: $offenders")
+  }
+
+  test("BroadcastNestedLoopJoin only where the broadcast side is bounded") {
+    val offenders = plans.collect {
+      case (n, p) if p.contains("BroadcastNestedLoopJoin") && !bnljAllowed(n) => n
+    }
+    assert(offenders.isEmpty,
+      s"unbounded nested-loop joins in: $offenders — equi-join or broadcast a bounded side")
+  }
+
+  test("shuffle budget: Exchange count never grows past the pinned ceiling") {
+    val over = plans.flatMap { case (n, p) =>
+      val count = p.linesIterator.count(l => l.contains("Exchange") && !l.contains("Reused"))
+      exchangeCeiling.get(n).collect { case c if count > c => s"$n: $count > $c" }
+    }
+    assert(over.isEmpty, s"new shuffles appeared: ${over.mkString("; ")}")
+  }
+
+  test("filter pushdown reaches the parquet scan (q_langid doc_id < 100)") {
+    assert(plans("q_langid").contains("LessThan(doc_id,100)"),
+      "doc_id < 100 should appear in PushedFilters on the documents scan")
+  }
+
+  test("column pruning: q_fingerprint scans only (doc_id, text)") {
+    val read = plans("q_fingerprint").linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("doc_id") && read.contains("text") && !read.contains("lang"),
+      s"expected a 2-column read, got: $read")
+  }
+
+  test("q_revenue_nation broadcasts the small dimensions") {
+    val p = plans("q_revenue_nation")
+    val bhj = p.sliding("BroadcastHashJoin".length).count(_ == "BroadcastHashJoin")
+    assert(bhj >= 2, s"customer and nation should broadcast-join, found $bhj BHJs")
+  }
+}
