@@ -68,10 +68,11 @@ object Bench {
     // bucket-pruned path — the code that runs once state outgrows a single
     // executor's memory at production scale. Timed separately so the
     // headline total stays comparable across rounds.
-    val largeStateSec = {
+    val (largeStateSec, ingestEventsPerSec) = {
       val root = java.nio.file.Files.createTempDirectory("graft_lgbench").toString
       val eng = new graft.cv.ContViewEngine(spark, root, smallStateBytes = 0L)
       val events = graft.queries.Tables.events(spark, sfDir)
+      val nEvents = events.count()
       eng.createStream("lg_stream", events.schema)
       eng.createContView("v_lg",
         """SELECT user_id, count(*) AS n, sum(value) AS sv, avg(value) AS av
@@ -83,13 +84,14 @@ object Bench {
         val chunk = events.where(pmod(col("event_id"), lit(chunks)) === i).persist()
         try eng.insertInto("lg_stream", chunk) finally chunk.unpersist()
       }
-      (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      (sec, nEvents / sec)
     }
     val loadavg =
       try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
         .trim.split(" ").take(3).mkString(" ")
       catch { case _: Throwable => "" }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":$repeats,"cv_large_state_sec":$largeStateSec,"loadavg":"$loadavg"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":$repeats,"cv_large_state_sec":$largeStateSec,"cv_ingest_events_per_sec":${ingestEventsPerSec.round},"loadavg":"$loadavg"}""")
     spark.stop()
   }
 }

@@ -150,13 +150,69 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     } finally loading = false
   }
 
-  /** SQL DDL front door (reference commands.c:219-253): CREATE STREAM /
-    * CREATE [CONTINUOUS] VIEW WITH (...) / CREATE CONTINUOUS TRANSFORM /
-    * ACTIVATE / DEACTIVATE, parsed by [[CvDdl]] into the API calls below.
-    * The SELECT body is analyzed by Catalyst via [[CvPlanner]] like any
-    * API-created continuous query.
+  /** SQL front door (reference commands.c:219-253 + the psql read path):
+    * CREATE STREAM / CREATE [CONTINUOUS] VIEW WITH (...) / CREATE CONTINUOUS
+    * TRANSFORM / ACTIVATE / DEACTIVATE / INSERT / DROP, parsed by [[CvDdl]]
+    * into the API calls below — plus plain SELECT, routed to [[query]] so
+    * CVs, `<cv>_mrel` matrels, and `output_of('cv')` are queryable by name.
+    * DDL statements return an empty frame; SELECT returns its result.
     */
-  def sql(ddl: String): Unit = CvDdl.parse(ddl) match {
+  def sql(stmt: String): DataFrame = {
+    if ("""(?is)^\s*(SELECT|WITH)\b""".r.findFirstIn(stmt).isDefined) query(stmt)
+    else { runDdl(stmt); spark.emptyDataFrame }
+  }
+
+  /** SELECT read path: binds every referenced CV overlay, `<cv>_mrel`
+    * matrel, and `output_of('cv')` changes read to session temp views, then
+    * delegates to Spark SQL. The reference's equivalents are the overlay
+    * view, the matrel relation, and the osrel rewrite (analyzer.c:776-830);
+    * `combine(col)`/`finalize(col)` over `_mrel` columns resolve through the
+    * registered SQL functions and the state columns' combine-kind metadata.
+    */
+  def query(selectSql: String): DataFrame = {
+    // output_of('cv') reads bind to the changes table — NOT the `<cv>_osrel`
+    // stream registration, which is an empty relation whose attribute ids
+    // downstream CQ planning depends on (clobbering it would break chaining)
+    val rewritten = """(?i)output_of\s*\(\s*'([\w.]+)'\s*\)""".r
+      .replaceAllIn(selectSql, m => {
+        val cv = m.group(1)
+        val view = s"__graft_read_${osrelName(cv)}"
+        val changes = outputOf(cv).getOrElse(throw new IllegalStateException(
+          s"continuous query $cv has no output stream to read"))
+        org.apache.spark.sql.GraftBridge.ofRows(spark,
+          org.apache.spark.sql.GraftBridge.analyzed(changes))
+          .createOrReplaceTempView(view)
+        view
+      })
+    def mentioned(name: String): Boolean =
+      ("""(?i)(?<![\w.])""" + java.util.regex.Pattern.quote(name) + """(?![\w.])""").r
+        .findFirstIn(rewritten).isDefined
+    views.keys.foreach { v =>
+      if (mentioned(v)) registerOverlay(v)
+      if (mentioned(s"${v}_mrel")) {
+        // reference matrels name the state column after the target-list
+        // column (avg → `av` holds the transition state): expose single-state
+        // columns under their plain names; multi-state internals (decomposed
+        // scalar-over-aggregate outputs) keep the __state_ spelling. The
+        // rename is an attribute alias, so the combine-kind metadata that
+        // SQL combine()/finalize() resolve against survives.
+        val h = views(v)
+        val singles = h.plan.aggs.collect {
+          case a if a.states.sizeIs == 1 => a.states.head._1
+        }.toSet
+        val df = stateOf(v)
+        val renamed = df.columns.foldLeft(df) { (d, c) =>
+          val plain = c.stripPrefix("__state_")
+          if (singles(c) && !df.columns.contains(plain)) d.withColumnRenamed(c, plain)
+          else d
+        }
+        renamed.createOrReplaceTempView(s"${v}_mrel")
+      }
+    }
+    spark.sql(rewritten)
+  }
+
+  private def runDdl(ddl: String): Unit = CvDdl.parse(ddl) match {
     case CvDdl.CreateStream(name, schemaDdl) =>
       createStream(name, StructType.fromDDL(schemaDdl))
     case CvDdl.CreateView(name, select, opts, changes) =>

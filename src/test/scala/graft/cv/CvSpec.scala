@@ -837,6 +837,33 @@ class CvSpec extends AnyFunSuite {
     assert(asMap(eng2.overlay("v_ins")) == Map("z" -> Seq(10L)))
   }
 
+  test("SQL SELECT front door: CV overlay, _mrel combine, output_of reads") {
+    val eng = newEngine()
+    eng.sql("CREATE STREAM s_q (key text, x int8, v float8, ts timestamptz)")
+    eng.sql("""CREATE CONTINUOUS VIEW v_q AS
+              |SELECT key, count(*) AS n, sum(x) AS sx FROM s_q GROUP BY key""".stripMargin)
+    eng.sql("INSERT INTO s_q (key, x) VALUES ('a', 1), ('a', 2), ('b', 3)")
+    // overlay by name, like the reference's `SELECT * FROM cv`
+    val got = eng.sql("SELECT key, n, sx FROM v_q ORDER BY key").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(("a", 2L, 3L), ("b", 1L, 3L)))
+    // matrel by name + SQL combine() re-grouping over stored state
+    val comb = eng.sql("SELECT combine(n) AS n, combine(sx) AS sx FROM v_q_mrel")
+      .collect()(0)
+    assert((comb.getLong(0), comb.getLong(1)) == (3L, 6L))
+    // output stream by the reference spelling (reads the changes table, not
+    // the empty osrel stream registration)
+    val changes = eng.sql(
+      "SELECT count(*) AS c FROM output_of('v_q') WHERE new IS NOT NULL")
+      .collect()(0).getLong(0)
+    assert(changes == 2L) // first batch upserted two groups
+    // a second batch is visible on the next read (overlay re-resolves state)
+    eng.sql("INSERT INTO s_q (key, x) VALUES ('c', 9)")
+    assert(eng.sql("SELECT count(*) AS c FROM v_q").collect()(0).getLong(0) == 3L)
+    // unknown output_of target fails loudly
+    intercept[IllegalStateException](eng.sql("SELECT * FROM output_of('nope')"))
+  }
+
   test("output_of('cv') FROM rewriting + INSERT INTO SELECT (analyzer.c:776-830)") {
     val eng = newEngine()
     eng.createStream("s_oo", streamSchema)
