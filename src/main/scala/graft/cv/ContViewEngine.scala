@@ -1075,6 +1075,28 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
       }
       .start()
   }
+
+  /** Structured Streaming driver for a STREAM: every micro-batch goes
+    * through the normal ingest path and fans out to every active reader
+    * CQ — the reference's runtime shape (one stream, many worker readers,
+    * scheduler.c:615-698), where [[startStreaming]] drives a single CV.
+    * Checkpointed per stream, so a restarted query resumes exactly-once
+    * for all readers together.
+    */
+  def startStreamingInto(streamName: String, source: DataFrame,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+      : StreamingQuery = {
+    require(streams.contains(streamName), s"unknown stream $streamName")
+    source.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", s"$root/_streams/$streamName/_checkpoint")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        insertInto(streamName, batch)
+      }
+      .start()
+  }
 }
 
 /** Per-CQ runtime counters (reference pipelinedb.proc_stats/query_stats,

@@ -948,6 +948,39 @@ class CvSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("structured streaming into a STREAM fans out to all reader CQs") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val eng = newEngine()
+    eng.createStream("sti_s", streamSchema)
+    eng.createContView("v_sti_a", "SELECT key, count(*) AS n FROM sti_s GROUP BY key",
+      emitChanges = false)
+    eng.createContView("v_sti_b", "SELECT key, sum(x) AS sx FROM sti_s GROUP BY key",
+      emitChanges = false)
+    // a transform chained off the same stream consumes the same batches
+    eng.createStream("sti_hot", streamSchema)
+    eng.createContTransform("t_sti",
+      "SELECT key, x, v, ts FROM sti_s WHERE x >= 50",
+      sinkStream = Some("sti_hot"), emitChanges = false)
+    eng.createContView("v_sti_hot", "SELECT key, count(*) AS n FROM sti_hot GROUP BY key",
+      emitChanges = false)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(String, Long, Double, java.sql.Timestamp)]
+    val q = eng.startStreamingInto("sti_s", ms.toDF().toDF("key", "x", "v", "ts"))
+    val (b1, b2) = allRows.splitAt(900)
+    ms.addData(b1)
+    q.processAllAvailable()
+    ms.addData(b2)
+    q.processAllAvailable()
+    q.stop()
+    val all = mkBatch(allRows)
+    assert(asMap(eng.overlay("v_sti_a")) ==
+      asMap(all.groupBy("key").agg(count(lit(1)).as("n"))))
+    assert(asMap(eng.overlay("v_sti_b")) ==
+      asMap(all.groupBy("key").agg(sum("x").as("sx"))))
+    assert(asMap(eng.overlay("v_sti_hot")) ==
+      asMap(all.where($"x" >= 50).groupBy("key").agg(count(lit(1)).as("n"))))
+  }
+
   test("regr_* family and string_agg split in CVs (cont_regr.sql)") {
     val eng = newEngine()
     eng.createStream("rg_s", streamSchema)
