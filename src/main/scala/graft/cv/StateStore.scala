@@ -162,7 +162,15 @@ final class StateStore(
       updates: DataFrame,
       reAgg: Seq[(String, org.apache.spark.sql.Column => org.apache.spark.sql.Column)],
       needOldRows: Boolean = true)
-      : (Option[DataFrame], DataFrame, Long) = {
+      : (Option[DataFrame], DataFrame, Long) = this.synchronized {
+    // Mutations serialize per store (this.synchronized here, deleteWhere,
+    // truncate): the manifest commit is a read-modify-write, so a concurrent
+    // upsert and reaper pass (startReaper runs on its own thread) — or two
+    // user threads inserting into the same stream — would otherwise both
+    // base version N+1 on N and lose one of the writes. Per-CV
+    // serialization is the reference's concurrency model too (one combiner
+    // proc owns each matrel's sync cycle); different CVs' stores still
+    // merge in parallel.
     flushPendingGc() // previous version's consumers are done by now (see below)
     val up = updates.withColumn(BucketCol, bucketOf)
     val manifest = readManifest()
@@ -396,7 +404,7 @@ final class StateStore(
   /** Drop state rows matching the predicate (TTL reaper — reaper.c:49-352).
     * Rewrites only buckets that still hold matching rows.
     */
-  def deleteWhere(predicate: org.apache.spark.sql.Column): Unit = {
+  def deleteWhere(predicate: org.apache.spark.sql.Column): Unit = this.synchronized {
     flushPendingGc()
     readManifest().foreach { m =>
       val cur = readBuckets(None).getOrElse(return)
@@ -420,7 +428,7 @@ final class StateStore(
     }
   }
 
-  def truncate(): Unit = {
+  def truncate(): Unit = this.synchronized {
     cachedState.foreach(_.unpersist())
     cachedState = None
     if (Files.exists(Paths.get(root))) {

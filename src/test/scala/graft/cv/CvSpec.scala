@@ -948,6 +948,27 @@ class CvSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("concurrent insertInto on one stream serializes merges (no lost updates)") {
+    val eng = newEngine()
+    eng.createStream("cc_s", streamSchema)
+    eng.createContView("v_cc",
+      "SELECT key, count(*) AS n, sum(x) AS sx FROM cc_s GROUP BY key",
+      emitChanges = false)
+    // six threads race the same CV's state store: the manifest commit is a
+    // read-modify-write, so without the per-store mutation lock two merges
+    // base version N+1 on N and one batch silently vanishes
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val work = allRows.grouped(500).toSeq.map { c =>
+      Future(eng.insertInto("cc_s", mkBatch(c)))
+    }
+    work.foreach(f => Await.result(f, Duration.Inf))
+    val expect = asMap(mkBatch(allRows).groupBy("key")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx")))
+    assert(asMap(eng.overlay("v_cc")) == expect)
+  }
+
   test("structured streaming into a STREAM fans out to all reader CQs") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val eng = newEngine()
