@@ -72,6 +72,9 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
   // register the same CQ twice — a duplicate readers entry would run
   // ingestBatch twice concurrently against the SAME StateStore.
   private val defSignatures = mutable.HashMap.empty[String, String]
+  // name → original SELECT text, for the user-facing catalog views
+  // (reference pipelinedb.views/transforms keep the deparsed query)
+  private val defs = mutable.HashMap.empty[String, String]
 
   graft.functions.GraftFunctions.register(spark)
   graft.functions.GraftFunctions.register(exec)
@@ -346,6 +349,7 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
       appendCatalog(CatalogEntry("view", name, selectSql,
         options.sw.getOrElse(""), options.swColumn, options.stepFactor,
         options.ttl.getOrElse(""), options.ttlColumn.getOrElse(""), "", changes = emitChanges))
+      defs(name) = selectSql
       handle
     }.getOrElse(views(name))
   }
@@ -380,6 +384,7 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
       }
       appendCatalog(CatalogEntry("transform", name, selectSql, "", "", 0, "", "",
         sinkStream.getOrElse(""), changes = emitChanges))
+      defs(name) = selectSql
       handle
     }.getOrElse(transforms(name))
   }
@@ -445,6 +450,7 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
       h.store.truncate()
       deleteDir(Paths.get(root, name))
     }
+    defs.remove(name)
     appendCatalog(CatalogEntry("drop", name, "view", "", "", 0, "", "", "", changes = false))
   }
 
@@ -461,6 +467,7 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     streams.remove(osrel)
     readers.remove(osrel)
     if (!loading) deleteDir(Paths.get(root, name))
+    defs.remove(name)
     appendCatalog(CatalogEntry("drop", name, "transform", "", "", 0, "", "", "", changes = false))
   }
 
@@ -648,6 +655,31 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     streams.keys.toSeq.map { s =>
       StreamStats(s, streamBatches.getOrElse(s, 0L),
         readers.get(s).map(_.size.toLong).getOrElse(0L))
+    }.toDF()
+  }
+
+  /** User-facing continuous-view catalog (reference pipelinedb.views,
+    * pipelinedb--1.0.0.sql:77-93): one row per CV with its options, active
+    * flag, and original definition.
+    */
+  def viewsCatalog(): DataFrame = {
+    import spark.implicits._
+    views.toSeq.map { case (n, h) =>
+      CvCatalogRow(n, h.streamName, h.plan.options.sw.getOrElse(""),
+        h.plan.options.stepFactor, h.plan.options.ttl.getOrElse(""),
+        h.plan.options.ttlColumn.getOrElse(""), h.active, h.changes,
+        defs.getOrElse(n, ""))
+    }.toDF()
+  }
+
+  /** User-facing transform catalog (reference pipelinedb.transforms,
+    * sql:95-108): one row per CT with its sink and definition.
+    */
+  def transformsCatalog(): DataFrame = {
+    import spark.implicits._
+    transforms.toSeq.map { case (n, h) =>
+      CtCatalogRow(n, h.streamName, h.sinkStream.getOrElse(""),
+        h.active, h.changes, defs.getOrElse(n, ""))
     }.toDF()
   }
 
@@ -1113,6 +1145,17 @@ final case class ProcStats(
 
 /** Per-stream ingest counters (reference pipelinedb.stream_stats shape). */
 final case class StreamStats(stream: String, batches: Long, readers: Long)
+
+/** pipelinedb.views catalog row (sql:77-93 shape). */
+final case class CvCatalogRow(
+    name: String, stream: String, sw: String, stepFactor: Double,
+    ttl: String, ttlColumn: String, active: Boolean, changes: Boolean,
+    query: String)
+
+/** pipelinedb.transforms catalog row (sql:95-108 shape). */
+final case class CtCatalogRow(
+    name: String, stream: String, sink: String, active: Boolean,
+    changes: Boolean, query: String)
 
 /** Whole-engine summary row (reference pipelinedb.db_stats shape). */
 final case class DbStats(

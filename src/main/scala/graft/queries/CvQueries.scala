@@ -92,9 +92,11 @@ object CvQueries {
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sv
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) {
       (s, dir) =>
-        engineFor(s, dir).overlay("v_counts")
-          .select(col("event_type"), col("n"), round(col("sv"), 2).as("sv"))
-          .orderBy("event_type")
+        // read through the SQL front door (SELECT over the registered
+        // overlay) so the DDL-created CV's read path is oracle-gated too
+        engineFor(s, dir).sql(
+          """SELECT event_type, n, round(sv, 2) AS sv
+            |FROM v_counts ORDER BY event_type""".stripMargin)
     },
 
     // user_combine: stored states re-grouped to a coarser key at read time.

@@ -948,6 +948,37 @@ class CvSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("viewsCatalog/transformsCatalog list definitions, options, active flags") {
+    val eng = newEngine()
+    eng.createStream("cat_s", streamSchema)
+    eng.createContView("v_cat",
+      "SELECT key, count(*) AS n FROM cat_s GROUP BY key",
+      CvPlanner.CvOptions(sw = Some("1 hour"), stepFactor = 10),
+      emitChanges = false)
+    eng.createStream("cat_sink", streamSchema)
+    eng.createContTransform("t_cat",
+      "SELECT key, x, v, ts FROM cat_s WHERE x > 10",
+      sinkStream = Some("cat_sink"), emitChanges = false)
+    val v = eng.viewsCatalog().collect().map(r =>
+      r.getAs[String]("name") -> r).toMap
+    assert(v.keySet == Set("v_cat"))
+    assert(v("v_cat").getAs[String]("stream") == "cat_s")
+    assert(v("v_cat").getAs[String]("sw") == "1 hour")
+    assert(v("v_cat").getAs[Double]("stepFactor") == 10.0)
+    assert(v("v_cat").getAs[Boolean]("active"))
+    assert(v("v_cat").getAs[String]("query").contains("count(*)"))
+    val t = eng.transformsCatalog().collect()
+    assert(t.length == 1 && t(0).getAs[String]("sink") == "cat_sink")
+    // deactivate shows up; drop removes the row
+    eng.deactivate("v_cat")
+    assert(!eng.viewsCatalog().collect()(0).getAs[Boolean]("active"))
+    eng.dropContTransform("t_cat")
+    assert(eng.transformsCatalog().count() == 0)
+    // definitions survive a catalog replay (restart)
+    val eng2 = new ContViewEngine(spark, eng.root)
+    assert(eng2.viewsCatalog().collect()(0).getAs[String]("query").contains("count(*)"))
+  }
+
   test("concurrent insertInto on one stream serializes merges (no lost updates)") {
     val eng = newEngine()
     eng.createStream("cc_s", streamSchema)
