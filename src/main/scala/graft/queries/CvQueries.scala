@@ -40,6 +40,11 @@ object CvQueries {
       eng.sql("""CREATE CONTINUOUS VIEW v_sw
                 |WITH (sw = '7 days', sw_column = ts, changes = false) AS
                 |SELECT event_type, count(*) AS n FROM ev_stream GROUP BY event_type""".stripMargin)
+      // ttl_expiration.sql: day-bucketed CV whose state is reaped at 7 days
+      eng.sql("""CREATE CONTINUOUS VIEW v_ttl
+                |WITH (ttl = '7 days', ttl_column = d, changes = false) AS
+                |SELECT date_round(ts, '1 day') AS d, count(*) AS n, sum(value) AS sv
+                |FROM ev_stream GROUP BY date_round(ts, '1 day')""".stripMargin)
       eng.createContView("v_os",
         "SELECT user_id, count(*) AS n FROM ev_stream GROUP BY user_id")
       // continuous delta chaining: a second-level CV reading v_os's OUTPUT
@@ -124,6 +129,27 @@ object CvQueries {
       (s, dir) =>
         val maxTs = Tables.events(s, dir).agg(max("ts")).collect()(0).getTimestamp(0)
         engineFor(s, dir).overlay("v_sw", Some(maxTs)).orderBy("event_type")
+    },
+
+    // ttl_expiration.sql: storage-level expiry. The reaper deletes state
+    // rows whose ttl column fell behind now-ttl (deleteWhere d < cutoff);
+    // DuckDB recomputes the surviving day buckets from the raw events with
+    // the mirrored predicate. "now" pinned to max(ts) for determinism.
+    QDef(
+      "q_cv_ttl",
+      """SELECT CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) AS d,
+        |       count(*) AS n, round(sum(value), 2) AS sv
+        |FROM events
+        |WHERE to_timestamp(floor(epoch(ts)/86400)*86400) >=
+        |      (SELECT max(ts) - INTERVAL 7 DAY FROM events)
+        |GROUP BY 1 ORDER BY d""".stripMargin) {
+      (s, dir) =>
+        val eng = engineFor(s, dir)
+        val maxTs = Tables.events(s, dir).agg(max("ts")).collect()(0).getTimestamp(0)
+        eng.expireTtl("v_ttl", Some(maxTs))
+        eng.overlay("v_ttl")
+          .select(col("d").cast("long").as("d"), col("n"), round(col("sv"), 2).as("sv"))
+          .orderBy("d")
     },
 
     // cont_transform: stateless transform chained into a downstream CV.
