@@ -82,13 +82,65 @@ object CvQueries {
     })
   }
 
-  /** Pre-build (or just touch) the engine for a (session, sfDir) pair.
+  /** Second memoized engine exercising the lifecycle ops the main battery
+    * can't express as reads (COPY bulk load, combine_table backfill, SW
+    * expiry ticks). All mutations happen ONCE here at setup; the query fns
+    * below only read, so repeated invocations (bench min-of-N) stay
+    * idempotent.
+    */
+  private val lifecycleEngines = scala.collection.mutable.Map.empty[(Int, String), ContViewEngine]
+
+  private def lifecycleFor(s: SparkSession, dir: String): ContViewEngine = synchronized {
+    lifecycleEngines.getOrElseUpdate((System.identityHashCode(s), dir), {
+      val root = java.nio.file.Files.createTempDirectory("graft_cvlc").toString
+      val eng = new ContViewEngine(s, root)
+      val events = Tables.events(s, dir)
+      // COPY FROM (copy.c / commands.c:201-217): the events parquet bulk-
+      // loaded straight into a stream; v_tick rides the same stream with a
+      // 7-day sliding window so tick emission has buckets to expire
+      eng.createStream("cp_stream", events.schema)
+      eng.sql("""CREATE CONTINUOUS VIEW v_copy WITH (changes = false) AS
+                |SELECT event_type, count(*) AS n, sum(value) AS sv
+                |FROM cp_stream GROUP BY event_type""".stripMargin)
+      eng.createContView("v_tick",
+        "SELECT event_type, count(*) AS n FROM cp_stream GROUP BY event_type",
+        graft.cv.CvPlanner.CvOptions(sw = Some("7 days"), swColumn = "ts"))
+      // COPY expects a file whose columns match the stream schema; the raw
+      // driver parquet carries TIMESTAMP(NANOS) ts (readable only as long
+      // under nanosAsLong, which a long→timestamp cast would misinterpret
+      // as seconds), so stage the normalized table once and COPY that
+      val copySrc = s"$root/_copy_src"
+      events.write.parquet(copySrc)
+      eng.copyInto("cp_stream", copySrc)
+      // combine_table backfill (combiner.c:2252-2350): two CVs each fed a
+      // disjoint half via stream_targets, then one's matrel merged into the
+      // other — the combined view must equal the single-shot full answer
+      eng.createStream("bf_stream", events.schema)
+      val bfSql = "SELECT user_id, count(*) AS n, sum(value) AS sv FROM bf_stream GROUP BY user_id"
+      eng.createContView("v_bf", bfSql, emitChanges = false)
+      eng.createContView("v_bf_other", bfSql, emitChanges = false)
+      eng.insertInto("bf_stream", events.where(pmod(col("event_id"), lit(2)) === 0),
+        targets = Some(Set("v_bf")))
+      eng.insertInto("bf_stream", events.where(pmod(col("event_id"), lit(2)) === 1),
+        targets = Some(Set("v_bf_other")))
+      eng.combineTable("v_bf", eng.stateOf("v_bf_other"))
+      // SW expiry ticks pinned at max(ts): every step bucket that fell out
+      // of the 7-day window emits (old=finalized, new=NULL, delta) once
+      val maxTs = events.agg(max("ts")).collect()(0).getTimestamp(0)
+      eng.tickSw("v_tick", Some(maxTs))
+      eng
+    })
+  }
+
+  /** Pre-build (or just touch) the engines for a (session, sfDir) pair.
     * The bench calls this from its untimed warm-up on a background thread:
     * in a real deployment the CVs are maintained continuously while ad-hoc
     * queries run, so the replay overlaps the unrelated query work instead
     * of being billed to whichever CV query happens to run first.
     */
-  def warm(s: SparkSession, dir: String): Unit = { engineFor(s, dir); () }
+  def warm(s: SparkSession, dir: String): Unit = {
+    engineFor(s, dir); lifecycleFor(s, dir); ()
+  }
 
   val all: Seq[QDef] = Seq(
     // cont_count/cont_sum: incremental counts and sums equal a single shot.
@@ -177,6 +229,49 @@ object CvQueries {
         |FROM events GROUP BY 1 ORDER BY ub""".stripMargin) {
       (s, dir) =>
         engineFor(s, dir).overlay("v_os_rollup").orderBy("ub")
+    },
+
+    // copy.c: COPY FROM bulk load through the ingest path equals batch agg.
+    QDef(
+      "q_cv_copy",
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sv
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) {
+      (s, dir) =>
+        lifecycleFor(s, dir).overlay("v_copy")
+          .select(col("event_type"), col("n"), round(col("sv"), 2).as("sv"))
+          .orderBy("event_type")
+    },
+
+    // combiner.c:2252: combine_table backfill — two half-fed CVs merged
+    // into one must equal the single-shot answer over everything.
+    QDef(
+      "q_cv_combine_table",
+      """SELECT user_id, count(*) AS n, round(sum(value), 2) AS sv
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) {
+      (s, dir) =>
+        lifecycleFor(s, dir).overlay("v_bf")
+          .select(col("user_id"), col("n"), round(col("sv"), 2).as("sv"))
+          .orderBy("user_id")
+    },
+
+    // combiner.c:992 tick_sw_groups: expired step buckets emit their
+    // finalized groups to the output stream with new=NULL; DuckDB
+    // recomputes the expired (bucket, event_type) counts directly.
+    QDef(
+      "q_cv_ticks",
+      """WITH b AS (
+        |  SELECT event_type,
+        |         CAST(floor(epoch(ts)/30240)*30240 AS BIGINT) AS bkt
+        |  FROM events)
+        |SELECT bkt, event_type, count(*) AS n FROM b
+        |WHERE bkt <= (SELECT epoch(max(ts)) - 604800 FROM events)
+        |GROUP BY bkt, event_type ORDER BY bkt, event_type""".stripMargin) {
+      (s, dir) =>
+        lifecycleFor(s, dir).outputOf("v_tick").get
+          .where(col("new").isNull)
+          .select(col("__sw_bucket").cast("long").as("bkt"),
+            col("event_type"), col("old.n").as("n"))
+          .orderBy("bkt", "event_type")
     },
 
     // cont_grouping_sets: ROLLUP maintained incrementally inside a CV — the
