@@ -128,6 +128,27 @@ object CvQueries {
       // of the 7-day window emits (old=finalized, new=NULL, delta) once
       val maxTs = events.agg(max("ts")).collect()(0).getTimestamp(0)
       eng.tickSw("v_tick", Some(maxTs))
+      // async ingest (stream_insert_level=async): four enqueued chunks
+      // drained by the flush() barrier — state must equal the batch answer
+      eng.createStream("as_stream", events.schema)
+      eng.createContView("v_async",
+        "SELECT event_type, count(*) AS n, sum(value) AS sv FROM as_stream GROUP BY event_type",
+        emitChanges = false)
+      (0 until 4).foreach { i =>
+        eng.insertIntoAsync("as_stream", events.where(pmod(col("event_id"), lit(4)) === i))
+      }
+      eng.flush()
+      // activate/deactivate gate: the middle third arrives while the CV is
+      // deactivated and must never reach its state (cont_activate.sql)
+      eng.createStream("act_stream", events.schema)
+      eng.createContView("v_act",
+        "SELECT event_type, count(*) AS n FROM act_stream GROUP BY event_type",
+        emitChanges = false)
+      eng.insertInto("act_stream", events.where(pmod(col("event_id"), lit(3)) === 0))
+      eng.deactivate("v_act")
+      eng.insertInto("act_stream", events.where(pmod(col("event_id"), lit(3)) === 1))
+      eng.activate("v_act")
+      eng.insertInto("act_stream", events.where(pmod(col("event_id"), lit(3)) === 2))
       eng
     })
   }
@@ -202,6 +223,39 @@ object CvQueries {
         eng.overlay("v_ttl")
           .select(col("d").cast("long").as("d"), col("n"), round(col("sv"), 2).as("sv"))
           .orderBy("d")
+    },
+
+    // stream_insert_level=async + flush barrier: enqueued chunks equal batch.
+    QDef(
+      "q_cv_async",
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sv
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) {
+      (s, dir) =>
+        lifecycleFor(s, dir).overlay("v_async")
+          .select(col("event_type"), col("n"), round(col("sv"), 2).as("sv"))
+          .orderBy("event_type")
+    },
+
+    // cont_activate.sql: batches arriving while deactivated never land.
+    QDef(
+      "q_cv_activate",
+      """SELECT event_type, count(*) AS n FROM events
+        |WHERE event_id % 3 <> 1 GROUP BY event_type ORDER BY event_type""".stripMargin) {
+      (s, dir) =>
+        lifecycleFor(s, dir).overlay("v_act").orderBy("event_type")
+    },
+
+    // sw_combine (sql:122-140): re-aggregate a SW view's stored state at a
+    // coarser grouping, honoring read-time expiry — here collapsed to the
+    // grand total over the live window.
+    QDef(
+      "q_cv_sw_combine",
+      """SELECT count(*) AS n FROM events
+        |WHERE floor(epoch(ts)/30240)*30240 >
+        |      (SELECT epoch(max(ts)) FROM events) - 604800""".stripMargin) {
+      (s, dir) =>
+        val maxTs = Tables.events(s, dir).agg(max("ts")).collect()(0).getTimestamp(0)
+        engineFor(s, dir).swCombine("v_sw", Seq(), Some(maxTs))
     },
 
     // cont_transform: stateless transform chained into a downstream CV.
