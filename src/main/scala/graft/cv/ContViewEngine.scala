@@ -121,7 +121,11 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
           val raw = Option(m.group(2)).getOrElse(m.group(3))
           m.group(1) -> raw.replace("\\\"", "\"").replace("\\\\", "\\").replace("\\n", "\n")
         }.toMap
-        fields("kind") match {
+        // A single unreplayable definition (e.g. one rejected by a
+        // validation rule added after it was created) must not brick the
+        // whole engine at restart — skip it loudly and load the rest, like
+        // the reference's per-CQ error isolation in the scheduler.
+        try fields("kind") match {
           case "stream" =>
             createStream(fields("name"), StructType.fromDDL(fields("payload")))
           case "view" =>
@@ -148,6 +152,11 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
             setTtl(fields("name"), Option(fields("ttl")).filter(_.nonEmpty),
               Option(fields("ttlColumn")).filter(_.nonEmpty))
           case _ => ()
+        } catch {
+          case e: Exception =>
+            System.err.println(s"[graft] catalog replay: skipping " +
+              s"${fields.getOrElse("kind", "?")} '${fields.getOrElse("name", "?")}': " +
+              e.getMessage)
         }
       }
     } finally loading = false
@@ -248,10 +257,20 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
       schema.fields.filterNot(f => cols.contains(f.name) || f.name == "arrival_timestamp")
         .foreach(f => df = df.withColumn(f.name, lit(null).cast(f.dataType)))
       insertInto(name, df)
-    case CvDdl.InsertSelect(name, select) =>
+    case CvDdl.InsertSelect(name, columns, select) =>
       require(streams.contains(name), s"unknown stream $name")
       val schema = streams(name).schema
       var df = spark.sql(select)
+      // explicit column list: SELECT outputs map to the named stream
+      // columns positionally (INSERT INTO s (k, x) SELECT a, b FROM t)
+      columns.foreach { cols =>
+        cols.foreach(c => require(schema.fieldNames.contains(c),
+          s"stream $name has no column $c"))
+        require(df.columns.length == cols.length,
+          s"INSERT INTO $name (${cols.mkString(", ")}): SELECT returns " +
+            s"${df.columns.length} columns, expected ${cols.length}")
+        df = df.toDF(cols: _*)
+      }
       schema.fields.filterNot(f =>
           df.columns.contains(f.name) || f.name == "arrival_timestamp")
         .foreach(f => df = df.withColumn(f.name, lit(null).cast(f.dataType)))
@@ -451,6 +470,11 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
       deleteDir(Paths.get(root, name))
     }
     defs.remove(name)
+    // session temp views the engine may have bound for this CV (overlay,
+    // SQL-front-door matrel/osrel reads, the osrel stream registration) —
+    // left behind they'd resolve against deleted storage
+    Seq(name, s"${name}_mrel", osrel, s"__graft_read_$osrel")
+      .foreach(spark.catalog.dropTempView(_))
     appendCatalog(CatalogEntry("drop", name, "view", "", "", 0, "", "", "", changes = false))
   }
 
@@ -468,6 +492,7 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     readers.remove(osrel)
     if (!loading) deleteDir(Paths.get(root, name))
     defs.remove(name)
+    Seq(osrel, s"__graft_read_$osrel").foreach(spark.catalog.dropTempView(_))
     appendCatalog(CatalogEntry("drop", name, "transform", "", "", 0, "", "", "", changes = false))
   }
 
@@ -771,6 +796,9 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     val sw = h.plan.sw.getOrElse(
       throw new IllegalArgumentException(s"CV $name is not a sliding-window view"))
     require(h.changes, s"CV $name has no output stream (emitChanges=false)")
+    // same monitor as the store mutators: the expiry scan + emit reads the
+    // current version's files, which a concurrent merge would GC
+    h.store.synchronized {
     val nowTs = now.getOrElse(new java.sql.Timestamp(System.currentTimeMillis()))
     val cutoff = new java.sql.Timestamp(nowTs.getTime - sw.windowSeconds * 1000L)
     val lastMark = loadTickMark(name)
@@ -797,12 +825,19 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     expired.unpersist()
     saveTickMark(name, cutoff)
     n
+    }
   }
 
   private def ingestBatch(h: CvHandle, batch: DataFrame): Unit = {
     val t0 = System.nanoTime()
     var groups = 0L
     var failed = false
+    // phase timings captured under the store lock right after upsert —
+    // reading h.store.lastWorkerMs in the finally would attribute a
+    // previous batch's timings to one that failed before reaching upsert
+    // (or a concurrent thread's, since the fields are shared)
+    var workerMs = 0L
+    var combinerMs = 0L
     val raw = h.plan.workerPartials(exec, batch)
     // LIMIT n on a CV caps total materialized groups (cont_limit.sql):
     // updates to existing groups always apply; NEW groups only admit while
@@ -835,15 +870,28 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     val multiUse = h.changes || h.plan.limit.isDefined
     val cached = if (multiUse) partials.persist() else partials
     try {
-      val (oldRows, newRows, touched) =
-        h.store.upsert(cached, h.plan.reAggs, needOldRows = h.changes)
-      groups = touched
-      if (h.changes) emitChanges(h, oldRows, newRows, cached)
+      // The changes emit reads the PRE-commit bucket files (oldRows), whose
+      // deletion is deferred to the next mutation's GC — so the emit must
+      // complete under the same store monitor the mutators take, or a
+      // concurrent ingest/reaper pass on this CV could GC those files
+      // mid-read. (Reentrant with upsert's own this.synchronized.) A
+      // chained downstream ingest inside emitChanges locks the downstream
+      // store while holding this one; creation order makes lock order
+      // acyclic unless the user builds a feedback loop, which already
+      // diverges as an infinite data cycle.
+      h.store.synchronized {
+        val (oldRows, newRows, touched) =
+          h.store.upsert(cached, h.plan.reAggs, needOldRows = h.changes)
+        groups = touched
+        workerMs = h.store.lastWorkerMs
+        combinerMs = h.store.lastCombinerMs
+        if (h.changes) emitChanges(h, oldRows, newRows, cached)
+      }
     } catch { case e: Throwable => failed = true; throw e }
     finally {
       if (multiUse) cached.unpersist()
       recordStats(h.plan.name, "view", groups, (System.nanoTime() - t0) / 1000000, failed,
-        workerMs = h.store.lastWorkerMs, combinerMs = h.store.lastCombinerMs)
+        workerMs = workerMs, combinerMs = combinerMs)
     }
   }
 

@@ -40,8 +40,11 @@ object CvDdl {
   final case class Drop(kind: String, name: String) extends Stmt
   final case class Insert(stream: String, columns: Option[Seq[String]], valuesSql: String)
     extends Stmt
-  /** INSERT INTO s SELECT … (stream_insert_subselect.sql shape). */
-  final case class InsertSelect(stream: String, select: String) extends Stmt
+  /** INSERT INTO s [(cols)] SELECT … (stream_insert_subselect.sql shapes,
+    * incl. the parenthesized `INSERT INTO s (x) (SELECT …)` spelling).
+    */
+  final case class InsertSelect(
+      stream: String, columns: Option[Seq[String]], select: String) extends Stmt
 
   private val StreamRe =
     """(?is)\s*CREATE\s+STREAM\s+([\w.]+)\s*\((.*)\)\s*;?\s*""".r
@@ -60,7 +63,24 @@ object CvDdl {
   private val InsertRe =
     """(?is)\s*INSERT\s+INTO\s+([\w.]+)\s*(?:\(([^)]*)\)\s*)?VALUES\s*(.+?)\s*;?\s*""".r
   private val InsertSelectRe =
-    """(?is)\s*INSERT\s+INTO\s+([\w.]+)\s+(SELECT\b.*?)\s*;?\s*""".r
+    """(?is)\s*INSERT\s+INTO\s+([\w.]+)\s*(?:\(\s*(?!SELECT\b)([^)]*)\)\s*)?(\(?\s*SELECT\b.*?)\s*;?\s*""".r
+
+  /** `(SELECT …)` → `SELECT …` — only when the outer parens actually pair
+    * with each other (a regex `\)?` would steal the closing paren of e.g.
+    * `WHERE f(x)`).
+    */
+  private def stripOuterParens(s: String): String = {
+    val t = s.trim
+    if (!t.startsWith("(") || !t.endsWith(")")) return t
+    var depth = 0
+    var i = 0
+    while (i < t.length - 1) {
+      if (t(i) == '(') depth += 1
+      else if (t(i) == ')') { depth -= 1; if (depth == 0) return t } // closes early
+      i += 1
+    }
+    stripOuterParens(t.substring(1, t.length - 1))
+  }
 
   def parse(ddl: String): Stmt = ddl match {
     case StreamRe(name, cols) => CreateStream(name, normalizeTypes(cols))
@@ -88,7 +108,10 @@ object CvDdl {
     case InsertRe(name, cols, values) =>
       val columns = Option(cols).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       Insert(name, columns, values)
-    case InsertSelectRe(name, select) => InsertSelect(name, select)
+    case InsertSelectRe(name, cols, select) =>
+      InsertSelect(name,
+        Option(cols).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq),
+        stripOuterParens(select))
     case other => throw new IllegalArgumentException(
       s"unrecognized DDL: ${other.trim.take(80)} — expected CREATE STREAM / " +
         "CREATE [CONTINUOUS] VIEW / CREATE CONTINUOUS TRANSFORM / DROP … / " +

@@ -72,16 +72,22 @@ final class StateStore(
       val small = """"small"\s*:\s*(true|false)""".r.findFirstMatchIn(txt)
         .map(_.group(1).toBoolean)
         .getOrElse {
-          // manifest written before the flag existed: measure once, then
-          // rewrite the manifest immediately so no later read (exists/read/
-          // readBuckets all land here, several times per batch) repeats the
-          // full file-tree walk
-          val s = measureSmall(pairs)
-          writeManifest(Manifest(version, pairs, s))
-          s
+          // manifest written before the flag existed: measure once and
+          // memoize IN MEMORY only — reads take no lock, so writing the
+          // manifest from here could race a concurrent locked commit and
+          // roll the store back to this (by then stale) version. The next
+          // locked mutation persists the flag with its own commit.
+          measuredSmallMemo.getOrElse {
+            val s = measureSmall(pairs)
+            measuredSmallMemo = Some(s)
+            s
+          }
         }
       Some(Manifest(version, pairs, small))
     }
+
+  // one-time measurement memo for pre-flag manifests (see readManifest)
+  @volatile private var measuredSmallMemo: Option[Boolean] = None
 
   private def writeManifest(m: Manifest): Unit = {
     val entries = m.buckets.toSeq.sortBy(_._1)

@@ -19,16 +19,22 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   */
 object VectorExpressions {
 
-  /** Σ aᵢ·bᵢ — null if either array is null. */
+  /** Σ aᵢ·bᵢ — null if either array is null OR the lengths differ (the
+    * `aggregate(zip_with(...))` chain this replaces null-pads the short
+    * side, so a malformed vector propagates NULL and drops out of
+    * threshold filters instead of scoring on a truncated prefix).
+    */
   case class DotProduct(left: Expression, right: Expression)
       extends BinaryExpression {
     override def prettyName: String = "dot_product"
     override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
 
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
       val y = b.asInstanceOf[ArrayData]
-      val n = math.min(x.numElements(), y.numElements())
+      val n = x.numElements()
+      if (n != y.numElements()) return null
       var dot = 0.0
       var i = 0
       while (i < n) { dot += x.getDouble(i) * y.getDouble(i); i += 1 }
@@ -41,12 +47,16 @@ object VectorExpressions {
         val n = ctx.freshName("n")
         val dot = ctx.freshName("dot")
         s"""
-           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-           |double $dot = 0.0;
-           |for (int $i = 0; $i < $n; $i++) {
-           |  $dot += $a.getDouble($i) * $b.getDouble($i);
+           |int $n = $a.numElements();
+           |if ($n != $b.numElements()) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  double $dot = 0.0;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    $dot += $a.getDouble($i) * $b.getDouble($i);
+           |  }
+           |  ${ev.value} = $dot;
            |}
-           |${ev.value} = $dot;
          """.stripMargin
       })
 
@@ -64,52 +74,53 @@ object VectorExpressions {
       extends BinaryExpression {
     override def prettyName: String = "cosine_similarity"
     override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
 
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
       val y = b.asInstanceOf[ArrayData]
-      val nx = x.numElements()
-      val ny = y.numElements()
-      val n = math.min(nx, ny)
+      val n = x.numElements()
+      if (n != y.numElements()) return null
       var dot = 0.0
       var i = 0
       while (i < n) { dot += x.getDouble(i) * y.getDouble(i); i += 1 }
       var na = 0.0
       i = 0
-      while (i < nx) { val v = x.getDouble(i); na += v * v; i += 1 }
+      while (i < n) { val v = x.getDouble(i); na += v * v; i += 1 }
       var nb = 0.0
       i = 0
-      while (i < ny) { val v = y.getDouble(i); nb += v * v; i += 1 }
+      while (i < n) { val v = y.getDouble(i); nb += v * v; i += 1 }
       dot / (math.sqrt(na) * math.sqrt(nb))
     }
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, (a, b) => {
         val i = ctx.freshName("i")
-        val nx = ctx.freshName("nx")
-        val ny = ctx.freshName("ny")
         val n = ctx.freshName("n")
         val dot = ctx.freshName("dot")
         val na = ctx.freshName("na")
         val nb = ctx.freshName("nb")
-        val v = ctx.freshName("v")
+        val va = ctx.freshName("va")
+        val vb = ctx.freshName("vb")
         s"""
-           |int $nx = $a.numElements();
-           |int $ny = $b.numElements();
-           |int $n = java.lang.Math.min($nx, $ny);
-           |double $dot = 0.0;
-           |double $na = 0.0;
-           |double $nb = 0.0;
-           |for (int $i = 0; $i < $n; $i++) {
-           |  $dot += $a.getDouble($i) * $b.getDouble($i);
+           |int $n = $a.numElements();
+           |if ($n != $b.numElements()) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  double $dot = 0.0;
+           |  double $na = 0.0;
+           |  double $nb = 0.0;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    $dot += $a.getDouble($i) * $b.getDouble($i);
+           |  }
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    double $va = $a.getDouble($i); $na += $va * $va;
+           |  }
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    double $vb = $b.getDouble($i); $nb += $vb * $vb;
+           |  }
+           |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
            |}
-           |for (int $i = 0; $i < $nx; $i++) {
-           |  double $v = $a.getDouble($i); $na += $v * $v;
-           |}
-           |for (int $i = 0; $i < $ny; $i++) {
-           |  double $v = $b.getDouble($i); $nb += $v * $v;
-           |}
-           |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
          """.stripMargin
       })
 

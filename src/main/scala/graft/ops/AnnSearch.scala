@@ -110,6 +110,13 @@ object AnnSearch {
         col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
+      .persist()
+    // materialize the (small, post-distinct) pair set so the bucket
+    // explosion — numTables rows per vector, the dominant cached footprint —
+    // can be released now instead of leaking for the session's lifetime;
+    // the lazy verify tail below needs only `pairs` and `corpus`
+    pairs.count()
+    bucketed.unpersist()
     pairs
       .join(corpus.select(col("vec_id").as("id_a"), col("v").as("va")), "id_a")
       .join(corpus.select(col("vec_id").as("id_b"), col("v").as("vb")), "id_b")

@@ -51,7 +51,10 @@ class PlanShapeSpec extends AnyFunSuite {
   // over the data and two.
   private val exchangeCeiling = Map(
     "q_ann_ivf" -> 3, "q_ann_lsh" -> 4, "q_avg" -> 2, "q_bloom_membership" -> 5,
-    "q_bucket_agg" -> 2, "q_cosine_neardup" -> 9, "q_count_group" -> 3,
+    // q_cosine_neardup: 6 of the 15 are the one-time cache-build plan of the
+    // materialized candidate-pair set (shown under InMemoryTableScan in the
+    // plan string) — the read-time plan re-executes 9, same as before
+    "q_bucket_agg" -> 2, "q_cosine_neardup" -> 15, "q_count_group" -> 3,
     "q_cube" -> 2, "q_cv_chained" -> 1, "q_cv_combine" -> 2, "q_cv_count" -> 1,
     "q_cv_delta_rollup" -> 1, "q_cv_rollup" -> 1, "q_cv_sliding" -> 2, "q_cv_ttl" -> 1,
     "q_cv_copy" -> 1, "q_cv_combine_table" -> 1, "q_cv_ticks" -> 1,

@@ -883,6 +883,17 @@ class CvSpec extends AnyFunSuite {
     eng.sql("INSERT INTO s_oo SELECT key, x, v, ts FROM src_rows WHERE x >= 50")
     val expect = 900L + allRows.take(100).count(_._2 >= 50)
     assert(total() == expect)
+    // column-list and parenthesized spellings (stream_insert_subselect.sql:
+    // INSERT INTO stream (x) (SELECT …)); unnamed columns default to NULL
+    eng.sql("INSERT INTO s_oo (key, x) SELECT key, x FROM src_rows WHERE x < 50")
+    val expect2 = expect + allRows.take(100).count(_._2 < 50)
+    assert(total() == expect2)
+    eng.sql("INSERT INTO s_oo (key) (SELECT key FROM src_rows WHERE x = 50)")
+    val expect3 = expect2 + allRows.take(100).count(_._2 == 50)
+    assert(total() == expect3)
+    // arity mismatch is rejected loudly
+    intercept[IllegalArgumentException](
+      eng.sql("INSERT INTO s_oo (key, x) SELECT key FROM src_rows"))
   }
 
   test("continuous transform: filter/project to output stream + chained CV (cont_transform.sql)") {
@@ -998,6 +1009,41 @@ class CvSpec extends AnyFunSuite {
     val expect = asMap(mkBatch(allRows).groupBy("key")
       .agg(count(lit(1)).as("n"), sum("x").as("sx")))
     assert(asMap(eng.overlay("v_cc")) == expect)
+
+    // with changes ENABLED the emit reads the pre-commit files, whose GC is
+    // deferred only one mutation — racing ingests must not delete them
+    // mid-emit (the ingest holds the store monitor across upsert + emit)
+    eng.createContView("v_cc_ch",
+      "SELECT key, count(*) AS n FROM cc_s GROUP BY key")
+    val work2 = allRows.grouped(500).toSeq.map { c =>
+      Future(eng.insertInto("cc_s", mkBatch(c), targets = Some(Set("v_cc_ch"))))
+    }
+    work2.foreach(f => Await.result(f, Duration.Inf))
+    assert(asMap(eng.overlay("v_cc_ch")) ==
+      asMap(mkBatch(allRows).groupBy("key").agg(count(lit(1)).as("n"))))
+    // the changes archive saw every upsert: per-key delta counts sum to the
+    // full row count
+    val deltaTotal = eng.outputOf("v_cc_ch").get
+      .agg(sum(col("delta.n"))).collect()(0).getLong(0)
+    assert(deltaTotal == allRows.size.toLong)
+  }
+
+  test("catalog replay skips an unreplayable definition instead of bricking the engine") {
+    val eng = newEngine()
+    eng.createStream("rs_s", streamSchema)
+    eng.createContView("v_rs_good",
+      "SELECT key, count(*) AS n FROM rs_s GROUP BY key", emitChanges = false)
+    eng.insertInto("rs_s", mkBatch(allRows.take(500)))
+    // a definition that no longer validates (e.g. created before a
+    // validation rule tightened): sw window narrower than one step bucket
+    val bad = """{"kind":"view","name":"v_rs_bad","payload":"SELECT key, count(*) AS n FROM rs_s GROUP BY key","sw":"1 second","swColumn":"ts","stepFactor":50,"ttl":"","ttlColumn":"","sink":"","changes":false}"""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(eng.root, "_catalog.jsonl"), bad + "\n",
+      java.nio.file.StandardOpenOption.APPEND)
+    val eng2 = new ContViewEngine(spark, eng.root)
+    // the good CV replayed (state intact), the bad one was skipped
+    assert(eng2.overlay("v_rs_good").agg(sum("n")).collect()(0).getLong(0) == 500L)
+    intercept[Exception](eng2.overlay("v_rs_bad"))
   }
 
   test("structured streaming into a STREAM fans out to all reader CQs") {

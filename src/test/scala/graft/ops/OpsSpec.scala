@@ -231,6 +231,11 @@ class OpsSpec extends AnyFunSuite {
     val withNull = Seq((Some(Array(1.0, 2.0)), Option.empty[Array[Double]]))
       .toDF("a", "b")
     assert(withNull.select(cosineSim(col("a"), col("b"))).collect()(0).isNullAt(0))
+    // length mismatch (malformed vector) is NULL, not a truncated score —
+    // the zip_with chain null-pads the short side, so NULL propagates
+    val mismatch = Seq((Array(1.0, 2.0, 3.0), Array(1.0, 2.0))).toDF("a", "b")
+    assert(mismatch.select(cosineSim(col("a"), col("b"))).collect()(0).isNullAt(0))
+    assert(mismatch.select(dotProduct(col("a"), col("b"))).collect()(0).isNullAt(0))
   }
 
   test("JaccardSim/SignatureAgreement match their HOF/array_intersect formulations") {
