@@ -213,6 +213,39 @@ object RelationalQueries {
           .orderBy("event_type")
     },
 
+    // --- json_agg (json.c): canonical sorted array-to-json; DuckDB builds
+    //     the identical compact text with an ordered string_agg ---
+    QDef(
+      "q_json_agg",
+      """SELECT user_id,
+        |       '[' || string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY event_id) || ']' AS j
+        |FROM events WHERE user_id < 5 GROUP BY user_id ORDER BY user_id""".stripMargin) {
+      (s, dir) =>
+        graft.functions.GraftFunctions.register(s)
+        Tables.events(s, dir).where(col("user_id") < 5)
+          .groupBy("user_id")
+          .agg(expr("json_agg(event_id)").as("j"))
+          .orderBy("user_id")
+    },
+
+    // --- json_object_agg (json.c): sorted keys, greatest-value-per-key
+    //     dedup — deterministic under parallel merge, mirrored in DuckDB ---
+    QDef(
+      "q_json_object_agg",
+      """WITH m AS (
+        |  SELECT user_id % 10 AS ub, event_type, max(event_id) AS v
+        |  FROM events GROUP BY 1, 2)
+        |SELECT ub,
+        |       '{' || string_agg('"' || event_type || '":' || v, ',' ORDER BY event_type) || '}' AS j
+        |FROM m GROUP BY ub ORDER BY ub""".stripMargin) {
+      (s, dir) =>
+        graft.functions.GraftFunctions.register(s)
+        Tables.events(s, dir)
+          .groupBy((col("user_id") % 10).as("ub"))
+          .agg(expr("json_object_agg(event_type, event_id)").as("j"))
+          .orderBy("ub")
+    },
+
     // --- stream_table_join.sql: stream–table join (events ⋈ dims) ---
     QDef(
       "q_stream_table_join",

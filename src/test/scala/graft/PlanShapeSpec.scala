@@ -63,7 +63,8 @@ class PlanShapeSpec extends AnyFunSuite {
     "q_dist_quantiles" -> 2, "q_distinct" -> 2, "q_doc_stats" -> 3,
     "q_embedding_stats" -> 2, "q_fingerprint" -> 0, "q_first_values" -> 2,
     "q_freq_users" -> 2, "q_hll_types_per_user" -> 2, "q_hll_union_rollup" -> 2,
-    "q_hll_users" -> 2, "q_hypothetical_rank" -> 2, "q_json_int_sum" -> 2,
+    "q_hll_users" -> 2, "q_hypothetical_rank" -> 2, "q_json_agg" -> 2,
+    "q_json_object_agg" -> 2, "q_json_int_sum" -> 2,
     "q_json_object_int_sum" -> 2, "q_keyed_min_max" -> 2, "q_knn_cosine" -> 3,
     "q_langid" -> 1, "q_limit" -> 0, "q_media_meta" -> 1, "q_media_resize" -> 1,
     "q_minhash_neardup" -> 9, "q_ngram_jaccard" -> 2, "q_percentile" -> 2,
