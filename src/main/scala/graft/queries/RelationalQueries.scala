@@ -213,6 +213,21 @@ object RelationalQueries {
           .orderBy("event_type")
     },
 
+    // --- combinable_array_agg (aggfuncs.c:62-313): combine-order semantics
+    //     are nondeterministic like the reference's, so the oracle compares
+    //     under an explicit sort ---
+    QDef(
+      "q_array_agg",
+      """SELECT user_id, list_sort(list(event_id)) AS arr
+        |FROM events WHERE user_id < 5 GROUP BY user_id ORDER BY user_id""".stripMargin) {
+      (s, dir) =>
+        graft.functions.GraftFunctions.register(s)
+        Tables.events(s, dir).where(col("user_id") < 5)
+          .groupBy("user_id")
+          .agg(sort_array(expr("combinable_array_agg(event_id)")).as("arr"))
+          .orderBy("user_id")
+    },
+
     // --- json_agg (json.c): canonical sorted array-to-json; DuckDB builds
     //     the identical compact text with an ordered string_agg ---
     QDef(

@@ -50,7 +50,8 @@ class PlanShapeSpec extends AnyFunSuite {
   // shuffle appeared — at 100 TB that's the difference between one pass
   // over the data and two.
   private val exchangeCeiling = Map(
-    "q_ann_ivf" -> 3, "q_ann_lsh" -> 4, "q_avg" -> 2, "q_bloom_membership" -> 5,
+    "q_ann_ivf" -> 3, "q_ann_lsh" -> 4, "q_array_agg" -> 2, "q_avg" -> 2,
+    "q_bloom_membership" -> 5,
     // q_cosine_neardup: 6 of the 15 are the one-time cache-build plan of the
     // materialized candidate-pair set (shown under InMemoryTableScan in the
     // plan string) — the read-time plan re-executes 9, same as before
