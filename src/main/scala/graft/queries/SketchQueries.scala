@@ -22,8 +22,9 @@ import graft.functions.GraftFunctions
   * by ScalaTest suites instead.
   */
 object SketchQueries {
-  import GraftFunctions.{bloom_agg, bloom_contains, dist_agg, dist_quantile, freq, freq_agg,
-    freq_total, hll_agg, hll_cardinality, hll_count_distinct, topk_agg, topk_freqs, topk_values}
+  import GraftFunctions.{bloom_agg, bloom_contains, bloom_intersection_agg, bloom_union_agg,
+    dist_agg, dist_quantile, freq, freq_agg, freq_total, hll_agg, hll_cardinality,
+    hll_count_distinct, topk_agg, topk_freqs, topk_values}
 
   val all: Seq[QDef] = Seq(
     // HLL as count(DISTINCT) replacement — exact on a 5-value domain.
@@ -65,6 +66,34 @@ object SketchQueries {
           .groupBy("event_type")
           .agg(count(lit(1)).as("n_contained"))
           .orderBy("event_type")
+    },
+
+    // Bloom union/intersection merges (bloomfuncs.c:110-462): probe only
+    // guaranteed-true domains — union keeps every bit of both filters (no
+    // false negatives survive a union), and a true A∩B member has its bits
+    // set in both inputs, so the AND-intersection always contains it.
+    QDef(
+      "q_bloom_setops",
+      """SELECT
+        |  (SELECT count(DISTINCT user_id) FROM events
+        |   WHERE user_id % 3 = 0 OR user_id % 5 = 0) AS n_union,
+        |  (SELECT count(DISTINCT user_id) FROM events
+        |   WHERE user_id % 15 = 0) AS n_inter""".stripMargin) {
+      (s, dir) =>
+        val e = Tables.events(s, dir)
+        def u = col("user_id")
+        val a = e.where(pmod(u, lit(3)) === 0).agg(bloom_agg(u.cast("string")).as("bf"))
+        val b = e.where(pmod(u, lit(5)) === 0).agg(bloom_agg(u.cast("string")).as("bf"))
+        val merged = a.unionByName(b)
+          .agg(bloom_union_agg(col("bf")).as("ubf"),
+            bloom_intersection_agg(col("bf")).as("ibf"))
+        e.select(u).distinct()
+          .crossJoin(broadcast(merged)) // 1-row sketch frame
+          .agg(
+            count(when((pmod(u, lit(3)) === 0 || pmod(u, lit(5)) === 0) &&
+              bloom_contains(col("ubf"), u.cast("string")), 1)).as("n_union"),
+            count(when(pmod(u, lit(15)) === 0 &&
+              bloom_contains(col("ibf"), u.cast("string")), 1)).as("n_inter"))
     },
 
     // CMS point frequency — exact on the sparse user domain at gate SF.

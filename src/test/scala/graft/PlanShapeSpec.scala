@@ -43,7 +43,9 @@ class PlanShapeSpec extends AnyFunSuite {
   //                      id_a < id_b over a fixed sample)
   //   q_sliding_window — 1-row scalar subquery (max(ts)) joined to pin the
   //                      window edge deterministically
-  private val bnljAllowed = Set("q_knn_cosine", "q_ngram_jaccard", "q_sliding_window")
+  //   q_bloom_setops   — 1-row merged-sketch frame broadcast cross join
+  private val bnljAllowed =
+    Set("q_knn_cosine", "q_ngram_jaccard", "q_sliding_window", "q_bloom_setops")
 
   // Shuffle ceilings measured on the current plans (Exchange nodes in the
   // executed plan, ReusedExchange excluded). A regression here means a new
@@ -51,7 +53,7 @@ class PlanShapeSpec extends AnyFunSuite {
   // over the data and two.
   private val exchangeCeiling = Map(
     "q_ann_ivf" -> 3, "q_ann_lsh" -> 4, "q_array_agg" -> 2, "q_avg" -> 2,
-    "q_bloom_membership" -> 5,
+    "q_bloom_membership" -> 5, "q_bloom_setops" -> 5,
     // q_cosine_neardup: 6 of the 15 are the one-time cache-build plan of the
     // materialized candidate-pair set (shown under InMemoryTableScan in the
     // plan string) — the read-time plan re-executes 9, same as before
