@@ -181,6 +181,13 @@ object MinHashLsh {
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
+      .persist()
+    // materialize the (small, post-distinct) pair set and release the
+    // banding explosion — numBands rows per doc, the dominant cached
+    // footprint — instead of leaking it for the session's lifetime; the
+    // verify joins below need only `rawPairs` and `sig`
+    rawPairs.count()
+    banded.unpersist()
 
     val agree = sigAgree(col("sig_a"), col("sig_b"))
     val joined = exactThreshold match {
