@@ -116,10 +116,34 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     loading = true
     try {
       val fieldRe = """"(\w+)":(?:"((?:[^"\\]|\\.)*)"|([0-9.]+|true|false))""".r
+      // left-to-right escape decoding: a sequential replace chain corrupts
+      // payloads containing literal backslashes (\\n would decode to
+      // backslash+newline) and never handles the \uXXXX forms q() writes
+      def unescape(s: String): String = {
+        val sb = new java.lang.StringBuilder(s.length)
+        var i = 0
+        while (i < s.length) {
+          val c = s.charAt(i)
+          if (c == '\\' && i + 1 < s.length) {
+            s.charAt(i + 1) match {
+              case '"' => sb.append('"'); i += 2
+              case '\\' => sb.append('\\'); i += 2
+              case 'n' => sb.append('\n'); i += 2
+              case 'r' => sb.append('\r'); i += 2
+              case 't' => sb.append('\t'); i += 2
+              case 'u' if i + 5 < s.length =>
+                sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
+                i += 6
+              case other => sb.append(other); i += 2
+            }
+          } else { sb.append(c); i += 1 }
+        }
+        sb.toString
+      }
       Files.readAllLines(catalogPath).forEach { line =>
         val fields = fieldRe.findAllMatchIn(line).map { m =>
           val raw = Option(m.group(2)).getOrElse(m.group(3))
-          m.group(1) -> raw.replace("\\\"", "\"").replace("\\\\", "\\").replace("\\n", "\n")
+          m.group(1) -> unescape(raw)
         }.toMap
         // A single unreplayable definition (e.g. one rejected by a
         // validation rule added after it was created) must not brick the
@@ -337,8 +361,12 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     * Re-creating an existing view with the same definition is a no-op;
     * with a different definition it errors.
     */
-  def createContView(name: String, selectSql: String,
-      options: CvOptions = CvOptions(), emitChanges: Boolean = true): CvHandle = {
+  def createContView(name: String, selectSql0: String,
+      options0: CvOptions = CvOptions(), emitChanges: Boolean = true): CvHandle = {
+    // WHERE ts > clock_timestamp() - interval '…' → WITH (sw = …); the
+    // desugared form is what persists (catalog/defs), so replay re-plans
+    // the same statement the planner analyzed
+    val (selectSql, options) = CvPlanner.desugarSwPredicate(selectSql0, options0)
     idempotent(name, s"view|$selectSql|$options|$emitChanges") {
       val plan = CvPlanner.plan(spark, name, rewriteOutputOf(selectSql), options,
         streamLeafIds = streams.values.map(_.leafIds).toSeq)
@@ -537,10 +565,15 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    val names = readers.getOrElse(streamName, mutable.Buffer.empty).toSeq
-      .filter(n => targets.forall(_.contains(n)))
-    val activeCvs = names.flatMap(views.get).filter(_.active)
-    val activeCts = names.flatMap(transforms.get).filter(_.active)
+    // snapshot the routing tables under the engine lock: DDL methods (and
+    // catalog-driven drops) mutate these maps from other threads, and a
+    // LinkedHashMap read during a rehash is undefined
+    val (activeCvs, activeCts) = synchronized {
+      val names = readers.getOrElse(streamName, mutable.Buffer.empty).toSeq
+        .filter(n => targets.forall(_.contains(n)))
+      (names.flatMap(views.get).filter(_.active),
+        names.flatMap(transforms.get).filter(_.active))
+    }
     // transforms are independent consumers of the same batch (the reference
     // runs CVs and CTs in separate worker procs) — overlap them with the
     // view ingests; chained insertInto re-entry happens inside the future
@@ -597,19 +630,28 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     try {
       // literal stamp for the same reason as insertInto: the output feeds a
       // chained stream whose CVs may bucket on arrival_timestamp
-      val out = h.plan.bindBatch(exec, batch)
+      val raw = h.plan.bindBatch(exec, batch)
         .withColumn("arrival_timestamp",
           lit(new java.sql.Timestamp(System.currentTimeMillis())))
-      // the CT's own output stream (output_of) is skippable when nothing
-      // downstream reads it — saves one write job per batch
-      if (h.changes) out.write.mode("append").parquet(s"$root/${h.plan.name}/changes")
-      h.outputFunc.foreach(f => f(out))
-      // insert_into_stream chaining: the transform's output becomes a batch
-      // on the sink stream
-      h.sinkStream.foreach(sk => insertInto(sk, out))
-      // output_of(ct) readers get the same rows as a stream batch
       val osrel = osrelName(h.plan.name)
-      if (h.changes && readers.get(osrel).exists(_.nonEmpty)) insertInto(osrel, out)
+      val routed = h.changes && readers.get(osrel).exists(_.nonEmpty)
+      // evaluate the projection ONCE when several consumers read it: the
+      // archive, callback, sink, and osrel otherwise each re-run the job,
+      // and a nondeterministic select would hand them different rows
+      val consumers = Seq(h.changes, h.outputFunc.nonEmpty, h.sinkStream.nonEmpty, routed)
+        .count(identity)
+      val out = if (consumers > 1) raw.persist() else raw
+      try {
+        // the CT's own output stream (output_of) is skippable when nothing
+        // downstream reads it — saves one write job per batch
+        if (h.changes) out.write.mode("append").parquet(s"$root/${h.plan.name}/changes")
+        h.outputFunc.foreach(f => f(out))
+        // insert_into_stream chaining: the transform's output becomes a
+        // batch on the sink stream
+        h.sinkStream.foreach(sk => insertInto(sk, out))
+        // output_of(ct) readers get the same rows as a stream batch
+        if (routed) insertInto(osrel, out)
+      } finally if (consumers > 1) out.unpersist()
     } catch { case e: Throwable => failed = true; throw e }
     finally recordStats(h.plan.name, "transform", 0L,
       (System.nanoTime() - t0) / 1000000, failed)
@@ -763,7 +805,9 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
   // already retracted before the restart.
   // lazy: dropContView touches this during the constructor's catalog replay,
   // before later-declared fields would otherwise initialize
-  private lazy val swTickMarks = mutable.HashMap.empty[String, java.sql.Timestamp]
+  // concurrent: read/written from the reaper thread and user tick calls
+  private lazy val swTickMarks =
+    new scala.collection.concurrent.TrieMap[String, java.sql.Timestamp]
 
   private def tickMarkPath(name: String) = Paths.get(root, name, "_sw_tickmark")
 
@@ -817,10 +861,19 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
       }): _*)
       val base = expired.select((keys.map(col) :+ oldStruct.as("old") :+
         deltaStruct.as("delta")): _*)
-      base
+      val ticks = base
         .withColumn("new", lit(null).cast(base.schema("old").dataType))
         .withColumn("arrival_timestamp", current_timestamp())
-        .write.mode("append").parquet(s"$root/${h.plan.name}/changes")
+        .persist() // archive write + downstream routing
+      ticks.write.mode("append").parquet(s"$root/${h.plan.name}/changes")
+      // the output stream IS a stream (pipeline_stream.h:40-42): expiry
+      // rows route to chained CQs exactly like upsert changes do, so both
+      // read paths of output_of(cv) — the archive and live chaining — see
+      // the same rows (downstream queries distinguish ticks by new IS NULL)
+      val osrel = osrelName(name)
+      try {
+        if (readers.get(osrel).exists(_.nonEmpty)) insertInto(osrel, ticks)
+      } finally ticks.unpersist()
     }
     expired.unpersist()
     saveTickMark(name, cutoff)
@@ -960,7 +1013,13 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
         val cutoff = now.map(ts => lit(ts)).getOrElse(current_timestamp()) -
           expr(s"INTERVAL ${sw.windowSeconds} SECOND")
         val live = state.where(col(sw.bucketCol) > cutoff)
-        combineState(h, live, h.plan.keyNames)
+        // re-combine step buckets grouping by the HIDDEN keys too: a
+        // grouping-sets/ROLLUP CV keys state by (visible, grouping_id,
+        // bucket), and merging across grouping ids would sum the rollup-
+        // total row into the genuine NULL-key group (the finalize exprs
+        // still read the hidden columns for grouping() outputs)
+        combineState(h, live, h.plan.keyNames ++ h.plan.hiddenKeys.map(_._1),
+          projectKeys = h.plan.keyNames)
     }
   }
 
@@ -999,12 +1058,14 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     combineState(h, state.where(col(sw.bucketCol) > cutoff), coarserKeys)
   }
 
-  private def combineState(h: CvHandle, state: DataFrame, keys: Seq[String]): DataFrame = {
+  private def combineState(h: CvHandle, state: DataFrame, keys: Seq[String],
+      projectKeys: Seq[String] = null): DataFrame = {
     val merged = h.plan.reAggs.map { case (n, re) => re(col(n)).as(n) }
     val grouped =
       if (keys.isEmpty) state.agg(merged.head, merged.tail: _*)
       else state.groupBy(keys.map(col): _*).agg(merged.head, merged.tail: _*)
-    grouped.select((keys.map(col) ++ h.plan.finalizeCols): _*)
+    val out = Option(projectKeys).getOrElse(keys)
+    grouped.select((out.map(col) ++ h.plan.finalizeCols): _*)
   }
 
   private def emptyState(h: CvHandle): DataFrame = {
@@ -1141,17 +1202,23 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
       : StreamingQuery = {
-    val h = views(cvName)
+    require(views.contains(cvName), s"unknown continuous view $cvName")
     stream.writeStream
       .outputMode("append")
       .trigger(trigger)
       .option("checkpointLocation", s"$root/${cvName}/_checkpoint")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val withArrival =
-          if (batch.columns.contains("arrival_timestamp")) batch
-          else batch.withColumn("arrival_timestamp",
-            lit(new java.sql.Timestamp(System.currentTimeMillis())))
-        ingestBatch(h, withArrival)
+        // re-resolve the handle per batch: deactivate() swaps the handle
+        // (active = false), and a closure-captured one would keep merging
+        // batches into a deactivated CV's state forever
+        val h = views(cvName)
+        if (h.active) {
+          val withArrival =
+            if (batch.columns.contains("arrival_timestamp")) batch
+            else batch.withColumn("arrival_timestamp",
+              lit(new java.sql.Timestamp(System.currentTimeMillis())))
+          ingestBatch(h, withArrival)
+        }
       }
       .start()
   }
@@ -1215,18 +1282,5 @@ object ContViewEngine {
 }
 
 private object CvPlannerIntervals {
-  def seconds(spec: String): Long = {
-    val m = """(?i)\s*(\d+)\s*(second|sec|s|minute|min|m|hour|h|day|d)s?\s*""".r
-    spec match {
-      case m(n, unit) =>
-        val mult = unit.toLowerCase match {
-          case "second" | "sec" | "s" => 1L
-          case "minute" | "min" | "m" => 60L
-          case "hour" | "h" => 3600L
-          case "day" | "d" => 86400L
-        }
-        n.toLong * mult
-      case _ => throw new IllegalArgumentException(s"cannot parse interval: '$spec'")
-    }
-  }
+  def seconds(spec: String): Long = CvPlanner.intervalSeconds(spec)
 }

@@ -56,6 +56,8 @@ object CvDdl {
     """(?is)\s*CREATE\s+CONTINUOUS\s+TRANSFORM\s+([\w.]+)\s*(?:WITH\s*\((.*?)\))?\s*AS\s+(SELECT\b.*?)\s*;?\s*""".r
   private val ViewWithRe =
     """(?is)\s*CREATE\s+VIEW\s+([\w.]+)\s+WITH\s*\((.*?)\)\s*AS\s+(SELECT\b.*?)\s*;?\s*""".r
+  private val PlainViewRe =
+    """(?is)\s*CREATE\s+VIEW\s+([\w.]+)\s+AS\s+(SELECT\b.*?)\s*;?\s*""".r
   private val ActivateRe = """(?is)\s*ACTIVATE\s+([\w.]+)\s*;?\s*""".r
   private val DeactivateRe = """(?is)\s*DEACTIVATE\s+([\w.]+)\s*;?\s*""".r
   private val DropRe =
@@ -90,12 +92,16 @@ object CvDdl {
     case ContTransformRe(name, opts, select) =>
       buildQuery(name, select, parseOptions(opts), defaultAction = "transform")
     case ViewWithRe(name, opts, select) =>
-      val parsed = parseOptions(opts)
-      val action = parsed.getOrElse("action",
-        throw new IllegalArgumentException(
-          "CREATE VIEW needs WITH (action = materialize | transform) " +
-            "to be a continuous query"))
-      buildQuery(name, select, parsed, defaultAction = action)
+      // no explicit action defaults to materialize, like the reference
+      // (GetContQueryAction, analyzer.c:3752-3765: "If no action is
+      // specified but the query reads from a stream, we default to
+      // MATERIALIZE") — CREATE VIEW v WITH (sw = '1 minute') AS … is the
+      // documented sliding-window spelling
+      buildQuery(name, select, parseOptions(opts), defaultAction = "materialize")
+    case PlainViewRe(name, select) =>
+      // CREATE VIEW over a stream with no options at all is a continuous
+      // view in the reference dialect (every cont_* regress test's shape)
+      buildQuery(name, select, Map.empty, defaultAction = "materialize")
     case ActivateRe(name) => Activate(name)
     case DeactivateRe(name) => Deactivate(name)
     case DropRe(kind, name) =>

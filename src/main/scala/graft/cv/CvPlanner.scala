@@ -47,6 +47,32 @@ object CvPlanner {
       ttl: Option[String] = None,
       ttlColumn: Option[String] = None)
 
+  /** The reference's PRIMARY sliding-window spelling is the explicit
+    * predicate `WHERE <ts> > clock_timestamp() - interval '<w>'` (every
+    * cont_sw_* regress test; desugared by analyzer.c:1672-1768 — the
+    * `WITH (sw = …)` option is itself sugar for this). Spark has no
+    * clock_timestamp(), so detect the pattern textually, strip it from the
+    * SELECT, and fold it into CvOptions before Catalyst analysis. Only the
+    * leading-WHERE position is recognized (the regress shapes); an
+    * AND-combined rest of the predicate is preserved.
+    */
+  private val SwPredRe =
+    ("""(?is)\bWHERE\s+(\w+)\s*>\s*clock_timestamp\s*\(\s*\)\s*-\s*""" +
+      """interval\s*'([^']+)'\s*(AND\b)?""").r
+
+  def desugarSwPredicate(selectSql: String, options: CvOptions): (String, CvOptions) =
+    SwPredRe.findFirstMatchIn(selectSql) match {
+      case Some(m) if options.sw.isEmpty =>
+        val stripped = selectSql.substring(0, m.start) +
+          (if (m.group(3) != null) " WHERE " else " ") +
+          selectSql.substring(m.end)
+        (stripped, options.copy(sw = Some(m.group(2)), swColumn = m.group(1)))
+      case Some(_) =>
+        throw new IllegalArgumentException(
+          "cannot combine WITH (sw = …) with an explicit clock_timestamp() window predicate")
+      case None => (selectSql, options)
+    }
+
   final case class SwSpec(windowSeconds: Long, stepSeconds: Long, tsColumn: String) {
     val bucketCol = "__sw_bucket"
   }
@@ -190,8 +216,12 @@ object CvPlanner {
     org.apache.spark.sql.functions.timestamp_seconds(
       org.apache.spark.sql.functions.floor(ts.cast("double") / stepSeconds) * stepSeconds)
 
-  private def parseIntervalSeconds(spec: String): Long = {
-    val m = """(?i)\s*(\d+)\s*(second|sec|s|minute|min|m|hour|h|day|d)s?\s*""".r
+  /** '30 minutes' / '7 days' / '1 h' → seconds — THE interval-string parser
+    * (sw, ttl, and date_round text arguments all route here; a unit added
+    * in one place must not diverge from the others).
+    */
+  def intervalSeconds(spec: String): Long = {
+    val m = """(?i)\s*(\d+)\s*(second|sec|s|minute|min|m|hour|h|day|d|week|w)s?\s*""".r
     spec match {
       case m(n, unit) =>
         val mult = unit.toLowerCase match {
@@ -199,11 +229,13 @@ object CvPlanner {
           case "minute" | "min" | "m" => 60L
           case "hour" | "h" => 3600L
           case "day" | "d" => 86400L
+          case "week" | "w" => 604800L
         }
         n.toLong * mult
       case _ => throw new IllegalArgumentException(s"cannot parse interval: '$spec'")
     }
   }
+  private def parseIntervalSeconds(spec: String): Long = intervalSeconds(spec)
 
   /** Plan a CV from its SELECT text. The stream must already be registered
     * as a temp view with the stream's schema (empty LocalRelation).
@@ -279,8 +311,20 @@ object CvPlanner {
     // column and the scalar shell is rebuilt over the finalized values.
     val planned = agg.aggregateExpressions.filterNot(keyOutputs.contains).map {
       case a: Alias =>
+        import org.apache.spark.sql.catalyst.expressions.{Literal, Slice, SortArray}
         a.child match {
           case ae: AggregateExpression => PlannedAgg.simple(a.name, splitOf(ae))
+          // first_values(n, x) expands to slice(sort_array(collect_list(x)), 1, n);
+          // decomposing it as a generic scalar-over-aggregate would store the
+          // UNBOUNDED collect_list per group — recognize the shape and use the
+          // capped mergeable split (top-n state per group, firstvalues.c)
+          case Slice(SortArray(ae: AggregateExpression, Literal(true, _)),
+              Literal(1, _), Literal(n: Int, _))
+              if ae.aggregateFunction.isInstanceOf[CollectList] && !ae.isDistinct =>
+            PlannedAgg.simple(a.name, AggSplit.firstValues(
+              GraftBridge.column(
+                ae.aggregateFunction.asInstanceOf[CollectList].child), n)
+              .withKind(s"first_values:$n"))
           case composite =>
             val aggExprs = {
               // distinct by canonical form, keeping first occurrence order

@@ -379,18 +379,7 @@ object GraftFunctions {
       require(cal.months == 0, "date_round intervals must be day-time (no months)")
       cal.days * 86400L + cal.microseconds / 1000000L
     case s: org.apache.spark.unsafe.types.UTF8String =>
-      val m = """(?i)\s*(\d+)\s*(second|sec|s|minute|min|m|hour|h|day|d)s?\s*""".r
-      s.toString match {
-        case m(n, unit) =>
-          val mult = unit.toLowerCase match {
-            case "second" | "sec" | "s" => 1L
-            case "minute" | "min" | "m" => 60L
-            case "hour" | "h" => 3600L
-            case "day" | "d" => 86400L
-          }
-          n.toLong * mult
-        case other => throw new IllegalArgumentException(s"cannot parse interval: '$other'")
-      }
+      graft.cv.CvPlanner.intervalSeconds(s.toString)
     case i: Int => i.toLong
     case l: Long => l
     case other => throw new IllegalArgumentException(s"cannot parse interval: $other")

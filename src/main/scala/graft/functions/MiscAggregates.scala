@@ -230,20 +230,29 @@ case class DedupEntriesByKey(child: Expression)
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     val elemType = child.dataType.asInstanceOf[ArrayType].elementType.asInstanceOf[StructType]
+    val keyType = elemType.fields(0).dataType
     val n = arr.numElements()
-    val lastIdx = new java.util.LinkedHashMap[Any, Int]()
+    // Input is key-sorted (always fed from SortArray), so equal keys are
+    // adjacent: keep the LAST of each run, compared with the type's
+    // interpreted ordering — a hash map keyed on e.get(0, type) breaks for
+    // binary/struct keys, whose JVM equals is reference-based, leaving
+    // duplicates for MapFromEntries to throw on.
+    val ord = org.apache.spark.sql.catalyst.util.TypeUtils
+      .getInterpretedOrdering(keyType)
+    def keyAt(i: Int): Any = {
+      val e = arr.getStruct(i, elemType.length)
+      if (e == null || e.isNullAt(0)) null else e.get(0, keyType)
+    }
+    def sameKey(a: Any, b: Any): Boolean =
+      if (a == null || b == null) a == null && b == null else ord.equiv(a, b)
+    val out = new scala.collection.mutable.ArrayBuffer[Any](n)
     var i = 0
     while (i < n) {
-      val e = arr.getStruct(i, elemType.length)
-      val k = if (e == null || e.isNullAt(0)) null else e.get(0, elemType.fields(0).dataType)
-      lastIdx.put(k, i)
+      if (i + 1 == n || !sameKey(keyAt(i), keyAt(i + 1)))
+        out += arr.getStruct(i, elemType.length)
       i += 1
     }
-    val out = new Array[Any](lastIdx.size())
-    val it = lastIdx.values().iterator()
-    var j = 0
-    while (it.hasNext) { out(j) = arr.getStruct(it.next(), elemType.length); j += 1 }
-    new GenericArrayData(out)
+    new GenericArrayData(out.toArray)
   }
   override protected def withNewChildInternal(c: Expression): DedupEntriesByKey = copy(child = c)
 }

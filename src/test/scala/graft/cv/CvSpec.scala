@@ -801,8 +801,126 @@ class CvSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](eng.sql("CREATE TABLE nope (x int)"))
     intercept[IllegalArgumentException](eng.sql(
       "CREATE CONTINUOUS VIEW v_bad WITH (bogus = 1) AS SELECT key, count(*) AS n FROM s_ddl GROUP BY key"))
+
+    // reference dialect defaults: plain CREATE VIEW over a stream IS a
+    // continuous view (GetContQueryAction defaults to MATERIALIZE), and
+    // WITH (sw = …) needs no explicit action
+    eng.sql("CREATE VIEW v_ddl_plain AS SELECT key, count(*) AS n FROM s_ddl GROUP BY key")
+    eng.sql("""CREATE VIEW v_ddl_sw2 WITH (sw = '1 hour', changes = false) AS
+              |SELECT key, count(*) AS n FROM s_ddl GROUP BY key""".stripMargin)
+    // CVs see only batches arriving after creation (reference semantics)
+    eng.sql("INSERT INTO s_ddl (key, x) VALUES ('sw2', 1)")
+    assert(eng.overlay("v_ddl_plain").collect().nonEmpty)
+    // default sw_column = arrival_timestamp: the fresh insert is live now
+    assert(eng.overlay("v_ddl_sw2").collect().nonEmpty)
+  }
+
+  test("explicit clock_timestamp() window predicate desugars to sw (analyzer.c:1672)") {
+    val eng = newEngine()
+    eng.createStream("swp_s", streamSchema)
+    // the reference's canonical SW spelling (every cont_sw_* regress test)
+    eng.sql("""CREATE VIEW v_swp AS
+              |SELECT key, count(*) AS n FROM swp_s
+              |WHERE ts > clock_timestamp() - interval '600 seconds'
+              |GROUP BY key""".stripMargin)
+    val rows = allRows.take(1200)
+    eng.insertInto("swp_s", mkBatch(rows))
+    val now = tAt(1500)
+    // live window = ts in step buckets newer than now - 600s
+    val stepSec = math.floor(600 * 0.05).toLong
+    val cutoffMs = now.getTime - 600 * 1000L
+    val expect = rows.filter { r =>
+      val bucket = (r._4.getTime / 1000L) / stepSec * stepSec * 1000L
+      bucket > cutoffMs
+    }.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val got = eng.overlay("v_swp", Some(now)).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expect)
+    // combining the option AND the predicate is rejected
     intercept[IllegalArgumentException](eng.sql(
-      "CREATE VIEW v_bad AS SELECT key, count(*) AS n FROM s_ddl GROUP BY key"))
+      """CREATE VIEW v_swp2 WITH (sw = '1 hour') AS
+        |SELECT key, count(*) AS n FROM swp_s
+        |WHERE ts > clock_timestamp() - interval '600 seconds'
+        |GROUP BY key""".stripMargin))
+  }
+
+  test("sliding window + ROLLUP: overlay keeps grouping sets apart") {
+    val eng = newEngine()
+    eng.createStream("swr_s", streamSchema)
+    eng.createContView("v_swr",
+      """SELECT key, grouping(key) AS gid, count(*) AS n
+        |FROM swr_s GROUP BY ROLLUP(key)""".stripMargin,
+      CvPlanner.CvOptions(sw = Some("7 days"), swColumn = "ts"),
+      emitChanges = false)
+    val rows = allRows.take(1000)
+    eng.insertInto("swr_s", mkBatch(rows))
+    val got = eng.overlay("v_swr", Some(tAt(2000))).collect()
+      .map(r => (Option(r.getString(0)), r.toSeq(1), r.getLong(2))).toSet
+    // per-key rows (gid=0) AND the rollup total (key=NULL, gid=1) — merging
+    // grouping sets would collapse the total into a phantom NULL key group
+    val perKey = rows.groupBy(_._1).map { case (k, rs) =>
+      (Some(k): Option[String], 0, rs.size.toLong) }.toSet
+    assert(got == perKey + ((None, 1, rows.size.toLong)))
+  }
+
+  test("first_values in a CV stores a capped top-n state, not the full collect_list") {
+    val eng = newEngine()
+    eng.createStream("fv_s", streamSchema)
+    eng.createContView("v_fv",
+      "SELECT key, first_values(5, x) AS fv FROM fv_s GROUP BY key",
+      emitChanges = false)
+    allRows.take(2000).grouped(500).foreach(c => eng.insertInto("fv_s", mkBatch(c)))
+    // state column holds at most n elements per group (AggSplit.firstValues),
+    // not every row ever seen
+    val maxLen = eng.stateOf("v_fv").select(max(size(col("__state_fv"))))
+      .collect()(0).getInt(0)
+    assert(maxLen <= 5, s"unbounded first_values state: $maxLen elements")
+    val got = eng.overlay("v_fv").collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val expect = allRows.take(2000).groupBy(_._1)
+      .map { case (k, rs) => k -> rs.map(_._2).sorted.take(5) }
+    assert(got == expect)
+  }
+
+  test("SW ticks route to chained CQs reading output_of (combiner.c:992)") {
+    val eng = newEngine()
+    eng.createStream("tk_s", streamSchema)
+    eng.createContView("v_tk",
+      "SELECT key, count(*) AS n FROM tk_s GROUP BY key",
+      CvPlanner.CvOptions(sw = Some("600 seconds"), swColumn = "ts"))
+    // downstream CV over the output stream counts expiry rows it receives
+    eng.createContView("v_tk_exp",
+      s"""SELECT 1 AS g, count(*) AS n_ticks
+         |FROM ${eng.osrelName("v_tk")} WHERE new IS NULL GROUP BY 1""".stripMargin,
+      emitChanges = false)
+    eng.insertInto("tk_s", mkBatch(allRows.take(800)))
+    // all buckets fall out of the window at tAt(5000): ticks must reach the
+    // chained CV, not just the archive
+    val n = eng.tickSw("v_tk", Some(tAt(5000)))
+    assert(n > 0)
+    val got = eng.overlay("v_tk_exp").collect()
+    assert(got.nonEmpty && got(0).getLong(1) == n)
+  }
+
+  test("catalog escape round-trip preserves literal backslashes in definitions") {
+    val eng = newEngine()
+    eng.createStream("esc_s", streamSchema)
+    // a definition containing a literal backslash-n (regex escape, NOT a
+    // newline): the old sequential-replace decode turned it into a newline
+    eng.createContView("v_esc",
+      """SELECT key, count(*) AS n FROM esc_s WHERE key NOT RLIKE 'a\\nb' GROUP BY key""",
+      emitChanges = false)
+    eng.insertInto("esc_s", mkBatch(allRows.take(300)))
+    val before = eng.overlay("v_esc").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val eng2 = new ContViewEngine(spark, eng.root)
+    // replayed definition must be byte-identical, and the CV still works
+    eng2.insertInto("esc_s", mkBatch(allRows.slice(300, 600)))
+    val after = eng2.overlay("v_esc").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expect = mkBatch(allRows.take(600)).where(!col("key").rlike("a\\nb"))
+      .groupBy("key").agg(count(lit(1))).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(before.values.sum == 300L)
+    assert(after == expect)
   }
 
   test("SQL INSERT INTO ... VALUES and DROP statements (stream_fdw.c inserts, drop cascade)") {
