@@ -218,6 +218,8 @@ object AnnSearch {
     val sample: Array[Array[Double]] = corpus
       .orderBy("vec_id").limit(fitSample) // deterministic sample
       .collect().map(_.getSeq[Double](1).toArray)
+    sample.headOption.foreach(v0 => require(v0.length == dim,
+      s"ivfKnn: vectors are ${v0.length}-dimensional, caller said $dim"))
     val centroids = kmeansFit(sample, nCentroids, seed = seed)
 
     def assign(df: DataFrame, idName: String, vName: String, np: Int): DataFrame =

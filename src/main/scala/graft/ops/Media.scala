@@ -54,6 +54,20 @@ object Media {
   def syntheticMediaBytes(seed: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     unhex(md5(seed.cast("string")))
 
+  /** Size-aware repartition shared by every heavy pass: estimate total
+    * payload bytes (coalesced — sum() over zero rows or all-null bytes is
+    * NULL) and aim each partition at targetPartitionBytes.
+    */
+  private def sizedPartitions(
+      df: DataFrame, idCol: String, bytesCol: String,
+      targetPartitionBytes: Long): DataFrame = {
+    val sized = df.select(col(idCol).cast("long").as("media_id"), col(bytesCol).as("bytes"))
+    val totalBytes = sized.agg(coalesce(sum(length(col("bytes"))), lit(0L)))
+      .collect()(0).getLong(0) max 1L
+    val parts = math.max(1, math.min(2048, (totalBytes / targetPartitionBytes).toInt + 1))
+    sized.repartition(parts)
+  }
+
   /** Decode pass: binary column → typed metadata struct, iterator-style per
     * partition, bytes not retained in the output.
     */
@@ -64,13 +78,8 @@ object Media {
     val spark = df.sparkSession
     import spark.implicits._
 
-    // size-aware partitioning: estimate bytes and aim at targetPartitionBytes
-    val sized = df.select(col(idCol).cast("long").as("media_id"), col(bytesCol).as("bytes"))
-    val totalBytes = sized.agg(sum(length(col("bytes")))).collect()(0).getLong(0) max 1L
-    val parts = math.max(1, math.min(2048, (totalBytes / targetPartitionBytes).toInt + 1))
-
     val decoded: Dataset[(Long, String, Int, Int, Int, Long)] =
-      sized.repartition(parts)
+      sizedPartitions(df, idCol, bytesCol, targetPartitionBytes)
         .as[(Long, Array[Byte])]
         .mapPartitions { it =>
           it.map { case (id, bytes) =>
@@ -81,16 +90,26 @@ object Media {
     decoded.toDF("media_id", "format", "width", "height", "n_frames", "duration_ms")
   }
 
-  /** Frame-sample pass: explode deterministic frame indices per video row.
-    * The per-frame decode is the stub boundary (??? in a real codec's
-    * place would go the pixel work); Spark-side shape is the real one.
+  /** Frame-sample pass: explode the decoder's sampling positions per video
+    * row. The per-frame decode is the stub boundary (??? in a real codec's
+    * place would go the pixel work); the decoder's sampleFrames IS the
+    * extension point — a codec-aware override (keyframe-aligned sampling)
+    * must actually be consulted, not re-derived with a SQL sequence().
     */
   def sampleFrames(meta: DataFrame, every: Int,
-      decoder: MediaDecoder = FakeDecoder): DataFrame =
+      decoder: MediaDecoder = FakeDecoder): DataFrame = {
+    val spark = meta.sparkSession
+    import spark.implicits._
     meta.where(col("n_frames") > 0)
-      .select(col("media_id"), col("format"),
-        explode(sequence(lit(0), col("n_frames") - 1,
-          lit(math.max(1, every)))).as("frame_idx"))
+      .select(col("media_id").cast("long"), col("format"), col("width"),
+        col("height"), col("n_frames"), col("duration_ms"))
+      .as[(Long, String, Int, Int, Int, Long)]
+      .flatMap { case (id, fmt, w, h, nf, dur) =>
+        decoder.sampleFrames(MediaMeta(fmt, w, h, nf, dur), every)
+          .map(idx => (id, fmt, idx))
+      }
+      .toDF("media_id", "format", "frame_idx")
+  }
 
   /** Resize pass: binary → binary at target dimensions. The pixel resample
     * is the stub boundary (a real codec would decode, scale, re-encode);
@@ -105,10 +124,7 @@ object Media {
       targetPartitionBytes: Long = 64L * 1024 * 1024): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val sized = df.select(col(idCol).cast("long").as("media_id"), col(bytesCol).as("bytes"))
-    val totalBytes = sized.agg(sum(length(col("bytes")))).collect()(0).getLong(0) max 1L
-    val parts = math.max(1, math.min(2048, (totalBytes / targetPartitionBytes).toInt + 1))
-    sized.repartition(parts)
+    sizedPartitions(df, idCol, bytesCol, targetPartitionBytes)
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
@@ -137,10 +153,7 @@ object Media {
       targetPartitionBytes: Long = 64L * 1024 * 1024): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val sized = df.select(col(idCol).cast("long").as("media_id"), col(bytesCol).as("bytes"))
-    val totalBytes = sized.agg(sum(length(col("bytes")))).collect()(0).getLong(0) max 1L
-    val parts = math.max(1, math.min(2048, (totalBytes / targetPartitionBytes).toInt + 1))
-    sized.repartition(parts)
+    sizedPartitions(df, idCol, bytesCol, targetPartitionBytes)
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>

@@ -154,7 +154,12 @@ object MinHashLsh {
     val perDocCols =
       if (exactThreshold.isDefined) Seq(col("id"), col("sh"))
       else Seq(col("id"))
-    val sig = sh.select(perDocCols :+ minhashSignature(col("sh"), k).as("sig"): _*)
+    // drop shingle-less docs (< n tokens): their signature would be the
+    // identical all-MaxValue vector, so EVERY such doc collides with every
+    // other in EVERY band — an O(s²) blowup of zero-Jaccard pairs that also
+    // sails through the agree prefilter at 1.0
+    val sig = sh.where(size(col("sh")) > 0)
+      .select(perDocCols :+ minhashSignature(col("sh"), k).as("sig"): _*)
       .persist() // read by the banding pass and both sides of the pair join
 
     // band b covers sig[b*r .. b*r+r-1]; bucket = hash of the band slice,

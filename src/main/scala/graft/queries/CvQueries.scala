@@ -19,10 +19,13 @@ object CvQueries {
     * each micro-batch feeds all of them) and amortizes the replay across
     * the driver's per-query invocations.
     */
-  private val engines = scala.collection.mutable.Map.empty[(Int, String), ContViewEngine]
+  // keyed by the session REFERENCE (SparkSession has default reference
+  // equality) — identityHashCode can collide across distinct sessions
+  private val engines =
+    scala.collection.mutable.Map.empty[(SparkSession, String), ContViewEngine]
 
   private def engineFor(s: SparkSession, dir: String): ContViewEngine = synchronized {
-    engines.getOrElseUpdate((System.identityHashCode(s), dir), {
+    engines.getOrElseUpdate((s, dir), {
       val root = java.nio.file.Files.createTempDirectory("graft_cvq").toString
       val eng = new ContViewEngine(s, root)
       val events = Tables.events(s, dir)
@@ -88,10 +91,11 @@ object CvQueries {
     * below only read, so repeated invocations (bench min-of-N) stay
     * idempotent.
     */
-  private val lifecycleEngines = scala.collection.mutable.Map.empty[(Int, String), ContViewEngine]
+  private val lifecycleEngines =
+    scala.collection.mutable.Map.empty[(SparkSession, String), ContViewEngine]
 
   private def lifecycleFor(s: SparkSession, dir: String): ContViewEngine = synchronized {
-    lifecycleEngines.getOrElseUpdate((System.identityHashCode(s), dir), {
+    lifecycleEngines.getOrElseUpdate((s, dir), {
       val root = java.nio.file.Files.createTempDirectory("graft_cvlc").toString
       val eng = new ContViewEngine(s, root)
       val events = Tables.events(s, dir)

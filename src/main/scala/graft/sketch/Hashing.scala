@@ -74,16 +74,6 @@ object Hashing {
     H128(h1, h2)
   }
 
-  /** 64-bit hash of a long key without byte-array allocation (hot path). */
-  def hashLong(v: Long, seed: Long = 0L): Long = {
-    var k1 = v * C1
-    k1 = rotl(k1, 31); k1 *= C2
-    var h1 = seed ^ k1
-    h1 = rotl(h1, 27); h1 = h1 * 5 + 0x52dce729L
-    h1 ^= 8L
-    fmix(h1 + (seed + 8L)) // mixes length like the full algorithm's epilogue
-  }
-
   def hash64(data: Array[Byte], seed: Long = 0L): Long = murmur128(data, seed).h1
 
   /** Canonical byte encoding of sketch inputs: the UTF-8 of the value's

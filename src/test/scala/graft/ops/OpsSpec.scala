@@ -238,6 +238,19 @@ class OpsSpec extends AnyFunSuite {
     assert(mismatch.select(dotProduct(col("a"), col("b"))).collect()(0).isNullAt(0))
   }
 
+  test("minhash: shingle-less docs (< n tokens) are excluded, not all-paired") {
+    // 50 short docs would otherwise share the identical all-MaxValue
+    // signature — colliding in every band and passing the agree prefilter
+    // at 1.0 — for 1225 zero-Jaccard candidate pairs
+    val shorts = (0 until 50).map(i => (1000L + i, s"t$i"))
+    val real = Seq((1L, "a b c d e f g"), (2L, "a b c d e f g"))
+    val df = (real ++ shorts).toDF("doc_id", "text")
+    val pairs = MinHashLsh.nearDuplicates(df, "doc_id", "text", 0.6).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    val cands = MinHashLsh.candidatePairs(df, "doc_id", "text").collect()
+    assert(cands.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+  }
+
   test("JaccardSim/SignatureAgreement match their HOF/array_intersect formulations") {
     val rng = new scala.util.Random(7)
     val words = (0 until 40).map(i => s"w$i")

@@ -211,6 +211,34 @@ class SketchSpec extends AnyFunSuite {
     assert(m.estimate("z") == 40)
   }
 
+  test("space-saving: FSS alpha filter keeps evicted mass (fss.c:358-402)") {
+    val a = SpaceSaving.empty(k = 1, capacity = 4)
+    (1 to 100).foreach(_ => a.add("x"))
+    Seq("a", "b", "c").foreach(kk => (1 to 200).foreach(_ => a.add(kk)))
+    // classic SpaceSaving would evict x (min, count 100) for this singleton;
+    // the FSS filter holds the line until d's bucket accumulates enough
+    a.add("d")
+    assert(a.estimate("x") == 100L, "a single light arrival must not evict a heavy key")
+    // push d's bucket alpha past the minimum: now x is displaced, but its
+    // mass lands in its bucket's alpha instead of vanishing
+    (1 to 100).foreach(_ => a.add("d"))
+    assert(a.estimate("x") >= 100L,
+      s"evicted mass dropped: estimate=${a.estimate("x")}")
+    // alpha array survives serialization
+    val a2 = SpaceSaving.deserialize(a.serialize())
+    assert(a2.estimate("x") == a.estimate("x"))
+    // merge sums alphas alongside monitored lists (FSSMerge, fss.c:472)
+    val b = SpaceSaving.empty(k = 1, capacity = 4)
+    (1 to 50).foreach(_ => b.add("x"))
+    val m = a.copy().merge(b)
+    assert(m.estimate("x") >= 50L)
+    // sides below capacity still merge exactly
+    val e1 = SpaceSaving.empty(k = 2, capacity = 8); e1.add("p"); e1.add("p")
+    val e2 = SpaceSaving.empty(k = 2, capacity = 8); e2.add("p"); e2.add("q")
+    val em = e1.copy().merge(e2)
+    assert(em.estimate("p") == 3L && em.estimate("q") == 1L)
+  }
+
   test("space-saving: serialize roundtrip") {
     val s = SpaceSaving.empty(k = 5)
     (1 to 200).foreach(i => s.add(s"v${i % 20}"))
