@@ -71,6 +71,10 @@ object AggSplit {
       case "regr_slope" => regrSlope(d, d)
       case "regr_intercept" => regrIntercept(d, d)
       case "regr_r2" => regrR2(d, d)
+      case "bool_and" => boolAnd(d)
+      case "bool_or" => boolOr(d)
+      case "bit_and" => bitAnd(d)
+      case "bit_or" => bitOr(d)
       case "string_agg" => stringAgg(d, if (parts.length > 1) parts(1) else "")
       case "hll_count_distinct" => hllCountDistinct(d)
       case "hll" => hllAgg(d)
@@ -234,6 +238,26 @@ object AggSplit {
       when(n > 0 && vx =!= 0.0,
         when(vy === 0.0, lit(1.0)).otherwise(cov * cov / (vx * vy)))
     })
+
+  /** bool_and/every and bool_or: PG built-ins the reference exercises in
+    * cont_bool_agg.sql — combinable as min/max over the boolean (false < true
+    * makes min ≡ AND and max ≡ OR, the same trick the reference's
+    * booland_statefunc/boolor_statefunc rely on).
+    */
+  def boolAnd(c: Column): AggSplit =
+    AggSplit(min(c.cast("boolean")), s => min(s), identity)
+
+  def boolOr(c: Column): AggSplit =
+    AggSplit(max(c.cast("boolean")), s => max(s), identity)
+
+  /** bit_and/bit_or: associative bitwise folds — partial and merge are the
+    * same aggregate (cont_bool_agg.sql exercises them alongside bool_*).
+    */
+  def bitAnd(c: Column): AggSplit =
+    AggSplit(bit_and(c), s => bit_and(s), identity)
+
+  def bitOr(c: Column): AggSplit =
+    AggSplit(bit_or(c), s => bit_or(s), identity)
 
   /** combinable_string_agg (aggfuncs.c:989-1230): array state, delimiter
     * join at finalize; sorted for deterministic output (the reference's

@@ -363,10 +363,12 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     */
   def createContView(name: String, selectSql0: String,
       options0: CvOptions = CvOptions(), emitChanges: Boolean = true): CvHandle = {
-    // WHERE ts > clock_timestamp() - interval '…' → WITH (sw = …); the
-    // desugared form is what persists (catalog/defs), so replay re-plans
-    // the same statement the planner analyzed
-    val (selectSql, options) = CvPlanner.desugarSwPredicate(selectSql0, options0)
+    // WHERE ts > clock_timestamp() - interval '…' → WITH (sw = …), and
+    // DISTINCT ON (…) → marked leading key outputs; the desugared form is
+    // what persists (catalog/defs), so replay re-plans the same statement
+    // the planner analyzed
+    val (selectSql1, options) = CvPlanner.desugarSwPredicate(selectSql0, options0)
+    val selectSql = CvPlanner.desugarDistinctOn(selectSql1)
     idempotent(name, s"view|$selectSql|$options|$emitChanges") {
       val plan = CvPlanner.plan(spark, name, rewriteOutputOf(selectSql), options,
         streamLeafIds = streams.values.map(_.leafIds).toSeq)
@@ -775,9 +777,8 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     */
   def workerQueryDef(name: String): String = {
     val h = views(name)
-    val states = h.plan.aggs.flatMap(_.states.map(_._1))
     s"WORKER ${h.plan.name}: batch -> GROUP BY (${h.plan.stateKeys.mkString(", ")}) " +
-      s"-> partial states (${states.mkString(", ")})"
+      s"-> partial states (${h.plan.stateNames.mkString(", ")})"
   }
 
   /** The combiner-side merge plan (reference get_combiner_querydef):
@@ -855,10 +856,8 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
       val keys = h.plan.stateKeys
       val oldStruct = struct(h.plan.aggs.map(a =>
         a.buildFinal(a.states.map(st => col(st._1))).as(a.name)): _*)
-      val deltaStruct = struct(h.plan.aggs.flatMap(a => a.states match {
-        case Seq((only, _)) => Seq(col(only).as(a.name))
-        case many => many.map { case (sn, _) => col(sn).as(sn.stripPrefix("__state_")) }
-      }): _*)
+      val deltaStruct = struct(h.plan.deltaFields.map {
+        case (sn, fn) => col(sn).as(fn) }: _*)
       val base = expired.select((keys.map(col) :+ oldStruct.as("old") :+
         deltaStruct.as("delta")): _*)
       val ticks = base
@@ -956,8 +955,10 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
   private def changesFrame(
       h: CvHandle, oldRows: Option[DataFrame], newRows: DataFrame, delta: DataFrame): DataFrame = {
     val keys = h.plan.stateKeys
+    // finalizeColsAll: hidden aggs (the DISTINCT row counter) stay in the
+    // old/new structs so a pure-DISTINCT CV's changes are never field-less
     def finalized(df: DataFrame): DataFrame =
-      df.select((keys.map(col) ++ h.plan.finalizeCols): _*)
+      df.select((keys.map(col) ++ h.plan.finalizeColsAll): _*)
     val newF = finalized(newRows)
       .select(col("*"), struct(h.plan.aggs.map(a => col(a.name)): _*).as("new"))
       .select((keys.map(col) :+ col("new")): _*)
@@ -965,10 +966,7 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
       .select(col("*"), struct(h.plan.aggs.map(a => col(a.name)): _*).as("old"))
       .select((keys.map(col) :+ col("old")): _*)
     val deltaF = delta.select(col("*"),
-        struct(h.plan.aggs.flatMap(a => a.states match {
-          case Seq((only, _)) => Seq(col(only).as(a.name))
-          case many => many.map { case (n, _) => col(n).as(n.stripPrefix("__state_")) }
-        }): _*).as("delta"))
+        struct(h.plan.deltaFields.map { case (sn, fn) => col(sn).as(fn) }: _*).as("delta"))
       .select((keys.map(col) :+ col("delta")): _*)
     // null-safe joins: a NULL group key's old/delta must line up with its
     // new row, not dangle as an eternal "first-seen" group.
@@ -1117,13 +1115,9 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
       .where(col("new").isNotNull)
     // flatten the delta struct back into state-named columns, then reuse the
     // normal merge+finalize path
-    val flat = changes.select((coarserKeys.map(col) ++ h.plan.aggs.flatMap(a =>
-      a.states match {
-        case Seq((only, _)) => Seq(col(s"delta.${a.name}").as(only))
-        case many => many.map { case (n, _) =>
-          col(s"delta.${n.stripPrefix("__state_")}").as(n)
-        }
-      })): _*)
+    val flat = changes.select((coarserKeys.map(col) ++ h.plan.deltaFields.map {
+      case (sn, fn) => col(s"delta.$fn").as(sn)
+    }): _*)
     combineState(h, flat, coarserKeys)
   }
 

@@ -85,7 +85,12 @@ object CvPlanner {
   final case class PlannedAgg(
       name: String,
       states: Seq[(String, AggSplit)],
-      buildFinal: Seq[Column] => Column)
+      buildFinal: Seq[Column] => Column,
+      // hidden aggs keep the state machinery alive for aggregate-free CVs
+      // (SELECT DISTINCT desugars to pure grouping — the matrel stores only
+      // keys plus this invisible row counter) without surfacing in the
+      // overlay's output columns
+      hidden: Boolean = false)
 
   object PlannedAgg {
     def simple(name: String, split: AggSplit): PlannedAgg =
@@ -112,8 +117,17 @@ object CvPlanner {
     def stateKeys: Seq[String] =
       keyNames ++ hiddenKeys.map(_._1) ++ sw.map(_.bucketCol).toSeq
 
+    /** Distinct state columns in first-appearance order. Several outputs may
+      * share one physical state (DISTINCT ON stores a single min-row struct
+      * that every output column projects a field of), so the flattened
+      * per-agg view is deduped by state name everywhere the matrel schema
+      * is built.
+      */
+    def stateSplits: Seq[(String, AggSplit)] =
+      aggs.flatMap(_.states).distinctBy(_._1)
+
     def reAggs: Seq[(String, Column => Column)] =
-      aggs.flatMap(a => a.states.map { case (n, sp) => n -> sp.reAgg })
+      stateSplits.map { case (n, sp) => n -> sp.reAgg }
 
     /** Bind the worker plan to a concrete micro-batch DataFrame. */
     def bindBatch(spark: SparkSession, batch: DataFrame): DataFrame =
@@ -136,20 +150,46 @@ object CvPlanner {
       val df = bindBatch(spark, batch)
       // each state column carries its combine-kind as metadata, so any later
       // reader of the state table can resolve combine() on the bare column
-      val stateCols = aggs.flatMap(a => a.states.map { case (n, sp) =>
+      val stateCols = stateSplits.map { case (n, sp) =>
         if (sp.kind.isEmpty) sp.partial.as(n)
         else sp.partial.as(n, new org.apache.spark.sql.types.MetadataBuilder()
           .putString(CvPlanner.CombineKindKey, sp.kind).build())
-      })
+      }
       df.groupBy(stateKeyCols(df): _*).agg(stateCols.head, stateCols.tail: _*)
     }
 
-    /** Finalize columns over a state DataFrame. */
+    /** Output columns the overlay exposes (hidden aggs stay internal). */
+    def visibleAggs: Seq[PlannedAgg] = aggs.filterNot(_.hidden)
+
+    /** Finalize columns over a state DataFrame (user-visible outputs). */
     def finalizeCols: Seq[Column] =
+      visibleAggs.map(a => a.buildFinal(a.states.map(st => col(st._1))).as(a.name))
+
+    /** Finalize columns including hidden aggs — the changes emitter keeps
+      * them so a pure-DISTINCT CV's old/new structs are never empty.
+      */
+    def finalizeColsAll: Seq[Column] =
       aggs.map(a => a.buildFinal(a.states.map(st => col(st._1))).as(a.name))
 
     /** All state column names (the matrel schema minus keys). */
-    def stateNames: Seq[String] = aggs.flatMap(_.states.map(_._1))
+    def stateNames: Seq[String] = stateSplits.map(_._1)
+
+    /** (stateColumn, deltaFieldName) pairs for the output stream's delta
+      * struct: a state owned by exactly one single-state agg surfaces under
+      * that agg's output name (`(delta).n` — delta_streams.sql:7-21);
+      * multi-state decompositions and shared states (DISTINCT ON's row
+      * struct) surface under the stripped state name, each state exactly
+      * once.
+      */
+    def deltaFields: Seq[(String, String)] = {
+      val owners = aggs.filter(_.states.sizeIs == 1).groupBy(_.states.head._1)
+      stateSplits.map { case (n, _) =>
+        owners.get(n) match {
+          case Some(Seq(a)) => n -> a.name
+          case _ => n -> n.stripPrefix("__state_")
+        }
+      }
+    }
   }
 
   /** Substitute the stream's empty LocalRelation leaf with the micro-batch
@@ -246,19 +286,14 @@ object CvPlanner {
     val analyzed = stripViews(GraftBridge.analyzed(spark.sql(selectSql)))
     validate(analyzed)
 
-    val (agg, limitOpt) = findAggregate(analyzed)
+    val (shape, limitOpt) = findAggregate(analyzed)
+    val agg = shape match {
+      case a: Aggregate => a
+      case pr: Project =>
+        return planDistinctOn(spark, name, pr, options, streamLeafIds, limitOpt)
+    }
 
-    // the stream leaf: the LocalRelation whose attribute ids match a
-    // registered stream view (other LocalRelations are static in-memory dims)
-    val leaves = agg.child.collect { case lr: LocalRelation => lr }
-    val isStream: LocalRelation => Boolean =
-      if (streamLeafIds.isEmpty) (_ => true)
-      else lr => streamLeafIds.contains(lr.output.map(_.exprId))
-    val streamLeaves = leaves.filter(isStream)
-    require(streamLeaves.length == 1,
-      if (streamLeaves.isEmpty) "continuous views must read exactly one stream (none found)"
-      else "stream-stream JOINs are not supported in continuous views") // analyzer.c:1264-1274
-    val streamLeaf = streamLeaves.head
+    val streamLeaf = findStreamLeaf(agg.child, streamLeafIds)
 
     // group keys: named output columns whose expression is a grouping expr,
     // plus (for GROUPING SETS / ROLLUP / CUBE) outputs derived purely from
@@ -357,7 +392,20 @@ object CvPlanner {
         throw new IllegalArgumentException(
           s"unsupported select item in continuous view: ${other.sql}")
     }
-    require(planned.nonEmpty, "continuous views must contain at least one aggregate")
+    // SELECT DISTINCT desugars to an aggregate-free grouping (reference
+    // analyzer.c:2605-2624): the matrel stores one row per distinct tuple.
+    // A hidden row counter keeps the state/merge machinery uniform without
+    // surfacing in the overlay.
+    val plannedOrExists =
+      if (planned.nonEmpty) planned
+      else {
+        require(keyOutputs.nonEmpty,
+          "continuous views must contain at least one aggregate or DISTINCT output")
+        Seq(PlannedAgg("__exists",
+          Seq("__state___exists" -> AggSplit.count(None).withKind("count")),
+          cols => AggSplit.count(None).finalizer(cols.head),
+          hidden = true))
+      }
 
     val sw = options.sw.map { w =>
       // step_factor range check (reference analyzer.c:1705-1729 +
@@ -374,7 +422,112 @@ object CvPlanner {
       SwSpec(winSec, stepSec, options.swColumn)
     }
 
-    CvPlan(name, agg.child, streamLeaf, keyNames, keyExprs, planned, sw, options, limitOpt,
+    CvPlan(name, agg.child, streamLeaf, keyNames, keyExprs, plannedOrExists, sw, options,
+      limitOpt, hiddenKeys = hiddenKeys)
+  }
+
+  /** The LocalRelation leaf backing a registered stream (other leaves are
+    * static in-memory dims); exactly one per CQ (analyzer.c:1264-1274).
+    */
+  private def findStreamLeaf(child: LogicalPlan,
+      streamLeafIds: Seq[Seq[org.apache.spark.sql.catalyst.expressions.ExprId]]): LocalRelation = {
+    val leaves = child.collect { case lr: LocalRelation => lr }
+    val isStream: LocalRelation => Boolean =
+      if (streamLeafIds.isEmpty) (_ => true)
+      else lr => streamLeafIds.contains(lr.output.map(_.exprId))
+    val streamLeaves = leaves.filter(isStream)
+    require(streamLeaves.length == 1,
+      if (streamLeaves.isEmpty) "continuous views must read exactly one stream (none found)"
+      else "stream-stream JOINs are not supported in continuous views") // analyzer.c:1264-1274
+    streamLeaves.head
+  }
+
+  /** Internal alias prefix marking the desugared DISTINCT ON key exprs. */
+  private[cv] val DonKeyPrefix = "__don_key_"
+
+  /** `SELECT DISTINCT ON (e1, …) o1, … FROM …` → `SELECT (e1) AS __don_key_0,
+    * …, o1, … FROM …` — Spark's parser has no DISTINCT ON, so the ON exprs
+    * are spliced in as marked leading outputs before analysis (the
+    * reference makes DISTINCT ON explicit into grouping the same way,
+    * analyzer.c:2605-2624; cont_distinct.sql:62-106). Purely textual like
+    * [[desugarSwPredicate]]; the desugared form is what persists.
+    */
+  private val DistinctOnRe = """(?is)^(\s*SELECT\s+)DISTINCT\s+ON\s*\(""".r
+
+  def desugarDistinctOn(selectSql: String): String =
+    DistinctOnRe.findFirstMatchIn(selectSql) match {
+      case None => selectSql
+      case Some(m) =>
+        // find the ON list's matching close paren
+        var depth = 1
+        var i = m.end
+        while (depth > 0 && i < selectSql.length) {
+          selectSql.charAt(i) match {
+            case '(' => depth += 1
+            case ')' => depth -= 1
+            case _ => ()
+          }
+          i += 1
+        }
+        require(depth == 0, s"unbalanced parentheses in DISTINCT ON: $selectSql")
+        val onList = selectSql.substring(m.end, i - 1)
+        // split the ON list on top-level commas
+        val exprs = mutable.Buffer.empty[String]
+        var d = 0; var start = 0
+        onList.zipWithIndex.foreach { case (ch, j) =>
+          ch match {
+            case '(' => d += 1
+            case ')' => d -= 1
+            case ',' if d == 0 => exprs += onList.substring(start, j); start = j + 1
+            case _ => ()
+          }
+        }
+        exprs += onList.substring(start)
+        val keyed = exprs.zipWithIndex
+          .map { case (e, k) => s"(${e.trim}) AS $DonKeyPrefix$k" }.mkString(", ")
+        m.group(1) + keyed + ", " + selectSql.substring(i)
+    }
+
+  /** Plan a desugared DISTINCT ON: the ON exprs key the state invisibly;
+    * the output columns share ONE min-of-row-struct state, so all of them
+    * come from the same surviving row. PG leaves the representative row
+    * unpredictable without ORDER BY; we refine that to the deterministic
+    * lexicographic minimum (by output order, NULLS FIRST) so results are
+    * stable under parallel merge.
+    */
+  private def planDistinctOn(spark: SparkSession, name: String, proj: Project,
+      options: CvOptions,
+      streamLeafIds: Seq[Seq[org.apache.spark.sql.catalyst.expressions.ExprId]],
+      limitOpt: Option[Int]): CvPlan = {
+    val (donKeys, rest) = proj.projectList.partition(_.name.startsWith(DonKeyPrefix))
+    require(rest.nonEmpty, "DISTINCT ON requires at least one output column")
+    def colOf(ne: org.apache.spark.sql.catalyst.expressions.NamedExpression): Column = ne match {
+      case a: Alias => GraftBridge.column(a.child)
+      case a: Attribute => GraftBridge.column(a)
+    }
+    val hiddenKeys = donKeys.map(k => k.name -> colOf(k))
+    val rowStruct = org.apache.spark.sql.functions.struct(
+      rest.zipWithIndex.map { case (o, i) => colOf(o).as(s"c$i") }: _*)
+    // min over the struct: both merge-associative and deterministic; kind
+    // "min" lets SQL combine() over the stored column keep merging it
+    val split = AggSplit(
+      org.apache.spark.sql.functions.min(rowStruct),
+      s => org.apache.spark.sql.functions.min(s), identity).withKind("min")
+    val stateName = "__state___don_row"
+    val planned = rest.zipWithIndex.map { case (o, i) =>
+      PlannedAgg(o.name, Seq(stateName -> split), cols => cols.head.getField(s"c$i"))
+    }
+    val sw = options.sw.map { w =>
+      require(options.stepFactor > 0 && options.stepFactor <= 50,
+        s"step_factor must be in (0, 50] (got ${options.stepFactor})")
+      val winSec = intervalSeconds(w)
+      val stepSec = math.max(1L, (winSec * options.stepFactor / 100.0).toLong)
+      require(stepSec < winSec,
+        s"sliding window '$w' is too narrow for step_factor ${options.stepFactor}")
+      SwSpec(winSec, stepSec, options.swColumn)
+    }
+    CvPlan(name, proj.child, findStreamLeaf(proj.child, streamLeafIds),
+      keyNames = Nil, keyExprs = Nil, planned, sw, options, limitOpt,
       hiddenKeys = hiddenKeys)
   }
 
@@ -403,14 +556,22 @@ object CvPlanner {
 
   /** Unwrap Project/LIMIT layers above the Aggregate. LIMIT n acts as a cap
     * on total rows materialized (cont_limit.sql:1-16 — hoisted into the
-    * worker in the reference).
+    * worker in the reference). `SELECT DISTINCT` analyzes to a Distinct
+    * node — made explicit into grouping exactly like the reference
+    * (analyzer.c:2605-2624): group by every output, no aggregates.
+    * A Project whose leading outputs are `__don_key_` aliases is the
+    * desugared `SELECT DISTINCT ON (…)` form (see [[desugarDistinctOn]]).
     */
-  private def findAggregate(plan: LogicalPlan): (Aggregate, Option[Int]) = {
-    def loop(p: LogicalPlan, limit: Option[Int]): (Aggregate, Option[Int]) = p match {
+  private def findAggregate(plan: LogicalPlan): (LogicalPlan, Option[Int]) = {
+    def loop(p: LogicalPlan, limit: Option[Int]): (LogicalPlan, Option[Int]) = p match {
       case a: Aggregate => (a, limit)
+      case d: Distinct =>
+        (Aggregate(d.child.output, d.child.output, d.child), limit)
       case GlobalLimit(lim, child) =>
         loop(child, Some(lim.eval(null).toString.toInt))
       case LocalLimit(_, child) => loop(child, limit)
+      case pr: Project if pr.projectList.headOption.exists(_.name.startsWith(DonKeyPrefix)) =>
+        (pr, limit)
       case pr: Project => loop(pr.child, limit)
       case other => throw new IllegalArgumentException(
         s"continuous views must aggregate; got ${other.nodeName} " +
@@ -466,6 +627,12 @@ object CvPlanner {
         AggSplit.regrIntercept(c(f.children(0)), c(f.children(1))).withKind("regr_intercept")
       case f: RegrR2 =>
         AggSplit.regrR2(c(f.children(0)), c(f.children(1))).withKind("regr_r2")
+      // bool_and/every, bool_or/any and bit_and/bit_or — PG built-ins the
+      // reference keeps combinable (cont_bool_agg.sql)
+      case f: BoolAnd => AggSplit.boolAnd(c(f.child)).withKind("bool_and")
+      case f: BoolOr => AggSplit.boolOr(c(f.child)).withKind("bool_or")
+      case f: BitAndAgg => AggSplit.bitAnd(c(f.child)).withKind("bit_and")
+      case f: BitOrAgg => AggSplit.bitOr(c(f.child)).withKind("bit_or")
       case f: ListAgg =>
         val delim = f.delimiter.eval(null) match {
           case null => ""

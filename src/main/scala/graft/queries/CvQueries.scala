@@ -64,6 +64,25 @@ object CvQueries {
           |       count(*) AS n, sum(value) AS sv
           |FROM ev_stream GROUP BY ROLLUP(event_type, user_id % 10)""".stripMargin,
         emitChanges = false)
+      // SELECT DISTINCT desugared into grouping (analyzer.c:2605-2624): the
+      // matrel stores one row per distinct tuple, no visible aggregate
+      eng.createContView("v_distinct",
+        "SELECT DISTINCT event_type, user_id % 7 AS ub FROM ev_stream",
+        emitChanges = false)
+      // DISTINCT ON: one surviving row per ON-group; the engine picks the
+      // deterministic lexicographic-min row (by output order)
+      eng.createContView("v_distinct_on",
+        "SELECT DISTINCT ON (user_id % 100) event_type, user_id, value FROM ev_stream",
+        emitChanges = false)
+      // bool/bit aggregates maintained incrementally (cont_bool_agg.sql):
+      // every is Spark's alias for bool_and, matching PG
+      eng.createContView("v_bool",
+        """SELECT event_type,
+          |       bool_and(value > 50) AS ba, bool_or(value > 500) AS bo,
+          |       every(value > 0) AS ev,
+          |       bit_and(user_id) AS band, bit_or(user_id) AS bor
+          |FROM ev_stream GROUP BY event_type""".stripMargin,
+        emitChanges = false)
       // continuous transform chain: hot events re-routed to a second stream
       // feeding its own CV (insert_into_stream semantics)
       eng.createStream("ev_hot", events.schema)
@@ -330,6 +349,44 @@ object CvQueries {
           .select(col("__sw_bucket").cast("long").as("bkt"),
             col("event_type"), col("old.n").as("n"))
           .orderBy("bkt", "event_type")
+    },
+
+    // cont_distinct.sql:62-106: SELECT DISTINCT in a CV — pure grouping,
+    // incremental result equals the single-shot distinct.
+    QDef(
+      "q_cv_distinct",
+      """SELECT DISTINCT event_type, user_id % 7 AS ub FROM events
+        |ORDER BY event_type, ub""".stripMargin) {
+      (s, dir) =>
+        engineFor(s, dir).overlay("v_distinct").orderBy("event_type", "ub")
+    },
+
+    // cont_distinct.sql: DISTINCT ON — one row per ON-group. The engine's
+    // deterministic representative is the lexicographic-min row (by output
+    // order), mirrored in DuckDB with a row_number window.
+    QDef(
+      "q_cv_distinct_on",
+      """SELECT event_type, user_id, value FROM (
+        |  SELECT event_type, user_id, value,
+        |         row_number() OVER (PARTITION BY user_id % 100
+        |                            ORDER BY event_type, user_id, value) AS rn
+        |  FROM events) t WHERE rn = 1 ORDER BY user_id, event_type, value""".stripMargin) {
+      (s, dir) =>
+        engineFor(s, dir).overlay("v_distinct_on")
+          .orderBy("user_id", "event_type", "value")
+    },
+
+    // cont_bool_agg.sql: bool_and/bool_or/every/bit_and/bit_or maintained
+    // incrementally inside a CV equal the single-shot batch answer.
+    QDef(
+      "q_cv_bool",
+      """SELECT event_type,
+        |       bool_and(value > 50) AS ba, bool_or(value > 500) AS bo,
+        |       bool_and(value > 0) AS ev,
+        |       bit_and(user_id) AS band, bit_or(user_id) AS bor
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) {
+      (s, dir) =>
+        engineFor(s, dir).overlay("v_bool").orderBy("event_type")
     },
 
     // cont_grouping_sets: ROLLUP maintained incrementally inside a CV — the

@@ -215,16 +215,17 @@ object RelationalQueries {
 
     // --- combinable_array_agg (aggfuncs.c:62-313): combine-order semantics
     //     are nondeterministic like the reference's, so the oracle compares
-    //     under an explicit sort ---
+    //     under an explicit sort; the array is string-joined so the result
+    //     column stays scalar-hashable for the oracle harness ---
     QDef(
       "q_array_agg",
-      """SELECT user_id, list_sort(list(event_id)) AS arr
+      """SELECT user_id, array_to_string(list_sort(list(event_id)), ',') AS arr
         |FROM events WHERE user_id < 5 GROUP BY user_id ORDER BY user_id""".stripMargin) {
       (s, dir) =>
         graft.functions.GraftFunctions.register(s)
         Tables.events(s, dir).where(col("user_id") < 5)
           .groupBy("user_id")
-          .agg(sort_array(expr("combinable_array_agg(event_id)")).as("arr"))
+          .agg(array_join(sort_array(expr("combinable_array_agg(event_id)")), ",").as("arr"))
           .orderBy("user_id")
     },
 

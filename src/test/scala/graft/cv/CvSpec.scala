@@ -720,6 +720,52 @@ class CvSpec extends AnyFunSuite {
     bad("SELECT key, sum(DISTINCT x) AS s FROM sa GROUP BY key")
   }
 
+  test("SELECT DISTINCT in a CV is pure grouping (cont_distinct.sql)") {
+    val eng = newEngine()
+    eng.createStream("s_dn", streamSchema)
+    eng.createContView("v_dn", "SELECT DISTINCT key, x % 5 AS xb FROM s_dn")
+    allRows.grouped(1000).foreach(c => eng.insertInto("s_dn", mkBatch(c)))
+    val got = eng.overlay("v_dn").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val expect = allRows.map(r => (r._1, r._2 % 5)).toSet
+    assert(got == expect)
+    // overlay exposes ONLY the distinct tuple — no hidden state columns
+    assert(eng.overlay("v_dn").columns.toSeq == Seq("key", "xb"))
+    // combine() to a coarser key yields the coarser distinct
+    val combined = eng.combine("v_dn", Seq("key")).collect().map(_.getString(0)).toSet
+    assert(combined == allRows.map(_._1).toSet)
+  }
+
+  test("SELECT DISTINCT ON keeps one deterministic row per ON-group (cont_distinct.sql:62)") {
+    val eng = newEngine()
+    eng.createStream("s_don", streamSchema)
+    eng.createContView("v_don",
+      "SELECT DISTINCT ON (key, x % 2) key, x, v FROM s_don")
+    allRows.grouped(700).foreach(c => eng.insertInto("s_don", mkBatch(c)))
+    val got = eng.overlay("v_don").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    // engine semantics: the lexicographic-min (key, x, v) row per group
+    val expect = allRows.groupBy(r => (r._1, r._2 % 2)).values
+      .map(rs => rs.map(r => (r._1, r._2, r._3)).min).toSet
+    assert(got == expect)
+    assert(got.size == allRows.map(r => (r._1, r._2 % 2)).distinct.size)
+  }
+
+  test("bool/bit aggregates are combinable in CVs (cont_bool_agg.sql)") {
+    val eng = newEngine()
+    eng.createStream("s_bool", streamSchema)
+    eng.createContView("v_bool",
+      """SELECT key, bool_and(x % 2 = 0) AS ba, bool_or(x > 90) AS bo,
+        |every(x >= 0) AS ev, bit_and(x) AS band, bit_or(x) AS bor
+        |FROM s_bool GROUP BY key""".stripMargin)
+    allRows.grouped(800).foreach(c => eng.insertInto("s_bool", mkBatch(c)))
+    val got = asMap(eng.overlay("v_bool"))
+    val expect = asMap(mkBatch(allRows).groupBy("key").agg(
+      expr("bool_and(x % 2 = 0)").as("ba"), expr("bool_or(x > 90)").as("bo"),
+      expr("every(x >= 0)").as("ev"), expr("bit_and(x)").as("band"),
+      expr("bit_or(x)").as("bor")))
+    assert(got == expect)
+  }
+
   test("bucket-pruned merge path: forced-large store stays correct at every batch") {
     // smallStateBytes=0 disables the small-state fast path, so every merge
     // (first write, pruned merges, changes emission) runs the code that
