@@ -124,6 +124,20 @@ object AggSplit {
     reAgg = st => struct(sum(st.getField("s")).as("s"), sum(st.getField("n")).as("n")),
     finalizer = st => st.getField("s") / st.getField("n"))
 
+  /** avg keeping the input's own sum type in the state — DECIMAL stays at
+    * full precision and day-time/year-month INTERVALs stay intervals
+    * (reference avg(interval)/avg(numeric) keep their own transition arrays,
+    * sql:142-225, where float inputs use the float8 state above). The merge
+    * and finalize shapes are identical to [[avgOf]], so both share the
+    * `avg` combine-kind.
+    */
+  def avgExactOf(c: Column): AggSplit = AggSplit(
+    partial = struct(
+      sum(c).as("s"),
+      org.apache.spark.sql.functions.count(c).as("n")),
+    reAgg = st => struct(sum(st.getField("s")).as("s"), sum(st.getField("n")).as("n")),
+    finalizer = st => st.getField("s") / st.getField("n"))
+
   /** Variance family → {n, Σx, Σx²} state (sql:458-689). */
   private def momentsPartial(c: Column): Column = {
     val d = c.cast("double")
@@ -320,13 +334,34 @@ object AggSplit {
     reAgg = s => max_by(s, s.getField("o")),
     finalizer = s => s.getField("v"))
 
+  /** Guard on the exact-percentile full-sample state (see [[percentileCont]]):
+    * the reference serializes the whole sorted set per group
+    * (cq_percentile_cont, sql:1503-1602), which is faithful but UNBOUNDED —
+    * at 100-TB scale a hot group's state would grow without limit. Any
+    * percentile state exceeding this many values fails loudly (raise_error
+    * naming the alternative) instead of silently absorbing memory; raise it
+    * (or use dist_agg/dist_quantile, the bounded t-digest path) for groups
+    * that legitimately need more. Read at CV-plan time.
+    */
+  @volatile var percentileMaxSample: Int = 8 * 1024 * 1024
+
+  private def cappedSample(arr: Column): Column = {
+    val cap = percentileMaxSample
+    when(size(arr) > cap,
+      raise_error(lit(s"percentile_cont: group sample exceeds $cap values " +
+        "(AggSplit.percentileMaxSample); use dist_agg/dist_quantile " +
+        "(t-digest) for unbounded groups or raise the cap")))
+      .otherwise(arr)
+  }
+
   /** Exact percentile_cont (reference cq_percentile_cont keeps the full
     * sorted sample — sql:1503-1602). State = sorted array; finalize does
-    * linear interpolation.
+    * linear interpolation. Sample size per group is capped by
+    * [[percentileMaxSample]].
     */
   def percentileCont(c: Column, q: Double): AggSplit = AggSplit(
-    partial = sort_array(collect_list(c.cast("double"))),
-    reAgg = s => sort_array(flatten(collect_list(s))),
+    partial = cappedSample(sort_array(collect_list(c.cast("double")))),
+    reAgg = s => cappedSample(sort_array(flatten(collect_list(s)))),
     finalizer = { s =>
       val n = size(s)
       val idx = (n - 1).cast("double") * lit(q)
@@ -342,8 +377,8 @@ object AggSplit {
     * overloads).
     */
   def percentileContMulti(c: Column, qs: Seq[Double]): AggSplit = AggSplit(
-    partial = sort_array(collect_list(c.cast("double"))),
-    reAgg = s => sort_array(flatten(collect_list(s))),
+    partial = cappedSample(sort_array(collect_list(c.cast("double")))),
+    reAgg = s => cappedSample(sort_array(flatten(collect_list(s)))),
     finalizer = { s =>
       val n = size(s)
       val parts = qs.map { q =>

@@ -47,6 +47,10 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     val s = spark.newSession()
     s.conf.set("spark.sql.shuffle.partitions", ingestShufflePartitions.toString)
     s.conf.set("spark.sql.adaptive.enabled", "false")
+    // state parquet must carry INT64 timestamps (not INT96): the TTL
+    // reaper's bucket pruning reads footer min/max statistics of the ttl
+    // column, and INT96 columns have none
+    s.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     s
   }
 
@@ -206,6 +210,23 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     * registered SQL functions and the state columns' combine-kind metadata.
     */
   def query(selectSql: String): DataFrame = {
+    // Temp-view bindings made for THIS query: dropped again once the
+    // statement is analyzed, so the session catalog is not left littered
+    // with stale engine bindings. Bindings that already existed (an explicit
+    // registerOverlay, the stream registrations) are refreshed in place.
+    // A same-named temp view the engine does NOT own is a user view —
+    // clobbering it silently would swap their data out from under them.
+    val created = mutable.Buffer.empty[String]
+    def bind(name: String)(register: => Unit): Unit = {
+      val existed = spark.catalog.tableExists(name)
+      if (existed && !ownedTempViews.contains(name))
+        throw new IllegalStateException(
+          s"cannot bind '$name' for a continuous-query read: a user temp view " +
+            "with that name already exists in this session")
+      if (!existed) created += name
+      register
+      ownedTempViews += name
+    }
     // output_of('cv') reads bind to the changes table — NOT the `<cv>_osrel`
     // stream registration, which is an empty relation whose attribute ids
     // downstream CQ planning depends on (clobbering it would break chaining)
@@ -215,16 +236,18 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
         val view = s"__graft_read_${osrelName(cv)}"
         val changes = outputOf(cv).getOrElse(throw new IllegalStateException(
           s"continuous query $cv has no output stream to read"))
-        org.apache.spark.sql.GraftBridge.ofRows(spark,
-          org.apache.spark.sql.GraftBridge.analyzed(changes))
-          .createOrReplaceTempView(view)
+        bind(view) {
+          org.apache.spark.sql.GraftBridge.ofRows(spark,
+            org.apache.spark.sql.GraftBridge.analyzed(changes))
+            .createOrReplaceTempView(view)
+        }
         view
       })
     def mentioned(name: String): Boolean =
       ("""(?i)(?<![\w.])""" + java.util.regex.Pattern.quote(name) + """(?![\w.])""").r
         .findFirstIn(rewritten).isDefined
     views.keys.foreach { v =>
-      if (mentioned(v)) registerOverlay(v)
+      if (mentioned(v)) bind(v)(registerOverlay(v))
       if (mentioned(s"${v}_mrel")) {
         // reference matrels name the state column after the target-list
         // column (avg → `av` holds the transition state): expose single-state
@@ -242,11 +265,24 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
           if (singles(c) && !df.columns.contains(plain)) d.withColumnRenamed(c, plain)
           else d
         }
-        renamed.createOrReplaceTempView(s"${v}_mrel")
+        bind(s"${v}_mrel")(renamed.createOrReplaceTempView(s"${v}_mrel"))
       }
     }
-    spark.sql(rewritten)
+    // spark.sql analyzes eagerly, so the bindings created for this statement
+    // are no longer needed once it returns — the analyzed plan holds the
+    // resolved relations
+    try spark.sql(rewritten)
+    finally created.foreach { n =>
+      spark.catalog.dropTempView(n); ownedTempViews -= n
+    }
   }
+
+  // Session temp-view names this engine registered (stream registrations,
+  // overlays, transient query() bindings) — anything else with a colliding
+  // name belongs to the user and must not be clobbered.
+  // lazy: createStream touches this during the constructor's catalog replay,
+  // before later-declared fields would otherwise initialize
+  private lazy val ownedTempViews = mutable.Set.empty[String]
 
   private def runDdl(ddl: String): Unit = CvDdl.parse(ddl) match {
     case CvDdl.CreateStream(name, schemaDdl) =>
@@ -314,6 +350,7 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     * `arrival_timestamp` is appended implicitly (pipeline_stream.c:101-132).
     */
   def createStream(name: String, schema: StructType): Unit = {
+    requireSimpleName(name, "stream")
     // streams accept NULLs in any column (missing INSERT fields default to
     // NULL — stream_fdw.c:270-438), and batches often arrive from parquet
     // where nothing is NOT NULL: normalize recursively so batch-to-leaf
@@ -324,6 +361,7 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
       else nullable.add("arrival_timestamp", "timestamp")
     spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), withArrival)
       .createOrReplaceTempView(name)
+    ownedTempViews += name
     // capture the registered view's leaf attribute ids — they uniquely
     // identify this stream in any analyzed CV/CT plan (two streams may
     // share a schema, so names alone cannot disambiguate)
@@ -346,6 +384,15 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     }
   }
 
+  /** Streams/CVs/CTs bind session temp views under their own names, and
+    * Spark temp-view names cannot be qualified — reject dotted names up
+    * front with a domain error instead of failing later inside the catalog.
+    */
+  private def requireSimpleName(name: String, kind: String): Unit =
+    require(name.matches("""\w+"""),
+      s"$kind name '$name' must be an unqualified identifier " +
+        "(schema-qualified names are not supported)")
+
   private def idempotent[H](name: String, signature: String)(create: => H): Option[H] =
     defSignatures.get(name) match {
       case Some(existing) =>
@@ -354,7 +401,11 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
         None // no-op re-create: same name, same definition
       case None =>
         defSignatures(name) = signature
-        Some(create)
+        // a failed create must not leave the signature behind: a retry with
+        // the same definition would look like a no-op re-create and then
+        // fail looking up a handle that was never registered
+        try Some(create)
+        catch { case t: Throwable => defSignatures.remove(name); throw t }
     }
 
   /** CREATE VIEW name WITH (action=materialize, ...) AS selectSql.
@@ -363,6 +414,7 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     */
   def createContView(name: String, selectSql0: String,
       options0: CvOptions = CvOptions(), emitChanges: Boolean = true): CvHandle = {
+    requireSimpleName(name, "continuous view")
     // WHERE ts > clock_timestamp() - interval '…' → WITH (sw = …), and
     // DISTINCT ON (…) → marked leading key outputs; the desugared form is
     // what persists (catalog/defs), so replay re-plans the same statement
@@ -412,6 +464,15 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
       sinkStream: Option[String] = None,
       outputFunc: Option[DataFrame => Unit] = None,
       emitChanges: Boolean = true): CtHandle = {
+    requireSimpleName(name, "continuous transform")
+    // The reference's sliding-window spelling (WHERE ts > clock_timestamp()
+    // - interval …) is only meaningful with aggregation; on a stateless
+    // transform it must fail loudly as a domain error, not as Catalyst's
+    // opaque "unknown function clock_timestamp".
+    val (_, swProbe) = CvPlanner.desugarSwPredicate(selectSql, CvOptions())
+    require(swProbe.sw.isEmpty,
+      "sliding-window predicates (clock_timestamp()) are not supported in " +
+        "continuous transforms; use a continuous view")
     idempotent(name, s"transform|$selectSql|$sinkStream|$emitChanges") {
       val plan = CvPlanner.planTransform(spark, name, rewriteOutputOf(selectSql),
         streamLeafIds = streams.values.map(_.leafIds).toSeq)
@@ -504,7 +565,7 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     // SQL-front-door matrel/osrel reads, the osrel stream registration) —
     // left behind they'd resolve against deleted storage
     Seq(name, s"${name}_mrel", osrel, s"__graft_read_$osrel")
-      .foreach(spark.catalog.dropTempView(_))
+      .foreach { n => spark.catalog.dropTempView(n); ownedTempViews -= n }
     appendCatalog(CatalogEntry("drop", name, "view", "", "", 0, "", "", "", changes = false))
   }
 
@@ -522,7 +583,8 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     readers.remove(osrel)
     if (!loading) deleteDir(Paths.get(root, name))
     defs.remove(name)
-    Seq(osrel, s"__graft_read_$osrel").foreach(spark.catalog.dropTempView(_))
+    Seq(osrel, s"__graft_read_$osrel")
+      .foreach { n => spark.catalog.dropTempView(n); ownedTempViews -= n }
     appendCatalog(CatalogEntry("drop", name, "transform", "", "", 0, "", "", "", changes = false))
   }
 
@@ -534,6 +596,7 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     streams.remove(name)
     readers.remove(name)
     spark.catalog.dropTempView(name)
+    ownedTempViews -= name
     appendCatalog(CatalogEntry("drop", name, "stream", "", "", 0, "", "", "", changes = false))
   }
 
@@ -579,12 +642,32 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     // transforms are independent consumers of the same batch (the reference
     // runs CVs and CTs in separate worker procs) — overlap them with the
     // view ingests; chained insertInto re-entry happens inside the future
-    val work = activeCvs.map(h => Future(ingestBatch(h, withArrival))) ++
-      activeCts.map(h => Future(runTransform(h, withArrival)))
+    val work: Seq[(String, Future[Unit])] =
+      activeCvs.map(h => h.plan.name -> Future(ingestBatch(h, withArrival))) ++
+        activeCts.map(h => h.plan.name -> Future(runTransform(h, withArrival)))
     // blocking{}: a chained transform re-enters insertInto inside a future,
-    // and the nested Await must not starve the global pool
-    work.foreach(f => scala.concurrent.blocking { Await.result(f, Duration.Inf) })
+    // and the nested Await must not starve the global pool. The await is
+    // BOUNDED (ingestAwaitMs): a wedged CV merge surfaces as a timeout
+    // naming the culprit instead of hanging the producer forever.
+    work.foreach { case (cq, f) =>
+      scala.concurrent.blocking {
+        try Await.result(f, Duration(ingestAwaitMs, java.util.concurrent.TimeUnit.MILLISECONDS))
+        catch {
+          case _: java.util.concurrent.TimeoutException =>
+            throw new java.util.concurrent.TimeoutException(
+              s"ingest of a $streamName batch into continuous query '$cq' did " +
+                s"not complete within ${ingestAwaitMs} ms (ingestAwaitMs)")
+        }
+      }
+    }
   }
+
+  /** Upper bound on how long a synchronous insert waits for any single CQ
+    * to commit a batch (default 10 min — far above any healthy micro-batch,
+    * small enough that a wedged merge fails fast instead of blocking the
+    * producer forever). Settable at runtime.
+    */
+  @volatile var ingestAwaitMs: Long = 10L * 60 * 1000
 
   // ---- async ingest (stream_insert_level=async, microbatch.h:51-56) ----
   // One ingest thread preserves batch order per engine (the reference routes
@@ -721,10 +804,13 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
   /** Per-stream ingest counters (reference pipelinedb.stream_stats). */
   def streamStats(): DataFrame = {
     import spark.implicits._
-    streams.keys.toSeq.map { s =>
-      StreamStats(s, streamBatches.getOrElse(s, 0L),
-        readers.get(s).map(_.size.toLong).getOrElse(0L))
-    }.toDF()
+    val rows = synchronized {
+      streams.keys.toSeq.map { s =>
+        StreamStats(s, streamBatches.getOrElse(s, 0L),
+          readers.get(s).map(_.size.toLong).getOrElse(0L))
+      }
+    }
+    rows.toDF()
   }
 
   /** User-facing continuous-view catalog (reference pipelinedb.views,
@@ -733,12 +819,17 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     */
   def viewsCatalog(): DataFrame = {
     import spark.implicits._
-    views.toSeq.map { case (n, h) =>
-      CvCatalogRow(n, h.streamName, h.plan.options.sw.getOrElse(""),
-        h.plan.options.stepFactor, h.plan.options.ttl.getOrElse(""),
-        h.plan.options.ttlColumn.getOrElse(""), h.active, h.changes,
-        defs.getOrElse(n, ""))
-    }.toDF()
+    // snapshot under the engine lock: DDL mutates views/defs from other
+    // threads, and a LinkedHashMap read during a rehash is undefined
+    val rows = synchronized {
+      views.toSeq.map { case (n, h) =>
+        CvCatalogRow(n, h.streamName, h.plan.options.sw.getOrElse(""),
+          h.plan.options.stepFactor, h.plan.options.ttl.getOrElse(""),
+          h.plan.options.ttlColumn.getOrElse(""), h.active, h.changes,
+          defs.getOrElse(n, ""))
+      }
+    }
+    rows.toDF()
   }
 
   /** User-facing transform catalog (reference pipelinedb.transforms,
@@ -746,27 +837,35 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     */
   def transformsCatalog(): DataFrame = {
     import spark.implicits._
-    transforms.toSeq.map { case (n, h) =>
-      CtCatalogRow(n, h.streamName, h.sinkStream.getOrElse(""),
-        h.active, h.changes, defs.getOrElse(n, ""))
-    }.toDF()
+    val rows = synchronized {
+      transforms.toSeq.map { case (n, h) =>
+        CtCatalogRow(n, h.streamName, h.sinkStream.getOrElse(""),
+          h.active, h.changes, defs.getOrElse(n, ""))
+      }
+    }
+    rows.toDF()
   }
 
   /** (stream, continuous query) reader pairs (pipelinedb.stream_readers). */
   def streamReaders(): DataFrame = {
     import spark.implicits._
-    readers.toSeq.flatMap { case (s, rs) => rs.map(r => (s, r)) }
-      .toDF("stream", "cq")
+    val rows = synchronized {
+      readers.toSeq.flatMap { case (s, rs) => rs.toSeq.map(r => (s, r)) }
+    }
+    rows.toDF("stream", "cq")
   }
 
   /** One-row engine summary (reference pipelinedb.db_stats). */
   def dbStats(): DataFrame = {
     import spark.implicits._
-    val qs = statsMap.values
-    Seq(DbStats(
-      streams.size.toLong, views.size.toLong, transforms.size.toLong,
-      streamBatches.values.sum, qs.map(_.groupsOut).sum,
-      qs.map(_.errors).sum, qs.map(_.execMs).sum)).toDF()
+    val row = synchronized {
+      val qs = statsMap.values
+      DbStats(
+        streams.size.toLong, views.size.toLong, transforms.size.toLong,
+        streamBatches.values.sum, qs.map(_.groupsOut).sum,
+        qs.map(_.errors).sum, qs.map(_.execMs).sum)
+    }
+    Seq(row).toDF()
   }
 
   /** Engine version string (reference pipelinedb.version()). */
@@ -1025,11 +1124,13 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     * name in SQL — `SELECT * FROM <cv>` like the reference's overlay view.
     * Re-resolves state at each call; call again after ingests for snapshots.
     */
-  def registerOverlay(name: String, now: Option[java.sql.Timestamp] = None): Unit =
+  def registerOverlay(name: String, now: Option[java.sql.Timestamp] = None): Unit = {
     // rebind onto the caller's session so `spark.sql("... FROM cv")` resolves
     org.apache.spark.sql.GraftBridge.ofRows(spark,
       org.apache.spark.sql.GraftBridge.analyzed(overlay(name, now)))
       .createOrReplaceTempView(name)
+    ownedTempViews += name
+  }
 
   /** User-facing combine(): re-aggregate stored states at a coarser key
     * (reference RewriteCombineAggs, analyzer.c:4446-4615).
@@ -1121,33 +1222,44 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     combineState(h, flat, coarserKeys)
   }
 
-  /** TTL reaper pass (reaper.c:49-352): delete state older than ttl. */
-  def expireTtl(name: String, now: Option[java.sql.Timestamp] = None): Unit = {
+  /** TTL reaper pass (reaper.c:49-352): delete state older than ttl.
+    * @return the pass's per-bucket counters (see [[StateStore.DeleteStats]])
+    */
+  def expireTtl(name: String, now: Option[java.sql.Timestamp] = None)
+      : StateStore.DeleteStats = {
     val h = views(name)
     val (ttlSpec, ttlCol) = (h.plan.options.ttl, h.plan.options.ttlColumn, h.plan.sw) match {
       case (Some(t), colOpt, _) =>
         (t, colOpt.getOrElse(h.plan.sw.map(_.bucketCol).getOrElse(
           throw new IllegalArgumentException(s"CV $name has ttl but no ttl_column"))))
       case (None, _, Some(sw)) => (s"${sw.windowSeconds} seconds", sw.bucketCol)
-      case _ => return
+      case _ => return StateStore.DeleteStats(0, 0, 0)
     }
     val seconds = ttlSpec match {
       case s if s.matches("(?i)\\s*\\d+\\s*\\w+\\s*") =>
         CvPlannerIntervals.seconds(s)
       case other => throw new IllegalArgumentException(s"bad ttl: $other")
     }
-    val cutoff = now.map(ts => lit(ts)).getOrElse(current_timestamp()) -
-      expr(s"INTERVAL $seconds SECOND")
+    // Driver-computed LITERAL cutoff (not current_timestamp()): evaluated
+    // once per pass, and a concrete bound is what lets the store prune
+    // candidate buckets from parquet footer stats instead of scanning the
+    // whole state every reaper tick.
+    val nowMs = now.map(_.getTime).getOrElse(System.currentTimeMillis())
+    val cutoffTs = new java.sql.Timestamp(nowMs - seconds * 1000L)
+    val cutoff = lit(cutoffTs)
     // the ttl column may be a state key (bucket / group column, referenced
-    // directly) or an aggregate output (e.g. max(ts) AS latest — referenced
-    // through its finalizer over the stored state columns)
+    // directly — then footer stats of the physical column can prune) or an
+    // aggregate output (e.g. max(ts) AS latest — referenced through its
+    // finalizer over the stored state columns; no pruning)
+    val isKeyCol = h.plan.stateKeys.contains(ttlCol)
     val ttlColExpr =
-      if (h.plan.stateKeys.contains(ttlCol)) col(ttlCol)
+      if (isKeyCol) col(ttlCol)
       else h.plan.aggs.find(_.name == ttlCol)
         .map(a => a.buildFinal(a.states.map(st => col(st._1))))
         .getOrElse(throw new IllegalArgumentException(
           s"ttl_column '$ttlCol' is neither a group key nor an output of CV $name"))
-    views(name).store.deleteWhere(ttlColExpr < cutoff)
+    val pruneHint = if (isKeyCol) Some((ttlCol, cutoffTs.getTime * 1000L)) else None
+    views(name).store.deleteWhere(ttlColExpr < cutoff, pruneHint)
   }
 
   // ---- background reaper (reference reaper procs, reaper.c:49-352; SW

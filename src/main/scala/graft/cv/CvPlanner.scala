@@ -25,6 +25,14 @@ object CvPlanner {
   /** Metadata key carrying a state column's combine-kind descriptor. */
   val CombineKindKey = "graft.combine"
 
+  /** Metadata keys carrying a sliding-window CV's window spec on its state
+    * columns, so SQL `sw_combine(col)` over `<cv>_mrel` can rebuild the
+    * read-time liveness filter (reference sw_combine,
+    * pipelinedb--1.0.0.sql:122-140) with no engine handle in scope.
+    */
+  val SwBucketKey = "graft.sw.bucket"
+  val SwWindowKey = "graft.sw.windowSeconds"
+
   // §2.10 extension point: user-registrable combinable aggregates — the
   // counterpart of the reference's pipelinedb.combine catalog +
   // search_for_combine_aggregate (analyzer.c:4181-4330). Keyed by the
@@ -149,11 +157,18 @@ object CvPlanner {
     def workerPartials(spark: SparkSession, batch: DataFrame): DataFrame = {
       val df = bindBatch(spark, batch)
       // each state column carries its combine-kind as metadata, so any later
-      // reader of the state table can resolve combine() on the bare column
+      // reader of the state table can resolve combine() on the bare column;
+      // SW CVs additionally carry the window spec for SQL sw_combine()
       val stateCols = stateSplits.map { case (n, sp) =>
-        if (sp.kind.isEmpty) sp.partial.as(n)
-        else sp.partial.as(n, new org.apache.spark.sql.types.MetadataBuilder()
-          .putString(CvPlanner.CombineKindKey, sp.kind).build())
+        val mb = new org.apache.spark.sql.types.MetadataBuilder()
+        if (sp.kind.nonEmpty) mb.putString(CvPlanner.CombineKindKey, sp.kind)
+        sw.foreach { s =>
+          mb.putString(CvPlanner.SwBucketKey, s.bucketCol)
+          mb.putLong(CvPlanner.SwWindowKey, s.windowSeconds)
+        }
+        val md = mb.build()
+        if (md == org.apache.spark.sql.types.Metadata.empty) sp.partial.as(n)
+        else sp.partial.as(n, md)
       }
       df.groupBy(stateKeyCols(df): _*).agg(stateCols.head, stateCols.tail: _*)
     }
@@ -290,8 +305,10 @@ object CvPlanner {
     val agg = shape match {
       case a: Aggregate => a
       case pr: Project =>
+        rejectNestedAggregates(pr.child)
         return planDistinctOn(spark, name, pr, options, streamLeafIds, limitOpt)
     }
+    rejectNestedAggregates(agg.child)
 
     val streamLeaf = findStreamLeaf(agg.child, streamLeafIds)
 
@@ -539,6 +556,20 @@ object CvPlanner {
   private def stripViews(plan: LogicalPlan): LogicalPlan =
     plan.transformUp { case v: View => v.child }
 
+  /** Subselects below the CV's aggregate may project, filter, join dims, and
+    * unroll (explode/Generate) — but must not themselves aggregate: an inner
+    * aggregation would run per micro-batch over partial data and silently
+    * change meaning (the reference rejects it the same way —
+    * cont_subselect.sql:1-58, analyzer.c:1183-1344).
+    */
+  private def rejectNestedAggregates(child: LogicalPlan): Unit =
+    child.foreach {
+      case _: Aggregate | _: Distinct =>
+        throw new IllegalArgumentException(
+          "aggregates in subselects are not supported in continuous views")
+      case _ => ()
+    }
+
   /** The restriction wall (analyzer.c:1183-1344). */
   private def validate(plan: LogicalPlan): Unit = {
     plan.foreach {
@@ -601,7 +632,17 @@ object CvPlanner {
       case f: Sum => AggSplit.sumOf(c(f.child)).withKind("sum")
       case f: Min => AggSplit.minOf(c(f.child)).withKind("min")
       case f: Max => AggSplit.maxOf(c(f.child)).withKind("max")
-      case f: Average => AggSplit.avgOf(c(f.child)).withKind("avg")
+      case f: Average =>
+        // decimal/interval inputs keep their own sum type in the state
+        // (full precision / interval semantics); floats use the float8-
+        // style double state like the reference (sql:142-225)
+        import org.apache.spark.sql.types.{DayTimeIntervalType, DecimalType, YearMonthIntervalType}
+        val exact = f.child.dataType match {
+          case _: DecimalType | _: DayTimeIntervalType | _: YearMonthIntervalType => true
+          case _ => false
+        }
+        (if (exact) AggSplit.avgExactOf(c(f.child)) else AggSplit.avgOf(c(f.child)))
+          .withKind("avg")
       case f: VarianceSamp => AggSplit.varSamp(c(f.child)).withKind("var_samp")
       case f: VariancePop => AggSplit.varPop(c(f.child)).withKind("var_pop")
       case f: StddevSamp => AggSplit.stddevSamp(c(f.child)).withKind("stddev_samp")

@@ -1,6 +1,7 @@
 package graft.cv
 
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.collection.mutable
 import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -409,30 +410,129 @@ final class StateStore(
 
   /** Drop state rows matching the predicate (TTL reaper — reaper.c:49-352).
     * Rewrites only buckets that still hold matching rows.
+    *
+    * @param pruneLtMicros optional prune hint `(column, boundMicros)`
+    *        guaranteeing that only rows with `column < bound` (a timestamp,
+    *        micros since epoch) can match the predicate. Candidate buckets
+    *        are then selected from parquet FOOTER min statistics — a no-op
+    *        reaper pass (the overwhelmingly common case at a 1 s cadence)
+    *        opens ZERO bucket files instead of scanning the whole state.
+    *        Footer reads are driver-side metadata-only and cached per
+    *        (immutable) version file, so steady state is O(new files) per
+    *        pass, not O(state).
+    * @return per-pass counters — `scannedBuckets` is what the pruning spec
+    *         asserts on (and what a capacity dashboard would chart).
     */
-  def deleteWhere(predicate: org.apache.spark.sql.Column): Unit = this.synchronized {
+  def deleteWhere(predicate: org.apache.spark.sql.Column,
+      pruneLtMicros: Option[(String, Long)] = None): StateStore.DeleteStats =
+    this.synchronized {
     flushPendingGc()
-    readManifest().foreach { m =>
-      val cur = readBuckets(None).getOrElse(return)
-      val affected = cur.where(predicate).withColumn(BucketCol, bucketOf)
-        .select(BucketCol).distinct().collect().map(_.getLong(0).toInt).toSet
-      if (affected.isEmpty) return
-      val keep = readBuckets(Some(affected)).get.where(!coalesce(predicate, lit(false)))
-        .withColumn(BucketCol, bucketOf)
-      val version = m.version + 1
-      keep.repartition(math.max(affected.size, 1), col(BucketCol))
-        .write.partitionBy(BucketCol).mode("overwrite").parquet(s"$root/v$version")
-      // buckets that became empty still get a manifest entry only if files exist
-      val written = writtenBuckets(s"$root/v$version")
-      val newBuckets = (m.buckets -- affected) ++
-        written.map(b => b -> s"v$version/$BucketCol=$b").toMap
-      // deletes only shrink state: a small store stays small, and a large
-      // store stays on the pruned path (no re-measuring walk)
-      writeManifest(Manifest(version, newBuckets, small = m.small))
-      deferGcOldVersions(keep = newBuckets.values.map(_.takeWhile(_ != '/')).toSet)
-      refreshCache()
+    readManifest() match {
+      case None => StateStore.DeleteStats(0, 0, 0)
+      case Some(m) =>
+        val total = m.buckets.size
+        val candidates: Set[Int] = pruneLtMicros match {
+          case Some((cn, bound)) =>
+            m.buckets.collect {
+              case (b, rel) if bucketMayMatchLt(rel, cn, bound) => b
+            }.toSet
+          case None => m.buckets.keySet.toSet
+        }
+        if (candidates.isEmpty) return StateStore.DeleteStats(total, 0, 0)
+        val cur = readBuckets(Some(candidates))
+          .getOrElse(return StateStore.DeleteStats(total, 0, 0))
+        val affected = cur.where(predicate).withColumn(BucketCol, bucketOf)
+          .select(BucketCol).distinct().collect().map(_.getLong(0).toInt).toSet
+        if (affected.isEmpty) return StateStore.DeleteStats(total, candidates.size, 0)
+        val keep = readBuckets(Some(affected)).get.where(!coalesce(predicate, lit(false)))
+          .withColumn(BucketCol, bucketOf)
+        val version = m.version + 1
+        keep.repartition(math.max(affected.size, 1), col(BucketCol))
+          .write.partitionBy(BucketCol).mode("overwrite").parquet(s"$root/v$version")
+        // buckets that became empty still get a manifest entry only if files exist
+        val written = writtenBuckets(s"$root/v$version")
+        val newBuckets = (m.buckets -- affected) ++
+          written.map(b => b -> s"v$version/$BucketCol=$b").toMap
+        // deletes only shrink state: a small store stays small, and a large
+        // store stays on the pruned path (no re-measuring walk)
+        writeManifest(Manifest(version, newBuckets, small = m.small))
+        deferGcOldVersions(keep = newBuckets.values.map(_.takeWhile(_ != '/')).toSet)
+        refreshCache()
+        StateStore.DeleteStats(total, candidates.size, affected.size)
     }
   }
+
+  // ---- footer-stat bucket pruning (deleteWhere prune hint) ----
+
+  // (file, column) → Some(min micros) | None = stats unusable for pruning.
+  // Version files are immutable once written, so entries never go stale;
+  // flushPendingGc drops entries for deleted version dirs.
+  private val footerMinCache = mutable.Map.empty[(String, String), Option[Long]]
+
+  /** Can any row of this bucket have `colName < boundMicros`? Conservative:
+    * missing/unusable stats answer true (the bucket gets scanned).
+    */
+  private def bucketMayMatchLt(rel: String, colName: String, boundMicros: Long): Boolean = {
+    val dir = Paths.get(root, rel)
+    if (!Files.exists(dir)) return false
+    val files = Files.list(dir).iterator().asScala
+      .filter(p => p.getFileName.toString.endsWith(".parquet")).toSeq
+    files.exists { f =>
+      footerMinCache.getOrElseUpdate((f.toString, colName),
+        readFooterMinMicros(f, colName)) match {
+        case None => true // unknown → must scan
+        case Some(min) => min < boundMicros
+      }
+    }
+  }
+
+  /** Min of a timestamp column across a parquet file's row groups, in
+    * micros since epoch, from footer statistics only (no data pages read).
+    * None when stats are absent or the physical/logical type is not a
+    * stats-bearing timestamp (e.g. INT96). Long.MaxValue when the file has
+    * no non-null values (nothing can match).
+    */
+  private def readFooterMinMicros(file: Path, colName: String): Option[Long] = try {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+    val in = HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(file.toUri),
+      spark.sessionState.newHadoopConf())
+    val r = ParquetFileReader.open(in)
+    try {
+      var min = Long.MaxValue
+      val it = r.getFooter.getBlocks.iterator()
+      while (it.hasNext) {
+        val block = it.next()
+        val cc = block.getColumns.asScala.find(_.getPath.toDotString == colName)
+          .getOrElse(return None)
+        val st = cc.getStatistics
+        if (st == null) return None
+        if (st.hasNonNullValue) {
+          val unitScaled = cc.getPrimitiveType.getLogicalTypeAnnotation match {
+            case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+              val raw = st.genericGetMin match {
+                case l: java.lang.Long => l.longValue()
+                case _ => return None
+              }
+              t.getUnit match {
+                case TimeUnit.MICROS => raw
+                case TimeUnit.MILLIS => raw * 1000L
+                case TimeUnit.NANOS => raw / 1000L
+              }
+            case _ => return None // INT96 / non-timestamp: no usable stats
+          }
+          min = math.min(min, unitScaled)
+        } else if (block.getRowCount > 0 &&
+            (!st.isNumNullsSet || st.getNumNulls < block.getRowCount)) {
+          return None // rows present but stats silent about them
+        }
+      }
+      Some(min)
+    } finally r.close()
+  } catch { case _: Exception => None } // unreadable footer → scan the bucket
 
   def truncate(): Unit = this.synchronized {
     cachedState.foreach(_.unpersist())
@@ -462,6 +562,12 @@ final class StateStore(
       if (Files.exists(dir))
         Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
     }
+    if (pendingGc.nonEmpty) {
+      val deleted = pendingGc.map(_.toString)
+      footerMinCache.filterInPlace { case ((path, _), _) =>
+        !deleted.exists(d => path.startsWith(d + "/") || path == d)
+      }
+    }
     pendingGc = Set.empty
   }
 }
@@ -469,4 +575,11 @@ final class StateStore(
 object StateStore {
   /** Default small-state threshold (see the `SmallStateBytes` doc). */
   val DefaultSmallStateBytes: Long = 64L * 1024 * 1024
+
+  /** Counters from one deleteWhere pass: how many buckets exist, how many
+    * survived footer-stat pruning and were actually scanned, and how many
+    * held matching rows and were rewritten.
+    */
+  final case class DeleteStats(
+      totalBuckets: Int, scannedBuckets: Int, rewrittenBuckets: Int)
 }

@@ -162,6 +162,35 @@ object GraftFunctions {
       GraftBridge.toExpression(split.finalizer(split.reAgg(col(attr))))
     }
 
+    // sw_combine(stateCol): combine() honoring a sliding-window CV's
+    // read-time expiry (reference sw_combine, pipelinedb--1.0.0.sql:122-140).
+    // The window spec rides the state column's metadata (CvPlanner stamps
+    // bucket column + window seconds on SW CVs), so the liveness filter is
+    // rebuilt here with no engine handle: dead step buckets feed NULL into
+    // the merge aggregate, which every merge ignores.
+    fn("sw_combine") { case Seq(attr) =>
+      import org.apache.spark.sql.catalyst.expressions.AttributeReference
+      import org.apache.spark.sql.functions.{col => byName, current_timestamp, expr, when}
+      val kindKey = graft.cv.CvPlanner.CombineKindKey
+      val (kind, bucketCol, winSec) = attr match {
+        case a: AttributeReference if a.metadata.contains(kindKey) &&
+            a.metadata.contains(graft.cv.CvPlanner.SwBucketKey) =>
+          (a.metadata.getString(kindKey),
+            a.metadata.getString(graft.cv.CvPlanner.SwBucketKey),
+            a.metadata.getLong(graft.cv.CvPlanner.SwWindowKey))
+        case a: AttributeReference if a.metadata.contains(kindKey) =>
+          throw new IllegalArgumentException(
+            "sw_combine() requires a SLIDING-WINDOW continuous view's state " +
+              "column; use combine() for non-sliding views")
+        case other => throw new IllegalArgumentException(
+          s"sw_combine() requires a stored continuous-view state column " +
+            s"(no '$kindKey' metadata on ${other.sql})")
+      }
+      val split = graft.cv.AggSplit.resolve(kind)
+      val live = byName(bucketCol) > current_timestamp() - expr(s"INTERVAL $winSec SECOND")
+      GraftBridge.toExpression(split.finalizer(split.reAgg(when(live, col(attr)))))
+    }
+
     // finalize(stateCol): apply ONLY the finalize step to a stored state
     // (reference pipelinedb.finalize, miscutils.c:343-466) — same metadata-
     // driven resolution as combine(), without the merge.

@@ -83,6 +83,34 @@ object CvQueries {
           |       bit_and(user_id) AS band, bit_or(user_id) AS bor
           |FROM ev_stream GROUP BY event_type""".stripMargin,
         emitChanges = false)
+      // flat subselect below the aggregate (cont_subselect.sql:1-30): the
+      // kept child plan carries the inner projection + filter per batch
+      eng.createContView("v_subsel",
+        """SELECT ub, count(*) AS n, sum(v2) AS sv FROM (
+          |  SELECT user_id % 5 AS ub, value * 2 AS v2 FROM ev_stream
+          |  WHERE value > 100) t
+          |GROUP BY ub""".stripMargin,
+        emitChanges = false)
+      // JSON unrolling below the aggregate (cont_subselect.sql:32-58,
+      // json_array_elements ≈ explode/Generate in the child plan)
+      eng.createContView("v_unroll",
+        """SELECT e, count(*) AS n FROM (
+          |  SELECT explode(from_json(
+          |           concat('[', get_json_object(props, '$.k'), ',',
+          |                  CAST(user_id % 50 AS STRING), ']'),
+          |           'array<bigint>')) AS e
+          |  FROM ev_stream WHERE value > 50) t
+          |GROUP BY e""".stripMargin,
+        emitChanges = false)
+      // type-breadth parity (reference sql:142-225 combinable avg/sum over
+      // intervals and numerics): day-time-interval avg and a full-precision
+      // DECIMAL(38,10) sum maintained through the split state
+      eng.createContView("v_typed",
+        """SELECT event_type,
+          |       avg(ts - TIMESTAMP '2024-01-01 00:00:00') AS gap,
+          |       sum(CAST(event_id AS DECIMAL(20,0)) * 0.0000000001) AS ds
+          |FROM ev_stream GROUP BY event_type""".stripMargin,
+        emitChanges = false)
       // continuous transform chain: hot events re-routed to a second stream
       // feeding its own CV (insert_into_stream semantics)
       eng.createStream("ev_hot", events.schema)
@@ -387,6 +415,51 @@ object CvQueries {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) {
       (s, dir) =>
         engineFor(s, dir).overlay("v_bool").orderBy("event_type")
+    },
+
+    // cont_subselect.sql:1-30: flat subselect (projection + filter) below
+    // the CV aggregate — incremental equals single shot.
+    QDef(
+      "q_cv_subselect",
+      """SELECT user_id % 5 AS ub, count(*) AS n, round(sum(value * 2), 2) AS sv
+        |FROM events WHERE value > 100 GROUP BY 1 ORDER BY ub""".stripMargin) {
+      (s, dir) =>
+        engineFor(s, dir).overlay("v_subsel")
+          .select(col("ub"), col("n"), round(col("sv"), 2).as("sv"))
+          .orderBy("ub")
+    },
+
+    // cont_subselect.sql:32-58: JSON unrolling (explode below the aggregate)
+    // — each event contributes one row per unrolled element.
+    QDef(
+      "q_cv_json_unroll",
+      """SELECT e, count(*) AS n FROM (
+        |  SELECT unnest([CAST(regexp_extract(props, '[0-9]+') AS BIGINT),
+        |                 user_id % 50]) AS e
+        |  FROM events WHERE value > 50) t
+        |GROUP BY e ORDER BY e""".stripMargin) {
+      (s, dir) =>
+        engineFor(s, dir).overlay("v_unroll").orderBy("e")
+    },
+
+    // reference sql:142-225 type breadth: avg over day-time intervals and a
+    // DECIMAL(38,10)-precision sum, both maintained through the split state.
+    // The interval avg surfaces as seconds (rounded, micro-resolution
+    // division differs from DuckDB's double math in the last digits); the
+    // decimal surfaces as its exact scale-10 string.
+    QDef(
+      "q_cv_typed",
+      """SELECT event_type,
+        |       round(avg(epoch(ts - TIMESTAMP '2024-01-01 00:00:00')), 2) AS gap_s,
+        |       CAST(sum(CAST(event_id AS DECIMAL(20,0)) * 0.0000000001) AS VARCHAR) AS ds
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) {
+      (s, dir) =>
+        engineFor(s, dir).overlay("v_typed")
+          .select(col("event_type"),
+            round(expr("unix_micros(TIMESTAMP '1970-01-01 00:00:00' + gap)") / 1e6, 2)
+              .as("gap_s"),
+            col("ds").cast("string").as("ds"))
+          .orderBy("event_type")
     },
 
     // cont_grouping_sets: ROLLUP maintained incrementally inside a CV — the

@@ -134,6 +134,10 @@ final class SpaceSaving private (
 object SpaceSaving {
   val DefaultK = 5
   private[sketch] val MAGIC: Byte = 'F' // FSS state (alpha-filtered)
+  // Pre-FSS layout ('S'): no alpha-bucket array — states persisted by older
+  // builds (CV matrel state surviving a restart) still deserialize; their
+  // alphas zero-fill, which only loosens the unmonitored upper bound.
+  private[sketch] val LegacyMagic: Byte = 'S'
   private[sketch] val HashSeed = 0x7a3c9d1e5b82f604L
 
   // canonical byte encoding wrapped for hashCode/equals
@@ -166,13 +170,19 @@ object SpaceSaving {
 
   def deserialize(bytes: Array[Byte]): SpaceSaving = {
     val buf = ByteBuffer.wrap(bytes)
-    require(buf.get() == MAGIC, "not a space-saving state")
+    val magic = buf.get()
+    require(magic == MAGIC || magic == LegacyMagic, "not a space-saving state")
     val k = buf.getInt
     val cap = buf.getInt
-    val h = buf.getInt
+    // legacy states carry no bucket array: rebuild with the default h = 6m
+    // and all-zero alphas (estimates of unmonitored keys lose their floor,
+    // monitored counts are unaffected)
+    val h = if (magic == MAGIC) buf.getInt else 6 * cap
     val out = new SpaceSaving(k, cap, h)
     var i = 0
-    while (i < h) { out.alpha(i) = buf.getLong; i += 1 }
+    if (magic == MAGIC) {
+      while (i < h) { out.alpha(i) = buf.getLong; i += 1 }
+    }
     val n = buf.getInt
     i = 0
     while (i < n) {

@@ -62,6 +62,7 @@ class PlanShapeSpec extends AnyFunSuite {
     "q_cv_delta_rollup" -> 1, "q_cv_rollup" -> 1, "q_cv_sliding" -> 2, "q_cv_ttl" -> 1,
     "q_cv_copy" -> 1, "q_cv_combine_table" -> 1, "q_cv_ticks" -> 1,
     "q_cv_bool" -> 1, "q_cv_distinct" -> 1, "q_cv_distinct_on" -> 1,
+    "q_cv_subselect" -> 1, "q_cv_json_unroll" -> 1, "q_cv_typed" -> 1,
     "q_cv_async" -> 1, "q_cv_activate" -> 1, "q_cv_sw_combine" -> 1,
     "q_cv_transform_chain" -> 1, "q_date_round" -> 1, "q_dedup_exact" -> 2,
     "q_dist_quantiles" -> 2, "q_distinct" -> 2, "q_doc_stats" -> 3,

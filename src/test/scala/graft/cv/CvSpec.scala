@@ -1373,4 +1373,173 @@ class CvSpec extends AnyFunSuite {
     val n = allRows.size
     assert(all.getLong(1) == n + 1)
   }
+
+  test("sw_combine as a SQL aggregate over _mrel (pipelinedb--1.0.0.sql:122-140)") {
+    val eng = newEngine()
+    eng.createStream("swq_s", streamSchema)
+    // window far wider than the data's age: every step bucket is live, so
+    // SQL sw_combine must equal the full total
+    eng.createContView("v_swq_live",
+      "SELECT key, count(*) AS n FROM swq_s GROUP BY key",
+      CvPlanner.CvOptions(sw = Some("520 weeks"), swColumn = "ts"),
+      emitChanges = false)
+    // 1-hour window over 2024 timestamps: every bucket expired at read time
+    eng.createContView("v_swq_dead",
+      "SELECT key, count(*) AS n FROM swq_s GROUP BY key",
+      CvPlanner.CvOptions(sw = Some("1 hour"), swColumn = "ts"),
+      emitChanges = false)
+    // plain CV: sw_combine on its state must be a domain error
+    eng.createContView("v_swq_plain",
+      "SELECT key, count(*) AS n FROM swq_s GROUP BY key", emitChanges = false)
+    eng.insertInto("swq_s", mkBatch(allRows.take(1000)))
+    val live = eng.sql("SELECT sw_combine(n) AS n FROM v_swq_live_mrel").collect()(0)
+    assert(live.getLong(0) == 1000L)
+    val dead = eng.sql("SELECT sw_combine(n) AS n FROM v_swq_dead_mrel").collect()(0)
+    assert(dead.isNullAt(0) || dead.getLong(0) == 0L)
+    val e = intercept[Exception] {
+      eng.sql("SELECT sw_combine(n) AS n FROM v_swq_plain_mrel").collect()
+    }
+    def messages(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    assert(messages(e).contains("sw_combine"))
+  }
+
+  test("percentile state cap trips loudly on unbounded growth (AggSplit.percentileMaxSample)") {
+    val old = AggSplit.percentileMaxSample
+    AggSplit.percentileMaxSample = 100
+    try {
+      val eng = newEngine()
+      eng.createStream("cap_s", streamSchema)
+      eng.createContView("v_cap",
+        "SELECT key, percentile(v, 0.5) AS p50 FROM cap_s GROUP BY key",
+        emitChanges = false)
+      // one hot group with 101 values: the partial already exceeds the cap
+      val hot = (1 to 101).map(i => ("hot", i.toLong, i.toDouble, tAt(i.toLong)))
+      val e = intercept[Exception] { eng.insertInto("cap_s", mkBatch(hot)) }
+      def messages(t: Throwable): String =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+      assert(messages(e).contains("group sample exceeds"))
+    } finally AggSplit.percentileMaxSample = old
+  }
+
+  test("TTL reaper scans only footer-stat candidate buckets (reaper.c at 100x state)") {
+    // smallStateBytes = 0 forces the bucket-pruned large-store path
+    val dir = java.nio.file.Files.createTempDirectory("graft_prune").toString
+    val eng = new ContViewEngine(spark, dir, smallStateBytes = 0L)
+    eng.createStream("pr_s", streamSchema)
+    eng.createContView("v_pr",
+      """SELECT date_round(ts, '1 day') AS d, count(*) AS n
+        |FROM pr_s GROUP BY date_round(ts, '1 day')""".stripMargin,
+      CvPlanner.CvOptions(ttl = Some("7 days"), ttlColumn = Some("d")),
+      emitChanges = false)
+    // 1500 rows spread hourly over ~62 days → ~62 day-buckets, most expired
+    val spread = (1 to 1500).map(i => (s"k${i % 5}", i.toLong, 1.0, tAt(i.toLong * 3600)))
+    eng.insertInto("pr_s", mkBatch(spread))
+    val maxTs = tAt(1500L * 3600)
+    val pass1 = eng.expireTtl("v_pr", Some(maxTs))
+    assert(pass1.totalBuckets > 0)
+    assert(pass1.rewrittenBuckets > 0, "first pass must delete expired days")
+    // surviving state: only day buckets within the 7-day ttl
+    val survivors = eng.overlay("v_pr").collect().map(_.getTimestamp(0)).toSet
+    val cutoff = new Timestamp(maxTs.getTime - 7L * 86400 * 1000)
+    assert(survivors.nonEmpty && survivors.forall(!_.before(cutoff)))
+    // an immediately repeated pass has nothing to expire: footer min stats
+    // exclude every bucket, so the pass must SCAN ZERO bucket files — this
+    // is the property that keeps a 1 s reaper cadence O(metadata), not
+    // O(state), at 100x scale
+    val pass2 = eng.expireTtl("v_pr", Some(maxTs))
+    assert(pass2.totalBuckets > 0)
+    assert(pass2.scannedBuckets == 0,
+      s"no-op reaper pass scanned ${pass2.scannedBuckets} of ${pass2.totalBuckets} buckets")
+    assert(pass2.rewrittenBuckets == 0)
+  }
+
+  test("bounded ingest await surfaces the wedged CQ by name (ingestAwaitMs)") {
+    val eng = newEngine()
+    eng.createStream("to_s", streamSchema)
+    eng.createContTransform("t_slow", "SELECT key, x, v, ts FROM to_s",
+      outputFunc = Some(_ => Thread.sleep(5000)), emitChanges = false)
+    eng.ingestAwaitMs = 300
+    val e = intercept[java.util.concurrent.TimeoutException] {
+      eng.insertInto("to_s", mkBatch(allRows.take(10)))
+    }
+    assert(e.getMessage.contains("t_slow"))
+  }
+
+  test("query() refuses to clobber user temp views and drops its transient bindings") {
+    val eng = newEngine()
+    eng.createStream("tv_s", streamSchema)
+    eng.createContView("v_tv", "SELECT key, count(*) AS n FROM tv_s GROUP BY key",
+      emitChanges = false)
+    eng.insertInto("tv_s", mkBatch(allRows.take(100)))
+    // a user temp view squatting on the matrel read name must not be
+    // silently replaced
+    spark.range(1).toDF("z").createOrReplaceTempView("v_tv_mrel")
+    val e = intercept[IllegalStateException] { eng.sql("SELECT * FROM v_tv_mrel") }
+    assert(e.getMessage.contains("user temp view"))
+    spark.catalog.dropTempView("v_tv_mrel")
+    // transient bindings are dropped once the statement is analyzed
+    assert(eng.sql("SELECT sum(n) AS t FROM v_tv").collect()(0).getLong(0) == 100L)
+    assert(!spark.catalog.tableExists("v_tv"))
+    assert(!spark.catalog.tableExists("v_tv_mrel"))
+  }
+
+  test("clock_timestamp() predicate on a continuous transform is a domain error") {
+    val eng = newEngine()
+    eng.createStream("ctx_s", streamSchema)
+    val e = intercept[IllegalArgumentException] {
+      eng.createContTransform("t_sw",
+        "SELECT key FROM ctx_s WHERE ts > clock_timestamp() - interval '1 hour'")
+    }
+    assert(e.getMessage.contains("continuous transforms"))
+    // a failed create must not poison the name for a valid retry
+    eng.createContTransform("t_sw", "SELECT key FROM ctx_s")
+  }
+
+  test("qualified (dotted) names are rejected up front") {
+    val eng = newEngine()
+    intercept[IllegalArgumentException] { eng.createStream("a.b", streamSchema) }
+    eng.createStream("dn_s", streamSchema)
+    intercept[IllegalArgumentException] {
+      eng.createContView("sch.v", "SELECT key, count(*) AS n FROM dn_s GROUP BY key")
+    }
+    intercept[IllegalArgumentException] {
+      eng.createContTransform("sch.t", "SELECT key FROM dn_s")
+    }
+  }
+
+  test("aggregates in subselects are rejected (cont_subselect.sql:40-58)") {
+    val eng = newEngine()
+    eng.createStream("ns_s", streamSchema)
+    val e1 = intercept[IllegalArgumentException] {
+      eng.createContView("v_ns1",
+        """SELECT c, count(*) AS n FROM (
+          |  SELECT key, count(*) AS c FROM ns_s GROUP BY key) t GROUP BY c""".stripMargin)
+    }
+    assert(e1.getMessage.contains("subselect"))
+    val e2 = intercept[IllegalArgumentException] {
+      eng.createContView("v_ns2",
+        "SELECT ub, count(*) AS n FROM (SELECT DISTINCT key AS ub FROM ns_s) t GROUP BY ub")
+    }
+    assert(e2.getMessage.contains("subselect"))
+  }
+
+  test("interval avg and decimal sum keep exact typed state (sql:142-225 type breadth)") {
+    val eng = newEngine()
+    eng.createStream("ty_s", streamSchema)
+    eng.createContView("v_ty",
+      """SELECT key,
+        |       avg(ts - TIMESTAMP '2024-06-01 00:00:00') AS gap,
+        |       sum(CAST(x AS DECIMAL(20,0)) * 0.0000000001) AS ds
+        |FROM ty_s GROUP BY key""".stripMargin,
+      emitChanges = false)
+    allRows.take(1200).grouped(400).foreach(c => eng.insertInto("ty_s", mkBatch(c)))
+    val got = eng.overlay("v_ty").collect()
+      .map(r => r.getString(0) -> (r.get(1), r.getDecimal(2))).toMap
+    val exp = mkBatch(allRows.take(1200)).groupBy("key").agg(
+      avg($"ts" - lit(Timestamp.valueOf("2024-06-01 00:00:00"))).as("gap"),
+      sum(expr("CAST(x AS DECIMAL(20,0)) * 0.0000000001")).as("ds")).collect()
+      .map(r => r.getString(0) -> (r.get(1), r.getDecimal(2))).toMap
+    assert(got == exp) // exact equality: typed states, no double round-trip
+  }
 }

@@ -246,6 +246,29 @@ class SketchSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(s2.serialize(), s.serialize()))
   }
 
+  test("space-saving: legacy 'S' states (pre-alpha layout) still deserialize") {
+    val s = SpaceSaving.empty(k = 5)
+    (1 to 200).foreach(i => s.add(s"v${i % 20}"))
+    // rebuild the pre-FSS wire layout from the current one: magic 'S', k,
+    // capacity, then entries — no bucket-alpha array
+    val cur = s.serialize()
+    val buf = java.nio.ByteBuffer.wrap(cur)
+    buf.get()
+    val k = buf.getInt; val cap = buf.getInt; val h = buf.getInt
+    val tailOff = 1 + 4 + 4 + 4 + 8 * h
+    val legacy = java.nio.ByteBuffer.allocate(1 + 4 + 4 + (cur.length - tailOff))
+    legacy.put('S'.toByte).putInt(k).putInt(cap)
+      .put(cur, tailOff, cur.length - tailOff)
+    val s2 = SpaceSaving.deserialize(legacy.array())
+    // monitored counts survive exactly; alphas zero-fill (only the
+    // unmonitored upper bound loosens)
+    assert(s2.topK.map(t => (t._1.toSeq, t._2)) ==
+      s.topK.map(t => (t._1.toSeq, t._2)))
+    intercept[IllegalArgumentException] {
+      SpaceSaving.deserialize(Array[Byte]('X', 0, 0, 0))
+    }
+  }
+
   // ---------------- randomized merge laws ----------------
 
   test("law: hll merge commutative + associative (register-exact)") {
