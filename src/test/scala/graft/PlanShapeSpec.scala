@@ -44,8 +44,11 @@ class PlanShapeSpec extends AnyFunSuite {
   //   q_sliding_window — 1-row scalar subquery (max(ts)) joined to pin the
   //                      window edge deterministically
   //   q_bloom_setops   — 1-row merged-sketch frame broadcast cross join
+  // q_embed_clusters: the broadcast side is the 8 seed centroids — bounded
+  // by construction, same pattern as q_knn_cosine's probe set.
   private val bnljAllowed =
-    Set("q_knn_cosine", "q_ngram_jaccard", "q_sliding_window", "q_bloom_setops")
+    Set("q_knn_cosine", "q_ngram_jaccard", "q_sliding_window", "q_bloom_setops",
+      "q_embed_clusters")
 
   // Shuffle ceilings measured on the current plans (Exchange nodes in the
   // executed plan, ReusedExchange excluded). A regression here means a new
@@ -63,6 +66,8 @@ class PlanShapeSpec extends AnyFunSuite {
     "q_cv_copy" -> 1, "q_cv_combine_table" -> 1, "q_cv_ticks" -> 1,
     "q_cv_bool" -> 1, "q_cv_distinct" -> 1, "q_cv_distinct_on" -> 1,
     "q_cv_subselect" -> 1, "q_cv_json_unroll" -> 1, "q_cv_typed" -> 1,
+    "q_pii_redact" -> 2, "q_bm25_search" -> 1, "q_embed_clusters" -> 4,
+    "q_media_frames" -> 1,
     "q_cv_async" -> 1, "q_cv_activate" -> 1, "q_cv_sw_combine" -> 1,
     "q_cv_transform_chain" -> 1, "q_date_round" -> 1, "q_dedup_exact" -> 2,
     "q_dist_quantiles" -> 2, "q_distinct" -> 2, "q_doc_stats" -> 3,

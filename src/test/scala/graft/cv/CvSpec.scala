@@ -1542,4 +1542,45 @@ class CvSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> (r.get(1), r.getDecimal(2))).toMap
     assert(got == exp) // exact equality: typed states, no double round-trip
   }
+
+  test("complex stream columns round-trip through CV state (cont_complex_types.sql)") {
+    val eng = newEngine()
+    // array / struct / map columns on the stream; grouping by a struct
+    // FIELD and an array ELEMENT, aggregating into set_agg over elements
+    // and min/max over a nested field — state columns themselves carry
+    // complex types through the parquet matrel and back
+    val schema = StructType(Seq(
+      StructField("tags", ArrayType(StringType)),
+      StructField("pos", StructType(Seq(
+        StructField("region", StringType), StructField("rank", LongType)))),
+      StructField("attrs", MapType(StringType, LongType))))
+    eng.createStream("cx_s", schema)
+    eng.createContView("v_cx",
+      """SELECT pos.region AS region, tags[0] AS lead_tag,
+        |       count(*) AS n, min(pos.rank) AS lo, max(pos.rank) AS hi,
+        |       set_agg(attrs['w']) AS ws
+        |FROM cx_s GROUP BY pos.region, tags[0]""".stripMargin,
+      emitChanges = false)
+    val rows = (1 to 600).map { i =>
+      (Seq(s"t${i % 3}", "x"), (s"r${i % 2}", i.toLong), Map("w" -> (i % 5).toLong))
+    }
+    val df = rows.toDF("tags", "pos", "attrs")
+      .select(col("tags"), col("pos").cast(schema("pos").dataType).as("pos"), col("attrs"))
+    // two chunks: the second MERGES complex-typed partial states into stored ones
+    eng.insertInto("cx_s", df.where(expr("pos.rank % 2 = 0")))
+    eng.insertInto("cx_s", df.where(expr("pos.rank % 2 = 1")))
+    val got = eng.overlay("v_cx")
+      .select(col("region"), col("lead_tag"), col("n"), col("lo"), col("hi"),
+        sort_array(col("ws")).as("ws"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getSeq[Long](5))))
+      .toMap
+    val exp = df.groupBy(expr("pos.region").as("region"), expr("tags[0]").as("lead_tag"))
+      .agg(count(lit(1)).as("n"), min("pos.rank").as("lo"), max("pos.rank").as("hi"),
+        sort_array(collect_set(expr("attrs['w']"))).as("ws"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getSeq[Long](5))))
+      .toMap
+    assert(got == exp)
+  }
 }

@@ -322,4 +322,64 @@ class OpsSpec extends AnyFunSuite {
     assert(expected.nonEmpty)
     assert(got == expected)
   }
+
+  test("pii: detect counts + redaction masks every category, clean text untouched") {
+    val rows = Seq(
+      (1L, "mail me at jo.doe+x@sub.example.org or root@h.co today"),
+      (2L, "server at 10.0.255.3 and 192.168.1.1, port 8080"),
+      (3L, "ssn 123-45-6789 phone 555 123 4567 and 555-123-4567"),
+      (4L, "no personal data here, just 1234 numbers 5.6"))
+      .toDF("id", "t")
+    val got = rows.select(
+      col("id"),
+      Pii.count(col("t"), "email").as("em"), Pii.count(col("t"), "ipv4").as("ip"),
+      Pii.count(col("t"), "ssn").as("ss"), Pii.count(col("t"), "phone").as("ph"),
+      Pii.redact(col("t")).as("red"), Pii.containsPii(col("t")).as("has"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)), r.getString(5), r.getBoolean(6)))
+      .toMap
+    assert(got(1L)._1 == ((2, 0, 0, 0)))
+    assert(got(1L)._2 == "mail me at [EMAIL] or [EMAIL] today")
+    assert(got(2L)._1 == ((0, 2, 0, 0)))
+    assert(got(2L)._2 == "server at [IPV4] and [IPV4], port 8080")
+    // 3: one ssn + two phone spellings; ssn must NOT be double-masked as phone
+    assert(got(3L)._1 == ((0, 0, 1, 2)))
+    assert(got(3L)._2 == "ssn [SSN] phone [PHONE] and [PHONE]")
+    assert(got(4L)._1 == ((0, 0, 0, 0)))
+    assert(got(4L)._2 == "no personal data here, just 1234 numbers 5.6")
+    assert(got.map { case (k, v) => k -> v._3 } ==
+      Map(1L -> true, 2L -> true, 3L -> true, 4L -> false))
+  }
+
+  test("bm25: scores match a direct driver-side Okapi computation") {
+    val docs = Seq(
+      (0L, "spark spark query fast"),
+      (1L, "query join slow table table table"),
+      (2L, "spark"),
+      (3L, "row scan merge sort"), // matches nothing
+      (4L, "Spark, QUERY! spark-join")) // tokenizer: case/punct insensitive
+      .toDF("doc_id", "text")
+    val got = KeywordScore.bm25(docs, "doc_id", "text", Seq("spark", "query"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    // independent reference computation
+    val toks = Map(
+      0L -> Seq("spark", "spark", "query", "fast"),
+      1L -> Seq("query", "join", "slow", "table", "table", "table"),
+      2L -> Seq("spark"),
+      3L -> Seq("row", "scan", "merge", "sort"),
+      4L -> Seq("spark", "query", "spark", "join"))
+    val n = toks.size.toDouble
+    val avgdl = toks.values.map(_.size).sum / n
+    def score(id: Long): Double = Seq("spark", "query").map { t =>
+      val tf = toks(id).count(_ == t).toDouble
+      val df = toks.values.count(_.contains(t)).toDouble
+      val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+      idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * toks(id).size / avgdl))
+    }.sum
+    assert(got.keySet == Set(0L, 1L, 2L, 4L), "only term-matching docs returned")
+    got.foreach { case (id, s) => assert(math.abs(s - score(id)) < 1e-9, s"doc $id") }
+    // more matched occurrences in a shorter doc must not score lower
+    assert(got(0L) > got(1L))
+  }
 }
