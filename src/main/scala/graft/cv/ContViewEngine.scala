@@ -1036,7 +1036,7 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
         groups = touched
         workerMs = h.store.lastWorkerMs
         combinerMs = h.store.lastCombinerMs
-        if (h.changes) emitChanges(h, oldRows, newRows, cached)
+        if (h.changes) emitChanges(h, oldRows, newRows(), cached)
       }
     } catch { case e: Throwable => failed = true; throw e }
     finally {

@@ -148,13 +148,25 @@ final class StateStore(
   /** Current state as a DataFrame (without the bucket column). */
   def read(): Option[DataFrame] = cachedState.orElse(readBuckets(None))
 
+  // State schema memo: set on every write (from the update frame, which
+  // carries the combine-kind column metadata) and on the first inferred
+  // read. Passing it to spark.read skips per-batch parquet schema
+  // inference — a driver-side footer read on every readBuckets otherwise.
+  @volatile private var knownSchema: Option[org.apache.spark.sql.types.StructType] = None
+
   /** State restricted to the given bucket ids (file-level pruning). */
   private def readBuckets(only: Option[Set[Int]]): Option[DataFrame] =
     readManifest().flatMap { m =>
       val wanted = only.map(s => m.buckets.view.filterKeys(s).toMap).getOrElse(m.buckets)
       val paths = wanted.values.map(rel => s"$root/$rel").toSeq
       if (paths.isEmpty) None
-      else Some(spark.read.parquet(paths: _*))
+      else Some(knownSchema match {
+        case Some(sch) => spark.read.schema(sch).parquet(paths: _*)
+        case None =>
+          val df = spark.read.parquet(paths: _*)
+          knownSchema = Some(df.schema)
+          df
+      })
     }
 
   /** Merge partial-aggregated updates into the store.
@@ -169,7 +181,7 @@ final class StateStore(
       updates: DataFrame,
       reAgg: Seq[(String, org.apache.spark.sql.Column => org.apache.spark.sql.Column)],
       needOldRows: Boolean = true)
-      : (Option[DataFrame], DataFrame, Long) = this.synchronized {
+      : (Option[DataFrame], () => DataFrame, Long) = this.synchronized {
     // Mutations serialize per store (this.synchronized here, deleteWhere,
     // truncate): the manifest commit is a read-modify-write, so a concurrent
     // upsert and reaper pass (startReaper runs on its own thread) — or two
@@ -179,6 +191,9 @@ final class StateStore(
     // proc owns each matrel's sync cycle); different CVs' stores still
     // merge in parallel.
     flushPendingGc() // previous version's consumers are done by now (see below)
+    // the update frame IS the state schema (incl. combine-kind metadata) —
+    // memoize it so every state read this cycle skips footer inference
+    knownSchema = Some(updates.schema)
     val up = updates.withColumn(BucketCol, bucketOf)
     val manifest = readManifest()
 
@@ -216,7 +231,7 @@ final class StateStore(
     if (touched.isEmpty) {
       lastCombinerMs = 0L
       val empty = updates.limit(0)
-      return (if (needOldRows) Some(empty) else None, empty, 0L)
+      return (if (needOldRows) Some(empty) else None, () => empty, 0L)
     }
     val existingTouched = cachedState
       .map(_.where(bucketOf.isInCollection(touched.map(_.toLong))))
@@ -274,7 +289,9 @@ final class StateStore(
     deferGcOldVersions(keep = newBuckets.values.map(_.takeWhile(_ != '/')).toSet)
     refreshCache()
 
-    val newRows = semiOnKeys(readBuckets(Some(touched)).get)
+    // lazy: building the post-image DataFrame costs a driver-side file
+    // listing — changes-disabled CVs never pay it
+    val newRows = () => semiOnKeys(readBuckets(Some(touched)).get)
     (old, newRows, groupsTouched)
     } finally {
       // merge has run (or failed) — the cache has no later consumer either way
@@ -297,7 +314,7 @@ final class StateStore(
       updates: DataFrame,
       up: DataFrame,
       reAgg: Seq[(String, org.apache.spark.sql.Column => org.apache.spark.sql.Column)],
-      needOldRows: Boolean): (Option[DataFrame], DataFrame, Long) = {
+      needOldRows: Boolean): (Option[DataFrame], () => DataFrame, Long) = {
     val selfPersist = updates.storageLevel == org.apache.spark.storage.StorageLevel.NONE
     if (selfPersist) updates.persist()
     try {
@@ -305,7 +322,7 @@ final class StateStore(
       if (groupsTouched == 0L) {
         lastCombinerMs = 0L
         val empty = updates.limit(0)
-        return (if (needOldRows) Some(empty) else None, empty, 0L)
+        return (if (needOldRows) Some(empty) else None, () => empty, 0L)
       }
       // A deleteWhere/TTL pass (or a fully-filtered first batch) can leave a
       // manifest whose bucket map is empty — treat missing state as empty
@@ -352,7 +369,7 @@ final class StateStore(
         small = newBuckets.values.map(dirBytes).sum < SmallStateBytes))
       deferGcOldVersions(keep = Set(s"v$version"))
       refreshCache()
-      val newRows = semiOnKeys(readBuckets(Some(written)).get)
+      val newRows = () => semiOnKeys(readBuckets(Some(written)).get)
       (old, newRows, groupsTouched)
     } finally {
       // merge has run (or failed) — the cache has no later consumer either way
@@ -390,21 +407,26 @@ final class StateStore(
     * come from the partition dirs the write produced, the group count from
     * an observe() metric riding the same job.
     */
-  private def firstWrite(up: DataFrame): (Option[DataFrame], DataFrame, Long) = {
+  private def firstWrite(up: DataFrame): (Option[DataFrame], () => DataFrame, Long) = {
     val outDir = s"$root/v0"
     val obs = org.apache.spark.sql.Observation()
     // one fused job computes partials AND writes: no separate worker phase
     lastWorkerMs = 0L
+    // Two narrow tasks, not a numBuckets-wide bucket shuffle: a store's
+    // FIRST batch is one micro-batch's groups (bounded by micro-batch
+    // sizing even at scale), and per-task commit overhead dominates a
+    // 32-way fan-out of tiny files — measured 4-6x the flat-write floor.
+    // Subsequent large merges size tasks by group volume (see writeTasks).
     phase(lastCombinerMs = _)(
       timed("first-write")(up.observe(obs, org.apache.spark.sql.functions.count(lit(1)).as("n"))
-      .repartition(numBuckets, col(BucketCol))
+      .coalesce(math.min(2, numBuckets))
       .write.partitionBy(BucketCol).mode("overwrite").parquet(outDir)))
     val groupsTouched = observedCount(obs, up.count())
     val written = writtenBuckets(outDir)
     writeManifest(Manifest(0L, written.map(b => b -> s"v0/$BucketCol=$b").toMap,
       small = written.map(b => dirBytes(s"v0/$BucketCol=$b")).sum < SmallStateBytes))
     refreshCache()
-    val newRows = read().getOrElse(up.limit(0).drop(BucketCol))
+    val newRows = () => read().getOrElse(up.limit(0).drop(BucketCol))
     (None, newRows, groupsTouched)
   }
 
