@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Duplicate-cluster closure: connected components over a near-duplicate
+  * pair set, labeling every member with its cluster's minimum id (the
+  * canonical document). This is the step that turns pairwise near-dup
+  * output (MinHash/SimHash/cosine) into "keep one per cluster" decisions.
+  *
+  * Algorithm: min-label propagation with pointer jumping — each round
+  * every vertex takes the minimum label among itself and its neighbors,
+  * then labels are followed one level (comp(x) ← comp(comp(x)), the
+  * path-halving trick), giving O(log diameter) rounds instead of
+  * O(diameter); fixpoint when the label sum stops changing (labels only
+  * ever decrease, so the sum is a monotone convergence witness costing one
+  * tiny agg per round, not a self-join diff). Near-dup graphs are
+  * overwhelmingly tiny cliques, so convergence is 2-3 rounds. Each round
+  * shuffles only (id, label) pairs — never text, never signatures — and
+  * every round's frame is `localCheckpoint`ed: iterative plans otherwise
+  * double their lineage per round (the round-N frame references round-N-1
+  * twice) and the optimizer chokes on an exponentially deep tree long
+  * before the data does. The same structure is the MapReduce-and-Beyond
+  * formulation (Kiveris et al., SoCC'14) whose large-star/small-star
+  * refinement drops in here unchanged if adversarial diameters ever
+  * matter.
+  */
+object DedupClusters {
+
+  /** (id, component) for every vertex that appears in `pairs`; component =
+    * min id reachable. `maxRounds` bounds the driver loop (covers diameter
+    * up to ~2^maxRounds via pointer jumping) — the loop exits early at the
+    * fixpoint.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxRounds: Int = 25): DataFrame = {
+    val fwd = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+    val edges = fwd.unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("comp")).localCheckpoint(true)
+    var prevSum = labels.agg(sum("comp")).collect()(0).getLong(0)
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      val nbr = edges.join(labels, edges("src") === labels("id"))
+        .select(edges("dst").as("id"), labels("comp"))
+      val merged = labels.unionByName(nbr)
+        .groupBy("id").agg(min("comp").as("comp"))
+      // pointer jump: a label IS a vertex id, so follow it one level —
+      // halves remaining path length every round
+      val lab2 = merged.select(col("id").as("cid"), col("comp").as("ccomp"))
+      val next = merged.join(lab2, merged("comp") === lab2("cid"), "left")
+        .select(merged("id"), coalesce(lab2("ccomp"), merged("comp")).as("comp"))
+        .localCheckpoint(true)
+      val s = next.agg(sum("comp")).collect()(0).getLong(0)
+      labels.unpersist()
+      labels = next
+      converged = s == prevSum
+      prevSum = s
+      rounds += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Per-cluster summary: canonical (minimum) id, member count, max id. */
+  def clusterSummary(pairs: DataFrame, aCol: String, bCol: String): DataFrame =
+    connectedComponents(pairs, aCol, bCol)
+      .groupBy(col("comp").as("component"))
+      .agg(count(lit(1)).as("n_docs"), max("id").as("max_id"))
+}

@@ -263,5 +263,40 @@ object DedupQueries {
         .select(col("media_id"), col("format"), col("width"), col("height"),
           lower(hex(col("bytes"))).as("fp"))
         .orderBy("media_id")
+    },
+
+    // Duplicate-cluster closure: connected components over the MinHash+LSH
+    // near-dup pairs, one row per cluster with its canonical (min) id.
+    // DuckDB recomputes the same clusters via a recursive transitive
+    // closure over the brute-force pair set (tiny at oracle scale; the
+    // Spark side is the iterative min-label propagation that scales).
+    QDef(
+      "q_dedup_clusters",
+      s"""WITH RECURSIVE $corpusSql, $shinglesSql,
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sh a, sh b
+         |  WHERE a.doc_id < b.doc_id
+         |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.6
+         |),
+         |e AS (
+         |  SELECT id_a AS a, id_b AS b FROM pairs
+         |  UNION
+         |  SELECT id_b AS a, id_a AS b FROM pairs
+         |),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM e
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+         |),
+         |comp AS (
+         |  SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a
+         |)
+         |SELECT component, count(*) AS n_docs, max(id) AS max_id
+         |FROM comp GROUP BY component ORDER BY component""".stripMargin) { (s, dir) =>
+      val pairs = MinHashLsh.nearDuplicates(seededCorpus(s, dir), "doc_id", "text", 0.6)
+      graft.ops.DedupClusters.clusterSummary(pairs, "id_a", "id_b")
+        .orderBy("component")
     })
 }

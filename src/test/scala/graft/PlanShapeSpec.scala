@@ -67,7 +67,10 @@ class PlanShapeSpec extends AnyFunSuite {
     "q_cv_bool" -> 1, "q_cv_distinct" -> 1, "q_cv_distinct_on" -> 1,
     "q_cv_subselect" -> 1, "q_cv_json_unroll" -> 1, "q_cv_typed" -> 1,
     "q_pii_redact" -> 2, "q_bm25_search" -> 1, "q_embed_clusters" -> 4,
-    "q_media_frames" -> 1,
+    // q_dedup_clusters: the returned frame is the per-cluster summary over
+    // the final (checkpointed) labels — the iterative rounds' shuffles run
+    // inside the builder and don't appear in this plan
+    "q_media_frames" -> 1, "q_dedup_clusters" -> 2,
     "q_cv_async" -> 1, "q_cv_activate" -> 1, "q_cv_sw_combine" -> 1,
     "q_cv_transform_chain" -> 1, "q_date_round" -> 1, "q_dedup_exact" -> 2,
     "q_dist_quantiles" -> 2, "q_distinct" -> 2, "q_doc_stats" -> 3,

@@ -351,6 +351,37 @@ class OpsSpec extends AnyFunSuite {
       Map(1L -> true, 2L -> true, 3L -> true, 4L -> false))
   }
 
+  test("dedup clusters: connected components match driver-side union-find") {
+    val rng2 = new scala.util.Random(11)
+    // random sparse graph incl. a long chain (forces multiple propagation
+    // rounds) and isolated cliques
+    val chain = (0L until 30L).map(i => (i, i + 1))
+    val cliques = (0 until 10).flatMap { c =>
+      val base = 1000L + c * 10
+      Seq((base, base + 1), (base + 1, base + 2), (base, base + 2))
+    }
+    val randomEdges = (0 until 40).map { _ =>
+      val a = 2000L + rng2.nextInt(60); val b = 2000L + rng2.nextInt(60)
+      (math.min(a, b), math.max(a, b))
+    }.filter(e => e._1 != e._2)
+    val edges = (chain ++ cliques ++ randomEdges).distinct
+    // driver-side union-find reference
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.map(v => v -> find(v)).toMap
+    val got = DedupClusters.connectedComponents(
+      edges.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
   test("bm25: scores match a direct driver-side Okapi computation") {
     val docs = Seq(
       (0L, "spark spark query fast"),
