@@ -615,7 +615,32 @@ object CvPlanner {
     * counterpart of the reference's `GetCombineAggs` catalog lookup
     * (analyzer.c:4282-4446).
     */
-  private def splitOf(ae: AggregateExpression): AggSplit = {
+  private def splitOf(ae0: AggregateExpression): AggSplit = {
+    // agg(...) FILTER (WHERE p): rewrite each data input to If(p, input,
+    // NULL) and dispatch on the unfiltered shape — every split below (and
+    // every sketch buffer) ignores NULL inputs, so the state aggregates
+    // exactly the filtered rows (the reference keeps PG's filtered
+    // aggregates combinable; cont_hs_agg.sql's hypothetical-set shapes are
+    // count(*) FILTER underneath). Literal parameters (percentile
+    // fractions, string_agg delimiters) stay foldable; when every child is
+    // foldable — count(*), sum(1) — the first is wrapped so the predicate
+    // still reaches the row stream.
+    val ae = ae0.filter match {
+      case None => ae0
+      case Some(p) =>
+        import org.apache.spark.sql.catalyst.expressions.{If => IfExpr, Literal}
+        val f = ae0.aggregateFunction
+        val anyData = f.children.exists(!_.foldable)
+        val newKids = f.children.zipWithIndex.map { case (ch, i) =>
+          if (!ch.foldable || (!anyData && i == 0))
+            IfExpr(p, ch, Literal.create(null, ch.dataType))
+          else ch
+        }
+        ae0.copy(
+          aggregateFunction = f.withNewChildren(newKids)
+            .asInstanceOf[org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction],
+          filter = None)
+    }
     def c(e: Expression): Column = GraftBridge.column(e)
     ae.aggregateFunction match {
       case f: Count if ae.isDistinct =>

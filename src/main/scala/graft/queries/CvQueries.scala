@@ -83,6 +83,15 @@ object CvQueries {
           |       bit_and(user_id) AS band, bit_or(user_id) AS bor
           |FROM ev_stream GROUP BY event_type""".stripMargin,
         emitChanges = false)
+      // FILTER (WHERE ...) on CV aggregates (PG filter clause; the
+      // reference's hypothetical-set shapes are filtered counts underneath)
+      eng.createContView("v_filter",
+        """SELECT event_type, count(*) AS n,
+          |       count(*) FILTER (WHERE value > 100) AS n_hi,
+          |       sum(value) FILTER (WHERE user_id % 2 = 0) AS sv_even,
+          |       avg(value) FILTER (WHERE value > 50) AS av_hi
+          |FROM ev_stream GROUP BY event_type""".stripMargin,
+        emitChanges = false)
       // flat subselect below the aggregate (cont_subselect.sql:1-30): the
       // kept child plan carries the inner projection + filter per batch
       eng.createContView("v_subsel",
@@ -415,6 +424,23 @@ object CvQueries {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) {
       (s, dir) =>
         engineFor(s, dir).overlay("v_bool").orderBy("event_type")
+    },
+
+    // FILTER (WHERE ...) aggregates maintained incrementally: the filter
+    // rides the split state (If(p, x, NULL) inputs), so incremental equals
+    // single shot.
+    QDef(
+      "q_cv_filter",
+      """SELECT event_type, count(*) AS n,
+        |       count(*) FILTER (WHERE value > 100) AS n_hi,
+        |       round(sum(value) FILTER (WHERE user_id % 2 = 0), 2) AS sv_even,
+        |       round(avg(value) FILTER (WHERE value > 50), 4) AS av_hi
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) {
+      (s, dir) =>
+        engineFor(s, dir).overlay("v_filter")
+          .select(col("event_type"), col("n"), col("n_hi"),
+            round(col("sv_even"), 2).as("sv_even"), round(col("av_hi"), 4).as("av_hi"))
+          .orderBy("event_type")
     },
 
     // cont_subselect.sql:1-30: flat subselect (projection + filter) below

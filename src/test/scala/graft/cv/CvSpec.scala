@@ -1543,6 +1543,56 @@ class CvSpec extends AnyFunSuite {
     assert(got == exp) // exact equality: typed states, no double round-trip
   }
 
+  test("sliding window composes across aggregate families (cont_sw_bool/stats/os/hs_agg.sql)") {
+    // The SW overlay re-combines live step buckets through each aggregate's
+    // generic reAgg — one test pins that the machinery is family-agnostic:
+    // bool, stats (variance/corr), ordered-set (exact percentile),
+    // hypothetical-set (combinable_rank shape), and sketch (HLL) aggregates
+    // under one window, with expiry semantics identical to count's.
+    val eng = newEngine()
+    eng.createStream("swf_s", streamSchema)
+    eng.createContView("v_swf",
+      """SELECT key, count(*) AS n,
+        |       bool_and(x % 2 = 0) AS all_even, bool_or(x % 2 = 0) AS any_even,
+        |       var_samp(v) AS vs, corr(x, v) AS cr,
+        |       percentile(v, 0.5) AS p50,
+        |       1 + count(*) FILTER (WHERE v < 5.0) AS hypo_rank,
+        |       hll_count_distinct(x) AS nd
+        |FROM swf_s GROUP BY key""".stripMargin,
+      CvPlanner.CvOptions(sw = Some("1000 seconds"), swColumn = "ts", stepFactor = 5),
+      emitChanges = false)
+    allRows.grouped(700).foreach(c => eng.insertInto("swf_s", mkBatch(c)))
+
+    // live rows at now=t+3000, bucket-aligned like the count SW test
+    val bucketCut = new Timestamp((tAt(3000).getTime / 1000 - 1000) / 50 * 50 * 1000)
+    val live = mkBatch(allRows).where(CvPlanner.dateRound($"ts", 50) > lit(bucketCut))
+    val exp = live.groupBy("key").agg(
+      count(lit(1)).as("n"),
+      min(($"x" % 2 === 0).cast("int")).as("all_even"),
+      max(($"x" % 2 === 0).cast("int")).as("any_even"),
+      var_samp($"v").as("vs"), corr($"x", $"v").as("cr"),
+      expr("percentile(v, 0.5)").as("p50"),
+      (lit(1) + count_if($"v" < 5.0)).as("hypo_rank"),
+      expr("hll_count_distinct(x)").as("nd"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val got = eng.overlay("v_swf", Some(tAt(3000)))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == exp.keySet)
+    got.keySet.foreach { k =>
+      val (g, e) = (got(k), exp(k))
+      assert(g.getLong(1) == e.getLong(1), s"$k n")
+      assert(g.getBoolean(2) == (e.getInt(2) == 1), s"$k all_even")
+      assert(g.getBoolean(3) == (e.getInt(3) == 1), s"$k any_even")
+      assert(math.abs(g.getDouble(4) - e.getDouble(4)) < 1e-6, s"$k var_samp")
+      assert(math.abs(g.getDouble(5) - e.getDouble(5)) < 1e-6, s"$k corr")
+      assert(math.abs(g.getDouble(6) - e.getDouble(6)) < 1e-9, s"$k p50")
+      assert(g.getLong(7) == e.getLong(7), s"$k hypo_rank")
+      assert(g.getLong(8) == e.getLong(8), s"$k hll")
+    }
+    // beyond window + slop → empty, same as the count-only SW test
+    assert(eng.overlay("v_swf", Some(tAt(99999))).count() == 0)
+  }
+
   test("complex stream columns round-trip through CV state (cont_complex_types.sql)") {
     val eng = newEngine()
     // array / struct / map columns on the stream; grouping by a struct
