@@ -246,6 +246,19 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     def mentioned(name: String): Boolean =
       ("""(?i)(?<![\w.])""" + java.util.regex.Pattern.quote(name) + """(?![\w.])""").r
         .findFirstIn(rewritten).isDefined
+    // Streams (incl. `<cv>_osrel` output streams) are unstored event
+    // sources only continuous queries may scan — an ad-hoc SELECT would
+    // silently read the empty stream relation and return nothing. The
+    // reference rejects it the same way (typed_streams.sql:6-7; ad-hoc
+    // change reads go through output_of('cv') instead).
+    streams.keys.foreach { s =>
+      if (mentioned(s))
+        throw new IllegalArgumentException(
+          s"stream '$s' can only be read by continuous queries; " +
+            (if (s.endsWith("_osrel"))
+               s"use output_of('${s.stripSuffix("_osrel")}') for ad-hoc change reads"
+             else "create a continuous view or transform over it"))
+    }
     views.keys.foreach { v =>
       if (mentioned(v)) bind(v)(registerOverlay(v))
       if (mentioned(s"${v}_mrel")) {
@@ -424,6 +437,14 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     idempotent(name, s"view|$selectSql|$options|$emitChanges") {
       val plan = CvPlanner.plan(spark, name, rewriteOutputOf(selectSql), options,
         streamLeafIds = streams.values.map(_.leafIds).toSeq)
+      // pk must name an output column of the view (cont_pk.sql: unknown
+      // columns and non-identifier values are creation-time errors)
+      options.pk.foreach { pk =>
+        val outputs = plan.keyNames ++ plan.aggs.filterNot(_.hidden).map(_.name)
+        require(outputs.contains(pk),
+          s"pk '$pk' is not a column of continuous view $name " +
+            s"(columns: ${outputs.mkString(", ")})")
+      }
       val leafIds = plan.streamLeaf.output.map(_.exprId)
       val streamName = streams.values.find(_.leafIds == leafIds)
         .map(_.name).getOrElse(throw new IllegalStateException(

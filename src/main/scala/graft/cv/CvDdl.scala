@@ -142,7 +142,8 @@ object CvDdl {
           swColumn = opts.getOrElse("sw_column", defaults.swColumn),
           stepFactor = opts.get("step_factor").map(_.toDouble).getOrElse(defaults.stepFactor),
           ttl = opts.get("ttl"),
-          ttlColumn = opts.get("ttl_column")), emitChanges)
+          ttlColumn = opts.get("ttl_column"),
+          pk = opts.get("pk")), emitChanges)
       case "transform" =>
         require(Seq("sw", "ttl", "step_factor").forall(!opts.contains(_)),
           "sw/ttl options apply to materialized views, not transforms")

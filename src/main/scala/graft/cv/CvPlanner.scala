@@ -53,7 +53,14 @@ object CvPlanner {
       swColumn: String = "arrival_timestamp",
       stepFactor: Double = 5.0,           // bucket = stepFactor% of window
       ttl: Option[String] = None,
-      ttlColumn: Option[String] = None)
+      ttlColumn: Option[String] = None,
+      // pk = physical row-identity column of the matrel (cont_pk.sql;
+      // pipeline_query.c:903). Our state table is keyed by the group
+      // columns themselves, so the option is validated (must name an
+      // output column) and carried in the catalog for parity — the
+      // hidden-$pk machinery it configures in the reference is a heap-
+      // table detail Spark state has no analogue of.
+      pk: Option[String] = None)
 
   /** The reference's PRIMARY sliding-window spelling is the explicit
     * predicate `WHERE <ts> > clock_timestamp() - interval '<w>'` (every

@@ -1496,6 +1496,39 @@ class CvSpec extends AnyFunSuite {
     eng.createContTransform("t_sw", "SELECT key FROM ctx_s")
   }
 
+  test("streams cannot be SELECTed directly (typed_streams.sql:6-7)") {
+    val eng = newEngine()
+    eng.createStream("ds_s", streamSchema)
+    eng.createContView("v_ds", "SELECT key, count(*) AS n FROM ds_s GROUP BY key")
+    eng.insertInto("ds_s", mkBatch(allRows.take(50)))
+    val e1 = intercept[IllegalArgumentException] { eng.sql("SELECT * FROM ds_s") }
+    assert(e1.getMessage.contains("continuous queries"))
+    // the output stream is a stream too: direct reads point at output_of
+    val e2 = intercept[IllegalArgumentException] { eng.sql("SELECT * FROM v_ds_osrel") }
+    assert(e2.getMessage.contains("output_of"))
+    // the sanctioned spellings still work
+    assert(eng.sql("SELECT sum(n) AS t FROM v_ds").collect()(0).getLong(0) == 50L)
+    assert(eng.sql("SELECT count(*) FROM output_of('v_ds')").collect()(0).getLong(0) > 0L)
+  }
+
+  test("pk option: output columns accepted, unknown rejected (cont_pk.sql)") {
+    val eng = newEngine()
+    eng.createStream("pk_s", streamSchema)
+    // group key and aggregate output are both valid pk targets
+    eng.createContView("v_pk0", "SELECT key, count(*) AS n FROM pk_s GROUP BY key",
+      CvPlanner.CvOptions(pk = Some("key")), emitChanges = false)
+    eng.sql("""CREATE CONTINUOUS VIEW v_pk1 WITH (pk = 'n') AS
+              |SELECT key, count(*) AS n FROM pk_s GROUP BY key""".stripMargin)
+    eng.insertInto("pk_s", mkBatch(allRows.take(100)))
+    assert(eng.overlay("v_pk0").collect().map(_.getLong(1)).sum == 100L)
+    assert(eng.overlay("v_pk1").collect().map(_.getLong(1)).sum == 100L)
+    val e = intercept[IllegalArgumentException] {
+      eng.createContView("v_pk2", "SELECT key, count(*) AS n FROM pk_s GROUP BY key",
+        CvPlanner.CvOptions(pk = Some("not_here")))
+    }
+    assert(e.getMessage.contains("not_here"))
+  }
+
   test("qualified (dotted) names are rejected up front") {
     val eng = newEngine()
     intercept[IllegalArgumentException] { eng.createStream("a.b", streamSchema) }
