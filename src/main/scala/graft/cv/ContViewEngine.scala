@@ -1,6 +1,6 @@
 package graft.cv
 
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Paths, StandardCopyOption}
 import scala.collection.mutable
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -162,9 +162,12 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
               swColumn = fields("swColumn"),
               stepFactor = fields("stepFactor").toDouble,
               ttl = Option(fields("ttl")).filter(_.nonEmpty),
-              ttlColumn = Option(fields("ttlColumn")).filter(_.nonEmpty))
+              ttlColumn = Option(fields("ttlColumn")).filter(_.nonEmpty),
+              pk = fields.get("sink").filter(_.nonEmpty))
             createContView(fields("name"), fields("payload"), opts,
               emitChanges = fields("changes").toBoolean)
+          case "rename" =>
+            renameContView(fields("name"), fields("payload"))
           case "transform" =>
             createContTransform(fields("name"), fields("payload"),
               sinkStream = Option(fields("sink")).filter(_.nonEmpty),
@@ -306,6 +309,7 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
       sink.foreach { s => require(streams.contains(s),
         s"outputfunc insert_into_stream('$s'): unknown stream $s") }
       createContTransform(name, select, sinkStream = sink, emitChanges = changes); ()
+    case CvDdl.Rename(name, newName) => renameContView(name, newName)
     case CvDdl.Activate(name) => activate(name)
     case CvDdl.Deactivate(name) => deactivate(name)
     case CvDdl.Drop(kind, name) => kind match {
@@ -470,10 +474,66 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
       }
       appendCatalog(CatalogEntry("view", name, selectSql,
         options.sw.getOrElse(""), options.swColumn, options.stepFactor,
-        options.ttl.getOrElse(""), options.ttlColumn.getOrElse(""), "", changes = emitChanges))
+        options.ttl.getOrElse(""), options.ttlColumn.getOrElse(""),
+        options.pk.getOrElse(""), changes = emitChanges))
       defs(name) = selectSql
       handle
     }.getOrElse(views(name))
+  }
+
+  /** ALTER VIEW name RENAME TO newName (cont_alter.sql:5): the view answers
+    * to the new name everywhere — overlay, `<new>_mrel` SQL spelling, its
+    * output stream (downstream readers keep working: their planned leaf
+    * attribute ids move with the stream registration) — and the state/
+    * changes storage moves with it. Running startStreaming drivers are NOT
+    * retargeted; rename between, not during, streaming runs.
+    */
+  def renameContView(name: String, newName: String): Unit = synchronized {
+    requireSimpleName(newName, "continuous view")
+    if (name == newName) return
+    val h = views.getOrElse(name, throw new IllegalArgumentException(
+      s"$name is not a continuous view"))
+    require(!views.contains(newName) && !transforms.contains(newName) &&
+      !streams.contains(newName), s"cannot rename $name: '$newName' is already in use")
+    // physical move: state, changes archive, tick marks all live under
+    // root/<name>. During catalog replay the on-disk layout already
+    // reflects the rename (the pre-rename dir never existed this boot).
+    val from = Paths.get(root, name)
+    if (Files.exists(from))
+      Files.move(from, Paths.get(root, newName), StandardCopyOption.ATOMIC_MOVE)
+    val store2 = new StateStore(exec, s"$root/$newName/state", h.plan.stateKeys,
+      numBuckets = math.max(8, ingestShufflePartitions),
+      smallStateBytes = smallStateBytes)
+    views.remove(name)
+    views(newName) = h.copy(plan = h.plan.copy(name = newName), store = store2)
+    defs.remove(name).foreach(defs(newName) = _)
+    defSignatures.remove(name).foreach(defSignatures(newName) = _)
+    statsMap.remove(name).foreach(s => statsMap(newName) = s.copy(name = newName))
+    procMsMap.remove(name).foreach(procMsMap(newName) = _)
+    readers.values.foreach { buf =>
+      val i = buf.indexOf(name); if (i >= 0) buf(i) = newName
+    }
+    // the output stream follows the view; re-registering the SAME analyzed
+    // relation keeps the attribute ids downstream CQ plans are bound to
+    val (oldOs, newOs) = (osrelName(name), osrelName(newName))
+    streams.remove(oldOs).foreach { sd =>
+      streams(newOs) = sd.copy(name = newOs)
+      org.apache.spark.sql.GraftBridge.ofRows(spark,
+        org.apache.spark.sql.GraftBridge.analyzed(spark.table(oldOs)))
+        .createOrReplaceTempView(newOs)
+      spark.catalog.dropTempView(oldOs)
+      ownedTempViews += newOs; ownedTempViews -= oldOs
+      readers.remove(oldOs).foreach(readers(newOs) = _)
+      streamBatches.remove(oldOs).foreach(streamBatches(newOs) = _)
+    }
+    // stale SQL bindings of the old name resolve against moved storage
+    Seq(name, s"${name}_mrel", s"__graft_read_$oldOs").foreach { n =>
+      if (ownedTempViews.contains(n)) {
+        spark.catalog.dropTempView(n); ownedTempViews -= n
+      }
+    }
+    appendCatalog(CatalogEntry("rename", name, newName, "", "", 0, "", "", "",
+      changes = false))
   }
 
   /** CREATE VIEW t WITH (action=transform [, outputfunc=…]) AS selectSql —
@@ -776,9 +836,11 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
       needOldRows = false)
   }
 
-  private val statsMap = mutable.LinkedHashMap.empty[String, CqStats]
+  // lazy: renameContView touches these during the constructor's catalog
+  // replay, before later-declared fields would otherwise initialize
+  private lazy val statsMap = mutable.LinkedHashMap.empty[String, CqStats]
   // per-proc split: CQ name → (workerMs, combinerMs) accumulated
-  private val procMsMap = mutable.LinkedHashMap.empty[String, (Long, Long)]
+  private lazy val procMsMap = mutable.LinkedHashMap.empty[String, (Long, Long)]
 
   private def recordStats(name: String, kind: String,
       groupsOut: Long, ms: Long, failed: Boolean,
@@ -820,7 +882,8 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     }.toDF()
   }
 
-  private val streamBatches = mutable.LinkedHashMap.empty[String, Long]
+  // lazy for the same replay-order reason as statsMap
+  private lazy val streamBatches = mutable.LinkedHashMap.empty[String, Long]
 
   /** Per-stream ingest counters (reference pipelinedb.stream_stats). */
   def streamStats(): DataFrame = {

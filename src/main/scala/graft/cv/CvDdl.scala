@@ -38,6 +38,7 @@ object CvDdl {
   final case class Deactivate(name: String) extends Stmt
   /** kind ∈ view | transform | stream (plain DROP VIEW resolves either CQ kind). */
   final case class Drop(kind: String, name: String) extends Stmt
+  final case class Rename(name: String, newName: String) extends Stmt
   final case class Insert(stream: String, columns: Option[Seq[String]], valuesSql: String)
     extends Stmt
   /** INSERT INTO s [(cols)] SELECT … (stream_insert_subselect.sql shapes,
@@ -60,6 +61,10 @@ object CvDdl {
     """(?is)\s*CREATE\s+VIEW\s+([\w.]+)\s+AS\s+(SELECT\b.*?)\s*;?\s*""".r
   private val ActivateRe = """(?is)\s*ACTIVATE\s+([\w.]+)\s*;?\s*""".r
   private val DeactivateRe = """(?is)\s*DEACTIVATE\s+([\w.]+)\s*;?\s*""".r
+  private val AlterRenameRe =
+    """(?is)\s*ALTER\s+(?:CONTINUOUS\s+)?VIEW\s+([\w.]+)\s+RENAME\s+TO\s+([\w.]+)\s*;?\s*""".r
+  private val AlterTableRenameRe =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+RENAME\s+TO\s+([\w.]+)\s*;?\s*""".r
   private val DropRe =
     """(?is)\s*DROP\s+(CONTINUOUS\s+VIEW|CONTINUOUS\s+TRANSFORM|VIEW|STREAM|FOREIGN\s+TABLE)\s+([\w.]+)\s*;?\s*""".r
   private val InsertRe =
@@ -102,6 +107,14 @@ object CvDdl {
       // CREATE VIEW over a stream with no options at all is a continuous
       // view in the reference dialect (every cont_* regress test's shape)
       buildQuery(name, select, Map.empty, defaultAction = "materialize")
+    case AlterRenameRe(name, newName) => Rename(name, newName)
+    case AlterTableRenameRe(name, _) =>
+      // cont_alter.sql:6-7: matrels keep their name; renaming one directly
+      // is refused like the reference's dependency check
+      throw new IllegalArgumentException(
+        if (name.endsWith("_mrel"))
+          s"cannot rename materialization table \"$name\" for a continuous view"
+        else s"ALTER TABLE is not supported (got rename of '$name')")
     case ActivateRe(name) => Activate(name)
     case DeactivateRe(name) => Deactivate(name)
     case DropRe(kind, name) =>

@@ -1496,6 +1496,39 @@ class CvSpec extends AnyFunSuite {
     eng.createContTransform("t_sw", "SELECT key FROM ctx_s")
   }
 
+  test("ALTER VIEW RENAME carries state, SQL surface, chaining, and restarts (cont_alter.sql)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ren").toString
+    val eng = new ContViewEngine(spark, dir)
+    eng.createStream("rn_s", streamSchema)
+    eng.createContView("v_rn", "SELECT key, count(*) AS n FROM rn_s GROUP BY key")
+    // downstream CV chained on the output stream BEFORE the rename
+    eng.createContView("v_rn_roll",
+      s"SELECT 1 AS g, sum(delta.n) AS n FROM ${eng.osrelName("v_rn")} GROUP BY 1",
+      emitChanges = false)
+    eng.insertInto("rn_s", mkBatch(allRows.take(100)))
+    eng.sql("ALTER VIEW v_rn RENAME TO v_lol")
+    // state answers to the new name; old name is gone
+    assert(eng.overlay("v_lol").collect().map(_.getLong(1)).sum == 100L)
+    intercept[Exception] { eng.overlay("v_rn") }
+    // SQL surface follows: overlay, matrel spelling, combine over state
+    assert(eng.sql("SELECT sum(n) AS t FROM v_lol").collect()(0).getLong(0) == 100L)
+    assert(eng.sql("SELECT combine(n) AS n FROM v_lol_mrel").collect()(0).getLong(0) == 100L)
+    // chaining keeps flowing through the renamed output stream
+    eng.insertInto("rn_s", mkBatch(allRows.slice(100, 200)))
+    assert(eng.overlay("v_lol").collect().map(_.getLong(1)).sum == 200L)
+    assert(eng.overlay("v_rn_roll").collect()(0).getLong(1) == 200L)
+    // matrel rename is refused like the reference
+    val e = intercept[IllegalArgumentException] {
+      eng.sql("ALTER TABLE v_lol_mrel RENAME TO zzz")
+    }
+    assert(e.getMessage.contains("materialization table"))
+    // restart: catalog replay reproduces the renamed layout
+    val eng2 = new ContViewEngine(spark, dir)
+    assert(eng2.overlay("v_lol").collect().map(_.getLong(1)).sum == 200L)
+    eng2.insertInto("rn_s", mkBatch(allRows.slice(200, 250)))
+    assert(eng2.overlay("v_lol").collect().map(_.getLong(1)).sum == 250L)
+  }
+
   test("streams cannot be SELECTed directly (typed_streams.sql:6-7)") {
     val eng = newEngine()
     eng.createStream("ds_s", streamSchema)
