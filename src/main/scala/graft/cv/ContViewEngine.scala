@@ -444,7 +444,9 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
       // pk must name an output column of the view (cont_pk.sql: unknown
       // columns and non-identifier values are creation-time errors)
       options.pk.foreach { pk =>
-        val outputs = plan.keyNames ++ plan.aggs.filterNot(_.hidden).map(_.name)
+        val outputs =
+          if (plan.append) plan.appendOutputs
+          else plan.keyNames ++ plan.aggs.filterNot(_.hidden).map(_.name)
         require(outputs.contains(pk),
           s"pk '$pk' is not a column of continuous view $name " +
             s"(columns: ${outputs.mkString(", ")})")
@@ -459,7 +461,7 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
       // the ingest session can even fill in parallel
       val store = new StateStore(exec, s"$root/$name/state", plan.stateKeys,
         numBuckets = math.max(8, ingestShufflePartitions),
-        smallStateBytes = smallStateBytes)
+        smallStateBytes = smallStateBytes, appendOnly = plan.append)
       val handle = CvHandle(plan, store, streamName, changes = emitChanges)
       views(name) = handle
       val rs = readers.getOrElseUpdate(streamName, mutable.Buffer.empty)
@@ -470,7 +472,10 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
       // continuously (delta CQ chaining, analyzer.c:776-830)
       if (emitChanges) {
         val e = emptyState(handle)
-        createStream(osrelName(name), changesFrame(handle, Some(e), e, e).schema)
+        val changesSchema =
+          if (plan.append) appendChangesFrame(handle, e).schema
+          else changesFrame(handle, Some(e), e, e).schema
+        createStream(osrelName(name), changesSchema)
       }
       appendCatalog(CatalogEntry("view", name, selectSql,
         options.sw.getOrElse(""), options.swColumn, options.stepFactor,
@@ -503,7 +508,7 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
       Files.move(from, Paths.get(root, newName), StandardCopyOption.ATOMIC_MOVE)
     val store2 = new StateStore(exec, s"$root/$newName/state", h.plan.stateKeys,
       numBuckets = math.max(8, ingestShufflePartitions),
-      smallStateBytes = smallStateBytes)
+      smallStateBytes = smallStateBytes, appendOnly = h.plan.append)
     views.remove(name)
     views(newName) = h.copy(plan = h.plan.copy(name = newName), store = store2)
     defs.remove(name).foreach(defs(newName) = _)
@@ -829,6 +834,8 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     */
   def combineTable(name: String, partials: DataFrame): Unit = {
     val h = views(name)
+    require(!h.plan.append,
+      s"combine_table requires an aggregating continuous view ($name is append-only)")
     val expected = (h.plan.stateKeys ++ h.plan.stateNames).toSet
     require(expected.subsetOf(partials.columns.toSet),
       s"combine_table input must carry columns ${expected.mkString(", ")}")
@@ -960,8 +967,12 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     */
   def workerQueryDef(name: String): String = {
     val h = views(name)
-    s"WORKER ${h.plan.name}: batch -> GROUP BY (${h.plan.stateKeys.mkString(", ")}) " +
-      s"-> partial states (${h.plan.stateNames.mkString(", ")})"
+    if (h.plan.append)
+      s"WORKER ${h.plan.name}: batch -> project (${h.plan.appendOutputs.mkString(", ")}) " +
+        "-> append rows"
+    else
+      s"WORKER ${h.plan.name}: batch -> GROUP BY (${h.plan.stateKeys.mkString(", ")}) " +
+        s"-> partial states (${h.plan.stateNames.mkString(", ")})"
   }
 
   /** The combiner-side merge plan (reference get_combiner_querydef):
@@ -969,9 +980,15 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     */
   def combinerQueryDef(name: String): String = {
     val h = views(name)
-    s"COMBINER ${h.plan.name}: MERGE state ON (${h.plan.stateKeys.mkString(", ")}) " +
-      s"USING (${h.plan.reAggs.map(_._1).mkString(", ")}) -> overlay finalize " +
-      s"(${h.plan.aggs.map(_.name).mkString(", ")})"
+    if (h.plan.append)
+      s"COMBINER ${h.plan.name}: APPEND segment (no merge) -> overlay " +
+        s"project (${h.plan.appendOutputs.mkString(", ")})" +
+        h.plan.limit.map(n => s" LIMIT $n" +
+          (if (h.plan.offset > 0) s" OFFSET ${h.plan.offset}" else "")).getOrElse("")
+    else
+      s"COMBINER ${h.plan.name}: MERGE state ON (${h.plan.stateKeys.mkString(", ")}) " +
+        s"USING (${h.plan.reAggs.map(_._1).mkString(", ")}) -> overlay finalize " +
+        s"(${h.plan.aggs.map(_.name).mkString(", ")})"
   }
 
   /** COPY FROM: bulk-load a file directly into a stream (reference copy.c,
@@ -1031,16 +1048,23 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     val cutoff = new java.sql.Timestamp(nowTs.getTime - sw.windowSeconds * 1000L)
     val lastMark = loadTickMark(name)
     val state = h.store.read().getOrElse { saveTickMark(name, cutoff); return 0L }
+    // append CVs expire per ROW on the hidden raw timestamp; keyed CVs per
+    // step bucket
+    val tickCol = if (h.plan.append) CvPlanner.AppendSwTs else sw.bucketCol
     val expired = state
-      .where(col(sw.bucketCol) <= lit(cutoff) && col(sw.bucketCol) > lit(lastMark))
+      .where(col(tickCol) <= lit(cutoff) && col(tickCol) > lit(lastMark))
       .persist()
     val n = expired.count()
     if (n > 0) {
       val keys = h.plan.stateKeys
-      val oldStruct = struct(h.plan.aggs.map(a =>
-        a.buildFinal(a.states.map(st => col(st._1))).as(a.name)): _*)
-      val deltaStruct = struct(h.plan.deltaFields.map {
-        case (sn, fn) => col(sn).as(fn) }: _*)
+      val oldStruct =
+        if (h.plan.append) struct(h.plan.appendOutputs.map(col): _*)
+        else struct(h.plan.aggs.map(a =>
+          a.buildFinal(a.states.map(st => col(st._1))).as(a.name)): _*)
+      val deltaStruct =
+        if (h.plan.append) struct(h.plan.appendOutputs.map(col): _*)
+        else struct(h.plan.deltaFields.map {
+          case (sn, fn) => col(sn).as(fn) }: _*)
       val base = expired.select((keys.map(col) :+ oldStruct.as("old") :+
         deltaStruct.as("delta")): _*)
       val ticks = base
@@ -1064,6 +1088,7 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
   }
 
   private def ingestBatch(h: CvHandle, batch: DataFrame): Unit = {
+    if (h.plan.append) return appendIngest(h, batch)
     val t0 = System.nanoTime()
     var groups = 0L
     var failed = false
@@ -1130,6 +1155,34 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     }
   }
 
+  /** Append-only ingest: project the batch through the CV's child plan and
+    * blind-append it as a new store segment — no merge, no shuffle, no
+    * pre-image (appends have none: changes emit old = NULL).
+    */
+  private def appendIngest(h: CvHandle, batch: DataFrame): Unit = {
+    val t0 = System.nanoTime()
+    var rows = 0L
+    var failed = false
+    var workerMs = 0L
+    var combinerMs = 0L
+    try {
+      val out = h.plan.workerRows(exec, batch)
+      h.store.synchronized {
+        val (_, newRows, n) = h.store.upsert(out, Nil, needOldRows = false)
+        rows = n
+        workerMs = h.store.lastWorkerMs
+        combinerMs = h.store.lastCombinerMs
+        if (h.changes && n > 0) {
+          val changes = appendChangesFrame(h, newRows())
+          writeChanges(h, changes)
+        }
+      }
+    } catch { case e: Throwable => failed = true; throw e }
+    finally recordStats(h.plan.name, "view", rows,
+      (System.nanoTime() - t0) / 1000000, failed,
+      workerMs = workerMs, combinerMs = combinerMs)
+  }
+
   /** Output-stream emit: (old, new, delta) structs per upserted group
     * (reference combiner.c:1503-1610; osrel schema pipeline_stream.h:40-42).
     * old/new carry finalized values; delta carries the applied partial state
@@ -1152,9 +1205,12 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
         struct(h.plan.deltaFields.map { case (sn, fn) => col(sn).as(fn) }: _*).as("delta"))
       .select((keys.map(col) :+ col("delta")): _*)
     // null-safe joins: a NULL group key's old/delta must line up with its
-    // new row, not dangle as an eternal "first-seen" group.
+    // new row, not dangle as an eternal "first-seen" group. A global
+    // aggregate (no keys) has exactly one group: constant-true join.
     def nsJoin(l: DataFrame, r: DataFrame): DataFrame = {
-      val cond = keys.map(k => l(k) <=> r(k)).reduce(_ && _)
+      val cond =
+        if (keys.isEmpty) lit(true)
+        else keys.map(k => l(k) <=> r(k)).reduce(_ && _)
       val payload = r.columns.filterNot(keys.contains).map(r(_))
       l.join(r, cond, "left_outer")
         .select(l.columns.map(l(_)) ++ payload: _*)
@@ -1164,9 +1220,26 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
         lit(new java.sql.Timestamp(System.currentTimeMillis())))
   }
 
+  /** Changes of one append batch: every appended row is an insert —
+    * old = NULL, new = delta = the row (no keys, no join: appends have no
+    * pre-image to line up with).
+    */
+  private def appendChangesFrame(h: CvHandle, rows: DataFrame): DataFrame = {
+    val withNew = rows.select(
+      struct(h.plan.appendOutputs.map(col): _*).as("new"))
+    withNew
+      .withColumn("old", lit(null).cast(withNew.schema("new").dataType))
+      .withColumn("delta", col("new"))
+      .withColumn("arrival_timestamp",
+        lit(new java.sql.Timestamp(System.currentTimeMillis())))
+      .select("new", "old", "delta", "arrival_timestamp")
+  }
+
   private def emitChanges(
-      h: CvHandle, oldRows: Option[DataFrame], newRows: DataFrame, delta: DataFrame): Unit = {
-    val changes = changesFrame(h, oldRows, newRows, delta)
+      h: CvHandle, oldRows: Option[DataFrame], newRows: DataFrame, delta: DataFrame): Unit =
+    writeChanges(h, changesFrame(h, oldRows, newRows, delta))
+
+  private def writeChanges(h: CvHandle, changes: DataFrame): Unit = {
     val osrel = osrelName(h.plan.name)
     val routed = readers.get(osrel).exists(_.nonEmpty)
     // two consumers (archive write + downstream CQs) → evaluate once
@@ -1187,6 +1260,28 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
   def overlay(name: String, now: Option[java.sql.Timestamp] = None): DataFrame = {
     val h = views(name)
     val state = h.store.read().getOrElse(emptyState(h))
+    if (h.plan.append) {
+      // append CV: rows are already final. SW liveness filters the hidden
+      // raw timestamp exactly; LIMIT/OFFSET apply in arrival order
+      // (cont_limit.sql — the matrel keeps everything, the read serves a
+      // slice), and the hidden sequence/timestamp columns never surface.
+      val live = h.plan.sw match {
+        case Some(sw) =>
+          val cutoff = now.map(ts => lit(ts)).getOrElse(current_timestamp()) -
+            expr(s"INTERVAL ${sw.windowSeconds} SECOND")
+          state.where(col(CvPlanner.AppendSwTs) > cutoff)
+        case None => state
+      }
+      val sliced = (h.plan.limit, h.plan.offset) match {
+        case (None, 0) => live
+        case (l, o) =>
+          val ordered = live.orderBy(
+            col(StateStore.PkBatchCol), col(StateStore.PkRowCol))
+          val off = if (o > 0) ordered.offset(o) else ordered
+          l.map(off.limit).getOrElse(off)
+      }
+      return sliced.select(h.plan.appendOutputs.map(col): _*)
+    }
     h.plan.sw match {
       case None =>
         state.select((h.plan.keyNames.map(col) ++ h.plan.finalizeCols): _*)
@@ -1221,6 +1316,8 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     */
   def combine(name: String, coarserKeys: Seq[String]): DataFrame = {
     val h = views(name)
+    require(!h.plan.append,
+      s"combine() requires an aggregating continuous view ($name is append-only)")
     val state = h.store.read().getOrElse(emptyState(h))
     combineState(h, state, coarserKeys)
   }
@@ -1233,6 +1330,8 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
   def swCombine(name: String, coarserKeys: Seq[String],
       now: Option[java.sql.Timestamp] = None): DataFrame = {
     val h = views(name)
+    require(!h.plan.append,
+      s"sw_combine() requires an aggregating continuous view ($name is append-only)")
     val sw = h.plan.sw.getOrElse(
       throw new IllegalArgumentException(s"CV $name is not a sliding-window view"))
     val state = h.store.read().getOrElse(emptyState(h))
@@ -1256,7 +1355,12 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     val stream = streams(h.streamName)
     val empty = exec.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](), stream.schema)
-    h.plan.workerPartials(exec, empty).limit(0)
+    if (h.plan.append)
+      h.plan.workerRows(exec, empty)
+        .withColumn(StateStore.PkBatchCol, lit(0L))
+        .withColumn(StateStore.PkRowCol, lit(0L))
+        .limit(0)
+    else h.plan.workerPartials(exec, empty).limit(0)
   }
 
   /** The raw materialization table (reference `<cv>_mrel`): group keys +
@@ -1289,6 +1393,9 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     */
   def combineOutputDeltas(name: String, coarserKeys: Seq[String]): DataFrame = {
     val h = views(name)
+    require(!h.plan.append,
+      s"combine over output deltas requires an aggregating continuous view " +
+        s"($name is append-only; read output_of directly)")
     val changes = outputOf(name).getOrElse(
       throw new IllegalStateException(s"CV $name has no output stream"))
       // Upsert rows carry the APPLIED partial state as delta (additive);
@@ -1312,11 +1419,16 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
   def expireTtl(name: String, now: Option[java.sql.Timestamp] = None)
       : StateStore.DeleteStats = {
     val h = views(name)
+    // append CVs store the SW timestamp raw (no step buckets) — their
+    // implied expiry column is the hidden raw-ts column
+    val swExpiryCol =
+      if (h.plan.append) CvPlanner.AppendSwTs
+      else h.plan.sw.map(_.bucketCol).getOrElse("")
     val (ttlSpec, ttlCol) = (h.plan.options.ttl, h.plan.options.ttlColumn, h.plan.sw) match {
       case (Some(t), colOpt, _) =>
-        (t, colOpt.getOrElse(h.plan.sw.map(_.bucketCol).getOrElse(
+        (t, colOpt.getOrElse(h.plan.sw.map(_ => swExpiryCol).getOrElse(
           throw new IllegalArgumentException(s"CV $name has ttl but no ttl_column"))))
-      case (None, _, Some(sw)) => (s"${sw.windowSeconds} seconds", sw.bucketCol)
+      case (None, _, Some(sw)) => (s"${sw.windowSeconds} seconds", swExpiryCol)
       case _ => return StateStore.DeleteStats(0, 0, 0)
     }
     val seconds = ttlSpec match {
@@ -1335,14 +1447,19 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     // directly — then footer stats of the physical column can prune) or an
     // aggregate output (e.g. max(ts) AS latest — referenced through its
     // finalizer over the stored state columns; no pruning)
-    val isKeyCol = h.plan.stateKeys.contains(ttlCol)
+    // append CVs: every output (and the hidden SW ts) is a physical stored
+    // column, so footer-stat pruning always applies
+    val isPhysical =
+      if (h.plan.append)
+        h.plan.appendOutputs.contains(ttlCol) || ttlCol == CvPlanner.AppendSwTs
+      else h.plan.stateKeys.contains(ttlCol)
     val ttlColExpr =
-      if (isKeyCol) col(ttlCol)
+      if (isPhysical) col(ttlCol)
       else h.plan.aggs.find(_.name == ttlCol)
         .map(a => a.buildFinal(a.states.map(st => col(st._1))))
         .getOrElse(throw new IllegalArgumentException(
           s"ttl_column '$ttlCol' is neither a group key nor an output of CV $name"))
-    val pruneHint = if (isKeyCol) Some((ttlCol, cutoffTs.getTime * 1000L)) else None
+    val pruneHint = if (isPhysical) Some((ttlCol, cutoffTs.getTime * 1000L)) else None
     views(name).store.deleteWhere(ttlColExpr < cutoff, pruneHint)
   }
 

@@ -33,6 +33,13 @@ object CvPlanner {
   val SwBucketKey = "graft.sw.bucket"
   val SwWindowKey = "graft.sw.windowSeconds"
 
+  /** Hidden raw-timestamp column stored by sliding-window APPEND CVs: the
+    * read-time liveness filter is exact per row (the reference filters the
+    * raw arrival_timestamp for non-aggregating SW CVs rather than a step
+    * bucket — there is no merge, so nothing forces bucket granularity).
+    */
+  val AppendSwTs = "__sw_ts"
+
   // §2.10 extension point: user-registrable combinable aggregates — the
   // counterpart of the reference's pipelinedb.combine catalog +
   // search_for_combine_aggregate (analyzer.c:4181-4330). Keyed by the
@@ -126,7 +133,15 @@ object CvPlanner {
       // only the grouping-set id (GROUP BY ROLLUP/CUBE/GROUPING SETS):
       // groups from different grouping sets must not merge even when their
       // visible key columns coincide (a rolled-up NULL vs a genuine NULL)
-      hiddenKeys: Seq[(String, Column)] = Nil) {
+      hiddenKeys: Seq[(String, Column)] = Nil,
+      // Append-only CV (no aggregates, no GROUP BY): the matrel stores one
+      // row per event with a hidden arrival sequence, and LIMIT/OFFSET apply
+      // at READ time in arrival order — cont_limit.sql keeps ALL 21 rows in
+      // cqlimit_mrel and serves 9 of them (reference cont_view_namespace
+      // .sql:61, stream_exprs.sql:2).
+      append: Boolean = false,
+      offset: Int = 0,
+      appendOutputs: Seq[String] = Nil) {
 
     /** All state-table key columns (user keys + hidden keys + SW bucket). */
     def stateKeys: Seq[String] =
@@ -160,6 +175,15 @@ object CvPlanner {
       keyNames.zip(keyExprs).map { case (n, e) => e.as(n) } ++
         hiddenKeys.map { case (n, e) => e.as(n) } ++
         sw.map(s => dateRound(df(s.tsColumn), s.stepSeconds).as(s.bucketCol))
+
+    /** Append-mode worker: the bound child plan IS the output (its Project
+      * already carries the visible columns plus, for SW CVs, the hidden raw
+      * timestamp). No aggregation, no shuffle — a map-only batch.
+      */
+    def workerRows(spark: SparkSession, batch: DataFrame): DataFrame = {
+      require(append, s"$name is not an append-only continuous view")
+      bindBatch(spark, batch)
+    }
 
     def workerPartials(spark: SparkSession, batch: DataFrame): DataFrame = {
       val df = bindBatch(spark, batch)
@@ -307,6 +331,18 @@ object CvPlanner {
       streamLeafIds: Seq[Seq[org.apache.spark.sql.catalyst.expressions.ExprId]] = Nil): CvPlan = {
     val analyzed = stripViews(GraftBridge.analyzed(spark.sql(selectSql)))
     validate(analyzed)
+
+    // No aggregate, no DISTINCT [ON], no GROUP BY anywhere → an APPEND-ONLY
+    // CV: one matrel row per event (reference cont_view_namespace.sql:61,
+    // stream_exprs.sql:2, cont_limit.sql). Grouped/distinct shapes keep the
+    // keyed state machinery below.
+    val hasAggShape = analyzed.exists {
+      case _: Aggregate | _: Distinct => true
+      case p: Project => p.projectList.headOption.exists(_.name.startsWith(DonKeyPrefix))
+      case _ => false
+    }
+    if (!hasAggShape)
+      return planAppend(spark, name, analyzed, options, streamLeafIds)
 
     val (shape, limitOpt) = findAggregate(analyzed)
     val agg = shape match {
@@ -553,6 +589,64 @@ object CvPlanner {
     CvPlan(name, proj.child, findStreamLeaf(proj.child, streamLeafIds),
       keyNames = Nil, keyExprs = Nil, planned, sw, options, limitOpt,
       hiddenKeys = hiddenKeys)
+  }
+
+  /** Plan an append-only CV: `SELECT <exprs> FROM stream [WHERE …]
+    * [LIMIT n [OFFSET m]]` with no aggregation. Every event appends one
+    * matrel row (the reference's non-aggregating CVs — analyzer.c treats
+    * them as a projection CQ with a `$pk` arrival sequence); LIMIT/OFFSET
+    * are READ-time in arrival order (cont_limit.sql stores all rows).
+    * For sliding windows the raw timestamp is stored in a hidden column
+    * and filtered exactly at read time.
+    */
+  private def planAppend(spark: SparkSession, name: String, analyzed: LogicalPlan,
+      options: CvOptions,
+      streamLeafIds: Seq[Seq[org.apache.spark.sql.catalyst.expressions.ExprId]]): CvPlan = {
+    var limit: Option[Int] = None
+    var offset = 0
+    def strip(p: LogicalPlan): LogicalPlan = p match {
+      case GlobalLimit(l, child) =>
+        limit = Some(l.eval(null).toString.toInt); strip(child)
+      case LocalLimit(_, child) => strip(child)
+      case o: Offset =>
+        offset = o.offsetExpr.eval(null).toString.toInt; strip(o.child)
+      case other => other
+    }
+    val base = strip(analyzed) match {
+      case p: Project => p
+      case other => Project(other.output, other) // bare scan: SELECT * collapse
+    }
+    val outNames = base.projectList.map(_.name)
+    require(outNames.distinct.size == outNames.size,
+      s"duplicate output column in continuous view $name: " +
+        outNames.diff(outNames.distinct).distinct.mkString(", "))
+    require(!outNames.exists(_.startsWith("__")),
+      "continuous view output columns must not start with '__' (reserved)")
+    val sw = options.sw.map { w =>
+      require(options.stepFactor > 0 && options.stepFactor <= 50,
+        s"step_factor must be in (0, 50] (got ${options.stepFactor})")
+      val winSec = intervalSeconds(w)
+      val stepSec = math.max(1L, (winSec * options.stepFactor / 100.0).toLong)
+      SwSpec(winSec, stepSec, options.swColumn)
+    }
+    // SW CVs store the raw timestamp invisibly: the sw column need not be a
+    // visible output, so it rides the child Project under a reserved alias
+    val child = sw match {
+      case None => base
+      case Some(s) =>
+        val tsAttr = base.child.output.find(_.name.equalsIgnoreCase(s.tsColumn))
+          .getOrElse(throw new IllegalArgumentException(
+            s"sliding-window column '${s.tsColumn}' is not a column of the stream"))
+        Project(base.projectList :+ Alias(tsAttr, AppendSwTs)(), base.child)
+    }
+    options.ttlColumn.foreach { tc =>
+      require(outNames.contains(tc),
+        s"ttl_column '$tc' is not an output column of continuous view $name")
+    }
+    CvPlan(name, child, findStreamLeaf(child, streamLeafIds),
+      keyNames = Nil, keyExprs = Nil, aggs = Nil, sw = sw, options = options,
+      limit = limit, hiddenKeys = Nil,
+      append = true, offset = offset, appendOutputs = outNames)
   }
 
   /** Temp-view wrappers are pure metadata (the optimizer's EliminateView

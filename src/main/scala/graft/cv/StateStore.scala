@@ -35,7 +35,15 @@ final class StateStore(
     val root: String,
     val keyCols: Seq[String],
     val numBuckets: Int = 32,
-    smallStateBytes: Long = StateStore.DefaultSmallStateBytes) {
+    smallStateBytes: Long = StateStore.DefaultSmallStateBytes,
+    // Append-only layout (non-aggregating CVs): every batch writes a fresh
+    // SEGMENT dir (manifest bucket id = segment ordinal) instead of merging
+    // into hash buckets — a blind append, no read-modify-write, which is the
+    // only shape that survives event-grain state at 100 TB. Rows carry a
+    // hidden (batch, row) arrival sequence; segment count is bounded by
+    // size-tiered compaction (see appendWrite).
+    val appendOnly: Boolean = false,
+    val maxAppendSegments: Int = 64) {
 
   private val BucketCol = "__bucket"
   private def manifestPath: Path = Paths.get(root, "_manifest.json")
@@ -50,8 +58,20 @@ final class StateStore(
       r
     }
 
+  // a keyless store (global aggregate — exactly one group) lives in bucket 0
   private def bucketOf: org.apache.spark.sql.Column =
-    pmod(xxhash64(keyCols.map(col): _*), lit(numBuckets))
+    if (keyCols.isEmpty) lit(0L)
+    else pmod(xxhash64(keyCols.map(col): _*), lit(numBuckets))
+
+  /** Which manifest bucket a row belongs to. Keyed stores recompute the key
+    * hash; append stores have no key — the segment is recovered from the
+    * file path (valid only over direct file reads, which is what deleteWhere
+    * uses: append stores never serve reads from a persisted cache).
+    */
+  private def rowBucket: org.apache.spark.sql.Column =
+    if (appendOnly)
+      regexp_extract(input_file_name(), s"$BucketCol=(\\d+)", 1).cast("long")
+    else bucketOf
 
   // ---- manifest ----
 
@@ -191,6 +211,7 @@ final class StateStore(
     // proc owns each matrel's sync cycle); different CVs' stores still
     // merge in parallel.
     flushPendingGc() // previous version's consumers are done by now (see below)
+    if (appendOnly) return appendWrite(updates, needOldRows)
     // the update frame IS the state schema (incl. combine-kind metadata) —
     // memoize it so every state read this cycle skips footer inference
     knownSchema = Some(updates.schema)
@@ -240,7 +261,10 @@ final class StateStore(
     // null-safe key match: NULL group keys still select their state row
     def semiOnKeys(l: DataFrame): DataFrame = {
       val r = up.select(keyCols.map(col): _*).distinct()
-      l.join(r, keyCols.map(k => l(k) <=> r(k)).reduce(_ && _), "left_semi")
+      val cond =
+        if (keyCols.isEmpty) lit(true) // keyless: the single global group
+        else keyCols.map(k => l(k) <=> r(k)).reduce(_ && _)
+      l.join(r, cond, "left_semi")
     }
 
     // Lazy pre-image: the superseded version's files stay on disk until the
@@ -332,7 +356,10 @@ final class StateStore(
       // null-safe key match: NULL group keys still select their state row
       def semiOnKeys(l: DataFrame): DataFrame = {
         val r = up.select(keyCols.map(col): _*).distinct()
-        l.join(r, keyCols.map(k => l(k) <=> r(k)).reduce(_ && _), "left_semi")
+        val cond =
+        if (keyCols.isEmpty) lit(true) // keyless: the single global group
+        else keyCols.map(k => l(k) <=> r(k)).reduce(_ && _)
+      l.join(r, cond, "left_semi")
       }
       // Lazy pre-image: superseded version files stay on disk until the NEXT
       // mutation (deferred GC), and the engine consumes old rows synchronously
@@ -430,6 +457,66 @@ final class StateStore(
     (None, newRows, groupsTouched)
   }
 
+  /** Append-only commit: write the batch as a new segment, no merge. The
+    * hidden (batch, row) sequence preserves arrival order across batches —
+    * batch seq = manifest version (already a persisted per-commit counter),
+    * row seq = partition-monotonic id within the batch — so read-time
+    * LIMIT/OFFSET in arrival order needs no global sequence bottleneck.
+    *
+    * Segment count is bounded by size-tiered compaction: past
+    * [[maxAppendSegments]] the smallest half of the segments is rewritten
+    * into one, amortizing to O(log) rewrites per row — the same shape as an
+    * LSM / Delta OPTIMIZE small-file compaction.
+    */
+  private def appendWrite(updates: DataFrame, needOldRows: Boolean)
+      : (Option[DataFrame], () => DataFrame, Long) = {
+    val manifest = readManifest()
+    val version = manifest.map(_.version + 1).getOrElse(0L)
+    val newSeg = manifest
+      .flatMap(_.buckets.keysIterator.maxOption).map(_ + 1).getOrElse(0)
+    val up = updates
+      .withColumn(StateStore.PkBatchCol, lit(version))
+      .withColumn(StateStore.PkRowCol, monotonically_increasing_id())
+    knownSchema = Some(up.schema)
+    val segRel = s"v$version/$BucketCol=$newSeg"
+    val obs = org.apache.spark.sql.Observation()
+    lastWorkerMs = 0L
+    phase(lastCombinerMs = _)(timed("append")(up
+      .observe(obs, count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(s"$root/$segRel")))
+    val n = observedCount(obs, up.count())
+    if (n == 0L) {
+      // nothing arrived: drop the empty segment, no manifest bump
+      val dir = Paths.get(root, s"v$version")
+      if (Files.exists(dir))
+        Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      val empty = up.limit(0)
+      return (if (needOldRows) Some(empty) else None, () => empty, 0L)
+    }
+    var buckets = manifest.map(_.buckets).getOrElse(Map.empty) + (newSeg -> segRel)
+    if (buckets.size > maxAppendSegments) {
+      val byBytes = buckets.toSeq
+        .map { case (b, rel) => (b, rel, dirBytes(rel)) }.sortBy(_._3)
+      val toMerge = byBytes.take(buckets.size / 2)
+      val compactId = newSeg + 1
+      val compactRel = s"v$version/$BucketCol=$compactId"
+      val tasks = math.max(1, (toMerge.map(_._3).sum / (128L * 1024 * 1024)).toInt)
+      timed("compact")(spark.read.schema(up.schema)
+        .parquet(toMerge.map(t => s"$root/${t._2}"): _*)
+        .coalesce(tasks).write.mode("overwrite").parquet(s"$root/$compactRel"))
+      buckets = (buckets -- toMerge.map(_._1)) + (compactId -> compactRel)
+    }
+    writeManifest(Manifest(version, buckets, small = false))
+    // keep every version dir still holding a live segment; a compacted-away
+    // segment inside a still-live version dir lingers until that dir's last
+    // segment compacts too (bounded: compaction favors the smallest dirs)
+    deferGcOldVersions(keep = buckets.values.map(_.takeWhile(_ != '/')).toSet)
+    // NO state cache for append stores: state is O(events), not O(groups) —
+    // persisting it in executor memory would be an unbounded cache
+    val newRows = () => readBuckets(Some(Set(newSeg))).get
+    (if (needOldRows) Some(up.limit(0)) else None, newRows, n)
+  }
+
   /** Drop state rows matching the predicate (TTL reaper — reaper.c:49-352).
     * Rewrites only buckets that still hold matching rows.
     *
@@ -463,11 +550,11 @@ final class StateStore(
         if (candidates.isEmpty) return StateStore.DeleteStats(total, 0, 0)
         val cur = readBuckets(Some(candidates))
           .getOrElse(return StateStore.DeleteStats(total, 0, 0))
-        val affected = cur.where(predicate).withColumn(BucketCol, bucketOf)
+        val affected = cur.where(predicate).withColumn(BucketCol, rowBucket)
           .select(BucketCol).distinct().collect().map(_.getLong(0).toInt).toSet
         if (affected.isEmpty) return StateStore.DeleteStats(total, candidates.size, 0)
         val keep = readBuckets(Some(affected)).get.where(!coalesce(predicate, lit(false)))
-          .withColumn(BucketCol, bucketOf)
+          .withColumn(BucketCol, rowBucket)
         val version = m.version + 1
         keep.repartition(math.max(affected.size, 1), col(BucketCol))
           .write.partitionBy(BucketCol).mode("overwrite").parquet(s"$root/v$version")
@@ -597,6 +684,14 @@ final class StateStore(
 object StateStore {
   /** Default small-state threshold (see the `SmallStateBytes` doc). */
   val DefaultSmallStateBytes: Long = 64L * 1024 * 1024
+
+  /** Hidden arrival-sequence columns of append-only stores (the reference's
+    * `$pk` sequence, cont_limit.sql): order rows by (batch, row). Batch ids
+    * are dense; row ids are partition-monotonic within a batch — a total
+    * arrival order without a global sequence bottleneck.
+    */
+  val PkBatchCol = "__pk_batch"
+  val PkRowCol = "__pk_row"
 
   /** Counters from one deleteWhere pass: how many buckets exist, how many
     * survived footer-stat pruning and were actually scanned, and how many

@@ -64,6 +64,18 @@ object CvQueries {
           |       count(*) AS n, sum(value) AS sv
           |FROM ev_stream GROUP BY ROLLUP(event_type, user_id % 10)""".stripMargin,
         emitChanges = false)
+      // append-only (non-aggregating) CV: one matrel row per event, blind
+      // segment appends, duplicates preserved (stream_exprs.sql:2,
+      // cont_view_namespace.sql:61)
+      eng.createContView("v_append",
+        "SELECT event_id, event_type, value FROM ev_stream WHERE value > 150",
+        emitChanges = false)
+      // keyless global aggregate: exactly one state row, merged in place
+      // (cont_count.sql's SELECT count(*) FROM stream shape)
+      eng.createContView("v_global",
+        """SELECT count(*) AS n, sum(value) AS sv,
+          |       min(user_id) AS mn, max(user_id) AS mx FROM ev_stream""".stripMargin,
+        emitChanges = false)
       // SELECT DISTINCT desugared into grouping (analyzer.c:2605-2624): the
       // matrel stores one row per distinct tuple, no visible aggregate
       eng.createContView("v_distinct",
@@ -386,6 +398,29 @@ object CvQueries {
           .select(col("__sw_bucket").cast("long").as("bkt"),
             col("event_type"), col("old.n").as("n"))
           .orderBy("bkt", "event_type")
+    },
+
+    // Non-aggregating CV (stream_exprs.sql:2): every qualifying event is one
+    // stored row — the incremental append equals the single-shot filter.
+    QDef(
+      "q_cv_append",
+      """SELECT event_id, event_type, round(value, 2) AS v FROM events
+        |WHERE value > 150 ORDER BY event_id""".stripMargin) {
+      (s, dir) =>
+        engineFor(s, dir).overlay("v_append")
+          .select(col("event_id"), col("event_type"), round(col("value"), 2).as("v"))
+          .orderBy("event_id")
+    },
+
+    // cont_count.sql's keyless shape: a global aggregate CV holds exactly
+    // one row, merged in place across batches.
+    QDef(
+      "q_cv_global",
+      """SELECT count(*) AS n, round(sum(value), 2) AS sv,
+        |       min(user_id) AS mn, max(user_id) AS mx FROM events""".stripMargin) {
+      (s, dir) =>
+        engineFor(s, dir).overlay("v_global")
+          .select(col("n"), round(col("sv"), 2).as("sv"), col("mn"), col("mx"))
     },
 
     // cont_distinct.sql:62-106: SELECT DISTINCT in a CV — pure grouping,

@@ -65,6 +65,7 @@ class PlanShapeSpec extends AnyFunSuite {
     "q_cv_delta_rollup" -> 1, "q_cv_rollup" -> 1, "q_cv_sliding" -> 2, "q_cv_ttl" -> 1,
     "q_cv_copy" -> 1, "q_cv_combine_table" -> 1, "q_cv_ticks" -> 1,
     "q_cv_bool" -> 1, "q_cv_distinct" -> 1, "q_cv_distinct_on" -> 1,
+    "q_cv_append" -> 1, "q_cv_global" -> 0,
     "q_cv_subselect" -> 1, "q_cv_json_unroll" -> 1, "q_cv_typed" -> 1,
     "q_cv_filter" -> 1,
     "q_pii_redact" -> 2, "q_bm25_search" -> 1, "q_embed_clusters" -> 4,

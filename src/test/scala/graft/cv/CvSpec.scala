@@ -1699,4 +1699,159 @@ class CvSpec extends AnyFunSuite {
       .toMap
     assert(got == exp)
   }
+
+  // ---- append-only (non-aggregating) CVs: cont_view_namespace.sql:61,
+  // stream_exprs.sql:2, cont_limit.sql ----
+
+  test("append-only CV stores one row per event, duplicates preserved (stream_exprs.sql)") {
+    val eng = newEngine()
+    eng.createStream("ap_s", streamSchema)
+    eng.createContView("v_ap",
+      "SELECT key, x FROM ap_s WHERE x > 50", emitChanges = false)
+    val chunks = allRows.grouped(1000).toSeq
+    chunks.foreach(c => eng.insertInto("ap_s", mkBatch(c)))
+    val got = eng.overlay("v_ap").groupBy("key", "x").count()
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val exp = mkBatch(allRows).where(col("x") > 50).groupBy("key", "x").count()
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == exp)
+    assert(got.values.max > 1, "expected repeated (key,x) rows to be preserved")
+  }
+
+  test("append CV LIMIT/OFFSET is read-time in arrival order; mrel keeps all (cont_limit.sql)") {
+    val eng = newEngine()
+    eng.createStream("apl_s", streamSchema)
+    eng.createContView("v_apl",
+      "SELECT key, x FROM apl_s LIMIT 100 OFFSET 100", emitChanges = false)
+    val batches = allRows.take(300).grouped(100).toSeq
+    batches.foreach(b => eng.insertInto("apl_s", mkBatch(b)))
+    // offset and limit cut exactly at batch boundaries: the slice is batch 2
+    val got = eng.overlay("v_apl").groupBy("key", "x").count()
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val exp = mkBatch(batches(1)).groupBy("key", "x").count()
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == exp)
+    // the matrel stores ALL rows (LIMIT is not an admission cap for appends)
+    assert(eng.stateOf("v_apl").count() == 300L)
+  }
+
+  test("append CV sliding window filters the raw timestamp exactly (cont_sw shapes)") {
+    val eng = newEngine()
+    eng.createStream("apw_s", streamSchema)
+    eng.createContView("v_apw",
+      "SELECT key, x FROM apw_s WHERE ts > clock_timestamp() - interval '100 seconds'",
+      CvPlanner.CvOptions(swColumn = "ts"), emitChanges = false)
+    val rows = (1 to 200).map(i => (s"k${i % 3}", i.toLong, 0.0, tAt(i.toLong)))
+    eng.insertInto("apw_s", mkBatch(rows))
+    val now = Some(tAt(200))
+    val got = eng.overlay("v_apw", now).count()
+    // rows with ts > t200 - 100s, i.e. seconds 101..200 — exact, not bucketed
+    assert(got == 100L)
+    // storage expiry reuses the TTL path on the hidden raw-ts column
+    val stats = eng.expireTtl("v_apw", now)
+    assert(stats.rewrittenBuckets > 0)
+    // reap drops ts < cutoff strictly; the row AT the cutoff stays stored
+    // (invisible to the overlay's strict > filter) — same decoupling as
+    // bucketed SW CVs
+    assert(eng.stateOf("v_apw").count() == 101L)
+    assert(eng.overlay("v_apw", now).count() == 100L)
+  }
+
+  test("append CV TTL reap prunes by footer stats and drops only expired rows") {
+    val eng = newEngine()
+    eng.createStream("apt_s", streamSchema)
+    eng.createContView("v_apt",
+      "SELECT key, x, ts FROM apt_s",
+      CvPlanner.CvOptions(ttl = Some("100 seconds"), ttlColumn = Some("ts")),
+      emitChanges = false)
+    eng.insertInto("apt_s", mkBatch((1 to 50).map(i => (s"a$i", i.toLong, 0.0, tAt(i.toLong)))))
+    eng.insertInto("apt_s", mkBatch((1 to 50).map(i => (s"b$i", i.toLong, 0.0, tAt(500 + i.toLong)))))
+    val stats = eng.expireTtl("v_apt", Some(tAt(550)))
+    // the second segment's footer min (t501) is inside the window — pruned
+    assert(stats.scannedBuckets < stats.totalBuckets,
+      s"expected footer pruning to skip the live segment: $stats")
+    val left = eng.overlay("v_apt").select("key").collect().map(_.getString(0)).toSet
+    assert(left == (1 to 50).map(i => s"b$i").toSet)
+    // a second pass with nothing to expire scans no segment at all
+    val noop = eng.expireTtl("v_apt", Some(tAt(550)))
+    assert(noop.scannedBuckets == 0)
+  }
+
+  test("append CV emits insert changes (old IS NULL) and chains downstream") {
+    val eng = newEngine()
+    eng.createStream("apc_s", streamSchema)
+    eng.createContView("v_apc", "SELECT key, x FROM apc_s WHERE x >= 10")
+    // downstream CV aggregates the append CV's output stream
+    eng.createContView("v_apc_agg",
+      "SELECT count(*) AS n FROM output_of('v_apc')")
+    eng.insertInto("apc_s", mkBatch(allRows.take(200)))
+    val changes = eng.outputOf("v_apc").get
+    val expected = mkBatch(allRows.take(200)).where(col("x") >= 10).count()
+    assert(changes.count() == expected)
+    assert(changes.where(col("old").isNotNull).count() == 0L)
+    assert(changes.where(col("new.x") < 10).count() == 0L)
+    val n = eng.overlay("v_apc_agg").collect().head.getLong(0)
+    assert(n == expected)
+  }
+
+  test("append CV survives an engine restart: replay + version continuity") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cv").toString
+    val eng = new ContViewEngine(spark, dir)
+    eng.createStream("apr_s", streamSchema)
+    eng.createContView("v_apr", "SELECT key, x FROM apr_s", emitChanges = false)
+    eng.insertInto("apr_s", mkBatch(allRows.take(100)))
+    val eng2 = new ContViewEngine(spark, dir)
+    assert(eng2.overlay("v_apr").count() == 100L)
+    eng2.insertInto("apr_s", mkBatch(allRows.slice(100, 150)))
+    assert(eng2.overlay("v_apr").count() == 150L)
+  }
+
+  test("combine()/combine_table are rejected on append CVs") {
+    val eng = newEngine()
+    eng.createStream("apx_s", streamSchema)
+    eng.createContView("v_apx", "SELECT key FROM apx_s", emitChanges = false)
+    eng.insertInto("apx_s", mkBatch(allRows.take(10)))
+    intercept[IllegalArgumentException] { eng.combine("v_apx", Seq("key")) }
+    intercept[IllegalArgumentException] {
+      eng.combineTable("v_apx", mkBatch(allRows.take(1)))
+    }
+    // the restriction wall still applies to append shapes
+    intercept[IllegalArgumentException] {
+      eng.createContView("v_apx2", "SELECT key FROM apx_s ORDER BY key")
+    }
+  }
+
+  test("global-aggregate CV (no GROUP BY) emits changes and accumulates (cont_count.sql)") {
+    val eng = newEngine()
+    eng.createStream("gg_s", streamSchema)
+    eng.createContView("v_gg", "SELECT count(*) AS n, sum(x) AS sx FROM gg_s")
+    eng.insertInto("gg_s", mkBatch(allRows.take(100)))
+    eng.insertInto("gg_s", mkBatch(allRows.slice(100, 250)))
+    val row = eng.overlay("v_gg").collect().head
+    assert(row.getLong(0) == 250L)
+    assert(row.getLong(1) == allRows.take(250).map(_._2).sum)
+    val changes = eng.outputOf("v_gg").get
+    assert(changes.count() == 2L)
+    // the second upsert carries the first's post-image as old
+    assert(changes.where(col("old").isNotNull && col("old.n") === 100L).count() == 1L)
+  }
+
+  test("append store compaction bounds segment count without losing rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_store").toString
+    val st = new StateStore(spark, dir, keyCols = Nil, appendOnly = true,
+      maxAppendSegments = 4)
+    (1 to 10).foreach { i =>
+      st.upsert(Seq((s"k$i", i.toLong)).toDF("key", "x"), Nil, needOldRows = false)
+    }
+    val state = st.read().get
+    assert(state.count() == 10L)
+    // segment count stays bounded (compaction merged the small segments)
+    assert(st.deleteWhere(lit(false)).totalBuckets <= 5)
+    assert(state.select("key").collect().map(_.getString(0)).toSet ==
+      (1 to 10).map(i => s"k$i").toSet)
+    // arrival order is preserved through compaction
+    val ordered = state.orderBy(col(StateStore.PkBatchCol), col(StateStore.PkRowCol))
+      .select("x").collect().map(_.getLong(0)).toSeq
+    assert(ordered == (1L to 10L))
+  }
 }
