@@ -319,6 +319,14 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
       case "transform" => dropContTransform(name)
       case _ => dropStream(name)
     }
+    case CvDdl.Insert(name, columns, valuesSql) if name.endsWith("_mrel") &&
+        views.contains(name.stripSuffix("_mrel")) =>
+      // INSERT INTO <cv>_mrel (cols) VALUES … — direct state insert,
+      // honored only under matrels_writable (cont_matrel.sql:7,35-36)
+      val cols = columns.getOrElse(throw new IllegalArgumentException(
+        s"INSERT INTO $name requires an explicit column list"))
+      val df = spark.sql(s"SELECT * FROM (VALUES $valuesSql) AS t(${cols.mkString(", ")})")
+      insertMatrel(name.stripSuffix("_mrel"), df); ()
     case CvDdl.Insert(name, columns, valuesSql) =>
       require(streams.contains(name), s"unknown stream $name")
       val schema = streams(name).schema
@@ -352,6 +360,22 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
           df.columns.contains(f.name) || f.name == "arrival_timestamp")
         .foreach(f => df = df.withColumn(f.name, lit(null).cast(f.dataType)))
       insertInto(name, df)
+    case CvDdl.Update(table, set, where) =>
+      updateMatrel(mrelTarget("UPDATE", table), set, where); ()
+    case CvDdl.Delete(table, where) =>
+      deleteMatrel(mrelTarget("DELETE", table), where); ()
+  }
+
+  /** `<cv>_mrel` → cv, for the direct-DML statements; anything else is not
+    * a writable relation in this engine (streams take INSERT, not
+    * UPDATE/DELETE; overlays are views).
+    */
+  private def mrelTarget(verb: String, table: String): String = {
+    val cv = table.stripSuffix("_mrel")
+    require(table.endsWith("_mrel") && views.contains(cv),
+      s"$verb targets must be a continuous view's materialization table " +
+        s"(<cv>_mrel); got '$table'")
+    cv
   }
 
   /** `FROM output_of('cv')` → the CQ's registered output stream — the
@@ -841,6 +865,110 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
       s"combine_table input must carry columns ${expected.mkString(", ")}")
     h.store.upsert(partials.select(expected.toSeq.map(col): _*), h.plan.reAggs,
       needOldRows = false)
+  }
+
+  // ---- direct matrel DML (reference pipelinedb.matrels_writable GUC,
+  // cont_matrel.sql): OFF by default — the combiner owns matrel contents,
+  // and a stray UPDATE would silently corrupt incremental results. ----
+
+  /** Gate for [[insertMatrel]]/[[updateMatrel]]/[[deleteMatrel]] and the
+    * SQL `INSERT/UPDATE/DELETE … <cv>_mrel` spellings.
+    */
+  @volatile var matrelsWritable: Boolean = false
+
+  private def writableHandle(name: String): CvHandle = {
+    val h = views.getOrElse(name,
+      throw new IllegalArgumentException(s"unknown continuous view $name"))
+    require(matrelsWritable,
+      s"cannot change materialization table ${name}_mrel " +
+        "(set matrelsWritable = true to allow direct writes)")
+    h
+  }
+
+  /** (internalStateName, plainName) pairs: a state owned by exactly one
+    * single-state aggregate is addressed by that aggregate's output name in
+    * matrel DML (`UPDATE v_mrel SET count = …` — same naming the `_mrel`
+    * SQL binding and the delta struct use).
+    */
+  private def mrelRenames(h: CvHandle): Seq[(String, String)] = {
+    val owners = h.plan.aggs.filter(_.states.sizeIs == 1).groupBy(_.states.head._1)
+    h.plan.stateNames.flatMap { sn =>
+      owners.get(sn) match {
+        case Some(Seq(a)) if !h.plan.stateKeys.contains(a.name) => Some(sn -> a.name)
+        case _ => None
+      }
+    }
+  }
+
+  /** INSERT INTO `<cv>_mrel`: add state rows directly. The row carries the
+    * group keys plus RAW state columns under their plain names (for count
+    * the state is the count itself — cont_matrel.sql:34-39). Inserting a
+    * group that already exists fails, like the reference's `$pk` conflict;
+    * later stream ingest combines on top of hand-written state.
+    */
+  def insertMatrel(name: String, rows: DataFrame): Long = {
+    val h = writableHandle(name)
+    require(!h.plan.append || h.plan.sw.isEmpty,
+      s"direct INSERT on sliding-window append-only CV $name is not supported " +
+        "(the hidden window timestamp cannot be supplied)")
+    if (h.plan.append) {
+      val out = rows.select(h.plan.appendOutputs.map(col): _*)
+      return h.store.synchronized(h.store.upsert(out, Nil, needOldRows = false)._3)
+    }
+    val renames = mrelRenames(h)
+    val toInternal = renames.map(_.swap).toMap
+    val expected = (h.plan.stateKeys ++ h.plan.stateNames).toSet
+    val provided = rows.columns.map(c => toInternal.getOrElse(c, c)).toSet
+    require(expected.subsetOf(provided),
+      s"INSERT into ${name}_mrel must carry columns " +
+        (h.plan.stateKeys ++ renames.map(_._2)).mkString(", "))
+    val internal = renames.foldLeft(rows) { case (d, (i, u)) => d.withColumnRenamed(u, i) }
+      .select(expected.toSeq.map(col): _*)
+    val keys = h.plan.stateKeys
+    h.store.synchronized {
+      val n = internal.count()
+      val distinctGroups =
+        if (keys.isEmpty) math.min(n, 1L)
+        else internal.select(keys.map(col): _*).distinct().count()
+      require(distinctGroups == n,
+        s"duplicate group in INSERT into ${name}_mrel (the reference's " +
+          "$pk-conflict analogue)")
+      h.store.read().foreach { st =>
+        val conflict =
+          if (keys.isEmpty) n > 0 && st.limit(1).count() > 0
+          else st.join(internal,
+            keys.map(k => st(k) <=> internal(k)).reduce(_ && _), "left_semi")
+            .limit(1).count() > 0
+        require(!conflict,
+          s"group already exists in ${name}_mrel (the reference's " +
+            "$pk-conflict analogue)")
+      }
+      h.store.upsert(internal, h.plan.reAggs, needOldRows = false)._3
+    }
+  }
+
+  /** UPDATE `<cv>_mrel` SET col = expr, … [WHERE pred]: rewrite state rows
+    * in place (cont_matrel.sql:12-23). Assignments and predicate address
+    * plain matrel column names; group keys cannot be reassigned.
+    */
+  def updateMatrel(name: String, set: Seq[(String, String)],
+      where: Option[String] = None): Long = {
+    val h = writableHandle(name)
+    h.store.updateWhere(
+      set.map { case (c, e) => c -> expr(e) },
+      where.map(expr).getOrElse(lit(true)),
+      renames = if (h.plan.append) Nil else mrelRenames(h))
+  }
+
+  /** DELETE FROM `<cv>_mrel` [WHERE pred] (cont_matrel.sql:9,18).
+    * @return number of state buckets rewritten (0 = nothing matched)
+    */
+  def deleteMatrel(name: String, where: Option[String] = None): Long = {
+    val h = writableHandle(name)
+    val stats = h.store.deleteWhere(
+      where.map(expr).getOrElse(lit(true)),
+      renames = if (h.plan.append) Nil else mrelRenames(h))
+    stats.rewrittenBuckets.toLong
   }
 
   // lazy: renameContView touches these during the constructor's catalog

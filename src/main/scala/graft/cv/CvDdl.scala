@@ -46,6 +46,13 @@ object CvDdl {
     */
   final case class InsertSelect(
       stream: String, columns: Option[Seq[String]], select: String) extends Stmt
+  /** UPDATE `<cv>_mrel` SET col = expr, … [WHERE pred] — direct matrel DML,
+    * honored only under matrels_writable (cont_matrel.sql:12-23).
+    */
+  final case class Update(
+      table: String, set: Seq[(String, String)], where: Option[String]) extends Stmt
+  /** DELETE FROM `<cv>_mrel` [WHERE pred] (cont_matrel.sql:9,18). */
+  final case class Delete(table: String, where: Option[String]) extends Stmt
 
   private val StreamRe =
     """(?is)\s*CREATE\s+STREAM\s+([\w.]+)\s*\((.*)\)\s*;?\s*""".r
@@ -71,6 +78,10 @@ object CvDdl {
     """(?is)\s*INSERT\s+INTO\s+([\w.]+)\s*(?:\(([^)]*)\)\s*)?VALUES\s*(.+?)\s*;?\s*""".r
   private val InsertSelectRe =
     """(?is)\s*INSERT\s+INTO\s+([\w.]+)\s*(?:\(\s*(?!SELECT\b)([^)]*)\)\s*)?(\(?\s*SELECT\b.*?)\s*;?\s*""".r
+  private val UpdateRe =
+    """(?is)\s*UPDATE\s+([\w.]+)\s+SET\s+(.+?)(?:\s+WHERE\s+(.+?))?\s*;?\s*""".r
+  private val DeleteRe =
+    """(?is)\s*DELETE\s+FROM\s+([\w.]+)(?:\s+WHERE\s+(.+?))?\s*;?\s*""".r
 
   /** `(SELECT …)` → `SELECT …` — only when the outer parens actually pair
     * with each other (a regex `\)?` would steal the closing paren of e.g.
@@ -131,6 +142,14 @@ object CvDdl {
       InsertSelect(name,
         Option(cols).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq),
         stripOuterParens(select))
+    case UpdateRe(table, setSql, where) =>
+      val set = splitTopLevel(setSql, ',').map { kv =>
+        val eq = indexOfTopLevel(kv, '=')
+        require(eq > 0, s"malformed SET assignment: '$kv' (expected col = expr)")
+        kv.substring(0, eq).trim -> kv.substring(eq + 1).trim
+      }
+      Update(table, set, Option(where).map(_.trim))
+    case DeleteRe(table, where) => Delete(table, Option(where).map(_.trim))
     case other => throw new IllegalArgumentException(
       s"unrecognized DDL: ${other.trim.take(80)} — expected CREATE STREAM / " +
         "CREATE [CONTINUOUS] VIEW / CREATE CONTINUOUS TRANSFORM / DROP … / " +

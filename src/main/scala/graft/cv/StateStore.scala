@@ -529,13 +529,23 @@ final class StateStore(
     *        Footer reads are driver-side metadata-only and cached per
     *        (immutable) version file, so steady state is O(new files) per
     *        pass, not O(state).
+    * @param renames (internalName, userName) pairs: the predicate is
+    *        resolved against a view of the state with these columns renamed
+    *        (matrel DML addresses single-state columns by their plain agg
+    *        names — cont_matrel.sql's `DELETE FROM v_mrel WHERE count…`);
+    *        the stored schema keeps the internal names.
     * @return per-pass counters — `scannedBuckets` is what the pruning spec
     *         asserts on (and what a capacity dashboard would chart).
     */
   def deleteWhere(predicate: org.apache.spark.sql.Column,
-      pruneLtMicros: Option[(String, Long)] = None): StateStore.DeleteStats =
+      pruneLtMicros: Option[(String, Long)] = None,
+      renames: Seq[(String, String)] = Nil): StateStore.DeleteStats =
     this.synchronized {
     flushPendingGc()
+    def toUser(df: DataFrame): DataFrame =
+      renames.foldLeft(df) { case (d, (i, u)) => d.withColumnRenamed(i, u) }
+    def toInternal(df: DataFrame): DataFrame =
+      renames.foldLeft(df) { case (d, (i, u)) => d.withColumnRenamed(u, i) }
     readManifest() match {
       case None => StateStore.DeleteStats(0, 0, 0)
       case Some(m) =>
@@ -548,12 +558,13 @@ final class StateStore(
           case None => m.buckets.keySet.toSet
         }
         if (candidates.isEmpty) return StateStore.DeleteStats(total, 0, 0)
-        val cur = readBuckets(Some(candidates))
-          .getOrElse(return StateStore.DeleteStats(total, 0, 0))
+        val cur = toUser(readBuckets(Some(candidates))
+          .getOrElse(return StateStore.DeleteStats(total, 0, 0)))
         val affected = cur.where(predicate).withColumn(BucketCol, rowBucket)
           .select(BucketCol).distinct().collect().map(_.getLong(0).toInt).toSet
         if (affected.isEmpty) return StateStore.DeleteStats(total, candidates.size, 0)
-        val keep = readBuckets(Some(affected)).get.where(!coalesce(predicate, lit(false)))
+        val keep = toInternal(toUser(readBuckets(Some(affected)).get)
+          .where(!coalesce(predicate, lit(false))))
           .withColumn(BucketCol, rowBucket)
         val version = m.version + 1
         keep.repartition(math.max(affected.size, 1), col(BucketCol))
@@ -568,6 +579,68 @@ final class StateStore(
         deferGcOldVersions(keep = newBuckets.values.map(_.takeWhile(_ != '/')).toSet)
         refreshCache()
         StateStore.DeleteStats(total, candidates.size, affected.size)
+    }
+  }
+
+  /** Rewrite state rows matching the predicate with the given assignments
+    * (direct matrel UPDATE under matrels_writable — cont_matrel.sql:12-23).
+    * Assignment/predicate columns use the USER-facing names from `renames`;
+    * the stored schema keeps internal names. Group-key columns cannot be
+    * reassigned (bucket placement hashes them). Only buckets holding
+    * matching rows are rewritten.
+    *
+    * @return number of rows updated
+    */
+  def updateWhere(set: Seq[(String, org.apache.spark.sql.Column)],
+      predicate: org.apache.spark.sql.Column,
+      renames: Seq[(String, String)] = Nil): Long = this.synchronized {
+    flushPendingGc()
+    require(set.nonEmpty, "UPDATE requires at least one assignment")
+    require(set.map(_._1).distinct.size == set.size,
+      "multiple assignments to the same column")
+    val badKeys = set.map(_._1).filter(keyCols.contains)
+    require(badKeys.isEmpty,
+      s"cannot update group-key columns: ${badKeys.mkString(", ")}")
+    def toUser(df: DataFrame): DataFrame =
+      renames.foldLeft(df) { case (d, (i, u)) => d.withColumnRenamed(i, u) }
+    def toInternal(df: DataFrame): DataFrame =
+      renames.foldLeft(df) { case (d, (i, u)) => d.withColumnRenamed(u, i) }
+    readManifest() match {
+      case None => 0L
+      case Some(m) =>
+        val cur = toUser(readBuckets(None).getOrElse(return 0L))
+        set.foreach { case (n, _) =>
+          require(cur.columns.contains(n), s"state has no column $n") }
+        val pred = coalesce(predicate, lit(false))
+        val affected = cur.where(pred).withColumn(BucketCol, rowBucket)
+          .select(BucketCol).distinct().collect().map(_.getLong(0).toInt).toSet
+        if (affected.isEmpty) return 0L
+        val sub = toUser(readBuckets(Some(affected)).get)
+        val nUpdated = sub.where(pred).count()
+        // one select, all assignments against the OLD row (PG UPDATE
+        // semantics: `SET a = b, b = a` swaps); types pinned to the stored
+        // column type so the matrel schema can't drift
+        val setMap = set.toMap
+        val marked = sub.withColumn("__upd", pred)
+        val updated = marked.select(sub.columns.map { c =>
+          setMap.get(c) match {
+            case Some(e) =>
+              when(col("__upd"), e.cast(sub.schema(c).dataType))
+                .otherwise(col(c)).as(c)
+            case None => col(c)
+          }
+        }: _*)
+        val out = toInternal(updated).withColumn(BucketCol, rowBucket)
+        val version = m.version + 1
+        out.repartition(math.max(affected.size, 1), col(BucketCol))
+          .write.partitionBy(BucketCol).mode("overwrite").parquet(s"$root/v$version")
+        val written = writtenBuckets(s"$root/v$version")
+        val newBuckets = (m.buckets -- affected) ++
+          written.map(b => b -> s"v$version/$BucketCol=$b").toMap
+        writeManifest(Manifest(version, newBuckets, small = m.small))
+        deferGcOldVersions(keep = newBuckets.values.map(_.takeWhile(_ != '/')).toSet)
+        refreshCache()
+        nUpdated
     }
   }
 

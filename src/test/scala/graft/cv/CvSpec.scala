@@ -1836,6 +1836,87 @@ class CvSpec extends AnyFunSuite {
     assert(changes.where(col("old").isNotNull && col("old.n") === 100L).count() == 1L)
   }
 
+  // ---- direct matrel DML: cont_matrel.sql + matrels_writable GUC ----
+
+  test("matrel DML is rejected while matrels_writable is off (cont_matrel.sql:7-9)") {
+    val eng = newEngine()
+    eng.createStream("mw_s", streamSchema)
+    eng.createContView("v_mw", "SELECT count(*) AS n FROM mw_s", emitChanges = false)
+    eng.insertInto("mw_s", mkBatch(allRows.take(10)))
+    intercept[IllegalArgumentException] {
+      eng.sql("UPDATE v_mw_mrel SET n = 2")
+    }
+    intercept[IllegalArgumentException] {
+      eng.sql("DELETE FROM v_mw_mrel")
+    }
+    intercept[IllegalArgumentException] {
+      eng.sql("INSERT INTO v_mw_mrel (n) VALUES (1)")
+    }
+    // and the gate names the mrel like the reference's error does
+    val e = intercept[IllegalArgumentException](eng.updateMatrel("v_mw", Seq("n" -> "2")))
+    assert(e.getMessage.contains("v_mw_mrel"))
+    assert(eng.overlay("v_mw").collect().head.getLong(0) == 10L)
+  }
+
+  test("matrels_writable UPDATE/DELETE/INSERT + continued ingest (cont_matrel.sql:11-39)") {
+    val eng = newEngine()
+    eng.createStream("mx_s", streamSchema)
+    eng.createContView("v_mx", "SELECT count(*) AS n FROM mx_s", emitChanges = false)
+    eng.insertInto("mx_s", mkBatch(allRows.take(1)))
+    eng.matrelsWritable = true
+    // UPDATE the raw count state; the overlay reflects it and the next
+    // stream insert combines on top
+    assert(eng.updateMatrel("v_mx", Seq("n" -> "2")) == 1L)
+    assert(eng.overlay("v_mx").collect().head.getLong(0) == 2L)
+    eng.insertInto("mx_s", mkBatch(allRows.slice(1, 2)))
+    assert(eng.overlay("v_mx").collect().head.getLong(0) == 3L)
+    // DELETE empties the state; ingest reseeds from zero
+    eng.sql("DELETE FROM v_mx_mrel")
+    assert(eng.overlay("v_mx").count() == 0L)
+    eng.insertInto("mx_s", mkBatch(allRows.slice(2, 3)))
+    assert(eng.overlay("v_mx").collect().head.getLong(0) == 1L)
+    // after truncate, a direct INSERT seeds state; a second insert of the
+    // same (keyless) group is the reference's $pk conflict
+    eng.truncateContView("v_mx")
+    eng.sql("INSERT INTO v_mx_mrel (n) VALUES (5)")
+    intercept[IllegalArgumentException] {
+      eng.sql("INSERT INTO v_mx_mrel (n) VALUES (10)")
+    }
+    assert(eng.overlay("v_mx").collect().head.getLong(0) == 5L)
+    eng.insertInto("mx_s", mkBatch(allRows.take(1)))
+    assert(eng.overlay("v_mx").collect().head.getLong(0) == 6L)
+  }
+
+  test("keyed matrel DML: plain-name WHERE, key updates rejected, avg state intact") {
+    val eng = newEngine()
+    eng.createStream("my_s", streamSchema)
+    eng.createContView("v_my",
+      "SELECT key, count(*) AS n, avg(v) AS av FROM my_s GROUP BY key",
+      emitChanges = false)
+    eng.insertInto("my_s", mkBatch(allRows.take(500)))
+    eng.matrelsWritable = true
+    val before = eng.overlay("v_my").where(col("key") === "k3")
+      .collect().head
+    // predicate over a key, assignment over the plain state name
+    assert(eng.updateMatrel("v_my", Seq("n" -> "n + 100"), Some("key = 'k3'")) == 1L)
+    val after = eng.overlay("v_my").where(col("key") === "k3").collect().head
+    assert(after.getLong(1) == before.getLong(1) + 100)
+    assert(math.abs(after.getDouble(2) - before.getDouble(2)) < 1e-12,
+      "avg state must survive an unrelated assignment")
+    // group keys are immutable under DML (bucket placement hashes them)
+    intercept[IllegalArgumentException] {
+      eng.updateMatrel("v_my", Seq("key" -> "'zzz'"))
+    }
+    // DELETE with a plain-name predicate drops exactly the matching groups
+    eng.sql("DELETE FROM v_my_mrel WHERE key = 'k3'")
+    assert(eng.overlay("v_my").where(col("key") === "k3").count() == 0L)
+    assert(eng.overlay("v_my").count() == 6L)
+    // a duplicate-group direct INSERT is rejected
+    intercept[IllegalArgumentException] {
+      eng.insertMatrel("v_my", Seq(("k0", 1L, 1.0)).toDF("key", "n", "av"))
+    }
+  }
+
   test("append store compaction bounds segment count without losing rows") {
     val dir = java.nio.file.Files.createTempDirectory("graft_store").toString
     val st = new StateStore(spark, dir, keyCols = Nil, appendOnly = true,
