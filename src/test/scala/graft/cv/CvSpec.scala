@@ -1836,6 +1836,25 @@ class CvSpec extends AnyFunSuite {
     assert(changes.where(col("old").isNotNull && col("old.n") === 100L).count() == 1L)
   }
 
+  test("variance/stddev legacy spellings split like var_samp/stddev_samp (cont_stats_agg.sql)") {
+    val eng = newEngine()
+    eng.createStream("va_s", streamSchema)
+    eng.createContView("v_va",
+      """SELECT key, variance(v) AS vr, var_samp(v) AS vs,
+        |stddev(v) AS sd, stddev_samp(v) AS ss FROM va_s GROUP BY key""".stripMargin,
+      emitChanges = false)
+    allRows.grouped(1000).foreach(c => eng.insertInto("va_s", mkBatch(c)))
+    val got = eng.overlay("v_va").collect()
+    val exp = mkBatch(allRows).groupBy("key")
+      .agg(var_samp(col("v")).as("vr"), stddev_samp(col("v")).as("ss"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    got.foreach { r =>
+      val (vr, ss) = exp(r.getString(0))
+      Seq(r.getDouble(1), r.getDouble(2)).foreach(x => assert(math.abs(x - vr) < 1e-9))
+      Seq(r.getDouble(3), r.getDouble(4)).foreach(x => assert(math.abs(x - ss) < 1e-9))
+    }
+  }
+
   // ---- direct matrel DML: cont_matrel.sql + matrels_writable GUC ----
 
   test("matrel DML is rejected while matrels_writable is off (cont_matrel.sql:7-9)") {
