@@ -182,6 +182,8 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
           case "set_ttl" =>
             setTtl(fields("name"), Option(fields("ttl")).filter(_.nonEmpty),
               Option(fields("ttlColumn")).filter(_.nonEmpty))
+          case "index" =>
+            createIndex(fields("name"), fields("payload").split(",").toSeq: _*)
           case _ => ()
         } catch {
           case e: Exception =>
@@ -360,6 +362,10 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
           df.columns.contains(f.name) || f.name == "arrival_timestamp")
         .foreach(f => df = df.withColumn(f.name, lit(null).cast(f.dataType)))
       insertInto(name, df)
+    case CvDdl.CreateIndex(view, cols) =>
+      // the reference indexes the mrel through the overlay name (CREATE
+      // INDEX … ON test_cont_index0 …, cont_index.sql:5) — accept either
+      createIndex(view.stripSuffix("_mrel"), cols: _*)
     case CvDdl.Update(table, set, where) =>
       updateMatrel(mrelTarget("UPDATE", table), set, where); ()
     case CvDdl.Delete(table, where) =>
@@ -486,6 +492,7 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
       val store = new StateStore(exec, s"$root/$name/state", plan.stateKeys,
         numBuckets = math.max(8, ingestShufflePartitions),
         smallStateBytes = smallStateBytes, appendOnly = plan.append)
+      store.clusterBy = defaultClusterBy(plan)
       val handle = CvHandle(plan, store, streamName, changes = emitChanges)
       views(name) = handle
       val rs = readers.getOrElseUpdate(streamName, mutable.Buffer.empty)
@@ -533,6 +540,7 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     val store2 = new StateStore(exec, s"$root/$newName/state", h.plan.stateKeys,
       numBuckets = math.max(8, ingestShufflePartitions),
       smallStateBytes = smallStateBytes, appendOnly = h.plan.append)
+    store2.clusterBy = h.store.clusterBy
     views.remove(name)
     views(newName) = h.copy(plan = h.plan.copy(name = newName), store = store2)
     defs.remove(name).foreach(defs(newName) = _)
@@ -637,6 +645,43 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
   }
 
   def truncateContView(name: String): Unit = views(name).store.truncate()
+
+  /** Default within-file clustering for a new CV (the CREATE INDEX analogue
+    * the reference applies implicitly: every SW matrel gets an index on its
+    * window bucket, every matrel a group-hash index — cont_index.sql \\d+
+    * output). Time-filtered reads are the ones that profit from ROW-GROUP
+    * pruning here: SW liveness filters and TTL reaps.
+    */
+  private def defaultClusterBy(plan: CvPlan): Seq[String] =
+    plan.sw.map(s => if (plan.append) CvPlanner.AppendSwTs else s.bucketCol)
+      .orElse(plan.options.ttlColumn.filter(c =>
+        if (plan.append) plan.appendOutputs.contains(c)
+        else plan.stateKeys.contains(c)))
+      .toSeq
+
+  /** CREATE INDEX analogue (cont_index.sql): cluster the matrel's files by
+    * a stored physical column. New writes (merges, compactions, reaps)
+    * sort rows by the column inside each bucket file, so parquet row-group
+    * stats prune range predicates on it — the closest Spark-state
+    * equivalent of the reference's btree on a matrel column. Persisted in
+    * the catalog; applies to data written from now on (existing files
+    * re-cluster as their buckets are next rewritten).
+    */
+  def createIndex(name: String, columns: String*): Unit = {
+    require(columns.nonEmpty, "CREATE INDEX requires at least one column")
+    val h = views.getOrElse(name,
+      throw new IllegalArgumentException(s"unknown continuous view $name"))
+    val physical =
+      if (h.plan.append) h.plan.appendOutputs :+ CvPlanner.AppendSwTs
+      else h.plan.stateKeys
+    columns.foreach(c => require(physical.contains(c),
+      s"cannot index $name on '$c': only physically stored columns " +
+        s"(${physical.mkString(", ")}) are indexable — aggregate outputs " +
+        "are finalized at read time"))
+    h.store.clusterBy = columns.toSeq
+    appendCatalog(CatalogEntry("index", name, columns.mkString(","), "", "", 0,
+      "", "", "", changes = false))
+  }
 
   // ---- DROP (reference ExecDropContQuery path: dropping a CV cascades to
   // its matrel/osrel/seq/def relations, pipeline_query.c:552-684) ----

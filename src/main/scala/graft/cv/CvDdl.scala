@@ -53,6 +53,10 @@ object CvDdl {
       table: String, set: Seq[(String, String)], where: Option[String]) extends Stmt
   /** DELETE FROM `<cv>_mrel` [WHERE pred] (cont_matrel.sql:9,18). */
   final case class Delete(table: String, where: Option[String]) extends Stmt
+  /** CREATE INDEX idx ON cv (cols…) — within-file clustering analogue
+    * (cont_index.sql; the index name itself is cosmetic here).
+    */
+  final case class CreateIndex(view: String, columns: Seq[String]) extends Stmt
 
   private val StreamRe =
     """(?is)\s*CREATE\s+STREAM\s+([\w.]+)\s*\((.*)\)\s*;?\s*""".r
@@ -78,6 +82,8 @@ object CvDdl {
     """(?is)\s*INSERT\s+INTO\s+([\w.]+)\s*(?:\(([^)]*)\)\s*)?VALUES\s*(.+?)\s*;?\s*""".r
   private val InsertSelectRe =
     """(?is)\s*INSERT\s+INTO\s+([\w.]+)\s*(?:\(\s*(?!SELECT\b)([^)]*)\)\s*)?(\(?\s*SELECT\b.*?)\s*;?\s*""".r
+  private val CreateIndexRe =
+    """(?is)\s*CREATE\s+INDEX\s+[\w.]+\s+ON\s+([\w.]+)\s*\(([^)]*)\)\s*;?\s*""".r
   private val UpdateRe =
     """(?is)\s*UPDATE\s+([\w.]+)\s+SET\s+(.+?)(?:\s+WHERE\s+(.+?))?\s*;?\s*""".r
   private val DeleteRe =
@@ -150,10 +156,13 @@ object CvDdl {
       }
       Update(table, set, Option(where).map(_.trim))
     case DeleteRe(table, where) => Delete(table, Option(where).map(_.trim))
+    case CreateIndexRe(view, cols) =>
+      CreateIndex(view, cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     case other => throw new IllegalArgumentException(
       s"unrecognized DDL: ${other.trim.take(80)} — expected CREATE STREAM / " +
-        "CREATE [CONTINUOUS] VIEW / CREATE CONTINUOUS TRANSFORM / DROP … / " +
-        "INSERT INTO … VALUES … / ACTIVATE / DEACTIVATE")
+        "CREATE [CONTINUOUS] VIEW / CREATE CONTINUOUS TRANSFORM / CREATE INDEX / " +
+        "DROP … / INSERT INTO … VALUES … / UPDATE … / DELETE FROM … / " +
+        "ACTIVATE / DEACTIVATE")
   }
 
   private def buildQuery(

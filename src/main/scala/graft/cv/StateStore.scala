@@ -58,6 +58,28 @@ final class StateStore(
       r
     }
 
+  /** Within-file clustering columns (the CREATE INDEX analogue —
+    * cont_index.sql; set by the engine for SW/TTL views or via
+    * createIndex). Rows are sorted by these columns inside every written
+    * bucket file, so parquet ROW-GROUP min/max stats prune time-ranged
+    * reads (SW overlay liveness filters, TTL reap scans) — the hash-bucket
+    * layout alone can't: every bucket holds groups from all time ranges.
+    */
+  @volatile var clusterBy: Seq[String] = Nil
+
+  /** Sort rows for writing. Leads with the partition column when present so
+    * the dynamic-partition writer sees its required ordering satisfied and
+    * does not re-sort (its own sort would destroy the clustering).
+    */
+  private def clustered(df: DataFrame): DataFrame = {
+    val cols = clusterBy.filter(df.columns.contains)
+    if (cols.isEmpty) df
+    else {
+      val lead = if (df.columns.contains(BucketCol)) Seq(BucketCol) else Nil
+      df.sortWithinPartitions((lead ++ cols).map(col): _*)
+    }
+  }
+
   // a keyless store (global aggregate — exactly one group) lives in bucket 0
   private def bucketOf: org.apache.spark.sql.Column =
     if (keyCols.isEmpty) lit(0L)
@@ -300,7 +322,7 @@ final class StateStore(
     val arranged =
       if (writeTasks <= 2) merged.coalesce(writeTasks)
       else merged.repartition(writeTasks, col(BucketCol))
-    phase(lastCombinerMs = _)(timed("merge-write")(arranged
+    phase(lastCombinerMs = _)(timed("merge-write")(clustered(arranged)
       .write.partitionBy(BucketCol).mode("overwrite").parquet(outDir)))
 
     val newBuckets = manifest.map(_.buckets).getOrElse(Map.empty) ++
@@ -387,7 +409,7 @@ final class StateStore(
 
       val version = m.version + 1
       val outDir = s"$root/v$version"
-      phase(lastCombinerMs = _)(timed("small-merge")(merged.coalesce(1)
+      phase(lastCombinerMs = _)(timed("small-merge")(clustered(merged.coalesce(1))
         .write.partitionBy(BucketCol).mode("overwrite").parquet(outDir)))
       val written = writtenBuckets(outDir)
       // full rewrite: the manifest is replaced wholesale by this version
@@ -445,8 +467,9 @@ final class StateStore(
     // 32-way fan-out of tiny files — measured 4-6x the flat-write floor.
     // Subsequent large merges size tasks by group volume (see writeTasks).
     phase(lastCombinerMs = _)(
-      timed("first-write")(up.observe(obs, org.apache.spark.sql.functions.count(lit(1)).as("n"))
-      .coalesce(math.min(2, numBuckets))
+      timed("first-write")(clustered(
+        up.observe(obs, org.apache.spark.sql.functions.count(lit(1)).as("n"))
+          .coalesce(math.min(2, numBuckets)))
       .write.partitionBy(BucketCol).mode("overwrite").parquet(outDir)))
     val groupsTouched = observedCount(obs, up.count())
     val written = writtenBuckets(outDir)
@@ -481,8 +504,8 @@ final class StateStore(
     val segRel = s"v$version/$BucketCol=$newSeg"
     val obs = org.apache.spark.sql.Observation()
     lastWorkerMs = 0L
-    phase(lastCombinerMs = _)(timed("append")(up
-      .observe(obs, count(lit(1)).as("n"))
+    phase(lastCombinerMs = _)(timed("append")(clustered(up
+      .observe(obs, count(lit(1)).as("n")))
       .write.mode("overwrite").parquet(s"$root/$segRel")))
     val n = observedCount(obs, up.count())
     if (n == 0L) {
@@ -501,9 +524,9 @@ final class StateStore(
       val compactId = newSeg + 1
       val compactRel = s"v$version/$BucketCol=$compactId"
       val tasks = math.max(1, (toMerge.map(_._3).sum / (128L * 1024 * 1024)).toInt)
-      timed("compact")(spark.read.schema(up.schema)
+      timed("compact")(clustered(spark.read.schema(up.schema)
         .parquet(toMerge.map(t => s"$root/${t._2}"): _*)
-        .coalesce(tasks).write.mode("overwrite").parquet(s"$root/$compactRel"))
+        .coalesce(tasks)).write.mode("overwrite").parquet(s"$root/$compactRel"))
       buckets = (buckets -- toMerge.map(_._1)) + (compactId -> compactRel)
     }
     writeManifest(Manifest(version, buckets, small = false))
@@ -567,7 +590,7 @@ final class StateStore(
           .where(!coalesce(predicate, lit(false))))
           .withColumn(BucketCol, rowBucket)
         val version = m.version + 1
-        keep.repartition(math.max(affected.size, 1), col(BucketCol))
+        clustered(keep.repartition(math.max(affected.size, 1), col(BucketCol)))
           .write.partitionBy(BucketCol).mode("overwrite").parquet(s"$root/v$version")
         // buckets that became empty still get a manifest entry only if files exist
         val written = writtenBuckets(s"$root/v$version")
@@ -632,7 +655,7 @@ final class StateStore(
         }: _*)
         val out = toInternal(updated).withColumn(BucketCol, rowBucket)
         val version = m.version + 1
-        out.repartition(math.max(affected.size, 1), col(BucketCol))
+        clustered(out.repartition(math.max(affected.size, 1), col(BucketCol)))
           .write.partitionBy(BucketCol).mode("overwrite").parquet(s"$root/v$version")
         val written = writtenBuckets(s"$root/v$version")
         val newBuckets = (m.buckets -- affected) ++

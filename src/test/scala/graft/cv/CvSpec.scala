@@ -2,6 +2,7 @@ package graft.cv
 
 import java.nio.file.Paths
 import java.sql.Timestamp
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -1853,6 +1854,54 @@ class CvSpec extends AnyFunSuite {
       Seq(r.getDouble(1), r.getDouble(2)).foreach(x => assert(math.abs(x - vr) < 1e-9))
       Seq(r.getDouble(3), r.getDouble(4)).foreach(x => assert(math.abs(x - ss) < 1e-9))
     }
+  }
+
+  // ---- CREATE INDEX analogue: within-file clustering (cont_index.sql) ----
+
+  test("SW/TTL views cluster bucket files by their time column; CREATE INDEX persists") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cv").toString
+    val eng = new ContViewEngine(spark, dir)
+    eng.createStream("ix_s", streamSchema)
+    // a TTL view on a key column clusters by it automatically
+    eng.createContView("v_ix",
+      "SELECT key, x, count(*) AS n FROM ix_s GROUP BY key, x",
+      CvPlanner.CvOptions(ttl = Some("365000 days"), ttlColumn = Some("x")),
+      emitChanges = false)
+    allRows.grouped(1000).foreach(c => eng.insertInto("ix_s", mkBatch(c)))
+    // physical check: inside each LIVE state parquet file (per the
+    // manifest — superseded version dirs linger until the next mutation's
+    // deferred GC), x is non-decreasing
+    val stateDir = java.nio.file.Paths.get(dir, "v_ix", "state")
+    def liveFiles(): Seq[java.nio.file.Path] = {
+      val txt = java.nio.file.Files.readString(stateDir.resolve("_manifest.json"))
+      """"(v\d+/[^"]+)"""".r.findAllMatchIn(txt).map(_.group(1)).toSeq
+        .flatMap(rel => java.nio.file.Files.walk(stateDir.resolve(rel))
+          .iterator().asScala.filter(_.toString.endsWith(".parquet")))
+    }
+    val files = liveFiles()
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val xs = spark.read.parquet(f.toString).select("x")
+        .collect().map(_.getLong(0)).toSeq
+      assert(xs == xs.sorted, s"rows in $f are not clustered by x")
+    }
+    // aggregate outputs are not indexable — finalized at read time
+    intercept[IllegalArgumentException] { eng.createIndex("v_ix", "n") }
+    // DDL spelling + restart persistence: re-cluster by key instead
+    eng.sql("CREATE INDEX ix0 ON v_ix (key)")
+    val eng2 = new ContViewEngine(spark, dir)
+    eng2.insertInto("ix_s", mkBatch(allRows.take(500)))
+    val after = liveFiles()
+    after.foreach { f =>
+      val ks = spark.read.parquet(f.toString).select("key")
+        .collect().map(_.getString(0)).toSeq
+      assert(ks == ks.sorted, s"rows in $f are not clustered by key after CREATE INDEX")
+    }
+    // correctness is untouched by clustering
+    val got = asMap(eng2.overlay("v_ix").groupBy("key").agg(sum("n").as("n")))
+    val exp = asMap(mkBatch(allRows ++ allRows.take(500))
+      .groupBy("key").agg(count(lit(1)).as("n")))
+    assert(got == exp)
   }
 
   // ---- direct matrel DML: cont_matrel.sql + matrels_writable GUC ----
