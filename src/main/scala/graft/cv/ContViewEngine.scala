@@ -30,7 +30,8 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 final class ContViewEngine(val spark: SparkSession, val root: String,
     ingestShufflePartitions: Int = 8,
-    smallStateBytes: Long = StateStore.DefaultSmallStateBytes) {
+    smallStateBytes: Long = StateStore.DefaultSmallStateBytes,
+    maxAppendSegments: Int = 64) {
 
   import CvPlanner._
 
@@ -274,14 +275,14 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
         // rename is an attribute alias, so the combine-kind metadata that
         // SQL combine()/finalize() resolve against survives.
         val h = views(v)
-        val singles = h.plan.aggs.collect {
-          case a if a.states.sizeIs == 1 => a.states.head._1
-        }.toSet
+        val owned = h.plan.singleOwnedStates
         val df = stateOf(v)
         val renamed = df.columns.foldLeft(df) { (d, c) =>
-          val plain = c.stripPrefix("__state_")
-          if (singles(c) && !df.columns.contains(plain)) d.withColumnRenamed(c, plain)
-          else d
+          owned.get(c) match {
+            case Some(plain) if !df.columns.contains(plain) =>
+              d.withColumnRenamed(c, plain)
+            case _ => d
+          }
         }
         bind(s"${v}_mrel")(renamed.createOrReplaceTempView(s"${v}_mrel"))
       }
@@ -491,7 +492,8 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
       // the ingest session can even fill in parallel
       val store = new StateStore(exec, s"$root/$name/state", plan.stateKeys,
         numBuckets = math.max(8, ingestShufflePartitions),
-        smallStateBytes = smallStateBytes, appendOnly = plan.append)
+        smallStateBytes = smallStateBytes, appendOnly = plan.append,
+        maxAppendSegments = maxAppendSegments)
       store.clusterBy = defaultClusterBy(plan)
       val handle = CvHandle(plan, store, streamName, changes = emitChanges)
       views(name) = handle
@@ -537,9 +539,11 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     val from = Paths.get(root, name)
     if (Files.exists(from))
       Files.move(from, Paths.get(root, newName), StandardCopyOption.ATOMIC_MOVE)
+    h.store.releaseCache() // the superseded instance must not leak its snapshot
     val store2 = new StateStore(exec, s"$root/$newName/state", h.plan.stateKeys,
       numBuckets = math.max(8, ingestShufflePartitions),
-      smallStateBytes = smallStateBytes, appendOnly = h.plan.append)
+      smallStateBytes = smallStateBytes, appendOnly = h.plan.append,
+      maxAppendSegments = maxAppendSegments)
     store2.clusterBy = h.store.clusterBy
     views.remove(name)
     views(newName) = h.copy(plan = h.plan.copy(name = newName), store = store2)
@@ -936,13 +940,9 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     * SQL binding and the delta struct use).
     */
   private def mrelRenames(h: CvHandle): Seq[(String, String)] = {
-    val owners = h.plan.aggs.filter(_.states.sizeIs == 1).groupBy(_.states.head._1)
-    h.plan.stateNames.flatMap { sn =>
-      owners.get(sn) match {
-        case Some(Seq(a)) if !h.plan.stateKeys.contains(a.name) => Some(sn -> a.name)
-        case _ => None
-      }
-    }
+    val owned = h.plan.singleOwnedStates
+    h.plan.stateNames.flatMap(sn => owned.get(sn).map(sn -> _))
+      .filterNot { case (_, plain) => h.plan.stateKeys.contains(plain) }
   }
 
   /** INSERT INTO `<cv>_mrel`: add state rows directly. The row carries the

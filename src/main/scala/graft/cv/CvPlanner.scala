@@ -228,13 +228,28 @@ object CvPlanner {
       * once.
       */
     def deltaFields: Seq[(String, String)] = {
-      val owners = aggs.filter(_.states.sizeIs == 1).groupBy(_.states.head._1)
+      val owned = singleOwnedStates
       stateSplits.map { case (n, _) =>
-        owners.get(n) match {
-          case Some(Seq(a)) => n -> a.name
+        owned.get(n) match {
+          case Some(plain) => n -> plain
           case _ => n -> n.stripPrefix("__state_")
         }
       }
+    }
+
+    /** State column → output name of the aggregate that solely owns it
+      * (single-state aggs only). THE naming authority shared by the delta
+      * struct, the `_mrel` SQL binding, and matrel DML addressing — one
+      * computation so the three surfaces can't drift apart.
+      */
+    def singleOwnedStates: Map[String, String] = {
+      val owners = aggs.filter(_.states.sizeIs == 1).groupBy(_.states.head._1)
+      stateSplits.flatMap { case (n, _) =>
+        owners.get(n) match {
+          case Some(Seq(a)) => Some(n -> a.name)
+          case _ => None
+        }
+      }.toMap
     }
   }
 
@@ -518,27 +533,33 @@ object CvPlanner {
     DistinctOnRe.findFirstMatchIn(selectSql) match {
       case None => selectSql
       case Some(m) =>
-        // find the ON list's matching close paren
+        // find the ON list's matching close paren — skipping parens inside
+        // string literals ('' is the SQL escape for a quote), which would
+        // otherwise miscount depth and splice mangled SQL
         var depth = 1
         var i = m.end
+        var inStr = false
         while (depth > 0 && i < selectSql.length) {
           selectSql.charAt(i) match {
-            case '(' => depth += 1
-            case ')' => depth -= 1
+            case '\'' => inStr = !inStr // '' toggles twice: net no-op, correct
+            case '(' if !inStr => depth += 1
+            case ')' if !inStr => depth -= 1
             case _ => ()
           }
           i += 1
         }
         require(depth == 0, s"unbalanced parentheses in DISTINCT ON: $selectSql")
         val onList = selectSql.substring(m.end, i - 1)
-        // split the ON list on top-level commas
+        // split the ON list on top-level commas (same literal-awareness)
         val exprs = mutable.Buffer.empty[String]
-        var d = 0; var start = 0
+        var d = 0; var start = 0; var inS = false
         onList.zipWithIndex.foreach { case (ch, j) =>
           ch match {
-            case '(' => d += 1
-            case ')' => d -= 1
-            case ',' if d == 0 => exprs += onList.substring(start, j); start = j + 1
+            case '\'' => inS = !inS
+            case '(' if !inS => d += 1
+            case ')' if !inS => d -= 1
+            case ',' if d == 0 && !inS =>
+              exprs += onList.substring(start, j); start = j + 1
             case _ => ()
           }
         }

@@ -67,6 +67,15 @@ final class StateStore(
     */
   @volatile var clusterBy: Seq[String] = Nil
 
+  /** Rename between internal state-column names and the user-facing names
+    * matrel DML addresses (deleteWhere/updateWhere `renames` pairs).
+    */
+  private def renamed(df: DataFrame, renames: Seq[(String, String)],
+      toUserNames: Boolean): DataFrame =
+    renames.foldLeft(df) { case (d, (i, u)) =>
+      if (toUserNames) d.withColumnRenamed(i, u) else d.withColumnRenamed(u, i)
+    }
+
   /** Sort rows for writing. Leads with the partition column when present so
     * the dynamic-partition writer sees its required ordering satisfied and
     * does not re-sort (its own sort would destroy the clustering).
@@ -184,7 +193,20 @@ final class StateStore(
 
   private def refreshCache(): Unit = {
     cachedState.foreach(_.unpersist())
-    cachedState = readBuckets(None).map(_.persist())
+    // append stores NEVER cache: state is O(events), not O(groups) — a
+    // persisted snapshot would be unbounded AND appendWrite doesn't
+    // invalidate it, so rows appended after a reap pass (whose deleteWhere
+    // ends here) would vanish from read() until the next delete
+    cachedState = if (appendOnly) None else readBuckets(None).map(_.persist())
+  }
+
+  /** Drop any persisted state snapshot (e.g. when this store instance is
+    * being replaced — rename swaps stores; without this the superseded
+    * instance's cache would leak in executor storage).
+    */
+  def releaseCache(): Unit = this.synchronized {
+    cachedState.foreach(_.unpersist())
+    cachedState = None
   }
 
   /** Current state as a DataFrame (without the bucket column). */
@@ -535,8 +557,14 @@ final class StateStore(
     // segment compacts too (bounded: compaction favors the smallest dirs)
     deferGcOldVersions(keep = buckets.values.map(_.takeWhile(_ != '/')).toSet)
     // NO state cache for append stores: state is O(events), not O(groups) —
-    // persisting it in executor memory would be an unbounded cache
-    val newRows = () => readBuckets(Some(Set(newSeg))).get
+    // persisting it in executor memory would be an unbounded cache.
+    // newRows reads the segment by its physical path, NOT its manifest id:
+    // this commit's compaction may already have merged the segment away
+    // (its files linger under the still-live version dir, and the engine
+    // consumes newRows synchronously within this ingest cycle).
+    val segPath = s"$root/$segRel"
+    val writtenSchema = up.schema
+    val newRows = () => spark.read.schema(writtenSchema).parquet(segPath)
     (if (needOldRows) Some(up.limit(0)) else None, newRows, n)
   }
 
@@ -565,10 +593,8 @@ final class StateStore(
       renames: Seq[(String, String)] = Nil): StateStore.DeleteStats =
     this.synchronized {
     flushPendingGc()
-    def toUser(df: DataFrame): DataFrame =
-      renames.foldLeft(df) { case (d, (i, u)) => d.withColumnRenamed(i, u) }
-    def toInternal(df: DataFrame): DataFrame =
-      renames.foldLeft(df) { case (d, (i, u)) => d.withColumnRenamed(u, i) }
+    def toUser(df: DataFrame): DataFrame = renamed(df, renames, toUserNames = true)
+    def toInternal(df: DataFrame): DataFrame = renamed(df, renames, toUserNames = false)
     readManifest() match {
       case None => StateStore.DeleteStats(0, 0, 0)
       case Some(m) =>
@@ -624,10 +650,16 @@ final class StateStore(
     val badKeys = set.map(_._1).filter(keyCols.contains)
     require(badKeys.isEmpty,
       s"cannot update group-key columns: ${badKeys.mkString(", ")}")
-    def toUser(df: DataFrame): DataFrame =
-      renames.foldLeft(df) { case (d, (i, u)) => d.withColumnRenamed(i, u) }
-    def toInternal(df: DataFrame): DataFrame =
-      renames.foldLeft(df) { case (d, (i, u)) => d.withColumnRenamed(u, i) }
+    // hidden infrastructure columns (arrival sequence, raw SW timestamp,
+    // grouping ids) are immutable under DML — keyed stores protect theirs
+    // via keyCols, append stores have no keys so guard by the reserved
+    // prefix (user-facing state columns surface through `renames`)
+    val badHidden = set.map(_._1).filter(c =>
+      c.startsWith("__") && !c.startsWith("__state_"))
+    require(badHidden.isEmpty,
+      s"cannot update hidden columns: ${badHidden.mkString(", ")}")
+    def toUser(df: DataFrame): DataFrame = renamed(df, renames, toUserNames = true)
+    def toInternal(df: DataFrame): DataFrame = renamed(df, renames, toUserNames = false)
     readManifest() match {
       case None => 0L
       case Some(m) =>
@@ -680,8 +712,13 @@ final class StateStore(
   private def bucketMayMatchLt(rel: String, colName: String, boundMicros: Long): Boolean = {
     val dir = Paths.get(root, rel)
     if (!Files.exists(dir)) return false
-    val files = Files.list(dir).iterator().asScala
-      .filter(p => p.getFileName.toString.endsWith(".parquet")).toSeq
+    // close the directory stream eagerly: this runs per bucket per reaper
+    // pass (1 s cadence) — GC-reclaimed descriptors accumulate to EMFILE
+    val listing = Files.list(dir)
+    val files =
+      try listing.iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet")).toSeq
+      finally listing.close()
     files.exists { f =>
       footerMinCache.getOrElseUpdate((f.toString, colName),
         readFooterMinMicros(f, colName)) match {

@@ -50,6 +50,8 @@ object KeywordScore {
       terms.indices.map(i => sum((col(s"tf$i") > 0).cast("double")).as(s"df$i"))
     val statsRow = withTf.agg(statsCols.head, statsCols.tail: _*).collect()(0)
     val n = statsRow.getDouble(0)
+    // empty corpus: avg/df come back NULL — nothing can match any term
+    if (n == 0.0) return withTf.limit(0).select(col(idCol), lit(0.0).as("score"))
     val avgdl = math.max(statsRow.getDouble(1), 1e-9)
     val idf = terms.indices.map { i =>
       val df = statsRow.getDouble(2 + i)

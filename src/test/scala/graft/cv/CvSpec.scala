@@ -1985,6 +1985,52 @@ class CvSpec extends AnyFunSuite {
     }
   }
 
+  test("append CV with changes survives compaction batches (newRows reads the physical segment)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cv").toString
+    val eng = new ContViewEngine(spark, dir, maxAppendSegments = 3)
+    eng.createStream("apcc_s", streamSchema)
+    eng.createContView("v_apcc", "SELECT key, x FROM apcc_s") // changes on
+    // enough batches that several commits compact the fresh segment away
+    // in the same cycle that emits its changes
+    (0 until 8).foreach { i =>
+      eng.insertInto("apcc_s", mkBatch(allRows.slice(i * 50, (i + 1) * 50)))
+    }
+    assert(eng.overlay("v_apcc").count() == 400L)
+    val changes = eng.outputOf("v_apcc").get
+    assert(changes.count() == 400L, "every appended row must emit one insert change")
+    assert(changes.where(col("old").isNotNull).count() == 0L)
+  }
+
+  test("append CV rows added after a reap pass stay visible (no stale cache)") {
+    val eng = newEngine()
+    eng.createStream("aprv_s", streamSchema)
+    eng.createContView("v_aprv",
+      "SELECT key, x, ts FROM aprv_s",
+      CvPlanner.CvOptions(ttl = Some("100 seconds"), ttlColumn = Some("ts")),
+      emitChanges = false)
+    eng.insertInto("aprv_s", mkBatch((1 to 50).map(i => (s"a$i", i.toLong, 0.0, tAt(i.toLong)))))
+    eng.insertInto("aprv_s", mkBatch((1 to 50).map(i => (s"b$i", i.toLong, 0.0, tAt(500 + i.toLong)))))
+    val stats = eng.expireTtl("v_aprv", Some(tAt(550)))
+    assert(stats.rewrittenBuckets > 0)
+    assert(eng.overlay("v_aprv").count() == 50L)
+    // the regression: a post-reap append must be served by the next read
+    eng.insertInto("aprv_s", mkBatch((1 to 20).map(i => (s"c$i", i.toLong, 0.0, tAt(600 + i.toLong)))))
+    assert(eng.overlay("v_aprv").count() == 70L)
+  }
+
+  test("matrel UPDATE cannot touch hidden infrastructure columns") {
+    val eng = newEngine()
+    eng.createStream("aph_s", streamSchema)
+    eng.createContView("v_aph", "SELECT key, x FROM aph_s", emitChanges = false)
+    eng.insertInto("aph_s", mkBatch(allRows.take(10)))
+    eng.matrelsWritable = true
+    intercept[IllegalArgumentException] {
+      eng.updateMatrel("v_aph", Seq(StateStore.PkBatchCol -> "0"))
+    }
+    // visible output columns of an append CV remain updatable
+    assert(eng.updateMatrel("v_aph", Seq("x" -> "x + 1000"), Some("x < 50")) > 0L)
+  }
+
   test("append store compaction bounds segment count without losing rows") {
     val dir = java.nio.file.Files.createTempDirectory("graft_store").toString
     val st = new StateStore(spark, dir, keyCols = Nil, appendOnly = true,
