@@ -177,6 +177,9 @@ object CvDdl {
       case "materialize" =>
         require(!opts.contains("outputfunc") && !opts.contains("sink"),
           "outputfunc/sink apply to transforms, not materialized views")
+        // create_cont_view.sql: "No sw option" — sw_column alone is an error
+        require(!opts.contains("sw_column") || opts.contains("sw"),
+          "sw_column can only be specified with sw")
         val defaults = CvOptions()
         CreateView(name, select, CvOptions(
           sw = opts.get("sw"),

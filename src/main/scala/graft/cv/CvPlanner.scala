@@ -703,6 +703,28 @@ object CvPlanner {
         throw new IllegalArgumentException("window functions are not supported in continuous views")
       case p if p.expressions.exists(_.exists(_.isInstanceOf[WindowExpression])) =>
         throw new IllegalArgumentException("window functions are not supported in continuous views")
+      // scalar subselects in the target list re-evaluate a table per event
+      // and have no incremental state (create_cont_view.sql: "Subselects
+      // aren't allowed in a CV's target list")
+      case p @ (_: Project | _: Aggregate) if p.expressions.exists(_.exists(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.ScalarSubquery])) =>
+        throw new IllegalArgumentException(
+          "subselects are not allowed in a continuous view's target list")
+      // the implicit arrival column must stay addressable (create_cont_view
+      // .sql: "arrival_timestamp is reserved") — aliasing something ELSE to
+      // the name would shadow it; the identity alias is allowed, like the
+      // reference
+      case p: Project if p.projectList.exists {
+          case a: org.apache.spark.sql.catalyst.expressions.Alias
+              if a.name.equalsIgnoreCase("arrival_timestamp") =>
+            a.child match {
+              case attr: Attribute => !attr.name.equalsIgnoreCase("arrival_timestamp")
+              case _ => true
+            }
+          case _ => false
+        } =>
+        throw new IllegalArgumentException(
+          "arrival_timestamp is a reserved column name in continuous views")
       case _ => ()
     }
   }

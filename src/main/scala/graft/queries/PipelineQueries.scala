@@ -176,5 +176,33 @@ object PipelineQueries {
         .agg(countDistinct(col("media_id")).as("n_media"),
           count(lit(1)).cast("long").as("frames_sampled"))
         .orderBy("format")
+    },
+
+    // Stratified deterministic sampling: per stratum (language), the
+    // bottom-k documents by md5(doc_id) — a hash-ordered reservoir that is
+    // (a) deterministic across engines and re-runs (eval-set reproducibility),
+    // (b) MERGEABLE: the capped sorted-list state is first_values' split, so
+    // partitions/days/shards sample independently and their samples merge
+    // without re-reading data, and (c) one shuffle of (stratum, hash, id)
+    // triples at any corpus size — never text. The canonical "balanced
+    // sample from a 100-TB corpus in one pass" primitive.
+    QDef(
+      "q_stratified_sample",
+      """SELECT lang, array_to_string(list(CAST(doc_id AS VARCHAR) ORDER BY k, doc_id), ',') AS sample
+        |FROM (
+        |  SELECT lang, doc_id, md5(CAST(doc_id AS VARCHAR)) AS k,
+        |         row_number() OVER (PARTITION BY lang
+        |                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn <= 5 GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("lang"),
+          struct(md5(col("doc_id").cast("string")).as("k"), col("doc_id")).as("kv"))
+        .groupBy("lang")
+        .agg(slice(sort_array(collect_list(col("kv"))), 1, 5).as("bottomk"))
+        .select(col("lang"),
+          concat_ws(",", expr("transform(bottomk, x -> CAST(x.doc_id AS STRING))"))
+            .as("sample"))
+        .orderBy("lang")
     })
 }

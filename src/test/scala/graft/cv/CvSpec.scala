@@ -1856,6 +1856,35 @@ class CvSpec extends AnyFunSuite {
     }
   }
 
+  test("creation-time validation: subselect target, reserved arrival_timestamp, sw_column alone (create_cont_view.sql)") {
+    val eng = newEngine()
+    eng.createStream("val_s", streamSchema)
+    spark.range(3).toDF("z").createOrReplaceTempView("val_t")
+    // scalar subselect in the target list
+    val e1 = intercept[IllegalArgumentException] {
+      eng.createContView("v_val1",
+        "SELECT key, (SELECT max(z) FROM val_t) AS m, count(*) AS n FROM val_s GROUP BY key",
+        emitChanges = false)
+    }
+    assert(e1.getMessage.contains("subselect"))
+    // aliasing another column to arrival_timestamp is rejected; the
+    // identity alias is allowed (reference arrts shapes)
+    val e2 = intercept[IllegalArgumentException] {
+      eng.createContView("v_val2",
+        "SELECT ts AS arrival_timestamp FROM val_s", emitChanges = false)
+    }
+    assert(e2.getMessage.contains("arrival_timestamp"))
+    eng.createContView("v_val3",
+      "SELECT arrival_timestamp AS arrival_timestamp, key FROM val_s",
+      emitChanges = false)
+    // sw_column without sw is a DDL-time error
+    val e3 = intercept[IllegalArgumentException] {
+      eng.sql("""CREATE CONTINUOUS VIEW v_val4 WITH (sw_column = ts) AS
+                |SELECT count(*) AS n FROM val_s""".stripMargin)
+    }
+    assert(e3.getMessage.contains("sw_column"))
+  }
+
   // ---- CREATE INDEX analogue: within-file clustering (cont_index.sql) ----
 
   test("SW/TTL views cluster bucket files by their time column; CREATE INDEX persists") {
