@@ -392,9 +392,13 @@ object AggSplit {
     },
     kind = s"percentile_cont_multi:${qs.mkString(",")}")
 
-  /** first_values(n): smallest-n mergeable list. */
+  /** first_values(n): smallest-n mergeable list. Backed by the bounded
+    * bottom-k TypedImperativeAggregate so per-group state is O(n) during
+    * the partial pass too — `slice(sort_array(collect_list))` would hold
+    * the whole group in one buffer before slicing.
+    */
   def firstValues(c: Column, n: Int): AggSplit = AggSplit(
-    partial = slice(sort_array(collect_list(c)), 1, n),
-    reAgg = s => slice(sort_array(flatten(collect_list(s))), 1, n),
+    partial = GraftFunctions.bottom_k(c, n),
+    reAgg = s => GraftFunctions.bottom_k_merge(s, n),
     finalizer = identity)
 }

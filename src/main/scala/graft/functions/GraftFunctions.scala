@@ -39,6 +39,11 @@ object GraftFunctions {
   def dist_merge_agg(c: Column): Column = agg(DistMergeAgg(ex(c)))
   def topk_agg(c: Column, k: Int): Column = agg(TopKAgg(ex(c), k))
   def topk_merge_agg(c: Column): Column = agg(TopKMergeAgg(ex(c)))
+  // bottom_k: the k smallest values per group (ascending array), O(k) state;
+  // _merge merges stored ≤k arrays (first_values' combine function)
+  def bottom_k(c: Column, k: Int): Column = agg(BottomKAgg(ex(c), k))
+  def bottom_k_merge(c: Column, k: Int): Column =
+    agg(BottomKAgg(ex(c), k, flattenInput = true))
 
   // ---- finalizing aggregates ----
   def hll_count_distinct(c: Column): Column = agg(HllCountDistinct(ex(c)))
@@ -300,10 +305,9 @@ object GraftFunctions {
       fn("combinable_array_agg") { case Seq(c) => CollectList(c) }
       fn("string_agg") { case Seq(c, d) => ListAgg(c, d) }
 
-      // first_values(n, col): smallest-n mergeable list
+      // first_values(n, col): smallest-n mergeable list (bounded O(n) buffer)
       fn("first_values") { case Seq(n, c) =>
-        val k = intLit(n)
-        Slice(new SortArray(aggE(CollectList(c))), Literal(1), Literal(k))
+        aggE(graft.functions.BottomKAgg(c, intLit(n)))
       }
 
       // hypothetical-set aggregates (sql:1274-1502): rank of a hypothetical

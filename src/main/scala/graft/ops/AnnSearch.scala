@@ -117,12 +117,20 @@ object AnnSearch {
     // the lazy verify tail below needs only `pairs` and `corpus`
     pairs.count()
     bucketed.unpersist()
-    pairs
+    val verified = pairs
       .join(corpus.select(col("vec_id").as("id_a"), col("v").as("va")), "id_a")
       .join(corpus.select(col("vec_id").as("id_b"), col("v").as("vb")), "id_b")
       .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("cos"))
       .where(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+    // Materialize the (small) verified pair set and release the persisted
+    // corpus/pair frames: df.persist() entries live in the CacheManager for
+    // the session's lifetime, so a lazy return leaks one corpus copy per
+    // call. localCheckpoint blocks are ContextCleaner-GC-cleaned instead.
+    val out = verified.localCheckpoint(true)
+    corpus.unpersist()
+    pairs.unpersist()
+    out
   }
 
   /** ivf_assign(vec) → array<int>: ids of the nprobe nearest coarse

@@ -216,7 +216,17 @@ object MinHashLsh {
               .otherwise(lit(-1.0)).as("jaccard"))
           .where(col("jaccard") >= t)
     }
-    joined
+    // Materialize the (small — verified near-dup pairs only) result and
+    // release EVERY persisted intermediate before returning: `sig` carries
+    // the shingle arrays (text-sized) and a df.persist() entry lives in the
+    // session CacheManager forever, so returning a lazy frame over it leaks
+    // the dominant footprint once per call. localCheckpoint blocks are
+    // RDD-level — cleaned by the ContextCleaner when the caller drops the
+    // frame — so steady-state storage cost is one pair set, not N corpora.
+    val out = joined.localCheckpoint(true)
+    sig.unpersist()
+    rawPairs.unpersist()
+    out
   }
 
   /** Full near-dup pipeline: LSH candidates verified with exact Jaccard in

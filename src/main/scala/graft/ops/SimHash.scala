@@ -52,9 +52,18 @@ object SimHash {
 
   /** Pairs with Hamming distance ≤ maxDist (requires maxDist ≤ 3 for the
     * 4-chunk pigeonhole to guarantee recall 1.0).
+    *
+    * Skew guard (AnnSearch.cosineNearDuplicates pattern): short/empty
+    * documents all hash to the same fingerprint (often 0), so a crawl with
+    * millions of near-empty docs lands them in the SAME four chunk buckets
+    * — an O(s²) self-join blowup. Singleton buckets are dropped via a
+    * broadcast hot-set, and any bucket larger than `maxBucketSize` is
+    * excluded from candidate generation and REPORTED on stderr rather than
+    * silently absorbed; members of an excluded cluster still pair through
+    * their other chunks unless oversized in all four.
     */
   def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
-      maxDist: Int = 3): DataFrame = {
+      maxDist: Int = 3, maxBucketSize: Int = 4096): DataFrame = {
     require(maxDist <= 3, "4-chunk banding guarantees recall only for distance ≤ 3")
     val fp = df.select(col(idCol).as("id"),
       simhash64(TextOps.tokens(col(textCol))).as("fp"))
@@ -63,10 +72,23 @@ object SimHash {
         posexplode(array((0 until 4).map(i =>
           shiftright(col("fp"), i * 16).bitwiseAND(lit(0xffffL))): _*)))
       .select(col("id"), col("fp"), col("pos").as("chunk"), col("col").as("cval"))
+      .persist() // bucket-count pass + both sides of the pair join
 
-    val l = chunked.alias("l")
-    val r = chunked.alias("r")
-    l.join(r,
+    val counts = chunked.groupBy("chunk", "cval").agg(count(lit(1)).as("cnt"))
+    val oversized = counts.where(col("cnt") > maxBucketSize)
+      .orderBy(col("cnt").desc).limit(20).collect()
+    if (oversized.nonEmpty)
+      System.err.println(s"[graft] SimHash.nearDuplicates: ${oversized.length}+ " +
+        s"chunk bucket(s) over maxBucketSize=$maxBucketSize excluded from " +
+        s"candidate generation (largest=${oversized.head.getLong(2)}); raise " +
+        "maxBucketSize to trade wall-clock for completeness")
+    val hot = counts.where(col("cnt") > 1 && col("cnt") <= maxBucketSize)
+      .select("chunk", "cval")
+    val survivors = chunked.join(broadcast(hot), Seq("chunk", "cval"))
+
+    val l = survivors.alias("l")
+    val r = survivors.alias("r")
+    val pairs = l.join(r,
         col("l.chunk") === col("r.chunk") &&
         col("l.cval") === col("r.cval") &&
         col("l.id") < col("r.id"))
@@ -74,5 +96,11 @@ object SimHash {
         bit_count(col("l.fp").bitwiseXOR(col("r.fp"))).as("hamming"))
       .distinct()
       .where(col("hamming") <= maxDist)
+    // materialize the (small) verified pair set and release the chunk
+    // explosion — a df.persist() entry would otherwise live in the session
+    // CacheManager forever (localCheckpoint blocks are GC-cleaned)
+    val out = pairs.localCheckpoint(true)
+    chunked.unpersist()
+    out
   }
 }

@@ -199,7 +199,10 @@ object PipelineQueries {
         .select(col("lang"),
           struct(md5(col("doc_id").cast("string")).as("k"), col("doc_id")).as("kv"))
         .groupBy("lang")
-        .agg(slice(sort_array(collect_list(col("kv"))), 1, 5).as("bottomk"))
+        // bounded bottom-k merge aggregate: O(k) state per stratum at every
+        // stage, vs slice(sort_array(collect_list)) whose buffer is the
+        // whole stratum
+        .agg(graft.functions.GraftFunctions.bottom_k(col("kv"), 5).as("bottomk"))
         .select(col("lang"),
           concat_ws(",", expr("transform(bottomk, x -> CAST(x.doc_id AS STRING))"))
             .as("sample"))

@@ -280,4 +280,40 @@ class SketchAggSpec extends AnyFunSuite {
       "SELECT json_object_agg(g, j) AS o FROM js_t WHERE g = 'b'").collect()(0).getString(0)
     assert(jo.contains("\"b\"") && jo.contains("5"))
   }
+
+  test("bottom_k buffer is bounded by k at every stage; agg matches sort-slice") {
+    // the buffer itself never holds more than k elements regardless of input
+    val ord = implicitly[Ordering[Int]].asInstanceOf[Ordering[Any]]
+    val buf = new graft.functions.BottomKBuffer(5, ord)
+    val rnd = new scala.util.Random(7)
+    (1 to 100000).foreach { _ => buf.add(rnd.nextInt()); assert(buf.size <= 5) }
+    val other = new graft.functions.BottomKBuffer(5, ord)
+    (1 to 1000).foreach(_ => other.add(rnd.nextInt()))
+    other.foreach(buf.add) // merge path goes through the same bounded add
+    assert(buf.size <= 5)
+    assert(buf.sortedAsc.toSeq == buf.sortedAsc.toSeq.sorted(ord))
+
+    // DataFrame semantics: bottom_k == slice(sort_array(collect_list)) on
+    // scalars AND structs, invariant under partitioning; merge of stored
+    // ≤k partials (bottom_k_merge) equals bottom-k of the whole
+    val df = (1 to 5000).map(i => (i % 7, rnd.nextInt(100000), s"d$i"))
+      .toDF("g", "h", "id")
+    val kv = struct($"h", $"id").as("kv")
+    val expect = df.select($"g", kv).groupBy("g")
+      .agg(slice(sort_array(collect_list($"kv")), 1, 5).as("bk"))
+      .orderBy("g").collect().map(_.toSeq)
+    Seq(1, 13).foreach { p =>
+      val got = df.repartition(p).select($"g", kv).groupBy("g")
+        .agg(graft.functions.GraftFunctions.bottom_k($"kv", 5).as("bk"))
+        .orderBy("g").collect().map(_.toSeq)
+      assert(got.toSeq == expect.toSeq, s"bottom_k mismatch at $p partitions")
+    }
+    val partials = df.select($"g", kv, (crc32($"id") % 11).as("shard"))
+      .groupBy("g", "shard")
+      .agg(graft.functions.GraftFunctions.bottom_k($"kv", 5).as("state"))
+    val merged = partials.groupBy("g")
+      .agg(graft.functions.GraftFunctions.bottom_k_merge($"state", 5).as("bk"))
+      .orderBy("g").collect().map(_.toSeq)
+    assert(merged.toSeq == expect.toSeq, "bottom_k_merge over shard partials")
+  }
 }

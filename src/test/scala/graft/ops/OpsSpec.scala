@@ -305,6 +305,24 @@ class OpsSpec extends AnyFunSuite {
     assert(full.count() == 1000L * 999 / 2)
   }
 
+  test("simhash: oversized-bucket guard bounds candidates on a degenerate corpus") {
+    // thousands of near-empty docs hash to the same fingerprint -> the same
+    // four chunk buckets; without the guard the self-join emits O(s²) pairs
+    val degenerate = (0L until 3000L).map(i => (i, ""))
+    val real = (10000L until 10050L).map(i => (i, s"unique document body $i with words ${i * 7}"))
+    val corpus = (degenerate ++ real).toDF("doc_id", "text")
+    val capped = SimHash.nearDuplicates(corpus, "doc_id", "text", maxDist = 3,
+      maxBucketSize = 100)
+    // the degenerate cluster is over cap in all four chunks -> excluded
+    // (and reported on stderr); the output stays bounded instead of ~4.5M
+    assert(capped.count() < 3000L)
+    // with the cap above the cluster size the full pair set comes back
+    val small = (0L until 60L).map(i => (i, "")).toDF("doc_id", "text")
+    val full = SimHash.nearDuplicates(small, "doc_id", "text", maxDist = 3,
+      maxBucketSize = 4096)
+    assert(full.count() == 60L * 59 / 2)
+  }
+
   test("simhash seeded-recall domain on testdata: every exact copy found at distance 0") {
     // validates the q_simhash_neardup oracle premise: with exact copies of
     // even doc_ids seeded at +1000000, the self-copy subset of the

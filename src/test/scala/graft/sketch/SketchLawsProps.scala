@@ -93,17 +93,28 @@ object SketchLawsProps extends Properties("sketch-merge-laws") {
 
   // ---- SpaceSaving (FSS top-k) ----
 
+  // Small domain (<= 9 distinct, under the capacity of 15) generated directly
+  // rather than filtered with `==>`: a filter discards ~84% of the wide-domain
+  // lists and makes ScalaCheck exhaust its discard budget nondeterministically.
+  private val smallDomainSplit: Gen[(List[String], List[String], List[String])] =
+    for {
+      vs <- Gen.listOf(Gen.chooseNum(0, 8).map(i => s"v$i"))
+      i <- Gen.chooseNum(0, vs.length)
+      j <- Gen.chooseNum(0, vs.length)
+    } yield {
+      val (lo, hi) = (math.min(i, j), math.max(i, j))
+      (vs.take(lo), vs.slice(lo, hi), vs.drop(hi))
+    }
+
   property("topk: merge exact while distinct <= capacity, any split") =
-    forAll(splitValues) { case (a, b, c) =>
+    forAll(smallDomainSplit) { case (a, b, c) =>
       val all = a ++ b ++ c
       val exact = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
-      (exact.size <= 15) ==> {
-        def ssOf(vs: Seq[String]) = {
-          val s = SpaceSaving.empty(k = 5, capacity = 15); vs.foreach(s.add(_)); s
-        }
-        val merged = ssOf(a).merge(ssOf(b).merge(ssOf(c)))
-        exact.forall { case (v, n) => merged.estimate(v) == n }
+      def ssOf(vs: Seq[String]) = {
+        val s = SpaceSaving.empty(k = 5, capacity = 15); vs.foreach(s.add(_)); s
       }
+      val merged = ssOf(a).merge(ssOf(b).merge(ssOf(c)))
+      exact.forall { case (v, n) => merged.estimate(v) == n }
     }
 
   // ---- T-Digest (approximate: quantiles within rank tolerance) ----
