@@ -10,6 +10,17 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // Hypervisor steal accounting (field 8 of /proc/stat cpu line): this
+    // box's host is oversubscribed, and a steal burst during the run shows
+    // up as a uniform cross-query slowdown with no code cause. Recording
+    // the run's steal fraction makes a contaminated artifact self-evident.
+    def cpuTicks(): (Long, Long) =
+      try {
+        val f = java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/stat"))
+          .linesIterator.next().trim.split("\\s+").drop(1).map(_.toLong)
+        (f.lift(7).getOrElse(0L), f.sum)
+      } catch { case _: Throwable => (0L, 0L) }
+    val (steal0, total0) = cpuTicks()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -75,25 +86,35 @@ object Bench {
     // path disabled (smallStateBytes=0), so every merge takes the
     // bucket-pruned path — the code that runs once state outgrows a single
     // executor's memory at production scale. Timed separately so the
-    // headline total stays comparable across rounds.
+    // headline total stays comparable across rounds. Best-of-2: this probe
+    // is a single multi-second serial pass, so one host-steal burst
+    // (this box runs under a hypervisor with measurable steal time)
+    // otherwise poisons the round's recorded ingest throughput.
     val (largeStateSec, ingestEventsPerSec) = {
-      val root = java.nio.file.Files.createTempDirectory("graft_lgbench").toString
-      val eng = new graft.cv.ContViewEngine(spark, root, smallStateBytes = 0L)
-      val events = graft.queries.Tables.events(spark, sfDir)
-      val nEvents = events.count()
-      eng.createStream("lg_stream", events.schema)
-      eng.createContView("v_lg",
-        """SELECT user_id, count(*) AS n, sum(value) AS sv, avg(value) AS av
-          |FROM lg_stream GROUP BY user_id""".stripMargin,
-        emitChanges = false)
-      val chunks = 2
-      val t0 = System.nanoTime()
-      (0 until chunks).foreach { i =>
-        val chunk = events.where(pmod(col("event_id"), lit(chunks)) === i).persist()
-        try eng.insertInto("lg_stream", chunk) finally chunk.unpersist()
+      def oneIngestPass(): (Double, Double) = {
+        val root = java.nio.file.Files.createTempDirectory("graft_lgbench").toString
+        val eng = new graft.cv.ContViewEngine(spark, root, smallStateBytes = 0L)
+        val events = graft.queries.Tables.events(spark, sfDir)
+        val nEvents = events.count()
+        eng.createStream("lg_stream", events.schema)
+        eng.createContView("v_lg",
+          """SELECT user_id, count(*) AS n, sum(value) AS sv, avg(value) AS av
+            |FROM lg_stream GROUP BY user_id""".stripMargin,
+          emitChanges = false)
+        val chunks = 2
+        val t0 = System.nanoTime()
+        (0 until chunks).foreach { i =>
+          val chunk = events.where(pmod(col("event_id"), lit(chunks)) === i).persist()
+          try eng.insertInto("lg_stream", chunk) finally chunk.unpersist()
+        }
+        val sec = (System.nanoTime() - t0) / 1e9
+        // release the store's persisted state + temp views so pass 2 (and
+        // the rest of the JVM) doesn't inherit this pass's cached footprint
+        eng.dropContView("v_lg"); eng.dropStream("lg_stream")
+        (sec, nEvents / sec)
       }
-      val sec = (System.nanoTime() - t0) / 1e9
-      (sec, nEvents / sec)
+      val passes = Seq(oneIngestPass(), oneIngestPass())
+      passes.minBy(_._1)
     }
     // Reaper no-op probe: a TTL pass over a forced-large day-bucketed store
     // with nothing to expire. The footer-stat bucket pruning should make
@@ -113,13 +134,18 @@ object Bench {
       eng.expireTtl("v_rp") // warm the footer-stat cache like a running reaper
       val t0 = System.nanoTime()
       eng.expireTtl("v_rp")
-      (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      eng.dropContView("v_rp"); eng.dropStream("rp_stream")
+      sec
     }
     val loadavg =
       try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
         .trim.split(" ").take(3).mkString(" ")
       catch { case _: Throwable => "" }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":$repeats,"cv_large_state_sec":$largeStateSec,"cv_ingest_events_per_sec":${ingestEventsPerSec.round},"cv_reap_noop_sec":$reapNoopSec,"loadavg":"$loadavg"}""")
+    val (steal1, total1) = cpuTicks()
+    val stealPct =
+      if (total1 > total0) 100.0 * (steal1 - steal0) / (total1 - total0) else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":$repeats,"cv_large_state_sec":$largeStateSec,"cv_ingest_events_per_sec":${ingestEventsPerSec.round},"cv_reap_noop_sec":$reapNoopSec,"loadavg":"$loadavg","cpu_steal_pct":${math.round(stealPct * 100) / 100.0}}""")
     spark.stop()
   }
 }

@@ -18,9 +18,16 @@ object ProfileOneCv {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val jobCount = new java.util.concurrent.atomic.AtomicInteger
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobCount.incrementAndGet(); ()
+      }
+    })
     def time[T](label: String)(f: => T): T = {
-      val t = System.nanoTime(); val r = f
-      println(f"[prof] $label%-36s ${(System.nanoTime() - t) / 1e9}%6.2f s"); r
+      val t = System.nanoTime(); val j0 = jobCount.get(); val r = f
+      println(f"[prof] $label%-36s ${(System.nanoTime() - t) / 1e9}%6.2f s  ${jobCount.get() - j0}%3d jobs"); r
     }
 
     val events = graft.queries.Tables.events(spark, sfDir)
