@@ -215,13 +215,18 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     * `combine(col)`/`finalize(col)` over `_mrel` columns resolve through the
     * registered SQL functions and the state columns' combine-kind metadata.
     */
-  def query(selectSql: String): DataFrame = {
+  def query(selectSql: String): DataFrame = synchronized {
     // Temp-view bindings made for THIS query: dropped again once the
     // statement is analyzed, so the session catalog is not left littered
     // with stale engine bindings. Bindings that already existed (an explicit
     // registerOverlay, the stream registrations) are refreshed in place.
     // A same-named temp view the engine does NOT own is a user view —
     // clobbering it silently would swap their data out from under them.
+    // The whole bind→analyze→drop sequence holds the engine lock: two
+    // concurrent query() calls would otherwise drop each other's transient
+    // bindings mid-analysis (and race on the ownedTempViews set). Only
+    // ANALYSIS is serialized — spark.sql returns an analyzed lazy frame,
+    // and execution happens after the lock is released.
     val created = mutable.Buffer.empty[String]
     def bind(name: String)(register: => Unit): Unit = {
       val existed = spark.catalog.tableExists(name)
@@ -536,17 +541,19 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     // physical move: state, changes archive, tick marks all live under
     // root/<name>. During catalog replay the on-disk layout already
     // reflects the rename (the pre-rename dir never existed this boot).
-    val from = Paths.get(root, name)
-    if (Files.exists(from))
-      Files.move(from, Paths.get(root, newName), StandardCopyOption.ATOMIC_MOVE)
-    h.store.releaseCache() // the superseded instance must not leak its snapshot
-    val store2 = new StateStore(exec, s"$root/$newName/state", h.plan.stateKeys,
-      numBuckets = math.max(8, ingestShufflePartitions),
-      smallStateBytes = smallStateBytes, appendOnly = h.plan.append,
-      maxAppendSegments = maxAppendSegments)
-    store2.clusterBy = h.store.clusterBy
+    // The move happens under the STORE monitor: an insertInto/insertIntoAsync
+    // batch mid-upsert for this CV holds it, so the mutation drains before
+    // the directory disappears from under it; the store instance is then
+    // re-pointed (not replaced), so async threads still holding this handle
+    // keep writing — to the new path.
+    h.store.synchronized {
+      val from = Paths.get(root, name)
+      if (Files.exists(from))
+        Files.move(from, Paths.get(root, newName), StandardCopyOption.ATOMIC_MOVE)
+      h.store.relocate(s"$root/$newName/state")
+    }
     views.remove(name)
-    views(newName) = h.copy(plan = h.plan.copy(name = newName), store = store2)
+    views(newName) = h.copy(plan = h.plan.copy(name = newName))
     defs.remove(name).foreach(defs(newName) = _)
     defSignatures.remove(name).foreach(defSignatures(newName) = _)
     statsMap.remove(name).foreach(s => statsMap(newName) = s.copy(name = newName))
@@ -967,8 +974,9 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     require(expected.subsetOf(provided),
       s"INSERT into ${name}_mrel must carry columns " +
         (h.plan.stateKeys ++ renames.map(_._2)).mkString(", "))
-    val internal = renames.foldLeft(rows) { case (d, (i, u)) => d.withColumnRenamed(u, i) }
-      .select(expected.toSeq.map(col): _*)
+    val internal = h.plan.stampStateMetadata(
+      renames.foldLeft(rows) { case (d, (i, u)) => d.withColumnRenamed(u, i) }
+        .select(expected.toSeq.map(col): _*))
     val keys = h.plan.stateKeys
     h.store.synchronized {
       val n = internal.count()

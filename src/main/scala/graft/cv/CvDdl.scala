@@ -84,8 +84,11 @@ object CvDdl {
     """(?is)\s*INSERT\s+INTO\s+([\w.]+)\s*(?:\(\s*(?!SELECT\b)([^)]*)\)\s*)?(\(?\s*SELECT\b.*?)\s*;?\s*""".r
   private val CreateIndexRe =
     """(?is)\s*CREATE\s+INDEX\s+[\w.]+\s+ON\s+([\w.]+)\s*\(([^)]*)\)\s*;?\s*""".r
+  // SET/WHERE are split by a literal-aware scan in parse(), not here: a
+  // regex `\s+WHERE\s+` would fire inside a string literal
+  // (UPDATE v_mrel SET note = 'a WHERE b')
   private val UpdateRe =
-    """(?is)\s*UPDATE\s+([\w.]+)\s+SET\s+(.+?)(?:\s+WHERE\s+(.+?))?\s*;?\s*""".r
+    """(?is)\s*UPDATE\s+([\w.]+)\s+SET\s+(.+?)\s*;?\s*""".r
   private val DeleteRe =
     """(?is)\s*DELETE\s+FROM\s+([\w.]+)(?:\s+WHERE\s+(.+?))?\s*;?\s*""".r
 
@@ -148,13 +151,17 @@ object CvDdl {
       InsertSelect(name,
         Option(cols).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq),
         stripOuterParens(select))
-    case UpdateRe(table, setSql, where) =>
+    case UpdateRe(table, tail) =>
+      val wIdx = indexOfTopLevelWord(tail, "WHERE")
+      val (setSql, where) =
+        if (wIdx < 0) (tail, None)
+        else (tail.substring(0, wIdx), Some(tail.substring(wIdx + "WHERE".length).trim))
       val set = splitTopLevel(setSql, ',').map { kv =>
         val eq = indexOfTopLevel(kv, '=')
         require(eq > 0, s"malformed SET assignment: '$kv' (expected col = expr)")
         kv.substring(0, eq).trim -> kv.substring(eq + 1).trim
       }
-      Update(table, set, Option(where).map(_.trim))
+      Update(table, set, where.filter(_.nonEmpty))
     case DeleteRe(table, where) => Delete(table, Option(where).map(_.trim))
     case CreateIndexRe(view, cols) =>
       CreateIndex(view, cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
@@ -244,6 +251,29 @@ object CvDdl {
     }
     if (cur.nonEmpty) out += cur.result()
     out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Index of a keyword outside string literals and parens, -1 if absent. */
+  private def indexOfTopLevelWord(s: String, word: String): Int = {
+    def isWordChar(c: Char): Boolean = Character.isLetterOrDigit(c) || c == '_'
+    var inQuote = false
+    var depth = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s(i)
+      if (c == '\'') inQuote = !inQuote
+      else if (!inQuote) {
+        if (c == '(') depth += 1
+        else if (c == ')') depth -= 1
+        else if (depth == 0 &&
+            s.regionMatches(true, i, word, 0, word.length) &&
+            (i == 0 || !isWordChar(s(i - 1))) &&
+            (i + word.length >= s.length || !isWordChar(s(i + word.length))))
+          return i
+      }
+      i += 1
+    }
+    -1
   }
 
   private def indexOfTopLevel(s: String, c: Char): Int = {

@@ -185,19 +185,42 @@ object CvPlanner {
       bindBatch(spark, batch)
     }
 
+    /** combine-kind / SW metadata for one state column (empty if none). */
+    def stateMetadata(sp: AggSplit): org.apache.spark.sql.types.Metadata = {
+      val mb = new org.apache.spark.sql.types.MetadataBuilder()
+      if (sp.kind.nonEmpty) mb.putString(CvPlanner.CombineKindKey, sp.kind)
+      sw.foreach { s =>
+        mb.putString(CvPlanner.SwBucketKey, s.bucketCol)
+        mb.putLong(CvPlanner.SwWindowKey, s.windowSeconds)
+      }
+      mb.build()
+    }
+
+    /** Re-stamp state-column metadata onto a frame already shaped like the
+      * state table (keys + state columns under internal names). Direct
+      * matrel DML feeds user frames with NO column metadata into the store;
+      * written as-is they'd strip the combine-kind from the state table and
+      * SQL combine()/sw_combine()/finalize over `<cv>_mrel` would throw
+      * until the next stream batch re-stamped it.
+      */
+    def stampStateMetadata(df: DataFrame): DataFrame = {
+      val byName = stateSplits.toMap
+      df.select(df.columns.toSeq.map { c =>
+        byName.get(c).map(stateMetadata) match {
+          case Some(md) if md != org.apache.spark.sql.types.Metadata.empty =>
+            col(c).as(c, md)
+          case _ => col(c)
+        }
+      }: _*)
+    }
+
     def workerPartials(spark: SparkSession, batch: DataFrame): DataFrame = {
       val df = bindBatch(spark, batch)
       // each state column carries its combine-kind as metadata, so any later
       // reader of the state table can resolve combine() on the bare column;
       // SW CVs additionally carry the window spec for SQL sw_combine()
       val stateCols = stateSplits.map { case (n, sp) =>
-        val mb = new org.apache.spark.sql.types.MetadataBuilder()
-        if (sp.kind.nonEmpty) mb.putString(CvPlanner.CombineKindKey, sp.kind)
-        sw.foreach { s =>
-          mb.putString(CvPlanner.SwBucketKey, s.bucketCol)
-          mb.putLong(CvPlanner.SwWindowKey, s.windowSeconds)
-        }
-        val md = mb.build()
+        val md = stateMetadata(sp)
         if (md == org.apache.spark.sql.types.Metadata.empty) sp.partial.as(n)
         else sp.partial.as(n, md)
       }
@@ -881,6 +904,9 @@ object CvPlanner {
       case f: graft.functions.DistAgg => AggSplit.distAgg(c(f.child)).withKind("dist")
       case f: graft.functions.TopKAgg =>
         AggSplit.topkAgg(c(f.child), f.k).withKind(s"topk:${f.k}")
+      // first_values(n, x) in SQL analyzes to the bounded bottom-k aggregate
+      case f: graft.functions.BottomKAgg =>
+        AggSplit.firstValues(c(f.child), f.k).withKind(s"first_values:${f.k}")
       case f: Percentile =>
         def toD(v: Any): Double = v match {
           case d: Double => d

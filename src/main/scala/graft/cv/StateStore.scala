@@ -32,7 +32,7 @@ import org.apache.spark.sql.functions._
   */
 final class StateStore(
     spark: SparkSession,
-    val root: String,
+    initialRoot: String,
     val keyCols: Seq[String],
     val numBuckets: Int = 32,
     smallStateBytes: Long = StateStore.DefaultSmallStateBytes,
@@ -46,6 +46,28 @@ final class StateStore(
     val maxAppendSegments: Int = 64) {
 
   private val BucketCol = "__bucket"
+
+  // the store's directory; mutable only via relocate() (ALTER VIEW RENAME)
+  @volatile private var _root: String = initialRoot
+  def root: String = _root
+
+  /** Redirect the store to a directory whose files the caller just moved
+    * (ALTER VIEW RENAME). Takes the store monitor, so a mutation in flight
+    * against the old path completes before the switch, and every later one
+    * — including async ingest threads still holding this instance —
+    * targets the new path. Keeping ONE store instance across the rename is
+    * what makes the move safe: there is no superseded instance left that
+    * could write into the moved-away directory.
+    */
+  def relocate(newRoot: String): Unit = this.synchronized {
+    val old = Paths.get(_root)
+    _root = newRoot
+    // stale version dirs awaiting deferred GC moved with the tree
+    pendingGc = pendingGc.map(p => Paths.get(newRoot).resolve(old.relativize(p)))
+    footerMinCache.clear() // keyed by absolute file path under the old root
+    refreshCache() // cached plan reads parquet at old absolute paths
+  }
+
   private def manifestPath: Path = Paths.get(root, "_manifest.json")
 
   // opt-in phase timing (GRAFT_PROF=1): prints driver-side wall per phase
@@ -218,6 +240,34 @@ final class StateStore(
   // inference — a driver-side footer read on every readBuckets otherwise.
   @volatile private var knownSchema: Option[org.apache.spark.sql.types.StructType] = None
 
+  // Authoritative per-column metadata (combine-kind / SW window spec),
+  // merged from every schema that carried it. Frames arriving via direct
+  // matrel DML (insert/update) have NO column metadata; written as-is they
+  // would strip the combine-kind from the state table — masked while this
+  // JVM's knownSchema still has it, but persisted as a loss after restart,
+  // breaking SQL combine()/sw_combine()/finalize over the matrel. Every
+  // write path re-stamps missing metadata from this memo.
+  private val columnMeta =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.Metadata]()
+  private def recordMeta(sch: org.apache.spark.sql.types.StructType): Unit =
+    sch.fields.foreach { f =>
+      if (f.metadata != org.apache.spark.sql.types.Metadata.empty)
+        columnMeta.put(f.name, f.metadata)
+    }
+  /** Re-stamp memoized metadata onto columns that lost it. */
+  private def restampMeta(df: DataFrame): DataFrame = {
+    val needs = df.schema.fields.exists(f =>
+      f.metadata == org.apache.spark.sql.types.Metadata.empty &&
+        columnMeta.containsKey(f.name))
+    if (!needs) df
+    else df.select(df.schema.fields.toSeq.map { f =>
+      if (f.metadata == org.apache.spark.sql.types.Metadata.empty &&
+          columnMeta.containsKey(f.name))
+        org.apache.spark.sql.functions.col(f.name).as(f.name, columnMeta.get(f.name))
+      else org.apache.spark.sql.functions.col(f.name)
+    }: _*)
+  }
+
   /** State restricted to the given bucket ids (file-level pruning). */
   private def readBuckets(only: Option[Set[Int]]): Option[DataFrame] =
     readManifest().flatMap { m =>
@@ -225,10 +275,13 @@ final class StateStore(
       val paths = wanted.values.map(rel => s"$root/$rel").toSeq
       if (paths.isEmpty) None
       else Some(knownSchema match {
-        case Some(sch) => spark.read.schema(sch).parquet(paths: _*)
+        case Some(sch) =>
+          recordMeta(sch)
+          spark.read.schema(sch).parquet(paths: _*)
         case None =>
           val df = spark.read.parquet(paths: _*)
           knownSchema = Some(df.schema)
+          recordMeta(df.schema) // parquet footers persist column metadata
           df
       })
     }
@@ -242,10 +295,14 @@ final class StateStore(
     *         callers don't pay a separate count() job)
     */
   def upsert(
-      updates: DataFrame,
+      updatesIn: DataFrame,
       reAgg: Seq[(String, org.apache.spark.sql.Column => org.apache.spark.sql.Column)],
       needOldRows: Boolean = true)
       : (Option[DataFrame], () => DataFrame, Long) = this.synchronized {
+    // re-stamp combine-kind metadata a DML-fed frame lacks, and remember any
+    // metadata this frame carries — see columnMeta
+    val updates = if (appendOnly) updatesIn else restampMeta(updatesIn)
+    recordMeta(updates.schema)
     // Mutations serialize per store (this.synchronized here, deleteWhere,
     // truncate): the manifest commit is a read-modify-write, so a concurrent
     // upsert and reaper pass (startReaper runs on its own thread) — or two
@@ -519,6 +576,15 @@ final class StateStore(
     val version = manifest.map(_.version + 1).getOrElse(0L)
     val newSeg = manifest
       .flatMap(_.buckets.keysIterator.maxOption).map(_ + 1).getOrElse(0)
+    // Arrival-order contract: CROSS-batch order is exact (batch seq = the
+    // persisted manifest version). WITHIN a batch the row sequence is
+    // partition-index-dominated and not stable under task retry with a
+    // nondeterministic upstream — best-effort, matching what "arrival
+    // order" can even mean for rows that arrived in one parallel batch.
+    // (The reference's $pk sequence serializes every row through one
+    // counter; a distributed blind append deliberately does not. Callers
+    // needing total order within a batch should carry their own sequence
+    // column.)
     val up = updates
       .withColumn(StateStore.PkBatchCol, lit(version))
       .withColumn(StateStore.PkRowCol, monotonically_increasing_id())
@@ -685,7 +751,9 @@ final class StateStore(
             case None => col(c)
           }
         }: _*)
-        val out = toInternal(updated).withColumn(BucketCol, rowBucket)
+        // assigned columns lose their combine-kind metadata through the
+        // when/otherwise projection — re-stamp before persisting
+        val out = restampMeta(toInternal(updated)).withColumn(BucketCol, rowBucket)
         val version = m.version + 1
         clustered(out.repartition(math.max(affected.size, 1), col(BucketCol)))
           .write.partitionBy(BucketCol).mode("overwrite").parquet(s"$root/v$version")

@@ -2014,6 +2014,70 @@ class CvSpec extends AnyFunSuite {
     }
   }
 
+  test("matrel DML preserves combine-kind metadata: SQL combine() works after a state-seeding INSERT and across restart") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cv").toString
+    val eng = new ContViewEngine(spark, dir)
+    eng.createStream("mm_s", streamSchema)
+    eng.createContView("v_mm",
+      "SELECT key, count(*) AS n, avg(v) AS av FROM mm_s GROUP BY key",
+      emitChanges = false)
+    eng.matrelsWritable = true
+    // direct INSERT into an EMPTY matrel: the user frame carries no state
+    // metadata — the stamped write must still let SQL combine()/finalize
+    // resolve the bare stored columns. avg's RAW state is its transition
+    // struct (s, n), like the reference's bigint[2] matrel column.
+    eng.insertMatrel("v_mm",
+      Seq(("kA", 2L, 4.0, 2L), ("kB", 3L, 18.0, 3L)).toDF("key", "n", "s", "cnt")
+        .select(col("key"), col("n"),
+          struct(col("s").as("s"), col("cnt").as("n")).as("av")))
+    val combined = eng.query(
+      "SELECT combine(n) AS n FROM v_mm_mrel").collect().head.getLong(0)
+    assert(combined == 5L)
+    // an UPDATE rewrite must not strip metadata from the assigned column
+    eng.updateMatrel("v_mm", Seq("n" -> "n + 1"), Some("key = 'kA'"))
+    assert(eng.query("SELECT combine(n) AS n FROM v_mm_mrel")
+      .collect().head.getLong(0) == 6L)
+    // restart: the parquet footers (not this JVM's schema memo) are now the
+    // only metadata source — combine() must still resolve
+    val eng2 = new ContViewEngine(spark, dir)
+    assert(eng2.query("SELECT combine(n) AS n FROM v_mm_mrel")
+      .collect().head.getLong(0) == 6L)
+    assert(math.abs(eng2.overlay("v_mm").where(col("key") === "kA")
+      .collect().head.getDouble(2) - 2.0) < 1e-12)
+  }
+
+  test("UPDATE parsing: string literal containing ' WHERE ' does not mis-split (quote-aware scan)") {
+    val eng = newEngine()
+    eng.createStream("uq_s", streamSchema)
+    eng.createContView("v_uq", "SELECT key, x FROM uq_s") // append CV, raw cols
+    eng.insertInto("uq_s", mkBatch(allRows.take(3)))
+    eng.matrelsWritable = true
+    // SET expression contains a literal ' WHERE ' — a regex split would
+    // produce predicate "b' = 'x" and a bogus SET tail
+    eng.sql("UPDATE v_uq_mrel SET key = 'a WHERE b'")
+    assert(eng.overlay("v_uq").where(col("key") === "a WHERE b").count() == 3L)
+    // and a real WHERE after such a literal still applies
+    eng.sql("UPDATE v_uq_mrel SET key = 'p WHERE q' WHERE x >= 0")
+    assert(eng.overlay("v_uq").where(col("key") === "p WHERE q").count() == 3L)
+  }
+
+  test("rename mid-ingest: async batches in flight land in the renamed store (single relocated instance)") {
+    val eng = newEngine()
+    eng.createStream("rn_s", streamSchema)
+    eng.createContView("v_rn0",
+      "SELECT key, count(*) AS n FROM rn_s GROUP BY key", emitChanges = false)
+    // queue async batches, rename while they drain, then barrier
+    (0 until 4).foreach { i =>
+      eng.insertIntoAsync("rn_s", mkBatch(allRows.slice(i * 100, (i + 1) * 100)))
+    }
+    eng.renameContView("v_rn0", "v_rn1")
+    eng.flush()
+    assert(eng.overlay("v_rn1").agg(sum("n")).collect().head.getLong(0) == 400L)
+    // further sync ingest keeps combining into the moved store
+    eng.insertInto("rn_s", mkBatch(allRows.slice(400, 500)))
+    assert(eng.overlay("v_rn1").agg(sum("n")).collect().head.getLong(0) == 500L)
+  }
+
   test("append CV with changes survives compaction batches (newRows reads the physical segment)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cv").toString
     val eng = new ContViewEngine(spark, dir, maxAppendSegments = 3)
