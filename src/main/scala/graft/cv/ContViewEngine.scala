@@ -95,6 +95,10 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
 
   private def catalogPath = Paths.get(root, "_catalog.jsonl")
   private var loading = false
+  // set while a compound DDL (ALTER SCHEMA RENAME) performs constituent
+  // renames: only the ONE compound entry is persisted, so replay doesn't
+  // apply the parts twice
+  private var suppressCatalog = false
 
   private def q(s: String): String = "\"" + s.flatMap {
     case '"' => "\\\""
@@ -104,7 +108,7 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     case c => c.toString
   } + "\""
 
-  private def appendCatalog(e: CatalogEntry): Unit = if (!loading) {
+  private def appendCatalog(e: CatalogEntry): Unit = if (!loading && !suppressCatalog) {
     Files.createDirectories(Paths.get(root))
     val line = s"""{"kind":${q(e.kind)},"name":${q(e.name)},"payload":${q(e.payload)},""" +
       s""""sw":${q(e.sw)},"swColumn":${q(e.swColumn)},"stepFactor":${e.stepFactor},""" +
@@ -402,8 +406,8 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     * stream schema as an empty relation so CV SQL analyzes against it.
     * `arrival_timestamp` is appended implicitly (pipeline_stream.c:101-132).
     */
-  def createStream(name: String, schema: StructType): Unit = {
-    requireSimpleName(name, "stream")
+  def createStream(name0: String, schema: StructType): Unit = {
+    val name = normalizeName(name0, "stream")
     // streams accept NULLs in any column (missing INSERT fields default to
     // NULL — stream_fdw.c:270-438), and batches often arrive from parquet
     // where nothing is NOT NULL: normalize recursively so batch-to-leaf
@@ -413,12 +417,12 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
       if (nullable.fieldNames.contains("arrival_timestamp")) nullable
       else nullable.add("arrival_timestamp", "timestamp")
     spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), withArrival)
-      .createOrReplaceTempView(name)
-    ownedTempViews += name
+      .createOrReplaceTempView(bindName(name))
+    ownedTempViews += bindName(name)
     // capture the registered view's leaf attribute ids — they uniquely
     // identify this stream in any analyzed CV/CT plan (two streams may
     // share a schema, so names alone cannot disambiguate)
-    val leafIds = org.apache.spark.sql.GraftBridge.analyzed(spark.table(name))
+    val leafIds = org.apache.spark.sql.GraftBridge.analyzed(spark.table(bindName(name)))
       .collect { case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => lr }
       .head.output.map(_.exprId)
     streams(name) = StreamDef(name, withArrival, leafIds)
@@ -437,14 +441,139 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     }
   }
 
-  /** Streams/CVs/CTs bind session temp views under their own names, and
-    * Spark temp-view names cannot be qualified — reject dotted names up
-    * front with a domain error instead of failing later inside the catalog.
+  // ---- schemas / namespaces (cont_view_namespace.sql) ----
+  //
+  // Catalog keys are canonical: "base" for the default schema and
+  // "schema.base" otherwise; "public.x" normalizes to "x" (the reference's
+  // search_path default). Because the qualified key IS the dotted spelling,
+  // every name-taking API accepts qualified names with no extra plumbing —
+  // only the session temp-view layer needs sanitized bindings (Spark
+  // temp-view names cannot contain dots).
+
+  // lazy: the constructor's catalog replay touches this before
+  // later-declared fields would otherwise initialize
+  private lazy val schemas = mutable.Set("public")
+
+  /** Registered schema names ("public" is always present). */
+  def schemaNames: Seq[String] = synchronized(schemas.toSeq.sorted)
+
+  def createSchema(name: String): Unit = synchronized {
+    require(name.matches("""\w+"""), s"invalid schema name '$name'")
+    require(!schemas.contains(name), s"schema \"$name\" already exists")
+    schemas += name
+    appendCatalog(CatalogEntry("schema_create", name, "", "", "", 0, "", "", "", changes = false))
+  }
+
+  /** DROP SCHEMA [CASCADE]: without CASCADE the schema must be empty; with
+    * it, contained CQs and streams drop first (reference DROP SCHEMA
+    * semantics, cont_view_namespace.sql:24-29).
     */
-  private def requireSimpleName(name: String, kind: String): Unit =
-    require(name.matches("""\w+"""),
-      s"$kind name '$name' must be an unqualified identifier " +
-        "(schema-qualified names are not supported)")
+  def dropSchema(name: String, cascade: Boolean = false): Unit = synchronized {
+    require(name != "public", "cannot drop schema public")
+    require(schemas.contains(name), s"schema \"$name\" does not exist")
+    val pref = name + "."
+    def members: Seq[String] = (transforms.keys ++ views.keys ++ streams.keys)
+      .filter(k => k.startsWith(pref) && !k.endsWith("_osrel")).toSeq.distinct
+    val initial = members
+    if (initial.nonEmpty) {
+      require(cascade,
+        s"schema $name is not empty (${initial.mkString(", ")}); use DROP SCHEMA ... CASCADE")
+      // drop to fixpoint: transforms unwind before the views/streams they
+      // read; anything still standing is referenced from OUTSIDE the schema
+      var progress = true
+      while (progress) {
+        progress = false
+        members.foreach { m =>
+          try {
+            if (transforms.contains(m)) { dropContTransform(m); progress = true }
+            else if (views.contains(m)) { dropContView(m); progress = true }
+            else if (streams.contains(m)) { dropStream(m); progress = true }
+          } catch { case _: Exception => () }
+        }
+      }
+      require(members.isEmpty, s"cannot drop schema $name: objects still " +
+        s"read by continuous queries outside it: ${members.mkString(", ")}")
+    }
+    schemas -= name
+    appendCatalog(CatalogEntry("schema_drop", name, "", "", "", 0, "", "", "", changes = false))
+  }
+
+  /** ALTER SCHEMA old RENAME TO new — every contained stream, CV and CT
+    * follows (the reference gets this for free from relid-based catalogs;
+    * here the per-object rename machinery re-keys them).
+    */
+  def renameSchema(oldName: String, newName: String): Unit = synchronized {
+    require(oldName != "public", "cannot rename schema public")
+    require(schemas.contains(oldName), s"schema \"$oldName\" does not exist")
+    require(newName.matches("""\w+"""), s"invalid schema name '$newName'")
+    require(!schemas.contains(newName), s"schema \"$newName\" already exists")
+    schemas += newName
+    val pref = oldName + "."
+    def move(k: String) = newName + "." + k.stripPrefix(pref)
+    suppressCatalog = true
+    try {
+      // plain streams first: CV/CT handles re-point their streamName before
+      // the CQs themselves rename; osrel streams move with their CQ
+      streams.keys.filter(k => k.startsWith(pref) && !k.endsWith("_osrel")).toSeq
+        .foreach(k => renameStream(k, move(k)))
+      views.keys.filter(_.startsWith(pref)).toSeq
+        .foreach(k => renameContView(k, move(k)))
+      transforms.keys.filter(_.startsWith(pref)).toSeq
+        .foreach(k => renameContTransform(k, move(k)))
+    } finally suppressCatalog = false
+    schemas -= oldName
+    appendCatalog(CatalogEntry("schema_rename", oldName, newName, "", "", 0, "", "", "", changes = false))
+  }
+
+  private def schemaOf(key: String): String = {
+    val i = key.indexOf('.'); if (i < 0) "public" else key.substring(0, i)
+  }
+  private def baseOf(key: String): String = {
+    val i = key.indexOf('.'); if (i < 0) key else key.substring(i + 1)
+  }
+
+  /** Canonical catalog key for a possibly schema-qualified name. The schema
+    * must exist (cont_view_namespace.sql:4: CREATE VIEW nonexistent.cv is a
+    * creation-time error).
+    */
+  private def normalizeName(name: String, kind: String): String = name.trim.split('.') match {
+    case Array(base) =>
+      require(base.matches("""\w+"""), s"invalid $kind name '$name'")
+      base
+    case Array(sch, base) =>
+      require(sch.matches("""\w+""") && base.matches("""\w+"""),
+        s"invalid $kind name '$name'")
+      require(synchronized(schemas.contains(sch)), s"schema \"$sch\" does not exist")
+      if (sch == "public") base else s"$sch.$base"
+    case _ => throw new IllegalArgumentException(
+      s"invalid $kind name '$name' (expected [schema.]name)")
+  }
+
+  /** Session temp-view binding for a catalog key (temp-view names cannot
+    * contain dots): `s.x` binds as `__gns__s__x`.
+    */
+  private def bindName(key: String): String =
+    if (key.indexOf('.') < 0) key else "__gns__" + key.replace(".", "__")
+
+  /** Rewrite schema-qualified references in SQL to their temp-view
+    * bindings, outside string literals. Only KNOWN schema names rewrite, so
+    * genuine db.table spellings against real Spark catalogs pass through.
+    */
+  private def rewriteQualifiedRefs(sqlText: String): String = {
+    val schemaSnapshot = synchronized(schemas.toSeq)
+    val active = schemaSnapshot.filter(s => sqlText.contains(s + "."))
+    if (active.isEmpty) return sqlText
+    val pattern = ("""(?<![\w.`])(""" +
+      active.map(java.util.regex.Pattern.quote).mkString("|") + """)\.(\w+)""").r
+    val parts = sqlText.split("'", -1)
+    parts.indices.foreach { i =>
+      if (i % 2 == 0) parts(i) = pattern.replaceAllIn(parts(i), m =>
+        java.util.regex.Matcher.quoteReplacement(
+          if (m.group(1) == "public") m.group(2)
+          else s"__gns__${m.group(1)}__${m.group(2)}"))
+    }
+    parts.mkString("'")
+  }
 
   private def idempotent[H](name: String, signature: String)(create: => H): Option[H] =
     defSignatures.get(name) match {
@@ -465,9 +594,9 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     * Re-creating an existing view with the same definition is a no-op;
     * with a different definition it errors.
     */
-  def createContView(name: String, selectSql0: String,
+  def createContView(name0: String, selectSql0: String,
       options0: CvOptions = CvOptions(), emitChanges: Boolean = true): CvHandle = {
-    requireSimpleName(name, "continuous view")
+    val name = normalizeName(name0, "continuous view")
     // WHERE ts > clock_timestamp() - interval '…' → WITH (sw = …), and
     // DISTINCT ON (…) → marked leading key outputs; the desugared form is
     // what persists (catalog/defs), so replay re-plans the same statement
@@ -531,8 +660,8 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     * changes storage moves with it. Running startStreaming drivers are NOT
     * retargeted; rename between, not during, streaming runs.
     */
-  def renameContView(name: String, newName: String): Unit = synchronized {
-    requireSimpleName(newName, "continuous view")
+  def renameContView(name: String, newName0: String): Unit = synchronized {
+    val newName = normalizeName(newName0, "continuous view")
     if (name == newName) return
     val h = views.getOrElse(name, throw new IllegalArgumentException(
       s"$name is not a continuous view"))
@@ -589,11 +718,11 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     * output stream, an optional sink stream (insert_into_stream chaining,
     * stream_fdw.c:589-640), and/or a callback (trigger outputfunc).
     */
-  def createContTransform(name: String, selectSql: String,
+  def createContTransform(name0: String, selectSql: String,
       sinkStream: Option[String] = None,
       outputFunc: Option[DataFrame => Unit] = None,
       emitChanges: Boolean = true): CtHandle = {
-    requireSimpleName(name, "continuous transform")
+    val name = normalizeName(name0, "continuous transform")
     // The reference's sliding-window spelling (WHERE ts > clock_timestamp()
     // - interval …) is only meaningful with aggregation; on a stateless
     // transform it must fail loudly as a domain error, not as Catalyst's
