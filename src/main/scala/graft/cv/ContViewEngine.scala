@@ -173,6 +173,15 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
               emitChanges = fields("changes").toBoolean)
           case "rename" =>
             renameContView(fields("name"), fields("payload"))
+          case "rename_stream" =>
+            renameStream(fields("name"), fields("payload"))
+          case "rename_transform" =>
+            renameContTransform(fields("name"), fields("payload"))
+          case "schema_create" => createSchema(fields("name"))
+          // members were already dropped by their own replayed entries
+          case "schema_drop" => dropSchema(fields("name"))
+          case "schema_rename" =>
+            renameSchema(fields("name"), fields("payload"))
           case "transform" =>
             createContTransform(fields("name"), fields("payload"),
               sinkStream = Option(fields("sink")).filter(_.nonEmpty),
@@ -219,7 +228,10 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     * `combine(col)`/`finalize(col)` over `_mrel` columns resolve through the
     * registered SQL functions and the state columns' combine-kind metadata.
     */
-  def query(selectSql: String): DataFrame = synchronized {
+  def query(selectSql0: String): DataFrame = synchronized {
+    // schema-qualified CV/stream/matrel spellings → their session bindings
+    // (temp-view names cannot contain dots); unknown schemas pass through
+    val selectSql = rewriteQualifiedRefs(selectSql0)
     // Temp-view bindings made for THIS query: dropped again once the
     // statement is analyzed, so the session catalog is not left littered
     // with stale engine bindings. Bindings that already existed (an explicit
@@ -247,8 +259,8 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     // downstream CQ planning depends on (clobbering it would break chaining)
     val rewritten = """(?i)output_of\s*\(\s*'([\w.]+)'\s*\)""".r
       .replaceAllIn(selectSql, m => {
-        val cv = m.group(1)
-        val view = s"__graft_read_${osrelName(cv)}"
+        val cv = normalizeName(m.group(1), "continuous query")
+        val view = "__graft_read_" + bindName(osrelName(cv))
         val changes = outputOf(cv).getOrElse(throw new IllegalStateException(
           s"continuous query $cv has no output stream to read"))
         bind(view) {
@@ -258,8 +270,10 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
         }
         view
       })
-    def mentioned(name: String): Boolean =
-      ("""(?i)(?<![\w.])""" + java.util.regex.Pattern.quote(name) + """(?![\w.])""").r
+    // catalog keys are dotted for non-public schemas; the rewritten SQL
+    // spells them as their __gns__ bindings — match on the binding
+    def mentioned(key: String): Boolean =
+      ("""(?i)(?<![\w.])""" + java.util.regex.Pattern.quote(bindName(key)) + """(?![\w.])""").r
         .findFirstIn(rewritten).isDefined
     // Streams (incl. `<cv>_osrel` output streams) are unstored event
     // sources only continuous queries may scan — an ad-hoc SELECT would
@@ -275,7 +289,7 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
              else "create a continuous view or transform over it"))
     }
     views.keys.foreach { v =>
-      if (mentioned(v)) bind(v)(registerOverlay(v))
+      if (mentioned(v)) bind(bindName(v))(registerOverlay(v))
       if (mentioned(s"${v}_mrel")) {
         // reference matrels name the state column after the target-list
         // column (avg → `av` holds the transition state): expose single-state
@@ -293,7 +307,8 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
             case _ => d
           }
         }
-        bind(s"${v}_mrel")(renamed.createOrReplaceTempView(s"${v}_mrel"))
+        bind(bindName(v) + "_mrel")(
+          renamed.createOrReplaceTempView(bindName(v) + "_mrel"))
       }
     }
     // spark.sql analyzes eagerly, so the bindings created for this statement
@@ -318,28 +333,41 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     case CvDdl.CreateView(name, select, opts, changes) =>
       createContView(name, select, opts, emitChanges = changes); ()
     case CvDdl.CreateTransform(name, select, sink, changes) =>
-      sink.foreach { s => require(streams.contains(s),
+      sink.foreach { s => require(streams.contains(normalizeName(s, "stream")),
         s"outputfunc insert_into_stream('$s'): unknown stream $s") }
       createContTransform(name, select, sinkStream = sink, emitChanges = changes); ()
-    case CvDdl.Rename(name, newName) => renameContView(name, newName)
-    case CvDdl.Activate(name) => activate(name)
-    case CvDdl.Deactivate(name) => deactivate(name)
-    case CvDdl.Drop(kind, name) => kind match {
+    case CvDdl.Rename(name0, newName) =>
+      val name = normalizeName(name0, "continuous query")
+      if (transforms.contains(name)) renameContTransform(name, newName)
+      else renameContView(name, newName)
+    case CvDdl.RenameStream(name, newName) =>
+      renameStream(normalizeName(name, "stream"), newName)
+    case CvDdl.CreateSchema(name) => createSchema(name)
+    case CvDdl.DropSchema(name, cascade) => dropSchema(name, cascade)
+    case CvDdl.RenameSchema(name, newName) => renameSchema(name, newName)
+    case CvDdl.Activate(name) => activate(normalizeName(name, "continuous query"))
+    case CvDdl.Deactivate(name) => deactivate(normalizeName(name, "continuous query"))
+    case CvDdl.Drop(kind, name0) =>
+      val name = normalizeName(name0, kind)
+      kind match {
       case "view" if views.contains(name) => dropContView(name)
       case "view" if transforms.contains(name) => dropContTransform(name)
       case "view" => throw new IllegalArgumentException(s"unknown continuous query $name")
       case "transform" => dropContTransform(name)
       case _ => dropStream(name)
     }
-    case CvDdl.Insert(name, columns, valuesSql) if name.endsWith("_mrel") &&
-        views.contains(name.stripSuffix("_mrel")) =>
+    case CvDdl.Insert(name0, columns, valuesSql)
+        if normalizeName(name0, "relation").endsWith("_mrel") &&
+          views.contains(normalizeName(name0, "relation").stripSuffix("_mrel")) =>
       // INSERT INTO <cv>_mrel (cols) VALUES … — direct state insert,
       // honored only under matrels_writable (cont_matrel.sql:7,35-36)
+      val name = normalizeName(name0, "relation")
       val cols = columns.getOrElse(throw new IllegalArgumentException(
         s"INSERT INTO $name requires an explicit column list"))
       val df = spark.sql(s"SELECT * FROM (VALUES $valuesSql) AS t(${cols.mkString(", ")})")
       insertMatrel(name.stripSuffix("_mrel"), df); ()
-    case CvDdl.Insert(name, columns, valuesSql) =>
+    case CvDdl.Insert(name0, columns, valuesSql) =>
+      val name = normalizeName(name0, "stream")
       require(streams.contains(name), s"unknown stream $name")
       val schema = streams(name).schema
       val cols = columns.getOrElse(
@@ -354,7 +382,8 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
       schema.fields.filterNot(f => cols.contains(f.name) || f.name == "arrival_timestamp")
         .foreach(f => df = df.withColumn(f.name, lit(null).cast(f.dataType)))
       insertInto(name, df)
-    case CvDdl.InsertSelect(name, columns, select) =>
+    case CvDdl.InsertSelect(name0, columns, select) =>
+      val name = normalizeName(name0, "stream")
       require(streams.contains(name), s"unknown stream $name")
       val schema = streams(name).schema
       var df = spark.sql(select)
@@ -375,7 +404,7 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     case CvDdl.CreateIndex(view, cols) =>
       // the reference indexes the mrel through the overlay name (CREATE
       // INDEX … ON test_cont_index0 …, cont_index.sql:5) — accept either
-      createIndex(view.stripSuffix("_mrel"), cols: _*)
+      createIndex(normalizeName(view, "relation").stripSuffix("_mrel"), cols: _*)
     case CvDdl.Update(table, set, where) =>
       updateMatrel(mrelTarget("UPDATE", table), set, where); ()
     case CvDdl.Delete(table, where) =>
@@ -386,7 +415,8 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     * a writable relation in this engine (streams take INSERT, not
     * UPDATE/DELETE; overlays are views).
     */
-  private def mrelTarget(verb: String, table: String): String = {
+  private def mrelTarget(verb: String, table0: String): String = {
+    val table = normalizeName(table0, "relation")
     val cv = table.stripSuffix("_mrel")
     require(table.endsWith("_mrel") && views.contains(cv),
       s"$verb targets must be a continuous view's materialization table " +
@@ -457,6 +487,13 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
   /** Registered schema names ("public" is always present). */
   def schemaNames: Seq[String] = synchronized(schemas.toSeq.sorted)
 
+  /** Registered object names, as canonical catalog keys ("base" or
+    * "schema.base") — the programmatic spelling of the catalog views.
+    */
+  def viewNames: Seq[String] = synchronized(views.keys.toSeq)
+  def transformNames: Seq[String] = synchronized(transforms.keys.toSeq)
+  def streamNames: Seq[String] = synchronized(streams.keys.toSeq)
+
   def createSchema(name: String): Unit = synchronized {
     require(name.matches("""\w+"""), s"invalid schema name '$name'")
     require(!schemas.contains(name), s"schema \"$name\" already exists")
@@ -478,9 +515,25 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     if (initial.nonEmpty) {
       require(cascade,
         s"schema $name is not empty (${initial.mkString(", ")}); use DROP SCHEMA ... CASCADE")
+      // Validate BEFORE mutating: a member is undroppable iff a CQ outside
+      // the schema reads one of its streams (the member itself, or a CQ
+      // member's output stream). Failing here leaves the schema untouched —
+      // no half-dropped members, no persisted partial catalog entries.
+      initial.foreach { m =>
+        val streamKeys =
+          (if (streams.contains(m)) Seq(m) else Nil) ++
+            (if (views.contains(m) || transforms.contains(m)) Seq(osrelName(m)) else Nil)
+        streamKeys.foreach { sk =>
+          val external = readers.getOrElse(sk, mutable.Buffer.empty)
+            .filterNot(r => r.startsWith(pref))
+          require(external.isEmpty, s"cannot drop schema $name: $sk is read by " +
+            s"continuous queries outside it: ${external.mkString(", ")}")
+        }
+      }
       // drop to fixpoint: transforms unwind before the views/streams they
-      // read; anything still standing is referenced from OUTSIDE the schema
+      // read; in-schema dependency order resolves across passes
       var progress = true
+      var firstFailure: Option[Exception] = None
       while (progress) {
         progress = false
         members.foreach { m =>
@@ -488,11 +541,16 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
             if (transforms.contains(m)) { dropContTransform(m); progress = true }
             else if (views.contains(m)) { dropContView(m); progress = true }
             else if (streams.contains(m)) { dropStream(m); progress = true }
-          } catch { case _: Exception => () }
+            firstFailure = None // ordering failures clear once a pass succeeds
+          } catch {
+            case e: Exception => if (firstFailure.isEmpty) firstFailure = Some(e)
+          }
         }
       }
-      require(members.isEmpty, s"cannot drop schema $name: objects still " +
-        s"read by continuous queries outside it: ${members.mkString(", ")}")
+      if (members.nonEmpty)
+        throw new IllegalStateException(
+          s"DROP SCHEMA $name CASCADE stalled with ${members.mkString(", ")} remaining",
+          firstFailure.orNull)
     }
     schemas -= name
     appendCatalog(CatalogEntry("schema_drop", name, "", "", "", 0, "", "", "", changes = false))
@@ -604,7 +662,8 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     val (selectSql1, options) = CvPlanner.desugarSwPredicate(selectSql0, options0)
     val selectSql = CvPlanner.desugarDistinctOn(selectSql1)
     idempotent(name, s"view|$selectSql|$options|$emitChanges") {
-      val plan = CvPlanner.plan(spark, name, rewriteOutputOf(selectSql), options,
+      val plan = CvPlanner.plan(spark, name,
+        rewriteQualifiedRefs(rewriteOutputOf(selectSql)), options,
         streamLeafIds = streams.values.map(_.leafIds).toSeq)
       // pk must name an output column of the view (cont_pk.sql: unknown
       // columns and non-identifier values are creation-time errors)
@@ -695,21 +754,97 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     val (oldOs, newOs) = (osrelName(name), osrelName(newName))
     streams.remove(oldOs).foreach { sd =>
       streams(newOs) = sd.copy(name = newOs)
-      org.apache.spark.sql.GraftBridge.ofRows(spark,
-        org.apache.spark.sql.GraftBridge.analyzed(spark.table(oldOs)))
-        .createOrReplaceTempView(newOs)
-      spark.catalog.dropTempView(oldOs)
-      ownedTempViews += newOs; ownedTempViews -= oldOs
+      rebindStreamView(oldOs, newOs)
       readers.remove(oldOs).foreach(readers(newOs) = _)
       streamBatches.remove(oldOs).foreach(streamBatches(newOs) = _)
     }
     // stale SQL bindings of the old name resolve against moved storage
-    Seq(name, s"${name}_mrel", s"__graft_read_$oldOs").foreach { n =>
+    Seq(bindName(name), bindName(name) + "_mrel",
+        "__graft_read_" + bindName(oldOs)).foreach { n =>
       if (ownedTempViews.contains(n)) {
         spark.catalog.dropTempView(n); ownedTempViews -= n
       }
     }
     appendCatalog(CatalogEntry("rename", name, newName, "", "", 0, "", "", "",
+      changes = false))
+  }
+
+  /** Re-register the SAME analyzed relation under the new binding, so the
+    * leaf attribute ids that reading CQ plans are bound to survive the move.
+    */
+  private def rebindStreamView(oldKey: String, newKey: String): Unit = {
+    org.apache.spark.sql.GraftBridge.ofRows(spark,
+      org.apache.spark.sql.GraftBridge.analyzed(spark.table(bindName(oldKey))))
+      .createOrReplaceTempView(bindName(newKey))
+    spark.catalog.dropTempView(bindName(oldKey))
+    ownedTempViews += bindName(newKey); ownedTempViews -= bindName(oldKey)
+  }
+
+  /** ALTER STREAM name RENAME TO newName. CQ output streams move with their
+    * CQ, not directly. Reading CQ plans keep working: they are bound to the
+    * stream's leaf attribute ids, which move with the re-registration.
+    */
+  def renameStream(name: String, newName0: String): Unit = synchronized {
+    val newName = normalizeName(newName0, "stream")
+    if (name == newName) return
+    require(streams.contains(name), s"unknown stream $name")
+    require(!name.endsWith("_osrel") && !newName.endsWith("_osrel"),
+      s"cannot rename $name: CQ output streams follow their CQ's rename")
+    require(!views.contains(newName) && !transforms.contains(newName) &&
+      !streams.contains(newName), s"cannot rename $name: '$newName' is already in use")
+    val sd = streams.remove(name).get
+    streams(newName) = sd.copy(name = newName)
+    rebindStreamView(name, newName)
+    readers.remove(name).foreach(readers(newName) = _)
+    streamBatches.remove(name).foreach(streamBatches(newName) = _)
+    // reading CQ handles route ingests and derive empty-state schemas via
+    // streamName — re-point them (and CT sink chains) at the new key
+    views.mapValuesInPlace { (_, h) =>
+      if (h.streamName == name) h.copy(streamName = newName) else h
+    }
+    transforms.mapValuesInPlace { (_, h) =>
+      val h2 = if (h.streamName == name) h.copy(streamName = newName) else h
+      if (h2.sinkStream.contains(name)) h2.copy(sinkStream = Some(newName)) else h2
+    }
+    appendCatalog(CatalogEntry("rename_stream", name, newName, "", "", 0, "", "", "",
+      changes = false))
+  }
+
+  /** Rename a continuous transform: definition, stats, changes archive, and
+    * its output stream all follow ([[renameContView]] minus the state store).
+    */
+  def renameContTransform(name: String, newName0: String): Unit = synchronized {
+    val newName = normalizeName(newName0, "continuous transform")
+    if (name == newName) return
+    val h = transforms.getOrElse(name, throw new IllegalArgumentException(
+      s"$name is not a continuous transform"))
+    require(!views.contains(newName) && !transforms.contains(newName) &&
+      !streams.contains(newName), s"cannot rename $name: '$newName' is already in use")
+    val from = Paths.get(root, name)
+    if (Files.exists(from))
+      Files.move(from, Paths.get(root, newName), StandardCopyOption.ATOMIC_MOVE)
+    transforms.remove(name)
+    transforms(newName) = h.copy(plan = h.plan.copy(name = newName))
+    defs.remove(name).foreach(defs(newName) = _)
+    defSignatures.remove(name).foreach(defSignatures(newName) = _)
+    statsMap.remove(name).foreach(s => statsMap(newName) = s.copy(name = newName))
+    procMsMap.remove(name).foreach(procMsMap(newName) = _)
+    readers.values.foreach { buf =>
+      val i = buf.indexOf(name); if (i >= 0) buf(i) = newName
+    }
+    val (oldOs, newOs) = (osrelName(name), osrelName(newName))
+    streams.remove(oldOs).foreach { sd =>
+      streams(newOs) = sd.copy(name = newOs)
+      rebindStreamView(oldOs, newOs)
+      readers.remove(oldOs).foreach(readers(newOs) = _)
+      streamBatches.remove(oldOs).foreach(streamBatches(newOs) = _)
+    }
+    Seq("__graft_read_" + bindName(oldOs)).foreach { n =>
+      if (ownedTempViews.contains(n)) {
+        spark.catalog.dropTempView(n); ownedTempViews -= n
+      }
+    }
+    appendCatalog(CatalogEntry("rename_transform", name, newName, "", "", 0, "", "", "",
       changes = false))
   }
 
@@ -723,6 +858,7 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
       outputFunc: Option[DataFrame => Unit] = None,
       emitChanges: Boolean = true): CtHandle = {
     val name = normalizeName(name0, "continuous transform")
+    val sink = sinkStream.map(normalizeName(_, "stream"))
     // The reference's sliding-window spelling (WHERE ts > clock_timestamp()
     // - interval …) is only meaningful with aggregation; on a stateless
     // transform it must fail loudly as a domain error, not as Catalyst's
@@ -731,15 +867,16 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     require(swProbe.sw.isEmpty,
       "sliding-window predicates (clock_timestamp()) are not supported in " +
         "continuous transforms; use a continuous view")
-    idempotent(name, s"transform|$selectSql|$sinkStream|$emitChanges") {
-      val plan = CvPlanner.planTransform(spark, name, rewriteOutputOf(selectSql),
+    idempotent(name, s"transform|$selectSql|$sink|$emitChanges") {
+      val plan = CvPlanner.planTransform(spark, name,
+        rewriteQualifiedRefs(rewriteOutputOf(selectSql)),
         streamLeafIds = streams.values.map(_.leafIds).toSeq)
       val leafIds = plan.streamLeaf.output.map(_.exprId)
       val streamName = streams.values.find(_.leafIds == leafIds)
         .map(_.name).getOrElse(throw new IllegalStateException(
           s"CT $name does not read a registered stream"))
-      sinkStream.foreach(sk => require(streams.contains(sk), s"unknown sink stream $sk"))
-      val handle = CtHandle(plan, streamName, sinkStream, outputFunc, changes = emitChanges)
+      sink.foreach(sk => require(streams.contains(sk), s"unknown sink stream $sk"))
+      val handle = CtHandle(plan, streamName, sink, outputFunc, changes = emitChanges)
       transforms(name) = handle
       val rs = readers.getOrElseUpdate(streamName, mutable.Buffer.empty)
       if (!rs.contains(name)) rs += name
@@ -751,7 +888,7 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
         createStream(osrelName(name), osSchema)
       }
       appendCatalog(CatalogEntry("transform", name, selectSql, "", "", 0, "", "",
-        sinkStream.getOrElse(""), changes = emitChanges))
+        sink.getOrElse(""), changes = emitChanges))
       defs(name) = selectSql
       handle
     }.getOrElse(transforms(name))
@@ -859,7 +996,8 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     // session temp views the engine may have bound for this CV (overlay,
     // SQL-front-door matrel/osrel reads, the osrel stream registration) —
     // left behind they'd resolve against deleted storage
-    Seq(name, s"${name}_mrel", osrel, s"__graft_read_$osrel")
+    Seq(bindName(name), bindName(name) + "_mrel", bindName(osrel),
+        "__graft_read_" + bindName(osrel))
       .foreach { n => spark.catalog.dropTempView(n); ownedTempViews -= n }
     appendCatalog(CatalogEntry("drop", name, "view", "", "", 0, "", "", "", changes = false))
   }
@@ -878,7 +1016,7 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     readers.remove(osrel)
     if (!loading) deleteDir(Paths.get(root, name))
     defs.remove(name)
-    Seq(osrel, s"__graft_read_$osrel")
+    Seq(bindName(osrel), "__graft_read_" + bindName(osrel))
       .foreach { n => spark.catalog.dropTempView(n); ownedTempViews -= n }
     appendCatalog(CatalogEntry("drop", name, "transform", "", "", 0, "", "", "", changes = false))
   }
@@ -890,8 +1028,8 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
       s"cannot drop stream $name: read by ${readers(name).mkString(", ")}")
     streams.remove(name)
     readers.remove(name)
-    spark.catalog.dropTempView(name)
-    ownedTempViews -= name
+    spark.catalog.dropTempView(bindName(name))
+    ownedTempViews -= bindName(name)
     appendCatalog(CatalogEntry("drop", name, "stream", "", "", 0, "", "", "", changes = false))
   }
 
@@ -1617,8 +1755,8 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     // rebind onto the caller's session so `spark.sql("... FROM cv")` resolves
     org.apache.spark.sql.GraftBridge.ofRows(spark,
       org.apache.spark.sql.GraftBridge.analyzed(overlay(name, now)))
-      .createOrReplaceTempView(name)
-    ownedTempViews += name
+      .createOrReplaceTempView(bindName(name))
+    ownedTempViews += bindName(name)
   }
 
   /** User-facing combine(): re-aggregate stored states at a coarser key

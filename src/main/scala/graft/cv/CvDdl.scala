@@ -39,6 +39,10 @@ object CvDdl {
   /** kind ∈ view | transform | stream (plain DROP VIEW resolves either CQ kind). */
   final case class Drop(kind: String, name: String) extends Stmt
   final case class Rename(name: String, newName: String) extends Stmt
+  final case class RenameStream(name: String, newName: String) extends Stmt
+  final case class CreateSchema(name: String) extends Stmt
+  final case class DropSchema(name: String, cascade: Boolean) extends Stmt
+  final case class RenameSchema(name: String, newName: String) extends Stmt
   final case class Insert(stream: String, columns: Option[Seq[String]], valuesSql: String)
     extends Stmt
   /** INSERT INTO s [(cols)] SELECT … (stream_insert_subselect.sql shapes,
@@ -74,6 +78,13 @@ object CvDdl {
   private val DeactivateRe = """(?is)\s*DEACTIVATE\s+([\w.]+)\s*;?\s*""".r
   private val AlterRenameRe =
     """(?is)\s*ALTER\s+(?:CONTINUOUS\s+)?VIEW\s+([\w.]+)\s+RENAME\s+TO\s+([\w.]+)\s*;?\s*""".r
+  private val AlterStreamRenameRe =
+    """(?is)\s*ALTER\s+(?:STREAM|FOREIGN\s+TABLE)\s+([\w.]+)\s+RENAME\s+TO\s+([\w.]+)\s*;?\s*""".r
+  private val CreateSchemaRe = """(?is)\s*CREATE\s+SCHEMA\s+(\w+)\s*;?\s*""".r
+  private val DropSchemaRe =
+    """(?is)\s*DROP\s+SCHEMA\s+(\w+)\s*(CASCADE)?\s*;?\s*""".r
+  private val AlterSchemaRe =
+    """(?is)\s*ALTER\s+SCHEMA\s+(\w+)\s+RENAME\s+TO\s+(\w+)\s*;?\s*""".r
   private val AlterTableRenameRe =
     """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+RENAME\s+TO\s+([\w.]+)\s*;?\s*""".r
   private val DropRe =
@@ -128,6 +139,10 @@ object CvDdl {
       // view in the reference dialect (every cont_* regress test's shape)
       buildQuery(name, select, Map.empty, defaultAction = "materialize")
     case AlterRenameRe(name, newName) => Rename(name, newName)
+    case AlterStreamRenameRe(name, newName) => RenameStream(name, newName)
+    case CreateSchemaRe(name) => CreateSchema(name)
+    case DropSchemaRe(name, cascade) => DropSchema(name, cascade != null)
+    case AlterSchemaRe(name, newName) => RenameSchema(name, newName)
     case AlterTableRenameRe(name, _) =>
       // cont_alter.sql:6-7: matrels keep their name; renaming one directly
       // is refused like the reference's dependency check

@@ -57,13 +57,14 @@ object SimHash {
     * documents all hash to the same fingerprint (often 0), so a crawl with
     * millions of near-empty docs lands them in the SAME four chunk buckets
     * — an O(s²) self-join blowup. Singleton buckets are dropped via a
-    * broadcast hot-set, and any bucket larger than `maxBucketSize` is
-    * excluded from candidate generation and REPORTED on stderr rather than
-    * silently absorbed; members of an excluded cluster still pair through
-    * their other chunks unless oversized in all four.
+    * broadcast hot-set. The bucket-size cap is OPT-IN (default unbounded):
+    * capping trades the documented recall-1.0 pigeonhole guarantee for
+    * bounded join fan-out, so callers must choose it explicitly; an
+    * excluded bucket is reported on stderr, and its members still pair
+    * through their other chunks unless oversized in all four.
     */
   def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
-      maxDist: Int = 3, maxBucketSize: Int = 4096): DataFrame = {
+      maxDist: Int = 3, maxBucketSize: Int = Int.MaxValue): DataFrame = {
     require(maxDist <= 3, "4-chunk banding guarantees recall only for distance ≤ 3")
     val fp = df.select(col(idCol).as("id"),
       simhash64(TextOps.tokens(col(textCol))).as("fp"))
