@@ -198,6 +198,8 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
               Option(fields("ttlColumn")).filter(_.nonEmpty))
           case "index" =>
             createIndex(fields("name"), fields("payload").split(",").toSeq: _*)
+          case "constraint" =>
+            addMatrelConstraint(fields("name"), fields("sink"), fields("payload"))
           case _ => ()
         } catch {
           case e: Exception =>
@@ -342,6 +344,8 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
       else renameContView(name, newName)
     case CvDdl.RenameStream(name, newName) =>
       renameStream(normalizeName(name, "stream"), newName)
+    case CvDdl.AddConstraint(table, conName, check) =>
+      addMatrelConstraint(mrelTarget("ALTER TABLE", table), conName, check)
     case CvDdl.CreateSchema(name) => createSchema(name)
     case CvDdl.DropSchema(name, cascade) => dropSchema(name, cascade)
     case CvDdl.RenameSchema(name, newName) => renameSchema(name, newName)
@@ -744,6 +748,7 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     views(newName) = h.copy(plan = h.plan.copy(name = newName))
     defs.remove(name).foreach(defs(newName) = _)
     defSignatures.remove(name).foreach(defSignatures(newName) = _)
+    matrelConstraints.remove(name).foreach(matrelConstraints(newName) = _)
     statsMap.remove(name).foreach(s => statsMap(newName) = s.copy(name = newName))
     procMsMap.remove(name).foreach(procMsMap(newName) = _)
     readers.values.foreach { buf =>
@@ -960,6 +965,84 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
       "", "", "", changes = false))
   }
 
+  // CV → (constraint name, CHECK expression): evaluated against the matrel
+  // spelling — group keys + single-state columns under their plain names.
+  // lazy: the constructor's catalog replay reaches this before later-declared
+  // fields would otherwise initialize
+  private lazy val matrelConstraints =
+    mutable.LinkedHashMap.empty[String, Vector[(String, String)]]
+
+  /** The matrel spelling of a state frame: single-state columns renamed to
+    * their plain output names (reference matrels name the state column after
+    * the target-list column). Renames are attribute aliases, so combine-kind
+    * metadata survives.
+    */
+  private def mrelSpelling(h: CvHandle, df: DataFrame): DataFrame = {
+    val owned = h.plan.singleOwnedStates
+    df.columns.foldLeft(df) { (d, c) =>
+      owned.get(c).filterNot(df.columns.contains) match {
+        case Some(plain) => d.withColumnRenamed(c, plain)
+        case None => d
+      }
+    }
+  }
+
+  /** ALTER TABLE `<cv>`_mrel ADD CONSTRAINT name CHECK (expr) — reference
+    * matrel_constraints.sql. Enforced at combiner-write time: a merged row
+    * failing any CHECK is not written, so the group keeps its last passing
+    * state (or never materializes if brand-new) and the batch continues —
+    * violations are skips, not errors (matrel_constraints.out: count freezes
+    * at 2 under CHECK (count < 3) across four inserts). NULL check results
+    * pass, matching SQL CHECK semantics.
+    */
+  def addMatrelConstraint(name: String, conName: String, checkSql: String): Unit =
+    synchronized {
+      val h = views.getOrElse(name,
+        throw new IllegalArgumentException(s"unknown continuous view $name"))
+      require(!h.plan.append,
+        s"CHECK constraints are supported on aggregating matrels; $name is append-only")
+      // creation-time validation: the expression must analyze against the
+      // matrel schema — a bad column fails here, not at the next micro-batch
+      mrelSpelling(h, emptyState(h)).where(expr(checkSql))
+      matrelConstraints(name) =
+        matrelConstraints.getOrElse(name, Vector.empty) :+ (conName -> checkSql)
+      installConstraints(name, h)
+      appendCatalog(CatalogEntry("constraint", name, checkSql, "", "", 0, "", "",
+        conName, changes = false))
+    }
+
+  /** (Re)build the store's constraint filter from the registered CHECKs. */
+  private def installConstraints(name: String, h: CvHandle): Unit = {
+    val cons = matrelConstraints.getOrElse(name, Vector.empty)
+    if (cons.isEmpty) { h.store.constrain = None; return }
+    val keys = h.plan.stateKeys
+    h.store.constrain = Some { (cand, old) =>
+      val owned = h.plan.singleOwnedStates
+      val renames = cand.columns.toSeq.flatMap(c =>
+        owned.get(c).filterNot(cand.columns.contains).map(c -> _))
+      def toPlain(df: DataFrame) =
+        renames.foldLeft(df) { case (d, (s, p)) => d.withColumnRenamed(s, p) }
+      def toState(df: DataFrame) =
+        renames.foldLeft(df) { case (d, (s, p)) => d.withColumnRenamed(p, s) }
+      // SQL CHECK semantics: only a strictly-FALSE result violates
+      val check = cons.map { case (_, sql) => coalesce(expr(sql), lit(true)) }
+        .reduce(_ && _)
+      val candP = toPlain(cand)
+      val pass = toState(candP.where(check))
+      old match {
+        case None => pass
+        case Some(ex) =>
+          val failKeys = toState(candP.where(!check))
+            .select((keys :+ StateStore.BucketCol).map(col): _*)
+          // null-safe key match: a NULL group key still keeps its old row
+          val kept = ex.join(failKeys,
+            (keys :+ StateStore.BucketCol)
+              .map(k => ex(k) <=> failKeys(k)).reduce(_ && _), "left_semi")
+          pass.unionByName(kept)
+      }
+    }
+  }
+
   // ---- DROP (reference ExecDropContQuery path: dropping a CV cascades to
   // its matrel/osrel/seq/def relations, pipeline_query.c:552-684) ----
 
@@ -981,6 +1064,7 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
       s"cannot drop $name: continuous queries ${readers(osrel).mkString(", ")} read $osrel")
     views.remove(name)
     defSignatures.remove(name)
+    matrelConstraints.remove(name)
     readers.get(h.streamName).foreach(b => { b -= name; () })
     streams.remove(osrel)
     readers.remove(osrel)

@@ -40,6 +40,10 @@ object CvDdl {
   final case class Drop(kind: String, name: String) extends Stmt
   final case class Rename(name: String, newName: String) extends Stmt
   final case class RenameStream(name: String, newName: String) extends Stmt
+  /** ALTER TABLE `<cv>`_mrel ADD CONSTRAINT name CHECK (expr) —
+    * matrel_constraints.sql.
+    */
+  final case class AddConstraint(table: String, conName: String, check: String) extends Stmt
   final case class CreateSchema(name: String) extends Stmt
   final case class DropSchema(name: String, cascade: Boolean) extends Stmt
   final case class RenameSchema(name: String, newName: String) extends Stmt
@@ -87,6 +91,8 @@ object CvDdl {
     """(?is)\s*ALTER\s+SCHEMA\s+(\w+)\s+RENAME\s+TO\s+(\w+)\s*;?\s*""".r
   private val AlterTableRenameRe =
     """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+RENAME\s+TO\s+([\w.]+)\s*;?\s*""".r
+  private val AddConstraintRe =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*""".r
   private val DropRe =
     """(?is)\s*DROP\s+(CONTINUOUS\s+VIEW|CONTINUOUS\s+TRANSFORM|VIEW|STREAM|FOREIGN\s+TABLE)\s+([\w.]+)\s*;?\s*""".r
   private val InsertRe =
@@ -140,6 +146,8 @@ object CvDdl {
       buildQuery(name, select, Map.empty, defaultAction = "materialize")
     case AlterRenameRe(name, newName) => Rename(name, newName)
     case AlterStreamRenameRe(name, newName) => RenameStream(name, newName)
+    case AddConstraintRe(table, conName, check) =>
+      AddConstraint(table, conName, stripOuterParens(check.trim))
     case CreateSchemaRe(name) => CreateSchema(name)
     case DropSchemaRe(name, cascade) => DropSchema(name, cascade != null)
     case AlterSchemaRe(name, newName) => RenameSchema(name, newName)

@@ -45,7 +45,7 @@ final class StateStore(
     val appendOnly: Boolean = false,
     val maxAppendSegments: Int = 64) {
 
-  private val BucketCol = "__bucket"
+  private val BucketCol = StateStore.BucketCol
 
   // the store's directory; mutable only via relocate() (ALTER VIEW RENAME)
   @volatile private var _root: String = initialRoot
@@ -88,6 +88,16 @@ final class StateStore(
     * layout alone can't: every bucket holds groups from all time ranges.
     */
   @volatile var clusterBy: Seq[String] = Nil
+
+  /** Matrel CHECK-constraint hook (reference matrel_constraints.sql): maps
+    * the merged candidate state (and the pre-merge state for the same
+    * columns, when any exists) to the rows actually written. The engine
+    * installs a filter that keeps a violating group's LAST PASSING row
+    * (reference semantics: a constraint-violating combiner write is skipped,
+    * not an error) and drops violating brand-new groups. Both frames carry
+    * the update schema + bucket column.
+    */
+  @volatile var constrain: Option[(DataFrame, Option[DataFrame]) => DataFrame] = None
 
   /** Rename between internal state-column names and the user-facing names
     * matrel DML addresses (deleteWhere/updateWhere `renames` pairs).
@@ -375,19 +385,21 @@ final class StateStore(
     // the pre-merge bucket files instead of paying a snapshot job here.
     val old = if (!needOldRows) None else existingTouched.map(semiOnKeys)
 
-    val merged = existingTouched match {
+    val exBOpt = existingTouched.map(ex =>
+      ex.withColumn(BucketCol, bucketOf).select(up.columns.map(col): _*))
+    val merged0 = exBOpt match {
       case None => up
-      case Some(ex) =>
-        val exB = ex.withColumn(BucketCol, bucketOf)
+      case Some(exB) =>
         // preserve state-column metadata (combine-kind tags) across merges
         val metaByName = updates.schema.fields.map(f => f.name -> f.metadata).toMap
         val stateCols = reAgg.map { case (name, agg) =>
           agg(col(name)).as(name, metaByName(name))
         }
-        exB.select(up.columns.map(col): _*).unionByName(up)
+        exB.unionByName(up)
           .groupBy((keyCols :+ BucketCol).map(col): _*)
           .agg(stateCols.head, stateCols.tail: _*)
     }
+    val merged = constrain.map(f => f(merged0, exBOpt)).getOrElse(merged0)
 
     val version = manifest.map(_.version + 1).getOrElse(0L)
     val outDir = s"$root/v$version"
@@ -404,8 +416,13 @@ final class StateStore(
     phase(lastCombinerMs = _)(timed("merge-write")(clustered(arranged)
       .write.partitionBy(BucketCol).mode("overwrite").parquet(outDir)))
 
+    // A constraint filter can leave a touched bucket with NO output rows
+    // (its only group was brand-new and violating): the partitionBy write
+    // produced no dir for it, so it must not enter the manifest.
+    val effTouched =
+      if (constrain.isEmpty) touched else touched.intersect(writtenBuckets(outDir))
     val newBuckets = manifest.map(_.buckets).getOrElse(Map.empty) ++
-      touched.map(b => b -> s"v$version/$BucketCol=$b").toMap
+      effTouched.map(b => b -> s"v$version/$BucketCol=$b").toMap
     writeManifest(Manifest(version, newBuckets, small = false))
     // Defer deleting superseded version dirs until the NEXT mutation: the
     // returned newRows (and the caller's lazily-evaluated delta, which for
@@ -416,7 +433,8 @@ final class StateStore(
 
     // lazy: building the post-image DataFrame costs a driver-side file
     // listing — changes-disabled CVs never pay it
-    val newRows = () => semiOnKeys(readBuckets(Some(touched)).get)
+    val newRows = () =>
+      readBuckets(Some(effTouched)).map(semiOnKeys).getOrElse(updates.limit(0))
     (old, newRows, groupsTouched)
     } finally {
       // merge has run (or failed) — the cache has no later consumer either way
@@ -476,15 +494,16 @@ final class StateStore(
       // session of the Dataset heading the chain, and `updates` may come from
       // a different session than the store's (combine_table passes
       // caller-built partials).
-      val unioned = existingOpt match {
-        case Some(existing) =>
-          val exB = existing.withColumn(BucketCol, bucketOf)
-          up.unionByName(exB.select(up.columns.map(col): _*))
+      val exBOpt = existingOpt.map(existing =>
+        existing.withColumn(BucketCol, bucketOf).select(up.columns.map(col): _*))
+      val unioned = exBOpt match {
+        case Some(exB) => up.unionByName(exB)
         case None => up
       }
-      val merged = unioned
+      val merged0 = unioned
         .groupBy((keyCols :+ BucketCol).map(col): _*)
         .agg(stateCols.head, stateCols.tail: _*)
+      val merged = constrain.map(f => f(merged0, exBOpt)).getOrElse(merged0)
 
       val version = m.version + 1
       val outDir = s"$root/v$version"
@@ -497,7 +516,8 @@ final class StateStore(
         small = newBuckets.values.map(dirBytes).sum < SmallStateBytes))
       deferGcOldVersions(keep = Set(s"v$version"))
       refreshCache()
-      val newRows = () => semiOnKeys(readBuckets(Some(written)).get)
+      val newRows = () =>
+        readBuckets(Some(written)).map(semiOnKeys).getOrElse(updates.limit(0))
       (old, newRows, groupsTouched)
     } finally {
       // merge has run (or failed) — the cache has no later consumer either way
@@ -535,8 +555,10 @@ final class StateStore(
     * come from the partition dirs the write produced, the group count from
     * an observe() metric riding the same job.
     */
-  private def firstWrite(up: DataFrame): (Option[DataFrame], () => DataFrame, Long) = {
+  private def firstWrite(up0: DataFrame): (Option[DataFrame], () => DataFrame, Long) = {
     val outDir = s"$root/v0"
+    // constraint-violating rows never materialize (no prior state to keep)
+    val up = constrain.map(f => f(up0, None)).getOrElse(up0)
     val obs = org.apache.spark.sql.Observation()
     // one fused job computes partials AND writes: no separate worker phase
     lastWorkerMs = 0L
@@ -885,6 +907,11 @@ final class StateStore(
 object StateStore {
   /** Default small-state threshold (see the `SmallStateBytes` doc). */
   val DefaultSmallStateBytes: Long = 64L * 1024 * 1024
+
+  /** Hidden hash-bucket column of the state layout; frames handed to the
+    * [[StateStore!.constrain]] hook carry it.
+    */
+  val BucketCol = "__bucket"
 
   /** Hidden arrival-sequence columns of append-only stores (the reference's
     * `$pk` sequence, cont_limit.sql): order rows by (batch, row). Batch ids

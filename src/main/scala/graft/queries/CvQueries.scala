@@ -221,6 +221,34 @@ object CvQueries {
       eng.insertInto("act_stream", events.where(pmod(col("event_id"), lit(3)) === 1))
       eng.activate("v_act")
       eng.insertInto("act_stream", events.where(pmod(col("event_id"), lit(3)) === 2))
+      // schema namespaces (cont_view_namespace.sql): a qualified CV created
+      // and fed under one schema, then carried through ALTER SCHEMA RENAME —
+      // reading the renamed qualified spelling must equal the batch answer
+      // (gates qualified DDL, insert routing, rename, and the SQL rewrite)
+      // matrel CHECK constraints (matrel_constraints.sql): violating combiner
+      // writes are skipped, keeping the last passing state. Batches arrive in
+      // per-user arrival-rank order (rank 1, rank 2, then everything later),
+      // so the freeze point is deterministic: each group's state holds its
+      // first two events — exactly what the DuckDB oracle recomputes.
+      eng.createStream("cn_stream", events.schema)
+      eng.sql("""CREATE CONTINUOUS VIEW v_con WITH (changes = false) AS
+                |SELECT user_id, count(*) AS n, sum(value) AS sv
+                |FROM cn_stream GROUP BY user_id""".stripMargin)
+      eng.sql("ALTER TABLE v_con_mrel ADD CONSTRAINT con_key CHECK (user_id > 5)")
+      eng.sql("ALTER TABLE v_con_mrel ADD CONSTRAINT con_cap CHECK (n < 3)")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("event_id")
+      val withRn = events.withColumn("__rn", row_number().over(w))
+      Seq(col("__rn") === 1, col("__rn") === 2, col("__rn") >= 3).foreach { p =>
+        eng.insertInto("cn_stream", withRn.where(p).drop("__rn"))
+      }
+      eng.sql("CREATE SCHEMA ns1")
+      eng.createStream("ns1.ev", events.schema)
+      eng.sql("""CREATE CONTINUOUS VIEW ns1.by_type WITH (changes = false) AS
+                |SELECT event_type, count(*) AS n, sum(value) AS sv
+                |FROM ns1.ev GROUP BY event_type""".stripMargin)
+      eng.insertInto("ns1.ev", events)
+      eng.sql("ALTER SCHEMA ns1 RENAME TO ns2")
       eng
     })
   }
@@ -306,6 +334,36 @@ object CvQueries {
         lifecycleFor(s, dir).overlay("v_async")
           .select(col("event_type"), col("n"), round(col("sv"), 2).as("sv"))
           .orderBy("event_type")
+    },
+
+    // matrel_constraints.sql: CHECK-violating combiner writes are skipped —
+    // each surviving group holds the state of its first two events (the
+    // third increment always violates n < 3), keys <= 5 never materialize.
+    QDef(
+      "q_cv_constraint",
+      """SELECT user_id, least(count(*), 2) AS n,
+        |       round(sum(value) FILTER (WHERE rn <= 2), 2) AS sv
+        |FROM (SELECT user_id, value,
+        |             row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+        |      FROM events)
+        |WHERE user_id > 5
+        |GROUP BY user_id ORDER BY user_id""".stripMargin) {
+      (s, dir) =>
+        lifecycleFor(s, dir).sql(
+          """SELECT user_id, n, round(sv, 2) AS sv
+            |FROM v_con ORDER BY user_id""".stripMargin)
+    },
+
+    // cont_view_namespace.sql: schema-qualified CV fed under its original
+    // schema and read after ALTER SCHEMA RENAME re-keyed every object.
+    QDef(
+      "q_cv_schema",
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sv
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) {
+      (s, dir) =>
+        lifecycleFor(s, dir).sql(
+          """SELECT event_type, n, round(sv, 2) AS sv
+            |FROM ns2.by_type ORDER BY event_type""".stripMargin)
     },
 
     // cont_activate.sql: batches arriving while deactivated never land.

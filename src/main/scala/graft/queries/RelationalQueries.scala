@@ -274,7 +274,8 @@ object RelationalQueries {
         val e = Tables.events(s, dir)
         val c = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
         val n = Tables.nation(s, dir)
-        e.join(broadcast(c), e("user_id") === c("c_custkey"))
+        // customer scales with SF: let AQE choose the join strategy
+        e.join(c, e("user_id") === c("c_custkey"))
           .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
           .groupBy(n("n_name"))
           .agg(count(lit(1)).as("n_events"), round(sum(e("value")), 2).as("total"))
@@ -297,8 +298,11 @@ object RelationalQueries {
         val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
         val c = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
         val n = Tables.nation(s, dir).select("n_nationkey", "n_name")
+        // customer grows with SF — no broadcast hint; AQE's size check picks
+        // broadcast at bench SFs and a shuffle join beyond its threshold.
+        // nation is a fixed 25 rows, always broadcast-safe.
         l.join(o, l("l_orderkey") === o("o_orderkey"))
-          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
           .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
           .groupBy(n("n_name"))
           .agg(
