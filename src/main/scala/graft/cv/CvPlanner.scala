@@ -82,18 +82,37 @@ object CvPlanner {
     ("""(?is)\bWHERE\s+(\w+)\s*>\s*clock_timestamp\s*\(\s*\)\s*-\s*""" +
       """interval\s*'([^']+)'\s*(AND\b)?""").r
 
-  def desugarSwPredicate(selectSql: String, options: CvOptions): (String, CvOptions) =
-    SwPredRe.findFirstMatchIn(selectSql) match {
+  def desugarSwPredicate(selectSql: String, options: CvOptions): (String, CvOptions) = {
+    val (stripped, opts) = SwPredRe.findFirstMatchIn(selectSql) match {
       case Some(m) if options.sw.isEmpty =>
-        val stripped = selectSql.substring(0, m.start) +
+        // an OR-combined window predicate is not a top-level conjunct:
+        // stripping it would silently change which rows the CV admits
+        if (m.group(3) == null &&
+            """(?is)^\s*OR\b""".r.findFirstIn(selectSql.substring(m.end)).isDefined)
+          throw new IllegalArgumentException(
+            "clock_timestamp() may only appear as a top-level WHERE conjunct " +
+              "(AND-combined), not under OR")
+        val s = selectSql.substring(0, m.start) +
           (if (m.group(3) != null) " WHERE " else " ") +
           selectSql.substring(m.end)
-        (stripped, options.copy(sw = Some(m.group(2)), swColumn = m.group(1)))
+        (s, options.copy(sw = Some(m.group(2)), swColumn = m.group(1)))
       case Some(_) =>
         throw new IllegalArgumentException(
           "cannot combine WITH (sw = …) with an explicit clock_timestamp() window predicate")
       case None => (selectSql, options)
     }
+    // Any clock_timestamp() surviving the desugar is a malformed window
+    // predicate — NOT/OR-wrapped, a second occurrence, or a non-leading
+    // position. Reject it as a domain error here (analyze_cont_view.sql:
+    // "clock_timestamp() may only appear as a top-level conjunction
+    // predicate" / "… may only appear once") instead of letting Catalyst
+    // fail with an opaque unknown-function message.
+    if ("""(?i)clock_timestamp\s*\(""".r.findFirstIn(stripped).isDefined)
+      throw new IllegalArgumentException(
+        "clock_timestamp() may only appear once, as a top-level WHERE " +
+          "conjunct of the form <ts> > clock_timestamp() - interval '…'")
+    (stripped, opts)
+  }
 
   final case class SwSpec(windowSeconds: Long, stepSeconds: Long, tsColumn: String) {
     val bucketCol = "__sw_bucket"
@@ -315,6 +334,7 @@ object CvPlanner {
     */
   def planTransform(spark: SparkSession, name: String, selectSql: String,
       streamLeafIds: Seq[Seq[org.apache.spark.sql.catalyst.expressions.ExprId]] = Nil): CtPlan = {
+    rejectWildcards(spark, selectSql)
     val analyzed = stripViews(GraftBridge.analyzed(spark.sql(selectSql)))
     validate(analyzed)
     analyzed.foreach {
@@ -364,9 +384,37 @@ object CvPlanner {
   /** Plan a CV from its SELECT text. The stream must already be registered
     * as a temp view with the stream's schema (empty LocalRelation).
     */
+  /** SELECT * (and t.*) is rejected in continuous queries before analysis
+    * (analyze_cont_view.sql:42-48: "can't select \"*\" in continuous
+    * queries") — Spark would silently expand the star against the stream
+    * registration, freezing whichever columns existed at creation; the
+    * reference makes the user state them. count(*) is untouched: its star
+    * sits under a function, not in the select list.
+    */
+  private def rejectWildcards(spark: SparkSession, selectSql: String): Unit = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAlias, UnresolvedStar}
+    def spell(s: UnresolvedStar): String =
+      s.target.map(_.mkString(".") + ".*").getOrElse("*")
+    def check(exprs: Seq[Expression]): Unit = exprs.foreach {
+      case s: UnresolvedStar => throw new IllegalArgumentException(
+        s"""cannot select "${spell(s)}" in continuous queries; """ +
+          "explicitly state the columns to select")
+      case UnresolvedAlias(s: UnresolvedStar, _) => throw new IllegalArgumentException(
+        s"""cannot select "${spell(s)}" in continuous queries; """ +
+          "explicitly state the columns to select")
+      case _ => ()
+    }
+    spark.sessionState.sqlParser.parsePlan(selectSql).foreach {
+      case p: Project => check(p.projectList)
+      case a: Aggregate => check(a.aggregateExpressions)
+      case _ => ()
+    }
+  }
+
   def plan(spark: SparkSession, name: String, selectSql: String,
       options: CvOptions = CvOptions(),
       streamLeafIds: Seq[Seq[org.apache.spark.sql.catalyst.expressions.ExprId]] = Nil): CvPlan = {
+    rejectWildcards(spark, selectSql)
     val analyzed = stripViews(GraftBridge.analyzed(spark.sql(selectSql)))
     validate(analyzed)
 
@@ -715,6 +763,12 @@ object CvPlanner {
       case _ => ()
     }
 
+  private def namedOutputs(p: LogicalPlan): Seq[Expression] = p match {
+    case pr: Project => pr.projectList
+    case a: Aggregate => a.aggregateExpressions
+    case _ => Nil
+  }
+
   /** The restriction wall (analyzer.c:1183-1344). */
   private def validate(plan: LogicalPlan): Unit = {
     plan.foreach {
@@ -737,7 +791,7 @@ object CvPlanner {
       // .sql: "arrival_timestamp is reserved") — aliasing something ELSE to
       // the name would shadow it; the identity alias is allowed, like the
       // reference
-      case p: Project if p.projectList.exists {
+      case p @ (_: Project | _: Aggregate) if namedOutputs(p).exists {
           case a: org.apache.spark.sql.catalyst.expressions.Alias
               if a.name.equalsIgnoreCase("arrival_timestamp") =>
             a.child match {
