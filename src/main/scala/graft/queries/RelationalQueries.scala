@@ -177,10 +177,32 @@ object RelationalQueries {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) {
       (s, dir) =>
         // Output as a joined string: the gate's row-sort chokes on list cells.
+        // Runs the real O(k) BottomKAgg (not collect_list+slice) so the oracle
+        // proves the bounded partial→shuffle→merge split at group sizes ≫ k.
         Tables.events(s, dir)
           .groupBy("event_type")
           .agg(concat_ws(",",
-            slice(sort_array(collect_list(col("event_id"))), 1, 5).cast("array<string>"))
+            graft.functions.GraftFunctions.bottom_k(col("event_id"), 5)
+              .cast("array<string>"))
+            .as("first5"))
+          .orderBy("event_type")
+    },
+
+    // first_values combine(): re-aggregating STORED ≤k partial states (the
+    // two-level spelling a chained CV uses) must equal one flat aggregation.
+    QDef(
+      "q_first_values_combine",
+      """SELECT event_type,
+        |       array_to_string((list_sort(list(event_id)))[1:5], ',') AS first5
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) {
+      (s, dir) =>
+        import graft.functions.GraftFunctions.{bottom_k, bottom_k_merge}
+        val partials = Tables.events(s, dir)
+          .groupBy(col("event_type"), pmod(col("event_id"), lit(7)).as("shard"))
+          .agg(bottom_k(col("event_id"), 5).as("part"))
+        partials
+          .groupBy("event_type")
+          .agg(concat_ws(",", bottom_k_merge(col("part"), 5).cast("array<string>"))
             .as("first5"))
           .orderBy("event_type")
     },

@@ -11,17 +11,23 @@ object Tables {
   def apply(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark only reads as a
-    * raw long (spark.sql.legacy.parquet.nanosAsLong=true, set by every
-    * session builder in graft). Normalize to TimestampType (µs). The
-    * testdata generator emits µs-resolution values, so `ns div 1000` is
-    * lossless here and matches DuckDB's ns-native read.
+  /** `events.ts` arrives as naive (isAdjustedToUTC=false) parquet
+    * timestamps — µs in the current testdata, TIMESTAMP(NANOS) in earlier
+    * drops. Spark reads the former as TIMESTAMP_NTZ and (with
+    * spark.sql.legacy.parquet.nanosAsLong=true, set by every session
+    * builder in graft) the latter as a raw long. Normalize both to
+    * TimestampType: sessions run with UTC timezone, so the NTZ→TZ cast is
+    * wall-clock-preserving and matches DuckDB's naive read, and `ns div
+    * 1000` is lossless because the generator emits µs-resolution values.
     */
   def events(s: SparkSession, dir: String): DataFrame = {
     val raw = apply(s, dir, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }

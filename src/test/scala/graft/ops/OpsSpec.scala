@@ -80,6 +80,30 @@ class OpsSpec extends AnyFunSuite {
     assert(expected.exists { case (a, b) => b == a + 100000L })
   }
 
+  test("simhash skew guard: flooded degenerate bucket excluded, non-degenerate recall kept") {
+    // A crawl pathology: thousands of empty docs share one fingerprint, so all
+    // four of their chunk buckets blow past any cap. The guard's contract is
+    // that capping those buckets must NOT lose distance-≤3 pairs among the
+    // real (non-degenerate) docs — they pair through their other chunks.
+    val degenerate = (0 until 3000).map(i => (500000L + i, "")).toDF("doc_id", "text")
+    val flooded = corpus.unionByName(degenerate)
+
+    val fp = corpus.select(col("doc_id"), SimHash.simhash64(TextOps.tokens(col("text"))).as("fp"))
+    val l = fp.select(col("doc_id").as("id_a"), col("fp").as("fa"))
+    val r = fp.select(col("doc_id").as("id_b"), col("fp").as("fb"))
+    val expectedReal = l.join(r, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), bit_count(col("fa").bitwiseXOR(col("fb"))).as("h"))
+      .where(col("h") <= 3)
+      .collect().map(row => (row.getLong(0), row.getLong(1))).toSet
+
+    val got = SimHash.nearDuplicates(flooded, "doc_id", "text", 3, maxBucketSize = 1000)
+      .collect().map(row => (row.getLong(0), row.getLong(1))).toSet
+    assert(got.forall { case (a, b) => a < 500000L && b < 500000L },
+      "capped degenerate bucket must produce no pairs")
+    assert(got == expectedReal,
+      s"guard lost ${(expectedReal -- got).size} real pair(s), invented ${(got -- expectedReal).size}")
+  }
+
   test("ann lsh recall vs brute force on testdata embeddings") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val exact = graft.queries.SimilarityQueries.bruteForceKnn(
