@@ -79,6 +79,9 @@ class PlanShapeSpec extends AnyFunSuite {
     "q_cv_transform_chain" -> 1, "q_date_round" -> 1, "q_dedup_exact" -> 2,
     "q_dist_quantiles" -> 2, "q_distinct" -> 2, "q_doc_stats" -> 3,
     "q_embedding_stats" -> 2, "q_fingerprint" -> 0, "q_first_values" -> 2,
+    // q_first_values_combine: shard-grouped partials, re-group on event_type,
+    // final sort — two agg shuffles + one range partition
+    "q_first_values_combine" -> 3,
     "q_freq_users" -> 2, "q_hll_types_per_user" -> 2, "q_hll_union_rollup" -> 2,
     "q_hll_users" -> 2, "q_hypothetical_rank" -> 2, "q_json_agg" -> 2,
     "q_json_object_agg" -> 2, "q_json_int_sum" -> 2,
