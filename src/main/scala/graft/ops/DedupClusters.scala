@@ -34,12 +34,21 @@ object DedupClusters {
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxRounds: Int = 25): DataFrame = {
+    // The convergence witness (sum of labels — monotone decreasing) rides
+    // the SAME job that materializes each round's checkpoint, via observe():
+    // a separate agg would add one full sequential job per round, doubling
+    // the driver-sync count of the loop.
+    def checkpointWithSum(df: DataFrame, name: String): (DataFrame, Long) = {
+      val obs = org.apache.spark.sql.Observation(name)
+      val out = df.observe(obs, sum("comp").as("s")).localCheckpoint(true)
+      (out, obs.get("s").asInstanceOf[Long])
+    }
     val fwd = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
     val edges = fwd.unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("comp")).localCheckpoint(true)
-    var prevSum = labels.agg(sum("comp")).collect()(0).getLong(0)
+    var (labels, prevSum) = checkpointWithSum(
+      edges.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("comp")), "cc_init")
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
@@ -50,10 +59,10 @@ object DedupClusters {
       // pointer jump: a label IS a vertex id, so follow it one level —
       // halves remaining path length every round
       val lab2 = merged.select(col("id").as("cid"), col("comp").as("ccomp"))
-      val next = merged.join(lab2, merged("comp") === lab2("cid"), "left")
-        .select(merged("id"), coalesce(lab2("ccomp"), merged("comp")).as("comp"))
-        .localCheckpoint(true)
-      val s = next.agg(sum("comp")).collect()(0).getLong(0)
+      val (next, s) = checkpointWithSum(
+        merged.join(lab2, merged("comp") === lab2("cid"), "left")
+          .select(merged("id"), coalesce(lab2("ccomp"), merged("comp")).as("comp")),
+        s"cc_round_$rounds")
       labels.unpersist()
       labels = next
       converged = s == prevSum

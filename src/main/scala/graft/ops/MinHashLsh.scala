@@ -186,13 +186,6 @@ object MinHashLsh {
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
-      .persist()
-    // materialize the (small, post-distinct) pair set and release the
-    // banding explosion — numBands rows per doc, the dominant cached
-    // footprint — instead of leaking it for the session's lifetime; the
-    // verify joins below need only `rawPairs` and `sig`
-    rawPairs.count()
-    banded.unpersist()
 
     val agree = sigAgree(col("sig_a"), col("sig_b"))
     val joined = exactThreshold match {
@@ -216,16 +209,20 @@ object MinHashLsh {
               .otherwise(lit(-1.0)).as("jaccard"))
           .where(col("jaccard") >= t)
     }
-    // Materialize the (small — verified near-dup pairs only) result and
-    // release EVERY persisted intermediate before returning: `sig` carries
-    // the shingle arrays (text-sized) and a df.persist() entry lives in the
-    // session CacheManager forever, so returning a lazy frame over it leaks
-    // the dominant footprint once per call. localCheckpoint blocks are
-    // RDD-level — cleaned by the ContextCleaner when the caller drops the
-    // frame — so steady-state storage cost is one pair set, not N corpora.
+    // ONE materialization for the whole pipeline: the eager localCheckpoint
+    // runs the broadcast job (hot buckets) plus the main job, and both
+    // persists (`sig`: read by banding + both verify joins; `banded`: read
+    // by the hot count + both survivor sides) pay off inside that single
+    // DAG. An extra count() barrier between candidate generation and verify
+    // only adds a full sequential job — the checkpoint is already the
+    // barrier that lets every intermediate be released. Unpersisting after
+    // it also fixes the session-lifetime leak: a df.persist entry lives in
+    // the CacheManager forever, while localCheckpoint blocks are RDD-level
+    // and cleaned by the ContextCleaner when the caller drops the frame —
+    // steady-state storage cost is one pair set, not N corpora.
     val out = joined.localCheckpoint(true)
     sig.unpersist()
-    rawPairs.unpersist()
+    banded.unpersist()
     out
   }
 
