@@ -21,6 +21,14 @@ object Bench {
         (f.lift(7).getOrElse(0L), f.sum)
       } catch { case _: Throwable => (0L, 0L) }
     val (steal0, total0) = cpuTicks()
+    def loadavgNow(): String =
+      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .trim.split(" ").take(3).mkString(" ")
+      catch { case _: Throwable => "" }
+    // loadavg BEFORE the run: a machine already busy at start explains a
+    // uniformly slow artifact; the end-of-run value alone can't distinguish
+    // "we caused the load" from "we ran under it".
+    val loadavgBefore = loadavgNow()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -56,6 +64,11 @@ object Bench {
     val small = spark.range(100).select(col("id").as("x"), pmod(col("id"), lit(7)).as("r"))
     small.join(broadcast(small.select(col("x").as("y"))), col("x") === col("y"))
       .withColumn("rk", row_number().over(w)).agg(sum("rk")).collect()
+    // The CV replay + warm-up above leaves multi-GB of garbage (persisted
+    // batches, shuffle buffers); collecting it here bills the pause to the
+    // untimed phase instead of whichever query GC lands on first.
+    System.gc()
+    Thread.sleep(500)
     // Min-of-N consecutive runs per query: a single-shot timing turns any
     // transient co-tenant load into a phantom regression, while the minimum
     // is robust to contention and still honest (no caching between runs —
@@ -72,12 +85,15 @@ object Bench {
       (name, fn, (1 to repeats).map(_ => timeOnce(fn)).min)
     }
     // Outlier defense: co-tenant contention can poison a whole min-of-N
-    // window (observed 3x swings on identical code). Any query whose
-    // minimum still looks heavy gets one more shot AFTER the full sweep —
-    // temporally decorrelated from whatever squeezed its original window.
-    // Bounded extra cost: only the already-slow tail re-runs.
+    // window (observed 3x swings on identical code — r7's q_cv_* cluster
+    // read 2-16x high while a standalone profile of the same session shape
+    // measured 0.04-0.1 s). Any query whose minimum still looks heavy gets
+    // one more shot AFTER the full sweep — temporally decorrelated from
+    // whatever squeezed its original window. Bounded extra cost: only the
+    // already-slow tail re-runs, and the 0.35 s threshold catches the CV
+    // overlay reads (steady-state ≤0.15 s) that 1.0 s let through.
     val results = firstPass.map { case (name, fn, min0) =>
-      name -> (if (min0 > 1.0) math.min(min0, timeOnce(fn)) else min0)
+      name -> (if (min0 > 0.35) math.min(min0, timeOnce(fn)) else min0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -138,14 +154,75 @@ object Bench {
       eng.dropContView("v_rp"); eng.dropStream("rp_stream")
       sec
     }
-    val loadavg =
-      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
-        .trim.split(" ").take(3).mkString(" ")
-      catch { case _: Throwable => "" }
+    // Sustained-ingest soak: the large-state probe above times ONE pass of
+    // the events table; this replays it continuously through the async path
+    // for SPARK_GRAFT_SOAK_SEC wall seconds (default 45, 0 disables) at
+    // forced-large state, with a periodic TTL reap riding the same engine —
+    // the steady-state shape of a production deployment. Reported:
+    // sustained ev/s over the whole window (enqueue start → flush drained),
+    // first-half vs second-half throughput ratio (drift: state growth or
+    // backlog showing up as a slowdown), and mean reap latency under load.
+    val soakSec = sys.env.getOrElse("SPARK_GRAFT_SOAK_SEC", "45").toDouble
+    val (soakEvPerSec, soakDrift, soakReapMs, soakBatches) = if (soakSec <= 0) {
+      (0.0, 0.0, 0.0, 0L)
+    } else {
+      val root = java.nio.file.Files.createTempDirectory("graft_soakbench").toString
+      val eng = new graft.cv.ContViewEngine(spark, root, smallStateBytes = 0L)
+      val events = graft.queries.Tables.events(spark, sfDir)
+      eng.createStream("sk_stream", events.schema)
+      eng.createContView("v_sk",
+        """SELECT user_id, count(*) AS n, sum(value) AS sv, avg(value) AS av
+          |FROM sk_stream GROUP BY user_id""".stripMargin,
+        emitChanges = false)
+      // day-bucketed TTL CV on the same stream: the reaper has real (mostly
+      // unexpired) state to prune-scan while ingest holds the engine busy
+      eng.createContView("v_sk_ttl",
+        """SELECT date_round(ts, '1 day') AS d, count(*) AS n
+          |FROM sk_stream GROUP BY date_round(ts, '1 day')""".stripMargin,
+        graft.cv.CvPlanner.CvOptions(ttl = Some("365000 days"), ttlColumn = Some("d")),
+        emitChanges = false)
+      val chunks = 8
+      val chunkDfs = (0 until chunks).map { i =>
+        events.where(pmod(col("event_id"), lit(chunks)) === i).persist()
+      }
+      val chunkSizes = chunkDfs.map(_.count())
+      val reapNanos = scala.collection.mutable.ArrayBuffer.empty[Long]
+      def soakHalf(deadlineNanos: Long, startBatch: Long): (Long, Long) = {
+        var sent = 0L
+        var i = startBatch
+        while (System.nanoTime() < deadlineNanos) {
+          val c = (i % chunks).toInt
+          eng.insertIntoAsync("sk_stream", chunkDfs(c))
+          sent += chunkSizes(c)
+          if (i % 4 == 3) {
+            val r0 = System.nanoTime()
+            eng.expireTtl("v_sk_ttl")
+            reapNanos += System.nanoTime() - r0
+          }
+          i += 1
+        }
+        eng.flush() // drain: throughput is events-materialized, not enqueued
+        (sent, i)
+      }
+      val t0 = System.nanoTime()
+      val halfNanos = (soakSec * 0.5e9).toLong
+      val (sent1, b1) = soakHalf(t0 + halfNanos, 0L)
+      val t1 = System.nanoTime()
+      val (sent2, b2) = soakHalf(t0 + 2 * halfNanos, b1)
+      val t2 = System.nanoTime()
+      chunkDfs.foreach(_.unpersist())
+      eng.dropContView("v_sk"); eng.dropContView("v_sk_ttl"); eng.dropStream("sk_stream")
+      val ev1 = sent1 / ((t1 - t0) / 1e9)
+      val ev2 = sent2 / ((t2 - t1) / 1e9)
+      val evAll = (sent1 + sent2) / ((t2 - t0) / 1e9)
+      val reapMs = if (reapNanos.isEmpty) 0.0 else reapNanos.sum / 1e6 / reapNanos.size
+      (evAll, if (ev1 > 0) ev2 / ev1 else 0.0, reapMs, b2)
+    }
+    val loadavg = loadavgNow()
     val (steal1, total1) = cpuTicks()
     val stealPct =
       if (total1 > total0) 100.0 * (steal1 - steal0) / (total1 - total0) else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":$repeats,"cv_large_state_sec":$largeStateSec,"cv_ingest_events_per_sec":${ingestEventsPerSec.round},"cv_reap_noop_sec":$reapNoopSec,"loadavg":"$loadavg","cpu_steal_pct":${math.round(stealPct * 100) / 100.0}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":$repeats,"cv_large_state_sec":$largeStateSec,"cv_ingest_events_per_sec":${ingestEventsPerSec.round},"cv_reap_noop_sec":$reapNoopSec,"cv_soak_sec":$soakSec,"cv_soak_events_per_sec":${soakEvPerSec.round},"cv_soak_drift":${math.round(soakDrift * 1000) / 1000.0},"cv_soak_reap_ms":${math.round(soakReapMs * 100) / 100.0},"cv_soak_batches":$soakBatches,"loadavg_before":"$loadavgBefore","loadavg":"$loadavg","cpu_steal_pct":${math.round(stealPct * 100) / 100.0}}""")
     spark.stop()
   }
 }
