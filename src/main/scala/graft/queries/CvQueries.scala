@@ -253,6 +253,38 @@ object CvQueries {
     })
   }
 
+  /** Third memoized engine: checkpoint restart. One engine instance creates
+    * a schema-qualified CV and ingests the even half of the events, then is
+    * abandoned mid-life; a FRESH instance on the same root replays the
+    * persisted catalog (schema entry, stream, CV definition) plus the
+    * on-disk matrel state and ingests the odd half. Reading the overlay
+    * from the second instance must equal the single-shot batch answer —
+    * an end-to-end DuckDB-oracle gate on the replay path (previously
+    * spec-only), including sketch (HLL) state surviving the restart.
+    */
+  private val restartEngines =
+    scala.collection.mutable.Map.empty[(SparkSession, String), ContViewEngine]
+
+  private def restartFor(s: SparkSession, dir: String): ContViewEngine = synchronized {
+    restartEngines.getOrElseUpdate((s, dir), {
+      val root = java.nio.file.Files.createTempDirectory("graft_cvrs").toString
+      val events = Tables.events(s, dir)
+      val eng1 = new ContViewEngine(s, root)
+      eng1.sql("CREATE SCHEMA rs1")
+      eng1.createStream("rs1.ev", events.schema)
+      eng1.sql("""CREATE CONTINUOUS VIEW rs1.agg WITH (changes = false) AS
+                |SELECT event_type, count(*) AS n, sum(value) AS sv,
+                |       avg(value) AS av, count(DISTINCT user_id) AS nd
+                |FROM rs1.ev GROUP BY event_type""".stripMargin)
+      eng1.insertInto("rs1.ev", events.where(pmod(col("event_id"), lit(2)) === 0))
+      // "crash": eng1 is dropped on the floor with state half-built; the
+      // replacement engine must pick up everything from root alone
+      val eng2 = new ContViewEngine(s, root)
+      eng2.insertInto("rs1.ev", events.where(pmod(col("event_id"), lit(2)) === 1))
+      eng2
+    })
+  }
+
   /** Pre-build (or just touch) the engines for a (session, sfDir) pair.
     * The bench calls this from its untimed warm-up on a background thread:
     * in a real deployment the CVs are maintained continuously while ad-hoc
@@ -260,7 +292,7 @@ object CvQueries {
     * of being billed to whichever CV query happens to run first.
     */
   def warm(s: SparkSession, dir: String): Unit = {
-    engineFor(s, dir); lifecycleFor(s, dir); ()
+    engineFor(s, dir); lifecycleFor(s, dir); restartFor(s, dir); ()
   }
 
   val all: Seq[QDef] = Seq(
@@ -352,6 +384,20 @@ object CvQueries {
         lifecycleFor(s, dir).sql(
           """SELECT user_id, n, round(sv, 2) AS sv
             |FROM v_con ORDER BY user_id""".stripMargin)
+    },
+
+    // Checkpoint restart (test_crash_recovery.py / catalog replay): half the
+    // events ingested by an abandoned engine instance, the rest by a fresh
+    // replay of the same root — incremental-across-restart equals batch.
+    QDef(
+      "q_cv_restart",
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sv,
+        |       round(avg(value), 6) AS av, count(DISTINCT user_id) AS nd
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) {
+      (s, dir) =>
+        restartFor(s, dir).sql(
+          """SELECT event_type, n, round(sv, 2) AS sv, round(av, 6) AS av, nd
+            |FROM rs1.agg ORDER BY event_type""".stripMargin)
     },
 
     // cont_view_namespace.sql: schema-qualified CV fed under its original
