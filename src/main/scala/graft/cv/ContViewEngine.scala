@@ -344,6 +344,14 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
       else renameContView(name, newName)
     case CvDdl.RenameStream(name, newName) =>
       renameStream(normalizeName(name, "stream"), newName)
+    case CvDdl.AlterViewModify(name0, _) =>
+      // commands.c:382-389: AlterTableStmt-encoded changes (column defaults)
+      // are refused on live CVs; on a missing relation the resolver's error
+      // wins, matching cont_alter.sql:7's post-rename "does not exist"
+      val name = normalizeName(name0, "continuous view")
+      if (views.contains(name) || transforms.contains(name))
+        throw new IllegalArgumentException("continuous views cannot be modified")
+      throw new IllegalArgumentException(s"relation \"$name0\" does not exist")
     case CvDdl.AddConstraint(table, conName, check) =>
       addMatrelConstraint(mrelTarget("ALTER TABLE", table), conName, check)
     case CvDdl.CreateSchema(name) => createSchema(name)

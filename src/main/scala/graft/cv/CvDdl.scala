@@ -40,6 +40,14 @@ object CvDdl {
   final case class Drop(kind: String, name: String) extends Stmt
   final case class Rename(name: String, newName: String) extends Stmt
   final case class RenameStream(name: String, newName: String) extends Stmt
+  /** ALTER VIEW cv ALTER [COLUMN] c SET/DROP DEFAULT … — an AlterTableStmt-
+    * encoded view modification; always rejected for continuous views
+    * (cont_alter.sql:7, commands.c:382-389 "continuous views cannot be
+    * modified"). Parsed (not "unrecognized DDL") so the error matches the
+    * reference's domain message, or PG's missing-relation error when the
+    * target doesn't exist.
+    */
+  final case class AlterViewModify(name: String, action: String) extends Stmt
   /** ALTER TABLE `<cv>`_mrel ADD CONSTRAINT name CHECK (expr) —
     * matrel_constraints.sql.
     */
@@ -84,6 +92,10 @@ object CvDdl {
     """(?is)\s*ALTER\s+(?:CONTINUOUS\s+)?VIEW\s+([\w.]+)\s+RENAME\s+TO\s+([\w.]+)\s*;?\s*""".r
   private val AlterStreamRenameRe =
     """(?is)\s*ALTER\s+(?:STREAM|FOREIGN\s+TABLE)\s+([\w.]+)\s+RENAME\s+TO\s+([\w.]+)\s*;?\s*""".r
+  // narrow on purpose: ALTER VIEW … RENAME / SET SCHEMA are legal on CVs and
+  // handled elsewhere; only column-default changes take this (rejecting) path
+  private val AlterViewModifyRe =
+    """(?is)\s*ALTER\s+(?:CONTINUOUS\s+)?VIEW\s+([\w.]+)\s+(ALTER\s+(?:COLUMN\s+)?\w+\s+(?:SET|DROP)\s+DEFAULT\b[^;]*)\s*;?\s*""".r
   private val CreateSchemaRe = """(?is)\s*CREATE\s+SCHEMA\s+(\w+)\s*;?\s*""".r
   private val DropSchemaRe =
     """(?is)\s*DROP\s+SCHEMA\s+(\w+)\s*(CASCADE)?\s*;?\s*""".r
@@ -146,6 +158,7 @@ object CvDdl {
       buildQuery(name, select, Map.empty, defaultAction = "materialize")
     case AlterRenameRe(name, newName) => Rename(name, newName)
     case AlterStreamRenameRe(name, newName) => RenameStream(name, newName)
+    case AlterViewModifyRe(name, action) => AlterViewModify(name, action.trim)
     case AddConstraintRe(table, conName, check) =>
       AddConstraint(table, conName, stripOuterParens(check.trim))
     case CreateSchemaRe(name) => CreateSchema(name)

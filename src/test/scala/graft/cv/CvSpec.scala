@@ -1528,6 +1528,18 @@ class CvSpec extends AnyFunSuite {
     assert(eng2.overlay("v_lol").collect().map(_.getLong(1)).sum == 200L)
     eng2.insertInto("rn_s", mkBatch(allRows.slice(200, 250)))
     assert(eng2.overlay("v_lol").collect().map(_.getLong(1)).sum == 250L)
+    // cont_alter.sql:7 (commands.c:382-389): AlterTableStmt-encoded view
+    // changes are refused on a live CV with the reference's domain message…
+    val m = intercept[IllegalArgumentException] {
+      eng2.sql("ALTER VIEW v_lol ALTER COLUMN n SET DEFAULT 10")
+    }
+    assert(m.getMessage.contains("continuous views cannot be modified"))
+    // …and with PG's missing-relation error when the target is gone (the
+    // regress script aims at the pre-rename name)
+    val m2 = intercept[IllegalArgumentException] {
+      eng2.sql("ALTER VIEW v_rn ALTER COLUMN n SET DEFAULT 10")
+    }
+    assert(m2.getMessage.contains("does not exist"))
   }
 
   test("streams cannot be SELECTed directly (typed_streams.sql:6-7)") {
