@@ -50,6 +50,49 @@ object SimHash {
   def simhash64(tokens: Column): Column =
     GraftBridge.column(SimHash64(GraftBridge.expression(tokens)))
 
+  /** simhash_block_keys(fp) → array<long> of banded bucket keys under the
+    * block-permutation scheme (Manku/Jain/Sarma, WWW'07 §3: split the
+    * fingerprint into `blocks` bit-blocks; a pair within Hamming distance d
+    * leaves ≥ blocks-d blocks untouched, so keying every (blocks-d)-subset
+    * guarantees ≥1 exact key agreement). blocks=4, d=3 degenerates to the
+    * classic 4×16-bit chunk banding (C(4,1)=4 single-block keys); blocks=6,
+    * d=3 yields C(6,3)=20 keys of ~33 bits — 2^17× more buckets, which is
+    * what keeps bucket occupancy (and the skew-cap's recall cost) flat when
+    * the corpus outgrows 65,536-way chunk buckets. The combination index is
+    * folded into the key's high bits so one long identifies (table, bucket).
+    */
+  case class SimHashBlockKeys(child: Expression, blocks: Int, maxDist: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def prettyName: String = "simhash_block_keys"
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    private val keep = blocks - maxDist // blocks per key
+    // block i covers bits [i*64/blocks, (i+1)*64/blocks)
+    private val starts = (0 to blocks).map(i => i * 64 / blocks)
+    private val combos: Array[Array[Int]] =
+      (0 until blocks).combinations(keep).map(_.toArray).toArray
+    override def nullSafeEval(v: Any): Any = {
+      val fp = v.asInstanceOf[Long]
+      val out = new Array[Any](combos.length)
+      var c = 0
+      while (c < combos.length) {
+        val combo = combos(c)
+        var bits = 0L
+        var j = 0
+        while (j < combo.length) {
+          val b = combo(j)
+          val width = starts(b + 1) - starts(b)
+          bits = (bits << width) | ((fp >>> starts(b)) & ((1L << width) - 1L))
+          j += 1
+        }
+        out(c) = (c.toLong << 58) | bits
+        c += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): SimHashBlockKeys =
+      copy(child = c)
+  }
+
   /** Pairs with Hamming distance ≤ maxDist (requires maxDist ≤ 3 for the
     * 4-chunk pigeonhole to guarantee recall 1.0).
     *
@@ -64,40 +107,56 @@ object SimHash {
     * through their other chunks unless oversized in all four.
     */
   def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
-      maxDist: Int = 3, maxBucketSize: Int = Int.MaxValue): DataFrame = {
-    require(maxDist <= 3, "4-chunk banding guarantees recall only for distance ≤ 3")
-    val fp = df.select(col(idCol).as("id"),
-      simhash64(TextOps.tokens(col(textCol))).as("fp"))
+      maxDist: Int = 3, maxBucketSize: Int = Int.MaxValue, blocks: Int = 4): DataFrame =
+    nearDuplicatesFromFingerprints(
+      df.select(col(idCol).as("id"),
+        simhash64(TextOps.tokens(col(textCol))).as("fp")),
+      maxDist, maxBucketSize, blocks)
+
+  /** Near-dup pairs over a precomputed `(id, fp)` fingerprint frame.
+    * `blocks` picks the banding density: 4 (default) is the classic
+    * 16-bit-chunk scheme; 6 gives C(6,3)=20 tables of ~33-bit keys, the
+    * operating point for corpora where 65,536-way buckets saturate (every
+    * bucket over any workable cap → capping costs recall). Both guarantee
+    * recall 1.0 at distance ≤ maxDist without a cap; under a cap, wider
+    * keys keep bucket occupancy — and therefore the recall cost of
+    * dropping oversized buckets — flat as the corpus grows.
+    */
+  def nearDuplicatesFromFingerprints(fp: DataFrame,
+      maxDist: Int = 3, maxBucketSize: Int = Int.MaxValue, blocks: Int = 4): DataFrame = {
+    require(maxDist < blocks,
+      s"$blocks-block banding guarantees recall only for distance < $blocks")
+    val keep = blocks - maxDist
+    require(keep * ((64 + blocks - 1) / blocks) <= 58,
+      s"packed key too wide: $keep blocks of ceil(64/$blocks) bits must fit in 58")
 
     val chunked = fp.select(col("id"), col("fp"),
-        posexplode(array((0 until 4).map(i =>
-          shiftright(col("fp"), i * 16).bitwiseAND(lit(0xffffL))): _*)))
-      .select(col("id"), col("fp"), col("pos").as("chunk"), col("col").as("cval"))
+        explode(GraftBridge.column(SimHashBlockKeys(
+          GraftBridge.expression(col("fp")), blocks, maxDist))).as("bucket"))
       .persist() // bucket-count pass + both sides of the pair join
 
-    val counts = chunked.groupBy("chunk", "cval").agg(count(lit(1)).as("cnt"))
+    val counts = chunked.groupBy("bucket").agg(count(lit(1)).as("cnt"))
     val oversized = counts.where(col("cnt") > maxBucketSize)
       .orderBy(col("cnt").desc).limit(20).collect()
     if (oversized.nonEmpty)
       System.err.println(s"[graft] SimHash.nearDuplicates: ${oversized.length}+ " +
-        s"chunk bucket(s) over maxBucketSize=$maxBucketSize excluded from " +
-        s"candidate generation (largest=${oversized.head.getLong(2)}); raise " +
-        "maxBucketSize to trade wall-clock for completeness")
+        s"bucket(s) over maxBucketSize=$maxBucketSize excluded from " +
+        s"candidate generation (largest=${oversized.head.getLong(1)}); raise " +
+        "maxBucketSize or blocks to trade wall-clock for completeness")
     val hot = counts.where(col("cnt") > 1 && col("cnt") <= maxBucketSize)
-      .select("chunk", "cval")
-    val survivors = chunked.join(broadcast(hot), Seq("chunk", "cval"))
+      .select("bucket")
+    val survivors = chunked.join(broadcast(hot), "bucket")
 
     val l = survivors.alias("l")
     val r = survivors.alias("r")
     val pairs = l.join(r,
-        col("l.chunk") === col("r.chunk") &&
-        col("l.cval") === col("r.cval") &&
+        col("l.bucket") === col("r.bucket") &&
         col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
         bit_count(col("l.fp").bitwiseXOR(col("r.fp"))).as("hamming"))
       .distinct()
       .where(col("hamming") <= maxDist)
-    // materialize the (small) verified pair set and release the chunk
+    // materialize the (small) verified pair set and release the key
     // explosion — a df.persist() entry would otherwise live in the session
     // CacheManager forever (localCheckpoint blocks are GC-cleaned)
     val out = pairs.localCheckpoint(true)

@@ -89,6 +89,19 @@ class OpsSpec extends AnyFunSuite {
     val flooded = corpus.unionByName(degenerate)
 
     val fp = corpus.select(col("doc_id"), SimHash.simhash64(TextOps.tokens(col("text"))).as("fp"))
+    // Pin the assumption the exact-equality assert below leans on: no REAL
+    // doc's fingerprint carries a 0x0000 chunk, which would land it in the
+    // flooded degenerate bucket and be legitimately dropped by the cap
+    // (~1% chance per corpus draw). A corpus-generator or hash change that
+    // breaks this should fail here with a clear message, not as a
+    // mysterious recall loss two asserts later.
+    val zeroChunk = fp.where((0 until 4)
+        .map(i => shiftright(col("fp"), i * 16).bitwiseAND(lit(0xffffL)) === 0)
+        .reduce(_ || _)).count()
+    assert(zeroChunk == 0,
+      s"$zeroChunk real corpus fingerprint(s) have a 0x0000 chunk under this " +
+        "seed — the exact-equality recall assertion below is invalid; adjust " +
+        "the seed or relax to subset-equality")
     val l = fp.select(col("doc_id").as("id_a"), col("fp").as("fa"))
     val r = fp.select(col("doc_id").as("id_b"), col("fp").as("fb"))
     val expectedReal = l.join(r, col("id_a") < col("id_b"))
@@ -102,6 +115,42 @@ class OpsSpec extends AnyFunSuite {
       "capped degenerate bucket must produce no pairs")
     assert(got == expectedReal,
       s"guard lost ${(expectedReal -- got).size} real pair(s), invented ${(got -- expectedReal).size}")
+  }
+
+  test("simhash wide-key banding (blocks=6) keeps recall where 16-bit buckets saturate") {
+    // Uniform saturation — the 100×-scale failure mode of chunk banding: at
+    // 200k uncorrelated fingerprints a 16-bit bucket holds ~3 docs (Poisson
+    // λ≈3), so with a cap of 2 nearly every bucket is dropped and a planted
+    // distance-3 pair is lost. The 6-block scheme (C(6,3)=20 tables of
+    // ~33-bit keys, SimHash.SimHashBlockKeys) has occupancy λ≈5e-4 at the
+    // same corpus: the pair's buckets stay pair-sized and survive the SAME
+    // cap. Deterministic under the fixed seed.
+    val rng = new scala.util.Random(11)
+    val n = 200000
+    val planted = (900000L, 900001L)
+    val x = rng.nextLong()
+    val xp = x ^ (1L << 5) ^ (1L << 23) ^ (1L << 47) // hamming distance exactly 3
+    val fps = ((0 until n).map(i => (i.toLong, rng.nextLong()))
+      :+ (planted._1, x) :+ (planted._2, xp)).toDF("id", "fp")
+
+    val wide = SimHash.nearDuplicatesFromFingerprints(
+        fps, maxDist = 3, maxBucketSize = 2, blocks = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(wide == Set(planted),
+      s"6-block banding under cap must find exactly the planted pair, got $wide")
+
+    val narrow = SimHash.nearDuplicatesFromFingerprints(
+        fps, maxDist = 3, maxBucketSize = 2, blocks = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!narrow.contains(planted),
+      "under seed 11 every 16-bit bucket of the planted pair is saturated — " +
+        "if this starts passing, the saturation premise of the test is gone")
+
+    // sanity: without the cap, the classic scheme still has recall 1.0
+    val uncapped = SimHash.nearDuplicatesFromFingerprints(
+        fps, maxDist = 3, blocks = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.contains(planted))
   }
 
   test("ann lsh recall vs brute force on testdata embeddings") {
