@@ -21,6 +21,12 @@ object Tables {
     * 1000` is lossless because the generator emits µs-resolution values.
     */
   def events(s: SparkSession, dir: String): DataFrame = {
+    // the NTZ→TZ cast below is wall-clock-preserving ONLY under UTC; a
+    // session built without it would silently shift every ts value
+    val tz = s.conf.get("spark.sql.session.timeZone", java.util.TimeZone.getDefault.getID)
+    require(tz == "UTC",
+      s"Tables.events requires spark.sql.session.timeZone=UTC (got $tz): " +
+        "the naive-timestamp normalization would shift wall-clock values")
     val raw = apply(s, dir, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
