@@ -64,6 +64,21 @@ object Bench {
     val small = spark.range(100).select(col("id").as("x"), pmod(col("id"), lit(7)).as("r"))
     small.join(broadcast(small.select(col("x").as("y"))), col("x") === col("y"))
       .withColumn("rk", row_number().over(w)).agg(sum("rk")).collect()
+    // JIT/codegen warm-up for the heavy near-dup pipelines: the first
+    // invocation in a JVM pays ~10 s of interpreter→C2 warm-up on the
+    // sketch expressions and join machinery (ProfileQueries: 13 s cold →
+    // 1.5 s steady over repeats). A ~200-row pass compiles the same code
+    // paths at negligible data cost, so the timed minimums measure the
+    // plan, not the JVM.
+    val warmDocs = graft.queries.Tables.documents(spark, sfDir)
+      .limit(200).select(col("doc_id"), col("text"))
+    graft.ops.DedupClusters.clusterSummary(
+      graft.ops.MinHashLsh.nearDuplicates(warmDocs, "doc_id", "text", 0.6),
+      "id_a", "id_b").count()
+    graft.ops.SimHash.nearDuplicates(warmDocs, "doc_id", "text", 3).count()
+    graft.ops.AnnSearch.cosineNearDuplicates(
+      graft.queries.Tables.embeddings(spark, sfDir).limit(200),
+      dim = 64, threshold = 0.99).count()
     // The CV replay + warm-up above leaves multi-GB of garbage (persisted
     // batches, shuffle buffers); collecting it here bills the pause to the
     // untimed phase instead of whichever query GC lands on first.

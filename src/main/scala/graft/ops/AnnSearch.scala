@@ -110,26 +110,24 @@ object AnnSearch {
         col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
-      .persist()
-    // materialize the (small, post-distinct) pair set so the bucket
-    // explosion — numTables rows per vector, the dominant cached footprint —
-    // can be released now instead of leaking for the session's lifetime;
-    // the lazy verify tail below needs only `pairs` and `corpus`
-    pairs.count()
-    bucketed.unpersist()
     val verified = pairs
       .join(corpus.select(col("vec_id").as("id_a"), col("v").as("va")), "id_a")
       .join(corpus.select(col("vec_id").as("id_b"), col("v").as("vb")), "id_b")
       .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("cos"))
       .where(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
-    // Materialize the (small) verified pair set and release the persisted
-    // corpus/pair frames: df.persist() entries live in the CacheManager for
-    // the session's lifetime, so a lazy return leaks one corpus copy per
-    // call. localCheckpoint blocks are ContextCleaner-GC-cleaned instead.
+    // ONE materialization for the whole pipeline (same shape as
+    // MinHashLsh.verifiedPairs): the eager localCheckpoint runs the
+    // hot-bucket broadcast job plus the main job; both persists (`corpus`:
+    // bucketing pass + two verify joins; `bucketed`: count pass + both
+    // pair-join sides) pay off inside that single DAG, and an extra count()
+    // barrier between candidates and verify only added a sequential job.
+    // Unpersisting after the checkpoint keeps the session-lifetime cache
+    // fix: persist entries live in the CacheManager forever, while
+    // localCheckpoint blocks are ContextCleaner-GC-cleaned.
     val out = verified.localCheckpoint(true)
     corpus.unpersist()
-    pairs.unpersist()
+    bucketed.unpersist()
     out
   }
 

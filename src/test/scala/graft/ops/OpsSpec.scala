@@ -117,6 +117,33 @@ class OpsSpec extends AnyFunSuite {
       s"guard lost ${(expectedReal -- got).size} real pair(s), invented ${(got -- expectedReal).size}")
   }
 
+  test("simhash block keys: any pair within maxDist shares >=1 exact key (pigeonhole law)") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    def keys(fp: Long, blocks: Int): Set[Long] =
+      SimHash.SimHashBlockKeys(Literal(0L), blocks, 3).nullSafeEval(fp)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toLongArray().toSet
+    val rng = new scala.util.Random(42)
+    for (blocks <- Seq(4, 5, 6); trial <- 1 to 300) {
+      val fp = rng.nextLong()
+      val nFlips = rng.nextInt(4) // 0..3 = within the distance bound
+      val flips = rng.shuffle((0 until 64).toList).take(nFlips)
+      val fp2 = flips.foldLeft(fp)((v, b) => v ^ (1L << b))
+      val shared = keys(fp, blocks) intersect keys(fp2, blocks)
+      assert(shared.nonEmpty,
+        s"blocks=$blocks trial=$trial: pair at distance $nFlips shares no key " +
+          s"(flips=$flips) — pigeonhole guarantee broken")
+    }
+    // distinct-combo packing sanity: a fingerprint emits one key per combo,
+    // all distinguishable by their combo prefix (no cross-table collisions)
+    for (blocks <- Seq(4, 5, 6)) {
+      val ks = keys(rng.nextLong(), blocks)
+      val nCombos = (0 until blocks).combinations(blocks - 3).size
+      assert(ks.size == nCombos, s"blocks=$blocks: ${ks.size} keys != $nCombos combos")
+      assert(ks.map(_ >>> 58).size == nCombos, "combo prefixes must be distinct")
+    }
+  }
+
   test("simhash wide-key banding (blocks=6) keeps recall where 16-bit buckets saturate") {
     // Uniform saturation — the 100×-scale failure mode of chunk banding: at
     // 200k uncorrelated fingerprints a 16-bit bucket holds ~3 docs (Poisson
