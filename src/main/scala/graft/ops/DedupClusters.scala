@@ -41,7 +41,9 @@ object DedupClusters {
     def checkpointWithSum(df: DataFrame, name: String): (DataFrame, Long) = {
       val obs = org.apache.spark.sql.Observation(name)
       val out = df.observe(obs, sum("comp").as("s")).localCheckpoint(true)
-      (out, obs.get("s").asInstanceOf[Long])
+      // sum over an empty frame is NULL — an empty pair set must yield an
+      // empty (converged) labeling, not an NPE
+      (out, Option(obs.get("s")).map(_.asInstanceOf[Long]).getOrElse(0L))
     }
     val fwd = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
     val edges = fwd.unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))

@@ -498,6 +498,10 @@ class OpsSpec extends AnyFunSuite {
       edges.toDF("a", "b"), "a", "b")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == expected)
+    // empty pair set → empty labeling (a clean corpus must not NPE on the
+    // null sum of the convergence witness)
+    assert(DedupClusters.connectedComponents(
+      edges.toDF("a", "b").limit(0), "a", "b").count() == 0)
   }
 
   test("bm25: scores match a direct driver-side Okapi computation") {
