@@ -57,10 +57,11 @@ class PlanShapeSpec extends AnyFunSuite {
   private val exchangeCeiling = Map(
     "q_ann_ivf" -> 3, "q_ann_lsh" -> 4, "q_array_agg" -> 2, "q_avg" -> 2,
     "q_bloom_membership" -> 5, "q_bloom_setops" -> 5,
-    // q_cosine_neardup: 6 of the 15 are the one-time cache-build plan of the
-    // materialized candidate-pair set (shown under InMemoryTableScan in the
-    // plan string) — the read-time plan re-executes 9, same as before
-    "q_bucket_agg" -> 2, "q_cosine_neardup" -> 15, "q_count_group" -> 3,
+    // q_cosine_neardup / q_minhash_neardup / q_simhash_neardup: the whole
+    // candidate+verify pipeline materializes once via eager localCheckpoint
+    // inside the builder; the visible plan is the final projection/sort over
+    // the checkpointed pair set — exactly one range partition
+    "q_bucket_agg" -> 2, "q_cosine_neardup" -> 1, "q_count_group" -> 3,
     "q_cube" -> 2, "q_cv_chained" -> 1, "q_cv_combine" -> 2, "q_cv_count" -> 1,
     "q_cv_delta_rollup" -> 1, "q_cv_rollup" -> 1, "q_cv_sliding" -> 2, "q_cv_ttl" -> 1,
     "q_cv_copy" -> 1, "q_cv_combine_table" -> 1, "q_cv_ticks" -> 1,
@@ -87,11 +88,9 @@ class PlanShapeSpec extends AnyFunSuite {
     "q_json_object_agg" -> 2, "q_json_int_sum" -> 2,
     "q_json_object_int_sum" -> 2, "q_keyed_min_max" -> 2, "q_knn_cosine" -> 3,
     "q_langid" -> 1, "q_limit" -> 0, "q_media_meta" -> 1, "q_media_resize" -> 1,
-    // q_minhash_neardup: like q_cosine_neardup, 6 of the 15 are the cached
-    // candidate-pair build plan shown under InMemoryTableScan
-    "q_minhash_neardup" -> 15, "q_ngram_jaccard" -> 2, "q_percentile" -> 2,
+    "q_minhash_neardup" -> 1, "q_ngram_jaccard" -> 2, "q_percentile" -> 2,
     "q_quality_score" -> 2, "q_regr" -> 2, "q_revenue_nation" -> 5,
-    "q_rollup" -> 2, "q_set_agg" -> 3, "q_simhash_neardup" -> 3,
+    "q_rollup" -> 2, "q_set_agg" -> 3, "q_simhash_neardup" -> 1,
     "q_sliding_window" -> 4, "q_stream_table_join" -> 4, "q_string_agg" -> 3,
     "q_sum_min_max" -> 2, "q_token_count" -> 2, "q_topk" -> 3,
     "q_topk_sketch" -> 4, "q_var_stddev" -> 2)
