@@ -257,6 +257,22 @@ object CvQueries {
       Seq(col("__rn") === 1, col("__rn") === 2, col("__rn") >= 3).foreach { p =>
         eng.insertInto("cn_stream", withRn.where(p).drop("__rn"))
       }
+      // direct matrel DML (cont_matrel.sql): even half ingested, state for
+      // user_id < 3 DELETEd, odd half ingested on top — deleted groups
+      // resurrect with odd-only state (merge into absent state = fresh
+      // group), everyone else keeps both halves. Then one group's sum
+      // state is zeroed via UPDATE; no further ingest touches it.
+      eng.createStream("dm_stream", events.schema)
+      eng.createContView("v_dml",
+        """SELECT user_id, count(*) AS n, sum(value) AS sv
+          |FROM dm_stream GROUP BY user_id""".stripMargin,
+        emitChanges = false)
+      eng.insertInto("dm_stream", events.where(pmod(col("event_id"), lit(2)) === 0))
+      eng.matrelsWritable = true
+      eng.sql("DELETE FROM v_dml_mrel WHERE user_id < 3")
+      eng.sql("UPDATE v_dml_mrel SET sv = 0 WHERE user_id = 5")
+      eng.matrelsWritable = false
+      eng.insertInto("dm_stream", events.where(pmod(col("event_id"), lit(2)) === 1))
       eng.sql("CREATE SCHEMA ns1")
       eng.createStream("ns1.ev", events.schema)
       eng.sql("""CREATE CONTINUOUS VIEW ns1.by_type WITH (changes = false) AS
@@ -413,6 +429,25 @@ object CvQueries {
         restartFor(s, dir).sql(
           """SELECT event_type, n, round(sv, 2) AS sv, round(av, 6) AS av, nd
             |FROM rs1.agg ORDER BY event_type""".stripMargin)
+    },
+
+    // cont_matrel.sql: direct matrel DML under matrels_writable. Groups
+    // user_id < 3 are DELETEd after the even half (they resurrect with
+    // odd-only state; a group with no odd events stays gone), user 5's sum
+    // state is zeroed by UPDATE between the halves (its count state and
+    // later merges are untouched).
+    QDef(
+      "q_cv_matrel_dml",
+      """SELECT user_id,
+        |       count(*) FILTER (WHERE user_id >= 3 OR event_id % 2 = 1) AS n,
+        |       round(coalesce(sum(value) FILTER (
+        |         WHERE (user_id >= 3 AND user_id <> 5) OR event_id % 2 = 1), 0), 2) AS sv
+        |FROM events GROUP BY user_id
+        |HAVING count(*) FILTER (WHERE user_id >= 3 OR event_id % 2 = 1) > 0
+        |ORDER BY user_id""".stripMargin) {
+      (s, dir) =>
+        lifecycleFor(s, dir).sql(
+          "SELECT user_id, n, round(sv, 2) AS sv FROM v_dml ORDER BY user_id")
     },
 
     // cont_view_namespace.sql: schema-qualified CV fed under its original
