@@ -307,11 +307,17 @@ object CvQueries {
                 |SELECT event_type, count(*) AS n, sum(value) AS sv,
                 |       avg(value) AS av, count(DISTINCT user_id) AS nd
                 |FROM rs1.ev GROUP BY event_type""".stripMargin)
+      // second CV on the same stream, renamed AFTER the restart+full ingest:
+      // gates rename-with-state through the replayed engine (q_cv_rename)
+      eng1.sql("""CREATE CONTINUOUS VIEW rs1.agg2 WITH (changes = false) AS
+                |SELECT event_type, count(*) AS n, sum(value) AS sv
+                |FROM rs1.ev GROUP BY event_type""".stripMargin)
       eng1.insertInto("rs1.ev", events.where(pmod(col("event_id"), lit(2)) === 0))
       // "crash": eng1 is dropped on the floor with state half-built; the
       // replacement engine must pick up everything from root alone
       val eng2 = new ContViewEngine(s, root)
       eng2.insertInto("rs1.ev", events.where(pmod(col("event_id"), lit(2)) === 1))
+      eng2.sql("ALTER VIEW rs1.agg2 RENAME TO rs1.agg_renamed")
       eng2
     })
   }
@@ -448,6 +454,18 @@ object CvQueries {
       (s, dir) =>
         lifecycleFor(s, dir).sql(
           "SELECT user_id, n, round(sv, 2) AS sv FROM v_dml ORDER BY user_id")
+    },
+
+    // cont_alter.sql: CV renamed (by the post-restart engine) after both
+    // ingest halves — state answers to the new qualified name.
+    QDef(
+      "q_cv_rename",
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sv
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) {
+      (s, dir) =>
+        restartFor(s, dir).sql(
+          """SELECT event_type, n, round(sv, 2) AS sv
+            |FROM rs1.agg_renamed ORDER BY event_type""".stripMargin)
     },
 
     // cont_view_namespace.sql: schema-qualified CV fed under its original
