@@ -236,6 +236,18 @@ object CvQueries {
       eng.insertInto("act_stream", events.where(pmod(col("event_id"), lit(3)) === 1))
       eng.activate("v_act")
       eng.insertInto("act_stream", events.where(pmod(col("event_id"), lit(3)) === 2))
+      // truncate mid-stream (cont_truncate.sql / management API): first
+      // third ingested then truncated away; the answer is the later two
+      // thirds only, with post-truncate merges building on empty state
+      eng.createStream("tr_stream", events.schema)
+      eng.createContView("v_trunc",
+        """SELECT event_type, count(*) AS n, sum(value) AS sv
+          |FROM tr_stream GROUP BY event_type""".stripMargin,
+        emitChanges = false)
+      eng.insertInto("tr_stream", events.where(pmod(col("event_id"), lit(3)) === 0))
+      eng.truncateContView("v_trunc")
+      eng.insertInto("tr_stream", events.where(pmod(col("event_id"), lit(3)) === 1))
+      eng.insertInto("tr_stream", events.where(pmod(col("event_id"), lit(3)) === 2))
       // schema namespaces (cont_view_namespace.sql): a qualified CV created
       // and fed under one schema, then carried through ALTER SCHEMA RENAME —
       // reading the renamed qualified spelling must equal the batch answer
@@ -454,6 +466,19 @@ object CvQueries {
       (s, dir) =>
         lifecycleFor(s, dir).sql(
           "SELECT user_id, n, round(sv, 2) AS sv FROM v_dml ORDER BY user_id")
+    },
+
+    // cont_truncate.sql: state truncated after the first third; overlay
+    // equals the batch answer over the remaining two thirds.
+    QDef(
+      "q_cv_truncate",
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sv
+        |FROM events WHERE event_id % 3 <> 0
+        |GROUP BY event_type ORDER BY event_type""".stripMargin) {
+      (s, dir) =>
+        lifecycleFor(s, dir).sql(
+          """SELECT event_type, n, round(sv, 2) AS sv
+            |FROM v_trunc ORDER BY event_type""".stripMargin)
     },
 
     // cont_alter.sql: CV renamed (by the post-restart engine) after both

@@ -77,7 +77,7 @@ class PlanShapeSpec extends AnyFunSuite {
     "q_media_frames" -> 1, "q_dedup_clusters" -> 2,
     "q_cv_async" -> 1, "q_cv_activate" -> 1, "q_cv_sw_combine" -> 1,
     "q_cv_constraint" -> 1, "q_cv_schema" -> 1, "q_cv_restart" -> 1,
-    "q_cv_matrel_dml" -> 1, "q_cv_rename" -> 1,
+    "q_cv_matrel_dml" -> 1, "q_cv_rename" -> 1, "q_cv_truncate" -> 1,
     "q_cv_transform_chain" -> 1, "q_date_round" -> 1, "q_dedup_exact" -> 2,
     "q_dist_quantiles" -> 2, "q_distinct" -> 2, "q_doc_stats" -> 3,
     "q_embedding_stats" -> 2, "q_fingerprint" -> 0, "q_first_values" -> 2,
