@@ -111,7 +111,11 @@ object DedupQueries {
       val corpus = d.unionByName(
         d.where(pmod(col("doc_id"), lit(2)) === 0)
           .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
-      SimHash.nearDuplicates(corpus, "doc_id", "text", maxDist = 3)
+      // blocks = 6 runs the wide-key (saturation-proof) banding — the
+      // operating point for production corpora — through the driver gate;
+      // recall at distance <= 3 is 1.0 under any blocks > 3, so the
+      // verified output is identical to the classic 4-chunk scheme's
+      SimHash.nearDuplicates(corpus, "doc_id", "text", maxDist = 3, blocks = 6)
         .where(col("id_b") === col("id_a") + 1000000L)
         .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
         .orderBy("id_a")
