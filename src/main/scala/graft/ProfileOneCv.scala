@@ -13,6 +13,7 @@ object ProfileOneCv {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", aqe)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{AnnSearch, LangId, Media, MinHashLsh, SimHash, TextOps}
+import graft.ops.{AnnSearch, LangId, Media, MinHashLsh, PqSearch, SimHash, TextOps}
 
 /** Training-data-pipeline operators over `documents`/`embeddings`:
   * MinHash+LSH near-dup (oracle: DuckDB brute-force n-gram Jaccard),
@@ -182,6 +182,26 @@ object DedupQueries {
           .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
       AnnSearch.ivfKnn(seeded, dim = 64, nProbes = 10, k = 3,
         nCentroids = 16, nprobe = 6)
+        .where(col("rk") === 1)
+    },
+
+    // Product-quantization ANN — third scale path (compressed-code ADC scan
+    // + exact re-rank); same forced-rank-1 oracle domain. The duplicate's
+    // ADC score is the self-reconstruction cosine (≈1 up to quantization
+    // error), far above the shortlist floor, so it always reaches the exact
+    // re-rank, which scores it 1.0 — rank 1 by construction. Shortlist
+    // recall and ADC math exactness are spec-covered (OpsSpec).
+    QDef(
+      "q_ann_pq",
+      """SELECT vec_id AS probe_id, vec_id + 100000 AS neighbor_id,
+        |       CAST(1.0 AS DOUBLE) AS sim, CAST(1 AS BIGINT) AS rk
+        |FROM embeddings WHERE vec_id < 10 ORDER BY probe_id""".stripMargin) { (s, dir) =>
+      val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val seeded = e.unionByName(
+        e.where(col("vec_id") < 10)
+          .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
+      PqSearch.pqKnn(seeded, dim = 64, nProbes = 10, k = 3,
+        m = 16, ksub = 64, shortlist = 64)
         .where(col("rk") === 1)
     },
 

@@ -46,16 +46,20 @@ class PlanShapeSpec extends AnyFunSuite {
   //   q_bloom_setops   — 1-row merged-sketch frame broadcast cross join
   // q_embed_clusters: the broadcast side is the 8 seed centroids — bounded
   // by construction, same pattern as q_knn_cosine's probe set.
+  // q_ann_pq: the ADC scan broadcasts the ≤10-probe LUT set against the
+  // encoded corpus (theta join probe_id <> vec_id) — bounded like
+  // q_knn_cosine's probe side; corpus codes stream partition-local.
   private val bnljAllowed =
     Set("q_knn_cosine", "q_ngram_jaccard", "q_sliding_window", "q_bloom_setops",
-      "q_embed_clusters")
+      "q_embed_clusters", "q_ann_pq")
 
   // Shuffle ceilings measured on the current plans (Exchange nodes in the
   // executed plan, ReusedExchange excluded). A regression here means a new
   // shuffle appeared — at 100 TB that's the difference between one pass
   // over the data and two.
   private val exchangeCeiling = Map(
-    "q_ann_ivf" -> 3, "q_ann_lsh" -> 4, "q_array_agg" -> 2, "q_avg" -> 2,
+    "q_ann_ivf" -> 3, "q_ann_lsh" -> 4, "q_ann_pq" -> 5,
+    "q_array_agg" -> 2, "q_avg" -> 2,
     "q_bloom_membership" -> 5, "q_bloom_setops" -> 5,
     // q_cosine_neardup / q_minhash_neardup / q_simhash_neardup: the whole
     // candidate+verify pipeline materializes once via eager localCheckpoint
@@ -77,6 +81,7 @@ class PlanShapeSpec extends AnyFunSuite {
     "q_media_frames" -> 1, "q_dedup_clusters" -> 2,
     "q_cv_async" -> 1, "q_cv_activate" -> 1, "q_cv_sw_combine" -> 1,
     "q_cv_constraint" -> 1, "q_cv_schema" -> 1, "q_cv_restart" -> 1,
+    "q_cv_stats" -> 1, "q_cv_streaming" -> 1,
     "q_cv_matrel_dml" -> 1, "q_cv_rename" -> 1, "q_cv_truncate" -> 1,
     "q_cv_transform_chain" -> 1, "q_date_round" -> 1, "q_dedup_exact" -> 2,
     "q_dist_quantiles" -> 2, "q_distinct" -> 2, "q_doc_stats" -> 3,

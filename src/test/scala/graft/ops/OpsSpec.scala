@@ -310,6 +310,56 @@ class OpsSpec extends AnyFunSuite {
     assert(recallC >= 0.9, s"IVF recall on clustered data too low: $recallC")
   }
 
+  test("pq ann: exact on codebook-representable vectors; recall with re-rank on testdata") {
+    // Exact-reconstruction domain: every subvector is drawn from a pool of
+    // ≤ ksub distinct values per subspace, so the farthest-point k-means
+    // init picks every distinct subvector as a centroid and Lloyd keeps
+    // them — reconstruction is EXACT, the ADC score equals the true cosine,
+    // and PQ top-k must equal brute-force top-k with no tolerance.
+    val rng = new scala.util.Random(17)
+    val pools = Array.fill(4)(Array.fill(6)(Array.fill(4)(rng.nextGaussian())))
+    val vecs = (0 until 300).map { i =>
+      (i.toLong, (0 until 4).flatMap(s => pools(s)(rng.nextInt(6))).map(_.toFloat).toArray)
+    }.toDF("vec_id", "embedding")
+    def bfTopK(pts: DataFrame, nProbes: Int, k: Int): Set[(Long, Long)] = {
+      import org.apache.spark.sql.expressions.Window
+      val e = pts.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val p = e.where(col("vec_id") < nProbes)
+        .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+      val j = e.join(broadcast(p), col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+          graft.queries.SimilarityQueries.cosine(col("pv"), col("v")).as("s"))
+      val w = Window.partitionBy("probe_id")
+        .orderBy(round(col("s"), 6).desc, col("neighbor_id"))
+      j.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+        .select("probe_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val exact = bfTopK(vecs, nProbes = 10, k = 5)
+    val viaPq = PqSearch.pqKnn(vecs, dim = 16, nProbes = 10, k = 5,
+        m = 4, ksub = 8, shortlist = 50)
+      .select("probe_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaPq == exact,
+      s"PQ with exact reconstruction must equal brute force; " +
+        s"missing=${(exact -- viaPq).size} extra=${(viaPq -- exact).size}")
+
+    // Near-random testdata embeddings — the hostile case for quantization
+    // (no cluster structure to absorb the code error): the ADC shortlist
+    // plus exact re-rank must still recover most of the true top-k.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val exactE = graft.queries.SimilarityQueries.bruteForceKnn(
+        spark, "/root/testdata/sf0.001", nProbes = 20, k = 5)
+      .select("probe_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approxE = PqSearch.pqKnn(emb, dim = 64, nProbes = 20, k = 5,
+        m = 16, ksub = 64, shortlist = 64)
+      .select("probe_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exactE & approxE).size.toDouble / exactE.size
+    assert(recall >= 0.5, s"PQ recall too low: $recall")
+  }
+
   test("codegen CosineSim/DotProduct are bit-identical to the HOF formulation") {
     import graft.functions.VectorExpressions.{cosineSim, dotProduct}
     val rng = new scala.util.Random(11)
