@@ -1206,6 +1206,35 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
   private val pendingAsync = mutable.Buffer.empty[java.util.concurrent.Future[_]]
   private val asyncErrors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
 
+  private final case class AsyncEntry(stream: String, batch: DataFrame,
+      targets: Option[Set[String]], done: java.util.concurrent.CompletableFuture[Unit])
+  private val asyncQueue = new java.util.concurrent.ConcurrentLinkedQueue[AsyncEntry]()
+
+  // Queue coalescing (the reference worker's drain loop: queued events are
+  // buffered into ONE microbatch up to batch_size before the worker plan
+  // runs — microbatch.c:193-259): when the producer outruns the pipeline,
+  // every undrained entry for the same (stream, targets) pays the fixed
+  // per-batch cost (two jobs + a state-version commit) ONCE instead of once
+  // each. Single consumer thread → peek/poll below are race-free and batch
+  // order is preserved; only ADJACENT same-route entries coalesce, so
+  // cross-stream ordering semantics don't change.
+  private val asyncDrain: Runnable = () => {
+    val first = asyncQueue.poll()
+    if (first != null) {
+      val run = mutable.Buffer(first)
+      var next = asyncQueue.peek()
+      while (next != null && next.stream == first.stream && next.targets == first.targets) {
+        run += asyncQueue.poll()
+        next = asyncQueue.peek()
+      }
+      try {
+        val combined = run.map(_.batch).reduce(_ unionByName _)
+        insertInto(first.stream, combined, first.targets)
+      } catch { case t: Throwable => asyncErrors.add(t) }
+      finally run.foreach { e => e.done.complete(()); asyncSlots.release() }
+    }
+  }
+
   /** INSERT with stream_insert_level=async: enqueue and return immediately.
     * Failures surface at the next flush(). The default synchronous
     * insertInto is sync_commit; sync_receive (ack on enqueue) behaves like
@@ -1213,15 +1242,15 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     */
   def insertIntoAsync(streamName: String, batch: DataFrame,
       targets: Option[Set[String]] = None): Unit = {
+    // no stream-existence check here: async failures (including an unknown
+    // stream) surface at the flush() barrier, not at enqueue — CvSpec pins it
     asyncSlots.acquire()
-    synchronized {
-      pendingAsync += asyncPool.submit(new Runnable {
-        override def run(): Unit =
-          try insertInto(streamName, batch, targets)
-          catch { case t: Throwable => asyncErrors.add(t) }
-          finally asyncSlots.release()
-      })
-    }
+    val done = new java.util.concurrent.CompletableFuture[Unit]()
+    asyncQueue.add(AsyncEntry(streamName, batch, targets, done))
+    synchronized { pendingAsync += done }
+    // one drain submission per entry: a drain that finds its entry already
+    // coalesced into an earlier run is a no-op
+    asyncPool.submit(asyncDrain)
   }
 
   /** pipelinedb.flush(): barrier until every enqueued batch has fully

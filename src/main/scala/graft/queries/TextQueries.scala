@@ -89,6 +89,69 @@ object TextQueries {
           .orderBy("lang")
     },
 
+    // Repetition signals (the Gopher/MassiveText-style quality filters:
+    // duplicate-n-gram fraction and most-frequent-2-gram coverage) per
+    // document. Scale shape: the dup fractions are pure map-side list math
+    // (no shuffle); the top-gram coverage is a (doc_id, gram) group-by whose
+    // map-side partial aggregation bounds the shuffle to distinct pairs.
+    QDef(
+      "q_repetition",
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(text, ' '), x -> x <> '') AS t
+        |  FROM documents WHERE doc_id < 100
+        |), grams AS (
+        |  SELECT doc_id,
+        |         -- range(a, b) is EXCLUSIVE of b: i runs 1..len-1 (2-grams)
+        |         -- and 1..len-2 (3-grams)
+        |         list_transform(range(1, greatest(len(t), 1)),
+        |                        i -> t[i] || ' ' || t[i+1]) AS g2,
+        |         list_transform(range(1, greatest(len(t) - 1, 1)),
+        |                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS g3
+        |  FROM toks
+        |), dup AS (
+        |  SELECT doc_id,
+        |         round(1.0 - CAST(len(list_distinct(g2)) AS DOUBLE)
+        |               / greatest(len(g2), 1), 6) AS dup_2gram_frac,
+        |         round(1.0 - CAST(len(list_distinct(g3)) AS DOUBLE)
+        |               / greatest(len(g3), 1), 6) AS dup_3gram_frac
+        |  FROM grams
+        |), top AS (
+        |  SELECT doc_id,
+        |         round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_2gram_frac
+        |  FROM (SELECT doc_id, g, count(*) AS c
+        |        FROM (SELECT doc_id, unnest(g2) AS g FROM grams)
+        |        GROUP BY doc_id, g)
+        |  GROUP BY doc_id
+        |)
+        |SELECT dup.doc_id AS doc_id, dup_2gram_frac, dup_3gram_frac,
+        |       coalesce(top_2gram_frac, 0.0) AS top_2gram_frac
+        |FROM dup LEFT JOIN top ON dup.doc_id = top.doc_id
+        |ORDER BY dup.doc_id""".stripMargin) {
+      (s, dir) =>
+        val t = filter(split(col("text"), " "), x => x =!= "")
+        def ngrams(tc: org.apache.spark.sql.Column, n: Int) =
+          when(size(tc) >= n,
+            transform(sequence(lit(1), size(tc) - (n - 1)),
+              i => concat_ws(" ", (0 until n).map(o => element_at(tc, i + o)): _*)))
+            .otherwise(array())
+        val base = Tables.documents(s, dir).where(col("doc_id") < 100)
+          .select(col("doc_id"), ngrams(t, 2).as("g2"), ngrams(t, 3).as("g3"))
+        val dup = base.select(col("doc_id"),
+          round(lit(1.0) - size(array_distinct(col("g2"))).cast("double")
+            / greatest(size(col("g2")), lit(1)), 6).as("dup_2gram_frac"),
+          round(lit(1.0) - size(array_distinct(col("g3"))).cast("double")
+            / greatest(size(col("g3")), lit(1)), 6).as("dup_3gram_frac"))
+        val top = base.select(col("doc_id"), explode(col("g2")).as("g"))
+          .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id")
+          .agg(round(max("c").cast("double") / sum("c"), 6).as("top_2gram_frac"))
+        dup.join(top, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("dup_2gram_frac"), col("dup_3gram_frac"),
+            coalesce(col("top_2gram_frac"), lit(0.0)).as("top_2gram_frac"))
+          .orderBy("doc_id")
+    },
+
     // Document fingerprint sample: md5 prefix as a cheap content fingerprint
     // for the smallest 50 doc_ids (stable across engines).
     QDef(

@@ -95,7 +95,8 @@ class PlanShapeSpec extends AnyFunSuite {
     "q_json_object_int_sum" -> 2, "q_keyed_min_max" -> 2, "q_knn_cosine" -> 3,
     "q_langid" -> 1, "q_limit" -> 0, "q_media_meta" -> 1, "q_media_resize" -> 1,
     "q_minhash_neardup" -> 1, "q_ngram_jaccard" -> 2, "q_percentile" -> 2,
-    "q_quality_score" -> 2, "q_regr" -> 2, "q_revenue_nation" -> 5,
+    "q_quality_score" -> 2, "q_regr" -> 2, "q_repetition" -> 4,
+    "q_revenue_nation" -> 5,
     "q_rollup" -> 2, "q_set_agg" -> 3, "q_simhash_neardup" -> 1,
     "q_sliding_window" -> 4, "q_stream_table_join" -> 4, "q_string_agg" -> 3,
     "q_sum_min_max" -> 2, "q_token_count" -> 2, "q_topk" -> 3,
