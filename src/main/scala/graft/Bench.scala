@@ -79,6 +79,9 @@ object Bench {
     graft.ops.AnnSearch.cosineNearDuplicates(
       graft.queries.Tables.embeddings(spark, sfDir).limit(200),
       dim = 64, threshold = 0.99).count()
+    graft.ops.PqSearch.pqKnn(
+      graft.queries.Tables.embeddings(spark, sfDir).limit(200),
+      dim = 64, nProbes = 2, k = 2, m = 16, ksub = 16, fitSample = 128).count()
     // The CV replay + warm-up above leaves multi-GB of garbage (persisted
     // batches, shuffle buffers); collecting it here bills the pause to the
     // untimed phase instead of whichever query GC lands on first.

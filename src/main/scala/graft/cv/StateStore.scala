@@ -61,6 +61,11 @@ final class StateStore(
     */
   def relocate(newRoot: String): Unit = this.synchronized {
     val old = Paths.get(_root)
+    // join any in-flight background deletion first: it holds absolute paths
+    // under the old root, and racing the directory move could leave stale
+    // version dirs undeleted in the relocated tree
+    gcInFlight.foreach(f => try f.get() catch { case _: Throwable => () })
+    gcInFlight = None
     _root = newRoot
     // stale version dirs awaiting deferred GC moved with the tree
     pendingGc = pendingGc.map(p => Paths.get(newRoot).resolve(old.relativize(p)))
@@ -880,6 +885,10 @@ final class StateStore(
     */
   private var pendingGc: Set[Path] = Set.empty
 
+  // last background deletion handed to the shared GC thread; relocate()
+  // joins it before moving the tree
+  private var gcInFlight: Option[java.util.concurrent.Future[_]] = None
+
   private def deferGcOldVersions(keep: Set[String]): Unit = {
     val rootPath = Paths.get(root)
     if (!Files.exists(rootPath)) return
@@ -889,24 +898,42 @@ final class StateStore(
       .toSet
   }
 
+  /** Hand superseded version dirs to the shared deletion thread. The
+    * footer-stat cache is scrubbed synchronously (cheap map filter, and a
+    * stale entry would silently mis-prune); the file walks — the actual I/O,
+    * tens of ms per batch on a wide bucket layout — come off the ingest hot
+    * path. Mutations are store-serialized and the GC pool is single-threaded,
+    * so deletions stay ordered behind the commit that superseded them.
+    */
   private def flushPendingGc(): Unit = {
-    pendingGc.foreach { dir =>
-      if (Files.exists(dir))
-        Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-    }
-    if (pendingGc.nonEmpty) {
-      val deleted = pendingGc.map(_.toString)
-      footerMinCache.filterInPlace { case ((path, _), _) =>
-        !deleted.exists(d => path.startsWith(d + "/") || path == d)
-      }
-    }
+    if (pendingGc.isEmpty) return
+    val batch = pendingGc
     pendingGc = Set.empty
+    val deleted = batch.map(_.toString)
+    footerMinCache.filterInPlace { case ((path, _), _) =>
+      !deleted.exists(d => path.startsWith(d + "/") || path == d)
+    }
+    gcInFlight = Some(StateStore.gcPool.submit(new Runnable {
+      override def run(): Unit = batch.foreach { dir =>
+        if (Files.exists(dir))
+          Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      }
+    }))
   }
 }
 
 object StateStore {
   /** Default small-state threshold (see the `SmallStateBytes` doc). */
   val DefaultSmallStateBytes: Long = 64L * 1024 * 1024
+
+  /** Shared single-thread daemon for deferred version-dir deletion: one
+    * thread keeps deletions serialized per JVM (orderings within a store
+    * already hold because mutations are store-serialized).
+    */
+  private[cv] val gcPool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newSingleThreadExecutor(r => {
+      val t = new Thread(r, "graft-state-gc"); t.setDaemon(true); t
+    })
 
   /** Hidden hash-bucket column of the state layout; frames handed to the
     * [[StateStore!.constrain]] hook carry it.

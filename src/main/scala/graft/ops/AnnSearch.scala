@@ -175,15 +175,31 @@ object AnnSearch {
     require(sample.nonEmpty, "kmeans: empty sample")
     val dim = sample.head.length
     val rng = new scala.util.Random(seed)
-    // farthest-point (k-means++ style, deterministic) init
-    val centers = scala.collection.mutable.ArrayBuffer(sample(rng.nextInt(sample.length)))
+    // farthest-point (k-means++ style, deterministic) init. Incremental
+    // min-distance bookkeeping: only the latest center updates each point's
+    // distance-to-nearest, so init is O(k·n·d) instead of the naive
+    // O(k²·n·d) — the naive form dominated pqKnn's wall time at
+    // ksub=64 × 16 subspaces (same argmax sequence, bit-identical centers).
     def d2(a: Array[Double], b: Array[Double]): Double = {
       var s = 0.0; var i = 0
       while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
       s
     }
-    while (centers.length < math.min(k, sample.length)) {
-      centers += sample.maxBy(v => centers.map(c => d2(v, c)).min)
+    val kEff = math.min(k, sample.length)
+    val centers = scala.collection.mutable.ArrayBuffer(sample(rng.nextInt(sample.length)))
+    val minD = sample.map(v => d2(v, centers(0)))
+    while (centers.length < kEff) {
+      var best = 0
+      var i = 1
+      while (i < sample.length) { if (minD(i) > minD(best)) best = i; i += 1 }
+      val c = sample(best)
+      centers += c
+      i = 0
+      while (i < sample.length) {
+        val d = d2(sample(i), c)
+        if (d < minD(i)) minD(i) = d
+        i += 1
+      }
     }
     var cs = centers.toArray
     var it = 0

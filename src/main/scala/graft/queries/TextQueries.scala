@@ -152,6 +152,71 @@ object TextQueries {
           .orderBy("doc_id")
     },
 
+    // Benchmark decontamination (train/eval n-gram overlap — the pipeline
+    // step that drops training docs leaking evaluation data): per eval doc
+    // (doc_id < 20), the fraction of its distinct 3-grams that appear in ANY
+    // train doc (doc_id >= 20). Scale shape: one equi-join on the gram key
+    // with both sides pre-deduped map-side; at 100 TB the join key becomes
+    // xxhash64(gram) so only 8-byte hashes shuffle — kept as strings here
+    // for oracle parity.
+    QDef(
+      "q_decontaminate",
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(text, ' '), x -> x <> '') AS t
+        |  FROM documents
+        |), grams AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+        |                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g3
+        |  FROM toks
+        |), eval_g AS (
+        |  SELECT doc_id, unnest(g3) AS g FROM grams WHERE doc_id < 20
+        |), train_g AS (
+        |  SELECT DISTINCT unnest(g3) AS g FROM grams WHERE doc_id >= 20
+        |)
+        |SELECT e.doc_id AS doc_id,
+        |       count(*) AS n_grams,
+        |       CAST(count(t.g) AS BIGINT) AS n_hit,
+        |       round(CAST(count(t.g) AS DOUBLE) / count(*), 6) AS overlap_frac
+        |FROM eval_g e LEFT JOIN train_g t ON e.g = t.g
+        |GROUP BY e.doc_id ORDER BY doc_id""".stripMargin) {
+      (s, dir) =>
+        val t = filter(split(col("text"), " "), x => x =!= "")
+        val g3 = when(size(t) >= 3,
+          array_distinct(transform(sequence(lit(1), size(t) - 2),
+            i => concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))))
+          .otherwise(array())
+        val grams = Tables.documents(s, dir).select(col("doc_id"), g3.as("g3"))
+        val evalG = grams.where(col("doc_id") < 20)
+          .select(col("doc_id"), explode(col("g3")).as("g"))
+        val trainG = grams.where(col("doc_id") >= 20)
+          .select(explode(col("g3")).as("g")).distinct()
+          .withColumn("hit", lit(1))
+        evalG.join(trainG, Seq("g"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_grams"),
+            count(col("hit")).cast("long").as("n_hit"),
+            round(count(col("hit")).cast("double") / count(lit(1)), 6).as("overlap_frac"))
+          .orderBy("doc_id")
+    },
+
+    // Deterministic hash-range sampling: the RNG-free way to sample at
+    // 100 TB (reproducible across engines, re-runs, and repartitioning) —
+    // md5-prefix admission, ~1/8 of the corpus, summarized per language.
+    QDef(
+      "q_hash_sample",
+      """SELECT lang, count(*) AS n, min(doc_id) AS mn, max(doc_id) AS mx
+        |FROM documents WHERE substr(md5(text), 1, 1) IN ('0', '1')
+        |GROUP BY lang ORDER BY lang""".stripMargin) {
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .where(substring(md5(col("text")), 1, 1).isin("0", "1"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n"), min("doc_id").as("mn"), max("doc_id").as("mx"))
+          .orderBy("lang")
+    },
+
     // Document fingerprint sample: md5 prefix as a cheap content fingerprint
     // for the smallest 50 doc_ids (stable across engines).
     QDef(

@@ -79,6 +79,7 @@ class PlanShapeSpec extends AnyFunSuite {
     // the final (checkpointed) labels — the iterative rounds' shuffles run
     // inside the builder and don't appear in this plan
     "q_media_frames" -> 1, "q_dedup_clusters" -> 2,
+    "q_decontaminate" -> 4, "q_hash_sample" -> 2,
     "q_cv_async" -> 1, "q_cv_activate" -> 1, "q_cv_sw_combine" -> 1,
     "q_cv_constraint" -> 1, "q_cv_schema" -> 1, "q_cv_restart" -> 1,
     "q_cv_stats" -> 1, "q_cv_streaming" -> 1,
