@@ -238,4 +238,77 @@ object PqSearch {
         col("rk").cast("long").as("rk"))
       .orderBy("probe_id", "rk")
   }
+
+  /** IVF-PQ top-k — the composition actually deployed on billion-vector
+    * corpora (FAISS IVFPQ): a k-means coarse quantizer partitions the
+    * corpus into inverted lists ([[AnnSearch.ivfKnn]]'s structure), and
+    * within the probed lists candidates are scored by ADC over M-byte PQ
+    * codes instead of full vectors. Relative to pure [[pqKnn]] the scan is
+    * an EQUI-join on the list id (no nested-loop over the whole corpus,
+    * only ~nprobe/nCentroids of the codes are touched per probe); relative
+    * to IVF-flat the per-candidate cost is M table lookups, not a dim-wide
+    * dot product, and at rest each vector is codes+norm, not dim doubles.
+    * Exact-cosine re-rank on the ADC shortlist, as in [[pqKnn]].
+    */
+  def ivfPqKnn(emb: DataFrame, dim: Int, nProbes: Int, k: Int,
+      nCentroids: Int = 16, nprobe: Int = 6,
+      m: Int = 16, ksub: Int = 64, shortlist: Int = 64,
+      fitSample: Int = 4096, seed: Long = 7L): DataFrame = {
+    val corpus = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val sample: Array[Array[Double]] = corpus
+      .orderBy("vec_id").limit(fitSample) // deterministic sample
+      .collect().map(_.getSeq[Double](1).toArray)
+    sample.headOption.foreach(v0 => require(v0.length == dim,
+      s"ivfPqKnn: vectors are ${v0.length}-dimensional, caller said $dim"))
+    val coarse = AnnSearch.kmeansFit(sample, nCentroids, seed = seed)
+    val codebooks = fitCodebooks(sample, m, ksub, seed + 1000)
+
+    def clustered(df: DataFrame, vecCol: String, np: Int): DataFrame =
+      df.withColumn("cluster",
+        explode(c(AnnSearch.IvfAssign(e(col(vecCol)), coarse, np))))
+
+    // corpus at rest: (list id, codes, norm) — one row per vector in its
+    // single nearest list; full vectors only re-join for the shortlist
+    val lists = clustered(corpus, "v", np = 1)
+      .select(col("vec_id"),
+        c(PqEncode(e(col("v")), codebooks)).as("codes"),
+        sqrt(VectorExpressions.dotProduct(col("v"), col("v"))).as("vnorm"),
+        col("cluster"))
+    val probes = clustered(
+        corpus.where(col("vec_id") < nProbes)
+          .select(col("vec_id").as("probe_id"), col("v").as("pv")), "pv", np = nprobe)
+      .select(col("probe_id"),
+        c(PqLut(e(col("pv")), codebooks)).as("lut"),
+        sqrt(VectorExpressions.dotProduct(col("pv"), col("pv"))).as("pnorm"),
+        col("cluster"))
+
+    val adc = c(AdcDot(e(col("lut")), e(col("codes")), ksub))
+      ./(col("pnorm") * col("vnorm") + lit(1e-12))
+    val scored = broadcast(probes).join(lists,
+        probes("cluster") === lists("cluster") && col("probe_id") =!= col("vec_id"))
+      .select(col("probe_id"), col("vec_id"), round(adc, 9).as("adc"))
+      // a vector can collide with the same probe through several probed
+      // lists only if nprobe lists overlap — they don't (corpus rows sit in
+      // exactly one list), so no dedup needed before the heap
+    val shortKey = struct((col("adc") * -1).as("na"), col("vec_id").as("id"))
+    val heap = c(BottomKAgg(e(shortKey), shortlist).toAggregateExpression())
+    val shortlisted = scored
+      .groupBy("probe_id").agg(heap.as("top"))
+      .select(col("probe_id"), explode(col("top")).as("t"))
+      .select(col("probe_id"), col("t.id").as("neighbor_id"))
+
+    val pv = corpus.select(col("vec_id").as("probe_id"), col("v").as("pv"))
+      .where(col("probe_id") < nProbes)
+    val reranked = shortlisted
+      .join(broadcast(pv), "probe_id")
+      .join(corpus.select(col("vec_id").as("neighbor_id"), col("v").as("nv")), "neighbor_id")
+      .select(col("probe_id"), col("neighbor_id"), cosine(col("pv"), col("nv")).as("raw_sim"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(round(col("raw_sim"), 6).desc, col("neighbor_id"))
+    reranked.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("probe_id"), col("neighbor_id"), round(col("raw_sim"), 4).as("sim"),
+        col("rk").cast("long").as("rk"))
+      .orderBy("probe_id", "rk")
+  }
 }

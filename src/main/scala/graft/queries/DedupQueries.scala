@@ -205,6 +205,25 @@ object DedupQueries {
         .where(col("rk") === 1)
     },
 
+    // IVF-PQ ANN — the billion-vector composition (coarse inverted lists +
+    // ADC over codes within probed lists + exact re-rank); same
+    // forced-rank-1 oracle domain: an identical duplicate shares the
+    // probe's nearest list (always probed at nprobe >= 1) and tops both the
+    // ADC shortlist and the exact re-rank.
+    QDef(
+      "q_ann_ivfpq",
+      """SELECT vec_id AS probe_id, vec_id + 100000 AS neighbor_id,
+        |       CAST(1.0 AS DOUBLE) AS sim, CAST(1 AS BIGINT) AS rk
+        |FROM embeddings WHERE vec_id < 10 ORDER BY probe_id""".stripMargin) { (s, dir) =>
+      val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val seeded = e.unionByName(
+        e.where(col("vec_id") < 10)
+          .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
+      PqSearch.ivfPqKnn(seeded, dim = 64, nProbes = 10, k = 3,
+        nCentroids = 16, nprobe = 6, m = 16, ksub = 64, shortlist = 64)
+        .where(col("rk") === 1)
+    },
+
     // Language ID heuristic — the scoring is pure deterministic string/set
     // math, so DuckDB can recompute it exactly: per-language stopword-hit
     // ratio over distinct stripped tokens (CJK char fraction for zh),

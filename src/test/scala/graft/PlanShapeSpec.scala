@@ -58,7 +58,7 @@ class PlanShapeSpec extends AnyFunSuite {
   // shuffle appeared — at 100 TB that's the difference between one pass
   // over the data and two.
   private val exchangeCeiling = Map(
-    "q_ann_ivf" -> 3, "q_ann_lsh" -> 4, "q_ann_pq" -> 5,
+    "q_ann_ivf" -> 3, "q_ann_lsh" -> 4, "q_ann_pq" -> 5, "q_ann_ivfpq" -> 5,
     "q_array_agg" -> 2, "q_avg" -> 2,
     "q_bloom_membership" -> 5, "q_bloom_setops" -> 5,
     // q_cosine_neardup / q_minhash_neardup / q_simhash_neardup: the whole

@@ -343,6 +343,16 @@ class OpsSpec extends AnyFunSuite {
     assert(viaPq == exact,
       s"PQ with exact reconstruction must equal brute force; " +
         s"missing=${(exact -- viaPq).size} extra=${(viaPq -- exact).size}")
+    // IVF-PQ with every list probed (nprobe = nCentroids) + exact
+    // reconstruction degenerates to exhaustive ADC — must also equal brute
+    // force exactly
+    val viaIvfPq = PqSearch.ivfPqKnn(vecs, dim = 16, nProbes = 10, k = 5,
+        nCentroids = 4, nprobe = 4, m = 4, ksub = 8, shortlist = 50)
+      .select("probe_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaIvfPq == exact,
+      s"IVF-PQ scanning all lists must equal brute force; " +
+        s"missing=${(exact -- viaIvfPq).size} extra=${(viaIvfPq -- exact).size}")
 
     // Near-random testdata embeddings — the hostile case for quantization
     // (no cluster structure to absorb the code error): the ADC shortlist
@@ -544,14 +554,23 @@ class OpsSpec extends AnyFunSuite {
       if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
     }
     val expected = parent.keys.map(v => v -> find(v)).toMap
+    // default regime (bounded graph → driver union-find fast path)
     val got = DedupClusters.connectedComponents(
       edges.toDF("a", "b"), "a", "b")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == expected)
-    // empty pair set → empty labeling (a clean corpus must not NPE on the
-    // null sum of the convergence witness)
+    // distributed regime forced (maxDriverEdges = 0): label propagation +
+    // pointer jumping must produce the identical labeling
+    val gotDist = DedupClusters.connectedComponents(
+      edges.toDF("a", "b"), "a", "b", maxDriverEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotDist == expected)
+    // empty pair set → empty labeling in both regimes (a clean corpus must
+    // not NPE on the null sum of the convergence witness)
     assert(DedupClusters.connectedComponents(
       edges.toDF("a", "b").limit(0), "a", "b").count() == 0)
+    assert(DedupClusters.connectedComponents(
+      edges.toDF("a", "b").limit(0), "a", "b", maxDriverEdges = 0L).count() == 0)
   }
 
   test("bm25: scores match a direct driver-side Okapi computation") {
