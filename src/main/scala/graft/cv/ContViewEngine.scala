@@ -747,6 +747,9 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     // re-pointed (not replaced), so async threads still holding this handle
     // keep writing — to the new path.
     h.store.synchronized {
+      // drain any in-flight background version-dir deletion BEFORE the move:
+      // its absolute paths go stale the instant the tree relocates
+      h.store.quiesceGc()
       val from = Paths.get(root, name)
       if (Files.exists(from))
         Files.move(from, Paths.get(root, newName), StandardCopyOption.ATOMIC_MOVE)

@@ -59,13 +59,20 @@ final class StateStore(
     * what makes the move safe: there is no superseded instance left that
     * could write into the moved-away directory.
     */
-  def relocate(newRoot: String): Unit = this.synchronized {
-    val old = Paths.get(_root)
-    // join any in-flight background deletion first: it holds absolute paths
-    // under the old root, and racing the directory move could leave stale
-    // version dirs undeleted in the relocated tree
+  /** Join any in-flight background version-dir deletion. Callers about to
+    * MOVE the store's directory tree (rename) must quiesce BEFORE the move:
+    * the deleter holds absolute paths under the old root, and a move that
+    * wins the race turns its Files.exists checks into silent no-ops —
+    * leaving stale superseded version dirs alive inside the relocated tree.
+    */
+  private[cv] def quiesceGc(): Unit = this.synchronized {
     gcInFlight.foreach(f => try f.get() catch { case _: Throwable => () })
     gcInFlight = None
+  }
+
+  def relocate(newRoot: String): Unit = this.synchronized {
+    val old = Paths.get(_root)
+    quiesceGc() // belt: callers quiesce before moving the tree (see above)
     _root = newRoot
     // stale version dirs awaiting deferred GC moved with the tree
     pendingGc = pendingGc.map(p => Paths.get(newRoot).resolve(old.relativize(p)))

@@ -53,7 +53,11 @@ object DedupClusters {
       // empty (converged) labeling, not an NPE
       (out, Option(obs.get("s")).map(_.asInstanceOf[Long]).getOrElse(0L))
     }
+    // a NULL id pairs with nothing: drop it up front so both regimes agree
+    // (the driver fast path would NPE on getLong; the distributed loop's
+    // null-hostile joins would silently strand it)
     val fwd = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
     val edges = fwd.unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint(true)
     // count() on the materialized checkpoint is metadata-cheap; the gate

@@ -63,6 +63,12 @@ object PqSearch {
       val arr = v.asInstanceOf[ArrayData].toDoubleArray()
       val m = codebooks.length
       val dsub = codebooks(0)(0).length
+      // loud, not lossy: a row whose dimensionality disagrees with the fit
+      // would otherwise be silently zero-padded/truncated while its stored
+      // norm covers the full vector — systematically deflated scores
+      if (arr.length != m * dsub)
+        throw new IllegalArgumentException(
+          s"pq_encode: vector has ${arr.length} dims, codebooks fit ${m * dsub}")
       val out = new Array[Any](m)
       var s = 0
       while (s < m) {
@@ -75,8 +81,7 @@ object PqSearch {
           var d = 0.0
           var i = 0
           while (i < dsub) {
-            val off = s * dsub + i
-            val diff = (if (off < arr.length) arr(off) else 0.0) - cent(i)
+            val diff = arr(s * dsub + i) - cent(i)
             d += diff * diff
             i += 1
           }
@@ -104,6 +109,9 @@ object PqSearch {
       val m = codebooks.length
       val ksub = codebooks(0).length
       val dsub = codebooks(0)(0).length
+      if (arr.length != m * dsub) // see PqEncode: loud, not lossy
+        throw new IllegalArgumentException(
+          s"pq_lut: vector has ${arr.length} dims, codebooks fit ${m * dsub}")
       val out = new Array[Any](m * ksub)
       var s = 0
       while (s < m) {
@@ -114,8 +122,7 @@ object PqSearch {
           var dot = 0.0
           var i = 0
           while (i < dsub) {
-            val off = s * dsub + i
-            dot += (if (off < arr.length) arr(off) else 0.0) * cent(i)
+            dot += arr(s * dsub + i) * cent(i)
             i += 1
           }
           out(s * ksub + c) = dot
@@ -178,52 +185,46 @@ object PqSearch {
       c(PqEncode(e(col("v")), codebooks)).as("codes"),
       sqrt(VectorExpressions.dotProduct(col("v"), col("v"))).as("vnorm"))
 
-  /** PQ top-k: ADC shortlist over compressed codes, exact cosine re-rank.
-    *
-    * Output: (probe_id, neighbor_id, sim, rk) — same shape as
-    * [[AnnSearch.ivfKnn]] / [[AnnSearch.lshKnn]].
-    */
-  def pqKnn(emb: DataFrame, dim: Int, nProbes: Int, k: Int,
-      m: Int = 16, ksub: Int = 64, shortlist: Int = 64,
-      fitSample: Int = 4096, seed: Long = 7L): DataFrame = {
-    val spark = emb.sparkSession
-    val corpus = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+  /** Deterministic bounded fit sample + dimension check (shared preamble). */
+  private def fitSampleOf(corpus: DataFrame, dim: Int, fitSample: Int,
+      caller: String): Array[Array[Double]] = {
     val sample: Array[Array[Double]] = corpus
-      .orderBy("vec_id").limit(fitSample) // deterministic sample
+      .orderBy("vec_id").limit(fitSample)
       .collect().map(_.getSeq[Double](1).toArray)
     sample.headOption.foreach(v0 => require(v0.length == dim,
-      s"pqKnn: vectors are ${v0.length}-dimensional, caller said $dim"))
-    val codebooks = fitCodebooks(sample, m, ksub, seed)
+      s"$caller: vectors are ${v0.length}-dimensional, caller said $dim"))
+    sample
+  }
 
-    val encoded = encode(corpus, codebooks)
-    val probes = corpus.where(col("vec_id") < nProbes)
-      .select(col("vec_id").as("probe_id"),
-        c(PqLut(e(col("v")), codebooks)).as("lut"),
-        sqrt(VectorExpressions.dotProduct(col("v"), col("v"))).as("pnorm"))
-
-    // ADC scan: broadcast the tiny probe set (lut rides each probe row) and
-    // score every corpus row's codes map-side; normalizing by the stored
-    // exact vnorm makes the score an approximate COSINE (exact when the
-    // reconstruction is exact), so ranking matches the re-rank metric.
-    val adc = c(AdcDot(e(col("lut")), e(col("codes")), ksub))
+  /** Normalized ADC score column over (lut, codes, pnorm, vnorm): exact-norm
+    * division makes it an approximate COSINE (exact when reconstruction is
+    * exact), so shortlist ranking matches the re-rank metric; round(…, 9)
+    * pins float-association noise out of the ordering. `ksub` is the FITTED
+    * codebook size (may be below the requested one on tiny corpora — the
+    * LUT stride must match what [[PqLut]] laid out).
+    */
+  private def adcCosine(ksub: Int): Column =
+    c(AdcDot(e(col("lut")), e(col("codes")), ksub))
       ./(col("pnorm") * col("vnorm") + lit(1e-12))
-    val scoredCodes = broadcast(probes)
-      .join(encoded, col("probe_id") =!= col("vec_id"))
-      .select(col("probe_id"), col("vec_id"),
-        round(adc, 9).as("adc")) // pin float assoc noise out of the ordering
-    // Bounded-heap shortlist: per-probe top-R via BottomKAgg on
-    // struct(-adc, vec_id) — O(R) state at update/shuffle/merge, so the
-    // 10·|corpus| scored rows never shuffle (only ≤ R-element partial heaps
-    // per partition do). A window row_number here would shuffle every scored
-    // row to |probes| partitions — the anti-pattern at corpus scale.
+
+  /** Bounded-heap shortlist + exact re-rank (shared tail of pqKnn/ivfPqKnn).
+    *
+    * Shortlist: per-probe top-R via BottomKAgg on struct(-adc, vec_id) —
+    * O(R) state at update/shuffle/merge, so the |probes|·|corpus| scored
+    * rows never shuffle (only ≤ R-element partial heaps per partition do);
+    * a window row_number here would shuffle every scored row to |probes|
+    * partitions — the anti-pattern at corpus scale. Re-rank: only shortlist
+    * candidates re-join their full vectors for exact cosine; final top-k by
+    * window over ≤ probes·R rows.
+    */
+  private def shortlistAndRerank(scored: DataFrame, corpus: DataFrame,
+      nProbes: Int, k: Int, shortlist: Int): DataFrame = {
     val shortKey = struct((col("adc") * -1).as("na"), col("vec_id").as("id"))
     val heap = c(BottomKAgg(e(shortKey), shortlist).toAggregateExpression())
-    val shortlisted = scoredCodes
+    val shortlisted = scored
       .groupBy("probe_id").agg(heap.as("top"))
       .select(col("probe_id"), explode(col("top")).as("t"))
       .select(col("probe_id"), col("t.id").as("neighbor_id"))
-
-    // Exact re-rank: only shortlist candidates re-join their full vectors.
     val pv = corpus.select(col("vec_id").as("probe_id"), col("v").as("pv"))
       .where(col("probe_id") < nProbes)
     val reranked = shortlisted
@@ -237,6 +238,32 @@ object PqSearch {
       .select(col("probe_id"), col("neighbor_id"), round(col("raw_sim"), 4).as("sim"),
         col("rk").cast("long").as("rk"))
       .orderBy("probe_id", "rk")
+  }
+
+  /** PQ top-k: ADC shortlist over compressed codes, exact cosine re-rank.
+    *
+    * Output: (probe_id, neighbor_id, sim, rk) — same shape as
+    * [[AnnSearch.ivfKnn]] / [[AnnSearch.lshKnn]].
+    */
+  def pqKnn(emb: DataFrame, dim: Int, nProbes: Int, k: Int,
+      m: Int = 16, ksub: Int = 64, shortlist: Int = 64,
+      fitSample: Int = 4096, seed: Long = 7L): DataFrame = {
+    val corpus = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val codebooks = fitCodebooks(fitSampleOf(corpus, dim, fitSample, "pqKnn"), m, ksub, seed)
+
+    val encoded = encode(corpus, codebooks)
+    val probes = corpus.where(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"),
+        c(PqLut(e(col("v")), codebooks)).as("lut"),
+        sqrt(VectorExpressions.dotProduct(col("v"), col("v"))).as("pnorm"))
+
+    // ADC scan: broadcast the tiny probe set (lut rides each probe row) and
+    // score every corpus row's codes map-side.
+    val scoredCodes = broadcast(probes)
+      .join(encoded, col("probe_id") =!= col("vec_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(adcCosine(codebooks(0).length), 9).as("adc"))
+    shortlistAndRerank(scoredCodes, corpus, nProbes, k, shortlist)
   }
 
   /** IVF-PQ top-k — the composition actually deployed on billion-vector
@@ -255,11 +282,7 @@ object PqSearch {
       m: Int = 16, ksub: Int = 64, shortlist: Int = 64,
       fitSample: Int = 4096, seed: Long = 7L): DataFrame = {
     val corpus = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val sample: Array[Array[Double]] = corpus
-      .orderBy("vec_id").limit(fitSample) // deterministic sample
-      .collect().map(_.getSeq[Double](1).toArray)
-    sample.headOption.foreach(v0 => require(v0.length == dim,
-      s"ivfPqKnn: vectors are ${v0.length}-dimensional, caller said $dim"))
+    val sample = fitSampleOf(corpus, dim, fitSample, "ivfPqKnn")
     val coarse = AnnSearch.kmeansFit(sample, nCentroids, seed = seed)
     val codebooks = fitCodebooks(sample, m, ksub, seed + 1000)
 
@@ -282,33 +305,13 @@ object PqSearch {
         sqrt(VectorExpressions.dotProduct(col("pv"), col("pv"))).as("pnorm"),
         col("cluster"))
 
-    val adc = c(AdcDot(e(col("lut")), e(col("codes")), ksub))
-      ./(col("pnorm") * col("vnorm") + lit(1e-12))
+    // a vector can collide with the same probe through several probed lists
+    // only if nprobe lists overlap — they don't (corpus rows sit in exactly
+    // one list), so no dedup is needed before the heap
     val scored = broadcast(probes).join(lists,
         probes("cluster") === lists("cluster") && col("probe_id") =!= col("vec_id"))
-      .select(col("probe_id"), col("vec_id"), round(adc, 9).as("adc"))
-      // a vector can collide with the same probe through several probed
-      // lists only if nprobe lists overlap — they don't (corpus rows sit in
-      // exactly one list), so no dedup needed before the heap
-    val shortKey = struct((col("adc") * -1).as("na"), col("vec_id").as("id"))
-    val heap = c(BottomKAgg(e(shortKey), shortlist).toAggregateExpression())
-    val shortlisted = scored
-      .groupBy("probe_id").agg(heap.as("top"))
-      .select(col("probe_id"), explode(col("top")).as("t"))
-      .select(col("probe_id"), col("t.id").as("neighbor_id"))
-
-    val pv = corpus.select(col("vec_id").as("probe_id"), col("v").as("pv"))
-      .where(col("probe_id") < nProbes)
-    val reranked = shortlisted
-      .join(broadcast(pv), "probe_id")
-      .join(corpus.select(col("vec_id").as("neighbor_id"), col("v").as("nv")), "neighbor_id")
-      .select(col("probe_id"), col("neighbor_id"), cosine(col("pv"), col("nv")).as("raw_sim"))
-    val w = Window.partitionBy("probe_id")
-      .orderBy(round(col("raw_sim"), 6).desc, col("neighbor_id"))
-    reranked.withColumn("rk", row_number().over(w))
-      .where(col("rk") <= k)
-      .select(col("probe_id"), col("neighbor_id"), round(col("raw_sim"), 4).as("sim"),
-        col("rk").cast("long").as("rk"))
-      .orderBy("probe_id", "rk")
+      .select(col("probe_id"), col("vec_id"),
+        round(adcCosine(codebooks(0).length), 9).as("adc"))
+    shortlistAndRerank(scored, corpus, nProbes, k, shortlist)
   }
 }
