@@ -181,8 +181,8 @@ object Bench {
     // first-half vs second-half throughput ratio (drift: state growth or
     // backlog showing up as a slowdown), and mean reap latency under load.
     val soakSec = sys.env.getOrElse("SPARK_GRAFT_SOAK_SEC", "45").toDouble
-    val (soakEvPerSec, soakDrift, soakReapMs, soakBatches) = if (soakSec <= 0) {
-      (0.0, 0.0, 0.0, 0L)
+    val (soakEvPerSec, soakDrift, soakReapMs, soakBatches, soakCommits) = if (soakSec <= 0) {
+      (0.0, 0.0, 0.0, 0L, 0L)
     } else {
       val root = java.nio.file.Files.createTempDirectory("graft_soakbench").toString
       val eng = new graft.cv.ContViewEngine(spark, root, smallStateBytes = 0L)
@@ -228,19 +228,23 @@ object Bench {
       val t1 = System.nanoTime()
       val (sent2, b2) = soakHalf(t0 + 2 * halfNanos, b1)
       val t2 = System.nanoTime()
+      // committed micro-batches per CV (batches_enqueued / commits = the
+      // async drain's coalescing factor — visible in the artifact)
+      val commits = eng.stats().where(org.apache.spark.sql.functions.col("name") === "v_sk")
+        .select("batches").collect()(0).getLong(0)
       chunkDfs.foreach(_.unpersist())
       eng.dropContView("v_sk"); eng.dropContView("v_sk_ttl"); eng.dropStream("sk_stream")
       val ev1 = sent1 / ((t1 - t0) / 1e9)
       val ev2 = sent2 / ((t2 - t1) / 1e9)
       val evAll = (sent1 + sent2) / ((t2 - t0) / 1e9)
       val reapMs = if (reapNanos.isEmpty) 0.0 else reapNanos.sum / 1e6 / reapNanos.size
-      (evAll, if (ev1 > 0) ev2 / ev1 else 0.0, reapMs, b2)
+      (evAll, if (ev1 > 0) ev2 / ev1 else 0.0, reapMs, b2, commits)
     }
     val loadavg = loadavgNow()
     val (steal1, total1) = cpuTicks()
     val stealPct =
       if (total1 > total0) 100.0 * (steal1 - steal0) / (total1 - total0) else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":$repeats,"cv_large_state_sec":$largeStateSec,"cv_ingest_events_per_sec":${ingestEventsPerSec.round},"cv_reap_noop_sec":$reapNoopSec,"cv_soak_sec":$soakSec,"cv_soak_events_per_sec":${soakEvPerSec.round},"cv_soak_drift":${math.round(soakDrift * 1000) / 1000.0},"cv_soak_reap_ms":${math.round(soakReapMs * 100) / 100.0},"cv_soak_batches":$soakBatches,"loadavg_before":"$loadavgBefore","loadavg":"$loadavg","cpu_steal_pct":${math.round(stealPct * 100) / 100.0}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":$repeats,"cv_large_state_sec":$largeStateSec,"cv_ingest_events_per_sec":${ingestEventsPerSec.round},"cv_reap_noop_sec":$reapNoopSec,"cv_soak_sec":$soakSec,"cv_soak_events_per_sec":${soakEvPerSec.round},"cv_soak_drift":${math.round(soakDrift * 1000) / 1000.0},"cv_soak_reap_ms":${math.round(soakReapMs * 100) / 100.0},"cv_soak_batches":$soakBatches,"cv_soak_commits":$soakCommits,"loadavg_before":"$loadavgBefore","loadavg":"$loadavg","cpu_steal_pct":${math.round(stealPct * 100) / 100.0}}""")
     spark.stop()
   }
 }
