@@ -235,6 +235,15 @@ final class StateStore(
   // design keeps at O(groups), never O(events).
   private var cachedState: Option[DataFrame] = None
 
+  // Whether the snapshot has plausibly been materialized (an overlay read
+  // ran since the last mutation). The bucket-pruned merge reads existing
+  // state through the cache ONLY then: filtering the still-cold cache plan
+  // would scan EVERY bucket from disk just to populate cache blocks that
+  // the same mutation immediately invalidates — on an ingest-only workload
+  // that silently turns the O(touched-buckets) merge into O(state) per
+  // batch, the difference that matters at 100× state with sparse arrivals.
+  @volatile private var cacheWarm = false
+
   private def refreshCache(): Unit = {
     cachedState.foreach(_.unpersist())
     // append stores NEVER cache: state is O(events), not O(groups) — a
@@ -242,6 +251,7 @@ final class StateStore(
     // invalidate it, so rows appended after a reap pass (whose deleteWhere
     // ends here) would vanish from read() until the next delete
     cachedState = if (appendOnly) None else readBuckets(None).map(_.persist())
+    cacheWarm = false
   }
 
   /** Drop any persisted state snapshot (e.g. when this store instance is
@@ -251,10 +261,16 @@ final class StateStore(
   def releaseCache(): Unit = this.synchronized {
     cachedState.foreach(_.unpersist())
     cachedState = None
+    cacheWarm = false
   }
 
   /** Current state as a DataFrame (without the bucket column). */
-  def read(): Option[DataFrame] = cachedState.orElse(readBuckets(None))
+  def read(): Option[DataFrame] = {
+    // the caller is about to run an action over the snapshot, which
+    // materializes the cache blocks — later merges may then serve from memory
+    if (cachedState.isDefined) cacheWarm = true
+    cachedState.orElse(readBuckets(None))
+  }
 
   // State schema memo: set on every write (from the update frame, which
   // carries the combine-kind column metadata) and on the first inferred
@@ -377,7 +393,7 @@ final class StateStore(
       val empty = updates.limit(0)
       return (if (needOldRows) Some(empty) else None, () => empty, 0L)
     }
-    val existingTouched = cachedState
+    val existingTouched = cachedState.filter(_ => cacheWarm)
       .map(_.where(bucketOf.isInCollection(touched.map(_.toLong))))
       .orElse(readBuckets(Some(touched)))
 
