@@ -256,11 +256,17 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
       register
       ownedTempViews += name
     }
+    // monitoring relations are SQL-addressable (the reference's
+    // pipelinedb.views / query_stats / … catalogs, sql:77-108 + 2681-2800):
+    // accept the reference's qualified spelling as a drop-in alias
+    val monitorAliased = ("""(?i)(?<![\w.])pipelinedb\.""" +
+      """(views|transforms|query_stats|proc_stats|stream_stats|stream_readers|db_stats)\b""").r
+      .replaceAllIn(selectSql, m => "graft_" + m.group(1).toLowerCase)
     // output_of('cv') reads bind to the changes table — NOT the `<cv>_osrel`
     // stream registration, which is an empty relation whose attribute ids
     // downstream CQ planning depends on (clobbering it would break chaining)
     val rewritten = """(?i)output_of\s*\(\s*'([\w.]+)'\s*\)""".r
-      .replaceAllIn(selectSql, m => {
+      .replaceAllIn(monitorAliased, m => {
         val cv = normalizeName(m.group(1), "continuous query")
         val view = "__graft_read_" + bindName(osrelName(cv))
         val changes = outputOf(cv).getOrElse(throw new IllegalStateException(
@@ -273,10 +279,14 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
         view
       })
     // catalog keys are dotted for non-public schemas; the rewritten SQL
-    // spells them as their __gns__ bindings — match on the binding
+    // spells them as their __gns__ bindings — match on the binding.
+    // String literals are blanked first: a relation name appearing INSIDE a
+    // literal (`WHERE stream = 'ev'`) is data, not a table reference — it
+    // must neither trip the stream wall nor force a binding.
+    val scanText = rewritten.replaceAll("'[^']*'", "''")
     def mentioned(key: String): Boolean =
       ("""(?i)(?<![\w.])""" + java.util.regex.Pattern.quote(bindName(key)) + """(?![\w.])""").r
-        .findFirstIn(rewritten).isDefined
+        .findFirstIn(scanText).isDefined
     // Streams (incl. `<cv>_osrel` output streams) are unstored event
     // sources only continuous queries may scan — an ad-hoc SELECT would
     // silently read the empty stream relation and return nothing. The
@@ -312,6 +322,21 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
         bind(bindName(v) + "_mrel")(
           renamed.createOrReplaceTempView(bindName(v) + "_mrel"))
       }
+    }
+    // monitoring views: bound on demand as point-in-time snapshots (the
+    // reference's stats catalogs are live views; a SELECT here re-snapshots
+    // per statement, which is the same observable granularity)
+    val monitors: Seq[(String, () => DataFrame)] = Seq(
+      "graft_views" -> (() => viewsCatalog()),
+      "graft_transforms" -> (() => transformsCatalog()),
+      "graft_query_stats" -> (() => stats()),
+      "graft_proc_stats" -> (() => procStats()),
+      "graft_stream_stats" -> (() => streamStats()),
+      "graft_stream_readers" -> (() => streamReaders()),
+      "graft_db_stats" -> (() => dbStats()))
+    monitors.foreach { case (nm, mk) =>
+      if (("""(?i)(?<![\w.])""" + nm + """(?![\w.])""").r.findFirstIn(scanText).isDefined)
+        bind(nm)(mk().createOrReplaceTempView(nm))
     }
     // spark.sql analyzes eagerly, so the bindings created for this statement
     // are no longer needed once it returns — the analyzed plan holds the

@@ -1331,6 +1331,36 @@ class CvSpec extends AnyFunSuite {
     assert(eng2.overlay("v_cat_sw", Some(tAt(3000))).count() > 0)
   }
 
+  test("monitoring catalogs are SQL relations (pipelinedb.views/query_stats parity)") {
+    val eng = newEngine()
+    eng.createStream("mv_s", streamSchema)
+    eng.createContView("v_mv", "SELECT key, count(*) AS n FROM mv_s GROUP BY key",
+      emitChanges = false)
+    eng.insertInto("mv_s", mkBatch(allRows.take(100)))
+    // engine-native spelling
+    assert(eng.sql("SELECT name FROM graft_views")
+      .collect().map(_.getString(0)).contains("v_mv"))
+    assert(eng.sql("SELECT batches FROM graft_stream_stats WHERE stream = 'mv_s'")
+      .collect()(0).getLong(0) == 1L)
+    // reference spelling accepted as a drop-in alias (pipelinedb.views /
+    // pipelinedb.query_stats, sql:77-108, 2681-2800)
+    assert(eng.sql(
+      "SELECT count(*) AS c FROM pipelinedb.query_stats WHERE name = 'v_mv'")
+      .collect()(0).getLong(0) == 1L)
+    assert(eng.sql("SELECT views FROM pipelinedb.db_stats")
+      .collect()(0).getLong(0) >= 1L)
+    // joins against monitoring views work like any relation
+    val joined = eng.sql(
+      """SELECT s.stream, r.cq FROM graft_stream_stats s
+        |JOIN graft_stream_readers r ON s.stream = r.stream
+        |WHERE s.stream = 'mv_s'""".stripMargin).collect()
+    assert(joined.length == 1 && joined(0).getString(1) == "v_mv")
+    // per-statement snapshot: a second batch is visible on the next SELECT
+    eng.insertInto("mv_s", mkBatch(allRows.slice(100, 200)))
+    assert(eng.sql("SELECT batches FROM graft_stream_stats WHERE stream = 'mv_s'")
+      .collect()(0).getLong(0) == 2L)
+  }
+
   test("crashed-write orphan version dir is invisible to reads and GC'd by the next commit") {
     // A writer that dies between the parquet write and the manifest swap
     // leaves an orphan v<N+1> dir; the atomic manifest is the only source of
