@@ -258,10 +258,13 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     }
     // monitoring relations are SQL-addressable (the reference's
     // pipelinedb.views / query_stats / … catalogs, sql:77-108 + 2681-2800):
-    // accept the reference's qualified spelling as a drop-in alias
-    val monitorAliased = ("""(?i)(?<![\w.])pipelinedb\.""" +
-      """(views|transforms|query_stats|proc_stats|stream_stats|stream_readers|db_stats)\b""").r
-      .replaceAllIn(selectSql, m => "graft_" + m.group(1).toLowerCase)
+    // accept the reference's qualified spelling as a drop-in alias. The
+    // rewrite runs only OUTSIDE string literals (escape-aware split): a
+    // literal containing 'pipelinedb.views' is data, not a reference.
+    val monitorAliased = mapOutsideLiterals(selectSql,
+      ("""(?i)(?<![\w.])pipelinedb\.""" +
+        """(views|transforms|query_stats|proc_stats|stream_stats|stream_readers|db_stats)\b""").r
+        .replaceAllIn(_, m => "graft_" + m.group(1).toLowerCase))
     // output_of('cv') reads bind to the changes table — NOT the `<cv>_osrel`
     // stream registration, which is an empty relation whose attribute ids
     // downstream CQ planning depends on (clobbering it would break chaining)
@@ -282,8 +285,9 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     // spells them as their __gns__ bindings — match on the binding.
     // String literals are blanked first: a relation name appearing INSIDE a
     // literal (`WHERE stream = 'ev'`) is data, not a table reference — it
-    // must neither trip the stream wall nor force a binding.
-    val scanText = rewritten.replaceAll("'[^']*'", "''")
+    // must neither trip the stream wall nor force a binding. The literal
+    // pattern honors backslash escapes ('it\'s') and '' doubling.
+    val scanText = ContViewEngine.SqlLiteral.replaceAllIn(rewritten, "''")
     def mentioned(key: String): Boolean =
       ("""(?i)(?<![\w.])""" + java.util.regex.Pattern.quote(bindName(key)) + """(?![\w.])""").r
         .findFirstIn(scanText).isDefined
@@ -335,7 +339,11 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
       "graft_stream_readers" -> (() => streamReaders()),
       "graft_db_stats" -> (() => dbStats()))
     monitors.foreach { case (nm, mk) =>
-      if (("""(?i)(?<![\w.])""" + nm + """(?![\w.])""").r.findFirstIn(scanText).isDefined)
+      // a user CV/CT/stream that happens to carry a monitoring name wins:
+      // its binding (made above) must not be shadowed by the stats snapshot
+      val userOwns = views.contains(nm) || transforms.contains(nm) || streams.contains(nm)
+      if (!userOwns &&
+          ("""(?i)(?<![\w.])""" + nm + """(?![\w.])""").r.findFirstIn(scanText).isDefined)
         bind(nm)(mk().createOrReplaceTempView(nm))
     }
     // spark.sql analyzes eagerly, so the bindings created for this statement
@@ -654,6 +662,20 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     * bindings, outside string literals. Only KNOWN schema names rewrite, so
     * genuine db.table spellings against real Spark catalogs pass through.
     */
+  /** Apply `f` to the non-literal segments of a SQL text; string literals
+    * pass through untouched (see [[ContViewEngine.SqlLiteral]]).
+    */
+  private def mapOutsideLiterals(sqlText: String, f: String => String): String = {
+    val sb = new StringBuilder
+    var last = 0
+    for (m <- ContViewEngine.SqlLiteral.findAllMatchIn(sqlText)) {
+      sb.append(f(sqlText.substring(last, m.start))).append(m.matched)
+      last = m.end
+    }
+    sb.append(f(sqlText.substring(last)))
+    sb.toString
+  }
+
   private def rewriteQualifiedRefs(sqlText: String): String = {
     val schemaSnapshot = synchronized(schemas.toSeq)
     val active = schemaSnapshot.filter(s => sqlText.contains(s + "."))
@@ -1251,7 +1273,11 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     if (first != null) {
       val run = mutable.Buffer(first)
       var next = asyncQueue.peek()
-      while (next != null && next.stream == first.stream && next.targets == first.targets) {
+      // identical schema required: batches may legally differ (e.g. one
+      // carries an explicit arrival_timestamp), and a failed union would
+      // lose EVERY batch in the run where each would have committed alone
+      while (next != null && next.stream == first.stream &&
+          next.targets == first.targets && next.batch.schema == first.batch.schema) {
         run += asyncQueue.poll()
         next = asyncQueue.peek()
       }
@@ -2183,6 +2209,11 @@ final case class DbStats(
 
 object ContViewEngine {
   val Version = "graft 0.2.0 (spark-native continuous views)"
+
+  /** SQL single-quoted string literal, honoring backslash escapes
+    * (`'it\'s'`) and `''` doubling (two adjacent matches).
+    */
+  private[cv] val SqlLiteral = """'(?:[^'\\]|\\.)*'""".r
 }
 
 private object CvPlannerIntervals {

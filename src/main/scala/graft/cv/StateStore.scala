@@ -242,6 +242,10 @@ final class StateStore(
   // the same mutation immediately invalidates — on an ingest-only workload
   // that silently turns the O(touched-buckets) merge into O(state) per
   // batch, the difference that matters at 100× state with sparse arrivals.
+  // OPTIMISTIC hint: read() flips it at plan hand-out, not at action time,
+  // so an analyzed-but-never-executed read makes at most ONE merge take the
+  // cold-cache (old-behavior) path before the mutation resets the flag —
+  // bounded staleness, no correctness impact either way.
   @volatile private var cacheWarm = false
 
   private def refreshCache(): Unit = {
@@ -895,8 +899,14 @@ final class StateStore(
   } catch { case _: Exception => None } // unreadable footer → scan the bucket
 
   def truncate(): Unit = this.synchronized {
+    // drain any in-flight background version-dir deletion first: this walk
+    // traverses the SAME tree the deleter is removing entries from, and a
+    // racing walk throws NoSuchFileException mid-traversal
+    quiesceGc()
+    pendingGc = Set.empty // everything below root dies right here
     cachedState.foreach(_.unpersist())
     cachedState = None
+    cacheWarm = false
     if (Files.exists(Paths.get(root))) {
       Files.walk(Paths.get(root)).iterator().asScala.toSeq.reverse
         .foreach(p => Files.deleteIfExists(p))
@@ -938,8 +948,15 @@ final class StateStore(
     }
     gcInFlight = Some(StateStore.gcPool.submit(new Runnable {
       override def run(): Unit = batch.foreach { dir =>
-        if (Files.exists(dir))
-          Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+        // per-dir isolation: one dir's transient IO failure must not leak
+        // the REST of the batch (pendingGc no longer references them) —
+        // and failures are reported, not swallowed into quiesce joins
+        try {
+          if (Files.exists(dir))
+            Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+        } catch { case e: Exception =>
+          System.err.println(s"[graft] background GC failed to delete $dir: $e")
+        }
       }
     }))
   }

@@ -709,6 +709,22 @@ class CvSpec extends AnyFunSuite {
       .select("batches").collect()(0).getLong(0)
     assert(batches >= 1 && batches < 20,
       s"batch count $batches: drain loop did not coalesce the async backlog")
+
+    // mixed schemas must NOT coalesce (a failed union would lose every
+    // batch in the run): explicit-arrival batches interleaved with plain
+    // ones still all commit
+    eng.createStream("s_mx", streamSchema)
+    eng.createContView("v_mx", "SELECT key, count(*) AS n FROM s_mx GROUP BY key",
+      emitChanges = false)
+    val ts0 = new java.sql.Timestamp(1700000000000L)
+    allRows.take(800).grouped(100).zipWithIndex.foreach { case (c, i) =>
+      val b = mkBatch(c)
+      eng.insertIntoAsync("s_mx",
+        if (i % 2 == 0) b.withColumn("arrival_timestamp", lit(ts0)) else b)
+    }
+    eng.flush()
+    assert(asMap(eng.overlay("v_mx")) ==
+      asMap(mkBatch(allRows.take(800)).groupBy("key").agg(count(lit(1)).as("n"))))
   }
 
   test("continuous delta chaining: CV reads another CV's output stream (delta_streams.sql)") {
@@ -1359,6 +1375,16 @@ class CvSpec extends AnyFunSuite {
     eng.insertInto("mv_s", mkBatch(allRows.slice(100, 200)))
     assert(eng.sql("SELECT batches FROM graft_stream_stats WHERE stream = 'mv_s'")
       .collect()(0).getLong(0) == 2L)
+    // the alias rewrite is literal-blind: 'pipelinedb.views' as DATA survives
+    val lit0 = eng.sql("SELECT 'pipelinedb.views' AS s FROM graft_db_stats")
+      .collect()(0).getString(0)
+    assert(lit0 == "pipelinedb.views", s"literal was rewritten to $lit0")
+    // a user CV carrying a monitoring name wins over the stats snapshot
+    eng.createContView("graft_query_stats",
+      "SELECT key, count(*) AS n FROM mv_s GROUP BY key", emitChanges = false)
+    eng.insertInto("mv_s", mkBatch(allRows.take(50)))
+    assert(eng.sql("SELECT * FROM graft_query_stats").columns.toSeq == Seq("key", "n"),
+      "user CV named graft_query_stats was shadowed by the monitoring snapshot")
   }
 
   test("crashed-write orphan version dir is invisible to reads and GC'd by the next commit") {
