@@ -383,9 +383,13 @@ final class StateStore(
     if (selfPersist) updates.persist()
     try {
     val obs = org.apache.spark.sql.Observation()
+    // count() (not foreach) as the materializing action: it runs the plan
+    // through whole-stage codegen and caches the partials without the
+    // per-row InternalRow→Row conversion a Dataset.foreach pays; the
+    // CollectMetrics barrier still delivers the observation
     phase(lastWorkerMs = _)(timed("scan+cache")(up
       .observe(obs, collect_set(col(BucketCol)).as("touched"), count(lit(1)).as("n"))
-      .foreach(_ => ())))
+      .count()))
     val touched = obs.get("touched").asInstanceOf[scala.collection.Seq[Long]]
       .map(_.toInt).toSet
     val groupsTouched = obs.get("n").asInstanceOf[Long]
