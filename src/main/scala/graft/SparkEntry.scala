@@ -13,7 +13,7 @@ import graft.queries._
 object SparkEntry {
 
   private def registry: Seq[QDef] =
-    RelationalQueries.all ++ TextQueries.all ++ SimilarityQueries.all ++ SketchQueries.all ++ CvQueries.all ++ DedupQueries.all ++ PipelineQueries.all
+    RelationalQueries.all ++ TextQueries.all ++ SimilarityQueries.all ++ SketchQueries.all ++ CvQueries.all ++ DedupQueries.all ++ PipelineQueries.all ++ CurationQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -101,7 +101,15 @@ class PlanShapeSpec extends AnyFunSuite {
     "q_rollup" -> 2, "q_set_agg" -> 3, "q_simhash_neardup" -> 1,
     "q_sliding_window" -> 4, "q_stream_table_join" -> 4, "q_string_agg" -> 3,
     "q_sum_min_max" -> 2, "q_token_count" -> 2, "q_topk" -> 3,
-    "q_topk_sketch" -> 4, "q_var_stddev" -> 2)
+    "q_topk_sketch" -> 4, "q_var_stddev" -> 2,
+    // q_pack_sequences: one shuffle on the shard key feeds both the window
+    // and the (shard, pack_id) agg; final range sort. q_chunk_docs is
+    // map-only + range sort. q_semantic_dedup: bucket equi-join (SMJ) +
+    // distinct + dropped-set join + agg + sort. q_domain_mix: one agg + sort.
+    "q_pack_sequences" -> 2, "q_chunk_docs" -> 1,
+    "q_semantic_dedup" -> 5, "q_domain_mix" -> 2,
+    // q_bpe_tokens / q_curation_funnel: map-only scan + one agg + range sort
+    "q_bpe_tokens" -> 2, "q_curation_funnel" -> 2)
 
   private lazy val plans: Map[String, String] =
     SparkEntry.queries.map { case (name, fn) =>
