@@ -379,6 +379,47 @@ object CvQueries {
     })
   }
 
+  /** Fifth memoized engine: the streaming exact-dedup gate
+    * ([[graft.streaming.StreamDedupGate]]) — documents (plus seeded exact
+    * duplicates of every 4th doc at doc_id+100000) replayed in three
+    * ascending doc_id ranges, so the gate sees cross-batch repeats (copies
+    * of batch-1/2 originals arriving in batch 3) AND within-batch repeats
+    * (originals >= 400 and their copies share batch 3). Survivors flow to a
+    * sink stream feeding an append-only CV; first-occurrence-wins under
+    * ordered replay means the admitted set is exactly min(doc_id) per
+    * content hash — which DuckDB recomputes single-shot.
+    */
+  private val gateEngines =
+    scala.collection.mutable.Map.empty[(SparkSession, String), ContViewEngine]
+
+  private def dedupGateFor(s: SparkSession, dir: String): ContViewEngine = synchronized {
+    gateEngines.getOrElseUpdate((s, dir), {
+      val root = java.nio.file.Files.createTempDirectory("graft_cvdg").toString
+      val eng = new ContViewEngine(s, root)
+      val docs = Tables.documents(s, dir).select("doc_id", "text", "lang")
+      val corpus = docs.unionByName(
+        docs.where(pmod(col("doc_id"), lit(4)) === 0)
+          .select((col("doc_id") + 100000L).as("doc_id"), col("text"), col("lang")))
+      eng.createStream("dg_in", corpus.schema)
+      eng.createStream("dg_clean", org.apache.spark.sql.types.StructType(
+        corpus.schema.fields :+
+          org.apache.spark.sql.types.StructField("h",
+            org.apache.spark.sql.types.StringType)))
+      graft.streaming.StreamDedupGate.create(eng, "dg_gate",
+        "SELECT doc_id, text, lang FROM dg_in",
+        keySql = "md5(text)", orderCol = "doc_id", sink = "dg_clean",
+        storeRoot = root)
+      eng.createContView("v_clean", "SELECT doc_id, h, lang FROM dg_clean",
+        emitChanges = false)
+      Seq((Long.MinValue, 200L), (200L, 400L), (400L, Long.MaxValue))
+        .foreach { case (lo, hi) =>
+          eng.insertInto("dg_in",
+            corpus.where(col("doc_id") >= lo && col("doc_id") < hi))
+        }
+      eng
+    })
+  }
+
   /** Pre-build (or just touch) the engines for a (session, sfDir) pair.
     * The bench calls this from its untimed warm-up on a background thread:
     * in a real deployment the CVs are maintained continuously while ad-hoc
@@ -386,7 +427,8 @@ object CvQueries {
     * of being billed to whichever CV query happens to run first.
     */
   def warm(s: SparkSession, dir: String): Unit = {
-    engineFor(s, dir); lifecycleFor(s, dir); restartFor(s, dir); streamingFor(s, dir); ()
+    engineFor(s, dir); lifecycleFor(s, dir); restartFor(s, dir)
+    streamingFor(s, dir); dedupGateFor(s, dir); ()
   }
 
   val all: Seq[QDef] = Seq(
@@ -841,5 +883,30 @@ object CvQueries {
           .select(col("name"), col("kind"), col("batches"),
             col("groupsOut").as("groups_out"))
           .orderBy("name")
+    },
+
+    // Streaming exact-dedup gate (StreamDedupGate, beyond-ref): only the
+    // first occurrence of each content hash ever seen on the stream reaches
+    // the sink. Batches replay in ascending doc_id ranges and the gate is
+    // first-wins within a batch, so the admitted set is exactly the
+    // min-doc_id representative per hash — single-shot recomputable.
+    QDef(
+      "q_dedup_stream",
+      """WITH corpus AS (
+        |  SELECT doc_id, text, lang FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text, lang
+        |  FROM documents WHERE doc_id % 4 = 0
+        |), firsts AS (
+        |  SELECT md5(text) AS h, min(doc_id) AS keep
+        |  FROM corpus GROUP BY md5(text)
+        |)
+        |SELECT c.doc_id, f.h, c.lang
+        |FROM corpus c JOIN firsts f
+        |  ON md5(c.text) = f.h AND c.doc_id = f.keep
+        |ORDER BY c.doc_id""".stripMargin) {
+      (s, dir) =>
+        dedupGateFor(s, dir).sql(
+          "SELECT doc_id, h, lang FROM v_clean ORDER BY doc_id")
     })
 }

@@ -109,7 +109,10 @@ class PlanShapeSpec extends AnyFunSuite {
     "q_pack_sequences" -> 2, "q_chunk_docs" -> 1,
     "q_semantic_dedup" -> 5, "q_domain_mix" -> 2,
     // q_bpe_tokens / q_curation_funnel: map-only scan + one agg + range sort
-    "q_bpe_tokens" -> 2, "q_curation_funnel" -> 2)
+    "q_bpe_tokens" -> 2, "q_curation_funnel" -> 2,
+    // q_dedup_stream: append-only matrel read + range sort (the gate's
+    // per-batch joins run at ingest, not in this read plan)
+    "q_dedup_stream" -> 1)
 
   private lazy val plans: Map[String, String] =
     SparkEntry.queries.map { case (name, fn) =>

@@ -1,0 +1,87 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cv.ContViewEngine
+
+/** Unit semantics of the streaming exact-dedup gate on a hand-built feed —
+  * the oracle row (q_dedup_stream) proves end-to-end equality; this spec
+  * pins the pieces: first-wins within a batch, permanent suppression across
+  * batches, bloom-gate transparency (false positives never drop rows), and
+  * the append-only seen-key store layout.
+  */
+class StreamDedupGateSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  import spark.implicits._
+
+  private def fixture() = {
+    val root = java.nio.file.Files.createTempDirectory("graft_gate").toString
+    val eng = new ContViewEngine(spark, root)
+    val schema = Seq((0L, "x")).toDF("id", "body").schema
+    eng.createStream("g_in", schema)
+    eng.createStream("g_out", org.apache.spark.sql.types.StructType(
+      schema.fields :+ org.apache.spark.sql.types.StructField("h",
+        org.apache.spark.sql.types.StringType)))
+    // a tiny bloom (n=64) at corpus 100+ keys forces a high false-positive
+    // rate, exercising the store-join path on nearly every batch — results
+    // must be identical to a right-sized filter
+    val gate = StreamDedupGate.create(eng, "g_gate",
+      "SELECT id, body FROM g_in",
+      keySql = "md5(body)", orderCol = "id", sink = "g_out",
+      storeRoot = root, bloomP = 0.2, bloomN = 64)
+    eng.createContView("v_out", "SELECT id, h FROM g_out", emitChanges = false)
+    (eng, gate, root)
+  }
+
+  private def admitted(eng: ContViewEngine): Set[Long] =
+    eng.overlay("v_out").select("id").collect().map(_.getLong(0)).toSet
+
+  test("within-batch repeats: lowest order-column row wins its key") {
+    val (eng, gate, _) = fixture()
+    eng.insertInto("g_in",
+      Seq((3L, "aa"), (1L, "aa"), (2L, "bb"), (9L, "aa")).toDF("id", "body"))
+    assert(admitted(eng) === Set(1L, 2L))
+    assert(gate.stats === ((1L, 2L, 2L)))
+  }
+
+  test("cross-batch repeats: a key admitted once is suppressed forever") {
+    val (eng, gate, _) = fixture()
+    eng.insertInto("g_in", Seq((1L, "aa"), (2L, "bb")).toDF("id", "body"))
+    eng.insertInto("g_in", Seq((3L, "aa"), (4L, "cc")).toDF("id", "body"))
+    eng.insertInto("g_in", Seq((5L, "bb"), (6L, "cc"), (7L, "aa")).toDF("id", "body"))
+    assert(admitted(eng) === Set(1L, 2L, 4L))
+    val (batches, adm, sup) = gate.stats
+    assert(batches === 3L && adm === 3L && sup === 4L)
+  }
+
+  test("bloom misses are admitted without reading the store; store is append-only") {
+    val (eng, gate, root) = fixture()
+    // 60 distinct keys across 3 batches + full repeat of batch 1
+    (0 until 3).foreach { b =>
+      eng.insertInto("g_in",
+        (0 until 20).map(i => ((b * 20 + i).toLong, s"doc-$b-$i")).toDF("id", "body"))
+    }
+    eng.insertInto("g_in",
+      (0 until 20).map(i => (100L + i, s"doc-0-$i")).toDF("id", "body"))
+    assert(admitted(eng).size === 60)
+    assert(gate.stats === ((4L, 60L, 20L)))
+    // one key file per survivor-bearing batch, none for the all-dup batch
+    val store = new java.io.File(s"$root/g_gate/seen_keys")
+    val keyFiles = store.listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(keyFiles.length === 3)
+    assert(spark.read.parquet(store.getAbsolutePath).count() === 60L)
+  }
+}
