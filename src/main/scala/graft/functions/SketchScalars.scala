@@ -27,8 +27,21 @@ case class BloomContains(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
   override def prettyName: String = "bloom_contains"
   override def dataType: DataType = BooleanType
-  override def nullSafeEval(state: Any, value: Any): Any =
-    BloomFilter.deserialize(state.asInstanceOf[Array[Byte]]).contains(value)
+  // A literal filter state (the streaming gates probe a driver-built bloom
+  // against every row of a batch) deserializes ONCE per task instead of
+  // per row — at a megabyte-scale filter and 10^5 rows the difference is
+  // the whole batch wall time. Non-literal states (the common SQL surface:
+  // a state column per group) keep the per-row path.
+  @transient private lazy val literalState: BloomFilter = left match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(bytes: Array[Byte], _) =>
+      BloomFilter.deserialize(bytes)
+    case _ => null
+  }
+  override def nullSafeEval(state: Any, value: Any): Any = {
+    val bf = if (literalState != null) literalState
+      else BloomFilter.deserialize(state.asInstanceOf[Array[Byte]])
+    bf.contains(value)
+  }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): BloomContains =
     copy(left = l, right = r)
 }

@@ -93,6 +93,13 @@ object SimHash {
       copy(child = c)
   }
 
+  /** Banded bucket keys of a fingerprint column under the block-permutation
+    * scheme — the [[SimHashBlockKeys]] expression as a composable Column
+    * (used by the batch pipeline below and the streaming near-dup gate).
+    */
+  def blockKeys(fp: Column, blocks: Int, maxDist: Int): Column =
+    GraftBridge.column(SimHashBlockKeys(GraftBridge.expression(fp), blocks, maxDist))
+
   /** Pairs with Hamming distance ≤ maxDist (requires maxDist ≤ 3 for the
     * 4-chunk pigeonhole to guarantee recall 1.0).
     *

@@ -411,10 +411,32 @@ object CvQueries {
         storeRoot = root)
       eng.createContView("v_clean", "SELECT doc_id, h, lang FROM dg_clean",
         emitChanges = false)
+      // sibling NEAR-dup gate on its own stream: exact copies of every 2nd
+      // doc seeded at +1000000 sit at Hamming distance 0 from their
+      // originals, so the gate must suppress every copy (cross-batch for
+      // originals < 400, within-batch for the rest) — the single-shot
+      // recomputable slice of the admitted set (natural near-pairs are
+      // spec-verified, not oracle-verified, same split as q_simhash_neardup)
+      val ndCorpus = docs.unionByName(
+        docs.where(pmod(col("doc_id"), lit(2)) === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"), col("lang")))
+      eng.createStream("nd_in", ndCorpus.schema)
+      eng.createStream("nd_clean", org.apache.spark.sql.types.StructType(
+        ndCorpus.schema.fields :+
+          org.apache.spark.sql.types.StructField("fp",
+            org.apache.spark.sql.types.LongType)))
+      graft.streaming.SimHashNearDupGate.create(eng, "nd_gate",
+        "SELECT doc_id, text, lang FROM nd_in",
+        textSql = "text", orderCol = "doc_id", sink = "nd_clean",
+        storeRoot = root)
+      eng.createContView("v_nd_clean", "SELECT doc_id, lang FROM nd_clean",
+        emitChanges = false)
       Seq((Long.MinValue, 200L), (200L, 400L), (400L, Long.MaxValue))
         .foreach { case (lo, hi) =>
           eng.insertInto("dg_in",
             corpus.where(col("doc_id") >= lo && col("doc_id") < hi))
+          eng.insertInto("nd_in",
+            ndCorpus.where(col("doc_id") >= lo && col("doc_id") < hi))
         }
       eng
     })
@@ -908,5 +930,27 @@ object CvQueries {
       (s, dir) =>
         dedupGateFor(s, dir).sql(
           "SELECT doc_id, h, lang FROM v_clean ORDER BY doc_id")
+    },
+
+    // Streaming SimHash near-dup gate (SimHashNearDupGate, beyond-ref):
+    // the oracle-comparable slice is the SUPPRESSED seeded-copy set —
+    // every +1000000 exact copy is Hamming distance 0 from its earlier
+    // original, so all of them must be gated out; which NATURAL docs also
+    // get suppressed depends on fingerprint hashing DuckDB can't
+    // recompute, so that behavior is pinned by brute force in
+    // SimHashNearDupGateSpec instead (the q_simhash_neardup split).
+    QDef(
+      "q_neardup_stream",
+      """SELECT doc_id + 1000000 AS doc_id, lang
+        |FROM documents WHERE doc_id % 2 = 0
+        |ORDER BY doc_id""".stripMargin) {
+      (s, dir) =>
+        val admitted = dedupGateFor(s, dir).overlay("v_nd_clean")
+        val docs = Tables.documents(s, dir)
+        docs.where(pmod(col("doc_id"), lit(2)) === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"))
+          .join(admitted.select(col("doc_id").as("a_id")),
+            col("doc_id") === col("a_id"), "left_anti")
+          .orderBy("doc_id")
     })
 }

@@ -1,0 +1,154 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.cv.ContViewEngine
+import graft.functions.GraftFunctions
+import graft.ops.{SimHash, TextOps}
+import graft.sketch.BloomFilter
+
+/** Streaming NEAR-duplicate gate: the approximate sibling of
+  * [[StreamDedupGate]]. A document is forwarded iff no earlier document on
+  * the stream (any prior batch, or a lower-`orderCol` row of the same
+  * batch) sits within SimHash Hamming distance `maxDist` of it —
+  * "seen"-based suppression, so every arriving fingerprint becomes a
+  * suppressor for later arrivals whether or not it was itself admitted
+  * (the set a later doc is checked against is feed-order-prefix-closed,
+  * which keeps the semantics single-shot recomputable: admitted(d) ⇔ no
+  * d' earlier than d with hamming(d,d') ≤ maxDist).
+  *
+  * State is 16 bytes per document ever seen — (id, 64-bit fingerprint) in
+  * append-only parquet, never the text — so 10B docs is ~160 GB of key
+  * column, and the candidate join explodes fingerprints into
+  * block-permutation bucket keys (Manku WWW'07; `blocks`=6 → C(6,3)=20
+  * keys of ~33 bits) on BOTH sides, making candidate generation an
+  * equi-join with recall 1.0 at distance ≤ maxDist. A driver-resident
+  * Bloom filter over every bucket key ever seen gates the join: a batch
+  * row whose 20 buckets ALL miss the filter provably has no store
+  * candidate and skips the store entirely — fresh-content batches pay two
+  * map-side jobs and zero store reads. At larger scale, partition the
+  * store's exploded keys by bucket range so the join prunes to the
+  * batch's buckets instead of scanning all fingerprints; the compact
+  * (id, fp) layout here is the base both evolutions share.
+  */
+final class SimHashNearDupGate private (
+    eng: ContViewEngine,
+    val name: String,
+    textSql: String,
+    orderCol: String,
+    sink: String,
+    storeDir: Path,
+    maxDist: Int,
+    blocks: Int,
+    bloomP: Double,
+    bloomN: Int) {
+
+  private val bloom = BloomFilter.empty(bloomP, bloomN)
+  private var batches = 0L
+  private var admitted = 0L
+  private var suppressed = 0L
+
+  /** (batches, admitted survivors, suppressed near-duplicates) so far. */
+  def stats: (Long, Long, Long) = synchronized((batches, admitted, suppressed))
+
+  private def storeFiles(): Array[String] = {
+    val d = storeDir.toFile
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map(_.getAbsolutePath)
+  }
+
+  private[streaming] def onBatch(batch: DataFrame): Unit = synchronized {
+    batches += 1
+    val s = batch.sparkSession
+    val obs = new org.apache.spark.sql.Observation(s"ndgate_${name}_$batches")
+    val keyed = batch.drop("arrival_timestamp")
+      .observe(obs, count(lit(1)).as("rows"))
+      .withColumn("fp", SimHash.simhash64(TextOps.tokens(expr(textSql))))
+      .persist() // fingerprints feed the bucket join, the store append and the sink
+    try {
+      val bkeys = keyed.select(col(orderCol).as("__id"), col("fp"),
+        explode(SimHash.blockKeys(col("fp"), blocks, maxDist)).as("bucket"))
+      // within-batch: an earlier row suppresses a later one at distance
+      // <= maxDist; banding guarantees every such pair shares a bucket key
+      val l = bkeys.select(col("bucket"), col("__id").as("id_l"), col("fp").as("fp_l"))
+      val r = bkeys.select(col("bucket"), col("__id").as("id_r"), col("fp").as("fp_r"))
+      val inBatch = l.join(r, Seq("bucket"))
+        .where(col("id_l") < col("id_r") &&
+          bit_count(col("fp_l").bitwiseXOR(col("fp_r"))) <= maxDist)
+        .select(col("id_r").as("__id"))
+      val files = storeFiles()
+      val fromStore =
+        if (files.isEmpty) inBatch.limit(0)
+        else {
+          // bucket-bloom gate: a row whose every bucket key misses the
+          // filter has no store candidate (no false negatives) — only
+          // bloom-positive keys join the exploded store
+          val hit = bkeys.where(
+            GraftFunctions.bloom_contains(lit(bloom.serialize()), col("bucket")))
+          val store = s.read.parquet(files: _*)
+            .select(col("id").as("id_s"), col("fp").as("fp_s"))
+            .select(col("id_s"), col("fp_s"),
+              explode(SimHash.blockKeys(col("fp_s"), blocks, maxDist)).as("bucket"))
+          hit.join(store, Seq("bucket"))
+            .where(bit_count(col("fp").bitwiseXOR(col("fp_s"))) <= maxDist)
+            .select(col("__id"))
+        }
+      val suppressedIds = inBatch.unionByName(fromStore).distinct()
+        .withColumnRenamed("__id", orderCol)
+      val survivors = keyed.join(suppressedIds, Seq(orderCol), "left_anti").persist()
+      try {
+        val n = survivors.count()
+        admitted += n
+        suppressed += obs.get("rows").asInstanceOf[Long] - n
+        // append EVERY row's fingerprint (seen-semantics: suppressed docs
+        // still suppress later arrivals), then the bucket-key bloom update
+        val tmp = Files.createTempFile(storeDir, ".tmp_fps", ".inprogress")
+        val stage = Files.createTempDirectory(storeDir, ".stage")
+        try {
+          keyed.select(col(orderCol).as("id"), col("fp"))
+            .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+          val part = Option(stage.toFile.listFiles())
+            .getOrElse(Array.empty).find(_.getName.endsWith(".parquet"))
+            .getOrElse(throw new IllegalStateException("no fp part written"))
+          Files.move(part.toPath, tmp, StandardCopyOption.REPLACE_EXISTING)
+          Files.move(tmp, storeDir.resolve(f"fps_$batches%05d.parquet"),
+            StandardCopyOption.ATOMIC_MOVE)
+        } finally {
+          Files.deleteIfExists(tmp)
+          StreamDedupGate.deleteRecursively(stage.toFile)
+        }
+        val update = keyed
+          .select(explode(SimHash.blockKeys(col("fp"), blocks, maxDist)).as("bucket"))
+          .agg(GraftFunctions.bloom_agg(col("bucket"), bloomP, bloomN).as("b"))
+          .collect()(0).getAs[Array[Byte]]("b")
+        bloom.union(BloomFilter.deserialize(update))
+        if (n > 0) eng.insertInto(sink, survivors)
+      } finally survivors.unpersist()
+    } finally keyed.unpersist()
+  }
+}
+
+object SimHashNearDupGate {
+
+  /** Register a near-dup gate on `eng`: a continuous transform reading
+    * `selectSql` (must project `orderCol`; `textSql` computes the text the
+    * fingerprint hashes) whose not-near-anything-earlier survivors are
+    * forwarded to stream `sink` with the fingerprint attached as `fp`.
+    */
+  def create(eng: ContViewEngine, name: String, selectSql: String,
+      textSql: String, orderCol: String, sink: String, storeRoot: String,
+      maxDist: Int = 3, blocks: Int = 6,
+      bloomP: Double = 0.01, bloomN: Int = 1 << 20): SimHashNearDupGate = {
+    val dir = Paths.get(storeRoot, name, "seen_fps")
+    Files.createDirectories(dir)
+    val gate = new SimHashNearDupGate(eng, name, textSql, orderCol, sink, dir,
+      maxDist, blocks, bloomP, bloomN)
+    eng.createContTransform(name, selectSql,
+      outputFunc = Some(gate.onBatch _), emitChanges = false)
+    gate
+  }
+}

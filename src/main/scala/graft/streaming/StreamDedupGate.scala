@@ -126,7 +126,7 @@ final class StreamDedupGate private (
             StandardCopyOption.ATOMIC_MOVE)
         } finally {
           Files.deleteIfExists(tmp)
-          deleteRecursively(stage.toFile)
+          StreamDedupGate.deleteRecursively(stage.toFile)
         }
         val update = survivors.agg(
           GraftFunctions.bloom_agg(col("h"), bloomP, bloomN).as("b"))
@@ -140,13 +140,15 @@ final class StreamDedupGate private (
   private def bloom_contains(state: org.apache.spark.sql.Column,
       v: org.apache.spark.sql.Column) = GraftFunctions.bloom_contains(state, v)
 
-  private def deleteRecursively(f: java.io.File): Unit = {
-    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
-    f.delete(); ()
-  }
 }
 
 object StreamDedupGate {
+
+  private[streaming] def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(); ()
+  }
+
 
   /** Register a dedup gate on `eng`: a continuous transform reading
     * `selectSql` (must project `orderCol`; the key is computed by `keySql`

@@ -111,8 +111,9 @@ class PlanShapeSpec extends AnyFunSuite {
     // q_bpe_tokens / q_curation_funnel: map-only scan + one agg + range sort
     "q_bpe_tokens" -> 2, "q_curation_funnel" -> 2,
     // q_dedup_stream: append-only matrel read + range sort (the gate's
-    // per-batch joins run at ingest, not in this read plan)
-    "q_dedup_stream" -> 1)
+    // per-batch joins run at ingest, not in this read plan).
+    // q_neardup_stream adds the suppressed-copy anti-join (broadcast).
+    "q_dedup_stream" -> 1, "q_neardup_stream" -> 2)
 
   private lazy val plans: Map[String, String] =
     SparkEntry.queries.map { case (name, fn) =>
