@@ -60,8 +60,19 @@ case class CmsFreq(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
   override def prettyName: String = "freq"
   override def dataType: DataType = LongType
-  override def nullSafeEval(state: Any, value: Any): Any =
-    CountMinSketch.deserialize(state.asInstanceOf[Array[Byte]]).estimate(value)
+  // literal-state memoization, same contract as BloomContains: the
+  // near-dup gate's hot-bucket cap probes a driver-built CMS literal
+  // against every bucket key of a batch — deserialize once per task
+  @transient private lazy val literalState: CountMinSketch = left match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(bytes: Array[Byte], _) =>
+      CountMinSketch.deserialize(bytes)
+    case _ => null
+  }
+  override def nullSafeEval(state: Any, value: Any): Any = {
+    val cms = if (literalState != null) literalState
+      else CountMinSketch.deserialize(state.asInstanceOf[Array[Byte]])
+    cms.estimate(value)
+  }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CmsFreq =
     copy(left = l, right = r)
 }

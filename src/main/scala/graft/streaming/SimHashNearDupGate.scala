@@ -44,9 +44,25 @@ final class SimHashNearDupGate private (
     maxDist: Int,
     blocks: Int,
     bloomP: Double,
-    bloomN: Int) {
+    bloomN: Int,
+    maxBucketSize: Int) {
 
   private val bloom = BloomFilter.empty(bloomP, bloomN)
+  // Hot-bucket guard (opt-in, the SimHash.nearDuplicates cap's streaming
+  // form): a boilerplate-heavy crawl floods banded buckets — thousands of
+  // near-identical fingerprints sharing every key — and the candidate join
+  // goes quadratic in the flood. With a cap, buckets whose SEEN-so-far
+  // occupancy exceeds it stop generating candidates on both sides of the
+  // join. Occupancy is tracked by a driver-resident CountMinSketch over
+  // bucket keys (overestimates only ⇒ may exclude a near-cap bucket early,
+  // never lets a flooded one through); the batch reads the sketch as of
+  // batch START, so a batch's own rows don't cap each other mid-flight and
+  // the admitted set stays deterministic. Recall contract: a pair agreeing
+  // ONLY in flooded buckets is missed — same trade as the batch pipeline,
+  // chosen explicitly by setting the cap.
+  private val bucketCounts: graft.sketch.CountMinSketch =
+    if (maxBucketSize == Int.MaxValue) null
+    else graft.sketch.CountMinSketch.empty()
   private var batches = 0L
   private var admitted = 0L
   private var suppressed = 0L
@@ -61,6 +77,58 @@ final class SimHashNearDupGate private (
       .map(_.getAbsolutePath)
   }
 
+  /** Restart bootstrap: the fingerprint store IS the dedup state; one
+    * distributed pass over it rebuilds the memory-resident bucket bloom
+    * (and the CMS occupancy when the hot-bucket cap is active). */
+  private[streaming] def bootstrap(): Unit = synchronized {
+    val files = storeFiles()
+    if (files.nonEmpty) {
+      val keys = eng.spark.read.parquet(files: _*)
+        .select(explode(SimHash.blockKeys(col("fp"), blocks, maxDist)).as("bucket"))
+      val row =
+        if (bucketCounts == null)
+          keys.agg(GraftFunctions.bloom_agg(col("bucket"), bloomP, bloomN).as("b"))
+            .collect()(0)
+        else
+          keys.agg(GraftFunctions.bloom_agg(col("bucket"), bloomP, bloomN).as("b"),
+            GraftFunctions.freq_agg(col("bucket")).as("c")).collect()(0)
+      bloom.union(BloomFilter.deserialize(row.getAs[Array[Byte]]("b")))
+      if (bucketCounts != null)
+        bucketCounts.merge(
+          graft.sketch.CountMinSketch.deserialize(row.getAs[Array[Byte]]("c")))
+      batches = files.map(_.split("fps_").last.stripSuffix(".parquet"))
+        .flatMap(s => scala.util.Try(s.toLong).toOption)
+        .foldLeft(0L)(math.max)
+    }
+  }
+
+  /** Merge per-batch fingerprint files into one — crash-safe without a
+    * manifest (duplicated (id, fp) rows change nothing: the candidate join
+    * deduplicates suppressor hits), so the merged file lands before the
+    * olds are unlinked. */
+  def compact(): Unit = synchronized {
+    val files = storeFiles()
+    if (files.length > 1) {
+      val stage = Files.createTempDirectory(storeDir, ".stage")
+      val tmp = Files.createTempFile(storeDir, ".tmp_compact", ".inprogress")
+      try {
+        eng.spark.read.parquet(files: _*).select("id", "fp").distinct()
+          .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        val part = Option(stage.toFile.listFiles())
+          .getOrElse(Array.empty).find(_.getName.endsWith(".parquet"))
+          .getOrElse(throw new IllegalStateException("no compacted part written"))
+        Files.move(part.toPath, tmp, StandardCopyOption.REPLACE_EXISTING)
+        Files.move(tmp, storeDir.resolve(
+          f"fps_$batches%05d_c${System.nanoTime()}%d.parquet"),
+          StandardCopyOption.ATOMIC_MOVE)
+        files.foreach(f => Files.deleteIfExists(Paths.get(f)))
+      } finally {
+        Files.deleteIfExists(tmp)
+        StreamDedupGate.deleteRecursively(stage.toFile)
+      }
+    }
+  }
+
   private[streaming] def onBatch(batch: DataFrame): Unit = synchronized {
     batches += 1
     val s = batch.sparkSession
@@ -70,8 +138,13 @@ final class SimHashNearDupGate private (
       .withColumn("fp", SimHash.simhash64(TextOps.tokens(expr(textSql))))
       .persist() // fingerprints feed the bucket join, the store append and the sink
     try {
-      val bkeys = keyed.select(col(orderCol).as("__id"), col("fp"),
+      val allKeys = keyed.select(col(orderCol).as("__id"), col("fp"),
         explode(SimHash.blockKeys(col("fp"), blocks, maxDist)).as("bucket"))
+      // cap active: only buckets under occupancy (as of batch start) join
+      val bkeys =
+        if (bucketCounts == null) allKeys
+        else allKeys.where(GraftFunctions.freq(
+          lit(bucketCounts.serialize()), col("bucket")) <= maxBucketSize)
       // within-batch: an earlier row suppresses a later one at distance
       // <= maxDist; banding guarantees every such pair shares a bucket key
       val l = bkeys.select(col("bucket"), col("__id").as("id_l"), col("fp").as("fp_l"))
@@ -89,10 +162,17 @@ final class SimHashNearDupGate private (
           // bloom-positive keys join the exploded store
           val hit = bkeys.where(
             GraftFunctions.bloom_contains(lit(bloom.serialize()), col("bucket")))
-          val store = s.read.parquet(files: _*)
+          val storeAll = s.read.parquet(files: _*)
             .select(col("id").as("id_s"), col("fp").as("fp_s"))
             .select(col("id_s"), col("fp_s"),
               explode(SimHash.blockKeys(col("fp_s"), blocks, maxDist)).as("bucket"))
+          // symmetric exclusion: a flooded bucket generates no candidates
+          // from the store side either (`hit` derives from bkeys, already
+          // cap-filtered)
+          val store =
+            if (bucketCounts == null) storeAll
+            else storeAll.where(GraftFunctions.freq(
+              lit(bucketCounts.serialize()), col("bucket")) <= maxBucketSize)
           hit.join(store, Seq("bucket"))
             .where(bit_count(col("fp").bitwiseXOR(col("fp_s"))) <= maxDist)
             .select(col("__id"))
@@ -121,11 +201,19 @@ final class SimHashNearDupGate private (
           Files.deleteIfExists(tmp)
           StreamDedupGate.deleteRecursively(stage.toFile)
         }
-        val update = keyed
+        val keyCol = keyed
           .select(explode(SimHash.blockKeys(col("fp"), blocks, maxDist)).as("bucket"))
-          .agg(GraftFunctions.bloom_agg(col("bucket"), bloomP, bloomN).as("b"))
-          .collect()(0).getAs[Array[Byte]]("b")
-        bloom.union(BloomFilter.deserialize(update))
+        val updates =
+          if (bucketCounts == null)
+            keyCol.agg(GraftFunctions.bloom_agg(col("bucket"), bloomP, bloomN).as("b"))
+              .collect()(0)
+          else
+            keyCol.agg(GraftFunctions.bloom_agg(col("bucket"), bloomP, bloomN).as("b"),
+              GraftFunctions.freq_agg(col("bucket")).as("c")).collect()(0)
+        bloom.union(BloomFilter.deserialize(updates.getAs[Array[Byte]]("b")))
+        if (bucketCounts != null)
+          bucketCounts.merge(
+            graft.sketch.CountMinSketch.deserialize(updates.getAs[Array[Byte]]("c")))
         if (n > 0) eng.insertInto(sink, survivors)
       } finally survivors.unpersist()
     } finally keyed.unpersist()
@@ -142,11 +230,13 @@ object SimHashNearDupGate {
   def create(eng: ContViewEngine, name: String, selectSql: String,
       textSql: String, orderCol: String, sink: String, storeRoot: String,
       maxDist: Int = 3, blocks: Int = 6,
-      bloomP: Double = 0.01, bloomN: Int = 1 << 20): SimHashNearDupGate = {
+      bloomP: Double = 0.01, bloomN: Int = 1 << 20,
+      maxBucketSize: Int = Int.MaxValue): SimHashNearDupGate = {
     val dir = Paths.get(storeRoot, name, "seen_fps")
     Files.createDirectories(dir)
     val gate = new SimHashNearDupGate(eng, name, textSql, orderCol, sink, dir,
-      maxDist, blocks, bloomP, bloomN)
+      maxDist, blocks, bloomP, bloomN, maxBucketSize)
+    gate.bootstrap() // resume from a persisted store after an engine restart
     eng.createContTransform(name, selectSql,
       outputFunc = Some(gate.onBatch _), emitChanges = false)
     gate

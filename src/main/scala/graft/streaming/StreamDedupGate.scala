@@ -75,6 +75,55 @@ final class StreamDedupGate private (
       .map(_.getAbsolutePath)
   }
 
+  /** Restart bootstrap: a re-created gate on an existing store resumes
+    * exactly — the key set IS the store; only the bloom is memory-resident,
+    * and one distributed bloom_agg over the persisted keys rebuilds it.
+    * (batches/admitted/suppressed counters restart at zero: they are
+    * session telemetry, not dedup state.)
+    */
+  private[streaming] def bootstrap(): Unit = synchronized {
+    val files = storeFiles()
+    if (files.nonEmpty) {
+      val b = eng.spark.read.parquet(files: _*)
+        .agg(GraftFunctions.bloom_agg(col("h"), bloomP, bloomN).as("b"))
+        .collect()(0).getAs[Array[Byte]]("b")
+      bloom.union(BloomFilter.deserialize(b))
+      batches = files.map(_.split("keys_").last.stripSuffix(".parquet"))
+        .flatMap(s => scala.util.Try(s.toLong).toOption)
+        .foldLeft(0L)(math.max)
+    }
+  }
+
+  /** Merge the per-batch key files into one. Crash-safe without a manifest
+    * because a dedup store tolerates DUPLICATED keys (the anti-join result
+    * is identical), so the merged file can land before the olds are
+    * unlinked; a crash in between only re-reads some keys twice until the
+    * next compact. Run it every few hundred batches to keep file-listing
+    * and parquet-footer overhead off the per-batch path.
+    */
+  def compact(): Unit = synchronized {
+    val files = storeFiles()
+    if (files.length > 1) {
+      val stage = Files.createTempDirectory(storeDir, ".stage")
+      val tmp = Files.createTempFile(storeDir, ".tmp_compact", ".inprogress")
+      try {
+        eng.spark.read.parquet(files: _*).select("h").distinct()
+          .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        val part = Option(stage.toFile.listFiles())
+          .getOrElse(Array.empty).find(_.getName.endsWith(".parquet"))
+          .getOrElse(throw new IllegalStateException("no compacted part written"))
+        Files.move(part.toPath, tmp, StandardCopyOption.REPLACE_EXISTING)
+        Files.move(tmp, storeDir.resolve(
+          f"keys_$batches%05d_c${System.nanoTime()}%d.parquet"),
+          StandardCopyOption.ATOMIC_MOVE)
+        files.foreach(f => Files.deleteIfExists(Paths.get(f)))
+      } finally {
+        Files.deleteIfExists(tmp)
+        StreamDedupGate.deleteRecursively(stage.toFile)
+      }
+    }
+  }
+
   private[streaming] def onBatch(batch: DataFrame): Unit = synchronized {
     batches += 1
     val s = batch.sparkSession
@@ -163,6 +212,7 @@ object StreamDedupGate {
     Files.createDirectories(dir)
     val gate = new StreamDedupGate(eng, name, keySql, orderCol, sink, dir,
       bloomP, bloomN)
+    gate.bootstrap() // resume from a persisted store after an engine restart
     eng.createContTransform(name, selectSql,
       outputFunc = Some(gate.onBatch _), emitChanges = false)
     gate

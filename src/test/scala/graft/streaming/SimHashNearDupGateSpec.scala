@@ -87,6 +87,86 @@ class SimHashNearDupGateSpec extends AnyFunSuite {
       === expected, "three-batch feed must admit the same set")
   }
 
+  test("hot-bucket cap: flooded buckets stop pairing, clean recall survives") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ndgate3").toString
+    val eng = new ContViewEngine(spark, root)
+    val schema = Seq((0L, "x")).toDF("id", "body").schema
+    eng.createStream("f_in", schema)
+    eng.createStream("f_out", org.apache.spark.sql.types.StructType(
+      schema.fields :+ org.apache.spark.sql.types.StructField("fp",
+        org.apache.spark.sql.types.LongType)))
+    val gate = SimHashNearDupGate.create(eng, "f_gate",
+      "SELECT id, body FROM f_in", textSql = "body", orderCol = "id",
+      sink = "f_out", storeRoot = root, maxBucketSize = 100)
+    eng.createContView("v_f", "SELECT id FROM f_out", emitChanges = false)
+    val rng = new scala.util.Random(23)
+    val real = (0 until 60).map { i =>
+      (i.toLong, (0 until 40).map(_ => vocab(rng.nextInt(vocab.size))).mkString(" "))
+    }
+    // feed-order brute force over the real docs (the flood shares no
+    // buckets with them: fp=0 vs ~32-bit-heavy real fingerprints)
+    val realFps = real.toDF("id", "body")
+      .select(col("id"), SimHash.simhash64(TextOps.tokens(col("body"))).as("fp"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val realAdmitted = realFps.filter { case (id, fp) =>
+      !realFps.exists { case (id2, fp2) =>
+        id2 < id && java.lang.Long.bitCount(fp ^ fp2) <= 3
+      }
+    }.map(_._1).toSet
+    // crawl pathology: hundreds of empty docs share fingerprint 0, blowing
+    // every one of their buckets past the cap. The cap reads occupancy as
+    // of batch START, so batch 1's flood still pairs within itself (and is
+    // suppressed down to its first row); batch 2's flood arrives with the
+    // buckets already over cap and passes through un-paired — the
+    // documented recall trade for bounded join fan-out.
+    eng.insertInto("f_in",
+      (real ++ (0 until 200).map(i => (10000L + i, ""))).toDF("id", "body"))
+    eng.insertInto("f_in",
+      ((0 until 200).map(i => (10200L + i, "")) :+
+        // an exact copy of real doc 5: its buckets are NOT flooded, so the
+        // cap must not cost this suppression
+        (20000L, real(5)._2)).toDF("id", "body"))
+    val out = eng.overlay("v_f").collect().map(_.getLong(0)).toSet
+    assert(!out.contains(20000L), "clean-bucket copy must still be suppressed")
+    assert(out.contains(10000L), "first degenerate doc is admitted")
+    assert((10001L until 10200L).forall(id => !out.contains(id)),
+      "batch-1 flood pairs within its own batch (cap not yet tripped)")
+    assert((10200L until 10400L).forall(out.contains),
+      "batch-2 flood must pass through once the buckets are over cap")
+    assert(out.filter(_ < 10000L) === realAdmitted,
+      "real-doc suppression must be unaffected by the flood")
+    val (batches, adm, _) = gate.stats
+    assert(batches === 2L && adm === (realAdmitted.size + 1 + 200).toLong)
+    eng.dropContView("v_f"); ()
+  }
+
+  test("restart: re-created gate resumes from the fingerprint store") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ndgate_rs").toString
+    val schema = Seq((0L, "x")).toDF("id", "body").schema
+    def build(i: Int): (ContViewEngine, SimHashNearDupGate) = {
+      val eng = new ContViewEngine(spark, root + s"/eng$i")
+      eng.createStream("rr_in", schema)
+      eng.createStream("rr_out", org.apache.spark.sql.types.StructType(
+        schema.fields :+ org.apache.spark.sql.types.StructField("fp",
+          org.apache.spark.sql.types.LongType)))
+      val g = SimHashNearDupGate.create(eng, "rr_gate",
+        "SELECT id, body FROM rr_in", textSql = "body", orderCol = "id",
+        sink = "rr_out", storeRoot = root + "/gate")
+      eng.createContView("v_rr", "SELECT id FROM rr_out", emitChanges = false)
+      (eng, g)
+    }
+    val t1 = (0 until 40).map(i => vocab(i % vocab.size)).mkString(" ")
+    val t2 = (0 until 40).map(i => vocab((i * 3 + 5) % vocab.size)).mkString(" ")
+    val (eng1, _) = build(1)
+    eng1.insertInto("rr_in", Seq((1L, t1), (2L, t2)).toDF("id", "body"))
+    val (eng2, g2) = build(2)
+    // copies of pre-restart docs must be suppressed by the rebuilt state
+    eng2.insertInto("rr_in", Seq((3L, t1), (4L, t2)).toDF("id", "body"))
+    assert(eng2.overlay("v_rr").collect().isEmpty,
+      "exact copies of pre-restart docs suppressed after restart")
+    assert(g2.stats._3 === 2L)
+  }
+
   test("suppressed docs still suppress later arrivals (seen-semantics)") {
     val root = java.nio.file.Files.createTempDirectory("graft_ndgate2").toString
     val eng = new ContViewEngine(spark, root)

@@ -67,6 +67,41 @@ class StreamDedupGateSpec extends AnyFunSuite {
     assert(batches === 3L && adm === 3L && sup === 4L)
   }
 
+  test("restart: a re-created gate on the same store keeps suppressing; compact preserves it") {
+    val root = java.nio.file.Files.createTempDirectory("graft_gate_rs").toString
+    val schema = Seq((0L, "x")).toDF("id", "body").schema
+    // fresh engine root per incarnation: the ENGINE's own replay is covered
+    // by q_cv_restart; what must survive here is only the gate's store dir
+    def build(i: Int): (ContViewEngine, StreamDedupGate) = {
+      val eng = new ContViewEngine(spark, root + s"/eng$i")
+      eng.createStream("r_in", schema)
+      eng.createStream("r_out", org.apache.spark.sql.types.StructType(
+        schema.fields :+ org.apache.spark.sql.types.StructField("h",
+          org.apache.spark.sql.types.StringType)))
+      val g = StreamDedupGate.create(eng, "r_gate", "SELECT id, body FROM r_in",
+        keySql = "md5(body)", orderCol = "id", sink = "r_out",
+        storeRoot = root + "/gate")
+      eng.createContView("v_r", "SELECT id FROM r_out", emitChanges = false)
+      (eng, g)
+    }
+    val (eng1, _) = build(1)
+    eng1.insertInto("r_in", Seq((1L, "aa"), (2L, "bb")).toDF("id", "body"))
+    eng1.insertInto("r_in", Seq((3L, "cc")).toDF("id", "body"))
+    // "crash": the engine object is abandoned; only the store dir survives
+    val (eng2, g2) = build(2)
+    eng2.insertInto("r_in",
+      Seq((4L, "aa"), (5L, "cc"), (6L, "dd")).toDF("id", "body"))
+    assert(eng2.overlay("v_r").collect().map(_.getLong(0)).toSet === Set(6L),
+      "keys admitted before the restart must stay suppressed after it")
+    // compaction folds 3 key files into 1 without changing the key set
+    g2.compact()
+    val store = new java.io.File(s"$root/gate/r_gate/seen_keys")
+    assert(store.listFiles().count(_.getName.endsWith(".parquet")) === 1)
+    eng2.insertInto("r_in", Seq((7L, "bb"), (8L, "ee")).toDF("id", "body"))
+    assert(eng2.overlay("v_r").collect().map(_.getLong(0)).toSet === Set(6L, 8L),
+      "post-compaction suppression must be unchanged")
+  }
+
   test("bloom misses are admitted without reading the store; store is append-only") {
     val (eng, gate, root) = fixture()
     // 60 distinct keys across 3 batches + full repeat of batch 1
