@@ -240,11 +240,62 @@ object Bench {
       val reapMs = if (reapNanos.isEmpty) 0.0 else reapNanos.sum / 1e6 / reapNanos.size
       (evAll, if (ev1 > 0) ev2 / ev1 else 0.0, reapMs, b2, commits)
     }
+    // Streaming-dedup-gate probe: steady-state per-batch throughput of the
+    // exact gate (20k-row batches, 25% repeats of already-admitted keys —
+    // every repeat bloom-hits, forcing the store anti-join) and the SimHash
+    // near-dup gate (5k-row batches, same repeat regime). Batch 1 is JVM/
+    // plan warm-up; the reported number is the median of the rest, so one
+    // co-tenant burst can't poison the metric.
+    def gateProbe(nd: Boolean, nBatches: Int, batchRows: Int): Long = {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types.{StructField, StructType, StringType, LongType}
+      val root = java.nio.file.Files.createTempDirectory("graft_gatebench").toString
+      val eng = new graft.cv.ContViewEngine(spark, root)
+      val schema = StructType(Seq(StructField("id", LongType), StructField("body", StringType)))
+      eng.createStream("gb_in", schema)
+      eng.createStream("gb_out", StructType(schema.fields :+
+        (if (nd) StructField("fp", LongType) else StructField("h", StringType))))
+      if (nd)
+        graft.streaming.SimHashNearDupGate.create(eng, "gb_gate",
+          "SELECT id, body FROM gb_in", textSql = "body", orderCol = "id",
+          sink = "gb_out", storeRoot = root, bloomN = nBatches * batchRows * 25)
+      else
+        graft.streaming.StreamDedupGate.create(eng, "gb_gate",
+          "SELECT id, body FROM gb_in", keySql = "md5(body)", orderCol = "id",
+          sink = "gb_out", storeRoot = root, bloomN = nBatches * batchRows)
+      def body(idCol: org.apache.spark.sql.Column) = concat_ws(" ",
+        (0 until 40).map(i => concat(lit(s"t$i"),
+          pmod(xxhash64(idCol * (i + 1)), lit(99991L)).cast("string"))): _*)
+      val nNew = batchRows * 3 / 4
+      val secs = (0 until nBatches).map { b =>
+        val base = b.toLong * batchRows
+        val fresh = spark.range(nNew).select(
+          (col("id") + base).as("id"), body(col("id") + b.toLong * nNew).as("body"))
+        val dups =
+          if (b == 0) fresh.limit(0)
+          else spark.range(batchRows - nNew).select(
+            (col("id") + base + nNew).as("id"),
+            body(pmod(xxhash64(col("id") + base), lit(b.toLong * nNew))).as("body"))
+        val batch = fresh.unionByName(dups).persist()
+        batch.count()
+        val t0 = System.nanoTime()
+        eng.insertInto("gb_in", batch)
+        val sec = (System.nanoTime() - t0) / 1e9
+        batch.unpersist()
+        sec
+      }
+      eng.dropContTransform("gb_gate")
+      eng.dropStream("gb_in"); eng.dropStream("gb_out")
+      val steady = secs.drop(1).sorted.apply((nBatches - 1) / 2)
+      math.round(batchRows / steady)
+    }
+    val gateEvPerSec = gateProbe(nd = false, nBatches = 6, batchRows = 20000)
+    val ndGateEvPerSec = gateProbe(nd = true, nBatches = 6, batchRows = 5000)
     val loadavg = loadavgNow()
     val (steal1, total1) = cpuTicks()
     val stealPct =
       if (total1 > total0) 100.0 * (steal1 - steal0) / (total1 - total0) else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":$repeats,"cv_large_state_sec":$largeStateSec,"cv_ingest_events_per_sec":${ingestEventsPerSec.round},"cv_reap_noop_sec":$reapNoopSec,"cv_soak_sec":$soakSec,"cv_soak_events_per_sec":${soakEvPerSec.round},"cv_soak_drift":${math.round(soakDrift * 1000) / 1000.0},"cv_soak_reap_ms":${math.round(soakReapMs * 100) / 100.0},"cv_soak_batches":$soakBatches,"cv_soak_commits":$soakCommits,"loadavg_before":"$loadavgBefore","loadavg":"$loadavg","cpu_steal_pct":${math.round(stealPct * 100) / 100.0}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":$repeats,"cv_large_state_sec":$largeStateSec,"cv_ingest_events_per_sec":${ingestEventsPerSec.round},"cv_reap_noop_sec":$reapNoopSec,"cv_soak_sec":$soakSec,"cv_soak_events_per_sec":${soakEvPerSec.round},"cv_soak_drift":${math.round(soakDrift * 1000) / 1000.0},"cv_soak_reap_ms":${math.round(soakReapMs * 100) / 100.0},"cv_soak_batches":$soakBatches,"cv_soak_commits":$soakCommits,"gate_events_per_sec":$gateEvPerSec,"ndgate_events_per_sec":$ndGateEvPerSec,"loadavg_before":"$loadavgBefore","loadavg":"$loadavg","cpu_steal_pct":${math.round(stealPct * 100) / 100.0}}""")
     spark.stop()
   }
 }
