@@ -66,6 +66,19 @@ object AnnSearch {
     org.apache.spark.sql.GraftBridge.column(
       LshBuckets(org.apache.spark.sql.GraftBridge.expression(v), planes))
 
+  /** Packed (table, bucket) SRP-LSH keys of a double-array embedding, as a
+    * composable Column: one long per table, table index folded into the
+    * high bits. Deterministic in (dim, numTables, bitsPerTable, seed) —
+    * identical across batches, executors and restarts, which is what lets
+    * the streaming cosine gate bucket new arrivals against a store written
+    * by earlier batches. */
+  def srpBucketKeys(v: Column, dim: Int, numTables: Int, bitsPerTable: Int,
+      seed: Long): Column = {
+    val ps = planes(dim, numTables, bitsPerTable, seed)
+    transform(lshBuckets(v, ps),
+      (b, i) => i.cast("long") * lit(1L << bitsPerTable) + b)
+  }
+
   /** Embedding-cosine near-duplicate pairs: corpus self-join through the
     * LSH buckets (near-identical vectors collide with probability ~1 even
     * at high bits), then exact-cosine verification — same candidates-then-

@@ -431,12 +431,34 @@ object CvQueries {
         storeRoot = root)
       eng.createContView("v_nd_clean", "SELECT doc_id, lang FROM nd_clean",
         emitChanges = false)
+      // third sibling: the embedding-cosine gate, on the embeddings table
+      // (exact copies of every 5th vector seeded at +200000 → cosine 1.0 to
+      // an earlier arrival, structurally suppressed). Unlike the simhash
+      // slice, the FULL admitted set is oracle-expressible here: DuckDB
+      // brute-forces cos >= 0.99 over the same corpus, and LSH recall at
+      // that threshold is structural for copies and ~1-1.6e-10 for any
+      // natural pair (q_ann_lsh's operating point).
+      val emb = Tables.embeddings(s, dir).select("vec_id", "embedding", "label")
+      val cosCorpus = emb.unionByName(
+        emb.where(pmod(col("vec_id"), lit(5)) === 0)
+          .select((col("vec_id") + 200000L).as("vec_id"), col("embedding"),
+            col("label")))
+      eng.createStream("cg_in", cosCorpus.schema)
+      eng.createStream("cg_clean", cosCorpus.schema)
+      graft.streaming.CosineNearDupGate.create(eng, "cg_gate",
+        "SELECT vec_id, embedding, label FROM cg_in",
+        embSql = "embedding", orderCol = "vec_id", sink = "cg_clean",
+        storeRoot = root, threshold = 0.99, dim = 64)
+      eng.createContView("v_cg_clean", "SELECT vec_id, label FROM cg_clean",
+        emitChanges = false)
       Seq((Long.MinValue, 200L), (200L, 400L), (400L, Long.MaxValue))
         .foreach { case (lo, hi) =>
           eng.insertInto("dg_in",
             corpus.where(col("doc_id") >= lo && col("doc_id") < hi))
           eng.insertInto("nd_in",
             ndCorpus.where(col("doc_id") >= lo && col("doc_id") < hi))
+          eng.insertInto("cg_in",
+            cosCorpus.where(col("vec_id") >= lo && col("vec_id") < hi))
         }
       eng
     })
@@ -952,5 +974,30 @@ object CvQueries {
           .join(admitted.select(col("doc_id").as("a_id")),
             col("doc_id") === col("a_id"), "left_anti")
           .orderBy("doc_id")
+    },
+
+    // Streaming cosine near-dup gate (CosineNearDupGate, beyond-ref): the
+    // FULL admitted set, oracle-brute-forced — "seen"-closed suppression
+    // means admitted(v) ⇔ no earlier vector at cosine >= 0.99, a prefix
+    // property DuckDB recomputes with an all-pairs join at this SF.
+    QDef(
+      "q_cosine_stream",
+      """WITH corpus AS (
+        |  SELECT vec_id, embedding, label FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 200000 AS vec_id, embedding, label
+        |  FROM embeddings WHERE vec_id % 5 = 0
+        |), sup AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                               CAST(b.embedding AS DOUBLE[])) >= 0.99
+        |)
+        |SELECT c.vec_id, c.label
+        |FROM corpus c LEFT JOIN sup s ON c.vec_id = s.vec_id
+        |WHERE s.vec_id IS NULL
+        |ORDER BY c.vec_id""".stripMargin) {
+      (s, dir) =>
+        dedupGateFor(s, dir).overlay("v_cg_clean").orderBy("vec_id")
     })
 }

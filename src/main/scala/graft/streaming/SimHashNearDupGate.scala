@@ -45,7 +45,8 @@ final class SimHashNearDupGate private (
     blocks: Int,
     bloomP: Double,
     bloomN: Int,
-    maxBucketSize: Int) {
+    maxBucketSize: Int,
+    compactEvery: Int) {
 
   private val bloom = BloomFilter.empty(bloomP, bloomN)
   // Hot-bucket guard (opt-in, the SimHash.nearDuplicates cap's streaming
@@ -217,6 +218,7 @@ final class SimHashNearDupGate private (
         if (n > 0) eng.insertInto(sink, survivors)
       } finally survivors.unpersist()
     } finally keyed.unpersist()
+    if (compactEvery > 0 && batches % compactEvery == 0) compact()
   }
 }
 
@@ -231,11 +233,12 @@ object SimHashNearDupGate {
       textSql: String, orderCol: String, sink: String, storeRoot: String,
       maxDist: Int = 3, blocks: Int = 6,
       bloomP: Double = 0.01, bloomN: Int = 1 << 20,
-      maxBucketSize: Int = Int.MaxValue): SimHashNearDupGate = {
+      maxBucketSize: Int = Int.MaxValue,
+      compactEvery: Int = 256): SimHashNearDupGate = {
     val dir = Paths.get(storeRoot, name, "seen_fps")
     Files.createDirectories(dir)
     val gate = new SimHashNearDupGate(eng, name, textSql, orderCol, sink, dir,
-      maxDist, blocks, bloomP, bloomN, maxBucketSize)
+      maxDist, blocks, bloomP, bloomN, maxBucketSize, compactEvery)
     gate.bootstrap() // resume from a persisted store after an engine restart
     eng.createContTransform(name, selectSql,
       outputFunc = Some(gate.onBatch _), emitChanges = false)

@@ -58,7 +58,8 @@ final class StreamDedupGate private (
     sink: String,
     storeDir: Path,
     bloomP: Double,
-    bloomN: Int) {
+    bloomN: Int,
+    compactEvery: Int) {
 
   private val bloom = BloomFilter.empty(bloomP, bloomN)
   private var batches = 0L
@@ -184,6 +185,7 @@ final class StreamDedupGate private (
         eng.insertInto(sink, survivors)
       }
     } finally survivors.unpersist()
+    if (compactEvery > 0 && batches % compactEvery == 0) compact()
   }
 
   private def bloom_contains(state: org.apache.spark.sql.Column,
@@ -207,11 +209,12 @@ object StreamDedupGate {
   def create(eng: ContViewEngine, name: String, selectSql: String,
       keySql: String, orderCol: String, sink: String,
       storeRoot: String,
-      bloomP: Double = 0.01, bloomN: Int = 1 << 17): StreamDedupGate = {
+      bloomP: Double = 0.01, bloomN: Int = 1 << 17,
+      compactEvery: Int = 256): StreamDedupGate = {
     val dir = Paths.get(storeRoot, name, "seen_keys")
     Files.createDirectories(dir)
     val gate = new StreamDedupGate(eng, name, keySql, orderCol, sink, dir,
-      bloomP, bloomN)
+      bloomP, bloomN, compactEvery)
     gate.bootstrap() // resume from a persisted store after an engine restart
     eng.createContTransform(name, selectSql,
       outputFunc = Some(gate.onBatch _), emitChanges = false)

@@ -49,6 +49,33 @@ class StreamDedupGateSpec extends AnyFunSuite {
   private def admitted(eng: ContViewEngine): Set[Long] =
     eng.overlay("v_out").select("id").collect().map(_.getLong(0)).toSet
 
+  test("auto-compaction keeps the store file count bounded") {
+    val root = java.nio.file.Files.createTempDirectory("graft_gate_ac").toString
+    val eng = new ContViewEngine(spark, root)
+    val schema = Seq((0L, "x")).toDF("id", "body").schema
+    eng.createStream("a_in", schema)
+    eng.createStream("a_out", org.apache.spark.sql.types.StructType(
+      schema.fields :+ org.apache.spark.sql.types.StructField("h",
+        org.apache.spark.sql.types.StringType)))
+    StreamDedupGate.create(eng, "a_gate", "SELECT id, body FROM a_in",
+      keySql = "md5(body)", orderCol = "id", sink = "a_out",
+      storeRoot = root, compactEvery = 2)
+    eng.createContView("v_a", "SELECT id FROM a_out", emitChanges = false)
+    (0 until 6).foreach { b =>
+      eng.insertInto("a_in",
+        (0 until 10).map(i => ((b * 10 + i).toLong, s"d-$b-$i")).toDF("id", "body"))
+    }
+    val store = new java.io.File(s"$root/a_gate/seen_keys")
+    // every 2nd batch folds the store to ONE file; at most one un-compacted
+    // batch file can sit on top of it at any time
+    assert(store.listFiles().count(_.getName.endsWith(".parquet")) <= 2)
+    assert(spark.read.parquet(store.getAbsolutePath).count() === 60L)
+    // and a repeat of early content is still suppressed through the
+    // compacted store
+    eng.insertInto("a_in", Seq((999L, "d-0-0")).toDF("id", "body"))
+    assert(!eng.overlay("v_a").collect().map(_.getLong(0)).contains(999L))
+  }
+
   test("within-batch repeats: lowest order-column row wins its key") {
     val (eng, gate, _) = fixture()
     eng.insertInto("g_in",
