@@ -186,6 +186,12 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
             createContTransform(fields("name"), fields("payload"),
               sinkStream = Option(fields("sink")).filter(_.nonEmpty),
               emitChanges = fields("changes").toBoolean)
+          // declared dedup gate: the spec re-parses and the gate's
+          // bootstrap re-derives its filters from the persisted store, so
+          // suppression state survives the restart end-to-end
+          case "gate" =>
+            createGateTransform(fields("name"), fields("payload"),
+              fields("sw"), fields("sink"))
           case "activate" => activate(fields("name"))
           case "deactivate" => deactivate(fields("name"))
           case "drop" => fields("payload") match {
@@ -371,6 +377,8 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
       sink.foreach { s => require(streams.contains(normalizeName(s, "stream")),
         s"outputfunc insert_into_stream('$s'): unknown stream $s") }
       createContTransform(name, select, sinkStream = sink, emitChanges = changes); ()
+    case CvDdl.CreateGateTransform(name, select, gateSpec, sink) =>
+      createGateTransform(name, select, gateSpec, sink); ()
     case CvDdl.Rename(name0, newName) =>
       val name = normalizeName(name0, "continuous query")
       if (transforms.contains(name)) renameContTransform(name, newName)
@@ -957,6 +965,66 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     }.getOrElse(transforms(name))
   }
 
+  /** Streaming dedup gate declared through DDL (beyond-ref surface):
+    * `CREATE VIEW g WITH (action=transform, sink='clean',
+    *   outputfunc=dedup_gate('md5(text)', 'doc_id')) AS SELECT … FROM s`.
+    * Unlike a Scala `outputFunc` callback, the declared form is RECORDED in
+    * the catalog (kind=gate, spec in the sw slot) and replays at restart —
+    * the gate's bootstrap then re-derives its bloom/CMS filters from the
+    * persisted store, so suppression resumes exactly. Specs:
+    *   dedup_gate('<keySql>', '<orderCol>')
+    *   neardup_gate('<textSql>', '<orderCol>'[, maxDist[, maxBucketSize]])
+    *   cosine_gate('<embSql>', '<orderCol>', <threshold>, <dim>)
+    */
+  def createGateTransform(name0: String, selectSql: String, gateSpec: String,
+      sink0: String): AnyRef = synchronized {
+    val name = normalizeName(name0, "continuous transform")
+    val sink = normalizeName(sink0, "stream")
+    require(streams.contains(sink), s"gate sink: unknown stream $sink")
+    if (transforms.contains(name)) return gates(name)
+    val dedupRe =
+      """(?i)dedup_gate\s*\(\s*'([^']*)'\s*,\s*'([^']*)'\s*\)""".r
+    val neardupRe =
+      """(?i)neardup_gate\s*\(\s*'([^']*)'\s*,\s*'([^']*)'\s*(?:,\s*(\d+)\s*(?:,\s*(\d+)\s*)?)?\)""".r
+    val cosineRe =
+      """(?i)cosine_gate\s*\(\s*'([^']*)'\s*,\s*'([^']*)'\s*,\s*([0-9.]+)\s*,\s*(\d+)\s*\)""".r
+    // the gate's own createContTransform call must not write a second
+    // catalog row — only the kind=gate entry replays (a plain transform
+    // entry would re-create the transform WITHOUT its callback)
+    val prevSuppress = suppressCatalog
+    suppressCatalog = true
+    val gate: AnyRef =
+      try gateSpec match {
+        case dedupRe(keySql, orderCol) =>
+          graft.streaming.StreamDedupGate.create(this, name, selectSql,
+            keySql, orderCol, sink, storeRoot = root)
+        case neardupRe(textSql, orderCol, maxDist, cap) =>
+          graft.streaming.SimHashNearDupGate.create(this, name, selectSql,
+            textSql, orderCol, sink, storeRoot = root,
+            maxDist = Option(maxDist).map(_.toInt).getOrElse(3),
+            maxBucketSize = Option(cap).map(_.toInt).getOrElse(Int.MaxValue))
+        case cosineRe(embSql, orderCol, threshold, dim) =>
+          graft.streaming.CosineNearDupGate.create(this, name, selectSql,
+            embSql, orderCol, sink, storeRoot = root,
+            threshold = threshold.toDouble, dim = dim.toInt)
+        case other => throw new IllegalArgumentException(
+          s"unparseable gate outputfunc '$other' (expected dedup_gate('<key>','<order>'), " +
+            "neardup_gate('<text>','<order>'[,maxDist[,maxBucketSize]]) or " +
+            "cosine_gate('<emb>','<order>',<threshold>,<dim>))")
+      } finally suppressCatalog = prevSuppress
+    gates(name) = gate
+    appendCatalog(CatalogEntry("gate", name, selectSql, gateSpec, "", 0, "", "",
+      sink, changes = false))
+    gate
+  }
+
+  // lazy: the constructor's catalog replay reaches createGateTransform
+  // before later-declared fields would otherwise initialize
+  private lazy val gates = mutable.Map.empty[String, AnyRef]
+
+  /** The declared gate registered under `name`, if any. */
+  def gateOf(name: String): Option[AnyRef] = synchronized(gates.get(name))
+
   /** activate/deactivate persist across restarts (the reference stores the
     * active flag in its cont_query catalog row).
     */
@@ -1153,6 +1221,7 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
       s"cannot drop $name: continuous queries ${readers(osrel).mkString(", ")} read $osrel")
     transforms.remove(name)
     defSignatures.remove(name)
+    gates.remove(name) // root/name (incl. the gate's seen-store) is deleted below
     readers.get(h.streamName).foreach(b => { b -= name; () })
     streams.remove(osrel)
     readers.remove(osrel)

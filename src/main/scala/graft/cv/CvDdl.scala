@@ -34,6 +34,13 @@ object CvDdl {
       name: String, select: String, options: CvOptions, emitChanges: Boolean) extends Stmt
   final case class CreateTransform(
       name: String, select: String, sink: Option[String], emitChanges: Boolean) extends Stmt
+  /** Transform whose outputfunc is one of the streaming dedup gates
+    * (dedup_gate / neardup_gate / cosine_gate) — `gateSpec` carries the
+    * raw outputfunc text, parsed by the engine. Beyond-ref DDL: declared
+    * gates replay from the catalog (the Scala outputFunc callback can't),
+    * so a restarted engine resumes suppression from the persisted store. */
+  final case class CreateGateTransform(
+      name: String, select: String, gateSpec: String, sink: String) extends Stmt
   final case class Activate(name: String) extends Stmt
   final case class Deactivate(name: String) extends Stmt
   /** kind ∈ view | transform | stream (plain DROP VIEW resolves either CQ kind). */
@@ -237,17 +244,27 @@ object CvDdl {
         // outputfunc = insert_into_stream('s') is the one function the
         // reference ships for chaining (stream_fdw.c:589-640); arbitrary
         // trigger functions need the Scala API's outputFunc callback.
-        val sink = opts.get("sink").orElse(opts.get("outputfunc").map { f =>
-          val m = """(?i)(?:pipelinedb\.)?insert_into_stream\s*\(\s*'([^']+)'\s*\)""".r
-          f match {
-            case m(s) => s
-            case other => throw new IllegalArgumentException(
-              s"unsupported outputfunc '$other' — only insert_into_stream('stream') " +
-                "is expressible in DDL; pass a Scala callback to createContTransform " +
-                "for custom output functions")
-          }
-        })
-        CreateTransform(name, select, sink, emitChanges)
+        val gateRe = """(?i)\s*(dedup_gate|neardup_gate|cosine_gate)\s*\(.*""".r
+        opts.get("outputfunc") match {
+          case Some(f @ gateRe(_)) =>
+            val sink = opts.getOrElse("sink", throw new IllegalArgumentException(
+              s"outputfunc ${f.takeWhile(_ != '(')}(...) requires a sink " +
+                "stream: add sink = '<stream>' to the WITH options"))
+            CreateGateTransform(name, select, f.trim, sink)
+          case _ =>
+            val sink = opts.get("sink").orElse(opts.get("outputfunc").map { f =>
+              val m = """(?i)(?:pipelinedb\.)?insert_into_stream\s*\(\s*'([^']+)'\s*\)""".r
+              f match {
+                case m(s) => s
+                case other => throw new IllegalArgumentException(
+                  s"unsupported outputfunc '$other' — only insert_into_stream('stream') " +
+                    "and the dedup gates (dedup_gate/neardup_gate/cosine_gate) are " +
+                    "expressible in DDL; pass a Scala callback to createContTransform " +
+                    "for custom output functions")
+              }
+            })
+            CreateTransform(name, select, sink, emitChanges)
+        }
       case other =>
         throw new IllegalArgumentException(s"unknown action '$other' " +
           "(expected materialize or transform)")

@@ -1,0 +1,76 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cv.ContViewEngine
+
+/** DDL-declared gates: the `outputfunc = dedup_gate(...)` spelling is
+  * recorded in the catalog (unlike a Scala callback), so a restarted
+  * engine replays the gate AND resumes its suppression state from the
+  * persisted store — the declarative form is the restart-safe one.
+  */
+class GateDdlSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  import spark.implicits._
+
+  test("dedup gate declared in DDL replays with its store at restart") {
+    val root = java.nio.file.Files.createTempDirectory("graft_gddl").toString
+    val eng1 = new ContViewEngine(spark, root)
+    eng1.sql("CREATE STREAM d_in (id int8, body text)")
+    eng1.sql("CREATE STREAM d_clean (id int8, body text, h text)")
+    eng1.sql("""CREATE VIEW d_gate WITH (action = transform, sink = 'd_clean',
+               |  outputfunc = dedup_gate('md5(body)', 'id')) AS
+               |SELECT id, body FROM d_in""".stripMargin)
+    eng1.sql("""CREATE CONTINUOUS VIEW v_d WITH (changes = false) AS
+               |SELECT id, h FROM d_clean""".stripMargin)
+    eng1.sql("INSERT INTO d_in (id, body) VALUES (1, 'aa'), (2, 'bb')")
+    eng1.sql("INSERT INTO d_in (id, body) VALUES (3, 'aa')")
+    assert(eng1.sql("SELECT id FROM v_d ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    assert(eng1.gateOf("d_gate").isDefined)
+
+    // restart on the same root: catalog replay must rebuild the GATE (not a
+    // bare transform) and its bloom from the store, so pre-restart keys
+    // keep suppressing
+    val eng2 = new ContViewEngine(spark, root)
+    assert(eng2.gateOf("d_gate").isDefined, "replayed transform must be a gate")
+    eng2.sql("INSERT INTO d_in (id, body) VALUES (4, 'bb'), (5, 'cc')")
+    assert(eng2.sql("SELECT id FROM v_d ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L, 2L, 5L))
+  }
+
+  test("neardup gate spec parses with optional args; bad spec rejected") {
+    val root = java.nio.file.Files.createTempDirectory("graft_gddl2").toString
+    val eng = new ContViewEngine(spark, root)
+    eng.sql("CREATE STREAM n_in (id int8, body text)")
+    eng.sql("CREATE STREAM n_clean (id int8, body text, fp int8)")
+    eng.sql("""CREATE VIEW n_gate WITH (action = transform, sink = 'n_clean',
+              |  outputfunc = neardup_gate('body', 'id', 3, 5000)) AS
+              |SELECT id, body FROM n_in""".stripMargin)
+    assert(eng.gateOf("n_gate").exists(_.isInstanceOf[SimHashNearDupGate]))
+    val e = intercept[IllegalArgumentException] {
+      eng.sql("""CREATE VIEW bad_gate WITH (action = transform, sink = 'n_clean',
+                |  outputfunc = dedup_gate('md5(body)')) AS
+                |SELECT id, body FROM n_in""".stripMargin)
+    }
+    assert(e.getMessage.contains("unparseable gate outputfunc"))
+    val e2 = intercept[IllegalArgumentException] {
+      eng.sql("""CREATE VIEW bad2 WITH (action = transform,
+                |  outputfunc = dedup_gate('md5(body)', 'id')) AS
+                |SELECT id, body FROM n_in""".stripMargin)
+    }
+    assert(e2.getMessage.contains("requires a sink"))
+  }
+}
