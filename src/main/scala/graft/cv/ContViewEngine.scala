@@ -965,6 +965,21 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     }.getOrElse(transforms(name))
   }
 
+  /** Re-attach an output callback to a registered transform. A Scala-API
+    * gate's callback is code and cannot persist: after a restart the
+    * catalog replays its transform BARE (outputFunc = None), and the
+    * user's re-run of Gate.create hits the idempotent no-op — without this
+    * rebind the gate would sit silently dead, neither deduplicating nor
+    * forwarding. Unconditional: a same-session duplicate create rebinding
+    * to an identically-configured fresh gate instance is harmless.
+    */
+  private[graft] def rebindTransformOutput(name: String,
+      fn: DataFrame => Unit): Unit = synchronized {
+    transforms.get(name).foreach { h =>
+      transforms(name) = h.copy(outputFunc = Some(fn))
+    }
+  }
+
   /** Streaming dedup gate declared through DDL (beyond-ref surface):
     * `CREATE VIEW g WITH (action=transform, sink='clean',
     *   outputfunc=dedup_gate('md5(text)', 'doc_id')) AS SELECT … FROM s`.
@@ -981,7 +996,15 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     val name = normalizeName(name0, "continuous transform")
     val sink = normalizeName(sink0, "stream")
     require(streams.contains(sink), s"gate sink: unknown stream $sink")
-    if (transforms.contains(name)) return gates(name)
+    if (transforms.contains(name)) {
+      // mirror idempotent(): an identical re-declaration is a no-op, a
+      // different one (or a clash with a non-gate transform) fails loudly
+      require(gates.contains(name),
+        s"$name already exists as a continuous transform (not a gate)")
+      require(gateSignatures.get(name).contains((selectSql, gateSpec, sink)),
+        s"gate $name already exists with a different definition")
+      return gates(name)
+    }
     val dedupRe =
       """(?i)dedup_gate\s*\(\s*'([^']*)'\s*,\s*'([^']*)'\s*\)""".r
     val neardupRe =
@@ -1013,6 +1036,7 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
             "cosine_gate('<emb>','<order>',<threshold>,<dim>))")
       } finally suppressCatalog = prevSuppress
     gates(name) = gate
+    gateSignatures(name) = (selectSql, gateSpec, sink)
     appendCatalog(CatalogEntry("gate", name, selectSql, gateSpec, "", 0, "", "",
       sink, changes = false))
     gate
@@ -1021,6 +1045,8 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
   // lazy: the constructor's catalog replay reaches createGateTransform
   // before later-declared fields would otherwise initialize
   private lazy val gates = mutable.Map.empty[String, AnyRef]
+  private lazy val gateSignatures =
+    mutable.Map.empty[String, (String, String, String)]
 
   /** The declared gate registered under `name`, if any. */
   def gateOf(name: String): Option[AnyRef] = synchronized(gates.get(name))
@@ -1222,6 +1248,7 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     transforms.remove(name)
     defSignatures.remove(name)
     gates.remove(name) // root/name (incl. the gate's seen-store) is deleted below
+    gateSignatures.remove(name)
     readers.get(h.streamName).foreach(b => { b -= name; () })
     streams.remove(osrel)
     readers.remove(osrel)

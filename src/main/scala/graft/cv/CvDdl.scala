@@ -250,6 +250,11 @@ object CvDdl {
             val sink = opts.getOrElse("sink", throw new IllegalArgumentException(
               s"outputfunc ${f.takeWhile(_ != '(')}(...) requires a sink " +
                 "stream: add sink = '<stream>' to the WITH options"))
+            // a silently-dropped option is worse than a missing feature:
+            // gates forward through their sink only, no output_of stream
+            require(!opts.get("changes").exists(_.toBoolean),
+              "changes = true is not supported on gate transforms — the " +
+                "gate's survivors flow to its sink stream, not output_of()")
             CreateGateTransform(name, select, f.trim, sink)
           case _ =>
             val sink = opts.get("sink").orElse(opts.get("outputfunc").map { f =>

@@ -64,24 +64,15 @@ final class CosineNearDupGate private (
   private def keysOf(v: org.apache.spark.sql.Column) =
     AnnSearch.srpBucketKeys(v, dim, numTables, bitsPerTable, seed)
 
-  private def storeFiles(): Array[String] = {
-    val d = storeDir.toFile
-    Option(d.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-      .map(_.getAbsolutePath)
-  }
-
   private[streaming] def bootstrap(): Unit = synchronized {
-    val files = storeFiles()
+    val files = GateStore.files(storeDir)
     if (files.nonEmpty) {
       val b = eng.spark.read.parquet(files: _*)
         .select(explode(keysOf(col("v"))).as("bucket"))
         .agg(GraftFunctions.bloom_agg(col("bucket"), bloomP, bloomN).as("b"))
         .collect()(0).getAs[Array[Byte]]("b")
       bloom.union(BloomFilter.deserialize(b))
-      batches = files.map(_.split("embs_").last.stripSuffix(".parquet"))
-        .flatMap(s => scala.util.Try(s.toLong).toOption)
-        .foldLeft(0L)(math.max)
+      batches = GateStore.maxBatch(storeDir, "embs")
     }
   }
 
@@ -102,7 +93,7 @@ final class CosineNearDupGate private (
         .where(col("id_l") < col("id_r") &&
           VectorExpressions.cosineSim(col("v_l"), col("v_r")) >= threshold)
         .select(col("id_r").as("__id"))
-      val files = storeFiles()
+      val files = GateStore.files(storeDir)
       val fromStore =
         if (files.isEmpty) inBatch.limit(0)
         else {
@@ -124,27 +115,19 @@ final class CosineNearDupGate private (
         val n = survivors.count()
         admitted += n
         suppressed += obs.get("rows").asInstanceOf[Long] - n
-        val tmp = Files.createTempFile(storeDir, ".tmp_embs", ".inprogress")
-        val stage = Files.createTempDirectory(storeDir, ".stage")
-        try {
-          keyed.select(col(orderCol).as("id"), col("__v").as("v"))
-            .coalesce(1).write.mode("overwrite").parquet(stage.toString)
-          val part = Option(stage.toFile.listFiles())
-            .getOrElse(Array.empty).find(_.getName.endsWith(".parquet"))
-            .getOrElse(throw new IllegalStateException("no emb part written"))
-          Files.move(part.toPath, tmp, StandardCopyOption.REPLACE_EXISTING)
-          Files.move(tmp, storeDir.resolve(f"embs_$batches%05d.parquet"),
-            StandardCopyOption.ATOMIC_MOVE)
-        } finally {
-          Files.deleteIfExists(tmp)
-          StreamDedupGate.deleteRecursively(stage.toFile)
-        }
+        // sink BEFORE store append (at-least-once under failure-retry —
+        // see StreamDedupGate's delivery contract); null embeddings can't
+        // pair and are not stored
+        if (n > 0) eng.insertInto(sink, survivors)
+        GateStore.append(
+          keyed.where(col("__v").isNotNull)
+            .select(col(orderCol).as("id"), col("__v").as("v")),
+          storeDir, "embs", batches)
         val update = keyed
           .select(explode(keysOf(col("__v"))).as("bucket"))
           .agg(GraftFunctions.bloom_agg(col("bucket"), bloomP, bloomN).as("b"))
           .collect()(0).getAs[Array[Byte]]("b")
         bloom.union(BloomFilter.deserialize(update))
-        if (n > 0) eng.insertInto(sink, survivors)
       } finally survivors.unpersist()
     } finally keyed.unpersist()
     if (compactEvery > 0 && batches % compactEvery == 0) compact()
@@ -154,26 +137,7 @@ final class CosineNearDupGate private (
     * manifest (duplicated (id, v) rows change nothing: suppressor hits
     * deduplicate through the DISTINCT on suppressed ids). */
   def compact(): Unit = synchronized {
-    val files = storeFiles()
-    if (files.length > 1) {
-      val stage = Files.createTempDirectory(storeDir, ".stage")
-      val tmp = Files.createTempFile(storeDir, ".tmp_compact", ".inprogress")
-      try {
-        eng.spark.read.parquet(files: _*).select("id", "v").distinct()
-          .coalesce(1).write.mode("overwrite").parquet(stage.toString)
-        val part = Option(stage.toFile.listFiles())
-          .getOrElse(Array.empty).find(_.getName.endsWith(".parquet"))
-          .getOrElse(throw new IllegalStateException("no compacted part written"))
-        Files.move(part.toPath, tmp, StandardCopyOption.REPLACE_EXISTING)
-        Files.move(tmp, storeDir.resolve(
-          f"embs_$batches%05d_c${System.nanoTime()}%d.parquet"),
-          StandardCopyOption.ATOMIC_MOVE)
-        files.foreach(f => Files.deleteIfExists(Paths.get(f)))
-      } finally {
-        Files.deleteIfExists(tmp)
-        StreamDedupGate.deleteRecursively(stage.toFile)
-      }
-    }
+    GateStore.compact(eng.spark, storeDir, "embs", Seq("id", "v"), batches)
   }
 }
 
@@ -199,6 +163,8 @@ object CosineNearDupGate {
     gate.bootstrap()
     eng.createContTransform(name, selectSql,
       outputFunc = Some(gate.onBatch _), emitChanges = false)
+    // a catalog-replayed transform is bare (no callback) — re-attach
+    eng.rebindTransformOutput(name, gate.onBatch _)
     gate
   }
 }

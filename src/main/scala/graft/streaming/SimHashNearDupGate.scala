@@ -18,7 +18,11 @@ import graft.sketch.BloomFilter
   * suppressor for later arrivals whether or not it was itself admitted
   * (the set a later doc is checked against is feed-order-prefix-closed,
   * which keeps the semantics single-shot recomputable: admitted(d) ⇔ no
-  * d' earlier than d with hamming(d,d') ≤ maxDist).
+  * d' earlier than d with hamming(d,d') ≤ maxDist). `orderCol` must be
+  * unique per stream: two rows sharing a value can't order against each
+  * other and would both pass. Delivery is at-least-once under
+  * failure-retry (sink forward precedes the store append — see
+  * [[StreamDedupGate]]'s delivery contract).
   *
   * State is 16 bytes per document ever seen — (id, 64-bit fingerprint) in
   * append-only parquet, never the text — so 10B docs is ~160 GB of key
@@ -71,18 +75,11 @@ final class SimHashNearDupGate private (
   /** (batches, admitted survivors, suppressed near-duplicates) so far. */
   def stats: (Long, Long, Long) = synchronized((batches, admitted, suppressed))
 
-  private def storeFiles(): Array[String] = {
-    val d = storeDir.toFile
-    Option(d.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-      .map(_.getAbsolutePath)
-  }
-
   /** Restart bootstrap: the fingerprint store IS the dedup state; one
     * distributed pass over it rebuilds the memory-resident bucket bloom
     * (and the CMS occupancy when the hot-bucket cap is active). */
   private[streaming] def bootstrap(): Unit = synchronized {
-    val files = storeFiles()
+    val files = GateStore.files(storeDir)
     if (files.nonEmpty) {
       val keys = eng.spark.read.parquet(files: _*)
         .select(explode(SimHash.blockKeys(col("fp"), blocks, maxDist)).as("bucket"))
@@ -97,9 +94,7 @@ final class SimHashNearDupGate private (
       if (bucketCounts != null)
         bucketCounts.merge(
           graft.sketch.CountMinSketch.deserialize(row.getAs[Array[Byte]]("c")))
-      batches = files.map(_.split("fps_").last.stripSuffix(".parquet"))
-        .flatMap(s => scala.util.Try(s.toLong).toOption)
-        .foldLeft(0L)(math.max)
+      batches = GateStore.maxBatch(storeDir, "fps")
     }
   }
 
@@ -108,26 +103,7 @@ final class SimHashNearDupGate private (
     * deduplicates suppressor hits), so the merged file lands before the
     * olds are unlinked. */
   def compact(): Unit = synchronized {
-    val files = storeFiles()
-    if (files.length > 1) {
-      val stage = Files.createTempDirectory(storeDir, ".stage")
-      val tmp = Files.createTempFile(storeDir, ".tmp_compact", ".inprogress")
-      try {
-        eng.spark.read.parquet(files: _*).select("id", "fp").distinct()
-          .coalesce(1).write.mode("overwrite").parquet(stage.toString)
-        val part = Option(stage.toFile.listFiles())
-          .getOrElse(Array.empty).find(_.getName.endsWith(".parquet"))
-          .getOrElse(throw new IllegalStateException("no compacted part written"))
-        Files.move(part.toPath, tmp, StandardCopyOption.REPLACE_EXISTING)
-        Files.move(tmp, storeDir.resolve(
-          f"fps_$batches%05d_c${System.nanoTime()}%d.parquet"),
-          StandardCopyOption.ATOMIC_MOVE)
-        files.foreach(f => Files.deleteIfExists(Paths.get(f)))
-      } finally {
-        Files.deleteIfExists(tmp)
-        StreamDedupGate.deleteRecursively(stage.toFile)
-      }
-    }
+    GateStore.compact(eng.spark, storeDir, "fps", Seq("id", "fp"), batches)
   }
 
   private[streaming] def onBatch(batch: DataFrame): Unit = synchronized {
@@ -154,7 +130,7 @@ final class SimHashNearDupGate private (
         .where(col("id_l") < col("id_r") &&
           bit_count(col("fp_l").bitwiseXOR(col("fp_r"))) <= maxDist)
         .select(col("id_r").as("__id"))
-      val files = storeFiles()
+      val files = GateStore.files(storeDir)
       val fromStore =
         if (files.isEmpty) inBatch.limit(0)
         else {
@@ -185,23 +161,16 @@ final class SimHashNearDupGate private (
         val n = survivors.count()
         admitted += n
         suppressed += obs.get("rows").asInstanceOf[Long] - n
+        // sink BEFORE store append (at-least-once under failure-retry, see
+        // StreamDedupGate's delivery contract): a batch that fails mid-gate
+        // can be retried without its own fingerprints suppressing it
+        if (n > 0) eng.insertInto(sink, survivors)
         // append EVERY row's fingerprint (seen-semantics: suppressed docs
-        // still suppress later arrivals), then the bucket-key bloom update
-        val tmp = Files.createTempFile(storeDir, ".tmp_fps", ".inprogress")
-        val stage = Files.createTempDirectory(storeDir, ".stage")
-        try {
-          keyed.select(col(orderCol).as("id"), col("fp"))
-            .coalesce(1).write.mode("overwrite").parquet(stage.toString)
-          val part = Option(stage.toFile.listFiles())
-            .getOrElse(Array.empty).find(_.getName.endsWith(".parquet"))
-            .getOrElse(throw new IllegalStateException("no fp part written"))
-          Files.move(part.toPath, tmp, StandardCopyOption.REPLACE_EXISTING)
-          Files.move(tmp, storeDir.resolve(f"fps_$batches%05d.parquet"),
-            StandardCopyOption.ATOMIC_MOVE)
-        } finally {
-          Files.deleteIfExists(tmp)
-          StreamDedupGate.deleteRecursively(stage.toFile)
-        }
+        // still suppress later arrivals; null fingerprints can't pair and
+        // are not stored), then the bucket-key bloom update
+        GateStore.append(
+          keyed.where(col("fp").isNotNull).select(col(orderCol).as("id"), col("fp")),
+          storeDir, "fps", batches)
         val keyCol = keyed
           .select(explode(SimHash.blockKeys(col("fp"), blocks, maxDist)).as("bucket"))
         val updates =
@@ -215,7 +184,6 @@ final class SimHashNearDupGate private (
         if (bucketCounts != null)
           bucketCounts.merge(
             graft.sketch.CountMinSketch.deserialize(updates.getAs[Array[Byte]]("c")))
-        if (n > 0) eng.insertInto(sink, survivors)
       } finally survivors.unpersist()
     } finally keyed.unpersist()
     if (compactEvery > 0 && batches % compactEvery == 0) compact()
@@ -242,6 +210,8 @@ object SimHashNearDupGate {
     gate.bootstrap() // resume from a persisted store after an engine restart
     eng.createContTransform(name, selectSql,
       outputFunc = Some(gate.onBatch _), emitChanges = false)
+    // a catalog-replayed transform is bare (no callback) — re-attach
+    eng.rebindTransformOutput(name, gate.onBatch _)
     gate
   }
 }

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths}
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
@@ -16,17 +16,28 @@ import graft.sketch.BloomFilter
   * the step a production ingest pipeline runs so duplicate documents never
   * reach downstream state at all.
   *
-  * Semantics (deterministic given batch order):
-  *  - within a batch, the row with the lowest `orderCol` wins its key;
+  * Semantics (deterministic given batch order and a unique `orderCol`):
+  *  - within a batch, the row with the lowest `orderCol` wins its key
+  *    (ties on `orderCol` are broken arbitrarily — feed a unique id);
   *  - across batches, a key admitted once is never admitted again;
+  *  - a row whose key evaluates to NULL is ALWAYS forwarded and never
+  *    stored (an incomparable key can't deduplicate — same policy as the
+  *    near-dup gates, whose null fingerprints generate no candidates);
   *  - survivors are forwarded to `sink` with the key attached as `h`.
+  *
+  * Delivery: at-least-once under failure-retry. The sink forward runs
+  * BEFORE the seen-store append, so a batch that fails mid-gate can be
+  * retried without losing documents; the retried batch's survivors may
+  * reach the sink twice (detectable downstream), but a document can never
+  * be silently suppressed by state its failed delivery left behind.
   *
   * Mechanics, sized for the 100-TB regime:
   *  - The seen-key store is APPEND-ONLY key-column parquet (a dedup set
   *    only grows): each batch whose survivors are non-empty appends ONE
   *    file via temp-write + atomic rename — no read-modify-write of
   *    existing state, so per-batch write cost is O(new keys), never
-  *    O(corpus).
+  *    O(corpus). Auto-compaction (`compactEvery`) folds the per-batch
+  *    files so listing/footer overhead stays bounded indefinitely.
   *  - A driver-resident Bloom filter (graft.sketch.BloomFilter, the same
   *    state the engine's `bloom_agg` materializes) gates the expensive
   *    path: rows whose key misses the filter are DEFINITELY new (no false
@@ -45,6 +56,12 @@ import graft.sketch.BloomFilter
   * Concurrency: `onBatch` is serialized on the gate — the engine's sync and
   * async ingest paths already order batches, and the gate's first-wins
   * guarantee is only meaningful under an ordered feed.
+  *
+  * Restart: `create` on an engine whose catalog already replayed this
+  * transform re-binds the callback and `bootstrap` rebuilds the bloom from
+  * the persisted store — suppression resumes exactly. (The DDL spelling,
+  * `outputfunc = dedup_gate(...)`, replays without any re-run of user
+  * code: ContViewEngine.createGateTransform.)
   *
   * Reference anchor: the transform surface is pipelinedb's CREATE VIEW with
   * action=transform + output function (commands.c:219-253); the dedup
@@ -69,137 +86,91 @@ final class StreamDedupGate private (
   /** (batches, admitted survivors, suppressed duplicates) so far. */
   def stats: (Long, Long, Long) = synchronized((batches, admitted, suppressed))
 
-  private def storeFiles(): Array[String] = {
-    val d = storeDir.toFile
-    Option(d.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-      .map(_.getAbsolutePath)
-  }
-
   /** Restart bootstrap: a re-created gate on an existing store resumes
     * exactly — the key set IS the store; only the bloom is memory-resident,
     * and one distributed bloom_agg over the persisted keys rebuilds it.
-    * (batches/admitted/suppressed counters restart at zero: they are
-    * session telemetry, not dedup state.)
+    * (admitted/suppressed counters restart at zero: session telemetry,
+    * not dedup state.)
     */
   private[streaming] def bootstrap(): Unit = synchronized {
-    val files = storeFiles()
+    val files = GateStore.files(storeDir)
     if (files.nonEmpty) {
       val b = eng.spark.read.parquet(files: _*)
         .agg(GraftFunctions.bloom_agg(col("h"), bloomP, bloomN).as("b"))
         .collect()(0).getAs[Array[Byte]]("b")
       bloom.union(BloomFilter.deserialize(b))
-      batches = files.map(_.split("keys_").last.stripSuffix(".parquet"))
-        .flatMap(s => scala.util.Try(s.toLong).toOption)
-        .foldLeft(0L)(math.max)
+      batches = GateStore.maxBatch(storeDir, "keys")
     }
   }
 
-  /** Merge the per-batch key files into one. Crash-safe without a manifest
-    * because a dedup store tolerates DUPLICATED keys (the anti-join result
-    * is identical), so the merged file can land before the olds are
-    * unlinked; a crash in between only re-reads some keys twice until the
-    * next compact. Run it every few hundred batches to keep file-listing
-    * and parquet-footer overhead off the per-batch path.
-    */
+  /** Fold the per-batch key files into one (also runs automatically every
+    * `compactEvery` batches). Crash-safe without a manifest because a
+    * dedup store tolerates DUPLICATED keys — the anti-join result is
+    * identical — so the merged file lands before the olds are unlinked. */
   def compact(): Unit = synchronized {
-    val files = storeFiles()
-    if (files.length > 1) {
-      val stage = Files.createTempDirectory(storeDir, ".stage")
-      val tmp = Files.createTempFile(storeDir, ".tmp_compact", ".inprogress")
-      try {
-        eng.spark.read.parquet(files: _*).select("h").distinct()
-          .coalesce(1).write.mode("overwrite").parquet(stage.toString)
-        val part = Option(stage.toFile.listFiles())
-          .getOrElse(Array.empty).find(_.getName.endsWith(".parquet"))
-          .getOrElse(throw new IllegalStateException("no compacted part written"))
-        Files.move(part.toPath, tmp, StandardCopyOption.REPLACE_EXISTING)
-        Files.move(tmp, storeDir.resolve(
-          f"keys_$batches%05d_c${System.nanoTime()}%d.parquet"),
-          StandardCopyOption.ATOMIC_MOVE)
-        files.foreach(f => Files.deleteIfExists(Paths.get(f)))
-      } finally {
-        Files.deleteIfExists(tmp)
-        StreamDedupGate.deleteRecursively(stage.toFile)
-      }
-    }
+    GateStore.compact(eng.spark, storeDir, "keys", Seq("h"), batches)
   }
 
   private[streaming] def onBatch(batch: DataFrame): Unit = synchronized {
     batches += 1
     val s = batch.sparkSession
     // input-row count rides the survivors job via observe() — a separate
-    // batch.count() would re-run the transform projection per batch.
-    // The observed node sits below the window's exchange, which BOTH
-    // bloom branches read: exchange reuse executes it once, so the metric
-    // is exact (StreamDedupGateSpec pins the stats; a runtime that stopped
-    // reusing the exchange would double-count and fail there, visibly)
+    // batch.count() would re-run the transform projection per batch. The
+    // persist() pins the observed node to exactly one execution even
+    // though two branches (null-key bypass, window path) consume it —
+    // StreamDedupGateSpec pins the stats, so a caching change that
+    // re-executed the node would double-count and fail there, visibly
     val obs = new org.apache.spark.sql.Observation(s"gate_${name}_$batches")
     val keyed = batch.drop("arrival_timestamp")
       .observe(obs, count(lit(1)).as("rows"))
       .withColumn("h", expr(keySql))
+      .persist()
+    // null keys can't deduplicate: pass them through, never store them
+    val nullKeyed = keyed.where(col("h").isNull)
+    val nonNull = keyed.where(col("h").isNotNull)
     // within-batch first-wins: one shuffle on the key, heap-free row_number
     val w = Window.partitionBy("h").orderBy(col(orderCol))
-    val firsts = keyed.withColumn("__rn", row_number().over(w))
+    val firsts = nonNull.withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1).drop("__rn")
-    val files = storeFiles()
+    val files = GateStore.files(storeDir)
     val survivors0 =
       if (files.isEmpty) firsts
       else {
         // Bloom gate: misses are definitely-new and bypass the store scan;
         // only possible repeats (true dups + ~p false positives) pay the
         // anti-join against the key column
-        val mayRepeat = bloom_contains(lit(bloom.serialize()), col("h"))
+        val mayRepeat = GraftFunctions.bloom_contains(lit(bloom.serialize()), col("h"))
         val fresh = firsts.where(!mayRepeat)
         val candidates = firsts.where(mayRepeat)
         val seen = s.read.parquet(files: _*)
         fresh.unionByName(candidates.join(seen, Seq("h"), "left_anti"))
       }
-    // one materialization feeds the store append, the filter update and the
-    // sink forward — and pins the nondeterministic-free row set they share
-    val survivors = survivors0.persist()
+    // one materialization feeds the sink forward, the store append and the
+    // filter update — and pins the nondeterminism-free row set they share
+    val survivors = survivors0.unionByName(nullKeyed).persist()
     try {
       val n = survivors.count()
       admitted += n
       suppressed += obs.get("rows").asInstanceOf[Long] - n
       if (n > 0) {
-        val tmp = Files.createTempFile(storeDir, ".tmp_keys", ".inprogress")
-        val stage = Files.createTempDirectory(storeDir, ".stage")
-        try {
-          survivors.select("h").coalesce(1).write.mode("overwrite")
-            .parquet(stage.toString)
-          val part = Option(stage.toFile.listFiles())
-            .getOrElse(Array.empty).find(_.getName.endsWith(".parquet"))
-            .getOrElse(throw new IllegalStateException("no key part written"))
-          Files.move(part.toPath, tmp, StandardCopyOption.REPLACE_EXISTING)
-          Files.move(tmp, storeDir.resolve(f"keys_$batches%05d.parquet"),
-            StandardCopyOption.ATOMIC_MOVE)
-        } finally {
-          Files.deleteIfExists(tmp)
-          StreamDedupGate.deleteRecursively(stage.toFile)
-        }
-        val update = survivors.agg(
+        // sink BEFORE store append: see the delivery contract above
+        eng.insertInto(sink, survivors)
+        val newKeys = survivors.where(col("h").isNotNull)
+        GateStore.append(newKeys.select("h"), storeDir, "keys", batches)
+        val update = newKeys.agg(
           GraftFunctions.bloom_agg(col("h"), bloomP, bloomN).as("b"))
           .collect()(0).getAs[Array[Byte]]("b")
         bloom.union(BloomFilter.deserialize(update))
-        eng.insertInto(sink, survivors)
       }
-    } finally survivors.unpersist()
+    } finally { survivors.unpersist(); keyed.unpersist(); () }
     if (compactEvery > 0 && batches % compactEvery == 0) compact()
   }
-
-  private def bloom_contains(state: org.apache.spark.sql.Column,
-      v: org.apache.spark.sql.Column) = GraftFunctions.bloom_contains(state, v)
-
 }
 
 object StreamDedupGate {
 
-  private[streaming] def deleteRecursively(f: java.io.File): Unit = {
-    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
-    f.delete(); ()
-  }
-
+  private[streaming] def deleteRecursively(f: java.io.File): Unit =
+    GateStore.deleteRecursively(f)
 
   /** Register a dedup gate on `eng`: a continuous transform reading
     * `selectSql` (must project `orderCol`; the key is computed by `keySql`
@@ -218,6 +189,10 @@ object StreamDedupGate {
     gate.bootstrap() // resume from a persisted store after an engine restart
     eng.createContTransform(name, selectSql,
       outputFunc = Some(gate.onBatch _), emitChanges = false)
+    // the catalog replays the transform BARE (a callback can't persist);
+    // if that's what createContTransform just idempotently returned,
+    // re-attach this gate so it doesn't sit silently dead
+    eng.rebindTransformOutput(name, gate.onBatch _)
     gate
   }
 }

@@ -72,5 +72,31 @@ class GateDdlSpec extends AnyFunSuite {
                 |SELECT id, body FROM n_in""".stripMargin)
     }
     assert(e2.getMessage.contains("requires a sink"))
+    // identical re-declaration: no-op; different definition: loud error;
+    // name clash with a plain transform: loud error (not NoSuchElement)
+    eng.sql("""CREATE VIEW n_gate WITH (action = transform, sink = 'n_clean',
+              |  outputfunc = neardup_gate('body', 'id', 3, 5000)) AS
+              |SELECT id, body FROM n_in""".stripMargin)
+    val e3 = intercept[IllegalArgumentException] {
+      eng.sql("""CREATE VIEW n_gate WITH (action = transform, sink = 'n_clean',
+                |  outputfunc = neardup_gate('body', 'id', 2)) AS
+                |SELECT id, body FROM n_in""".stripMargin)
+    }
+    assert(e3.getMessage.contains("different definition"))
+    eng.sql("""CREATE VIEW t_plain WITH (action = transform,
+              |  outputfunc = insert_into_stream('n_clean')) AS
+              |SELECT id, body, CAST(NULL AS BIGINT) AS fp FROM n_in""".stripMargin)
+    val e4 = intercept[IllegalArgumentException] {
+      eng.createGateTransform("t_plain", "SELECT id, body FROM n_in",
+        "dedup_gate('md5(body)', 'id')", "n_clean")
+    }
+    assert(e4.getMessage.contains("not a gate"))
+    // changes=true cannot silently no-op on a gate
+    val e5 = intercept[IllegalArgumentException] {
+      eng.sql("""CREATE VIEW g2 WITH (action = transform, changes = true,
+                |  sink = 'n_clean', outputfunc = dedup_gate('md5(body)', 'id')) AS
+                |SELECT id, body FROM n_in""".stripMargin)
+    }
+    assert(e5.getMessage.contains("changes = true is not supported"))
   }
 }

@@ -49,6 +49,45 @@ class StreamDedupGateSpec extends AnyFunSuite {
   private def admitted(eng: ContViewEngine): Set[Long] =
     eng.overlay("v_out").select("id").collect().map(_.getLong(0)).toSet
 
+  test("restart on the SAME engine root: re-run of the setup script rebinds the gate") {
+    // the catalog replays the gate's transform BARE (callbacks can't
+    // persist); the user's re-run of Gate.create then hits the idempotent
+    // no-op — without the rebind the gate would sit silently dead,
+    // forwarding nothing
+    val root = java.nio.file.Files.createTempDirectory("graft_gate_sr").toString
+    val schema = Seq((0L, "x")).toDF("id", "body").schema
+    def setup(): ContViewEngine = {
+      val eng = new ContViewEngine(spark, s"$root/eng")
+      eng.createStream("s_in", schema)
+      eng.createStream("s_out", org.apache.spark.sql.types.StructType(
+        schema.fields :+ org.apache.spark.sql.types.StructField("h",
+          org.apache.spark.sql.types.StringType)))
+      StreamDedupGate.create(eng, "s_gate", "SELECT id, body FROM s_in",
+        keySql = "md5(body)", orderCol = "id", sink = "s_out",
+        storeRoot = s"$root/gate")
+      eng.createContView("v_s2", "SELECT id FROM s_out", emitChanges = false)
+      eng
+    }
+    val eng1 = setup()
+    eng1.insertInto("s_in", Seq((1L, "aa"), (2L, "bb")).toDF("id", "body"))
+    val eng2 = setup() // identical script on the replayed engine
+    eng2.insertInto("s_in", Seq((3L, "aa"), (4L, "cc")).toDF("id", "body"))
+    assert(eng2.overlay("v_s2").collect().map(_.getLong(0)).toSet === Set(1L, 2L, 4L),
+      "post-restart batch must be gated (forwarded AND deduplicated)")
+  }
+
+  test("null keys pass through unconditionally and are never stored") {
+    val (eng, gate, _) = fixture()
+    eng.insertInto("g_in",
+      Seq((1L, "aa"), (2L, null.asInstanceOf[String])).toDF("id", "body"))
+    eng.insertInto("g_in",
+      Seq((3L, null.asInstanceOf[String]), (4L, "aa")).toDF("id", "body"))
+    // both null-body rows admitted (batch 1 AND batch 2 — the store path
+    // must not swallow them), the duplicate 'aa' suppressed
+    assert(admitted(eng) === Set(1L, 2L, 3L))
+    assert(gate.stats === ((2L, 3L, 1L)))
+  }
+
   test("auto-compaction keeps the store file count bounded") {
     val root = java.nio.file.Files.createTempDirectory("graft_gate_ac").toString
     val eng = new ContViewEngine(spark, root)
