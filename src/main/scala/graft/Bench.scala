@@ -222,9 +222,23 @@ object Bench {
         eng.flush() // drain: throughput is events-materialized, not enqueued
         (sent, i)
       }
+      // UNTIMED warm-up pass first: the opening seconds of a soak are
+      // JIT/codegen dominated (the r8 drift metric read 3.2x "speedup"
+      // between halves — warm-up, not aging), so the timed window only
+      // starts once the ingest path runs at steady state. The warm-up
+      // rides the same engine and leaves its state in place — exactly the
+      // mid-life condition a drift metric should age FROM.
+      val warmDeadline = System.nanoTime() +
+        (math.min(soakSec * 0.4, 15.0) * 1e9).toLong
+      var warmBatches = 0L
+      while (System.nanoTime() < warmDeadline) {
+        eng.insertIntoAsync("sk_stream", chunkDfs((warmBatches % chunks).toInt))
+        warmBatches += 1
+      }
+      eng.flush()
       val t0 = System.nanoTime()
       val halfNanos = (soakSec * 0.5e9).toLong
-      val (sent1, b1) = soakHalf(t0 + halfNanos, 0L)
+      val (sent1, b1) = soakHalf(t0 + halfNanos, warmBatches)
       val t1 = System.nanoTime()
       val (sent2, b2) = soakHalf(t0 + 2 * halfNanos, b1)
       val t2 = System.nanoTime()
@@ -291,11 +305,41 @@ object Bench {
     }
     val gateEvPerSec = gateProbe(nd = false, nBatches = 6, batchRows = 20000)
     val ndGateEvPerSec = gateProbe(nd = true, nBatches = 6, batchRows = 5000)
+    // Gate-scale growth probe (GateProbes.scaleProbe): per-batch gate
+    // latency at seen-stores seeded to 10x and 100x the per-batch volume —
+    // the numbers that turn the gates' 100-TB pruned-read claims into
+    // measurements (flat-ish ev/s across the two scales = per-batch cost
+    // tracks the batch, not the corpus).
+    val gateScale = sys.env.getOrElse("SPARK_GRAFT_GATE_SCALE", "1") != "0"
+    def scalePair(kind: String, rows: Int): (Long, Long) =
+      if (!gateScale) (0L, 0L)
+      else {
+        val Seq(a, b) = GateProbes.scaleProbe(spark, kind, rows)
+        (a, b)
+      }
+    val (exact10x, exact100x) = scalePair("exact", 20000)
+    val (simhash10x, simhash100x) = scalePair("simhash", 5000)
+    val (cosine10x, cosine100x) = scalePair("cosine", 2000)
     val loadavg = loadavgNow()
     val (steal1, total1) = cpuTicks()
     val stealPct =
       if (total1 > total0) 100.0 * (steal1 - steal0) / (total1 - total0) else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":$repeats,"cv_large_state_sec":$largeStateSec,"cv_ingest_events_per_sec":${ingestEventsPerSec.round},"cv_reap_noop_sec":$reapNoopSec,"cv_soak_sec":$soakSec,"cv_soak_events_per_sec":${soakEvPerSec.round},"cv_soak_drift":${math.round(soakDrift * 1000) / 1000.0},"cv_soak_reap_ms":${math.round(soakReapMs * 100) / 100.0},"cv_soak_batches":$soakBatches,"cv_soak_commits":$soakCommits,"gate_events_per_sec":$gateEvPerSec,"ndgate_events_per_sec":$ndGateEvPerSec,"loadavg_before":"$loadavgBefore","loadavg":"$loadavg","cpu_steal_pct":${math.round(stealPct * 100) / 100.0}}""")
+    // every scalar metric, shared by both output lines
+    val scalars = s""""sf":"$sfDir","runs_per_query":$repeats,"cv_large_state_sec":$largeStateSec,"cv_ingest_events_per_sec":${ingestEventsPerSec.round},"cv_reap_noop_sec":$reapNoopSec,"cv_soak_sec":$soakSec,"cv_soak_events_per_sec":${soakEvPerSec.round},"cv_soak_drift":${math.round(soakDrift * 1000) / 1000.0},"cv_soak_reap_ms":${math.round(soakReapMs * 100) / 100.0},"cv_soak_batches":$soakBatches,"cv_soak_commits":$soakCommits,"gate_events_per_sec":$gateEvPerSec,"ndgate_events_per_sec":$ndGateEvPerSec,"gate_large_store_exact_10x":$exact10x,"gate_large_store_exact_100x":$exact100x,"gate_large_store_simhash_10x":$simhash10x,"gate_large_store_simhash_100x":$simhash100x,"gate_large_store_cosine_10x":$cosine10x,"gate_large_store_cosine_100x":$cosine100x,"loadavg_before":"$loadavgBefore","loadavg":"$loadavg","cpu_steal_pct":${math.round(stealPct * 100) / 100.0}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$scalars}""")
+    // Compact summary LAST: the driver's artifact keeps a bounded tail of
+    // this output, and the full line above (102 per-query timings) has
+    // overflowed it every round — so the headline numbers also go out on a
+    // short final line that always fits. q_cv_max_sec aggregates the CV
+    // overlay read cluster (the r7 "reads under 0.15 s" demand);
+    // "slowest" names the 5 heaviest queries so a regression is visible
+    // even when the full map is truncated away.
+    def f3(d: Double) = math.round(d * 1000) / 1000.0
+    val qcv = results.filter(_._1.startsWith("q_cv"))
+    val qcvMax = if (qcv.isEmpty) 0.0 else qcv.map(_._2).max
+    val slowest = results.sortBy(-_._2).take(5)
+      .map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
+    println(s"""{"metric":"summary","value":${f3(total)},"unit":"sec","n_queries":${results.size},"q_cv_max_sec":${f3(qcvMax)},"slowest":$slowest,$scalars}""")
     spark.stop()
   }
 }

@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Gate-scale growth probe, shared by [[Bench]] (the per-round artifact)
+  * and [[ProfileGateScale]] (fast iteration): per-batch latency of each
+  * streaming dedup gate against a seen-store seeded to multiples of the
+  * per-batch volume. The 100-TB claim under test: with bucket-range-pruned
+  * store reads, per-batch cost tracks the BATCH's candidate keys, so ev/s
+  * should stay roughly flat as the store grows 10x — not fall 10x, which
+  * is what a whole-store-rescan design measures.
+  *
+  * Batches carry 25% repeats of seeded content so every measured batch
+  * pays the bloom-positive store path (the steady-state worst case; a
+  * fully-fresh batch never touches the store at all).
+  */
+object GateProbes {
+
+  /** ev/s for `kind` ∈ {exact, simhash, cosine} at each store scale in
+    * `scales` (multiples of `batchRows`), seeding incrementally. */
+  def scaleProbe(spark: SparkSession, kind: String, batchRows: Int,
+      scales: Seq[Long] = Seq(10L, 100L), nBatches: Int = 4): Seq[Long] = {
+    import org.apache.spark.sql.types.{StructField, StructType, StringType, LongType, ArrayType, DoubleType}
+    val root = java.nio.file.Files.createTempDirectory(s"graft_gsc_$kind").toString
+    val eng = new graft.cv.ContViewEngine(spark, root)
+    val dim = 32
+    def vec(c: Column) = array((1 to dim).map(k =>
+      (pmod(xxhash64(c * lit(k)), lit(2001L)) - lit(1000L)).cast("double")
+        / lit(1000.0)): _*)
+    def body(c: Column) = concat_ws(" ",
+      (0 until 40).map(i => concat(lit(s"t$i"),
+        pmod(xxhash64(c * (i + 1)), lit(99991L)).cast("string"))): _*)
+    val textual = kind != "cosine"
+    val inSchema =
+      if (textual) StructType(Seq(StructField("id", LongType), StructField("body", StringType)))
+      else StructType(Seq(StructField("id", LongType),
+        StructField("embedding", ArrayType(DoubleType))))
+    val outSchema = kind match {
+      case "exact" => StructType(inSchema.fields :+ StructField("h", StringType))
+      case "simhash" => StructType(inSchema.fields :+ StructField("fp", LongType))
+      case _ => inSchema
+    }
+    eng.createStream("gs_in", inSchema)
+    eng.createStream("gs_out", outSchema)
+    // payload(cid): the content for content-id cid — seeds and batches
+    // share it so a dup row really repeats seeded content
+    def payload(rows: DataFrame) =
+      if (textual) rows.select(col("id"), body(col("cid")).as("body"))
+      else rows.select(col("id"), vec(col("cid")).as("embedding"))
+    val gate: Any = kind match {
+      case "exact" => graft.streaming.StreamDedupGate.create(eng, "gs_gate",
+        "SELECT id, body FROM gs_in", keySql = "md5(body)", orderCol = "id",
+        sink = "gs_out", storeRoot = root)
+      case "simhash" => graft.streaming.SimHashNearDupGate.create(eng, "gs_gate",
+        "SELECT id, body FROM gs_in", textSql = "body", orderCol = "id",
+        sink = "gs_out", storeRoot = root)
+      case _ => graft.streaming.CosineNearDupGate.create(eng, "gs_gate",
+        "SELECT id, embedding FROM gs_in", embSql = "embedding",
+        orderCol = "id", sink = "gs_out", storeRoot = root,
+        threshold = 0.98, dim = dim)
+    }
+    def seed(fromId: Long, n: Long): Unit = {
+      val chunk = 100000L
+      var off = 0L
+      while (off < n) {
+        val m = math.min(chunk, n - off)
+        val rows = payload(spark.range(m)
+          .select((col("id") + fromId + off).as("id"))
+          .withColumn("cid", col("id")))
+        gate match {
+          case g: graft.streaming.StreamDedupGate => g.seedStore(rows)
+          case g: graft.streaming.SimHashNearDupGate => g.seedStore(rows)
+          case g: graft.streaming.CosineNearDupGate => g.seedStore(rows)
+        }
+        off += m
+      }
+      // compacted range shards + a right-sized bloom are the steady state
+      // the per-batch numbers should measure
+      gate match {
+        case g: graft.streaming.StreamDedupGate => g.compact()
+        case g: graft.streaming.SimHashNearDupGate => g.compact()
+        case g: graft.streaming.CosineNearDupGate => g.compact()
+      }
+    }
+    var nextId = 1L << 40 // batch ids above any seed id
+    def measure(seeded: Long): Long = {
+      val nNew = batchRows * 3 / 4
+      val secs = (0 until nBatches).map { b =>
+        val base = nextId
+        nextId += batchRows
+        val fresh = spark.range(nNew)
+          .select((col("id") + base).as("id")).withColumn("cid", col("id"))
+        val dups = spark.range(batchRows - nNew)
+          .select((col("id") + base + nNew).as("id"),
+            pmod(xxhash64(col("id") * lit(7L) + lit(b)), lit(seeded)).as("cid"))
+        val batch = payload(fresh.unionByName(dups)).persist()
+        batch.count()
+        val t0 = System.nanoTime()
+        eng.insertInto("gs_in", batch)
+        val sec = (System.nanoTime() - t0) / 1e9
+        batch.unpersist()
+        sec
+      }
+      val steady = secs.drop(1).sorted.apply((nBatches - 1) / 2)
+      math.round(batchRows / steady)
+    }
+    var seededTo = 0L
+    val out = scales.sorted.map { mult =>
+      val target = batchRows.toLong * mult
+      if (target > seededTo) { seed(seededTo, target - seededTo); seededTo = target }
+      measure(seededTo)
+    }
+    eng.dropContTransform("gs_gate")
+    eng.dropStream("gs_in"); eng.dropStream("gs_out")
+    out
+  }
+}
+
+/** Quick iteration driver: `runMain graft.ProfileGateScale [kind] [batchRows]
+  * [scales,csv]` — prints per-scale ev/s without the rest of the bench. */
+object ProfileGateScale {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val kinds = args.headOption.map(Seq(_)).getOrElse(Seq("exact", "simhash", "cosine"))
+    val batchRows = args.lift(1).map(_.toInt)
+    val scales = args.lift(2).map(_.split(",").toSeq.map(_.toLong))
+      .getOrElse(Seq(10L, 100L))
+    kinds.foreach { kind =>
+      val rows = batchRows.getOrElse(kind match {
+        case "exact" => 20000
+        case "simhash" => 5000
+        case _ => 2000
+      })
+      val t0 = System.nanoTime()
+      val evs = GateProbes.scaleProbe(spark, kind, rows, scales)
+      val wall = (System.nanoTime() - t0) / 1e9
+      println(f"[gate-scale] $kind%s batchRows=$rows%d " +
+        scales.sorted.zip(evs).map { case (s, e) => s"${s}x=$e ev/s" }.mkString(" ") +
+        f" (wall $wall%.1f s)")
+    }
+    spark.stop()
+  }
+}

@@ -989,7 +989,9 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     * persisted store, so suppression resumes exactly. Specs:
     *   dedup_gate('<keySql>', '<orderCol>')
     *   neardup_gate('<textSql>', '<orderCol>'[, maxDist[, maxBucketSize]])
-    *   cosine_gate('<embSql>', '<orderCol>', <threshold>, <dim>)
+    *   cosine_gate('<embSql>', '<orderCol>', <threshold>, <dim>[, maxBucketSize])
+    * String arguments follow SQL literal quoting — a literal single quote
+    * inside one is escaped by doubling it ('').
     */
   def createGateTransform(name0: String, selectSql: String, gateSpec: String,
       sink0: String): AnyRef = synchronized {
@@ -1005,12 +1007,17 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
         s"gate $name already exists with a different definition")
       return gates(name)
     }
+    // string arguments follow SQL literal quoting: '' inside a quoted
+    // argument is an escaped single quote, so expressions like
+    // md5(concat(text, '|', lang)) are spelled md5(concat(text, ''|'', lang))
+    val arg = """'((?:[^']|'')*)'"""
+    def unq(s: String): String = s.replace("''", "'")
     val dedupRe =
-      """(?i)dedup_gate\s*\(\s*'([^']*)'\s*,\s*'([^']*)'\s*\)""".r
+      s"""(?i)dedup_gate\\s*\\(\\s*$arg\\s*,\\s*$arg\\s*\\)""".r
     val neardupRe =
-      """(?i)neardup_gate\s*\(\s*'([^']*)'\s*,\s*'([^']*)'\s*(?:,\s*(\d+)\s*(?:,\s*(\d+)\s*)?)?\)""".r
+      s"""(?i)neardup_gate\\s*\\(\\s*$arg\\s*,\\s*$arg\\s*(?:,\\s*(\\d+)\\s*(?:,\\s*(\\d+)\\s*)?)?\\)""".r
     val cosineRe =
-      """(?i)cosine_gate\s*\(\s*'([^']*)'\s*,\s*'([^']*)'\s*,\s*([0-9.]+)\s*,\s*(\d+)\s*\)""".r
+      s"""(?i)cosine_gate\\s*\\(\\s*$arg\\s*,\\s*$arg\\s*,\\s*([0-9.]+)\\s*,\\s*(\\d+)\\s*(?:,\\s*(\\d+)\\s*)?\\)""".r
     // the gate's own createContTransform call must not write a second
     // catalog row — only the kind=gate entry replays (a plain transform
     // entry would re-create the transform WITHOUT its callback)
@@ -1020,20 +1027,22 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
       try gateSpec match {
         case dedupRe(keySql, orderCol) =>
           graft.streaming.StreamDedupGate.create(this, name, selectSql,
-            keySql, orderCol, sink, storeRoot = root)
+            unq(keySql), unq(orderCol), sink, storeRoot = root)
         case neardupRe(textSql, orderCol, maxDist, cap) =>
           graft.streaming.SimHashNearDupGate.create(this, name, selectSql,
-            textSql, orderCol, sink, storeRoot = root,
+            unq(textSql), unq(orderCol), sink, storeRoot = root,
             maxDist = Option(maxDist).map(_.toInt).getOrElse(3),
             maxBucketSize = Option(cap).map(_.toInt).getOrElse(Int.MaxValue))
-        case cosineRe(embSql, orderCol, threshold, dim) =>
+        case cosineRe(embSql, orderCol, threshold, dim, cap) =>
           graft.streaming.CosineNearDupGate.create(this, name, selectSql,
-            embSql, orderCol, sink, storeRoot = root,
-            threshold = threshold.toDouble, dim = dim.toInt)
+            unq(embSql), unq(orderCol), sink, storeRoot = root,
+            threshold = threshold.toDouble, dim = dim.toInt,
+            maxBucketSize = Option(cap).map(_.toInt).getOrElse(Int.MaxValue))
         case other => throw new IllegalArgumentException(
           s"unparseable gate outputfunc '$other' (expected dedup_gate('<key>','<order>'), " +
             "neardup_gate('<text>','<order>'[,maxDist[,maxBucketSize]]) or " +
-            "cosine_gate('<emb>','<order>',<threshold>,<dim>))")
+            "cosine_gate('<emb>','<order>',<threshold>,<dim>[,maxBucketSize]); " +
+            "escape a literal quote inside a string argument by doubling it: '')")
       } finally suppressCatalog = prevSuppress
     gates(name) = gate
     gateSignatures(name) = (selectSql, gateSpec, sink)

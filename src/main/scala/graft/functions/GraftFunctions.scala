@@ -78,10 +78,17 @@ object GraftFunctions {
       case other => other.toString.toDouble
     }
 
-  /** Registers every sketch function for SQL use in this session. */
+  /** Registers every sketch function for SQL use in this session.
+    * Idempotent per registry: every engine construction (and several query
+    * fixtures) calls this on the same session, and re-registering would
+    * spam a "replaced a previously registered function" WARN per function
+    * per call — drowning real warnings — so a sentinel lookup skips the
+    * no-op repeat. (The builders are stateless objects: a re-register
+    * would install identical functions anyway.) */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    installAll((name, builder) => reg.createOrReplaceTempFunction(name, builder, "internal"))
+    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("hll_agg")))
+      installAll((name, builder) => reg.createOrReplaceTempFunction(name, builder, "internal"))
   }
 
   /** Plug the whole function surface into a SparkSessionExtensions — the

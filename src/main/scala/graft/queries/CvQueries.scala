@@ -395,20 +395,35 @@ object CvQueries {
   private def dedupGateFor(s: SparkSession, dir: String): ContViewEngine = synchronized {
     gateEngines.getOrElseUpdate((s, dir), {
       val root = java.nio.file.Files.createTempDirectory("graft_cvdg").toString
-      val eng = new ContViewEngine(s, root)
       val docs = Tables.documents(s, dir).select("doc_id", "text", "lang")
       val corpus = docs.unionByName(
         docs.where(pmod(col("doc_id"), lit(4)) === 0)
           .select((col("doc_id") + 100000L).as("doc_id"), col("text"), col("lang")))
+      val ndCorpus = docs.unionByName(
+        docs.where(pmod(col("doc_id"), lit(2)) === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"), col("lang")))
+      val emb = Tables.embeddings(s, dir).select("vec_id", "embedding", "label")
+      val cosCorpus = emb.unionByName(
+        emb.where(pmod(col("vec_id"), lit(5)) === 0)
+          .select((col("vec_id") + 200000L).as("vec_id"), col("embedding"),
+            col("label")))
+      // the whole fixture is built by an idempotent setup script run on a
+      // FRESH engine handle twice — before the feed and again mid-feed — so
+      // the oracle rows gate the restart path end-to-end: the DDL-declared
+      // exact gate replays itself from the catalog, and the Scala-API
+      // near-dup gates take the documented re-run-the-script rebind, all
+      // three rebuilding their bloom/CMS state from the persisted stores
+      def setup(eng: ContViewEngine): ContViewEngine = {
       eng.createStream("dg_in", corpus.schema)
       eng.createStream("dg_clean", org.apache.spark.sql.types.StructType(
         corpus.schema.fields :+
           org.apache.spark.sql.types.StructField("h",
             org.apache.spark.sql.types.StringType)))
-      graft.streaming.StreamDedupGate.create(eng, "dg_gate",
-        "SELECT doc_id, text, lang FROM dg_in",
-        keySql = "md5(text)", orderCol = "doc_id", sink = "dg_clean",
-        storeRoot = root)
+      // the exact gate takes the DDL spelling — recorded in the catalog
+      // (kind=gate), replayed WITH its callback at restart
+      eng.sql("""CREATE VIEW dg_gate WITH (action = transform, sink = 'dg_clean',
+                |  outputfunc = dedup_gate('md5(text)', 'doc_id')) AS
+                |SELECT doc_id, text, lang FROM dg_in""".stripMargin)
       eng.createContView("v_clean", "SELECT doc_id, h, lang FROM dg_clean",
         emitChanges = false)
       // sibling NEAR-dup gate on its own stream: exact copies of every 2nd
@@ -417,9 +432,6 @@ object CvQueries {
       // originals < 400, within-batch for the rest) — the single-shot
       // recomputable slice of the admitted set (natural near-pairs are
       // spec-verified, not oracle-verified, same split as q_simhash_neardup)
-      val ndCorpus = docs.unionByName(
-        docs.where(pmod(col("doc_id"), lit(2)) === 0)
-          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"), col("lang")))
       eng.createStream("nd_in", ndCorpus.schema)
       eng.createStream("nd_clean", org.apache.spark.sql.types.StructType(
         ndCorpus.schema.fields :+
@@ -438,11 +450,6 @@ object CvQueries {
       // brute-forces cos >= 0.99 over the same corpus, and LSH recall at
       // that threshold is structural for copies and ~1-1.6e-10 for any
       // natural pair (q_ann_lsh's operating point).
-      val emb = Tables.embeddings(s, dir).select("vec_id", "embedding", "label")
-      val cosCorpus = emb.unionByName(
-        emb.where(pmod(col("vec_id"), lit(5)) === 0)
-          .select((col("vec_id") + 200000L).as("vec_id"), col("embedding"),
-            col("label")))
       eng.createStream("cg_in", cosCorpus.schema)
       eng.createStream("cg_clean", cosCorpus.schema)
       graft.streaming.CosineNearDupGate.create(eng, "cg_gate",
@@ -451,16 +458,26 @@ object CvQueries {
         storeRoot = root, threshold = 0.99, dim = 64)
       eng.createContView("v_cg_clean", "SELECT vec_id, label FROM cg_clean",
         emitChanges = false)
-      Seq((Long.MinValue, 200L), (200L, 400L), (400L, Long.MaxValue))
-        .foreach { case (lo, hi) =>
-          eng.insertInto("dg_in",
-            corpus.where(col("doc_id") >= lo && col("doc_id") < hi))
-          eng.insertInto("nd_in",
-            ndCorpus.where(col("doc_id") >= lo && col("doc_id") < hi))
-          eng.insertInto("cg_in",
-            cosCorpus.where(col("vec_id") >= lo && col("vec_id") < hi))
-        }
       eng
+      }
+      def feed(eng: ContViewEngine, lo: Long, hi: Long): Unit = {
+        eng.insertInto("dg_in",
+          corpus.where(col("doc_id") >= lo && col("doc_id") < hi))
+        eng.insertInto("nd_in",
+          ndCorpus.where(col("doc_id") >= lo && col("doc_id") < hi))
+        eng.insertInto("cg_in",
+          cosCorpus.where(col("vec_id") >= lo && col("vec_id") < hi))
+      }
+      val eng1 = setup(new ContViewEngine(s, root))
+      feed(eng1, Long.MinValue, 200L)
+      feed(eng1, 200L, 400L)
+      // "crash" after two batches: eng1 is abandoned, a fresh engine on the
+      // same root replays the catalog and the setup script re-runs — batch
+      // 3 (carrying copies of batch-1/2 content) must still be suppressed
+      // by the stores the first incarnation persisted
+      val eng2 = setup(new ContViewEngine(s, root))
+      feed(eng2, 400L, Long.MaxValue)
+      eng2
     })
   }
 

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths}
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -17,25 +17,42 @@ import graft.sketch.BloomFilter
   * suppresses later ones whether or not it was admitted), so the admitted
   * set is single-shot recomputable: admitted(d) ⇔ no earlier d' with
   * cos(d, d') ≥ threshold — which is exactly what the DuckDB oracle brute-
-  * forces.
+  * forces. `orderCol` must be unique per stream (same contract as the
+  * sibling gates): in-batch pairing orders rows by it, and survivors are
+  * anti-joined on it, so two rows sharing a value would neither suppress
+  * each other nor survive independently.
   *
-  * Candidates come from seeded signed-random-projection LSH: bucket keys
-  * are deterministic in (dim, numTables, bitsPerTable, seed), so a batch's
-  * keys match the keys of every earlier batch and restarts re-derive them
-  * from config alone. At high thresholds (≥0.95) collision probability for
-  * a true near-pair is ~1 per table — recall is effectively structural —
-  * while unrelated vectors collide in a given table with p ≈ 2^-bits.
-  * Exact cosine verifies every candidate, so false bucket collisions cost
-  * wall-clock, never correctness.
+  * RECALL CONTRACT — probabilistic, unlike [[SimHashNearDupGate]]'s
+  * banding guarantee: candidates come from seeded signed-random-projection
+  * LSH (bucket keys deterministic in (dim, numTables, bitsPerTable, seed),
+  * so restarts re-derive them from config alone), and a true near-pair at
+  * cosine exactly `threshold` collides in at least one of the `numTables`
+  * tables with probability 1-(1-(1-acos(threshold)/π)^bitsPerTable)^numTables.
+  * At the designed operating point (threshold ≥ 0.97 on the defaults) that
+  * is ≥ 0.95 — and ≥ 0.999 at 0.99 — but at looser thresholds recall
+  * decays and near-pairs can be falsely ADMITTED. [[CosineNearDupGate.create]]
+  * (and therefore the `cosine_gate(...)` DDL) computes the estimate and
+  * warns loudly when it falls below 0.95; raise `numTables` or lower
+  * `bitsPerTable` to buy recall with wall-clock. Exact cosine verifies
+  * every candidate, so false bucket collisions cost wall-clock, never
+  * correctness.
   *
-  * State is the (id, embedding) append-only parquet store (4·dim bytes a
-  * row at float precision — 256 B/doc at dim=64); a driver bloom over all
-  * bucket keys ever seen lets fresh-content batches skip the store scan.
-  * The degenerate-flood hazard (millions of zero/boilerplate embeddings
-  * sharing buckets) is the same as the batch pipeline's — wire this gate
-  * behind [[StreamDedupGate]] so exact copies never reach it, and add the
-  * CMS occupancy cap (SimHashNearDupGate.maxBucketSize pattern) before
-  * pointing it at an uncurated crawl.
+  * State is split so per-batch cost tracks the batch, not the corpus:
+  *  - `seen_keys`: the (bucket, id) LSH index, appended sorted by bucket
+  *    and compacted into bucket-range shards — the per-batch candidate
+  *    join reads only the shards/rows matching the batch's bloom-positive
+  *    keys ([[GateStore.pruned]] + in-set filter);
+  *  - `seen_embs`: the compact (id, embedding) store (4·dim bytes a row,
+  *    never duplicated per table) — read ONLY for the candidate ids the
+  *    index join surfaced, pushed down as an id in-set (+ file-range prune
+  *    when ids are numeric).
+  * A driver bloom over all bucket keys ever seen lets fresh-content
+  * batches skip both stores; compaction regrows it when the corpus
+  * outgrows its design size. The hot-bucket occupancy cap
+  * (`maxBucketSize`, CMS-tracked exactly like [[SimHashNearDupGate]])
+  * guards the degenerate-flood hazard — millions of boilerplate
+  * embeddings sharing buckets — at the same documented recall trade:
+  * pairs colliding ONLY in flooded buckets are missed.
   */
 final class CosineNearDupGate private (
     eng: ContViewEngine,
@@ -43,17 +60,24 @@ final class CosineNearDupGate private (
     embSql: String,
     orderCol: String,
     sink: String,
-    storeDir: Path,
+    embDir: Path,
+    idxDir: Path,
     threshold: Double,
     dim: Int,
     numTables: Int,
     bitsPerTable: Int,
     seed: Long,
     bloomP: Double,
-    bloomN: Int,
+    bloomN0: Int,
+    maxBucketSize: Int,
     compactEvery: Int) {
 
-  private val bloom = BloomFilter.empty(bloomP, bloomN)
+  private var bloom = BloomFilter.empty(bloomP, bloomN0)
+  private var bloomN = bloomN0
+  // see SimHashNearDupGate: occupancy as of batch START, overestimate-only
+  private val bucketCounts: graft.sketch.CountMinSketch =
+    if (maxBucketSize == Int.MaxValue) null
+    else graft.sketch.CountMinSketch.empty()
   private var batches = 0L
   private var admitted = 0L
   private var suppressed = 0L
@@ -65,15 +89,60 @@ final class CosineNearDupGate private (
     AnnSearch.srpBucketKeys(v, dim, numTables, bitsPerTable, seed)
 
   private[streaming] def bootstrap(): Unit = synchronized {
-    val files = GateStore.files(storeDir)
+    val files = GateStore.files(idxDir)
     if (files.nonEmpty) {
-      val b = eng.spark.read.parquet(files: _*)
-        .select(explode(keysOf(col("v"))).as("bucket"))
-        .agg(GraftFunctions.bloom_agg(col("bucket"), bloomP, bloomN).as("b"))
-        .collect()(0).getAs[Array[Byte]]("b")
-      bloom.union(BloomFilter.deserialize(b))
-      batches = GateStore.maxBatch(storeDir, "embs")
+      val keys = eng.spark.read.parquet(files: _*).select(col("bucket"))
+      val row =
+        if (bucketCounts == null)
+          keys.agg(GraftFunctions.bloom_agg(col("bucket"), bloomP, bloomN).as("b"))
+            .collect()(0)
+        else
+          keys.agg(GraftFunctions.bloom_agg(col("bucket"), bloomP, bloomN).as("b"),
+            GraftFunctions.freq_agg(col("bucket")).as("c")).collect()(0)
+      bloom.union(BloomFilter.deserialize(row.getAs[Array[Byte]]("b")))
+      if (bucketCounts != null)
+        bucketCounts.merge(
+          graft.sketch.CountMinSketch.deserialize(row.getAs[Array[Byte]]("c")))
+      batches = GateStore.maxBatch(embDir, "embs")
     }
+  }
+
+  /** Append pre-embedded rows straight into the seen-stores (bloom/CMS
+    * updated, nothing forwarded) — the scale-probe's seeding hook. */
+  private[graft] def seedStore(rows: DataFrame): Unit = synchronized {
+    batches += 1
+    val keyed = rows.withColumn("__v", expr(embSql).cast("array<double>"))
+      .where(col("__v").isNotNull)
+    appendStores(keyed)
+    updateFilters(keyed)
+  }
+
+  private def appendStores(keyed: DataFrame): Unit = {
+    // embeddings first, index second: a crash in between leaves vectors
+    // with no index entry, which the batch's retry re-appends (duplicates
+    // are tolerated by the DISTINCTs downstream of every store read)
+    GateStore.append(
+      keyed.select(col(orderCol).as("id"), col("__v").as("v")),
+      embDir, "embs", batches, sortCol = Some("id"))
+    GateStore.append(
+      keyed.select(explode(keysOf(col("__v"))).as("bucket"),
+        col(orderCol).as("id")),
+      idxDir, "keys", batches, sortCol = Some("bucket"))
+  }
+
+  private def updateFilters(keyed: DataFrame): Unit = {
+    val keyCol = keyed.select(explode(keysOf(col("__v"))).as("bucket"))
+    val updates =
+      if (bucketCounts == null)
+        keyCol.agg(GraftFunctions.bloom_agg(col("bucket"), bloomP, bloomN).as("b"))
+          .collect()(0)
+      else
+        keyCol.agg(GraftFunctions.bloom_agg(col("bucket"), bloomP, bloomN).as("b"),
+          GraftFunctions.freq_agg(col("bucket")).as("c")).collect()(0)
+    bloom.union(BloomFilter.deserialize(updates.getAs[Array[Byte]]("b")))
+    if (bucketCounts != null)
+      bucketCounts.merge(
+        graft.sketch.CountMinSketch.deserialize(updates.getAs[Array[Byte]]("c")))
   }
 
   private[streaming] def onBatch(batch: DataFrame): Unit = synchronized {
@@ -85,27 +154,69 @@ final class CosineNearDupGate private (
       .withColumn("__v", expr(embSql).cast("array<double>"))
       .persist()
     try {
-      val bkeys = keyed.select(col(orderCol).as("__id"), col("__v"),
+      val allKeys = keyed.select(col(orderCol).as("__id"), col("__v"),
         explode(keysOf(col("__v"))).as("bucket"))
+      val bkeys =
+        if (bucketCounts == null) allKeys
+        else allKeys.where(GraftFunctions.freq(
+          lit(bucketCounts.serialize()), col("bucket")) <= maxBucketSize)
       val l = bkeys.select(col("bucket"), col("__id").as("id_l"), col("__v").as("v_l"))
       val r = bkeys.select(col("bucket"), col("__id").as("id_r"), col("__v").as("v_r"))
       val inBatch = l.join(r, Seq("bucket"))
         .where(col("id_l") < col("id_r") &&
           VectorExpressions.cosineSim(col("v_l"), col("v_r")) >= threshold)
         .select(col("id_r").as("__id"))
-      val files = GateStore.files(storeDir)
+      val idxF = GateStore.storeFiles(idxDir)
+      val embF = GateStore.storeFiles(embDir)
+      val hit = bkeys.where(
+        GraftFunctions.bloom_contains(lit(bloom.serialize()), col("bucket")))
+      val hitKeys: Array[Long] =
+        if (idxF.isEmpty) Array.emptyLongArray
+        else hit.select("bucket").collect().map(_.getLong(0)).distinct.sorted
+      val keyPush = hitKeys.length <= GateStore.MaxPushdownKeys
+      val idxPaths =
+        if (hitKeys.isEmpty || embF.isEmpty) Array.empty[String]
+        else if (keyPush) GateStore.pruned(idxF, hitKeys)
+        else idxF.map(_.path)
       val fromStore =
-        if (files.isEmpty) inBatch.limit(0)
+        if (idxPaths.isEmpty) inBatch.limit(0)
         else {
-          val hit = bkeys.where(
-            GraftFunctions.bloom_contains(lit(bloom.serialize()), col("bucket")))
-          val store = s.read.parquet(files: _*)
-            .select(col("id").as("id_s"), col("v").as("v_s"))
-            .select(col("id_s"), col("v_s"),
-              explode(keysOf(col("v_s"))).as("bucket"))
-          hit.join(store, Seq("bucket"))
-            .where(VectorExpressions.cosineSim(col("__v"), col("v_s")) >= threshold)
-            .select(col("__id"))
+          // phase 1: candidate ids from the pruned (bucket, id) index —
+          // the embedding bytes stay unread
+          val idx0 =
+            if (keyPush)
+              s.read.parquet(idxPaths: _*)
+                .where(col("bucket").isInCollection(hitKeys))
+            else {
+              val all = s.read.parquet(idxPaths: _*)
+              if (bucketCounts == null) all
+              else all.where(GraftFunctions.freq(
+                lit(bucketCounts.serialize()), col("bucket")) <= maxBucketSize)
+            }
+          val idx = idx0.select(col("bucket"), col("id").as("id_s"))
+          val candPairs = hit.select(col("bucket"), col("__id"))
+            .join(idx, Seq("bucket"))
+            .select(col("__id"), col("id_s")).distinct()
+          // phase 2: fetch ONLY the candidate vectors, id set pushed into
+          // the embedding scan when bounded
+          val idArr = candPairs.select("id_s").distinct().collect().map(_.get(0))
+          val idPush = idArr.length <= GateStore.MaxPushdownKeys
+          val embPaths =
+            if (idArr.isEmpty) Array.empty[String]
+            else if (idPush && idArr.forall(_.isInstanceOf[Long]))
+              GateStore.pruned(embF, idArr.map(_.asInstanceOf[Long]).sorted)
+            else embF.map(_.path)
+          if (embPaths.isEmpty) inBatch.limit(0)
+          else {
+            val vs0 = s.read.parquet(embPaths: _*)
+            val vs = if (idPush) vs0.where(col("id").isInCollection(idArr.toSeq)) else vs0
+            val batchVs = keyed.select(col(orderCol).as("__id"), col("__v"))
+            candPairs
+              .join(vs.select(col("id").as("id_s"), col("v").as("v_s")), Seq("id_s"))
+              .join(batchVs, Seq("__id"))
+              .where(VectorExpressions.cosineSim(col("__v"), col("v_s")) >= threshold)
+              .select(col("__id"))
+          }
         }
       val suppressedIds = inBatch.unionByName(fromStore).distinct()
         .withColumnRenamed("__id", orderCol)
@@ -119,47 +230,86 @@ final class CosineNearDupGate private (
         // see StreamDedupGate's delivery contract); null embeddings can't
         // pair and are not stored
         if (n > 0) eng.insertInto(sink, survivors)
-        GateStore.append(
-          keyed.where(col("__v").isNotNull)
-            .select(col(orderCol).as("id"), col("__v").as("v")),
-          storeDir, "embs", batches)
-        val update = keyed
-          .select(explode(keysOf(col("__v"))).as("bucket"))
-          .agg(GraftFunctions.bloom_agg(col("bucket"), bloomP, bloomN).as("b"))
-          .collect()(0).getAs[Array[Byte]]("b")
-        bloom.union(BloomFilter.deserialize(update))
+        val stored = keyed.where(col("__v").isNotNull)
+        appendStores(stored)
+        updateFilters(stored)
       } finally survivors.unpersist()
     } finally keyed.unpersist()
     if (compactEvery > 0 && batches % compactEvery == 0) compact()
   }
 
-  /** Merge per-batch embedding files into one — crash-safe without a
-    * manifest (duplicated (id, v) rows change nothing: suppressor hits
-    * deduplicate through the DISTINCT on suppressed ids). */
+  /** Fold the per-batch files of both stores — the index into bucket-range
+    * shards, the embeddings into id-range shards — and regrow the driver
+    * bloom when the index outgrew its design size. Crash-safe without a
+    * manifest (duplicated rows change nothing: suppressor hits deduplicate
+    * through the DISTINCTs). */
   def compact(): Unit = synchronized {
-    GateStore.compact(eng.spark, storeDir, "embs", Seq("id", "v"), batches)
+    GateStore.compact(eng.spark, embDir, "embs", Seq("id", "v"), batches,
+      sortCol = Some("id"))
+    val n = GateStore.compact(eng.spark, idxDir, "keys", Seq("bucket", "id"),
+      batches, sortCol = Some("bucket"))
+    if (n > bloomN) {
+      bloomN = math.min(Int.MaxValue.toLong,
+        math.max(bloomN.toLong * 4, n * 2)).toInt
+      System.err.println(s"[graft] CosineNearDupGate($name): index at $n keys " +
+        s"outgrew the bloom design size; regrowing filter to n=$bloomN")
+      bloom = BloomFilter.empty(bloomP, bloomN)
+      bloom.union(BloomFilter.deserialize(
+        eng.spark.read.parquet(GateStore.files(idxDir): _*)
+          .agg(GraftFunctions.bloom_agg(col("bucket"), bloomP, bloomN).as("b"))
+          .collect()(0).getAs[Array[Byte]]("b")))
+    }
   }
 }
 
 object CosineNearDupGate {
 
+  /** Structural-recall estimate for a true pair at cosine exactly
+    * `threshold`: 1-(1-p_bit^bits)^tables with p_bit = 1-acos(t)/π
+    * (Charikar SRP collision probability). Pairs ABOVE the threshold
+    * collide more often, so this is the floor. */
+  def recallEstimate(threshold: Double, numTables: Int, bitsPerTable: Int): Double = {
+    val pBit = 1.0 - math.acos(math.max(-1.0, math.min(1.0, threshold))) / math.Pi
+    1.0 - math.pow(1.0 - math.pow(pBit, bitsPerTable), numTables)
+  }
+
   /** Register a cosine near-dup gate on `eng`: a continuous transform
-    * reading `selectSql` (must project `orderCol`; `embSql` names the
-    * embedding column) whose not-similar-to-anything-earlier survivors are
-    * forwarded to stream `sink` (embedding column dropped from the payload
-    * the gate adds — the original columns pass through unchanged).
+    * reading `selectSql` (must project `orderCol`, which must be UNIQUE
+    * per stream; `embSql` names the embedding column) whose
+    * not-similar-to-anything-earlier survivors are forwarded to stream
+    * `sink` (embedding column dropped from the payload the gate adds —
+    * the original columns pass through unchanged).
+    *
+    * Recall is PROBABILISTIC in (threshold, numTables, bitsPerTable) —
+    * see the class scaladoc. A configuration whose structural-recall
+    * floor at `threshold` falls below 0.95 is accepted (the caller may
+    * knowingly trade recall for wall-clock) but warned about loudly on
+    * stderr, with the computed estimate, so a DDL user can't silently get
+    * under-suppression.
     */
   def create(eng: ContViewEngine, name: String, selectSql: String,
       embSql: String, orderCol: String, sink: String, storeRoot: String,
       threshold: Double, dim: Int,
       numTables: Int = 8, bitsPerTable: Int = 12, seed: Long = 42L,
       bloomP: Double = 0.01, bloomN: Int = 1 << 20,
+      maxBucketSize: Int = Int.MaxValue,
       compactEvery: Int = 256): CosineNearDupGate = {
-    val dir = Paths.get(storeRoot, name, "seen_embs")
-    Files.createDirectories(dir)
-    val gate = new CosineNearDupGate(eng, name, embSql, orderCol, sink, dir,
-      threshold, dim, numTables, bitsPerTable, seed, bloomP, bloomN,
-      compactEvery)
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"cosine gate threshold must be in (0, 1], got $threshold")
+    val recall = recallEstimate(threshold, numTables, bitsPerTable)
+    if (recall < 0.95)
+      System.err.println(f"[graft] CosineNearDupGate($name%s): structural " +
+        f"recall at threshold=$threshold%.3f with numTables=$numTables%d, " +
+        f"bitsPerTable=$bitsPerTable%d is ~$recall%.3f — near-pairs at the " +
+        "threshold may be falsely admitted; raise numTables or lower " +
+        "bitsPerTable to restore recall")
+    val embDir = Paths.get(storeRoot, name, "seen_embs")
+    val idxDir = Paths.get(storeRoot, name, "seen_keys")
+    Files.createDirectories(embDir)
+    Files.createDirectories(idxDir)
+    val gate = new CosineNearDupGate(eng, name, embSql, orderCol, sink,
+      embDir, idxDir, threshold, dim, numTables, bitsPerTable, seed,
+      bloomP, bloomN, maxBucketSize, compactEvery)
     gate.bootstrap()
     eng.createContTransform(name, selectSql,
       outputFunc = Some(gate.onBatch _), emitChanges = false)

@@ -3,25 +3,73 @@ package graft.streaming
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Shared append-only store plumbing for the streaming dedup gates: file
-  * listing, atomic single-file batch append, compaction, and batch-counter
-  * recovery. One implementation so a fix (filename parse, move ordering)
-  * cannot drift between the three gates.
+  * listing, atomic single-file batch append, range-sharded compaction, and
+  * batch-counter recovery. One implementation so a fix (filename parse,
+  * move ordering) cannot drift between the three gates.
   *
-  * Layout: `<dir>/<prefix>_NNNNN.parquet` per appended batch, plus
-  * `<prefix>_NNNNN_c<nanos>.parquet` for compacted merges. The store
-  * tolerates duplicated rows (every consumer anti-joins or DISTINCTs), so
-  * compaction needs no manifest: the merged file lands before the old
-  * files are unlinked, and a crash in between only re-reads bytes.
+  * Layout: `<prefix>_NNNNN.parquet` per appended batch (rows sorted by the
+  * gate's key column), plus `<prefix>_NNNNN_c<nanos>_s<k>[_r<lo>_<hi>]
+  * .parquet` range shards from compaction. The `_r<lo>_<hi>` suffix
+  * records the shard's key-column [min,max] so a per-batch read can prune
+  * at FILE level: [[pruned]] keeps every un-ranged file (recent appends,
+  * bounded by the gate's compaction cadence) plus only the ranged shards
+  * whose interval contains at least one of the batch's candidate keys.
+  * That is what makes per-batch store cost track the BATCH's key count
+  * instead of the corpus: at 10B stored keys the compacted shards cover
+  * the keyspace in slices, and a 5k-row batch touches only the slices its
+  * own keys land in.
+  *
+  * The store tolerates duplicated rows (every consumer anti-joins or
+  * DISTINCTs), so compaction needs no manifest: the merged shards land
+  * before the old files are unlinked, and a crash in between only
+  * re-reads bytes.
   */
 private[streaming] object GateStore {
+
+  /** Per-batch candidate keys beyond this are not pushed into the store
+    * scan as an in-set filter (the filter itself would dwarf the read);
+    * the gate falls back to the unpruned join, which is still correct. */
+  val MaxPushdownKeys: Int = 1 << 17
+
+  /** A store file plus the [min,max] of its sort column when the filename
+    * carries one (range-sharded compaction output). */
+  final case class StoreFile(path: String, range: Option[(Long, Long)])
+
+  private val rangeRe = """.*_r(-?\d+)_(-?\d+)\.parquet$""".r
 
   def files(dir: Path): Array[String] = {
     val d = dir.toFile
     Option(d.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isFile && f.getName.endsWith(".parquet"))
       .map(_.getAbsolutePath)
+  }
+
+  def storeFiles(dir: Path): Array[StoreFile] = files(dir).map {
+    case p @ rangeRe(lo, hi) => StoreFile(p, Some((lo.toLong, hi.toLong)))
+    case p => StoreFile(p, None)
+  }
+
+  /** Files a batch with the given SORTED candidate keys must read: every
+    * un-ranged file plus ranged shards containing at least one key. */
+  def pruned(fs: Array[StoreFile], sortedKeys: Array[Long]): Array[String] =
+    fs.collect {
+      case StoreFile(p, None) => p
+      case StoreFile(p, Some((lo, hi))) if intersects(sortedKeys, lo, hi) => p
+    }
+
+  private def intersects(sorted: Array[Long], lo: Long, hi: Long): Boolean = {
+    // first element >= lo, if any, must be <= hi
+    var a = 0
+    var b = sorted.length
+    while (a < b) {
+      val m = (a + b) >>> 1
+      if (sorted(m) < lo) a = m + 1 else b = m
+    }
+    a < sorted.length && sorted(a) <= hi
   }
 
   /** Highest batch number recorded in the dir's filenames — compacted
@@ -33,12 +81,16 @@ private[streaming] object GateStore {
   }
 
   /** Write `rows` as ONE parquet file `<prefix>_<batch>.parquet` via
-    * temp-write + atomic rename. */
-  def append(rows: DataFrame, dir: Path, prefix: String, batch: Long): Unit = {
+    * temp-write + atomic rename, sorted by `sortCol` when given so row
+    * groups carry tight key stats. */
+  def append(rows: DataFrame, dir: Path, prefix: String, batch: Long,
+      sortCol: Option[String] = None): Unit = {
     val tmp = Files.createTempFile(dir, s".tmp_$prefix", ".inprogress")
     val stage = Files.createTempDirectory(dir, ".stage")
     try {
-      rows.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val one = rows.coalesce(1)
+      val sorted = sortCol.fold(one)(c => one.sortWithinPartitions(c))
+      sorted.write.mode("overwrite").parquet(stage.toString)
       val part = Option(stage.toFile.listFiles())
         .getOrElse(Array.empty).find(_.getName.endsWith(".parquet"))
         .getOrElse(throw new IllegalStateException(s"no $prefix part written"))
@@ -51,28 +103,57 @@ private[streaming] object GateStore {
     }
   }
 
-  /** Fold all store files into one (DISTINCT over `cols`). */
+  /** Fold all store files into `shards` range-sharded files (DISTINCT over
+    * `cols`, range-partitioned and sorted by `sortCol` when given — a
+    * parallel rewrite, never a single-task funnel). Long-typed sort
+    * columns get their shard's [min,max] stamped into the filename for
+    * [[pruned]] file-level pruning. Returns the compacted row count, which
+    * is exact and lets callers right-size their membership filters.
+    * Crash-safe without a manifest: every shard lands (atomic moves)
+    * before any old file is unlinked; duplicate rows are tolerated. */
   def compact(spark: SparkSession, dir: Path, prefix: String,
-      cols: Seq[String], batch: Long): Unit = {
+      cols: Seq[String], batch: Long, sortCol: Option[String] = None,
+      shards: Int = 8): Long = {
     val fs = files(dir)
-    if (fs.length > 1) {
+    if (fs.length <= 1) {
+      if (fs.isEmpty) 0L else spark.read.parquet(fs(0)).count()
+    } else {
       val stage = Files.createTempDirectory(dir, ".stage")
-      val tmp = Files.createTempFile(dir, ".tmp_compact", ".inprogress")
       try {
-        spark.read.parquet(fs: _*).select(cols.head, cols.tail: _*).distinct()
-          .coalesce(1).write.mode("overwrite").parquet(stage.toString)
-        val part = Option(stage.toFile.listFiles())
-          .getOrElse(Array.empty).find(_.getName.endsWith(".parquet"))
-          .getOrElse(throw new IllegalStateException("no compacted part written"))
-        Files.move(part.toPath, tmp, StandardCopyOption.REPLACE_EXISTING)
-        Files.move(tmp, dir.resolve(
-          f"${prefix}%s_$batch%05d_c${System.nanoTime()}%d.parquet"),
-          StandardCopyOption.ATOMIC_MOVE)
+        val distinctRows =
+          spark.read.parquet(fs: _*).select(cols.head, cols.tail: _*).distinct()
+        val out = sortCol match {
+          case Some(c) => distinctRows.repartitionByRange(shards, col(c))
+            .sortWithinPartitions(c)
+          case None => distinctRows.repartition(shards)
+        }
+        out.write.mode("overwrite").parquet(stage.toString)
+        val parts = Option(stage.toFile.listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+        // per-shard [min,max] of the sort column (one metadata-light pass
+        // over the just-written, page-cached stage) + exact row count
+        val ranged: Map[String, (Long, Long)] = sortCol match {
+          case Some(c) if out.schema(c).dataType == LongType =>
+            spark.read.parquet(stage.toString)
+              .groupBy(input_file_name().as("f"))
+              .agg(min(col(c)).as("lo"), max(col(c)).as("hi"))
+              .collect()
+              .map(r => (new java.io.File(new java.net.URI(r.getString(0)).getPath)
+                .getName, (r.getLong(1), r.getLong(2)))).toMap
+          case _ => Map.empty
+        }
+        val total = spark.read.parquet(stage.toString).count()
+        val nanos = System.nanoTime()
+        parts.zipWithIndex.foreach { case (part, k) =>
+          val suffix = ranged.get(part.getName)
+            .map { case (lo, hi) => s"_r${lo}_$hi" }.getOrElse("")
+          Files.move(part.toPath,
+            dir.resolve(f"${prefix}%s_$batch%05d_c${nanos}%d_s$k%d$suffix%s.parquet"),
+            StandardCopyOption.ATOMIC_MOVE)
+        }
         fs.foreach(f => Files.deleteIfExists(Paths.get(f)))
-      } finally {
-        Files.deleteIfExists(tmp)
-        deleteRecursively(stage.toFile)
-      }
+        total
+      } finally deleteRecursively(stage.toFile)
     }
   }
 

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths}
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -24,19 +24,32 @@ import graft.sketch.BloomFilter
   * failure-retry (sink forward precedes the store append — see
   * [[StreamDedupGate]]'s delivery contract).
   *
-  * State is 16 bytes per document ever seen — (id, 64-bit fingerprint) in
-  * append-only parquet, never the text — so 10B docs is ~160 GB of key
-  * column, and the candidate join explodes fingerprints into
-  * block-permutation bucket keys (Manku WWW'07; `blocks`=6 → C(6,3)=20
-  * keys of ~33 bits) on BOTH sides, making candidate generation an
-  * equi-join with recall 1.0 at distance ≤ maxDist. A driver-resident
-  * Bloom filter over every bucket key ever seen gates the join: a batch
-  * row whose 20 buckets ALL miss the filter provably has no store
-  * candidate and skips the store entirely — fresh-content batches pay two
-  * map-side jobs and zero store reads. At larger scale, partition the
-  * store's exploded keys by bucket range so the join prunes to the
-  * batch's buckets instead of scanning all fingerprints; the compact
-  * (id, fp) layout here is the base both evolutions share.
+  * State is the fingerprint store EXPLODED by banded bucket key —
+  * (bucket, id, fp) rows in append-only parquet, never the text — under
+  * the block-permutation scheme (Manku WWW'07; `blocks`=6 → C(6,3)=20
+  * keys of ~33 bits), so candidate generation is an equi-join with recall
+  * 1.0 at distance ≤ maxDist and the explode cost is paid ONCE at append
+  * time, not per batch. Per-batch store cost tracks the BATCH, not the
+  * corpus:
+  *  - a driver-resident Bloom filter over every bucket key ever seen
+  *    gates the join — a batch row whose 20 buckets ALL miss the filter
+  *    provably has no store candidate, and a fully-fresh batch reads
+  *    nothing;
+  *  - the surviving (bloom-positive) bucket keys are collected (bounded
+  *    by [[GateStore.MaxPushdownKeys]]) and pushed into the store scan as
+  *    a file-range prune ([[GateStore.pruned]] against compaction's
+  *    range-sharded shards) plus an in-set row filter, so the join reads
+  *    only the key slices the batch actually touches;
+  *  - compaction folds the per-batch appends into bucket-range-sharded
+  *    sorted files (parallel rewrite) and regrows the Bloom filter when
+  *    the store outgrows its design size, so the fast path never silently
+  *    saturates away.
+  * At 10B docs the exploded store is ~3.2 TB of (bucket,id,fp) triples in
+  * range shards; a 5k-row batch with ~1k bloom-positive keys reads ~1k
+  * slices of it, independent of corpus size. The banding geometry
+  * (blocks, maxDist) is baked into the stored bucket keys; the raw `fp`
+  * column rides along so a re-band is a one-pass rewrite, and restarts
+  * must use the geometry the store was written with.
   */
 final class SimHashNearDupGate private (
     eng: ContViewEngine,
@@ -48,11 +61,12 @@ final class SimHashNearDupGate private (
     maxDist: Int,
     blocks: Int,
     bloomP: Double,
-    bloomN: Int,
+    bloomN0: Int,
     maxBucketSize: Int,
     compactEvery: Int) {
 
-  private val bloom = BloomFilter.empty(bloomP, bloomN)
+  private var bloom = BloomFilter.empty(bloomP, bloomN0)
+  private var bloomN = bloomN0
   // Hot-bucket guard (opt-in, the SimHash.nearDuplicates cap's streaming
   // form): a boilerplate-heavy crawl floods banded buckets — thousands of
   // near-identical fingerprints sharing every key — and the candidate join
@@ -75,14 +89,14 @@ final class SimHashNearDupGate private (
   /** (batches, admitted survivors, suppressed near-duplicates) so far. */
   def stats: (Long, Long, Long) = synchronized((batches, admitted, suppressed))
 
-  /** Restart bootstrap: the fingerprint store IS the dedup state; one
-    * distributed pass over it rebuilds the memory-resident bucket bloom
-    * (and the CMS occupancy when the hot-bucket cap is active). */
+  /** Restart bootstrap: the exploded fingerprint store IS the dedup state;
+    * one distributed pass over its bucket column rebuilds the
+    * memory-resident bucket bloom (and the CMS occupancy when the
+    * hot-bucket cap is active). */
   private[streaming] def bootstrap(): Unit = synchronized {
     val files = GateStore.files(storeDir)
     if (files.nonEmpty) {
-      val keys = eng.spark.read.parquet(files: _*)
-        .select(explode(SimHash.blockKeys(col("fp"), blocks, maxDist)).as("bucket"))
+      val keys = eng.spark.read.parquet(files: _*).select(col("bucket"))
       val row =
         if (bucketCounts == null)
           keys.agg(GraftFunctions.bloom_agg(col("bucket"), bloomP, bloomN).as("b"))
@@ -98,12 +112,57 @@ final class SimHashNearDupGate private (
     }
   }
 
-  /** Merge per-batch fingerprint files into one — crash-safe without a
-    * manifest (duplicated (id, fp) rows change nothing: the candidate join
-    * deduplicates suppressor hits), so the merged file lands before the
-    * olds are unlinked. */
+  /** Fold per-batch fingerprint files into bucket-range shards — crash-safe
+    * without a manifest (duplicated (bucket, id, fp) rows change nothing:
+    * the candidate join deduplicates suppressor hits), so the shards land
+    * before the olds are unlinked. Regrows the driver bloom when the store
+    * has outgrown its design size, so the bloom's false-positive rate (and
+    * with it the fast path) survives an unbounded stream. */
   def compact(): Unit = synchronized {
-    GateStore.compact(eng.spark, storeDir, "fps", Seq("id", "fp"), batches)
+    val n = GateStore.compact(eng.spark, storeDir, "fps",
+      Seq("bucket", "id", "fp"), batches, sortCol = Some("bucket"))
+    if (n > bloomN) {
+      bloomN = math.min(Int.MaxValue.toLong,
+        math.max(bloomN.toLong * 4, n * 2)).toInt
+      System.err.println(s"[graft] SimHashNearDupGate($name): store at $n keys " +
+        s"outgrew the bloom design size; regrowing filter to n=$bloomN")
+      bloom = BloomFilter.empty(bloomP, bloomN)
+      bloom.union(BloomFilter.deserialize(
+        eng.spark.read.parquet(GateStore.files(storeDir): _*)
+          .agg(GraftFunctions.bloom_agg(col("bucket"), bloomP, bloomN).as("b"))
+          .collect()(0).getAs[Array[Byte]]("b")))
+    }
+  }
+
+  /** Append pre-fingerprinted rows straight into the seen-store (bloom/CMS
+    * updated, nothing forwarded): the scale-probe's way of standing up a
+    * 10×/100× store without replaying history through the join path. */
+  private[graft] def seedStore(rows: DataFrame): Unit = synchronized {
+    batches += 1
+    val keyed = rows
+      .withColumn("fp", SimHash.simhash64(TextOps.tokens(expr(textSql))))
+      .where(col("fp").isNotNull)
+    GateStore.append(
+      keyed.select(explode(SimHash.blockKeys(col("fp"), blocks, maxDist)).as("bucket"),
+        col(orderCol).as("id"), col("fp")),
+      storeDir, "fps", batches, sortCol = Some("bucket"))
+    updateFilters(keyed)
+  }
+
+  private def updateFilters(keyed: DataFrame): Unit = {
+    val keyCol = keyed
+      .select(explode(SimHash.blockKeys(col("fp"), blocks, maxDist)).as("bucket"))
+    val updates =
+      if (bucketCounts == null)
+        keyCol.agg(GraftFunctions.bloom_agg(col("bucket"), bloomP, bloomN).as("b"))
+          .collect()(0)
+      else
+        keyCol.agg(GraftFunctions.bloom_agg(col("bucket"), bloomP, bloomN).as("b"),
+          GraftFunctions.freq_agg(col("bucket")).as("c")).collect()(0)
+    bloom.union(BloomFilter.deserialize(updates.getAs[Array[Byte]]("b")))
+    if (bucketCounts != null)
+      bucketCounts.merge(
+        graft.sketch.CountMinSketch.deserialize(updates.getAs[Array[Byte]]("c")))
   }
 
   private[streaming] def onBatch(batch: DataFrame): Unit = synchronized {
@@ -130,26 +189,41 @@ final class SimHashNearDupGate private (
         .where(col("id_l") < col("id_r") &&
           bit_count(col("fp_l").bitwiseXOR(col("fp_r"))) <= maxDist)
         .select(col("id_r").as("__id"))
-      val files = GateStore.files(storeDir)
+      val storeF = GateStore.storeFiles(storeDir)
+      // bucket-bloom gate first: a row whose every bucket key misses the
+      // filter has no store candidate (no false negatives). The surviving
+      // keys are collected and pushed into the store read as a file-range
+      // prune + in-set row filter, so the join touches only the batch's
+      // key slices; a pathological batch with more distinct hit keys than
+      // MaxPushdownKeys falls back to the unpruned (still correct) join.
+      val hit = bkeys.where(
+        GraftFunctions.bloom_contains(lit(bloom.serialize()), col("bucket")))
+      val hitKeys: Array[Long] =
+        if (storeF.isEmpty) Array.emptyLongArray
+        else hit.select("bucket").collect().map(_.getLong(0)).distinct.sorted
+      val pushdown = hitKeys.length <= GateStore.MaxPushdownKeys
+      val storePaths =
+        if (hitKeys.isEmpty) Array.empty[String]
+        else if (pushdown) GateStore.pruned(storeF, hitKeys)
+        else storeF.map(_.path)
       val fromStore =
-        if (files.isEmpty) inBatch.limit(0)
+        if (storePaths.isEmpty) inBatch.limit(0)
         else {
-          // bucket-bloom gate: a row whose every bucket key misses the
-          // filter has no store candidate (no false negatives) — only
-          // bloom-positive keys join the exploded store
-          val hit = bkeys.where(
-            GraftFunctions.bloom_contains(lit(bloom.serialize()), col("bucket")))
-          val storeAll = s.read.parquet(files: _*)
-            .select(col("id").as("id_s"), col("fp").as("fp_s"))
-            .select(col("id_s"), col("fp_s"),
-              explode(SimHash.blockKeys(col("fp_s"), blocks, maxDist)).as("bucket"))
-          // symmetric exclusion: a flooded bucket generates no candidates
-          // from the store side either (`hit` derives from bkeys, already
-          // cap-filtered)
-          val store =
-            if (bucketCounts == null) storeAll
-            else storeAll.where(GraftFunctions.freq(
-              lit(bucketCounts.serialize()), col("bucket")) <= maxBucketSize)
+          val store0 =
+            if (pushdown)
+              s.read.parquet(storePaths: _*)
+                .where(col("bucket").isInCollection(hitKeys))
+            else {
+              // symmetric cap exclusion still needed on the fallback path
+              // (the in-set filter above implies it: hitKeys derive from
+              // the cap-filtered bkeys)
+              val all = s.read.parquet(storePaths: _*)
+              if (bucketCounts == null) all
+              else all.where(GraftFunctions.freq(
+                lit(bucketCounts.serialize()), col("bucket")) <= maxBucketSize)
+            }
+          val store = store0
+            .select(col("bucket"), col("id").as("id_s"), col("fp").as("fp_s"))
           hit.join(store, Seq("bucket"))
             .where(bit_count(col("fp").bitwiseXOR(col("fp_s"))) <= maxDist)
             .select(col("__id"))
@@ -165,25 +239,17 @@ final class SimHashNearDupGate private (
         // StreamDedupGate's delivery contract): a batch that fails mid-gate
         // can be retried without its own fingerprints suppressing it
         if (n > 0) eng.insertInto(sink, survivors)
-        // append EVERY row's fingerprint (seen-semantics: suppressed docs
-        // still suppress later arrivals; null fingerprints can't pair and
-        // are not stored), then the bucket-key bloom update
+        // append EVERY row's fingerprint exploded by bucket key
+        // (seen-semantics: suppressed docs still suppress later arrivals;
+        // null fingerprints can't pair and are not stored), then the
+        // bucket-key bloom/CMS update
+        val stored = keyed.where(col("fp").isNotNull)
         GateStore.append(
-          keyed.where(col("fp").isNotNull).select(col(orderCol).as("id"), col("fp")),
-          storeDir, "fps", batches)
-        val keyCol = keyed
-          .select(explode(SimHash.blockKeys(col("fp"), blocks, maxDist)).as("bucket"))
-        val updates =
-          if (bucketCounts == null)
-            keyCol.agg(GraftFunctions.bloom_agg(col("bucket"), bloomP, bloomN).as("b"))
-              .collect()(0)
-          else
-            keyCol.agg(GraftFunctions.bloom_agg(col("bucket"), bloomP, bloomN).as("b"),
-              GraftFunctions.freq_agg(col("bucket")).as("c")).collect()(0)
-        bloom.union(BloomFilter.deserialize(updates.getAs[Array[Byte]]("b")))
-        if (bucketCounts != null)
-          bucketCounts.merge(
-            graft.sketch.CountMinSketch.deserialize(updates.getAs[Array[Byte]]("c")))
+          stored.select(
+            explode(SimHash.blockKeys(col("fp"), blocks, maxDist)).as("bucket"),
+            col(orderCol).as("id"), col("fp")),
+          storeDir, "fps", batches, sortCol = Some("bucket"))
+        updateFilters(stored)
       } finally survivors.unpersist()
     } finally keyed.unpersist()
     if (compactEvery > 0 && batches % compactEvery == 0) compact()

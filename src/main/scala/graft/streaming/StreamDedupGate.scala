@@ -75,16 +75,20 @@ final class StreamDedupGate private (
     sink: String,
     storeDir: Path,
     bloomP: Double,
-    bloomN: Int,
+    bloomN0: Int,
     compactEvery: Int) {
 
-  private val bloom = BloomFilter.empty(bloomP, bloomN)
+  private var bloom = BloomFilter.empty(bloomP, bloomN0)
+  private var bloomN = bloomN0
   private var batches = 0L
   private var admitted = 0L
   private var suppressed = 0L
 
   /** (batches, admitted survivors, suppressed duplicates) so far. */
   def stats: (Long, Long, Long) = synchronized((batches, admitted, suppressed))
+
+  /** Current bloom design size (grows at compaction — see [[compact]]). */
+  private[streaming] def currentBloomN: Int = synchronized(bloomN)
 
   /** Restart bootstrap: a re-created gate on an existing store resumes
     * exactly — the key set IS the store; only the bloom is memory-resident,
@@ -103,12 +107,43 @@ final class StreamDedupGate private (
     }
   }
 
-  /** Fold the per-batch key files into one (also runs automatically every
-    * `compactEvery` batches). Crash-safe without a manifest because a
+  /** Fold the per-batch key files into key-range shards (also runs
+    * automatically every `compactEvery` batches) — a parallel rewrite,
+    * never a single-task funnel. Crash-safe without a manifest because a
     * dedup store tolerates DUPLICATED keys — the anti-join result is
-    * identical — so the merged file lands before the olds are unlinked. */
+    * identical — so the shards land before the olds are unlinked. The
+    * exact key count compaction surfaces right-sizes the driver bloom: on
+    * an unbounded stream a fixed-n filter would saturate toward fp-rate 1
+    * and silently degrade every batch to the full store anti-join, so the
+    * filter is regrown (and rebuilt distributed) once the store outgrows
+    * its design size. */
   def compact(): Unit = synchronized {
-    GateStore.compact(eng.spark, storeDir, "keys", Seq("h"), batches)
+    val n = GateStore.compact(eng.spark, storeDir, "keys", Seq("h"), batches,
+      sortCol = Some("h"))
+    if (n > bloomN) {
+      bloomN = math.min(Int.MaxValue.toLong,
+        math.max(bloomN.toLong * 4, n * 2)).toInt
+      System.err.println(s"[graft] StreamDedupGate($name): store at $n keys " +
+        s"outgrew the bloom design size; regrowing filter to n=$bloomN")
+      bloom = BloomFilter.empty(bloomP, bloomN)
+      bloom.union(BloomFilter.deserialize(
+        eng.spark.read.parquet(GateStore.files(storeDir): _*)
+          .agg(GraftFunctions.bloom_agg(col("h"), bloomP, bloomN).as("b"))
+          .collect()(0).getAs[Array[Byte]]("b")))
+    }
+  }
+
+  /** Append pre-keyed rows straight into the seen-store (bloom updated,
+    * nothing forwarded) — the scale-probe's way of standing up a 10×/100×
+    * store without replaying history through the join path. */
+  private[graft] def seedStore(rows: DataFrame): Unit = synchronized {
+    batches += 1
+    val keys = rows.withColumn("h", expr(keySql)).where(col("h").isNotNull)
+      .select("h")
+    GateStore.append(keys, storeDir, "keys", batches, sortCol = Some("h"))
+    bloom.union(BloomFilter.deserialize(
+      keys.agg(GraftFunctions.bloom_agg(col("h"), bloomP, bloomN).as("b"))
+        .collect()(0).getAs[Array[Byte]]("b")))
   }
 
   private[streaming] def onBatch(batch: DataFrame): Unit = synchronized {
@@ -156,7 +191,8 @@ final class StreamDedupGate private (
         // sink BEFORE store append: see the delivery contract above
         eng.insertInto(sink, survivors)
         val newKeys = survivors.where(col("h").isNotNull)
-        GateStore.append(newKeys.select("h"), storeDir, "keys", batches)
+        GateStore.append(newKeys.select("h"), storeDir, "keys", batches,
+          sortCol = Some("h"))
         val update = newKeys.agg(
           GraftFunctions.bloom_agg(col("h"), bloomP, bloomN).as("b"))
           .collect()(0).getAs[Array[Byte]]("b")

@@ -95,4 +95,63 @@ class CosineNearDupGateSpec extends AnyFunSuite {
       "every post-restart copy suppressed by the rebuilt store")
     assert(g2.stats._3 === 20L)
   }
+
+  test("hot-bucket cap: flooded buckets stop pairing, clean recall survives") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cg4").toString
+    val eng = new ContViewEngine(spark, root)
+    val schema = corpus.schema
+    eng.createStream("fc_in", schema)
+    eng.createStream("fc_out", schema)
+    val gate = CosineNearDupGate.create(eng, "fc_gate",
+      "SELECT id, embedding FROM fc_in", embSql = "embedding", orderCol = "id",
+      sink = "fc_out", storeRoot = root, threshold = 0.97, dim = dim,
+      numTables = 6, bitsPerTable = 8, maxBucketSize = 100)
+    eng.createContView("v_fc", "SELECT id FROM fc_out", emitChanges = false)
+    val rng = new scala.util.Random(7)
+    val real = (0 until 40).map { i =>
+      (i.toLong, Array.fill(dim)(rng.nextGaussian().toFloat))
+    }
+    // degenerate-crawl flood: 200 copies of ONE boilerplate embedding share
+    // every SRP bucket. The cap reads occupancy as of batch START, so
+    // batch 1's flood still pairs within itself (suppressed down to its
+    // first row); batch 2's flood arrives with the buckets over cap and
+    // passes through un-paired — the documented recall trade.
+    val boiler = Array.fill(dim)(0.7f)
+    eng.insertInto("fc_in",
+      (real ++ (0 until 200).map(i => (10000L + i, boiler))).toDF("id", "embedding"))
+    eng.insertInto("fc_in",
+      ((0 until 200).map(i => (10200L + i, boiler)) :+
+        // a near-copy of real vec 5: its buckets are NOT flooded, so the
+        // cap must not cost this suppression
+        (20000L, real(5)._2.map(x => x * 1.001f))).toDF("id", "embedding"))
+    val out = eng.overlay("v_fc").collect().map(_.getLong(0)).toSet
+    assert(!out.contains(20000L), "clean-bucket near-copy must still be suppressed")
+    assert(out.contains(10000L), "first boilerplate doc is admitted")
+    assert((10001L until 10200L).forall(id => !out.contains(id)),
+      "batch-1 flood pairs within its own batch (cap not yet tripped)")
+    assert((10200L until 10400L).forall(out.contains),
+      "batch-2 flood must pass through once the buckets are over cap")
+    assert(out.filter(_ < 10000L) === real.map(_._1).toSet,
+      "real-vector admission must be unaffected by the flood")
+    val (batches, adm, _) = gate.stats
+    assert(batches === 2L && adm === (real.size + 1 + 200).toLong)
+    eng.dropContView("v_fc"); ()
+  }
+
+  test("recall contract: estimate matches SRP collision math, loose configs warn") {
+    // p_bit at cos=1 is 1 → recall exactly 1 regardless of geometry
+    assert(CosineNearDupGate.recallEstimate(1.0, 1, 12) === 1.0)
+    // defaults at the designed operating point are effectively structural
+    assert(CosineNearDupGate.recallEstimate(0.99, 8, 12) > 0.995)
+    assert(CosineNearDupGate.recallEstimate(0.97, 8, 12) > 0.95)
+    // ... and 0.95 on the defaults sits just UNDER the warn line (~0.93):
+    // the boundary the create() warning exists to surface
+    val r95 = CosineNearDupGate.recallEstimate(0.95, 8, 12)
+    assert(r95 > 0.9 && r95 < 0.95)
+    // a loose threshold on the same geometry decays hard — this is the
+    // configuration create() warns about
+    assert(CosineNearDupGate.recallEstimate(0.80, 8, 12) < 0.5)
+    // and the knobs the warning names actually restore recall
+    assert(CosineNearDupGate.recallEstimate(0.80, 64, 6) > 0.95)
+  }
 }

@@ -51,6 +51,25 @@ class GateDdlSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq === Seq(1L, 2L, 5L))
   }
 
+  test("gate-spec string args support SQL '' quote escaping") {
+    val root = java.nio.file.Files.createTempDirectory("graft_gddl3").toString
+    val eng = new ContViewEngine(spark, root)
+    eng.sql("CREATE STREAM q_in (id int8, body text, lang text)")
+    eng.sql("CREATE STREAM q_clean (id int8, body text, lang text, h text)")
+    // the dedup key concatenates with a literal '|' separator — expressible
+    // only through the doubled-single-quote escape
+    eng.sql("""CREATE VIEW q_gate WITH (action = transform, sink = 'q_clean',
+              |  outputfunc = dedup_gate('md5(concat(body, ''|'', lang))', 'id')) AS
+              |SELECT id, body, lang FROM q_in""".stripMargin)
+    eng.sql("""CREATE CONTINUOUS VIEW v_q WITH (changes = false) AS
+              |SELECT id FROM q_clean""".stripMargin)
+    eng.sql("""INSERT INTO q_in (id, body, lang) VALUES
+              |(1, 'aa', 'en'), (2, 'aa', 'de'), (3, 'aa', 'en')""".stripMargin)
+    // same body under a different lang is a different key; (3) repeats (1)
+    assert(eng.sql("SELECT id FROM v_q ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L, 2L))
+  }
+
   test("neardup gate spec parses with optional args; bad spec rejected") {
     val root = java.nio.file.Files.createTempDirectory("graft_gddl2").toString
     val eng = new ContViewEngine(spark, root)

@@ -1,0 +1,124 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import GateStore.StoreFile
+
+/** The gate stores' scale contract lives here: appends land sorted, range-
+  * sharded compaction stamps each shard's key interval into its filename,
+  * and [[GateStore.pruned]] reads only the shards a batch's keys touch —
+  * the mechanism that keeps per-batch store cost proportional to the
+  * batch instead of the corpus.
+  */
+class GateStoreSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  test("pruned keeps un-ranged files and only intersecting ranged shards") {
+    val fs = Array(
+      StoreFile("append1", None),
+      StoreFile("s0", Some((0L, 9L))),
+      StoreFile("s1", Some((10L, 19L))),
+      StoreFile("s2", Some((20L, 29L))),
+      StoreFile("neg", Some((-50L, -40L))))
+    def p(keys: Long*): Set[String] =
+      GateStore.pruned(fs, keys.toArray.sorted).toSet
+    assert(p(5L) === Set("append1", "s0"))
+    assert(p(10L, 29L) === Set("append1", "s1", "s2"))
+    assert(p(-45L) === Set("append1", "neg"))
+    assert(p(100L) === Set("append1"), "no shard intersects → appends only")
+    assert(p(9L, 10L) === Set("append1", "s0", "s1"), "boundary keys on both sides")
+    assert(p(-39L, 30L) === Set("append1"), "keys in the gaps match nothing")
+    assert(GateStore.pruned(Array.empty[StoreFile], Array(1L)).isEmpty)
+  }
+
+  test("compaction writes range-stamped sorted shards; reads prune to them") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_gs")
+    // three per-batch appends with interleaved key ranges
+    (1 to 3).foreach { b =>
+      val rows = (0 until 100).map(i => (i.toLong * 3 + b, b.toLong, i.toLong))
+        .toDF("bucket", "id", "fp")
+      GateStore.append(rows, dir, "fps", b.toLong, sortCol = Some("bucket"))
+    }
+    assert(GateStore.storeFiles(dir).forall(_.range.isEmpty),
+      "batch appends carry no range (always read)")
+    val n = GateStore.compact(spark, dir, "fps", Seq("bucket", "id", "fp"),
+      3L, sortCol = Some("bucket"), shards = 4)
+    assert(n === 300L, "compaction reports the exact row count")
+    val sf = GateStore.storeFiles(dir)
+    assert(sf.nonEmpty && sf.forall(_.range.isDefined),
+      "every compacted shard is range-stamped")
+    // the stamped ranges tile the key space disjointly and cover all keys
+    val ranges = sf.flatMap(_.range).sortBy(_._1)
+    assert(ranges.head._1 === 1L && ranges.last._2 === 300L)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) => assert(hi < lo, "shard ranges must not overlap")
+      case _ =>
+    }
+    // a point read prunes to exactly one shard, and its content is intact
+    val key = 150L
+    val hit = GateStore.pruned(sf, Array(key))
+    assert(hit.length === 1)
+    val rows = spark.read.parquet(hit: _*)
+      .where(org.apache.spark.sql.functions.col("bucket") === key).collect()
+    assert(rows.length === 1)
+    // full store content unchanged by compaction
+    assert(spark.read.parquet(GateStore.files(dir): _*).count() === 300L)
+    GateStore.deleteRecursively(dir.toFile)
+  }
+
+  test("compaction distincts duplicated rows and survives re-compaction") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_gs2")
+    val rows = (0 until 50).map(i => (i.toLong, "k" + i)).toDF("bucket", "id")
+    GateStore.append(rows, dir, "p", 1L, sortCol = Some("bucket"))
+    GateStore.append(rows, dir, "p", 2L, sortCol = Some("bucket")) // retry duplicate
+    assert(GateStore.compact(spark, dir, "p", Seq("bucket", "id"), 2L,
+      sortCol = Some("bucket"), shards = 2) === 50L)
+    // compacting an already-compacted store (plus one new append) re-folds
+    GateStore.append((50 until 60).map(i => (i.toLong, "k" + i)).toDF("bucket", "id"),
+      dir, "p", 3L, sortCol = Some("bucket"))
+    assert(GateStore.compact(spark, dir, "p", Seq("bucket", "id"), 3L,
+      sortCol = Some("bucket"), shards = 2) === 60L)
+    assert(GateStore.maxBatch(dir, "p") === 3L)
+    GateStore.deleteRecursively(dir.toFile)
+  }
+
+  test("dedup gate bloom regrows once the store outgrows its design size") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_gs3").toString
+    val eng = new graft.cv.ContViewEngine(spark, root)
+    val schema = Seq((0L, "x")).toDF("id", "body").schema
+    eng.createStream("bg_in", schema)
+    eng.createStream("bg_out", org.apache.spark.sql.types.StructType(
+      schema.fields :+ org.apache.spark.sql.types.StructField("h",
+        org.apache.spark.sql.types.StringType)))
+    // design size 32 keys; 3 batches × 40 distinct keys blow through it
+    val gate = StreamDedupGate.create(eng, "bg_gate", "SELECT id, body FROM bg_in",
+      keySql = "md5(body)", orderCol = "id", sink = "bg_out",
+      storeRoot = root, bloomN = 32, compactEvery = 3)
+    eng.createContView("v_bg", "SELECT id FROM bg_out", emitChanges = false)
+    (0 until 3).foreach { b =>
+      eng.insertInto("bg_in",
+        (0 until 40).map(i => ((b * 40 + i).toLong, s"w-$b-$i")).toDF("id", "body"))
+    }
+    assert(gate.currentBloomN >= 240,
+      s"filter must regrow past 2x the 120-key store, got ${gate.currentBloomN}")
+    // regrown-filter behavior: repeats still suppressed, fresh still admitted
+    eng.insertInto("bg_in",
+      Seq((500L, "w-0-0"), (501L, "w-2-39"), (502L, "fresh")).toDF("id", "body"))
+    val out = eng.overlay("v_bg").collect().map(_.getLong(0)).toSet
+    assert(out.contains(502L) && !out.contains(500L) && !out.contains(501L))
+    eng.dropContView("v_bg"); ()
+  }
+}

@@ -105,9 +105,10 @@ class StreamDedupGateSpec extends AnyFunSuite {
         (0 until 10).map(i => ((b * 10 + i).toLong, s"d-$b-$i")).toDF("id", "body"))
     }
     val store = new java.io.File(s"$root/a_gate/seen_keys")
-    // every 2nd batch folds the store to ONE file; at most one un-compacted
-    // batch file can sit on top of it at any time
-    assert(store.listFiles().count(_.getName.endsWith(".parquet")) <= 2)
+    // every 2nd batch folds the store into at most `shards` range files
+    // (default 8); at most one un-compacted batch file can sit on top of
+    // them at any time — bounded regardless of how many batches ran
+    assert(store.listFiles().count(_.getName.endsWith(".parquet")) <= 9)
     assert(spark.read.parquet(store.getAbsolutePath).count() === 60L)
     // and a repeat of early content is still suppressed through the
     // compacted store
@@ -159,10 +160,14 @@ class StreamDedupGateSpec extends AnyFunSuite {
       Seq((4L, "aa"), (5L, "cc"), (6L, "dd")).toDF("id", "body"))
     assert(eng2.overlay("v_r").collect().map(_.getLong(0)).toSet === Set(6L),
       "keys admitted before the restart must stay suppressed after it")
-    // compaction folds 3 key files into 1 without changing the key set
+    // compaction folds the 3 per-batch key files into range shards (every
+    // remaining file is compaction output) without changing the key set
     g2.compact()
     val store = new java.io.File(s"$root/gate/r_gate/seen_keys")
-    assert(store.listFiles().count(_.getName.endsWith(".parquet")) === 1)
+    val compacted = store.listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(compacted.nonEmpty && compacted.length <= 8)
+    assert(compacted.forall(_.getName.contains("_c")),
+      "only compacted shards remain after compact()")
     eng2.insertInto("r_in", Seq((7L, "bb"), (8L, "ee")).toDF("id", "body"))
     assert(eng2.overlay("v_r").collect().map(_.getLong(0)).toSet === Set(6L, 8L),
       "post-compaction suppression must be unchanged")
