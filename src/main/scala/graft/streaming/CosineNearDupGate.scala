@@ -113,8 +113,11 @@ final class CosineNearDupGate private (
     batches += 1
     val keyed = rows.withColumn("__v", expr(embSql).cast("array<double>"))
       .where(col("__v").isNotNull)
-    appendStores(keyed)
-    updateFilters(keyed)
+      .persist()
+    try {
+      appendStores(keyed)
+      updateFilters(collectBuckets(keyed))
+    } finally { keyed.unpersist(); () }
   }
 
   private def appendStores(keyed: DataFrame): Unit = {
@@ -130,20 +133,24 @@ final class CosineNearDupGate private (
       idxDir, "keys", batches, sortCol = Some("bucket"))
   }
 
-  private def updateFilters(keyed: DataFrame): Unit = {
-    val keyCol = keyed.select(explode(keysOf(col("__v"))).as("bucket"))
-    val updates =
-      if (bucketCounts == null)
-        keyCol.agg(GraftFunctions.bloom_agg(col("bucket"), bloomP, bloomN).as("b"))
-          .collect()(0)
-      else
-        keyCol.agg(GraftFunctions.bloom_agg(col("bucket"), bloomP, bloomN).as("b"),
-          GraftFunctions.freq_agg(col("bucket")).as("c")).collect()(0)
-    bloom.union(BloomFilter.deserialize(updates.getAs[Array[Byte]]("b")))
-    if (bucketCounts != null)
-      bucketCounts.merge(
-        graft.sketch.CountMinSketch.deserialize(updates.getAs[Array[Byte]]("c")))
+  /** Driver-side filter update from the batch's collected bucket keys
+    * (with multiplicity, for the CMS) — the filters never ship to
+    * executors; see SimHashNearDupGate.updateFilters. */
+  private def updateFilters(buckets: Array[Long]): Unit = {
+    var i = 0
+    val seen = new java.util.HashSet[java.lang.Long]()
+    while (i < buckets.length) {
+      val b = buckets(i)
+      if (seen.add(b)) bloom.add(b)
+      if (bucketCounts != null) bucketCounts.add(b)
+      i += 1
+    }
   }
+
+  private def collectBuckets(keyed: DataFrame): Array[Long] =
+    keyed.where(col("__v").isNotNull)
+      .select(explode(keysOf(col("__v"))).as("bucket"))
+      .collect().map(_.getLong(0))
 
   private[streaming] def onBatch(batch: DataFrame): Unit = synchronized {
     batches += 1
@@ -154,25 +161,43 @@ final class CosineNearDupGate private (
       .withColumn("__v", expr(embSql).cast("array<double>"))
       .persist()
     try {
+      // one bounded collect of the batch's bucket keys feeds the cap, the
+      // bloom probe and the filter update — all driver-side (see
+      // SimHashNearDupGate for the rationale)
+      val buckets = collectBuckets(keyed)
+      val distinctBuckets = buckets.distinct
+      val overCap: Array[Long] =
+        if (bucketCounts == null) Array.emptyLongArray
+        else distinctBuckets.filter(b => bucketCounts.estimate(b) > maxBucketSize)
+      val overCapSet = overCap.toSet
       val allKeys = keyed.select(col(orderCol).as("__id"), col("__v"),
         explode(keysOf(col("__v"))).as("bucket"))
       val bkeys =
-        if (bucketCounts == null) allKeys
-        else allKeys.where(GraftFunctions.freq(
-          lit(bucketCounts.serialize()), col("bucket")) <= maxBucketSize)
-      val l = bkeys.select(col("bucket"), col("__id").as("id_l"), col("__v").as("v_l"))
-      val r = bkeys.select(col("bucket"), col("__id").as("id_r"), col("__v").as("v_r"))
-      val inBatch = l.join(r, Seq("bucket"))
-        .where(col("id_l") < col("id_r") &&
-          VectorExpressions.cosineSim(col("v_l"), col("v_r")) >= threshold)
-        .select(col("id_r").as("__id"))
+        if (overCap.isEmpty) allKeys
+        else allKeys.where(!GateStore.inSetCol(col("bucket"), overCap.toSeq))
+      // an in-batch pair needs a bucket occurring at least TWICE in this
+      // batch; the driver holds the multiset, so the self-join runs only
+      // over those buckets (an all-fresh batch skips the shuffle entirely)
+      val counts = new java.util.HashMap[java.lang.Long, Integer]()
+      buckets.foreach(b => counts.merge(b, 1, (a, x) => a + x))
+      val multiBuckets = distinctBuckets
+        .filter(b => counts.get(b) >= 2 && !overCapSet.contains(b))
+      val inBatch =
+        if (multiBuckets.isEmpty) allKeys.select(col("__id")).limit(0)
+        else {
+          val mkeys = bkeys.where(GateStore.inSetCol(col("bucket"), multiBuckets.toSeq))
+          val l = mkeys.select(col("bucket"), col("__id").as("id_l"), col("__v").as("v_l"))
+          val r = mkeys.select(col("bucket"), col("__id").as("id_r"), col("__v").as("v_r"))
+          l.join(r, Seq("bucket"))
+            .where(col("id_l") < col("id_r") &&
+              VectorExpressions.cosineSim(col("v_l"), col("v_r")) >= threshold)
+            .select(col("id_r").as("__id"))
+        }
       val idxF = GateStore.storeFiles(idxDir)
       val embF = GateStore.storeFiles(embDir)
-      val hit = bkeys.where(
-        GraftFunctions.bloom_contains(lit(bloom.serialize()), col("bucket")))
       val hitKeys: Array[Long] =
         if (idxF.isEmpty) Array.emptyLongArray
-        else hit.select("bucket").collect().map(_.getLong(0)).distinct.sorted
+        else distinctBuckets.filter(b => !overCapSet.contains(b) && bloom.contains(b))
       val keyPush = hitKeys.length <= GateStore.MaxPushdownKeys
       val idxPaths =
         if (hitKeys.isEmpty || embF.isEmpty) Array.empty[String]
@@ -181,17 +206,19 @@ final class CosineNearDupGate private (
       val fromStore =
         if (idxPaths.isEmpty) inBatch.limit(0)
         else {
+          val hit =
+            if (keyPush) bkeys.where(GateStore.inSetCol(col("bucket"), hitKeys.toSeq))
+            else bkeys
           // phase 1: candidate ids from the pruned (bucket, id) index —
           // the embedding bytes stay unread
           val idx0 =
             if (keyPush)
               s.read.parquet(idxPaths: _*)
-                .where(col("bucket").isInCollection(hitKeys))
+                .where(GateStore.inSetCol(col("bucket"), hitKeys.toSeq))
             else {
               val all = s.read.parquet(idxPaths: _*)
-              if (bucketCounts == null) all
-              else all.where(GraftFunctions.freq(
-                lit(bucketCounts.serialize()), col("bucket")) <= maxBucketSize)
+              if (overCap.isEmpty) all
+              else all.where(!GateStore.inSetCol(col("bucket"), overCap.toSeq))
             }
           val idx = idx0.select(col("bucket"), col("id").as("id_s"))
           val candPairs = hit.select(col("bucket"), col("__id"))
@@ -209,7 +236,7 @@ final class CosineNearDupGate private (
           if (embPaths.isEmpty) inBatch.limit(0)
           else {
             val vs0 = s.read.parquet(embPaths: _*)
-            val vs = if (idPush) vs0.where(col("id").isInCollection(idArr.toSeq)) else vs0
+            val vs = if (idPush) vs0.where(GateStore.inSetCol(col("id"), idArr.toSeq)) else vs0
             val batchVs = keyed.select(col(orderCol).as("__id"), col("__v"))
             candPairs
               .join(vs.select(col("id").as("id_s"), col("v").as("v_s")), Seq("id_s"))
@@ -230,9 +257,8 @@ final class CosineNearDupGate private (
         // see StreamDedupGate's delivery contract); null embeddings can't
         // pair and are not stored
         if (n > 0) eng.insertInto(sink, survivors)
-        val stored = keyed.where(col("__v").isNotNull)
-        appendStores(stored)
-        updateFilters(stored)
+        appendStores(keyed.where(col("__v").isNotNull))
+        updateFilters(buckets)
       } finally survivors.unpersist()
     } finally keyed.unpersist()
     if (compactEvery > 0 && batches % compactEvery == 0) compact()

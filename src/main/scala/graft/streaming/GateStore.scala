@@ -4,7 +4,6 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
 
 /** Shared append-only store plumbing for the streaming dedup gates: file
   * listing, atomic single-file batch append, range-sharded compaction, and
@@ -35,11 +34,44 @@ private[streaming] object GateStore {
     * the gate falls back to the unpruned join, which is still correct. */
   val MaxPushdownKeys: Int = 1 << 17
 
-  /** A store file plus the [min,max] of its sort column when the filename
-    * carries one (range-sharded compaction output). */
-  final case class StoreFile(path: String, range: Option[(Long, Long)])
+  /** `c IN (values)` as ONE InSet expression node. `Column.isInCollection`
+    * builds an `In` with one Literal child per value — at the gates' tens
+    * of thousands of candidate keys per batch, Catalyst spends SECONDS
+    * analyzing/optimizing that tree per batch (measured: ~2 s of a 3 s
+    * batch). InSet carries the whole set in a single node, so plan work is
+    * O(1) in the key count. Values are converted to Catalyst-internal form
+    * (strings → UTF8String) because InSet compares runtime values. */
+  def inSetCol(c: org.apache.spark.sql.Column, values: Iterable[Any]): org.apache.spark.sql.Column = {
+    val conv: Set[Any] = values.map {
+      case s: String => org.apache.spark.unsafe.types.UTF8String.fromString(s)
+      case other => other
+    }.toSet
+    org.apache.spark.sql.GraftBridge.column(
+      org.apache.spark.sql.catalyst.expressions.InSet(
+        org.apache.spark.sql.GraftBridge.expression(c), conv))
+  }
 
-  private val rangeRe = """.*_r(-?\d+)_(-?\d+)\.parquet$""".r
+  /** A store file plus the encoded [min,max] of its sort column when the
+    * filename carries one (range-sharded compaction output). Ranges are
+    * stored ENCODED (see [[encodeKey]]) so one lexicographic comparison
+    * serves every key type. */
+  final case class StoreFile(path: String, range: Option[(String, String)])
+
+  private val rangeRe = """.*_r([0-9a-zA-Z.\-]*)_([0-9a-zA-Z.\-]*)\.parquet$""".r
+
+  /** Filename-safe, order-preserving encoding of a range-stamp key:
+    * lexicographic order of the encoding equals the column's sort order.
+    * Longs map to 16-hex-digit sign-flipped unsigned; strings embed as-is
+    * when they are already filename-safe and underscore-free (md5 hex keys
+    * are). Returns None for unencodable values — the file simply goes
+    * unstamped and is always read, which is correct, just unpruned. */
+  def encodeKey(v: Any): Option[String] = v match {
+    case l: Long => Some(f"${l ^ Long.MinValue}%016x")
+    case i: Int => encodeKey(i.toLong)
+    case s: String if s.nonEmpty && s.length <= 64 &&
+      s.forall(c => c.isLetterOrDigit || c == '.' || c == '-') => Some(s)
+    case _ => None
+  }
 
   def files(dir: Path): Array[String] = {
     val d = dir.toFile
@@ -49,27 +81,33 @@ private[streaming] object GateStore {
   }
 
   def storeFiles(dir: Path): Array[StoreFile] = files(dir).map {
-    case p @ rangeRe(lo, hi) => StoreFile(p, Some((lo.toLong, hi.toLong)))
+    case p @ rangeRe(lo, hi) => StoreFile(p, Some((lo, hi)))
     case p => StoreFile(p, None)
   }
 
-  /** Files a batch with the given SORTED candidate keys must read: every
-    * un-ranged file plus ranged shards containing at least one key. */
-  def pruned(fs: Array[StoreFile], sortedKeys: Array[Long]): Array[String] =
+  /** Files a batch with the given candidate keys must read: every un-ranged
+    * file plus ranged shards containing at least one key. Keys are encoded
+    * and sorted here; callers pass raw values. */
+  def pruned(fs: Array[StoreFile], keys: Array[_]): Array[String] = {
+    val encoded = keys.flatMap(k => encodeKey(k)).sorted
+    val allEncodable = encoded.length == keys.length
     fs.collect {
       case StoreFile(p, None) => p
-      case StoreFile(p, Some((lo, hi))) if intersects(sortedKeys, lo, hi) => p
+      // an unencodable candidate key could live anywhere: read everything
+      case StoreFile(p, _) if !allEncodable => p
+      case StoreFile(p, Some((lo, hi))) if intersects(encoded, lo, hi) => p
     }
+  }
 
-  private def intersects(sorted: Array[Long], lo: Long, hi: Long): Boolean = {
+  private def intersects(sorted: Array[String], lo: String, hi: String): Boolean = {
     // first element >= lo, if any, must be <= hi
     var a = 0
     var b = sorted.length
     while (a < b) {
       val m = (a + b) >>> 1
-      if (sorted(m) < lo) a = m + 1 else b = m
+      if (sorted(m).compareTo(lo) < 0) a = m + 1 else b = m
     }
-    a < sorted.length && sorted(a) <= hi
+    a < sorted.length && sorted(a).compareTo(hi) <= 0
   }
 
   /** Highest batch number recorded in the dir's filenames — compacted
@@ -132,14 +170,17 @@ private[streaming] object GateStore {
           .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
         // per-shard [min,max] of the sort column (one metadata-light pass
         // over the just-written, page-cached stage) + exact row count
-        val ranged: Map[String, (Long, Long)] = sortCol match {
-          case Some(c) if out.schema(c).dataType == LongType =>
+        val ranged: Map[String, (String, String)] = sortCol match {
+          case Some(c) =>
             spark.read.parquet(stage.toString)
               .groupBy(input_file_name().as("f"))
               .agg(min(col(c)).as("lo"), max(col(c)).as("hi"))
               .collect()
-              .map(r => (new java.io.File(new java.net.URI(r.getString(0)).getPath)
-                .getName, (r.getLong(1), r.getLong(2)))).toMap
+              .flatMap { r =>
+                for (lo <- encodeKey(r.get(1)); hi <- encodeKey(r.get(2)))
+                  yield (new java.io.File(new java.net.URI(r.getString(0)).getPath)
+                    .getName, (lo, hi))
+              }.toMap
           case _ => Map.empty
         }
         val total = spark.read.parquet(stage.toString).count()

@@ -142,30 +142,47 @@ final class SimHashNearDupGate private (
     val keyed = rows
       .withColumn("fp", SimHash.simhash64(TextOps.tokens(expr(textSql))))
       .where(col("fp").isNotNull)
-    GateStore.append(
-      keyed.select(explode(SimHash.blockKeys(col("fp"), blocks, maxDist)).as("bucket"),
-        col(orderCol).as("id"), col("fp")),
-      storeDir, "fps", batches, sortCol = Some("bucket"))
-    updateFilters(keyed)
+      .persist()
+    try {
+      GateStore.append(
+        keyed.select(explode(SimHash.blockKeys(col("fp"), blocks, maxDist)).as("bucket"),
+          col(orderCol).as("id"), col("fp")),
+        storeDir, "fps", batches, sortCol = Some("bucket"))
+      updateFilters(collectBuckets(keyed))
+    } finally { keyed.unpersist(); () }
   }
 
-  private def updateFilters(keyed: DataFrame): Unit = {
-    val keyCol = keyed
+  /** Driver-side filter update from the batch's collected bucket keys
+    * (with multiplicity, for the CMS): every stored row's buckets are
+    * exactly this multiset, so the bloom ⊇ store invariant stays exact. */
+  private def updateFilters(buckets: Array[Long]): Unit = {
+    var i = 0
+    val seen = new java.util.HashSet[java.lang.Long]()
+    while (i < buckets.length) {
+      val b = buckets(i)
+      if (seen.add(b)) bloom.add(b)
+      if (bucketCounts != null) bucketCounts.add(b)
+      i += 1
+    }
+  }
+
+  private def collectBuckets(keyed: DataFrame): Array[Long] =
+    keyed.where(col("fp").isNotNull)
       .select(explode(SimHash.blockKeys(col("fp"), blocks, maxDist)).as("bucket"))
-    val updates =
-      if (bucketCounts == null)
-        keyCol.agg(GraftFunctions.bloom_agg(col("bucket"), bloomP, bloomN).as("b"))
-          .collect()(0)
-      else
-        keyCol.agg(GraftFunctions.bloom_agg(col("bucket"), bloomP, bloomN).as("b"),
-          GraftFunctions.freq_agg(col("bucket")).as("c")).collect()(0)
-    bloom.union(BloomFilter.deserialize(updates.getAs[Array[Byte]]("b")))
-    if (bucketCounts != null)
-      bucketCounts.merge(
-        graft.sketch.CountMinSketch.deserialize(updates.getAs[Array[Byte]]("c")))
-  }
+      .collect().map(_.getLong(0))
 
-  private[streaming] def onBatch(batch: DataFrame): Unit = synchronized {
+  // opt-in phase timing on stderr (GRAFT_GATE_TRACE=1) — dev diagnosis only
+  private val trace = sys.env.get("GRAFT_GATE_TRACE").contains("1")
+  @inline private def traced[T](label: String)(f: => T): T =
+    if (!trace) f
+    else {
+      val t0 = System.nanoTime()
+      val out = f
+      System.err.println(f"[gate-trace] $name%s $label%s ${(System.nanoTime() - t0) / 1e3}%.0f us")
+      out
+    }
+
+  private[streaming] def onBatch(batch: DataFrame): Unit = synchronized { traced("onbatch-total") {
     batches += 1
     val s = batch.sparkSession
     val obs = new org.apache.spark.sql.Observation(s"ndgate_${name}_$batches")
@@ -174,33 +191,54 @@ final class SimHashNearDupGate private (
       .withColumn("fp", SimHash.simhash64(TextOps.tokens(expr(textSql))))
       .persist() // fingerprints feed the bucket join, the store append and the sink
     try {
+      // ONE bounded collect of the batch's bucket keys (with multiplicity)
+      // feeds every driver-side decision: the occupancy cap (CMS as of
+      // batch START), the bloom probe (the filter never ships to executors
+      // — regrown it is megabytes), the file-range prune, and the
+      // post-append filter update.
+      val buckets = traced("collect")(collectBuckets(keyed))
+      val distinctBuckets = buckets.distinct
+      val overCap: Array[Long] =
+        if (bucketCounts == null) Array.emptyLongArray
+        else distinctBuckets.filter(b => bucketCounts.estimate(b) > maxBucketSize)
+      val overCapSet = overCap.toSet
       val allKeys = keyed.select(col(orderCol).as("__id"), col("fp"),
         explode(SimHash.blockKeys(col("fp"), blocks, maxDist)).as("bucket"))
       // cap active: only buckets under occupancy (as of batch start) join
       val bkeys =
-        if (bucketCounts == null) allKeys
-        else allKeys.where(GraftFunctions.freq(
-          lit(bucketCounts.serialize()), col("bucket")) <= maxBucketSize)
+        if (overCap.isEmpty) allKeys
+        else allKeys.where(!GateStore.inSetCol(col("bucket"), overCap.toSeq))
       // within-batch: an earlier row suppresses a later one at distance
       // <= maxDist; banding guarantees every such pair shares a bucket key
-      val l = bkeys.select(col("bucket"), col("__id").as("id_l"), col("fp").as("fp_l"))
-      val r = bkeys.select(col("bucket"), col("__id").as("id_r"), col("fp").as("fp_r"))
-      val inBatch = l.join(r, Seq("bucket"))
-        .where(col("id_l") < col("id_r") &&
-          bit_count(col("fp_l").bitwiseXOR(col("fp_r"))) <= maxDist)
-        .select(col("id_r").as("__id"))
+      // — which can only happen in a bucket that occurs at least TWICE in
+      // this batch, and the driver already holds the multiset: the
+      // self-join runs only over those buckets (usually none), so an
+      // all-fresh batch skips the in-batch shuffle entirely
+      val counts = new java.util.HashMap[java.lang.Long, Integer]()
+      buckets.foreach(b => counts.merge(b, 1, (a, x) => a + x))
+      val multiBuckets = distinctBuckets
+        .filter(b => counts.get(b) >= 2 && !overCapSet.contains(b))
+      val inBatch =
+        if (multiBuckets.isEmpty) allKeys.select(col("__id")).limit(0)
+        else {
+          val mkeys = bkeys.where(GateStore.inSetCol(col("bucket"), multiBuckets.toSeq))
+          val l = mkeys.select(col("bucket"), col("__id").as("id_l"), col("fp").as("fp_l"))
+          val r = mkeys.select(col("bucket"), col("__id").as("id_r"), col("fp").as("fp_r"))
+          l.join(r, Seq("bucket"))
+            .where(col("id_l") < col("id_r") &&
+              bit_count(col("fp_l").bitwiseXOR(col("fp_r"))) <= maxDist)
+            .select(col("id_r").as("__id"))
+        }
       val storeF = GateStore.storeFiles(storeDir)
-      // bucket-bloom gate first: a row whose every bucket key misses the
-      // filter has no store candidate (no false negatives). The surviving
-      // keys are collected and pushed into the store read as a file-range
-      // prune + in-set row filter, so the join touches only the batch's
-      // key slices; a pathological batch with more distinct hit keys than
-      // MaxPushdownKeys falls back to the unpruned (still correct) join.
-      val hit = bkeys.where(
-        GraftFunctions.bloom_contains(lit(bloom.serialize()), col("bucket")))
+      // bucket-bloom gate: an under-cap key that misses the driver bloom
+      // has no store candidate (no false negatives); the surviving keys
+      // prune the store read at file level (range-stamped shards) and row
+      // level (in-set), so the join touches only the batch's key slices.
+      // A pathological batch with more hit keys than MaxPushdownKeys falls
+      // back to the unpruned (still correct, cap-respecting) join.
       val hitKeys: Array[Long] =
         if (storeF.isEmpty) Array.emptyLongArray
-        else hit.select("bucket").collect().map(_.getLong(0)).distinct.sorted
+        else distinctBuckets.filter(b => !overCapSet.contains(b) && bloom.contains(b))
       val pushdown = hitKeys.length <= GateStore.MaxPushdownKeys
       val storePaths =
         if (hitKeys.isEmpty) Array.empty[String]
@@ -209,18 +247,19 @@ final class SimHashNearDupGate private (
       val fromStore =
         if (storePaths.isEmpty) inBatch.limit(0)
         else {
+          val hit =
+            if (pushdown) bkeys.where(GateStore.inSetCol(col("bucket"), hitKeys.toSeq))
+            else bkeys
           val store0 =
             if (pushdown)
               s.read.parquet(storePaths: _*)
-                .where(col("bucket").isInCollection(hitKeys))
+                .where(GateStore.inSetCol(col("bucket"), hitKeys.toSeq))
             else {
               // symmetric cap exclusion still needed on the fallback path
-              // (the in-set filter above implies it: hitKeys derive from
-              // the cap-filtered bkeys)
+              // (the in-set filter implies it: hitKeys exclude overCap)
               val all = s.read.parquet(storePaths: _*)
-              if (bucketCounts == null) all
-              else all.where(GraftFunctions.freq(
-                lit(bucketCounts.serialize()), col("bucket")) <= maxBucketSize)
+              if (overCap.isEmpty) all
+              else all.where(!GateStore.inSetCol(col("bucket"), overCap.toSeq))
             }
           val store = store0
             .select(col("bucket"), col("id").as("id_s"), col("fp").as("fp_s"))
@@ -232,28 +271,27 @@ final class SimHashNearDupGate private (
         .withColumnRenamed("__id", orderCol)
       val survivors = keyed.join(suppressedIds, Seq(orderCol), "left_anti").persist()
       try {
-        val n = survivors.count()
+        val n = traced("suppress+count")(survivors.count())
         admitted += n
         suppressed += obs.get("rows").asInstanceOf[Long] - n
         // sink BEFORE store append (at-least-once under failure-retry, see
         // StreamDedupGate's delivery contract): a batch that fails mid-gate
         // can be retried without its own fingerprints suppressing it
-        if (n > 0) eng.insertInto(sink, survivors)
+        if (n > 0) traced("sink")(eng.insertInto(sink, survivors))
         // append EVERY row's fingerprint exploded by bucket key
         // (seen-semantics: suppressed docs still suppress later arrivals;
         // null fingerprints can't pair and are not stored), then the
-        // bucket-key bloom/CMS update
-        val stored = keyed.where(col("fp").isNotNull)
-        GateStore.append(
-          stored.select(
+        // driver-side bloom/CMS update from the already-collected keys
+        traced("append")(GateStore.append(
+          keyed.where(col("fp").isNotNull).select(
             explode(SimHash.blockKeys(col("fp"), blocks, maxDist)).as("bucket"),
             col(orderCol).as("id"), col("fp")),
-          storeDir, "fps", batches, sortCol = Some("bucket"))
-        updateFilters(stored)
+          storeDir, "fps", batches, sortCol = Some("bucket")))
+        traced("filters")(updateFilters(buckets))
       } finally survivors.unpersist()
     } finally keyed.unpersist()
     if (compactEvery > 0 && batches % compactEvery == 0) compact()
-  }
+  } }
 }
 
 object SimHashNearDupGate {

@@ -38,20 +38,23 @@ import graft.sketch.BloomFilter
   *    existing state, so per-batch write cost is O(new keys), never
   *    O(corpus). Auto-compaction (`compactEvery`) folds the per-batch
   *    files so listing/footer overhead stays bounded indefinitely.
-  *  - A driver-resident Bloom filter (graft.sketch.BloomFilter, the same
-  *    state the engine's `bloom_agg` materializes) gates the expensive
-  *    path: rows whose key misses the filter are DEFINITELY new (no false
-  *    negatives) and skip the store entirely; only Bloom-positive rows
-  *    anti-join the store. A batch of genuinely fresh content therefore
-  *    costs two map-side jobs and zero store reads; the full key scan is
-  *    paid only when candidate duplicates exist. The per-batch filter
-  *    update is a distributed `bloom_agg` over survivor keys (one small
-  *    job), OR-merged into the driver copy — keys are never collected.
-  *  - The anti-join itself is an equi-join on the key column; the store
-  *    side scans a single 32-char column regardless of document width. At
-  *    tens of billions of keys, shard the Bloom filter by key prefix and
-  *    sort-compact the store so the join prunes by file footer — the
-  *    append-only layout above is the one both evolutions start from.
+  *  - A driver-resident Bloom filter gates the expensive path, and it
+  *    STAYS driver-resident: the batch's distinct keys are collected once
+  *    (bounded by batch size — megabytes at worst) and probed on the
+  *    driver, because shipping a corpus-sized filter (megabytes once
+  *    regrown) into every executor task as a literal costs more than the
+  *    scan it saves. Keys whose probe misses are DEFINITELY new (no false
+  *    negatives) and skip the store entirely; a batch of genuinely fresh
+  *    content costs zero store reads. The per-batch filter update is a
+  *    driver-side add of the same collected keys — every non-null batch
+  *    key ends up stored-or-already-stored, so the bloom ⊇ store
+  *    invariant is exact.
+  *  - Bloom-positive candidates prune the store read twice: at FILE level
+  *    against the range-stamped compaction shards (GateStore.pruned) and
+  *    at ROW level via an in-set filter, so the anti-join's store side is
+  *    bounded by the batch's candidate keys, not the corpus. The filter
+  *    regrows at compaction (exact store count known there), so the fast
+  *    path survives unbounded streams.
   *
   * Concurrency: `onBatch` is serialized on the gate — the engine's sync and
   * async ingest paths already order batches, and the gate's first-wins
@@ -141,9 +144,7 @@ final class StreamDedupGate private (
     val keys = rows.withColumn("h", expr(keySql)).where(col("h").isNotNull)
       .select("h")
     GateStore.append(keys, storeDir, "keys", batches, sortCol = Some("h"))
-    bloom.union(BloomFilter.deserialize(
-      keys.agg(GraftFunctions.bloom_agg(col("h"), bloomP, bloomN).as("b"))
-        .collect()(0).getAs[Array[Byte]]("b")))
+    keys.collect().foreach(r => bloom.add(r.get(0)))
   }
 
   private[streaming] def onBatch(batch: DataFrame): Unit = synchronized {
@@ -163,21 +164,39 @@ final class StreamDedupGate private (
     // null keys can't deduplicate: pass them through, never store them
     val nullKeyed = keyed.where(col("h").isNull)
     val nonNull = keyed.where(col("h").isNotNull)
-    // within-batch first-wins: one shuffle on the key, heap-free row_number
-    val w = Window.partitionBy("h").orderBy(col(orderCol))
-    val firsts = nonNull.withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1).drop("__rn")
-    val files = GateStore.files(storeDir)
-    val survivors0 =
-      if (files.isEmpty) firsts
+    val storeF = GateStore.storeFiles(storeDir)
+    // ONE bounded collect of the batch's keys feeds everything driver-side:
+    // the bloom probe (the filter NEVER ships to executors — regrown it is
+    // megabytes, and a literal filter state rides every task), the
+    // file-range prune, the post-append filter update, and the
+    // within-batch duplicate check below.
+    val rawKeys: Array[Any] = nonNull.select("h").collect().map(_.get(0))
+    val batchKeys: Array[Any] = rawKeys.distinct
+    // within-batch first-wins: one shuffle on the key, heap-free
+    // row_number — skipped entirely when the driver already knows the
+    // batch carries no repeated key (the common fresh-content case)
+    val firsts =
+      if (rawKeys.length == batchKeys.length) nonNull
       else {
-        // Bloom gate: misses are definitely-new and bypass the store scan;
-        // only possible repeats (true dups + ~p false positives) pay the
-        // anti-join against the key column
-        val mayRepeat = GraftFunctions.bloom_contains(lit(bloom.serialize()), col("h"))
+        val w = Window.partitionBy("h").orderBy(col(orderCol))
+        nonNull.withColumn("__rn", row_number().over(w))
+          .where(col("__rn") === 1).drop("__rn")
+      }
+    // Bloom gate: misses are definitely-new and bypass the store scan; only
+    // possible repeats (true dups + ~p false positives) pay the anti-join
+    val cand = batchKeys.filter(bloom.contains)
+    val survivors0 =
+      if (storeF.isEmpty || cand.isEmpty) firsts
+      else {
+        val candSeq = cand.toSeq
+        val mayRepeat = GateStore.inSetCol(col("h"), candSeq)
         val fresh = firsts.where(!mayRepeat)
         val candidates = firsts.where(mayRepeat)
-        val seen = s.read.parquet(files: _*)
+        // the store read prunes to the candidates' file ranges, then
+        // row-filters to the candidate set — the anti-join's store side is
+        // bounded by the BATCH's candidates, not the corpus
+        val seen = s.read.parquet(GateStore.pruned(storeF, cand): _*)
+          .where(GateStore.inSetCol(col("h"), candSeq))
         fresh.unionByName(candidates.join(seen, Seq("h"), "left_anti"))
       }
     // one materialization feeds the sink forward, the store append and the
@@ -193,11 +212,10 @@ final class StreamDedupGate private (
         val newKeys = survivors.where(col("h").isNotNull)
         GateStore.append(newKeys.select("h"), storeDir, "keys", batches,
           sortCol = Some("h"))
-        val update = newKeys.agg(
-          GraftFunctions.bloom_agg(col("h"), bloomP, bloomN).as("b"))
-          .collect()(0).getAs[Array[Byte]]("b")
-        bloom.union(BloomFilter.deserialize(update))
       }
+      // every non-null batch key is now stored-or-already-stored, so adding
+      // them all preserves the bloom ⊇ store invariant exactly
+      batchKeys.foreach(bloom.add)
     } finally { survivors.unpersist(); keyed.unpersist(); () }
     if (compactEvery > 0 && batches % compactEvery == 0) compact()
   }

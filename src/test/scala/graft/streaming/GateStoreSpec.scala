@@ -24,14 +24,15 @@ class GateStoreSpec extends AnyFunSuite {
   }
 
   test("pruned keeps un-ranged files and only intersecting ranged shards") {
+    def enc(v: Long): String = GateStore.encodeKey(v).get
     val fs = Array(
       StoreFile("append1", None),
-      StoreFile("s0", Some((0L, 9L))),
-      StoreFile("s1", Some((10L, 19L))),
-      StoreFile("s2", Some((20L, 29L))),
-      StoreFile("neg", Some((-50L, -40L))))
+      StoreFile("s0", Some((enc(0L), enc(9L)))),
+      StoreFile("s1", Some((enc(10L), enc(19L)))),
+      StoreFile("s2", Some((enc(20L), enc(29L)))),
+      StoreFile("neg", Some((enc(-50L), enc(-40L)))))
     def p(keys: Long*): Set[String] =
-      GateStore.pruned(fs, keys.toArray.sorted).toSet
+      GateStore.pruned(fs, keys.toArray).toSet
     assert(p(5L) === Set("append1", "s0"))
     assert(p(10L, 29L) === Set("append1", "s1", "s2"))
     assert(p(-45L) === Set("append1", "neg"))
@@ -39,6 +40,14 @@ class GateStoreSpec extends AnyFunSuite {
     assert(p(9L, 10L) === Set("append1", "s0", "s1"), "boundary keys on both sides")
     assert(p(-39L, 30L) === Set("append1"), "keys in the gaps match nothing")
     assert(GateStore.pruned(Array.empty[StoreFile], Array(1L)).isEmpty)
+    // string keys (the exact gate's md5 hex) prune lexicographically
+    val sf = Array(
+      StoreFile("h0", Some(("0a", "7f"))), StoreFile("h1", Some(("80", "ff"))))
+    assert(GateStore.pruned(sf, Array[String]("9c")).toSet === Set("h1"))
+    // an unencodable key (not filename-safe) disables pruning, never reads
+    assert(GateStore.pruned(sf, Array[String]("9c", "a_b")).toSet === Set("h0", "h1"))
+    // encodeKey preserves Long order through the sign flip
+    assert(enc(-1L) < enc(0L) && enc(0L) < enc(1L) && enc(Long.MinValue) < enc(Long.MaxValue))
   }
 
   test("compaction writes range-stamped sorted shards; reads prune to them") {
@@ -60,9 +69,11 @@ class GateStoreSpec extends AnyFunSuite {
       "every compacted shard is range-stamped")
     // the stamped ranges tile the key space disjointly and cover all keys
     val ranges = sf.flatMap(_.range).sortBy(_._1)
-    assert(ranges.head._1 === 1L && ranges.last._2 === 300L)
+    assert(ranges.head._1 === GateStore.encodeKey(1L).get &&
+      ranges.last._2 === GateStore.encodeKey(300L).get)
     ranges.sliding(2).foreach {
-      case Array((_, hi), (lo, _)) => assert(hi < lo, "shard ranges must not overlap")
+      case Array((_, hi), (lo, _)) =>
+        assert(hi < lo, "shard ranges must not overlap")
       case _ =>
     }
     // a point read prunes to exactly one shard, and its content is intact
