@@ -55,6 +55,9 @@ object GateProbes {
       case "simhash" => graft.streaming.SimHashNearDupGate.create(eng, "gs_gate",
         "SELECT id, body FROM gs_in", textSql = "body", orderCol = "id",
         sink = "gs_out", storeRoot = root)
+      case "jaccard" => graft.streaming.JaccardNearDupGate.create(eng, "gs_gate",
+        "SELECT id, body FROM gs_in", textSql = "body", orderCol = "id",
+        sink = "gs_out", storeRoot = root, threshold = 0.8)
       case _ => graft.streaming.CosineNearDupGate.create(eng, "gs_gate",
         "SELECT id, embedding FROM gs_in", embSql = "embedding",
         orderCol = "id", sink = "gs_out", storeRoot = root,
@@ -72,6 +75,7 @@ object GateProbes {
           case g: graft.streaming.StreamDedupGate => g.seedStore(rows)
           case g: graft.streaming.SimHashNearDupGate => g.seedStore(rows)
           case g: graft.streaming.CosineNearDupGate => g.seedStore(rows)
+          case g: graft.streaming.JaccardNearDupGate => g.seedStore(rows)
         }
         off += m
       }
@@ -81,6 +85,7 @@ object GateProbes {
         case g: graft.streaming.StreamDedupGate => g.compact()
         case g: graft.streaming.SimHashNearDupGate => g.compact()
         case g: graft.streaming.CosineNearDupGate => g.compact()
+        case g: graft.streaming.JaccardNearDupGate => g.compact()
       }
     }
     var nextId = 1L << 40 // batch ids above any seed id
@@ -128,7 +133,8 @@ object ProfileGateScale {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val kinds = args.headOption.map(Seq(_)).getOrElse(Seq("exact", "simhash", "cosine"))
+    val kinds = args.headOption.map(Seq(_))
+      .getOrElse(Seq("exact", "simhash", "jaccard", "cosine"))
     val batchRows = args.lift(1).map(_.toInt)
     val scales = args.lift(2).map(_.split(",").toSeq.map(_.toLong))
       .getOrElse(Seq(10L, 100L))
@@ -136,6 +142,7 @@ object ProfileGateScale {
       val rows = batchRows.getOrElse(kind match {
         case "exact" => 20000
         case "simhash" => 5000
+        case "jaccard" => 4000
         case _ => 2000
       })
       val t0 = System.nanoTime()

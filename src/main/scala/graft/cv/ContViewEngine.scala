@@ -1018,6 +1018,8 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
       s"""(?i)neardup_gate\\s*\\(\\s*$arg\\s*,\\s*$arg\\s*(?:,\\s*(\\d+)\\s*(?:,\\s*(\\d+)\\s*)?)?\\)""".r
     val cosineRe =
       s"""(?i)cosine_gate\\s*\\(\\s*$arg\\s*,\\s*$arg\\s*,\\s*([0-9.]+)\\s*,\\s*(\\d+)\\s*(?:,\\s*(\\d+)\\s*)?\\)""".r
+    val jaccardRe =
+      s"""(?i)jaccard_gate\\s*\\(\\s*$arg\\s*,\\s*$arg\\s*,\\s*([0-9.]+)\\s*(?:,\\s*(\\d+)\\s*)?\\)""".r
     // the gate's own createContTransform call must not write a second
     // catalog row — only the kind=gate entry replays (a plain transform
     // entry would re-create the transform WITHOUT its callback)
@@ -1038,10 +1040,16 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
             unq(embSql), unq(orderCol), sink, storeRoot = root,
             threshold = threshold.toDouble, dim = dim.toInt,
             maxBucketSize = Option(cap).map(_.toInt).getOrElse(Int.MaxValue))
+        case jaccardRe(textSql, orderCol, threshold, cap) =>
+          graft.streaming.JaccardNearDupGate.create(this, name, selectSql,
+            unq(textSql), unq(orderCol), sink, storeRoot = root,
+            threshold = threshold.toDouble,
+            maxBucketSize = Option(cap).map(_.toInt).getOrElse(Int.MaxValue))
         case other => throw new IllegalArgumentException(
           s"unparseable gate outputfunc '$other' (expected dedup_gate('<key>','<order>'), " +
-            "neardup_gate('<text>','<order>'[,maxDist[,maxBucketSize]]) or " +
-            "cosine_gate('<emb>','<order>',<threshold>,<dim>[,maxBucketSize]); " +
+            "neardup_gate('<text>','<order>'[,maxDist[,maxBucketSize]]), " +
+            "cosine_gate('<emb>','<order>',<threshold>,<dim>[,maxBucketSize]) or " +
+            "jaccard_gate('<text>','<order>',<threshold>[,maxBucketSize]); " +
             "escape a literal quote inside a string argument by doubling it: '')")
       } finally suppressCatalog = prevSuppress
     gates(name) = gate

@@ -18,10 +18,42 @@ import graft.queries.SimilarityQueries.cosine
   */
 object AnnSearch {
 
-  /** Deterministic unit-free hyperplanes: dim values per (table, bit). */
-  private def planes(dim: Int, numTables: Int, bitsPerTable: Int, seed: Long): Array[Array[Array[Double]]] = {
-    val rng = new scala.util.Random(seed)
-    Array.fill(numTables, bitsPerTable)(Array.fill(dim)(rng.nextGaussian()))
+  /** Deterministic unit-free hyperplanes: dim values per (table, bit).
+    * Cached — the streaming gate derives keys per batch on the driver and
+    * must not re-draw the matrices each time. */
+  private val planeCache = new java.util.concurrent.ConcurrentHashMap[
+    (Int, Int, Int, Long), Array[Array[Array[Double]]]]()
+  private def planes(dim: Int, numTables: Int, bitsPerTable: Int, seed: Long): Array[Array[Array[Double]]] =
+    planeCache.computeIfAbsent((dim, numTables, bitsPerTable, seed), _ => {
+      val rng = new scala.util.Random(seed)
+      Array.fill(numTables, bitsPerTable)(Array.fill(dim)(rng.nextGaussian()))
+    })
+
+  /** The packed (table, bucket) SRP keys of one vector, evaluated directly
+    * — same math as [[srpBucketKeys]], one implementation of the sign-bit
+    * loop shared with the expression via identical plane draws. */
+  def srpBucketKeysOf(v: Array[Double], dim: Int, numTables: Int,
+      bitsPerTable: Int, seed: Long): Array[Long] = {
+    val ps = planes(dim, numTables, bitsPerTable, seed)
+    val out = new Array[Long](ps.length)
+    var t = 0
+    while (t < ps.length) {
+      val tp = ps(t)
+      var bucket = 0L
+      var b = 0
+      while (b < tp.length) {
+        val plane = tp(b)
+        var dot = 0.0
+        var i = 0
+        val n = math.min(v.length, plane.length)
+        while (i < n) { dot += v(i) * plane(i); i += 1 }
+        if (dot >= 0) bucket |= (1L << b)
+        b += 1
+      }
+      out(t) = t.toLong * (1L << bitsPerTable) + bucket
+      t += 1
+    }
+    out
   }
 
   /** lsh_buckets(vec) → array<long>: one packed sign-bit bucket per table,

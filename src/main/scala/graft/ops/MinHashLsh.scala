@@ -101,24 +101,31 @@ object MinHashLsh {
       extends UnaryExpression with CodegenFallback {
     override def prettyName: String = "minhash_buckets"
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
-    override def nullSafeEval(v: Any): Any = {
-      val sig = v.asInstanceOf[ArrayData]
-      val out = new Array[Any](numBands)
-      var b = 0
-      while (b < numBands) {
-        var h = b.toLong * 0x9E3779B97F4A7C15L
-        var j = 0
-        while (j < rowsPerBand) {
-          h = java.lang.Long.rotateLeft(h ^ Hashing.fmix64(sig.getLong(b * rowsPerBand + j)), 27) *
-            0x100000001B3L
-          j += 1
-        }
-        out(b) = Hashing.fmix64(h)
-        b += 1
-      }
-      new GenericArrayData(out)
-    }
+    override def nullSafeEval(v: Any): Any =
+      new GenericArrayData(bandKeysOf(
+        v.asInstanceOf[ArrayData].toLongArray(), numBands, rowsPerBand)
+        .map(_.asInstanceOf[Any]))
     override protected def withNewChildInternal(c: Expression): MinHashBuckets = copy(child = c)
+  }
+
+  /** The banded bucket keys of one signature, evaluated directly (the
+    * streaming gate derives a batch's keys on the driver from collected
+    * signatures — same math as the expression, one implementation). */
+  def bandKeysOf(sig: Array[Long], numBands: Int, rowsPerBand: Int): Array[Long] = {
+    val out = new Array[Long](numBands)
+    var b = 0
+    while (b < numBands) {
+      var h = b.toLong * 0x9E3779B97F4A7C15L
+      var j = 0
+      while (j < rowsPerBand) {
+        h = java.lang.Long.rotateLeft(h ^ Hashing.fmix64(sig(b * rowsPerBand + j)), 27) *
+          0x100000001B3L
+        j += 1
+      }
+      out(b) = Hashing.fmix64(h)
+      b += 1
+    }
+    out
   }
 
   /** Candidate pairs (idA < idB) via banded LSH over `df(idCol, textCol)`,

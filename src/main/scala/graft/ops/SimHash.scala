@@ -65,33 +65,44 @@ object SimHash {
       extends UnaryExpression with CodegenFallback {
     override def prettyName: String = "simhash_block_keys"
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
-    private val keep = blocks - maxDist // blocks per key
-    // block i covers bits [i*64/blocks, (i+1)*64/blocks)
-    private val starts = (0 to blocks).map(i => i * 64 / blocks)
-    private val combos: Array[Array[Int]] =
-      (0 until blocks).combinations(keep).map(_.toArray).toArray
-    override def nullSafeEval(v: Any): Any = {
-      val fp = v.asInstanceOf[Long]
-      val out = new Array[Any](combos.length)
-      var c = 0
-      while (c < combos.length) {
-        val combo = combos(c)
-        var bits = 0L
-        var j = 0
-        while (j < combo.length) {
-          val b = combo(j)
-          val width = starts(b + 1) - starts(b)
-          bits = (bits << width) | ((fp >>> starts(b)) & ((1L << width) - 1L))
-          j += 1
-        }
-        out(c) = (c.toLong << 58) | bits
-        c += 1
-      }
-      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
-    }
+    override def nullSafeEval(v: Any): Any =
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        blockKeysOf(v.asInstanceOf[Long], blocks, maxDist)
+          .map(_.asInstanceOf[Any]))
     override protected def withNewChildInternal(c: Expression): SimHashBlockKeys =
       copy(child = c)
   }
+
+  /** The block-permutation bucket keys of one fingerprint, evaluated
+    * directly (the streaming gate derives a batch's keys on the driver
+    * from collected fingerprints — same math as the expression, one
+    * implementation). */
+  def blockKeysOf(fp: Long, blocks: Int, maxDist: Int): Array[Long] = {
+    val keep = blocks - maxDist // blocks per key
+    // block i covers bits [i*64/blocks, (i+1)*64/blocks)
+    val starts = (0 to blocks).map(i => i * 64 / blocks)
+    val combos = comboCache.computeIfAbsent((blocks, keep),
+      _ => (0 until blocks).combinations(keep).map(_.toArray).toArray)
+    val out = new Array[Long](combos.length)
+    var c = 0
+    while (c < combos.length) {
+      val combo = combos(c)
+      var bits = 0L
+      var j = 0
+      while (j < combo.length) {
+        val b = combo(j)
+        val width = starts(b + 1) - starts(b)
+        bits = (bits << width) | ((fp >>> starts(b)) & ((1L << width) - 1L))
+        j += 1
+      }
+      out(c) = (c.toLong << 58) | bits
+      c += 1
+    }
+    out
+  }
+
+  private val comboCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Int]]]()
 
   /** Banded bucket keys of a fingerprint column under the block-permutation
     * scheme — the [[SimHashBlockKeys]] expression as a composable Column

@@ -402,6 +402,9 @@ object CvQueries {
       val ndCorpus = docs.unionByName(
         docs.where(pmod(col("doc_id"), lit(2)) === 0)
           .select((col("doc_id") + 1000000L).as("doc_id"), col("text"), col("lang")))
+      val mhCorpus = docs.unionByName(
+        docs.where(pmod(col("doc_id"), lit(3)) === 0)
+          .select((col("doc_id") + 3000000L).as("doc_id"), col("text"), col("lang")))
       val emb = Tables.embeddings(s, dir).select("vec_id", "embedding", "label")
       val cosCorpus = emb.unionByName(
         emb.where(pmod(col("vec_id"), lit(5)) === 0)
@@ -458,6 +461,21 @@ object CvQueries {
         storeRoot = root, threshold = 0.99, dim = 64)
       eng.createContView("v_cg_clean", "SELECT vec_id, label FROM cg_clean",
         emitChanges = false)
+      // fourth sibling: the MinHash/Jaccard gate, declared through DDL so
+      // the jaccard_gate spelling (incl. catalog replay at the mid-feed
+      // restart) is oracle-gated. Exact copies of every 3rd doc seeded at
+      // +3000000 have IDENTICAL signatures (estimate 1.0 ≥ 0.9, banding
+      // collision certain), so every copy must be suppressed; which
+      // natural docs also get suppressed depends on signature hashing
+      // DuckDB can't recompute — spec-verified instead, same split as
+      // q_neardup_stream.
+      eng.createStream("mh_in", corpus.schema)
+      eng.createStream("mh_clean", corpus.schema)
+      eng.sql("""CREATE VIEW mh_gate WITH (action = transform, sink = 'mh_clean',
+                |  outputfunc = jaccard_gate('text', 'doc_id', 0.9)) AS
+                |SELECT doc_id, text, lang FROM mh_in""".stripMargin)
+      eng.createContView("v_mh_clean", "SELECT doc_id, lang FROM mh_clean",
+        emitChanges = false)
       eng
       }
       def feed(eng: ContViewEngine, lo: Long, hi: Long): Unit = {
@@ -467,6 +485,8 @@ object CvQueries {
           ndCorpus.where(col("doc_id") >= lo && col("doc_id") < hi))
         eng.insertInto("cg_in",
           cosCorpus.where(col("vec_id") >= lo && col("vec_id") < hi))
+        eng.insertInto("mh_in",
+          mhCorpus.where(col("doc_id") >= lo && col("doc_id") < hi))
       }
       val eng1 = setup(new ContViewEngine(s, root))
       feed(eng1, Long.MinValue, 200L)
@@ -1016,5 +1036,27 @@ object CvQueries {
         |ORDER BY c.vec_id""".stripMargin) {
       (s, dir) =>
         dedupGateFor(s, dir).overlay("v_cg_clean").orderBy("vec_id")
+    },
+
+    // Streaming MinHash/Jaccard near-dup gate (JaccardNearDupGate,
+    // beyond-ref, DDL-declared through jaccard_gate(...) incl. the
+    // mid-feed restart): the oracle-comparable slice is the SUPPRESSED
+    // seeded-copy set — every +3000000 exact copy has an identical
+    // signature (estimate 1.0), so all of them must be gated out; natural
+    // near-pair suppression depends on signature hashing DuckDB can't
+    // recompute and is pinned by JaccardNearDupGateSpec brute force.
+    QDef(
+      "q_jaccard_stream",
+      """SELECT doc_id + 3000000 AS doc_id, lang
+        |FROM documents WHERE doc_id % 3 = 0
+        |ORDER BY doc_id""".stripMargin) {
+      (s, dir) =>
+        val admitted = dedupGateFor(s, dir).overlay("v_mh_clean")
+        val docs = Tables.documents(s, dir)
+        docs.where(pmod(col("doc_id"), lit(3)) === 0)
+          .select((col("doc_id") + 3000000L).as("doc_id"), col("lang"))
+          .join(admitted.select(col("doc_id").as("a_id")),
+            col("doc_id") === col("a_id"), "left_anti")
+          .orderBy("doc_id")
     })
 }

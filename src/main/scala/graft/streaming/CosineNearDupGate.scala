@@ -123,9 +123,15 @@ final class CosineNearDupGate private (
   private def appendStores(keyed: DataFrame): Unit = {
     // embeddings first, index second: a crash in between leaves vectors
     // with no index entry, which the batch's retry re-appends (duplicates
-    // are tolerated by the DISTINCTs downstream of every store read)
+    // are tolerated by the DISTINCTs downstream of every store read).
+    // Stored at FLOAT precision — 4·dim bytes a row, the class contract —
+    // and cast back to double for the exact-cosine verification; the
+    // suppression threshold has float-scale slack by construction (a pair
+    // at cosine within 1e-6 of the threshold is not a semantics the LSH
+    // candidate stage resolves either way).
     GateStore.append(
-      keyed.select(col(orderCol).as("id"), col("__v").as("v")),
+      keyed.select(col(orderCol).as("id"),
+        col("__v").cast("array<float>").as("v")),
       embDir, "embs", batches, sortCol = Some("id"))
     GateStore.append(
       keyed.select(explode(keysOf(col("__v"))).as("bucket"),
@@ -152,6 +158,19 @@ final class CosineNearDupGate private (
       .select(explode(keysOf(col("__v"))).as("bucket"))
       .collect().map(_.getLong(0))
 
+  // driver-side exact-cosine, matching VectorExpressions.CosineSim:
+  // length mismatch -> no pair (the expression returns null), zero norm
+  // -> NaN -> comparison false
+  private def cosOf(a: Array[Double], b: Array[Double]): Double = {
+    if (a.length != b.length) return Double.NaN
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
   private[streaming] def onBatch(batch: DataFrame): Unit = synchronized {
     batches += 1
     val s = batch.sparkSession
@@ -161,105 +180,160 @@ final class CosineNearDupGate private (
       .withColumn("__v", expr(embSql).cast("array<double>"))
       .persist()
     try {
-      // one bounded collect of the batch's bucket keys feeds the cap, the
-      // bloom probe and the filter update — all driver-side (see
-      // SimHashNearDupGate for the rationale)
-      val buckets = collectBuckets(keyed)
-      val distinctBuckets = buckets.distinct
-      val overCap: Array[Long] =
-        if (bucketCounts == null) Array.emptyLongArray
-        else distinctBuckets.filter(b => bucketCounts.estimate(b) > maxBucketSize)
-      val overCapSet = overCap.toSet
-      val allKeys = keyed.select(col(orderCol).as("__id"), col("__v"),
-        explode(keysOf(col("__v"))).as("bucket"))
-      val bkeys =
-        if (overCap.isEmpty) allKeys
-        else allKeys.where(!GateStore.inSetCol(col("bucket"), overCap.toSeq))
-      // an in-batch pair needs a bucket occurring at least TWICE in this
-      // batch; the driver holds the multiset, so the self-join runs only
-      // over those buckets (an all-fresh batch skips the shuffle entirely)
-      val counts = new java.util.HashMap[java.lang.Long, Integer]()
-      buckets.foreach(b => counts.merge(b, 1, (a, x) => a + x))
-      val multiBuckets = distinctBuckets
-        .filter(b => counts.get(b) >= 2 && !overCapSet.contains(b))
-      val inBatch =
-        if (multiBuckets.isEmpty) allKeys.select(col("__id")).limit(0)
-        else {
-          val mkeys = bkeys.where(GateStore.inSetCol(col("bucket"), multiBuckets.toSeq))
-          val l = mkeys.select(col("bucket"), col("__id").as("id_l"), col("__v").as("v_l"))
-          val r = mkeys.select(col("bucket"), col("__id").as("id_r"), col("__v").as("v_r"))
-          l.join(r, Seq("bucket"))
-            .where(col("id_l") < col("id_r") &&
-              VectorExpressions.cosineSim(col("v_l"), col("v_r")) >= threshold)
-            .select(col("id_r").as("__id"))
+      // ONE bounded collect — (orderCol, vector) — and the suppression
+      // decision runs on the driver: SRP keys derived with the same plane
+      // draws as the stored index (AnnSearch.srpBucketKeysOf), the
+      // occupancy cap reads the CMS as of batch START, the bloom is probed
+      // in place, within-batch pairing is a hash-group + exact cosine over
+      // the batch. Only the store-candidate work touches executors — a
+      // file-range-pruned index read and a candidate-id-pruned vector
+      // fetch, both collected and verified on the driver when their slices
+      // are small, or joined distributed when not.
+      val rows: Array[(Any, Array[Double])] =
+        keyed.where(col("__v").isNotNull).select(col(orderCol), col("__v"))
+          .collect().map(r => (r.get(0), r.getSeq[Double](1).toArray))
+      val rowKeys: Array[Array[Long]] = rows.map(r =>
+        graft.ops.AnnSearch.srpBucketKeysOf(r._2, dim, numTables, bitsPerTable, seed))
+      val overCapSet: java.util.HashSet[java.lang.Long] = {
+        val set = new java.util.HashSet[java.lang.Long]()
+        if (bucketCounts != null) {
+          val seen = new java.util.HashSet[java.lang.Long]()
+          rowKeys.foreach(_.foreach { b =>
+            if (seen.add(b) && bucketCounts.estimate(b) > maxBucketSize) set.add(b)
+          })
         }
+        set
+      }
+      // within-batch: group rows by under-cap bucket, exact-cosine within
+      val suppressedSet = new java.util.HashSet[Any]()
+      locally {
+        val byBucket = new java.util.HashMap[java.lang.Long, java.util.ArrayList[Integer]]()
+        var i = 0
+        while (i < rows.length) {
+          rowKeys(i).foreach { b =>
+            if (!overCapSet.contains(b))
+              byBucket.computeIfAbsent(b, _ => new java.util.ArrayList[Integer]()).add(i)
+          }
+          i += 1
+        }
+        byBucket.forEach { (_, list) =>
+          if (list.size >= 2) {
+            var a = 0
+            while (a < list.size) {
+              var b = a + 1
+              while (b < list.size) {
+                val (ia, ib) = (list.get(a), list.get(b))
+                if (cosOf(rows(ia)._2, rows(ib)._2) >= threshold) {
+                  if (GateStore.lt(rows(ia)._1, rows(ib)._1)) suppressedSet.add(rows(ib)._1)
+                  else if (GateStore.lt(rows(ib)._1, rows(ia)._1)) suppressedSet.add(rows(ia)._1)
+                }
+                b += 1
+              }
+              a += 1
+            }
+          }
+        }
+      }
       val idxF = GateStore.storeFiles(idxDir)
       val embF = GateStore.storeFiles(embDir)
-      val hitKeys: Array[Long] =
-        if (idxF.isEmpty) Array.emptyLongArray
-        else distinctBuckets.filter(b => !overCapSet.contains(b) && bloom.contains(b))
+      // candidate rows: (bucket -> batch row indices) for bloom-positive
+      // under-cap buckets
+      val candByBucket =
+        new java.util.HashMap[java.lang.Long, java.util.ArrayList[Integer]]()
+      if (idxF.nonEmpty && embF.nonEmpty) {
+        var i = 0
+        while (i < rows.length) {
+          rowKeys(i).foreach { b =>
+            if (!overCapSet.contains(b) && bloom.contains(b))
+              candByBucket.computeIfAbsent(b, _ => new java.util.ArrayList[Integer]()).add(i)
+          }
+          i += 1
+        }
+      }
+      val hitKeys: Array[Long] = {
+        val arr = new Array[Long](candByBucket.size)
+        val it = candByBucket.keySet().iterator(); var k = 0
+        while (it.hasNext) { arr(k) = it.next(); k += 1 }
+        arr
+      }
       val keyPush = hitKeys.length <= GateStore.MaxPushdownKeys
       val idxPaths =
-        if (hitKeys.isEmpty || embF.isEmpty) Array.empty[String]
+        if (hitKeys.isEmpty) Array.empty[String]
         else if (keyPush) GateStore.pruned(idxF, hitKeys)
         else idxF.map(_.path)
-      val fromStore =
-        if (idxPaths.isEmpty) inBatch.limit(0)
-        else {
-          val hit =
-            if (keyPush) bkeys.where(GateStore.inSetCol(col("bucket"), hitKeys.toSeq))
-            else bkeys
-          // phase 1: candidate ids from the pruned (bucket, id) index —
-          // the embedding bytes stay unread
-          val idx0 =
+      if (idxPaths.nonEmpty) {
+        // phase 1: candidate (batch row, store id) pairs from the pruned
+        // index — the vector bytes stay unread
+        val idxRows: Array[(Long, Any)] = {
+          val filtered =
             if (keyPush)
               s.read.parquet(idxPaths: _*)
                 .where(GateStore.inSetCol(col("bucket"), hitKeys.toSeq))
             else {
               val all = s.read.parquet(idxPaths: _*)
-              if (overCap.isEmpty) all
-              else all.where(!GateStore.inSetCol(col("bucket"), overCap.toSeq))
+              if (overCapSet.isEmpty) all
+              else {
+                val oc = overCapSet.toArray.toSeq.asInstanceOf[Seq[Any]]
+                all.where(!GateStore.inSetCol(col("bucket"), oc))
+              }
             }
-          val idx = idx0.select(col("bucket"), col("id").as("id_s"))
-          val candPairs = hit.select(col("bucket"), col("__id"))
-            .join(idx, Seq("bucket"))
-            .select(col("__id"), col("id_s")).distinct()
-          // phase 2: fetch ONLY the candidate vectors, id set pushed into
-          // the embedding scan when bounded
-          val idArr = candPairs.select("id_s").distinct().collect().map(_.get(0))
-          val idPush = idArr.length <= GateStore.MaxPushdownKeys
-          val embPaths =
-            if (idArr.isEmpty) Array.empty[String]
-            else if (idPush && idArr.forall(_.isInstanceOf[Long]))
-              GateStore.pruned(embF, idArr.map(_.asInstanceOf[Long]).sorted)
-            else embF.map(_.path)
-          if (embPaths.isEmpty) inBatch.limit(0)
-          else {
-            val vs0 = s.read.parquet(embPaths: _*)
-            val vs = if (idPush) vs0.where(GateStore.inSetCol(col("id"), idArr.toSeq)) else vs0
-            val batchVs = keyed.select(col(orderCol).as("__id"), col("__v"))
-            candPairs
-              .join(vs.select(col("id").as("id_s"), col("v").as("v_s")), Seq("id_s"))
-              .join(batchVs, Seq("__id"))
-              .where(VectorExpressions.cosineSim(col("__v"), col("v_s")) >= threshold)
-              .select(col("__id"))
+          filtered.select(col("bucket"), col("id"))
+            .collect().map(r => (r.getLong(0), r.get(1)))
+        }
+        // (store id -> batch row indices) candidate pairs, deduped
+        val pairs = new java.util.HashMap[Any, java.util.HashSet[Integer]]()
+        idxRows.foreach { case (b, idS) =>
+          val cands = candByBucket.get(b)
+          if (cands != null) {
+            val set = pairs.computeIfAbsent(idS, _ => new java.util.HashSet[Integer]())
+            var k = 0
+            while (k < cands.size) { set.add(cands.get(k)); k += 1 }
           }
         }
-      val suppressedIds = inBatch.unionByName(fromStore).distinct()
-        .withColumnRenamed("__id", orderCol)
-      val survivors = keyed.join(suppressedIds, Seq(orderCol), "left_anti")
-        .drop("__v").persist()
-      try {
-        val n = survivors.count()
-        admitted += n
-        suppressed += obs.get("rows").asInstanceOf[Long] - n
-        // sink BEFORE store append (at-least-once under failure-retry —
-        // see StreamDedupGate's delivery contract); null embeddings can't
-        // pair and are not stored
-        if (n > 0) eng.insertInto(sink, survivors)
-        appendStores(keyed.where(col("__v").isNotNull))
-        updateFilters(buckets)
-      } finally survivors.unpersist()
+        if (!pairs.isEmpty) {
+          // phase 2: fetch ONLY the candidate vectors, id set pushed into
+          // the scan; verify exact cosine on the driver
+          val idArr = pairs.keySet().toArray
+          val idPush = idArr.length <= GateStore.MaxPushdownKeys
+          val embPaths =
+            if (idPush && idArr.forall(_.isInstanceOf[Long]))
+              GateStore.pruned(embF, idArr.map(_.asInstanceOf[Long]).sorted)
+            else embF.map(_.path)
+          if (embPaths.nonEmpty) {
+            val vs0 = s.read.parquet(embPaths: _*)
+            val vs = if (idPush) vs0.where(GateStore.inSetCol(col("id"), idArr.toSeq)) else vs0
+            vs.select(col("id"), col("v").cast("array<double>"))
+              .collect().foreach { r =>
+                val cands = pairs.get(r.get(0))
+                if (cands != null) {
+                  val vS = r.getSeq[Double](1).toArray
+                  cands.forEach { i =>
+                    if (cosOf(rows(i)._2, vS) >= threshold)
+                      suppressedSet.add(rows(i)._1)
+                    ()
+                  }
+                }
+              }
+          }
+        }
+      }
+      val total = obs.get("rows").asInstanceOf[Long]
+      val n = total - suppressedSet.size
+      admitted += n
+      suppressed += total - n
+      // sink BEFORE store append (at-least-once under failure-retry —
+      // see StreamDedupGate's delivery contract); null embeddings can't
+      // pair and are not stored
+      if (n > 0) {
+        val survivors =
+          (if (suppressedSet.isEmpty) keyed
+           else keyed.where(col(orderCol).isNull ||
+             !GateStore.inSetCol(col(orderCol), suppressedSet.toArray.toSeq)))
+            .drop("__v")
+        eng.insertInto(sink, survivors)
+      }
+      appendStores(keyed.where(col("__v").isNotNull))
+      updateFilters(rowKeys.flatten)
     } finally keyed.unpersist()
     if (compactEvery > 0 && batches % compactEvery == 0) compact()
   }

@@ -34,6 +34,12 @@ private[streaming] object GateStore {
     * the gate falls back to the unpruned join, which is still correct. */
   val MaxPushdownKeys: Int = 1 << 17
 
+  /** Pruned store slices larger than this (file bytes) are not fetched to
+    * the driver for in-place candidate verification — the bound is what
+    * makes the driver fetch safe (a bounded read cannot return unbounded
+    * rows); bigger slices take the distributed verify join. */
+  val MaxDriverVerifyBytes: Long = 32L << 20
+
   /** `c IN (values)` as ONE InSet expression node. `Column.isInCollection`
     * builds an `In` with one Literal child per value — at the gates' tens
     * of thousands of candidate keys per batch, Catalyst spends SECONDS
@@ -72,6 +78,14 @@ private[streaming] object GateStore {
       s.forall(c => c.isLetterOrDigit || c == '.' || c == '-') => Some(s)
     case _ => None
   }
+
+  /** Driver-side `<` over collected order-column values (the gates'
+    * within-batch pairing). Matches Spark's ordering for the orderable
+    * types a gate orderCol can be (integral, string, timestamp — all
+    * Comparable); null compares false both ways, mirroring SQL `<`. */
+  def lt(a: Any, b: Any): Boolean =
+    a != null && b != null &&
+      a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
 
   def files(dir: Path): Array[String] = {
     val d = dir.toFile

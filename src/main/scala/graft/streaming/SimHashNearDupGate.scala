@@ -189,106 +189,215 @@ final class SimHashNearDupGate private (
     val keyed = batch.drop("arrival_timestamp")
       .observe(obs, count(lit(1)).as("rows"))
       .withColumn("fp", SimHash.simhash64(TextOps.tokens(expr(textSql))))
-      .persist() // fingerprints feed the bucket join, the store append and the sink
+      .persist() // fingerprints feed the suppression filter, the store append and the sink
     try {
-      // ONE bounded collect of the batch's bucket keys (with multiplicity)
-      // feeds every driver-side decision: the occupancy cap (CMS as of
-      // batch START), the bloom probe (the filter never ships to executors
-      // — regrown it is megabytes), the file-range prune, and the
-      // post-append filter update.
-      val buckets = traced("collect")(collectBuckets(keyed))
-      val distinctBuckets = buckets.distinct
-      val overCap: Array[Long] =
-        if (bucketCounts == null) Array.emptyLongArray
-        else distinctBuckets.filter(b => bucketCounts.estimate(b) > maxBucketSize)
-      val overCapSet = overCap.toSet
-      val allKeys = keyed.select(col(orderCol).as("__id"), col("fp"),
-        explode(SimHash.blockKeys(col("fp"), blocks, maxDist)).as("bucket"))
-      // cap active: only buckets under occupancy (as of batch start) join
-      val bkeys =
-        if (overCap.isEmpty) allKeys
-        else allKeys.where(!GateStore.inSetCol(col("bucket"), overCap.toSeq))
-      // within-batch: an earlier row suppresses a later one at distance
-      // <= maxDist; banding guarantees every such pair shares a bucket key
-      // — which can only happen in a bucket that occurs at least TWICE in
-      // this batch, and the driver already holds the multiset: the
-      // self-join runs only over those buckets (usually none), so an
-      // all-fresh batch skips the in-batch shuffle entirely
-      val counts = new java.util.HashMap[java.lang.Long, Integer]()
-      buckets.foreach(b => counts.merge(b, 1, (a, x) => a + x))
-      val multiBuckets = distinctBuckets
-        .filter(b => counts.get(b) >= 2 && !overCapSet.contains(b))
-      val inBatch =
-        if (multiBuckets.isEmpty) allKeys.select(col("__id")).limit(0)
-        else {
-          val mkeys = bkeys.where(GateStore.inSetCol(col("bucket"), multiBuckets.toSeq))
-          val l = mkeys.select(col("bucket"), col("__id").as("id_l"), col("fp").as("fp_l"))
-          val r = mkeys.select(col("bucket"), col("__id").as("id_r"), col("fp").as("fp_r"))
-          l.join(r, Seq("bucket"))
-            .where(col("id_l") < col("id_r") &&
-              bit_count(col("fp_l").bitwiseXOR(col("fp_r"))) <= maxDist)
-            .select(col("id_r").as("__id"))
+      // ONE bounded collect — (orderCol, fp), 16 B/doc — and the whole
+      // suppression decision runs on the driver: bucket keys are derived
+      // with the same math as the stored explode (SimHash.blockKeysOf),
+      // the occupancy cap reads the CMS as of batch START, the bloom is
+      // probed in place (never shipped to executors), and within-batch
+      // pairing is a hash-group + pairwise popcount over the batch —
+      // micro-seconds at microbatch sizes, where the equivalent self-join
+      // paid two shuffles and a full Catalyst analyze/optimize pass per
+      // batch. Only the store-candidate verification touches executors,
+      // against a file-range-pruned, in-set-filtered read.
+      val rows: Array[(Any, Long)] = traced("collect")(
+        keyed.where(col("fp").isNotNull).select(col(orderCol), col("fp"))
+          .collect().map(r => (r.get(0), r.getLong(1))))
+      val rowKeys: Array[Array[Long]] =
+        rows.map(r => SimHash.blockKeysOf(r._2, blocks, maxDist))
+      val overCapSet: java.util.HashSet[java.lang.Long] = {
+        val set = new java.util.HashSet[java.lang.Long]()
+        if (bucketCounts != null) {
+          val seen = new java.util.HashSet[java.lang.Long]()
+          rowKeys.foreach(_.foreach { b =>
+            if (seen.add(b) && bucketCounts.estimate(b) > maxBucketSize) set.add(b)
+          })
         }
+        set
+      }
+      // within-batch: an earlier row suppresses a later one at distance
+      // <= maxDist; banding guarantees every such pair shares an under-cap
+      // bucket key, so group rows by bucket and compare within groups
+      val suppressedIdx = traced("inbatch") {
+        val byBucket = new java.util.HashMap[java.lang.Long, java.util.ArrayList[Integer]]()
+        var i = 0
+        while (i < rows.length) {
+          rowKeys(i).foreach { b =>
+            if (!overCapSet.contains(b))
+              byBucket.computeIfAbsent(b, _ => new java.util.ArrayList[Integer]()).add(i)
+          }
+          i += 1
+        }
+        val out = new java.util.HashSet[Integer]()
+        byBucket.forEach { (_, list) =>
+          if (list.size >= 2) {
+            var a = 0
+            while (a < list.size) {
+              var b = a + 1
+              while (b < list.size) {
+                val (ia, ib) = (list.get(a), list.get(b))
+                if (java.lang.Long.bitCount(rows(ia)._2 ^ rows(ib)._2) <= maxDist) {
+                  if (GateStore.lt(rows(ia)._1, rows(ib)._1)) out.add(ib)
+                  else if (GateStore.lt(rows(ib)._1, rows(ia)._1)) out.add(ia)
+                }
+                b += 1
+              }
+              a += 1
+            }
+          }
+        }
+        out
+      }
       val storeF = GateStore.storeFiles(storeDir)
       // bucket-bloom gate: an under-cap key that misses the driver bloom
-      // has no store candidate (no false negatives); the surviving keys
-      // prune the store read at file level (range-stamped shards) and row
-      // level (in-set), so the join touches only the batch's key slices.
-      // A pathological batch with more hit keys than MaxPushdownKeys falls
-      // back to the unpruned (still correct, cap-respecting) join.
-      val hitKeys: Array[Long] =
-        if (storeF.isEmpty) Array.emptyLongArray
-        else distinctBuckets.filter(b => !overCapSet.contains(b) && bloom.contains(b))
+      // has no store candidate (no false negatives); the hit rows become a
+      // LocalRelation joined against the file-range-pruned, in-set-
+      // filtered store read — the one distributed step, bounded by the
+      // batch's candidate keys, not the corpus
+      val hitRows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      val hitKeySet = new java.util.HashSet[java.lang.Long]()
+      if (storeF.nonEmpty) {
+        var i = 0
+        while (i < rows.length) {
+          rowKeys(i).foreach { b =>
+            if (!overCapSet.contains(b) && bloom.contains(b)) {
+              hitRows.add(org.apache.spark.sql.Row(b, rows(i)._1, rows(i)._2))
+              hitKeySet.add(b)
+            }
+          }
+          i += 1
+        }
+      }
+      val hitKeys: Array[Long] = {
+        val arr = new Array[Long](hitKeySet.size)
+        val it = hitKeySet.iterator(); var k = 0
+        while (it.hasNext) { arr(k) = it.next(); k += 1 }
+        arr
+      }
       val pushdown = hitKeys.length <= GateStore.MaxPushdownKeys
       val storePaths =
         if (hitKeys.isEmpty) Array.empty[String]
         else if (pushdown) GateStore.pruned(storeF, hitKeys)
         else storeF.map(_.path)
-      val fromStore =
-        if (storePaths.isEmpty) inBatch.limit(0)
-        else {
-          val hit =
-            if (pushdown) bkeys.where(GateStore.inSetCol(col("bucket"), hitKeys.toSeq))
-            else bkeys
-          val store0 =
-            if (pushdown)
-              s.read.parquet(storePaths: _*)
-                .where(GateStore.inSetCol(col("bucket"), hitKeys.toSeq))
-            else {
-              // symmetric cap exclusion still needed on the fallback path
-              // (the in-set filter implies it: hitKeys exclude overCap)
-              val all = s.read.parquet(storePaths: _*)
-              if (overCap.isEmpty) all
-              else all.where(!GateStore.inSetCol(col("bucket"), overCap.toSeq))
+      val storeSuppressed: Array[Any] =
+        if (storePaths.isEmpty) Array.empty[Any]
+        else traced("storejoin") {
+          // candidate verification: when the PRUNED store slice is small
+          // (file bytes below the driver-verify bound — self-limiting, a
+          // bounded read cannot return unbounded rows), fetch the in-set-
+          // filtered rows in one parallel scan and verify on the driver —
+          // no join, no distinct, no second stage. Larger slices take the
+          // distributed verify join instead.
+          val sliceBytes =
+            storePaths.map(pth => new java.io.File(pth).length()).sum
+          val driverVerify = pushdown &&
+            sliceBytes <= GateStore.MaxDriverVerifyBytes
+          if (driverVerify) {
+            val fetched = s.read.parquet(storePaths: _*)
+              .where(GateStore.inSetCol(col("bucket"), hitKeys.toSeq))
+              .select(col("bucket"), col("fp")).collect()
+            // driver probe: store row -> candidate rows sharing its bucket
+            val candByBucket =
+              new java.util.HashMap[java.lang.Long, java.util.ArrayList[org.apache.spark.sql.Row]]()
+            val it0 = hitRows.iterator()
+            while (it0.hasNext) {
+              val r = it0.next()
+              candByBucket.computeIfAbsent(r.getLong(0),
+                _ => new java.util.ArrayList[org.apache.spark.sql.Row]()).add(r)
             }
-          val store = store0
-            .select(col("bucket"), col("id").as("id_s"), col("fp").as("fp_s"))
-          hit.join(store, Seq("bucket"))
-            .where(bit_count(col("fp").bitwiseXOR(col("fp_s"))) <= maxDist)
-            .select(col("__id"))
+            val out = new java.util.HashSet[Any]()
+            fetched.foreach { m =>
+              val cands = candByBucket.get(m.getLong(0))
+              if (cands != null) {
+                var k = 0
+                while (k < cands.size) {
+                  if (java.lang.Long.bitCount(cands.get(k).getLong(2) ^ m.getLong(1)) <= maxDist)
+                    out.add(cands.get(k).get(1))
+                  k += 1
+                }
+              }
+            }
+            out.toArray
+          } else {
+            val idType = keyed.schema(keyed.schema.fieldIndex(orderCol)).dataType
+            val hitDf = s.createDataFrame(hitRows,
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("bucket",
+                  org.apache.spark.sql.types.LongType, nullable = false),
+                org.apache.spark.sql.types.StructField("__id", idType),
+                org.apache.spark.sql.types.StructField("fp",
+                  org.apache.spark.sql.types.LongType, nullable = false))))
+            val store0 =
+              if (pushdown)
+                s.read.parquet(storePaths: _*)
+                  .where(GateStore.inSetCol(col("bucket"), hitKeys.toSeq))
+              else {
+                val all = s.read.parquet(storePaths: _*)
+                if (overCapSet.isEmpty) all
+                else {
+                  val oc = overCapSet.toArray.toSeq.asInstanceOf[Seq[Any]]
+                  all.where(!GateStore.inSetCol(col("bucket"), oc))
+                }
+              }
+            val store = store0
+              .select(col("bucket"), col("id").as("id_s"), col("fp").as("fp_s"))
+            hitDf.join(store, Seq("bucket"))
+              .where(bit_count(col("fp").bitwiseXOR(col("fp_s"))) <= maxDist)
+              .select(col("__id")).distinct().collect().map(_.get(0))
+          }
         }
-      val suppressedIds = inBatch.unionByName(fromStore).distinct()
-        .withColumnRenamed("__id", orderCol)
-      val survivors = keyed.join(suppressedIds, Seq(orderCol), "left_anti").persist()
-      try {
-        val n = traced("suppress+count")(survivors.count())
-        admitted += n
-        suppressed += obs.get("rows").asInstanceOf[Long] - n
-        // sink BEFORE store append (at-least-once under failure-retry, see
-        // StreamDedupGate's delivery contract): a batch that fails mid-gate
-        // can be retried without its own fingerprints suppressing it
-        if (n > 0) traced("sink")(eng.insertInto(sink, survivors))
-        // append EVERY row's fingerprint exploded by bucket key
-        // (seen-semantics: suppressed docs still suppress later arrivals;
-        // null fingerprints can't pair and are not stored), then the
-        // driver-side bloom/CMS update from the already-collected keys
-        traced("append")(GateStore.append(
-          keyed.where(col("fp").isNotNull).select(
-            explode(SimHash.blockKeys(col("fp"), blocks, maxDist)).as("bucket"),
-            col(orderCol).as("id"), col("fp")),
-          storeDir, "fps", batches, sortCol = Some("bucket")))
-        traced("filters")(updateFilters(buckets))
-      } finally survivors.unpersist()
+      val suppressedSet = new java.util.HashSet[Any]()
+      suppressedIdx.forEach(i => { suppressedSet.add(rows(i)._1); () })
+      storeSuppressed.foreach(suppressedSet.add)
+      // survivors = batch minus suppressed ids: a narrow in-set filter, no
+      // anti-join shuffle (null order ids can never be suppressed and must
+      // pass through the negated filter). The survivor COUNT is arithmetic
+      // — the observed batch total (already materialized by the collect)
+      // minus the suppressed id count — so no count job runs either.
+      val total = obs.get("rows").asInstanceOf[Long]
+      val n = total - suppressedSet.size
+      admitted += n
+      suppressed += total - n
+      // sink BEFORE store append (at-least-once under failure-retry, see
+      // StreamDedupGate's delivery contract): a batch that fails mid-gate
+      // can be retried without its own fingerprints suppressing it
+      if (n > 0) traced("sink") {
+        val survivors =
+          if (suppressedSet.isEmpty) keyed
+          else keyed.where(col(orderCol).isNull ||
+            !GateStore.inSetCol(col(orderCol), suppressedSet.toArray.toSeq))
+        eng.insertInto(sink, survivors)
+      }
+      // append EVERY row's fingerprint exploded by bucket key
+      // (seen-semantics: suppressed docs still suppress later arrivals;
+      // null fingerprints can't pair and are not stored) — the exploded
+      // rows are BUILT AND SORTED on the driver from the keys already in
+      // hand, so the append job is a plain LocalRelation write
+      traced("append") {
+        val exploded = new java.util.ArrayList[org.apache.spark.sql.Row](
+          rowKeys.iterator.map(_.length).sum)
+        val order = new scala.collection.mutable.ArrayBuffer[(Long, Int)]()
+        var i = 0
+        while (i < rows.length) {
+          rowKeys(i).foreach(b => order += ((b, i)))
+          i += 1
+        }
+        val sortedPairs = order.sortBy(_._1)
+        sortedPairs.foreach { case (b, idx) =>
+          exploded.add(org.apache.spark.sql.Row(b, rows(idx)._1, rows(idx)._2)); ()
+        }
+        val idType = keyed.schema(keyed.schema.fieldIndex(orderCol)).dataType
+        val appendDf = s.createDataFrame(exploded,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("bucket",
+              org.apache.spark.sql.types.LongType, nullable = false),
+            org.apache.spark.sql.types.StructField("id", idType),
+            org.apache.spark.sql.types.StructField("fp",
+              org.apache.spark.sql.types.LongType, nullable = false))))
+        GateStore.append(appendDf, storeDir, "fps", batches)
+      }
+      traced("filters")(updateFilters(rowKeys.flatten))
     } finally keyed.unpersist()
     if (compactEvery > 0 && batches % compactEvery == 0) compact()
   } }

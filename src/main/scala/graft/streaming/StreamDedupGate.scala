@@ -150,73 +150,110 @@ final class StreamDedupGate private (
   private[streaming] def onBatch(batch: DataFrame): Unit = synchronized {
     batches += 1
     val s = batch.sparkSession
-    // input-row count rides the survivors job via observe() — a separate
-    // batch.count() would re-run the transform projection per batch. The
-    // persist() pins the observed node to exactly one execution even
-    // though two branches (null-key bypass, window path) consume it —
-    // StreamDedupGateSpec pins the stats, so a caching change that
-    // re-executed the node would double-count and fail there, visibly
+    // input-row count rides the first action via observe() — a separate
+    // batch.count() would re-run the transform projection per batch
     val obs = new org.apache.spark.sql.Observation(s"gate_${name}_$batches")
     val keyed = batch.drop("arrival_timestamp")
       .observe(obs, count(lit(1)).as("rows"))
       .withColumn("h", expr(keySql))
       .persist()
-    // null keys can't deduplicate: pass them through, never store them
-    val nullKeyed = keyed.where(col("h").isNull)
-    val nonNull = keyed.where(col("h").isNotNull)
-    val storeF = GateStore.storeFiles(storeDir)
-    // ONE bounded collect of the batch's keys feeds everything driver-side:
-    // the bloom probe (the filter NEVER ships to executors — regrown it is
-    // megabytes, and a literal filter state rides every task), the
-    // file-range prune, the post-append filter update, and the
-    // within-batch duplicate check below.
-    val rawKeys: Array[Any] = nonNull.select("h").collect().map(_.get(0))
-    val batchKeys: Array[Any] = rawKeys.distinct
-    // within-batch first-wins: one shuffle on the key, heap-free
-    // row_number — skipped entirely when the driver already knows the
-    // batch carries no repeated key (the common fresh-content case)
-    val firsts =
-      if (rawKeys.length == batchKeys.length) nonNull
-      else {
-        val w = Window.partitionBy("h").orderBy(col(orderCol))
-        nonNull.withColumn("__rn", row_number().over(w))
-          .where(col("__rn") === 1).drop("__rn")
-      }
-    // Bloom gate: misses are definitely-new and bypass the store scan; only
-    // possible repeats (true dups + ~p false positives) pay the anti-join
-    val cand = batchKeys.filter(bloom.contains)
-    val survivors0 =
-      if (storeF.isEmpty || cand.isEmpty) firsts
-      else {
-        val candSeq = cand.toSeq
-        val mayRepeat = GateStore.inSetCol(col("h"), candSeq)
-        val fresh = firsts.where(!mayRepeat)
-        val candidates = firsts.where(mayRepeat)
-        // the store read prunes to the candidates' file ranges, then
-        // row-filters to the candidate set — the anti-join's store side is
-        // bounded by the BATCH's candidates, not the corpus
-        val seen = s.read.parquet(GateStore.pruned(storeF, cand): _*)
-          .where(GateStore.inSetCol(col("h"), candSeq))
-        fresh.unionByName(candidates.join(seen, Seq("h"), "left_anti"))
-      }
-    // one materialization feeds the sink forward, the store append and the
-    // filter update — and pins the nondeterminism-free row set they share
-    val survivors = survivors0.unionByName(nullKeyed).persist()
     try {
-      val n = survivors.count()
+      // ONE bounded collect — (orderCol, key) — and the whole suppression
+      // decision runs on the driver: within-batch first-wins is a hash
+      // group + min, the bloom is probed in place (never shipped to
+      // executors), and the store check collects ONLY the candidate keys
+      // actually present in the pruned, in-set-filtered store slice. The
+      // old shape paid a window shuffle + an anti-join + a count job per
+      // batch; this shape runs zero shuffles.
+      val rows: Array[(Any, Any)] =
+        keyed.where(col("h").isNotNull).select(col(orderCol), col("h"))
+          .collect().map(r => (r.get(0), r.get(1)))
+      val batchKeys: Array[Any] = rows.map(_._2).distinct
+      // within-batch first-wins: min orderCol per key; later rows of the
+      // same key are suppressed (rows with a null order id can't order
+      // and are never suppressed — the unique-orderCol contract)
+      val winnerByKey = new java.util.HashMap[Any, (Any, Int)]()
+      val inBatchSuppressed = new java.util.HashSet[Any]()
+      if (rows.length != batchKeys.length) {
+        var i = 0
+        while (i < rows.length) {
+          val (id, h) = rows(i)
+          if (id != null) {
+            val prev = winnerByKey.get(h)
+            if (prev == null) winnerByKey.put(h, (id, i))
+            else if (GateStore.lt(id, prev._1)) {
+              inBatchSuppressed.add(prev._1)
+              winnerByKey.put(h, (id, i))
+            } else inBatchSuppressed.add(id)
+          }
+          i += 1
+        }
+      } else rows.foreach { case (id, h) => winnerByKey.put(h, (id, -1)) }
+      // Bloom gate: misses are definitely-new and bypass the store scan;
+      // only possible repeats (true dups + ~p false positives) pay the
+      // store-presence check — a collect of the candidate keys that exist
+      // in the pruned slice (bounded by the candidate count itself)
+      val storeF = GateStore.storeFiles(storeDir)
+      val cand = batchKeys.filter(bloom.contains)
+      val present: java.util.HashSet[Any] = {
+        val set = new java.util.HashSet[Any]()
+        if (storeF.nonEmpty && cand.nonEmpty) {
+          s.read.parquet(GateStore.pruned(storeF, cand): _*)
+            .where(GateStore.inSetCol(col("h"), cand.toSeq))
+            .select("h").collect().foreach(r => set.add(r.get(0)))
+        }
+        set
+      }
+      // a winner whose key is already stored is suppressed too
+      val suppressedIds = new java.util.HashSet[Any]()
+      inBatchSuppressed.forEach(id => { suppressedIds.add(id); () })
+      var storeSuppressedNullId = 0
+      winnerByKey.forEach { (h, winner) =>
+        if (present.contains(h)) {
+          if (winner._1 != null) suppressedIds.add(winner._1)
+          else storeSuppressedNullId += 1
+        }
+      }
+      val total = obs.get("rows").asInstanceOf[Long]
+      val n = total - suppressedIds.size - storeSuppressedNullId
       admitted += n
-      suppressed += obs.get("rows").asInstanceOf[Long] - n
+      suppressed += total - n
+      // admitted keys — the winners not already stored — are known on the
+      // driver, so the append is a plain LocalRelation write; null-key
+      // rows pass through the sink unconditionally and are never stored
       if (n > 0) {
         // sink BEFORE store append: see the delivery contract above
+        val survivors =
+          if (suppressedIds.isEmpty && storeSuppressedNullId == 0) keyed
+          else if (storeSuppressedNullId == 0)
+            keyed.where(col(orderCol).isNull ||
+              !GateStore.inSetCol(col(orderCol), suppressedIds.toArray.toSeq))
+          else {
+            // a suppressed null-order-id winner is only filterable by key
+            val presentKeys = new java.util.ArrayList[Any]()
+            present.forEach(h => { presentKeys.add(h); () })
+            keyed.where(col("h").isNull ||
+              (!GateStore.inSetCol(col("h"), presentKeys.toArray.toSeq) &&
+                (col(orderCol).isNull ||
+                  !GateStore.inSetCol(col(orderCol), suppressedIds.toArray.toSeq))))
+          }
         eng.insertInto(sink, survivors)
-        val newKeys = survivors.where(col("h").isNotNull)
-        GateStore.append(newKeys.select("h"), storeDir, "keys", batches,
-          sortCol = Some("h"))
+        val newKeys = new java.util.ArrayList[org.apache.spark.sql.Row]()
+        winnerByKey.forEach { (h, winner) =>
+          if (!present.contains(h)) { newKeys.add(org.apache.spark.sql.Row(h)); () }
+        }
+        if (!newKeys.isEmpty) {
+          val hType = keyed.schema(keyed.schema.fieldIndex("h")).dataType
+          GateStore.append(
+            s.createDataFrame(newKeys, org.apache.spark.sql.types.StructType(
+              Seq(org.apache.spark.sql.types.StructField("h", hType)))),
+            storeDir, "keys", batches, sortCol = Some("h"))
+        }
       }
       // every non-null batch key is now stored-or-already-stored, so adding
       // them all preserves the bloom ⊇ store invariant exactly
       batchKeys.foreach(bloom.add)
-    } finally { survivors.unpersist(); keyed.unpersist(); () }
+    } finally { keyed.unpersist(); () }
     if (compactEvery > 0 && batches % compactEvery == 0) compact()
   }
 }
