@@ -1,0 +1,313 @@
+package graft.streaming
+
+import java.nio.file.Path
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+import graft.cv.ContViewEngine
+import graft.functions.GraftFunctions
+import graft.sketch.BloomFilter
+
+/** Shared machinery of the split-store streaming near-dup gates
+  * ([[CosineNearDupGate]], [[JaccardNearDupGate]]): a banded (bucket, id)
+  * index in range shards joined first, an (id, payload) store read only
+  * for surfaced candidate ids, driver-resident bloom/CMS filters fed by
+  * one bounded per-batch collect, bloom regrow at compaction, and
+  * at-least-once delivery (sink before store append). A subclass supplies
+  * only the payload geometry: how to compute it, bucket it, decode it,
+  * and compare it — on executors for the stored layout and on the driver
+  * for the per-batch decision, with ONE implementation of each piece of
+  * math shared between the two sides.
+  *
+  * Per-batch flow (zero shuffles — see PERF_NOTES §9): collect the
+  * batch's (orderCol, payload) pairs; derive bucket keys, the occupancy
+  * cap (CMS as of batch START) and the bloom hits on the driver; pair
+  * within the batch by bucket group; read the file-range-pruned,
+  * in-set-filtered index for candidate (batch row, store id) pairs; fetch
+  * ONLY the candidate payloads (id in-set + file-range prune) and verify
+  * with the exact similarity; forward survivors through a narrow in-set
+  * filter; append both stores from what the driver already holds.
+  * Suppression is "seen"-based and single-shot recomputable; `orderCol`
+  * must be unique per stream (shared gate contract).
+  */
+private[streaming] abstract class IndexedNearDupGate[P](
+    eng: ContViewEngine,
+    val name: String,
+    orderCol: String,
+    sink: String,
+    payloadDir: Path,
+    idxDir: Path,
+    payloadPrefix: String,
+    payloadColName: String,
+    bloomP: Double,
+    bloomN0: Int,
+    maxBucketSize: Int,
+    compactEvery: Int) {
+
+  /** The payload column (nullable → row passes through unstored) computed
+    * over the transform's projected columns, named `__p`. */
+  protected def payloadCol: Column
+  /** Executor-side bucket keys of a payload column (the stored layout). */
+  protected def keysCol(payload: Column): Column
+  /** Driver-side payload decode from a collected row's position 1. */
+  protected def payloadOf(r: Row): P
+  /** Driver-side bucket keys — the same math as [[keysCol]]. */
+  protected def keysOf(p: P): Array[Long]
+  /** The exact similarity predicate (driver-side). */
+  protected def similar(a: P, b: P): Boolean
+  /** The payload-store value column (may change precision for storage). */
+  protected def storedPayloadCol: Column = col("__p")
+  /** The payload-store read column, decoded back for [[payloadOf]]. */
+  protected def readPayloadCol(c: Column): Column = c
+  /** Observation-name prefix (metric labels). */
+  protected def obsPrefix: String
+
+  private var bloom = BloomFilter.empty(bloomP, bloomN0)
+  private var bloomN = bloomN0
+  // occupancy as of batch START, overestimate-only — see SimHashNearDupGate
+  private val bucketCounts: graft.sketch.CountMinSketch =
+    if (maxBucketSize == Int.MaxValue) null
+    else graft.sketch.CountMinSketch.empty()
+  private var batches = 0L
+  private var admitted = 0L
+  private var suppressed = 0L
+
+  /** (batches, admitted survivors, suppressed near-duplicates) so far. */
+  def stats: (Long, Long, Long) = synchronized((batches, admitted, suppressed))
+
+  private[streaming] def bootstrap(): Unit = synchronized {
+    val files = GateStore.files(idxDir)
+    if (files.nonEmpty) {
+      val keys = eng.spark.read.parquet(files: _*).select(col("bucket"))
+      val row =
+        if (bucketCounts == null)
+          keys.agg(GraftFunctions.bloom_agg(col("bucket"), bloomP, bloomN).as("b"))
+            .collect()(0)
+        else
+          keys.agg(GraftFunctions.bloom_agg(col("bucket"), bloomP, bloomN).as("b"),
+            GraftFunctions.freq_agg(col("bucket")).as("c")).collect()(0)
+      bloom.union(BloomFilter.deserialize(row.getAs[Array[Byte]]("b")))
+      if (bucketCounts != null)
+        bucketCounts.merge(
+          graft.sketch.CountMinSketch.deserialize(row.getAs[Array[Byte]]("c")))
+      batches = GateStore.maxBatch(payloadDir, payloadPrefix)
+    }
+  }
+
+  /** Append pre-keyed rows straight into the seen-stores (bloom/CMS
+    * updated, nothing forwarded) — the scale-probe's seeding hook. */
+  private[graft] def seedStore(rows: DataFrame): Unit = synchronized {
+    batches += 1
+    val keyed = rows.withColumn("__p", payloadCol)
+      .where(col("__p").isNotNull)
+      .persist()
+    try {
+      appendStores(keyed)
+      updateFilters(keyed.select(explode(keysCol(col("__p"))).as("bucket"))
+        .collect().map(_.getLong(0)))
+    } finally { keyed.unpersist(); () }
+  }
+
+  private def appendStores(keyed: DataFrame): Unit = {
+    // payloads first, index second: a crash in between leaves payloads
+    // with no index entry, which the batch's retry re-appends (duplicates
+    // are tolerated downstream of every store read)
+    GateStore.append(
+      keyed.select(col(orderCol).as("id"), storedPayloadCol.as(payloadColName)),
+      payloadDir, payloadPrefix, batches, sortCol = Some("id"))
+    GateStore.append(
+      keyed.select(explode(keysCol(col("__p"))).as("bucket"),
+        col(orderCol).as("id")),
+      idxDir, "keys", batches, sortCol = Some("bucket"))
+  }
+
+  /** Driver-side filter update — see SimHashNearDupGate.updateFilters. */
+  private def updateFilters(buckets: Array[Long]): Unit = {
+    var i = 0
+    val seen = new java.util.HashSet[java.lang.Long]()
+    while (i < buckets.length) {
+      val b = buckets(i)
+      if (seen.add(b)) bloom.add(b)
+      if (bucketCounts != null) bucketCounts.add(b)
+      i += 1
+    }
+  }
+
+  private[streaming] def onBatch(batch: DataFrame): Unit = synchronized {
+    batches += 1
+    val s = batch.sparkSession
+    val obs = new org.apache.spark.sql.Observation(s"${obsPrefix}_${name}_$batches")
+    val keyed = batch.drop("arrival_timestamp")
+      .withColumn("__p", payloadCol)
+      .observe(obs, count(lit(1)).as("rows"))
+      .persist()
+    try {
+      val rows: Array[(Any, P)] =
+        keyed.where(col("__p").isNotNull).select(col(orderCol), col("__p"))
+          .collect().map(r => (r.get(0), payloadOf(r)))
+      val rowKeys: Array[Array[Long]] = rows.map(r => keysOf(r._2))
+      val overCapSet: java.util.HashSet[java.lang.Long] = {
+        val set = new java.util.HashSet[java.lang.Long]()
+        if (bucketCounts != null) {
+          val seen = new java.util.HashSet[java.lang.Long]()
+          rowKeys.foreach(_.foreach { b =>
+            if (seen.add(b) && bucketCounts.estimate(b) > maxBucketSize) set.add(b)
+          })
+        }
+        set
+      }
+      // within-batch: group rows by under-cap bucket, verify within groups
+      val suppressedSet = new java.util.HashSet[Any]()
+      locally {
+        val byBucket = new java.util.HashMap[java.lang.Long, java.util.ArrayList[Integer]]()
+        var i = 0
+        while (i < rows.length) {
+          rowKeys(i).foreach { b =>
+            if (!overCapSet.contains(b))
+              byBucket.computeIfAbsent(b, _ => new java.util.ArrayList[Integer]()).add(i)
+          }
+          i += 1
+        }
+        byBucket.forEach { (_, list) =>
+          if (list.size >= 2) {
+            var a = 0
+            while (a < list.size) {
+              var b = a + 1
+              while (b < list.size) {
+                val (ia, ib) = (list.get(a), list.get(b))
+                if (similar(rows(ia)._2, rows(ib)._2)) {
+                  if (GateStore.lt(rows(ia)._1, rows(ib)._1)) suppressedSet.add(rows(ib)._1)
+                  else if (GateStore.lt(rows(ib)._1, rows(ia)._1)) suppressedSet.add(rows(ia)._1)
+                }
+                b += 1
+              }
+              a += 1
+            }
+          }
+        }
+      }
+      val idxF = GateStore.storeFiles(idxDir)
+      val payF = GateStore.storeFiles(payloadDir)
+      // candidate map: bloom-positive under-cap bucket -> batch row indices
+      val candByBucket =
+        new java.util.HashMap[java.lang.Long, java.util.ArrayList[Integer]]()
+      if (idxF.nonEmpty && payF.nonEmpty) {
+        var i = 0
+        while (i < rows.length) {
+          rowKeys(i).foreach { b =>
+            if (!overCapSet.contains(b) && bloom.contains(b))
+              candByBucket.computeIfAbsent(b, _ => new java.util.ArrayList[Integer]()).add(i)
+          }
+          i += 1
+        }
+      }
+      val hitKeys: Array[Long] = {
+        val arr = new Array[Long](candByBucket.size)
+        val it = candByBucket.keySet().iterator(); var k = 0
+        while (it.hasNext) { arr(k) = it.next(); k += 1 }
+        arr
+      }
+      val keyPush = hitKeys.length <= GateStore.MaxPushdownKeys
+      val idxPaths =
+        if (hitKeys.isEmpty) Array.empty[String]
+        else if (keyPush) GateStore.pruned(idxF, hitKeys)
+        else idxF.map(_.path)
+      if (idxPaths.nonEmpty) {
+        // phase 1: candidate ids from the pruned (bucket, id) index —
+        // the payload bytes stay unread
+        val idxRows: Array[(Long, Any)] = {
+          val filtered =
+            if (keyPush)
+              s.read.parquet(idxPaths: _*)
+                .where(GateStore.inSetCol(col("bucket"), hitKeys.toSeq))
+            else {
+              val all = s.read.parquet(idxPaths: _*)
+              if (overCapSet.isEmpty) all
+              else {
+                val oc = overCapSet.toArray.toSeq.asInstanceOf[Seq[Any]]
+                all.where(!GateStore.inSetCol(col("bucket"), oc))
+              }
+            }
+          filtered.select(col("bucket"), col("id"))
+            .collect().map(r => (r.getLong(0), r.get(1)))
+        }
+        // (store id -> batch row indices) candidate pairs, deduped
+        val pairs = new java.util.HashMap[Any, java.util.HashSet[Integer]]()
+        idxRows.foreach { case (b, idS) =>
+          val cands = candByBucket.get(b)
+          if (cands != null) {
+            val set = pairs.computeIfAbsent(idS, _ => new java.util.HashSet[Integer]())
+            var k = 0
+            while (k < cands.size) { set.add(cands.get(k)); k += 1 }
+          }
+        }
+        if (!pairs.isEmpty) {
+          // phase 2: fetch ONLY the candidate payloads, id set pushed into
+          // the scan; verify exact similarity on the driver
+          val idArr = pairs.keySet().toArray
+          val idPush = idArr.length <= GateStore.MaxPushdownKeys
+          val payPaths =
+            if (idPush && idArr.forall(_.isInstanceOf[Long]))
+              GateStore.pruned(payF, idArr.map(_.asInstanceOf[Long]).sorted)
+            else payF.map(_.path)
+          if (payPaths.nonEmpty) {
+            val vs0 = s.read.parquet(payPaths: _*)
+            val vs = if (idPush) vs0.where(GateStore.inSetCol(col("id"), idArr.toSeq)) else vs0
+            vs.select(col("id"), readPayloadCol(col(payloadColName)))
+              .collect().foreach { r =>
+                val cands = pairs.get(r.get(0))
+                if (cands != null) {
+                  val pS = payloadOf(r)
+                  cands.forEach { i =>
+                    if (similar(rows(i)._2, pS)) suppressedSet.add(rows(i)._1)
+                    ()
+                  }
+                }
+              }
+          }
+        }
+      }
+      val total = obs.get("rows").asInstanceOf[Long]
+      val n = total - suppressedSet.size
+      admitted += n
+      suppressed += total - n
+      // sink BEFORE store append (at-least-once under failure-retry —
+      // see StreamDedupGate's delivery contract); null payloads can't
+      // pair and are not stored
+      if (n > 0) {
+        val survivors =
+          (if (suppressedSet.isEmpty) keyed
+           else keyed.where(col(orderCol).isNull ||
+             !GateStore.inSetCol(col(orderCol), suppressedSet.toArray.toSeq)))
+            .drop("__p")
+        eng.insertInto(sink, survivors)
+      }
+      appendStores(keyed.where(col("__p").isNotNull))
+      updateFilters(rowKeys.flatten)
+    } finally keyed.unpersist()
+    if (compactEvery > 0 && batches % compactEvery == 0) compact()
+  }
+
+  /** Fold both stores into range shards — the index by bucket, the
+    * payloads by id — and regrow the driver bloom when the index outgrew
+    * its design size, so the fast path survives unbounded streams.
+    * Crash-safe without a manifest (duplicated rows change nothing). */
+  def compact(): Unit = synchronized {
+    GateStore.compact(eng.spark, payloadDir, payloadPrefix,
+      Seq("id", payloadColName), batches, sortCol = Some("id"))
+    val n = GateStore.compact(eng.spark, idxDir, "keys", Seq("bucket", "id"),
+      batches, sortCol = Some("bucket"))
+    if (n > bloomN) {
+      bloomN = math.min(Int.MaxValue.toLong,
+        math.max(bloomN.toLong * 4, n * 2)).toInt
+      System.err.println(s"[graft] ${getClass.getSimpleName}($name): index at " +
+        s"$n keys outgrew the bloom design size; regrowing filter to n=$bloomN")
+      bloom = BloomFilter.empty(bloomP, bloomN)
+      bloom.union(BloomFilter.deserialize(
+        eng.spark.read.parquet(GateStore.files(idxDir): _*)
+          .agg(GraftFunctions.bloom_agg(col("bucket"), bloomP, bloomN).as("b"))
+          .collect()(0).getAs[Array[Byte]]("b")))
+    }
+  }
+}
