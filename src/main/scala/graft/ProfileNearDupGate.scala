@@ -6,10 +6,11 @@ import org.apache.spark.sql.functions._
 /** Dev tool: SimHashNearDupGate per-batch latency as the fingerprint store
   * grows. Synthetic docs with distinct token tails (near-zero natural
   * collision), dupFrac of each batch repeating earlier content verbatim —
-  * every repeat bloom-hits, forcing the store join each batch, so this
-  * measures the worst-case growth path (the candidate join's store-side
-  * explode is O(corpus) without bucket partitioning; the probe quantifies
-  * when that bites).
+  * every repeat bloom-hits, forcing the store-candidate path each batch,
+  * so this measures the worst-case growth path. Since round 9 the store
+  * is pre-exploded and range-pruned (GateStore), so the expectation is
+  * FLAT per-batch latency; [[ProfileGateScale]] is the seeded 10x/100x
+  * variant of the same question.
   */
 object ProfileNearDupGate {
   def main(args: Array[String]): Unit = {

@@ -155,20 +155,43 @@ private[streaming] object GateStore {
     }
   }
 
-  /** Fold all store files into `shards` range-sharded files (DISTINCT over
+  /** Ranged shards beyond this trigger a MAJOR fold (all files); below
+    * it, compaction is TIERED — only the per-batch append files fold into
+    * a new generation of range shards, so steady-state compaction cost is
+    * O(data since the last compaction), never O(corpus). A 10B-key store
+    * must not be rewritten every `compactEvery` batches just to absorb a
+    * few thousand new keys. */
+  val MajorCompactShards: Int = 24
+
+  /** Fold store files into `shards` range-sharded files (DISTINCT over
     * `cols`, range-partitioned and sorted by `sortCol` when given — a
-    * parallel rewrite, never a single-task funnel). Long-typed sort
-    * columns get their shard's [min,max] stamped into the filename for
-    * [[pruned]] file-level pruning. Returns the compacted row count, which
-    * is exact and lets callers right-size their membership filters.
-    * Crash-safe without a manifest: every shard lands (atomic moves)
-    * before any old file is unlinked; duplicate rows are tolerated. */
+    * parallel rewrite, never a single-task funnel), TIERED: a minor pass
+    * folds only the un-compacted append files (compacted generations may
+    * overlap in key range — [[pruned]] checks each file independently,
+    * and duplicate rows across generations are tolerated by every
+    * consumer); a major pass folds everything once the shard count
+    * exceeds [[MajorCompactShards]]. Sort-column min/max is stamped into
+    * each shard's filename for [[pruned]] file-level pruning. Returns the
+    * store's row count after the fold (file-metadata exact; duplicates
+    * across generations count multiply — a conservative over-estimate for
+    * the bloom-regrow sizing it feeds). Crash-safe without a manifest:
+    * every shard lands (atomic moves) before any old file is unlinked. */
   def compact(spark: SparkSession, dir: Path, prefix: String,
       cols: Seq[String], batch: Long, sortCol: Option[String] = None,
       shards: Int = 8): Long = {
-    val fs = files(dir)
-    if (fs.length <= 1) {
-      if (fs.isEmpty) 0L else spark.read.parquet(fs(0)).count()
+    val all = files(dir)
+    // compacted generations carry the `_c` marker; appends do not
+    val compacted = all.filter(new java.io.File(_).getName.contains("_c"))
+    val appends = all.filterNot(new java.io.File(_).getName.contains("_c"))
+    val major = compacted.length > MajorCompactShards
+    val fs = if (major) all else appends
+    val keep = if (major) Array.empty[String] else compacted
+    def totalCount(): Long = {
+      val now = files(dir)
+      if (now.isEmpty) 0L else spark.read.parquet(now: _*).count()
+    }
+    if (fs.length <= 1 || (fs.length + keep.length) <= 1) {
+      totalCount()
     } else {
       val stage = Files.createTempDirectory(dir, ".stage")
       try {
@@ -197,7 +220,6 @@ private[streaming] object GateStore {
               }.toMap
           case _ => Map.empty
         }
-        val total = spark.read.parquet(stage.toString).count()
         val nanos = System.nanoTime()
         parts.zipWithIndex.foreach { case (part, k) =>
           val suffix = ranged.get(part.getName)
@@ -207,7 +229,7 @@ private[streaming] object GateStore {
             StandardCopyOption.ATOMIC_MOVE)
         }
         fs.foreach(f => Files.deleteIfExists(Paths.get(f)))
-        total
+        totalCount()
       } finally deleteRecursively(stage.toFile)
     }
   }

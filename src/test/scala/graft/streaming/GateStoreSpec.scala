@@ -88,7 +88,7 @@ class GateStoreSpec extends AnyFunSuite {
     GateStore.deleteRecursively(dir.toFile)
   }
 
-  test("compaction distincts duplicated rows and survives re-compaction") {
+  test("compaction distincts duplicated rows; re-compaction is TIERED") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_gs2")
     val rows = (0 until 50).map(i => (i.toLong, "k" + i)).toDF("bucket", "id")
@@ -96,12 +96,23 @@ class GateStoreSpec extends AnyFunSuite {
     GateStore.append(rows, dir, "p", 2L, sortCol = Some("bucket")) // retry duplicate
     assert(GateStore.compact(spark, dir, "p", Seq("bucket", "id"), 2L,
       sortCol = Some("bucket"), shards = 2) === 50L)
-    // compacting an already-compacted store (plus one new append) re-folds
+    val gen1 = GateStore.files(dir).toSet
+    // a later compaction folds ONLY the new append into a new generation:
+    // the first generation's files survive untouched (O(new data) cycles,
+    // never an O(corpus) rewrite), and the returned count covers the
+    // whole store
     GateStore.append((50 until 60).map(i => (i.toLong, "k" + i)).toDF("bucket", "id"),
       dir, "p", 3L, sortCol = Some("bucket"))
     assert(GateStore.compact(spark, dir, "p", Seq("bucket", "id"), 3L,
       sortCol = Some("bucket"), shards = 2) === 60L)
+    assert(gen1.subsetOf(GateStore.files(dir).toSet),
+      "minor compaction must not rewrite earlier generations")
     assert(GateStore.maxBatch(dir, "p") === 3L)
+    // overlapping generation ranges are pruned per-file: a key present in
+    // both generations reads both and nothing else
+    val sf = GateStore.storeFiles(dir)
+    assert(spark.read.parquet(GateStore.pruned(sf, Array(55L)): _*)
+      .where(org.apache.spark.sql.functions.col("bucket") === 55L).count() === 1L)
     GateStore.deleteRecursively(dir.toFile)
   }
 

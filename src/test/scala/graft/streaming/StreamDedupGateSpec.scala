@@ -105,10 +105,13 @@ class StreamDedupGateSpec extends AnyFunSuite {
         (0 until 10).map(i => ((b * 10 + i).toLong, s"d-$b-$i")).toDF("id", "body"))
     }
     val store = new java.io.File(s"$root/a_gate/seen_keys")
-    // every 2nd batch folds the store into at most `shards` range files
-    // (default 8); at most one un-compacted batch file can sit on top of
-    // them at any time — bounded regardless of how many batches ran
-    assert(store.listFiles().count(_.getName.endsWith(".parquet")) <= 9)
+    // every 2nd batch MINOR-folds the new appends into a fresh generation
+    // of at most `shards` range files (old generations are not rewritten —
+    // tiered compaction keeps the cycle O(new data)); a major fold
+    // collapses everything once generations exceed MajorCompactShards, so
+    // the file count is bounded regardless of how many batches ran
+    assert(store.listFiles().count(_.getName.endsWith(".parquet")) <=
+      GateStore.MajorCompactShards + 9)
     assert(spark.read.parquet(store.getAbsolutePath).count() === 60L)
     // and a repeat of early content is still suppressed through the
     // compacted store
