@@ -476,6 +476,19 @@ object CvQueries {
                 |SELECT doc_id, text, lang FROM mh_in""".stripMargin)
       eng.createContView("v_mh_clean", "SELECT doc_id, lang FROM mh_clean",
         emitChanges = false)
+      // fifth sibling: the benchmark-decontamination gate — docs < 20 act
+      // as the eval/reference corpus (the q_decontaminate split), the
+      // stream carries the rest, and any doc sharing a word 3-gram with
+      // the reference is suppressed. Matching is exact on gram hashes, so
+      // the FULL admitted set is DuckDB-expressible (no LSH slice split).
+      eng.createStream("ct_in", corpus.schema)
+      eng.createStream("ct_clean", corpus.schema)
+      graft.streaming.ContaminationGate.create(eng, "ct_gate",
+        "SELECT doc_id, text, lang FROM ct_in",
+        textSql = "text", orderCol = "doc_id", sink = "ct_clean",
+        storeRoot = root, reference = docs.where(col("doc_id") < 20))
+      eng.createContView("v_ct_clean", "SELECT doc_id, lang FROM ct_clean",
+        emitChanges = false)
       eng
       }
       def feed(eng: ContViewEngine, lo: Long, hi: Long): Unit = {
@@ -487,6 +500,9 @@ object CvQueries {
           cosCorpus.where(col("vec_id") >= lo && col("vec_id") < hi))
         eng.insertInto("mh_in",
           mhCorpus.where(col("doc_id") >= lo && col("doc_id") < hi))
+        eng.insertInto("ct_in",
+          docs.where(col("doc_id") >= 20L &&
+            col("doc_id") >= lo && col("doc_id") < hi))
       }
       val eng1 = setup(new ContViewEngine(s, root))
       feed(eng1, Long.MinValue, 200L)
@@ -1058,5 +1074,38 @@ object CvQueries {
           .join(admitted.select(col("doc_id").as("a_id")),
             col("doc_id") === col("a_id"), "left_anti")
           .orderBy("doc_id")
+    },
+
+    // Streaming benchmark-decontamination gate (ContaminationGate,
+    // beyond-ref — the incremental q_decontaminate): docs < 20 are the
+    // eval/reference set; any streamed doc sharing a word 3-gram with it
+    // is suppressed. Matching is exact (xxhash64 of the gram — collision
+    // probability vanishing and deterministic), so the FULL admitted set
+    // is DuckDB-recomputable; the fixture's mid-feed restart also gates
+    // the persisted-reference bootstrap path.
+    QDef(
+      "q_contamination_stream",
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |         list_filter(regexp_split_to_array(text, ' '), x -> x <> '') AS t
+        |  FROM documents
+        |), grams AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+        |                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g3
+        |  FROM toks
+        |), ref AS (
+        |  SELECT DISTINCT unnest(g3) AS g FROM grams WHERE doc_id < 20
+        |), hits AS (
+        |  SELECT DISTINCT s.doc_id
+        |  FROM (SELECT doc_id, unnest(g3) AS g FROM grams WHERE doc_id >= 20) s
+        |  JOIN ref r ON s.g = r.g
+        |)
+        |SELECT d.doc_id, d.lang
+        |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        |WHERE d.doc_id >= 20 AND h.doc_id IS NULL
+        |ORDER BY d.doc_id""".stripMargin) {
+      (s, dir) =>
+        dedupGateFor(s, dir).overlay("v_ct_clean").orderBy("doc_id")
     })
 }

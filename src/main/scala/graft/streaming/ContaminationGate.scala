@@ -1,0 +1,224 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.cv.ContViewEngine
+
+/** Streaming benchmark-decontamination gate: a document is forwarded iff
+  * NONE of its word 3-grams appears in a static reference set (the
+  * benchmark/eval corpus) — the incremental form of the batch
+  * `q_decontaminate` operator, and the gate a training-data ingest
+  * pipeline runs so eval-contaminated documents never enter the corpus.
+  * Unlike the dedup gates the state here is FIXED at creation: the
+  * reference grams are hashed (xxhash64), deduplicated, range-sharded and
+  * bloom-indexed once; per-batch cost never grows because nothing is ever
+  * appended.
+  *
+  * Semantics (deterministic; order-independent — suppression depends only
+  * on the reference set, not on earlier stream content): a row whose
+  * `textSql` yields fewer than `n` tokens has no grams and always passes;
+  * NULL text likewise. Matching is on 64-bit gram hashes — a false
+  * suppression needs an xxhash64 collision between a document gram and a
+  * reference gram (~|doc grams|·|ref grams|/2^64; vanishing at any real
+  * corpus size, and deterministic when it happens).
+  *
+  * Per-batch flow mirrors the dedup gates' zero-shuffle shape: one
+  * bounded collect of (orderCol, gram hashes), driver bloom probe over
+  * the batch's distinct hashes (the filter never ships to executors), a
+  * pruned + in-set-filtered read of the reference store for bloom-hit
+  * hashes — verified on the driver when the pruned slice is small,
+  * distributed semi-join above that — then a narrow in-set survivor
+  * filter and the sink forward. Delivery is at-least-once under
+  * failure-retry (no store writes at all, so a retried batch is simply
+  * re-gated against the same reference).
+  *
+  * Restart: the hashed reference store persists under the engine root;
+  * re-running `create` on it skips re-seeding (or seeds it on first
+  * creation) and rebuilds the driver bloom from the store.
+  *
+  * Reference anchor: the transform surface is pipelinedb's CREATE VIEW
+  * with action=transform + output function (commands.c:219-253); the
+  * decontamination semantics are beyond-ref (training-data pipeline —
+  * the n-gram overlap definition follows the batch q_decontaminate
+  * operator so both ends of the pipeline agree on what "contaminated"
+  * means).
+  */
+final class ContaminationGate private (
+    eng: ContViewEngine,
+    val name: String,
+    textSql: String,
+    orderCol: String,
+    sink: String,
+    storeDir: Path,
+    n: Int,
+    bloomP: Double,
+    bloomN0: Int) {
+
+  private var bloom = graft.sketch.BloomFilter.empty(bloomP, bloomN0)
+  private var bloomN = bloomN0
+  private var batches = 0L
+  private var admitted = 0L
+  private var suppressed = 0L
+
+  /** (batches, admitted clean docs, suppressed contaminated docs) so far. */
+  def stats: (Long, Long, Long) = synchronized((batches, admitted, suppressed))
+
+  /** Distinct word n-gram hashes of a text column — the same gram shape
+    * as the batch decontamination operator (whitespace tokens, empties
+    * dropped, distinct n-grams; < n tokens → no grams). */
+  private def gramHashesCol(text: Column): Column = {
+    val t = filter(split(text, " "), x => x =!= "")
+    val grams = when(size(t) >= n,
+      array_distinct(transform(sequence(lit(1), size(t) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(k => element_at(t, i + k)): _*))))
+      .otherwise(array().cast("array<string>"))
+    transform(grams, g => xxhash64(g))
+  }
+
+  /** Seed the reference store from `reference(refTextCol)` — runs once,
+    * on first creation (a non-empty persisted store is left as-is). */
+  private[streaming] def seedReference(reference: DataFrame, refTextCol: String): Unit =
+    synchronized {
+      if (GateStore.files(storeDir).isEmpty) {
+        GateStore.append(
+          reference.select(explode(gramHashesCol(col(refTextCol))).as("gh"))
+            .distinct(),
+          storeDir, "grams", 1L, sortCol = Some("gh"))
+        // range-shard + stamp immediately: the store is read-only from here
+        GateStore.compact(eng.spark, storeDir, "grams", Seq("gh"), 1L,
+          sortCol = Some("gh"))
+      }
+    }
+
+  /** Rebuild the driver bloom from the persisted reference store, regrown
+    * to the store's size. */
+  private[streaming] def bootstrap(): Unit = synchronized {
+    val files = GateStore.files(storeDir)
+    if (files.nonEmpty) {
+      val count = eng.spark.read.parquet(files: _*).count()
+      if (count > bloomN)
+        bloomN = math.min(Int.MaxValue.toLong, count * 2).toInt
+      bloom = graft.sketch.BloomFilter.empty(bloomP, bloomN)
+      bloom.union(graft.sketch.BloomFilter.deserialize(
+        eng.spark.read.parquet(files: _*)
+          .agg(graft.functions.GraftFunctions.bloom_agg(col("gh"), bloomP, bloomN).as("b"))
+          .collect()(0).getAs[Array[Byte]]("b")))
+    }
+  }
+
+  private[streaming] def onBatch(batch: DataFrame): Unit = synchronized {
+    batches += 1
+    val s = batch.sparkSession
+    val obs = new org.apache.spark.sql.Observation(s"ctgate_${name}_$batches")
+    val keyed = batch.drop("arrival_timestamp")
+      .withColumn("__gh", gramHashesCol(expr(textSql)))
+      .observe(obs, count(lit(1)).as("rows"))
+      .persist()
+    try {
+      // one bounded collect: (orderCol, distinct gram hashes) per doc
+      val rows: Array[(Any, Array[Long])] =
+        keyed.where(size(col("__gh")) > 0).select(col(orderCol), col("__gh"))
+          .collect().map(r => (r.get(0), r.getSeq[Long](1).toArray))
+      val storeF = GateStore.storeFiles(storeDir)
+      // candidate map: bloom-positive hash -> doc row indices
+      val candByHash =
+        new java.util.HashMap[java.lang.Long, java.util.ArrayList[Integer]]()
+      if (storeF.nonEmpty) {
+        var i = 0
+        while (i < rows.length) {
+          rows(i)._2.foreach { gh =>
+            if (bloom.contains(gh))
+              candByHash.computeIfAbsent(gh, _ => new java.util.ArrayList[Integer]()).add(i)
+          }
+          i += 1
+        }
+      }
+      val hitKeys: Array[Long] = {
+        val arr = new Array[Long](candByHash.size)
+        val it = candByHash.keySet().iterator(); var k = 0
+        while (it.hasNext) { arr(k) = it.next(); k += 1 }
+        arr
+      }
+      val suppressedSet = new java.util.HashSet[Any]()
+      if (hitKeys.nonEmpty) {
+        val pushdown = hitKeys.length <= GateStore.MaxPushdownKeys
+        val paths =
+          if (pushdown) GateStore.pruned(storeF, hitKeys)
+          else storeF.map(_.path)
+        if (paths.nonEmpty) {
+          val sliceBytes = paths.map(p => new java.io.File(p).length()).sum
+          if (pushdown && sliceBytes <= GateStore.MaxDriverVerifyBytes) {
+            // verify on the driver: which bloom-hit hashes are really in
+            // the reference?
+            s.read.parquet(paths: _*)
+              .where(GateStore.inSetCol(col("gh"), hitKeys.toSeq))
+              .collect().foreach { r =>
+                val cands = candByHash.get(r.getLong(0))
+                if (cands != null)
+                  cands.forEach(i => { suppressedSet.add(rows(i)._1); () })
+              }
+          } else {
+            // distributed fallback: semi-join the hit hashes against the
+            // reference, collect the verified ones
+            val hitRows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+            hitKeys.foreach(gh => { hitRows.add(org.apache.spark.sql.Row(gh)); () })
+            val hitDf = s.createDataFrame(hitRows,
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("gh",
+                  org.apache.spark.sql.types.LongType, nullable = false))))
+            hitDf.join(s.read.parquet(paths: _*), Seq("gh"), "left_semi")
+              .collect().foreach { r =>
+                val cands = candByHash.get(r.getLong(0))
+                if (cands != null)
+                  cands.forEach(i => { suppressedSet.add(rows(i)._1); () })
+              }
+          }
+        }
+      }
+      val total = obs.get("rows").asInstanceOf[Long]
+      val nOut = total - suppressedSet.size
+      admitted += nOut
+      suppressed += total - nOut
+      if (nOut > 0) {
+        val survivors =
+          (if (suppressedSet.isEmpty) keyed
+           else keyed.where(col(orderCol).isNull ||
+             !GateStore.inSetCol(col(orderCol), suppressedSet.toArray.toSeq)))
+            .drop("__gh")
+        eng.insertInto(sink, survivors)
+      }
+    } finally keyed.unpersist()
+  }
+}
+
+object ContaminationGate {
+
+  /** Register a decontamination gate on `eng`: a continuous transform
+    * reading `selectSql` (must project `orderCol`, unique per stream;
+    * `textSql` computes the text whose `n`-grams are checked) whose
+    * reference-clean survivors are forwarded to stream `sink`. The
+    * reference grams come from `reference(refTextCol)` — seeded into the
+    * persisted store on FIRST creation; a restart re-uses the store and
+    * only rebuilds the driver bloom.
+    */
+  def create(eng: ContViewEngine, name: String, selectSql: String,
+      textSql: String, orderCol: String, sink: String, storeRoot: String,
+      reference: DataFrame, refTextCol: String = "text", n: Int = 3,
+      bloomP: Double = 0.01, bloomN: Int = 1 << 20): ContaminationGate = {
+    require(n >= 1, s"gram size must be >= 1, got $n")
+    val dir = Paths.get(storeRoot, name, "ref_grams")
+    Files.createDirectories(dir)
+    val gate = new ContaminationGate(eng, name, textSql, orderCol, sink,
+      dir, n, bloomP, bloomN)
+    gate.seedReference(reference, refTextCol)
+    gate.bootstrap()
+    eng.createContTransform(name, selectSql,
+      outputFunc = Some(gate.onBatch _), emitChanges = false)
+    // a catalog-replayed transform is bare (no callback) — re-attach
+    eng.rebindTransformOutput(name, gate.onBatch _)
+    gate
+  }
+}

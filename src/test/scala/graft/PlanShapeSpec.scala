@@ -115,8 +115,9 @@ class PlanShapeSpec extends AnyFunSuite {
     // q_neardup_stream adds the suppressed-copy anti-join (broadcast).
     "q_dedup_stream" -> 1, "q_neardup_stream" -> 2, "q_cosine_stream" -> 1,
     // q_jaccard_stream: same read shape as q_neardup_stream — the seeded
-    // slice anti-joined against the admitted overlay + range sort
-    "q_jaccard_stream" -> 2)
+    // slice anti-joined against the admitted overlay + range sort.
+    // q_contamination_stream: append-only matrel read + range sort.
+    "q_jaccard_stream" -> 2, "q_contamination_stream" -> 1)
 
   private lazy val plans: Map[String, String] =
     SparkEntry.queries.map { case (name, fn) =>

@@ -1,0 +1,128 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cv.ContViewEngine
+
+/** Brute-force semantics of the decontamination gate: admitted(d) iff d
+  * shares NO word 3-gram with the reference corpus — order-independent,
+  * invariant across batch splits, resumable from the persisted reference
+  * store without re-seeding. The oracle row (q_contamination_stream)
+  * checks the full admitted set end-to-end; this spec pins the unit
+  * semantics (short/null text, batch splits, restart, stats).
+  */
+class ContaminationGateSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  import spark.implicits._
+
+  private val vocab = (0 until 60).map(i => s"w$i")
+
+  private def mkDoc(rng: scala.util.Random, words: Int): String =
+    (0 until words).map(_ => vocab(rng.nextInt(vocab.size))).mkString(" ")
+
+  /** reference: 8 docs; stream: 40 docs, every 4th embedding a verbatim
+    * 5-word span of a reference doc (guaranteed shared 3-gram). */
+  private def fixture(): (DataFrame, DataFrame) = {
+    val rng = new scala.util.Random(41)
+    val ref = (0 until 8).map(i => (i.toLong, mkDoc(rng, 30)))
+    val stream = (100 until 140).map { i =>
+      val base = mkDoc(rng, 25)
+      val text =
+        if (i % 4 == 0) {
+          val r = ref((i / 4) % ref.size)._2.split(" ").slice(3, 8).mkString(" ")
+          base + " " + r
+        } else base
+      (i.toLong, text)
+    }
+    (ref.toDF("id", "body"), stream.toDF("id", "body"))
+  }
+
+  private def grams(text: String): Set[String] = {
+    val t = Option(text).getOrElse("").split(" ").filter(_.nonEmpty)
+    if (t.length < 3) Set.empty
+    else t.sliding(3).map(_.mkString(" ")).toSet
+  }
+
+  private def expectedAdmitted(ref: DataFrame, stream: DataFrame): Set[Long] = {
+    val refGrams = ref.collect().flatMap(r => grams(r.getString(1))).toSet
+    stream.collect()
+      .filter(r => grams(r.getString(1)).intersect(refGrams).isEmpty)
+      .map(_.getLong(0)).toSet
+  }
+
+  private def runGate(root: String, engSuffix: String, ref: DataFrame,
+      batches: Seq[DataFrame]): (ContViewEngine, ContaminationGate) = {
+    val eng = new ContViewEngine(spark, root + "/eng" + engSuffix)
+    val schema = Seq((0L, "x")).toDF("id", "body").schema
+    eng.createStream("d_in", schema)
+    eng.createStream("d_out", schema)
+    // deliberately tiny bloom: false positives only cost store reads
+    val g = ContaminationGate.create(eng, "d_gate",
+      "SELECT id, body FROM d_in", textSql = "body", orderCol = "id",
+      sink = "d_out", storeRoot = root + "/gate",
+      reference = ref, refTextCol = "body", bloomP = 0.2, bloomN = 64)
+    eng.createContView("v_d", "SELECT id FROM d_out", emitChanges = false)
+    batches.foreach(b => eng.insertInto("d_in", b))
+    (eng, g)
+  }
+
+  private def admitted(eng: ContViewEngine): Set[Long] =
+    eng.overlay("v_d").collect().map(_.getLong(0)).toSet
+
+  test("admitted set equals gram-overlap brute force, across batch splits") {
+    val (ref, stream) = fixture()
+    val expected = expectedAdmitted(ref, stream)
+    // every doc carrying a verbatim reference span must be out; most
+    // purely-random docs stay in (a few may collide naturally)
+    assert((100 until 140 by 4).forall(i => !expected.contains(i.toLong)))
+    assert(expected.size < 40 && expected.size >= 20,
+      s"fixture must actually exercise suppression (got ${expected.size})")
+    val r1 = java.nio.file.Files.createTempDirectory("graft_ct1").toString
+    assert(admitted(runGate(r1, "a", ref, Seq(stream))._1) === expected,
+      "single batch")
+    val r2 = java.nio.file.Files.createTempDirectory("graft_ct2").toString
+    val (e2, g2) = runGate(r2, "a", ref,
+      Seq(stream.where(col("id") < 120), stream.where(col("id") >= 120)))
+    assert(admitted(e2) === expected, "two-batch feed admits the same set")
+    val (b, adm, sup) = g2.stats
+    assert(b === 2L && adm === expected.size.toLong &&
+      sup === (40 - expected.size).toLong)
+  }
+
+  test("short and null texts have no grams and always pass") {
+    val (ref, _) = fixture()
+    val root = java.nio.file.Files.createTempDirectory("graft_ct3").toString
+    val shorties = Seq((1L, "alpha beta"), (2L, null.asInstanceOf[String]),
+      (3L, ""), (4L, ref.collect()(0).getString(1))).toDF("id", "body")
+    val (eng, g) = runGate(root, "a", ref, Seq(shorties))
+    assert(admitted(eng) === Set(1L, 2L, 3L),
+      "sub-gram docs pass; the verbatim reference copy is suppressed")
+    assert(g.stats === ((1L, 3L, 1L)))
+  }
+
+  test("restart: re-created gate reuses the persisted reference store") {
+    val (ref, stream) = fixture()
+    val expected = expectedAdmitted(ref, stream)
+    val root = java.nio.file.Files.createTempDirectory("graft_ct4").toString
+    runGate(root, "1", ref, Seq(stream.where(col("id") < 120))) // then "crash"
+    // the restarted incarnation gets an EMPTY reference frame: the store
+    // must already be seeded and must not be re-derived
+    val emptyRef = ref.where(lit(false))
+    val (e2, _) = runGate(root, "2", emptyRef, Seq(stream.where(col("id") >= 120)))
+    assert(admitted(e2) === expected.filter(_ >= 120L),
+      "post-restart batches gate against the persisted reference")
+  }
+}
