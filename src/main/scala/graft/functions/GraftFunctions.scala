@@ -79,17 +79,20 @@ object GraftFunctions {
     }
 
   /** Registers every sketch function for SQL use in this session.
-    * Idempotent per registry: every engine construction (and several query
-    * fixtures) calls this on the same session, and re-registering would
-    * spam a "replaced a previously registered function" WARN per function
-    * per call — drowning real warnings — so a sentinel lookup skips the
-    * no-op repeat. (The builders are stateless objects: a re-register
-    * would install identical functions anyway.) */
-  def register(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("hll_agg")))
+    * Idempotent per SESSION (tracked by identity, not by probing function
+    * names — a user function that happens to shadow one of ours must not
+    * suppress installation of the rest): every engine construction calls
+    * this on the same session, and re-registering would spam a "replaced
+    * a previously registered function" WARN per function per call. */
+  def register(spark: SparkSession): Unit =
+    if (registeredSessions.add(spark)) {
+      val reg = spark.sessionState.functionRegistry
       installAll((name, builder) => reg.createOrReplaceTempFunction(name, builder, "internal"))
-  }
+    }
+
+  private val registeredSessions =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
 
   /** Plug the whole function surface into a SparkSessionExtensions — the
     * cluster-deployment path: `--conf spark.sql.extensions=graft.GraftExtensions`

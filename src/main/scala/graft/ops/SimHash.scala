@@ -79,10 +79,12 @@ object SimHash {
     * implementation). */
   def blockKeysOf(fp: Long, blocks: Int, maxDist: Int): Array[Long] = {
     val keep = blocks - maxDist // blocks per key
-    // block i covers bits [i*64/blocks, (i+1)*64/blocks)
-    val starts = (0 to blocks).map(i => i * 64 / blocks)
-    val combos = comboCache.computeIfAbsent((blocks, keep),
-      _ => (0 until blocks).combinations(keep).map(_.toArray).toArray)
+    // block i covers bits [i*64/blocks, (i+1)*64/blocks); geometry cached —
+    // this runs per ROW on executor hot paths (the batch pipeline's
+    // explode) and per collected row on gate drivers
+    val (starts, combos) = comboCache.computeIfAbsent((blocks, keep),
+      _ => (Array.tabulate(blocks + 1)(i => i * 64 / blocks),
+        (0 until blocks).combinations(keep).map(_.toArray).toArray))
     val out = new Array[Long](combos.length)
     var c = 0
     while (c < combos.length) {
@@ -101,8 +103,8 @@ object SimHash {
     out
   }
 
-  private val comboCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Int]]]()
+  private val comboCache = new java.util.concurrent.ConcurrentHashMap[
+    (Int, Int), (Array[Int], Array[Array[Int]])]()
 
   /** Banded bucket keys of a fingerprint column under the block-permutation
     * scheme — the [[SimHashBlockKeys]] expression as a composable Column

@@ -98,14 +98,11 @@ final class ContaminationGate private (
   private[streaming] def bootstrap(): Unit = synchronized {
     val files = GateStore.files(storeDir)
     if (files.nonEmpty) {
-      val count = eng.spark.read.parquet(files: _*).count()
-      if (count > bloomN)
-        bloomN = math.min(Int.MaxValue.toLong, count * 2).toInt
-      bloom = graft.sketch.BloomFilter.empty(bloomP, bloomN)
-      bloom.union(graft.sketch.BloomFilter.deserialize(
-        eng.spark.read.parquet(files: _*)
-          .agg(graft.functions.GraftFunctions.bloom_agg(col("gh"), bloomP, bloomN).as("b"))
-          .collect()(0).getAs[Array[Byte]]("b")))
+      // the count is footer-metadata only; the bloom build is the one real
+      // read — both sized off the store's actual gram count
+      bloomN = GateStore.bloomSizeFor(
+        eng.spark.read.parquet(files: _*).count(), bloomN)
+      bloom = GateStore.buildBloom(eng.spark, storeDir, "gh", bloomP, bloomN)
     }
   }
 
@@ -158,7 +155,11 @@ final class ContaminationGate private (
               .collect().foreach { r =>
                 val cands = candByHash.get(r.getLong(0))
                 if (cands != null)
-                  cands.forEach(i => { suppressedSet.add(rows(i)._1); () })
+                  cands.forEach(i => {
+                    // null order ids can never be suppressed — pass through
+                    if (rows(i)._1 != null) suppressedSet.add(rows(i)._1)
+                    ()
+                  })
               }
           } else {
             // distributed fallback: semi-join the hit hashes against the
@@ -173,7 +174,10 @@ final class ContaminationGate private (
               .collect().foreach { r =>
                 val cands = candByHash.get(r.getLong(0))
                 if (cands != null)
-                  cands.forEach(i => { suppressedSet.add(rows(i)._1); () })
+                  cands.forEach(i => {
+                    if (rows(i)._1 != null) suppressedSet.add(rows(i)._1)
+                    ()
+                  })
               }
           }
         }

@@ -46,11 +46,21 @@ private[streaming] object GateStore {
     * analyzing/optimizing that tree per batch (measured: ~2 s of a 3 s
     * batch). InSet carries the whole set in a single node, so plan work is
     * O(1) in the key count. Values are converted to Catalyst-internal form
-    * (strings → UTF8String) because InSet compares runtime values. */
+    * (strings → UTF8String, timestamps → micros, dates → days, …) because
+    * InSet compares RUNTIME values — a java.sql.Timestamp in the set would
+    * silently never match the column's internal Long and the filter would
+    * no-op. Binary keys are rejected loudly: their internal form is a
+    * byte array whose set equality is referential, so a binary
+    * orderCol/keySql cannot gate correctly — hash it to string/long. */
   def inSetCol(c: org.apache.spark.sql.Column, values: Iterable[Any]): org.apache.spark.sql.Column = {
     val conv: Set[Any] = values.map {
-      case s: String => org.apache.spark.unsafe.types.UTF8String.fromString(s)
-      case other => other
+      case b: Array[Byte] =>
+        throw new IllegalArgumentException(
+          "binary gate keys are not supported (byte-array equality is " +
+            s"referential in a filter set; got ${b.length}-byte value) — " +
+            "hash the key to a string or long in keySql/orderCol")
+      case other =>
+        org.apache.spark.sql.catalyst.CatalystTypeConverters.convertToCatalyst(other)
     }.toSet
     org.apache.spark.sql.GraftBridge.column(
       org.apache.spark.sql.catalyst.expressions.InSet(
@@ -233,6 +243,28 @@ private[streaming] object GateStore {
       } finally deleteRecursively(stage.toFile)
     }
   }
+
+  /** One distributed pass building a bloom of design size `n` over
+    * `colName` across every file in `dir` — the shared regrow/bootstrap
+    * primitive (compaction and restart both right-size the filter from
+    * the store's actual key count so it never runs saturated). */
+  def buildBloom(spark: SparkSession, dir: Path, colName: String,
+      p: Double, n: Int): graft.sketch.BloomFilter = {
+    val out = graft.sketch.BloomFilter.empty(p, n)
+    val fs = files(dir)
+    if (fs.nonEmpty)
+      out.union(graft.sketch.BloomFilter.deserialize(
+        spark.read.parquet(fs: _*)
+          .agg(graft.functions.GraftFunctions.bloom_agg(col(colName), p, n).as("b"))
+          .collect()(0).getAs[Array[Byte]]("b")))
+    out
+  }
+
+  /** The bloom design size for a store of `count` keys given the current
+    * size `n0` — grows (never shrinks) with 2x headroom. */
+  def bloomSizeFor(count: Long, n0: Int): Int =
+    if (count <= n0) n0
+    else math.min(Int.MaxValue.toLong, math.max(n0.toLong * 4, count * 2)).toInt
 
   def deleteRecursively(f: java.io.File): Unit = {
     Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)

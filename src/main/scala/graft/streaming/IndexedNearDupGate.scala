@@ -78,7 +78,18 @@ private[streaming] abstract class IndexedNearDupGate[P](
 
   private[streaming] def bootstrap(): Unit = synchronized {
     val files = GateStore.files(idxDir)
+    if (files.isEmpty && GateStore.files(payloadDir).nonEmpty)
+      throw new IllegalStateException(
+        s"$name: payload store at $payloadDir exists without its " +
+          s"(bucket, id) index at $idxDir — a pre-split-layout store; " +
+          "rebuild the index (one pass re-keying the payloads) before " +
+          "restarting this gate")
     if (files.nonEmpty) {
+      // right-size FIRST (metadata-only count): a corpus-sized index under
+      // the construction-time design n would run the filter saturated
+      // until the next compaction regrew it
+      bloomN = GateStore.bloomSizeFor(
+        eng.spark.read.parquet(files: _*).count(), bloomN)
       val keys = eng.spark.read.parquet(files: _*).select(col("bucket"))
       val row =
         if (bucketCounts == null)
@@ -87,6 +98,7 @@ private[streaming] abstract class IndexedNearDupGate[P](
         else
           keys.agg(GraftFunctions.bloom_agg(col("bucket"), bloomP, bloomN).as("b"),
             GraftFunctions.freq_agg(col("bucket")).as("c")).collect()(0)
+      bloom = BloomFilter.empty(bloomP, bloomN)
       bloom.union(BloomFilter.deserialize(row.getAs[Array[Byte]]("b")))
       if (bucketCounts != null)
         bucketCounts.merge(
@@ -214,33 +226,52 @@ private[streaming] abstract class IndexedNearDupGate[P](
         else if (keyPush) GateStore.pruned(idxF, hitKeys)
         else idxF.map(_.path)
       if (idxPaths.nonEmpty) {
-        // phase 1: candidate ids from the pruned (bucket, id) index —
-        // the payload bytes stay unread
-        val idxRows: Array[(Long, Any)] = {
-          val filtered =
-            if (keyPush)
-              s.read.parquet(idxPaths: _*)
-                .where(GateStore.inSetCol(col("bucket"), hitKeys.toSeq))
-            else {
-              val all = s.read.parquet(idxPaths: _*)
-              if (overCapSet.isEmpty) all
-              else {
-                val oc = overCapSet.toArray.toSeq.asInstanceOf[Seq[Any]]
-                all.where(!GateStore.inSetCol(col("bucket"), oc))
+        // phase 1: candidate (batch row, store id) pairs from the pruned
+        // (bucket, id) index — the payload bytes stay unread. Pushdown
+        // path: collect the in-set-filtered index rows (bounded by the
+        // batch's hit-bucket occupancy) and pair on the driver. Fallback
+        // (more hit keys than MaxPushdownKeys): the index must NOT be
+        // collected wholesale — ship the (bucket, batch-row) hits as a
+        // LocalRelation, join the index distributed, and collect only the
+        // surviving deduplicated pairs.
+        val pairs = new java.util.HashMap[Any, java.util.HashSet[Integer]]()
+        if (keyPush) {
+          s.read.parquet(idxPaths: _*)
+            .where(GateStore.inSetCol(col("bucket"), hitKeys.toSeq))
+            .select(col("bucket"), col("id"))
+            .collect().foreach { r =>
+              val cands = candByBucket.get(r.getLong(0))
+              if (cands != null) {
+                val set = pairs.computeIfAbsent(r.get(1),
+                  _ => new java.util.HashSet[Integer]())
+                var k = 0
+                while (k < cands.size) { set.add(cands.get(k)); k += 1 }
               }
             }
-          filtered.select(col("bucket"), col("id"))
-            .collect().map(r => (r.getLong(0), r.get(1)))
-        }
-        // (store id -> batch row indices) candidate pairs, deduped
-        val pairs = new java.util.HashMap[Any, java.util.HashSet[Integer]]()
-        idxRows.foreach { case (b, idS) =>
-          val cands = candByBucket.get(b)
-          if (cands != null) {
-            val set = pairs.computeIfAbsent(idS, _ => new java.util.HashSet[Integer]())
-            var k = 0
-            while (k < cands.size) { set.add(cands.get(k)); k += 1 }
+        } else {
+          val hitRows = new java.util.ArrayList[Row]()
+          candByBucket.forEach { (b, list) =>
+            list.forEach(i => { hitRows.add(Row(b.longValue, i.intValue)); () })
           }
+          val hitDf = s.createDataFrame(hitRows,
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("bucket",
+                org.apache.spark.sql.types.LongType, nullable = false),
+              org.apache.spark.sql.types.StructField("__ri",
+                org.apache.spark.sql.types.IntegerType, nullable = false))))
+          val all = s.read.parquet(idxPaths: _*)
+          val idx =
+            if (overCapSet.isEmpty) all
+            else {
+              val oc = overCapSet.toArray.toSeq.asInstanceOf[Seq[Any]]
+              all.where(!GateStore.inSetCol(col("bucket"), oc))
+            }
+          hitDf.join(idx, Seq("bucket")).select(col("__ri"), col("id"))
+            .distinct().collect().foreach { r =>
+              pairs.computeIfAbsent(r.get(1),
+                _ => new java.util.HashSet[Integer]()).add(r.getInt(0))
+              ()
+            }
         }
         if (!pairs.isEmpty) {
           // phase 2: fetch ONLY the candidate payloads, id set pushed into
@@ -260,7 +291,11 @@ private[streaming] abstract class IndexedNearDupGate[P](
                 if (cands != null) {
                   val pS = payloadOf(r)
                   cands.forEach { i =>
-                    if (similar(rows(i)._2, pS)) suppressedSet.add(rows(i)._1)
+                    // a null order id can never be suppressed (nothing can
+                    // target it downstream) — it passes through, matching
+                    // the documented null semantics of every gate filter
+                    if (rows(i)._1 != null && similar(rows(i)._2, pS))
+                      suppressedSet.add(rows(i)._1)
                     ()
                   }
                 }
@@ -299,15 +334,10 @@ private[streaming] abstract class IndexedNearDupGate[P](
     val n = GateStore.compact(eng.spark, idxDir, "keys", Seq("bucket", "id"),
       batches, sortCol = Some("bucket"))
     if (n > bloomN) {
-      bloomN = math.min(Int.MaxValue.toLong,
-        math.max(bloomN.toLong * 4, n * 2)).toInt
+      bloomN = GateStore.bloomSizeFor(n, bloomN)
       System.err.println(s"[graft] ${getClass.getSimpleName}($name): index at " +
         s"$n keys outgrew the bloom design size; regrowing filter to n=$bloomN")
-      bloom = BloomFilter.empty(bloomP, bloomN)
-      bloom.union(BloomFilter.deserialize(
-        eng.spark.read.parquet(GateStore.files(idxDir): _*)
-          .agg(GraftFunctions.bloom_agg(col("bucket"), bloomP, bloomN).as("b"))
-          .collect()(0).getAs[Array[Byte]]("b")))
+      bloom = GateStore.buildBloom(eng.spark, idxDir, "bucket", bloomP, bloomN)
     }
   }
 }

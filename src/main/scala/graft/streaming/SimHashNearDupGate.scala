@@ -96,7 +96,16 @@ final class SimHashNearDupGate private (
   private[streaming] def bootstrap(): Unit = synchronized {
     val files = GateStore.files(storeDir)
     if (files.nonEmpty) {
-      val keys = eng.spark.read.parquet(files: _*).select(col("bucket"))
+      val store = eng.spark.read.parquet(files: _*)
+      require(store.columns.contains("bucket"),
+        s"$name: fingerprint store at $storeDir predates the exploded " +
+          "(bucket, id, fp) layout — re-band it (one pass re-exploding fp) " +
+          "before restarting this gate")
+      // right-size FIRST (metadata-only count): a corpus-sized store under
+      // the construction-time design n would run the filter saturated
+      // until the next compaction regrew it
+      bloomN = GateStore.bloomSizeFor(store.count(), bloomN)
+      val keys = store.select(col("bucket"))
       val row =
         if (bucketCounts == null)
           keys.agg(GraftFunctions.bloom_agg(col("bucket"), bloomP, bloomN).as("b"))
@@ -104,6 +113,7 @@ final class SimHashNearDupGate private (
         else
           keys.agg(GraftFunctions.bloom_agg(col("bucket"), bloomP, bloomN).as("b"),
             GraftFunctions.freq_agg(col("bucket")).as("c")).collect()(0)
+      bloom = BloomFilter.empty(bloomP, bloomN)
       bloom.union(BloomFilter.deserialize(row.getAs[Array[Byte]]("b")))
       if (bucketCounts != null)
         bucketCounts.merge(
@@ -122,15 +132,10 @@ final class SimHashNearDupGate private (
     val n = GateStore.compact(eng.spark, storeDir, "fps",
       Seq("bucket", "id", "fp"), batches, sortCol = Some("bucket"))
     if (n > bloomN) {
-      bloomN = math.min(Int.MaxValue.toLong,
-        math.max(bloomN.toLong * 4, n * 2)).toInt
+      bloomN = GateStore.bloomSizeFor(n, bloomN)
       System.err.println(s"[graft] SimHashNearDupGate($name): store at $n keys " +
         s"outgrew the bloom design size; regrowing filter to n=$bloomN")
-      bloom = BloomFilter.empty(bloomP, bloomN)
-      bloom.union(BloomFilter.deserialize(
-        eng.spark.read.parquet(GateStore.files(storeDir): _*)
-          .agg(GraftFunctions.bloom_agg(col("bucket"), bloomP, bloomN).as("b"))
-          .collect()(0).getAs[Array[Byte]]("b")))
+      bloom = GateStore.buildBloom(eng.spark, storeDir, "bucket", bloomP, bloomN)
     }
   }
 
@@ -312,7 +317,10 @@ final class SimHashNearDupGate private (
               if (cands != null) {
                 var k = 0
                 while (k < cands.size) {
-                  if (java.lang.Long.bitCount(cands.get(k).getLong(2) ^ m.getLong(1)) <= maxDist)
+                  // null order ids can never be suppressed (nothing can
+                  // target them downstream) — they pass through
+                  if (cands.get(k).get(1) != null &&
+                      java.lang.Long.bitCount(cands.get(k).getLong(2) ^ m.getLong(1)) <= maxDist)
                     out.add(cands.get(k).get(1))
                   k += 1
                 }
@@ -345,6 +353,7 @@ final class SimHashNearDupGate private (
             hitDf.join(store, Seq("bucket"))
               .where(bit_count(col("fp").bitwiseXOR(col("fp_s"))) <= maxDist)
               .select(col("__id")).distinct().collect().map(_.get(0))
+              .filter(_ != null)
           }
         }
       val suppressedSet = new java.util.HashSet[Any]()

@@ -102,10 +102,11 @@ final class StreamDedupGate private (
   private[streaming] def bootstrap(): Unit = synchronized {
     val files = GateStore.files(storeDir)
     if (files.nonEmpty) {
-      val b = eng.spark.read.parquet(files: _*)
-        .agg(GraftFunctions.bloom_agg(col("h"), bloomP, bloomN).as("b"))
-        .collect()(0).getAs[Array[Byte]]("b")
-      bloom.union(BloomFilter.deserialize(b))
+      // right-size FIRST (metadata-only count): a corpus-sized store under
+      // the construction-time design n would run the filter saturated
+      bloomN = GateStore.bloomSizeFor(
+        eng.spark.read.parquet(files: _*).count(), bloomN)
+      bloom = GateStore.buildBloom(eng.spark, storeDir, "h", bloomP, bloomN)
       batches = GateStore.maxBatch(storeDir, "keys")
     }
   }
@@ -124,15 +125,10 @@ final class StreamDedupGate private (
     val n = GateStore.compact(eng.spark, storeDir, "keys", Seq("h"), batches,
       sortCol = Some("h"))
     if (n > bloomN) {
-      bloomN = math.min(Int.MaxValue.toLong,
-        math.max(bloomN.toLong * 4, n * 2)).toInt
+      bloomN = GateStore.bloomSizeFor(n, bloomN)
       System.err.println(s"[graft] StreamDedupGate($name): store at $n keys " +
         s"outgrew the bloom design size; regrowing filter to n=$bloomN")
-      bloom = BloomFilter.empty(bloomP, bloomN)
-      bloom.union(BloomFilter.deserialize(
-        eng.spark.read.parquet(GateStore.files(storeDir): _*)
-          .agg(GraftFunctions.bloom_agg(col("h"), bloomP, bloomN).as("b"))
-          .collect()(0).getAs[Array[Byte]]("b")))
+      bloom = GateStore.buildBloom(eng.spark, storeDir, "h", bloomP, bloomN)
     }
   }
 
@@ -178,14 +174,18 @@ final class StreamDedupGate private (
         var i = 0
         while (i < rows.length) {
           val (id, h) = rows(i)
-          if (id != null) {
-            val prev = winnerByKey.get(h)
-            if (prev == null) winnerByKey.put(h, (id, i))
-            else if (GateStore.lt(id, prev._1)) {
-              inBatchSuppressed.add(prev._1)
-              winnerByKey.put(h, (id, i))
-            } else inBatchSuppressed.add(id)
-          }
+          val prev = winnerByKey.get(h)
+          if (prev == null) winnerByKey.put(h, (id, i))
+          else if (prev._1 == null) {
+            // a null-order-id winner keeps its key (nulls order first, as
+            // the window path did); a later non-null row is suppressed; a
+            // SECOND null-id row cannot be targeted by any id filter and
+            // passes through — off the unique-orderCol contract either way
+            if (id != null) inBatchSuppressed.add(id)
+          } else if (id == null || GateStore.lt(id, prev._1)) {
+            inBatchSuppressed.add(prev._1)
+            winnerByKey.put(h, (id, i))
+          } else inBatchSuppressed.add(id)
           i += 1
         }
       } else rows.foreach { case (id, h) => winnerByKey.put(h, (id, -1)) }

@@ -116,6 +116,55 @@ class GateStoreSpec extends AnyFunSuite {
     GateStore.deleteRecursively(dir.toFile)
   }
 
+  test("inSetCol matches Catalyst-internal forms beyond string/long") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val ts = java.sql.Timestamp.valueOf("2026-01-02 03:04:05")
+    val d = java.sql.Date.valueOf("2026-01-02")
+    val rows = Seq((1L, ts, d, BigDecimal("12.340")))
+      .toDF("id", "ts", "d", "dec")
+    // a raw java.sql.Timestamp in the set would never match the column's
+    // internal micros — the converter must translate every external form
+    assert(rows.where(GateStore.inSetCol(col("ts"), Seq(ts))).count() === 1)
+    assert(rows.where(GateStore.inSetCol(col("d"), Seq(d))).count() === 1)
+    assert(rows.where(GateStore.inSetCol(col("dec"),
+      Seq(new java.math.BigDecimal("12.340")))).count() === 1)
+    assert(rows.where(GateStore.inSetCol(col("id"), Seq(2L))).count() === 0)
+    // binary keys fail loudly instead of silently never matching
+    intercept[IllegalArgumentException] {
+      GateStore.inSetCol(col("id"), Seq(Array[Byte](1, 2)))
+    }
+  }
+
+  test("exact gate suppresses correctly with a timestamp orderCol") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("graft_gs4").toString
+    val eng = new graft.cv.ContViewEngine(spark, root)
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val schema = Seq((t("2026-01-01 00:00:00"), "x")).toDF("ts", "body").schema
+    eng.createStream("tg_in", schema)
+    eng.createStream("tg_out", org.apache.spark.sql.types.StructType(
+      schema.fields :+ org.apache.spark.sql.types.StructField("h",
+        org.apache.spark.sql.types.StringType)))
+    val gate = StreamDedupGate.create(eng, "tg_gate",
+      "SELECT ts, body FROM tg_in", keySql = "md5(body)", orderCol = "ts",
+      sink = "tg_out", storeRoot = root)
+    eng.createContView("v_tg", "SELECT ts FROM tg_out", emitChanges = false)
+    eng.insertInto("tg_in", Seq((t("2026-01-01 00:00:01"), "aa")).toDF("ts", "body"))
+    // within-batch dup on timestamps AND a cross-batch repeat: both paths
+    // route suppression through the in-set filter over a TimestampType
+    // order column — the regression this test pins
+    eng.insertInto("tg_in", Seq(
+      (t("2026-01-01 00:00:03"), "bb"), (t("2026-01-01 00:00:02"), "bb"),
+      (t("2026-01-01 00:00:04"), "aa")).toDF("ts", "body"))
+    val out = eng.overlay("v_tg").collect().map(_.getTimestamp(0)).toSet
+    assert(out === Set(t("2026-01-01 00:00:01"), t("2026-01-01 00:00:02")),
+      "earliest-timestamp row wins its key; repeats suppressed")
+    assert(gate.stats === ((2L, 2L, 2L)))
+    eng.dropContView("v_tg"); ()
+  }
+
   test("dedup gate bloom regrows once the store outgrows its design size") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_gs3").toString
