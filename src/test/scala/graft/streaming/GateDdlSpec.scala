@@ -117,5 +117,17 @@ class GateDdlSpec extends AnyFunSuite {
                 |SELECT id, body FROM n_in""".stripMargin)
     }
     assert(e5.getMessage.contains("changes = true is not supported"))
+    // the round-9 spellings: jaccard_gate with the optional cap, and
+    // cosine_gate's fifth (maxBucketSize) argument
+    eng.sql("""CREATE VIEW j_gate WITH (action = transform, sink = 'n_clean',
+              |  outputfunc = jaccard_gate('body', 'id', 0.9, 1000)) AS
+              |SELECT id, body FROM n_in""".stripMargin)
+    assert(eng.gateOf("j_gate").exists(_.isInstanceOf[JaccardNearDupGate]))
+    eng.sql("CREATE STREAM c_in (id int8, embedding array<double>)")
+    eng.sql("CREATE STREAM c_clean (id int8, embedding array<double>)")
+    eng.sql("""CREATE VIEW c_gate WITH (action = transform, sink = 'c_clean',
+              |  outputfunc = cosine_gate('embedding', 'id', 0.98, 16, 500)) AS
+              |SELECT id, embedding FROM c_in""".stripMargin)
+    assert(eng.gateOf("c_gate").exists(_.isInstanceOf[CosineNearDupGate]))
   }
 }
