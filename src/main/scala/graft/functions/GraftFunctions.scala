@@ -90,9 +90,13 @@ object GraftFunctions {
       installAll((name, builder) => reg.createOrReplaceTempFunction(name, builder, "internal"))
     }
 
+  // weak keys: every ContViewEngine registers its private newSession(),
+  // and a strong set would pin each such session (full SessionState)
+  // forever across the documented build-a-fresh-engine restart pattern
   private val registeredSessions =
-    java.util.Collections.newSetFromMap(
-      new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+    java.util.Collections.synchronizedSet(
+      java.util.Collections.newSetFromMap(
+        new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
 
   /** Plug the whole function surface into a SparkSessionExtensions — the
     * cluster-deployment path: `--conf spark.sql.extensions=graft.GraftExtensions`

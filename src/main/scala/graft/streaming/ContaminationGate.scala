@@ -68,15 +68,12 @@ final class ContaminationGate private (
 
   /** Distinct word n-gram hashes of a text column — the same gram shape
     * as the batch decontamination operator (whitespace tokens, empties
-    * dropped, distinct n-grams; < n tokens → no grams). */
-  private def gramHashesCol(text: Column): Column = {
-    val t = filter(split(text, " "), x => x =!= "")
-    val grams = when(size(t) >= n,
-      array_distinct(transform(sequence(lit(1), size(t) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(k => element_at(t, i + k)): _*))))
-      .otherwise(array().cast("array<string>"))
-    transform(grams, g => xxhash64(g))
-  }
+    * dropped, distinct n-grams; < n tokens → no grams), via the single-
+    * pass TextOps.WordShingles expression (ONE gram definition shared
+    * with the batch pipeline; the equivalent higher-order-function chain
+    * evaluates its lambdas interpreted and cost ~10x on corpus scans). */
+  private def gramHashesCol(text: Column): Column =
+    transform(graft.ops.TextOps.shingles(text, n), g => xxhash64(g))
 
   /** Seed the reference store from `reference(refTextCol)` — runs once,
     * on first creation (a non-empty persisted store is left as-is). */
@@ -115,9 +112,12 @@ final class ContaminationGate private (
       .observe(obs, count(lit(1)).as("rows"))
       .persist()
     try {
-      // one bounded collect: (orderCol, distinct gram hashes) per doc
+      // one bounded collect: (orderCol, distinct gram hashes) per doc —
+      // rows with a null order id cannot be targeted by the suppression
+      // filter and always pass, so they generate no candidate work
       val rows: Array[(Any, Array[Long])] =
-        keyed.where(size(col("__gh")) > 0).select(col(orderCol), col("__gh"))
+        keyed.where(size(col("__gh")) > 0 && col(orderCol).isNotNull)
+          .select(col(orderCol), col("__gh"))
           .collect().map(r => (r.get(0), r.getSeq[Long](1).toArray))
       val storeF = GateStore.storeFiles(storeDir)
       // candidate map: bloom-positive hash -> doc row indices

@@ -200,9 +200,12 @@ private[streaming] object GateStore {
       val now = files(dir)
       if (now.isEmpty) 0L else spark.read.parquet(now: _*).count()
     }
-    if (fs.length <= 1 || (fs.length + keep.length) <= 1) {
+    if (fs.isEmpty) {
       totalCount()
     } else {
+      // even a single append folds: the rewrite is what range-stamps the
+      // file for pruned() (a freshly-seeded single-file store must not
+      // stay unprunable forever)
       val stage = Files.createTempDirectory(dir, ".stage")
       try {
         val distinctRows =

@@ -112,7 +112,7 @@ private[streaming] abstract class IndexedNearDupGate[P](
   private[graft] def seedStore(rows: DataFrame): Unit = synchronized {
     batches += 1
     val keyed = rows.withColumn("__p", payloadCol)
-      .where(col("__p").isNotNull)
+      .where(col("__p").isNotNull && col(orderCol).isNotNull)
       .persist()
     try {
       appendStores(keyed)
@@ -121,10 +121,12 @@ private[streaming] abstract class IndexedNearDupGate[P](
     } finally { keyed.unpersist(); () }
   }
 
-  private def appendStores(keyed: DataFrame): Unit = {
+  private def appendStores(keyed0: DataFrame): Unit = {
     // payloads first, index second: a crash in between leaves payloads
     // with no index entry, which the batch's retry re-appends (duplicates
-    // are tolerated downstream of every store read)
+    // are tolerated downstream of every store read). Null order ids are
+    // never stored — see onBatch.
+    val keyed = keyed0.where(col(orderCol).isNotNull)
     GateStore.append(
       keyed.select(col(orderCol).as("id"), storedPayloadCol.as(payloadColName)),
       payloadDir, payloadPrefix, batches, sortCol = Some("id"))
@@ -155,8 +157,14 @@ private[streaming] abstract class IndexedNearDupGate[P](
       .observe(obs, count(lit(1)).as("rows"))
       .persist()
     try {
+      // rows with a null order id pass through, are never stored and
+      // never suppress: the suppression filter could not target them, and
+      // a stored null id could not be fetched back by the candidate-id
+      // pushdown — excluding them keeps every code path consistent
+      // (orderCol is contractually unique and non-null anyway)
       val rows: Array[(Any, P)] =
-        keyed.where(col("__p").isNotNull).select(col(orderCol), col("__p"))
+        keyed.where(col("__p").isNotNull && col(orderCol).isNotNull)
+          .select(col(orderCol), col("__p"))
           .collect().map(r => (r.get(0), payloadOf(r)))
       val rowKeys: Array[Array[Long]] = rows.map(r => keysOf(r._2))
       val overCapSet: java.util.HashSet[java.lang.Long] = {
@@ -259,13 +267,9 @@ private[streaming] abstract class IndexedNearDupGate[P](
                 org.apache.spark.sql.types.LongType, nullable = false),
               org.apache.spark.sql.types.StructField("__ri",
                 org.apache.spark.sql.types.IntegerType, nullable = false))))
-          val all = s.read.parquet(idxPaths: _*)
-          val idx =
-            if (overCapSet.isEmpty) all
-            else {
-              val oc = overCapSet.toArray.toSeq.asInstanceOf[Seq[Any]]
-              all.where(!GateStore.inSetCol(col("bucket"), oc))
-            }
+          // no over-cap filter needed: the inner join restricts to
+          // candByBucket's buckets, which exclude over-cap ones already
+          val idx = s.read.parquet(idxPaths: _*)
           hitDf.join(idx, Seq("bucket")).select(col("__ri"), col("id"))
             .distinct().collect().foreach { r =>
               pairs.computeIfAbsent(r.get(1),

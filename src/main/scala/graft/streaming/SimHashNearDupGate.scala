@@ -146,7 +146,7 @@ final class SimHashNearDupGate private (
     batches += 1
     val keyed = rows
       .withColumn("fp", SimHash.simhash64(TextOps.tokens(expr(textSql))))
-      .where(col("fp").isNotNull)
+      .where(col("fp").isNotNull && col(orderCol).isNotNull)
       .persist()
     try {
       GateStore.append(
@@ -206,8 +206,14 @@ final class SimHashNearDupGate private (
       // paid two shuffles and a full Catalyst analyze/optimize pass per
       // batch. Only the store-candidate verification touches executors,
       // against a file-range-pruned, in-set-filtered read.
+      // rows with a null order id pass through, are never stored and
+      // never suppress (the filter could not target them) — consistent
+      // with the split-store gates; orderCol is contractually unique.
+      // Excluding them at the collect also excludes them from the
+      // driver-built store append and the filter update below.
       val rows: Array[(Any, Long)] = traced("collect")(
-        keyed.where(col("fp").isNotNull).select(col(orderCol), col("fp"))
+        keyed.where(col("fp").isNotNull && col(orderCol).isNotNull)
+          .select(col(orderCol), col("fp"))
           .collect().map(r => (r.get(0), r.getLong(1))))
       val rowKeys: Array[Array[Long]] =
         rows.map(r => SimHash.blockKeysOf(r._2, blocks, maxDist))
