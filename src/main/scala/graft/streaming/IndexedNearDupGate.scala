@@ -148,7 +148,18 @@ private[streaming] abstract class IndexedNearDupGate[P](
     }
   }
 
-  private[streaming] def onBatch(batch: DataFrame): Unit = synchronized {
+  // opt-in phase timing on stderr (GRAFT_GATE_TRACE=1) — dev diagnosis only
+  private val trace = sys.env.get("GRAFT_GATE_TRACE").contains("1")
+  @inline protected final def traced[T](label: String)(f: => T): T =
+    if (!trace) f
+    else {
+      val t0 = System.nanoTime()
+      val out = f
+      System.err.println(f"[gate-trace] $name%s $label%s ${(System.nanoTime() - t0) / 1e3}%.0f us")
+      out
+    }
+
+  private[streaming] def onBatch(batch: DataFrame): Unit = synchronized { traced("onbatch-total") {
     batches += 1
     val s = batch.sparkSession
     val obs = new org.apache.spark.sql.Observation(s"${obsPrefix}_${name}_$batches")
@@ -162,10 +173,10 @@ private[streaming] abstract class IndexedNearDupGate[P](
       // a stored null id could not be fetched back by the candidate-id
       // pushdown — excluding them keeps every code path consistent
       // (orderCol is contractually unique and non-null anyway)
-      val rows: Array[(Any, P)] =
+      val rows: Array[(Any, P)] = traced("collect")(
         keyed.where(col("__p").isNotNull && col(orderCol).isNotNull)
           .select(col(orderCol), col("__p"))
-          .collect().map(r => (r.get(0), payloadOf(r)))
+          .collect().map(r => (r.get(0), payloadOf(r))))
       val rowKeys: Array[Array[Long]] = rows.map(r => keysOf(r._2))
       val overCapSet: java.util.HashSet[java.lang.Long] = {
         val set = new java.util.HashSet[java.lang.Long]()
@@ -243,7 +254,7 @@ private[streaming] abstract class IndexedNearDupGate[P](
         // LocalRelation, join the index distributed, and collect only the
         // surviving deduplicated pairs.
         val pairs = new java.util.HashMap[Any, java.util.HashSet[Integer]]()
-        if (keyPush) {
+        if (keyPush) traced("phase1") {
           s.read.parquet(idxPaths: _*)
             .where(GateStore.inSetCol(col("bucket"), hitKeys.toSeq))
             .select(col("bucket"), col("id"))
@@ -286,7 +297,7 @@ private[streaming] abstract class IndexedNearDupGate[P](
             if (idPush && idArr.forall(_.isInstanceOf[Long]))
               GateStore.pruned(payF, idArr.map(_.asInstanceOf[Long]).sorted)
             else payF.map(_.path)
-          if (payPaths.nonEmpty) {
+          if (payPaths.nonEmpty) traced("phase2") {
             val vs0 = s.read.parquet(payPaths: _*)
             val vs = if (idPush) vs0.where(GateStore.inSetCol(col("id"), idArr.toSeq)) else vs0
             vs.select(col("id"), readPayloadCol(col(payloadColName)))
@@ -322,11 +333,11 @@ private[streaming] abstract class IndexedNearDupGate[P](
             .drop("__p")
         eng.insertInto(sink, survivors)
       }
-      appendStores(keyed.where(col("__p").isNotNull))
-      updateFilters(rowKeys.flatten)
+      traced("append")(appendStores(keyed.where(col("__p").isNotNull)))
+      traced("filters")(updateFilters(rowKeys.flatten))
     } finally keyed.unpersist()
     if (compactEvery > 0 && batches % compactEvery == 0) compact()
-  }
+  } }
 
   /** Fold both stores into range shards — the index by bucket, the
     * payloads by id — and regrow the driver bloom when the index outgrew
