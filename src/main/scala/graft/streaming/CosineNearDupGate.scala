@@ -76,6 +76,10 @@ final class CosineNearDupGate private (
   // exact verification
   override protected def storedPayloadCol: Column = col("__p").cast("array<float>")
   override protected def readPayloadCol(c: Column): Column = c.cast("array<double>")
+  override protected def storedPayloadOf(p: Array[Double]): Any =
+    p.map(_.toFloat).toSeq
+  override protected def storedPayloadType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)
 
   // exact cosine, matching VectorExpressions.CosineSim: length mismatch →
   // no pair (the expression returns null), zero norm → NaN → false

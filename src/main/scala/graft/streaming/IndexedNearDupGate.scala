@@ -60,6 +60,12 @@ private[streaming] abstract class IndexedNearDupGate[P](
   protected def storedPayloadCol: Column = col("__p")
   /** The payload-store read column, decoded back for [[payloadOf]]. */
   protected def readPayloadCol(c: Column): Column = c
+  /** Driver-side form of [[storedPayloadCol]] for one payload (the
+    * per-batch append is built from the rows the driver already holds —
+    * no executor recompute of the payload/key expressions). */
+  protected def storedPayloadOf(p: P): Any
+  /** The external Spark type [[storedPayloadOf]] produces. */
+  protected def storedPayloadType: org.apache.spark.sql.types.DataType
   /** Observation-name prefix (metric labels). */
   protected def obsPrefix: String
 
@@ -333,7 +339,36 @@ private[streaming] abstract class IndexedNearDupGate[P](
             .drop("__p")
         eng.insertInto(sink, survivors)
       }
-      traced("append")(appendStores(keyed.where(col("__p").isNotNull)))
+      // the append is BUILT on the driver from the rows already in hand —
+      // two LocalRelation writes, no second execution of the payload/key
+      // expressions over the batch (seedStore keeps the distributed path
+      // for its bulk chunks)
+      traced("append") {
+        if (rows.nonEmpty) {
+          val idType = keyed.schema(keyed.schema.fieldIndex(orderCol)).dataType
+          val pay = new java.util.ArrayList[Row](rows.length)
+          rows.foreach(r => { pay.add(Row(r._1, storedPayloadOf(r._2))); () })
+          GateStore.append(
+            s.createDataFrame(pay, org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("id", idType),
+              org.apache.spark.sql.types.StructField(payloadColName,
+                storedPayloadType)))),
+            payloadDir, payloadPrefix, batches, sortCol = Some("id"))
+          val idx = new java.util.ArrayList[Row](
+            rowKeys.iterator.map(_.length).sum)
+          var i = 0
+          while (i < rows.length) {
+            rowKeys(i).foreach(b => { idx.add(Row(b, rows(i)._1)); () })
+            i += 1
+          }
+          GateStore.append(
+            s.createDataFrame(idx, org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("bucket",
+                org.apache.spark.sql.types.LongType, nullable = false),
+              org.apache.spark.sql.types.StructField("id", idType)))),
+            idxDir, "keys", batches, sortCol = Some("bucket"))
+        }
+      }
       traced("filters")(updateFilters(rowKeys.flatten))
     } finally keyed.unpersist()
     if (compactEvery > 0 && batches % compactEvery == 0) compact()

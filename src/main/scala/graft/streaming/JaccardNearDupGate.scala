@@ -65,6 +65,9 @@ final class JaccardNearDupGate private (
     r.getSeq[Long](1).toArray
   override protected def keysOf(p: Array[Long]): Array[Long] =
     MinHashLsh.bandKeysOf(p, numBands, rowsPerBand)
+  override protected def storedPayloadOf(p: Array[Long]): Any = p.toSeq
+  override protected def storedPayloadType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)
 
   // agreement fraction, matching MinHashLsh.sigAgreeEval
   override protected def similar(a: Array[Long], b: Array[Long]): Boolean = {
