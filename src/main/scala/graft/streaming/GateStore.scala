@@ -188,12 +188,12 @@ private[streaming] object GateStore {
     * every shard lands (atomic moves) before any old file is unlinked. */
   def compact(spark: SparkSession, dir: Path, prefix: String,
       cols: Seq[String], batch: Long, sortCol: Option[String] = None,
-      shards: Int = 8): Long = {
+      shards: Int = 8, majorShards: Int = MajorCompactShards): Long = {
     val all = files(dir)
     // compacted generations carry the `_c` marker; appends do not
     val compacted = all.filter(new java.io.File(_).getName.contains("_c"))
     val appends = all.filterNot(new java.io.File(_).getName.contains("_c"))
-    val major = compacted.length > MajorCompactShards
+    val major = compacted.length > majorShards
     val fs = if (major) all else appends
     val keep = if (major) Array.empty[String] else compacted
     def totalCount(): Long = {

@@ -165,6 +165,31 @@ class GateStoreSpec extends AnyFunSuite {
     eng.dropContView("v_tg"); ()
   }
 
+  test("major fold collapses generations once they exceed the bound") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_gs5")
+    // one append + one minor fold per cycle (shards=1 → one generation
+    // file each); at majorShards=3 the 5th cycle must fold EVERYTHING
+    var maxFiles = 0
+    (1 to 6).foreach { b =>
+      GateStore.append(
+        Seq(((b * 10).toLong, b.toLong)).toDF("bucket", "id"),
+        dir, "m", b.toLong, sortCol = Some("bucket"))
+      val n = GateStore.compact(spark, dir, "m", Seq("bucket", "id"),
+        b.toLong, sortCol = Some("bucket"), shards = 1, majorShards = 3)
+      assert(n === b.toLong, "count covers the whole store every cycle")
+      maxFiles = math.max(maxFiles, GateStore.files(dir).length)
+    }
+    // bounded: generations never exceed majorShards+1 before collapsing
+    assert(maxFiles <= 5)
+    assert(GateStore.files(dir).length < 4,
+      s"major fold must have collapsed the generations")
+    // content survives the collapse, deduplicated and range-stamped
+    assert(spark.read.parquet(GateStore.files(dir): _*).count() === 6L)
+    assert(GateStore.storeFiles(dir).forall(_.range.isDefined))
+    GateStore.deleteRecursively(dir.toFile)
+  }
+
   test("dedup gate bloom regrows once the store outgrows its design size") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_gs3").toString
