@@ -79,6 +79,13 @@ object Hashing {
   /** Canonical byte encoding of sketch inputs: the UTF-8 of the value's
     * string form for strings; little-endian fixed width for integral/fp
     * types. Keeps hashing stable across JVMs and input column types.
+    *
+    * Date/time values hash by their Catalyst-INTERNAL form (micros/days as
+    * longs), because sketch aggregates run on executors over internal
+    * values while the streaming gates probe driver-resident filters with
+    * the external java.sql/java.time objects a collect() returns — the two
+    * sides must agree bit-for-bit or stored keys probe as bloom false
+    * negatives (silently admitting duplicates after a restart or regrow).
     */
   def bytesOf(v: Any): Array[Byte] = v match {
     case null => Array.emptyByteArray
@@ -94,6 +101,11 @@ object Hashing {
     case d: Double => longBytes(java.lang.Double.doubleToLongBits(d))
     case d: java.math.BigDecimal => d.toPlainString.getBytes("UTF-8")
     case d: org.apache.spark.sql.types.Decimal => d.toJavaBigDecimal.toPlainString.getBytes("UTF-8")
+    case _: java.sql.Timestamp | _: java.sql.Date | _: java.time.Instant |
+        _: java.time.LocalDate | _: java.time.LocalDateTime =>
+      // external → internal (micros as Long / days as Int), then recurse:
+      // identical canonicalization to GateStore.inSetCol's filter values
+      bytesOf(org.apache.spark.sql.catalyst.CatalystTypeConverters.convertToCatalyst(v))
     case other => other.toString.getBytes("UTF-8")
   }
 

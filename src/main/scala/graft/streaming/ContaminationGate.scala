@@ -141,13 +141,13 @@ final class ContaminationGate private (
       }
       val suppressedSet = new java.util.HashSet[Any]()
       if (hitKeys.nonEmpty) {
-        val pushdown = hitKeys.length <= GateStore.MaxPushdownKeys
+        val pushdown = hitKeys.length <= GateStore.maxPushdownKeys
         val paths =
           if (pushdown) GateStore.pruned(storeF, hitKeys)
           else storeF.map(_.path)
         if (paths.nonEmpty) {
           val sliceBytes = paths.map(p => new java.io.File(p).length()).sum
-          if (pushdown && sliceBytes <= GateStore.MaxDriverVerifyBytes) {
+          if (pushdown && sliceBytes <= GateStore.maxDriverVerifyBytes) {
             // verify on the driver: which bloom-hit hashes are really in
             // the reference?
             s.read.parquet(paths: _*)

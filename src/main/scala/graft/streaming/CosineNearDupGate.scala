@@ -81,6 +81,19 @@ final class CosineNearDupGate private (
   override protected def storedPayloadType: org.apache.spark.sql.types.DataType =
     org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)
 
+  override protected def externalPayloadOf(p: Array[Double]): Any = p.toSeq
+  override protected def externalPayloadType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)
+
+  // distributed form of [[similar]]: same exact-cosine expression the batch
+  // operators use; the isnan guard matters because Spark ORDERS NaN above
+  // every double (a zero-norm pair would flip from not-similar to similar),
+  // and a length-mismatch null already drops out of the join filter
+  override protected def similarCol(batchPayload: Column, storePayload: Column): Column = {
+    val c = graft.functions.VectorExpressions.cosineSim(batchPayload, storePayload)
+    c.geq(lit(threshold)) && !isnan(c)
+  }
+
   // exact cosine, matching VectorExpressions.CosineSim: length mismatch →
   // no pair (the expression returns null), zero norm → NaN → false
   override protected def similar(a: Array[Double], b: Array[Double]): Boolean = {

@@ -40,6 +40,16 @@ private[streaming] object GateStore {
     * rows); bigger slices take the distributed verify join. */
   val MaxDriverVerifyBytes: Long = 32L << 20
 
+  /** Test seams: specs shrink the bounds to force the distributed fallback
+    * paths on small fixtures and assert result equality with the driver
+    * paths (the invariant that makes concurrent-suite interference
+    * harmless: either path must produce identical admitted sets). */
+  private[graft] var maxPushdownKeysOverride: Option[Int] = None
+  private[graft] var maxDriverVerifyBytesOverride: Option[Long] = None
+  def maxPushdownKeys: Int = maxPushdownKeysOverride.getOrElse(MaxPushdownKeys)
+  def maxDriverVerifyBytes: Long =
+    maxDriverVerifyBytesOverride.getOrElse(MaxDriverVerifyBytes)
+
   /** `c IN (values)` as ONE InSet expression node. `Column.isInCollection`
     * builds an `In` with one Literal child per value — at the gates' tens
     * of thousands of candidate keys per batch, Catalyst spends SECONDS
@@ -86,6 +96,14 @@ private[streaming] object GateStore {
     case i: Int => encodeKey(i.toLong)
     case s: String if s.nonEmpty && s.length <= 64 &&
       s.forall(c => c.isLetterOrDigit || c == '.' || c == '-') => Some(s)
+    case _: java.sql.Timestamp | _: java.sql.Date | _: java.time.Instant |
+        _: java.time.LocalDate | _: java.time.LocalDateTime =>
+      // internal micros/days (Long/Int) order identically to the column's
+      // sort order, so datetime-keyed stores prune at file level too; both
+      // the range stamps (compact's collected min/max) and the per-batch
+      // candidate keys arrive here as external objects, so the encoding
+      // agrees with itself by construction
+      encodeKey(org.apache.spark.sql.catalyst.CatalystTypeConverters.convertToCatalyst(v))
     case _ => None
   }
 
@@ -165,35 +183,50 @@ private[streaming] object GateStore {
     }
   }
 
-  /** Ranged shards beyond this trigger a MAJOR fold (all files); below
-    * it, compaction is TIERED — only the per-batch append files fold into
-    * a new generation of range shards, so steady-state compaction cost is
-    * O(data since the last compaction), never O(corpus). A 10B-key store
-    * must not be rewritten every `compactEvery` batches just to absorb a
-    * few thousand new keys. */
-  val MajorCompactShards: Int = 24
+  /** Compacted GENERATIONS beyond this trigger a MAJOR fold (all files);
+    * below it, compaction is TIERED — only the per-batch append files fold
+    * into a new generation of range shards, so steady-state compaction
+    * cost is O(data since the last compaction), never O(corpus). A 10B-key
+    * store must not be rewritten every `compactEvery` batches just to
+    * absorb a few thousand new keys; counting generations (not shard
+    * files) keeps the major-fold cadence independent of how many shards a
+    * byte-scaled fold produced. */
+  val MajorCompactGenerations: Int = 8
 
-  /** Fold store files into `shards` range-sharded files (DISTINCT over
-    * `cols`, range-partitioned and sorted by `sortCol` when given — a
-    * parallel rewrite, never a single-task funnel), TIERED: a minor pass
-    * folds only the un-compacted append files (compacted generations may
+  /** Target on-disk bytes per compaction range shard: shard count scales
+    * with the folded data (`bytes / this`, floored at the `shards` param)
+    * so per-shard key ranges — and with them [[pruned]]'s file-level
+    * selectivity — stay bounded as the corpus grows. A fixed shard count
+    * at 10B keys would make every range ~corpus/8 wide and degrade
+    * pruning toward reading most of the store per batch. */
+  val TargetShardBytes: Long = 64L << 20
+
+  /** Fold store files into range-sharded files (DISTINCT over `cols`,
+    * range-partitioned and sorted by `sortCol` when given — a parallel
+    * rewrite, never a single-task funnel; shard count = max(`shards`,
+    * folded bytes / [[TargetShardBytes]])), TIERED: a minor pass folds
+    * only the un-compacted append files (compacted generations may
     * overlap in key range — [[pruned]] checks each file independently,
     * and duplicate rows across generations are tolerated by every
-    * consumer); a major pass folds everything once the shard count
-    * exceeds [[MajorCompactShards]]. Sort-column min/max is stamped into
-    * each shard's filename for [[pruned]] file-level pruning. Returns the
+    * consumer); a major pass folds everything once the generation count
+    * exceeds `majorGens`. Sort-column min/max is stamped into each
+    * shard's filename for [[pruned]] file-level pruning. Returns the
     * store's row count after the fold (file-metadata exact; duplicates
     * across generations count multiply — a conservative over-estimate for
     * the bloom-regrow sizing it feeds). Crash-safe without a manifest:
     * every shard lands (atomic moves) before any old file is unlinked. */
   def compact(spark: SparkSession, dir: Path, prefix: String,
       cols: Seq[String], batch: Long, sortCol: Option[String] = None,
-      shards: Int = 8, majorShards: Int = MajorCompactShards): Long = {
+      shards: Int = 8, majorGens: Int = MajorCompactGenerations): Long = {
     val all = files(dir)
-    // compacted generations carry the `_c` marker; appends do not
+    // compacted generations carry the `_c<nanos>` marker; appends do not
     val compacted = all.filter(new java.io.File(_).getName.contains("_c"))
     val appends = all.filterNot(new java.io.File(_).getName.contains("_c"))
-    val major = compacted.length > majorShards
+    val genRe = """_c(\d+)_""".r
+    val generations = compacted.flatMap(p =>
+      genRe.findFirstMatchIn(new java.io.File(p).getName).map(_.group(1)))
+      .distinct.length
+    val major = generations > majorGens
     val fs = if (major) all else appends
     val keep = if (major) Array.empty[String] else compacted
     def totalCount(): Long = {
@@ -208,12 +241,15 @@ private[streaming] object GateStore {
       // stay unprunable forever)
       val stage = Files.createTempDirectory(dir, ".stage")
       try {
+        val inputBytes = fs.map(f => new java.io.File(f).length()).sum
+        val nShards = math.max(shards, math.min(1 << 14,
+          ((inputBytes + TargetShardBytes - 1) / TargetShardBytes).toInt))
         val distinctRows =
           spark.read.parquet(fs: _*).select(cols.head, cols.tail: _*).distinct()
         val out = sortCol match {
-          case Some(c) => distinctRows.repartitionByRange(shards, col(c))
+          case Some(c) => distinctRows.repartitionByRange(nShards, col(c))
             .sortWithinPartitions(c)
-          case None => distinctRows.repartition(shards)
+          case None => distinctRows.repartition(nShards)
         }
         out.write.mode("overwrite").parquet(stage.toString)
         val parts = Option(stage.toFile.listFiles()).getOrElse(Array.empty)

@@ -56,6 +56,16 @@ private[streaming] abstract class IndexedNearDupGate[P](
   protected def keysOf(p: P): Array[Long]
   /** The exact similarity predicate (driver-side). */
   protected def similar(a: P, b: P): Boolean
+  /** Executor-side form of [[similar]] for the distributed verify fallback
+    * (pruned payload slice beyond the driver byte bound): a boolean Column
+    * over (full-precision batch payload, store payload decoded by
+    * [[readPayloadCol]]). Must agree with [[similar]]. */
+  protected def similarCol(batchPayload: Column, storePayload: Column): Column
+  /** Full-precision external form of a batch payload (the distributed
+    * fallback ships it; matches what the driver path compares). */
+  protected def externalPayloadOf(p: P): Any
+  /** The external Spark type [[externalPayloadOf]] produces. */
+  protected def externalPayloadType: org.apache.spark.sql.types.DataType
   /** The payload-store value column (may change precision for storage). */
   protected def storedPayloadCol: Column = col("__p")
   /** The payload-store read column, decoded back for [[payloadOf]]. */
@@ -245,22 +255,23 @@ private[streaming] abstract class IndexedNearDupGate[P](
         while (it.hasNext) { arr(k) = it.next(); k += 1 }
         arr
       }
-      val keyPush = hitKeys.length <= GateStore.MaxPushdownKeys
+      val keyPush = hitKeys.length <= GateStore.maxPushdownKeys
       val idxPaths =
         if (hitKeys.isEmpty) Array.empty[String]
         else if (keyPush) GateStore.pruned(idxF, hitKeys)
         else idxF.map(_.path)
       if (idxPaths.nonEmpty) {
         // phase 1: candidate (batch row, store id) pairs from the pruned
-        // (bucket, id) index — the payload bytes stay unread. Pushdown
-        // path: collect the in-set-filtered index rows (bounded by the
-        // batch's hit-bucket occupancy) and pair on the driver. Fallback
-        // (more hit keys than MaxPushdownKeys): the index must NOT be
-        // collected wholesale — ship the (bucket, batch-row) hits as a
-        // LocalRelation, join the index distributed, and collect only the
-        // surviving deduplicated pairs.
+        // (bucket, id) index — the payload bytes stay unread. Driver path
+        // (key set pushable AND pruned slice under the byte bound): collect
+        // the in-set-filtered index rows and pair on the driver. Fallback:
+        // the index must NOT be collected wholesale — ship the (bucket,
+        // batch-row) hits as a broadcast LocalRelation, join the index
+        // distributed, and collect only the surviving deduplicated pairs
+        // (bounded by true candidate pairs, not store size).
+        val idxBytes = idxPaths.map(p => new java.io.File(p).length()).sum
         val pairs = new java.util.HashMap[Any, java.util.HashSet[Integer]]()
-        if (keyPush) traced("phase1") {
+        if (keyPush && idxBytes <= GateStore.maxDriverVerifyBytes) traced("phase1") {
           s.read.parquet(idxPaths: _*)
             .where(GateStore.inSetCol(col("bucket"), hitKeys.toSeq))
             .select(col("bucket"), col("id"))
@@ -273,7 +284,7 @@ private[streaming] abstract class IndexedNearDupGate[P](
                 while (k < cands.size) { set.add(cands.get(k)); k += 1 }
               }
             }
-        } else {
+        } else traced("phase1-dist") {
           val hitRows = new java.util.ArrayList[Row]()
           candByBucket.forEach { (b, list) =>
             list.forEach(i => { hitRows.add(Row(b.longValue, i.intValue)); () })
@@ -285,9 +296,12 @@ private[streaming] abstract class IndexedNearDupGate[P](
               org.apache.spark.sql.types.StructField("__ri",
                 org.apache.spark.sql.types.IntegerType, nullable = false))))
           // no over-cap filter needed: the inner join restricts to
-          // candByBucket's buckets, which exclude over-cap ones already
-          val idx = s.read.parquet(idxPaths: _*)
-          hitDf.join(idx, Seq("bucket")).select(col("__ri"), col("id"))
+          // candByBucket's buckets, which exclude over-cap ones already;
+          // the in-set filter still narrows the scan when pushable
+          val idx0 = s.read.parquet(idxPaths: _*)
+          val idx = if (keyPush)
+            idx0.where(GateStore.inSetCol(col("bucket"), hitKeys.toSeq)) else idx0
+          broadcast(hitDf).join(idx, Seq("bucket")).select(col("__ri"), col("id"))
             .distinct().collect().foreach { r =>
               pairs.computeIfAbsent(r.get(1),
                 _ => new java.util.HashSet[Integer]()).add(r.getInt(0))
@@ -296,16 +310,22 @@ private[streaming] abstract class IndexedNearDupGate[P](
         }
         if (!pairs.isEmpty) {
           // phase 2: fetch ONLY the candidate payloads, id set pushed into
-          // the scan; verify exact similarity on the driver
+          // the scan; verify exact similarity on the driver when the
+          // pruned slice is under the byte bound, else verify DISTRIBUTED
+          // (broadcast the batch payloads against the store scan and
+          // collect only the suppressed row indices) — the store is never
+          // collected unfiltered to the driver.
           val idArr = pairs.keySet().toArray
-          val idPush = idArr.length <= GateStore.MaxPushdownKeys
+          val idPush = idArr.length <= GateStore.maxPushdownKeys
           val payPaths =
             if (idPush && idArr.forall(_.isInstanceOf[Long]))
               GateStore.pruned(payF, idArr.map(_.asInstanceOf[Long]).sorted)
             else payF.map(_.path)
-          if (payPaths.nonEmpty) traced("phase2") {
+          val payBytes = payPaths.map(p => new java.io.File(p).length()).sum
+          if (payPaths.isEmpty) ()
+          else if (idPush && payBytes <= GateStore.maxDriverVerifyBytes) traced("phase2") {
             val vs0 = s.read.parquet(payPaths: _*)
-            val vs = if (idPush) vs0.where(GateStore.inSetCol(col("id"), idArr.toSeq)) else vs0
+            val vs = vs0.where(GateStore.inSetCol(col("id"), idArr.toSeq))
             vs.select(col("id"), readPayloadCol(col(payloadColName)))
               .collect().foreach { r =>
                 val cands = pairs.get(r.get(0))
@@ -321,6 +341,29 @@ private[streaming] abstract class IndexedNearDupGate[P](
                   }
                 }
               }
+          } else traced("phase2-dist") {
+            val idType = keyed.schema(keyed.schema.fieldIndex(orderCol)).dataType
+            val candRows = new java.util.ArrayList[Row]()
+            pairs.forEach { (idS, ris) =>
+              ris.forEach { i =>
+                if (rows(i)._1 != null) {
+                  candRows.add(Row(idS, i.intValue, externalPayloadOf(rows(i)._2))); ()
+                }
+              }
+            }
+            val candDf = s.createDataFrame(candRows,
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("id", idType),
+                org.apache.spark.sql.types.StructField("__ri",
+                  org.apache.spark.sql.types.IntegerType, nullable = false),
+                org.apache.spark.sql.types.StructField("__bp", externalPayloadType))))
+            val store0 = s.read.parquet(payPaths: _*)
+            val store = if (idPush)
+              store0.where(GateStore.inSetCol(col("id"), idArr.toSeq)) else store0
+            broadcast(candDf).join(store, Seq("id"))
+              .where(similarCol(col("__bp"), readPayloadCol(col(payloadColName))))
+              .select(col("__ri")).distinct()
+              .collect().foreach(r => { suppressedSet.add(rows(r.getInt(0))._1); () })
           }
         }
       }

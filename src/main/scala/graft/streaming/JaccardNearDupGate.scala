@@ -68,6 +68,15 @@ final class JaccardNearDupGate private (
   override protected def storedPayloadOf(p: Array[Long]): Any = p.toSeq
   override protected def storedPayloadType: org.apache.spark.sql.types.DataType =
     org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)
+  override protected def externalPayloadOf(p: Array[Long]): Any = p.toSeq
+  override protected def externalPayloadType: org.apache.spark.sql.types.DataType =
+    storedPayloadType
+
+  // distributed form of [[similar]]: the same fused agreement-fraction
+  // expression the batch prefilter uses (empty signatures agree 0.0, so no
+  // NaN ordering hazard)
+  override protected def similarCol(batchPayload: Column, storePayload: Column): Column =
+    MinHashLsh.sigAgree(batchPayload, storePayload).geq(lit(threshold))
 
   // agreement fraction, matching MinHashLsh.sigAgreeEval
   override protected def similar(a: Array[Long], b: Array[Long]): Boolean = {

@@ -36,7 +36,7 @@ import graft.sketch.BloomFilter
   *    provably has no store candidate, and a fully-fresh batch reads
   *    nothing;
   *  - the surviving (bloom-positive) bucket keys are collected (bounded
-  *    by [[GateStore.MaxPushdownKeys]]) and pushed into the store scan as
+  *    by [[GateStore.maxPushdownKeys]]) and pushed into the store scan as
   *    a file-range prune ([[GateStore.pruned]] against compaction's
   *    range-sharded shards) plus an in-set row filter, so the join reads
   *    only the key slices the batch actually touches;
@@ -286,7 +286,7 @@ final class SimHashNearDupGate private (
         while (it.hasNext) { arr(k) = it.next(); k += 1 }
         arr
       }
-      val pushdown = hitKeys.length <= GateStore.MaxPushdownKeys
+      val pushdown = hitKeys.length <= GateStore.maxPushdownKeys
       val storePaths =
         if (hitKeys.isEmpty) Array.empty[String]
         else if (pushdown) GateStore.pruned(storeF, hitKeys)
@@ -303,7 +303,7 @@ final class SimHashNearDupGate private (
           val sliceBytes =
             storePaths.map(pth => new java.io.File(pth).length()).sum
           val driverVerify = pushdown &&
-            sliceBytes <= GateStore.MaxDriverVerifyBytes
+            sliceBytes <= GateStore.maxDriverVerifyBytes
           if (driverVerify) {
             val fetched = s.read.parquet(storePaths: _*)
               .where(GateStore.inSetCol(col("bucket"), hitKeys.toSeq))

@@ -215,7 +215,26 @@ final class StreamDedupGate private (
         }
       }
       val total = obs.get("rows").asInstanceOf[Long]
-      val n = total - suppressedIds.size - storeSuppressedNullId
+      // admitted counts what the survivor filter will actually forward,
+      // computed over the same collected rows the filter semantics cover
+      // (off-contract duplicate null order ids previously diverged: the
+      // key-based branch drops EVERY row of a store-present key, but the
+      // old arithmetic counted the second null-id row as admitted)
+      val keyBasedFilter = storeSuppressedNullId > 0
+      var dropped = 0
+      if (!suppressedIds.isEmpty || keyBasedFilter) {
+        var i = 0
+        while (i < rows.length) {
+          val (id, h) = rows(i)
+          val drop =
+            if (keyBasedFilter)
+              present.contains(h) || (id != null && suppressedIds.contains(id))
+            else id != null && suppressedIds.contains(id)
+          if (drop) dropped += 1
+          i += 1
+        }
+      }
+      val n = total - dropped
       admitted += n
       suppressed += total - n
       // admitted keys — the winners not already stored — are known on the

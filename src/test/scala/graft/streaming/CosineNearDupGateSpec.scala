@@ -87,6 +87,25 @@ class CosineNearDupGateSpec extends AnyFunSuite {
       === expected, "three-batch feed must admit the same set")
   }
 
+  test("distributed fallback paths admit the identical set (forced via tiny bounds)") {
+    // shrink the driver-verify byte bound AND the pushdown key bound to 0:
+    // phase 1 takes the broadcast index join, phase 2 the distributed
+    // similarCol verify — the store is never collected to the driver, and
+    // the admitted set must be bit-identical to the driver paths'
+    val expected = expectedAdmitted(0.97)
+    val r = java.nio.file.Files.createTempDirectory("graft_cgf").toString
+    GateStore.maxDriverVerifyBytesOverride = Some(0L)
+    GateStore.maxPushdownKeysOverride = Some(0)
+    try {
+      assert(admitted(runGate(r, "a",
+        Seq((Long.MinValue, 40L), (40L, 5000L), (5000L, Long.MaxValue)))._1)
+        === expected, "fallback paths must match the driver paths exactly")
+    } finally {
+      GateStore.maxDriverVerifyBytesOverride = None
+      GateStore.maxPushdownKeysOverride = None
+    }
+  }
+
   test("restart: re-created gate resumes from the embedding store") {
     val root = java.nio.file.Files.createTempDirectory("graft_cg3").toString
     runGate(root, "1", Seq((Long.MinValue, 5000L))) // bases only, then "crash"

@@ -169,18 +169,18 @@ class GateStoreSpec extends AnyFunSuite {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_gs5")
     // one append + one minor fold per cycle (shards=1 → one generation
-    // file each); at majorShards=3 the 5th cycle must fold EVERYTHING
+    // file each); at majorGens=3 the 5th cycle must fold EVERYTHING
     var maxFiles = 0
     (1 to 6).foreach { b =>
       GateStore.append(
         Seq(((b * 10).toLong, b.toLong)).toDF("bucket", "id"),
         dir, "m", b.toLong, sortCol = Some("bucket"))
       val n = GateStore.compact(spark, dir, "m", Seq("bucket", "id"),
-        b.toLong, sortCol = Some("bucket"), shards = 1, majorShards = 3)
+        b.toLong, sortCol = Some("bucket"), shards = 1, majorGens = 3)
       assert(n === b.toLong, "count covers the whole store every cycle")
       maxFiles = math.max(maxFiles, GateStore.files(dir).length)
     }
-    // bounded: generations never exceed majorShards+1 before collapsing
+    // bounded: generations never exceed majorGens+1 before collapsing
     assert(maxFiles <= 5)
     assert(GateStore.files(dir).length < 4,
       s"major fold must have collapsed the generations")

@@ -100,6 +100,21 @@ class JaccardNearDupGateSpec extends AnyFunSuite {
       === expected, "three-batch feed must admit the same set")
   }
 
+  test("distributed fallback paths admit the identical set (forced via tiny bounds)") {
+    val expected = expectedAdmitted
+    val r = java.nio.file.Files.createTempDirectory("graft_jgf").toString
+    GateStore.maxDriverVerifyBytesOverride = Some(0L)
+    GateStore.maxPushdownKeysOverride = Some(0)
+    try {
+      assert(admitted(runGate(r, "a",
+        Seq((Long.MinValue, 30L), (30L, 1000L), (1000L, Long.MaxValue)))._1)
+        === expected, "fallback paths must match the driver paths exactly")
+    } finally {
+      GateStore.maxDriverVerifyBytesOverride = None
+      GateStore.maxPushdownKeysOverride = None
+    }
+  }
+
   test("restart: re-created gate resumes from the signature store") {
     val root = java.nio.file.Files.createTempDirectory("graft_jg3").toString
     runGate(root, "1", Seq((Long.MinValue, 1000L))) // bases only, then "crash"

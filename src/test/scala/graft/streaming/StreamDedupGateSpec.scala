@@ -108,15 +108,36 @@ class StreamDedupGateSpec extends AnyFunSuite {
     // every 2nd batch MINOR-folds the new appends into a fresh generation
     // of at most `shards` range files (old generations are not rewritten —
     // tiered compaction keeps the cycle O(new data)); a major fold
-    // collapses everything once generations exceed MajorCompactShards, so
-    // the file count is bounded regardless of how many batches ran
+    // collapses everything once generations exceed MajorCompactGenerations,
+    // so the file count is bounded regardless of how many batches ran
     assert(store.listFiles().count(_.getName.endsWith(".parquet")) <=
-      GateStore.MajorCompactShards + 9)
+      GateStore.MajorCompactGenerations * 8 + 9)
     assert(spark.read.parquet(store.getAbsolutePath).count() === 60L)
     // and a repeat of early content is still suppressed through the
     // compacted store
     eng.insertInto("a_in", Seq((999L, "d-0-0")).toDF("id", "body"))
     assert(!eng.overlay("v_a").collect().map(_.getLong(0)).contains(999L))
+  }
+
+  test("off-contract duplicate null order ids: stats.admitted matches rows actually forwarded") {
+    val (eng, gate, _) = fixture()
+    eng.insertInto("g_in", Seq((1L, "aa")).toDF("id", "body"))
+    // two null-order-id rows sharing a STORE-PRESENT key: the key-based
+    // survivor filter drops both, and admitted must say so (the old
+    // arithmetic counted the second null-id row as admitted while the
+    // filter removed it — silently inconsistent stats)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType, nullable = true),
+      org.apache.spark.sql.types.StructField("body",
+        org.apache.spark.sql.types.StringType)))
+    eng.insertInto("g_in", spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(null, "aa"), org.apache.spark.sql.Row(null, "aa")),
+      schema))
+    assert(admitted(eng) === Set(1L))
+    assert(gate.stats === ((2L, 1L, 2L)),
+      "admitted must equal the rows the survivor filter actually forwarded")
   }
 
   test("within-batch repeats: lowest order-column row wins its key") {
@@ -174,6 +195,38 @@ class StreamDedupGateSpec extends AnyFunSuite {
     eng2.insertInto("r_in", Seq((7L, "bb"), (8L, "ee")).toDF("id", "body"))
     assert(eng2.overlay("v_r").collect().map(_.getLong(0)).toSet === Set(6L, 8L),
       "post-compaction suppression must be unchanged")
+  }
+
+  test("timestamp-typed keys keep suppressing across a restart (driver/executor hash agreement)") {
+    // the restart bootstrap rebuilds the bloom DISTRIBUTED (bloom_agg over
+    // Catalyst-internal micros) while the per-batch probe hashes the
+    // external java.sql.Timestamp a collect() returns — if the two
+    // encodings disagree, every stored key probes as a false NEGATIVE and
+    // duplicates are silently admitted post-restart
+    val root = java.nio.file.Files.createTempDirectory("graft_gate_ts").toString
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val schema = Seq((0L, ts("2026-01-01 00:00:00"))).toDF("id", "ts").schema
+    def build(i: Int): (ContViewEngine, StreamDedupGate) = {
+      val eng = new ContViewEngine(spark, root + s"/eng$i")
+      eng.createStream("t_in", schema)
+      eng.createStream("t_out", org.apache.spark.sql.types.StructType(
+        schema.fields :+ org.apache.spark.sql.types.StructField("h",
+          org.apache.spark.sql.types.TimestampType)))
+      val g = StreamDedupGate.create(eng, "t_gate", "SELECT id, ts FROM t_in",
+        keySql = "ts", orderCol = "id", sink = "t_out",
+        storeRoot = root + "/gate")
+      eng.createContView("v_t", "SELECT id FROM t_out", emitChanges = false)
+      (eng, g)
+    }
+    val (eng1, _) = build(1)
+    eng1.insertInto("t_in", Seq(
+      (1L, ts("2026-01-01 00:00:00")), (2L, ts("2026-01-02 12:30:45"))).toDF("id", "ts"))
+    // "crash": only the gate store dir survives; bootstrap rebuilds the bloom
+    val (eng2, _) = build(2)
+    eng2.insertInto("t_in", Seq(
+      (3L, ts("2026-01-01 00:00:00")), (4L, ts("2026-03-03 03:03:03"))).toDF("id", "ts"))
+    assert(eng2.overlay("v_t").collect().map(_.getLong(0)).toSet === Set(4L),
+      "a timestamp key admitted before the restart must stay suppressed after it")
   }
 
   test("bloom misses are admitted without reading the store; store is append-only") {
