@@ -989,7 +989,7 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     * persisted store, so suppression resumes exactly. Specs:
     *   dedup_gate('<keySql>', '<orderCol>')
     *   neardup_gate('<textSql>', '<orderCol>'[, maxDist[, maxBucketSize]])
-    *   cosine_gate('<embSql>', '<orderCol>', <threshold>, <dim>[, maxBucketSize])
+    *   cosine_gate('<embSql>', '<orderCol>', <threshold>, <dim>[, maxBucketSize[, expectedStoreSize]])
     * String arguments follow SQL literal quoting — a literal single quote
     * inside one is escaped by doubling it ('').
     */
@@ -1017,7 +1017,7 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     val neardupRe =
       s"""(?i)neardup_gate\\s*\\(\\s*$arg\\s*,\\s*$arg\\s*(?:,\\s*(\\d+)\\s*(?:,\\s*(\\d+)\\s*)?)?\\)""".r
     val cosineRe =
-      s"""(?i)cosine_gate\\s*\\(\\s*$arg\\s*,\\s*$arg\\s*,\\s*([0-9.]+)\\s*,\\s*(\\d+)\\s*(?:,\\s*(\\d+)\\s*)?\\)""".r
+      s"""(?i)cosine_gate\\s*\\(\\s*$arg\\s*,\\s*$arg\\s*,\\s*([0-9.]+)\\s*,\\s*(\\d+)\\s*(?:,\\s*(\\d+)\\s*(?:,\\s*(\\d+)\\s*)?)?\\)""".r
     val jaccardRe =
       s"""(?i)jaccard_gate\\s*\\(\\s*$arg\\s*,\\s*$arg\\s*,\\s*([0-9.]+)\\s*(?:,\\s*(\\d+)\\s*)?\\)""".r
     // the gate's own createContTransform call must not write a second
@@ -1035,11 +1035,13 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
             unq(textSql), unq(orderCol), sink, storeRoot = root,
             maxDist = Option(maxDist).map(_.toInt).getOrElse(3),
             maxBucketSize = Option(cap).map(_.toInt).getOrElse(Int.MaxValue))
-        case cosineRe(embSql, orderCol, threshold, dim, cap) =>
+        case cosineRe(embSql, orderCol, threshold, dim, cap, expected) =>
           graft.streaming.CosineNearDupGate.create(this, name, selectSql,
             unq(embSql), unq(orderCol), sink, storeRoot = root,
             threshold = threshold.toDouble, dim = dim.toInt,
-            maxBucketSize = Option(cap).map(_.toInt).getOrElse(Int.MaxValue))
+            maxBucketSize = Option(cap).map(_.toInt).getOrElse(Int.MaxValue),
+            expectedStoreSize =
+              Option(expected).map(_.toLong).getOrElse(1L << 20))
         case jaccardRe(textSql, orderCol, threshold, cap) =>
           graft.streaming.JaccardNearDupGate.create(this, name, selectSql,
             unq(textSql), unq(orderCol), sink, storeRoot = root,
@@ -1048,7 +1050,7 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
         case other => throw new IllegalArgumentException(
           s"unparseable gate outputfunc '$other' (expected dedup_gate('<key>','<order>'), " +
             "neardup_gate('<text>','<order>'[,maxDist[,maxBucketSize]]), " +
-            "cosine_gate('<emb>','<order>',<threshold>,<dim>[,maxBucketSize]) or " +
+            "cosine_gate('<emb>','<order>',<threshold>,<dim>[,maxBucketSize[,expectedStoreSize]]) or " +
             "jaccard_gate('<text>','<order>',<threshold>[,maxBucketSize]); " +
             "escape a literal quote inside a string argument by doubling it: '')")
       } finally suppressCatalog = prevSuppress

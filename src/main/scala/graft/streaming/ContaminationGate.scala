@@ -150,9 +150,10 @@ final class ContaminationGate private (
           if (pushdown && sliceBytes <= GateStore.maxDriverVerifyBytes) {
             // verify on the driver: which bloom-hit hashes are really in
             // the reference?
-            s.read.parquet(paths: _*)
-              .where(GateStore.inSetCol(col("gh"), hitKeys.toSeq))
-              .collect().foreach { r =>
+            GateStore.withInPushdown(s, hitKeys.length)(
+              s.read.parquet(paths: _*)
+                .where(GateStore.inSetCol(col("gh"), hitKeys.toSeq))
+                .collect()).foreach { r =>
                 val cands = candByHash.get(r.getLong(0))
                 if (cands != null)
                   cands.forEach(i => {

@@ -24,14 +24,16 @@ import graft.ops.AnnSearch
   * so restarts re-derive them from config alone), and a true near-pair at
   * cosine exactly `threshold` collides in at least one of the `numTables`
   * tables with probability 1-(1-(1-acos(threshold)/π)^bitsPerTable)^numTables.
-  * At the designed operating point (threshold ≥ 0.97 on the defaults) that
-  * is ≥ 0.95 — and ≥ 0.999 at 0.99 — but at looser thresholds recall
-  * decays and near-pairs can be falsely ADMITTED. [[CosineNearDupGate.create]]
-  * (and therefore the `cosine_gate(...)` DDL) computes the estimate and
-  * warns loudly when it falls below 0.95; raise `numTables` or lower
-  * `bitsPerTable` to buy recall with wall-clock. Exact cosine verifies
-  * every candidate, so false bucket collisions cost wall-clock, never
-  * correctness.
+  * By default the geometry is AUTO-SIZED ([[CosineNearDupGate.autoGeometry]]):
+  * bitsPerTable scales with `expectedStoreSize` so the bucket keyspace —
+  * and with it per-batch candidate volume — stays proportional to true
+  * near-dups instead of the corpus (2^bits ≥ 4× expected store keeps mean
+  * bucket occupancy ≤ 0.25/table), and numTables is the smallest count
+  * whose recall floor at `threshold` clears `recallTarget`.
+  * [[CosineNearDupGate.create]] (and therefore the `cosine_gate(...)` DDL)
+  * computes the estimate and warns loudly when it falls below 0.95. Exact
+  * cosine verifies every candidate, so false bucket collisions cost
+  * wall-clock, never correctness.
   *
   * State, filters, delivery, compaction, restart, and the zero-shuffle
   * per-batch flow are [[IndexedNearDupGate]]'s: a `seen_keys` (bucket, id)
@@ -65,6 +67,31 @@ final class CosineNearDupGate private (
     embDir, idxDir, "embs", "v", bloomP, bloomN0, maxBucketSize, compactEvery) {
 
   override protected def obsPrefix: String = "cosgate"
+
+  // 64-bit SRP digest stored INLINE in the (bucket, id) index and compared
+  // by Hamming distance before any payload fetch: random bucket-mates (the
+  // volume that grows with the corpus — at low dims the angle variance
+  // between random vectors inflates SRP collision probability well beyond
+  // the 2^-bits pigeonhole rate) concentrate at ~32/64 flipped bits and
+  // are dropped payload-free, so phase-2 cost tracks TRUE near-dups. The
+  // cutoff is μ + 4.5σ of Binomial(64, acos(t)/π) — a pair at exactly the
+  // threshold is misfiltered with probability ~1e-5 (far above it,
+  // vanishing), which multiplies the documented recall floor negligibly;
+  // a random pair passes with probability ~1e-7.
+  private val skSeed = seed ^ 0x9e3779b97f4a7c15L
+  private val skCutoff: Int = {
+    val q = math.acos(math.max(-1.0, math.min(1.0, threshold))) / math.Pi
+    math.min(64, math.ceil(64 * q + 4.5 * math.sqrt(64 * q * (1 - q))).toInt)
+  }
+  override protected def sketchColOf: Option[Column => Column] =
+    Some(c => element_at(AnnSearch.srpBucketKeys(c, dim, 1, 64, skSeed), 1))
+  override protected def sketchOf(p: Array[Double]): Long =
+    AnnSearch.srpBucketKeysOf(p, dim, 1, 64, skSeed)(0)
+  override protected def sketchAdmissible(a: Long, b: Long): Boolean =
+    java.lang.Long.bitCount(a ^ b) <= skCutoff
+  override protected def sketchAdmissibleCol(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b)) <= lit(skCutoff)
+
   override protected def payloadCol: Column = expr(embSql).cast("array<double>")
   override protected def keysCol(payload: Column): Column =
     AnnSearch.srpBucketKeys(payload, dim, numTables, bitsPerTable, seed)
@@ -118,6 +145,31 @@ object CosineNearDupGate {
     1.0 - math.pow(1.0 - math.pow(pBit, bitsPerTable), numTables)
   }
 
+  /** Auto-sized SRP geometry for a store expected to reach
+    * `expectedStoreSize` vectors: bucket OCCUPANCY is what makes per-batch
+    * cost grow with the corpus (random bucket-mates at 2^bits buckets per
+    * table average storeSize/2^bits per row per table, every one of which
+    * is exact-verified), so bitsPerTable = ceil(log2(expected)) + 2 keeps
+    * mean occupancy ≤ 0.25 and candidate volume tracking TRUE near-dups
+    * instead of the corpus; numTables is then the smallest count whose
+    * structural recall at `threshold` clears `recallTarget`. When the
+    * threshold is too loose for the occupancy-safe bit width within 64
+    * tables, bits back off (pairwise) until recall is reachable — recall
+    * is a correctness-shaped contract, occupancy only a cost one — and
+    * the caller's create() warning reports the compromise. */
+  def autoGeometry(threshold: Double, expectedStoreSize: Long,
+      recallTarget: Double): (Int, Int) = {
+    def minTables(bits: Int): Option[Int] =
+      (1 to 64).find(t => recallEstimate(threshold, t, bits) >= recallTarget)
+    val occupancySafe = math.max(12, math.min(48,
+      64 - java.lang.Long.numberOfLeadingZeros(
+        math.max(1L, expectedStoreSize - 1)) + 2))
+    var bits = occupancySafe
+    var tables = minTables(bits)
+    while (tables.isEmpty && bits > 12) { bits -= 2; tables = minTables(bits) }
+    (tables.getOrElse(64), bits)
+  }
+
   /** Register a cosine near-dup gate on `eng`: a continuous transform
     * reading `selectSql` (must project `orderCol`, which must be UNIQUE
     * per stream; `embSql` names the embedding column) whose
@@ -132,28 +184,47 @@ object CosineNearDupGate {
     * stderr, with the computed estimate, so a DDL user can't silently get
     * under-suppression.
     */
+  /** `numTables`/`bitsPerTable` of 0 (the default) auto-size from
+    * `expectedStoreSize` via [[autoGeometry]] — the bucket keyspace MUST
+    * scale with the corpus or per-batch candidate volume (and with it
+    * gate cost) grows linearly in store size: the round-9 probe measured
+    * exactly that at the old fixed 8×12-bit geometry (32k buckets total →
+    * ~50 bucket-mates per table per row at a 200k store, every one
+    * exact-verified). The geometry is part of the STORE's identity —
+    * reopening an existing store with different (dim, tables, bits, seed)
+    * is refused loudly (stored bucket keys would silently mismatch). */
   def create(eng: ContViewEngine, name: String, selectSql: String,
       embSql: String, orderCol: String, sink: String, storeRoot: String,
       threshold: Double, dim: Int,
-      numTables: Int = 8, bitsPerTable: Int = 12, seed: Long = 42L,
+      numTables: Int = 0, bitsPerTable: Int = 0, seed: Long = 42L,
+      expectedStoreSize: Long = 1L << 20, recallTarget: Double = 0.95,
       bloomP: Double = 0.01, bloomN: Int = 1 << 20,
       maxBucketSize: Int = Int.MaxValue,
       compactEvery: Int = 256): CosineNearDupGate = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"cosine gate threshold must be in (0, 1], got $threshold")
-    val recall = recallEstimate(threshold, numTables, bitsPerTable)
+    val (autoT, autoB) =
+      if (numTables > 0 && bitsPerTable > 0) (numTables, bitsPerTable)
+      else {
+        val (t, b) = autoGeometry(threshold, expectedStoreSize, recallTarget)
+        (if (numTables > 0) numTables else t,
+          if (bitsPerTable > 0) bitsPerTable else b)
+      }
+    val recall = recallEstimate(threshold, autoT, autoB)
     if (recall < 0.95)
       System.err.println(f"[graft] CosineNearDupGate($name%s): structural " +
-        f"recall at threshold=$threshold%.3f with numTables=$numTables%d, " +
-        f"bitsPerTable=$bitsPerTable%d is ~$recall%.3f — near-pairs at the " +
+        f"recall at threshold=$threshold%.3f with numTables=$autoT%d, " +
+        f"bitsPerTable=$autoB%d is ~$recall%.3f — near-pairs at the " +
         "threshold may be falsely admitted; raise numTables or lower " +
         "bitsPerTable to restore recall")
     val embDir = Paths.get(storeRoot, name, "seen_embs")
     val idxDir = Paths.get(storeRoot, name, "seen_keys")
     Files.createDirectories(embDir)
     Files.createDirectories(idxDir)
+    GateStore.stampGeometry(idxDir,
+      s"cosine_d${dim}_t${autoT}_b${autoB}_s${seed}_sk64")
     val gate = new CosineNearDupGate(eng, name, embSql, orderCol, sink,
-      embDir, idxDir, threshold, dim, numTables, bitsPerTable, seed,
+      embDir, idxDir, threshold, dim, autoT, autoB, seed,
       bloomP, bloomN, maxBucketSize, compactEvery)
     gate.bootstrap()
     eng.createContTransform(name, selectSql,

@@ -36,9 +36,13 @@ private[streaming] object GateStore {
 
   /** Pruned store slices larger than this (file bytes) are not fetched to
     * the driver for in-place candidate verification — the bound is what
-    * makes the driver fetch safe (a bounded read cannot return unbounded
-    * rows); bigger slices take the distributed verify join. */
-  val MaxDriverVerifyBytes: Long = 32L << 20
+    * makes the driver fetch safe: a filtered collect returns a SUBSET of
+    * the slice's rows, so slice bytes cap the fetch regardless of filter
+    * selectivity (worst-case driver heap ≈ a few × this, transiently).
+    * Bigger slices take the distributed verify join — the normal path at
+    * corpus scale, where uniform candidate keys touch most shards; the
+    * driver path is the low-latency small-store regime. */
+  val MaxDriverVerifyBytes: Long = 128L << 20
 
   /** Test seams: specs shrink the bounds to force the distributed fallback
     * paths on small fixtures and assert result equality with the driver
@@ -115,6 +119,31 @@ private[streaming] object GateStore {
     a != null && b != null &&
       a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
 
+  /** Record (or verify) the key-geometry a gate store was built with. The
+    * bucket keys persisted in a near-dup index are a pure function of the
+    * gate's geometry parameters (planes/bands/seed); reopening a store
+    * under different parameters would make every stored key silently
+    * unmatchable — duplicates admitted, no error. The stamp turns that
+    * into a loud refusal. Stored as a dot-file the parquet listing
+    * ignores; an existing UN-stamped store (pre-stamp layout) adopts the
+    * current stamp, which is correct exactly when the caller kept its
+    * parameters — the same contract it already lived under. */
+  def stampGeometry(dir: Path, stamp: String): Unit = {
+    val f = dir.resolve(".geometry")
+    if (Files.exists(f)) {
+      val prev = new String(Files.readAllBytes(f),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      require(prev == stamp,
+        s"gate store at $dir was built with key geometry '$prev' but is " +
+          s"being reopened with '$stamp' — stored bucket keys would " +
+          "silently never match; recreate the store or restore the " +
+          "original gate parameters")
+    } else {
+      Files.write(f, stamp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      ()
+    }
+  }
+
   def files(dir: Path): Array[String] = {
     val d = dir.toFile
     Option(d.listFiles()).getOrElse(Array.empty)
@@ -160,6 +189,44 @@ private[streaming] object GateStore {
       .map(_.group(1).toLong)).foldLeft(0L)(math.max)
   }
 
+  /** Gate-store parquet page size. Smaller pages would cap a point
+    * lookup's I/O (one page per candidate key, via column-index pruning +
+    * [[withInPushdown]]) but were measured to tax the full-scan paths the
+    * distributed joins take — 64 KB pages cost the simhash gate ~20% at a
+    * 100× store with no measurable lookup win at probe scales, so this
+    * stays at the parquet default; revisit if multi-GB per-gate stores
+    * make page-granular lookups the dominant term. */
+  val PageBytes: Int = 1 << 20
+
+  /** Per-value parquet In pushdown beyond this many keys risks a stack
+    * overflow: the pushed predicate is a RECURSIVE or-chain of equals, and
+    * thousands of terms blow the task stack during filter evaluation
+    * (observed at ~6k keys) — which is why Spark's default threshold is
+    * 10. Beyond the cap the scan keeps the default range-only pushdown. */
+  val MaxInPushdownKeys: Int = 1536
+
+  /** Run `f` with the parquet In-pushdown threshold covering `n` values
+    * (when `n` ≤ [[MaxInPushdownKeys]]): above the threshold Spark pushes
+    * only the set's [min,max] range, which prunes NOTHING for candidate
+    * keys spread uniformly over the keyspace; per-value pushdown lets
+    * parquet row-group stats and column indexes skip to just the pages
+    * containing candidates. Session-conf scoped (set + restored around
+    * `f`) because the reads happen inside the gate's serialized onBatch,
+    * on a session shared with user queries. */
+  def withInPushdown[T](s: SparkSession, n: Int)(f: => T): T = {
+    if (n > MaxInPushdownKeys) f
+    else {
+      val key = "spark.sql.parquet.pushdown.inFilterThreshold"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, math.max(n, 10).toString)
+      try f
+      finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }
+  }
+
   /** Write `rows` as ONE parquet file `<prefix>_<batch>.parquet` via
     * temp-write + atomic rename, sorted by `sortCol` when given so row
     * groups carry tight key stats. */
@@ -170,7 +237,9 @@ private[streaming] object GateStore {
     try {
       val one = rows.coalesce(1)
       val sorted = sortCol.fold(one)(c => one.sortWithinPartitions(c))
-      sorted.write.mode("overwrite").parquet(stage.toString)
+      sorted.write.mode("overwrite")
+        .option("parquet.page.size", PageBytes.toString)
+        .parquet(stage.toString)
       val part = Option(stage.toFile.listFiles())
         .getOrElse(Array.empty).find(_.getName.endsWith(".parquet"))
         .getOrElse(throw new IllegalStateException(s"no $prefix part written"))
@@ -251,7 +320,9 @@ private[streaming] object GateStore {
             .sortWithinPartitions(c)
           case None => distinctRows.repartition(nShards)
         }
-        out.write.mode("overwrite").parquet(stage.toString)
+        out.write.mode("overwrite")
+          .option("parquet.page.size", PageBytes.toString)
+          .parquet(stage.toString)
         val parts = Option(stage.toFile.listFiles()).getOrElse(Array.empty)
           .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
         // per-shard [min,max] of the sort column (one metadata-light pass

@@ -79,6 +79,24 @@ private[streaming] abstract class IndexedNearDupGate[P](
   /** Observation-name prefix (metric labels). */
   protected def obsPrefix: String
 
+  /** Optional per-row index SKETCH: a compact (64-bit) similarity digest
+    * stored inline in the (bucket, id) index and compared BEFORE any
+    * payload fetch, so phase-2 cost tracks true near-dups instead of
+    * bucket coincidences — bucket-mates are verified payload-free at
+    * 8 bytes a row. [[sketchColOf]] (executor, stored layout) and
+    * [[sketchOf]] (driver) must compute the same digest;
+    * [[sketchAdmissible]]/[[sketchAdmissibleCol]] must accept every true
+    * near-pair at the gate's threshold (a conservative prefilter — any
+    * miss it introduces multiplies the gate's recall floor and must be
+    * documented by the subclass). None (the default) stores no sketch. */
+  protected def sketchColOf: Option[Column => Column] = None
+  /** Driver-side digest of a batch payload — same math as [[sketchColOf]]. */
+  protected def sketchOf(p: P): Long = 0L
+  /** Driver-side prefilter: may the two digests belong to a near-pair? */
+  protected def sketchAdmissible(a: Long, b: Long): Boolean = true
+  /** Executor-side form of [[sketchAdmissible]] (distributed fallback). */
+  protected def sketchAdmissibleCol(a: Column, b: Column): Column = lit(true)
+
   private var bloom = BloomFilter.empty(bloomP, bloomN0)
   private var bloomN = bloomN0
   // occupancy as of batch START, overestimate-only — see SimHashNearDupGate
@@ -146,9 +164,11 @@ private[streaming] abstract class IndexedNearDupGate[P](
     GateStore.append(
       keyed.select(col(orderCol).as("id"), storedPayloadCol.as(payloadColName)),
       payloadDir, payloadPrefix, batches, sortCol = Some("id"))
+    val idxCols = Seq(explode(keysCol(col("__p"))).as("bucket"),
+      col(orderCol).as("id")) ++
+      sketchColOf.map(f => f(col("__p")).as("sk"))
     GateStore.append(
-      keyed.select(explode(keysCol(col("__p"))).as("bucket"),
-        col(orderCol).as("id")),
+      keyed.select(idxCols: _*),
       idxDir, "keys", batches, sortCol = Some("bucket"))
   }
 
@@ -194,6 +214,8 @@ private[streaming] abstract class IndexedNearDupGate[P](
           .select(col(orderCol), col("__p"))
           .collect().map(r => (r.get(0), payloadOf(r))))
       val rowKeys: Array[Array[Long]] = rows.map(r => keysOf(r._2))
+      val rowSks: Array[Long] =
+        if (sketchColOf.isEmpty) null else rows.map(r => sketchOf(r._2))
       val overCapSet: java.util.HashSet[java.lang.Long] = {
         val set = new java.util.HashSet[java.lang.Long]()
         if (bucketCounts != null) {
@@ -255,6 +277,8 @@ private[streaming] abstract class IndexedNearDupGate[P](
         while (it.hasNext) { arr(k) = it.next(); k += 1 }
         arr
       }
+      if (trace) System.err.println(
+        s"[gate-trace] $name phase1-hitkeys ${hitKeys.length}")
       val keyPush = hitKeys.length <= GateStore.maxPushdownKeys
       val idxPaths =
         if (hitKeys.isEmpty) Array.empty[String]
@@ -271,38 +295,68 @@ private[streaming] abstract class IndexedNearDupGate[P](
         // (bounded by true candidate pairs, not store size).
         val idxBytes = idxPaths.map(p => new java.io.File(p).length()).sum
         val pairs = new java.util.HashMap[Any, java.util.HashSet[Integer]]()
+        val idxReadCols =
+          Seq(col("bucket"), col("id")) ++
+            (if (rowSks == null) Nil else Seq(col("sk")))
         if (keyPush && idxBytes <= GateStore.maxDriverVerifyBytes) traced("phase1") {
-          s.read.parquet(idxPaths: _*)
-            .where(GateStore.inSetCol(col("bucket"), hitKeys.toSeq))
-            .select(col("bucket"), col("id"))
-            .collect().foreach { r =>
+          val fetched = GateStore.withInPushdown(s, hitKeys.length)(
+            s.read.parquet(idxPaths: _*)
+              .where(GateStore.inSetCol(col("bucket"), hitKeys.toSeq))
+              .select(idxReadCols: _*)
+              .collect())
+          if (trace)
+            System.err.println(s"[gate-trace] $name phase1-rows ${fetched.length}")
+          fetched.foreach { r =>
               val cands = candByBucket.get(r.getLong(0))
               if (cands != null) {
-                val set = pairs.computeIfAbsent(r.get(1),
-                  _ => new java.util.HashSet[Integer]())
+                // sketch prefilter: a bucket-mate whose inline digest rules
+                // out the pair never reaches the payload fetch
+                var set: java.util.HashSet[Integer] = null
                 var k = 0
-                while (k < cands.size) { set.add(cands.get(k)); k += 1 }
+                while (k < cands.size) {
+                  val i = cands.get(k)
+                  if (rowSks == null || sketchAdmissible(rowSks(i), r.getLong(2))) {
+                    if (set == null)
+                      set = pairs.computeIfAbsent(r.get(1),
+                        _ => new java.util.HashSet[Integer]())
+                    set.add(i); ()
+                  }
+                  k += 1
+                }
               }
             }
         } else traced("phase1-dist") {
           val hitRows = new java.util.ArrayList[Row]()
           candByBucket.forEach { (b, list) =>
-            list.forEach(i => { hitRows.add(Row(b.longValue, i.intValue)); () })
+            list.forEach(i => {
+              hitRows.add(
+                if (rowSks == null) Row(b.longValue, i.intValue)
+                else Row(b.longValue, i.intValue, rowSks(i.intValue)))
+              ()
+            })
           }
+          val hitFields = Seq(
+            org.apache.spark.sql.types.StructField("bucket",
+              org.apache.spark.sql.types.LongType, nullable = false),
+            org.apache.spark.sql.types.StructField("__ri",
+              org.apache.spark.sql.types.IntegerType, nullable = false)) ++
+            (if (rowSks == null) Nil
+             else Seq(org.apache.spark.sql.types.StructField("__rsk",
+               org.apache.spark.sql.types.LongType, nullable = false)))
           val hitDf = s.createDataFrame(hitRows,
-            org.apache.spark.sql.types.StructType(Seq(
-              org.apache.spark.sql.types.StructField("bucket",
-                org.apache.spark.sql.types.LongType, nullable = false),
-              org.apache.spark.sql.types.StructField("__ri",
-                org.apache.spark.sql.types.IntegerType, nullable = false))))
+            org.apache.spark.sql.types.StructType(hitFields))
           // no over-cap filter needed: the inner join restricts to
           // candByBucket's buckets, which exclude over-cap ones already;
           // the in-set filter still narrows the scan when pushable
           val idx0 = s.read.parquet(idxPaths: _*)
           val idx = if (keyPush)
             idx0.where(GateStore.inSetCol(col("bucket"), hitKeys.toSeq)) else idx0
-          broadcast(hitDf).join(idx, Seq("bucket")).select(col("__ri"), col("id"))
-            .distinct().collect().foreach { r =>
+          val joined0 = broadcast(hitDf).join(idx, Seq("bucket"))
+          val joined = if (rowSks == null) joined0
+            else joined0.where(sketchAdmissibleCol(col("__rsk"), col("sk")))
+          GateStore.withInPushdown(s, hitKeys.length)(
+            joined.select(col("__ri"), col("id"))
+              .distinct().collect()).foreach { r =>
               pairs.computeIfAbsent(r.get(1),
                 _ => new java.util.HashSet[Integer]()).add(r.getInt(0))
               ()
@@ -316,6 +370,8 @@ private[streaming] abstract class IndexedNearDupGate[P](
           // collect only the suppressed row indices) — the store is never
           // collected unfiltered to the driver.
           val idArr = pairs.keySet().toArray
+          if (trace) System.err.println(
+            s"[gate-trace] $name phase2-cands ${idArr.length}")
           val idPush = idArr.length <= GateStore.maxPushdownKeys
           val payPaths =
             if (idPush && idArr.forall(_.isInstanceOf[Long]))
@@ -326,8 +382,9 @@ private[streaming] abstract class IndexedNearDupGate[P](
           else if (idPush && payBytes <= GateStore.maxDriverVerifyBytes) traced("phase2") {
             val vs0 = s.read.parquet(payPaths: _*)
             val vs = vs0.where(GateStore.inSetCol(col("id"), idArr.toSeq))
-            vs.select(col("id"), readPayloadCol(col(payloadColName)))
-              .collect().foreach { r =>
+            GateStore.withInPushdown(s, idArr.length)(
+              vs.select(col("id"), readPayloadCol(col(payloadColName)))
+                .collect()).foreach { r =>
                 val cands = pairs.get(r.get(0))
                 if (cands != null) {
                   val pS = payloadOf(r)
@@ -342,28 +399,42 @@ private[streaming] abstract class IndexedNearDupGate[P](
                 }
               }
           } else traced("phase2-dist") {
+            // (store id, batch row) pairs and batch payloads ride in TWO
+            // broadcast relations joined in sequence — a combined
+            // pairs×payload relation would broadcast each batch payload
+            // once per candidate pair (measured 24 s/batch at a hot
+            // 100× store before the split; ~0.5 s after)
             val idType = keyed.schema(keyed.schema.fieldIndex(orderCol)).dataType
             val candRows = new java.util.ArrayList[Row]()
+            val riSet = new java.util.HashSet[Integer]()
             pairs.forEach { (idS, ris) =>
               ris.forEach { i =>
                 if (rows(i)._1 != null) {
-                  candRows.add(Row(idS, i.intValue, externalPayloadOf(rows(i)._2))); ()
+                  candRows.add(Row(idS, i.intValue)); riSet.add(i); ()
                 }
               }
             }
+            val payRows = new java.util.ArrayList[Row](riSet.size)
+            riSet.forEach(i => { payRows.add(Row(i.intValue, externalPayloadOf(rows(i)._2))); () })
             val candDf = s.createDataFrame(candRows,
               org.apache.spark.sql.types.StructType(Seq(
                 org.apache.spark.sql.types.StructField("id", idType),
+                org.apache.spark.sql.types.StructField("__ri",
+                  org.apache.spark.sql.types.IntegerType, nullable = false))))
+            val batchDf = s.createDataFrame(payRows,
+              org.apache.spark.sql.types.StructType(Seq(
                 org.apache.spark.sql.types.StructField("__ri",
                   org.apache.spark.sql.types.IntegerType, nullable = false),
                 org.apache.spark.sql.types.StructField("__bp", externalPayloadType))))
             val store0 = s.read.parquet(payPaths: _*)
             val store = if (idPush)
               store0.where(GateStore.inSetCol(col("id"), idArr.toSeq)) else store0
-            broadcast(candDf).join(store, Seq("id"))
-              .where(similarCol(col("__bp"), readPayloadCol(col(payloadColName))))
-              .select(col("__ri")).distinct()
-              .collect().foreach(r => { suppressedSet.add(rows(r.getInt(0))._1); () })
+            GateStore.withInPushdown(s, idArr.length)(
+              store.join(broadcast(candDf), Seq("id"))
+                .join(broadcast(batchDf), Seq("__ri"))
+                .where(similarCol(col("__bp"), readPayloadCol(col(payloadColName))))
+                .select(col("__ri")).distinct()
+                .collect()).foreach(r => { suppressedSet.add(rows(r.getInt(0))._1); () })
           }
         }
       }
@@ -401,14 +472,24 @@ private[streaming] abstract class IndexedNearDupGate[P](
             rowKeys.iterator.map(_.length).sum)
           var i = 0
           while (i < rows.length) {
-            rowKeys(i).foreach(b => { idx.add(Row(b, rows(i)._1)); () })
+            rowKeys(i).foreach(b => {
+              idx.add(
+                if (rowSks == null) Row(b, rows(i)._1)
+                else Row(b, rows(i)._1, rowSks(i)))
+              ()
+            })
             i += 1
           }
+          val idxFields = Seq(
+            org.apache.spark.sql.types.StructField("bucket",
+              org.apache.spark.sql.types.LongType, nullable = false),
+            org.apache.spark.sql.types.StructField("id", idType)) ++
+            (if (rowSks == null) Nil
+             else Seq(org.apache.spark.sql.types.StructField("sk",
+               org.apache.spark.sql.types.LongType, nullable = false)))
           GateStore.append(
-            s.createDataFrame(idx, org.apache.spark.sql.types.StructType(Seq(
-              org.apache.spark.sql.types.StructField("bucket",
-                org.apache.spark.sql.types.LongType, nullable = false),
-              org.apache.spark.sql.types.StructField("id", idType)))),
+            s.createDataFrame(idx,
+              org.apache.spark.sql.types.StructType(idxFields)),
             idxDir, "keys", batches, sortCol = Some("bucket"))
         }
       }
@@ -424,7 +505,9 @@ private[streaming] abstract class IndexedNearDupGate[P](
   def compact(): Unit = synchronized {
     GateStore.compact(eng.spark, payloadDir, payloadPrefix,
       Seq("id", payloadColName), batches, sortCol = Some("id"))
-    val n = GateStore.compact(eng.spark, idxDir, "keys", Seq("bucket", "id"),
+    val idxCols = Seq("bucket", "id") ++
+      (if (sketchColOf.isEmpty) Nil else Seq("sk"))
+    val n = GateStore.compact(eng.spark, idxDir, "keys", idxCols,
       batches, sortCol = Some("bucket"))
     if (n > bloomN) {
       bloomN = GateStore.bloomSizeFor(n, bloomN)

@@ -128,6 +128,10 @@ object JaccardNearDupGate {
     val idxDir = Paths.get(storeRoot, name, "seen_keys")
     Files.createDirectories(sigDir)
     Files.createDirectories(idxDir)
+    // band keys and signatures are pure functions of the shingle/banding
+    // geometry — refuse a silently-mismatched reopen
+    GateStore.stampGeometry(idxDir,
+      s"jaccard_n${shingleN}_nb${numBands}_r$rowsPerBand")
     val gate = new JaccardNearDupGate(eng, name, textSql, orderCol, sink,
       sigDir, idxDir, threshold, shingleN, numBands, rowsPerBand,
       bloomP, bloomN, maxBucketSize, compactEvery)

@@ -305,9 +305,10 @@ final class SimHashNearDupGate private (
           val driverVerify = pushdown &&
             sliceBytes <= GateStore.maxDriverVerifyBytes
           if (driverVerify) {
-            val fetched = s.read.parquet(storePaths: _*)
-              .where(GateStore.inSetCol(col("bucket"), hitKeys.toSeq))
-              .select(col("bucket"), col("fp")).collect()
+            val fetched = GateStore.withInPushdown(s, hitKeys.length)(
+              s.read.parquet(storePaths: _*)
+                .where(GateStore.inSetCol(col("bucket"), hitKeys.toSeq))
+                .select(col("bucket"), col("fp")).collect())
             // driver probe: store row -> candidate rows sharing its bucket
             val candByBucket =
               new java.util.HashMap[java.lang.Long, java.util.ArrayList[org.apache.spark.sql.Row]]()
@@ -356,9 +357,10 @@ final class SimHashNearDupGate private (
               }
             val store = store0
               .select(col("bucket"), col("id").as("id_s"), col("fp").as("fp_s"))
-            hitDf.join(store, Seq("bucket"))
-              .where(bit_count(col("fp").bitwiseXOR(col("fp_s"))) <= maxDist)
-              .select(col("__id")).distinct().collect().map(_.get(0))
+            GateStore.withInPushdown(s, hitKeys.length)(
+              hitDf.join(store, Seq("bucket"))
+                .where(bit_count(col("fp").bitwiseXOR(col("fp_s"))) <= maxDist)
+                .select(col("__id")).distinct().collect()).map(_.get(0))
               .filter(_ != null)
           }
         }
@@ -433,6 +435,9 @@ object SimHashNearDupGate {
       compactEvery: Int = 256): SimHashNearDupGate = {
     val dir = Paths.get(storeRoot, name, "seen_fps")
     Files.createDirectories(dir)
+    // bucket keys are a pure function of the block split — refuse a
+    // silently-mismatched reopen (see GateStore.stampGeometry)
+    GateStore.stampGeometry(dir, s"simhash_k$blocks")
     val gate = new SimHashNearDupGate(eng, name, textSql, orderCol, sink, dir,
       maxDist, blocks, bloomP, bloomN, maxBucketSize, compactEvery)
     gate.bootstrap() // resume from a persisted store after an engine restart

@@ -198,9 +198,10 @@ final class StreamDedupGate private (
       val present: java.util.HashSet[Any] = {
         val set = new java.util.HashSet[Any]()
         if (storeF.nonEmpty && cand.nonEmpty) {
-          s.read.parquet(GateStore.pruned(storeF, cand): _*)
-            .where(GateStore.inSetCol(col("h"), cand.toSeq))
-            .select("h").collect().foreach(r => set.add(r.get(0)))
+          GateStore.withInPushdown(s, cand.length)(
+            s.read.parquet(GateStore.pruned(storeF, cand): _*)
+              .where(GateStore.inSetCol(col("h"), cand.toSeq))
+              .select("h").collect()).foreach(r => set.add(r.get(0)))
         }
         set
       }
