@@ -321,12 +321,24 @@ object Bench {
     val (simhash10x, simhash100x) = scalePair("simhash", 5000)
     val (jaccard10x, jaccard100x) = scalePair("jaccard", 4000)
     val (cosine10x, cosine100x) = scalePair("cosine", 2000)
+    // Horizontal scale-out probe (GateProbes.shardProbe): the cosine gate —
+    // the family's lowest-throughput member — key-space-sharded into G
+    // concurrent cores at a 50x seeded store. The single-driver decision
+    // loop was the r9 verdict's structural ceiling; g4/g1 measures how much
+    // of it sharding removes (bounded locally by per-job latency and the
+    // serial collect/forward — see PERF_NOTES §13).
+    val (cosineG1, cosineG4) =
+      if (!gateScale) (0L, 0L)
+      else {
+        val out = GateProbes.shardProbe(spark, "cosine", 10000, 50L, Seq(1, 4))
+        (out.head._2, out.last._2)
+      }
     val loadavg = loadavgNow()
     val (steal1, total1) = cpuTicks()
     val stealPct =
       if (total1 > total0) 100.0 * (steal1 - steal0) / (total1 - total0) else 0.0
     // every scalar metric, shared by both output lines
-    val scalars = s""""sf":"$sfDir","runs_per_query":$repeats,"cv_large_state_sec":$largeStateSec,"cv_ingest_events_per_sec":${ingestEventsPerSec.round},"cv_reap_noop_sec":$reapNoopSec,"cv_soak_sec":$soakSec,"cv_soak_events_per_sec":${soakEvPerSec.round},"cv_soak_drift":${math.round(soakDrift * 1000) / 1000.0},"cv_soak_reap_ms":${math.round(soakReapMs * 100) / 100.0},"cv_soak_batches":$soakBatches,"cv_soak_commits":$soakCommits,"gate_events_per_sec":$gateEvPerSec,"ndgate_events_per_sec":$ndGateEvPerSec,"gate_large_store_exact_10x":$exact10x,"gate_large_store_exact_100x":$exact100x,"gate_large_store_simhash_10x":$simhash10x,"gate_large_store_simhash_100x":$simhash100x,"gate_large_store_jaccard_10x":$jaccard10x,"gate_large_store_jaccard_100x":$jaccard100x,"gate_large_store_cosine_10x":$cosine10x,"gate_large_store_cosine_100x":$cosine100x,"loadavg_before":"$loadavgBefore","loadavg":"$loadavg","cpu_steal_pct":${math.round(stealPct * 100) / 100.0}"""
+    val scalars = s""""sf":"$sfDir","runs_per_query":$repeats,"cv_large_state_sec":$largeStateSec,"cv_ingest_events_per_sec":${ingestEventsPerSec.round},"cv_reap_noop_sec":$reapNoopSec,"cv_soak_sec":$soakSec,"cv_soak_events_per_sec":${soakEvPerSec.round},"cv_soak_drift":${math.round(soakDrift * 1000) / 1000.0},"cv_soak_reap_ms":${math.round(soakReapMs * 100) / 100.0},"cv_soak_batches":$soakBatches,"cv_soak_commits":$soakCommits,"gate_events_per_sec":$gateEvPerSec,"ndgate_events_per_sec":$ndGateEvPerSec,"gate_large_store_exact_10x":$exact10x,"gate_large_store_exact_100x":$exact100x,"gate_large_store_simhash_10x":$simhash10x,"gate_large_store_simhash_100x":$simhash100x,"gate_large_store_jaccard_10x":$jaccard10x,"gate_large_store_jaccard_100x":$jaccard100x,"gate_large_store_cosine_10x":$cosine10x,"gate_large_store_cosine_100x":$cosine100x,"gate_sharded_cosine_g1":$cosineG1,"gate_sharded_cosine_g4":$cosineG4,"loadavg_before":"$loadavgBefore","loadavg":"$loadavg","cpu_steal_pct":${math.round(stealPct * 100) / 100.0},"loaded_box":${loadavgBefore.trim.split("\\s+").headOption.flatMap(s => scala.util.Try(s.toDouble).toOption).exists(_ > 2.0)}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$scalars}""")
     // Compact summary LAST: the driver's artifact keeps a bounded tail of
     // this output, and the full line above (102 per-query timings) has

@@ -17,10 +17,27 @@ import org.apache.spark.sql.functions._
   */
 object GateProbes {
 
-  /** ev/s for `kind` ∈ {exact, simhash, cosine} at each store scale in
-    * `scales` (multiples of `batchRows`), seeding incrementally. */
+  /** Aggregate gate ev/s at a `storeMult`× seeded store for each shard
+    * count in `gs` — the horizontal scale-out probe: G key-slice cores
+    * deciding each batch concurrently should push throughput toward G×
+    * (bounded by per-batch fixed costs: the one collect, the one forward,
+    * job-scheduling overhead). Fresh store per G (the shard count is part
+    * of the store's identity). */
+  def shardProbe(spark: SparkSession, kind: String, batchRows: Int,
+      storeMult: Long, gs: Seq[Int] = Seq(1, 4, 8),
+      nBatches: Int = 4): Seq[(Int, Long)] =
+    gs.map { g =>
+      val evs = scaleProbe(spark, kind, batchRows, Seq(storeMult), nBatches,
+        shards = g)
+      (g, evs.head)
+    }
+
+  /** ev/s for `kind` ∈ {exact, simhash, jaccard, cosine} at each store
+    * scale in `scales` (multiples of `batchRows`), seeding incrementally;
+    * `shards` ≥ 2 builds the key-space-sharded gate form. */
   def scaleProbe(spark: SparkSession, kind: String, batchRows: Int,
-      scales: Seq[Long] = Seq(10L, 100L), nBatches: Int = 4): Seq[Long] = {
+      scales: Seq[Long] = Seq(10L, 100L), nBatches: Int = 4,
+      shards: Int = 1): Seq[Long] = {
     import org.apache.spark.sql.types.{StructField, StructType, StringType, LongType, ArrayType, DoubleType}
     val root = java.nio.file.Files.createTempDirectory(s"graft_gsc_$kind").toString
     val eng = new graft.cv.ContViewEngine(spark, root)
@@ -48,20 +65,34 @@ object GateProbes {
     def payload(rows: DataFrame) =
       if (textual) rows.select(col("id"), body(col("cid")).as("body"))
       else rows.select(col("id"), vec(col("cid")).as("embedding"))
-    val gate: Any = kind match {
-      case "exact" => graft.streaming.StreamDedupGate.create(eng, "gs_gate",
+    val gate: Any = (kind, shards) match {
+      case ("exact", 1) => graft.streaming.StreamDedupGate.create(eng, "gs_gate",
         "SELECT id, body FROM gs_in", keySql = "md5(body)", orderCol = "id",
         sink = "gs_out", storeRoot = root)
-      case "simhash" => graft.streaming.SimHashNearDupGate.create(eng, "gs_gate",
+      case ("exact", g) => graft.streaming.StreamDedupGate.createSharded(eng,
+        "gs_gate", "SELECT id, body FROM gs_in", keySql = "md5(body)",
+        orderCol = "id", sink = "gs_out", storeRoot = root, shards = g)
+      case ("simhash", 1) => graft.streaming.SimHashNearDupGate.create(eng, "gs_gate",
         "SELECT id, body FROM gs_in", textSql = "body", orderCol = "id",
         sink = "gs_out", storeRoot = root)
-      case "jaccard" => graft.streaming.JaccardNearDupGate.create(eng, "gs_gate",
+      case ("simhash", g) => graft.streaming.SimHashNearDupGate.createSharded(eng,
+        "gs_gate", "SELECT id, body FROM gs_in", textSql = "body",
+        orderCol = "id", sink = "gs_out", storeRoot = root, shards = g)
+      case ("jaccard", 1) => graft.streaming.JaccardNearDupGate.create(eng, "gs_gate",
         "SELECT id, body FROM gs_in", textSql = "body", orderCol = "id",
         sink = "gs_out", storeRoot = root, threshold = 0.8)
-      case _ => graft.streaming.CosineNearDupGate.create(eng, "gs_gate",
+      case ("jaccard", g) => graft.streaming.JaccardNearDupGate.createSharded(eng,
+        "gs_gate", "SELECT id, body FROM gs_in", textSql = "body",
+        orderCol = "id", sink = "gs_out", storeRoot = root, threshold = 0.8,
+        shards = g)
+      case (_, 1) => graft.streaming.CosineNearDupGate.create(eng, "gs_gate",
         "SELECT id, embedding FROM gs_in", embSql = "embedding",
         orderCol = "id", sink = "gs_out", storeRoot = root,
         threshold = 0.98, dim = dim)
+      case (_, g) => graft.streaming.CosineNearDupGate.createSharded(eng,
+        "gs_gate", "SELECT id, embedding FROM gs_in", embSql = "embedding",
+        orderCol = "id", sink = "gs_out", storeRoot = root,
+        threshold = 0.98, dim = dim, shards = g)
     }
     def seed(fromId: Long, n: Long): Unit = {
       val chunk = 100000L
@@ -76,6 +107,8 @@ object GateProbes {
           case g: graft.streaming.SimHashNearDupGate => g.seedStore(rows)
           case g: graft.streaming.CosineNearDupGate => g.seedStore(rows)
           case g: graft.streaming.JaccardNearDupGate => g.seedStore(rows)
+          case g: graft.streaming.ShardedDedupGate => g.seedStore(rows)
+          case g: graft.streaming.ShardedNearDupGate => g.seedStore(rows)
         }
         off += m
       }
@@ -86,6 +119,8 @@ object GateProbes {
         case g: graft.streaming.SimHashNearDupGate => g.compact()
         case g: graft.streaming.CosineNearDupGate => g.compact()
         case g: graft.streaming.JaccardNearDupGate => g.compact()
+        case g: graft.streaming.ShardedDedupGate => g.compact()
+        case g: graft.streaming.ShardedNearDupGate => g.compact()
       }
     }
     var nextId = 1L << 40 // batch ids above any seed id
@@ -119,6 +154,41 @@ object GateProbes {
     eng.dropContTransform("gs_gate")
     eng.dropStream("gs_in"); eng.dropStream("gs_out")
     out
+  }
+}
+
+/** Shard scale-out driver: `runMain graft.ProfileGateShards [kind]
+  * [batchRows] [storeMult] [gs,csv]` — aggregate ev/s per shard count at a
+  * seeded store. */
+object ProfileGateShards {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val kinds = args.headOption.map(Seq(_)).getOrElse(Seq("exact", "cosine"))
+    val batchRows = args.lift(1).map(_.toInt)
+    val storeMult = args.lift(2).map(_.toLong).getOrElse(100L)
+    val gs = args.lift(3).map(_.split(",").toSeq.map(_.toInt))
+      .getOrElse(Seq(1, 2, 4, 8))
+    kinds.foreach { kind =>
+      val rows = batchRows.getOrElse(kind match {
+        case "exact" => 20000
+        case "simhash" => 5000
+        case "jaccard" => 4000
+        case _ => 2000
+      })
+      val t0 = System.nanoTime()
+      val out = GateProbes.shardProbe(spark, kind, rows, storeMult, gs)
+      val wall = (System.nanoTime() - t0) / 1e9
+      println(f"[gate-shards] $kind%s batchRows=$rows%d store=${storeMult}%dx " +
+        out.map { case (g, e) => s"g$g=$e ev/s" }.mkString(" ") +
+        f" (wall $wall%.1f s)")
+    }
+    spark.stop()
   }
 }
 

@@ -987,9 +987,13 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     * the catalog (kind=gate, spec in the sw slot) and replays at restart —
     * the gate's bootstrap then re-derives its bloom/CMS filters from the
     * persisted store, so suppression resumes exactly. Specs:
-    *   dedup_gate('<keySql>', '<orderCol>')
-    *   neardup_gate('<textSql>', '<orderCol>'[, maxDist[, maxBucketSize]])
-    *   cosine_gate('<embSql>', '<orderCol>', <threshold>, <dim>[, maxBucketSize[, expectedStoreSize]])
+    *   dedup_gate('<keySql>', '<orderCol>'[, shards])
+    *   neardup_gate('<textSql>', '<orderCol>'[, maxDist[, maxBucketSize[, shards]]])
+    *   cosine_gate('<embSql>', '<orderCol>', <threshold>, <dim>[, maxBucketSize[, expectedStoreSize[, shards]]])
+    *   jaccard_gate('<textSql>', '<orderCol>', <threshold>[, maxBucketSize[, shards]])
+    * A `shards` of G ≥ 2 key-space-partitions the gate into G concurrent
+    * cores (ShardedDedupGate / ShardedNearDupGate) — identical admitted
+    * set, horizontally-scaled decision loop.
     * String arguments follow SQL literal quoting — a literal single quote
     * inside one is escaped by doubling it ('').
     */
@@ -1013,45 +1017,72 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     val arg = """'((?:[^']|'')*)'"""
     def unq(s: String): String = s.replace("''", "'")
     val dedupRe =
-      s"""(?i)dedup_gate\\s*\\(\\s*$arg\\s*,\\s*$arg\\s*\\)""".r
+      s"""(?i)dedup_gate\\s*\\(\\s*$arg\\s*,\\s*$arg\\s*(?:,\\s*(\\d+)\\s*)?\\)""".r
     val neardupRe =
-      s"""(?i)neardup_gate\\s*\\(\\s*$arg\\s*,\\s*$arg\\s*(?:,\\s*(\\d+)\\s*(?:,\\s*(\\d+)\\s*)?)?\\)""".r
+      s"""(?i)neardup_gate\\s*\\(\\s*$arg\\s*,\\s*$arg\\s*(?:,\\s*(\\d+)\\s*(?:,\\s*(\\d+)\\s*(?:,\\s*(\\d+)\\s*)?)?)?\\)""".r
     val cosineRe =
-      s"""(?i)cosine_gate\\s*\\(\\s*$arg\\s*,\\s*$arg\\s*,\\s*([0-9.]+)\\s*,\\s*(\\d+)\\s*(?:,\\s*(\\d+)\\s*(?:,\\s*(\\d+)\\s*)?)?\\)""".r
+      s"""(?i)cosine_gate\\s*\\(\\s*$arg\\s*,\\s*$arg\\s*,\\s*([0-9.]+)\\s*,\\s*(\\d+)\\s*(?:,\\s*(\\d+)\\s*(?:,\\s*(\\d+)\\s*(?:,\\s*(\\d+)\\s*)?)?)?\\)""".r
     val jaccardRe =
-      s"""(?i)jaccard_gate\\s*\\(\\s*$arg\\s*,\\s*$arg\\s*,\\s*([0-9.]+)\\s*(?:,\\s*(\\d+)\\s*)?\\)""".r
+      s"""(?i)jaccard_gate\\s*\\(\\s*$arg\\s*,\\s*$arg\\s*,\\s*([0-9.]+)\\s*(?:,\\s*(\\d+)\\s*(?:,\\s*(\\d+)\\s*)?)?\\)""".r
     // the gate's own createContTransform call must not write a second
     // catalog row — only the kind=gate entry replays (a plain transform
     // entry would re-create the transform WITHOUT its callback)
     val prevSuppress = suppressCatalog
     suppressCatalog = true
+    def shardsOf(s: String): Int = Option(s).map(_.toInt).getOrElse(1)
     val gate: AnyRef =
       try gateSpec match {
-        case dedupRe(keySql, orderCol) =>
+        case dedupRe(keySql, orderCol, shards) if shardsOf(shards) <= 1 =>
           graft.streaming.StreamDedupGate.create(this, name, selectSql,
             unq(keySql), unq(orderCol), sink, storeRoot = root)
-        case neardupRe(textSql, orderCol, maxDist, cap) =>
+        case dedupRe(keySql, orderCol, shards) =>
+          graft.streaming.StreamDedupGate.createSharded(this, name, selectSql,
+            unq(keySql), unq(orderCol), sink, storeRoot = root,
+            shards = shards.toInt)
+        case neardupRe(textSql, orderCol, maxDist, cap, shards)
+            if shardsOf(shards) <= 1 =>
           graft.streaming.SimHashNearDupGate.create(this, name, selectSql,
             unq(textSql), unq(orderCol), sink, storeRoot = root,
             maxDist = Option(maxDist).map(_.toInt).getOrElse(3),
             maxBucketSize = Option(cap).map(_.toInt).getOrElse(Int.MaxValue))
-        case cosineRe(embSql, orderCol, threshold, dim, cap, expected) =>
+        case neardupRe(textSql, orderCol, maxDist, cap, shards) =>
+          graft.streaming.SimHashNearDupGate.createSharded(this, name,
+            selectSql, unq(textSql), unq(orderCol), sink, storeRoot = root,
+            shards = shards.toInt,
+            maxDist = Option(maxDist).map(_.toInt).getOrElse(3),
+            maxBucketSize = Option(cap).map(_.toInt).getOrElse(Int.MaxValue))
+        case cosineRe(embSql, orderCol, threshold, dim, cap, expected, shards)
+            if shardsOf(shards) <= 1 =>
           graft.streaming.CosineNearDupGate.create(this, name, selectSql,
             unq(embSql), unq(orderCol), sink, storeRoot = root,
             threshold = threshold.toDouble, dim = dim.toInt,
             maxBucketSize = Option(cap).map(_.toInt).getOrElse(Int.MaxValue),
             expectedStoreSize =
               Option(expected).map(_.toLong).getOrElse(1L << 20))
-        case jaccardRe(textSql, orderCol, threshold, cap) =>
+        case cosineRe(embSql, orderCol, threshold, dim, cap, expected, shards) =>
+          graft.streaming.CosineNearDupGate.createSharded(this, name,
+            selectSql, unq(embSql), unq(orderCol), sink, storeRoot = root,
+            threshold = threshold.toDouble, dim = dim.toInt,
+            shards = shards.toInt,
+            maxBucketSize = Option(cap).map(_.toInt).getOrElse(Int.MaxValue),
+            expectedStoreSize =
+              Option(expected).map(_.toLong).getOrElse(1L << 20))
+        case jaccardRe(textSql, orderCol, threshold, cap, shards)
+            if shardsOf(shards) <= 1 =>
           graft.streaming.JaccardNearDupGate.create(this, name, selectSql,
             unq(textSql), unq(orderCol), sink, storeRoot = root,
             threshold = threshold.toDouble,
             maxBucketSize = Option(cap).map(_.toInt).getOrElse(Int.MaxValue))
+        case jaccardRe(textSql, orderCol, threshold, cap, shards) =>
+          graft.streaming.JaccardNearDupGate.createSharded(this, name,
+            selectSql, unq(textSql), unq(orderCol), sink, storeRoot = root,
+            threshold = threshold.toDouble, shards = shards.toInt,
+            maxBucketSize = Option(cap).map(_.toInt).getOrElse(Int.MaxValue))
         case other => throw new IllegalArgumentException(
-          s"unparseable gate outputfunc '$other' (expected dedup_gate('<key>','<order>'), " +
-            "neardup_gate('<text>','<order>'[,maxDist[,maxBucketSize]]), " +
-            "cosine_gate('<emb>','<order>',<threshold>,<dim>[,maxBucketSize[,expectedStoreSize]]) or " +
-            "jaccard_gate('<text>','<order>',<threshold>[,maxBucketSize]); " +
+          s"unparseable gate outputfunc '$other' (expected dedup_gate('<key>','<order>'[,shards]), " +
+            "neardup_gate('<text>','<order>'[,maxDist[,maxBucketSize[,shards]]]), " +
+            "cosine_gate('<emb>','<order>',<threshold>,<dim>[,maxBucketSize[,expectedStoreSize[,shards]]]) or " +
+            "jaccard_gate('<text>','<order>',<threshold>[,maxBucketSize[,shards]]); " +
             "escape a literal quote inside a string argument by doubling it: '')")
       } finally suppressCatalog = prevSuppress
     gates(name) = gate

@@ -423,9 +423,11 @@ object CvQueries {
           org.apache.spark.sql.types.StructField("h",
             org.apache.spark.sql.types.StringType)))
       // the exact gate takes the DDL spelling — recorded in the catalog
-      // (kind=gate), replayed WITH its callback at restart
+      // (kind=gate), replayed WITH its callback at restart — in its
+      // SHARDED form (2 key-space cores), so the horizontal scale-out
+      // path is oracle-gated end-to-end incl. the mid-feed restart
       eng.sql("""CREATE VIEW dg_gate WITH (action = transform, sink = 'dg_clean',
-                |  outputfunc = dedup_gate('md5(text)', 'doc_id')) AS
+                |  outputfunc = dedup_gate('md5(text)', 'doc_id', 2)) AS
                 |SELECT doc_id, text, lang FROM dg_in""".stripMargin)
       eng.createContView("v_clean", "SELECT doc_id, h, lang FROM dg_clean",
         emitChanges = false)
@@ -455,10 +457,12 @@ object CvQueries {
       // natural pair (q_ann_lsh's operating point).
       eng.createStream("cg_in", cosCorpus.schema)
       eng.createStream("cg_clean", cosCorpus.schema)
-      graft.streaming.CosineNearDupGate.create(eng, "cg_gate",
+      // sharded form (2 table-position cores, shared embedding store) so
+      // the near-dup scale-out path is oracle-gated too
+      graft.streaming.CosineNearDupGate.createSharded(eng, "cg_gate",
         "SELECT vec_id, embedding, label FROM cg_in",
         embSql = "embedding", orderCol = "vec_id", sink = "cg_clean",
-        storeRoot = root, threshold = 0.99, dim = 64)
+        storeRoot = root, threshold = 0.99, dim = 64, shards = 2)
       eng.createContView("v_cg_clean", "SELECT vec_id, label FROM cg_clean",
         emitChanges = false)
       // fourth sibling: the MinHash/Jaccard gate, declared through DDL so

@@ -62,9 +62,12 @@ final class CosineNearDupGate private (
     bloomP: Double,
     bloomN0: Int,
     maxBucketSize: Int,
-    compactEvery: Int)
+    compactEvery: Int,
+    shardId: Int,
+    shardCount: Int)
   extends IndexedNearDupGate[Array[Double]](eng, name, orderCol, sink,
-    embDir, idxDir, "embs", "v", bloomP, bloomN0, maxBucketSize, compactEvery) {
+    embDir, idxDir, "embs", "v", bloomP, bloomN0, maxBucketSize, compactEvery,
+    shardId, shardCount) {
 
   override protected def obsPrefix: String = "cosgate"
 
@@ -217,19 +220,70 @@ object CosineNearDupGate {
         f"bitsPerTable=$autoB%d is ~$recall%.3f — near-pairs at the " +
         "threshold may be falsely admitted; raise numTables or lower " +
         "bitsPerTable to restore recall")
-    val embDir = Paths.get(storeRoot, name, "seen_embs")
-    val idxDir = Paths.get(storeRoot, name, "seen_keys")
+    val root = Paths.get(storeRoot, name)
+    Files.createDirectories(root)
+    GateStore.stampGeometry(root, "shards_1")
+    val embDir = root.resolve("seen_embs")
+    val idxDir = root.resolve("seen_keys")
     Files.createDirectories(embDir)
     Files.createDirectories(idxDir)
     GateStore.stampGeometry(idxDir,
       s"cosine_d${dim}_t${autoT}_b${autoB}_s${seed}_sk64")
     val gate = new CosineNearDupGate(eng, name, embSql, orderCol, sink,
       embDir, idxDir, threshold, dim, autoT, autoB, seed,
-      bloomP, bloomN, maxBucketSize, compactEvery)
+      bloomP, bloomN, maxBucketSize, compactEvery, 0, 1)
     gate.bootstrap()
     eng.createContTransform(name, selectSql,
       outputFunc = Some(gate.onBatch _), emitChanges = false)
     // a catalog-replayed transform is bare (no callback) — re-attach
+    eng.rebindTransformOutput(name, gate.onBatch _)
+    gate
+  }
+
+  /** The G-core horizontally-sharded form of [[create]] (see
+    * [[ShardedNearDupGate]]): core k owns SRP table positions ≡ k (mod
+    * `shards`), with its own index slice + bloom; the embedding store is
+    * shared (written once per batch by core 0). Admitted set is identical
+    * to the unsharded gate's; per-batch decisions run on `shards`
+    * concurrent threads. The shard count is part of the store's identity
+    * — reopening under a different G is refused. */
+  def createSharded(eng: ContViewEngine, name: String, selectSql: String,
+      embSql: String, orderCol: String, sink: String, storeRoot: String,
+      threshold: Double, dim: Int, shards: Int,
+      numTables: Int = 0, bitsPerTable: Int = 0, seed: Long = 42L,
+      expectedStoreSize: Long = 1L << 20, recallTarget: Double = 0.95,
+      bloomP: Double = 0.01, bloomN: Int = 1 << 20,
+      maxBucketSize: Int = Int.MaxValue,
+      compactEvery: Int = 256): ShardedNearDupGate = {
+    require(shards >= 2, s"use create() for an unsharded gate (shards=$shards)")
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"cosine gate threshold must be in (0, 1], got $threshold")
+    val (autoT, autoB) =
+      if (numTables > 0 && bitsPerTable > 0) (numTables, bitsPerTable)
+      else {
+        val (t, b) = autoGeometry(threshold, expectedStoreSize, recallTarget)
+        (if (numTables > 0) numTables else t,
+          if (bitsPerTable > 0) bitsPerTable else b)
+      }
+    val root = Paths.get(storeRoot, name)
+    Files.createDirectories(root)
+    GateStore.stampGeometry(root, s"shards_$shards")
+    val embDir = root.resolve("seen_embs")
+    Files.createDirectories(embDir)
+    val cores = (0 until shards).map { k =>
+      val idxDir = root.resolve(s"s${k}of$shards").resolve("seen_keys")
+      Files.createDirectories(idxDir)
+      GateStore.stampGeometry(idxDir,
+        s"cosine_d${dim}_t${autoT}_b${autoB}_s${seed}_sk64")
+      val core = new CosineNearDupGate(eng, name, embSql, orderCol, sink,
+        embDir, idxDir, threshold, dim, autoT, autoB, seed,
+        bloomP, bloomN, maxBucketSize, compactEvery, k, shards)
+      core.bootstrap()
+      core
+    }
+    val gate = new ShardedNearDupGate(eng, name, sink, cores)
+    eng.createContTransform(name, selectSql,
+      outputFunc = Some(gate.onBatch _), emitChanges = false)
     eng.rebindTransformOutput(name, gate.onBatch _)
     gate
   }

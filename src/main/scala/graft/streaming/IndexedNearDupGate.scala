@@ -10,10 +10,10 @@ import graft.functions.GraftFunctions
 import graft.sketch.BloomFilter
 
 /** Shared machinery of the split-store streaming near-dup gates
-  * ([[CosineNearDupGate]], [[JaccardNearDupGate]]): a banded (bucket, id)
-  * index in range shards joined first, an (id, payload) store read only
-  * for surfaced candidate ids, driver-resident bloom/CMS filters fed by
-  * one bounded per-batch collect, bloom regrow at compaction, and
+  * ([[CosineNearDupGate]], [[JaccardNearDupGate]]): a banded (bucket, id
+  * [, sketch]) index in range shards joined first, an (id, payload) store
+  * read only for surfaced candidate ids, driver-resident bloom/CMS filters
+  * fed by one bounded per-batch collect, bloom regrow at compaction, and
   * at-least-once delivery (sink before store append). A subclass supplies
   * only the payload geometry: how to compute it, bucket it, decode it,
   * and compare it — on executors for the stored layout and on the driver
@@ -30,6 +30,15 @@ import graft.sketch.BloomFilter
   * filter; append both stores from what the driver already holds.
   * Suppression is "seen"-based and single-shot recomputable; `orderCol`
   * must be unique per stream (shared gate contract).
+  *
+  * SHARDING (`shardId`/`shardCount`): banded LSH emits one key per
+  * band/table POSITION, and a core owns positions ≡ shardId (mod
+  * shardCount) — every bucket collision is decided by exactly one core,
+  * so G cores' suppressed-set union equals the unsharded set exactly.
+  * A sharded core stores only its index-slice (and, for core 0, the
+  * SHARED payload store); the batch lifecycle is driven by
+  * [[ShardedNearDupGate]] through the [[ShardableGateCore]] hooks — the
+  * unsharded gate is the same composition at G=1.
   */
 private[streaming] abstract class IndexedNearDupGate[P](
     eng: ContViewEngine,
@@ -43,7 +52,12 @@ private[streaming] abstract class IndexedNearDupGate[P](
     bloomP: Double,
     bloomN0: Int,
     maxBucketSize: Int,
-    compactEvery: Int) {
+    compactEvery: Int,
+    shardId: Int = 0,
+    shardCount: Int = 1) extends ShardableGateCore {
+
+  require(shardCount >= 1 && shardId >= 0 && shardId < shardCount,
+    s"bad shard assignment $shardId/$shardCount")
 
   /** The payload column (nullable → row passes through unstored) computed
     * over the transform's projected columns, named `__p`. */
@@ -97,6 +111,16 @@ private[streaming] abstract class IndexedNearDupGate[P](
   /** Executor-side form of [[sketchAdmissible]] (distributed fallback). */
   protected def sketchAdmissibleCol(a: Column, b: Column): Column = lit(true)
 
+  /** Sharded cores read their stores through a CLONED session (shared
+    * SparkContext, isolated SQLConf): concurrent cores each scope their
+    * own parquet In-pushdown raise (GateStore.withInPushdown mutates
+    * session conf — a shared session would race), and isolated conf also
+    * avoids cross-core planner-state contention. The unsharded gate keeps
+    * the engine session (no concurrency, and its plans stay visible to
+    * session-level debugging). */
+  private lazy val coreSession =
+    if (shardCount == 1) eng.spark else eng.spark.newSession()
+
   private var bloom = BloomFilter.empty(bloomP, bloomN0)
   private var bloomN = bloomN0
   // occupancy as of batch START, overestimate-only — see SimHashNearDupGate
@@ -107,12 +131,35 @@ private[streaming] abstract class IndexedNearDupGate[P](
   private var admitted = 0L
   private var suppressed = 0L
 
-  /** (batches, admitted survivors, suppressed near-duplicates) so far. */
+  /** (batches, admitted survivors, suppressed near-duplicates) so far
+    * (sharded cores don't count — their wrapper does). */
   def stats: (Long, Long, Long) = synchronized((batches, admitted, suppressed))
+
+  // ---- key-position ownership --------------------------------------------
+
+  @inline private def writesPayload: Boolean = shardId == 0
+
+  /** The core's slice of a payload's banded keys (all of them at G=1). */
+  private def sliceOwned(ks: Array[Long]): Array[Long] =
+    if (shardCount == 1) ks
+    else {
+      val out = new Array[Long]((ks.length - shardId + shardCount - 1) / shardCount)
+      var i = shardId
+      var k = 0
+      while (i < ks.length) { out(k) = ks(i); k += 1; i += shardCount }
+      out
+    }
+
+  /** Executor-side form of [[ownedKeysOf]]. */
+  private def ownedKeysCol(payload: Column): Column = {
+    val ks = keysCol(payload)
+    if (shardCount == 1) ks
+    else filter(ks, (_, i) => i % lit(shardCount) === lit(shardId))
+  }
 
   private[streaming] def bootstrap(): Unit = synchronized {
     val files = GateStore.files(idxDir)
-    if (files.isEmpty && GateStore.files(payloadDir).nonEmpty)
+    if (shardCount == 1 && files.isEmpty && GateStore.files(payloadDir).nonEmpty)
       throw new IllegalStateException(
         s"$name: payload store at $payloadDir exists without its " +
           s"(bucket, id) index at $idxDir — a pre-split-layout store; " +
@@ -137,8 +184,9 @@ private[streaming] abstract class IndexedNearDupGate[P](
       if (bucketCounts != null)
         bucketCounts.merge(
           graft.sketch.CountMinSketch.deserialize(row.getAs[Array[Byte]]("c")))
-      batches = GateStore.maxBatch(payloadDir, payloadPrefix)
     }
+    batches = math.max(GateStore.maxBatch(idxDir, "keys"),
+      if (writesPayload) GateStore.maxBatch(payloadDir, payloadPrefix) else 0L)
   }
 
   /** Append pre-keyed rows straight into the seen-stores (bloom/CMS
@@ -150,7 +198,7 @@ private[streaming] abstract class IndexedNearDupGate[P](
       .persist()
     try {
       appendStores(keyed)
-      updateFilters(keyed.select(explode(keysCol(col("__p"))).as("bucket"))
+      updateFilters(keyed.select(explode(ownedKeysCol(col("__p"))).as("bucket"))
         .collect().map(_.getLong(0)))
     } finally { keyed.unpersist(); () }
   }
@@ -159,12 +207,12 @@ private[streaming] abstract class IndexedNearDupGate[P](
     // payloads first, index second: a crash in between leaves payloads
     // with no index entry, which the batch's retry re-appends (duplicates
     // are tolerated downstream of every store read). Null order ids are
-    // never stored — see onBatch.
+    // never stored — see decideBatch.
     val keyed = keyed0.where(col(orderCol).isNotNull)
-    GateStore.append(
+    if (writesPayload) GateStore.append(
       keyed.select(col(orderCol).as("id"), storedPayloadCol.as(payloadColName)),
       payloadDir, payloadPrefix, batches, sortCol = Some("id"))
-    val idxCols = Seq(explode(keysCol(col("__p"))).as("bucket"),
+    val idxCols = Seq(explode(ownedKeysCol(col("__p"))).as("bucket"),
       col(orderCol).as("id")) ++
       sketchColOf.map(f => f(col("__p")).as("sk"))
     GateStore.append(
@@ -195,27 +243,68 @@ private[streaming] abstract class IndexedNearDupGate[P](
       out
     }
 
-  private[streaming] def onBatch(batch: DataFrame): Unit = synchronized { traced("onbatch-total") {
-    batches += 1
-    val s = batch.sparkSession
-    val obs = new org.apache.spark.sql.Observation(s"${obsPrefix}_${name}_$batches")
-    val keyed = batch.drop("arrival_timestamp")
-      .withColumn("__p", payloadCol)
-      .observe(obs, count(lit(1)).as("rows"))
-      .persist()
-    try {
+  // ---- the batch lifecycle (ShardableGateCore) ---------------------------
+
+  /** Per-batch decision state handed from [[decideBatch]] to
+    * [[verifySharedPairs]] and the commit hooks (the wrapper forwards
+    * survivors in between). `pairs` maps candidate STORE ids to the batch
+    * row indices they must be exact-verified against — phase 2 runs once
+    * over the union across cores (the payload store is shared). */
+  private[streaming] final class BatchCtx(
+      private[streaming] val keyed: DataFrame,
+      private[streaming] val rows: Array[(Any, P)],
+      private[streaming] val rowKeys: Array[Array[Long]],
+      private[streaming] val rowSks: Array[Long],
+      private[streaming] val sup: java.util.HashSet[Any],
+      private[streaming] val pairs: java.util.HashMap[Any, java.util.HashSet[Integer]])
+
+  private[streaming] def prepareBatch(batch: DataFrame,
+      obs: Option[org.apache.spark.sql.Observation]): DataFrame = {
+    val base = batch.drop("arrival_timestamp")
+    val observed = obs.fold(base)(o => base.observe(o, count(lit(1)).as("rows")))
+    observed.withColumn("__p", payloadCol).persist()
+  }
+
+  /** Batch rows plus the FULL banded key set and sketch per row, computed
+    * ONCE — sharded cores slice positions out of `fullKeys` instead of
+    * re-running the plane/band math G times. */
+  private[streaming] final class CollectedRows(
+      private[streaming] val rows: Array[(Any, P)],
+      private[streaming] val fullKeys: Array[Array[Long]],
+      private[streaming] val sks: Array[Long])
+
+  private[streaming] def collectBatchRows(keyed: DataFrame): AnyRef =
+    traced("collect") {
       // rows with a null order id pass through, are never stored and
       // never suppress: the suppression filter could not target them, and
       // a stored null id could not be fetched back by the candidate-id
       // pushdown — excluding them keeps every code path consistent
       // (orderCol is contractually unique and non-null anyway)
-      val rows: Array[(Any, P)] = traced("collect")(
-        keyed.where(col("__p").isNotNull && col(orderCol).isNotNull)
-          .select(col(orderCol), col("__p"))
-          .collect().map(r => (r.get(0), payloadOf(r))))
-      val rowKeys: Array[Array[Long]] = rows.map(r => keysOf(r._2))
-      val rowSks: Array[Long] =
-        if (sketchColOf.isEmpty) null else rows.map(r => sketchOf(r._2))
+      val rows = keyed.where(col("__p").isNotNull && col(orderCol).isNotNull)
+        .select(col(orderCol), col("__p"))
+        .collect().map(r => (r.get(0), payloadOf(r)))
+      new CollectedRows(rows, rows.map(r => keysOf(r._2)),
+        if (sketchColOf.isEmpty) null else rows.map(r => sketchOf(r._2)))
+    }
+
+  private[streaming] def suppressedOf(ctx: AnyRef): java.util.HashSet[Any] =
+    ctx.asInstanceOf[BatchCtx].sup
+
+  private[streaming] def survivorsOf(keyed: DataFrame,
+      sup: java.util.HashSet[Any]): DataFrame =
+    (if (sup.isEmpty) keyed
+     else keyed.where(col(orderCol).isNull ||
+       !GateStore.inSetCol(col(orderCol), sup.toArray.toSeq)))
+      .drop("__p")
+
+  private[streaming] def decideBatch(keyed: DataFrame, rows0: AnyRef): AnyRef =
+    synchronized { traced("decide") {
+      batches += 1
+      val s = coreSession
+      val collected = rows0.asInstanceOf[CollectedRows]
+      val rows = collected.rows
+      val rowKeys: Array[Array[Long]] = collected.fullKeys.map(sliceOwned)
+      val rowSks: Array[Long] = collected.sks
       val overCapSet: java.util.HashSet[java.lang.Long] = {
         val set = new java.util.HashSet[java.lang.Long]()
         if (bucketCounts != null) {
@@ -226,7 +315,9 @@ private[streaming] abstract class IndexedNearDupGate[P](
         }
         set
       }
-      // within-batch: group rows by under-cap bucket, verify within groups
+      // within-batch: group rows by under-cap owned bucket, verify within
+      // groups (exact similarity — sketch prefiltering is for STORE
+      // candidates; in-memory payloads verify directly)
       val suppressedSet = new java.util.HashSet[Any]()
       locally {
         val byBucket = new java.util.HashMap[java.lang.Long, java.util.ArrayList[Integer]]()
@@ -257,11 +348,10 @@ private[streaming] abstract class IndexedNearDupGate[P](
         }
       }
       val idxF = GateStore.storeFiles(idxDir)
-      val payF = GateStore.storeFiles(payloadDir)
       // candidate map: bloom-positive under-cap bucket -> batch row indices
       val candByBucket =
         new java.util.HashMap[java.lang.Long, java.util.ArrayList[Integer]]()
-      if (idxF.nonEmpty && payF.nonEmpty) {
+      if (idxF.nonEmpty) {
         var i = 0
         while (i < rows.length) {
           rowKeys(i).foreach { b =>
@@ -284,6 +374,7 @@ private[streaming] abstract class IndexedNearDupGate[P](
         if (hitKeys.isEmpty) Array.empty[String]
         else if (keyPush) GateStore.pruned(idxF, hitKeys)
         else idxF.map(_.path)
+      val pairs = new java.util.HashMap[Any, java.util.HashSet[Integer]]()
       if (idxPaths.nonEmpty) {
         // phase 1: candidate (batch row, store id) pairs from the pruned
         // (bucket, id) index — the payload bytes stay unread. Driver path
@@ -294,7 +385,6 @@ private[streaming] abstract class IndexedNearDupGate[P](
         // distributed, and collect only the surviving deduplicated pairs
         // (bounded by true candidate pairs, not store size).
         val idxBytes = idxPaths.map(p => new java.io.File(p).length()).sum
-        val pairs = new java.util.HashMap[Any, java.util.HashSet[Integer]]()
         val idxReadCols =
           Seq(col("bucket"), col("id")) ++
             (if (rowSks == null) Nil else Seq(col("sk")))
@@ -362,140 +452,184 @@ private[streaming] abstract class IndexedNearDupGate[P](
               ()
             }
         }
-        if (!pairs.isEmpty) {
-          // phase 2: fetch ONLY the candidate payloads, id set pushed into
-          // the scan; verify exact similarity on the driver when the
-          // pruned slice is under the byte bound, else verify DISTRIBUTED
-          // (broadcast the batch payloads against the store scan and
-          // collect only the suppressed row indices) — the store is never
-          // collected unfiltered to the driver.
-          val idArr = pairs.keySet().toArray
-          if (trace) System.err.println(
-            s"[gate-trace] $name phase2-cands ${idArr.length}")
-          val idPush = idArr.length <= GateStore.maxPushdownKeys
-          val payPaths =
-            if (idPush && idArr.forall(_.isInstanceOf[Long]))
-              GateStore.pruned(payF, idArr.map(_.asInstanceOf[Long]).sorted)
-            else payF.map(_.path)
-          val payBytes = payPaths.map(p => new java.io.File(p).length()).sum
-          if (payPaths.isEmpty) ()
-          else if (idPush && payBytes <= GateStore.maxDriverVerifyBytes) traced("phase2") {
-            val vs0 = s.read.parquet(payPaths: _*)
-            val vs = vs0.where(GateStore.inSetCol(col("id"), idArr.toSeq))
-            GateStore.withInPushdown(s, idArr.length)(
-              vs.select(col("id"), readPayloadCol(col(payloadColName)))
-                .collect()).foreach { r =>
-                val cands = pairs.get(r.get(0))
-                if (cands != null) {
-                  val pS = payloadOf(r)
-                  cands.forEach { i =>
-                    // a null order id can never be suppressed (nothing can
-                    // target it downstream) — it passes through, matching
-                    // the documented null semantics of every gate filter
-                    if (rows(i)._1 != null && similar(rows(i)._2, pS))
-                      suppressedSet.add(rows(i)._1)
-                    ()
-                  }
-                }
-              }
-          } else traced("phase2-dist") {
-            // (store id, batch row) pairs and batch payloads ride in TWO
-            // broadcast relations joined in sequence — a combined
-            // pairs×payload relation would broadcast each batch payload
-            // once per candidate pair (measured 24 s/batch at a hot
-            // 100× store before the split; ~0.5 s after)
-            val idType = keyed.schema(keyed.schema.fieldIndex(orderCol)).dataType
-            val candRows = new java.util.ArrayList[Row]()
-            val riSet = new java.util.HashSet[Integer]()
-            pairs.forEach { (idS, ris) =>
-              ris.forEach { i =>
-                if (rows(i)._1 != null) {
-                  candRows.add(Row(idS, i.intValue)); riSet.add(i); ()
-                }
-              }
+      }
+      new BatchCtx(keyed, rows, rowKeys, rowSks, suppressedSet, pairs)
+    } }
+
+  /** Phase 2, run ONCE over the union of every core's candidate pairs:
+    * fetch ONLY the candidate payloads from the SHARED (id, payload)
+    * store, id set pushed into the scan; verify exact similarity on the
+    * driver when the pruned slice is under the byte bound, else verify
+    * DISTRIBUTED (broadcast the batch payloads against the store scan and
+    * collect only the suppressed row indices) — the store is never
+    * collected unfiltered to the driver, and never read more than once
+    * per batch however many cores contributed candidates. */
+  private[streaming] override def verifySharedPairs(
+      ctxs: Seq[AnyRef]): java.util.HashSet[Any] = traced("phase2") {
+    val out = new java.util.HashSet[Any]()
+    val first = ctxs.head.asInstanceOf[BatchCtx]
+    val rows = first.rows
+    val pairs = new java.util.HashMap[Any, java.util.HashSet[Integer]]()
+    ctxs.foreach { c =>
+      c.asInstanceOf[BatchCtx].pairs.forEach { (id, ris) =>
+        pairs.computeIfAbsent(id, _ => new java.util.HashSet[Integer]())
+          .addAll(ris)
+        ()
+      }
+    }
+    if (pairs.isEmpty) return out
+    val s = coreSession
+    val payF = GateStore.storeFiles(payloadDir)
+    val idArr = pairs.keySet().toArray
+    if (trace) System.err.println(
+      s"[gate-trace] $name phase2-cands ${idArr.length}")
+    val idPush = idArr.length <= GateStore.maxPushdownKeys
+    val payPaths =
+      if (idPush && idArr.forall(_.isInstanceOf[Long]))
+        GateStore.pruned(payF, idArr.map(_.asInstanceOf[Long]).sorted)
+      else payF.map(_.path)
+    val payBytes = payPaths.map(p => new java.io.File(p).length()).sum
+    if (payPaths.isEmpty) ()
+    else if (idPush && payBytes <= GateStore.maxDriverVerifyBytes) {
+      val vs0 = s.read.parquet(payPaths: _*)
+      val vs = vs0.where(GateStore.inSetCol(col("id"), idArr.toSeq))
+      GateStore.withInPushdown(s, idArr.length)(
+        vs.select(col("id"), readPayloadCol(col(payloadColName)))
+          .collect()).foreach { r =>
+          val cands = pairs.get(r.get(0))
+          if (cands != null) {
+            val pS = payloadOf(r)
+            cands.forEach { i =>
+              // a null order id can never be suppressed (nothing can
+              // target it downstream) — it passes through, matching
+              // the documented null semantics of every gate filter
+              if (rows(i)._1 != null && similar(rows(i)._2, pS))
+                out.add(rows(i)._1)
+              ()
             }
-            val payRows = new java.util.ArrayList[Row](riSet.size)
-            riSet.forEach(i => { payRows.add(Row(i.intValue, externalPayloadOf(rows(i)._2))); () })
-            val candDf = s.createDataFrame(candRows,
-              org.apache.spark.sql.types.StructType(Seq(
-                org.apache.spark.sql.types.StructField("id", idType),
-                org.apache.spark.sql.types.StructField("__ri",
-                  org.apache.spark.sql.types.IntegerType, nullable = false))))
-            val batchDf = s.createDataFrame(payRows,
-              org.apache.spark.sql.types.StructType(Seq(
-                org.apache.spark.sql.types.StructField("__ri",
-                  org.apache.spark.sql.types.IntegerType, nullable = false),
-                org.apache.spark.sql.types.StructField("__bp", externalPayloadType))))
-            val store0 = s.read.parquet(payPaths: _*)
-            val store = if (idPush)
-              store0.where(GateStore.inSetCol(col("id"), idArr.toSeq)) else store0
-            GateStore.withInPushdown(s, idArr.length)(
-              store.join(broadcast(candDf), Seq("id"))
-                .join(broadcast(batchDf), Seq("__ri"))
-                .where(similarCol(col("__bp"), readPayloadCol(col(payloadColName))))
-                .select(col("__ri")).distinct()
-                .collect()).foreach(r => { suppressedSet.add(rows(r.getInt(0))._1); () })
+          }
+        }
+    } else traced("phase2-dist") {
+      // (store id, batch row) pairs and batch payloads ride in TWO
+      // broadcast relations joined in sequence — a combined
+      // pairs×payload relation would broadcast each batch payload
+      // once per candidate pair (measured 24 s/batch at a hot
+      // 100× store before the split; ~0.5 s after)
+      val keyed = first.keyed
+      val idType = keyed.schema(keyed.schema.fieldIndex(orderCol)).dataType
+      val candRows = new java.util.ArrayList[Row]()
+      val riSet = new java.util.HashSet[Integer]()
+      pairs.forEach { (idS, ris) =>
+        ris.forEach { i =>
+          if (rows(i)._1 != null) {
+            candRows.add(Row(idS, i.intValue)); riSet.add(i); ()
           }
         }
       }
-      val total = obs.get("rows").asInstanceOf[Long]
-      val n = total - suppressedSet.size
-      admitted += n
-      suppressed += total - n
-      // sink BEFORE store append (at-least-once under failure-retry —
-      // see StreamDedupGate's delivery contract); null payloads can't
-      // pair and are not stored
-      if (n > 0) {
-        val survivors =
-          (if (suppressedSet.isEmpty) keyed
-           else keyed.where(col(orderCol).isNull ||
-             !GateStore.inSetCol(col(orderCol), suppressedSet.toArray.toSeq)))
-            .drop("__p")
-        eng.insertInto(sink, survivors)
-      }
+      val payRows = new java.util.ArrayList[Row](riSet.size)
+      riSet.forEach(i => { payRows.add(Row(i.intValue, externalPayloadOf(rows(i)._2))); () })
+      val candDf = s.createDataFrame(candRows,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id", idType),
+          org.apache.spark.sql.types.StructField("__ri",
+            org.apache.spark.sql.types.IntegerType, nullable = false))))
+      val batchDf = s.createDataFrame(payRows,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("__ri",
+            org.apache.spark.sql.types.IntegerType, nullable = false),
+          org.apache.spark.sql.types.StructField("__bp", externalPayloadType))))
+      val store0 = s.read.parquet(payPaths: _*)
+      val store = if (idPush)
+        store0.where(GateStore.inSetCol(col("id"), idArr.toSeq)) else store0
+      GateStore.withInPushdown(s, idArr.length)(
+        store.join(broadcast(candDf), Seq("id"))
+          .join(broadcast(batchDf), Seq("__ri"))
+          .where(similarCol(col("__bp"), readPayloadCol(col(payloadColName))))
+          .select(col("__ri")).distinct()
+          .collect()).foreach(r => { out.add(rows(r.getInt(0))._1); () })
+    }
+    out
+  }
+
+  private[streaming] def commitPayloadBatch(ctx0: AnyRef): Unit =
+    synchronized { traced("append-pay") {
+      val ctx = ctx0.asInstanceOf[BatchCtx]
       // the append is BUILT on the driver from the rows already in hand —
-      // two LocalRelation writes, no second execution of the payload/key
-      // expressions over the batch (seedStore keeps the distributed path
-      // for its bulk chunks)
-      traced("append") {
-        if (rows.nonEmpty) {
-          val idType = keyed.schema(keyed.schema.fieldIndex(orderCol)).dataType
-          val pay = new java.util.ArrayList[Row](rows.length)
-          rows.foreach(r => { pay.add(Row(r._1, storedPayloadOf(r._2))); () })
-          GateStore.append(
-            s.createDataFrame(pay, org.apache.spark.sql.types.StructType(Seq(
+      // a LocalRelation write, no second execution of the payload
+      // expression over the batch (seedStore keeps the distributed path
+      // for its bulk chunks); null payloads can't pair and are not stored
+      if (writesPayload && ctx.rows.nonEmpty) {
+        val idType =
+          ctx.keyed.schema(ctx.keyed.schema.fieldIndex(orderCol)).dataType
+        val pay = new java.util.ArrayList[Row](ctx.rows.length)
+        ctx.rows.foreach(r => { pay.add(Row(r._1, storedPayloadOf(r._2))); () })
+        GateStore.append(
+          coreSession.createDataFrame(pay,
+            org.apache.spark.sql.types.StructType(Seq(
               org.apache.spark.sql.types.StructField("id", idType),
               org.apache.spark.sql.types.StructField(payloadColName,
                 storedPayloadType)))),
-            payloadDir, payloadPrefix, batches, sortCol = Some("id"))
-          val idx = new java.util.ArrayList[Row](
-            rowKeys.iterator.map(_.length).sum)
-          var i = 0
-          while (i < rows.length) {
-            rowKeys(i).foreach(b => {
-              idx.add(
-                if (rowSks == null) Row(b, rows(i)._1)
-                else Row(b, rows(i)._1, rowSks(i)))
-              ()
-            })
-            i += 1
-          }
-          val idxFields = Seq(
-            org.apache.spark.sql.types.StructField("bucket",
-              org.apache.spark.sql.types.LongType, nullable = false),
-            org.apache.spark.sql.types.StructField("id", idType)) ++
-            (if (rowSks == null) Nil
-             else Seq(org.apache.spark.sql.types.StructField("sk",
-               org.apache.spark.sql.types.LongType, nullable = false)))
-          GateStore.append(
-            s.createDataFrame(idx,
-              org.apache.spark.sql.types.StructType(idxFields)),
-            idxDir, "keys", batches, sortCol = Some("bucket"))
-        }
+          payloadDir, payloadPrefix, batches, sortCol = Some("id"))
       }
-      traced("filters")(updateFilters(rowKeys.flatten))
+    } }
+
+  private[streaming] def commitIndexBatch(ctx0: AnyRef): Unit =
+    synchronized { traced("append-idx") {
+      val ctx = ctx0.asInstanceOf[BatchCtx]
+      if (ctx.rows.nonEmpty) {
+        val idType =
+          ctx.keyed.schema(ctx.keyed.schema.fieldIndex(orderCol)).dataType
+        val idx = new java.util.ArrayList[Row](
+          ctx.rowKeys.iterator.map(_.length).sum)
+        var i = 0
+        while (i < ctx.rows.length) {
+          ctx.rowKeys(i).foreach(b => {
+            idx.add(
+              if (ctx.rowSks == null) Row(b, ctx.rows(i)._1)
+              else Row(b, ctx.rows(i)._1, ctx.rowSks(i)))
+            ()
+          })
+          i += 1
+        }
+        val idxFields = Seq(
+          org.apache.spark.sql.types.StructField("bucket",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("id", idType)) ++
+          (if (ctx.rowSks == null) Nil
+           else Seq(org.apache.spark.sql.types.StructField("sk",
+             org.apache.spark.sql.types.LongType, nullable = false)))
+        if (!idx.isEmpty) GateStore.append(
+          coreSession.createDataFrame(idx,
+            org.apache.spark.sql.types.StructType(idxFields)),
+          idxDir, "keys", batches, sortCol = Some("bucket"))
+      }
+      traced("filters")(updateFilters(ctx.rowKeys.flatten))
+    } }
+
+  private[streaming] def maybeCompact(): Unit =
+    if (compactEvery > 0 && synchronized(batches) % compactEvery == 0) compact()
+
+  private[streaming] def compactNow(): Unit = compact()
+
+  private[streaming] def onBatch(batch: DataFrame): Unit = synchronized { traced("onbatch-total") {
+    val obs = new org.apache.spark.sql.Observation(
+      s"${obsPrefix}_${name}_${batches + 1}")
+    val keyed = prepareBatch(batch, Some(obs))
+    try {
+      val rows = collectBatchRows(keyed)
+      val ctx = decideBatch(keyed, rows).asInstanceOf[BatchCtx]
+      ctx.sup.addAll(verifySharedPairs(Seq(ctx)))
+      val total = obs.get("rows").asInstanceOf[Long]
+      val n = total - ctx.sup.size
+      admitted += n
+      suppressed += total - n
+      // sink BEFORE store append (at-least-once under failure-retry —
+      // see StreamDedupGate's delivery contract)
+      if (n > 0) eng.insertInto(sink, survivorsOf(keyed, ctx.sup))
+      commitPayloadBatch(ctx)
+      commitIndexBatch(ctx)
     } finally keyed.unpersist()
-    if (compactEvery > 0 && batches % compactEvery == 0) compact()
+    maybeCompact()
   } }
 
   /** Fold both stores into range shards — the index by bucket, the
@@ -503,7 +637,7 @@ private[streaming] abstract class IndexedNearDupGate[P](
     * its design size, so the fast path survives unbounded streams.
     * Crash-safe without a manifest (duplicated rows change nothing). */
   def compact(): Unit = synchronized {
-    GateStore.compact(eng.spark, payloadDir, payloadPrefix,
+    if (writesPayload) GateStore.compact(eng.spark, payloadDir, payloadPrefix,
       Seq("id", payloadColName), batches, sortCol = Some("id"))
     val idxCols = Seq("bucket", "id") ++
       (if (sketchColOf.isEmpty) Nil else Seq("sk"))

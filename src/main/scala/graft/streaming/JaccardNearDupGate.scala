@@ -50,9 +50,12 @@ final class JaccardNearDupGate private (
     bloomP: Double,
     bloomN0: Int,
     maxBucketSize: Int,
-    compactEvery: Int)
+    compactEvery: Int,
+    shardId: Int,
+    shardCount: Int)
   extends IndexedNearDupGate[Array[Long]](eng, name, orderCol, sink,
-    sigDir, idxDir, "sigs", "sig", bloomP, bloomN0, maxBucketSize, compactEvery) {
+    sigDir, idxDir, "sigs", "sig", bloomP, bloomN0, maxBucketSize, compactEvery,
+    shardId, shardCount) {
 
   override protected def obsPrefix: String = "jacgate"
   override protected def payloadCol: Column =
@@ -124,8 +127,11 @@ object JaccardNearDupGate {
         f"rowsPerBand=$rowsPerBand%d is ~$recall%.3f — near-pairs at the " +
         "threshold may be falsely admitted; raise numBands or lower " +
         "rowsPerBand to restore recall")
-    val sigDir = Paths.get(storeRoot, name, "seen_sigs")
-    val idxDir = Paths.get(storeRoot, name, "seen_keys")
+    val root = Paths.get(storeRoot, name)
+    Files.createDirectories(root)
+    GateStore.stampGeometry(root, "shards_1")
+    val sigDir = root.resolve("seen_sigs")
+    val idxDir = root.resolve("seen_keys")
     Files.createDirectories(sigDir)
     Files.createDirectories(idxDir)
     // band keys and signatures are pure functions of the shingle/banding
@@ -134,11 +140,56 @@ object JaccardNearDupGate {
       s"jaccard_n${shingleN}_nb${numBands}_r$rowsPerBand")
     val gate = new JaccardNearDupGate(eng, name, textSql, orderCol, sink,
       sigDir, idxDir, threshold, shingleN, numBands, rowsPerBand,
-      bloomP, bloomN, maxBucketSize, compactEvery)
+      bloomP, bloomN, maxBucketSize, compactEvery, 0, 1)
     gate.bootstrap()
     eng.createContTransform(name, selectSql,
       outputFunc = Some(gate.onBatch _), emitChanges = false)
     // a catalog-replayed transform is bare (no callback) — re-attach
+    eng.rebindTransformOutput(name, gate.onBatch _)
+    gate
+  }
+
+  /** The G-core horizontally-sharded form of [[create]] (see
+    * [[ShardedNearDupGate]]): core k owns band positions ≡ k (mod
+    * `shards`) with its own index slice + bloom; the signature store is
+    * shared (written once per batch by core 0). Admitted set identical to
+    * the unsharded gate's; reopening under a different G is refused. */
+  def createSharded(eng: ContViewEngine, name: String, selectSql: String,
+      textSql: String, orderCol: String, sink: String, storeRoot: String,
+      threshold: Double, shards: Int, shingleN: Int = 3,
+      numBands: Int = 16, rowsPerBand: Int = 4,
+      bloomP: Double = 0.01, bloomN: Int = 1 << 20,
+      maxBucketSize: Int = Int.MaxValue,
+      compactEvery: Int = 256): ShardedNearDupGate = {
+    require(shards >= 2, s"use create() for an unsharded gate (shards=$shards)")
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"jaccard gate threshold must be in (0, 1], got $threshold")
+    val recall = recallEstimate(threshold, numBands, rowsPerBand)
+    if (recall < 0.95)
+      System.err.println(f"[graft] JaccardNearDupGate($name%s): banding " +
+        f"recall at threshold=$threshold%.3f with numBands=$numBands%d, " +
+        f"rowsPerBand=$rowsPerBand%d is ~$recall%.3f — near-pairs at the " +
+        "threshold may be falsely admitted; raise numBands or lower " +
+        "rowsPerBand to restore recall")
+    val root = Paths.get(storeRoot, name)
+    Files.createDirectories(root)
+    GateStore.stampGeometry(root, s"shards_$shards")
+    val sigDir = root.resolve("seen_sigs")
+    Files.createDirectories(sigDir)
+    val cores = (0 until shards).map { k =>
+      val idxDir = root.resolve(s"s${k}of$shards").resolve("seen_keys")
+      Files.createDirectories(idxDir)
+      GateStore.stampGeometry(idxDir,
+        s"jaccard_n${shingleN}_nb${numBands}_r$rowsPerBand")
+      val core = new JaccardNearDupGate(eng, name, textSql, orderCol, sink,
+        sigDir, idxDir, threshold, shingleN, numBands, rowsPerBand,
+        bloomP, bloomN, maxBucketSize, compactEvery, k, shards)
+      core.bootstrap()
+      core
+    }
+    val gate = new ShardedNearDupGate(eng, name, sink, cores)
+    eng.createContTransform(name, selectSql,
+      outputFunc = Some(gate.onBatch _), emitChanges = false)
     eng.rebindTransformOutput(name, gate.onBatch _)
     gate
   }

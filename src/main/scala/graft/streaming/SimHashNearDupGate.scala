@@ -63,7 +63,38 @@ final class SimHashNearDupGate private (
     bloomP: Double,
     bloomN0: Int,
     maxBucketSize: Int,
-    compactEvery: Int) {
+    compactEvery: Int,
+    shardId: Int = 0,
+    shardCount: Int = 1) extends ShardableGateCore {
+
+  require(shardCount >= 1 && shardId >= 0 && shardId < shardCount,
+    s"bad shard assignment $shardId/$shardCount")
+
+  /** Key-position ownership (see [[ShardedNearDupGate]]): the block
+    * permutation emits C(blocks, blocks-maxDist/…) keys in a fixed order,
+    * and core k owns positions ≡ k (mod shardCount) — every colliding
+    * pair is decided by exactly one core, union = unsharded set. */
+  private def ownedKeysOfFp(fp: Long): Array[Long] = {
+    val ks = SimHash.blockKeysOf(fp, blocks, maxDist)
+    if (shardCount == 1) ks
+    else {
+      val out = new Array[Long]((ks.length - shardId + shardCount - 1) / shardCount)
+      var i = shardId
+      var k = 0
+      while (i < ks.length) { out(k) = ks(i); k += 1; i += shardCount }
+      out
+    }
+  }
+
+  private def ownedKeysCol(fp: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val ks = SimHash.blockKeys(fp, blocks, maxDist)
+    if (shardCount == 1) ks
+    else filter(ks, (_, i) => i % lit(shardCount) === lit(shardId))
+  }
+
+  // see IndexedNearDupGate.coreSession: isolated SQLConf per sharded core
+  private lazy val coreSession =
+    if (shardCount == 1) eng.spark else eng.spark.newSession()
 
   private var bloom = BloomFilter.empty(bloomP, bloomN0)
   private var bloomN = bloomN0
@@ -150,7 +181,7 @@ final class SimHashNearDupGate private (
       .persist()
     try {
       GateStore.append(
-        keyed.select(explode(SimHash.blockKeys(col("fp"), blocks, maxDist)).as("bucket"),
+        keyed.select(explode(ownedKeysCol(col("fp"))).as("bucket"),
           col(orderCol).as("id"), col("fp")),
         storeDir, "fps", batches, sortCol = Some("bucket"))
       updateFilters(collectBuckets(keyed))
@@ -173,7 +204,7 @@ final class SimHashNearDupGate private (
 
   private def collectBuckets(keyed: DataFrame): Array[Long] =
     keyed.where(col("fp").isNotNull)
-      .select(explode(SimHash.blockKeys(col("fp"), blocks, maxDist)).as("bucket"))
+      .select(explode(ownedKeysCol(col("fp"))).as("bucket"))
       .collect().map(_.getLong(0))
 
   // opt-in phase timing on stderr (GRAFT_GATE_TRACE=1) — dev diagnosis only
@@ -187,36 +218,63 @@ final class SimHashNearDupGate private (
       out
     }
 
-  private[streaming] def onBatch(batch: DataFrame): Unit = synchronized { traced("onbatch-total") {
-    batches += 1
-    val s = batch.sparkSession
-    val obs = new org.apache.spark.sql.Observation(s"ndgate_${name}_$batches")
-    val keyed = batch.drop("arrival_timestamp")
-      .observe(obs, count(lit(1)).as("rows"))
-      .withColumn("fp", SimHash.simhash64(TextOps.tokens(expr(textSql))))
-      .persist() // fingerprints feed the suppression filter, the store append and the sink
-    try {
-      // ONE bounded collect — (orderCol, fp), 16 B/doc — and the whole
-      // suppression decision runs on the driver: bucket keys are derived
-      // with the same math as the stored explode (SimHash.blockKeysOf),
-      // the occupancy cap reads the CMS as of batch START, the bloom is
-      // probed in place (never shipped to executors), and within-batch
-      // pairing is a hash-group + pairwise popcount over the batch —
-      // micro-seconds at microbatch sizes, where the equivalent self-join
-      // paid two shuffles and a full Catalyst analyze/optimize pass per
-      // batch. Only the store-candidate verification touches executors,
-      // against a file-range-pruned, in-set-filtered read.
-      // rows with a null order id pass through, are never stored and
-      // never suppress (the filter could not target them) — consistent
-      // with the split-store gates; orderCol is contractually unique.
-      // Excluding them at the collect also excludes them from the
-      // driver-built store append and the filter update below.
-      val rows: Array[(Any, Long)] = traced("collect")(
-        keyed.where(col("fp").isNotNull && col(orderCol).isNotNull)
-          .select(col(orderCol), col("fp"))
-          .collect().map(r => (r.get(0), r.getLong(1))))
-      val rowKeys: Array[Array[Long]] =
-        rows.map(r => SimHash.blockKeysOf(r._2, blocks, maxDist))
+  /** Per-batch decision state handed from [[decideBatch]] to
+    * [[commitIndexBatch]] (the wrapper forwards survivors in between). */
+  private[streaming] final class BatchCtx(
+      private[streaming] val keyed: DataFrame,
+      private[streaming] val rows: Array[(Any, Long)],
+      private[streaming] val rowKeys: Array[Array[Long]],
+      private[streaming] val sup: java.util.HashSet[Any])
+
+  private[streaming] def prepareBatch(batch: DataFrame,
+      obs: Option[org.apache.spark.sql.Observation]): DataFrame = {
+    val base = batch.drop("arrival_timestamp")
+    val observed = obs.fold(base)(o => base.observe(o, count(lit(1)).as("rows")))
+    // fingerprints feed the suppression filter, the store append and the sink
+    observed.withColumn("fp", SimHash.simhash64(TextOps.tokens(expr(textSql))))
+      .persist()
+  }
+
+  private[streaming] def collectBatchRows(keyed: DataFrame): AnyRef =
+    traced("collect")(
+      // ONE bounded collect — (orderCol, fp), 16 B/doc. rows with a null
+      // order id pass through, are never stored and never suppress (the
+      // filter could not target them) — consistent with the split-store
+      // gates; orderCol is contractually unique. Excluding them at the
+      // collect also excludes them from the driver-built store append and
+      // the filter update.
+      keyed.where(col("fp").isNotNull && col(orderCol).isNotNull)
+        .select(col(orderCol), col("fp"))
+        .collect().map(r => (r.get(0), r.getLong(1))))
+
+  private[streaming] def suppressedOf(ctx: AnyRef): java.util.HashSet[Any] =
+    ctx.asInstanceOf[BatchCtx].sup
+
+  private[streaming] def survivorsOf(keyed: DataFrame,
+      sup: java.util.HashSet[Any]): DataFrame =
+    // fp rides to the sink (the gate's documented payload); null order
+    // ids can never be suppressed and pass through the negated filter
+    if (sup.isEmpty) keyed
+    else keyed.where(col(orderCol).isNull ||
+      !GateStore.inSetCol(col(orderCol), sup.toArray.toSeq))
+
+  private[streaming] def commitPayloadBatch(ctx: AnyRef): Unit = ()
+
+  /** The suppression decision over this core's key slice: bucket keys are
+    * derived with the same math as the stored explode
+    * (SimHash.blockKeysOf), the occupancy cap reads the CMS as of batch
+    * START, the bloom is probed in place (never shipped to executors),
+    * and within-batch pairing is a hash-group + pairwise popcount over
+    * the batch — micro-seconds at microbatch sizes, where the equivalent
+    * self-join paid two shuffles and a full Catalyst analyze/optimize
+    * pass per batch. Only the store-candidate verification touches
+    * executors, against a file-range-pruned, in-set-filtered read. */
+  private[streaming] def decideBatch(keyed: DataFrame, rows0: AnyRef): AnyRef =
+    synchronized { traced("decide") {
+      batches += 1
+      val s = coreSession
+      val rows = rows0.asInstanceOf[Array[(Any, Long)]]
+      val rowKeys: Array[Array[Long]] = rows.map(r => ownedKeysOfFp(r._2))
       val overCapSet: java.util.HashSet[java.lang.Long] = {
         val set = new java.util.HashSet[java.lang.Long]()
         if (bucketCounts != null) {
@@ -367,45 +425,33 @@ final class SimHashNearDupGate private (
       val suppressedSet = new java.util.HashSet[Any]()
       suppressedIdx.forEach(i => { suppressedSet.add(rows(i)._1); () })
       storeSuppressed.foreach(suppressedSet.add)
-      // survivors = batch minus suppressed ids: a narrow in-set filter, no
-      // anti-join shuffle (null order ids can never be suppressed and must
-      // pass through the negated filter). The survivor COUNT is arithmetic
-      // — the observed batch total (already materialized by the collect)
-      // minus the suppressed id count — so no count job runs either.
-      val total = obs.get("rows").asInstanceOf[Long]
-      val n = total - suppressedSet.size
-      admitted += n
-      suppressed += total - n
-      // sink BEFORE store append (at-least-once under failure-retry, see
-      // StreamDedupGate's delivery contract): a batch that fails mid-gate
-      // can be retried without its own fingerprints suppressing it
-      if (n > 0) traced("sink") {
-        val survivors =
-          if (suppressedSet.isEmpty) keyed
-          else keyed.where(col(orderCol).isNull ||
-            !GateStore.inSetCol(col(orderCol), suppressedSet.toArray.toSeq))
-        eng.insertInto(sink, survivors)
-      }
-      // append EVERY row's fingerprint exploded by bucket key
+      new BatchCtx(keyed, rows, rowKeys, suppressedSet)
+    } }
+
+  private[streaming] def commitIndexBatch(ctx0: AnyRef): Unit =
+    synchronized { traced("append") {
+      val ctx = ctx0.asInstanceOf[BatchCtx]
+      val (keyed, rows, rowKeys) = (ctx.keyed, ctx.rows, ctx.rowKeys)
+      // append EVERY row's fingerprint exploded by (owned) bucket key
       // (seen-semantics: suppressed docs still suppress later arrivals;
       // null fingerprints can't pair and are not stored) — the exploded
       // rows are BUILT AND SORTED on the driver from the keys already in
       // hand, so the append job is a plain LocalRelation write
-      traced("append") {
-        val exploded = new java.util.ArrayList[org.apache.spark.sql.Row](
-          rowKeys.iterator.map(_.length).sum)
-        val order = new scala.collection.mutable.ArrayBuffer[(Long, Int)]()
-        var i = 0
-        while (i < rows.length) {
-          rowKeys(i).foreach(b => order += ((b, i)))
-          i += 1
-        }
-        val sortedPairs = order.sortBy(_._1)
-        sortedPairs.foreach { case (b, idx) =>
-          exploded.add(org.apache.spark.sql.Row(b, rows(idx)._1, rows(idx)._2)); ()
-        }
+      val exploded = new java.util.ArrayList[org.apache.spark.sql.Row](
+        rowKeys.iterator.map(_.length).sum)
+      val order = new scala.collection.mutable.ArrayBuffer[(Long, Int)]()
+      var i = 0
+      while (i < rows.length) {
+        rowKeys(i).foreach(b => order += ((b, i)))
+        i += 1
+      }
+      val sortedPairs = order.sortBy(_._1)
+      sortedPairs.foreach { case (b, idx) =>
+        exploded.add(org.apache.spark.sql.Row(b, rows(idx)._1, rows(idx)._2)); ()
+      }
+      if (!exploded.isEmpty) {
         val idType = keyed.schema(keyed.schema.fieldIndex(orderCol)).dataType
-        val appendDf = s.createDataFrame(exploded,
+        val appendDf = coreSession.createDataFrame(exploded,
           org.apache.spark.sql.types.StructType(Seq(
             org.apache.spark.sql.types.StructField("bucket",
               org.apache.spark.sql.types.LongType, nullable = false),
@@ -415,8 +461,36 @@ final class SimHashNearDupGate private (
         GateStore.append(appendDf, storeDir, "fps", batches)
       }
       traced("filters")(updateFilters(rowKeys.flatten))
+    } }
+
+  private[streaming] def maybeCompact(): Unit =
+    if (compactEvery > 0 && synchronized(batches) % compactEvery == 0) compact()
+
+  private[streaming] def compactNow(): Unit = compact()
+
+  private[streaming] def onBatch(batch: DataFrame): Unit = synchronized { traced("onbatch-total") {
+    val obs = new org.apache.spark.sql.Observation(
+      s"ndgate_${name}_${batches + 1}")
+    val keyed = prepareBatch(batch, Some(obs))
+    try {
+      val rows = collectBatchRows(keyed)
+      val ctx = decideBatch(keyed, rows).asInstanceOf[BatchCtx]
+      // survivors = batch minus suppressed ids: a narrow in-set filter, no
+      // anti-join shuffle. The survivor COUNT is arithmetic — the observed
+      // batch total minus the suppressed id count — so no count job runs.
+      val total = obs.get("rows").asInstanceOf[Long]
+      val n = total - ctx.sup.size
+      admitted += n
+      suppressed += total - n
+      // sink BEFORE store append (at-least-once under failure-retry, see
+      // StreamDedupGate's delivery contract): a batch that fails mid-gate
+      // can be retried without its own fingerprints suppressing it
+      if (n > 0) traced("sink") {
+        eng.insertInto(sink, survivorsOf(keyed, ctx.sup))
+      }
+      commitIndexBatch(ctx)
     } finally keyed.unpersist()
-    if (compactEvery > 0 && batches % compactEvery == 0) compact()
+    maybeCompact()
   } }
 }
 
@@ -433,7 +507,10 @@ object SimHashNearDupGate {
       bloomP: Double = 0.01, bloomN: Int = 1 << 20,
       maxBucketSize: Int = Int.MaxValue,
       compactEvery: Int = 256): SimHashNearDupGate = {
-    val dir = Paths.get(storeRoot, name, "seen_fps")
+    val root = Paths.get(storeRoot, name)
+    Files.createDirectories(root)
+    GateStore.stampGeometry(root, "shards_1")
+    val dir = root.resolve("seen_fps")
     Files.createDirectories(dir)
     // bucket keys are a pure function of the block split — refuse a
     // silently-mismatched reopen (see GateStore.stampGeometry)
@@ -444,6 +521,38 @@ object SimHashNearDupGate {
     eng.createContTransform(name, selectSql,
       outputFunc = Some(gate.onBatch _), emitChanges = false)
     // a catalog-replayed transform is bare (no callback) — re-attach
+    eng.rebindTransformOutput(name, gate.onBatch _)
+    gate
+  }
+
+  /** The G-core horizontally-sharded form of [[create]] (see
+    * [[ShardedNearDupGate]]): core k owns block-combination positions ≡ k
+    * (mod `shards`) of the banded key set, each with its own (bucket, id,
+    * fp) store slice + bloom/CMS. Admitted set identical to the unsharded
+    * gate's; reopening under a different G is refused. */
+  def createSharded(eng: ContViewEngine, name: String, selectSql: String,
+      textSql: String, orderCol: String, sink: String, storeRoot: String,
+      shards: Int, maxDist: Int = 3, blocks: Int = 6,
+      bloomP: Double = 0.01, bloomN: Int = 1 << 20,
+      maxBucketSize: Int = Int.MaxValue,
+      compactEvery: Int = 256): ShardedNearDupGate = {
+    require(shards >= 2, s"use create() for an unsharded gate (shards=$shards)")
+    val root = Paths.get(storeRoot, name)
+    Files.createDirectories(root)
+    GateStore.stampGeometry(root, s"shards_$shards")
+    val cores = (0 until shards).map { k =>
+      val dir = root.resolve(s"s${k}of$shards").resolve("seen_fps")
+      Files.createDirectories(dir)
+      GateStore.stampGeometry(dir, s"simhash_k$blocks")
+      val core = new SimHashNearDupGate(eng, name, textSql, orderCol, sink,
+        dir, maxDist, blocks, bloomP, bloomN, maxBucketSize, compactEvery,
+        k, shards)
+      core.bootstrap()
+      core
+    }
+    val gate = new ShardedNearDupGate(eng, name, sink, cores)
+    eng.createContTransform(name, selectSql,
+      outputFunc = Some(gate.onBatch _), emitChanges = false)
     eng.rebindTransformOutput(name, gate.onBatch _)
     gate
   }

@@ -293,7 +293,10 @@ object StreamDedupGate {
       storeRoot: String,
       bloomP: Double = 0.01, bloomN: Int = 1 << 17,
       compactEvery: Int = 256): StreamDedupGate = {
-    val dir = Paths.get(storeRoot, name, "seen_keys")
+    val root = Paths.get(storeRoot, name)
+    Files.createDirectories(root)
+    GateStore.stampGeometry(root, "shards_1")
+    val dir = root.resolve("seen_keys")
     Files.createDirectories(dir)
     val gate = new StreamDedupGate(eng, name, keySql, orderCol, sink, dir,
       bloomP, bloomN, compactEvery)
@@ -303,6 +306,35 @@ object StreamDedupGate {
     // the catalog replays the transform BARE (a callback can't persist);
     // if that's what createContTransform just idempotently returned,
     // re-attach this gate so it doesn't sit silently dead
+    eng.rebindTransformOutput(name, gate.onBatch _)
+    gate
+  }
+
+  /** The G-core horizontally-sharded form of [[create]] (see
+    * [[ShardedDedupGate]]): rows route to core hash(key) mod `shards`,
+    * each core a full single-key-slice gate with its own store + bloom.
+    * Admitted set identical to the unsharded gate's; reopening under a
+    * different G is refused. */
+  def createSharded(eng: ContViewEngine, name: String, selectSql: String,
+      keySql: String, orderCol: String, sink: String, storeRoot: String,
+      shards: Int,
+      bloomP: Double = 0.01, bloomN: Int = 1 << 17,
+      compactEvery: Int = 256): ShardedDedupGate = {
+    require(shards >= 2, s"use create() for an unsharded gate (shards=$shards)")
+    val root = Paths.get(storeRoot, name)
+    Files.createDirectories(root)
+    GateStore.stampGeometry(root, s"shards_$shards")
+    val cores = (0 until shards).map { k =>
+      val dir = root.resolve(s"s${k}of$shards").resolve("seen_keys")
+      Files.createDirectories(dir)
+      val core = new StreamDedupGate(eng, name, keySql, orderCol, sink, dir,
+        bloomP, bloomN, compactEvery)
+      core.bootstrap()
+      core
+    }
+    val gate = new ShardedDedupGate(eng, name, keySql, cores)
+    eng.createContTransform(name, selectSql,
+      outputFunc = Some(gate.onBatch _), emitChanges = false)
     eng.rebindTransformOutput(name, gate.onBatch _)
     gate
   }
