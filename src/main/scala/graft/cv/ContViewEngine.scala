@@ -987,7 +987,11 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     * the catalog (kind=gate, spec in the sw slot) and replays at restart —
     * the gate's bootstrap then re-derives its bloom/CMS filters from the
     * persisted store, so suppression resumes exactly. Specs:
-    *   dedup_gate('<keySql>', '<orderCol>'[, shards])
+    *   dedup_gate('<keySql>', '<orderCol>'[, shards[, '<delivery>']])
+    * `delivery` ∈ {at_least_once (default), exactly_once} — the
+    * exactly-once form commits each batch's survivor set via an atomic
+    * spool rename and recovers interrupted epochs at restart (see
+    * StreamDedupGate's delivery contract).
     *   neardup_gate('<textSql>', '<orderCol>'[, maxDist[, maxBucketSize[, shards]]])
     *   cosine_gate('<embSql>', '<orderCol>', <threshold>, <dim>[, maxBucketSize[, expectedStoreSize[, shards]]])
     *   jaccard_gate('<textSql>', '<orderCol>', <threshold>[, maxBucketSize[, shards]])
@@ -1017,7 +1021,7 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     val arg = """'((?:[^']|'')*)'"""
     def unq(s: String): String = s.replace("''", "'")
     val dedupRe =
-      s"""(?i)dedup_gate\\s*\\(\\s*$arg\\s*,\\s*$arg\\s*(?:,\\s*(\\d+)\\s*)?\\)""".r
+      s"""(?i)dedup_gate\\s*\\(\\s*$arg\\s*,\\s*$arg\\s*(?:,\\s*(\\d+)\\s*(?:,\\s*$arg\\s*)?)?\\)""".r
     val neardupRe =
       s"""(?i)neardup_gate\\s*\\(\\s*$arg\\s*,\\s*$arg\\s*(?:,\\s*(\\d+)\\s*(?:,\\s*(\\d+)\\s*(?:,\\s*(\\d+)\\s*)?)?)?\\)""".r
     val cosineRe =
@@ -1032,13 +1036,17 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     def shardsOf(s: String): Int = Option(s).map(_.toInt).getOrElse(1)
     val gate: AnyRef =
       try gateSpec match {
-        case dedupRe(keySql, orderCol, shards) if shardsOf(shards) <= 1 =>
+        case dedupRe(keySql, orderCol, shards, dv) if shardsOf(shards) <= 1 =>
           graft.streaming.StreamDedupGate.create(this, name, selectSql,
-            unq(keySql), unq(orderCol), sink, storeRoot = root)
-        case dedupRe(keySql, orderCol, shards) =>
+            unq(keySql), unq(orderCol), sink, storeRoot = root,
+            delivery = Option(dv).map(unq)
+              .getOrElse(graft.streaming.StreamDedupGate.AtLeastOnce))
+        case dedupRe(keySql, orderCol, shards, dv) =>
           graft.streaming.StreamDedupGate.createSharded(this, name, selectSql,
             unq(keySql), unq(orderCol), sink, storeRoot = root,
-            shards = shards.toInt)
+            shards = shards.toInt,
+            delivery = Option(dv).map(unq)
+              .getOrElse(graft.streaming.StreamDedupGate.AtLeastOnce))
         case neardupRe(textSql, orderCol, maxDist, cap, shards)
             if shardsOf(shards) <= 1 =>
           graft.streaming.SimHashNearDupGate.create(this, name, selectSql,
@@ -1079,7 +1087,7 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
             threshold = threshold.toDouble, shards = shards.toInt,
             maxBucketSize = Option(cap).map(_.toInt).getOrElse(Int.MaxValue))
         case other => throw new IllegalArgumentException(
-          s"unparseable gate outputfunc '$other' (expected dedup_gate('<key>','<order>'[,shards]), " +
+          s"unparseable gate outputfunc '$other' (expected dedup_gate('<key>','<order>'[,shards[,'<delivery>']]), " +
             "neardup_gate('<text>','<order>'[,maxDist[,maxBucketSize[,shards]]]), " +
             "cosine_gate('<emb>','<order>',<threshold>,<dim>[,maxBucketSize[,expectedStoreSize[,shards]]]) or " +
             "jaccard_gate('<text>','<order>',<threshold>[,maxBucketSize[,shards]]); " +

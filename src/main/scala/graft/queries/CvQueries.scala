@@ -392,6 +392,60 @@ object CvQueries {
   private val gateEngines =
     scala.collection.mutable.Map.empty[(SparkSession, String), ContViewEngine]
 
+  /** Exactly-once dedup-gate fixture (q_dedup_stream_eo): a DDL-declared
+    * `dedup_gate(..., 'exactly_once')` fed with a FORCED mid-batch crash —
+    * the failpoint fires after the epoch's store append, before its sink
+    * delivery — followed by an engine restart (same root: the catalog
+    * replays the gate, bootstrap recovery delivers the interrupted
+    * epoch's spool) and an upstream re-feed of the crashed batch. The
+    * counting CV turns delivery bugs into oracle mismatches: a duplicate
+    * forward shows as c=2, a lost row as a missing id — DuckDB recomputes
+    * first-wins with every count exactly 1. */
+  private val eoEngines =
+    scala.collection.mutable.Map.empty[(SparkSession, String), ContViewEngine]
+
+  private def eoGateFor(s: SparkSession, dir: String): ContViewEngine = synchronized {
+    eoEngines.getOrElseUpdate((s, dir), {
+      val root = java.nio.file.Files.createTempDirectory("graft_cveo").toString
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val corpus = docs.unionByName(
+        docs.where(pmod(col("doc_id"), lit(6)) === 0)
+          .select((col("doc_id") + 500000L).as("doc_id"), col("text")))
+      def setup(eng: ContViewEngine): ContViewEngine = {
+        eng.createStream("eo_in", corpus.schema)
+        eng.createStream("eo_clean", org.apache.spark.sql.types.StructType(
+          corpus.schema.fields :+ org.apache.spark.sql.types.StructField("h",
+            org.apache.spark.sql.types.StringType)))
+        // the CV exists before the gate so a bootstrap-recovery delivery
+        // lands in it; count(*) is the duplicate detector
+        eng.createContView("v_eo",
+          "SELECT doc_id, count(*) AS c FROM eo_clean GROUP BY doc_id",
+          emitChanges = false)
+        eng.sql("""CREATE VIEW eo_gate WITH (action = transform, sink = 'eo_clean',
+                  |  outputfunc = dedup_gate('md5(text)', 'doc_id', 1, 'exactly_once')) AS
+                  |SELECT doc_id, text FROM eo_in""".stripMargin)
+        eng
+      }
+      def feed(eng: ContViewEngine, lo: Long, hi: Long): Unit =
+        eng.insertInto("eo_in",
+          corpus.where(col("doc_id") >= lo && col("doc_id") < hi))
+      val eng1 = setup(new ContViewEngine(s, root))
+      feed(eng1, Long.MinValue, 150L)
+      // forced crash: epoch 2's spool + store land, its delivery doesn't
+      eng1.gateOf("eo_gate").get
+        .asInstanceOf[graft.streaming.StreamDedupGate].failAt = "after-store"
+      try feed(eng1, 150L, 300L)
+      catch { case e: IllegalStateException
+        if e.getMessage.startsWith("failpoint") => () }
+      // "crash": eng1 abandoned; the replayed engine's bootstrap recovery
+      // must deliver the spooled epoch exactly once
+      val eng2 = setup(new ContViewEngine(s, root))
+      feed(eng2, 150L, 300L) // upstream at-least-once re-feed of the batch
+      feed(eng2, 300L, Long.MaxValue)
+      eng2
+    })
+  }
+
   private def dedupGateFor(s: SparkSession, dir: String): ContViewEngine = synchronized {
     gateEngines.getOrElseUpdate((s, dir), {
       val root = java.nio.file.Files.createTempDirectory("graft_cvdg").toString
@@ -1009,6 +1063,30 @@ object CvQueries {
       (s, dir) =>
         dedupGateFor(s, dir).sql(
           "SELECT doc_id, h, lang FROM v_clean ORDER BY doc_id")
+    },
+
+    // Exactly-once dedup gate (delivery='exactly_once' DDL, beyond-ref;
+    // reference anchor: stream_insert_level sync_commit, microbatch.h:33-56):
+    // the fixture forces a crash between an epoch's store append and its
+    // sink delivery, restarts the engine (bootstrap recovery delivers the
+    // spooled epoch), and re-feeds the crashed batch — every admitted doc
+    // must reach the sink EXACTLY once (the counting CV turns a duplicate
+    // forward into c=2 and a loss into a missing row), which DuckDB
+    // recomputes as first-wins with every count 1.
+    QDef(
+      "q_dedup_stream_eo",
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 500000 AS doc_id, text
+        |  FROM documents WHERE doc_id % 6 = 0
+        |), firsts AS (
+        |  SELECT min(doc_id) AS keep FROM corpus GROUP BY md5(text)
+        |)
+        |SELECT keep AS doc_id, CAST(1 AS BIGINT) AS c FROM firsts
+        |ORDER BY doc_id""".stripMargin) {
+      (s, dir) => eoGateFor(s, dir).sql(
+        "SELECT doc_id, c FROM v_eo ORDER BY doc_id")
     },
 
     // Streaming SimHash near-dup gate (SimHashNearDupGate, beyond-ref):

@@ -3,11 +3,9 @@ package graft.streaming
 import java.nio.file.{Files, Path, Paths}
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.cv.ContViewEngine
-import graft.functions.GraftFunctions
 import graft.sketch.BloomFilter
 
 /** Streaming exact-dedup gate: a continuous transform that forwards only the
@@ -25,11 +23,35 @@ import graft.sketch.BloomFilter
   *    near-dup gates, whose null fingerprints generate no candidates);
   *  - survivors are forwarded to `sink` with the key attached as `h`.
   *
-  * Delivery: at-least-once under failure-retry. The sink forward runs
-  * BEFORE the seen-store append, so a batch that fails mid-gate can be
-  * retried without losing documents; the retried batch's survivors may
-  * reach the sink twice (detectable downstream), but a document can never
-  * be silently suppressed by state its failed delivery left behind.
+  * DELIVERY — two modes (reference anchor: stream_insert_level,
+  * microbatch.h:33-56 — at-least-once is the throughput default,
+  * `sync_commit`'s durability handshake maps to the exactly-once spool):
+  *
+  *  - `at_least_once` (default): the sink forward runs BEFORE the
+  *    seen-store append, so a batch that fails mid-gate can be retried
+  *    without losing documents; the retried batch's survivors may reach
+  *    the sink twice (detectable downstream via `h`), but a document can
+  *    never be silently suppressed by state its failed delivery left
+  *    behind.
+  *  - `exactly_once`: each batch is an EPOCH committed by ONE atomic
+  *    rename — the survivor set is spooled to `spool/fwd_<E>.parquet`
+  *    (temp-write + atomic move), then the seen-keys append, the sink
+  *    delivery, and a `delivered_<E>` marker follow, and RECOVERY
+  *    finishes any epoch whose spool exists but whose marker doesn't: the
+  *    keys file is rebuilt from the spool if missing (survivor `h` values
+  *    ARE the admitted keys — deterministic), the spool is delivered, the
+  *    marker lands. The store half runs at restart bootstrap; the sink
+  *    delivery runs at the head of the next batch (or an explicit
+  *    [[recover]]) — it cannot run under the engine's registration lock,
+  *    which the DDL-replay path holds during bootstrap. A crash at any point before the spool rename loses nothing
+  *    (the upstream retry re-decides identically); after it, the retry's
+  *    re-fed content is fully suppressed by the recovered store, so the
+  *    sink sees each admitted row once. Residual windows, documented
+  *    rather than hidden: (1) a crash BETWEEN the sink delivery and the
+  *    marker rename re-delivers that epoch on recovery — the irreducible
+  *    ack window of a non-transactional sink (the reference's
+  *    sync_commit has the same client-retry hole); (2) null-KEY rows
+  *    carry no identity and stay at-least-once under upstream re-feed.
   *
   * Mechanics, sized for the 100-TB regime:
   *  - The seen-key store is APPEND-ONLY key-column parquet (a dedup set
@@ -70,7 +92,7 @@ import graft.sketch.BloomFilter
   * action=transform + output function (commands.c:219-253); the dedup
   * semantics layered on it are beyond-ref (training-data pipeline).
   */
-final class StreamDedupGate private (
+final class StreamDedupGate private[streaming] (
     eng: ContViewEngine,
     val name: String,
     keySql: String,
@@ -79,13 +101,31 @@ final class StreamDedupGate private (
     storeDir: Path,
     bloomP: Double,
     bloomN0: Int,
-    compactEvery: Int) {
+    compactEvery: Int,
+    delivery: String = StreamDedupGate.AtLeastOnce) {
+
+  require(delivery == StreamDedupGate.AtLeastOnce ||
+    delivery == StreamDedupGate.ExactlyOnce,
+    s"unknown delivery mode '$delivery' (expected " +
+      s"'${StreamDedupGate.AtLeastOnce}' or '${StreamDedupGate.ExactlyOnce}')")
+
+  private val exactlyOnce = delivery == StreamDedupGate.ExactlyOnce
+  private val spoolDir: Path = storeDir.getParent.resolve("spool")
+  if (exactlyOnce) Files.createDirectories(spoolDir)
 
   private var bloom = BloomFilter.empty(bloomP, bloomN0)
   private var bloomN = bloomN0
   private var batches = 0L
   private var admitted = 0L
   private var suppressed = 0L
+
+  // test failpoint: throws once when execution reaches the named point
+  private[graft] var failAt: String = null
+  @inline private def failpoint(p: String): Unit =
+    if (p == failAt) {
+      failAt = null
+      throw new IllegalStateException(s"failpoint:$p")
+    }
 
   /** (batches, admitted survivors, suppressed duplicates) so far. */
   def stats: (Long, Long, Long) = synchronized((batches, admitted, suppressed))
@@ -96,10 +136,18 @@ final class StreamDedupGate private (
   /** Restart bootstrap: a re-created gate on an existing store resumes
     * exactly — the key set IS the store; only the bloom is memory-resident,
     * and one distributed bloom_agg over the persisted keys rebuilds it.
-    * (admitted/suppressed counters restart at zero: session telemetry,
-    * not dedup state.)
+    * Exactly-once mode finishes any epoch the crash interrupted FIRST, so
+    * the bloom covers the recovered keys too. (admitted/suppressed
+    * counters restart at zero: session telemetry, not dedup state.)
     */
   private[streaming] def bootstrap(): Unit = synchronized {
+    // restore the STORE only: rebuilding keys_E from a pending spool is
+    // pure file work, but the sink DELIVERY would call eng.insertInto
+    // while the DDL-replay path holds the engine's registration lock —
+    // the ingest futures need that lock and the await would deadlock
+    // (observed: ingestAwaitMs timeout). Delivery completes at the next
+    // batch (recoverPending at every onBatch head) or via [[recover]].
+    if (exactlyOnce) recoverStores()
     val files = GateStore.files(storeDir)
     if (files.nonEmpty) {
       // right-size FIRST (metadata-only count): a corpus-sized store under
@@ -107,8 +155,9 @@ final class StreamDedupGate private (
       bloomN = GateStore.bloomSizeFor(
         eng.spark.read.parquet(files: _*).count(), bloomN)
       bloom = GateStore.buildBloom(eng.spark, storeDir, "h", bloomP, bloomN)
-      batches = GateStore.maxBatch(storeDir, "keys")
     }
+    batches = math.max(GateStore.maxBatch(storeDir, "keys"),
+      if (exactlyOnce) math.max(spoolMaxEpoch(), deliveredEpoch()) else 0L)
   }
 
   /** Fold the per-batch key files into key-range shards (also runs
@@ -143,86 +192,23 @@ final class StreamDedupGate private (
     keys.collect().foreach(r => bloom.add(r.get(0)))
   }
 
-  private[streaming] def onBatch(batch: DataFrame): Unit = synchronized {
-    batches += 1
-    val s = batch.sparkSession
-    // input-row count rides the first action via observe() — a separate
-    // batch.count() would re-run the transform projection per batch
-    val obs = new org.apache.spark.sql.Observation(s"gate_${name}_$batches")
-    val keyed = batch.drop("arrival_timestamp")
-      .observe(obs, count(lit(1)).as("rows"))
-      .withColumn("h", expr(keySql))
-      .persist()
-    try {
-      // ONE bounded collect — (orderCol, key) — and the whole suppression
-      // decision runs on the driver: within-batch first-wins is a hash
-      // group + min, the bloom is probed in place (never shipped to
-      // executors), and the store check collects ONLY the candidate keys
-      // actually present in the pruned, in-set-filtered store slice. The
-      // old shape paid a window shuffle + an anti-join + a count job per
-      // batch; this shape runs zero shuffles.
-      val rows: Array[(Any, Any)] =
-        keyed.where(col("h").isNotNull).select(col(orderCol), col("h"))
-          .collect().map(r => (r.get(0), r.get(1)))
-      val batchKeys: Array[Any] = rows.map(_._2).distinct
-      // within-batch first-wins: min orderCol per key; later rows of the
-      // same key are suppressed (rows with a null order id can't order
-      // and are never suppressed — the unique-orderCol contract)
-      val winnerByKey = new java.util.HashMap[Any, (Any, Int)]()
-      val inBatchSuppressed = new java.util.HashSet[Any]()
-      if (rows.length != batchKeys.length) {
-        var i = 0
-        while (i < rows.length) {
-          val (id, h) = rows(i)
-          val prev = winnerByKey.get(h)
-          if (prev == null) winnerByKey.put(h, (id, i))
-          else if (prev._1 == null) {
-            // a null-order-id winner keeps its key (nulls order first, as
-            // the window path did); a later non-null row is suppressed; a
-            // SECOND null-id row cannot be targeted by any id filter and
-            // passes through — off the unique-orderCol contract either way
-            if (id != null) inBatchSuppressed.add(id)
-          } else if (id == null || GateStore.lt(id, prev._1)) {
-            inBatchSuppressed.add(prev._1)
-            winnerByKey.put(h, (id, i))
-          } else inBatchSuppressed.add(id)
-          i += 1
-        }
-      } else rows.foreach { case (id, h) => winnerByKey.put(h, (id, -1)) }
-      // Bloom gate: misses are definitely-new and bypass the store scan;
-      // only possible repeats (true dups + ~p false positives) pay the
-      // store-presence check — a collect of the candidate keys that exist
-      // in the pruned slice (bounded by the candidate count itself)
-      val storeF = GateStore.storeFiles(storeDir)
-      val cand = batchKeys.filter(bloom.contains)
-      val present: java.util.HashSet[Any] = {
-        val set = new java.util.HashSet[Any]()
-        if (storeF.nonEmpty && cand.nonEmpty) {
-          GateStore.withInPushdown(s, cand.length)(
-            s.read.parquet(GateStore.pruned(storeF, cand): _*)
-              .where(GateStore.inSetCol(col("h"), cand.toSeq))
-              .select("h").collect()).foreach(r => set.add(r.get(0)))
-        }
-        set
-      }
-      // a winner whose key is already stored is suppressed too
-      val suppressedIds = new java.util.HashSet[Any]()
-      inBatchSuppressed.forEach(id => { suppressedIds.add(id); () })
-      var storeSuppressedNullId = 0
-      winnerByKey.forEach { (h, winner) =>
-        if (present.contains(h)) {
-          if (winner._1 != null) suppressedIds.add(winner._1)
-          else storeSuppressedNullId += 1
-        }
-      }
-      val total = obs.get("rows").asInstanceOf[Long]
-      // admitted counts what the survivor filter will actually forward,
-      // computed over the same collected rows the filter semantics cover
-      // (off-contract duplicate null order ids previously diverged: the
-      // key-based branch drops EVERY row of a store-present key, but the
-      // old arithmetic counted the second null-id row as admitted)
+  // ---- the per-batch decision (shared by both delivery modes) ------------
+
+  private final class Decision(
+      val keyed: DataFrame,
+      val obs: org.apache.spark.sql.Observation,
+      val rows: Array[(Any, Any)],
+      val batchKeys: Array[Any],
+      val winnerByKey: java.util.HashMap[Any, (Any, Int)],
+      val present: java.util.HashSet[Any],
+      val suppressedIds: java.util.HashSet[Any],
+      val storeSuppressedNullId: Int) {
+
+    /** Rows the survivor filter will drop — exact, over the same collected
+      * rows the filter semantics cover. */
+    lazy val dropped: Int = {
       val keyBasedFilter = storeSuppressedNullId > 0
-      var dropped = 0
+      var d = 0
       if (!suppressedIds.isEmpty || keyBasedFilter) {
         var i = 0
         while (i < rows.length) {
@@ -231,11 +217,135 @@ final class StreamDedupGate private (
             if (keyBasedFilter)
               present.contains(h) || (id != null && suppressedIds.contains(id))
             else id != null && suppressedIds.contains(id)
-          if (drop) dropped += 1
+          if (drop) d += 1
           i += 1
         }
       }
-      val n = total - dropped
+      d
+    }
+
+    def survivors: DataFrame =
+      if (suppressedIds.isEmpty && storeSuppressedNullId == 0) keyed
+      else if (storeSuppressedNullId == 0)
+        keyed.where(col(orderCol).isNull ||
+          !GateStore.inSetCol(col(orderCol), suppressedIds.toArray.toSeq))
+      else {
+        // a suppressed null-order-id winner is only filterable by key
+        val presentKeys = new java.util.ArrayList[Any]()
+        present.forEach(h => { presentKeys.add(h); () })
+        keyed.where(col("h").isNull ||
+          (!GateStore.inSetCol(col("h"), presentKeys.toArray.toSeq) &&
+            (col(orderCol).isNull ||
+              !GateStore.inSetCol(col(orderCol), suppressedIds.toArray.toSeq))))
+      }
+
+    /** The admitted winners' keys — what the store append records. */
+    def newKeyRows: java.util.ArrayList[org.apache.spark.sql.Row] = {
+      val out = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      winnerByKey.forEach { (h, _) =>
+        if (!present.contains(h)) { out.add(org.apache.spark.sql.Row(h)); () }
+      }
+      out
+    }
+
+    def appendNewKeys(epoch: Long): Unit = {
+      val newKeys = newKeyRows
+      if (!newKeys.isEmpty) {
+        val hType = keyed.schema(keyed.schema.fieldIndex("h")).dataType
+        GateStore.append(
+          keyed.sparkSession.createDataFrame(newKeys,
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("h", hType)))),
+          storeDir, "keys", epoch, sortCol = Some("h"))
+      }
+    }
+  }
+
+  /** ONE bounded collect — (orderCol, key) — and the whole suppression
+    * decision runs on the driver: within-batch first-wins is a hash
+    * group + min, the bloom is probed in place (never shipped to
+    * executors), and the store check collects ONLY the candidate keys
+    * actually present in the pruned, in-set-filtered store slice. The
+    * old shape paid a window shuffle + an anti-join + a count job per
+    * batch; this shape runs zero shuffles. */
+  private def decide(batch: DataFrame): Decision = {
+    val s = batch.sparkSession
+    // input-row count rides the first action via observe() — a separate
+    // batch.count() would re-run the transform projection per batch
+    val obs = new org.apache.spark.sql.Observation(s"gate_${name}_$batches")
+    val keyed = batch.drop("arrival_timestamp")
+      .observe(obs, count(lit(1)).as("rows"))
+      .withColumn("h", expr(keySql))
+      .persist()
+    val rows: Array[(Any, Any)] =
+      keyed.where(col("h").isNotNull).select(col(orderCol), col("h"))
+        .collect().map(r => (r.get(0), r.get(1)))
+    val batchKeys: Array[Any] = rows.map(_._2).distinct
+    // within-batch first-wins: min orderCol per key; later rows of the
+    // same key are suppressed (rows with a null order id can't order
+    // and are never suppressed — the unique-orderCol contract)
+    val winnerByKey = new java.util.HashMap[Any, (Any, Int)]()
+    val inBatchSuppressed = new java.util.HashSet[Any]()
+    if (rows.length != batchKeys.length) {
+      var i = 0
+      while (i < rows.length) {
+        val (id, h) = rows(i)
+        val prev = winnerByKey.get(h)
+        if (prev == null) winnerByKey.put(h, (id, i))
+        else if (prev._1 == null) {
+          // a null-order-id winner keeps its key (nulls order first, as
+          // the window path did); a later non-null row is suppressed; a
+          // SECOND null-id row cannot be targeted by any id filter and
+          // passes through — off the unique-orderCol contract either way
+          if (id != null) inBatchSuppressed.add(id)
+        } else if (id == null || GateStore.lt(id, prev._1)) {
+          inBatchSuppressed.add(prev._1)
+          winnerByKey.put(h, (id, i))
+        } else inBatchSuppressed.add(id)
+        i += 1
+      }
+    } else rows.foreach { case (id, h) => winnerByKey.put(h, (id, -1)) }
+    // Bloom gate: misses are definitely-new and bypass the store scan;
+    // only possible repeats (true dups + ~p false positives) pay the
+    // store-presence check — a collect of the candidate keys that exist
+    // in the pruned slice (bounded by the candidate count itself)
+    val storeF = GateStore.storeFiles(storeDir)
+    val cand = batchKeys.filter(bloom.contains)
+    val present: java.util.HashSet[Any] = {
+      val set = new java.util.HashSet[Any]()
+      if (storeF.nonEmpty && cand.nonEmpty) {
+        GateStore.withInPushdown(s, cand.length)(
+          s.read.parquet(GateStore.pruned(storeF, cand): _*)
+            .where(GateStore.inSetCol(col("h"), cand.toSeq))
+            .select("h").collect()).foreach(r => set.add(r.get(0)))
+      }
+      set
+    }
+    // a winner whose key is already stored is suppressed too
+    val suppressedIds = new java.util.HashSet[Any]()
+    inBatchSuppressed.forEach(id => { suppressedIds.add(id); () })
+    var storeSuppressedNullId = 0
+    winnerByKey.forEach { (h, winner) =>
+      if (present.contains(h)) {
+        if (winner._1 != null) suppressedIds.add(winner._1)
+        else storeSuppressedNullId += 1
+      }
+    }
+    new Decision(keyed, obs, rows, batchKeys, winnerByKey, present,
+      suppressedIds, storeSuppressedNullId)
+  }
+
+  private[streaming] def onBatch(batch: DataFrame): Unit = synchronized {
+    if (exactlyOnce) onBatchExactlyOnce(batch) else onBatchAtLeastOnce(batch)
+    if (compactEvery > 0 && batches % compactEvery == 0) compact()
+  }
+
+  private def onBatchAtLeastOnce(batch: DataFrame): Unit = {
+    batches += 1
+    val d = decide(batch)
+    try {
+      val total = d.obs.get("rows").asInstanceOf[Long]
+      val n = total - d.dropped
       admitted += n
       suppressed += total - n
       // admitted keys — the winners not already stored — are known on the
@@ -243,42 +353,129 @@ final class StreamDedupGate private (
       // rows pass through the sink unconditionally and are never stored
       if (n > 0) {
         // sink BEFORE store append: see the delivery contract above
-        val survivors =
-          if (suppressedIds.isEmpty && storeSuppressedNullId == 0) keyed
-          else if (storeSuppressedNullId == 0)
-            keyed.where(col(orderCol).isNull ||
-              !GateStore.inSetCol(col(orderCol), suppressedIds.toArray.toSeq))
-          else {
-            // a suppressed null-order-id winner is only filterable by key
-            val presentKeys = new java.util.ArrayList[Any]()
-            present.forEach(h => { presentKeys.add(h); () })
-            keyed.where(col("h").isNull ||
-              (!GateStore.inSetCol(col("h"), presentKeys.toArray.toSeq) &&
-                (col(orderCol).isNull ||
-                  !GateStore.inSetCol(col(orderCol), suppressedIds.toArray.toSeq))))
-          }
-        eng.insertInto(sink, survivors)
-        val newKeys = new java.util.ArrayList[org.apache.spark.sql.Row]()
-        winnerByKey.forEach { (h, winner) =>
-          if (!present.contains(h)) { newKeys.add(org.apache.spark.sql.Row(h)); () }
-        }
-        if (!newKeys.isEmpty) {
-          val hType = keyed.schema(keyed.schema.fieldIndex("h")).dataType
-          GateStore.append(
-            s.createDataFrame(newKeys, org.apache.spark.sql.types.StructType(
-              Seq(org.apache.spark.sql.types.StructField("h", hType)))),
-            storeDir, "keys", batches, sortCol = Some("h"))
-        }
+        eng.insertInto(sink, d.survivors)
+        d.appendNewKeys(batches)
       }
       // every non-null batch key is now stored-or-already-stored, so adding
       // them all preserves the bloom ⊇ store invariant exactly
-      batchKeys.foreach(bloom.add)
-    } finally { keyed.unpersist(); () }
-    if (compactEvery > 0 && batches % compactEvery == 0) compact()
+      d.batchKeys.foreach(bloom.add)
+    } finally { d.keyed.unpersist(); () }
+  }
+
+  // ---- exactly-once epochs -----------------------------------------------
+
+  private val spoolRe = """fwd_(\d+)\.parquet""".r
+  private val markerRe = """delivered_(\d+)""".r
+
+  private def spoolEpochs(): Seq[(Long, Path)] = {
+    val d = spoolDir.toFile
+    Option(d.listFiles()).getOrElse(Array.empty).toSeq.flatMap { f =>
+      f.getName match {
+        case spoolRe(e) => Some((e.toLong, f.toPath))
+        case _ => None
+      }
+    }.sortBy(_._1)
+  }
+
+  private def spoolMaxEpoch(): Long =
+    spoolEpochs().lastOption.map(_._1).getOrElse(0L)
+
+  private def deliveredEpoch(): Long = {
+    val d = spoolDir.toFile
+    Option(d.listFiles()).getOrElse(Array.empty).toSeq.flatMap { f =>
+      f.getName match {
+        case markerRe(e) => Some(e.toLong)
+        case _ => None
+      }
+    }.foldLeft(0L)(math.max)
+  }
+
+  private def markDelivered(epoch: Long): Unit = {
+    val f = spoolDir.resolve(s"delivered_$epoch")
+    Files.write(f, Array.emptyByteArray)
+    // housekeeping: spools and markers at or below the watermark are dead
+    val d = spoolDir.toFile
+    Option(d.listFiles()).getOrElse(Array.empty).foreach { g =>
+      g.getName match {
+        case spoolRe(e) if e.toLong <= epoch => g.delete(); ()
+        case markerRe(e) if e.toLong < epoch => g.delete(); ()
+        case _ =>
+      }
+    }
+  }
+
+  /** Store half of epoch recovery: rebuild keys_E from any pending spool
+    * whose rename committed before the crash beat the store append —
+    * survivor `h` values ARE the admitted keys, so the rebuild is exact.
+    * Engine-API-free (file ops + a parquet read), safe under any lock. */
+  private def recoverStores(): Unit = {
+    val delivered = deliveredEpoch()
+    spoolEpochs().filter(_._1 > delivered).foreach { case (e, path) =>
+      if (GateStore.maxBatch(storeDir, "keys") < e) {
+        val keys = eng.spark.read.parquet(path.toString)
+          .where(col("h").isNotNull).select("h").distinct()
+        GateStore.append(keys, storeDir, "keys", e, sortCol = Some("h"))
+      }
+    }
+  }
+
+  /** Finish every epoch whose spool rename committed but whose delivery
+    * marker didn't land: rebuild the keys file if needed, deliver the
+    * spooled survivors to the sink, mark. Runs at the head of every
+    * exactly-once batch (and via [[recover]]), so both restart-recovery
+    * and in-process retry converge on the same state. */
+  private def recoverPending(): Unit = {
+    val delivered = deliveredEpoch()
+    spoolEpochs().filter(_._1 > delivered).foreach { case (e, path) =>
+      val spooled = eng.spark.read.parquet(path.toString)
+      if (GateStore.maxBatch(storeDir, "keys") < e) {
+        val keys = spooled.where(col("h").isNotNull).select("h").distinct()
+        GateStore.append(keys, storeDir, "keys", e, sortCol = Some("h"))
+      }
+      spooled.where(col("h").isNotNull).select("h")
+        .collect().foreach(r => bloom.add(r.get(0)))
+      failpoint("recovery-after-store")
+      if (spooled.take(1).nonEmpty) eng.insertInto(sink, spooled)
+      markDelivered(e)
+      if (e > batches) batches = e
+    }
+  }
+
+  /** Deliver any epoch the last crash interrupted RIGHT NOW (instead of at
+    * the next batch). Must not be called while holding engine locks. */
+  def recover(): Unit = synchronized { if (exactlyOnce) recoverPending() }
+
+  private def onBatchExactlyOnce(batch: DataFrame): Unit = {
+    recoverPending()
+    val epoch = batches + 1
+    val d = decide(batch)
+    try {
+      val total = d.obs.get("rows").asInstanceOf[Long]
+      val n = total - d.dropped
+      failpoint("before-spool")
+      // THE commit point: the survivor set lands as one atomically-renamed
+      // file; everything after it is replayable from this file alone
+      GateStore.append(d.survivors, spoolDir, "fwd", epoch)
+      batches = epoch
+      admitted += n
+      suppressed += total - n
+      failpoint("after-spool")
+      d.appendNewKeys(epoch)
+      failpoint("after-store")
+      val spooled = eng.spark.read.parquet(
+        spoolDir.resolve(f"fwd_$epoch%05d.parquet").toString)
+      if (n > 0) eng.insertInto(sink, spooled)
+      failpoint("after-deliver")
+      markDelivered(epoch)
+      d.batchKeys.foreach(bloom.add)
+    } finally { d.keyed.unpersist(); () }
   }
 }
 
 object StreamDedupGate {
+
+  val AtLeastOnce = "at_least_once"
+  val ExactlyOnce = "exactly_once"
 
   private[streaming] def deleteRecursively(f: java.io.File): Unit =
     GateStore.deleteRecursively(f)
@@ -287,19 +484,21 @@ object StreamDedupGate {
     * `selectSql` (must project `orderCol`; the key is computed by `keySql`
     * over the projected columns) whose first-occurrence survivors are
     * forwarded to stream `sink` with the key attached as column `h`.
+    * `delivery` ∈ {at_least_once, exactly_once} — see the class contract.
     */
   def create(eng: ContViewEngine, name: String, selectSql: String,
       keySql: String, orderCol: String, sink: String,
       storeRoot: String,
       bloomP: Double = 0.01, bloomN: Int = 1 << 17,
-      compactEvery: Int = 256): StreamDedupGate = {
+      compactEvery: Int = 256,
+      delivery: String = AtLeastOnce): StreamDedupGate = {
     val root = Paths.get(storeRoot, name)
     Files.createDirectories(root)
     GateStore.stampGeometry(root, "shards_1")
     val dir = root.resolve("seen_keys")
     Files.createDirectories(dir)
     val gate = new StreamDedupGate(eng, name, keySql, orderCol, sink, dir,
-      bloomP, bloomN, compactEvery)
+      bloomP, bloomN, compactEvery, delivery)
     gate.bootstrap() // resume from a persisted store after an engine restart
     eng.createContTransform(name, selectSql,
       outputFunc = Some(gate.onBatch _), emitChanges = false)
@@ -312,14 +511,17 @@ object StreamDedupGate {
 
   /** The G-core horizontally-sharded form of [[create]] (see
     * [[ShardedDedupGate]]): rows route to core hash(key) mod `shards`,
-    * each core a full single-key-slice gate with its own store + bloom.
+    * each core a full single-key-slice gate with its own store + bloom
+    * (and, under exactly-once delivery, its own spool — the cores' row
+    * slices are disjoint, so the epoch protocol composes per core).
     * Admitted set identical to the unsharded gate's; reopening under a
     * different G is refused. */
   def createSharded(eng: ContViewEngine, name: String, selectSql: String,
       keySql: String, orderCol: String, sink: String, storeRoot: String,
       shards: Int,
       bloomP: Double = 0.01, bloomN: Int = 1 << 17,
-      compactEvery: Int = 256): ShardedDedupGate = {
+      compactEvery: Int = 256,
+      delivery: String = AtLeastOnce): ShardedDedupGate = {
     require(shards >= 2, s"use create() for an unsharded gate (shards=$shards)")
     val root = Paths.get(storeRoot, name)
     Files.createDirectories(root)
@@ -328,7 +530,7 @@ object StreamDedupGate {
       val dir = root.resolve(s"s${k}of$shards").resolve("seen_keys")
       Files.createDirectories(dir)
       val core = new StreamDedupGate(eng, name, keySql, orderCol, sink, dir,
-        bloomP, bloomN, compactEvery)
+        bloomP, bloomN, compactEvery, delivery)
       core.bootstrap()
       core
     }
