@@ -995,6 +995,7 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     *   neardup_gate('<textSql>', '<orderCol>'[, maxDist[, maxBucketSize[, shards]]])
     *   cosine_gate('<embSql>', '<orderCol>', <threshold>, <dim>[, maxBucketSize[, expectedStoreSize[, shards]]])
     *   jaccard_gate('<textSql>', '<orderCol>', <threshold>[, maxBucketSize[, shards]])
+    *   contamination_gate('<textSql>', '<orderCol>', '<refSelectSql>'[, n])
     * A `shards` of G ≥ 2 key-space-partitions the gate into G concurrent
     * cores (ShardedDedupGate / ShardedNearDupGate) — identical admitted
     * set, horizontally-scaled decision loop.
@@ -1028,6 +1029,8 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
       s"""(?i)cosine_gate\\s*\\(\\s*$arg\\s*,\\s*$arg\\s*,\\s*([0-9.]+)\\s*,\\s*(\\d+)\\s*(?:,\\s*(\\d+)\\s*(?:,\\s*(\\d+)\\s*(?:,\\s*(\\d+)\\s*)?)?)?\\)""".r
     val jaccardRe =
       s"""(?i)jaccard_gate\\s*\\(\\s*$arg\\s*,\\s*$arg\\s*,\\s*([0-9.]+)\\s*(?:,\\s*(\\d+)\\s*(?:,\\s*(\\d+)\\s*)?)?\\)""".r
+    val contaminationRe =
+      s"""(?i)contamination_gate\\s*\\(\\s*$arg\\s*,\\s*$arg\\s*,\\s*$arg\\s*(?:,\\s*(\\d+)\\s*)?\\)""".r
     // the gate's own createContTransform call must not write a second
     // catalog row — only the kind=gate entry replays (a plain transform
     // entry would re-create the transform WITHOUT its callback)
@@ -1086,11 +1089,21 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
             selectSql, unq(textSql), unq(orderCol), sink, storeRoot = root,
             threshold = threshold.toDouble, shards = shards.toInt,
             maxBucketSize = Option(cap).map(_.toInt).getOrElse(Int.MaxValue))
+        case contaminationRe(textSql, orderCol, refSql, n) =>
+          // the reference SELECT resolves against the SPARK session (temp
+          // views / catalog tables) and must project the `text` column; at
+          // catalog replay the hashed store already exists, so the query
+          // only needs to stay RESOLVABLE, not re-read
+          graft.streaming.ContaminationGate.create(this, name, selectSql,
+            unq(textSql), unq(orderCol), sink, storeRoot = root,
+            reference = spark.sql(unq(refSql)),
+            n = Option(n).map(_.toInt).getOrElse(3))
         case other => throw new IllegalArgumentException(
           s"unparseable gate outputfunc '$other' (expected dedup_gate('<key>','<order>'[,shards[,'<delivery>']]), " +
             "neardup_gate('<text>','<order>'[,maxDist[,maxBucketSize[,shards]]]), " +
             "cosine_gate('<emb>','<order>',<threshold>,<dim>[,maxBucketSize[,expectedStoreSize[,shards]]]) or " +
-            "jaccard_gate('<text>','<order>',<threshold>[,maxBucketSize[,shards]]); " +
+            "jaccard_gate('<text>','<order>',<threshold>[,maxBucketSize[,shards]]) or " +
+            "contamination_gate('<text>','<order>','<refSelectSql>'[,n]); " +
             "escape a literal quote inside a string argument by doubling it: '')")
       } finally suppressCatalog = prevSuppress
     gates(name) = gate

@@ -244,7 +244,9 @@ object CvDdl {
         // outputfunc = insert_into_stream('s') is the one function the
         // reference ships for chaining (stream_fdw.c:589-640); arbitrary
         // trigger functions need the Scala API's outputFunc callback.
-        val gateRe = """(?i)\s*(dedup_gate|neardup_gate|cosine_gate|jaccard_gate)\s*\(.*""".r
+        // (?s): a gate spec may span lines (a contamination reference
+        // SELECT, long key expressions) — the trailing .* must cross them
+        val gateRe = """(?is)\s*(dedup_gate|neardup_gate|cosine_gate|jaccard_gate|contamination_gate)\s*\(.*""".r
         opts.get("outputfunc") match {
           case Some(f @ gateRe(_)) =>
             val sink = opts.getOrElse("sink", throw new IllegalArgumentException(
@@ -263,7 +265,7 @@ object CvDdl {
                 case m(s) => s
                 case other => throw new IllegalArgumentException(
                   s"unsupported outputfunc '$other' — only insert_into_stream('stream') " +
-                    "and the dedup gates (dedup_gate/neardup_gate/cosine_gate/jaccard_gate) are " +
+                    "and the gates (dedup_gate/neardup_gate/cosine_gate/jaccard_gate/contamination_gate) are " +
                     "expressible in DDL; pass a Scala callback to createContTransform " +
                     "for custom output functions")
               }

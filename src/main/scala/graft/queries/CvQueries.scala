@@ -446,6 +446,66 @@ object CvQueries {
     })
   }
 
+  /** Stacked-gate pipeline fixture (q_gate_pipeline): three DDL-declared
+    * gates chained sink-to-stream — exact dedup → Jaccard near-dup →
+    * benchmark decontamination — the canonical curation funnel, fed with a
+    * mid-feed engine restart. The FULL admitted set is DuckDB-recomputable
+    * because the corpus's natural pairwise Jaccard is BIMODAL (measured:
+    * nothing between 0.11 and 0.93 at sf0.01), so at gate threshold 0.7
+    * every ≥0.93 pair is suppressed with certainty ~1-3e-13 (estimate
+    * z≈7σ; banding collision 1-1e-6) and every ≤0.11 pair admitted with
+    * certainty — the oracle cuts the gap at true Jaccard 0.5. */
+  private val pipelineEngines =
+    scala.collection.mutable.Map.empty[(SparkSession, String), ContViewEngine]
+
+  private def pipelineFor(s: SparkSession, dir: String): ContViewEngine = synchronized {
+    pipelineEngines.getOrElseUpdate((s, dir), {
+      val root = java.nio.file.Files.createTempDirectory("graft_cvpl").toString
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      // eval/reference corpus for the decontamination stage — registered
+      // as a temp view BEFORE the engine constructs, because the catalog
+      // replays the contamination gate's reference SQL at restart
+      docs.where(col("doc_id") < 20).createOrReplaceTempView("pl_ref")
+      val feedDocs = docs.where(col("doc_id") >= 20)
+      val corpus = feedDocs.unionByName(
+        feedDocs.where(pmod(col("doc_id"), lit(5)) === 0)
+          .select((col("doc_id") + 800000L).as("doc_id"), col("text")))
+      def setup(eng: ContViewEngine): ContViewEngine = {
+        eng.createStream("pl_in", corpus.schema)
+        eng.createStream("pl_s1", org.apache.spark.sql.types.StructType(
+          corpus.schema.fields :+ org.apache.spark.sql.types.StructField("h",
+            org.apache.spark.sql.types.StringType)))
+        eng.createStream("pl_s2", corpus.schema)
+        eng.createStream("pl_clean", corpus.schema)
+        eng.sql("""CREATE VIEW pl_g1 WITH (action = transform, sink = 'pl_s1',
+                  |  outputfunc = dedup_gate('md5(text)', 'doc_id')) AS
+                  |SELECT doc_id, text FROM pl_in""".stripMargin)
+        eng.sql("""CREATE VIEW pl_g2 WITH (action = transform, sink = 'pl_s2',
+                  |  outputfunc = jaccard_gate('text', 'doc_id', 0.7)) AS
+                  |SELECT doc_id, text FROM pl_s1""".stripMargin)
+        eng.sql("""CREATE VIEW pl_g3 WITH (action = transform, sink = 'pl_clean',
+                  |  outputfunc = contamination_gate('text', 'doc_id',
+                  |                 'SELECT text FROM pl_ref')) AS
+                  |SELECT doc_id, text FROM pl_s2""".stripMargin)
+        eng.createContView("v_pl", "SELECT doc_id FROM pl_clean",
+          emitChanges = false)
+        eng
+      }
+      def feed(eng: ContViewEngine, lo: Long, hi: Long): Unit =
+        eng.insertInto("pl_in",
+          corpus.where(col("doc_id") >= lo && col("doc_id") < hi))
+      val eng1 = setup(new ContViewEngine(s, root))
+      feed(eng1, Long.MinValue, 200L)
+      feed(eng1, 200L, 400L)
+      // mid-feed "crash": all three gates replay from the catalog on the
+      // same root; batch 3 (carrying the +800000 exact copies of batch-1/2
+      // content) must still be gated by the persisted stores
+      val eng2 = setup(new ContViewEngine(s, root))
+      feed(eng2, 400L, Long.MaxValue)
+      eng2
+    })
+  }
+
   private def dedupGateFor(s: SparkSession, dir: String): ContViewEngine = synchronized {
     gateEngines.getOrElseUpdate((s, dir), {
       val root = java.nio.file.Files.createTempDirectory("graft_cvdg").toString
@@ -1063,6 +1123,68 @@ object CvQueries {
       (s, dir) =>
         dedupGateFor(s, dir).sql(
           "SELECT doc_id, h, lang FROM v_clean ORDER BY doc_id")
+    },
+
+    // Stacked-gate pipeline (beyond-ref; the osrel-chaining surface —
+    // analyzer.c:776-830 — under gate load): exact dedup → Jaccard
+    // near-dup → decontamination, all three DDL-declared and chained
+    // sink-to-stream, with a mid-feed engine restart. The FULL admitted
+    // set is DuckDB-recomputed: stage 1 is first-wins on md5, stage 2 cuts
+    // the corpus's bimodal Jaccard gap (see pipelineFor — no natural pair
+    // sits between 0.11 and 0.93, so the 0.5 oracle cut is exact), stage 3
+    // is the deterministic reference-gram test.
+    QDef(
+      "q_gate_pipeline",
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id >= 20
+        |  UNION ALL
+        |  SELECT doc_id + 800000 AS doc_id, text FROM documents
+        |  WHERE doc_id >= 20 AND doc_id % 5 = 0
+        |), s1 AS (
+        |  SELECT min(doc_id) AS doc_id FROM corpus GROUP BY md5(text)
+        |), s1docs AS (
+        |  SELECT c.doc_id, c.text FROM corpus c JOIN s1 USING (doc_id)
+        |), toks AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(text, ' '), x -> x <> '') AS t
+        |  FROM s1docs
+        |), grams AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+        |                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+        |  FROM toks
+        |), inv AS (
+        |  SELECT doc_id, unnest(g) AS gram FROM grams
+        |), overlap AS (
+        |  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
+        |  FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), sizes AS (
+        |  SELECT doc_id, len(g) AS n FROM grams
+        |), nearsup AS (
+        |  SELECT DISTINCT o.j AS doc_id
+        |  FROM overlap o
+        |  JOIN sizes sa ON o.i = sa.doc_id
+        |  JOIN sizes sb ON o.j = sb.doc_id
+        |  WHERE CAST(o.inter AS DOUBLE) / (sa.n + sb.n - o.inter) >= 0.5
+        |), reftoks AS (
+        |  SELECT list_filter(regexp_split_to_array(text, ' '), x -> x <> '') AS t
+        |  FROM documents WHERE doc_id < 20
+        |), refgrams AS (
+        |  SELECT DISTINCT unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+        |                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
+        |  FROM reftoks
+        |), contaminated AS (
+        |  SELECT DISTINCT i.doc_id FROM inv i
+        |  JOIN refgrams r ON i.gram = r.gram
+        |)
+        |SELECT s.doc_id FROM s1docs s
+        |LEFT JOIN nearsup ns ON s.doc_id = ns.doc_id
+        |LEFT JOIN contaminated ct ON s.doc_id = ct.doc_id
+        |WHERE ns.doc_id IS NULL AND ct.doc_id IS NULL
+        |ORDER BY s.doc_id""".stripMargin) {
+      (s, dir) => pipelineFor(s, dir).sql(
+        "SELECT doc_id FROM v_pl ORDER BY doc_id")
     },
 
     // Exactly-once dedup gate (delivery='exactly_once' DDL, beyond-ref;
