@@ -191,7 +191,9 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
           // suppression state survives the restart end-to-end
           case "gate" =>
             createGateTransform(fields("name"), fields("payload"),
-              fields("sw"), fields("sink"))
+              fields("sw"), fields("sink"),
+              ttl = Option(fields("ttl")).filter(_.nonEmpty),
+              ttlColumn = Option(fields("ttlColumn")).filter(_.nonEmpty))
           case "activate" => activate(fields("name"))
           case "deactivate" => deactivate(fields("name"))
           case "drop" => fields("payload") match {
@@ -377,8 +379,8 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
       sink.foreach { s => require(streams.contains(normalizeName(s, "stream")),
         s"outputfunc insert_into_stream('$s'): unknown stream $s") }
       createContTransform(name, select, sinkStream = sink, emitChanges = changes); ()
-    case CvDdl.CreateGateTransform(name, select, gateSpec, sink) =>
-      createGateTransform(name, select, gateSpec, sink); ()
+    case CvDdl.CreateGateTransform(name, select, gateSpec, sink, ttl, ttlCol) =>
+      createGateTransform(name, select, gateSpec, sink, ttl, ttlCol); ()
     case CvDdl.Rename(name0, newName) =>
       val name = normalizeName(name0, "continuous query")
       if (transforms.contains(name)) renameContTransform(name, newName)
@@ -1003,16 +1005,27 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     * inside one is escaped by doubling it ('').
     */
   def createGateTransform(name0: String, selectSql: String, gateSpec: String,
-      sink0: String): AnyRef = synchronized {
+      sink0: String, ttl: Option[String] = None,
+      ttlColumn: Option[String] = None): AnyRef = synchronized {
     val name = normalizeName(name0, "continuous transform")
     val sink = normalizeName(sink0, "stream")
     require(streams.contains(sink), s"gate sink: unknown stream $sink")
+    // windowed (TTL) gating: supported on the exact dedup gate; an
+    // interval spec resolves through the same parser as CV ttl options
+    val ttlMillis = ttl.map(CvPlanner.intervalSeconds(_) * 1000L).getOrElse(0L)
+    require(ttlMillis == 0 || ttlColumn.nonEmpty,
+      "ttl on a gate needs ttl_column = <event-time column>")
+    require(ttlMillis == 0 ||
+      gateSpec.trim.toLowerCase.startsWith("dedup_gate"),
+      "ttl is supported on dedup_gate only (the near-dup stores are not " +
+        "windowed yet)")
     if (transforms.contains(name)) {
       // mirror idempotent(): an identical re-declaration is a no-op, a
       // different one (or a clash with a non-gate transform) fails loudly
       require(gates.contains(name),
         s"$name already exists as a continuous transform (not a gate)")
-      require(gateSignatures.get(name).contains((selectSql, gateSpec, sink)),
+      require(gateSignatures.get(name).contains(
+        (selectSql, gateSpec, sink, ttl, ttlColumn)),
         s"gate $name already exists with a different definition")
       return gates(name)
     }
@@ -1043,13 +1056,15 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
           graft.streaming.StreamDedupGate.create(this, name, selectSql,
             unq(keySql), unq(orderCol), sink, storeRoot = root,
             delivery = Option(dv).map(unq)
-              .getOrElse(graft.streaming.StreamDedupGate.AtLeastOnce))
+              .getOrElse(graft.streaming.StreamDedupGate.AtLeastOnce),
+            ttlMillis = ttlMillis, ttlColumn = ttlColumn.getOrElse(""))
         case dedupRe(keySql, orderCol, shards, dv) =>
           graft.streaming.StreamDedupGate.createSharded(this, name, selectSql,
             unq(keySql), unq(orderCol), sink, storeRoot = root,
             shards = shards.toInt,
             delivery = Option(dv).map(unq)
-              .getOrElse(graft.streaming.StreamDedupGate.AtLeastOnce))
+              .getOrElse(graft.streaming.StreamDedupGate.AtLeastOnce),
+            ttlMillis = ttlMillis, ttlColumn = ttlColumn.getOrElse(""))
         case neardupRe(textSql, orderCol, maxDist, cap, shards)
             if shardsOf(shards) <= 1 =>
           graft.streaming.SimHashNearDupGate.create(this, name, selectSql,
@@ -1107,9 +1122,9 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
             "escape a literal quote inside a string argument by doubling it: '')")
       } finally suppressCatalog = prevSuppress
     gates(name) = gate
-    gateSignatures(name) = (selectSql, gateSpec, sink)
-    appendCatalog(CatalogEntry("gate", name, selectSql, gateSpec, "", 0, "", "",
-      sink, changes = false))
+    gateSignatures(name) = (selectSql, gateSpec, sink, ttl, ttlColumn)
+    appendCatalog(CatalogEntry("gate", name, selectSql, gateSpec, "", 0,
+      ttl.getOrElse(""), ttlColumn.getOrElse(""), sink, changes = false))
     gate
   }
 
@@ -1117,7 +1132,7 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
   // before later-declared fields would otherwise initialize
   private lazy val gates = mutable.Map.empty[String, AnyRef]
   private lazy val gateSignatures =
-    mutable.Map.empty[String, (String, String, String)]
+    mutable.Map.empty[String, (String, String, String, Option[String], Option[String])]
 
   /** The declared gate registered under `name`, if any. */
   def gateOf(name: String): Option[AnyRef] = synchronized(gates.get(name))

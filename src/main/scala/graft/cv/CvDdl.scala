@@ -40,7 +40,8 @@ object CvDdl {
     * gates replay from the catalog (the Scala outputFunc callback can't),
     * so a restarted engine resumes suppression from the persisted store. */
   final case class CreateGateTransform(
-      name: String, select: String, gateSpec: String, sink: String) extends Stmt
+      name: String, select: String, gateSpec: String, sink: String,
+      ttl: Option[String] = None, ttlColumn: Option[String] = None) extends Stmt
   final case class Activate(name: String) extends Stmt
   final case class Deactivate(name: String) extends Stmt
   /** kind ∈ view | transform | stream (plain DROP VIEW resolves either CQ kind). */
@@ -239,8 +240,8 @@ object CvDdl {
           ttlColumn = opts.get("ttl_column"),
           pk = opts.get("pk")), emitChanges)
       case "transform" =>
-        require(Seq("sw", "ttl", "step_factor").forall(!opts.contains(_)),
-          "sw/ttl options apply to materialized views, not transforms")
+        require(Seq("sw", "step_factor").forall(!opts.contains(_)),
+          "sw options apply to materialized views, not transforms")
         // outputfunc = insert_into_stream('s') is the one function the
         // reference ships for chaining (stream_fdw.c:589-640); arbitrary
         // trigger functions need the Scala API's outputFunc callback.
@@ -257,8 +258,12 @@ object CvDdl {
             require(!opts.get("changes").exists(_.toBoolean),
               "changes = true is not supported on gate transforms — the " +
                 "gate's survivors flow to its sink stream, not output_of()")
-            CreateGateTransform(name, select, f.trim, sink)
+            CreateGateTransform(name, select, f.trim, sink,
+              ttl = opts.get("ttl"), ttlColumn = opts.get("ttl_column"))
           case _ =>
+            require(!opts.contains("ttl") && !opts.contains("ttl_column"),
+              "ttl options on a transform apply to gates only " +
+                "(windowed dedup_gate)")
             val sink = opts.get("sink").orElse(opts.get("outputfunc").map { f =>
               val m = """(?i)(?:pipelinedb\.)?insert_into_stream\s*\(\s*'([^']+)'\s*\)""".r
               f match {

@@ -506,6 +506,47 @@ object CvQueries {
     })
   }
 
+  /** Windowed (TTL) dedup-gate fixture (q_dedup_stream_ttl): a
+    * DDL-declared `dedup_gate` with `ttl = '1 day', ttl_column = ts` over
+    * the events stream — one event per user per trailing day, the
+    * re-crawl/refresh admission policy — fed in event_id order across
+    * three batches with a mid-feed engine restart. DuckDB mirrors the
+    * window exactly: admitted(e) ⇔ no earlier-arriving event of the same
+    * user with ts inside (e.ts − 1 day, ∞). */
+  private val ttlEngines =
+    scala.collection.mutable.Map.empty[(SparkSession, String), ContViewEngine]
+
+  private def ttlGateFor(s: SparkSession, dir: String): ContViewEngine = synchronized {
+    ttlEngines.getOrElseUpdate((s, dir), {
+      val root = java.nio.file.Files.createTempDirectory("graft_cvttl").toString
+      val events = Tables.events(s, dir).select("event_id", "ts", "user_id")
+      def setup(eng: ContViewEngine): ContViewEngine = {
+        eng.createStream("tw_in", events.schema)
+        eng.createStream("tw_out", org.apache.spark.sql.types.StructType(
+          events.schema.fields :+ org.apache.spark.sql.types.StructField("h",
+            org.apache.spark.sql.types.LongType)))
+        eng.sql("""CREATE VIEW tw_gate WITH (action = transform, sink = 'tw_out',
+                  |  ttl = '1 day', ttl_column = ts,
+                  |  outputfunc = dedup_gate('user_id', 'event_id')) AS
+                  |SELECT event_id, ts, user_id FROM tw_in""".stripMargin)
+        eng.createContView("v_ttl", "SELECT event_id FROM tw_out",
+          emitChanges = false)
+        eng
+      }
+      def feed(eng: ContViewEngine, lo: Long, hi: Long): Unit =
+        eng.insertInto("tw_in",
+          events.where(col("event_id") >= lo && col("event_id") < hi))
+      val eng1 = setup(new ContViewEngine(s, root))
+      feed(eng1, Long.MinValue, 2000L)
+      feed(eng1, 2000L, 4000L)
+      // mid-feed "crash": the windowed gate replays from the catalog and
+      // bootstrap restores the bloom AND the reaper watermark
+      val eng2 = setup(new ContViewEngine(s, root))
+      feed(eng2, 4000L, Long.MaxValue)
+      eng2
+    })
+  }
+
   private def dedupGateFor(s: SparkSession, dir: String): ContViewEngine = synchronized {
     gateEngines.getOrElseUpdate((s, dir), {
       val root = java.nio.file.Files.createTempDirectory("graft_cvdg").toString
@@ -1123,6 +1164,23 @@ object CvQueries {
       (s, dir) =>
         dedupGateFor(s, dir).sql(
           "SELECT doc_id, h, lang FROM v_clean ORDER BY doc_id")
+    },
+
+    // Windowed (TTL) dedup gate (beyond-ref; TTL semantics from the
+    // reference's reaper — reaper.c:49-352 — applied to the gate store):
+    // one event per user per trailing day. The oracle's NOT EXISTS is the
+    // exact window mirror; the whole feed flows through the same engine
+    // root, so the CV carries all three batches across the restart.
+    QDef(
+      "q_dedup_stream_ttl",
+      """SELECT e.event_id FROM events e
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM events p
+        |  WHERE p.user_id = e.user_id AND p.event_id < e.event_id
+        |    AND p.ts > e.ts - INTERVAL 1 DAY)
+        |ORDER BY e.event_id""".stripMargin) {
+      (s, dir) => ttlGateFor(s, dir).sql(
+        "SELECT event_id FROM v_ttl ORDER BY event_id")
     },
 
     // Stacked-gate pipeline (beyond-ref; the osrel-chaining surface —

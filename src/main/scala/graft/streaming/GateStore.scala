@@ -286,7 +286,8 @@ private[streaming] object GateStore {
     * every shard lands (atomic moves) before any old file is unlinked. */
   def compact(spark: SparkSession, dir: Path, prefix: String,
       cols: Seq[String], batch: Long, sortCol: Option[String] = None,
-      shards: Int = 8, majorGens: Int = MajorCompactGenerations): Long = {
+      shards: Int = 8, majorGens: Int = MajorCompactGenerations,
+      rowFilter: Option[org.apache.spark.sql.Column] = None): Long = {
     val all = files(dir)
     // compacted generations carry the `_c<nanos>` marker; appends do not
     val compacted = all.filter(new java.io.File(_).getName.contains("_c"))
@@ -313,8 +314,13 @@ private[streaming] object GateStore {
         val inputBytes = fs.map(f => new java.io.File(f).length()).sum
         val nShards = math.max(shards, math.min(1 << 14,
           ((inputBytes + TargetShardBytes - 1) / TargetShardBytes).toInt))
-        val distinctRows =
-          spark.read.parquet(fs: _*).select(cols.head, cols.tail: _*).distinct()
+        // rowFilter is the TTL reaper's hook: expired rows are dropped at
+        // fold time (age-based, cheap — reaper.c:49-352's semantics on an
+        // append-only store), so a windowed gate's store stays bounded by
+        // the window instead of the stream's lifetime
+        val read0 = spark.read.parquet(fs: _*)
+        val read = rowFilter.fold(read0)(read0.where)
+        val distinctRows = read.select(cols.head, cols.tail: _*).distinct()
         val out = sortCol match {
           case Some(c) => distinctRows.repartitionByRange(nShards, col(c))
             .sortWithinPartitions(c)

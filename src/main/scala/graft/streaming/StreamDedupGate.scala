@@ -102,12 +102,51 @@ final class StreamDedupGate private[streaming] (
     bloomP: Double,
     bloomN0: Int,
     compactEvery: Int,
-    delivery: String = StreamDedupGate.AtLeastOnce) {
+    delivery: String = StreamDedupGate.AtLeastOnce,
+    ttlMillis: Long = 0L,
+    ttlColumn: String = "") {
 
   require(delivery == StreamDedupGate.AtLeastOnce ||
     delivery == StreamDedupGate.ExactlyOnce,
     s"unknown delivery mode '$delivery' (expected " +
       s"'${StreamDedupGate.AtLeastOnce}' or '${StreamDedupGate.ExactlyOnce}')")
+  require(ttlMillis >= 0, s"negative ttl $ttlMillis")
+  require(ttlMillis == 0 || ttlColumn.nonEmpty,
+    "a windowed gate needs the event-time column: pass ttlColumn")
+
+  /** WINDOWED (TTL) MODE — `ttlMillis` > 0: a key suppresses a later
+    * arrival only if it was SEEN (admitted or suppressed — seen-based,
+    * like the whole family) within the trailing window: suppressed(d) ⇔
+    * ∃ earlier arrival d' with the same key and d'.ts > d.ts − ttl, where
+    * ts is `ttlColumn` (event time — deterministic and oracle-mirrorable,
+    * unlike the wall clock). Every arrival refreshes its key's seen-time,
+    * so the store records (h, max ts per key per batch) for ALL rows —
+    * O(batch distinct keys) per append, like the near-dup gates — and
+    * compaction REAPS rows older than (max seen ts − ttl), keeping the
+    * store bounded by the window instead of the stream's lifetime
+    * (reaper.c:49-352's TTL semantics on the gate store). Rows with a
+    * NULL event time pass through un-stored (an incomparable time can't
+    * window), mirroring the null-key rule. Caveat, documented not hidden:
+    * the reaper assumes event time roughly tracks arrival — an event
+    * arriving more than `ttl` behind the max seen time may find its
+    * suppressor already reaped (the standard watermark trade). */
+  private val ttlEnabled = ttlMillis > 0
+  require(!(ttlEnabled && delivery == StreamDedupGate.ExactlyOnce),
+    "ttl + exactly_once is not supported yet: the exactly-once spool " +
+      "records admitted winners only, while the windowed store must " +
+      "record every arrival's seen-time")
+  // max event time ever seen (MICROS — millisecond math would disagree
+  // with a microsecond oracle at window boundaries) — the reaper cutoff;
+  // restored at bootstrap
+  private var maxSeenTsMicros = Long.MinValue
+  private val ttlMicros = ttlMillis * 1000L
+
+  @inline private def microsToTs(m: Long): java.sql.Timestamp = {
+    val sec = Math.floorDiv(m, 1000000L)
+    val t = new java.sql.Timestamp(sec * 1000L)
+    t.setNanos((m - sec * 1000000L).toInt * 1000)
+    t
+  }
 
   private val exactlyOnce = delivery == StreamDedupGate.ExactlyOnce
   private val spoolDir: Path = storeDir.getParent.resolve("spool")
@@ -158,6 +197,11 @@ final class StreamDedupGate private[streaming] (
     }
     batches = math.max(GateStore.maxBatch(storeDir, "keys"),
       if (exactlyOnce) math.max(spoolMaxEpoch(), deliveredEpoch()) else 0L)
+    if (ttlEnabled && files.nonEmpty) {
+      val r = eng.spark.read.parquet(files: _*)
+        .agg(max(unix_micros(col("ts")))).collect()(0)
+      if (!r.isNullAt(0)) maxSeenTsMicros = r.getLong(0)
+    }
   }
 
   /** Fold the per-batch key files into key-range shards (also runs
@@ -171,8 +215,14 @@ final class StreamDedupGate private[streaming] (
     * filter is regrown (and rebuilt distributed) once the store outgrows
     * its design size. */
   def compact(): Unit = synchronized {
-    val n = GateStore.compact(eng.spark, storeDir, "keys", Seq("h"), batches,
-      sortCol = Some("h"))
+    val cols = if (ttlEnabled) Seq("h", "ts") else Seq("h")
+    // the TTL reaper: expired seen-times drop at fold time
+    val reap =
+      if (ttlEnabled && maxSeenTsMicros != Long.MinValue)
+        Some(col("ts") > lit(microsToTs(maxSeenTsMicros - ttlMicros)))
+      else None
+    val n = GateStore.compact(eng.spark, storeDir, "keys", cols, batches,
+      sortCol = Some("h"), rowFilter = reap)
     if (n > bloomN) {
       bloomN = GateStore.bloomSizeFor(n, bloomN)
       System.err.println(s"[graft] StreamDedupGate($name): store at $n keys " +
@@ -336,8 +386,120 @@ final class StreamDedupGate private[streaming] (
   }
 
   private[streaming] def onBatch(batch: DataFrame): Unit = synchronized {
-    if (exactlyOnce) onBatchExactlyOnce(batch) else onBatchAtLeastOnce(batch)
+    if (ttlEnabled) onBatchTtl(batch)
+    else if (exactlyOnce) onBatchExactlyOnce(batch)
+    else onBatchAtLeastOnce(batch)
     if (compactEvery > 0 && batches % compactEvery == 0) compact()
+  }
+
+  /** Windowed-mode batch: per-key arrival-ordered pass over the collected
+    * (orderCol, key, ts) rows against the store's max seen-time per
+    * candidate key — same zero-shuffle shape as the exact path, plus the
+    * per-row window compare. */
+  private def onBatchTtl(batch: DataFrame): Unit = {
+    batches += 1
+    val s = batch.sparkSession
+    val obs = new org.apache.spark.sql.Observation(s"gate_${name}_$batches")
+    val keyed = batch.drop("arrival_timestamp")
+      .observe(obs, count(lit(1)).as("rows"))
+      .withColumn("h", expr(keySql))
+      .persist()
+    try {
+      val rows: Array[(Any, Any, Long)] =
+        keyed.where(col("h").isNotNull && col(ttlColumn).isNotNull)
+          .select(col(orderCol), col("h"),
+            unix_micros(col(ttlColumn).cast("timestamp")))
+          .collect().map(r => (r.get(0), r.get(1), r.getLong(2)))
+      val batchKeys: Array[Any] = rows.map(_._2).distinct
+      // store lookup: max stored seen-time per bloom-positive candidate
+      // key — (h, micros) rows collected and maxed on the driver (bounded
+      // by the candidate slice; no shuffle)
+      val storeF = GateStore.storeFiles(storeDir)
+      val cand = batchKeys.filter(bloom.contains)
+      val storeMax = new java.util.HashMap[Any, java.lang.Long]()
+      if (storeF.nonEmpty && cand.nonEmpty) {
+        GateStore.withInPushdown(s, cand.length)(
+          s.read.parquet(GateStore.pruned(storeF, cand): _*)
+            .where(GateStore.inSetCol(col("h"), cand.toSeq))
+            .select(col("h"), unix_micros(col("ts")))
+            .collect()).foreach { r =>
+          if (!r.isNullAt(1)) {
+            val t = r.getLong(1)
+            val prev = storeMax.get(r.get(0))
+            if (prev == null || t > prev) storeMax.put(r.get(0), t)
+          }
+        }
+      }
+      // per-key pass in arrival (orderCol) order: an earlier arrival
+      // suppresses a later one iff its seen-time is inside the window;
+      // every arrival (suppressed or not) refreshes the running max
+      val byKey = new java.util.HashMap[Any, java.util.ArrayList[Integer]]()
+      var i = 0
+      while (i < rows.length) {
+        byKey.computeIfAbsent(rows(i)._2, _ => new java.util.ArrayList[Integer]())
+          .add(i)
+        i += 1
+      }
+      val suppressedIds = new java.util.HashSet[Any]()
+      byKey.forEach { (h, list) =>
+        val idxs = new Array[Integer](list.size)
+        list.toArray(idxs)
+        // arrival order within the batch = orderCol order (nulls first,
+        // matching the exact path's window-function heritage)
+        java.util.Arrays.sort(idxs, (a: Integer, b: Integer) => {
+          val (ia, ib) = (rows(a)._1, rows(b)._1)
+          if (ia == null && ib == null) 0
+          else if (ia == null) -1
+          else if (ib == null) 1
+          else ia.asInstanceOf[Comparable[Any]].compareTo(ib)
+        })
+        var prevMax = Option(storeMax.get(h)).map(_.longValue).getOrElse(Long.MinValue)
+        var k = 0
+        while (k < idxs.length) {
+          val r = rows(idxs(k))
+          val tsUs = r._3
+          if (r._1 != null && prevMax != Long.MinValue && prevMax > tsUs - ttlMicros)
+            suppressedIds.add(r._1)
+          if (tsUs > prevMax) prevMax = tsUs
+          k += 1
+        }
+      }
+      val total = obs.get("rows").asInstanceOf[Long]
+      val n = total - suppressedIds.size
+      admitted += n
+      suppressed += total - n
+      if (n > 0) {
+        // sink BEFORE store append (the family's at-least-once contract)
+        val survivors =
+          if (suppressedIds.isEmpty) keyed
+          else keyed.where(col(orderCol).isNull ||
+            !GateStore.inSetCol(col(orderCol), suppressedIds.toArray.toSeq))
+        eng.insertInto(sink, survivors)
+      }
+      // seen-refresh append: ONE (h, max ts) row per batch key — every
+      // arrival refreshes, suppressed or not
+      if (rows.nonEmpty) {
+        val maxByKey = new java.util.HashMap[Any, java.lang.Long]()
+        rows.foreach { r =>
+          val t = r._3
+          val prev = maxByKey.get(r._2)
+          if (prev == null || t > prev) maxByKey.put(r._2, t)
+          if (t > maxSeenTsMicros) maxSeenTsMicros = t
+        }
+        val hType = keyed.schema(keyed.schema.fieldIndex("h")).dataType
+        val out = new java.util.ArrayList[org.apache.spark.sql.Row](maxByKey.size)
+        maxByKey.forEach { (h, t) =>
+          out.add(org.apache.spark.sql.Row(h, microsToTs(t.longValue))); ()
+        }
+        GateStore.append(
+          s.createDataFrame(out, org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("h", hType),
+            org.apache.spark.sql.types.StructField("ts",
+              org.apache.spark.sql.types.TimestampType)))),
+          storeDir, "keys", batches, sortCol = Some("h"))
+      }
+      batchKeys.foreach(bloom.add)
+    } finally { keyed.unpersist(); () }
   }
 
   private def onBatchAtLeastOnce(batch: DataFrame): Unit = {
@@ -491,14 +653,19 @@ object StreamDedupGate {
       storeRoot: String,
       bloomP: Double = 0.01, bloomN: Int = 1 << 17,
       compactEvery: Int = 256,
-      delivery: String = AtLeastOnce): StreamDedupGate = {
+      delivery: String = AtLeastOnce,
+      ttlMillis: Long = 0L, ttlColumn: String = ""): StreamDedupGate = {
     val root = Paths.get(storeRoot, name)
     Files.createDirectories(root)
     GateStore.stampGeometry(root, "shards_1")
     val dir = root.resolve("seen_keys")
     Files.createDirectories(dir)
+    // the windowed store carries (h, ts), the plain one (h): a mode flip
+    // over an existing store is refused, not silently misread
+    GateStore.stampGeometry(dir,
+      if (ttlMillis > 0) "dedup_windowed" else "dedup")
     val gate = new StreamDedupGate(eng, name, keySql, orderCol, sink, dir,
-      bloomP, bloomN, compactEvery, delivery)
+      bloomP, bloomN, compactEvery, delivery, ttlMillis, ttlColumn)
     gate.bootstrap() // resume from a persisted store after an engine restart
     eng.createContTransform(name, selectSql,
       outputFunc = Some(gate.onBatch _), emitChanges = false)
@@ -521,7 +688,8 @@ object StreamDedupGate {
       shards: Int,
       bloomP: Double = 0.01, bloomN: Int = 1 << 17,
       compactEvery: Int = 256,
-      delivery: String = AtLeastOnce): ShardedDedupGate = {
+      delivery: String = AtLeastOnce,
+      ttlMillis: Long = 0L, ttlColumn: String = ""): ShardedDedupGate = {
     require(shards >= 2, s"use create() for an unsharded gate (shards=$shards)")
     val root = Paths.get(storeRoot, name)
     Files.createDirectories(root)
@@ -529,8 +697,10 @@ object StreamDedupGate {
     val cores = (0 until shards).map { k =>
       val dir = root.resolve(s"s${k}of$shards").resolve("seen_keys")
       Files.createDirectories(dir)
+      GateStore.stampGeometry(dir,
+        if (ttlMillis > 0) "dedup_windowed" else "dedup")
       val core = new StreamDedupGate(eng, name, keySql, orderCol, sink, dir,
-        bloomP, bloomN, compactEvery, delivery)
+        bloomP, bloomN, compactEvery, delivery, ttlMillis, ttlColumn)
       core.bootstrap()
       core
     }

@@ -114,6 +114,7 @@ class PlanShapeSpec extends AnyFunSuite {
     // per-batch joins run at ingest, not in this read plan).
     // q_neardup_stream adds the suppressed-copy anti-join (broadcast).
     "q_dedup_stream" -> 1, "q_dedup_stream_eo" -> 1, "q_gate_pipeline" -> 1,
+    "q_dedup_stream_ttl" -> 1,
     "q_neardup_stream" -> 2, "q_cosine_stream" -> 1,
     // q_jaccard_stream: same read shape as q_neardup_stream — the seeded
     // slice anti-joined against the admitted overlay + range sort.

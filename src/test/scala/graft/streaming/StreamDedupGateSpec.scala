@@ -229,6 +229,76 @@ class StreamDedupGateSpec extends AnyFunSuite {
       "a timestamp key admitted before the restart must stay suppressed after it")
   }
 
+  test("windowed (ttl) gate: re-admission after the window, seen-refresh, reaping, restart") {
+    val root = java.nio.file.Files.createTempDirectory("graft_gate_ttl").toString
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def at(min: Long) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    val schema = Seq((0L, "x", t0)).toDF("id", "k", "ts").schema
+    def build(i: Int): (ContViewEngine, StreamDedupGate) = {
+      val eng = new ContViewEngine(spark, root + s"/eng$i")
+      eng.createStream("w_in", schema)
+      eng.createStream("w_out", org.apache.spark.sql.types.StructType(
+        schema.fields :+ org.apache.spark.sql.types.StructField("h",
+          org.apache.spark.sql.types.StringType)))
+      val g = StreamDedupGate.create(eng, "w_gate", "SELECT id, k, ts FROM w_in",
+        keySql = "k", orderCol = "id", sink = "w_out",
+        storeRoot = root + "/gate",
+        ttlMillis = 3600L * 1000, ttlColumn = "ts") // 1-hour window
+      eng.createContView("v_w", "SELECT id FROM w_out", emitChanges = false)
+      (eng, g)
+    }
+    val (eng1, g1) = build(1)
+    def admittedW(eng: ContViewEngine): Set[Long] =
+      eng.overlay("v_w").collect().map(_.getLong(0)).toSet
+    // within-batch window: 2 sits 30 min after 1 → suppressed
+    eng1.insertInto("w_in", Seq((1L, "a", at(0)), (2L, "a", at(30))).toDF("id", "k", "ts"))
+    // a SUPPRESSED sighting still refreshes: 3 is 80 min after the first
+    // sighting but only 50 after the suppressed one → still suppressed
+    eng1.insertInto("w_in", Seq((3L, "a", at(80))).toDF("id", "k", "ts"))
+    // 70 min after the last sighting → the key re-admits
+    eng1.insertInto("w_in", Seq((4L, "a", at(150))).toDF("id", "k", "ts"))
+    eng1.insertInto("w_in", Seq((5L, "b", at(0)), (6L, "a", at(160))).toDF("id", "k", "ts"))
+    assert(admittedW(eng1) === Set(1L, 4L, 5L))
+    // reaping: the fold drops seen-times older than (max seen − ttl) —
+    // only a@150, a@160 survive the 100-minute cutoff
+    g1.compact()
+    assert(spark.read.parquet(s"$root/gate/w_gate/seen_keys").count() === 2L)
+    // restart: bootstrap restores the bloom AND the reaper watermark
+    val (eng2, _) = build(2)
+    eng2.insertInto("w_in",
+      Seq((7L, "a", at(200)), (8L, "a", at(210)), (9L, "b", at(170))).toDF("id", "k", "ts"))
+    // a: 200−160=40 ≤ 60 → suppressed; its sighting refreshes → 8 suppressed;
+    // b: last seen at 0, 170 min ago → re-admitted. (The fresh engine's CV
+    // accumulates post-restart batches only, so the view shows just 9.)
+    assert(admittedW(eng2) === Set(9L))
+  }
+
+  test("windowed gate DDL: ttl/ttl_column WITH options, replayed from the catalog") {
+    val root = java.nio.file.Files.createTempDirectory("graft_gate_ttld").toString
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def at(min: Long) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    val schema = Seq((0L, "x", t0)).toDF("id", "k", "ts").schema
+    def setup(): ContViewEngine = {
+      val eng = new ContViewEngine(spark, s"$root/eng")
+      eng.createStream("wd_in", schema)
+      eng.createStream("wd_out", org.apache.spark.sql.types.StructType(
+        schema.fields :+ org.apache.spark.sql.types.StructField("h",
+          org.apache.spark.sql.types.StringType)))
+      eng.sql("""CREATE VIEW wd_gate WITH (action = transform, sink = 'wd_out',
+                |  ttl = '1 hour', ttl_column = ts,
+                |  outputfunc = dedup_gate('k', 'id')) AS
+                |SELECT id, k, ts FROM wd_in""".stripMargin)
+      eng.createContView("v_wd", "SELECT id FROM wd_out", emitChanges = false)
+      eng
+    }
+    val eng1 = setup()
+    eng1.insertInto("wd_in", Seq((1L, "a", at(0)), (2L, "a", at(30))).toDF("id", "k", "ts"))
+    val eng2 = setup() // catalog replays the windowed gate
+    eng2.insertInto("wd_in", Seq((3L, "a", at(50)), (4L, "a", at(120))).toDF("id", "k", "ts"))
+    assert(eng2.overlay("v_wd").collect().map(_.getLong(0)).toSet === Set(1L, 4L),
+      "the replayed gate must keep the window semantics (3 within, 4 beyond)")
+  }
+
   test("bloom misses are admitted without reading the store; store is append-only") {
     val (eng, gate, root) = fixture()
     // 60 distinct keys across 3 batches + full repeat of batch 1
