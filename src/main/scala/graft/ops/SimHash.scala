@@ -65,26 +65,36 @@ object SimHash {
       extends UnaryExpression with CodegenFallback {
     override def prettyName: String = "simhash_block_keys"
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    // geometry hoisted out of the per-row path: the cache lookup (tuple
+    // alloc + CHM probe) is nanoseconds, but this eval runs per corpus row
+    // in the batch explode — instance-resident is free and strictly better
+    @transient private lazy val geo = geometry(blocks, maxDist)
     override def nullSafeEval(v: Any): Any =
       new org.apache.spark.sql.catalyst.util.GenericArrayData(
-        blockKeysOf(v.asInstanceOf[Long], blocks, maxDist)
-          .map(_.asInstanceOf[Any]))
+        blockKeysWith(geo, v.asInstanceOf[Long]).map(_.asInstanceOf[Any]))
     override protected def withNewChildInternal(c: Expression): SimHashBlockKeys =
       copy(child = c)
+  }
+
+  /** The block split's precomputed geometry: block bit offsets + the
+    * C(blocks, keep) combination index. */
+  private[graft] def geometry(blocks: Int, maxDist: Int): (Array[Int], Array[Array[Int]]) = {
+    val keep = blocks - maxDist // blocks per key
+    // block i covers bits [i*64/blocks, (i+1)*64/blocks)
+    comboCache.computeIfAbsent((blocks, keep),
+      _ => (Array.tabulate(blocks + 1)(i => i * 64 / blocks),
+        (0 until blocks).combinations(keep).map(_.toArray).toArray))
   }
 
   /** The block-permutation bucket keys of one fingerprint, evaluated
     * directly (the streaming gate derives a batch's keys on the driver
     * from collected fingerprints — same math as the expression, one
     * implementation). */
-  def blockKeysOf(fp: Long, blocks: Int, maxDist: Int): Array[Long] = {
-    val keep = blocks - maxDist // blocks per key
-    // block i covers bits [i*64/blocks, (i+1)*64/blocks); geometry cached —
-    // this runs per ROW on executor hot paths (the batch pipeline's
-    // explode) and per collected row on gate drivers
-    val (starts, combos) = comboCache.computeIfAbsent((blocks, keep),
-      _ => (Array.tabulate(blocks + 1)(i => i * 64 / blocks),
-        (0 until blocks).combinations(keep).map(_.toArray).toArray))
+  def blockKeysOf(fp: Long, blocks: Int, maxDist: Int): Array[Long] =
+    blockKeysWith(geometry(blocks, maxDist), fp)
+
+  private def blockKeysWith(geo: (Array[Int], Array[Array[Int]]), fp: Long): Array[Long] = {
+    val (starts, combos) = geo
     val out = new Array[Long](combos.length)
     var c = 0
     while (c < combos.length) {
