@@ -345,6 +345,7 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
       "graft_proc_stats" -> (() => procStats()),
       "graft_stream_stats" -> (() => streamStats()),
       "graft_stream_readers" -> (() => streamReaders()),
+      "graft_gate_stats" -> (() => gateStats()),
       "graft_db_stats" -> (() => dbStats()))
     monitors.foreach { case (nm, mk) =>
       // a user CV/CT/stream that happens to carry a monitoring name wins:
@@ -997,7 +998,7 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     *   neardup_gate('<textSql>', '<orderCol>'[, maxDist[, maxBucketSize[, shards]]])
     *   cosine_gate('<embSql>', '<orderCol>', <threshold>, <dim>[, maxBucketSize[, expectedStoreSize[, shards]]])
     *   jaccard_gate('<textSql>', '<orderCol>', <threshold>[, maxBucketSize[, shards]])
-    *   contamination_gate('<textSql>', '<orderCol>', '<refSelectSql>'[, n])
+    *   contamination_gate('<textSql>', '<orderCol>', '<refSelectSql>'[, n[, shards]])
     * A `shards` of G ≥ 2 key-space-partitions the gate into G concurrent
     * cores (ShardedDedupGate / ShardedNearDupGate) — identical admitted
     * set, horizontally-scaled decision loop.
@@ -1043,7 +1044,7 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     val jaccardRe =
       s"""(?i)jaccard_gate\\s*\\(\\s*$arg\\s*,\\s*$arg\\s*,\\s*([0-9.]+)\\s*(?:,\\s*(\\d+)\\s*(?:,\\s*(\\d+)\\s*)?)?\\)""".r
     val contaminationRe =
-      s"""(?i)contamination_gate\\s*\\(\\s*$arg\\s*,\\s*$arg\\s*,\\s*$arg\\s*(?:,\\s*(\\d+)\\s*)?\\)""".r
+      s"""(?i)contamination_gate\\s*\\(\\s*$arg\\s*,\\s*$arg\\s*,\\s*$arg\\s*(?:,\\s*(\\d+)\\s*(?:,\\s*(\\d+)\\s*)?)?\\)""".r
     // the gate's own createContTransform call must not write a second
     // catalog row — only the kind=gate entry replays (a plain transform
     // entry would re-create the transform WITHOUT its callback)
@@ -1104,7 +1105,8 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
             selectSql, unq(textSql), unq(orderCol), sink, storeRoot = root,
             threshold = threshold.toDouble, shards = shards.toInt,
             maxBucketSize = Option(cap).map(_.toInt).getOrElse(Int.MaxValue))
-        case contaminationRe(textSql, orderCol, refSql, n) =>
+        case contaminationRe(textSql, orderCol, refSql, n, shards)
+            if shardsOf(shards) <= 1 =>
           // the reference SELECT resolves against the SPARK session (temp
           // views / catalog tables) and must project the `text` column; at
           // catalog replay the hashed store already exists, so the query
@@ -1112,6 +1114,11 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
           graft.streaming.ContaminationGate.create(this, name, selectSql,
             unq(textSql), unq(orderCol), sink, storeRoot = root,
             reference = spark.sql(unq(refSql)),
+            n = Option(n).map(_.toInt).getOrElse(3))
+        case contaminationRe(textSql, orderCol, refSql, n, shards) =>
+          graft.streaming.ContaminationGate.createSharded(this, name,
+            selectSql, unq(textSql), unq(orderCol), sink, storeRoot = root,
+            reference = spark.sql(unq(refSql)), shards = shards.toInt,
             n = Option(n).map(_.toInt).getOrElse(3))
         case other => throw new IllegalArgumentException(
           s"unparseable gate outputfunc '$other' (expected dedup_gate('<key>','<order>'[,shards[,'<delivery>']]), " +
@@ -1672,6 +1679,48 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
   def stats(): DataFrame = {
     import spark.implicits._
     statsMap.values.toSeq.toDF()
+  }
+
+  /** One row per registered streaming gate: kind, shard count, and the
+    * session's (batches, admitted, suppressed) counters — the gate slice
+    * of the reference's stats-catalog surface (counters reset at restart:
+    * session telemetry, not dedup state). SQL-addressable as
+    * `graft_gate_stats`. */
+  def gateStats(): DataFrame = {
+    import spark.implicits._
+    import graft.streaming._
+    def kindOf(core: AnyRef): String = core match {
+      case _: StreamDedupGate => "dedup"
+      case _: SimHashNearDupGate => "simhash"
+      case _: CosineNearDupGate => "cosine"
+      case _: JaccardNearDupGate => "jaccard"
+      case _: ContaminationGate => "contamination"
+      case other => other.getClass.getSimpleName
+    }
+    synchronized {
+      gates.toSeq.sortBy(_._1).map { case (nm, g) =>
+        g match {
+          case sd: ShardedDedupGate =>
+            val (b, a, s) = sd.stats
+            GateStats(nm, "dedup", sd.shardCount, b, a, s)
+          case sn: ShardedNearDupGate =>
+            val (b, a, s) = sn.stats
+            GateStats(nm, kindOf(sn.firstCore), sn.shardCount, b, a, s)
+          case d: StreamDedupGate =>
+            val (b, a, s) = d.stats; GateStats(nm, "dedup", 1, b, a, s)
+          case h: SimHashNearDupGate =>
+            val (b, a, s) = h.stats; GateStats(nm, "simhash", 1, b, a, s)
+          case c: CosineNearDupGate =>
+            val (b, a, s) = c.stats; GateStats(nm, "cosine", 1, b, a, s)
+          case j: JaccardNearDupGate =>
+            val (b, a, s) = j.stats; GateStats(nm, "jaccard", 1, b, a, s)
+          case ct: ContaminationGate =>
+            val (b, a, s) = ct.stats; GateStats(nm, "contamination", 1, b, a, s)
+          case other =>
+            GateStats(nm, other.getClass.getSimpleName, 1, 0L, 0L, 0L)
+        }
+      }
+    }.toDF()
   }
 
   /** Per-process timing split (reference pipelinedb.proc_stats /
@@ -2372,6 +2421,8 @@ final case class ProcStats(
 
 /** Per-stream ingest counters (reference pipelinedb.stream_stats shape). */
 final case class StreamStats(stream: String, batches: Long, readers: Long)
+final case class GateStats(gate: String, kind: String, shards: Int,
+    batches: Long, admitted: Long, suppressed: Long)
 
 /** pipelinedb.views catalog row (sql:77-93 shape). */
 final case class CvCatalogRow(

@@ -483,9 +483,11 @@ object CvQueries {
         eng.sql("""CREATE VIEW pl_g2 WITH (action = transform, sink = 'pl_s2',
                   |  outputfunc = jaccard_gate('text', 'doc_id', 0.7)) AS
                   |SELECT doc_id, text FROM pl_s1""".stripMargin)
+        // stage 3 runs SHARDED (2 gram-hash-slice cores) so the sharded
+        // contamination path is oracle-gated through the pipeline too
         eng.sql("""CREATE VIEW pl_g3 WITH (action = transform, sink = 'pl_clean',
                   |  outputfunc = contamination_gate('text', 'doc_id',
-                  |                 'SELECT text FROM pl_ref')) AS
+                  |                 'SELECT text FROM pl_ref', 3, 2)) AS
                   |SELECT doc_id, text FROM pl_s2""".stripMargin)
         eng.createContView("v_pl", "SELECT doc_id FROM pl_clean",
           emitChanges = false)

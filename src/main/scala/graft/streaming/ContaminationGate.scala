@@ -55,7 +55,19 @@ final class ContaminationGate private (
     storeDir: Path,
     n: Int,
     bloomP: Double,
-    bloomN0: Int) {
+    bloomN0: Int,
+    shardId: Int = 0,
+    shardCount: Int = 1) extends ShardableGateCore {
+
+  require(shardCount >= 1 && shardId >= 0 && shardId < shardCount,
+    s"bad shard assignment $shardId/$shardCount")
+
+  /** Gram-hash-value ownership (the static-store gate has no banded key
+    * positions): core k owns hashes ≡ k (mod G) — its reference slice,
+    * bloom, and per-batch candidate work all shrink by G, and a
+    * contaminated doc is flagged by whichever core owns a shared gram. */
+  @inline private def owns(gh: Long): Boolean =
+    shardCount == 1 || java.lang.Math.floorMod(gh, shardCount.toLong) == shardId.toLong
 
   private var bloom = graft.sketch.BloomFilter.empty(bloomP, bloomN0)
   private var bloomN = bloomN0
@@ -80,9 +92,11 @@ final class ContaminationGate private (
   private[streaming] def seedReference(reference: DataFrame, refTextCol: String): Unit =
     synchronized {
       if (GateStore.files(storeDir).isEmpty) {
-        GateStore.append(
-          reference.select(explode(gramHashesCol(col(refTextCol))).as("gh"))
-            .distinct(),
+        val grams0 = reference
+          .select(explode(gramHashesCol(col(refTextCol))).as("gh"))
+        val grams = if (shardCount == 1) grams0
+          else grams0.where(pmod(col("gh"), lit(shardCount.toLong)) === lit(shardId.toLong))
+        GateStore.append(grams.distinct(),
           storeDir, "grams", 1L, sortCol = Some("gh"))
         // range-shard + stamp immediately: the store is read-only from here
         GateStore.compact(eng.spark, storeDir, "grams", Seq("gh"), 1L,
@@ -103,22 +117,51 @@ final class ContaminationGate private (
     }
   }
 
-  private[streaming] def onBatch(batch: DataFrame): Unit = synchronized {
-    batches += 1
-    val s = batch.sparkSession
-    val obs = new org.apache.spark.sql.Observation(s"ctgate_${name}_$batches")
-    val keyed = batch.drop("arrival_timestamp")
+  // ---- the batch lifecycle (ShardableGateCore; the unsharded gate is
+  // the same composition at G=1, and the static store means the commit
+  // hooks are no-ops — nothing is ever appended) ---------------------------
+
+  private[streaming] final class BatchCtx(
+      private[streaming] val keyed: DataFrame,
+      private[streaming] val sup: java.util.HashSet[Any])
+
+  private[streaming] def prepareBatch(batch: DataFrame,
+      obs: Option[org.apache.spark.sql.Observation]): DataFrame = {
+    val base = batch.drop("arrival_timestamp")
       .withColumn("__gh", gramHashesCol(expr(textSql)))
-      .observe(obs, count(lit(1)).as("rows"))
-      .persist()
-    try {
-      // one bounded collect: (orderCol, distinct gram hashes) per doc —
-      // rows with a null order id cannot be targeted by the suppression
-      // filter and always pass, so they generate no candidate work
-      val rows: Array[(Any, Array[Long])] =
-        keyed.where(size(col("__gh")) > 0 && col(orderCol).isNotNull)
-          .select(col(orderCol), col("__gh"))
-          .collect().map(r => (r.get(0), r.getSeq[Long](1).toArray))
+    obs.fold(base)(o => base.observe(o, count(lit(1)).as("rows"))).persist()
+  }
+
+  private[streaming] def collectBatchRows(keyed: DataFrame): AnyRef =
+    // one bounded collect: (orderCol, distinct gram hashes) per doc —
+    // rows with a null order id cannot be targeted by the suppression
+    // filter and always pass, so they generate no candidate work
+    keyed.where(size(col("__gh")) > 0 && col(orderCol).isNotNull)
+      .select(col(orderCol), col("__gh"))
+      .collect().map(r => (r.get(0), r.getSeq[Long](1).toArray))
+
+  private[streaming] def suppressedOf(ctx: AnyRef): java.util.HashSet[Any] =
+    ctx.asInstanceOf[BatchCtx].sup
+
+  private[streaming] def survivorsOf(keyed: DataFrame,
+      sup: java.util.HashSet[Any]): DataFrame =
+    (if (sup.isEmpty) keyed
+     else keyed.where(col(orderCol).isNull ||
+       !GateStore.inSetCol(col(orderCol), sup.toArray.toSeq)))
+      .drop("__gh")
+
+  private[streaming] def commitPayloadBatch(ctx: AnyRef): Unit = ()
+  private[streaming] def commitIndexBatch(ctx: AnyRef): Unit = ()
+  private[streaming] def maybeCompact(): Unit = ()
+  private[streaming] def compactNow(): Unit = ()
+  // the reference store is fixed at creation — nothing to seed per batch
+  private[graft] def seedStore(rows: DataFrame): Unit = ()
+
+  private[streaming] def decideBatch(keyed: DataFrame, rows0: AnyRef): AnyRef =
+    synchronized {
+      batches += 1
+      val s = keyed.sparkSession
+      val rows = rows0.asInstanceOf[Array[(Any, Array[Long])]]
       val storeF = GateStore.storeFiles(storeDir)
       // candidate map: bloom-positive hash -> doc row indices
       val candByHash =
@@ -127,7 +170,7 @@ final class ContaminationGate private (
         var i = 0
         while (i < rows.length) {
           rows(i)._2.foreach { gh =>
-            if (bloom.contains(gh))
+            if (owns(gh) && bloom.contains(gh))
               candByHash.computeIfAbsent(gh, _ => new java.util.ArrayList[Integer]()).add(i)
           }
           i += 1
@@ -183,18 +226,21 @@ final class ContaminationGate private (
           }
         }
       }
+      new BatchCtx(keyed, suppressedSet)
+    }
+
+  private[streaming] def onBatch(batch: DataFrame): Unit = synchronized {
+    val obs = new org.apache.spark.sql.Observation(
+      s"ctgate_${name}_${batches + 1}")
+    val keyed = prepareBatch(batch, Some(obs))
+    try {
+      val rows = collectBatchRows(keyed)
+      val ctx = decideBatch(keyed, rows).asInstanceOf[BatchCtx]
       val total = obs.get("rows").asInstanceOf[Long]
-      val nOut = total - suppressedSet.size
+      val nOut = total - ctx.sup.size
       admitted += nOut
       suppressed += total - nOut
-      if (nOut > 0) {
-        val survivors =
-          (if (suppressedSet.isEmpty) keyed
-           else keyed.where(col(orderCol).isNull ||
-             !GateStore.inSetCol(col(orderCol), suppressedSet.toArray.toSeq)))
-            .drop("__gh")
-        eng.insertInto(sink, survivors)
-      }
+      if (nOut > 0) eng.insertInto(sink, survivorsOf(keyed, ctx.sup))
     } finally keyed.unpersist()
   }
 }
@@ -214,7 +260,10 @@ object ContaminationGate {
       reference: DataFrame, refTextCol: String = "text", n: Int = 3,
       bloomP: Double = 0.01, bloomN: Int = 1 << 20): ContaminationGate = {
     require(n >= 1, s"gram size must be >= 1, got $n")
-    val dir = Paths.get(storeRoot, name, "ref_grams")
+    val root = Paths.get(storeRoot, name)
+    Files.createDirectories(root)
+    GateStore.stampGeometry(root, "shards_1")
+    val dir = root.resolve("ref_grams")
     Files.createDirectories(dir)
     val gate = new ContaminationGate(eng, name, textSql, orderCol, sink,
       dir, n, bloomP, bloomN)
@@ -223,6 +272,38 @@ object ContaminationGate {
     eng.createContTransform(name, selectSql,
       outputFunc = Some(gate.onBatch _), emitChanges = false)
     // a catalog-replayed transform is bare (no callback) — re-attach
+    eng.rebindTransformOutput(name, gate.onBatch _)
+    gate
+  }
+
+  /** The G-core horizontally-sharded form of [[create]] (see
+    * [[ShardedNearDupGate]]): core k owns gram hashes ≡ k (mod `shards`)
+    * — its reference slice, bloom, and candidate work shrink by G, and a
+    * contaminated doc is flagged by whichever core owns a shared gram.
+    * Admitted set identical to the unsharded gate's; reopening under a
+    * different G is refused. */
+  def createSharded(eng: ContViewEngine, name: String, selectSql: String,
+      textSql: String, orderCol: String, sink: String, storeRoot: String,
+      reference: DataFrame, shards: Int, refTextCol: String = "text",
+      n: Int = 3,
+      bloomP: Double = 0.01, bloomN: Int = 1 << 20): ShardedNearDupGate = {
+    require(shards >= 2, s"use create() for an unsharded gate (shards=$shards)")
+    require(n >= 1, s"gram size must be >= 1, got $n")
+    val root = Paths.get(storeRoot, name)
+    Files.createDirectories(root)
+    GateStore.stampGeometry(root, s"shards_$shards")
+    val cores = (0 until shards).map { k =>
+      val dir = root.resolve(s"s${k}of$shards").resolve("ref_grams")
+      Files.createDirectories(dir)
+      val core = new ContaminationGate(eng, name, textSql, orderCol, sink,
+        dir, n, bloomP, bloomN, k, shards)
+      core.seedReference(reference, refTextCol)
+      core.bootstrap()
+      core
+    }
+    val gate = new ShardedNearDupGate(eng, name, sink, cores)
+    eng.createContTransform(name, selectSql,
+      outputFunc = Some(gate.onBatch _), emitChanges = false)
     eng.rebindTransformOutput(name, gate.onBatch _)
     gate
   }

@@ -96,6 +96,9 @@ final class ShardedNearDupGate private[streaming] (
   /** (batches, admitted survivors, suppressed duplicates) so far. */
   def stats: (Long, Long, Long) = synchronized((batches, admitted, suppressed))
 
+  def shardCount: Int = cores.size
+  private[graft] def firstCore: ShardableGateCore = cores.head
+
   private def inPool[T](fs: Seq[() => T]): Seq[T] = {
     val futs = fs.map(f => pool.submit(
       new java.util.concurrent.Callable[T] { def call(): T = f() }))
@@ -193,6 +196,8 @@ final class ShardedDedupGate private[streaming] (
     val per = cores.map(_.stats)
     (batchesN, per.map(_._2).sum, per.map(_._3).sum)
   }
+
+  def shardCount: Int = cores.size
 
   private def shardCol = pmod(xxhash64(expr(keySql)), lit(cores.size))
 

@@ -25,6 +25,25 @@ class GateDdlSpec extends AnyFunSuite {
 
   import spark.implicits._
 
+  test("graft_gate_stats: one SQL-addressable row per gate, counters live") {
+    val root = java.nio.file.Files.createTempDirectory("graft_gstats").toString
+    val eng = new ContViewEngine(spark, root)
+    eng.sql("CREATE STREAM gs_in (id int8, body text)")
+    eng.sql("CREATE STREAM gs_clean (id int8, body text, h text)")
+    eng.sql("""CREATE VIEW gs_gate WITH (action = transform, sink = 'gs_clean',
+               |  outputfunc = dedup_gate('md5(body)', 'id', 2)) AS
+               |SELECT id, body FROM gs_in""".stripMargin)
+    eng.sql("INSERT INTO gs_in (id, body) VALUES (1, 'aa'), (2, 'bb'), (3, 'aa')")
+    val row = eng.sql(
+      "SELECT kind, shards, batches, admitted, suppressed " +
+        "FROM graft_gate_stats WHERE gate = 'gs_gate'").collect()(0)
+    assert(row.getString(0) === "dedup")
+    assert(row.getInt(1) === 2)
+    assert(row.getLong(2) === 1L, "one wrapper batch")
+    assert(row.getLong(3) === 2L && row.getLong(4) === 1L,
+      "admitted/suppressed counters aggregate the shard cores")
+  }
+
   test("dedup gate declared in DDL replays with its store at restart") {
     val root = java.nio.file.Files.createTempDirectory("graft_gddl").toString
     val eng1 = new ContViewEngine(spark, root)
