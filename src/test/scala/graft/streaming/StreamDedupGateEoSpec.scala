@@ -121,6 +121,26 @@ class StreamDedupGateEoSpec extends AnyFunSuite {
     assert(counts(eng) === Map(1L -> 1L))
   }
 
+  test("DDL spelling: sharded + exactly_once compose (dedup_gate('k','id',2,'exactly_once'))") {
+    val root = java.nio.file.Files.createTempDirectory("graft_eo6").toString
+    val eng = new ContViewEngine(spark, s"$root/eng")
+    eng.createStream("se_in", schema)
+    eng.createStream("se_out", org.apache.spark.sql.types.StructType(
+      schema.fields :+ org.apache.spark.sql.types.StructField("h",
+        org.apache.spark.sql.types.StringType)))
+    eng.createContView("v_se", "SELECT id, count(*) AS c FROM se_out GROUP BY id",
+      emitChanges = false)
+    eng.sql("""CREATE VIEW se_gate WITH (action = transform, sink = 'se_out',
+              |  outputfunc = dedup_gate('md5(body)', 'id', 2, 'exactly_once')) AS
+              |SELECT id, body FROM se_in""".stripMargin)
+    assert(eng.gateOf("se_gate").exists(_.isInstanceOf[ShardedDedupGate]))
+    eng.insertInto("se_in", b((1L, "aa"), (2L, "bb"), (3L, "aa")))
+    eng.insertInto("se_in", b((4L, "bb"), (5L, "cc")))
+    assert(eng.overlay("v_se").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+      === Map(1L -> 1L, 2L -> 1L, 5L -> 1L))
+  }
+
   test("DDL spelling: dedup_gate(..., 'exactly_once') + catalog replay keep suppressing") {
     val root = java.nio.file.Files.createTempDirectory("graft_eo5").toString
     def setup(): ContViewEngine = {
