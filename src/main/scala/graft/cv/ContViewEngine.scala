@@ -991,14 +991,17 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     * the gate's bootstrap then re-derives its bloom/CMS filters from the
     * persisted store, so suppression resumes exactly. Specs:
     *   dedup_gate('<keySql>', '<orderCol>'[, shards[, '<delivery>']])
-    * `delivery` ∈ {at_least_once (default), exactly_once} — the
-    * exactly-once form commits each batch's survivor set via an atomic
-    * spool rename and recovers interrupted epochs at restart (see
-    * StreamDedupGate's delivery contract).
-    *   neardup_gate('<textSql>', '<orderCol>'[, maxDist[, maxBucketSize[, shards]]])
-    *   cosine_gate('<embSql>', '<orderCol>', <threshold>, <dim>[, maxBucketSize[, expectedStoreSize[, shards]]])
-    *   jaccard_gate('<textSql>', '<orderCol>', <threshold>[, maxBucketSize[, shards]])
-    *   contamination_gate('<textSql>', '<orderCol>', '<refSelectSql>'[, n[, shards]])
+    *   neardup_gate('<textSql>', '<orderCol>'[, maxDist[, maxBucketSize[, shards[, '<delivery>']]]])
+    *   cosine_gate('<embSql>', '<orderCol>', <threshold>, <dim>[, maxBucketSize[, expectedStoreSize[, shards[, '<delivery>']]]])
+    *   jaccard_gate('<textSql>', '<orderCol>', <threshold>[, maxBucketSize[, shards[, '<delivery>']]])
+    *   contamination_gate('<textSql>', '<orderCol>', '<refSelectSql>'[, n[, shards[, '<delivery>']]])
+    * `delivery` ∈ {at_least_once (default), exactly_once} on EVERY gate
+    * kind (microbatch.h:33-56 parity — `sync_commit` applies to every CQ):
+    * the exactly-once form commits each batch via an atomic spool rename
+    * and recovers interrupted epochs at restart — the exact gate spools
+    * its survivor set (StreamDedupGate), the near-dup/contamination gates
+    * the full flagged batch (GateEpochs; seen-based stores need every
+    * arrival back).
     * A `shards` of G ≥ 2 key-space-partitions the gate into G concurrent
     * cores (ShardedDedupGate / ShardedNearDupGate) — identical admitted
     * set, horizontally-scaled decision loop.
@@ -1038,13 +1041,13 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     val dedupRe =
       s"""(?i)dedup_gate\\s*\\(\\s*$arg\\s*,\\s*$arg\\s*(?:,\\s*(\\d+)\\s*(?:,\\s*$arg\\s*)?)?\\)""".r
     val neardupRe =
-      s"""(?i)neardup_gate\\s*\\(\\s*$arg\\s*,\\s*$arg\\s*(?:,\\s*(\\d+)\\s*(?:,\\s*(\\d+)\\s*(?:,\\s*(\\d+)\\s*)?)?)?\\)""".r
+      s"""(?i)neardup_gate\\s*\\(\\s*$arg\\s*,\\s*$arg\\s*(?:,\\s*(\\d+)\\s*(?:,\\s*(\\d+)\\s*(?:,\\s*(\\d+)\\s*(?:,\\s*$arg\\s*)?)?)?)?\\)""".r
     val cosineRe =
-      s"""(?i)cosine_gate\\s*\\(\\s*$arg\\s*,\\s*$arg\\s*,\\s*([0-9.]+)\\s*,\\s*(\\d+)\\s*(?:,\\s*(\\d+)\\s*(?:,\\s*(\\d+)\\s*(?:,\\s*(\\d+)\\s*)?)?)?\\)""".r
+      s"""(?i)cosine_gate\\s*\\(\\s*$arg\\s*,\\s*$arg\\s*,\\s*([0-9.]+)\\s*,\\s*(\\d+)\\s*(?:,\\s*(\\d+)\\s*(?:,\\s*(\\d+)\\s*(?:,\\s*(\\d+)\\s*(?:,\\s*$arg\\s*)?)?)?)?\\)""".r
     val jaccardRe =
-      s"""(?i)jaccard_gate\\s*\\(\\s*$arg\\s*,\\s*$arg\\s*,\\s*([0-9.]+)\\s*(?:,\\s*(\\d+)\\s*(?:,\\s*(\\d+)\\s*)?)?\\)""".r
+      s"""(?i)jaccard_gate\\s*\\(\\s*$arg\\s*,\\s*$arg\\s*,\\s*([0-9.]+)\\s*(?:,\\s*(\\d+)\\s*(?:,\\s*(\\d+)\\s*(?:,\\s*$arg\\s*)?)?)?\\)""".r
     val contaminationRe =
-      s"""(?i)contamination_gate\\s*\\(\\s*$arg\\s*,\\s*$arg\\s*,\\s*$arg\\s*(?:,\\s*(\\d+)\\s*(?:,\\s*(\\d+)\\s*)?)?\\)""".r
+      s"""(?i)contamination_gate\\s*\\(\\s*$arg\\s*,\\s*$arg\\s*,\\s*$arg\\s*(?:,\\s*(\\d+)\\s*(?:,\\s*(\\d+)\\s*(?:,\\s*$arg\\s*)?)?)?\\)""".r
     // the gate's own createContTransform call must not write a second
     // catalog row — only the kind=gate entry replays (a plain transform
     // entry would re-create the transform WITHOUT its callback)
@@ -1066,46 +1069,58 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
             delivery = Option(dv).map(unq)
               .getOrElse(graft.streaming.StreamDedupGate.AtLeastOnce),
             ttlMillis = ttlMillis, ttlColumn = ttlColumn.getOrElse(""))
-        case neardupRe(textSql, orderCol, maxDist, cap, shards)
+        case neardupRe(textSql, orderCol, maxDist, cap, shards, dv)
             if shardsOf(shards) <= 1 =>
           graft.streaming.SimHashNearDupGate.create(this, name, selectSql,
             unq(textSql), unq(orderCol), sink, storeRoot = root,
             maxDist = Option(maxDist).map(_.toInt).getOrElse(3),
-            maxBucketSize = Option(cap).map(_.toInt).getOrElse(Int.MaxValue))
-        case neardupRe(textSql, orderCol, maxDist, cap, shards) =>
+            maxBucketSize = Option(cap).map(_.toInt).getOrElse(Int.MaxValue),
+            delivery = Option(dv).map(unq)
+              .getOrElse(graft.streaming.StreamDedupGate.AtLeastOnce))
+        case neardupRe(textSql, orderCol, maxDist, cap, shards, dv) =>
           graft.streaming.SimHashNearDupGate.createSharded(this, name,
             selectSql, unq(textSql), unq(orderCol), sink, storeRoot = root,
             shards = shards.toInt,
             maxDist = Option(maxDist).map(_.toInt).getOrElse(3),
-            maxBucketSize = Option(cap).map(_.toInt).getOrElse(Int.MaxValue))
-        case cosineRe(embSql, orderCol, threshold, dim, cap, expected, shards)
+            maxBucketSize = Option(cap).map(_.toInt).getOrElse(Int.MaxValue),
+            delivery = Option(dv).map(unq)
+              .getOrElse(graft.streaming.StreamDedupGate.AtLeastOnce))
+        case cosineRe(embSql, orderCol, threshold, dim, cap, expected, shards, dv)
             if shardsOf(shards) <= 1 =>
           graft.streaming.CosineNearDupGate.create(this, name, selectSql,
             unq(embSql), unq(orderCol), sink, storeRoot = root,
             threshold = threshold.toDouble, dim = dim.toInt,
             maxBucketSize = Option(cap).map(_.toInt).getOrElse(Int.MaxValue),
             expectedStoreSize =
-              Option(expected).map(_.toLong).getOrElse(1L << 20))
-        case cosineRe(embSql, orderCol, threshold, dim, cap, expected, shards) =>
+              Option(expected).map(_.toLong).getOrElse(1L << 20),
+            delivery = Option(dv).map(unq)
+              .getOrElse(graft.streaming.StreamDedupGate.AtLeastOnce))
+        case cosineRe(embSql, orderCol, threshold, dim, cap, expected, shards, dv) =>
           graft.streaming.CosineNearDupGate.createSharded(this, name,
             selectSql, unq(embSql), unq(orderCol), sink, storeRoot = root,
             threshold = threshold.toDouble, dim = dim.toInt,
             shards = shards.toInt,
             maxBucketSize = Option(cap).map(_.toInt).getOrElse(Int.MaxValue),
             expectedStoreSize =
-              Option(expected).map(_.toLong).getOrElse(1L << 20))
-        case jaccardRe(textSql, orderCol, threshold, cap, shards)
+              Option(expected).map(_.toLong).getOrElse(1L << 20),
+            delivery = Option(dv).map(unq)
+              .getOrElse(graft.streaming.StreamDedupGate.AtLeastOnce))
+        case jaccardRe(textSql, orderCol, threshold, cap, shards, dv)
             if shardsOf(shards) <= 1 =>
           graft.streaming.JaccardNearDupGate.create(this, name, selectSql,
             unq(textSql), unq(orderCol), sink, storeRoot = root,
             threshold = threshold.toDouble,
-            maxBucketSize = Option(cap).map(_.toInt).getOrElse(Int.MaxValue))
-        case jaccardRe(textSql, orderCol, threshold, cap, shards) =>
+            maxBucketSize = Option(cap).map(_.toInt).getOrElse(Int.MaxValue),
+            delivery = Option(dv).map(unq)
+              .getOrElse(graft.streaming.StreamDedupGate.AtLeastOnce))
+        case jaccardRe(textSql, orderCol, threshold, cap, shards, dv) =>
           graft.streaming.JaccardNearDupGate.createSharded(this, name,
             selectSql, unq(textSql), unq(orderCol), sink, storeRoot = root,
             threshold = threshold.toDouble, shards = shards.toInt,
-            maxBucketSize = Option(cap).map(_.toInt).getOrElse(Int.MaxValue))
-        case contaminationRe(textSql, orderCol, refSql, n, shards)
+            maxBucketSize = Option(cap).map(_.toInt).getOrElse(Int.MaxValue),
+            delivery = Option(dv).map(unq)
+              .getOrElse(graft.streaming.StreamDedupGate.AtLeastOnce))
+        case contaminationRe(textSql, orderCol, refSql, n, shards, dv)
             if shardsOf(shards) <= 1 =>
           // the reference SELECT resolves against the SPARK session (temp
           // views / catalog tables) and must project the `text` column; at
@@ -1114,18 +1129,22 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
           graft.streaming.ContaminationGate.create(this, name, selectSql,
             unq(textSql), unq(orderCol), sink, storeRoot = root,
             reference = spark.sql(unq(refSql)),
-            n = Option(n).map(_.toInt).getOrElse(3))
-        case contaminationRe(textSql, orderCol, refSql, n, shards) =>
+            n = Option(n).map(_.toInt).getOrElse(3),
+            delivery = Option(dv).map(unq)
+              .getOrElse(graft.streaming.StreamDedupGate.AtLeastOnce))
+        case contaminationRe(textSql, orderCol, refSql, n, shards, dv) =>
           graft.streaming.ContaminationGate.createSharded(this, name,
             selectSql, unq(textSql), unq(orderCol), sink, storeRoot = root,
             reference = spark.sql(unq(refSql)), shards = shards.toInt,
-            n = Option(n).map(_.toInt).getOrElse(3))
+            n = Option(n).map(_.toInt).getOrElse(3),
+            delivery = Option(dv).map(unq)
+              .getOrElse(graft.streaming.StreamDedupGate.AtLeastOnce))
         case other => throw new IllegalArgumentException(
           s"unparseable gate outputfunc '$other' (expected dedup_gate('<key>','<order>'[,shards[,'<delivery>']]), " +
-            "neardup_gate('<text>','<order>'[,maxDist[,maxBucketSize[,shards]]]), " +
-            "cosine_gate('<emb>','<order>',<threshold>,<dim>[,maxBucketSize[,expectedStoreSize[,shards]]]) or " +
-            "jaccard_gate('<text>','<order>',<threshold>[,maxBucketSize[,shards]]) or " +
-            "contamination_gate('<text>','<order>','<refSelectSql>'[,n]); " +
+            "neardup_gate('<text>','<order>'[,maxDist[,maxBucketSize[,shards[,'<delivery>']]]]), " +
+            "cosine_gate('<emb>','<order>',<threshold>,<dim>[,maxBucketSize[,expectedStoreSize[,shards[,'<delivery>']]]]) or " +
+            "jaccard_gate('<text>','<order>',<threshold>[,maxBucketSize[,shards[,'<delivery>']]]) or " +
+            "contamination_gate('<text>','<order>','<refSelectSql>'[,n[,shards[,'<delivery>']]]); " +
             "escape a literal quote inside a string argument by doubling it: '')")
       } finally suppressCatalog = prevSuppress
     gates(name) = gate

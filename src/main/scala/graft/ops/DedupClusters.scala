@@ -40,6 +40,12 @@ object DedupClusters {
     * in one job's worth of time. Above the bound the distributed loop runs
     * unchanged; the spec asserts both regimes agree on the same graph.
     */
+  /** Telemetry from the last [[connectedComponents]] call in this JVM:
+    * (regime taken — "driver" | "distributed", distributed rounds to
+    * convergence; 0 under the driver regime). The bench's 10× batch probe
+    * reads it to assert which regime ran and report the round count. */
+  @volatile private[graft] var lastClosure: (String, Int) = ("", 0)
+
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxRounds: Int = 25, maxDriverEdges: Long = 200000L): DataFrame = {
     // The convergence witness (sum of labels — monotone decreasing) rides
@@ -62,8 +68,10 @@ object DedupClusters {
       .distinct().localCheckpoint(true)
     // count() on the materialized checkpoint is metadata-cheap; the gate
     // keeps the collect() strictly bounded
-    if (edges.count() <= maxDriverEdges)
+    if (edges.count() <= maxDriverEdges) {
+      lastClosure = ("driver", 0)
       return driverUnionFind(pairs.sparkSession, edges)
+    }
     var (labels, prevSum) = checkpointWithSum(
       edges.select(col("src").as("id")).distinct()
         .select(col("id"), col("id").as("comp")), "cc_init")
@@ -88,6 +96,7 @@ object DedupClusters {
       rounds += 1
     }
     edges.unpersist()
+    lastClosure = ("distributed", rounds)
     labels
   }
 

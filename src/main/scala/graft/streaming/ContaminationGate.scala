@@ -57,10 +57,54 @@ final class ContaminationGate private (
     bloomP: Double,
     bloomN0: Int,
     shardId: Int = 0,
-    shardCount: Int = 1) extends ShardableGateCore {
+    shardCount: Int = 1,
+    delivery: String = StreamDedupGate.AtLeastOnce) extends ShardableGateCore {
 
   require(shardCount >= 1 && shardId >= 0 && shardId < shardCount,
     s"bad shard assignment $shardId/$shardCount")
+  require(delivery == StreamDedupGate.AtLeastOnce ||
+    delivery == StreamDedupGate.ExactlyOnce,
+    s"unknown delivery mode '$delivery'")
+
+  private val exactlyOnce = delivery == StreamDedupGate.ExactlyOnce
+  /** The epoch-spool protocol (exactly-once mode; see [[GateEpochs]]).
+    * The reference store is static — recovery rebuilds no store — but the
+    * spool+marker still dedups the DELIVERY of an interrupted epoch, and
+    * because the gate's decisions are stateless, an upstream crash-retry
+    * needs one more piece the stateful gates get from their seen-stores:
+    * a RETRY-DEDUP WINDOW. The gate retains the last
+    * [[ContaminationGate.RetryWindowEpochs]] epochs' row-id sets (orderCol
+    * is contractually unique per stream, so ids ARE identities; driver
+    * memory, bounded) and suppresses re-fed ids — [[commitRecovered]]
+    * re-remembers a pending epoch's ids from its spool at recovery, so
+    * the window survives a crash. Re-feeds older than the window (or of
+    * epochs fully delivered before a restart, whose spools are gone) are
+    * at-least-once — the static gate's analogue of the exact gate's
+    * null-key caveat, documented not hidden. */
+  private[graft] lazy val epochs = new GateEpochs(eng, name, sink,
+    storeDir.getParent.resolve("spool"), Seq(this), dropCols = Seq("__gh"))
+
+  private val recentEpochIds = new java.util.ArrayDeque[java.util.HashSet[Any]]()
+  private def rememberEpoch(ids: java.util.HashSet[Any]): Unit = {
+    recentEpochIds.addLast(ids)
+    while (recentEpochIds.size > ContaminationGate.RetryWindowEpochs) {
+      recentEpochIds.removeFirst(); ()
+    }
+  }
+  private def seenRecently(id: Any): Boolean = {
+    val it = recentEpochIds.iterator
+    while (it.hasNext) if (it.next().contains(id)) return true
+    false
+  }
+
+  private[streaming] override def commitRecovered(spooled: DataFrame,
+      epoch: Long): Unit = synchronized {
+    if (batches < epoch) batches = epoch
+    val ids = new java.util.HashSet[Any]()
+    spooled.select(orderCol).collect()
+      .foreach(r => if (!r.isNullAt(0)) { ids.add(r.get(0)); () })
+    rememberEpoch(ids)
+  }
 
   /** Gram-hash-value ownership (the static-store gate has no banded key
     * positions): core k owns hashes ≡ k (mod G) — its reference slice,
@@ -115,6 +159,10 @@ final class ContaminationGate private (
         eng.spark.read.parquet(files: _*).count(), bloomN)
       bloom = GateStore.buildBloom(eng.spark, storeDir, "gh", bloomP, bloomN)
     }
+    // epoch-counter floor (exactly-once): pending spools deliver at the
+    // next batch head; new epochs must not reuse their numbers
+    if (exactlyOnce && shardCount == 1)
+      batches = math.max(batches, epochs.maxEpoch())
   }
 
   // ---- the batch lifecycle (ShardableGateCore; the unsharded gate is
@@ -149,6 +197,11 @@ final class ContaminationGate private (
      else keyed.where(col(orderCol).isNull ||
        !GateStore.inSetCol(col(orderCol), sup.toArray.toSeq)))
       .drop("__gh")
+
+  private[streaming] def admittedCol(sup: java.util.HashSet[Any]): Column =
+    if (sup.isEmpty) lit(true)
+    else col(orderCol).isNull ||
+      !GateStore.inSetCol(col(orderCol), sup.toArray.toSeq)
 
   private[streaming] def commitPayloadBatch(ctx: AnyRef): Unit = ()
   private[streaming] def commitIndexBatch(ctx: AnyRef): Unit = ()
@@ -230,6 +283,7 @@ final class ContaminationGate private (
     }
 
   private[streaming] def onBatch(batch: DataFrame): Unit = synchronized {
+    if (exactlyOnce) epochs.recoverPending()
     val obs = new org.apache.spark.sql.Observation(
       s"ctgate_${name}_${batches + 1}")
     val keyed = prepareBatch(batch, Some(obs))
@@ -240,12 +294,39 @@ final class ContaminationGate private (
       val nOut = total - ctx.sup.size
       admitted += nOut
       suppressed += total - nOut
-      if (nOut > 0) eng.insertInto(sink, survivorsOf(keyed, ctx.sup))
+      if (exactlyOnce) {
+        // retry-dedup window: suppress re-fed ids from recent epochs (the
+        // stateless decisions would otherwise re-admit them), then
+        // remember EVERY row id of this epoch — including gram-less
+        // pass-through rows, hence the dedicated id collect
+        val allIds: Array[Any] = keyed.where(col(orderCol).isNotNull)
+          .select(col(orderCol)).collect().map(_.get(0))
+        var extra = 0
+        allIds.foreach { id =>
+          if (seenRecently(id) && ctx.sup.add(id)) extra += 1
+        }
+        admitted -= extra
+        suppressed += extra
+        val epoch = batches // decideBatch advanced it to this batch
+        epochs.failpoint("before-spool")
+        epochs.spool(epoch, keyed, admittedCol(ctx.sup))
+        val ids = new java.util.HashSet[Any]()
+        allIds.foreach(id => { ids.add(id); () })
+        rememberEpoch(ids)
+        epochs.failpoint("after-spool")
+        epochs.deliverAndMark(epoch)
+      } else if (nOut > 0) eng.insertInto(sink, survivorsOf(keyed, ctx.sup))
     } finally keyed.unpersist()
   }
 }
 
 object ContaminationGate {
+
+  /** Exactly-once retry-dedup window (epochs of row-id sets retained on
+    * the driver — see the class scaladoc): 8 epochs comfortably covers an
+    * upstream's immediate crash-retry while bounding memory at 8 batches'
+    * worth of ids. */
+  val RetryWindowEpochs: Int = 8
 
   /** Register a decontamination gate on `eng`: a continuous transform
     * reading `selectSql` (must project `orderCol`, unique per stream;
@@ -258,7 +339,8 @@ object ContaminationGate {
   def create(eng: ContViewEngine, name: String, selectSql: String,
       textSql: String, orderCol: String, sink: String, storeRoot: String,
       reference: DataFrame, refTextCol: String = "text", n: Int = 3,
-      bloomP: Double = 0.01, bloomN: Int = 1 << 20): ContaminationGate = {
+      bloomP: Double = 0.01, bloomN: Int = 1 << 20,
+      delivery: String = StreamDedupGate.AtLeastOnce): ContaminationGate = {
     require(n >= 1, s"gram size must be >= 1, got $n")
     val root = Paths.get(storeRoot, name)
     Files.createDirectories(root)
@@ -266,7 +348,7 @@ object ContaminationGate {
     val dir = root.resolve("ref_grams")
     Files.createDirectories(dir)
     val gate = new ContaminationGate(eng, name, textSql, orderCol, sink,
-      dir, n, bloomP, bloomN)
+      dir, n, bloomP, bloomN, delivery = delivery)
     gate.seedReference(reference, refTextCol)
     gate.bootstrap()
     eng.createContTransform(name, selectSql,
@@ -286,7 +368,8 @@ object ContaminationGate {
       textSql: String, orderCol: String, sink: String, storeRoot: String,
       reference: DataFrame, shards: Int, refTextCol: String = "text",
       n: Int = 3,
-      bloomP: Double = 0.01, bloomN: Int = 1 << 20): ShardedNearDupGate = {
+      bloomP: Double = 0.01, bloomN: Int = 1 << 20,
+      delivery: String = StreamDedupGate.AtLeastOnce): ShardedNearDupGate = {
     require(shards >= 2, s"use create() for an unsharded gate (shards=$shards)")
     require(n >= 1, s"gram size must be >= 1, got $n")
     val root = Paths.get(storeRoot, name)
@@ -301,7 +384,8 @@ object ContaminationGate {
       core.bootstrap()
       core
     }
-    val gate = new ShardedNearDupGate(eng, name, sink, cores)
+    val gate = new ShardedNearDupGate(eng, name, sink, cores,
+      spoolRoot = Some(root), delivery = delivery)
     eng.createContTransform(name, selectSql,
       outputFunc = Some(gate.onBatch _), emitChanges = false)
     eng.rebindTransformOutput(name, gate.onBatch _)

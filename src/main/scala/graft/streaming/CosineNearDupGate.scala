@@ -64,10 +64,11 @@ final class CosineNearDupGate private (
     maxBucketSize: Int,
     compactEvery: Int,
     shardId: Int,
-    shardCount: Int)
+    shardCount: Int,
+    delivery: String)
   extends IndexedNearDupGate[Array[Double]](eng, name, orderCol, sink,
     embDir, idxDir, "embs", "v", bloomP, bloomN0, maxBucketSize, compactEvery,
-    shardId, shardCount) {
+    shardId, shardCount, delivery) {
 
   override protected def obsPrefix: String = "cosgate"
 
@@ -114,6 +115,27 @@ final class CosineNearDupGate private (
   override protected def externalPayloadOf(p: Array[Double]): Any = p.toSeq
   override protected def externalPayloadType: org.apache.spark.sql.types.DataType =
     org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)
+
+  // resident pool at the class's FLOAT precision — the in-memory verify
+  // round-trips double→float→double exactly like the disk fetch, so both
+  // tiers decide identically
+  override protected def residentPayloadOf(p: Array[Double]): AnyRef = {
+    val f = new Array[Float](p.length)
+    var i = 0
+    while (i < p.length) { f(i) = p(i).toFloat; i += 1 }
+    f
+  }
+  override protected def residentPayloadOfRow(r: Row): AnyRef =
+    r.getSeq[Float](1).toArray
+  override protected def payloadOfResident(a: AnyRef): Array[Double] = {
+    val f = a.asInstanceOf[Array[Float]]
+    val d = new Array[Double](f.length)
+    var i = 0
+    while (i < f.length) { d(i) = f(i).toDouble; i += 1 }
+    d
+  }
+  override protected def residentPayloadBytes(a: AnyRef): Int =
+    a.asInstanceOf[Array[Float]].length * 4 + 16
 
   // distributed form of [[similar]]: same exact-cosine expression the batch
   // operators use; the isnan guard matters because Spark ORDERS NaN above
@@ -203,7 +225,8 @@ object CosineNearDupGate {
       expectedStoreSize: Long = 1L << 20, recallTarget: Double = 0.95,
       bloomP: Double = 0.01, bloomN: Int = 1 << 20,
       maxBucketSize: Int = Int.MaxValue,
-      compactEvery: Int = 256): CosineNearDupGate = {
+      compactEvery: Int = 256,
+      delivery: String = StreamDedupGate.AtLeastOnce): CosineNearDupGate = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"cosine gate threshold must be in (0, 1], got $threshold")
     val (autoT, autoB) =
@@ -231,7 +254,7 @@ object CosineNearDupGate {
       s"cosine_d${dim}_t${autoT}_b${autoB}_s${seed}_sk64")
     val gate = new CosineNearDupGate(eng, name, embSql, orderCol, sink,
       embDir, idxDir, threshold, dim, autoT, autoB, seed,
-      bloomP, bloomN, maxBucketSize, compactEvery, 0, 1)
+      bloomP, bloomN, maxBucketSize, compactEvery, 0, 1, delivery)
     gate.bootstrap()
     eng.createContTransform(name, selectSql,
       outputFunc = Some(gate.onBatch _), emitChanges = false)
@@ -254,7 +277,8 @@ object CosineNearDupGate {
       expectedStoreSize: Long = 1L << 20, recallTarget: Double = 0.95,
       bloomP: Double = 0.01, bloomN: Int = 1 << 20,
       maxBucketSize: Int = Int.MaxValue,
-      compactEvery: Int = 256): ShardedNearDupGate = {
+      compactEvery: Int = 256,
+      delivery: String = StreamDedupGate.AtLeastOnce): ShardedNearDupGate = {
     require(shards >= 2, s"use create() for an unsharded gate (shards=$shards)")
     require(threshold > 0.0 && threshold <= 1.0,
       s"cosine gate threshold must be in (0, 1], got $threshold")
@@ -277,11 +301,13 @@ object CosineNearDupGate {
         s"cosine_d${dim}_t${autoT}_b${autoB}_s${seed}_sk64")
       val core = new CosineNearDupGate(eng, name, embSql, orderCol, sink,
         embDir, idxDir, threshold, dim, autoT, autoB, seed,
-        bloomP, bloomN, maxBucketSize, compactEvery, k, shards)
+        bloomP, bloomN, maxBucketSize, compactEvery, k, shards,
+        graft.streaming.StreamDedupGate.AtLeastOnce)
       core.bootstrap()
       core
     }
-    val gate = new ShardedNearDupGate(eng, name, sink, cores)
+    val gate = new ShardedNearDupGate(eng, name, sink, cores,
+      spoolRoot = Some(root), delivery = delivery)
     eng.createContTransform(name, selectSql,
       outputFunc = Some(gate.onBatch _), emitChanges = false)
     eng.rebindTransformOutput(name, gate.onBatch _)

@@ -252,6 +252,115 @@ private[streaming] object GateStore {
     }
   }
 
+  /** Write driver-held rows as ONE parquet file `<prefix>_<batch>.parquet`
+    * DIRECTLY through parquet-mr — no Spark job at all. The per-batch gate
+    * appends are LocalRelation writes of rows the driver already holds;
+    * routing them through a Spark write pays a whole job's fixed latency
+    * (~250 ms in local mode) per store per batch, which became the
+    * dominant per-batch term once the resident tier removed the store
+    * reads (PERF_NOTES §16) — and multiplied by G under core sharding
+    * (G index slices = G jobs). This path writes the same bytes in
+    * single-digit milliseconds: rows sorted by `sortCol` on the driver,
+    * snappy pages with column stats (so the range-stamped compaction and
+    * the in-set pushdown reads behave identically), temp-write + atomic
+    * rename like [[append]].
+    *
+    * Supports the gate stores' PRIMITIVE column types (long/int/string/
+    * double/timestamp/date — index stores and exact-gate key stores);
+    * returns false on any other schema (array payloads) and the caller
+    * falls back to the Spark write. */
+  def appendLocal(rows: java.util.List[org.apache.spark.sql.Row],
+      schema: org.apache.spark.sql.types.StructType, dir: Path,
+      prefix: String, batch: Long, sortCol: Option[String] = None): Boolean = {
+    import org.apache.spark.sql.types._
+    import org.apache.parquet.schema.{LogicalTypeAnnotation => L, Types => PT,
+      PrimitiveType, MessageType}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    def fieldOf(f: StructField): Option[org.apache.parquet.schema.Type] = {
+      val b: Option[PT.PrimitiveBuilder[PrimitiveType]] = f.dataType match {
+        case LongType => Some(PT.optional(INT64))
+        case IntegerType => Some(PT.optional(INT32)
+          .as(L.intType(32, true)))
+        case StringType => Some(PT.optional(BINARY).as(L.stringType()))
+        case DoubleType => Some(PT.optional(DOUBLE))
+        case FloatType => Some(PT.optional(FLOAT))
+        case BooleanType => Some(PT.optional(BOOLEAN))
+        case TimestampType => Some(PT.optional(INT64)
+          .as(L.timestampType(true, L.TimeUnit.MICROS)))
+        case DateType => Some(PT.optional(INT32).as(L.dateType()))
+        case _ => None
+      }
+      b.map(_.named(f.name))
+    }
+    val fields = schema.fields.map(fieldOf)
+    if (fields.exists(_.isEmpty)) return false
+    val msg = new MessageType("spark_schema", fields.map(_.get): _*)
+    // driver-side sort so row groups carry tight key stats (what the Spark
+    // path's sortWithinPartitions provided)
+    sortCol.foreach { c =>
+      val idx = schema.fieldIndex(c)
+      rows.sort { (a: org.apache.spark.sql.Row, b: org.apache.spark.sql.Row) =>
+        val (x, y) = (a.get(idx), b.get(idx))
+        if (x == null && y == null) 0
+        else if (x == null) -1
+        else if (y == null) 1
+        else x.asInstanceOf[Comparable[Any]].compareTo(y)
+      }
+    }
+    val tmp = Files.createTempFile(dir, s".tmp_$prefix", ".inprogress")
+    Files.delete(tmp) // parquet-mr refuses to overwrite; keep only the name
+    try {
+      val conf = new org.apache.hadoop.conf.Configuration(false)
+      conf.setClassLoader(getClass.getClassLoader)
+      org.apache.parquet.hadoop.example.GroupWriteSupport.setSchema(msg, conf)
+      val w = org.apache.parquet.hadoop.example.ExampleParquetWriter
+        .builder(new org.apache.hadoop.fs.Path(tmp.toUri))
+        .withConf(conf)
+        .withCompressionCodec(
+          org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+        .withPageSize(PageBytes)
+        .build()
+      try {
+        val factory =
+          new org.apache.parquet.example.data.simple.SimpleGroupFactory(msg)
+        val it = rows.iterator()
+        while (it.hasNext) {
+          val r = it.next()
+          val g = factory.newGroup()
+          var i = 0
+          while (i < schema.length) {
+            if (!r.isNullAt(i)) schema.fields(i).dataType match {
+              case LongType => g.add(i, r.getLong(i))
+              case IntegerType => g.add(i, r.getInt(i))
+              case StringType => g.add(i, r.getString(i))
+              case DoubleType => g.add(i, r.getDouble(i))
+              case FloatType => g.add(i, r.getFloat(i))
+              case BooleanType => g.add(i, r.getBoolean(i))
+              case TimestampType => g.add(i,
+                org.apache.spark.sql.catalyst.util.DateTimeUtils
+                  .instantToMicros(r.get(i) match {
+                    case t: java.sql.Timestamp => t.toInstant
+                    case t: java.time.Instant => t
+                  }))
+              case DateType => g.add(i, r.get(i) match {
+                case d: java.sql.Date =>
+                  org.apache.spark.sql.catalyst.util.DateTimeUtils
+                    .fromJavaDate(d)
+                case d: java.time.LocalDate => d.toEpochDay.toInt
+              })
+              case other => throw new IllegalStateException(s"$other")
+            }
+            i += 1
+          }
+          w.write(g)
+        }
+      } finally w.close()
+      Files.move(tmp, dir.resolve(f"${prefix}%s_$batch%05d.parquet"),
+        StandardCopyOption.ATOMIC_MOVE)
+      true
+    } finally { Files.deleteIfExists(tmp); () }
+  }
+
   /** Compacted GENERATIONS beyond this trigger a MAJOR fold (all files);
     * below it, compaction is TIERED — only the per-batch append files fold
     * into a new generation of range shards, so steady-state compaction

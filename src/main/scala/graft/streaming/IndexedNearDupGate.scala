@@ -28,6 +28,17 @@ import graft.sketch.BloomFilter
   * ONLY the candidate payloads (id in-set + file-range prune) and verify
   * with the exact similarity; forward survivors through a narrow in-set
   * filter; append both stores from what the driver already holds.
+  *
+  * A RESIDENT hot tier ([[ResidentIndex]] + [[ResidentPayloads]],
+  * PERF_NOTES §16) sits above both store reads: the per-core index slice
+  * and (on the payload-writing core) the id→payload pool, kept in exact
+  * sync by the commit hooks, rebuilt from the stores at bootstrap, and
+  * byte-budget-bounded. Within budget, phase 1 is in-memory lookups and
+  * phase 2 in-memory exact verification — zero store reads per batch and
+  * per-batch cost flat in corpus size; on overflow the tier deactivates
+  * loudly and the disk paths below run unchanged (the documented
+  * fallback regime: O(store) per batch once candidate keys span every
+  * range shard).
   * Suppression is "seen"-based and single-shot recomputable; `orderCol`
   * must be unique per stream (shared gate contract).
   *
@@ -54,10 +65,52 @@ private[streaming] abstract class IndexedNearDupGate[P](
     maxBucketSize: Int,
     compactEvery: Int,
     shardId: Int = 0,
-    shardCount: Int = 1) extends ShardableGateCore {
+    shardCount: Int = 1,
+    delivery: String = StreamDedupGate.AtLeastOnce,
+    ttlMillis: Long = 0L,
+    ttlColumn: String = "") extends ShardableGateCore {
 
   require(shardCount >= 1 && shardId >= 0 && shardId < shardCount,
     s"bad shard assignment $shardId/$shardCount")
+  require(delivery == StreamDedupGate.AtLeastOnce ||
+    delivery == StreamDedupGate.ExactlyOnce,
+    s"unknown delivery mode '$delivery'")
+  require(ttlMillis >= 0, s"negative ttl $ttlMillis")
+  require(ttlMillis == 0 || ttlColumn.nonEmpty,
+    "a windowed gate needs the event-time column: pass ttlColumn")
+
+  /** WINDOWED (TTL) MODE — `ttlMillis` > 0 (the near-dup form of
+    * [[StreamDedupGate]]'s windowed contract, reaper.c:49-352 semantics):
+    * an earlier arrival suppresses a later similar one only when its
+    * event time (`ttlColumn`, micros) lies inside the trailing window —
+    * suppressed(d) ⇔ ∃ earlier similar d' with d'.ts > d.ts − ttl. Every
+    * arrival is stored with its ts (seen-based as ever, so re-crawled
+    * content refreshes its own suppressor window), compaction REAPS index
+    * and payload rows older than (max seen ts − ttl) — the store, and
+    * with it the resident tier, is bounded by the WINDOW instead of the
+    * stream's lifetime — and the resident reap mirrors the disk reap at
+    * the same fold. Rows with a NULL event time pass through un-stored
+    * (an incomparable time can't window). Same watermark caveat as the
+    * exact gate: an event arriving more than ttl behind the max seen
+    * time may find its suppressor already reaped. Composes with
+    * exactly-once delivery (the full-batch spool carries the ts column,
+    * so recovery re-derives the windowed appends too). */
+  private val ttlEnabled = ttlMillis > 0
+  private val ttlMicros = ttlMillis * 1000L
+  private var maxSeenTsMicros = Long.MinValue
+
+  @inline private def microsToTs(m: Long): java.sql.Timestamp = {
+    val sec = Math.floorDiv(m, 1000000L)
+    val t = new java.sql.Timestamp(sec * 1000L)
+    t.setNanos((m - sec * 1000000L).toInt * 1000)
+    t
+  }
+
+  private val exactlyOnce = delivery == StreamDedupGate.ExactlyOnce
+  /** The epoch-spool protocol (exactly-once mode; see [[GateEpochs]]) —
+    * the unsharded composition; sharded gates run the wrapper's. */
+  private[graft] lazy val epochs = new GateEpochs(eng, name, sink,
+    payloadDir.getParent.resolve("spool"), Seq(this), dropCols = Seq("__p"))
 
   /** The payload column (nullable → row passes through unstored) computed
     * over the transform's projected columns, named `__p`. */
@@ -92,6 +145,19 @@ private[streaming] abstract class IndexedNearDupGate[P](
   protected def storedPayloadType: org.apache.spark.sql.types.DataType
   /** Observation-name prefix (metric labels). */
   protected def obsPrefix: String
+
+  // ---- resident hot tier (see ResidentIndex scaladoc) --------------------
+
+  /** Compact resident form of a payload (stored precision — verification
+    * through the pool must agree with the disk round-trip). */
+  protected def residentPayloadOf(p: P): AnyRef
+  /** Decode a payload-store ROW (position 1 = the raw stored column) to
+    * the resident form — the pool-rebuild read. */
+  protected def residentPayloadOfRow(r: Row): AnyRef
+  /** Back to the comparison form [[similar]] runs on. */
+  protected def payloadOfResident(a: AnyRef): P
+  /** Approximate heap bytes of one resident payload (budget accounting). */
+  protected def residentPayloadBytes(a: AnyRef): Int
 
   /** Optional per-row index SKETCH: a compact (64-bit) similarity digest
     * stored inline in the (bucket, id) index and compared BEFORE any
@@ -130,6 +196,85 @@ private[streaming] abstract class IndexedNearDupGate[P](
   private var batches = 0L
   private var admitted = 0L
   private var suppressed = 0L
+
+  // Resident hot tier: the per-core index slice (ord → residentIds pool)
+  // and, on the payload-writing core, the shared payload pool. The parquet
+  // stores stay the durable truth; these are budget-bounded caches kept in
+  // exact sync by the commit hooks (and rebuilt from disk after the bulk
+  // seeding path marks them stale). resident.active=false ⇒ the original
+  // disk paths run unchanged.
+  private val resident =
+    new ResidentIndex(hasOrd = true, ResidentIndex.budgetBytes / shardCount)
+  private val residentIds = new scala.collection.mutable.ArrayBuffer[Any]()
+  // per-ord event time (micros) — windowed mode only; aligned with residentIds
+  private val residentTs = new scala.collection.mutable.ArrayBuffer[Long]()
+  private val payloadPool: ResidentPayloads =
+    if (writesPayload) new ResidentPayloads(ResidentIndex.budgetBytes) else null
+  private var residentStale = false
+
+  /** Bulk (non-driver) store writes invalidate the resident tier; the next
+    * decide (or bootstrap) rebuilds it from disk inside the gate's lock. */
+  private def rebuildResident(): Unit = {
+    residentStale = false
+    if (resident.active) {
+      resident.reset()
+      residentIds.clear()
+      val files = GateStore.files(idxDir)
+      if (files.nonEmpty) {
+        val df = coreSession.read.parquet(files: _*)
+        val n = df.count()
+        if (n * 24 > ResidentIndex.budgetBytes / shardCount) {
+          System.err.println(s"[graft] ${getClass.getSimpleName}($name): " +
+            s"index slice at $n entries exceeds the resident budget — " +
+            "running on the disk path (raise GRAFT_GATE_RESIDENT_MB, " +
+            "shard the gate, or window it with a ttl)")
+          resident.deactivate()
+        } else {
+          val ordOf = new java.util.HashMap[Any, Integer]()
+          residentTs.clear()
+          val cols = Seq(col("bucket"), col("id")) ++
+            (if (sketchColOf.isEmpty) Nil else Seq(col("sk"))) ++
+            (if (ttlEnabled) Seq(unix_micros(col("ts"))) else Nil)
+          val tsPos = cols.length - 1
+          val it = df.select(cols: _*).toLocalIterator()
+          while (it.hasNext && resident.active) {
+            val r = it.next()
+            val id = r.get(1)
+            var ord = ordOf.get(id)
+            if (ord == null) {
+              ord = Integer.valueOf(residentIds.length)
+              residentIds += id
+              if (ttlEnabled) residentTs += r.getLong(tsPos)
+              ordOf.put(id, ord)
+              resident.addExtraBytes(48)
+            }
+            resident.add(r.getLong(0),
+              if (sketchColOf.isEmpty) 0L else r.getLong(2), ord.intValue)
+            ()
+          }
+          resident.mergeDelta()
+        }
+      }
+    }
+    if (payloadPool != null && payloadPool.active) {
+      payloadPool.reset()
+      val files = GateStore.files(payloadDir)
+      if (files.nonEmpty) {
+        val it = coreSession.read.parquet(files: _*)
+          .select(col("id"), col(payloadColName)).toLocalIterator()
+        while (it.hasNext && payloadPool.active) {
+          val r = it.next()
+          if (!r.isNullAt(0)) {
+            val p = residentPayloadOfRow(r)
+            payloadPool.put(r.get(0), p, residentPayloadBytes(p))
+          }
+        }
+      }
+    }
+  }
+
+  @inline private def ensureResident(): Unit =
+    if (residentStale) traced("resident-rebuild")(rebuildResident())
 
   /** (batches, admitted survivors, suppressed near-duplicates) so far
     * (sharded cores don't count — their wrapper does). */
@@ -187,6 +332,13 @@ private[streaming] abstract class IndexedNearDupGate[P](
     }
     batches = math.max(GateStore.maxBatch(idxDir, "keys"),
       if (writesPayload) GateStore.maxBatch(payloadDir, payloadPrefix) else 0L)
+    rebuildResident() // restart resumes the hot tier from the stores
+    if (exactlyOnce && shardCount == 1) {
+      // store half only — sink delivery at the next batch head (the DDL
+      // replay path holds the engine's registration lock here)
+      epochs.recoverStores()
+      batches = math.max(batches, epochs.maxEpoch())
+    }
   }
 
   /** Append pre-keyed rows straight into the seen-stores (bloom/CMS
@@ -200,6 +352,7 @@ private[streaming] abstract class IndexedNearDupGate[P](
       appendStores(keyed)
       updateFilters(keyed.select(explode(ownedKeysCol(col("__p"))).as("bucket"))
         .collect().map(_.getLong(0)))
+      residentStale = true // bulk write bypassed the hot tier — rebuild lazily
     } finally { keyed.unpersist(); () }
   }
 
@@ -208,16 +361,27 @@ private[streaming] abstract class IndexedNearDupGate[P](
     // with no index entry, which the batch's retry re-appends (duplicates
     // are tolerated downstream of every store read). Null order ids are
     // never stored — see decideBatch.
-    val keyed = keyed0.where(col(orderCol).isNotNull)
+    val keyed1 = keyed0.where(col(orderCol).isNotNull)
+    val keyed = if (!ttlEnabled) keyed1
+      else keyed1.where(col(ttlColumn).isNotNull)
+    val tsCols: Seq[Column] =
+      if (ttlEnabled) Seq(col(ttlColumn).cast("timestamp").as("ts")) else Nil
     if (writesPayload) GateStore.append(
-      keyed.select(col(orderCol).as("id"), storedPayloadCol.as(payloadColName)),
+      keyed.select(Seq(col(orderCol).as("id"),
+        storedPayloadCol.as(payloadColName)) ++ tsCols: _*),
       payloadDir, payloadPrefix, batches, sortCol = Some("id"))
     val idxCols = Seq(explode(ownedKeysCol(col("__p"))).as("bucket"),
       col(orderCol).as("id")) ++
-      sketchColOf.map(f => f(col("__p")).as("sk"))
+      sketchColOf.map(f => f(col("__p")).as("sk")) ++ tsCols
     GateStore.append(
       keyed.select(idxCols: _*),
       idxDir, "keys", batches, sortCol = Some("bucket"))
+    if (ttlEnabled) {
+      val r = keyed.agg(max(unix_micros(col(ttlColumn).cast("timestamp"))))
+        .collect()(0)
+      if (!r.isNullAt(0) && r.getLong(0) > maxSeenTsMicros)
+        maxSeenTsMicros = r.getLong(0)
+    }
   }
 
   /** Driver-side filter update — see SimHashNearDupGate.updateFilters. */
@@ -256,7 +420,9 @@ private[streaming] abstract class IndexedNearDupGate[P](
       private[streaming] val rowKeys: Array[Array[Long]],
       private[streaming] val rowSks: Array[Long],
       private[streaming] val sup: java.util.HashSet[Any],
-      private[streaming] val pairs: java.util.HashMap[Any, java.util.HashSet[Integer]])
+      private[streaming] val pairs: java.util.HashMap[Any, java.util.HashSet[Integer]],
+      private[streaming] val rowTs: Array[Long] = null,
+      private[streaming] val storeTs: java.util.HashMap[Any, java.lang.Long] = null)
 
   private[streaming] def prepareBatch(batch: DataFrame,
       obs: Option[org.apache.spark.sql.Observation]): DataFrame = {
@@ -271,7 +437,8 @@ private[streaming] abstract class IndexedNearDupGate[P](
   private[streaming] final class CollectedRows(
       private[streaming] val rows: Array[(Any, P)],
       private[streaming] val fullKeys: Array[Array[Long]],
-      private[streaming] val sks: Array[Long])
+      private[streaming] val sks: Array[Long],
+      private[streaming] val tss: Array[Long]) // micros; null when unwindowed
 
   private[streaming] def collectBatchRows(keyed: DataFrame): AnyRef =
     traced("collect") {
@@ -280,11 +447,19 @@ private[streaming] abstract class IndexedNearDupGate[P](
       // a stored null id could not be fetched back by the candidate-id
       // pushdown — excluding them keeps every code path consistent
       // (orderCol is contractually unique and non-null anyway)
-      val rows = keyed.where(col("__p").isNotNull && col(orderCol).isNotNull)
-        .select(col(orderCol), col("__p"))
-        .collect().map(r => (r.get(0), payloadOf(r)))
+      // windowed mode also drops null-event-time rows (they pass through
+      // un-stored — an incomparable time can't window) and collects micros
+      val base = keyed.where(col("__p").isNotNull && col(orderCol).isNotNull)
+      val filtered = if (!ttlEnabled) base
+        else base.where(col(ttlColumn).isNotNull)
+      val cols = Seq(col(orderCol), col("__p")) ++
+        (if (ttlEnabled)
+          Seq(unix_micros(col(ttlColumn).cast("timestamp"))) else Nil)
+      val collected = filtered.select(cols: _*).collect()
+      val rows = collected.map(r => (r.get(0), payloadOf(r)))
       new CollectedRows(rows, rows.map(r => keysOf(r._2)),
-        if (sketchColOf.isEmpty) null else rows.map(r => sketchOf(r._2)))
+        if (sketchColOf.isEmpty) null else rows.map(r => sketchOf(r._2)),
+        if (!ttlEnabled) null else collected.map(_.getLong(2)))
     }
 
   private[streaming] def suppressedOf(ctx: AnyRef): java.util.HashSet[Any] =
@@ -297,9 +472,38 @@ private[streaming] abstract class IndexedNearDupGate[P](
        !GateStore.inSetCol(col(orderCol), sup.toArray.toSeq)))
       .drop("__p")
 
+  private[streaming] def admittedCol(sup: java.util.HashSet[Any]): Column =
+    if (sup.isEmpty) lit(true)
+    else col(orderCol).isNull ||
+      !GateStore.inSetCol(col(orderCol), sup.toArray.toSeq)
+
+  private[streaming] override def storeMaxBatch: Long =
+    math.max(GateStore.maxBatch(idxDir, "keys"),
+      if (writesPayload) GateStore.maxBatch(payloadDir, payloadPrefix) else 0L)
+
+  private[streaming] override def commitRecovered(spooled: DataFrame,
+      epoch: Long): Unit = synchronized {
+    val needPay = writesPayload &&
+      GateStore.maxBatch(payloadDir, payloadPrefix) < epoch
+    val needIdx = GateStore.maxBatch(idxDir, "keys") < epoch
+    if (batches < epoch) batches = epoch
+    if (needPay || needIdx) {
+      // the spool carries __p — re-derive keys/sketches with the same
+      // driver math as a live batch and replay the commit hooks
+      val collected = collectBatchRows(spooled).asInstanceOf[CollectedRows]
+      val ctx = new BatchCtx(spooled, collected.rows,
+        collected.fullKeys.map(sliceOwned), collected.sks,
+        new java.util.HashSet[Any](),
+        new java.util.HashMap[Any, java.util.HashSet[Integer]]())
+      if (needPay) commitPayloadBatch(ctx)
+      if (needIdx) commitIndexBatch(ctx)
+    }
+  }
+
   private[streaming] def decideBatch(keyed: DataFrame, rows0: AnyRef): AnyRef =
     synchronized { traced("decide") {
       batches += 1
+      ensureResident()
       val s = coreSession
       val collected = rows0.asInstanceOf[CollectedRows]
       val rows = collected.rows
@@ -347,6 +551,40 @@ private[streaming] abstract class IndexedNearDupGate[P](
           }
         }
       }
+      val pairs = new java.util.HashMap[Any, java.util.HashSet[Integer]]()
+      if (resident.active) {
+        // hot tier: the whole phase-1 candidate generation is in-memory
+        // lookups — O(batch keys · log store), zero store reads; the
+        // sketch prefilter applies in place
+        traced("phase1-resident") {
+          var i = 0
+          while (i < rows.length) {
+            val ri = i
+            rowKeys(ri).foreach { b =>
+              if (!overCapSet.contains(b))
+                resident.foreachMatch(b) { (sk, ord) =>
+                  if (rowSks == null || sketchAdmissible(rowSks(ri), sk)) {
+                    pairs.computeIfAbsent(residentIds(ord),
+                      _ => new java.util.HashSet[Integer]()).add(ri)
+                    ()
+                  }
+                }
+            }
+            i += 1
+          }
+        }
+      } else diskPhase1(s, keyed, rows, rowKeys, rowSks, overCapSet, pairs)
+      new BatchCtx(keyed, rows, rowKeys, rowSks, suppressedSet, pairs)
+    } }
+
+  /** Phase 1 against the on-disk index (the resident tier inactive):
+    * bloom gate → file-range prune → in-set-filtered read, driver or
+    * distributed by slice bytes. */
+  private def diskPhase1(s: org.apache.spark.sql.SparkSession,
+      keyed: DataFrame, rows: Array[(Any, P)],
+      rowKeys: Array[Array[Long]], rowSks: Array[Long],
+      overCapSet: java.util.HashSet[java.lang.Long],
+      pairs: java.util.HashMap[Any, java.util.HashSet[Integer]]): Unit = {
       val idxF = GateStore.storeFiles(idxDir)
       // candidate map: bloom-positive under-cap bucket -> batch row indices
       val candByBucket =
@@ -374,7 +612,6 @@ private[streaming] abstract class IndexedNearDupGate[P](
         if (hitKeys.isEmpty) Array.empty[String]
         else if (keyPush) GateStore.pruned(idxF, hitKeys)
         else idxF.map(_.path)
-      val pairs = new java.util.HashMap[Any, java.util.HashSet[Integer]]()
       if (idxPaths.nonEmpty) {
         // phase 1: candidate (batch row, store id) pairs from the pruned
         // (bucket, id) index — the payload bytes stay unread. Driver path
@@ -453,8 +690,7 @@ private[streaming] abstract class IndexedNearDupGate[P](
             }
         }
       }
-      new BatchCtx(keyed, rows, rowKeys, rowSks, suppressedSet, pairs)
-    } }
+  }
 
   /** Phase 2, run ONCE over the union of every core's candidate pairs:
     * fetch ONLY the candidate payloads from the SHARED (id, payload)
@@ -478,6 +714,25 @@ private[streaming] abstract class IndexedNearDupGate[P](
       }
     }
     if (pairs.isEmpty) return out
+    // hot tier first: candidates whose payload is pooled verify in memory
+    // (stored-precision round trip identical to the disk fetch); only the
+    // remainder — none, while the pool is active and in sync — pays a read
+    if (payloadPool != null && payloadPool.active) {
+      val it = pairs.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val pr = payloadPool.get(e.getKey)
+        if (pr != null) {
+          val pS = payloadOfResident(pr)
+          e.getValue.forEach { i =>
+            if (rows(i)._1 != null && similar(rows(i)._2, pS)) out.add(rows(i)._1)
+            ()
+          }
+          it.remove()
+        }
+      }
+      if (pairs.isEmpty) return out
+    }
     val s = coreSession
     val payF = GateStore.storeFiles(payloadDir)
     val idArr = pairs.keySet().toArray
@@ -570,6 +825,13 @@ private[streaming] abstract class IndexedNearDupGate[P](
               org.apache.spark.sql.types.StructField(payloadColName,
                 storedPayloadType)))),
           payloadDir, payloadPrefix, batches, sortCol = Some("id"))
+        // hot-tier mirror (skip when stale: the pending rebuild re-reads
+        // the store, which now includes this append)
+        if (payloadPool != null && payloadPool.active && !residentStale)
+          ctx.rows.foreach { r =>
+            val p = residentPayloadOf(r._2)
+            payloadPool.put(r._1, p, residentPayloadBytes(p))
+          }
       }
     } }
 
@@ -598,10 +860,30 @@ private[streaming] abstract class IndexedNearDupGate[P](
           (if (ctx.rowSks == null) Nil
            else Seq(org.apache.spark.sql.types.StructField("sk",
              org.apache.spark.sql.types.LongType, nullable = false)))
-        if (!idx.isEmpty) GateStore.append(
-          coreSession.createDataFrame(idx,
-            org.apache.spark.sql.types.StructType(idxFields)),
-          idxDir, "keys", batches, sortCol = Some("bucket"))
+        if (!idx.isEmpty) {
+          val schema = org.apache.spark.sql.types.StructType(idxFields)
+          // driver-direct parquet write — no Spark job (see appendLocal);
+          // exotic id types fall back to the LocalRelation write
+          if (!GateStore.appendLocal(idx, schema, idxDir, "keys", batches,
+              sortCol = Some("bucket")))
+            GateStore.append(coreSession.createDataFrame(idx, schema),
+              idxDir, "keys", batches, sortCol = Some("bucket"))
+        }
+        // hot-tier mirror from the keys already in hand (skip when stale —
+        // the pending rebuild covers this append from disk)
+        if (resident.active && !residentStale) {
+          var i = 0
+          while (i < ctx.rows.length && resident.active) {
+            if (ctx.rowKeys(i).nonEmpty) {
+              val ord = residentIds.length
+              residentIds += ctx.rows(i)._1
+              resident.addExtraBytes(48)
+              val sk = if (ctx.rowSks == null) 0L else ctx.rowSks(i)
+              ctx.rowKeys(i).foreach(b => { resident.add(b, sk, ord); () })
+            }
+            i += 1
+          }
+        }
       }
       traced("filters")(updateFilters(ctx.rowKeys.flatten))
     } }
@@ -612,6 +894,7 @@ private[streaming] abstract class IndexedNearDupGate[P](
   private[streaming] def compactNow(): Unit = compact()
 
   private[streaming] def onBatch(batch: DataFrame): Unit = synchronized { traced("onbatch-total") {
+    if (exactlyOnce) epochs.recoverPending()
     val obs = new org.apache.spark.sql.Observation(
       s"${obsPrefix}_${name}_${batches + 1}")
     val keyed = prepareBatch(batch, Some(obs))
@@ -623,11 +906,24 @@ private[streaming] abstract class IndexedNearDupGate[P](
       val n = total - ctx.sup.size
       admitted += n
       suppressed += total - n
-      // sink BEFORE store append (at-least-once under failure-retry —
-      // see StreamDedupGate's delivery contract)
-      if (n > 0) eng.insertInto(sink, survivorsOf(keyed, ctx.sup))
-      commitPayloadBatch(ctx)
-      commitIndexBatch(ctx)
+      if (exactlyOnce) {
+        // epoch protocol (GateEpochs): spool is THE commit point; store
+        // appends and the sink delivery replay from it after any crash
+        val epoch = batches // decideBatch advanced it to this batch
+        epochs.failpoint("before-spool")
+        epochs.spool(epoch, keyed, admittedCol(ctx.sup))
+        epochs.failpoint("after-spool")
+        commitPayloadBatch(ctx)
+        commitIndexBatch(ctx)
+        epochs.failpoint("after-store")
+        epochs.deliverAndMark(epoch)
+      } else {
+        // sink BEFORE store append (at-least-once under failure-retry —
+        // see StreamDedupGate's delivery contract)
+        if (n > 0) eng.insertInto(sink, survivorsOf(keyed, ctx.sup))
+        commitPayloadBatch(ctx)
+        commitIndexBatch(ctx)
+      }
     } finally keyed.unpersist()
     maybeCompact()
   } }

@@ -52,10 +52,11 @@ final class JaccardNearDupGate private (
     maxBucketSize: Int,
     compactEvery: Int,
     shardId: Int,
-    shardCount: Int)
+    shardCount: Int,
+    delivery: String)
   extends IndexedNearDupGate[Array[Long]](eng, name, orderCol, sink,
     sigDir, idxDir, "sigs", "sig", bloomP, bloomN0, maxBucketSize, compactEvery,
-    shardId, shardCount) {
+    shardId, shardCount, delivery) {
 
   override protected def obsPrefix: String = "jacgate"
   override protected def payloadCol: Column =
@@ -74,6 +75,50 @@ final class JaccardNearDupGate private (
   override protected def externalPayloadOf(p: Array[Long]): Any = p.toSeq
   override protected def externalPayloadType: org.apache.spark.sql.types.DataType =
     storedPayloadType
+
+  override protected def residentPayloadOf(p: Array[Long]): AnyRef = p
+  override protected def residentPayloadOfRow(r: Row): AnyRef =
+    r.getSeq[Long](1).toArray
+  override protected def payloadOfResident(a: AnyRef): Array[Long] =
+    a.asInstanceOf[Array[Long]]
+  override protected def residentPayloadBytes(a: AnyRef): Int =
+    a.asInstanceOf[Array[Long]].length * 8 + 16
+
+  // 64-bit PARITY digest stored inline in the (bucket, id) index — the
+  // jaccard port of the cosine gate's sketch prefilter: bit i is the low
+  // bit of signature component i (first min(k, 64) components), so a pair
+  // at agreement fraction a flips each of its ~(1-a)·n mismatching
+  // components' bits with probability 1/2 while agreeing components always
+  // match. At the gate threshold t the flip count is ≤ Binomial((1-t)·n,
+  // 1/2); the cutoff is its mean + 4.5σ, so a pair at exactly the
+  // threshold is misfiltered with probability ~1e-5 (folded into the
+  // documented estimate-based similarity contract) while a random pair
+  // (~n/2 flips) is dropped payload-free. Candidate volume from the
+  // 64-bit band-hash keyspace is mostly TRUE near-pairs already, so the
+  // digest's main work is shielding phase 2 from mid-similarity band
+  // coincidences on clustered corpora.
+  private val skBits = math.min(numBands * rowsPerBand, 64)
+  private val skCutoff: Int = {
+    val m = (1.0 - threshold) * skBits
+    math.min(skBits, math.ceil(m / 2.0 + 4.5 * math.sqrt(m) / 2.0).toInt)
+  }
+  override protected def sketchColOf: Option[Column => Column] =
+    Some { sig =>
+      (0 until skBits).map(i =>
+        shiftleft(element_at(sig, i + 1).bitwiseAND(lit(1L)), i))
+        .reduce(_.bitwiseOR(_))
+    }
+  override protected def sketchOf(p: Array[Long]): Long = {
+    var out = 0L
+    val n = math.min(skBits, p.length)
+    var i = 0
+    while (i < n) { out |= (p(i) & 1L) << i; i += 1 }
+    out
+  }
+  override protected def sketchAdmissible(a: Long, b: Long): Boolean =
+    java.lang.Long.bitCount(a ^ b) <= skCutoff
+  override protected def sketchAdmissibleCol(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b)) <= lit(skCutoff)
 
   // distributed form of [[similar]]: the same fused agreement-fraction
   // expression the batch prefilter uses (empty signatures agree 0.0, so no
@@ -117,7 +162,8 @@ object JaccardNearDupGate {
       numBands: Int = 16, rowsPerBand: Int = 4,
       bloomP: Double = 0.01, bloomN: Int = 1 << 20,
       maxBucketSize: Int = Int.MaxValue,
-      compactEvery: Int = 256): JaccardNearDupGate = {
+      compactEvery: Int = 256,
+      delivery: String = StreamDedupGate.AtLeastOnce): JaccardNearDupGate = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"jaccard gate threshold must be in (0, 1], got $threshold")
     val recall = recallEstimate(threshold, numBands, rowsPerBand)
@@ -137,10 +183,10 @@ object JaccardNearDupGate {
     // band keys and signatures are pure functions of the shingle/banding
     // geometry — refuse a silently-mismatched reopen
     GateStore.stampGeometry(idxDir,
-      s"jaccard_n${shingleN}_nb${numBands}_r$rowsPerBand")
+      s"jaccard_n${shingleN}_nb${numBands}_r${rowsPerBand}_sk64")
     val gate = new JaccardNearDupGate(eng, name, textSql, orderCol, sink,
       sigDir, idxDir, threshold, shingleN, numBands, rowsPerBand,
-      bloomP, bloomN, maxBucketSize, compactEvery, 0, 1)
+      bloomP, bloomN, maxBucketSize, compactEvery, 0, 1, delivery)
     gate.bootstrap()
     eng.createContTransform(name, selectSql,
       outputFunc = Some(gate.onBatch _), emitChanges = false)
@@ -160,7 +206,8 @@ object JaccardNearDupGate {
       numBands: Int = 16, rowsPerBand: Int = 4,
       bloomP: Double = 0.01, bloomN: Int = 1 << 20,
       maxBucketSize: Int = Int.MaxValue,
-      compactEvery: Int = 256): ShardedNearDupGate = {
+      compactEvery: Int = 256,
+      delivery: String = StreamDedupGate.AtLeastOnce): ShardedNearDupGate = {
     require(shards >= 2, s"use create() for an unsharded gate (shards=$shards)")
     require(threshold > 0.0 && threshold <= 1.0,
       s"jaccard gate threshold must be in (0, 1], got $threshold")
@@ -180,14 +227,16 @@ object JaccardNearDupGate {
       val idxDir = root.resolve(s"s${k}of$shards").resolve("seen_keys")
       Files.createDirectories(idxDir)
       GateStore.stampGeometry(idxDir,
-        s"jaccard_n${shingleN}_nb${numBands}_r$rowsPerBand")
+        s"jaccard_n${shingleN}_nb${numBands}_r${rowsPerBand}_sk64")
       val core = new JaccardNearDupGate(eng, name, textSql, orderCol, sink,
         sigDir, idxDir, threshold, shingleN, numBands, rowsPerBand,
-        bloomP, bloomN, maxBucketSize, compactEvery, k, shards)
+        bloomP, bloomN, maxBucketSize, compactEvery, k, shards,
+        StreamDedupGate.AtLeastOnce)
       core.bootstrap()
       core
     }
-    val gate = new ShardedNearDupGate(eng, name, sink, cores)
+    val gate = new ShardedNearDupGate(eng, name, sink, cores,
+      spoolRoot = Some(root), delivery = delivery)
     eng.createContTransform(name, selectSql,
       outputFunc = Some(gate.onBatch _), emitChanges = false)
     eng.rebindTransformOutput(name, gate.onBatch _)

@@ -40,8 +40,19 @@ private[streaming] trait ShardableGateCore {
   private[streaming] def suppressedOf(ctx: AnyRef): java.util.HashSet[Any]
   private[streaming] def survivorsOf(keyed: DataFrame,
       sup: java.util.HashSet[Any]): DataFrame
+  /** The survivor filter as a BOOLEAN column (the exactly-once spool's
+    * `__admitted` flag — must agree with [[survivorsOf]] exactly). */
+  private[streaming] def admittedCol(sup: java.util.HashSet[Any]): org.apache.spark.sql.Column
   private[streaming] def commitPayloadBatch(ctx: AnyRef): Unit
   private[streaming] def commitIndexBatch(ctx: AnyRef): Unit
+  /** Exactly-once recovery hook ([[GateEpochs]]): re-derive this core's
+    * store appends for `epoch` from the spooled full batch — skipping any
+    * store already at or past it — and sync the batch counter. Stateless
+    * gates need nothing. */
+  private[streaming] def commitRecovered(spooled: DataFrame, epoch: Long): Unit = ()
+  /** Highest batch number persisted in this core's stores (the sharded
+    * wrapper's epoch-counter floor on restart). */
+  private[streaming] def storeMaxBatch: Long = 0L
   private[streaming] def maybeCompact(): Unit
   private[streaming] def compactNow(): Unit
   private[graft] def seedStore(rows: DataFrame): Unit
@@ -74,9 +85,27 @@ final class ShardedNearDupGate private[streaming] (
     eng: ContViewEngine,
     val name: String,
     sink: String,
-    cores: Seq[ShardableGateCore]) {
+    cores: Seq[ShardableGateCore],
+    spoolRoot: Option[java.nio.file.Path] = None,
+    delivery: String = StreamDedupGate.AtLeastOnce) {
 
   require(cores.nonEmpty, "sharded gate needs at least one core")
+  require(delivery == StreamDedupGate.AtLeastOnce ||
+    delivery == StreamDedupGate.ExactlyOnce,
+    s"unknown delivery mode '$delivery'")
+  require(delivery == StreamDedupGate.AtLeastOnce || spoolRoot.nonEmpty,
+    "exactly_once sharded gate needs a spool root")
+
+  private val exactlyOnce = delivery == StreamDedupGate.ExactlyOnce
+  /** ONE spool for the whole wrapper — the batch is decided jointly, so
+    * the epoch protocol runs at wrapper level and recovery replays each
+    * core's store slice from the same spooled batch ([[GateEpochs]]). */
+  // internal columns whichever core family prepared the batch may carry
+  // (Spark's drop ignores absent names; simhash's `fp` is documented sink
+  // payload and stays)
+  private[graft] lazy val epochs = new GateEpochs(eng, name, sink,
+    spoolRoot.getOrElse(java.nio.file.Paths.get(".")).resolve("spool"),
+    cores, dropCols = Seq("__p", "__gh"))
 
   private val pool = java.util.concurrent.Executors.newFixedThreadPool(
     cores.size,
@@ -92,6 +121,17 @@ final class ShardedNearDupGate private[streaming] (
   private var batches = 0L
   private var admitted = 0L
   private var suppressed = 0L
+
+  locally {
+    if (exactlyOnce) {
+      // store-half recovery (delivery at the next batch head — the DDL
+      // replay path may hold the engine's registration lock here), and the
+      // epoch-counter floor: restart must not reuse committed epoch numbers
+      epochs.recoverStores()
+      batches = math.max(epochs.maxEpoch(),
+        cores.map(_.storeMaxBatch).foldLeft(0L)(math.max))
+    }
+  }
 
   /** (batches, admitted survivors, suppressed duplicates) so far. */
   def stats: (Long, Long, Long) = synchronized((batches, admitted, suppressed))
@@ -117,6 +157,7 @@ final class ShardedNearDupGate private[streaming] (
     }
 
   private[streaming] def onBatch(batch: DataFrame): Unit = synchronized { traced("sh-total") {
+    if (exactlyOnce) epochs.recoverPending()
     batches += 1
     val obs = new org.apache.spark.sql.Observation(s"shgate_${name}_$batches")
     val keyed = cores.head.prepareBatch(batch, Some(obs))
@@ -133,15 +174,29 @@ final class ShardedNearDupGate private[streaming] (
       val n = total - sup.size
       admitted += n
       suppressed += total - n
-      // sink BEFORE store append (at-least-once under failure-retry)
-      if (n > 0) traced("sh-sink")(
-        eng.insertInto(sink, cores.head.survivorsOf(keyed, sup)))
-      // shared payload lands FIRST (core 0), index slices second — an
-      // index entry must never outlive a crash its payload didn't survive
-      // longer than the batch's own retry
-      traced("sh-pay")(cores.head.commitPayloadBatch(ctxs.head))
-      traced("sh-idx")(inPool(
-        cores.zip(ctxs).map { case (c, ctx) => () => c.commitIndexBatch(ctx) }))
+      if (exactlyOnce) {
+        // epoch protocol at WRAPPER level ([[GateEpochs]]): one spool per
+        // jointly-decided batch; each core's slice replays from it
+        val epoch = batches
+        epochs.failpoint("before-spool")
+        epochs.spool(epoch, keyed, cores.head.admittedCol(sup))
+        epochs.failpoint("after-spool")
+        traced("sh-pay")(cores.head.commitPayloadBatch(ctxs.head))
+        traced("sh-idx")(inPool(
+          cores.zip(ctxs).map { case (c, ctx) => () => c.commitIndexBatch(ctx) }))
+        epochs.failpoint("after-store")
+        epochs.deliverAndMark(epoch)
+      } else {
+        // sink BEFORE store append (at-least-once under failure-retry)
+        if (n > 0) traced("sh-sink")(
+          eng.insertInto(sink, cores.head.survivorsOf(keyed, sup)))
+        // shared payload lands FIRST (core 0), index slices second — an
+        // index entry must never outlive a crash its payload didn't survive
+        // longer than the batch's own retry
+        traced("sh-pay")(cores.head.commitPayloadBatch(ctxs.head))
+        traced("sh-idx")(inPool(
+          cores.zip(ctxs).map { case (c, ctx) => () => c.commitIndexBatch(ctx) }))
+      }
       ()
     } finally keyed.unpersist()
     inPool(cores.map(c => () => c.maybeCompact()))

@@ -44,12 +44,21 @@ import graft.sketch.BloomFilter
   *    sorted files (parallel rewrite) and regrows the Bloom filter when
   *    the store outgrows its design size, so the fast path never silently
   *    saturates away.
-  * At 10B docs the exploded store is ~3.2 TB of (bucket,id,fp) triples in
-  * range shards; a 5k-row batch with ~1k bloom-positive keys reads ~1k
-  * slices of it, independent of corpus size. The banding geometry
-  * (blocks, maxDist) is baked into the stored bucket keys; the raw `fp`
-  * column rides along so a re-band is a one-pass rewrite, and restarts
-  * must use the geometry the store was written with.
+  * Above the store paths sits a RESIDENT hot tier ([[ResidentIndex]],
+  * PERF_NOTES §16): the per-core (bucket → fp) slice held as sorted
+  * in-memory runs, kept in exact sync by the commit hooks and rebuilt
+  * from the store at bootstrap. While within its byte budget (512 MB
+  * default, `GRAFT_GATE_RESIDENT_MB`) the whole candidate check is
+  * in-memory popcounts — zero store reads per batch, per-batch cost flat
+  * in corpus size (probe: 6.1k→6.8k ev/s across the 10×→100× decade).
+  * On overflow the tier deactivates loudly and the disk paths above run
+  * unchanged — O(store) per batch worst case once candidate keys span
+  * every range shard, which is the documented fallback regime, divided
+  * by G under core sharding and bounded absolutely by a TTL window.
+  * The banding geometry (blocks, maxDist) is baked into the stored
+  * bucket keys; the raw `fp` column rides along so a re-band is a
+  * one-pass rewrite, and restarts must use the geometry the store was
+  * written with.
   */
 final class SimHashNearDupGate private (
     eng: ContViewEngine,
@@ -65,10 +74,22 @@ final class SimHashNearDupGate private (
     maxBucketSize: Int,
     compactEvery: Int,
     shardId: Int = 0,
-    shardCount: Int = 1) extends ShardableGateCore {
+    shardCount: Int = 1,
+    delivery: String = StreamDedupGate.AtLeastOnce) extends ShardableGateCore {
 
   require(shardCount >= 1 && shardId >= 0 && shardId < shardCount,
     s"bad shard assignment $shardId/$shardCount")
+  require(delivery == StreamDedupGate.AtLeastOnce ||
+    delivery == StreamDedupGate.ExactlyOnce,
+    s"unknown delivery mode '$delivery'")
+
+  private val exactlyOnce = delivery == StreamDedupGate.ExactlyOnce
+  /** The epoch-spool protocol (exactly-once mode; see [[GateEpochs]]) —
+    * the unsharded composition; sharded gates run the wrapper's. The
+    * spooled `fp` column is part of the gate's documented sink payload,
+    * so nothing beyond the flag is dropped at delivery. */
+  private[graft] lazy val epochs = new GateEpochs(eng, name, sink,
+    storeDir.getParent.resolve("spool"), Seq(this), dropCols = Nil)
 
   /** Key-position ownership (see [[ShardedNearDupGate]]): the block
     * permutation emits C(blocks, blocks-maxDist/…) keys in a fixed order,
@@ -120,6 +141,41 @@ final class SimHashNearDupGate private (
   /** (batches, admitted survivors, suppressed near-duplicates) so far. */
   def stats: (Long, Long, Long) = synchronized((batches, admitted, suppressed))
 
+  // Resident hot tier (see ResidentIndex): the per-core (bucket → fp)
+  // slice — the simhash decision needs no store ids at all, so entries are
+  // 16 bytes and the whole candidate check is in-memory popcounts while
+  // within budget. The exploded parquet store stays the durable truth (and
+  // the beyond-budget fallback path).
+  private val resident =
+    new ResidentIndex(hasOrd = false, ResidentIndex.budgetBytes / shardCount)
+  private var residentStale = false
+
+  private def rebuildResident(): Unit = {
+    residentStale = false
+    if (!resident.active) return
+    resident.reset()
+    val files = GateStore.files(storeDir)
+    if (files.isEmpty) return
+    val df = coreSession.read.parquet(files: _*)
+    if (df.count() * 16 > ResidentIndex.budgetBytes / shardCount) {
+      System.err.println(s"[graft] SimHashNearDupGate($name): store slice " +
+        "exceeds the resident budget — running on the disk path (raise " +
+        "GRAFT_GATE_RESIDENT_MB, shard the gate, or window it with a ttl)")
+      resident.deactivate()
+      return
+    }
+    val it = df.select(col("bucket"), col("fp")).toLocalIterator()
+    while (it.hasNext && resident.active) {
+      val r = it.next()
+      resident.add(r.getLong(0), r.getLong(1), -1)
+      ()
+    }
+    resident.mergeDelta()
+  }
+
+  @inline private def ensureResident(): Unit =
+    if (residentStale) traced("resident-rebuild")(rebuildResident())
+
   /** Restart bootstrap: the exploded fingerprint store IS the dedup state;
     * one distributed pass over its bucket column rebuilds the
     * memory-resident bucket bloom (and the CMS occupancy when the
@@ -150,6 +206,13 @@ final class SimHashNearDupGate private (
         bucketCounts.merge(
           graft.sketch.CountMinSketch.deserialize(row.getAs[Array[Byte]]("c")))
       batches = GateStore.maxBatch(storeDir, "fps")
+    }
+    rebuildResident() // restart resumes the hot tier from the store
+    if (exactlyOnce && shardCount == 1) {
+      // store half only — sink delivery at the next batch head (the DDL
+      // replay path holds the engine's registration lock here)
+      epochs.recoverStores()
+      batches = math.max(batches, epochs.maxEpoch())
     }
   }
 
@@ -185,6 +248,7 @@ final class SimHashNearDupGate private (
           col(orderCol).as("id"), col("fp")),
         storeDir, "fps", batches, sortCol = Some("bucket"))
       updateFilters(collectBuckets(keyed))
+      residentStale = true // bulk write bypassed the hot tier
     } finally { keyed.unpersist(); () }
   }
 
@@ -258,6 +322,28 @@ final class SimHashNearDupGate private (
     else keyed.where(col(orderCol).isNull ||
       !GateStore.inSetCol(col(orderCol), sup.toArray.toSeq))
 
+  private[streaming] def admittedCol(sup: java.util.HashSet[Any]): org.apache.spark.sql.Column =
+    if (sup.isEmpty) lit(true)
+    else col(orderCol).isNull ||
+      !GateStore.inSetCol(col(orderCol), sup.toArray.toSeq)
+
+  private[streaming] override def storeMaxBatch: Long =
+    GateStore.maxBatch(storeDir, "fps")
+
+  private[streaming] override def commitRecovered(spooled: DataFrame,
+      epoch: Long): Unit = synchronized {
+    val need = GateStore.maxBatch(storeDir, "fps") < epoch
+    if (batches < epoch) batches = epoch
+    if (need) {
+      // the spool carries fp — rebuild the exploded append with the same
+      // driver math as a live batch
+      val rows = collectBatchRows(spooled).asInstanceOf[Array[(Any, Long)]]
+      val ctx = new BatchCtx(spooled, rows, rows.map(r => ownedKeysOfFp(r._2)),
+        new java.util.HashSet[Any]())
+      commitIndexBatch(ctx)
+    }
+  }
+
   private[streaming] def commitPayloadBatch(ctx: AnyRef): Unit = ()
 
   /** The suppression decision over this core's key slice: bucket keys are
@@ -272,6 +358,7 @@ final class SimHashNearDupGate private (
   private[streaming] def decideBatch(keyed: DataFrame, rows0: AnyRef): AnyRef =
     synchronized { traced("decide") {
       batches += 1
+      ensureResident()
       val s = coreSession
       val rows = rows0.asInstanceOf[Array[(Any, Long)]]
       val rowKeys: Array[Array[Long]] = rows.map(r => ownedKeysOfFp(r._2))
@@ -317,6 +404,35 @@ final class SimHashNearDupGate private (
           }
         }
         out
+      }
+      if (resident.active) {
+        // hot tier: the store-candidate check is in-memory popcounts over
+        // the per-bucket fp lists — zero store reads, early exit per row
+        val storeSuppressed = traced("store-resident") {
+          val out = new java.util.HashSet[Any]()
+          var i = 0
+          while (i < rows.length) {
+            if (rows(i)._1 != null) {
+              val ri = i
+              var hit = false
+              rowKeys(ri).foreach { b =>
+                if (!hit && !overCapSet.contains(b))
+                  resident.foreachMatch(b) { (fp, _) =>
+                    if (!hit &&
+                        java.lang.Long.bitCount(fp ^ rows(ri)._2) <= maxDist)
+                      hit = true
+                  }
+              }
+              if (hit) out.add(rows(ri)._1)
+            }
+            i += 1
+          }
+          out
+        }
+        val suppressedSet = new java.util.HashSet[Any]()
+        suppressedIdx.forEach(i => { suppressedSet.add(rows(i)._1); () })
+        suppressedSet.addAll(storeSuppressed)
+        return new BatchCtx(keyed, rows, rowKeys, suppressedSet)
       }
       val storeF = GateStore.storeFiles(storeDir)
       // bucket-bloom gate: an under-cap key that misses the driver bloom
@@ -451,14 +567,28 @@ final class SimHashNearDupGate private (
       }
       if (!exploded.isEmpty) {
         val idType = keyed.schema(keyed.schema.fieldIndex(orderCol)).dataType
-        val appendDf = coreSession.createDataFrame(exploded,
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("bucket",
-              org.apache.spark.sql.types.LongType, nullable = false),
-            org.apache.spark.sql.types.StructField("id", idType),
-            org.apache.spark.sql.types.StructField("fp",
-              org.apache.spark.sql.types.LongType, nullable = false))))
-        GateStore.append(appendDf, storeDir, "fps", batches)
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("bucket",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("id", idType),
+          org.apache.spark.sql.types.StructField("fp",
+            org.apache.spark.sql.types.LongType, nullable = false)))
+        // rows already bucket-sorted — the driver-direct write skips the
+        // whole Spark job (GateStore.appendLocal); exotic id types fall
+        // back to the LocalRelation write
+        if (!GateStore.appendLocal(exploded, schema, storeDir, "fps", batches))
+          GateStore.append(coreSession.createDataFrame(exploded, schema),
+            storeDir, "fps", batches)
+      }
+      // hot-tier mirror from the keys already in hand (skip when stale —
+      // the pending rebuild covers this append from disk)
+      if (resident.active && !residentStale) {
+        var i = 0
+        while (i < rows.length && resident.active) {
+          val fp = rows(i)._2
+          rowKeys(i).foreach(b => { resident.add(b, fp, -1); () })
+          i += 1
+        }
       }
       traced("filters")(updateFilters(rowKeys.flatten))
     } }
@@ -469,6 +599,7 @@ final class SimHashNearDupGate private (
   private[streaming] def compactNow(): Unit = compact()
 
   private[streaming] def onBatch(batch: DataFrame): Unit = synchronized { traced("onbatch-total") {
+    if (exactlyOnce) epochs.recoverPending()
     val obs = new org.apache.spark.sql.Observation(
       s"ndgate_${name}_${batches + 1}")
     val keyed = prepareBatch(batch, Some(obs))
@@ -482,13 +613,24 @@ final class SimHashNearDupGate private (
       val n = total - ctx.sup.size
       admitted += n
       suppressed += total - n
-      // sink BEFORE store append (at-least-once under failure-retry, see
-      // StreamDedupGate's delivery contract): a batch that fails mid-gate
-      // can be retried without its own fingerprints suppressing it
-      if (n > 0) traced("sink") {
-        eng.insertInto(sink, survivorsOf(keyed, ctx.sup))
+      if (exactlyOnce) {
+        // epoch protocol (GateEpochs): spool is THE commit point
+        val epoch = batches // decideBatch advanced it to this batch
+        epochs.failpoint("before-spool")
+        epochs.spool(epoch, keyed, admittedCol(ctx.sup))
+        epochs.failpoint("after-spool")
+        commitIndexBatch(ctx)
+        epochs.failpoint("after-store")
+        epochs.deliverAndMark(epoch)
+      } else {
+        // sink BEFORE store append (at-least-once under failure-retry, see
+        // StreamDedupGate's delivery contract): a batch that fails mid-gate
+        // can be retried without its own fingerprints suppressing it
+        if (n > 0) traced("sink") {
+          eng.insertInto(sink, survivorsOf(keyed, ctx.sup))
+        }
+        commitIndexBatch(ctx)
       }
-      commitIndexBatch(ctx)
     } finally keyed.unpersist()
     maybeCompact()
   } }
@@ -506,7 +648,8 @@ object SimHashNearDupGate {
       maxDist: Int = 3, blocks: Int = 6,
       bloomP: Double = 0.01, bloomN: Int = 1 << 20,
       maxBucketSize: Int = Int.MaxValue,
-      compactEvery: Int = 256): SimHashNearDupGate = {
+      compactEvery: Int = 256,
+      delivery: String = StreamDedupGate.AtLeastOnce): SimHashNearDupGate = {
     val root = Paths.get(storeRoot, name)
     Files.createDirectories(root)
     GateStore.stampGeometry(root, "shards_1")
@@ -516,7 +659,8 @@ object SimHashNearDupGate {
     // silently-mismatched reopen (see GateStore.stampGeometry)
     GateStore.stampGeometry(dir, s"simhash_k$blocks")
     val gate = new SimHashNearDupGate(eng, name, textSql, orderCol, sink, dir,
-      maxDist, blocks, bloomP, bloomN, maxBucketSize, compactEvery)
+      maxDist, blocks, bloomP, bloomN, maxBucketSize, compactEvery,
+      delivery = delivery)
     gate.bootstrap() // resume from a persisted store after an engine restart
     eng.createContTransform(name, selectSql,
       outputFunc = Some(gate.onBatch _), emitChanges = false)
@@ -535,7 +679,8 @@ object SimHashNearDupGate {
       shards: Int, maxDist: Int = 3, blocks: Int = 6,
       bloomP: Double = 0.01, bloomN: Int = 1 << 20,
       maxBucketSize: Int = Int.MaxValue,
-      compactEvery: Int = 256): ShardedNearDupGate = {
+      compactEvery: Int = 256,
+      delivery: String = StreamDedupGate.AtLeastOnce): ShardedNearDupGate = {
     require(shards >= 2, s"use create() for an unsharded gate (shards=$shards)")
     val root = Paths.get(storeRoot, name)
     Files.createDirectories(root)
@@ -550,7 +695,8 @@ object SimHashNearDupGate {
       core.bootstrap()
       core
     }
-    val gate = new ShardedNearDupGate(eng, name, sink, cores)
+    val gate = new ShardedNearDupGate(eng, name, sink, cores,
+      spoolRoot = Some(root), delivery = delivery)
     eng.createContTransform(name, selectSql,
       outputFunc = Some(gate.onBatch _), emitChanges = false)
     eng.rebindTransformOutput(name, gate.onBatch _)

@@ -302,11 +302,13 @@ final class StreamDedupGate private[streaming] (
       val newKeys = newKeyRows
       if (!newKeys.isEmpty) {
         val hType = keyed.schema(keyed.schema.fieldIndex("h")).dataType
-        GateStore.append(
-          keyed.sparkSession.createDataFrame(newKeys,
-            org.apache.spark.sql.types.StructType(Seq(
-              org.apache.spark.sql.types.StructField("h", hType)))),
-          storeDir, "keys", epoch, sortCol = Some("h"))
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("h", hType)))
+        // driver-direct parquet write — no Spark job (GateStore.appendLocal)
+        if (!GateStore.appendLocal(newKeys, schema, storeDir, "keys", epoch,
+            sortCol = Some("h")))
+          GateStore.append(keyed.sparkSession.createDataFrame(newKeys, schema),
+            storeDir, "keys", epoch, sortCol = Some("h"))
       }
     }
   }
@@ -491,12 +493,15 @@ final class StreamDedupGate private[streaming] (
         maxByKey.forEach { (h, t) =>
           out.add(org.apache.spark.sql.Row(h, microsToTs(t.longValue))); ()
         }
-        GateStore.append(
-          s.createDataFrame(out, org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("h", hType),
-            org.apache.spark.sql.types.StructField("ts",
-              org.apache.spark.sql.types.TimestampType)))),
-          storeDir, "keys", batches, sortCol = Some("h"))
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("h", hType),
+          org.apache.spark.sql.types.StructField("ts",
+            org.apache.spark.sql.types.TimestampType)))
+        // driver-direct parquet write — no Spark job (GateStore.appendLocal)
+        if (!GateStore.appendLocal(out, schema, storeDir, "keys", batches,
+            sortCol = Some("h")))
+          GateStore.append(s.createDataFrame(out, schema),
+            storeDir, "keys", batches, sortCol = Some("h"))
       }
       batchKeys.foreach(bloom.add)
     } finally { keyed.unpersist(); () }

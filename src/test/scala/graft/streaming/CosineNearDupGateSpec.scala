@@ -96,6 +96,7 @@ class CosineNearDupGateSpec extends AnyFunSuite {
     val r = java.nio.file.Files.createTempDirectory("graft_cgf").toString
     GateStore.maxDriverVerifyBytesOverride = Some(0L)
     GateStore.maxPushdownKeysOverride = Some(0)
+    ResidentIndex.budgetOverride = Some(0L) // force the disk paths
     try {
       assert(admitted(runGate(r, "a",
         Seq((Long.MinValue, 40L), (40L, 5000L), (5000L, Long.MaxValue)))._1)
@@ -103,6 +104,7 @@ class CosineNearDupGateSpec extends AnyFunSuite {
     } finally {
       GateStore.maxDriverVerifyBytesOverride = None
       GateStore.maxPushdownKeysOverride = None
+      ResidentIndex.budgetOverride = None
     }
   }
 

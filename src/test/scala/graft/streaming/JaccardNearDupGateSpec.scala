@@ -105,6 +105,7 @@ class JaccardNearDupGateSpec extends AnyFunSuite {
     val r = java.nio.file.Files.createTempDirectory("graft_jgf").toString
     GateStore.maxDriverVerifyBytesOverride = Some(0L)
     GateStore.maxPushdownKeysOverride = Some(0)
+    ResidentIndex.budgetOverride = Some(0L) // force the disk paths
     try {
       assert(admitted(runGate(r, "a",
         Seq((Long.MinValue, 30L), (30L, 1000L), (1000L, Long.MaxValue)))._1)
@@ -112,6 +113,7 @@ class JaccardNearDupGateSpec extends AnyFunSuite {
     } finally {
       GateStore.maxDriverVerifyBytesOverride = None
       GateStore.maxPushdownKeysOverride = None
+      ResidentIndex.budgetOverride = None
     }
   }
 

@@ -87,6 +87,16 @@ class SimHashNearDupGateSpec extends AnyFunSuite {
       === expected, "three-batch feed must admit the same set")
   }
 
+  test("disk path (resident tier off) admits the identical set") {
+    val expected = expectedAdmitted(3)
+    ResidentIndex.budgetOverride = Some(0L)
+    try assert(
+      runGate(Seq((Long.MinValue, 45L), (45L, 1000L), (1000L, Long.MaxValue)))
+        === expected,
+      "the store-join path must match the resident path exactly")
+    finally ResidentIndex.budgetOverride = None
+  }
+
   test("hot-bucket cap: flooded buckets stop pairing, clean recall survives") {
     val root = java.nio.file.Files.createTempDirectory("graft_ndgate3").toString
     val eng = new ContViewEngine(spark, root)
