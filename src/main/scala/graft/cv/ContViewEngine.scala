@@ -1019,10 +1019,9 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     val ttlMillis = ttl.map(CvPlanner.intervalSeconds(_) * 1000L).getOrElse(0L)
     require(ttlMillis == 0 || ttlColumn.nonEmpty,
       "ttl on a gate needs ttl_column = <event-time column>")
-    require(ttlMillis == 0 ||
-      gateSpec.trim.toLowerCase.startsWith("dedup_gate"),
-      "ttl is supported on dedup_gate only (the near-dup stores are not " +
-        "windowed yet)")
+    require(ttlMillis == 0 || !gateSpec.trim.toLowerCase.startsWith("contamination_gate"),
+      "ttl on a contamination gate is meaningless: the reference store " +
+        "is static (nothing ages)")
     if (transforms.contains(name)) {
       // mirror idempotent(): an identical re-declaration is a no-op, a
       // different one (or a clash with a non-gate transform) fails loudly
@@ -1076,7 +1075,8 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
             maxDist = Option(maxDist).map(_.toInt).getOrElse(3),
             maxBucketSize = Option(cap).map(_.toInt).getOrElse(Int.MaxValue),
             delivery = Option(dv).map(unq)
-              .getOrElse(graft.streaming.StreamDedupGate.AtLeastOnce))
+              .getOrElse(graft.streaming.StreamDedupGate.AtLeastOnce),
+            ttlMillis = ttlMillis, ttlColumn = ttlColumn.getOrElse(""))
         case neardupRe(textSql, orderCol, maxDist, cap, shards, dv) =>
           graft.streaming.SimHashNearDupGate.createSharded(this, name,
             selectSql, unq(textSql), unq(orderCol), sink, storeRoot = root,
@@ -1084,7 +1084,8 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
             maxDist = Option(maxDist).map(_.toInt).getOrElse(3),
             maxBucketSize = Option(cap).map(_.toInt).getOrElse(Int.MaxValue),
             delivery = Option(dv).map(unq)
-              .getOrElse(graft.streaming.StreamDedupGate.AtLeastOnce))
+              .getOrElse(graft.streaming.StreamDedupGate.AtLeastOnce),
+            ttlMillis = ttlMillis, ttlColumn = ttlColumn.getOrElse(""))
         case cosineRe(embSql, orderCol, threshold, dim, cap, expected, shards, dv)
             if shardsOf(shards) <= 1 =>
           graft.streaming.CosineNearDupGate.create(this, name, selectSql,
@@ -1094,7 +1095,8 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
             expectedStoreSize =
               Option(expected).map(_.toLong).getOrElse(1L << 20),
             delivery = Option(dv).map(unq)
-              .getOrElse(graft.streaming.StreamDedupGate.AtLeastOnce))
+              .getOrElse(graft.streaming.StreamDedupGate.AtLeastOnce),
+            ttlMillis = ttlMillis, ttlColumn = ttlColumn.getOrElse(""))
         case cosineRe(embSql, orderCol, threshold, dim, cap, expected, shards, dv) =>
           graft.streaming.CosineNearDupGate.createSharded(this, name,
             selectSql, unq(embSql), unq(orderCol), sink, storeRoot = root,
@@ -1104,7 +1106,8 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
             expectedStoreSize =
               Option(expected).map(_.toLong).getOrElse(1L << 20),
             delivery = Option(dv).map(unq)
-              .getOrElse(graft.streaming.StreamDedupGate.AtLeastOnce))
+              .getOrElse(graft.streaming.StreamDedupGate.AtLeastOnce),
+            ttlMillis = ttlMillis, ttlColumn = ttlColumn.getOrElse(""))
         case jaccardRe(textSql, orderCol, threshold, cap, shards, dv)
             if shardsOf(shards) <= 1 =>
           graft.streaming.JaccardNearDupGate.create(this, name, selectSql,
@@ -1112,14 +1115,16 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
             threshold = threshold.toDouble,
             maxBucketSize = Option(cap).map(_.toInt).getOrElse(Int.MaxValue),
             delivery = Option(dv).map(unq)
-              .getOrElse(graft.streaming.StreamDedupGate.AtLeastOnce))
+              .getOrElse(graft.streaming.StreamDedupGate.AtLeastOnce),
+            ttlMillis = ttlMillis, ttlColumn = ttlColumn.getOrElse(""))
         case jaccardRe(textSql, orderCol, threshold, cap, shards, dv) =>
           graft.streaming.JaccardNearDupGate.createSharded(this, name,
             selectSql, unq(textSql), unq(orderCol), sink, storeRoot = root,
             threshold = threshold.toDouble, shards = shards.toInt,
             maxBucketSize = Option(cap).map(_.toInt).getOrElse(Int.MaxValue),
             delivery = Option(dv).map(unq)
-              .getOrElse(graft.streaming.StreamDedupGate.AtLeastOnce))
+              .getOrElse(graft.streaming.StreamDedupGate.AtLeastOnce),
+            ttlMillis = ttlMillis, ttlColumn = ttlColumn.getOrElse(""))
         case contaminationRe(textSql, orderCol, refSql, n, shards, dv)
             if shardsOf(shards) <= 1 =>
           // the reference SELECT resolves against the SPARK session (temp
@@ -1359,7 +1364,13 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
       s"cannot drop $name: continuous queries ${readers(osrel).mkString(", ")} read $osrel")
     transforms.remove(name)
     defSignatures.remove(name)
-    gates.remove(name) // root/name (incl. the gate's seen-store) is deleted below
+    // root/name (incl. the gate's seen-store) is deleted below — a gate's
+    // DEFERRED store commit (CommitPipeline) must finish first or the
+    // delete races the in-flight append. Drained by DIRECTORY, not gate
+    // handle: Scala-API gates never enter the gates map.
+    gates.remove(name)
+    graft.streaming.CommitPipeline.drainUnder(
+      Paths.get(root, name).toString)
     gateSignatures.remove(name)
     readers.get(h.streamName).foreach(b => { b -= name; () })
     streams.remove(osrel)
@@ -1718,25 +1729,20 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     }
     synchronized {
       gates.toSeq.sortBy(_._1).map { case (nm, g) =>
+        def row(kind: String, shards: Int, t: (Long, Long, Long)): GateStats =
+          GateStats(nm, kind, shards, t._1, t._2, t._3,
+            rowsIn = t._2 + t._3, rowsOut = t._2)
         g match {
-          case sd: ShardedDedupGate =>
-            val (b, a, s) = sd.stats
-            GateStats(nm, "dedup", sd.shardCount, b, a, s)
+          case sd: ShardedDedupGate => row("dedup", sd.shardCount, sd.stats)
           case sn: ShardedNearDupGate =>
-            val (b, a, s) = sn.stats
-            GateStats(nm, kindOf(sn.firstCore), sn.shardCount, b, a, s)
-          case d: StreamDedupGate =>
-            val (b, a, s) = d.stats; GateStats(nm, "dedup", 1, b, a, s)
-          case h: SimHashNearDupGate =>
-            val (b, a, s) = h.stats; GateStats(nm, "simhash", 1, b, a, s)
-          case c: CosineNearDupGate =>
-            val (b, a, s) = c.stats; GateStats(nm, "cosine", 1, b, a, s)
-          case j: JaccardNearDupGate =>
-            val (b, a, s) = j.stats; GateStats(nm, "jaccard", 1, b, a, s)
-          case ct: ContaminationGate =>
-            val (b, a, s) = ct.stats; GateStats(nm, "contamination", 1, b, a, s)
+            row(kindOf(sn.firstCore), sn.shardCount, sn.stats)
+          case d: StreamDedupGate => row("dedup", 1, d.stats)
+          case h: SimHashNearDupGate => row("simhash", 1, h.stats)
+          case c: CosineNearDupGate => row("cosine", 1, c.stats)
+          case j: JaccardNearDupGate => row("jaccard", 1, j.stats)
+          case ct: ContaminationGate => row("contamination", 1, ct.stats)
           case other =>
-            GateStats(nm, other.getClass.getSimpleName, 1, 0L, 0L, 0L)
+            GateStats(nm, other.getClass.getSimpleName, 1, 0L, 0L, 0L, 0L, 0L)
         }
       }
     }.toDF()
@@ -2440,8 +2446,14 @@ final case class ProcStats(
 
 /** Per-stream ingest counters (reference pipelinedb.stream_stats shape). */
 final case class StreamStats(stream: String, batches: Long, readers: Long)
+/** Per-gate funnel counters (the curation pipeline's stream_stats
+  * analogue — stats.c:556, pipelinefuncs.c): rows_in/rows_out make a
+  * stacked chain's per-stage ATTRITION directly queryable
+  * (rows_in = admitted + suppressed of the stage; rows_out = admitted =
+  * the next stage's rows_in under a chained sink). */
 final case class GateStats(gate: String, kind: String, shards: Int,
-    batches: Long, admitted: Long, suppressed: Long)
+    batches: Long, admitted: Long, suppressed: Long,
+    rowsIn: Long, rowsOut: Long)
 
 /** pipelinedb.views catalog row (sql:77-93 shape). */
 final case class CvCatalogRow(

@@ -549,6 +549,188 @@ object CvQueries {
     })
   }
 
+  /** Windowed (TTL) near-dup gate fixture (q_neardup_stream_ttl): a
+    * DDL-declared `neardup_gate` with `ttl = '1 hour', ttl_column = ts` —
+    * the re-crawl/refresh admission policy on the SimHash gate. The ts
+    * schedule (minutes = doc_id; copies at +30 / +100 / +130) exercises
+    * all three window cases per copied doc: in-window copy suppressed,
+    * aged-out copy admitted, third copy suppressed by the second's
+    * REFRESHED window. Texts are SYNTHESIZED from doc_id with pairwise-
+    * DISJOINT token sets (natural corpus text carries natural Hamming-≤3
+    * pairs DuckDB cannot recompute), so similarity is exactly base-doc
+    * identity and the oracle mirrors the window on it; mid-feed engine
+    * restart as ever.
+    */
+  private val ndTtlEngines =
+    scala.collection.mutable.Map.empty[(SparkSession, String), ContViewEngine]
+
+  private def ndTtlGateFor(s: SparkSession, dir: String): ContViewEngine = synchronized {
+    ndTtlEngines.getOrElseUpdate((s, dir), {
+      val root = java.nio.file.Files.createTempDirectory("graft_cvndttl").toString
+      // deterministic pairwise-distant bodies: 12 doc-unique tokens — the
+      // oracle needs only doc ids, similarity is base identity
+      val docs = Tables.documents(s, dir).select(col("doc_id"),
+        expr("concat_ws(' ', transform(sequence(0, 11), " +
+          "j -> concat('d', doc_id, 't', j)))").as("text"))
+      def withTs(df: org.apache.spark.sql.DataFrame, offset: Int, idOff: Long) =
+        df.select((col("doc_id") + idOff).as("doc_id"), col("text"),
+          expr(s"timestamp'2024-01-01 00:00:00' + " +
+            s"make_interval(0, 0, 0, 0, 0, CAST(doc_id AS INT) + $offset, 0)").as("ts"))
+      val copies = docs.where(pmod(col("doc_id"), lit(4)) === 0)
+      val corpus = withTs(docs, 0, 0L)
+        .unionByName(withTs(copies, 30, 1000000L))
+        .unionByName(withTs(copies, 100, 2000000L))
+        .unionByName(withTs(copies, 130, 3000000L))
+      def setup(eng: ContViewEngine): ContViewEngine = {
+        eng.createStream("ndttl_in", corpus.schema)
+        eng.createStream("ndttl_out", org.apache.spark.sql.types.StructType(
+          corpus.schema.fields :+ org.apache.spark.sql.types.StructField("fp",
+            org.apache.spark.sql.types.LongType)))
+        eng.sql("""CREATE VIEW ndttl_gate WITH (action = transform,
+                  |  sink = 'ndttl_out', ttl = '1 hour', ttl_column = ts,
+                  |  outputfunc = neardup_gate('text', 'doc_id')) AS
+                  |SELECT doc_id, text, ts FROM ndttl_in""".stripMargin)
+        eng.createContView("v_ndttl", "SELECT doc_id FROM ndttl_out",
+          emitChanges = false)
+        eng
+      }
+      def feed(eng: ContViewEngine, lo: Long, hi: Long): Unit =
+        eng.insertInto("ndttl_in",
+          corpus.where(col("doc_id") >= lo && col("doc_id") < hi))
+      val eng1 = setup(new ContViewEngine(s, root))
+      feed(eng1, Long.MinValue, 1000000L)
+      feed(eng1, 1000000L, 2000000L)
+      // mid-feed "crash": the windowed gate replays from the catalog;
+      // bootstrap restores the store, the resident tier's per-entry ts,
+      // and the reaper watermark
+      val eng2 = setup(new ContViewEngine(s, root))
+      feed(eng2, 2000000L, Long.MaxValue)
+      eng2
+    })
+  }
+
+  /** All-exactly-once stacked pipeline fixture (q_gate_pipeline_eo): the
+    * q_gate_pipeline funnel with `delivery='exactly_once'` on EVERY stage
+    * (microbatch.h:33-56 parity for the whole family), a failpoint-forced
+    * crash INSIDE stage 2's epoch mid-feed (which also interrupts stage
+    * 1's delivery — the chain runs synchronously), an engine restart, and
+    * an upstream re-feed of the crashed batch. Per-stage spool+marker
+    * recovery must converge the chain: every finally-admitted doc reaches
+    * the end of the funnel with count exactly 1.
+    */
+  private val pipelineEoEngines =
+    scala.collection.mutable.Map.empty[(SparkSession, String), ContViewEngine]
+
+  private def pipelineEoFor(s: SparkSession, dir: String): ContViewEngine = synchronized {
+    pipelineEoEngines.getOrElseUpdate((s, dir), {
+      val root = java.nio.file.Files.createTempDirectory("graft_cvpleo").toString
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      docs.where(col("doc_id") < 20).createOrReplaceTempView("pl2_ref")
+      val feedDocs = docs.where(col("doc_id") >= 20)
+      val corpus = feedDocs.unionByName(
+        feedDocs.where(pmod(col("doc_id"), lit(5)) === 0)
+          .select((col("doc_id") + 800000L).as("doc_id"), col("text")))
+      def setup(eng: ContViewEngine): ContViewEngine = {
+        eng.createStream("pl2_in", corpus.schema)
+        eng.createStream("pl2_s1", org.apache.spark.sql.types.StructType(
+          corpus.schema.fields :+ org.apache.spark.sql.types.StructField("h",
+            org.apache.spark.sql.types.StringType)))
+        eng.createStream("pl2_s2", corpus.schema)
+        eng.createStream("pl2_clean", corpus.schema)
+        eng.createContView("v_pl2",
+          "SELECT doc_id, count(*) AS c FROM pl2_clean GROUP BY doc_id",
+          emitChanges = false)
+        eng.sql("""CREATE VIEW pl2_g1 WITH (action = transform, sink = 'pl2_s1',
+                  |  outputfunc = dedup_gate('md5(text)', 'doc_id', 1, 'exactly_once')) AS
+                  |SELECT doc_id, text FROM pl2_in""".stripMargin)
+        eng.sql("""CREATE VIEW pl2_g2 WITH (action = transform, sink = 'pl2_s2',
+                  |  outputfunc = jaccard_gate('text', 'doc_id', 0.7, 2147483647, 1, 'exactly_once')) AS
+                  |SELECT doc_id, text FROM pl2_s1""".stripMargin)
+        eng.sql("""CREATE VIEW pl2_g3 WITH (action = transform, sink = 'pl2_clean',
+                  |  outputfunc = contamination_gate('text', 'doc_id',
+                  |                 'SELECT text FROM pl2_ref', 3, 2, 'exactly_once')) AS
+                  |SELECT doc_id, text FROM pl2_s2""".stripMargin)
+        eng
+      }
+      def feed(eng: ContViewEngine, lo: Long, hi: Long): Unit =
+        eng.insertInto("pl2_in",
+          corpus.where(col("doc_id") >= lo && col("doc_id") < hi))
+      val eng1 = setup(new ContViewEngine(s, root))
+      feed(eng1, Long.MinValue, 200L)
+      // forced crash INSIDE stage 2's epoch: its spool lands, its commit/
+      // delivery don't — and stage 1 is left mid-delivery too
+      eng1.gateOf("pl2_g2").get
+        .asInstanceOf[graft.streaming.JaccardNearDupGate].epochs.failAt =
+        "after-spool"
+      try feed(eng1, 200L, 400L)
+      catch { case e: IllegalStateException
+        if e.getMessage.startsWith("failpoint") => () }
+      // "crash": eng1 abandoned; all three gates replay from the catalog
+      // and recover their pending epochs
+      val eng2 = setup(new ContViewEngine(s, root))
+      feed(eng2, 200L, 400L) // upstream at-least-once re-feed
+      feed(eng2, 400L, Long.MaxValue)
+      eng2
+    })
+  }
+
+  /** Gate under the REAL Structured Streaming driver (q_gate_streaming):
+    * a checkpointed file-source readStream feeds the gate's input stream
+    * through [[ContViewEngine.startStreamingInto]], with an exactly-once
+    * dedup gate as the stream's reader. The query is stopped mid-stream,
+    * the ENGINE is restarted (catalog replay re-binds the gate; its
+    * bootstrap recovers the epoch spool), a new source file lands, and a
+    * NEW streaming query resumes from the SAME checkpoint — the
+    * interaction the r10 verdict called untested: Spark's foreachBatch is
+    * at-least-once under checkpoint replay, so any re-delivered batch
+    * must be fully suppressed by the gate's recovered store, and the
+    * counting CV must show every admitted doc exactly once.
+    */
+  private val gateStreamingEngines =
+    scala.collection.mutable.Map.empty[(SparkSession, String), ContViewEngine]
+
+  private def gateStreamingFor(s: SparkSession, dir: String): ContViewEngine = synchronized {
+    gateStreamingEngines.getOrElseUpdate((s, dir), {
+      val root = java.nio.file.Files.createTempDirectory("graft_cvgst").toString
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val copies = docs.where(pmod(col("doc_id"), lit(3)) === 0)
+        .select((col("doc_id") + 700000L).as("doc_id"), col("text"))
+      def setup(eng: ContViewEngine): ContViewEngine = {
+        eng.createStream("gst_in", docs.schema)
+        eng.createStream("gst_clean", org.apache.spark.sql.types.StructType(
+          docs.schema.fields :+ org.apache.spark.sql.types.StructField("h",
+            org.apache.spark.sql.types.StringType)))
+        eng.createContView("v_gst",
+          "SELECT doc_id, count(*) AS c FROM gst_clean GROUP BY doc_id",
+          emitChanges = false)
+        eng.sql("""CREATE VIEW gst_gate WITH (action = transform, sink = 'gst_clean',
+                  |  outputfunc = dedup_gate('md5(text)', 'doc_id', 1, 'exactly_once')) AS
+                  |SELECT doc_id, text FROM gst_in""".stripMargin)
+        eng
+      }
+      val srcDir = s"$root/_stream_src"
+      // two initial drops → two file-source micro-batches
+      (0 until 2).foreach { i =>
+        docs.where(pmod(col("doc_id"), lit(2)) === i)
+          .coalesce(1).write.mode("append").parquet(srcDir)
+      }
+      val eng1 = setup(new ContViewEngine(s, root))
+      def source() = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val q1 = eng1.startStreamingInto("gst_in", source())
+      try { q1.processAllAvailable() } finally q1.stop()
+      // engine restart + a third drop (exact copies of earlier content)
+      // while no query runs; the resumed query on the SAME checkpoint must
+      // process only the new file, and the replayed gate must suppress
+      // every copy against its recovered store
+      copies.coalesce(1).write.mode("append").parquet(srcDir)
+      val eng2 = setup(new ContViewEngine(s, root))
+      val q2 = eng2.startStreamingInto("gst_in", source())
+      try { q2.processAllAvailable() } finally q2.stop()
+      eng2
+    })
+  }
+
   private def dedupGateFor(s: SparkSession, dir: String): ContViewEngine = synchronized {
     gateEngines.getOrElseUpdate((s, dir), {
       val root = java.nio.file.Files.createTempDirectory("graft_cvdg").toString
@@ -1183,6 +1365,196 @@ object CvQueries {
         |ORDER BY e.event_id""".stripMargin) {
       (s, dir) => ttlGateFor(s, dir).sql(
         "SELECT event_id FROM v_ttl ORDER BY event_id")
+    },
+
+    // Gate under the REAL Structured Streaming driver (beyond-ref;
+    // reference anchor: worker.c:339-467 + test_crash_recovery.py): an
+    // exactly-once dedup gate fed by a checkpointed readStream, stopped
+    // mid-stream, engine-restarted, resumed from the same checkpoint with
+    // new (duplicate-bearing) files. No duplicate or lost forwards across
+    // the resume: every first occurrence delivered once, every copy
+    // suppressed — DuckDB recomputes first-wins with c = 1.
+    QDef(
+      "q_gate_streaming",
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 700000 AS doc_id, text
+        |  FROM documents WHERE doc_id % 3 = 0
+        |), firsts AS (
+        |  SELECT min(doc_id) AS keep FROM corpus GROUP BY md5(text)
+        |)
+        |SELECT keep AS doc_id, CAST(1 AS BIGINT) AS c FROM firsts
+        |ORDER BY doc_id""".stripMargin) {
+      (s, dir) => gateStreamingFor(s, dir).sql(
+        "SELECT doc_id, c FROM v_gst ORDER BY doc_id")
+    },
+
+    // Stacked-pipeline MONITORING (beyond-ref; the reference's
+    // stream_stats shape — stats.c:556, pipelinefuncs.c — extended with
+    // per-stage funnel attrition): graft_gate_stats reports rows_in /
+    // rows_out per gate, so the three-stage curation funnel is directly
+    // queryable. Counters are session-scoped (they restart with the
+    // engine, like the reference's proc_stats), so the mirror computes
+    // the POST-RESTART batch's funnel — stage decisions still depend on
+    // the persisted full-history stores.
+    QDef(
+      "q_gate_stats",
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id >= 20
+        |  UNION ALL
+        |  SELECT doc_id + 800000 AS doc_id, text FROM documents
+        |  WHERE doc_id >= 20 AND doc_id % 5 = 0
+        |), s1 AS (
+        |  SELECT min(doc_id) AS doc_id FROM corpus GROUP BY md5(text)
+        |), s1docs AS (
+        |  SELECT c.doc_id, c.text FROM corpus c JOIN s1 USING (doc_id)
+        |), toks AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(text, ' '), x -> x <> '') AS t
+        |  FROM s1docs
+        |), grams AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+        |                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+        |  FROM toks
+        |), inv AS (
+        |  SELECT doc_id, unnest(g) AS gram FROM grams
+        |), overlap AS (
+        |  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
+        |  FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), sizes AS (
+        |  SELECT doc_id, len(g) AS n FROM grams
+        |), nearsup AS (
+        |  SELECT DISTINCT o.j AS doc_id
+        |  FROM overlap o
+        |  JOIN sizes sa ON o.i = sa.doc_id
+        |  JOIN sizes sb ON o.j = sb.doc_id
+        |  WHERE CAST(o.inter AS DOUBLE) / (sa.n + sb.n - o.inter) >= 0.5
+        |), reftoks AS (
+        |  SELECT list_filter(regexp_split_to_array(text, ' '), x -> x <> '') AS t
+        |  FROM documents WHERE doc_id < 20
+        |), refgrams AS (
+        |  SELECT DISTINCT unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+        |                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
+        |  FROM reftoks
+        |), contaminated AS (
+        |  SELECT DISTINCT i.doc_id FROM inv i
+        |  JOIN refgrams r ON i.gram = r.gram
+        |), b3s1 AS (
+        |  SELECT doc_id FROM s1docs WHERE doc_id >= 400
+        |), b3s2 AS (
+        |  SELECT doc_id FROM b3s1
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM nearsup)
+        |), b3s3 AS (
+        |  SELECT doc_id FROM b3s2
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+        |)
+        |SELECT * FROM (
+        |  SELECT 'pl_g1' AS gate,
+        |         (SELECT count(*) FROM corpus WHERE doc_id >= 400) AS rows_in,
+        |         (SELECT count(*) FROM b3s1) AS rows_out
+        |  UNION ALL
+        |  SELECT 'pl_g2', (SELECT count(*) FROM b3s1),
+        |         (SELECT count(*) FROM b3s2)
+        |  UNION ALL
+        |  SELECT 'pl_g3', (SELECT count(*) FROM b3s2),
+        |         (SELECT count(*) FROM b3s3)
+        |) ORDER BY gate""".stripMargin) {
+      (s, dir) => pipelineFor(s, dir).sql(
+        """SELECT gate, rowsIn AS rows_in, rowsOut AS rows_out
+          |FROM graft_gate_stats WHERE gate LIKE 'pl\_g%' ORDER BY gate""".stripMargin)
+    },
+
+    // Windowed (TTL) NEAR-DUP gate (beyond-ref; reaper.c TTL semantics on
+    // the SimHash gate store): re-crawl admission — an in-window copy is
+    // suppressed, an aged-out copy admitted, and a third copy suppressed
+    // by the second's refreshed window. The oracle mirrors the window on
+    // text equality (no natural Hamming-≤3 pairs at oracle SF — see the
+    // fixture note); the feed crosses a mid-stream engine restart.
+    QDef(
+      "q_neardup_stream_ttl",
+      """WITH corpus AS (
+        |  SELECT doc_id, doc_id AS base, doc_id AS m FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, doc_id, doc_id + 30
+        |  FROM documents WHERE doc_id % 4 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, doc_id, doc_id + 100
+        |  FROM documents WHERE doc_id % 4 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, doc_id, doc_id + 130
+        |  FROM documents WHERE doc_id % 4 = 0
+        |)
+        |SELECT c.doc_id FROM corpus c
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM corpus p
+        |  WHERE p.base = c.base AND p.doc_id < c.doc_id
+        |    AND p.m > c.m - 60)
+        |ORDER BY c.doc_id""".stripMargin) {
+      (s, dir) => ndTtlGateFor(s, dir).sql(
+        "SELECT doc_id FROM v_ndttl ORDER BY doc_id")
+    },
+
+    // All-exactly-once stacked pipeline (beyond-ref; microbatch.h:33-56
+    // sync_commit parity across the WHOLE gate family): the q_gate_pipeline
+    // funnel with delivery='exactly_once' on every stage, a forced crash
+    // inside stage 2's epoch, an engine restart, and an upstream re-feed.
+    // The counting CV turns any duplicate delivery into c=2 and any loss
+    // into a missing row; DuckDB recomputes the funnel with every c = 1.
+    QDef(
+      "q_gate_pipeline_eo",
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id >= 20
+        |  UNION ALL
+        |  SELECT doc_id + 800000 AS doc_id, text FROM documents
+        |  WHERE doc_id >= 20 AND doc_id % 5 = 0
+        |), s1 AS (
+        |  SELECT min(doc_id) AS doc_id FROM corpus GROUP BY md5(text)
+        |), s1docs AS (
+        |  SELECT c.doc_id, c.text FROM corpus c JOIN s1 USING (doc_id)
+        |), toks AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(text, ' '), x -> x <> '') AS t
+        |  FROM s1docs
+        |), grams AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+        |                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+        |  FROM toks
+        |), inv AS (
+        |  SELECT doc_id, unnest(g) AS gram FROM grams
+        |), overlap AS (
+        |  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
+        |  FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), sizes AS (
+        |  SELECT doc_id, len(g) AS n FROM grams
+        |), nearsup AS (
+        |  SELECT DISTINCT o.j AS doc_id
+        |  FROM overlap o
+        |  JOIN sizes sa ON o.i = sa.doc_id
+        |  JOIN sizes sb ON o.j = sb.doc_id
+        |  WHERE CAST(o.inter AS DOUBLE) / (sa.n + sb.n - o.inter) >= 0.5
+        |), reftoks AS (
+        |  SELECT list_filter(regexp_split_to_array(text, ' '), x -> x <> '') AS t
+        |  FROM documents WHERE doc_id < 20
+        |), refgrams AS (
+        |  SELECT DISTINCT unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+        |                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
+        |  FROM reftoks
+        |), contaminated AS (
+        |  SELECT DISTINCT i.doc_id FROM inv i
+        |  JOIN refgrams r ON i.gram = r.gram
+        |)
+        |SELECT s.doc_id, CAST(1 AS BIGINT) AS c FROM s1docs s
+        |LEFT JOIN nearsup ns ON s.doc_id = ns.doc_id
+        |LEFT JOIN contaminated ct ON s.doc_id = ct.doc_id
+        |WHERE ns.doc_id IS NULL AND ct.doc_id IS NULL
+        |ORDER BY s.doc_id""".stripMargin) {
+      (s, dir) => pipelineEoFor(s, dir).sql(
+        "SELECT doc_id, c FROM v_pl2 ORDER BY doc_id")
     },
 
     // Stacked-gate pipeline (beyond-ref; the osrel-chaining surface —

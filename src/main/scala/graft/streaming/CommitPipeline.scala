@@ -1,0 +1,119 @@
+package graft.streaming
+
+import java.util.concurrent.{ConcurrentHashMap, ExecutionException, Executors, Future => JFuture}
+
+/** One-deep commit pipeline for a gate's at-least-once batch path: the
+  * store appends + compaction of batch N run on a dedicated thread while
+  * the producer prepares (and the gate collects) batch N+1 — the two
+  * halves of the per-batch cost the gate family's synchronous loop used to
+  * serialize (reference analogue: the worker proc's overlap of the next
+  * microbatch read with the previous commit, worker.c:339-467).
+  *
+  * The contract that keeps decisions exact:
+  *   - the gate DRAINS the pipeline before every decision
+  *     ([[drain]] precedes `decideBatch`), so batch N+1's suppression math
+  *     always sees batch N's resident/index/filter updates — decisions
+  *     still serialize on the store state, only the durability work
+  *     overlaps;
+  *   - sink delivery stays synchronous and BEFORE the deferred append
+  *     (the family's at-least-once ordering is unchanged — the window in
+  *     which a crash loses un-appended fingerprints grows by at most one
+  *     batch, the same class of loss the ordering already accepts);
+  *   - exactly-once gates never defer: the epoch spool is the commit
+  *     point and runs inline.
+  *
+  * Same-JVM restart fixtures (an engine "crash" that abandons the old
+  * instance without killing the process) drain by STORE ROOT at bootstrap
+  * ([[CommitPipeline.drainRoots]]): a real crash would simply lose the
+  * in-flight append (at-least-once), but two live instances of the same
+  * store must never interleave an append with a bootstrap read.
+  */
+private[graft] final class CommitPipeline(name: String,
+    roots: Seq[String]) {
+
+  private val pool = Executors.newSingleThreadExecutor(
+    new java.util.concurrent.ThreadFactory {
+      def newThread(r: Runnable): Thread = {
+        val t = new Thread(r, s"graft-gate-commit-$name")
+        t.setDaemon(true)
+        t
+      }
+    })
+  @volatile private var worker: Thread = null
+  @volatile private var last: JFuture[_] = null
+
+  /** Queue the durability half of a batch; returns immediately. Tasks run
+    * in submit order on one thread — commits never reorder. */
+  def submit(task: () => Unit): Unit = {
+    val f = pool.submit(new Runnable {
+      def run(): Unit = { worker = Thread.currentThread(); task() }
+    })
+    last = f
+    roots.foreach(CommitPipeline.inFlight.put(_, f))
+  }
+
+  /** Block until every queued commit is durable; rethrows the first
+    * failure (so an append error surfaces on the NEXT batch / compact /
+    * seed instead of vanishing). Must be called BEFORE taking the gate
+    * monitor — the running task takes it per commit hook. No-op from the
+    * pipeline's own thread (compaction cadence runs inside a task). */
+  def drain(): Unit = {
+    if (Thread.currentThread() eq worker) return
+    val f = last
+    if (f == null) return
+    try { f.get(); () }
+    catch { case e: ExecutionException => throw e.getCause }
+  }
+}
+
+private[graft] object CommitPipeline {
+  /** Kill switch for A/B probes: GRAFT_GATE_PIPELINE=0 restores the fully
+    * synchronous batch loop. */
+  val enabled: Boolean = !sys.env.get("GRAFT_GATE_PIPELINE").contains("0")
+
+  private val inFlight = new ConcurrentHashMap[String, JFuture[_]]()
+
+  /** Bootstrap-time cross-instance barrier: wait out any commit a PREVIOUS
+    * gate instance still has in flight against these store roots. A
+    * failure there is the abandoned instance's crash, not ours — log and
+    * bootstrap from whatever is durable (at-least-once). */
+  def drainRoots(roots: Seq[String]): Unit = roots.foreach { r =>
+    val f = inFlight.get(r)
+    if (f != null) {
+      try { f.get(); () }
+      catch {
+        case e: ExecutionException =>
+          System.err.println(
+            s"[graft] abandoned gate instance's deferred commit on $r " +
+              s"failed (${e.getCause.getMessage}); bootstrapping from the " +
+              "durable store")
+        case _: InterruptedException => Thread.currentThread().interrupt()
+      }
+      inFlight.remove(r, f)
+      ()
+    }
+  }
+
+  /** Drop-path barrier: join any deferred commit against a store root
+    * UNDER `dir` (the engine deletes root/<gate>/ wholesale and only knows
+    * the directory — Scala-API gates aren't in its gates map). Failures
+    * are logged, not rethrown: the store is being deleted anyway. */
+  def drainUnder(dir: String): Unit = {
+    val prefix = if (dir.endsWith("/")) dir else dir + "/"
+    val it = inFlight.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey == dir || e.getKey.startsWith(prefix)) {
+        try { e.getValue.get(); () }
+        catch {
+          case ex: ExecutionException =>
+            System.err.println(s"[graft] dropping ${e.getKey}: deferred " +
+              s"commit failed (${ex.getCause.getMessage}); store is being " +
+              "deleted anyway")
+          case _: InterruptedException => Thread.currentThread().interrupt()
+        }
+        it.remove()
+      }
+    }
+  }
+}

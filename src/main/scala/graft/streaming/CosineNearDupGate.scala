@@ -65,10 +65,12 @@ final class CosineNearDupGate private (
     compactEvery: Int,
     shardId: Int,
     shardCount: Int,
-    delivery: String)
+    delivery: String,
+    ttlMillis: Long,
+    ttlColumn: String)
   extends IndexedNearDupGate[Array[Double]](eng, name, orderCol, sink,
     embDir, idxDir, "embs", "v", bloomP, bloomN0, maxBucketSize, compactEvery,
-    shardId, shardCount, delivery) {
+    shardId, shardCount, delivery, ttlMillis, ttlColumn) {
 
   override protected def obsPrefix: String = "cosgate"
 
@@ -226,7 +228,8 @@ object CosineNearDupGate {
       bloomP: Double = 0.01, bloomN: Int = 1 << 20,
       maxBucketSize: Int = Int.MaxValue,
       compactEvery: Int = 256,
-      delivery: String = StreamDedupGate.AtLeastOnce): CosineNearDupGate = {
+      delivery: String = StreamDedupGate.AtLeastOnce,
+      ttlMillis: Long = 0L, ttlColumn: String = ""): CosineNearDupGate = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"cosine gate threshold must be in (0, 1], got $threshold")
     val (autoT, autoB) =
@@ -251,10 +254,12 @@ object CosineNearDupGate {
     Files.createDirectories(embDir)
     Files.createDirectories(idxDir)
     GateStore.stampGeometry(idxDir,
-      s"cosine_d${dim}_t${autoT}_b${autoB}_s${seed}_sk64")
+      s"cosine_d${dim}_t${autoT}_b${autoB}_s${seed}_sk64" +
+        (if (ttlMillis > 0) "_ttl" else ""))
     val gate = new CosineNearDupGate(eng, name, embSql, orderCol, sink,
       embDir, idxDir, threshold, dim, autoT, autoB, seed,
-      bloomP, bloomN, maxBucketSize, compactEvery, 0, 1, delivery)
+      bloomP, bloomN, maxBucketSize, compactEvery, 0, 1, delivery,
+      ttlMillis, ttlColumn)
     gate.bootstrap()
     eng.createContTransform(name, selectSql,
       outputFunc = Some(gate.onBatch _), emitChanges = false)
@@ -278,7 +283,8 @@ object CosineNearDupGate {
       bloomP: Double = 0.01, bloomN: Int = 1 << 20,
       maxBucketSize: Int = Int.MaxValue,
       compactEvery: Int = 256,
-      delivery: String = StreamDedupGate.AtLeastOnce): ShardedNearDupGate = {
+      delivery: String = StreamDedupGate.AtLeastOnce,
+      ttlMillis: Long = 0L, ttlColumn: String = ""): ShardedNearDupGate = {
     require(shards >= 2, s"use create() for an unsharded gate (shards=$shards)")
     require(threshold > 0.0 && threshold <= 1.0,
       s"cosine gate threshold must be in (0, 1], got $threshold")
@@ -298,11 +304,12 @@ object CosineNearDupGate {
       val idxDir = root.resolve(s"s${k}of$shards").resolve("seen_keys")
       Files.createDirectories(idxDir)
       GateStore.stampGeometry(idxDir,
-        s"cosine_d${dim}_t${autoT}_b${autoB}_s${seed}_sk64")
+        s"cosine_d${dim}_t${autoT}_b${autoB}_s${seed}_sk64" +
+          (if (ttlMillis > 0) "_ttl" else ""))
       val core = new CosineNearDupGate(eng, name, embSql, orderCol, sink,
         embDir, idxDir, threshold, dim, autoT, autoB, seed,
         bloomP, bloomN, maxBucketSize, compactEvery, k, shards,
-        graft.streaming.StreamDedupGate.AtLeastOnce)
+        graft.streaming.StreamDedupGate.AtLeastOnce, ttlMillis, ttlColumn)
       core.bootstrap()
       core
     }

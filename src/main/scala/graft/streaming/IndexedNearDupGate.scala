@@ -112,6 +112,19 @@ private[streaming] abstract class IndexedNearDupGate[P](
   private[graft] lazy val epochs = new GateEpochs(eng, name, sink,
     payloadDir.getParent.resolve("spool"), Seq(this), dropCols = Seq("__p"))
 
+  private[streaming] override def storeRoots: Seq[String] =
+    Seq(idxDir.toString) ++
+      (if (writesPayload) Seq(payloadDir.toString) else Nil)
+  /** Deferred-commit pipeline (at-least-once unsharded batches): store
+    * appends + compaction of batch N overlap batch N+1's prepare/collect;
+    * [[CommitPipeline]] documents the ordering contract. */
+  private val pipeline = new CommitPipeline(s"$name-$shardId", storeRoots)
+  private val ingestLock = new Object
+
+  /** Barrier for callers about to read or delete the durable stores
+    * (engine drop path, probes): joins any deferred commit. */
+  private[graft] def drainCommits(): Unit = pipeline.drain()
+
   /** The payload column (nullable → row passes through unstored) computed
     * over the transform's projected columns, named `__p`. */
   protected def payloadCol: Column
@@ -302,7 +315,15 @@ private[streaming] abstract class IndexedNearDupGate[P](
     else filter(ks, (_, i) => i % lit(shardCount) === lit(shardId))
   }
 
-  private[streaming] def bootstrap(): Unit = synchronized {
+  private[streaming] def bootstrap(): Unit = {
+    // same-JVM restart fixtures: wait out any deferred commit an abandoned
+    // instance of this store still has in flight (a real crash would just
+    // lose it — at-least-once)
+    CommitPipeline.drainRoots(storeRoots)
+    bootstrapLocked()
+  }
+
+  private def bootstrapLocked(): Unit = synchronized {
     val files = GateStore.files(idxDir)
     if (shardCount == 1 && files.isEmpty && GateStore.files(payloadDir).nonEmpty)
       throw new IllegalStateException(
@@ -332,6 +353,14 @@ private[streaming] abstract class IndexedNearDupGate[P](
     }
     batches = math.max(GateStore.maxBatch(idxDir, "keys"),
       if (writesPayload) GateStore.maxBatch(payloadDir, payloadPrefix) else 0L)
+    if (ttlEnabled) {
+      val fs = GateStore.files(idxDir)
+      if (fs.nonEmpty) {
+        val r = eng.spark.read.parquet(fs: _*)
+          .agg(max(unix_micros(col("ts")))).collect()(0)
+        if (!r.isNullAt(0)) maxSeenTsMicros = r.getLong(0)
+      }
+    }
     rebuildResident() // restart resumes the hot tier from the stores
     if (exactlyOnce && shardCount == 1) {
       // store half only — sink delivery at the next batch head (the DDL
@@ -343,7 +372,12 @@ private[streaming] abstract class IndexedNearDupGate[P](
 
   /** Append pre-keyed rows straight into the seen-stores (bloom/CMS
     * updated, nothing forwarded) — the scale-probe's seeding hook. */
-  private[graft] def seedStore(rows: DataFrame): Unit = synchronized {
+  private[graft] def seedStore(rows: DataFrame): Unit = {
+    pipeline.drain() // no interleaving with a deferred batch commit
+    seedStoreLocked(rows)
+  }
+
+  private def seedStoreLocked(rows: DataFrame): Unit = synchronized {
     batches += 1
     val keyed = rows.withColumn("__p", payloadCol)
       .where(col("__p").isNotNull && col(orderCol).isNotNull)
@@ -540,9 +574,18 @@ private[streaming] abstract class IndexedNearDupGate[P](
               var b = a + 1
               while (b < list.size) {
                 val (ia, ib) = (list.get(a), list.get(b))
+                // windowed mode: the EARLIER arrival (by orderCol) is the
+                // suppressor, and only if its event time falls inside the
+                // target's trailing window
+                @inline def inWindow(sup: Int, tgt: Int): Boolean =
+                  !ttlEnabled ||
+                    collected.tss(sup) > collected.tss(tgt) - ttlMicros
                 if (similar(rows(ia)._2, rows(ib)._2)) {
-                  if (GateStore.lt(rows(ia)._1, rows(ib)._1)) suppressedSet.add(rows(ib)._1)
-                  else if (GateStore.lt(rows(ib)._1, rows(ia)._1)) suppressedSet.add(rows(ia)._1)
+                  if (GateStore.lt(rows(ia)._1, rows(ib)._1)) {
+                    if (inWindow(ia, ib)) { suppressedSet.add(rows(ib)._1); () }
+                  } else if (GateStore.lt(rows(ib)._1, rows(ia)._1)) {
+                    if (inWindow(ib, ia)) { suppressedSet.add(rows(ia)._1); () }
+                  }
                 }
                 b += 1
               }
@@ -552,10 +595,13 @@ private[streaming] abstract class IndexedNearDupGate[P](
         }
       }
       val pairs = new java.util.HashMap[Any, java.util.HashSet[Integer]]()
+      val storeTs: java.util.HashMap[Any, java.lang.Long] =
+        if (ttlEnabled) new java.util.HashMap[Any, java.lang.Long]() else null
       if (resident.active) {
         // hot tier: the whole phase-1 candidate generation is in-memory
         // lookups — O(batch keys · log store), zero store reads; the
-        // sketch prefilter applies in place
+        // sketch prefilter applies in place, and windowed mode prunes
+        // out-of-window candidates before they ever reach phase 2
         traced("phase1-resident") {
           var i = 0
           while (i < rows.length) {
@@ -563,8 +609,12 @@ private[streaming] abstract class IndexedNearDupGate[P](
             rowKeys(ri).foreach { b =>
               if (!overCapSet.contains(b))
                 resident.foreachMatch(b) { (sk, ord) =>
-                  if (rowSks == null || sketchAdmissible(rowSks(ri), sk)) {
-                    pairs.computeIfAbsent(residentIds(ord),
+                  if ((rowSks == null || sketchAdmissible(rowSks(ri), sk)) &&
+                      (!ttlEnabled ||
+                        residentTs(ord) > collected.tss(ri) - ttlMicros)) {
+                    val id = residentIds(ord)
+                    if (ttlEnabled) storeTs.put(id, residentTs(ord))
+                    pairs.computeIfAbsent(id,
                       _ => new java.util.HashSet[Integer]()).add(ri)
                     ()
                   }
@@ -573,8 +623,10 @@ private[streaming] abstract class IndexedNearDupGate[P](
             i += 1
           }
         }
-      } else diskPhase1(s, keyed, rows, rowKeys, rowSks, overCapSet, pairs)
-      new BatchCtx(keyed, rows, rowKeys, rowSks, suppressedSet, pairs)
+      } else diskPhase1(s, keyed, rows, rowKeys, rowSks, overCapSet, pairs,
+        storeTs)
+      new BatchCtx(keyed, rows, rowKeys, rowSks, suppressedSet, pairs,
+        collected.tss, storeTs)
     } }
 
   /** Phase 1 against the on-disk index (the resident tier inactive):
@@ -584,7 +636,8 @@ private[streaming] abstract class IndexedNearDupGate[P](
       keyed: DataFrame, rows: Array[(Any, P)],
       rowKeys: Array[Array[Long]], rowSks: Array[Long],
       overCapSet: java.util.HashSet[java.lang.Long],
-      pairs: java.util.HashMap[Any, java.util.HashSet[Integer]]): Unit = {
+      pairs: java.util.HashMap[Any, java.util.HashSet[Integer]],
+      storeTs: java.util.HashMap[Any, java.lang.Long]): Unit = {
       val idxF = GateStore.storeFiles(idxDir)
       // candidate map: bloom-positive under-cap bucket -> batch row indices
       val candByBucket =
@@ -624,7 +677,9 @@ private[streaming] abstract class IndexedNearDupGate[P](
         val idxBytes = idxPaths.map(p => new java.io.File(p).length()).sum
         val idxReadCols =
           Seq(col("bucket"), col("id")) ++
-            (if (rowSks == null) Nil else Seq(col("sk")))
+            (if (rowSks == null) Nil else Seq(col("sk"))) ++
+            (if (ttlEnabled) Seq(unix_micros(col("ts"))) else Nil)
+        val tsPos = idxReadCols.length - 1
         if (keyPush && idxBytes <= GateStore.maxDriverVerifyBytes) traced("phase1") {
           val fetched = GateStore.withInPushdown(s, hitKeys.length)(
             s.read.parquet(idxPaths: _*)
@@ -643,9 +698,11 @@ private[streaming] abstract class IndexedNearDupGate[P](
                 while (k < cands.size) {
                   val i = cands.get(k)
                   if (rowSks == null || sketchAdmissible(rowSks(i), r.getLong(2))) {
-                    if (set == null)
+                    if (set == null) {
                       set = pairs.computeIfAbsent(r.get(1),
                         _ => new java.util.HashSet[Integer]())
+                      if (ttlEnabled) storeTs.put(r.get(1), r.getLong(tsPos))
+                    }
                     set.add(i); ()
                   }
                   k += 1
@@ -681,11 +738,14 @@ private[streaming] abstract class IndexedNearDupGate[P](
           val joined0 = broadcast(hitDf).join(idx, Seq("bucket"))
           val joined = if (rowSks == null) joined0
             else joined0.where(sketchAdmissibleCol(col("__rsk"), col("sk")))
+          val selCols = Seq(col("__ri"), col("id")) ++
+            (if (ttlEnabled) Seq(unix_micros(col("ts")).as("__ts")) else Nil)
           GateStore.withInPushdown(s, hitKeys.length)(
-            joined.select(col("__ri"), col("id"))
+            joined.select(selCols: _*)
               .distinct().collect()).foreach { r =>
               pairs.computeIfAbsent(r.get(1),
                 _ => new java.util.HashSet[Integer]()).add(r.getInt(0))
+              if (ttlEnabled) storeTs.put(r.get(1), r.getLong(2))
               ()
             }
         }
@@ -705,15 +765,28 @@ private[streaming] abstract class IndexedNearDupGate[P](
     val out = new java.util.HashSet[Any]()
     val first = ctxs.head.asInstanceOf[BatchCtx]
     val rows = first.rows
+    val rowTs = first.rowTs
     val pairs = new java.util.HashMap[Any, java.util.HashSet[Integer]]()
+    val storeTs = new java.util.HashMap[Any, java.lang.Long]()
     ctxs.foreach { c =>
-      c.asInstanceOf[BatchCtx].pairs.forEach { (id, ris) =>
+      val ctx = c.asInstanceOf[BatchCtx]
+      ctx.pairs.forEach { (id, ris) =>
         pairs.computeIfAbsent(id, _ => new java.util.HashSet[Integer]())
           .addAll(ris)
         ()
       }
+      if (ctx.storeTs != null) storeTs.putAll(ctx.storeTs)
     }
     if (pairs.isEmpty) return out
+    // windowed mode: a candidate only suppresses rows whose trailing
+    // window contains its stored event time (same check all three verify
+    // paths apply — the resident phase-1 already prefiltered, re-checking
+    // is free; the disk paths may not have)
+    @inline def winOk(id: Any, i: Int): Boolean =
+      !ttlEnabled || {
+        val t = storeTs.get(id)
+        t != null && t.longValue > rowTs(i) - ttlMicros
+      }
     // hot tier first: candidates whose payload is pooled verify in memory
     // (stored-precision round trip identical to the disk fetch); only the
     // remainder — none, while the pool is active and in sync — pays a read
@@ -725,7 +798,8 @@ private[streaming] abstract class IndexedNearDupGate[P](
         if (pr != null) {
           val pS = payloadOfResident(pr)
           e.getValue.forEach { i =>
-            if (rows(i)._1 != null && similar(rows(i)._2, pS)) out.add(rows(i)._1)
+            if (rows(i)._1 != null && winOk(e.getKey, i) &&
+                similar(rows(i)._2, pS)) out.add(rows(i)._1)
             ()
           }
           it.remove()
@@ -758,7 +832,8 @@ private[streaming] abstract class IndexedNearDupGate[P](
               // a null order id can never be suppressed (nothing can
               // target it downstream) — it passes through, matching
               // the documented null semantics of every gate filter
-              if (rows(i)._1 != null && similar(rows(i)._2, pS))
+              if (rows(i)._1 != null && winOk(r.get(0), i) &&
+                  similar(rows(i)._2, pS))
                 out.add(rows(i)._1)
               ()
             }
@@ -776,7 +851,7 @@ private[streaming] abstract class IndexedNearDupGate[P](
       val riSet = new java.util.HashSet[Integer]()
       pairs.forEach { (idS, ris) =>
         ris.forEach { i =>
-          if (rows(i)._1 != null) {
+          if (rows(i)._1 != null && winOk(idS, i)) {
             candRows.add(Row(idS, i.intValue)); riSet.add(i); ()
           }
         }
@@ -817,13 +892,24 @@ private[streaming] abstract class IndexedNearDupGate[P](
         val idType =
           ctx.keyed.schema(ctx.keyed.schema.fieldIndex(orderCol)).dataType
         val pay = new java.util.ArrayList[Row](ctx.rows.length)
-        ctx.rows.foreach(r => { pay.add(Row(r._1, storedPayloadOf(r._2))); () })
+        var pi = 0
+        while (pi < ctx.rows.length) {
+          val r = ctx.rows(pi)
+          pay.add(
+            if (!ttlEnabled) Row(r._1, storedPayloadOf(r._2))
+            else Row(r._1, storedPayloadOf(r._2), microsToTs(ctx.rowTs(pi))))
+          pi += 1
+        }
+        val payFields = Seq(
+          org.apache.spark.sql.types.StructField("id", idType),
+          org.apache.spark.sql.types.StructField(payloadColName,
+            storedPayloadType)) ++
+          (if (!ttlEnabled) Nil
+           else Seq(org.apache.spark.sql.types.StructField("ts",
+             org.apache.spark.sql.types.TimestampType)))
         GateStore.append(
           coreSession.createDataFrame(pay,
-            org.apache.spark.sql.types.StructType(Seq(
-              org.apache.spark.sql.types.StructField("id", idType),
-              org.apache.spark.sql.types.StructField(payloadColName,
-                storedPayloadType)))),
+            org.apache.spark.sql.types.StructType(payFields)),
           payloadDir, payloadPrefix, batches, sortCol = Some("id"))
         // hot-tier mirror (skip when stale: the pending rebuild re-reads
         // the store, which now includes this append)
@@ -845,10 +931,13 @@ private[streaming] abstract class IndexedNearDupGate[P](
           ctx.rowKeys.iterator.map(_.length).sum)
         var i = 0
         while (i < ctx.rows.length) {
+          val tsOrNull: Any =
+            if (!ttlEnabled) null else microsToTs(ctx.rowTs(i))
           ctx.rowKeys(i).foreach(b => {
-            idx.add(
-              if (ctx.rowSks == null) Row(b, ctx.rows(i)._1)
-              else Row(b, ctx.rows(i)._1, ctx.rowSks(i)))
+            val base: Seq[Any] = Seq(b, ctx.rows(i)._1) ++
+              (if (ctx.rowSks == null) Nil else Seq(ctx.rowSks(i))) ++
+              (if (!ttlEnabled) Nil else Seq(tsOrNull))
+            idx.add(Row(base: _*))
             ()
           })
           i += 1
@@ -859,7 +948,10 @@ private[streaming] abstract class IndexedNearDupGate[P](
           org.apache.spark.sql.types.StructField("id", idType)) ++
           (if (ctx.rowSks == null) Nil
            else Seq(org.apache.spark.sql.types.StructField("sk",
-             org.apache.spark.sql.types.LongType, nullable = false)))
+             org.apache.spark.sql.types.LongType, nullable = false))) ++
+          (if (!ttlEnabled) Nil
+           else Seq(org.apache.spark.sql.types.StructField("ts",
+             org.apache.spark.sql.types.TimestampType)))
         if (!idx.isEmpty) {
           val schema = org.apache.spark.sql.types.StructType(idxFields)
           // driver-direct parquet write — no Spark job (see appendLocal);
@@ -877,10 +969,18 @@ private[streaming] abstract class IndexedNearDupGate[P](
             if (ctx.rowKeys(i).nonEmpty) {
               val ord = residentIds.length
               residentIds += ctx.rows(i)._1
+              if (ttlEnabled) residentTs += ctx.rowTs(i)
               resident.addExtraBytes(48)
               val sk = if (ctx.rowSks == null) 0L else ctx.rowSks(i)
               ctx.rowKeys(i).foreach(b => { resident.add(b, sk, ord); () })
             }
+            i += 1
+          }
+        }
+        if (ttlEnabled) {
+          var i = 0
+          while (i < ctx.rows.length) {
+            if (ctx.rowTs(i) > maxSeenTsMicros) maxSeenTsMicros = ctx.rowTs(i)
             i += 1
           }
         }
@@ -893,22 +993,28 @@ private[streaming] abstract class IndexedNearDupGate[P](
 
   private[streaming] def compactNow(): Unit = compact()
 
-  private[streaming] def onBatch(batch: DataFrame): Unit = synchronized { traced("onbatch-total") {
-    if (exactlyOnce) epochs.recoverPending()
+  private[streaming] def onBatch(batch: DataFrame): Unit = ingestLock.synchronized { traced("onbatch-total") {
+    if (exactlyOnce) { pipeline.drain(); synchronized(epochs.recoverPending()) }
     val obs = new org.apache.spark.sql.Observation(
-      s"${obsPrefix}_${name}_${batches + 1}")
+      s"${obsPrefix}_${name}_${System.nanoTime()}")
     val keyed = prepareBatch(batch, Some(obs))
+    var deferred = false
     try {
+      // prepare + collect run OUTSIDE the gate monitor: they are pure
+      // per-batch math, and this is where they overlap the previous
+      // batch's deferred store commit (CommitPipeline)
       val rows = collectBatchRows(keyed)
+      pipeline.drain() // decisions serialize on the committed store state
       val ctx = decideBatch(keyed, rows).asInstanceOf[BatchCtx]
       ctx.sup.addAll(verifySharedPairs(Seq(ctx)))
       val total = obs.get("rows").asInstanceOf[Long]
       val n = total - ctx.sup.size
-      admitted += n
-      suppressed += total - n
-      if (exactlyOnce) {
+      synchronized { admitted += n; suppressed += total - n }
+      if (exactlyOnce) synchronized {
         // epoch protocol (GateEpochs): spool is THE commit point; store
-        // appends and the sink delivery replay from it after any crash
+        // appends and the sink delivery replay from it after any crash —
+        // the spool ordering is the batch's durability, so exactly-once
+        // never defers
         val epoch = batches // decideBatch advanced it to this batch
         epochs.failpoint("before-spool")
         epochs.spool(epoch, keyed, admittedCol(ctx.sup))
@@ -921,24 +1027,48 @@ private[streaming] abstract class IndexedNearDupGate[P](
         // sink BEFORE store append (at-least-once under failure-retry —
         // see StreamDedupGate's delivery contract)
         if (n > 0) eng.insertInto(sink, survivorsOf(keyed, ctx.sup))
-        commitPayloadBatch(ctx)
-        commitIndexBatch(ctx)
+        if (CommitPipeline.enabled) {
+          deferred = true
+          pipeline.submit { () =>
+            try { commitPayloadBatch(ctx); commitIndexBatch(ctx); maybeCompact() }
+            finally { keyed.unpersist(); () }
+          }
+        } else { commitPayloadBatch(ctx); commitIndexBatch(ctx) }
       }
-    } finally keyed.unpersist()
-    maybeCompact()
+    } finally { if (!deferred) { keyed.unpersist(); () } }
+    if (!deferred) maybeCompact()
   } }
 
   /** Fold both stores into range shards — the index by bucket, the
     * payloads by id — and regrow the driver bloom when the index outgrew
     * its design size, so the fast path survives unbounded streams.
     * Crash-safe without a manifest (duplicated rows change nothing). */
-  def compact(): Unit = synchronized {
+  def compact(): Unit = {
+    pipeline.drain() // no fold under a still-in-flight append (no-op on
+    // the pipeline's own thread — the cadence fold runs inside the task)
+    compactLocked()
+  }
+
+  private def compactLocked(): Unit = synchronized {
+    // windowed mode: fold-time reap of rows older than (max seen ts − ttl)
+    // on BOTH stores, mirrored into the resident tier — the state is
+    // bounded by the window, not the stream's lifetime (reaper.c:49-352)
+    val reap: Option[Column] =
+      if (ttlEnabled && maxSeenTsMicros != Long.MinValue)
+        Some(col("ts") > lit(microsToTs(maxSeenTsMicros - ttlMicros)))
+      else None
+    val tsCols = if (ttlEnabled) Seq("ts") else Nil
     if (writesPayload) GateStore.compact(eng.spark, payloadDir, payloadPrefix,
-      Seq("id", payloadColName), batches, sortCol = Some("id"))
+      Seq("id", payloadColName) ++ tsCols, batches, sortCol = Some("id"),
+      rowFilter = reap)
     val idxCols = Seq("bucket", "id") ++
-      (if (sketchColOf.isEmpty) Nil else Seq("sk"))
+      (if (sketchColOf.isEmpty) Nil else Seq("sk")) ++ tsCols
     val n = GateStore.compact(eng.spark, idxDir, "keys", idxCols,
-      batches, sortCol = Some("bucket"))
+      batches, sortCol = Some("bucket"), rowFilter = reap)
+    if (ttlEnabled && maxSeenTsMicros != Long.MinValue) {
+      val cutoff = maxSeenTsMicros - ttlMicros
+      resident.retain((_, ord) => ord >= 0 && residentTs(ord) > cutoff)
+    }
     if (n > bloomN) {
       bloomN = GateStore.bloomSizeFor(n, bloomN)
       System.err.println(s"[graft] ${getClass.getSimpleName}($name): index at " +

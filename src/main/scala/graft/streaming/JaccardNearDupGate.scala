@@ -53,10 +53,12 @@ final class JaccardNearDupGate private (
     compactEvery: Int,
     shardId: Int,
     shardCount: Int,
-    delivery: String)
+    delivery: String,
+    ttlMillis: Long,
+    ttlColumn: String)
   extends IndexedNearDupGate[Array[Long]](eng, name, orderCol, sink,
     sigDir, idxDir, "sigs", "sig", bloomP, bloomN0, maxBucketSize, compactEvery,
-    shardId, shardCount, delivery) {
+    shardId, shardCount, delivery, ttlMillis, ttlColumn) {
 
   override protected def obsPrefix: String = "jacgate"
   override protected def payloadCol: Column =
@@ -163,7 +165,8 @@ object JaccardNearDupGate {
       bloomP: Double = 0.01, bloomN: Int = 1 << 20,
       maxBucketSize: Int = Int.MaxValue,
       compactEvery: Int = 256,
-      delivery: String = StreamDedupGate.AtLeastOnce): JaccardNearDupGate = {
+      delivery: String = StreamDedupGate.AtLeastOnce,
+      ttlMillis: Long = 0L, ttlColumn: String = ""): JaccardNearDupGate = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"jaccard gate threshold must be in (0, 1], got $threshold")
     val recall = recallEstimate(threshold, numBands, rowsPerBand)
@@ -183,10 +186,12 @@ object JaccardNearDupGate {
     // band keys and signatures are pure functions of the shingle/banding
     // geometry — refuse a silently-mismatched reopen
     GateStore.stampGeometry(idxDir,
-      s"jaccard_n${shingleN}_nb${numBands}_r${rowsPerBand}_sk64")
+      s"jaccard_n${shingleN}_nb${numBands}_r${rowsPerBand}_sk64" +
+        (if (ttlMillis > 0) "_ttl" else ""))
     val gate = new JaccardNearDupGate(eng, name, textSql, orderCol, sink,
       sigDir, idxDir, threshold, shingleN, numBands, rowsPerBand,
-      bloomP, bloomN, maxBucketSize, compactEvery, 0, 1, delivery)
+      bloomP, bloomN, maxBucketSize, compactEvery, 0, 1, delivery,
+      ttlMillis, ttlColumn)
     gate.bootstrap()
     eng.createContTransform(name, selectSql,
       outputFunc = Some(gate.onBatch _), emitChanges = false)
@@ -207,7 +212,8 @@ object JaccardNearDupGate {
       bloomP: Double = 0.01, bloomN: Int = 1 << 20,
       maxBucketSize: Int = Int.MaxValue,
       compactEvery: Int = 256,
-      delivery: String = StreamDedupGate.AtLeastOnce): ShardedNearDupGate = {
+      delivery: String = StreamDedupGate.AtLeastOnce,
+      ttlMillis: Long = 0L, ttlColumn: String = ""): ShardedNearDupGate = {
     require(shards >= 2, s"use create() for an unsharded gate (shards=$shards)")
     require(threshold > 0.0 && threshold <= 1.0,
       s"jaccard gate threshold must be in (0, 1], got $threshold")
@@ -227,11 +233,12 @@ object JaccardNearDupGate {
       val idxDir = root.resolve(s"s${k}of$shards").resolve("seen_keys")
       Files.createDirectories(idxDir)
       GateStore.stampGeometry(idxDir,
-        s"jaccard_n${shingleN}_nb${numBands}_r${rowsPerBand}_sk64")
+        s"jaccard_n${shingleN}_nb${numBands}_r${rowsPerBand}_sk64" +
+          (if (ttlMillis > 0) "_ttl" else ""))
       val core = new JaccardNearDupGate(eng, name, textSql, orderCol, sink,
         sigDir, idxDir, threshold, shingleN, numBands, rowsPerBand,
         bloomP, bloomN, maxBucketSize, compactEvery, k, shards,
-        StreamDedupGate.AtLeastOnce)
+        StreamDedupGate.AtLeastOnce, ttlMillis, ttlColumn)
       core.bootstrap()
       core
     }

@@ -56,6 +56,9 @@ private[streaming] trait ShardableGateCore {
   private[streaming] def maybeCompact(): Unit
   private[streaming] def compactNow(): Unit
   private[graft] def seedStore(rows: DataFrame): Unit
+  /** The core's durable store directories — the [[CommitPipeline]]
+    * cross-instance drain keys (same-JVM restart fixtures). */
+  private[streaming] def storeRoots: Seq[String] = Nil
 }
 
 /** G key-slice cores of one near-dup gate running each batch's suppression
@@ -156,13 +159,27 @@ final class ShardedNearDupGate private[streaming] (
       out
     }
 
-  private[streaming] def onBatch(batch: DataFrame): Unit = synchronized { traced("sh-total") {
-    if (exactlyOnce) epochs.recoverPending()
-    batches += 1
-    val obs = new org.apache.spark.sql.Observation(s"shgate_${name}_$batches")
+  /** Deferred-commit pipeline (at-least-once batches; [[CommitPipeline]]
+    * documents the ordering contract): ONE wrapper-level task per batch —
+    * the cores' appends of batch N overlap batch N+1's prepare/collect,
+    * while decides still serialize on the committed store state. */
+  private val pipeline =
+    new CommitPipeline(s"sh-$name", cores.flatMap(_.storeRoots).distinct)
+  private val ingestLock = new Object
+
+  /** Barrier for callers about to read or delete the durable stores
+    * (engine drop path, probes): joins any deferred commit. */
+  private[graft] def drainCommits(): Unit = pipeline.drain()
+
+  private[streaming] def onBatch(batch: DataFrame): Unit = ingestLock.synchronized { traced("sh-total") {
+    if (exactlyOnce) { pipeline.drain(); epochs.recoverPending() }
+    val epoch0 = synchronized { batches += 1; batches }
+    val obs = new org.apache.spark.sql.Observation(s"shgate_${name}_$epoch0")
     val keyed = cores.head.prepareBatch(batch, Some(obs))
+    var deferred = false
     try {
       val rows = traced("sh-collect")(cores.head.collectBatchRows(keyed))
+      pipeline.drain() // decisions serialize on the committed store state
       val ctxs = traced("sh-decide")(
         inPool(cores.map(c => () => c.decideBatch(keyed, rows))))
       val sup = new java.util.HashSet[Any]()
@@ -172,12 +189,12 @@ final class ShardedNearDupGate private[streaming] (
       sup.addAll(traced("sh-verify")(cores.head.verifySharedPairs(ctxs)))
       val total = obs.get("rows").asInstanceOf[Long]
       val n = total - sup.size
-      admitted += n
-      suppressed += total - n
+      synchronized { admitted += n; suppressed += total - n }
       if (exactlyOnce) {
         // epoch protocol at WRAPPER level ([[GateEpochs]]): one spool per
-        // jointly-decided batch; each core's slice replays from it
-        val epoch = batches
+        // jointly-decided batch; each core's slice replays from it. The
+        // spool is the commit point — exactly-once never defers.
+        val epoch = epoch0
         epochs.failpoint("before-spool")
         epochs.spool(epoch, keyed, cores.head.admittedCol(sup))
         epochs.failpoint("after-spool")
@@ -193,24 +210,38 @@ final class ShardedNearDupGate private[streaming] (
         // shared payload lands FIRST (core 0), index slices second — an
         // index entry must never outlive a crash its payload didn't survive
         // longer than the batch's own retry
-        traced("sh-pay")(cores.head.commitPayloadBatch(ctxs.head))
-        traced("sh-idx")(inPool(
-          cores.zip(ctxs).map { case (c, ctx) => () => c.commitIndexBatch(ctx) }))
+        if (CommitPipeline.enabled) {
+          deferred = true
+          pipeline.submit { () =>
+            try {
+              traced("sh-pay")(cores.head.commitPayloadBatch(ctxs.head))
+              traced("sh-idx")(inPool(
+                cores.zip(ctxs).map { case (c, ctx) => () => c.commitIndexBatch(ctx) }))
+              inPool(cores.map(c => () => c.maybeCompact()))
+              ()
+            } finally { keyed.unpersist(); () }
+          }
+        } else {
+          traced("sh-pay")(cores.head.commitPayloadBatch(ctxs.head))
+          traced("sh-idx")(inPool(
+            cores.zip(ctxs).map { case (c, ctx) => () => c.commitIndexBatch(ctx) }))
+        }
       }
       ()
-    } finally keyed.unpersist()
-    inPool(cores.map(c => () => c.maybeCompact()))
-    ()
+    } finally { if (!deferred) { keyed.unpersist(); () } }
+    if (!deferred) { inPool(cores.map(c => () => c.maybeCompact())); () }
   } }
 
   /** Probe seeding hook: stand up a pre-populated store without the join
     * path (every core appends its slice; core 0 the shared payloads). */
   private[graft] def seedStore(rows: DataFrame): Unit = synchronized {
+    pipeline.drain()
     cores.foreach(_.seedStore(rows))
   }
 
   /** Per-core compaction fold (also runs on the per-core cadence). */
   def compact(): Unit = synchronized {
+    pipeline.drain()
     inPool(cores.map(c => () => { c.compactNow(); () })); ()
   }
 }

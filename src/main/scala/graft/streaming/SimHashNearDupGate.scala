@@ -75,13 +75,32 @@ final class SimHashNearDupGate private (
     compactEvery: Int,
     shardId: Int = 0,
     shardCount: Int = 1,
-    delivery: String = StreamDedupGate.AtLeastOnce) extends ShardableGateCore {
+    delivery: String = StreamDedupGate.AtLeastOnce,
+    ttlMillis: Long = 0L,
+    ttlColumn: String = "") extends ShardableGateCore {
 
   require(shardCount >= 1 && shardId >= 0 && shardId < shardCount,
     s"bad shard assignment $shardId/$shardCount")
   require(delivery == StreamDedupGate.AtLeastOnce ||
     delivery == StreamDedupGate.ExactlyOnce,
     s"unknown delivery mode '$delivery'")
+  require(ttlMillis >= 0, s"negative ttl $ttlMillis")
+  require(ttlMillis == 0 || ttlColumn.nonEmpty,
+    "a windowed gate needs the event-time column: pass ttlColumn")
+
+  // WINDOWED (TTL) MODE — see IndexedNearDupGate's windowed contract
+  // (identical semantics; the fp store gains a ts column, compaction
+  // reaps by window, the resident tier mirrors the reap)
+  private val ttlEnabled = ttlMillis > 0
+  private val ttlMicros = ttlMillis * 1000L
+  private var maxSeenTsMicros = Long.MinValue
+
+  @inline private def microsToTs(m: Long): java.sql.Timestamp = {
+    val sec = Math.floorDiv(m, 1000000L)
+    val t = new java.sql.Timestamp(sec * 1000L)
+    t.setNanos((m - sec * 1000000L).toInt * 1000)
+    t
+  }
 
   private val exactlyOnce = delivery == StreamDedupGate.ExactlyOnce
   /** The epoch-spool protocol (exactly-once mode; see [[GateEpochs]]) —
@@ -90,6 +109,17 @@ final class SimHashNearDupGate private (
     * so nothing beyond the flag is dropped at delivery. */
   private[graft] lazy val epochs = new GateEpochs(eng, name, sink,
     storeDir.getParent.resolve("spool"), Seq(this), dropCols = Nil)
+
+  private[streaming] override def storeRoots: Seq[String] = Seq(storeDir.toString)
+  /** Deferred-commit pipeline (at-least-once unsharded batches): the
+    * store append + compaction of batch N overlap batch N+1's
+    * prepare/collect; [[CommitPipeline]] documents the ordering. */
+  private val pipeline = new CommitPipeline(s"$name-$shardId", storeRoots)
+  private val ingestLock = new Object
+
+  /** Barrier for callers about to read or delete the durable stores
+    * (engine drop path, probes): joins any deferred commit. */
+  private[graft] def drainCommits(): Unit = pipeline.drain()
 
   /** Key-position ownership (see [[ShardedNearDupGate]]): the block
     * permutation emits C(blocks, blocks-maxDist/…) keys in a fixed order,
@@ -146,8 +176,10 @@ final class SimHashNearDupGate private (
   // 16 bytes and the whole candidate check is in-memory popcounts while
   // within budget. The exploded parquet store stays the durable truth (and
   // the beyond-budget fallback path).
-  private val resident =
-    new ResidentIndex(hasOrd = false, ResidentIndex.budgetBytes / shardCount)
+  private val resident = new ResidentIndex(
+    hasOrd = ttlEnabled, // windowed entries reference the ts pool by ord
+    ResidentIndex.budgetBytes / shardCount)
+  private val residentTs = new scala.collection.mutable.ArrayBuffer[Long]()
   private var residentStale = false
 
   private def rebuildResident(): Unit = {
@@ -164,10 +196,19 @@ final class SimHashNearDupGate private (
       resident.deactivate()
       return
     }
-    val it = df.select(col("bucket"), col("fp")).toLocalIterator()
+    residentTs.clear()
+    val cols = Seq(col("bucket"), col("fp")) ++
+      (if (ttlEnabled) Seq(unix_micros(col("ts"))) else Nil)
+    val it = df.select(cols: _*).toLocalIterator()
     while (it.hasNext && resident.active) {
       val r = it.next()
-      resident.add(r.getLong(0), r.getLong(1), -1)
+      if (!ttlEnabled) resident.add(r.getLong(0), r.getLong(1), -1)
+      else {
+        val ord = residentTs.length
+        residentTs += r.getLong(2)
+        resident.addExtraBytes(8)
+        resident.add(r.getLong(0), r.getLong(1), ord)
+      }
       ()
     }
     resident.mergeDelta()
@@ -180,7 +221,14 @@ final class SimHashNearDupGate private (
     * one distributed pass over its bucket column rebuilds the
     * memory-resident bucket bloom (and the CMS occupancy when the
     * hot-bucket cap is active). */
-  private[streaming] def bootstrap(): Unit = synchronized {
+  private[streaming] def bootstrap(): Unit = {
+    // same-JVM restart fixtures: wait out any deferred commit an abandoned
+    // instance of this store still has in flight (see CommitPipeline)
+    CommitPipeline.drainRoots(storeRoots)
+    bootstrapLocked()
+  }
+
+  private def bootstrapLocked(): Unit = synchronized {
     val files = GateStore.files(storeDir)
     if (files.nonEmpty) {
       val store = eng.spark.read.parquet(files: _*)
@@ -206,6 +254,10 @@ final class SimHashNearDupGate private (
         bucketCounts.merge(
           graft.sketch.CountMinSketch.deserialize(row.getAs[Array[Byte]]("c")))
       batches = GateStore.maxBatch(storeDir, "fps")
+      if (ttlEnabled) {
+        val r = store.agg(max(unix_micros(col("ts")))).collect()(0)
+        if (!r.isNullAt(0)) maxSeenTsMicros = r.getLong(0)
+      }
     }
     rebuildResident() // restart resumes the hot tier from the store
     if (exactlyOnce && shardCount == 1) {
@@ -222,9 +274,25 @@ final class SimHashNearDupGate private (
     * before the olds are unlinked. Regrows the driver bloom when the store
     * has outgrown its design size, so the bloom's false-positive rate (and
     * with it the fast path) survives an unbounded stream. */
-  def compact(): Unit = synchronized {
+  def compact(): Unit = {
+    pipeline.drain() // no fold under a still-in-flight append (no-op on
+    // the pipeline's own thread — the cadence fold runs inside the task)
+    compactLocked()
+  }
+
+  private def compactLocked(): Unit = synchronized {
+    // windowed mode: fold-time reap (see IndexedNearDupGate.compact)
+    val reap: Option[org.apache.spark.sql.Column] =
+      if (ttlEnabled && maxSeenTsMicros != Long.MinValue)
+        Some(col("ts") > lit(microsToTs(maxSeenTsMicros - ttlMicros)))
+      else None
     val n = GateStore.compact(eng.spark, storeDir, "fps",
-      Seq("bucket", "id", "fp"), batches, sortCol = Some("bucket"))
+      Seq("bucket", "id", "fp") ++ (if (ttlEnabled) Seq("ts") else Nil),
+      batches, sortCol = Some("bucket"), rowFilter = reap)
+    if (ttlEnabled && maxSeenTsMicros != Long.MinValue) {
+      val cutoff = maxSeenTsMicros - ttlMicros
+      resident.retain((_, ord) => ord >= 0 && residentTs(ord) > cutoff)
+    }
     if (n > bloomN) {
       bloomN = GateStore.bloomSizeFor(n, bloomN)
       System.err.println(s"[graft] SimHashNearDupGate($name): store at $n keys " +
@@ -236,7 +304,12 @@ final class SimHashNearDupGate private (
   /** Append pre-fingerprinted rows straight into the seen-store (bloom/CMS
     * updated, nothing forwarded): the scale-probe's way of standing up a
     * 10×/100× store without replaying history through the join path. */
-  private[graft] def seedStore(rows: DataFrame): Unit = synchronized {
+  private[graft] def seedStore(rows: DataFrame): Unit = {
+    pipeline.drain() // no interleaving with a deferred batch commit
+    seedStoreLocked(rows)
+  }
+
+  private def seedStoreLocked(rows: DataFrame): Unit = synchronized {
     batches += 1
     val keyed = rows
       .withColumn("fp", SimHash.simhash64(TextOps.tokens(expr(textSql))))
@@ -244,9 +317,17 @@ final class SimHashNearDupGate private (
       .persist()
     try {
       GateStore.append(
-        keyed.select(explode(ownedKeysCol(col("fp"))).as("bucket"),
-          col(orderCol).as("id"), col("fp")),
+        keyed.select(Seq(explode(ownedKeysCol(col("fp"))).as("bucket"),
+          col(orderCol).as("id"), col("fp")) ++
+          (if (ttlEnabled)
+            Seq(col(ttlColumn).cast("timestamp").as("ts")) else Nil): _*),
         storeDir, "fps", batches, sortCol = Some("bucket"))
+      if (ttlEnabled) {
+        val r = keyed.agg(max(unix_micros(col(ttlColumn).cast("timestamp"))))
+          .collect()(0)
+        if (!r.isNullAt(0) && r.getLong(0) > maxSeenTsMicros)
+          maxSeenTsMicros = r.getLong(0)
+      }
       updateFilters(collectBuckets(keyed))
       residentStale = true // bulk write bypassed the hot tier
     } finally { keyed.unpersist(); () }
@@ -288,7 +369,13 @@ final class SimHashNearDupGate private (
       private[streaming] val keyed: DataFrame,
       private[streaming] val rows: Array[(Any, Long)],
       private[streaming] val rowKeys: Array[Array[Long]],
-      private[streaming] val sup: java.util.HashSet[Any])
+      private[streaming] val sup: java.util.HashSet[Any],
+      private[streaming] val rowTs: Array[Long] = null)
+
+  /** Collected batch rows (+ event times in windowed mode). */
+  private[streaming] final class Collected(
+      private[streaming] val rows: Array[(Any, Long)],
+      private[streaming] val tss: Array[Long])
 
   private[streaming] def prepareBatch(batch: DataFrame,
       obs: Option[org.apache.spark.sql.Observation]): DataFrame = {
@@ -300,16 +387,24 @@ final class SimHashNearDupGate private (
   }
 
   private[streaming] def collectBatchRows(keyed: DataFrame): AnyRef =
-    traced("collect")(
+    traced("collect") {
       // ONE bounded collect — (orderCol, fp), 16 B/doc. rows with a null
       // order id pass through, are never stored and never suppress (the
       // filter could not target them) — consistent with the split-store
       // gates; orderCol is contractually unique. Excluding them at the
       // collect also excludes them from the driver-built store append and
-      // the filter update.
-      keyed.where(col("fp").isNotNull && col(orderCol).isNotNull)
-        .select(col(orderCol), col("fp"))
-        .collect().map(r => (r.get(0), r.getLong(1))))
+      // the filter update. Windowed mode also drops null-event-time rows
+      // (pass through un-stored) and collects micros.
+      val base = keyed.where(col("fp").isNotNull && col(orderCol).isNotNull)
+      val filtered = if (!ttlEnabled) base
+        else base.where(col(ttlColumn).isNotNull)
+      val cols = Seq(col(orderCol), col("fp")) ++
+        (if (ttlEnabled)
+          Seq(unix_micros(col(ttlColumn).cast("timestamp"))) else Nil)
+      val collected = filtered.select(cols: _*).collect()
+      new Collected(collected.map(r => (r.get(0), r.getLong(1))),
+        if (!ttlEnabled) null else collected.map(_.getLong(2)))
+    }
 
   private[streaming] def suppressedOf(ctx: AnyRef): java.util.HashSet[Any] =
     ctx.asInstanceOf[BatchCtx].sup
@@ -335,11 +430,12 @@ final class SimHashNearDupGate private (
     val need = GateStore.maxBatch(storeDir, "fps") < epoch
     if (batches < epoch) batches = epoch
     if (need) {
-      // the spool carries fp — rebuild the exploded append with the same
-      // driver math as a live batch
-      val rows = collectBatchRows(spooled).asInstanceOf[Array[(Any, Long)]]
-      val ctx = new BatchCtx(spooled, rows, rows.map(r => ownedKeysOfFp(r._2)),
-        new java.util.HashSet[Any]())
+      // the spool carries fp (and ts in windowed mode) — rebuild the
+      // exploded append with the same driver math as a live batch
+      val collected = collectBatchRows(spooled).asInstanceOf[Collected]
+      val ctx = new BatchCtx(spooled, collected.rows,
+        collected.rows.map(r => ownedKeysOfFp(r._2)),
+        new java.util.HashSet[Any](), collected.tss)
       commitIndexBatch(ctx)
     }
   }
@@ -360,7 +456,9 @@ final class SimHashNearDupGate private (
       batches += 1
       ensureResident()
       val s = coreSession
-      val rows = rows0.asInstanceOf[Array[(Any, Long)]]
+      val collected = rows0.asInstanceOf[Collected]
+      val rows = collected.rows
+      val tss = collected.tss
       val rowKeys: Array[Array[Long]] = rows.map(r => ownedKeysOfFp(r._2))
       val overCapSet: java.util.HashSet[java.lang.Long] = {
         val set = new java.util.HashSet[java.lang.Long]()
@@ -393,9 +491,16 @@ final class SimHashNearDupGate private (
               var b = a + 1
               while (b < list.size) {
                 val (ia, ib) = (list.get(a), list.get(b))
+                // windowed mode: the earlier arrival suppresses only when
+                // its event time lies inside the target's trailing window
+                @inline def inWindow(sup: Int, tgt: Int): Boolean =
+                  !ttlEnabled || tss(sup) > tss(tgt) - ttlMicros
                 if (java.lang.Long.bitCount(rows(ia)._2 ^ rows(ib)._2) <= maxDist) {
-                  if (GateStore.lt(rows(ia)._1, rows(ib)._1)) out.add(ib)
-                  else if (GateStore.lt(rows(ib)._1, rows(ia)._1)) out.add(ia)
+                  if (GateStore.lt(rows(ia)._1, rows(ib)._1)) {
+                    if (inWindow(ia, ib)) { out.add(ib); () }
+                  } else if (GateStore.lt(rows(ib)._1, rows(ia)._1)) {
+                    if (inWindow(ib, ia)) { out.add(ia); () }
+                  }
                 }
                 b += 1
               }
@@ -417,9 +522,11 @@ final class SimHashNearDupGate private (
               var hit = false
               rowKeys(ri).foreach { b =>
                 if (!hit && !overCapSet.contains(b))
-                  resident.foreachMatch(b) { (fp, _) =>
+                  resident.foreachMatch(b) { (fp, ord) =>
                     if (!hit &&
-                        java.lang.Long.bitCount(fp ^ rows(ri)._2) <= maxDist)
+                        java.lang.Long.bitCount(fp ^ rows(ri)._2) <= maxDist &&
+                        (!ttlEnabled ||
+                          residentTs(ord) > tss(ri) - ttlMicros))
                       hit = true
                   }
               }
@@ -432,7 +539,7 @@ final class SimHashNearDupGate private (
         val suppressedSet = new java.util.HashSet[Any]()
         suppressedIdx.forEach(i => { suppressedSet.add(rows(i)._1); () })
         suppressedSet.addAll(storeSuppressed)
-        return new BatchCtx(keyed, rows, rowKeys, suppressedSet)
+        return new BatchCtx(keyed, rows, rowKeys, suppressedSet, tss)
       }
       val storeF = GateStore.storeFiles(storeDir)
       // bucket-bloom gate: an under-cap key that misses the driver bloom
@@ -447,7 +554,10 @@ final class SimHashNearDupGate private (
         while (i < rows.length) {
           rowKeys(i).foreach { b =>
             if (!overCapSet.contains(b) && bloom.contains(b)) {
-              hitRows.add(org.apache.spark.sql.Row(b, rows(i)._1, rows(i)._2))
+              hitRows.add(
+                if (!ttlEnabled)
+                  org.apache.spark.sql.Row(b, rows(i)._1, rows(i)._2)
+                else org.apache.spark.sql.Row(b, rows(i)._1, rows(i)._2, tss(i)))
               hitKeySet.add(b)
             }
           }
@@ -479,10 +589,12 @@ final class SimHashNearDupGate private (
           val driverVerify = pushdown &&
             sliceBytes <= GateStore.maxDriverVerifyBytes
           if (driverVerify) {
+            val storeCols = Seq(col("bucket"), col("fp")) ++
+              (if (ttlEnabled) Seq(unix_micros(col("ts"))) else Nil)
             val fetched = GateStore.withInPushdown(s, hitKeys.length)(
               s.read.parquet(storePaths: _*)
                 .where(GateStore.inSetCol(col("bucket"), hitKeys.toSeq))
-                .select(col("bucket"), col("fp")).collect())
+                .select(storeCols: _*).collect())
             // driver probe: store row -> candidate rows sharing its bucket
             val candByBucket =
               new java.util.HashMap[java.lang.Long, java.util.ArrayList[org.apache.spark.sql.Row]]()
@@ -501,7 +613,9 @@ final class SimHashNearDupGate private (
                   // null order ids can never be suppressed (nothing can
                   // target them downstream) — they pass through
                   if (cands.get(k).get(1) != null &&
-                      java.lang.Long.bitCount(cands.get(k).getLong(2) ^ m.getLong(1)) <= maxDist)
+                      java.lang.Long.bitCount(cands.get(k).getLong(2) ^ m.getLong(1)) <= maxDist &&
+                      (!ttlEnabled ||
+                        m.getLong(2) > cands.get(k).getLong(3) - ttlMicros))
                     out.add(cands.get(k).get(1))
                   k += 1
                 }
@@ -510,13 +624,17 @@ final class SimHashNearDupGate private (
             out.toArray
           } else {
             val idType = keyed.schema(keyed.schema.fieldIndex(orderCol)).dataType
+            val hitFields = Seq(
+              org.apache.spark.sql.types.StructField("bucket",
+                org.apache.spark.sql.types.LongType, nullable = false),
+              org.apache.spark.sql.types.StructField("__id", idType),
+              org.apache.spark.sql.types.StructField("fp",
+                org.apache.spark.sql.types.LongType, nullable = false)) ++
+              (if (!ttlEnabled) Nil
+               else Seq(org.apache.spark.sql.types.StructField("__bts",
+                 org.apache.spark.sql.types.LongType, nullable = false)))
             val hitDf = s.createDataFrame(hitRows,
-              org.apache.spark.sql.types.StructType(Seq(
-                org.apache.spark.sql.types.StructField("bucket",
-                  org.apache.spark.sql.types.LongType, nullable = false),
-                org.apache.spark.sql.types.StructField("__id", idType),
-                org.apache.spark.sql.types.StructField("fp",
-                  org.apache.spark.sql.types.LongType, nullable = false))))
+              org.apache.spark.sql.types.StructType(hitFields))
             val store0 =
               if (pushdown)
                 s.read.parquet(storePaths: _*)
@@ -529,19 +647,23 @@ final class SimHashNearDupGate private (
                   all.where(!GateStore.inSetCol(col("bucket"), oc))
                 }
               }
-            val store = store0
-              .select(col("bucket"), col("id").as("id_s"), col("fp").as("fp_s"))
+            val store = store0.select(Seq(col("bucket"),
+              col("id").as("id_s"), col("fp").as("fp_s")) ++
+              (if (ttlEnabled)
+                Seq(unix_micros(col("ts")).as("__sts")) else Nil): _*)
+            val joined0 = hitDf.join(store, Seq("bucket"))
+              .where(bit_count(col("fp").bitwiseXOR(col("fp_s"))) <= maxDist)
+            val joined = if (!ttlEnabled) joined0
+              else joined0.where(col("__sts") > col("__bts") - lit(ttlMicros))
             GateStore.withInPushdown(s, hitKeys.length)(
-              hitDf.join(store, Seq("bucket"))
-                .where(bit_count(col("fp").bitwiseXOR(col("fp_s"))) <= maxDist)
-                .select(col("__id")).distinct().collect()).map(_.get(0))
+              joined.select(col("__id")).distinct().collect()).map(_.get(0))
               .filter(_ != null)
           }
         }
       val suppressedSet = new java.util.HashSet[Any]()
       suppressedIdx.forEach(i => { suppressedSet.add(rows(i)._1); () })
       storeSuppressed.foreach(suppressedSet.add)
-      new BatchCtx(keyed, rows, rowKeys, suppressedSet)
+      new BatchCtx(keyed, rows, rowKeys, suppressedSet, tss)
     } }
 
   private[streaming] def commitIndexBatch(ctx0: AnyRef): Unit =
@@ -563,7 +685,12 @@ final class SimHashNearDupGate private (
       }
       val sortedPairs = order.sortBy(_._1)
       sortedPairs.foreach { case (b, idx) =>
-        exploded.add(org.apache.spark.sql.Row(b, rows(idx)._1, rows(idx)._2)); ()
+        exploded.add(
+          if (!ttlEnabled)
+            org.apache.spark.sql.Row(b, rows(idx)._1, rows(idx)._2)
+          else org.apache.spark.sql.Row(b, rows(idx)._1, rows(idx)._2,
+            microsToTs(ctx.rowTs(idx))))
+        ()
       }
       if (!exploded.isEmpty) {
         val idType = keyed.schema(keyed.schema.fieldIndex(orderCol)).dataType
@@ -572,7 +699,10 @@ final class SimHashNearDupGate private (
             org.apache.spark.sql.types.LongType, nullable = false),
           org.apache.spark.sql.types.StructField("id", idType),
           org.apache.spark.sql.types.StructField("fp",
-            org.apache.spark.sql.types.LongType, nullable = false)))
+            org.apache.spark.sql.types.LongType, nullable = false)) ++
+          (if (!ttlEnabled) Nil
+           else Seq(org.apache.spark.sql.types.StructField("ts",
+             org.apache.spark.sql.types.TimestampType))))
         // rows already bucket-sorted — the driver-direct write skips the
         // whole Spark job (GateStore.appendLocal); exotic id types fall
         // back to the LocalRelation write
@@ -586,7 +716,22 @@ final class SimHashNearDupGate private (
         var i = 0
         while (i < rows.length && resident.active) {
           val fp = rows(i)._2
-          rowKeys(i).foreach(b => { resident.add(b, fp, -1); () })
+          val ord =
+            if (!ttlEnabled) -1
+            else {
+              val o = residentTs.length
+              residentTs += ctx.rowTs(i)
+              resident.addExtraBytes(8)
+              o
+            }
+          rowKeys(i).foreach(b => { resident.add(b, fp, ord); () })
+          i += 1
+        }
+      }
+      if (ttlEnabled) {
+        var i = 0
+        while (i < rows.length) {
+          if (ctx.rowTs(i) > maxSeenTsMicros) maxSeenTsMicros = ctx.rowTs(i)
           i += 1
         }
       }
@@ -598,23 +743,27 @@ final class SimHashNearDupGate private (
 
   private[streaming] def compactNow(): Unit = compact()
 
-  private[streaming] def onBatch(batch: DataFrame): Unit = synchronized { traced("onbatch-total") {
-    if (exactlyOnce) epochs.recoverPending()
+  private[streaming] def onBatch(batch: DataFrame): Unit = ingestLock.synchronized { traced("onbatch-total") {
+    if (exactlyOnce) { pipeline.drain(); synchronized(epochs.recoverPending()) }
     val obs = new org.apache.spark.sql.Observation(
-      s"ndgate_${name}_${batches + 1}")
+      s"ndgate_${name}_${System.nanoTime()}")
     val keyed = prepareBatch(batch, Some(obs))
+    var deferred = false
     try {
+      // prepare + collect run OUTSIDE the gate monitor — this is where
+      // they overlap the previous batch's deferred store commit
       val rows = collectBatchRows(keyed)
+      pipeline.drain() // decisions serialize on the committed store state
       val ctx = decideBatch(keyed, rows).asInstanceOf[BatchCtx]
       // survivors = batch minus suppressed ids: a narrow in-set filter, no
       // anti-join shuffle. The survivor COUNT is arithmetic — the observed
       // batch total minus the suppressed id count — so no count job runs.
       val total = obs.get("rows").asInstanceOf[Long]
       val n = total - ctx.sup.size
-      admitted += n
-      suppressed += total - n
-      if (exactlyOnce) {
-        // epoch protocol (GateEpochs): spool is THE commit point
+      synchronized { admitted += n; suppressed += total - n }
+      if (exactlyOnce) synchronized {
+        // epoch protocol (GateEpochs): spool is THE commit point — the
+        // batch's durability, so exactly-once never defers
         val epoch = batches // decideBatch advanced it to this batch
         epochs.failpoint("before-spool")
         epochs.spool(epoch, keyed, admittedCol(ctx.sup))
@@ -629,10 +778,16 @@ final class SimHashNearDupGate private (
         if (n > 0) traced("sink") {
           eng.insertInto(sink, survivorsOf(keyed, ctx.sup))
         }
-        commitIndexBatch(ctx)
+        if (CommitPipeline.enabled) {
+          deferred = true
+          pipeline.submit { () =>
+            try { commitIndexBatch(ctx); maybeCompact() }
+            finally { keyed.unpersist(); () }
+          }
+        } else commitIndexBatch(ctx)
       }
-    } finally keyed.unpersist()
-    maybeCompact()
+    } finally { if (!deferred) { keyed.unpersist(); () } }
+    if (!deferred) maybeCompact()
   } }
 }
 
@@ -649,7 +804,8 @@ object SimHashNearDupGate {
       bloomP: Double = 0.01, bloomN: Int = 1 << 20,
       maxBucketSize: Int = Int.MaxValue,
       compactEvery: Int = 256,
-      delivery: String = StreamDedupGate.AtLeastOnce): SimHashNearDupGate = {
+      delivery: String = StreamDedupGate.AtLeastOnce,
+      ttlMillis: Long = 0L, ttlColumn: String = ""): SimHashNearDupGate = {
     val root = Paths.get(storeRoot, name)
     Files.createDirectories(root)
     GateStore.stampGeometry(root, "shards_1")
@@ -657,10 +813,11 @@ object SimHashNearDupGate {
     Files.createDirectories(dir)
     // bucket keys are a pure function of the block split — refuse a
     // silently-mismatched reopen (see GateStore.stampGeometry)
-    GateStore.stampGeometry(dir, s"simhash_k$blocks")
+    GateStore.stampGeometry(dir,
+      s"simhash_k$blocks" + (if (ttlMillis > 0) "_ttl" else ""))
     val gate = new SimHashNearDupGate(eng, name, textSql, orderCol, sink, dir,
       maxDist, blocks, bloomP, bloomN, maxBucketSize, compactEvery,
-      delivery = delivery)
+      delivery = delivery, ttlMillis = ttlMillis, ttlColumn = ttlColumn)
     gate.bootstrap() // resume from a persisted store after an engine restart
     eng.createContTransform(name, selectSql,
       outputFunc = Some(gate.onBatch _), emitChanges = false)
@@ -680,7 +837,8 @@ object SimHashNearDupGate {
       bloomP: Double = 0.01, bloomN: Int = 1 << 20,
       maxBucketSize: Int = Int.MaxValue,
       compactEvery: Int = 256,
-      delivery: String = StreamDedupGate.AtLeastOnce): ShardedNearDupGate = {
+      delivery: String = StreamDedupGate.AtLeastOnce,
+      ttlMillis: Long = 0L, ttlColumn: String = ""): ShardedNearDupGate = {
     require(shards >= 2, s"use create() for an unsharded gate (shards=$shards)")
     val root = Paths.get(storeRoot, name)
     Files.createDirectories(root)
@@ -688,10 +846,11 @@ object SimHashNearDupGate {
     val cores = (0 until shards).map { k =>
       val dir = root.resolve(s"s${k}of$shards").resolve("seen_fps")
       Files.createDirectories(dir)
-      GateStore.stampGeometry(dir, s"simhash_k$blocks")
+      GateStore.stampGeometry(dir,
+        s"simhash_k$blocks" + (if (ttlMillis > 0) "_ttl" else ""))
       val core = new SimHashNearDupGate(eng, name, textSql, orderCol, sink,
         dir, maxDist, blocks, bloomP, bloomN, maxBucketSize, compactEvery,
-        k, shards)
+        k, shards, ttlMillis = ttlMillis, ttlColumn = ttlColumn)
       core.bootstrap()
       core
     }

@@ -131,10 +131,6 @@ final class StreamDedupGate private[streaming] (
     * arriving more than `ttl` behind the max seen time may find its
     * suppressor already reaped (the standard watermark trade). */
   private val ttlEnabled = ttlMillis > 0
-  require(!(ttlEnabled && delivery == StreamDedupGate.ExactlyOnce),
-    "ttl + exactly_once is not supported yet: the exactly-once spool " +
-      "records admitted winners only, while the windowed store must " +
-      "record every arrival's seen-time")
   // max event time ever seen (MICROS — millisecond math would disagree
   // with a microsecond oracle at window boundaries) — the reaper cutoff;
   // restored at bootstrap
@@ -151,6 +147,56 @@ final class StreamDedupGate private[streaming] (
   private val exactlyOnce = delivery == StreamDedupGate.ExactlyOnce
   private val spoolDir: Path = storeDir.getParent.resolve("spool")
   if (exactlyOnce) Files.createDirectories(spoolDir)
+
+  /** ttl × exactly_once: the survivors-only spool cannot rebuild a
+    * windowed store (every arrival's seen-time must be recorded, not just
+    * winners'), so the combination runs the near-dup family's FULL-BATCH
+    * spool protocol instead ([[GateEpochs]]): the whole keyed batch +
+    * `__admitted` lands atomically, recovery re-derives the (h, max ts)
+    * append from it, and delivery filters the flag. Same spool dir and
+    * marker convention as the plain exactly-once mode. */
+  private[graft] lazy val ttlEpochs = new GateEpochs(eng, name, sink,
+    spoolDir, (spooled: org.apache.spark.sql.DataFrame, e: Long) =>
+      recoverTtlEpoch(spooled, e), dropCols = Nil)
+
+  private def recoverTtlEpoch(spooled: org.apache.spark.sql.DataFrame,
+      epoch: Long): Unit = {
+    if (batches < epoch) batches = epoch
+    val rows = spooled
+      .where(col("h").isNotNull && col(ttlColumn).isNotNull)
+      .select(col("h"), unix_micros(col(ttlColumn).cast("timestamp")))
+      .collect()
+    if (GateStore.maxBatch(storeDir, "keys") < epoch && rows.nonEmpty) {
+      val maxByKey = new java.util.HashMap[Any, java.lang.Long]()
+      rows.foreach { r =>
+        val t = r.getLong(1)
+        val prev = maxByKey.get(r.get(0))
+        if (prev == null || t > prev) maxByKey.put(r.get(0), t)
+        if (t > maxSeenTsMicros) maxSeenTsMicros = t
+      }
+      appendTtlKeys(spooled, maxByKey, epoch)
+    }
+    rows.foreach(r => bloom.add(r.get(0)))
+  }
+
+  /** The windowed store append: ONE (h, max ts) row per batch key. */
+  private def appendTtlKeys(keyed: org.apache.spark.sql.DataFrame,
+      maxByKey: java.util.HashMap[Any, java.lang.Long], epoch: Long): Unit = {
+    if (maxByKey.isEmpty) return
+    val hType = keyed.schema(keyed.schema.fieldIndex("h")).dataType
+    val out = new java.util.ArrayList[org.apache.spark.sql.Row](maxByKey.size)
+    maxByKey.forEach { (h, t) =>
+      out.add(org.apache.spark.sql.Row(h, microsToTs(t.longValue))); ()
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("h", hType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType)))
+    if (!GateStore.appendLocal(out, schema, storeDir, "keys", epoch,
+        sortCol = Some("h")))
+      GateStore.append(keyed.sparkSession.createDataFrame(out, schema),
+        storeDir, "keys", epoch, sortCol = Some("h"))
+  }
 
   private var bloom = BloomFilter.empty(bloomP, bloomN0)
   private var bloomN = bloomN0
@@ -186,7 +232,8 @@ final class StreamDedupGate private[streaming] (
     // the ingest futures need that lock and the await would deadlock
     // (observed: ingestAwaitMs timeout). Delivery completes at the next
     // batch (recoverPending at every onBatch head) or via [[recover]].
-    if (exactlyOnce) recoverStores()
+    if (exactlyOnce && ttlEnabled) ttlEpochs.recoverStores()
+    else if (exactlyOnce) recoverStores()
     val files = GateStore.files(storeDir)
     if (files.nonEmpty) {
       // right-size FIRST (metadata-only count): a corpus-sized store under
@@ -388,7 +435,8 @@ final class StreamDedupGate private[streaming] (
   }
 
   private[streaming] def onBatch(batch: DataFrame): Unit = synchronized {
-    if (ttlEnabled) onBatchTtl(batch)
+    if (ttlEnabled && exactlyOnce) onBatchTtlExactlyOnce(batch)
+    else if (ttlEnabled) onBatchTtl(batch)
     else if (exactlyOnce) onBatchExactlyOnce(batch)
     else onBatchAtLeastOnce(batch)
     if (compactEvery > 0 && batches % compactEvery == 0) compact()
@@ -398,113 +446,140 @@ final class StreamDedupGate private[streaming] (
     * (orderCol, key, ts) rows against the store's max seen-time per
     * candidate key — same zero-shuffle shape as the exact path, plus the
     * per-row window compare. */
-  private def onBatchTtl(batch: DataFrame): Unit = {
-    batches += 1
+  private final class TtlDecision(
+      val keyed: DataFrame,
+      val obs: org.apache.spark.sql.Observation,
+      val rows: Array[(Any, Any, Long)],
+      val batchKeys: Array[Any],
+      val suppressedIds: java.util.HashSet[Any],
+      val maxByKey: java.util.HashMap[Any, java.lang.Long])
+
+  /** The windowed decision, shared by both delivery modes: collect
+    * (orderCol, h, ts micros), look up stored max seen-time per candidate
+    * key, and run the per-key arrival-ordered window pass. */
+  private def decideTtl(batch: DataFrame): TtlDecision = {
     val s = batch.sparkSession
     val obs = new org.apache.spark.sql.Observation(s"gate_${name}_$batches")
     val keyed = batch.drop("arrival_timestamp")
       .observe(obs, count(lit(1)).as("rows"))
       .withColumn("h", expr(keySql))
       .persist()
+    val rows: Array[(Any, Any, Long)] =
+      keyed.where(col("h").isNotNull && col(ttlColumn).isNotNull)
+        .select(col(orderCol), col("h"),
+          unix_micros(col(ttlColumn).cast("timestamp")))
+        .collect().map(r => (r.get(0), r.get(1), r.getLong(2)))
+    val batchKeys: Array[Any] = rows.map(_._2).distinct
+    // store lookup: max stored seen-time per bloom-positive candidate
+    // key — (h, micros) rows collected and maxed on the driver (bounded
+    // by the candidate slice; no shuffle)
+    val storeF = GateStore.storeFiles(storeDir)
+    val cand = batchKeys.filter(bloom.contains)
+    val storeMax = new java.util.HashMap[Any, java.lang.Long]()
+    if (storeF.nonEmpty && cand.nonEmpty) {
+      GateStore.withInPushdown(s, cand.length)(
+        s.read.parquet(GateStore.pruned(storeF, cand): _*)
+          .where(GateStore.inSetCol(col("h"), cand.toSeq))
+          .select(col("h"), unix_micros(col("ts")))
+          .collect()).foreach { r =>
+        if (!r.isNullAt(1)) {
+          val t = r.getLong(1)
+          val prev = storeMax.get(r.get(0))
+          if (prev == null || t > prev) storeMax.put(r.get(0), t)
+        }
+      }
+    }
+    // per-key pass in arrival (orderCol) order: an earlier arrival
+    // suppresses a later one iff its seen-time is inside the window;
+    // every arrival (suppressed or not) refreshes the running max
+    val byKey = new java.util.HashMap[Any, java.util.ArrayList[Integer]]()
+    var i = 0
+    while (i < rows.length) {
+      byKey.computeIfAbsent(rows(i)._2, _ => new java.util.ArrayList[Integer]())
+        .add(i)
+      i += 1
+    }
+    val suppressedIds = new java.util.HashSet[Any]()
+    byKey.forEach { (h, list) =>
+      val idxs = new Array[Integer](list.size)
+      list.toArray(idxs)
+      // arrival order within the batch = orderCol order (nulls first,
+      // matching the exact path's window-function heritage)
+      java.util.Arrays.sort(idxs, (a: Integer, b: Integer) => {
+        val (ia, ib) = (rows(a)._1, rows(b)._1)
+        if (ia == null && ib == null) 0
+        else if (ia == null) -1
+        else if (ib == null) 1
+        else ia.asInstanceOf[Comparable[Any]].compareTo(ib)
+      })
+      var prevMax = Option(storeMax.get(h)).map(_.longValue).getOrElse(Long.MinValue)
+      var k = 0
+      while (k < idxs.length) {
+        val r = rows(idxs(k))
+        val tsUs = r._3
+        if (r._1 != null && prevMax != Long.MinValue && prevMax > tsUs - ttlMicros)
+          suppressedIds.add(r._1)
+        if (tsUs > prevMax) prevMax = tsUs
+        k += 1
+      }
+    }
+    // seen-refresh rows: ONE (h, max ts) per batch key — every arrival
+    // refreshes, suppressed or not
+    val maxByKey = new java.util.HashMap[Any, java.lang.Long]()
+    rows.foreach { r =>
+      val t = r._3
+      val prev = maxByKey.get(r._2)
+      if (prev == null || t > prev) maxByKey.put(r._2, t)
+      if (t > maxSeenTsMicros) maxSeenTsMicros = t
+    }
+    new TtlDecision(keyed, obs, rows, batchKeys, suppressedIds, maxByKey)
+  }
+
+  private def ttlSurvivors(d: TtlDecision): DataFrame =
+    if (d.suppressedIds.isEmpty) d.keyed
+    else d.keyed.where(col(orderCol).isNull ||
+      !GateStore.inSetCol(col(orderCol), d.suppressedIds.toArray.toSeq))
+
+  private def onBatchTtl(batch: DataFrame): Unit = {
+    batches += 1
+    val d = decideTtl(batch)
     try {
-      val rows: Array[(Any, Any, Long)] =
-        keyed.where(col("h").isNotNull && col(ttlColumn).isNotNull)
-          .select(col(orderCol), col("h"),
-            unix_micros(col(ttlColumn).cast("timestamp")))
-          .collect().map(r => (r.get(0), r.get(1), r.getLong(2)))
-      val batchKeys: Array[Any] = rows.map(_._2).distinct
-      // store lookup: max stored seen-time per bloom-positive candidate
-      // key — (h, micros) rows collected and maxed on the driver (bounded
-      // by the candidate slice; no shuffle)
-      val storeF = GateStore.storeFiles(storeDir)
-      val cand = batchKeys.filter(bloom.contains)
-      val storeMax = new java.util.HashMap[Any, java.lang.Long]()
-      if (storeF.nonEmpty && cand.nonEmpty) {
-        GateStore.withInPushdown(s, cand.length)(
-          s.read.parquet(GateStore.pruned(storeF, cand): _*)
-            .where(GateStore.inSetCol(col("h"), cand.toSeq))
-            .select(col("h"), unix_micros(col("ts")))
-            .collect()).foreach { r =>
-          if (!r.isNullAt(1)) {
-            val t = r.getLong(1)
-            val prev = storeMax.get(r.get(0))
-            if (prev == null || t > prev) storeMax.put(r.get(0), t)
-          }
-        }
-      }
-      // per-key pass in arrival (orderCol) order: an earlier arrival
-      // suppresses a later one iff its seen-time is inside the window;
-      // every arrival (suppressed or not) refreshes the running max
-      val byKey = new java.util.HashMap[Any, java.util.ArrayList[Integer]]()
-      var i = 0
-      while (i < rows.length) {
-        byKey.computeIfAbsent(rows(i)._2, _ => new java.util.ArrayList[Integer]())
-          .add(i)
-        i += 1
-      }
-      val suppressedIds = new java.util.HashSet[Any]()
-      byKey.forEach { (h, list) =>
-        val idxs = new Array[Integer](list.size)
-        list.toArray(idxs)
-        // arrival order within the batch = orderCol order (nulls first,
-        // matching the exact path's window-function heritage)
-        java.util.Arrays.sort(idxs, (a: Integer, b: Integer) => {
-          val (ia, ib) = (rows(a)._1, rows(b)._1)
-          if (ia == null && ib == null) 0
-          else if (ia == null) -1
-          else if (ib == null) 1
-          else ia.asInstanceOf[Comparable[Any]].compareTo(ib)
-        })
-        var prevMax = Option(storeMax.get(h)).map(_.longValue).getOrElse(Long.MinValue)
-        var k = 0
-        while (k < idxs.length) {
-          val r = rows(idxs(k))
-          val tsUs = r._3
-          if (r._1 != null && prevMax != Long.MinValue && prevMax > tsUs - ttlMicros)
-            suppressedIds.add(r._1)
-          if (tsUs > prevMax) prevMax = tsUs
-          k += 1
-        }
-      }
-      val total = obs.get("rows").asInstanceOf[Long]
-      val n = total - suppressedIds.size
+      val total = d.obs.get("rows").asInstanceOf[Long]
+      val n = total - d.suppressedIds.size
       admitted += n
       suppressed += total - n
-      if (n > 0) {
-        // sink BEFORE store append (the family's at-least-once contract)
-        val survivors =
-          if (suppressedIds.isEmpty) keyed
-          else keyed.where(col(orderCol).isNull ||
-            !GateStore.inSetCol(col(orderCol), suppressedIds.toArray.toSeq))
-        eng.insertInto(sink, survivors)
-      }
-      // seen-refresh append: ONE (h, max ts) row per batch key — every
-      // arrival refreshes, suppressed or not
-      if (rows.nonEmpty) {
-        val maxByKey = new java.util.HashMap[Any, java.lang.Long]()
-        rows.foreach { r =>
-          val t = r._3
-          val prev = maxByKey.get(r._2)
-          if (prev == null || t > prev) maxByKey.put(r._2, t)
-          if (t > maxSeenTsMicros) maxSeenTsMicros = t
-        }
-        val hType = keyed.schema(keyed.schema.fieldIndex("h")).dataType
-        val out = new java.util.ArrayList[org.apache.spark.sql.Row](maxByKey.size)
-        maxByKey.forEach { (h, t) =>
-          out.add(org.apache.spark.sql.Row(h, microsToTs(t.longValue))); ()
-        }
-        val schema = org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("h", hType),
-          org.apache.spark.sql.types.StructField("ts",
-            org.apache.spark.sql.types.TimestampType)))
-        // driver-direct parquet write — no Spark job (GateStore.appendLocal)
-        if (!GateStore.appendLocal(out, schema, storeDir, "keys", batches,
-            sortCol = Some("h")))
-          GateStore.append(s.createDataFrame(out, schema),
-            storeDir, "keys", batches, sortCol = Some("h"))
-      }
-      batchKeys.foreach(bloom.add)
-    } finally { keyed.unpersist(); () }
+      // sink BEFORE store append (the family's at-least-once contract)
+      if (n > 0) eng.insertInto(sink, ttlSurvivors(d))
+      appendTtlKeys(d.keyed, d.maxByKey, batches)
+      d.batchKeys.foreach(bloom.add)
+    } finally { d.keyed.unpersist(); () }
+  }
+
+  /** ttl × exactly_once: the full-batch spool protocol (see [[ttlEpochs]]).
+    * The spool carries the keyed batch (h + the event-time column), so
+    * recovery re-derives the (h, max ts) append exactly, and a crashed
+    * batch's upstream retry is suppressed by the recovered seen-times. */
+  private def onBatchTtlExactlyOnce(batch: DataFrame): Unit = {
+    ttlEpochs.recoverPending()
+    batches += 1
+    val epoch = batches
+    val d = decideTtl(batch)
+    try {
+      val total = d.obs.get("rows").asInstanceOf[Long]
+      val n = total - d.suppressedIds.size
+      admitted += n
+      suppressed += total - n
+      ttlEpochs.failpoint("before-spool")
+      ttlEpochs.spool(epoch, d.keyed,
+        if (d.suppressedIds.isEmpty) lit(true)
+        else col(orderCol).isNull ||
+          !GateStore.inSetCol(col(orderCol), d.suppressedIds.toArray.toSeq))
+      ttlEpochs.failpoint("after-spool")
+      appendTtlKeys(d.keyed, d.maxByKey, epoch)
+      ttlEpochs.failpoint("after-store")
+      ttlEpochs.deliverAndMark(epoch)
+      d.batchKeys.foreach(bloom.add)
+    } finally { d.keyed.unpersist(); () }
   }
 
   private def onBatchAtLeastOnce(batch: DataFrame): Unit = {
@@ -610,7 +685,10 @@ final class StreamDedupGate private[streaming] (
 
   /** Deliver any epoch the last crash interrupted RIGHT NOW (instead of at
     * the next batch). Must not be called while holding engine locks. */
-  def recover(): Unit = synchronized { if (exactlyOnce) recoverPending() }
+  def recover(): Unit = synchronized {
+    if (exactlyOnce && ttlEnabled) ttlEpochs.recoverPending()
+    else if (exactlyOnce) recoverPending()
+  }
 
   private def onBatchExactlyOnce(batch: DataFrame): Unit = {
     recoverPending()
