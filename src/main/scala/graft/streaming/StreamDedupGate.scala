@@ -204,6 +204,16 @@ final class StreamDedupGate private[streaming] (
   private var admitted = 0L
   private var suppressed = 0L
 
+  /** Deferred-commit pipeline (plain at-least-once batches): the key-store
+    * append of batch N overlaps batch N+1's collect; `drain()` before the
+    * store-presence check keeps decisions serialized on committed store
+    * state ([[CommitPipeline]] documents the contract). */
+  private val pipeline = new CommitPipeline(name, Seq(storeDir.toString))
+  private val ingestLock = new Object
+
+  /** Barrier for callers about to read or delete the durable store. */
+  private[graft] def drainCommits(): Unit = pipeline.drain()
+
   // test failpoint: throws once when execution reaches the named point
   private[graft] var failAt: String = null
   @inline private def failpoint(p: String): Unit =
@@ -225,7 +235,14 @@ final class StreamDedupGate private[streaming] (
     * the bloom covers the recovered keys too. (admitted/suppressed
     * counters restart at zero: session telemetry, not dedup state.)
     */
-  private[streaming] def bootstrap(): Unit = synchronized {
+  private[streaming] def bootstrap(): Unit = {
+    // same-JVM restart fixtures: wait out any deferred commit an abandoned
+    // instance of this store still has in flight (see CommitPipeline)
+    CommitPipeline.drainRoots(Seq(storeDir.toString))
+    bootstrapLocked()
+  }
+
+  private def bootstrapLocked(): Unit = synchronized {
     // restore the STORE only: rebuilding keys_E from a pending spool is
     // pure file work, but the sink DELIVERY would call eng.insertInto
     // while the DDL-replay path holds the engine's registration lock —
@@ -261,7 +278,12 @@ final class StreamDedupGate private[streaming] (
     * and silently degrade every batch to the full store anti-join, so the
     * filter is regrown (and rebuilt distributed) once the store outgrows
     * its design size. */
-  def compact(): Unit = synchronized {
+  def compact(): Unit = {
+    pipeline.drain() // no fold under a still-in-flight append
+    compactLocked()
+  }
+
+  private def compactLocked(): Unit = synchronized {
     val cols = if (ttlEnabled) Seq("h", "ts") else Seq("h")
     // the TTL reaper: expired seen-times drop at fold time
     val reap =
@@ -281,7 +303,12 @@ final class StreamDedupGate private[streaming] (
   /** Append pre-keyed rows straight into the seen-store (bloom updated,
     * nothing forwarded) — the scale-probe's way of standing up a 10×/100×
     * store without replaying history through the join path. */
-  private[graft] def seedStore(rows: DataFrame): Unit = synchronized {
+  private[graft] def seedStore(rows: DataFrame): Unit = {
+    pipeline.drain() // no interleaving with a deferred batch commit
+    seedStoreLocked(rows)
+  }
+
+  private def seedStoreLocked(rows: DataFrame): Unit = synchronized {
     batches += 1
     val keys = rows.withColumn("h", expr(keySql)).where(col("h").isNotNull)
       .select("h")
@@ -367,11 +394,21 @@ final class StreamDedupGate private[streaming] (
     * actually present in the pruned, in-set-filtered store slice. The
     * old shape paid a window shuffle + an anti-join + a count job per
     * batch; this shape runs zero shuffles. */
-  private def decide(batch: DataFrame): Decision = {
-    val s = batch.sparkSession
+  /** The store-independent half of a decision — safe to compute while the
+    * previous batch's deferred append is still in flight. */
+  private final class Collected(
+      val keyed: DataFrame,
+      val obs: org.apache.spark.sql.Observation,
+      val rows: Array[(Any, Any)],
+      val batchKeys: Array[Any],
+      val winnerByKey: java.util.HashMap[Any, (Any, Int)],
+      val inBatchSuppressed: java.util.HashSet[Any])
+
+  private def collectBatch(batch: DataFrame): Collected = {
     // input-row count rides the first action via observe() — a separate
     // batch.count() would re-run the transform projection per batch
-    val obs = new org.apache.spark.sql.Observation(s"gate_${name}_$batches")
+    val obs = new org.apache.spark.sql.Observation(
+      s"gate_${name}_${System.nanoTime()}")
     val keyed = batch.drop("arrival_timestamp")
       .observe(obs, count(lit(1)).as("rows"))
       .withColumn("h", expr(keySql))
@@ -404,12 +441,18 @@ final class StreamDedupGate private[streaming] (
         i += 1
       }
     } else rows.foreach { case (id, h) => winnerByKey.put(h, (id, -1)) }
+    new Collected(keyed, obs, rows, batchKeys, winnerByKey, inBatchSuppressed)
+  }
+
+  /** The store-dependent half: must run with the pipeline DRAINED. */
+  private def storeCheck(pre: Collected): Decision = {
+    val s = pre.keyed.sparkSession
     // Bloom gate: misses are definitely-new and bypass the store scan;
     // only possible repeats (true dups + ~p false positives) pay the
     // store-presence check — a collect of the candidate keys that exist
     // in the pruned slice (bounded by the candidate count itself)
     val storeF = GateStore.storeFiles(storeDir)
-    val cand = batchKeys.filter(bloom.contains)
+    val cand = pre.batchKeys.filter(bloom.contains)
     val present: java.util.HashSet[Any] = {
       val set = new java.util.HashSet[Any]()
       if (storeF.nonEmpty && cand.nonEmpty) {
@@ -422,24 +465,29 @@ final class StreamDedupGate private[streaming] (
     }
     // a winner whose key is already stored is suppressed too
     val suppressedIds = new java.util.HashSet[Any]()
-    inBatchSuppressed.forEach(id => { suppressedIds.add(id); () })
+    pre.inBatchSuppressed.forEach(id => { suppressedIds.add(id); () })
     var storeSuppressedNullId = 0
-    winnerByKey.forEach { (h, winner) =>
+    pre.winnerByKey.forEach { (h, winner) =>
       if (present.contains(h)) {
         if (winner._1 != null) suppressedIds.add(winner._1)
         else storeSuppressedNullId += 1
       }
     }
-    new Decision(keyed, obs, rows, batchKeys, winnerByKey, present,
-      suppressedIds, storeSuppressedNullId)
+    new Decision(pre.keyed, pre.obs, pre.rows, pre.batchKeys, pre.winnerByKey,
+      present, suppressedIds, storeSuppressedNullId)
   }
 
-  private[streaming] def onBatch(batch: DataFrame): Unit = synchronized {
-    if (ttlEnabled && exactlyOnce) onBatchTtlExactlyOnce(batch)
-    else if (ttlEnabled) onBatchTtl(batch)
-    else if (exactlyOnce) onBatchExactlyOnce(batch)
+  private def decide(batch: DataFrame): Decision = storeCheck(collectBatch(batch))
+
+  private[streaming] def onBatch(batch: DataFrame): Unit = ingestLock.synchronized {
+    // windowed and exactly-once modes run fully inline (the spool is the
+    // commit point; windowed appends carry seen-time refreshes the next
+    // decision needs) — only the plain at-least-once path pipelines
+    if (ttlEnabled && exactlyOnce) synchronized { onBatchTtlExactlyOnce(batch) }
+    else if (ttlEnabled) synchronized { onBatchTtl(batch) }
+    else if (exactlyOnce) synchronized { onBatchExactlyOnce(batch) }
     else onBatchAtLeastOnce(batch)
-    if (compactEvery > 0 && batches % compactEvery == 0) compact()
+    if (compactEvery > 0 && synchronized(batches) % compactEvery == 0) compact()
   }
 
   /** Windowed-mode batch: per-key arrival-ordered pass over the collected
@@ -583,25 +631,38 @@ final class StreamDedupGate private[streaming] (
   }
 
   private def onBatchAtLeastOnce(batch: DataFrame): Unit = {
-    batches += 1
-    val d = decide(batch)
+    // the collect half runs OUTSIDE the gate monitor — this is where it
+    // overlaps the previous batch's deferred key append (CommitPipeline)
+    val pre = collectBatch(batch)
+    var deferred = false
     try {
+      pipeline.drain() // decisions serialize on the committed store state
+      val (d, epoch) = synchronized {
+        batches += 1
+        (storeCheck(pre), batches)
+      }
       val total = d.obs.get("rows").asInstanceOf[Long]
       val n = total - d.dropped
-      admitted += n
-      suppressed += total - n
+      synchronized { admitted += n; suppressed += total - n }
       // admitted keys — the winners not already stored — are known on the
       // driver, so the append is a plain LocalRelation write; null-key
       // rows pass through the sink unconditionally and are never stored
       if (n > 0) {
         // sink BEFORE store append: see the delivery contract above
         eng.insertInto(sink, d.survivors)
-        d.appendNewKeys(batches)
+        if (CommitPipeline.enabled) {
+          deferred = true
+          pipeline.submit { () =>
+            try synchronized(d.appendNewKeys(epoch))
+            finally { d.keyed.unpersist(); () }
+          }
+        } else d.appendNewKeys(epoch)
       }
-      // every non-null batch key is now stored-or-already-stored, so adding
-      // them all preserves the bloom ⊇ store invariant exactly
-      d.batchKeys.foreach(bloom.add)
-    } finally { d.keyed.unpersist(); () }
+      // every non-null batch key is stored-or-already-stored (or one drain
+      // away from it), so adding them all keeps bloom ⊇ store — a bloom
+      // transiently AHEAD of the store only costs a false-positive probe
+      synchronized { d.batchKeys.foreach(bloom.add) }
+    } finally { if (!deferred) { pre.keyed.unpersist(); () } }
   }
 
   // ---- exactly-once epochs -----------------------------------------------
