@@ -62,7 +62,14 @@ private[graft] final class CommitPipeline(name: String,
     val f = last
     if (f == null) return
     try { f.get(); () }
-    catch { case e: ExecutionException => throw e.getCause }
+    catch {
+      case e: ExecutionException =>
+        // surface the failure ONCE, then clear: the failed append is lost
+        // (the at-least-once loss class) and the gate must keep batching —
+        // a sticky failure would wedge every subsequent drain
+        last = null
+        throw e.getCause
+    }
   }
 }
 

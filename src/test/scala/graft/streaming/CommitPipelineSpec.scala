@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The deferred-commit pipeline's contract in isolation (the gates pin the
+  * end-to-end semantics — admitted-set equivalence, restart, drop — in
+  * their own suites; this covers the pipeline's own edges). */
+class CommitPipelineSpec extends AnyFunSuite {
+
+  test("tasks run in submit order on one thread") {
+    val p = new CommitPipeline("t-order", Nil)
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    (1 to 50).foreach(i => p.submit(() => { out.add(i); () }))
+    p.drain()
+    assert(out.toArray.toSeq == (1 to 50))
+  }
+
+  test("drain rethrows a failed commit ONCE, then the pipeline keeps going") {
+    val p = new CommitPipeline("t-fail", Nil)
+    p.submit(() => throw new IllegalStateException("disk gone"))
+    val e = intercept[IllegalStateException](p.drain())
+    assert(e.getMessage == "disk gone")
+    // surfaced once — the gate must be able to keep batching
+    p.drain()
+    var ran = false
+    p.submit(() => { ran = true })
+    p.drain()
+    assert(ran)
+  }
+
+  test("drain from the pipeline's own thread is a no-op (compaction cadence)") {
+    val p = new CommitPipeline("t-self", Nil)
+    @volatile var completed = false
+    p.submit(() => { p.drain(); completed = true }) // would deadlock if not
+    p.drain()
+    assert(completed)
+  }
+
+  test("drainRoots joins an in-flight commit registered against a root") {
+    val p = new CommitPipeline("t-roots", Seq("/tmp/cp-spec/rootA"))
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    @volatile var done = false
+    p.submit(() => { gate.await(); done = true })
+    // release from another thread after a beat, then the cross-instance
+    // barrier must observe completion
+    new Thread(() => { Thread.sleep(100); gate.countDown() }).start()
+    CommitPipeline.drainRoots(Seq("/tmp/cp-spec/rootA"))
+    assert(done)
+  }
+
+  test("drainUnder joins by directory prefix, not by string prefix") {
+    val p = new CommitPipeline("t-under", Seq("/tmp/cp-spec/g1/seen_keys"))
+    @volatile var n = 0
+    p.submit(() => { n += 1 })
+    // sibling dir with a shared string prefix must NOT match …/g1
+    CommitPipeline.drainUnder("/tmp/cp-spec/g1x")
+    p.submit(() => { n += 1 })
+    CommitPipeline.drainUnder("/tmp/cp-spec/g1")
+    assert(n == 2)
+    // exact-root match drains too
+    p.submit(() => { n += 1 })
+    CommitPipeline.drainUnder("/tmp/cp-spec/g1/seen_keys")
+    assert(n == 3)
+  }
+
+  test("a failed abandoned-instance commit is swallowed by drainRoots (logged)") {
+    val p = new CommitPipeline("t-root-fail", Seq("/tmp/cp-spec/rootB"))
+    p.submit(() => throw new RuntimeException("abandoned crash"))
+    // bootstrap of a NEW instance must proceed from the durable store
+    CommitPipeline.drainRoots(Seq("/tmp/cp-spec/rootB"))
+  }
+}
