@@ -408,7 +408,7 @@ object Bench {
     val stealPct =
       if (total1 > total0) 100.0 * (steal1 - steal0) / (total1 - total0) else 0.0
     // every scalar metric, shared by both output lines
-    val scalars = s""""sf":"$sfDir","runs_per_query":$repeats,"cv_large_state_sec":$largeStateSec,"cv_ingest_events_per_sec":${ingestEventsPerSec.round},"cv_reap_noop_sec":$reapNoopSec,"cv_soak_sec":$soakSec,"cv_soak_events_per_sec":${soakEvPerSec.round},"cv_soak_drift":${math.round(soakDrift * 1000) / 1000.0},"cv_soak_reap_ms":${math.round(soakReapMs * 100) / 100.0},"cv_soak_batches":$soakBatches,"cv_soak_commits":$soakCommits,"gate_events_per_sec":$gateEvPerSec,"ndgate_events_per_sec":$ndGateEvPerSec,"gate_large_store_exact_10x":$exact10x,"gate_large_store_exact_100x":$exact100x,"gate_large_store_simhash_10x":$simhash10x,"gate_large_store_simhash_100x":$simhash100x,"gate_large_store_jaccard_10x":$jaccard10x,"gate_large_store_jaccard_100x":$jaccard100x,"gate_large_store_cosine_10x":$cosine10x,"gate_large_store_cosine_100x":$cosine100x,"gate_scale_attempts":{"exact":$exactTries,"simhash":$simhashTries,"jaccard":$jaccardTries,"cosine":$cosineTries,"sharded":$shardTries},"gate_sharded_cosine_g1":$cosineG1,"gate_sharded_cosine_g4":$cosineG4,"neardup_batch_10x_sec":${math.round(neardup10xSec * 1000) / 1000.0},"cc_rounds":$cc10xRounds,"cc_regime_default":"$cc10xRegimeDefault","loadavg_before":"$loadavgBefore","loadavg":"$loadavg","cpu_steal_pct":${math.round(stealPct * 100) / 100.0},"loaded_box":${loadavgBefore.trim.split("\\s+").headOption.flatMap(s => scala.util.Try(s.toDouble).toOption).exists(_ > 2.0)},"gate_pipeline":${graft.streaming.CommitPipeline.enabled}"""
+    val scalars = s""""sf":"$sfDir","runs_per_query":$repeats,"cv_large_state_sec":$largeStateSec,"cv_ingest_events_per_sec":${ingestEventsPerSec.round},"cv_reap_noop_sec":$reapNoopSec,"cv_soak_sec":$soakSec,"cv_soak_events_per_sec":${soakEvPerSec.round},"cv_soak_drift":${math.round(soakDrift * 1000) / 1000.0},"cv_soak_reap_ms":${math.round(soakReapMs * 100) / 100.0},"cv_soak_batches":$soakBatches,"cv_soak_commits":$soakCommits,"gate_events_per_sec":$gateEvPerSec,"ndgate_events_per_sec":$ndGateEvPerSec,"gate_large_store_exact_10x":$exact10x,"gate_large_store_exact_100x":$exact100x,"gate_large_store_simhash_10x":$simhash10x,"gate_large_store_simhash_100x":$simhash100x,"gate_large_store_jaccard_10x":$jaccard10x,"gate_large_store_jaccard_100x":$jaccard100x,"gate_large_store_cosine_10x":$cosine10x,"gate_large_store_cosine_100x":$cosine100x,"gate_scale_attempts":{"exact":$exactTries,"simhash":$simhashTries,"jaccard":$jaccardTries,"cosine":$cosineTries,"sharded":$shardTries},"gate_sharded_cosine_g1":$cosineG1,"gate_sharded_cosine_g4":$cosineG4,"neardup_batch_10x_sec":${math.round(neardup10xSec * 1000) / 1000.0},"cc_rounds":$cc10xRounds,"cc_regime_default":"$cc10xRegimeDefault","loadavg_before":"$loadavgBefore","loadavg":"$loadavg","cpu_steal_pct":${math.round(stealPct * 100) / 100.0},"loaded_box":${loadavgBefore.trim.split("\\s+").headOption.flatMap(s => scala.util.Try(s.toDouble).toOption).exists(_ > 2.0) || stealPct > 1.0},"gate_pipeline":${graft.streaming.CommitPipeline.enabled}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$scalars}""")
     // Compact summary LAST: the driver's artifact keeps a bounded tail of
     // this output, and the full line above (102 per-query timings) has

@@ -124,9 +124,10 @@ object GateProbes {
       }
     }
     var nextId = 1L << 40 // batch ids above any seed id
+    var warmed = false
     def measure(seeded: Long): Long = {
       val nNew = batchRows * 3 / 4
-      val secs = (0 until nBatches).map { b =>
+      def feedOne(b: Int): Double = {
         val base = nextId
         nextId += batchRows
         val fresh = spark.range(nNew)
@@ -142,6 +143,13 @@ object GateProbes {
         batch.unpersist()
         sec
       }
+      // one-time UNTIMED warm-up at the first scale point: the whole gate
+      // path (key exprs, collect, decide, sink) JIT-compiles on the first
+      // few batches, and the first scale measured cold used to read up to
+      // 10-20x slower than the same code warm — a fake "ratio > 1" (or a
+      // sub-1k absolute) that says nothing about store growth
+      if (!warmed) { (0 until 2).foreach(b => { feedOne(-1 - b); () }); warmed = true }
+      val secs = (0 until nBatches).map(feedOne)
       val steady = secs.drop(1).sorted.apply((nBatches - 1) / 2)
       math.round(batchRows / steady)
     }

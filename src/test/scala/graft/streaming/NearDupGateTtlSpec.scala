@@ -152,6 +152,57 @@ class NearDupGateTtlSpec extends AnyFunSuite {
     assert(eng.overlay("v_jw").collect().map(_.getLong(0)).toSet === Set(1L, 3L))
   }
 
+  test("cosine windowed: re-crawl window on the embedding gate, across restart + compaction") {
+    // the cosine gate shares IndexedNearDupGate's windowed plumbing with
+    // jaccard but adds the payload POOL ts handling — pin it end-to-end:
+    // same three-case schedule (in-window suppressed, aged-out admitted,
+    // refreshed-window suppressed), with an engine restart mid-feed and a
+    // reaping compaction after every batch
+    val root = java.nio.file.Files.createTempDirectory("graft_wt7").toString
+    def vec(seed: Long): Seq[Double] = {
+      val r = new scala.util.Random(seed)
+      val raw = Seq.fill(16)(r.nextGaussian())
+      val n = math.sqrt(raw.map(x => x * x).sum)
+      raw.map(_ / n)
+    }
+    // two distinct base embeddings (orthogonal with overwhelming odds);
+    // copies reuse the base vector exactly (cos = 1 ≥ any threshold)
+    val rows = Seq(
+      (1L, vec(1), "2024-01-01 00:00:00"),
+      (2L, vec(2), "2024-01-01 01:00:00"),
+      (1001L, vec(1), "2024-01-01 06:00:00"), // in-window copy → suppressed
+      (2001L, vec(1), "2024-01-03 00:00:00"), // aged out → admitted
+      (3001L, vec(1), "2024-01-03 12:00:00"), // inside 2001's window → suppressed
+      (2002L, vec(2), "2024-01-04 00:00:00")  // aged out → admitted
+    ).toDF("id", "embedding", "tss")
+      .withColumn("ts", col("tss").cast("timestamp")).drop("tss")
+    def build(n: String): (ContViewEngine, CosineNearDupGate) = {
+      val eng = new ContViewEngine(spark, s"$root/eng$n")
+      eng.createStream("cw_in", rows.schema)
+      eng.createStream("cw_out", rows.schema)
+      eng.createContView("v_cw", "SELECT id FROM cw_out", emitChanges = false)
+      val g = CosineNearDupGate.create(eng, "cw_gate",
+        "SELECT id, embedding, ts FROM cw_in", embSql = "embedding",
+        orderCol = "id", sink = "cw_out", storeRoot = s"$root/gate",
+        threshold = 0.95, dim = 16,
+        ttlMillis = 24L * 3600 * 1000, ttlColumn = "ts")
+      (eng, g)
+    }
+    val (eng1, g1) = build("1")
+    eng1.insertInto("cw_in", rows.where(col("id") <= 1001L))
+    assert(eng1.overlay("v_cw").collect().map(_.getLong(0)).toSet
+      === Set(1L, 2L), "bases admitted, in-window copy suppressed")
+    g1.compact() // fold-time reap must not change later outcomes
+    val (eng2, _) = build("2") // restart on the same gate store:
+    // watermark + pool ts restored (each engine's CV is its own root, so
+    // eng2's overlay shows only its own deliveries)
+    eng2.insertInto("cw_in", rows.where(col("id") === 2001L || col("id") === 3001L))
+    eng2.insertInto("cw_in", rows.where(col("id") === 2002L))
+    assert(eng2.overlay("v_cw").collect().map(_.getLong(0)).toSet
+      === Set(2001L, 2002L),
+      "aged-out re-crawls admitted; refreshed-window copy suppressed")
+  }
+
   test("exact gate ttl x exactly_once: windowed admission with crash recovery") {
     val root = java.nio.file.Files.createTempDirectory("graft_wt6").toString
     def build(n: String): (ContViewEngine, StreamDedupGate) = {
