@@ -483,12 +483,14 @@ final class StreamDedupGate private[streaming] (
     // windowed and exactly-once modes run fully inline (the spool is the
     // commit point; windowed appends carry seen-time refreshes the next
     // decision needs) — only the plain at-least-once path pipelines
-    if (ttlEnabled && exactlyOnce) synchronized { onBatchTtlExactlyOnce(batch) }
-    else if (ttlEnabled) synchronized { onBatchTtl(batch) }
-    else if (exactlyOnce) synchronized { onBatchExactlyOnce(batch) }
-    else onBatchAtLeastOnce(batch)
-    if (compactEvery > 0 && synchronized(batches) % compactEvery == 0) compact()
+    if (ttlEnabled && exactlyOnce) { synchronized { onBatchTtlExactlyOnce(batch) }; maybeCompact() }
+    else if (ttlEnabled) { synchronized { onBatchTtl(batch) }; maybeCompact() }
+    else if (exactlyOnce) { synchronized { onBatchExactlyOnce(batch) }; maybeCompact() }
+    else onBatchAtLeastOnce(batch) // cadence rides the deferred commit task
   }
+
+  private def maybeCompact(): Unit =
+    if (compactEvery > 0 && synchronized(batches) % compactEvery == 0) compact()
 
   /** Windowed-mode batch: per-key arrival-ordered pass over the collected
     * (orderCol, key, ts) rows against the store's max seen-time per
@@ -653,7 +655,9 @@ final class StreamDedupGate private[streaming] (
         if (CommitPipeline.enabled) {
           deferred = true
           pipeline.submit { () =>
-            try synchronized(d.appendNewKeys(epoch))
+            // compaction cadence rides the task too, so the periodic fold
+            // overlaps the next batch instead of blocking a timed one
+            try { synchronized(d.appendNewKeys(epoch)); maybeCompact() }
             finally { d.keyed.unpersist(); () }
           }
         } else d.appendNewKeys(epoch)
@@ -663,6 +667,7 @@ final class StreamDedupGate private[streaming] (
       // transiently AHEAD of the store only costs a false-positive probe
       synchronized { d.batchKeys.foreach(bloom.add) }
     } finally { if (!deferred) { pre.keyed.unpersist(); () } }
+    if (!deferred) maybeCompact() // n == 0 or pipelining disabled
   }
 
   // ---- exactly-once epochs -----------------------------------------------

@@ -208,6 +208,7 @@ class GateStoreSpec extends AnyFunSuite {
       eng.insertInto("bg_in",
         (0 until 40).map(i => ((b * 40 + i).toLong, s"w-$b-$i")).toDF("id", "body"))
     }
+    gate.drainCommits() // the regrow rides the deferred compaction cadence
     assert(gate.currentBloomN >= 240,
       s"filter must regrow past 2x the 120-key store, got ${gate.currentBloomN}")
     // regrown-filter behavior: repeats still suppressed, fresh still admitted

@@ -96,7 +96,7 @@ class StreamDedupGateSpec extends AnyFunSuite {
     eng.createStream("a_out", org.apache.spark.sql.types.StructType(
       schema.fields :+ org.apache.spark.sql.types.StructField("h",
         org.apache.spark.sql.types.StringType)))
-    StreamDedupGate.create(eng, "a_gate", "SELECT id, body FROM a_in",
+    val g = StreamDedupGate.create(eng, "a_gate", "SELECT id, body FROM a_in",
       keySql = "md5(body)", orderCol = "id", sink = "a_out",
       storeRoot = root, compactEvery = 2)
     eng.createContView("v_a", "SELECT id FROM a_out", emitChanges = false)
@@ -104,6 +104,7 @@ class StreamDedupGateSpec extends AnyFunSuite {
       eng.insertInto("a_in",
         (0 until 10).map(i => ((b * 10 + i).toLong, s"d-$b-$i")).toDF("id", "body"))
     }
+    g.drainCommits() // raw store reads need the deferred-append barrier
     val store = new java.io.File(s"$root/a_gate/seen_keys")
     // every 2nd batch MINOR-folds the new appends into a fresh generation
     // of at most `shards` range files (old generations are not rewritten —
