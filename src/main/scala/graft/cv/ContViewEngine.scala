@@ -1729,20 +1729,29 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     }
     synchronized {
       gates.toSeq.sortBy(_._1).map { case (nm, g) =>
-        def row(kind: String, shards: Int, t: (Long, Long, Long)): GateStats =
+        def row(kind: String, shards: Int, t: (Long, Long, Long),
+            lost: Long): GateStats =
           GateStats(nm, kind, shards, t._1, t._2, t._3,
-            rowsIn = t._2 + t._3, rowsOut = t._2)
+            rowsIn = t._2 + t._3, rowsOut = t._2, lostCommits = lost)
         g match {
-          case sd: ShardedDedupGate => row("dedup", sd.shardCount, sd.stats)
+          case sd: ShardedDedupGate =>
+            row("dedup", sd.shardCount, sd.stats, sd.lostCommits)
           case sn: ShardedNearDupGate =>
-            row(kindOf(sn.firstCore), sn.shardCount, sn.stats)
-          case d: StreamDedupGate => row("dedup", 1, d.stats)
-          case h: SimHashNearDupGate => row("simhash", 1, h.stats)
-          case c: CosineNearDupGate => row("cosine", 1, c.stats)
-          case j: JaccardNearDupGate => row("jaccard", 1, j.stats)
-          case ct: ContaminationGate => row("contamination", 1, ct.stats)
+            row(kindOf(sn.firstCore), sn.shardCount, sn.stats,
+              sn.commitPipeline.lostCommits)
+          case d: StreamDedupGate =>
+            row("dedup", 1, d.stats, d.commitPipeline.lostCommits)
+          case h: SimHashNearDupGate =>
+            row("simhash", 1, h.stats, h.commitPipeline.lostCommits)
+          case c: CosineNearDupGate =>
+            row("cosine", 1, c.stats, c.commitPipeline.lostCommits)
+          case j: JaccardNearDupGate =>
+            row("jaccard", 1, j.stats, j.commitPipeline.lostCommits)
+          // the contamination gate never appends (static reference store)
+          case ct: ContaminationGate => row("contamination", 1, ct.stats, 0L)
           case other =>
-            GateStats(nm, other.getClass.getSimpleName, 1, 0L, 0L, 0L, 0L, 0L)
+            GateStats(nm, other.getClass.getSimpleName, 1, 0L, 0L, 0L, 0L, 0L,
+              0L)
         }
       }
     }.toDF()
@@ -2453,7 +2462,11 @@ final case class StreamStats(stream: String, batches: Long, readers: Long)
   * the next stage's rows_in under a chained sink). */
 final case class GateStats(gate: String, kind: String, shards: Int,
     batches: Long, admitted: Long, suppressed: Long,
-    rowsIn: Long, rowsOut: Long)
+    rowsIn: Long, rowsOut: Long,
+    // deferred store appends that failed and were dropped (the accepted
+    // at-least-once loss class — each one means future duplicates of that
+    // batch's content may be admitted); operators alert on it growing
+    lostCommits: Long)
 
 /** pipelinedb.views catalog row (sql:77-93 shape). */
 final case class CvCatalogRow(

@@ -503,7 +503,14 @@ object CvQueries {
       // same root; batch 3 (carrying the +800000 exact copies of batch-1/2
       // content) must still be gated by the persisted stores
       val eng2 = setup(new ContViewEngine(s, root))
+      // force one LOST deferred commit on stage 1's FINAL batch (nothing
+      // is fed after it, so no decision depends on the dropped append):
+      // graft_gate_stats.lost_commits is oracle-gated alongside the funnel
+      val g1 = eng2.gateOf("pl_g1").get
+        .asInstanceOf[graft.streaming.StreamDedupGate]
+      g1.commitPipeline.failNextTask = true
       feed(eng2, 400L, Long.MaxValue)
+      g1.drainCommits() // observe + count the loss before stats are read
       eng2
     })
   }
@@ -1454,16 +1461,18 @@ object CvQueries {
         |SELECT * FROM (
         |  SELECT 'pl_g1' AS gate,
         |         (SELECT count(*) FROM corpus WHERE doc_id >= 400) AS rows_in,
-        |         (SELECT count(*) FROM b3s1) AS rows_out
+        |         (SELECT count(*) FROM b3s1) AS rows_out,
+        |         CAST(1 AS BIGINT) AS lost_commits
         |  UNION ALL
         |  SELECT 'pl_g2', (SELECT count(*) FROM b3s1),
-        |         (SELECT count(*) FROM b3s2)
+        |         (SELECT count(*) FROM b3s2), CAST(0 AS BIGINT)
         |  UNION ALL
         |  SELECT 'pl_g3', (SELECT count(*) FROM b3s2),
-        |         (SELECT count(*) FROM b3s3)
+        |         (SELECT count(*) FROM b3s3), CAST(0 AS BIGINT)
         |) ORDER BY gate""".stripMargin) {
       (s, dir) => pipelineFor(s, dir).sql(
-        """SELECT gate, rowsIn AS rows_in, rowsOut AS rows_out
+        """SELECT gate, rowsIn AS rows_in, rowsOut AS rows_out,
+          |       lostCommits AS lost_commits
           |FROM graft_gate_stats WHERE gate LIKE 'pl\_g%' ORDER BY gate""".stripMargin)
     },
 

@@ -41,34 +41,71 @@ private[graft] final class CommitPipeline(name: String,
     })
   @volatile private var worker: Thread = null
   @volatile private var last: JFuture[_] = null
+  // first unreported task failure: (task label, cause) — recorded INSIDE
+  // the task so attribution is exact (awaiting only `last` would blame
+  // whatever batch happens to drain next)
+  @volatile private var failure: (String, Throwable) = null
+  private val lost = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Deferred commits whose append failed and was dropped — each is a
+    * batch of fingerprints the store never got, i.e. future duplicates of
+    * that batch's content may be admitted (the accepted at-least-once loss
+    * class, now operator-visible via `graft_gate_stats.lost_commits`). */
+  def lostCommits: Long = lost.get()
+
+  /** Test failpoint: the next submitted task throws before running. */
+  @volatile private[graft] var failNextTask = false
 
   /** Queue the durability half of a batch; returns immediately. Tasks run
-    * in submit order on one thread — commits never reorder. */
-  def submit(task: () => Unit): Unit = {
+    * in submit order on one thread — commits never reorder. The gates'
+    * drain-before-submit convention keeps queue depth ≤ 1 (drain() relies
+    * on it only for promptness, not correctness: the single thread runs
+    * tasks in order, and failures are recorded per task, not per future). */
+  def submit(task: () => Unit, label: String = "commit"): Unit = {
+    val failNow = failNextTask
+    failNextTask = false
     val f = pool.submit(new Runnable {
-      def run(): Unit = { worker = Thread.currentThread(); task() }
+      def run(): Unit = {
+        worker = Thread.currentThread()
+        try {
+          if (failNow) throw new IllegalStateException("failpoint:commit-task")
+          task()
+        } catch {
+          case e: Throwable => if (failure == null) failure = (label, e)
+        }
+      }
     })
     last = f
     roots.foreach(CommitPipeline.inFlight.put(_, f))
   }
 
-  /** Block until every queued commit is durable; rethrows the first
-    * failure (so an append error surfaces on the NEXT batch / compact /
-    * seed instead of vanishing). Must be called BEFORE taking the gate
-    * monitor — the running task takes it per commit hook. No-op from the
-    * pipeline's own thread (compaction cadence runs inside a task). */
+  /** Block until every queued commit is durable. A failed commit does NOT
+    * fail the (innocent) draining batch: the loss belongs to the batch
+    * whose append died — already reported delivered, never retried — so
+    * rethrowing here would make the upstream retry the WRONG batch while
+    * the real loss went unrecorded. Instead the failure is logged loudly
+    * WITH the failed task's identity and counted in [[lostCommits]] (the
+    * at-least-once loss class, surfaced in `graft_gate_stats`). Must be
+    * called BEFORE taking the gate monitor — the running task takes it per
+    * commit hook. No-op from the pipeline's own thread (compaction cadence
+    * runs inside a task). */
   def drain(): Unit = {
     if (Thread.currentThread() eq worker) return
     val f = last
-    if (f == null) return
-    try { f.get(); () }
-    catch {
-      case e: ExecutionException =>
-        // surface the failure ONCE, then clear: the failed append is lost
-        // (the at-least-once loss class) and the gate must keep batching —
-        // a sticky failure would wedge every subsequent drain
-        last = null
-        throw e.getCause
+    if (f != null) {
+      try { f.get(); () }
+      catch {
+        case _: ExecutionException => () // recorded task-side with its label
+        case _: InterruptedException => Thread.currentThread().interrupt()
+      }
+    }
+    val fl = failure
+    if (fl != null) {
+      failure = null
+      lost.incrementAndGet()
+      System.err.println(s"[graft] gate $name: deferred commit of " +
+        s"'${fl._1}' FAILED and its append is lost - future duplicates of " +
+        s"that batch's content may be admitted (at-least-once): ${fl._2}")
     }
   }
 }

@@ -106,6 +106,28 @@ final class ContaminationGate private (
     rememberEpoch(ids)
   }
 
+  /** Exactly-once retry-dedup window, shared-path form (the sharded
+    * wrapper calls these around ITS spool commit point; the unsharded
+    * [[onBatch]] calls the same pair — one implementation of the window).
+    * Pre-spool: suppress ids seen in recent epochs (a stateless decision
+    * would re-admit an upstream's crash-retry of a delivered epoch) and
+    * return this batch's full id set; post-spool: remember it. */
+  private[streaming] override def retrySuppress(keyed: DataFrame,
+      sup: java.util.HashSet[Any]): java.util.HashSet[Any] = synchronized {
+    val ids = new java.util.HashSet[Any]()
+    keyed.where(col(orderCol).isNotNull).select(col(orderCol))
+      .collect().foreach { r =>
+        val id = r.get(0)
+        ids.add(id)
+        if (seenRecently(id)) sup.add(id)
+        ()
+      }
+    ids
+  }
+
+  private[streaming] override def rememberRetryIds(
+      ids: java.util.HashSet[Any]): Unit = synchronized(rememberEpoch(ids))
+
   /** Gram-hash-value ownership (the static-store gate has no banded key
     * positions): core k owns hashes ≡ k (mod G) — its reference slice,
     * bloom, and per-batch candidate work all shrink by G, and a
@@ -290,29 +312,22 @@ final class ContaminationGate private (
     try {
       val rows = collectBatchRows(keyed)
       val ctx = decideBatch(keyed, rows).asInstanceOf[BatchCtx]
+      // retry-dedup window, pre-spool half (exactly-once only; the same
+      // hook pair the sharded wrapper calls — ONE window implementation):
+      // re-fed ids from recent epochs join the suppressed set BEFORE the
+      // counters and the spool's admitted flag read it
+      val retryIds = if (exactlyOnce) retrySuppress(keyed, ctx.sup) else null
       val total = obs.get("rows").asInstanceOf[Long]
       val nOut = total - ctx.sup.size
       admitted += nOut
       suppressed += total - nOut
       if (exactlyOnce) {
-        // retry-dedup window: suppress re-fed ids from recent epochs (the
-        // stateless decisions would otherwise re-admit them), then
-        // remember EVERY row id of this epoch — including gram-less
-        // pass-through rows, hence the dedicated id collect
-        val allIds: Array[Any] = keyed.where(col(orderCol).isNotNull)
-          .select(col(orderCol)).collect().map(_.get(0))
-        var extra = 0
-        allIds.foreach { id =>
-          if (seenRecently(id) && ctx.sup.add(id)) extra += 1
-        }
-        admitted -= extra
-        suppressed += extra
         val epoch = batches // decideBatch advanced it to this batch
         epochs.failpoint("before-spool")
         epochs.spool(epoch, keyed, admittedCol(ctx.sup))
-        val ids = new java.util.HashSet[Any]()
-        allIds.foreach(id => { ids.add(id); () })
-        rememberEpoch(ids)
+        // remember only AFTER the spool commit point: remembering earlier
+        // would suppress the legitimate retry of a pre-spool crash
+        rememberRetryIds(retryIds)
         epochs.failpoint("after-spool")
         epochs.deliverAndMark(epoch)
       } else if (nOut > 0) eng.insertInto(sink, survivorsOf(keyed, ctx.sup))

@@ -1,0 +1,314 @@
+package graft.streaming
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.{Partition, Partitioner, SparkContext, TaskContext}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** EXECUTOR-DISTRIBUTED gate index: the (bucket-key → fingerprint [, event
+  * time]) probe state of a streaming near-dup gate, partitioned by bucket
+  * across long-lived executor-local shards — the scale-out past the
+  * single-driver ceiling of [[ResidentIndex]] (whose byte budget, G-thread
+  * sharding and O(store)/batch disk fallback all live in ONE driver JVM).
+  * Reference anchor: pipelinedb's combiner tier — a separately scalable
+  * process pool receiving group-hash-routed state updates
+  * (config.c:300-306 `num_combiners` 1-1024; combiner_receiver.c:160-177
+  * group-hash routing) — re-expressed in Spark's execution model: state
+  * shards live where tasks run, the driver only routes and coordinates.
+  *
+  * SHAPE. Bucket b belongs to shard floorMod(b, P) (bucket keys are banded
+  * hashes — uniform by construction). Each shard is a [[ResidentIndex]]
+  * (sorted main run + hashed delta — the same LSM layout as the driver hot
+  * tier) held in a JVM-global registry keyed by (store path, shard id), so
+  * it SURVIVES across Spark jobs. Per batch the driver ships O(batch)
+  * probe rows plus the previous batch's O(batch) index delta, runs ONE
+  * P-partition job, and collects O(suppressed) row indices back: the
+  * corpus-sized state never moves, per-batch traffic is bounded by the
+  * batch, and memory scales with the CLUSTER (P shards across executor
+  * heaps), not with one driver budget.
+  *
+  * CONSISTENCY. The parquet gate store remains the durable source of
+  * truth; shards are caches REBUILDABLE from it. Every shard carries
+  * (generation, applied-batch); a probe task whose shard is missing, from
+  * another generation (compaction reap / bulk seed / gate restart), or not
+  * exactly at the delta floor reports STALE instead of answering, and the
+  * driver runs one rebuild job — a single distributed store scan shuffled
+  * by the same bucket partitioner, loading every shard in one pass — then
+  * retries the probe. Deltas apply strictly in batch order: the delta for
+  * batch N rides batch N+1's probe job, AFTER N's durable append (the
+  * gate drains its commit pipeline before deciding), so a rebuild always
+  * reproduces at least what the shards knew — modulo a LOST durable
+  * append, the gate family's accepted at-least-once loss class.
+  *
+  * PLACEMENT. Probe tasks prefer the executor that last hosted their
+  * shard (`getPreferredLocations`, recorded per job — the same pinning
+  * Structured Streaming's StateStoreRDD gets from its coordinator); a
+  * task scheduled elsewhere self-heals with one rebuild. On local[n] all
+  * shards share the JVM and the pin is trivially satisfied.
+  */
+private[graft] final class ExecutorGateIndex(
+    spark: SparkSession,
+    storeDir: java.nio.file.Path,
+    val parts: Int,
+    ttlEnabled: Boolean) {
+
+  import ExecutorGateIndex._
+
+  require(parts >= 1, s"need at least one state partition, got $parts")
+
+  private val storeKey = storeDir.toAbsolutePath.toString
+  // generation: instance nonce + invalidation count — a gate restart, a
+  // compaction fold, or a bulk seed invalidates every shard (rebuild)
+  private val nonce = java.util.UUID.randomUUID().toString.take(8)
+  private var invalidations = 0L
+  private def gen: String = s"$nonce:$invalidations"
+  private var needRebuild = true // bootstrap starts from the store
+
+  // last-known executor host of each shard (next job's preferred location)
+  private val shardHosts = new Array[String](parts)
+
+  // deltas not yet applied to the shards: (batch, exploded entries) —
+  // shipped with the next probe job; depth ≤ 1 in steady flow (one commit
+  // per decide), bounded by batch size always
+  private val pending =
+    new java.util.ArrayDeque[(Long, Array[(Long, Long, Long)])]()
+  private var appliedFloor = -1L // shards sit exactly here between probes
+
+  /** Buffer batch `n`'s exploded (bucket, fp, tsMicros) entries at the
+    * gate's durable commit; they ride the next probe job. Call for EVERY
+    * committed batch (empty arrays keep the batch range contiguous). */
+  def bufferDelta(n: Long, entries: Array[(Long, Long, Long)]): Unit =
+    synchronized { pending.addLast((n, entries)); () }
+
+  /** The durable store changed shape under the shards (bulk seed,
+    * compaction reap, crash recovery): drop the delta buffer and force a
+    * rebuild at the next probe. */
+  def invalidate(): Unit = synchronized {
+    pending.clear()
+    invalidations += 1
+    needRebuild = true
+  }
+
+  /** Suppression probe for one batch against the distributed shards:
+    * returns the indices of probe rows with at least one in-window store
+    * match at Hamming distance ≤ maxDist.
+    *
+    * @param probes (rowIdx, bucket, fp, tsMicros), pre-filtered by the
+    *               driver bloom/occupancy cap; tsMicros ignored unwindowed
+    * @param batch  this batch's number — shards must cover ≤ batch-1
+    */
+  def probe(probes: Array[(Int, Long, Long, Long)], batch: Long,
+      maxDist: Int, ttlMicros: Long): Array[Int] = synchronized {
+    val expectApplied = batch - 1
+    if (needRebuild) rebuildAll(expectApplied)
+    val deltas = pending.toArray(Array.empty[(Long, Array[(Long, Long, Long)])])
+    pending.clear()
+    val floor = appliedFloor
+    appliedFloor = expectApplied
+    val out = runProbe(probes, deltas, floor, expectApplied, maxDist, ttlMicros)
+    out match {
+      case Right(hit) => hit
+      case Left(staleShards) =>
+        // an executor moved/lost its shard (never on local[n]): one
+        // rebuild heals every shard, then the probe must answer
+        System.err.println(s"[graft] ExecutorGateIndex($storeKey): shards " +
+          s"${staleShards.mkString(",")} stale; rebuilding from the store")
+        rebuildAll(expectApplied)
+        runProbe(probes, Array.empty, expectApplied, expectApplied, maxDist,
+          ttlMicros) match {
+          case Right(hit) => hit
+          case Left(still) => throw new IllegalStateException(
+            s"gate shards $still stale after rebuild — store $storeKey")
+        }
+    }
+  }
+
+  /** One probe job. Left(stale shard ids) if any shard could not answer. */
+  private def runProbe(probes: Array[(Int, Long, Long, Long)],
+      deltas: Array[(Long, Array[(Long, Long, Long)])], floor: Long,
+      expectApplied: Long, maxDist: Int,
+      ttlMicros: Long): Either[Seq[Int], Array[Int]] = {
+    val expectGen = gen
+    val (sKey, p, ttl) = (storeKey, parts, ttlEnabled)
+    // group driver-side (batch-bounded): partition k's task payload
+    val perShard = Array.fill(p)(
+      new scala.collection.mutable.ArrayBuffer[(Int, Long, Long, Long)]())
+    probes.foreach { pr =>
+      perShard(java.lang.Math.floorMod(pr._2, p.toLong).toInt) += pr
+    }
+    val deltaPerShard = Array.fill(p)(
+      new scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]())
+    deltas.foreach { case (bn, entries) =>
+      entries.foreach { e =>
+        deltaPerShard(java.lang.Math.floorMod(e._1, p.toLong).toInt) +=
+          ((bn, e._1, e._2, e._3))
+      }
+    }
+    val payload: Array[ShardTask] = (0 until p).map { k =>
+      ShardTask(perShard(k).toArray, deltaPerShard(k).toArray)
+    }.toArray
+    val rdd = new GateTaskRDD(spark.sparkContext, payload, shardHosts.clone())
+    val results = rdd.mapPartitionsWithIndex { (k, it) =>
+      val task = it.next()
+      val host = org.apache.spark.SparkEnv.get.blockManager.blockManagerId.host
+      val shard = ExecutorGateState.shardFor(sKey, k, ttl)
+      shard.synchronized {
+        if (shard.gen != expectGen || shard.applied != floor) {
+          Iterator.single((k, host, true, Array.empty[Int]))
+        } else {
+          // apply the shipped deltas in batch order, then advance to the
+          // probe's expected floor (a shard with no routed entries for a
+          // batch advances too — the range is contiguous by contract)
+          task.deltas.sortBy(_._1).foreach { case (_, b, fp, ts) =>
+            shard.add(b, fp, ts)
+          }
+          shard.applied = expectApplied
+          val hits = new scala.collection.mutable.ArrayBuffer[Int]()
+          task.probes.foreach { case (rowIdx, b, fp, ts) =>
+            var hit = false
+            shard.idx.foreachMatch(b) { (sfp, ord) =>
+              if (!hit && java.lang.Long.bitCount(sfp ^ fp) <= maxDist &&
+                  (ttlMicros == 0L || shard.ts(ord) > ts - ttlMicros))
+                hit = true
+            }
+            if (hit) hits += rowIdx
+          }
+          Iterator.single((k, host, false, hits.toArray))
+        }
+      }
+    }.collect()
+    results.foreach { case (k, host, _, _) => shardHosts(k) = host }
+    val stale = results.collect { case (k, _, true, _) => k }.toSeq
+    if (stale.nonEmpty) Left(stale)
+    else Right(results.flatMap(_._4).distinct)
+  }
+
+  /** Rebuild every shard from the durable store in ONE distributed pass:
+    * scan the parquet files, shuffle by the bucket partitioner, load each
+    * partition into its executor-local shard. O(store) read + one shuffle
+    * — the bootstrap cost, paid at restart/compaction/seed, never per
+    * batch. */
+  private def rebuildAll(expectApplied: Long): Unit = {
+    invalidations += 1 // orphan any shard the job does not reach
+    val expectGen = gen
+    val (sKey, p, ttl) = (storeKey, parts, ttlEnabled)
+    val files = GateStore.files(storeDir)
+    val rows =
+      if (files.isEmpty)
+        spark.sparkContext.emptyRDD[(Long, (Long, Long))]
+      else {
+        val cols = Seq(col("bucket"), col("fp")) ++
+          (if (ttl) Seq(unix_micros(col("ts"))) else Nil)
+        spark.read.parquet(files.toSeq: _*).select(cols: _*).rdd
+          .map(r => (r.getLong(0), (r.getLong(1), if (ttl) r.getLong(2) else 0L)))
+      }
+    val hosts = rows.partitionBy(new BucketPartitioner(p))
+      .mapPartitionsWithIndex { (k, it) =>
+        val host = org.apache.spark.SparkEnv.get.blockManager.blockManagerId.host
+        val shard = ExecutorGateState.shardFor(sKey, k, ttl)
+        shard.synchronized {
+          shard.reset()
+          it.foreach { case (b, (fp, ts)) => shard.add(b, fp, ts) }
+          shard.idx.mergeDelta()
+          shard.gen = expectGen
+          shard.applied = expectApplied
+        }
+        Iterator.single((k, host))
+      }.collect()
+    hosts.foreach { case (k, host) => shardHosts(k) = host }
+    appliedFloor = expectApplied
+    pending.clear()
+    needRebuild = false
+  }
+
+  /** Approximate total entries across shards (probe/spec telemetry). */
+  def totalEntries: Long = {
+    val (sKey, p, ttl) = (storeKey, parts, ttlEnabled)
+    val rdd = new GateTaskRDD(spark.sparkContext,
+      Array.fill(p)(ShardTask(Array.empty, Array.empty)), shardHosts.clone())
+    rdd.mapPartitionsWithIndex { (k, _) =>
+      Iterator.single(ExecutorGateState.shardFor(sKey, k, ttl).idx.size.toLong)
+    }.collect().sum
+  }
+}
+
+private[graft] object ExecutorGateIndex {
+
+  /** One shard's per-task payload: probe rows + index deltas
+    * ((batch, bucket, fp, tsMicros)). */
+  final case class ShardTask(
+      probes: Array[(Int, Long, Long, Long)],
+      deltas: Array[(Long, Long, Long, Long)])
+
+  /** Default state-partition count: ~one shard per 2 cores keeps probe
+    * tasks short while leaving scheduler slots for the scan work. On a
+    * real cluster this would be sized to executors × cores. */
+  def defaultParts(spark: SparkSession): Int =
+    math.max(4, spark.sparkContext.defaultParallelism / 2)
+}
+
+/** Deterministic bucket→shard routing shared by probe grouping, delta
+  * grouping, and the rebuild shuffle: floorMod(bucket, P). */
+private[graft] final class BucketPartitioner(p: Int) extends Partitioner {
+  override def numPartitions: Int = p
+  override def getPartition(key: Any): Int =
+    java.lang.Math.floorMod(key.asInstanceOf[Long], p.toLong).toInt
+}
+
+/** Executor-side shard registry — JVM-global so state outlives jobs. One
+  * writer at a time per shard (the gate serializes its batches; rebuild
+  * and probe both take the shard monitor). */
+private[graft] object ExecutorGateState {
+
+  final class Shard(ttlEnabled: Boolean) {
+    @volatile var gen: String = ""
+    @volatile var applied: Long = Long.MinValue
+    // unbudgeted by DESIGN: a shard holds store/P entries and the real
+    // bound is the executor heap × the cluster's executor count — the
+    // point of the tier. (Long.MaxValue disables ResidentIndex's budget.)
+    val idx = new ResidentIndex(hasOrd = ttlEnabled, Long.MaxValue)
+    private val tss = new scala.collection.mutable.ArrayBuffer[Long]()
+    def ts(ord: Int): Long = tss(ord)
+    def add(bucket: Long, fp: Long, tsMicros: Long): Unit = {
+      val ord =
+        if (!ttlEnabled) -1
+        else { tss += tsMicros; tss.length - 1 }
+      idx.add(bucket, fp, ord)
+      ()
+    }
+    def reset(): Unit = { idx.reset(); tss.clear() }
+  }
+
+  private val shards = new ConcurrentHashMap[String, Shard]()
+
+  def shardFor(storeKey: String, k: Int, ttl: Boolean): Shard =
+    shards.computeIfAbsent(s"$storeKey#$k", _ => new Shard(ttl))
+}
+
+/** An RDD whose P partitions each carry one pre-grouped task payload and
+  * prefer the executor that last hosted their shard — the minimal form of
+  * Structured Streaming's StateStoreRDD placement contract. No shuffle:
+  * the payload is batch-bounded and grouped on the driver. */
+private[graft] final class GateTaskRDD(
+    sc: SparkContext,
+    payload: Array[ExecutorGateIndex.ShardTask],
+    hosts: Array[String])
+  extends RDD[ExecutorGateIndex.ShardTask](sc, Nil) {
+
+  override def getPartitions: Array[Partition] =
+    payload.indices.map(new GateTaskPartition(_): Partition).toArray
+
+  override def compute(split: Partition,
+      context: TaskContext): Iterator[ExecutorGateIndex.ShardTask] =
+    Iterator.single(payload(split.index))
+
+  override def getPreferredLocations(split: Partition): Seq[String] = {
+    val h = hosts(split.index)
+    if (h == null || h.isEmpty) Nil else Seq(h)
+  }
+}
+
+private final class GateTaskPartition(override val index: Int)
+  extends Partition

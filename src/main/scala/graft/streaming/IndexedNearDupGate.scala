@@ -119,6 +119,9 @@ private[streaming] abstract class IndexedNearDupGate[P](
     * appends + compaction of batch N overlap batch N+1's prepare/collect;
     * [[CommitPipeline]] documents the ordering contract. */
   private val pipeline = new CommitPipeline(s"$name-$shardId", storeRoots)
+  /** Test/stats seam: the gate's deferred-commit pipeline (failpoint +
+    * lost-commit counter — see [[CommitPipeline]]). */
+  private[graft] def commitPipeline: CommitPipeline = pipeline
   private val ingestLock = new Object
 
   /** Barrier for callers about to read or delete the durable stores
@@ -225,13 +228,25 @@ private[streaming] abstract class IndexedNearDupGate[P](
     if (writesPayload) new ResidentPayloads(ResidentIndex.budgetBytes) else null
   private var residentStale = false
 
+  /** Test/probe seam: (tier active, index entries, ~budget bytes, id-pool
+    * slots, payload-pool active) — the TTL pool-compaction specs assert
+    * the budget SHRINKS with the window instead of accreting dead slots. */
+  private[graft] def residentStats: (Boolean, Int, Long, Int, Boolean) =
+    synchronized((resident.active, resident.size, resident.approxBytes,
+      residentIds.length, payloadPool == null || payloadPool.active))
+
   /** Bulk (non-driver) store writes invalidate the resident tier; the next
     * decide (or bootstrap) rebuilds it from disk inside the gate's lock. */
   private def rebuildResident(): Unit = {
     residentStale = false
     if (resident.active) {
       resident.reset()
+      // both pools clear together, unconditionally: a rebuild over an
+      // EMPTY store (e.g. a reap folded everything away) must not leave
+      // stale timestamps behind an empty id pool — the next live append
+      // pairs ord = residentIds.length with residentTs.length
       residentIds.clear()
+      residentTs.clear()
       val files = GateStore.files(idxDir)
       if (files.nonEmpty) {
         val df = coreSession.read.parquet(files: _*)
@@ -244,7 +259,6 @@ private[streaming] abstract class IndexedNearDupGate[P](
           resident.deactivate()
         } else {
           val ordOf = new java.util.HashMap[Any, Integer]()
-          residentTs.clear()
           val cols = Seq(col("bucket"), col("id")) ++
             (if (sketchColOf.isEmpty) Nil else Seq(col("sk"))) ++
             (if (ttlEnabled) Seq(unix_micros(col("ts"))) else Nil)
@@ -1029,10 +1043,10 @@ private[streaming] abstract class IndexedNearDupGate[P](
         if (n > 0) eng.insertInto(sink, survivorsOf(keyed, ctx.sup))
         if (CommitPipeline.enabled) {
           deferred = true
-          pipeline.submit { () =>
+          pipeline.submit({ () =>
             try { commitPayloadBatch(ctx); commitIndexBatch(ctx); maybeCompact() }
             finally { keyed.unpersist(); () }
-          }
+          }, label = s"batch ${synchronized(batches)}")
         } else { commitPayloadBatch(ctx); commitIndexBatch(ctx) }
       }
     } finally { if (!deferred) { keyed.unpersist(); () } }
@@ -1065,9 +1079,34 @@ private[streaming] abstract class IndexedNearDupGate[P](
       (if (sketchColOf.isEmpty) Nil else Seq("sk")) ++ tsCols
     val n = GateStore.compact(eng.spark, idxDir, "keys", idxCols,
       batches, sortCol = Some("bucket"), rowFilter = reap)
-    if (ttlEnabled && maxSeenTsMicros != Long.MinValue) {
+    if (ttlEnabled && maxSeenTsMicros != Long.MinValue && resident.active) {
+      // resident mirror of the disk reap, WITH pool compaction: reaped
+      // ords are remapped away so ids/timestamps/payloads and the byte
+      // accounting shrink with the window — a monotonic budget would
+      // deactivate the tier on dead slots alone over a long stream
       val cutoff = maxSeenTsMicros - ttlMicros
-      resident.retain((_, ord) => ord >= 0 && residentTs(ord) > cutoff)
+      val remap = new Array[Int](residentIds.length)
+      val nIds = new scala.collection.mutable.ArrayBuffer[Any]()
+      val nTs = new scala.collection.mutable.ArrayBuffer[Long]()
+      var i = 0
+      while (i < residentIds.length) {
+        if (residentTs(i) > cutoff) {
+          remap(i) = nIds.length
+          nIds += residentIds(i)
+          nTs += residentTs(i)
+        } else {
+          remap(i) = -1
+          // pool eviction is by id: a re-crawled doc whose OLD ord reaps
+          // while a newer one survives just falls back to the disk fetch
+          // for that id (pool miss is always correct, never wrong)
+          if (payloadPool != null)
+            payloadPool.remove(residentIds(i), residentPayloadBytes _)
+        }
+        i += 1
+      }
+      residentIds.clear(); residentIds ++= nIds
+      residentTs.clear(); residentTs ++= nTs
+      resident.retainRemap(remap, nIds.length.toLong * 48)
     }
     if (n > bloomN) {
       bloomN = GateStore.bloomSizeFor(n, bloomN)

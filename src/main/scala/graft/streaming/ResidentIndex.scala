@@ -173,19 +173,26 @@ private[streaming] final class ResidentIndex(hasOrd: Boolean, maxBytes: Long) {
     extraBytes = 0L
   }
 
-  /** Drop entries failing `keep(aux, ord)` — the TTL reaper's resident
-    * mirror (runs at the gate's compaction fold, matching the disk reap).
-    * Folds the delta first so one pass covers everything. */
-  def retain(keep: (Long, Int) => Boolean): Unit = {
+  /** TTL fold with ord-pool compaction — the reaper's resident mirror.
+    * Drops entries whose `remap(ord)` is negative and REWRITES surviving
+    * entries' ords, so the owning gate can compact its parallel pools
+    * (ids/timestamps) in the same fold instead of accreting dead slots;
+    * `newExtraBytes` replaces the pool accounting wholesale (the gate just
+    * rebuilt the pools it accounts for). Without the remap a long-running
+    * windowed gate's budget would be consumed monotonically by reaped
+    * slots until the tier deactivated on dead weight alone. Folds the
+    * delta first so one pass covers everything. */
+  def retainRemap(remap: Array[Int], newExtraBytes: Long): Unit = {
     if (!activeFlag) return
+    require(hasOrd, "retainRemap needs ord-carrying entries (TTL mode)")
     mergeDelta()
     val n = mKeys.length
     var o = 0
     var i = 0
     while (i < n) {
-      if (keep(mAux(i), if (hasOrd) mOrd(i) else -1)) {
-        mKeys(o) = mKeys(i); mAux(o) = mAux(i)
-        if (hasOrd) mOrd(o) = mOrd(i)
+      val nOrd = if (mOrd(i) >= 0 && mOrd(i) < remap.length) remap(mOrd(i)) else -1
+      if (nOrd >= 0) {
+        mKeys(o) = mKeys(i); mAux(o) = mAux(i); mOrd(o) = nOrd
         o += 1
       }
       i += 1
@@ -193,8 +200,9 @@ private[streaming] final class ResidentIndex(hasOrd: Boolean, maxBytes: Long) {
     if (o != n) {
       mKeys = java.util.Arrays.copyOf(mKeys, o)
       mAux = java.util.Arrays.copyOf(mAux, o)
-      if (hasOrd) mOrd = java.util.Arrays.copyOf(mOrd, o)
+      mOrd = java.util.Arrays.copyOf(mOrd, o)
     }
+    extraBytes = newExtraBytes
   }
 }
 
@@ -222,6 +230,13 @@ private[streaming] final class ResidentPayloads(maxBytes: Long) {
   }
 
   def get(id: Any): AnyRef = if (activeFlag) map.get(id) else null
+
+  /** TTL-reap removal, giving the accounted bytes back to the budget
+    * (`bytesOf` recomputes what [[put]] charged). */
+  def remove(id: Any, bytesOf: AnyRef => Int): Unit = if (activeFlag) {
+    val v = map.remove(id)
+    if (v != null) bytes -= bytesOf(v) + 64L
+  }
 
   def reset(): Unit = if (activeFlag) { map.clear(); bytes = 0L }
 

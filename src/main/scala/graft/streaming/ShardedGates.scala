@@ -50,6 +50,19 @@ private[streaming] trait ShardableGateCore {
     * store already at or past it — and sync the batch counter. Stateless
     * gates need nothing. */
   private[streaming] def commitRecovered(spooled: DataFrame, epoch: Long): Unit = ()
+  /** Pre-spool half of the exactly-once RETRY-DEDUP WINDOW, for cores
+    * whose decisions are STATELESS (the contamination gate): add ids the
+    * window has seen in recent epochs to `sup` (an upstream's crash-retry
+    * of an already-delivered epoch would otherwise be re-admitted — the
+    * stateful gates get this suppression from their seen-stores for
+    * free), and return this batch's id set for [[rememberRetryIds]].
+    * The remember MUST wait for the spool commit point: remembering
+    * before it would suppress the retry of a batch that crashed PRE-spool
+    * — dropping the batch outright. Stateful cores return null. */
+  private[streaming] def retrySuppress(keyed: DataFrame,
+      sup: java.util.HashSet[Any]): java.util.HashSet[Any] = null
+  /** Post-spool half: remember the epoch's ids in the retry window. */
+  private[streaming] def rememberRetryIds(ids: java.util.HashSet[Any]): Unit = ()
   /** Highest batch number persisted in this core's stores (the sharded
     * wrapper's epoch-counter floor on restart). */
   private[streaming] def storeMaxBatch: Long = 0L
@@ -165,6 +178,8 @@ final class ShardedNearDupGate private[streaming] (
     * while decides still serialize on the committed store state. */
   private val pipeline =
     new CommitPipeline(s"sh-$name", cores.flatMap(_.storeRoots).distinct)
+  /** Test/stats seam: see [[CommitPipeline]]. */
+  private[graft] def commitPipeline: CommitPipeline = pipeline
   private val ingestLock = new Object
 
   /** Barrier for callers about to read or delete the durable stores
@@ -187,6 +202,12 @@ final class ShardedNearDupGate private[streaming] (
       // shared-store verification (split-store gates): one payload fetch
       // over the union of every core's candidates
       sup.addAll(traced("sh-verify")(cores.head.verifySharedPairs(ctxs)))
+      // retry-dedup window (stateless-decision cores, exactly-once only):
+      // suppress re-fed ids from recent epochs BEFORE counting/spooling;
+      // the window state lives on core 0 — row identity is wrapper-wide,
+      // not key-sliced, so one core's window covers the joint decision
+      val retryIds =
+        if (exactlyOnce) cores.head.retrySuppress(keyed, sup) else null
       val total = obs.get("rows").asInstanceOf[Long]
       val n = total - sup.size
       synchronized { admitted += n; suppressed += total - n }
@@ -197,6 +218,8 @@ final class ShardedNearDupGate private[streaming] (
         val epoch = epoch0
         epochs.failpoint("before-spool")
         epochs.spool(epoch, keyed, cores.head.admittedCol(sup))
+        // remember only AFTER the spool commit point (see retrySuppress)
+        if (retryIds != null) cores.head.rememberRetryIds(retryIds)
         epochs.failpoint("after-spool")
         traced("sh-pay")(cores.head.commitPayloadBatch(ctxs.head))
         traced("sh-idx")(inPool(
@@ -212,7 +235,7 @@ final class ShardedNearDupGate private[streaming] (
         // longer than the batch's own retry
         if (CommitPipeline.enabled) {
           deferred = true
-          pipeline.submit { () =>
+          pipeline.submit({ () =>
             try {
               traced("sh-pay")(cores.head.commitPayloadBatch(ctxs.head))
               traced("sh-idx")(inPool(
@@ -220,7 +243,7 @@ final class ShardedNearDupGate private[streaming] (
               inPool(cores.map(c => () => c.maybeCompact()))
               ()
             } finally { keyed.unpersist(); () }
-          }
+          }, label = s"batch $epoch0")
         } else {
           traced("sh-pay")(cores.head.commitPayloadBatch(ctxs.head))
           traced("sh-idx")(inPool(
@@ -282,6 +305,13 @@ final class ShardedDedupGate private[streaming] (
     val per = cores.map(_.stats)
     (batchesN, per.map(_._2).sum, per.map(_._3).sum)
   }
+
+  /** Deferred commits lost across every routed core (`graft_gate_stats`). */
+  private[graft] def lostCommits: Long =
+    cores.map(_.commitPipeline.lostCommits).sum
+
+  /** Test seam: the routed cores (failpoint/drain access). */
+  private[graft] def coreGates: Seq[StreamDedupGate] = cores
 
   def shardCount: Int = cores.size
 

@@ -77,7 +77,9 @@ final class SimHashNearDupGate private (
     shardCount: Int = 1,
     delivery: String = StreamDedupGate.AtLeastOnce,
     ttlMillis: Long = 0L,
-    ttlColumn: String = "") extends ShardableGateCore {
+    ttlColumn: String = "",
+    backend: String = StreamDedupGate.DriverBackend,
+    stateParts: Int = 0) extends ShardableGateCore {
 
   require(shardCount >= 1 && shardId >= 0 && shardId < shardCount,
     s"bad shard assignment $shardId/$shardCount")
@@ -87,6 +89,22 @@ final class SimHashNearDupGate private (
   require(ttlMillis >= 0, s"negative ttl $ttlMillis")
   require(ttlMillis == 0 || ttlColumn.nonEmpty,
     "a windowed gate needs the event-time column: pass ttlColumn")
+  require(backend == StreamDedupGate.DriverBackend ||
+    backend == StreamDedupGate.ExecutorBackend,
+    s"unknown state backend '$backend'")
+  require(backend == StreamDedupGate.DriverBackend || shardCount == 1,
+    "the executor backend IS the scale-out — it does not compose with " +
+      "driver-thread core sharding")
+
+  /** EXECUTOR STATE BACKEND — `backend = "executor"`
+    * ([[ExecutorGateIndex]]): the probe state lives partitioned across
+    * executor-local shards instead of the driver hot tier, so gate memory
+    * scales with the cluster, not one JVM. Decision semantics are
+    * bit-identical to the driver paths (same bucket math, same Hamming
+    * check, same window rule); the trade is one Spark job per batch, so
+    * at small state the driver tier is faster — this is the path past the
+    * resident budget, not a default. */
+  private val executorBackend = backend == StreamDedupGate.ExecutorBackend
 
   // WINDOWED (TTL) MODE — see IndexedNearDupGate's windowed contract
   // (identical semantics; the fp store gains a ts column, compaction
@@ -115,6 +133,8 @@ final class SimHashNearDupGate private (
     * store append + compaction of batch N overlap batch N+1's
     * prepare/collect; [[CommitPipeline]] documents the ordering. */
   private val pipeline = new CommitPipeline(s"$name-$shardId", storeRoots)
+  /** Test/stats seam: see [[CommitPipeline]]. */
+  private[graft] def commitPipeline: CommitPipeline = pipeline
   private val ingestLock = new Object
 
   /** Barrier for callers about to read or delete the durable stores
@@ -178,14 +198,35 @@ final class SimHashNearDupGate private (
   // the beyond-budget fallback path).
   private val resident = new ResidentIndex(
     hasOrd = ttlEnabled, // windowed entries reference the ts pool by ord
-    ResidentIndex.budgetBytes / shardCount)
+    // the executor backend replaces the driver tier entirely
+    if (executorBackend) 0L else ResidentIndex.budgetBytes / shardCount)
+
+  /** Executor-partitioned probe state (executor backend only). */
+  private val execIdx: ExecutorGateIndex =
+    if (!executorBackend) null
+    else new ExecutorGateIndex(eng.spark, storeDir,
+      if (stateParts > 0) stateParts else ExecutorGateIndex.defaultParts(eng.spark),
+      ttlEnabled)
+  /** Probe/spec seam: the distributed index (null on the driver backend). */
+  private[graft] def executorIndex: ExecutorGateIndex = execIdx
   private val residentTs = new scala.collection.mutable.ArrayBuffer[Long]()
   private var residentStale = false
+
+  /** Test/probe seam: (tier active, index entries, ~budget bytes, ts-pool
+    * slots, payload-pool active [always true — simhash stores none]) —
+    * see [[IndexedNearDupGate.residentStats]]. */
+  private[graft] def residentStats: (Boolean, Int, Long, Int, Boolean) =
+    synchronized((resident.active, resident.size, resident.approxBytes,
+      residentTs.length, true))
 
   private def rebuildResident(): Unit = {
     residentStale = false
     if (!resident.active) return
     resident.reset()
+    // ts pool clears with the index, before any early return: a rebuild
+    // over an empty (or budget-overflowing) store must not leave stale
+    // timestamps for later appends' ords to collide with
+    residentTs.clear()
     val files = GateStore.files(storeDir)
     if (files.isEmpty) return
     val df = coreSession.read.parquet(files: _*)
@@ -196,7 +237,6 @@ final class SimHashNearDupGate private (
       resident.deactivate()
       return
     }
-    residentTs.clear()
     val cols = Seq(col("bucket"), col("fp")) ++
       (if (ttlEnabled) Seq(unix_micros(col("ts"))) else Nil)
     val it = df.select(cols: _*).toLocalIterator()
@@ -289,10 +329,25 @@ final class SimHashNearDupGate private (
     val n = GateStore.compact(eng.spark, storeDir, "fps",
       Seq("bucket", "id", "fp") ++ (if (ttlEnabled) Seq("ts") else Nil),
       batches, sortCol = Some("bucket"), rowFilter = reap)
-    if (ttlEnabled && maxSeenTsMicros != Long.MinValue) {
+    if (ttlEnabled && maxSeenTsMicros != Long.MinValue && resident.active) {
+      // resident mirror of the disk reap, WITH ts-pool compaction (see
+      // IndexedNearDupGate.compactLocked): reaped ords remap away so the
+      // pool and the byte accounting shrink with the window
       val cutoff = maxSeenTsMicros - ttlMicros
-      resident.retain((_, ord) => ord >= 0 && residentTs(ord) > cutoff)
+      val remap = new Array[Int](residentTs.length)
+      val nTs = new scala.collection.mutable.ArrayBuffer[Long]()
+      var i = 0
+      while (i < residentTs.length) {
+        if (residentTs(i) > cutoff) { remap(i) = nTs.length; nTs += residentTs(i) }
+        else remap(i) = -1
+        i += 1
+      }
+      residentTs.clear(); residentTs ++= nTs
+      resident.retainRemap(remap, nTs.length.toLong * 8)
     }
+    // the fold rewrote the store files (and reaped, when windowed): the
+    // executor shards rebuild from the new snapshot at the next probe
+    if (executorBackend) execIdx.invalidate()
     if (n > bloomN) {
       bloomN = GateStore.bloomSizeFor(n, bloomN)
       System.err.println(s"[graft] SimHashNearDupGate($name): store at $n keys " +
@@ -330,6 +385,7 @@ final class SimHashNearDupGate private (
       }
       updateFilters(collectBuckets(keyed))
       residentStale = true // bulk write bypassed the hot tier
+      if (executorBackend) execIdx.invalidate() // ... and the exec shards
     } finally { keyed.unpersist(); () }
   }
 
@@ -541,6 +597,29 @@ final class SimHashNearDupGate private (
         suppressedSet.addAll(storeSuppressed)
         return new BatchCtx(keyed, rows, rowKeys, suppressedSet, tss)
       }
+      if (executorBackend) {
+        // distributed probe: ship (rowIdx, bucket, fp[, ts]) for the
+        // bloom-positive, under-cap keys — O(batch) out, O(suppressed)
+        // back; the corpus-sized state stays on the executors
+        val probes =
+          new scala.collection.mutable.ArrayBuffer[(Int, Long, Long, Long)]()
+        var i = 0
+        while (i < rows.length) {
+          if (rows(i)._1 != null) {
+            rowKeys(i).foreach { b =>
+              if (!overCapSet.contains(b) && bloom.contains(b))
+                probes += ((i, b, rows(i)._2, if (ttlEnabled) tss(i) else 0L))
+            }
+          }
+          i += 1
+        }
+        val hitIdx = traced("store-exec")(execIdx.probe(probes.toArray,
+          batches, maxDist, if (ttlEnabled) ttlMicros else 0L))
+        val suppressedSet = new java.util.HashSet[Any]()
+        suppressedIdx.forEach(i => { suppressedSet.add(rows(i)._1); () })
+        hitIdx.foreach(i => { suppressedSet.add(rows(i)._1); () })
+        return new BatchCtx(keyed, rows, rowKeys, suppressedSet, tss)
+      }
       val storeF = GateStore.storeFiles(storeDir)
       // bucket-bloom gate: an under-cap key that misses the driver bloom
       // has no store candidate (no false negatives); the hit rows become a
@@ -735,6 +814,20 @@ final class SimHashNearDupGate private (
           i += 1
         }
       }
+      if (executorBackend) {
+        // buffer this batch's delta for the distributed shards; it rides
+        // the NEXT probe job (after this durable append — the required
+        // order). Buffer EVERY batch, even empty, to keep the shards'
+        // applied-batch range contiguous.
+        val delta = new scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+        var i = 0
+        while (i < rows.length) {
+          val ts = if (ttlEnabled) ctx.rowTs(i) else 0L
+          rowKeys(i).foreach(b => delta += ((b, rows(i)._2, ts)))
+          i += 1
+        }
+        execIdx.bufferDelta(batches, delta.toArray)
+      }
       traced("filters")(updateFilters(rowKeys.flatten))
     } }
 
@@ -780,10 +873,10 @@ final class SimHashNearDupGate private (
         }
         if (CommitPipeline.enabled) {
           deferred = true
-          pipeline.submit { () =>
+          pipeline.submit({ () =>
             try { commitIndexBatch(ctx); maybeCompact() }
             finally { keyed.unpersist(); () }
-          }
+          }, label = s"batch ${synchronized(batches)}")
         } else commitIndexBatch(ctx)
       }
     } finally { if (!deferred) { keyed.unpersist(); () } }
@@ -805,7 +898,9 @@ object SimHashNearDupGate {
       maxBucketSize: Int = Int.MaxValue,
       compactEvery: Int = 256,
       delivery: String = StreamDedupGate.AtLeastOnce,
-      ttlMillis: Long = 0L, ttlColumn: String = ""): SimHashNearDupGate = {
+      ttlMillis: Long = 0L, ttlColumn: String = "",
+      backend: String = StreamDedupGate.DriverBackend,
+      stateParts: Int = 0): SimHashNearDupGate = {
     val root = Paths.get(storeRoot, name)
     Files.createDirectories(root)
     GateStore.stampGeometry(root, "shards_1")
@@ -817,7 +912,8 @@ object SimHashNearDupGate {
       s"simhash_k$blocks" + (if (ttlMillis > 0) "_ttl" else ""))
     val gate = new SimHashNearDupGate(eng, name, textSql, orderCol, sink, dir,
       maxDist, blocks, bloomP, bloomN, maxBucketSize, compactEvery,
-      delivery = delivery, ttlMillis = ttlMillis, ttlColumn = ttlColumn)
+      delivery = delivery, ttlMillis = ttlMillis, ttlColumn = ttlColumn,
+      backend = backend, stateParts = stateParts)
     gate.bootstrap() // resume from a persisted store after an engine restart
     eng.createContTransform(name, selectSql,
       outputFunc = Some(gate.onBatch _), emitChanges = false)

@@ -209,6 +209,8 @@ final class StreamDedupGate private[streaming] (
     * store-presence check keeps decisions serialized on committed store
     * state ([[CommitPipeline]] documents the contract). */
   private val pipeline = new CommitPipeline(name, Seq(storeDir.toString))
+  /** Test/stats seam: see [[CommitPipeline]]. */
+  private[graft] def commitPipeline: CommitPipeline = pipeline
   private val ingestLock = new Object
 
   /** Barrier for callers about to read or delete the durable store. */
@@ -654,12 +656,12 @@ final class StreamDedupGate private[streaming] (
         eng.insertInto(sink, d.survivors)
         if (CommitPipeline.enabled) {
           deferred = true
-          pipeline.submit { () =>
+          pipeline.submit({ () =>
             // compaction cadence rides the task too, so the periodic fold
             // overlaps the next batch instead of blocking a timed one
             try { synchronized(d.appendNewKeys(epoch)); maybeCompact() }
             finally { d.keyed.unpersist(); () }
-          }
+          }, label = s"batch $epoch")
         } else d.appendNewKeys(epoch)
       }
       // every non-null batch key is stored-or-already-stored (or one drain
@@ -787,6 +789,13 @@ object StreamDedupGate {
 
   val AtLeastOnce = "at_least_once"
   val ExactlyOnce = "exactly_once"
+
+  /** Gate state backends: `driver` (resident hot tier + pruned store
+    * reads, zero jobs per batch — the small/medium-state default) vs
+    * `executor` (bucket-partitioned shards across executor heaps, one job
+    * per batch — the path past the driver budget; [[ExecutorGateIndex]]). */
+  val DriverBackend = "driver"
+  val ExecutorBackend = "executor"
 
   private[streaming] def deleteRecursively(f: java.io.File): Unit =
     GateStore.deleteRecursively(f)

@@ -15,17 +15,24 @@ class CommitPipelineSpec extends AnyFunSuite {
     assert(out.toArray.toSeq == (1 to 50))
   }
 
-  test("drain rethrows a failed commit ONCE, then the pipeline keeps going") {
+  test("a failed commit is counted + logged, never fails the draining batch") {
     val p = new CommitPipeline("t-fail", Nil)
-    p.submit(() => throw new IllegalStateException("disk gone"))
-    val e = intercept[IllegalStateException](p.drain())
-    assert(e.getMessage == "disk gone")
-    // surfaced once — the gate must be able to keep batching
+    p.submit(() => throw new IllegalStateException("disk gone"),
+      label = "batch 7")
+    // the NEXT batch's drain observes the loss but must not itself fail —
+    // the batch whose append died was already reported delivered; failing
+    // the innocent successor would make the upstream retry the WRONG batch
     p.drain()
+    assert(p.lostCommits === 1L)
     var ran = false
     p.submit(() => { ran = true })
     p.drain()
-    assert(ran)
+    assert(ran && p.lostCommits === 1L, "loss counted once, pipeline keeps going")
+    // failpoint seam: force a loss without a real task error
+    p.failNextTask = true
+    p.submit(() => ())
+    p.drain()
+    assert(p.lostCommits === 2L)
   }
 
   test("drain from the pipeline's own thread is a no-op (compaction cadence)") {

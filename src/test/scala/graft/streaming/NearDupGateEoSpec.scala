@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.lit
 import org.apache.spark.sql.types.{StructField, StructType, LongType, StringType, ArrayType, DoubleType}
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -175,6 +176,79 @@ class NearDupGateEoSpec extends AnyFunSuite {
       b((1L, "clean document body here"), (2L, "benchmark question one two three copied")))
     assert(counts(eng, "v_t") === Map(1L -> 1L),
       "admitted row delivered once despite the re-fed batch; contaminated row never")
+  }
+
+  test("contamination EO sharded: retry window suppresses the re-fed epoch") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ndeo7").toString
+    val eng = new ContViewEngine(spark, s"$root/eng")
+    eng.createStream("s_in", textSchema)
+    eng.createStream("s_out", textSchema)
+    eng.createContView("v_s", "SELECT id, count(*) AS c FROM s_out GROUP BY id",
+      emitChanges = false)
+    Seq("benchmark question one two three").toDF("text")
+      .createOrReplaceTempView("eo_ref2")
+    val g = ContaminationGate.createSharded(eng, "s_gate",
+      "SELECT id, body FROM s_in", textSql = "body", orderCol = "id",
+      sink = "s_out", storeRoot = s"$root/gate",
+      reference = spark.sql("SELECT text FROM eo_ref2"), shards = 2,
+      delivery = StreamDedupGate.ExactlyOnce)
+    // pre-spool crash first: the window must NOT remember a batch that
+    // never reached its commit point — the retry is legitimate, not a dup
+    g.epochs.failAt = "before-spool"
+    intercept[Exception] {
+      eng.insertInto("s_in", b((1L, "clean document body here")))
+    }
+    eng.insertInto("s_in", b((1L, "clean document body here")))
+    assert(counts(eng, "v_s") === Map(1L -> 1L), "pre-spool crash retry admits")
+    // post-spool crash: recovery delivers the pending epoch once, and the
+    // upstream's at-least-once re-feed of the SAME rows must not be
+    // re-admitted by the stateless decision — the retry-dedup window (on
+    // core 0, wrapper-wide row identity) suppresses it
+    g.epochs.failAt = "after-spool"
+    intercept[Exception] {
+      eng.insertInto("s_in", b((2L, "another clean document entirely"),
+        (3L, "benchmark question one two three copied")))
+    }
+    eng.insertInto("s_in", b((2L, "another clean document entirely"),
+      (3L, "benchmark question one two three copied")))
+    assert(counts(eng, "v_s") === Map(1L -> 1L, 2L -> 1L),
+      "epoch delivered once; re-fed clean row not duplicated; contaminated row never")
+  }
+
+  test("contamination EO sharded: window survives an engine restart via the spool") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ndeo8").toString
+    def build(n: String): ContViewEngine = {
+      val eng = new ContViewEngine(spark, s"$root/eng$n")
+      eng.createStream("r_in", textSchema)
+      eng.createStream("r_out", textSchema)
+      eng.createContView("v_r", "SELECT id, count(*) AS c FROM r_out GROUP BY id",
+        emitChanges = false)
+      eng
+    }
+    Seq("benchmark question one two three").toDF("text")
+      .createOrReplaceTempView("eo_ref3")
+    val eng1 = build("1")
+    val g1 = ContaminationGate.createSharded(eng1, "r_gate",
+      "SELECT id, body FROM r_in", textSql = "body", orderCol = "id",
+      sink = "r_out", storeRoot = s"$root/gate",
+      reference = spark.sql("SELECT text FROM eo_ref3"), shards = 2,
+      delivery = StreamDedupGate.ExactlyOnce)
+    g1.epochs.failAt = "after-spool"
+    intercept[Exception] {
+      eng1.insertInto("r_in", b((1L, "clean document body here")))
+    }
+    // full restart: the new wrapper recovers the pending spool at
+    // construction (re-remembering its ids into the window) and delivers
+    // it at the next batch head; the re-fed row is then window-suppressed
+    val eng2 = build("2")
+    ContaminationGate.createSharded(eng2, "r_gate",
+      "SELECT id, body FROM r_in", textSql = "body", orderCol = "id",
+      sink = "r_out", storeRoot = s"$root/gate",
+      reference = spark.sql("SELECT text FROM eo_ref3").where(lit(false)),
+      shards = 2, delivery = StreamDedupGate.ExactlyOnce)
+    eng2.insertInto("r_in", b((1L, "clean document body here"),
+      (4L, "fresh unrelated words entirely")))
+    assert(counts(eng2, "v_r") === Map(1L -> 1L, 4L -> 1L))
   }
 
   private implicit class SeqRowOps[T](s: Seq[T]) {

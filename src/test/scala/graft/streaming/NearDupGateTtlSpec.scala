@@ -203,6 +203,78 @@ class NearDupGateTtlSpec extends AnyFunSuite {
       "aged-out re-crawls admitted; refreshed-window copy suppressed")
   }
 
+  test("windowed gates: resident budget shrinks with the window (no dead-slot decay)") {
+    // Regression for the monotonic-budget bug: TTL reaps used to drop
+    // index ENTRIES but never the gate-owned ord pools or their byte
+    // accounting, so a long-running windowed gate deactivated its hot tier
+    // on dead slots alone. The fixture streams far more content than the
+    // budget holds, all of it aging out batch-over-batch — the tier must
+    // stay active (live window ≪ budget) and the pools must track the
+    // window, not the stream's lifetime.
+    val root = java.nio.file.Files.createTempDirectory("graft_wt8").toString
+    ResidentIndex.budgetOverride = Some(192L << 10)
+    try {
+      def docBody(b: Int, i: Int) =
+        (0 until 30).map(j => s"b${b}d${i}w$j").mkString(" ")
+      def batchDf(b: Int, n: Int): DataFrame =
+        (0 until n).map(i => (b * 1000L + i, docBody(b, i), b * 2L))
+          .toDF("id", "body", "hours")
+          .withColumn("ts",
+            expr("timestamp '2024-01-01 00:00:00' + make_interval(0,0,0,0,hours)"))
+          .drop("hours")
+
+      // ---- simhash (ts pool via ResidentIndex.retainRemap) --------------
+      val engS = new ContViewEngine(spark, s"$root/engS")
+      val schema = batchDf(0, 1).schema
+      engS.createStream("w8_in", schema)
+      engS.createStream("w8_out", org.apache.spark.sql.types.StructType(
+        schema.fields :+ org.apache.spark.sql.types.StructField("fp",
+          org.apache.spark.sql.types.LongType)))
+      engS.createContView("v_w8", "SELECT id FROM w8_out", emitChanges = false)
+      val gs = SimHashNearDupGate.create(engS, "w8_gate",
+        "SELECT id, body, ts FROM w8_in", textSql = "body", orderCol = "id",
+        sink = "w8_out", storeRoot = s"$root/gateS", maxDist = 3,
+        ttlMillis = 3600L * 1000, ttlColumn = "ts")
+      var slotsPerBatch = 0
+      (0 until 12).foreach { b =>
+        engS.insertInto("w8_in", batchDf(b, 40))
+        gs.compact()
+        val (active, _, _, slots, _) = gs.residentStats
+        if (b == 0) slotsPerBatch = slots
+        assert(active, s"simhash tier deactivated at batch $b on dead slots")
+      }
+      val (_, _, bytesS, slotsS, _) = gs.residentStats
+      // pre-fix the ts pool accreted one dead slot per stored row forever
+      // (12 batches' worth here); post-fix it tracks the live window
+      assert(slotsPerBatch > 0 && slotsS <= 2 * slotsPerBatch,
+        s"ts pool must track the window (slots=$slotsS, per-batch=$slotsPerBatch)")
+      assert(bytesS <= (64L << 10), s"budget accounting must shrink (bytes=$bytesS)")
+
+      // ---- jaccard (id + payload pools via IndexedNearDupGate) ----------
+      val engJ = new ContViewEngine(spark, s"$root/engJ")
+      engJ.createStream("w9_in", schema)
+      engJ.createStream("w9_out", schema)
+      engJ.createContView("v_w9", "SELECT id FROM w9_out", emitChanges = false)
+      val gj = JaccardNearDupGate.create(engJ, "w9_gate",
+        "SELECT id, body, ts FROM w9_in", textSql = "body", orderCol = "id",
+        sink = "w9_out", storeRoot = s"$root/gateJ", threshold = 0.8,
+        ttlMillis = 3600L * 1000, ttlColumn = "ts")
+      var jSlotsPerBatch = 0
+      (0 until 12).foreach { b =>
+        engJ.insertInto("w9_in", batchDf(b, 40))
+        gj.compact()
+        val (active, _, _, slots, poolActive) = gj.residentStats
+        if (b == 0) jSlotsPerBatch = slots
+        assert(active && poolActive,
+          s"jaccard tier/pool deactivated at batch $b on dead slots")
+      }
+      val (_, _, bytesJ, slotsJ, _) = gj.residentStats
+      assert(slotsJ <= 2 * jSlotsPerBatch,
+        s"id pool must track the window (slots=$slotsJ, per-batch=$jSlotsPerBatch)")
+      assert(bytesJ <= (64L << 10), s"budget accounting must shrink (bytes=$bytesJ)")
+    } finally ResidentIndex.budgetOverride = None
+  }
+
   test("exact gate ttl x exactly_once: windowed admission with crash recovery") {
     val root = java.nio.file.Files.createTempDirectory("graft_wt6").toString
     def build(n: String): (ContViewEngine, StreamDedupGate) = {
