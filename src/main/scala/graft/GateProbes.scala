@@ -34,10 +34,13 @@ object GateProbes {
 
   /** ev/s for `kind` ∈ {exact, simhash, jaccard, cosine} at each store
     * scale in `scales` (multiples of `batchRows`), seeding incrementally;
-    * `shards` ≥ 2 builds the key-space-sharded gate form. */
+    * `shards` ≥ 2 builds the key-space-sharded gate form; `backend` =
+    * "executor" runs the executor-partitioned state tier (simhash only —
+    * the 100-TB path past the driver resident budget). */
   def scaleProbe(spark: SparkSession, kind: String, batchRows: Int,
       scales: Seq[Long] = Seq(10L, 100L), nBatches: Int = 4,
-      shards: Int = 1): Seq[Long] = {
+      shards: Int = 1,
+      backend: String = graft.streaming.StreamDedupGate.DriverBackend): Seq[Long] = {
     import org.apache.spark.sql.types.{StructField, StructType, StringType, LongType, ArrayType, DoubleType}
     val root = java.nio.file.Files.createTempDirectory(s"graft_gsc_$kind").toString
     val eng = new graft.cv.ContViewEngine(spark, root)
@@ -74,7 +77,7 @@ object GateProbes {
         orderCol = "id", sink = "gs_out", storeRoot = root, shards = g)
       case ("simhash", 1) => graft.streaming.SimHashNearDupGate.create(eng, "gs_gate",
         "SELECT id, body FROM gs_in", textSql = "body", orderCol = "id",
-        sink = "gs_out", storeRoot = root)
+        sink = "gs_out", storeRoot = root, backend = backend)
       case ("simhash", g) => graft.streaming.SimHashNearDupGate.createSharded(eng,
         "gs_gate", "SELECT id, body FROM gs_in", textSql = "body",
         orderCol = "id", sink = "gs_out", storeRoot = root, shards = g)
@@ -216,6 +219,8 @@ object ProfileGateScale {
     val batchRows = args.lift(1).map(_.toInt)
     val scales = args.lift(2).map(_.split(",").toSeq.map(_.toLong))
       .getOrElse(Seq(10L, 100L))
+    val backend = args.lift(3)
+      .getOrElse(graft.streaming.StreamDedupGate.DriverBackend)
     kinds.foreach { kind =>
       val rows = batchRows.getOrElse(kind match {
         case "exact" => 20000
@@ -224,9 +229,10 @@ object ProfileGateScale {
         case _ => 2000
       })
       val t0 = System.nanoTime()
-      val evs = GateProbes.scaleProbe(spark, kind, rows, scales)
+      val evs = GateProbes.scaleProbe(spark, kind, rows, scales,
+        backend = backend)
       val wall = (System.nanoTime() - t0) / 1e9
-      println(f"[gate-scale] $kind%s batchRows=$rows%d " +
+      println(f"[gate-scale] $kind%s($backend%s) batchRows=$rows%d " +
         scales.sorted.zip(evs).map { case (s, e) => s"${s}x=$e ev/s" }.mkString(" ") +
         f" (wall $wall%.1f s)")
     }

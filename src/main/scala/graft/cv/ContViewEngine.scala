@@ -190,10 +190,16 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
           // bootstrap re-derives its filters from the persisted store, so
           // suppression state survives the restart end-to-end
           case "gate" =>
+            val gateOpts = fields("swColumn").split(",").iterator
+              .filter(_.contains("=")).map { kv =>
+                val i = kv.indexOf('='); (kv.take(i), kv.drop(i + 1))
+              }.toMap
             createGateTransform(fields("name"), fields("payload"),
               fields("sw"), fields("sink"),
               ttl = Option(fields("ttl")).filter(_.nonEmpty),
-              ttlColumn = Option(fields("ttlColumn")).filter(_.nonEmpty))
+              ttlColumn = Option(fields("ttlColumn")).filter(_.nonEmpty),
+              residentMb = gateOpts.get("resident_mb").map(_.toLong),
+              backendOpt = gateOpts.get("backend"))
           case "activate" => activate(fields("name"))
           case "deactivate" => deactivate(fields("name"))
           case "drop" => fields("payload") match {
@@ -380,8 +386,10 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
       sink.foreach { s => require(streams.contains(normalizeName(s, "stream")),
         s"outputfunc insert_into_stream('$s'): unknown stream $s") }
       createContTransform(name, select, sinkStream = sink, emitChanges = changes); ()
-    case CvDdl.CreateGateTransform(name, select, gateSpec, sink, ttl, ttlCol) =>
-      createGateTransform(name, select, gateSpec, sink, ttl, ttlCol); ()
+    case CvDdl.CreateGateTransform(name, select, gateSpec, sink, ttl, ttlCol,
+        residentMb, backendOpt) =>
+      createGateTransform(name, select, gateSpec, sink, ttl, ttlCol,
+        residentMb, backendOpt); ()
     case CvDdl.Rename(name0, newName) =>
       val name = normalizeName(name0, "continuous query")
       if (transforms.contains(name)) renameContTransform(name, newName)
@@ -1010,10 +1018,30 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     */
   def createGateTransform(name0: String, selectSql: String, gateSpec: String,
       sink0: String, ttl: Option[String] = None,
-      ttlColumn: Option[String] = None): AnyRef = synchronized {
+      ttlColumn: Option[String] = None,
+      residentMb: Option[Long] = None,
+      backendOpt: Option[String] = None): AnyRef = synchronized {
     val name = normalizeName(name0, "continuous transform")
     val sink = normalizeName(sink0, "stream")
     require(streams.contains(sink), s"gate sink: unknown stream $sink")
+    // per-gate state options (beyond-ref; the combiner-tier analogues):
+    // resident_mb caps THIS gate's driver hot tier (beats the process-wide
+    // GRAFT_GATE_RESIDENT_MB); backend = 'executor' moves the probe state
+    // to executor-partitioned shards — near-dup gates only, and the
+    // executor backend does not compose with driver-thread core sharding
+    val kindWord = gateSpec.trim.takeWhile(c => c.isLetter || c == '_').toLowerCase
+    val nearDupKind = Set("neardup_gate", "cosine_gate", "jaccard_gate")(kindWord)
+    require(residentMb.isEmpty || nearDupKind,
+      "resident_mb applies to the near-dup gates (neardup/cosine/jaccard) — " +
+        "the exact/contamination gates keep no resident payload tier")
+    require(residentMb.forall(_ >= 0), s"negative resident_mb $residentMb")
+    backendOpt.foreach { b =>
+      require(nearDupKind,
+        "backend applies to the near-dup gates (neardup/cosine/jaccard)")
+      require(b == graft.streaming.StreamDedupGate.DriverBackend ||
+        b == graft.streaming.StreamDedupGate.ExecutorBackend,
+        s"unknown backend '$b' (expected driver or executor)")
+    }
     // windowed (TTL) gating: supported on the exact dedup gate; an
     // interval spec resolves through the same parser as CV ttl options
     val ttlMillis = ttl.map(CvPlanner.intervalSeconds(_) * 1000L).getOrElse(0L)
@@ -1022,13 +1050,15 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     require(ttlMillis == 0 || !gateSpec.trim.toLowerCase.startsWith("contamination_gate"),
       "ttl on a contamination gate is meaningless: the reference store " +
         "is static (nothing ages)")
+    val optStr = (residentMb.map(v => s"resident_mb=$v") ++
+      backendOpt.map(v => s"backend=$v")).mkString(",")
     if (transforms.contains(name)) {
       // mirror idempotent(): an identical re-declaration is a no-op, a
       // different one (or a clash with a non-gate transform) fails loudly
       require(gates.contains(name),
         s"$name already exists as a continuous transform (not a gate)")
       require(gateSignatures.get(name).contains(
-        (selectSql, gateSpec, sink, ttl, ttlColumn)),
+        (selectSql, gateSpec, sink, ttl, ttlColumn, optStr)),
         s"gate $name already exists with a different definition")
       return gates(name)
     }
@@ -1076,8 +1106,14 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
             maxBucketSize = Option(cap).map(_.toInt).getOrElse(Int.MaxValue),
             delivery = Option(dv).map(unq)
               .getOrElse(graft.streaming.StreamDedupGate.AtLeastOnce),
-            ttlMillis = ttlMillis, ttlColumn = ttlColumn.getOrElse(""))
+            ttlMillis = ttlMillis, ttlColumn = ttlColumn.getOrElse(""),
+            backend = backendOpt
+              .getOrElse(graft.streaming.StreamDedupGate.DriverBackend),
+            residentMb = residentMb.getOrElse(-1L))
         case neardupRe(textSql, orderCol, maxDist, cap, shards, dv) =>
+          require(!backendOpt.contains(
+            graft.streaming.StreamDedupGate.ExecutorBackend),
+            "backend = 'executor' does not compose with shards >= 2")
           graft.streaming.SimHashNearDupGate.createSharded(this, name,
             selectSql, unq(textSql), unq(orderCol), sink, storeRoot = root,
             shards = shards.toInt,
@@ -1085,7 +1121,8 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
             maxBucketSize = Option(cap).map(_.toInt).getOrElse(Int.MaxValue),
             delivery = Option(dv).map(unq)
               .getOrElse(graft.streaming.StreamDedupGate.AtLeastOnce),
-            ttlMillis = ttlMillis, ttlColumn = ttlColumn.getOrElse(""))
+            ttlMillis = ttlMillis, ttlColumn = ttlColumn.getOrElse(""),
+            residentMb = residentMb.getOrElse(-1L))
         case cosineRe(embSql, orderCol, threshold, dim, cap, expected, shards, dv)
             if shardsOf(shards) <= 1 =>
           graft.streaming.CosineNearDupGate.create(this, name, selectSql,
@@ -1096,8 +1133,14 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
               Option(expected).map(_.toLong).getOrElse(1L << 20),
             delivery = Option(dv).map(unq)
               .getOrElse(graft.streaming.StreamDedupGate.AtLeastOnce),
-            ttlMillis = ttlMillis, ttlColumn = ttlColumn.getOrElse(""))
+            ttlMillis = ttlMillis, ttlColumn = ttlColumn.getOrElse(""),
+            backend = backendOpt
+              .getOrElse(graft.streaming.StreamDedupGate.DriverBackend),
+            residentMb = residentMb.getOrElse(-1L))
         case cosineRe(embSql, orderCol, threshold, dim, cap, expected, shards, dv) =>
+          require(!backendOpt.contains(
+            graft.streaming.StreamDedupGate.ExecutorBackend),
+            "backend = 'executor' does not compose with shards >= 2")
           graft.streaming.CosineNearDupGate.createSharded(this, name,
             selectSql, unq(embSql), unq(orderCol), sink, storeRoot = root,
             threshold = threshold.toDouble, dim = dim.toInt,
@@ -1107,7 +1150,8 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
               Option(expected).map(_.toLong).getOrElse(1L << 20),
             delivery = Option(dv).map(unq)
               .getOrElse(graft.streaming.StreamDedupGate.AtLeastOnce),
-            ttlMillis = ttlMillis, ttlColumn = ttlColumn.getOrElse(""))
+            ttlMillis = ttlMillis, ttlColumn = ttlColumn.getOrElse(""),
+            residentMb = residentMb.getOrElse(-1L))
         case jaccardRe(textSql, orderCol, threshold, cap, shards, dv)
             if shardsOf(shards) <= 1 =>
           graft.streaming.JaccardNearDupGate.create(this, name, selectSql,
@@ -1116,15 +1160,22 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
             maxBucketSize = Option(cap).map(_.toInt).getOrElse(Int.MaxValue),
             delivery = Option(dv).map(unq)
               .getOrElse(graft.streaming.StreamDedupGate.AtLeastOnce),
-            ttlMillis = ttlMillis, ttlColumn = ttlColumn.getOrElse(""))
+            ttlMillis = ttlMillis, ttlColumn = ttlColumn.getOrElse(""),
+            backend = backendOpt
+              .getOrElse(graft.streaming.StreamDedupGate.DriverBackend),
+            residentMb = residentMb.getOrElse(-1L))
         case jaccardRe(textSql, orderCol, threshold, cap, shards, dv) =>
+          require(!backendOpt.contains(
+            graft.streaming.StreamDedupGate.ExecutorBackend),
+            "backend = 'executor' does not compose with shards >= 2")
           graft.streaming.JaccardNearDupGate.createSharded(this, name,
             selectSql, unq(textSql), unq(orderCol), sink, storeRoot = root,
             threshold = threshold.toDouble, shards = shards.toInt,
             maxBucketSize = Option(cap).map(_.toInt).getOrElse(Int.MaxValue),
             delivery = Option(dv).map(unq)
               .getOrElse(graft.streaming.StreamDedupGate.AtLeastOnce),
-            ttlMillis = ttlMillis, ttlColumn = ttlColumn.getOrElse(""))
+            ttlMillis = ttlMillis, ttlColumn = ttlColumn.getOrElse(""),
+            residentMb = residentMb.getOrElse(-1L))
         case contaminationRe(textSql, orderCol, refSql, n, shards, dv)
             if shardsOf(shards) <= 1 =>
           // the reference SELECT resolves against the SPARK session (temp
@@ -1153,8 +1204,8 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
             "escape a literal quote inside a string argument by doubling it: '')")
       } finally suppressCatalog = prevSuppress
     gates(name) = gate
-    gateSignatures(name) = (selectSql, gateSpec, sink, ttl, ttlColumn)
-    appendCatalog(CatalogEntry("gate", name, selectSql, gateSpec, "", 0,
+    gateSignatures(name) = (selectSql, gateSpec, sink, ttl, ttlColumn, optStr)
+    appendCatalog(CatalogEntry("gate", name, selectSql, gateSpec, optStr, 0,
       ttl.getOrElse(""), ttlColumn.getOrElse(""), sink, changes = false))
     gate
   }
@@ -1163,7 +1214,8 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
   // before later-declared fields would otherwise initialize
   private lazy val gates = mutable.Map.empty[String, AnyRef]
   private lazy val gateSignatures =
-    mutable.Map.empty[String, (String, String, String, Option[String], Option[String])]
+    mutable.Map.empty[String,
+      (String, String, String, Option[String], Option[String], String)]
 
   /** The declared gate registered under `name`, if any. */
   def gateOf(name: String): Option[AnyRef] = synchronized(gates.get(name))

@@ -67,10 +67,14 @@ final class CosineNearDupGate private (
     shardCount: Int,
     delivery: String,
     ttlMillis: Long,
-    ttlColumn: String)
+    ttlColumn: String,
+    backend: String = StreamDedupGate.DriverBackend,
+    stateParts: Int = 0,
+    residentMb: Long = -1L)
   extends IndexedNearDupGate[Array[Double]](eng, name, orderCol, sink,
     embDir, idxDir, "embs", "v", bloomP, bloomN0, maxBucketSize, compactEvery,
-    shardId, shardCount, delivery, ttlMillis, ttlColumn) {
+    shardId, shardCount, delivery, ttlMillis, ttlColumn, backend, stateParts,
+    residentMb) {
 
   override protected def obsPrefix: String = "cosgate"
 
@@ -97,6 +101,7 @@ final class CosineNearDupGate private (
     java.lang.Long.bitCount(a ^ b) <= skCutoff
   override protected def sketchAdmissibleCol(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b)) <= lit(skCutoff)
+  override protected def executorSketchCutoff: Int = skCutoff
 
   override protected def payloadCol: Column = expr(embSql).cast("array<double>")
   override protected def keysCol(payload: Column): Column =
@@ -229,7 +234,9 @@ object CosineNearDupGate {
       maxBucketSize: Int = Int.MaxValue,
       compactEvery: Int = 256,
       delivery: String = StreamDedupGate.AtLeastOnce,
-      ttlMillis: Long = 0L, ttlColumn: String = ""): CosineNearDupGate = {
+      ttlMillis: Long = 0L, ttlColumn: String = "",
+      backend: String = StreamDedupGate.DriverBackend,
+      stateParts: Int = 0, residentMb: Long = -1L): CosineNearDupGate = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"cosine gate threshold must be in (0, 1], got $threshold")
     val (autoT, autoB) =
@@ -259,7 +266,7 @@ object CosineNearDupGate {
     val gate = new CosineNearDupGate(eng, name, embSql, orderCol, sink,
       embDir, idxDir, threshold, dim, autoT, autoB, seed,
       bloomP, bloomN, maxBucketSize, compactEvery, 0, 1, delivery,
-      ttlMillis, ttlColumn)
+      ttlMillis, ttlColumn, backend, stateParts, residentMb)
     gate.bootstrap()
     eng.createContTransform(name, selectSql,
       outputFunc = Some(gate.onBatch _), emitChanges = false)
@@ -284,7 +291,8 @@ object CosineNearDupGate {
       maxBucketSize: Int = Int.MaxValue,
       compactEvery: Int = 256,
       delivery: String = StreamDedupGate.AtLeastOnce,
-      ttlMillis: Long = 0L, ttlColumn: String = ""): ShardedNearDupGate = {
+      ttlMillis: Long = 0L, ttlColumn: String = "",
+      residentMb: Long = -1L): ShardedNearDupGate = {
     require(shards >= 2, s"use create() for an unsharded gate (shards=$shards)")
     require(threshold > 0.0 && threshold <= 1.0,
       s"cosine gate threshold must be in (0, 1], got $threshold")
@@ -309,7 +317,8 @@ object CosineNearDupGate {
       val core = new CosineNearDupGate(eng, name, embSql, orderCol, sink,
         embDir, idxDir, threshold, dim, autoT, autoB, seed,
         bloomP, bloomN, maxBucketSize, compactEvery, k, shards,
-        graft.streaming.StreamDedupGate.AtLeastOnce, ttlMillis, ttlColumn)
+        graft.streaming.StreamDedupGate.AtLeastOnce, ttlMillis, ttlColumn,
+        residentMb = residentMb)
       core.bootstrap()
       core
     }

@@ -7,40 +7,52 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** EXECUTOR-DISTRIBUTED gate index: the (bucket-key → fingerprint [, event
-  * time]) probe state of a streaming near-dup gate, partitioned by bucket
-  * across long-lived executor-local shards — the scale-out past the
-  * single-driver ceiling of [[ResidentIndex]] (whose byte budget, G-thread
-  * sharding and O(store)/batch disk fallback all live in ONE driver JVM).
-  * Reference anchor: pipelinedb's combiner tier — a separately scalable
-  * process pool receiving group-hash-routed state updates
-  * (config.c:300-306 `num_combiners` 1-1024; combiner_receiver.c:160-177
-  * group-hash routing) — re-expressed in Spark's execution model: state
-  * shards live where tasks run, the driver only routes and coordinates.
+/** EXECUTOR-DISTRIBUTED gate index: the (bucket-key → 64-bit aux [, store
+  * id, event time]) probe state of a streaming near-dup gate, partitioned
+  * by bucket across long-lived executor-local shards — the scale-out past
+  * the single-driver ceiling of [[ResidentIndex]] (whose byte budget,
+  * G-thread sharding and O(store)/batch disk fallback all live in ONE
+  * driver JVM). Reference anchor: pipelinedb's combiner tier — a
+  * separately scalable process pool receiving group-hash-routed state
+  * updates (config.c:300-306 `num_combiners` 1-1024;
+  * combiner_receiver.c:160-177 group-hash routing) — re-expressed in
+  * Spark's execution model: state shards live where tasks run, the driver
+  * only routes and coordinates.
   *
-  * SHAPE. Bucket b belongs to shard floorMod(b, P) (bucket keys are banded
-  * hashes — uniform by construction). Each shard is a [[ResidentIndex]]
-  * (sorted main run + hashed delta — the same LSM layout as the driver hot
-  * tier) held in a JVM-global registry keyed by (store path, shard id), so
-  * it SURVIVES across Spark jobs. Per batch the driver ships O(batch)
-  * probe rows plus the previous batch's O(batch) index delta, runs ONE
-  * P-partition job, and collects O(suppressed) row indices back: the
-  * corpus-sized state never moves, per-batch traffic is bounded by the
-  * batch, and memory scales with the CLUSTER (P shards across executor
-  * heaps), not with one driver budget.
+  * The aux word is the gate's inline similarity digest and ONE predicate
+  * serves the whole family — popcount(auxBatch ^ auxStore) ≤ cutoff: the
+  * SimHash fingerprint at Hamming radius maxDist, the jaccard parity
+  * sketch and the cosine SRP sketch at their calibrated cutoffs (a
+  * sketchless gate passes cutoff 64 ≡ every bucket-mate). Two result
+  * modes: `withIds = false` answers "is this row suppressed" directly
+  * (the SimHash decision is aux-complete); `withIds = true` returns
+  * sketch-admissible candidate (row, store id [, ts]) pairs for the
+  * owning gate's exact payload verification (the split-store gates).
+  *
+  * SHAPE. Bucket b belongs to shard floorMod(b, P) (bucket keys are
+  * banded hashes — uniform by construction). Each shard is a
+  * [[ResidentIndex]] (sorted main run + hashed delta — the same LSM
+  * layout as the driver hot tier) plus id/ts pools, held in a JVM-global
+  * registry keyed by (store path, shard id), so it SURVIVES across Spark
+  * jobs. Per batch the driver ships O(batch) probe rows plus the previous
+  * batch's O(batch) index delta, runs ONE P-partition job, and collects
+  * O(candidates) back: the corpus-sized state never moves, per-batch
+  * traffic is bounded by the batch, and memory scales with the CLUSTER
+  * (P shards across executor heaps), not with one driver budget.
   *
   * CONSISTENCY. The parquet gate store remains the durable source of
   * truth; shards are caches REBUILDABLE from it. Every shard carries
   * (generation, applied-batch); a probe task whose shard is missing, from
-  * another generation (compaction reap / bulk seed / gate restart), or not
-  * exactly at the delta floor reports STALE instead of answering, and the
-  * driver runs one rebuild job — a single distributed store scan shuffled
-  * by the same bucket partitioner, loading every shard in one pass — then
-  * retries the probe. Deltas apply strictly in batch order: the delta for
-  * batch N rides batch N+1's probe job, AFTER N's durable append (the
-  * gate drains its commit pipeline before deciding), so a rebuild always
-  * reproduces at least what the shards knew — modulo a LOST durable
-  * append, the gate family's accepted at-least-once loss class.
+  * another generation (compaction reap / bulk seed / gate restart), or
+  * not exactly at the delta floor reports STALE instead of answering, and
+  * the driver runs one rebuild job — a single distributed store scan
+  * shuffled by the same bucket partitioner, loading every shard in one
+  * pass — then retries the probe. Deltas apply strictly in batch order:
+  * the delta for batch N rides batch N+1's probe job, AFTER N's durable
+  * append (the gate drains its commit pipeline before deciding), so a
+  * rebuild always reproduces at least what the shards knew — modulo a
+  * LOST durable append, the gate family's accepted at-least-once loss
+  * class.
   *
   * PLACEMENT. Probe tasks prefer the executor that last hosted their
   * shard (`getPreferredLocations`, recorded per job — the same pinning
@@ -52,7 +64,9 @@ private[graft] final class ExecutorGateIndex(
     spark: SparkSession,
     storeDir: java.nio.file.Path,
     val parts: Int,
-    ttlEnabled: Boolean) {
+    ttlEnabled: Boolean,
+    withIds: Boolean = false,
+    auxCol: Option[String] = Some("fp")) {
 
   import ExecutorGateIndex._
 
@@ -69,17 +83,15 @@ private[graft] final class ExecutorGateIndex(
   // last-known executor host of each shard (next job's preferred location)
   private val shardHosts = new Array[String](parts)
 
-  // deltas not yet applied to the shards: (batch, exploded entries) —
-  // shipped with the next probe job; depth ≤ 1 in steady flow (one commit
-  // per decide), bounded by batch size always
-  private val pending =
-    new java.util.ArrayDeque[(Long, Array[(Long, Long, Long)])]()
+  // deltas not yet applied to the shards: (batch, entries) — shipped with
+  // the next probe job; depth ≤ 1 in steady flow, bounded by batch always
+  private val pending = new java.util.ArrayDeque[(Long, Array[DeltaRow])]()
   private var appliedFloor = -1L // shards sit exactly here between probes
 
-  /** Buffer batch `n`'s exploded (bucket, fp, tsMicros) entries at the
-    * gate's durable commit; they ride the next probe job. Call for EVERY
-    * committed batch (empty arrays keep the batch range contiguous). */
-  def bufferDelta(n: Long, entries: Array[(Long, Long, Long)]): Unit =
+  /** Buffer batch `n`'s exploded (bucket, aux, tsMicros, id) entries at
+    * the gate's durable commit; they ride the next probe job. Call for
+    * EVERY committed batch (empty arrays keep the range contiguous). */
+  def bufferDelta(n: Long, entries: Array[DeltaRow]): Unit =
     synchronized { pending.addLast((n, entries)); () }
 
   /** The durable store changed shape under the shards (bulk seed,
@@ -91,24 +103,25 @@ private[graft] final class ExecutorGateIndex(
     needRebuild = true
   }
 
-  /** Suppression probe for one batch against the distributed shards:
-    * returns the indices of probe rows with at least one in-window store
-    * match at Hamming distance ≤ maxDist.
+  /** Suppression/candidate probe for one batch against the distributed
+    * shards. `withIds = false`: one (rowIdx, null, 0) per row with an
+    * in-window match at popcount ≤ cutoff — the row is suppressed.
+    * `withIds = true`: every admissible (rowIdx, store id, store
+    * tsMicros) candidate pair, for exact verification by the gate.
     *
-    * @param probes (rowIdx, bucket, fp, tsMicros), pre-filtered by the
-    *               driver bloom/occupancy cap; tsMicros ignored unwindowed
+    * @param probes (rowIdx, bucket, aux, tsMicros), pre-filtered by the
+    *               driver bloom/occupancy cap; ts ignored unwindowed
     * @param batch  this batch's number — shards must cover ≤ batch-1
     */
   def probe(probes: Array[(Int, Long, Long, Long)], batch: Long,
-      maxDist: Int, ttlMicros: Long): Array[Int] = synchronized {
+      cutoff: Int, ttlMicros: Long): Array[(Int, Any, Long)] = synchronized {
     val expectApplied = batch - 1
     if (needRebuild) rebuildAll(expectApplied)
-    val deltas = pending.toArray(Array.empty[(Long, Array[(Long, Long, Long)])])
+    val deltas = pending.toArray(Array.empty[(Long, Array[DeltaRow])])
     pending.clear()
     val floor = appliedFloor
     appliedFloor = expectApplied
-    val out = runProbe(probes, deltas, floor, expectApplied, maxDist, ttlMicros)
-    out match {
+    runProbe(probes, deltas, floor, expectApplied, cutoff, ttlMicros) match {
       case Right(hit) => hit
       case Left(staleShards) =>
         // an executor moved/lost its shard (never on local[n]): one
@@ -116,7 +129,7 @@ private[graft] final class ExecutorGateIndex(
         System.err.println(s"[graft] ExecutorGateIndex($storeKey): shards " +
           s"${staleShards.mkString(",")} stale; rebuilding from the store")
         rebuildAll(expectApplied)
-        runProbe(probes, Array.empty, expectApplied, expectApplied, maxDist,
+        runProbe(probes, Array.empty, expectApplied, expectApplied, cutoff,
           ttlMicros) match {
           case Right(hit) => hit
           case Left(still) => throw new IllegalStateException(
@@ -127,23 +140,23 @@ private[graft] final class ExecutorGateIndex(
 
   /** One probe job. Left(stale shard ids) if any shard could not answer. */
   private def runProbe(probes: Array[(Int, Long, Long, Long)],
-      deltas: Array[(Long, Array[(Long, Long, Long)])], floor: Long,
-      expectApplied: Long, maxDist: Int,
-      ttlMicros: Long): Either[Seq[Int], Array[Int]] = {
+      deltas: Array[(Long, Array[DeltaRow])], floor: Long,
+      expectApplied: Long, cutoff: Int,
+      ttlMicros: Long): Either[Seq[Int], Array[(Int, Any, Long)]] = {
     val expectGen = gen
-    val (sKey, p, ttl) = (storeKey, parts, ttlEnabled)
+    val (sKey, p, ttl, ids) = (storeKey, parts, ttlEnabled, withIds)
     // group driver-side (batch-bounded): partition k's task payload
     val perShard = Array.fill(p)(
       new scala.collection.mutable.ArrayBuffer[(Int, Long, Long, Long)]())
     probes.foreach { pr =>
       perShard(java.lang.Math.floorMod(pr._2, p.toLong).toInt) += pr
     }
-    val deltaPerShard = Array.fill(p)(
-      new scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]())
+    val deltaPerShard =
+      Array.fill(p)(new scala.collection.mutable.ArrayBuffer[(Long, DeltaRow)]())
     deltas.foreach { case (bn, entries) =>
       entries.foreach { e =>
-        deltaPerShard(java.lang.Math.floorMod(e._1, p.toLong).toInt) +=
-          ((bn, e._1, e._2, e._3))
+        deltaPerShard(java.lang.Math.floorMod(e.bucket, p.toLong).toInt) +=
+          ((bn, e))
       }
     }
     val payload: Array[ShardTask] = (0 until p).map { k =>
@@ -153,36 +166,41 @@ private[graft] final class ExecutorGateIndex(
     val results = rdd.mapPartitionsWithIndex { (k, it) =>
       val task = it.next()
       val host = org.apache.spark.SparkEnv.get.blockManager.blockManagerId.host
-      val shard = ExecutorGateState.shardFor(sKey, k, ttl)
+      val shard = ExecutorGateState.shardFor(sKey, k, ttl, ids)
       shard.synchronized {
         if (shard.gen != expectGen || shard.applied != floor) {
-          Iterator.single((k, host, true, Array.empty[Int]))
+          Iterator.single((k, host, true, Array.empty[(Int, Any, Long)]))
         } else {
           // apply the shipped deltas in batch order, then advance to the
-          // probe's expected floor (a shard with no routed entries for a
-          // batch advances too — the range is contiguous by contract)
-          task.deltas.sortBy(_._1).foreach { case (_, b, fp, ts) =>
-            shard.add(b, fp, ts)
+          // probe's floor (a shard with no routed entries advances too —
+          // the shipped batch range is contiguous by contract)
+          task.deltas.sortBy(_._1).foreach { case (_, e) =>
+            shard.add(e.bucket, e.aux, e.ts, e.id)
           }
           shard.applied = expectApplied
-          val hits = new scala.collection.mutable.ArrayBuffer[Int]()
-          task.probes.foreach { case (rowIdx, b, fp, ts) =>
-            var hit = false
-            shard.idx.foreachMatch(b) { (sfp, ord) =>
-              if (!hit && java.lang.Long.bitCount(sfp ^ fp) <= maxDist &&
-                  (ttlMicros == 0L || shard.ts(ord) > ts - ttlMicros))
-                hit = true
+          val out = new scala.collection.mutable.ArrayBuffer[(Int, Any, Long)]()
+          task.probes.foreach { case (rowIdx, b, aux, ts) =>
+            var done = false
+            shard.idx.foreachMatch(b) { (sAux, ord) =>
+              if (!done && java.lang.Long.bitCount(sAux ^ aux) <= cutoff &&
+                  (ttlMicros == 0L || shard.ts(ord) > ts - ttlMicros)) {
+                if (!ids) { out += ((rowIdx, null, 0L)); done = true }
+                else out += ((rowIdx, shard.id(ord),
+                  if (ttlMicros == 0L) 0L else shard.ts(ord)))
+              }
             }
-            if (hit) hits += rowIdx
           }
-          Iterator.single((k, host, false, hits.toArray))
+          Iterator.single((k, host, false, out.toArray))
         }
       }
     }.collect()
     results.foreach { case (k, host, _, _) => shardHosts(k) = host }
     val stale = results.collect { case (k, _, true, _) => k }.toSeq
     if (stale.nonEmpty) Left(stale)
-    else Right(results.flatMap(_._4).distinct)
+    else {
+      val all = results.flatMap(_._4)
+      Right(if (withIds) all else all.distinct)
+    }
   }
 
   /** Rebuild every shard from the durable store in ONE distributed pass:
@@ -193,24 +211,28 @@ private[graft] final class ExecutorGateIndex(
   private def rebuildAll(expectApplied: Long): Unit = {
     invalidations += 1 // orphan any shard the job does not reach
     val expectGen = gen
-    val (sKey, p, ttl) = (storeKey, parts, ttlEnabled)
+    val (sKey, p, ttl, ids) = (storeKey, parts, ttlEnabled, withIds)
     val files = GateStore.files(storeDir)
     val rows =
-      if (files.isEmpty)
-        spark.sparkContext.emptyRDD[(Long, (Long, Long))]
+      if (files.isEmpty) spark.sparkContext.emptyRDD[(Long, DeltaRow)]
       else {
-        val cols = Seq(col("bucket"), col("fp")) ++
+        val cols = Seq(col("bucket"),
+          auxCol.map(col).getOrElse(lit(0L)).cast("long").as("__aux")) ++
+          (if (ids) Seq(col("id")) else Nil) ++
           (if (ttl) Seq(unix_micros(col("ts"))) else Nil)
-        spark.read.parquet(files.toSeq: _*).select(cols: _*).rdd
-          .map(r => (r.getLong(0), (r.getLong(1), if (ttl) r.getLong(2) else 0L)))
+        val tsPos = if (ids) 3 else 2
+        spark.read.parquet(files.toSeq: _*).select(cols: _*).rdd.map { r =>
+          (r.getLong(0), DeltaRow(r.getLong(0), r.getLong(1),
+            if (ttl) r.getLong(tsPos) else 0L, if (ids) r.get(2) else null))
+        }
       }
     val hosts = rows.partitionBy(new BucketPartitioner(p))
       .mapPartitionsWithIndex { (k, it) =>
         val host = org.apache.spark.SparkEnv.get.blockManager.blockManagerId.host
-        val shard = ExecutorGateState.shardFor(sKey, k, ttl)
+        val shard = ExecutorGateState.shardFor(sKey, k, ttl, ids)
         shard.synchronized {
           shard.reset()
-          it.foreach { case (b, (fp, ts)) => shard.add(b, fp, ts) }
+          it.foreach { case (_, e) => shard.add(e.bucket, e.aux, e.ts, e.id) }
           shard.idx.mergeDelta()
           shard.gen = expectGen
           shard.applied = expectApplied
@@ -225,22 +247,25 @@ private[graft] final class ExecutorGateIndex(
 
   /** Approximate total entries across shards (probe/spec telemetry). */
   def totalEntries: Long = {
-    val (sKey, p, ttl) = (storeKey, parts, ttlEnabled)
+    val (sKey, p, ttl, ids) = (storeKey, parts, ttlEnabled, withIds)
     val rdd = new GateTaskRDD(spark.sparkContext,
       Array.fill(p)(ShardTask(Array.empty, Array.empty)), shardHosts.clone())
     rdd.mapPartitionsWithIndex { (k, _) =>
-      Iterator.single(ExecutorGateState.shardFor(sKey, k, ttl).idx.size.toLong)
+      Iterator.single(
+        ExecutorGateState.shardFor(sKey, k, ttl, ids).idx.size.toLong)
     }.collect().sum
   }
 }
 
 private[graft] object ExecutorGateIndex {
 
-  /** One shard's per-task payload: probe rows + index deltas
-    * ((batch, bucket, fp, tsMicros)). */
+  /** One exploded index entry: id is null when the gate is aux-complete. */
+  final case class DeltaRow(bucket: Long, aux: Long, ts: Long, id: Any)
+
+  /** One shard's per-task payload: probe rows + tagged index deltas. */
   final case class ShardTask(
       probes: Array[(Int, Long, Long, Long)],
-      deltas: Array[(Long, Long, Long, Long)])
+      deltas: Array[(Long, DeltaRow)])
 
   /** Default state-partition count: ~one shard per 2 cores keeps probe
     * tasks short while leaving scheduler slots for the scan work. On a
@@ -262,29 +287,36 @@ private[graft] final class BucketPartitioner(p: Int) extends Partitioner {
   * and probe both take the shard monitor). */
 private[graft] object ExecutorGateState {
 
-  final class Shard(ttlEnabled: Boolean) {
+  final class Shard(ttlEnabled: Boolean, withIds: Boolean) {
     @volatile var gen: String = ""
     @volatile var applied: Long = Long.MinValue
     // unbudgeted by DESIGN: a shard holds store/P entries and the real
     // bound is the executor heap × the cluster's executor count — the
     // point of the tier. (Long.MaxValue disables ResidentIndex's budget.)
-    val idx = new ResidentIndex(hasOrd = ttlEnabled, Long.MaxValue)
+    val idx = new ResidentIndex(hasOrd = ttlEnabled || withIds, Long.MaxValue)
     private val tss = new scala.collection.mutable.ArrayBuffer[Long]()
+    private val idPool = new scala.collection.mutable.ArrayBuffer[Any]()
     def ts(ord: Int): Long = tss(ord)
-    def add(bucket: Long, fp: Long, tsMicros: Long): Unit = {
+    def id(ord: Int): Any = idPool(ord)
+    def add(bucket: Long, aux: Long, tsMicros: Long, rowId: Any): Unit = {
+      val needOrd = ttlEnabled || withIds
       val ord =
-        if (!ttlEnabled) -1
-        else { tss += tsMicros; tss.length - 1 }
-      idx.add(bucket, fp, ord)
+        if (!needOrd) -1
+        else {
+          if (ttlEnabled) tss += tsMicros
+          if (withIds) idPool += rowId
+          math.max(tss.length, idPool.length) - 1
+        }
+      idx.add(bucket, aux, ord)
       ()
     }
-    def reset(): Unit = { idx.reset(); tss.clear() }
+    def reset(): Unit = { idx.reset(); tss.clear(); idPool.clear() }
   }
 
   private val shards = new ConcurrentHashMap[String, Shard]()
 
-  def shardFor(storeKey: String, k: Int, ttl: Boolean): Shard =
-    shards.computeIfAbsent(s"$storeKey#$k", _ => new Shard(ttl))
+  def shardFor(storeKey: String, k: Int, ttl: Boolean, ids: Boolean): Shard =
+    shards.computeIfAbsent(s"$storeKey#$k", _ => new Shard(ttl, ids))
 }
 
 /** An RDD whose P partitions each carry one pre-grouped task payload and

@@ -68,7 +68,10 @@ private[streaming] abstract class IndexedNearDupGate[P](
     shardCount: Int = 1,
     delivery: String = StreamDedupGate.AtLeastOnce,
     ttlMillis: Long = 0L,
-    ttlColumn: String = "") extends ShardableGateCore {
+    ttlColumn: String = "",
+    backend: String = StreamDedupGate.DriverBackend,
+    stateParts: Int = 0,
+    residentMb: Long = -1L) extends ShardableGateCore {
 
   require(shardCount >= 1 && shardId >= 0 && shardId < shardCount,
     s"bad shard assignment $shardId/$shardCount")
@@ -78,6 +81,34 @@ private[streaming] abstract class IndexedNearDupGate[P](
   require(ttlMillis >= 0, s"negative ttl $ttlMillis")
   require(ttlMillis == 0 || ttlColumn.nonEmpty,
     "a windowed gate needs the event-time column: pass ttlColumn")
+  require(backend == StreamDedupGate.DriverBackend ||
+    backend == StreamDedupGate.ExecutorBackend,
+    s"unknown state backend '$backend'")
+  require(backend == StreamDedupGate.DriverBackend || shardCount == 1,
+    "the executor backend IS the scale-out — it does not compose with " +
+      "driver-thread core sharding")
+
+  /** EXECUTOR STATE BACKEND — `backend = "executor"`
+    * ([[ExecutorGateIndex]]): phase 1 runs against bucket-partitioned
+    * executor-local shards (index entries + sketch digests + event times
+    * off the driver heap); the driver keeps only the bloom/CMS prefilters
+    * and the bounded per-batch rows. Phase 2's candidate payload fetch
+    * stays the id-pruned store read — bounded by true (sketch-admissible)
+    * candidates, not store size — and the driver payload POOL is disabled
+    * (no corpus-sized driver state at all). Decision semantics are
+    * bit-identical to the driver paths. */
+  private val executorBackend = backend == StreamDedupGate.ExecutorBackend
+
+  /** Per-core resident budget: the gate-level `resident_mb` DDL option
+    * (catalog-replayed) beats the process-wide env default. The payload
+    * pool (core 0) gets the full per-gate figure. */
+  private val residentBudgetBytes: Long =
+    if (executorBackend) 0L
+    else (if (residentMb >= 0) residentMb << 20
+          else ResidentIndex.budgetBytes) / shardCount
+  private val payloadBudgetBytes: Long =
+    if (executorBackend) 0L
+    else if (residentMb >= 0) residentMb << 20 else ResidentIndex.budgetBytes
 
   /** WINDOWED (TTL) MODE — `ttlMillis` > 0 (the near-dup form of
     * [[StreamDedupGate]]'s windowed contract, reaper.c:49-352 semantics):
@@ -219,14 +250,33 @@ private[streaming] abstract class IndexedNearDupGate[P](
   // exact sync by the commit hooks (and rebuilt from disk after the bulk
   // seeding path marks them stale). resident.active=false ⇒ the original
   // disk paths run unchanged.
-  private val resident =
-    new ResidentIndex(hasOrd = true, ResidentIndex.budgetBytes / shardCount)
+  private val resident = new ResidentIndex(hasOrd = true,
+    residentBudgetBytes) // 0 (disabled) on the executor backend
   private val residentIds = new scala.collection.mutable.ArrayBuffer[Any]()
   // per-ord event time (micros) — windowed mode only; aligned with residentIds
   private val residentTs = new scala.collection.mutable.ArrayBuffer[Long]()
   private val payloadPool: ResidentPayloads =
-    if (writesPayload) new ResidentPayloads(ResidentIndex.budgetBytes) else null
+    if (writesPayload && !executorBackend)
+      new ResidentPayloads(payloadBudgetBytes) else null
   private var residentStale = false
+
+  /** Executor-partitioned phase-1 state (executor backend only); lazy so
+    * the subclass's sketch geometry is initialized before `sketchColOf`
+    * is consulted. */
+  private lazy val execIdx: ExecutorGateIndex =
+    if (!executorBackend) null
+    else new ExecutorGateIndex(eng.spark, idxDir,
+      if (stateParts > 0) stateParts else ExecutorGateIndex.defaultParts(eng.spark),
+      ttlEnabled, withIds = true,
+      auxCol = if (sketchColOf.isEmpty) None else Some("sk"))
+  /** Probe/spec seam: the distributed index (null on the driver backend). */
+  private[graft] def executorIndex: ExecutorGateIndex = execIdx
+
+  /** The executor probe's popcount cutoff over the inline sketch digests —
+    * must accept every pair [[sketchAdmissible]] accepts (64 ≡ pass-all
+    * for a sketchless gate). Subclasses with a sketch override with their
+    * calibrated cutoff. */
+  protected def executorSketchCutoff: Int = 64
 
   /** Test/probe seam: (tier active, index entries, ~budget bytes, id-pool
     * slots, payload-pool active) — the TTL pool-compaction specs assert
@@ -251,7 +301,7 @@ private[streaming] abstract class IndexedNearDupGate[P](
       if (files.nonEmpty) {
         val df = coreSession.read.parquet(files: _*)
         val n = df.count()
-        if (n * 24 > ResidentIndex.budgetBytes / shardCount) {
+        if (n * 24 > residentBudgetBytes) {
           System.err.println(s"[graft] ${getClass.getSimpleName}($name): " +
             s"index slice at $n entries exceeds the resident budget — " +
             "running on the disk path (raise GRAFT_GATE_RESIDENT_MB, " +
@@ -401,6 +451,7 @@ private[streaming] abstract class IndexedNearDupGate[P](
       updateFilters(keyed.select(explode(ownedKeysCol(col("__p"))).as("bucket"))
         .collect().map(_.getLong(0)))
       residentStale = true // bulk write bypassed the hot tier — rebuild lazily
+      if (executorBackend) execIdx.invalidate() // ... and the exec shards
     } finally { keyed.unpersist(); () }
   }
 
@@ -636,6 +687,33 @@ private[streaming] abstract class IndexedNearDupGate[P](
             }
             i += 1
           }
+        }
+      } else if (executorBackend) traced("phase1-exec") {
+        // distributed phase 1: ship (rowIdx, bucket, sketch[, ts]) for the
+        // bloom-positive under-cap keys; the shards return the
+        // sketch-admissible in-window candidate (row, store id) pairs —
+        // O(batch) out, O(candidates) back, state stays on the executors
+        val probes =
+          new scala.collection.mutable.ArrayBuffer[(Int, Long, Long, Long)]()
+        var i = 0
+        while (i < rows.length) {
+          rowKeys(i).foreach { b =>
+            if (!overCapSet.contains(b) && bloom.contains(b))
+              probes += ((i, b, if (rowSks == null) 0L else rowSks(i),
+                if (ttlEnabled) collected.tss(i) else 0L))
+          }
+          i += 1
+        }
+        execIdx.probe(probes.toArray, batches, executorSketchCutoff,
+          if (ttlEnabled) ttlMicros else 0L).foreach { case (ri, id, ts) =>
+          if (ttlEnabled) {
+            val prev = storeTs.get(id)
+            if (prev == null || ts > prev.longValue) storeTs.put(id, ts)
+            ()
+          }
+          pairs.computeIfAbsent(id, _ => new java.util.HashSet[Integer]())
+            .add(ri)
+          ()
         }
       } else diskPhase1(s, keyed, rows, rowKeys, rowSks, overCapSet, pairs,
         storeTs)
@@ -999,6 +1077,23 @@ private[streaming] abstract class IndexedNearDupGate[P](
           }
         }
       }
+      if (executorBackend) {
+        // buffer this batch's delta for the distributed shards; it rides
+        // the NEXT probe job (after this durable append — the required
+        // order). Buffer EVERY batch, even empty, to keep the shards'
+        // applied-batch range contiguous.
+        val delta = new scala.collection.mutable.ArrayBuffer[
+          ExecutorGateIndex.DeltaRow]()
+        var i = 0
+        while (i < ctx.rows.length) {
+          val sk = if (ctx.rowSks == null) 0L else ctx.rowSks(i)
+          val ts = if (ttlEnabled) ctx.rowTs(i) else 0L
+          ctx.rowKeys(i).foreach(b =>
+            delta += ExecutorGateIndex.DeltaRow(b, sk, ts, ctx.rows(i)._1))
+          i += 1
+        }
+        execIdx.bufferDelta(batches, delta.toArray)
+      }
       traced("filters")(updateFilters(ctx.rowKeys.flatten))
     } }
 
@@ -1108,6 +1203,9 @@ private[streaming] abstract class IndexedNearDupGate[P](
       residentTs.clear(); residentTs ++= nTs
       resident.retainRemap(remap, nIds.length.toLong * 48)
     }
+    // the fold rewrote the index files (and reaped, when windowed): the
+    // executor shards rebuild from the new snapshot at the next probe
+    if (executorBackend) execIdx.invalidate()
     if (n > bloomN) {
       bloomN = GateStore.bloomSizeFor(n, bloomN)
       System.err.println(s"[graft] ${getClass.getSimpleName}($name): index at " +

@@ -55,10 +55,14 @@ final class JaccardNearDupGate private (
     shardCount: Int,
     delivery: String,
     ttlMillis: Long,
-    ttlColumn: String)
+    ttlColumn: String,
+    backend: String = StreamDedupGate.DriverBackend,
+    stateParts: Int = 0,
+    residentMb: Long = -1L)
   extends IndexedNearDupGate[Array[Long]](eng, name, orderCol, sink,
     sigDir, idxDir, "sigs", "sig", bloomP, bloomN0, maxBucketSize, compactEvery,
-    shardId, shardCount, delivery, ttlMillis, ttlColumn) {
+    shardId, shardCount, delivery, ttlMillis, ttlColumn, backend, stateParts,
+    residentMb) {
 
   override protected def obsPrefix: String = "jacgate"
   override protected def payloadCol: Column =
@@ -121,6 +125,7 @@ final class JaccardNearDupGate private (
     java.lang.Long.bitCount(a ^ b) <= skCutoff
   override protected def sketchAdmissibleCol(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b)) <= lit(skCutoff)
+  override protected def executorSketchCutoff: Int = skCutoff
 
   // distributed form of [[similar]]: the same fused agreement-fraction
   // expression the batch prefilter uses (empty signatures agree 0.0, so no
@@ -166,7 +171,9 @@ object JaccardNearDupGate {
       maxBucketSize: Int = Int.MaxValue,
       compactEvery: Int = 256,
       delivery: String = StreamDedupGate.AtLeastOnce,
-      ttlMillis: Long = 0L, ttlColumn: String = ""): JaccardNearDupGate = {
+      ttlMillis: Long = 0L, ttlColumn: String = "",
+      backend: String = StreamDedupGate.DriverBackend,
+      stateParts: Int = 0, residentMb: Long = -1L): JaccardNearDupGate = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"jaccard gate threshold must be in (0, 1], got $threshold")
     val recall = recallEstimate(threshold, numBands, rowsPerBand)
@@ -191,7 +198,7 @@ object JaccardNearDupGate {
     val gate = new JaccardNearDupGate(eng, name, textSql, orderCol, sink,
       sigDir, idxDir, threshold, shingleN, numBands, rowsPerBand,
       bloomP, bloomN, maxBucketSize, compactEvery, 0, 1, delivery,
-      ttlMillis, ttlColumn)
+      ttlMillis, ttlColumn, backend, stateParts, residentMb)
     gate.bootstrap()
     eng.createContTransform(name, selectSql,
       outputFunc = Some(gate.onBatch _), emitChanges = false)
@@ -213,7 +220,8 @@ object JaccardNearDupGate {
       maxBucketSize: Int = Int.MaxValue,
       compactEvery: Int = 256,
       delivery: String = StreamDedupGate.AtLeastOnce,
-      ttlMillis: Long = 0L, ttlColumn: String = ""): ShardedNearDupGate = {
+      ttlMillis: Long = 0L, ttlColumn: String = "",
+      residentMb: Long = -1L): ShardedNearDupGate = {
     require(shards >= 2, s"use create() for an unsharded gate (shards=$shards)")
     require(threshold > 0.0 && threshold <= 1.0,
       s"jaccard gate threshold must be in (0, 1], got $threshold")
@@ -238,7 +246,8 @@ object JaccardNearDupGate {
       val core = new JaccardNearDupGate(eng, name, textSql, orderCol, sink,
         sigDir, idxDir, threshold, shingleN, numBands, rowsPerBand,
         bloomP, bloomN, maxBucketSize, compactEvery, k, shards,
-        StreamDedupGate.AtLeastOnce, ttlMillis, ttlColumn)
+        StreamDedupGate.AtLeastOnce, ttlMillis, ttlColumn,
+        residentMb = residentMb)
       core.bootstrap()
       core
     }

@@ -79,7 +79,8 @@ final class SimHashNearDupGate private (
     ttlMillis: Long = 0L,
     ttlColumn: String = "",
     backend: String = StreamDedupGate.DriverBackend,
-    stateParts: Int = 0) extends ShardableGateCore {
+    stateParts: Int = 0,
+    residentMb: Long = -1L) extends ShardableGateCore {
 
   require(shardCount >= 1 && shardId >= 0 && shardId < shardCount,
     s"bad shard assignment $shardId/$shardCount")
@@ -105,6 +106,14 @@ final class SimHashNearDupGate private (
     * at small state the driver tier is faster — this is the path past the
     * resident budget, not a default. */
   private val executorBackend = backend == StreamDedupGate.ExecutorBackend
+
+  /** Per-core resident budget: the gate-level `resident_mb` DDL option
+    * (catalog-replayed) beats the process-wide env default — a pipeline
+    * gives its big gate the memory and its small gates the floor. */
+  private val residentBudgetBytes: Long =
+    if (executorBackend) 0L
+    else (if (residentMb >= 0) residentMb << 20
+          else ResidentIndex.budgetBytes) / shardCount
 
   // WINDOWED (TTL) MODE — see IndexedNearDupGate's windowed contract
   // (identical semantics; the fp store gains a ts column, compaction
@@ -198,8 +207,7 @@ final class SimHashNearDupGate private (
   // the beyond-budget fallback path).
   private val resident = new ResidentIndex(
     hasOrd = ttlEnabled, // windowed entries reference the ts pool by ord
-    // the executor backend replaces the driver tier entirely
-    if (executorBackend) 0L else ResidentIndex.budgetBytes / shardCount)
+    residentBudgetBytes) // 0 (disabled) on the executor backend
 
   /** Executor-partitioned probe state (executor backend only). */
   private val execIdx: ExecutorGateIndex =
@@ -230,7 +238,7 @@ final class SimHashNearDupGate private (
     val files = GateStore.files(storeDir)
     if (files.isEmpty) return
     val df = coreSession.read.parquet(files: _*)
-    if (df.count() * 16 > ResidentIndex.budgetBytes / shardCount) {
+    if (df.count() * 16 > residentBudgetBytes) {
       System.err.println(s"[graft] SimHashNearDupGate($name): store slice " +
         "exceeds the resident budget — running on the disk path (raise " +
         "GRAFT_GATE_RESIDENT_MB, shard the gate, or window it with a ttl)")
@@ -617,7 +625,7 @@ final class SimHashNearDupGate private (
           batches, maxDist, if (ttlEnabled) ttlMicros else 0L))
         val suppressedSet = new java.util.HashSet[Any]()
         suppressedIdx.forEach(i => { suppressedSet.add(rows(i)._1); () })
-        hitIdx.foreach(i => { suppressedSet.add(rows(i)._1); () })
+        hitIdx.foreach { case (i, _, _) => suppressedSet.add(rows(i)._1); () }
         return new BatchCtx(keyed, rows, rowKeys, suppressedSet, tss)
       }
       val storeF = GateStore.storeFiles(storeDir)
@@ -819,11 +827,13 @@ final class SimHashNearDupGate private (
         // the NEXT probe job (after this durable append — the required
         // order). Buffer EVERY batch, even empty, to keep the shards'
         // applied-batch range contiguous.
-        val delta = new scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+        val delta = new scala.collection.mutable.ArrayBuffer[
+          ExecutorGateIndex.DeltaRow]()
         var i = 0
         while (i < rows.length) {
           val ts = if (ttlEnabled) ctx.rowTs(i) else 0L
-          rowKeys(i).foreach(b => delta += ((b, rows(i)._2, ts)))
+          rowKeys(i).foreach(b =>
+            delta += ExecutorGateIndex.DeltaRow(b, rows(i)._2, ts, null))
           i += 1
         }
         execIdx.bufferDelta(batches, delta.toArray)
@@ -900,7 +910,7 @@ object SimHashNearDupGate {
       delivery: String = StreamDedupGate.AtLeastOnce,
       ttlMillis: Long = 0L, ttlColumn: String = "",
       backend: String = StreamDedupGate.DriverBackend,
-      stateParts: Int = 0): SimHashNearDupGate = {
+      stateParts: Int = 0, residentMb: Long = -1L): SimHashNearDupGate = {
     val root = Paths.get(storeRoot, name)
     Files.createDirectories(root)
     GateStore.stampGeometry(root, "shards_1")
@@ -913,7 +923,7 @@ object SimHashNearDupGate {
     val gate = new SimHashNearDupGate(eng, name, textSql, orderCol, sink, dir,
       maxDist, blocks, bloomP, bloomN, maxBucketSize, compactEvery,
       delivery = delivery, ttlMillis = ttlMillis, ttlColumn = ttlColumn,
-      backend = backend, stateParts = stateParts)
+      backend = backend, stateParts = stateParts, residentMb = residentMb)
     gate.bootstrap() // resume from a persisted store after an engine restart
     eng.createContTransform(name, selectSql,
       outputFunc = Some(gate.onBatch _), emitChanges = false)
@@ -934,7 +944,8 @@ object SimHashNearDupGate {
       maxBucketSize: Int = Int.MaxValue,
       compactEvery: Int = 256,
       delivery: String = StreamDedupGate.AtLeastOnce,
-      ttlMillis: Long = 0L, ttlColumn: String = ""): ShardedNearDupGate = {
+      ttlMillis: Long = 0L, ttlColumn: String = "",
+      residentMb: Long = -1L): ShardedNearDupGate = {
     require(shards >= 2, s"use create() for an unsharded gate (shards=$shards)")
     val root = Paths.get(storeRoot, name)
     Files.createDirectories(root)
@@ -946,7 +957,8 @@ object SimHashNearDupGate {
         s"simhash_k$blocks" + (if (ttlMillis > 0) "_ttl" else ""))
       val core = new SimHashNearDupGate(eng, name, textSql, orderCol, sink,
         dir, maxDist, blocks, bloomP, bloomN, maxBucketSize, compactEvery,
-        k, shards, ttlMillis = ttlMillis, ttlColumn = ttlColumn)
+        k, shards, ttlMillis = ttlMillis, ttlColumn = ttlColumn,
+        residentMb = residentMb)
       core.bootstrap()
       core
     }

@@ -1,0 +1,234 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cv.ContViewEngine
+
+/** The executor-partitioned state backend ([[ExecutorGateIndex]]) against
+  * the driver backends: BIT-IDENTICAL admitted sets on the same feed —
+  * resident driver tier, forced-disk driver path, and the executor shards
+  * must all implement one decision function. Also pins restart recovery
+  * (shards rebuild from the durable store), the TTL composition, and
+  * compaction invalidation.
+  */
+class ExecutorGateBackendSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  import spark.implicits._
+
+  // corpus with REAL near-dup structure: every 3rd doc is a light edit of
+  // an earlier one (simhash distance ≤ 3), the rest unique
+  private def corpus(n: Int): DataFrame = {
+    def base(i: Int) = (0 until 24).map(j => s"d${i}w$j").mkString(" ")
+    (0 until n).map { i =>
+      val text =
+        if (i % 3 == 2) base(i - 2) + " tail"  // near-dup of i-2
+        else base(i)
+      (i.toLong, text)
+    }.toDF("id", "body")
+  }
+
+  private def runGate(root: String, engSuffix: String, backend: String,
+      batches: Seq[DataFrame], ttl: Boolean = false,
+      compactBetween: Boolean = false): (ContViewEngine, SimHashNearDupGate) = {
+    val eng = new ContViewEngine(spark, s"$root/eng$engSuffix")
+    val schema0 = Seq((0L, "x")).toDF("id", "body").schema
+    val schema =
+      if (!ttl) schema0
+      else org.apache.spark.sql.types.StructType(schema0.fields :+
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.TimestampType))
+    eng.createStream("xb_in", schema)
+    eng.createStream("xb_out", org.apache.spark.sql.types.StructType(
+      schema.fields :+ org.apache.spark.sql.types.StructField("fp",
+        org.apache.spark.sql.types.LongType)))
+    eng.createContView("v_xb", "SELECT id FROM xb_out", emitChanges = false)
+    val g = SimHashNearDupGate.create(eng, "xb_gate",
+      (if (!ttl) "SELECT id, body FROM xb_in"
+       else "SELECT id, body, ts FROM xb_in"),
+      textSql = "body", orderCol = "id",
+      sink = "xb_out", storeRoot = s"$root/gate_$backend$engSuffix",
+      maxDist = 3, backend = backend, stateParts = 5,
+      ttlMillis = if (ttl) 24L * 3600 * 1000 else 0L,
+      ttlColumn = if (ttl) "ts" else "")
+    batches.foreach { b =>
+      eng.insertInto("xb_in", b)
+      if (compactBetween) g.compact()
+    }
+    (eng, g)
+  }
+
+  private def admitted(eng: ContViewEngine): Set[Long] =
+    eng.overlay("v_xb").collect().map(_.getLong(0)).toSet
+
+  test("executor backend admits the exact driver-backend set, across batch splits") {
+    val c = corpus(120)
+    val batches = Seq(c.where(col("id") < 40), c.where(col("id") >= 40 && col("id") < 80),
+      c.where(col("id") >= 80))
+    val r1 = java.nio.file.Files.createTempDirectory("graft_xb1").toString
+    val (e1, _) = runGate(r1, "d", StreamDedupGate.DriverBackend, batches)
+    val expected = admitted(e1)
+    assert(expected.size < 120 && expected.size > 60,
+      s"fixture must exercise suppression (got ${expected.size})")
+    val r2 = java.nio.file.Files.createTempDirectory("graft_xb2").toString
+    val (e2, _) = runGate(r2, "x", StreamDedupGate.ExecutorBackend, batches)
+    assert(admitted(e2) === expected, "executor backend diverged from driver")
+    // forced-disk driver path (budget 0) — the third implementation
+    ResidentIndex.budgetOverride = Some(0L)
+    try {
+      val r3 = java.nio.file.Files.createTempDirectory("graft_xb3").toString
+      val (e3, _) = runGate(r3, "k", StreamDedupGate.DriverBackend, batches)
+      assert(admitted(e3) === expected, "disk path diverged")
+    } finally ResidentIndex.budgetOverride = None
+  }
+
+  test("executor backend: restart rebuilds the shards from the durable store") {
+    val c = corpus(90)
+    val root = java.nio.file.Files.createTempDirectory("graft_xb4").toString
+    // driver-backend truth on the full feed
+    val rT = java.nio.file.Files.createTempDirectory("graft_xb4t").toString
+    val (eT, _) = runGate(rT, "t", StreamDedupGate.DriverBackend, Seq(c))
+    val expected = admitted(eT)
+    // executor backend: feed half, "crash" (abandon engine), re-create on
+    // the same store — the new instance's nonce orphans every shard, so
+    // the first post-restart probe rebuilds from parquet
+    val eng1 = runGate(root, "1", StreamDedupGate.ExecutorBackend,
+      Seq(c.where(col("id") < 45)))._1
+    assert(admitted(eng1) === expected.filter(_ < 45L))
+    val (eng2, _) = runGate(root, "2", StreamDedupGate.ExecutorBackend,
+      Seq(c.where(col("id") >= 45)))
+    assert(admitted(eng2) === expected.filter(_ >= 45L),
+      "post-restart decisions must see the pre-crash store")
+  }
+
+  test("executor backend: ttl window + compaction reap match the driver backend") {
+    // three-case window schedule (in-window suppressed, aged-out admitted,
+    // refreshed-window suppressed) — same fixture family as
+    // NearDupGateTtlSpec, both backends, compaction after every batch on
+    // the executor side (invalidate → rebuild from the reaped store)
+    def body(i: Long) = (0 until 24).map(j => s"t${i}w$j").mkString(" ")
+    val rows = ((0L until 8L).map(i => (i, body(i), i)) ++
+      Seq((100L, body(0), 10L),   // in-window copy → suppressed
+          (200L, body(0), 40L),   // aged out → admitted
+          (300L, body(0), 50L)))  // inside 200's window → suppressed
+      .toDF("id", "body", "hours")
+      .withColumn("ts",
+        expr("timestamp '2024-01-01 00:00:00' + make_interval(0,0,0,0,hours)"))
+      .drop("hours")
+    def feedBatches(df: DataFrame) = Seq(df.where(col("id") < 100L),
+      df.where(col("id") >= 100L && col("id") < 300L),
+      df.where(col("id") >= 300L))
+    val r1 = java.nio.file.Files.createTempDirectory("graft_xb5").toString
+    val (e1, _) = runGate(r1, "d", StreamDedupGate.DriverBackend,
+      feedBatches(rows), ttl = true)
+    val expected = admitted(e1)
+    assert(expected === (0L until 8L).toSet + 200L)
+    val r2 = java.nio.file.Files.createTempDirectory("graft_xb6").toString
+    val (e2, _) = runGate(r2, "x", StreamDedupGate.ExecutorBackend,
+      feedBatches(rows), ttl = true, compactBetween = true)
+    assert(admitted(e2) === expected, "windowed executor backend diverged")
+  }
+
+  test("executor backend refuses driver-thread core sharding") {
+    intercept[IllegalArgumentException] {
+      new ExecutorGateIndex(spark, java.nio.file.Paths.get("/tmp/never"), 0, false)
+    }
+  }
+
+  // ---- split-store family (jaccard/cosine: distributed phase 1 + the
+  // id-pruned payload verify, driver payload pool OFF) ---------------------
+
+  private def runJaccard(root: String, engSuffix: String, backend: String,
+      batches: Seq[DataFrame]): ContViewEngine = {
+    val eng = new ContViewEngine(spark, s"$root/eng$engSuffix")
+    val schema = Seq((0L, "x")).toDF("id", "body").schema
+    eng.createStream("xj_in", schema)
+    eng.createStream("xj_out", schema)
+    eng.createContView("v_xj", "SELECT id FROM xj_out", emitChanges = false)
+    JaccardNearDupGate.create(eng, "xj_gate",
+      "SELECT id, body FROM xj_in", textSql = "body", orderCol = "id",
+      sink = "xj_out", storeRoot = s"$root/gate_$backend$engSuffix",
+      threshold = 0.7, backend = backend, stateParts = 5)
+    batches.foreach(b => eng.insertInto("xj_in", b))
+    eng
+  }
+
+  test("jaccard executor backend: identical admitted set, incl. restart") {
+    // shingle-level near-dups: every 4th doc shares most of its shingles
+    // with an earlier one (estimated jaccard above the 0.7 threshold)
+    def toks(i: Int) = (0 until 30).map(j => s"j${i}t$j")
+    val c = (0 until 80).map { i =>
+      val t = if (i % 4 == 3) toks(i - 3).drop(2) ++ Seq("x", "y")
+              else toks(i)
+      (i.toLong, t.mkString(" "))
+    }.toDF("id", "body")
+    val split = Seq(c.where(col("id") < 40), c.where(col("id") >= 40))
+    val r1 = java.nio.file.Files.createTempDirectory("graft_xj1").toString
+    val expected = runJaccard(r1, "d", StreamDedupGate.DriverBackend, split)
+      .overlay("v_xj").collect().map(_.getLong(0)).toSet
+    assert(expected.size < 80 && expected.size > 40,
+      s"fixture must exercise suppression (got ${expected.size})")
+    val r2 = java.nio.file.Files.createTempDirectory("graft_xj2").toString
+    // restart between the two batches on the executor side: the second
+    // instance's shards rebuild from the durable index store
+    val eng1 = runJaccard(r2, "1", StreamDedupGate.ExecutorBackend,
+      Seq(split.head))
+    assert(eng1.overlay("v_xj").collect().map(_.getLong(0)).toSet
+      === expected.filter(_ < 40L))
+    val eng2 = runJaccard(r2, "2", StreamDedupGate.ExecutorBackend,
+      Seq(split(1)))
+    assert(eng2.overlay("v_xj").collect().map(_.getLong(0)).toSet
+      === expected.filter(_ >= 40L),
+      "jaccard executor backend diverged across restart")
+  }
+
+  test("cosine executor backend: windowed admission matches the driver") {
+    def vec(seed: Long): Seq[Double] = {
+      val r = new scala.util.Random(seed)
+      val raw = Seq.fill(16)(r.nextGaussian())
+      val n = math.sqrt(raw.map(x => x * x).sum)
+      raw.map(_ / n)
+    }
+    val rows = Seq(
+      (1L, vec(1), "2024-01-01 00:00:00"),
+      (2L, vec(2), "2024-01-01 01:00:00"),
+      (1001L, vec(1), "2024-01-01 06:00:00"), // in-window copy → suppressed
+      (2001L, vec(1), "2024-01-03 00:00:00"), // aged out → admitted
+      (3001L, vec(1), "2024-01-03 12:00:00"), // inside 2001's window → suppressed
+      (2002L, vec(2), "2024-01-04 00:00:00")  // aged out → admitted
+    ).toDF("id", "embedding", "tss")
+      .withColumn("ts", col("tss").cast("timestamp")).drop("tss")
+    def run(backend: String): Set[Long] = {
+      val root = java.nio.file.Files.createTempDirectory("graft_xc").toString
+      val eng = new ContViewEngine(spark, s"$root/eng")
+      eng.createStream("xc_in", rows.schema)
+      eng.createStream("xc_out", rows.schema)
+      eng.createContView("v_xc", "SELECT id FROM xc_out", emitChanges = false)
+      val g = CosineNearDupGate.create(eng, "xc_gate",
+        "SELECT id, embedding, ts FROM xc_in", embSql = "embedding",
+        orderCol = "id", sink = "xc_out", storeRoot = s"$root/gate",
+        threshold = 0.95, dim = 16, backend = backend, stateParts = 3,
+        ttlMillis = 24L * 3600 * 1000, ttlColumn = "ts")
+      eng.insertInto("xc_in", rows.where(col("id") <= 1001L))
+      g.compact() // reap + executor-shard invalidation mid-feed
+      eng.insertInto("xc_in", rows.where(col("id") > 1001L))
+      eng.overlay("v_xc").collect().map(_.getLong(0)).toSet
+    }
+    val expected = run(StreamDedupGate.DriverBackend)
+    assert(expected === Set(1L, 2L, 2001L, 2002L))
+    assert(run(StreamDedupGate.ExecutorBackend) === expected,
+      "windowed cosine executor backend diverged")
+  }
+}

@@ -83,6 +83,86 @@ class GateDdlSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq === Seq(1L, 2L, 5L))
   }
 
+  test("resident_mb / backend WITH options: applied, catalog-replayed, guarded") {
+    val root = java.nio.file.Files.createTempDirectory("graft_gddl4").toString
+    val eng1 = new ContViewEngine(spark, root)
+    eng1.sql("CREATE STREAM r_in (id int8, body text)")
+    eng1.sql("CREATE STREAM r_clean (id int8, body text, fp int8)")
+    // resident_mb = 0 turns THIS gate's hot tier off (budget floor) while
+    // the process default would have enabled it
+    eng1.sql("""CREATE VIEW r_gate WITH (action = transform, sink = 'r_clean',
+              |  resident_mb = 0,
+              |  outputfunc = neardup_gate('body', 'id')) AS
+              |SELECT id, body FROM r_in""".stripMargin)
+    eng1.sql("""CREATE CONTINUOUS VIEW v_r WITH (changes = false) AS
+              |SELECT id FROM r_clean""".stripMargin)
+    val g1 = eng1.gateOf("r_gate").get.asInstanceOf[SimHashNearDupGate]
+    assert(!g1.residentStats._1, "resident_mb = 0 must disable the hot tier")
+    eng1.sql("INSERT INTO r_in (id, body) VALUES " +
+      "(1, 'alpha beta gamma delta'), (2, 'alpha beta gamma delta'), " +
+      "(3, 'epsilon zeta eta theta')")
+    assert(eng1.sql("SELECT id FROM v_r ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L, 3L),
+      "the disk path still suppresses")
+    // executor backend via DDL, on its own engine root
+    val root2 = java.nio.file.Files.createTempDirectory("graft_gddl5").toString
+    val eng2 = new ContViewEngine(spark, root2)
+    eng2.sql("CREATE STREAM x_in (id int8, body text)")
+    eng2.sql("CREATE STREAM x_clean (id int8, body text, fp int8)")
+    eng2.sql("""CREATE VIEW x_gate WITH (action = transform, sink = 'x_clean',
+              |  backend = 'executor',
+              |  outputfunc = neardup_gate('body', 'id')) AS
+              |SELECT id, body FROM x_in""".stripMargin)
+    eng2.sql("""CREATE CONTINUOUS VIEW v_x WITH (changes = false) AS
+              |SELECT id FROM x_clean""".stripMargin)
+    val g2 = eng2.gateOf("x_gate").get.asInstanceOf[SimHashNearDupGate]
+    assert(g2.executorIndex != null && !g2.residentStats._1,
+      "backend = 'executor' must stand up the distributed index")
+    eng2.sql("INSERT INTO x_in (id, body) VALUES " +
+      "(1, 'alpha beta gamma delta'), (2, 'epsilon zeta eta theta')")
+    eng2.sql("INSERT INTO x_in (id, body) VALUES (3, 'alpha beta gamma delta')")
+    assert(eng2.sql("SELECT id FROM v_x ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L, 2L),
+      "the executor backend suppresses across batches")
+    // catalog replay carries BOTH options (new engine on the same root)
+    val eng3 = new ContViewEngine(spark, root2)
+    val g3 = eng3.gateOf("x_gate").get.asInstanceOf[SimHashNearDupGate]
+    assert(g3.executorIndex != null, "replay must restore backend = 'executor'")
+    eng3.sql("INSERT INTO x_in (id, body) VALUES (4, 'alpha beta gamma delta')")
+    assert(eng3.sql("SELECT id FROM v_x ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L, 2L),
+      "post-replay shards rebuild from the store and keep suppressing (the " +
+        "replayed CV keeps its pre-restart rows; the re-fed dup adds nothing)")
+    // a re-declaration changing only the options is a DIFFERENT definition
+    val e1 = intercept[IllegalArgumentException] {
+      eng3.sql("""CREATE VIEW x_gate WITH (action = transform, sink = 'x_clean',
+                |  outputfunc = neardup_gate('body', 'id')) AS
+                |SELECT id, body FROM x_in""".stripMargin)
+    }
+    assert(e1.getMessage.contains("different definition"))
+    // guards: options on non-gate transforms / wrong gate kinds / sharding
+    val e2 = intercept[IllegalArgumentException] {
+      eng1.sql("""CREATE VIEW bad_r WITH (action = transform, resident_mb = 8,
+                |  outputfunc = insert_into_stream('r_clean')) AS
+                |SELECT id, body, CAST(NULL AS BIGINT) AS fp FROM r_in""".stripMargin)
+    }
+    assert(e2.getMessage.contains("gate transforms only"))
+    val e3 = intercept[IllegalArgumentException] {
+      eng1.sql("""CREATE VIEW bad_d WITH (action = transform, sink = 'r_clean',
+                |  resident_mb = 8,
+                |  outputfunc = dedup_gate('md5(body)', 'id')) AS
+                |SELECT id, body FROM r_in""".stripMargin)
+    }
+    assert(e3.getMessage.contains("near-dup gates"))
+    val e4 = intercept[IllegalArgumentException] {
+      eng1.sql("""CREATE VIEW bad_s WITH (action = transform, sink = 'r_clean',
+                |  backend = 'executor',
+                |  outputfunc = neardup_gate('body', 'id', 3, 5000, 2)) AS
+                |SELECT id, body FROM r_in""".stripMargin)
+    }
+    assert(e4.getMessage.contains("does not compose with shards"))
+  }
+
   test("gate-spec string args support SQL '' quote escaping") {
     val root = java.nio.file.Files.createTempDirectory("graft_gddl3").toString
     val eng = new ContViewEngine(spark, root)
