@@ -142,7 +142,13 @@ object Bench {
       newest.map { f =>
         val txt = try java.nio.file.Files.readString(f.toPath)
           catch { case _: Throwable => "" }
-        Seq("cv_ingest_events_per_sec", "cv_large_state_sec",
+        // only adjudicate against an artifact at the SAME scale factor — a
+        // local sf0.001 smoke run must not burn retries against the
+        // driver's sf0.1 numbers
+        val sameSf = ("\"sf\"\\s*:\\s*\"([^\"]+)\"").r.findFirstMatchIn(txt)
+          .exists(_.group(1) == sfDir)
+        if (!sameSf) Map.empty[String, Double]
+        else Seq("cv_ingest_events_per_sec", "cv_large_state_sec",
           "cv_soak_events_per_sec").flatMap { k =>
           (("\"" + k + "\":([0-9.]+)").r).findFirstMatchIn(txt)
             .map(m => k -> m.group(1).toDouble)

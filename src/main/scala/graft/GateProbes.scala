@@ -83,7 +83,7 @@ object GateProbes {
         orderCol = "id", sink = "gs_out", storeRoot = root, shards = g)
       case ("jaccard", 1) => graft.streaming.JaccardNearDupGate.create(eng, "gs_gate",
         "SELECT id, body FROM gs_in", textSql = "body", orderCol = "id",
-        sink = "gs_out", storeRoot = root, threshold = 0.8)
+        sink = "gs_out", storeRoot = root, threshold = 0.8, backend = backend)
       case ("jaccard", g) => graft.streaming.JaccardNearDupGate.createSharded(eng,
         "gs_gate", "SELECT id, body FROM gs_in", textSql = "body",
         orderCol = "id", sink = "gs_out", storeRoot = root, threshold = 0.8,
@@ -91,7 +91,7 @@ object GateProbes {
       case (_, 1) => graft.streaming.CosineNearDupGate.create(eng, "gs_gate",
         "SELECT id, embedding FROM gs_in", embSql = "embedding",
         orderCol = "id", sink = "gs_out", storeRoot = root,
-        threshold = 0.98, dim = dim)
+        threshold = 0.98, dim = dim, backend = backend)
       case (_, g) => graft.streaming.CosineNearDupGate.createSharded(eng,
         "gs_gate", "SELECT id, embedding FROM gs_in", embSql = "embedding",
         orderCol = "id", sink = "gs_out", storeRoot = root,

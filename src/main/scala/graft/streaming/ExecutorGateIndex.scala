@@ -245,6 +245,12 @@ private[graft] final class ExecutorGateIndex(
     needRebuild = false
   }
 
+  /** Test seam: orphan one shard's registry entry (wrong generation), as
+    * an executor loss / task migration would — the next probe must detect
+    * it, rebuild from the store, and still answer correctly. */
+  private[graft] def poisonShard(k: Int): Unit =
+    ExecutorGateState.shardFor(storeKey, k, ttlEnabled, withIds).gen = "poisoned"
+
   /** Approximate total entries across shards (probe/spec telemetry). */
   def totalEntries: Long = {
     val (sKey, p, ttl, ids) = (storeKey, parts, ttlEnabled, withIds)

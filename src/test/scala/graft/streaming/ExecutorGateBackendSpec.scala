@@ -141,6 +141,40 @@ class ExecutorGateBackendSpec extends AnyFunSuite {
     assert(admitted(e2) === expected, "windowed executor backend diverged")
   }
 
+  test("executor backend: a lost/moved shard self-heals mid-stream") {
+    // local[n] never migrates a shard, so force the cluster failure mode:
+    // poison one shard's generation between batches (what an executor loss
+    // or task migration leaves behind) — the next probe must detect the
+    // stale shard, rebuild every shard from the durable store, and decide
+    // the batch identically
+    val c = corpus(90)
+    val batches = Seq(c.where(col("id") < 30),
+      c.where(col("id") >= 30 && col("id") < 60), c.where(col("id") >= 60))
+    val rT = java.nio.file.Files.createTempDirectory("graft_xh1").toString
+    val (eT, _) = runGate(rT, "t", StreamDedupGate.DriverBackend, batches)
+    val expected = admitted(eT)
+    val root = java.nio.file.Files.createTempDirectory("graft_xh2").toString
+    val eng = new ContViewEngine(spark, s"$root/eng")
+    val schema = Seq((0L, "x")).toDF("id", "body").schema
+    eng.createStream("xh_in", schema)
+    eng.createStream("xh_out", org.apache.spark.sql.types.StructType(
+      schema.fields :+ org.apache.spark.sql.types.StructField("fp",
+        org.apache.spark.sql.types.LongType)))
+    eng.createContView("v_xh", "SELECT id FROM xh_out", emitChanges = false)
+    val g = SimHashNearDupGate.create(eng, "xh_gate",
+      "SELECT id, body FROM xh_in", textSql = "body", orderCol = "id",
+      sink = "xh_out", storeRoot = s"$root/gate", maxDist = 3,
+      backend = StreamDedupGate.ExecutorBackend, stateParts = 5)
+    eng.insertInto("xh_in", batches(0))
+    g.executorIndex.poisonShard(2)
+    eng.insertInto("xh_in", batches(1)) // heals via rebuild, then decides
+    g.executorIndex.poisonShard(0)
+    g.executorIndex.poisonShard(4)
+    eng.insertInto("xh_in", batches(2))
+    assert(eng.overlay("v_xh").collect().map(_.getLong(0)).toSet === expected,
+      "self-healed shards must decide identically")
+  }
+
   test("executor backend refuses driver-thread core sharding") {
     intercept[IllegalArgumentException] {
       new ExecutorGateIndex(spark, java.nio.file.Paths.get("/tmp/never"), 0, false)
