@@ -140,17 +140,22 @@ object Bench {
           case _ => None
         }).sortBy(-_._1).headOption.map(_._2)
       newest.map { f =>
-        val txt = try java.nio.file.Files.readString(f.toPath)
-          catch { case _: Throwable => "" }
+        // the driver WRAPS the bench line in its own JSON ({"n":…,
+        // "tail":"<escaped summary line>"}), so unescape before matching
+        // and take the LAST occurrence of each key (the summary line is
+        // complete; the front-truncated full line may not be)
+        val txt = (try java.nio.file.Files.readString(f.toPath)
+          catch { case _: Throwable => "" })
+          .replace("\\\"", "\"").replace("\\\\", "\\")
         // only adjudicate against an artifact at the SAME scale factor — a
         // local sf0.001 smoke run must not burn retries against the
         // driver's sf0.1 numbers
-        val sameSf = ("\"sf\"\\s*:\\s*\"([^\"]+)\"").r.findFirstMatchIn(txt)
-          .exists(_.group(1) == sfDir)
+        val sameSf = ("\"sf\"\\s*:\\s*\"([^\"]+)\"").r.findAllMatchIn(txt)
+          .toSeq.lastOption.exists(_.group(1) == sfDir)
         if (!sameSf) Map.empty[String, Double]
         else Seq("cv_ingest_events_per_sec", "cv_large_state_sec",
           "cv_soak_events_per_sec").flatMap { k =>
-          (("\"" + k + "\":([0-9.]+)").r).findFirstMatchIn(txt)
+          (("\"" + k + "\":([0-9.]+)").r).findAllMatchIn(txt).toSeq.lastOption
             .map(m => k -> m.group(1).toDouble)
         }.toMap
       }.getOrElse(Map.empty)

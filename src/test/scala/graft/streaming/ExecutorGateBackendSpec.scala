@@ -175,6 +175,49 @@ class ExecutorGateBackendSpec extends AnyFunSuite {
       "self-healed shards must decide identically")
   }
 
+  test("executor backend composes with exactly-once delivery across a crash") {
+    val root = java.nio.file.Files.createTempDirectory("graft_xe1").toString
+    val eng = new ContViewEngine(spark, s"$root/eng")
+    val schema = Seq((0L, "x")).toDF("id", "body").schema
+    eng.createStream("xe_in", schema)
+    eng.createStream("xe_out", org.apache.spark.sql.types.StructType(
+      schema.fields :+ org.apache.spark.sql.types.StructField("fp",
+        org.apache.spark.sql.types.LongType)))
+    eng.createContView("v_xe", "SELECT id, count(*) AS c FROM xe_out GROUP BY id",
+      emitChanges = false)
+    val g = SimHashNearDupGate.create(eng, "xe_gate",
+      "SELECT id, body FROM xe_in", textSql = "body", orderCol = "id",
+      sink = "xe_out", storeRoot = s"$root/gate",
+      backend = StreamDedupGate.ExecutorBackend, stateParts = 3,
+      delivery = StreamDedupGate.ExactlyOnce)
+    def b(rows: (Long, String)*) = rows.toDF("id", "body")
+    eng.insertInto("xe_in", b((1L, "alpha beta gamma delta")))
+    // crash between spool and delivery: the commitRecovered delta must
+    // flow into the executor shards exactly once, and the re-fed batch
+    // must be fully suppressed by the recovered store
+    g.epochs.failAt = "after-spool"
+    intercept[Exception] {
+      eng.insertInto("xe_in",
+        b((2L, "epsilon zeta eta theta"), (3L, "alpha beta gamma delta")))
+    }
+    eng.insertInto("xe_in",
+      b((2L, "epsilon zeta eta theta"), (3L, "alpha beta gamma delta")))
+    val counts = eng.overlay("v_xe").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(counts === Map(1L -> 1L, 2L -> 1L),
+      "every admitted row exactly once; suppressed rows still suppress")
+    // pre-spool crash: shards advanced by the crashed decide must not
+    // poison the retry (nothing was appended, so decisions are unchanged)
+    g.epochs.failAt = "before-spool"
+    intercept[Exception] {
+      eng.insertInto("xe_in", b((4L, "iota kappa lambda mu")))
+    }
+    eng.insertInto("xe_in", b((4L, "iota kappa lambda mu")))
+    assert(eng.overlay("v_xe").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+      === Map(1L -> 1L, 2L -> 1L, 4L -> 1L))
+  }
+
   test("executor backend refuses driver-thread core sharding") {
     intercept[IllegalArgumentException] {
       new ExecutorGateIndex(spark, java.nio.file.Paths.get("/tmp/never"), 0, false)
