@@ -288,6 +288,174 @@ private[graft] final class BucketPartitioner(p: Int) extends Partitioner {
     java.lang.Math.floorMod(key.asInstanceOf[Long], p.toLong).toInt
 }
 
+/** Stored-payload decode for the executor payload shards (the per-gate
+  * resident form, duplicated NOWHERE: array copies only — verification
+  * stays the gate's own `similar` on the driver). */
+private[graft] sealed trait PayloadDecoder extends Serializable {
+  def decode(r: org.apache.spark.sql.Row): AnyRef
+}
+private[graft] case object LongsPayload extends PayloadDecoder {
+  def decode(r: org.apache.spark.sql.Row): AnyRef = r.getSeq[Long](1).toArray
+}
+private[graft] case object FloatsPayload extends PayloadDecoder {
+  def decode(r: org.apache.spark.sql.Row): AnyRef = r.getSeq[Float](1).toArray
+}
+
+/** EXECUTOR-RESIDENT payload pool — phase 2's analogue of
+  * [[ExecutorGateIndex]] for the split-store gates: (store id →
+  * stored-precision payload) partitioned by id hash across executor-local
+  * shards, so the candidate payload FETCH is memory lookups instead of an
+  * id-pruned parquet read whose cost creeps toward O(store) as candidate
+  * ids span every range shard. Per batch the driver ships the candidate
+  * id set + the previous batch's payload delta in one P-partition job and
+  * gets only the CANDIDATES' payloads back (bounded by true
+  * sketch-admissible candidates); verification then runs on the driver
+  * with the gate's own exact `similar` — one implementation of the math.
+  * Ids the pool cannot answer (rebuild raced a compaction, etc.) fall
+  * back to the gate's disk fetch — a pool miss is always correct, never
+  * wrong. Same (generation, applied-batch) consistency protocol, stale →
+  * one rebuild job from the durable payload store, and the same
+  * preferred-location pinning. */
+private[graft] final class ExecutorPayloadPool(
+    spark: SparkSession,
+    payloadDir: java.nio.file.Path,
+    val parts: Int,
+    payloadColName: String,
+    decoder: PayloadDecoder) {
+
+  import ExecutorPayloadPool.PayloadTask
+
+  private val storeKey = payloadDir.toAbsolutePath.toString + "#pay"
+  private val nonce = java.util.UUID.randomUUID().toString.take(8)
+  private var invalidations = 0L
+  private def gen: String = s"$nonce:$invalidations"
+  private var needRebuild = true
+  private val shardHosts = new Array[String](parts)
+  private val pending =
+    new java.util.ArrayDeque[(Long, Array[(Any, AnyRef)])]()
+  private var appliedFloor = -1L
+
+  @inline private def shardOf(id: Any): Int =
+    java.lang.Math.floorMod(if (id == null) 0 else id.hashCode, parts)
+
+  /** Buffer batch `n`'s (id, resident payload) entries at the durable
+    * payload commit; call for EVERY committed batch (empty included). */
+  def bufferDelta(n: Long, entries: Array[(Any, AnyRef)]): Unit =
+    synchronized { pending.addLast((n, entries)); () }
+
+  def invalidate(): Unit = synchronized {
+    pending.clear()
+    invalidations += 1
+    needRebuild = true
+  }
+
+  /** Fetch the candidates' payloads: Map(id → resident payload). Shards
+    * must cover ≤ batch-1 (the gate drains commits before deciding). */
+  def fetch(ids: Array[Any], batch: Long): java.util.HashMap[Any, AnyRef] =
+    synchronized {
+      val expectApplied = batch - 1
+      if (needRebuild) rebuildAll(expectApplied)
+      val deltas = pending.toArray(Array.empty[(Long, Array[(Any, AnyRef)])])
+      pending.clear()
+      val floor = appliedFloor
+      appliedFloor = expectApplied
+      runFetch(ids, deltas, floor, expectApplied) match {
+        case Right(out) => out
+        case Left(stale) =>
+          System.err.println(s"[graft] ExecutorPayloadPool($storeKey): " +
+            s"shards ${stale.mkString(",")} stale; rebuilding from the store")
+          rebuildAll(expectApplied)
+          runFetch(ids, Array.empty, expectApplied, expectApplied) match {
+            case Right(out) => out
+            case Left(still) => throw new IllegalStateException(
+              s"payload shards $still stale after rebuild — $storeKey")
+          }
+      }
+    }
+
+  private def runFetch(ids: Array[Any],
+      deltas: Array[(Long, Array[(Any, AnyRef)])], floor: Long,
+      expectApplied: Long): Either[Seq[Int], java.util.HashMap[Any, AnyRef]] = {
+    val expectGen = gen
+    val (sKey, p) = (storeKey, parts)
+    val idPerShard = Array.fill(p)(new scala.collection.mutable.ArrayBuffer[Any]())
+    ids.foreach(id => idPerShard(shardOf(id)) += id)
+    val deltaPerShard =
+      Array.fill(p)(new scala.collection.mutable.ArrayBuffer[(Long, Any, AnyRef)]())
+    deltas.foreach { case (bn, entries) =>
+      entries.foreach(e => deltaPerShard(shardOf(e._1)) += ((bn, e._1, e._2)))
+    }
+    val payload = (0 until p).map(k =>
+      PayloadTask(idPerShard(k).toArray, deltaPerShard(k).toArray)).toArray
+    val rdd = new PayloadTaskRDD(spark.sparkContext, payload, shardHosts.clone())
+    val results = rdd.mapPartitionsWithIndex { (k, it) =>
+      val task = it.next()
+      val host = org.apache.spark.SparkEnv.get.blockManager.blockManagerId.host
+      val shard = ExecutorGateState.payloadShardFor(sKey, k)
+      shard.synchronized {
+        if (shard.gen != expectGen || shard.applied != floor) {
+          Iterator.single((k, host, true, Array.empty[(Any, AnyRef)]))
+        } else {
+          task.deltas.sortBy(_._1).foreach { case (_, id, pay) =>
+            shard.map.put(id, pay); ()
+          }
+          shard.applied = expectApplied
+          val out = task.ids.flatMap { id =>
+            Option(shard.map.get(id)).map(id -> _)
+          }
+          Iterator.single((k, host, false, out))
+        }
+      }
+    }.collect()
+    results.foreach { case (k, host, _, _) => shardHosts(k) = host }
+    val stale = results.collect { case (k, _, true, _) => k }.toSeq
+    if (stale.nonEmpty) Left(stale)
+    else {
+      val out = new java.util.HashMap[Any, AnyRef]()
+      results.foreach(_._4.foreach { case (id, pay) => out.put(id, pay); () })
+      Right(out)
+    }
+  }
+
+  private def rebuildAll(expectApplied: Long): Unit = {
+    invalidations += 1
+    val expectGen = gen
+    val (sKey, p, dec) = (storeKey, parts, decoder)
+    val files = GateStore.files(payloadDir)
+    val rows =
+      if (files.isEmpty) spark.sparkContext.emptyRDD[(Any, AnyRef)]
+      else spark.read.parquet(files.toSeq: _*)
+        .select(col("id"), col(payloadColName)).rdd
+        .map(r => (r.get(0), dec.decode(r)))
+    val parted = rows.partitionBy(new Partitioner {
+      override def numPartitions: Int = p
+      override def getPartition(key: Any): Int =
+        java.lang.Math.floorMod(if (key == null) 0 else key.hashCode, p)
+    })
+    val hosts = parted.mapPartitionsWithIndex { (k, it) =>
+      val host = org.apache.spark.SparkEnv.get.blockManager.blockManagerId.host
+      val shard = ExecutorGateState.payloadShardFor(sKey, k)
+      shard.synchronized {
+        shard.map.clear()
+        it.foreach { case (id, pay) => shard.map.put(id, pay); () }
+        shard.gen = expectGen
+        shard.applied = expectApplied
+      }
+      Iterator.single((k, host))
+    }.collect()
+    hosts.foreach { case (k, host) => shardHosts(k) = host }
+    appliedFloor = expectApplied
+    pending.clear()
+    needRebuild = false
+  }
+}
+
+private[graft] object ExecutorPayloadPool {
+  /** One payload shard's task payload: candidate ids + tagged deltas. */
+  final case class PayloadTask(
+      ids: Array[Any], deltas: Array[(Long, Any, AnyRef)])
+}
+
 /** Executor-side shard registry — JVM-global so state outlives jobs. One
   * writer at a time per shard (the gate serializes its batches; rebuild
   * and probe both take the shard monitor). */
@@ -323,6 +491,19 @@ private[graft] object ExecutorGateState {
 
   def shardFor(storeKey: String, k: Int, ttl: Boolean, ids: Boolean): Shard =
     shards.computeIfAbsent(s"$storeKey#$k", _ => new Shard(ttl, ids))
+
+  /** One payload shard: (id → resident payload) + the same consistency
+    * header as [[Shard]]. */
+  final class PayloadShard {
+    @volatile var gen: String = ""
+    @volatile var applied: Long = Long.MinValue
+    val map = new java.util.HashMap[Any, AnyRef]()
+  }
+
+  private val payloadShards = new ConcurrentHashMap[String, PayloadShard]()
+
+  def payloadShardFor(storeKey: String, k: Int): PayloadShard =
+    payloadShards.computeIfAbsent(s"$storeKey#$k", _ => new PayloadShard)
 }
 
 /** An RDD whose P partitions each carry one pre-grouped task payload and
@@ -350,3 +531,23 @@ private[graft] final class GateTaskRDD(
 
 private final class GateTaskPartition(override val index: Int)
   extends Partition
+
+/** [[GateTaskRDD]]'s payload-pool sibling (same placement contract). */
+private[graft] final class PayloadTaskRDD(
+    sc: SparkContext,
+    payload: Array[ExecutorPayloadPool.PayloadTask],
+    hosts: Array[String])
+  extends RDD[ExecutorPayloadPool.PayloadTask](sc, Nil) {
+
+  override def getPartitions: Array[Partition] =
+    payload.indices.map(new GateTaskPartition(_): Partition).toArray
+
+  override def compute(split: Partition,
+      context: TaskContext): Iterator[ExecutorPayloadPool.PayloadTask] =
+    Iterator.single(payload(split.index))
+
+  override def getPreferredLocations(split: Partition): Seq[String] = {
+    val h = hosts(split.index)
+    if (h == null || h.isEmpty) Nil else Seq(h)
+  }
+}

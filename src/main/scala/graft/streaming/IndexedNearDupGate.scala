@@ -272,6 +272,29 @@ private[streaming] abstract class IndexedNearDupGate[P](
   /** Probe/spec seam: the distributed index (null on the driver backend). */
   private[graft] def executorIndex: ExecutorGateIndex = execIdx
 
+  /** Executor-resident payload pool (executor backend, payload-writing
+    * core): phase 2's candidate fetch becomes memory lookups on the
+    * shards, payloads ship back ONLY for candidates, and the exact
+    * verification stays [[similar]] on the driver — one implementation of
+    * the math. The stored-form decoder is inferred from
+    * [[storedPayloadType]] (an array copy, mirrored nowhere). */
+  private lazy val execPay: ExecutorPayloadPool =
+    if (!executorBackend || !writesPayload) null
+    else {
+      val dec = storedPayloadType match {
+        case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType, _) => LongsPayload
+        case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, _) => FloatsPayload
+        case other => throw new IllegalStateException(
+          s"no executor payload decoder for stored type $other")
+      }
+      new ExecutorPayloadPool(eng.spark, payloadDir,
+        if (stateParts > 0) stateParts
+        else ExecutorGateIndex.defaultParts(eng.spark),
+        payloadColName, dec)
+    }
+
   /** The executor probe's popcount cutoff over the inline sketch digests —
     * must accept every pair [[sketchAdmissible]] accepts (64 ≡ pass-all
     * for a sketchless gate). Subclasses with a sketch override with their
@@ -451,7 +474,10 @@ private[streaming] abstract class IndexedNearDupGate[P](
       updateFilters(keyed.select(explode(ownedKeysCol(col("__p"))).as("bucket"))
         .collect().map(_.getLong(0)))
       residentStale = true // bulk write bypassed the hot tier — rebuild lazily
-      if (executorBackend) execIdx.invalidate() // ... and the exec shards
+      if (executorBackend) {
+        execIdx.invalidate() // ... and the exec shards
+        if (execPay != null) execPay.invalidate()
+      }
     } finally { keyed.unpersist(); () }
   }
 
@@ -899,6 +925,28 @@ private[streaming] abstract class IndexedNearDupGate[P](
       }
       if (pairs.isEmpty) return out
     }
+    // executor payload tier (executor backend): fetch ONLY the candidates'
+    // payloads from the id-partitioned shards — memory lookups, no parquet
+    // read — and verify with the gate's own exact predicate; pool misses
+    // (rare: a rebuild racing a fold) fall through to the disk fetch
+    if (execPay != null && !pairs.isEmpty) {
+      val fetched = execPay.fetch(pairs.keySet().toArray, synchronized(batches))
+      val it = pairs.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val pr = fetched.get(e.getKey)
+        if (pr != null) {
+          val pS = payloadOfResident(pr)
+          e.getValue.forEach { i =>
+            if (rows(i)._1 != null && winOk(e.getKey, i) &&
+                similar(rows(i)._2, pS)) out.add(rows(i)._1)
+            ()
+          }
+          it.remove()
+        }
+      }
+      if (pairs.isEmpty) return out
+    }
     val s = coreSession
     val payF = GateStore.storeFiles(payloadDir)
     val idArr = pairs.keySet().toArray
@@ -1011,6 +1059,11 @@ private[streaming] abstract class IndexedNearDupGate[P](
             payloadPool.put(r._1, p, residentPayloadBytes(p))
           }
       }
+      // executor payload shards: buffer this batch's (id, payload) delta
+      // (EVERY batch, even empty — the applied-batch range is contiguous)
+      if (execPay != null)
+        execPay.bufferDelta(batches,
+          ctx.rows.map(r => (r._1, residentPayloadOf(r._2))))
     } }
 
   private[streaming] def commitIndexBatch(ctx0: AnyRef): Unit =
@@ -1203,9 +1256,12 @@ private[streaming] abstract class IndexedNearDupGate[P](
       residentTs.clear(); residentTs ++= nTs
       resident.retainRemap(remap, nIds.length.toLong * 48)
     }
-    // the fold rewrote the index files (and reaped, when windowed): the
+    // the fold rewrote the store files (and reaped, when windowed): the
     // executor shards rebuild from the new snapshot at the next probe
-    if (executorBackend) execIdx.invalidate()
+    if (executorBackend) {
+      execIdx.invalidate()
+      if (execPay != null) execPay.invalidate()
+    }
     if (n > bloomN) {
       bloomN = GateStore.bloomSizeFor(n, bloomN)
       System.err.println(s"[graft] ${getClass.getSimpleName}($name): index at " +
