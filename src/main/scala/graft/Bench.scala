@@ -384,6 +384,15 @@ object Bench {
     // attempt is kept with the attempt count recorded in the artifact, so
     // a degraded number that survives retries is a real signal, not a
     // measurement accident.
+    // suspicious in BOTH directions: ratio < 0.7 reads as store-growth
+    // decay, ratio > 1.5 means the LOW-scale point was squeezed (r12's
+    // first artifact: exec 527 → 10323, ratio 19.6 — a co-tenant burst on
+    // the 10x window that the one-sided rule waved through). Retries keep
+    // the attempt whose ratio is CLOSEST to 1 — a real degradation stays
+    // degraded across attempts, so it still lands in the artifact.
+    def suspicious(r: Double): Boolean = r < 0.7 || r > 1.5
+    def ratioDist(r: Double): Double =
+      if (r <= 0) Double.MaxValue else math.abs(math.log(r))
     def scalePair(kind: String, rows: Int): (Long, Long, Int) =
       if (!gateScale) (0L, 0L, 0)
       else {
@@ -395,9 +404,9 @@ object Bench {
           if (p._1 > 0) p._2.toDouble / p._1 else 0.0
         var best = once()
         var attempts = 1
-        while (ratio(best) < 0.7 && attempts < 3) {
+        while (suspicious(ratio(best)) && attempts < 3) {
           val retry = once()
-          if (ratio(retry) > ratio(best)) best = retry
+          if (ratioDist(ratio(retry)) < ratioDist(ratio(best))) best = retry
           attempts += 1
         }
         (best._1, best._2, attempts)
@@ -448,9 +457,9 @@ object Bench {
           if (p._1 > 0) p._2.toDouble / p._1 else 0.0
         var best = once()
         var attempts = 1
-        while (ratio(best) < 0.7 && attempts < 3) {
+        while (suspicious(ratio(best)) && attempts < 3) {
           val retry = once()
-          if (ratio(retry) > ratio(best)) best = retry
+          if (ratioDist(ratio(retry)) < ratioDist(ratio(best))) best = retry
           attempts += 1
         }
         (best._1, best._2, attempts)
