@@ -71,7 +71,7 @@ object GateProbes {
     val gate: Any = (kind, shards) match {
       case ("exact", 1) => graft.streaming.StreamDedupGate.create(eng, "gs_gate",
         "SELECT id, body FROM gs_in", keySql = "md5(body)", orderCol = "id",
-        sink = "gs_out", storeRoot = root)
+        sink = "gs_out", storeRoot = root, backend = backend)
       case ("exact", g) => graft.streaming.StreamDedupGate.createSharded(eng,
         "gs_gate", "SELECT id, body FROM gs_in", keySql = "md5(body)",
         orderCol = "id", sink = "gs_out", storeRoot = root, shards = g)

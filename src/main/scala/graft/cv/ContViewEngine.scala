@@ -1036,8 +1036,9 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
         "the exact/contamination gates keep no resident payload tier")
     require(residentMb.forall(_ >= 0), s"negative resident_mb $residentMb")
     backendOpt.foreach { b =>
-      require(nearDupKind,
-        "backend applies to the near-dup gates (neardup/cosine/jaccard)")
+      require(nearDupKind || kindWord == "dedup_gate",
+        "backend applies to the dedup/near-dup gates (the contamination " +
+          "gate's reference store is static)")
       require(b == graft.streaming.StreamDedupGate.DriverBackend ||
         b == graft.streaming.StreamDedupGate.ExecutorBackend,
         s"unknown backend '$b' (expected driver or executor)")
@@ -1090,8 +1091,13 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
             unq(keySql), unq(orderCol), sink, storeRoot = root,
             delivery = Option(dv).map(unq)
               .getOrElse(graft.streaming.StreamDedupGate.AtLeastOnce),
-            ttlMillis = ttlMillis, ttlColumn = ttlColumn.getOrElse(""))
+            ttlMillis = ttlMillis, ttlColumn = ttlColumn.getOrElse(""),
+            backend = backendOpt
+              .getOrElse(graft.streaming.StreamDedupGate.DriverBackend))
         case dedupRe(keySql, orderCol, shards, dv) =>
+          require(!backendOpt.contains(
+            graft.streaming.StreamDedupGate.ExecutorBackend),
+            "backend = 'executor' does not compose with shards >= 2")
           graft.streaming.StreamDedupGate.createSharded(this, name, selectSql,
             unq(keySql), unq(orderCol), sink, storeRoot = root,
             shards = shards.toInt,

@@ -456,6 +456,173 @@ private[graft] object ExecutorPayloadPool {
       ids: Array[Any], deltas: Array[(Long, Any, AnyRef)])
 }
 
+/** EXECUTOR-RESIDENT seen-key store — the EXACT dedup gate's distributed
+  * membership tier: (key → max seen-time) partitioned by key hash across
+  * executor-local shards. Replaces the gate's two corpus-scale driver
+  * structures at once: the Bloom filter (billions of keys at 100 TB =
+  * GB-scale driver bits) and the pruned store-presence read. Per batch
+  * the driver ships the batch's distinct keys + the previous batch's
+  * delta in one P-partition job and gets back only the PRESENT keys
+  * (bounded by true duplicates); deltas are tagged with a self-issued
+  * monotone sequence (the gate drains its commit pipeline before every
+  * decision, so everything below the floor is already durable and a
+  * rebuild — one distributed scan of the (h[, ts]) store, maxing
+  * seen-times per key — always covers the shards' knowledge). Same
+  * stale-detect/rebuild/pinning protocol as [[ExecutorGateIndex]]. */
+private[graft] final class ExecutorSeenStore(
+    spark: SparkSession,
+    storeDir: java.nio.file.Path,
+    val parts: Int,
+    ttlEnabled: Boolean) {
+
+  import ExecutorPayloadPool.PayloadTask
+
+  private val storeKey = storeDir.toAbsolutePath.toString + "#seen"
+  private val nonce = java.util.UUID.randomUUID().toString.take(8)
+  private var invalidations = 0L
+  private def gen: String = s"$nonce:$invalidations"
+  private var needRebuild = true
+  private val shardHosts = new Array[String](parts)
+  private var seq = 0L // self-issued delta sequence
+  private val pending = new java.util.ArrayDeque[(Long, Array[(Any, Long)])]()
+  private var appliedFloor = -1L
+
+  @inline private def shardOf(id: Any): Int =
+    java.lang.Math.floorMod(if (id == null) 0 else id.hashCode, parts)
+
+  /** Buffer (key, seen-time micros) entries at the durable key-store
+    * commit (ts = Long.MinValue unwindowed). */
+  def bufferDelta(entries: Array[(Any, Long)]): Unit = synchronized {
+    seq += 1
+    pending.addLast((seq, entries))
+    ()
+  }
+
+  def invalidate(): Unit = synchronized {
+    pending.clear()
+    invalidations += 1
+    needRebuild = true
+  }
+
+  /** Membership lookup: key → max stored seen-time for every PRESENT key
+    * of `keys` (unwindowed entries carry Long.MinValue — presence is the
+    * signal). */
+  def lookup(keys: Array[Any]): java.util.HashMap[Any, java.lang.Long] =
+    synchronized {
+      val expectApplied = seq
+      if (needRebuild) rebuildAll(expectApplied)
+      val deltas = pending.toArray(Array.empty[(Long, Array[(Any, Long)])])
+      pending.clear()
+      val floor = appliedFloor
+      appliedFloor = expectApplied
+      runLookup(keys, deltas, floor, expectApplied) match {
+        case Right(out) => out
+        case Left(stale) =>
+          System.err.println(s"[graft] ExecutorSeenStore($storeKey): shards " +
+            s"${stale.mkString(",")} stale; rebuilding from the store")
+          rebuildAll(expectApplied)
+          runLookup(keys, Array.empty, expectApplied, expectApplied) match {
+            case Right(out) => out
+            case Left(still) => throw new IllegalStateException(
+              s"seen-store shards $still stale after rebuild — $storeKey")
+          }
+      }
+    }
+
+  private def runLookup(keys: Array[Any],
+      deltas: Array[(Long, Array[(Any, Long)])], floor: Long,
+      expectApplied: Long)
+      : Either[Seq[Int], java.util.HashMap[Any, java.lang.Long]] = {
+    val expectGen = gen
+    val (sKey, p) = (storeKey, parts)
+    val keyPerShard = Array.fill(p)(new scala.collection.mutable.ArrayBuffer[Any]())
+    keys.foreach(k => keyPerShard(shardOf(k)) += k)
+    val deltaPerShard =
+      Array.fill(p)(new scala.collection.mutable.ArrayBuffer[(Long, Any, AnyRef)]())
+    deltas.foreach { case (sn, entries) =>
+      entries.foreach(e =>
+        deltaPerShard(shardOf(e._1)) += ((sn, e._1, java.lang.Long.valueOf(e._2))))
+    }
+    val payload = (0 until p).map(k =>
+      PayloadTask(keyPerShard(k).toArray, deltaPerShard(k).toArray)).toArray
+    val rdd = new PayloadTaskRDD(spark.sparkContext, payload, shardHosts.clone())
+    val results = rdd.mapPartitionsWithIndex { (k, it) =>
+      val task = it.next()
+      val host = org.apache.spark.SparkEnv.get.blockManager.blockManagerId.host
+      val shard = ExecutorGateState.payloadShardFor(sKey, k)
+      shard.synchronized {
+        if (shard.gen != expectGen || shard.applied != floor) {
+          Iterator.single((k, host, true, Array.empty[(Any, AnyRef)]))
+        } else {
+          task.deltas.sortBy(_._1).foreach { case (_, key, ts) =>
+            val t = ts.asInstanceOf[java.lang.Long]
+            val prev = shard.map.get(key).asInstanceOf[java.lang.Long]
+            if (prev == null || t.longValue > prev.longValue)
+              shard.map.put(key, t)
+            ()
+          }
+          shard.applied = expectApplied
+          val out = task.ids.flatMap { key =>
+            Option(shard.map.get(key)).map(key -> _)
+          }
+          Iterator.single((k, host, false, out))
+        }
+      }
+    }.collect()
+    results.foreach { case (k, host, _, _) => shardHosts(k) = host }
+    val stale = results.collect { case (k, _, true, _) => k }.toSeq
+    if (stale.nonEmpty) Left(stale)
+    else {
+      val out = new java.util.HashMap[Any, java.lang.Long]()
+      results.foreach(_._4.foreach { case (key, t) =>
+        out.put(key, t.asInstanceOf[java.lang.Long]); ()
+      })
+      Right(out)
+    }
+  }
+
+  private def rebuildAll(expectApplied: Long): Unit = {
+    invalidations += 1
+    val expectGen = gen
+    val (sKey, p, ttl) = (storeKey, parts, ttlEnabled)
+    val files = GateStore.files(storeDir)
+    val rows =
+      if (files.isEmpty) spark.sparkContext.emptyRDD[(Any, Long)]
+      else {
+        val cols = Seq(col("h")) ++
+          (if (ttl) Seq(unix_micros(col("ts"))) else Nil)
+        spark.read.parquet(files.toSeq: _*).select(cols: _*).rdd
+          .map(r => (r.get(0), if (ttl && !r.isNullAt(1)) r.getLong(1)
+                               else Long.MinValue))
+      }
+    val parted = rows.partitionBy(new Partitioner {
+      override def numPartitions: Int = p
+      override def getPartition(key: Any): Int =
+        java.lang.Math.floorMod(if (key == null) 0 else key.hashCode, p)
+    })
+    val hosts = parted.mapPartitionsWithIndex { (k, it) =>
+      val host = org.apache.spark.SparkEnv.get.blockManager.blockManagerId.host
+      val shard = ExecutorGateState.payloadShardFor(sKey, k)
+      shard.synchronized {
+        shard.map.clear()
+        it.foreach { case (key, t) =>
+          val prev = shard.map.get(key).asInstanceOf[java.lang.Long]
+          if (prev == null || t > prev.longValue)
+            shard.map.put(key, java.lang.Long.valueOf(t))
+          ()
+        }
+        shard.gen = expectGen
+        shard.applied = expectApplied
+      }
+      Iterator.single((k, host))
+    }.collect()
+    hosts.foreach { case (k, host) => shardHosts(k) = host }
+    appliedFloor = expectApplied
+    pending.clear()
+    needRebuild = false
+  }
+}
+
 /** Executor-side shard registry — JVM-global so state outlives jobs. One
   * writer at a time per shard (the gate serializes its batches; rebuild
   * and probe both take the shard monitor). */

@@ -104,7 +104,9 @@ final class StreamDedupGate private[streaming] (
     compactEvery: Int,
     delivery: String = StreamDedupGate.AtLeastOnce,
     ttlMillis: Long = 0L,
-    ttlColumn: String = "") {
+    ttlColumn: String = "",
+    backend: String = StreamDedupGate.DriverBackend,
+    stateParts: Int = 0) {
 
   require(delivery == StreamDedupGate.AtLeastOnce ||
     delivery == StreamDedupGate.ExactlyOnce,
@@ -113,6 +115,19 @@ final class StreamDedupGate private[streaming] (
   require(ttlMillis >= 0, s"negative ttl $ttlMillis")
   require(ttlMillis == 0 || ttlColumn.nonEmpty,
     "a windowed gate needs the event-time column: pass ttlColumn")
+  require(backend == StreamDedupGate.DriverBackend ||
+    backend == StreamDedupGate.ExecutorBackend,
+    s"unknown state backend '$backend'")
+
+  /** EXECUTOR STATE BACKEND — `backend = "executor"`
+    * ([[ExecutorSeenStore]]): the seen-key membership moves to
+    * key-hash-partitioned executor-local shards, replacing BOTH
+    * corpus-scale driver structures at once — the Bloom filter (GB-scale
+    * bits at 100-TB key counts) and the pruned store-presence read. Per
+    * batch: one P-partition job shipping the batch's distinct keys +
+    * the previous batch's delta, only the PRESENT keys (true duplicates)
+    * coming back. Decision semantics bit-identical to the driver path. */
+  private val executorBackend = backend == StreamDedupGate.ExecutorBackend
 
   /** WINDOWED (TTL) MODE — `ttlMillis` > 0: a key suppresses a later
     * arrival only if it was SEEN (admitted or suppressed — seen-based,
@@ -176,12 +191,18 @@ final class StreamDedupGate private[streaming] (
       }
       appendTtlKeys(spooled, maxByKey, epoch)
     }
-    rows.foreach(r => bloom.add(r.get(0)))
+    if (!executorBackend) rows.foreach(r => bloom.add(r.get(0)))
+    else execSeen.invalidate() // recovered append: shards rebuild lazily
   }
 
   /** The windowed store append: ONE (h, max ts) row per batch key. */
   private def appendTtlKeys(keyed: org.apache.spark.sql.DataFrame,
       maxByKey: java.util.HashMap[Any, java.lang.Long], epoch: Long): Unit = {
+    if (executorBackend) {
+      val delta = new scala.collection.mutable.ArrayBuffer[(Any, Long)]()
+      maxByKey.forEach { (h, t) => delta += ((h, t.longValue)); () }
+      execSeen.bufferDelta(delta.toArray)
+    }
     if (maxByKey.isEmpty) return
     val hType = keyed.schema(keyed.schema.fieldIndex("h")).dataType
     val out = new java.util.ArrayList[org.apache.spark.sql.Row](maxByKey.size)
@@ -211,6 +232,15 @@ final class StreamDedupGate private[streaming] (
   private val pipeline = new CommitPipeline(name, Seq(storeDir.toString))
   /** Test/stats seam: see [[CommitPipeline]]. */
   private[graft] def commitPipeline: CommitPipeline = pipeline
+
+  /** Executor-partitioned seen-key store (executor backend only). */
+  private val execSeen: ExecutorSeenStore =
+    if (!executorBackend) null
+    else new ExecutorSeenStore(eng.spark, storeDir,
+      if (stateParts > 0) stateParts
+      else ExecutorGateIndex.defaultParts(eng.spark), ttlEnabled)
+  /** Probe/spec seam (null on the driver backend). */
+  private[graft] def executorSeen: ExecutorSeenStore = execSeen
   private val ingestLock = new Object
 
   /** Barrier for callers about to read or delete the durable store. */
@@ -254,9 +284,11 @@ final class StreamDedupGate private[streaming] (
     if (exactlyOnce && ttlEnabled) ttlEpochs.recoverStores()
     else if (exactlyOnce) recoverStores()
     val files = GateStore.files(storeDir)
-    if (files.nonEmpty) {
+    if (files.nonEmpty && !executorBackend) {
       // right-size FIRST (metadata-only count): a corpus-sized store under
-      // the construction-time design n would run the filter saturated
+      // the construction-time design n would run the filter saturated.
+      // (executor backend: no driver bloom at all — membership lives on
+      // the shards, rebuilt lazily at the first lookup)
       bloomN = GateStore.bloomSizeFor(
         eng.spark.read.parquet(files: _*).count(), bloomN)
       bloom = GateStore.buildBloom(eng.spark, storeDir, "h", bloomP, bloomN)
@@ -294,6 +326,9 @@ final class StreamDedupGate private[streaming] (
       else None
     val n = GateStore.compact(eng.spark, storeDir, "keys", cols, batches,
       sortCol = Some("h"), rowFilter = reap)
+    // the fold rewrote (and in windowed mode reaped) the key files: the
+    // executor shards rebuild from the new snapshot at the next lookup
+    if (executorBackend) { execSeen.invalidate(); return }
     if (n > bloomN) {
       bloomN = GateStore.bloomSizeFor(n, bloomN)
       System.err.println(s"[graft] StreamDedupGate($name): store at $n keys " +
@@ -315,7 +350,8 @@ final class StreamDedupGate private[streaming] (
     val keys = rows.withColumn("h", expr(keySql)).where(col("h").isNotNull)
       .select("h")
     GateStore.append(keys, storeDir, "keys", batches, sortCol = Some("h"))
-    keys.collect().foreach(r => bloom.add(r.get(0)))
+    if (executorBackend) execSeen.invalidate()
+    else keys.collect().foreach(r => bloom.add(r.get(0)))
   }
 
   // ---- the per-batch decision (shared by both delivery modes) ------------
@@ -386,6 +422,17 @@ final class StreamDedupGate private[streaming] (
           GateStore.append(keyed.sparkSession.createDataFrame(newKeys, schema),
             storeDir, "keys", epoch, sortCol = Some("h"))
       }
+      // executor shards: the new winners' keys ride the next lookup job
+      // (EVERY batch buffers, even empty — the delta range is contiguous)
+      if (executorBackend) {
+        val delta = new Array[(Any, Long)](newKeys.size)
+        var i = 0
+        while (i < newKeys.size) {
+          delta(i) = (newKeys.get(i).get(0), Long.MinValue)
+          i += 1
+        }
+        execSeen.bufferDelta(delta)
+      }
     }
   }
 
@@ -453,9 +500,15 @@ final class StreamDedupGate private[streaming] (
     // only possible repeats (true dups + ~p false positives) pay the
     // store-presence check — a collect of the candidate keys that exist
     // in the pruned slice (bounded by the candidate count itself)
-    val storeF = GateStore.storeFiles(storeDir)
-    val cand = pre.batchKeys.filter(bloom.contains)
-    val present: java.util.HashSet[Any] = {
+    val present: java.util.HashSet[Any] = if (executorBackend) {
+      // distributed membership: ship the batch's distinct keys, get the
+      // present ones back — no driver bloom, no store read
+      val set = new java.util.HashSet[Any]()
+      execSeen.lookup(pre.batchKeys).keySet().forEach(k => { set.add(k); () })
+      set
+    } else {
+      val storeF = GateStore.storeFiles(storeDir)
+      val cand = pre.batchKeys.filter(bloom.contains)
       val set = new java.util.HashSet[Any]()
       if (storeF.nonEmpty && cand.nonEmpty) {
         GateStore.withInPushdown(s, cand.length)(
@@ -526,9 +579,16 @@ final class StreamDedupGate private[streaming] (
     // key — (h, micros) rows collected and maxed on the driver (bounded
     // by the candidate slice; no shuffle)
     val storeF = GateStore.storeFiles(storeDir)
-    val cand = batchKeys.filter(bloom.contains)
+    val cand =
+      if (executorBackend) Array.empty[Any]
+      else batchKeys.filter(bloom.contains)
     val storeMax = new java.util.HashMap[Any, java.lang.Long]()
-    if (storeF.nonEmpty && cand.nonEmpty) {
+    if (executorBackend) {
+      execSeen.lookup(batchKeys).forEach { (k, t) =>
+        if (t.longValue != Long.MinValue) storeMax.put(k, t)
+        ()
+      }
+    } else if (storeF.nonEmpty && cand.nonEmpty) {
       GateStore.withInPushdown(s, cand.length)(
         s.read.parquet(GateStore.pruned(storeF, cand): _*)
           .where(GateStore.inSetCol(col("h"), cand.toSeq))
@@ -603,7 +663,7 @@ final class StreamDedupGate private[streaming] (
       // sink BEFORE store append (the family's at-least-once contract)
       if (n > 0) eng.insertInto(sink, ttlSurvivors(d))
       appendTtlKeys(d.keyed, d.maxByKey, batches)
-      d.batchKeys.foreach(bloom.add)
+      if (!executorBackend) d.batchKeys.foreach(bloom.add)
     } finally { d.keyed.unpersist(); () }
   }
 
@@ -630,7 +690,7 @@ final class StreamDedupGate private[streaming] (
       appendTtlKeys(d.keyed, d.maxByKey, epoch)
       ttlEpochs.failpoint("after-store")
       ttlEpochs.deliverAndMark(epoch)
-      d.batchKeys.foreach(bloom.add)
+      if (!executorBackend) d.batchKeys.foreach(bloom.add)
     } finally { d.keyed.unpersist(); () }
   }
 
@@ -667,7 +727,7 @@ final class StreamDedupGate private[streaming] (
       // every non-null batch key is stored-or-already-stored (or one drain
       // away from it), so adding them all keeps bloom ⊇ store — a bloom
       // transiently AHEAD of the store only costs a false-positive probe
-      synchronized { d.batchKeys.foreach(bloom.add) }
+      if (!executorBackend) synchronized { d.batchKeys.foreach(bloom.add) }
     } finally { if (!deferred) { pre.keyed.unpersist(); () } }
     if (!deferred) maybeCompact() // n == 0 or pipelining disabled
   }
@@ -720,13 +780,16 @@ final class StreamDedupGate private[streaming] (
     * Engine-API-free (file ops + a parquet read), safe under any lock. */
   private def recoverStores(): Unit = {
     val delivered = deliveredEpoch()
+    var rebuilt = false
     spoolEpochs().filter(_._1 > delivered).foreach { case (e, path) =>
       if (GateStore.maxBatch(storeDir, "keys") < e) {
         val keys = eng.spark.read.parquet(path.toString)
           .where(col("h").isNotNull).select("h").distinct()
         GateStore.append(keys, storeDir, "keys", e, sortCol = Some("h"))
+        rebuilt = true
       }
     }
+    if (rebuilt && executorBackend) execSeen.invalidate()
   }
 
   /** Finish every epoch whose spool rename committed but whose delivery
@@ -741,9 +804,11 @@ final class StreamDedupGate private[streaming] (
       if (GateStore.maxBatch(storeDir, "keys") < e) {
         val keys = spooled.where(col("h").isNotNull).select("h").distinct()
         GateStore.append(keys, storeDir, "keys", e, sortCol = Some("h"))
+        if (executorBackend) execSeen.invalidate() // shards rebuild lazily
       }
-      spooled.where(col("h").isNotNull).select("h")
-        .collect().foreach(r => bloom.add(r.get(0)))
+      if (!executorBackend)
+        spooled.where(col("h").isNotNull).select("h")
+          .collect().foreach(r => bloom.add(r.get(0)))
       failpoint("recovery-after-store")
       if (spooled.take(1).nonEmpty) eng.insertInto(sink, spooled)
       markDelivered(e)
@@ -812,7 +877,9 @@ object StreamDedupGate {
       bloomP: Double = 0.01, bloomN: Int = 1 << 17,
       compactEvery: Int = 256,
       delivery: String = AtLeastOnce,
-      ttlMillis: Long = 0L, ttlColumn: String = ""): StreamDedupGate = {
+      ttlMillis: Long = 0L, ttlColumn: String = "",
+      backend: String = DriverBackend,
+      stateParts: Int = 0): StreamDedupGate = {
     val root = Paths.get(storeRoot, name)
     Files.createDirectories(root)
     GateStore.stampGeometry(root, "shards_1")
@@ -823,7 +890,8 @@ object StreamDedupGate {
     GateStore.stampGeometry(dir,
       if (ttlMillis > 0) "dedup_windowed" else "dedup")
     val gate = new StreamDedupGate(eng, name, keySql, orderCol, sink, dir,
-      bloomP, bloomN, compactEvery, delivery, ttlMillis, ttlColumn)
+      bloomP, bloomN, compactEvery, delivery, ttlMillis, ttlColumn,
+      backend, stateParts)
     gate.bootstrap() // resume from a persisted store after an engine restart
     eng.createContTransform(name, selectSql,
       outputFunc = Some(gate.onBatch _), emitChanges = false)

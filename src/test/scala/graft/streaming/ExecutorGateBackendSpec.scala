@@ -218,6 +218,88 @@ class ExecutorGateBackendSpec extends AnyFunSuite {
       === Map(1L -> 1L, 2L -> 1L, 4L -> 1L))
   }
 
+  test("exact gate executor backend: membership tier replaces bloom + store read") {
+    // plain mode: first-wins dedup across batches + restart; ttl mode: the
+    // windowed re-admission schedule — both must match the driver backend
+    // bit-for-bit with NO driver bloom at all
+    def b(rows: (Long, String)*) = rows.toDF("id", "k")
+    def run(backend: String, root: String): (ContViewEngine, StreamDedupGate) = {
+      val eng = new ContViewEngine(spark, s"$root/eng${backend.take(1)}")
+      val schema = Seq((0L, "x")).toDF("id", "k").schema
+      eng.createStream("xd_in", schema)
+      eng.createStream("xd_out", org.apache.spark.sql.types.StructType(
+        schema.fields :+ org.apache.spark.sql.types.StructField("h",
+          org.apache.spark.sql.types.StringType)))
+      eng.createContView("v_xd", "SELECT id FROM xd_out", emitChanges = false)
+      val g = StreamDedupGate.create(eng, "xd_gate",
+        "SELECT id, k FROM xd_in", keySql = "k", orderCol = "id",
+        sink = "xd_out", storeRoot = s"$root/gate_$backend",
+        backend = backend, stateParts = 4)
+      (eng, g)
+    }
+    val feed = Seq(
+      b((1L, "a"), (2L, "b"), (3L, "a")),          // in-batch dup
+      b((4L, "c"), (5L, "b")),                      // cross-batch dup
+      b((6L, "a"), (7L, "d"), (8L, "d"), (9L, null.asInstanceOf[String])))
+    def admitted(backend: String): Set[Long] = {
+      val root = java.nio.file.Files.createTempDirectory("graft_xd").toString
+      val (eng, g) = run(backend, root)
+      feed.take(2).foreach(f => eng.insertInto("xd_in", f))
+      g.compact() // fold + (executor) shard invalidation mid-feed
+      // restart on the same store: new engine + gate instance
+      val eng2 = new ContViewEngine(spark, s"$root/eng2")
+      eng2.createStream("xd_in", feed.head.schema)
+      eng2.createStream("xd_out", org.apache.spark.sql.types.StructType(
+        feed.head.schema.fields :+ org.apache.spark.sql.types.StructField("h",
+          org.apache.spark.sql.types.StringType)))
+      eng2.createContView("v_xd", "SELECT id FROM xd_out", emitChanges = false)
+      StreamDedupGate.create(eng2, "xd_gate",
+        "SELECT id, k FROM xd_in", keySql = "k", orderCol = "id",
+        sink = "xd_out", storeRoot = s"$root/gate_$backend",
+        backend = backend, stateParts = 4)
+      eng2.insertInto("xd_in", feed(2))
+      eng2.overlay("v_xd").collect().map(_.getLong(0)).toSet
+    }
+    val expected = admitted(StreamDedupGate.DriverBackend)
+    assert(expected === Set(7L, 9L), "post-restart slice: d fresh, null key passes")
+    assert(admitted(StreamDedupGate.ExecutorBackend) === expected,
+      "exact-gate executor backend diverged")
+  }
+
+  test("exact gate executor backend: ttl window matches the driver") {
+    def rows(v: (Long, String, String)*): DataFrame =
+      v.toDF("id", "k", "tss").withColumn("ts", col("tss").cast("timestamp"))
+        .drop("tss")
+    def run(backend: String): Set[Long] = {
+      val root = java.nio.file.Files.createTempDirectory("graft_xdt").toString
+      val eng = new ContViewEngine(spark, s"$root/eng")
+      val schema = rows((0L, "x", "2024-01-01 00:00:00")).schema
+      eng.createStream("xt_in", schema)
+      eng.createStream("xt_out", org.apache.spark.sql.types.StructType(
+        schema.fields :+ org.apache.spark.sql.types.StructField("h",
+          org.apache.spark.sql.types.StringType)))
+      eng.createContView("v_xt", "SELECT id FROM xt_out", emitChanges = false)
+      val g = StreamDedupGate.create(eng, "xt_gate",
+        "SELECT id, k, ts FROM xt_in", keySql = "k", orderCol = "id",
+        sink = "xt_out", storeRoot = s"$root/gate",
+        backend = backend, stateParts = 3,
+        ttlMillis = 24L * 3600 * 1000, ttlColumn = "ts")
+      eng.insertInto("xt_in", rows(
+        (1L, "u", "2024-01-01 00:00:00"),
+        (2L, "u", "2024-01-01 06:00:00")))  // inside window → suppressed
+      g.compact() // reap fold mid-feed
+      eng.insertInto("xt_in", rows(
+        (3L, "u", "2024-01-03 00:00:00"),   // aged out → admitted
+        (4L, "u", "2024-01-03 06:00:00"),   // inside 3's window → suppressed
+        (5L, "v", "2024-01-03 06:00:00")))
+      eng.overlay("v_xt").collect().map(_.getLong(0)).toSet
+    }
+    val expected = run(StreamDedupGate.DriverBackend)
+    assert(expected === Set(1L, 3L, 5L))
+    assert(run(StreamDedupGate.ExecutorBackend) === expected,
+      "windowed exact-gate executor backend diverged")
+  }
+
   test("executor backend refuses driver-thread core sharding") {
     intercept[IllegalArgumentException] {
       new ExecutorGateIndex(spark, java.nio.file.Paths.get("/tmp/never"), 0, false)
