@@ -445,11 +445,11 @@ object Bench {
     // stores. The flat-ratio claim here is the 100-TB story: per-batch
     // traffic O(batch), state on the executors, memory scaling with the
     // cluster. Same ratio-retry rule as the driver probes.
-    val (exec10x, exec100x, execTries) =
+    def execScalePair(kind: String, rows: Int): (Long, Long, Int) =
       if (!gateScale) (0L, 0L, 0)
       else {
         def once(): (Long, Long) = {
-          val Seq(a, b) = GateProbes.scaleProbe(spark, "simhash", 5000,
+          val Seq(a, b) = GateProbes.scaleProbe(spark, kind, rows,
             backend = graft.streaming.StreamDedupGate.ExecutorBackend)
           (a, b)
         }
@@ -464,6 +464,9 @@ object Bench {
         }
         (best._1, best._2, attempts)
       }
+    val (exec10x, exec100x, execTries) = execScalePair("simhash", 5000)
+    val (execExact10x, execExact100x, execExactTries) =
+      execScalePair("exact", 20000)
     // Windowed-gate soak (r11 verdict item 7): a TTL jaccard gate under
     // sustained load with event time advancing ~12 min per batch and
     // compaction REAPS riding the feed (compactEvery = 8, window = 1 h →
@@ -582,7 +585,7 @@ object Bench {
     val stealPct =
       if (total1 > total0) 100.0 * (steal1 - steal0) / (total1 - total0) else 0.0
     // every scalar metric, shared by both output lines
-    val scalars = s""""sf":"$sfDir","runs_per_query":$repeats,"cv_large_state_sec":$largeStateSec,"cv_ingest_events_per_sec":${ingestEventsPerSec.round},"cv_probe_attempts":{"ingest":$ingestAttempts,"soak":$soakAttempts},"cv_reap_noop_sec":$reapNoopSec,"cv_soak_sec":$soakSec,"cv_soak_events_per_sec":${soakEvPerSec.round},"cv_soak_drift":${math.round(soakDrift * 1000) / 1000.0},"cv_soak_reap_ms":${math.round(soakReapMs * 100) / 100.0},"cv_soak_batches":$soakBatches,"cv_soak_commits":$soakCommits,"gate_events_per_sec":$gateEvPerSec,"ndgate_events_per_sec":$ndGateEvPerSec,"gate_large_store_exact_10x":$exact10x,"gate_large_store_exact_100x":$exact100x,"gate_large_store_simhash_10x":$simhash10x,"gate_large_store_simhash_100x":$simhash100x,"gate_large_store_jaccard_10x":$jaccard10x,"gate_large_store_jaccard_100x":$jaccard100x,"gate_large_store_cosine_10x":$cosine10x,"gate_large_store_cosine_100x":$cosine100x,"gate_exec_simhash_10x":$exec10x,"gate_exec_simhash_100x":$exec100x,"gate_scale_attempts":{"exact":$exactTries,"simhash":$simhashTries,"jaccard":$jaccardTries,"cosine":$cosineTries,"sharded":$shardTries,"exec":$execTries},"gate_sharded_cosine_g1":$cosineG1,"gate_sharded_cosine_g4":$cosineG4,"gate_soak_ttl_events_per_sec":$gateSoakEv,"gate_soak_ttl_drift":$gateSoakDrift,"gate_soak_ttl_sec":$gateSoakSec,"neardup_batch_10x_sec":${math.round(neardup10xSec * 1000) / 1000.0},"cc_rounds":$cc10xRounds,"cc_regime_default":"$cc10xRegimeDefault","cc_distributed_sec":${math.round(ccDistributedSec * 1000) / 1000.0},"loadavg_before":"$loadavgBefore","loadavg":"$loadavg","cpu_steal_pct":${math.round(stealPct * 100) / 100.0},"loaded_box":${loadavgBefore.trim.split("\\s+").headOption.flatMap(s => scala.util.Try(s.toDouble).toOption).exists(_ > 2.0) || stealPct > 1.0},"gate_pipeline":${graft.streaming.CommitPipeline.enabled}"""
+    val scalars = s""""sf":"$sfDir","runs_per_query":$repeats,"cv_large_state_sec":$largeStateSec,"cv_ingest_events_per_sec":${ingestEventsPerSec.round},"cv_probe_attempts":{"ingest":$ingestAttempts,"soak":$soakAttempts},"cv_reap_noop_sec":$reapNoopSec,"cv_soak_sec":$soakSec,"cv_soak_events_per_sec":${soakEvPerSec.round},"cv_soak_drift":${math.round(soakDrift * 1000) / 1000.0},"cv_soak_reap_ms":${math.round(soakReapMs * 100) / 100.0},"cv_soak_batches":$soakBatches,"cv_soak_commits":$soakCommits,"gate_events_per_sec":$gateEvPerSec,"ndgate_events_per_sec":$ndGateEvPerSec,"gate_large_store_exact_10x":$exact10x,"gate_large_store_exact_100x":$exact100x,"gate_large_store_simhash_10x":$simhash10x,"gate_large_store_simhash_100x":$simhash100x,"gate_large_store_jaccard_10x":$jaccard10x,"gate_large_store_jaccard_100x":$jaccard100x,"gate_large_store_cosine_10x":$cosine10x,"gate_large_store_cosine_100x":$cosine100x,"gate_exec_simhash_10x":$exec10x,"gate_exec_simhash_100x":$exec100x,"gate_exec_exact_10x":$execExact10x,"gate_exec_exact_100x":$execExact100x,"gate_scale_attempts":{"exact":$exactTries,"simhash":$simhashTries,"jaccard":$jaccardTries,"cosine":$cosineTries,"sharded":$shardTries,"exec":$execTries,"exec_exact":$execExactTries},"gate_sharded_cosine_g1":$cosineG1,"gate_sharded_cosine_g4":$cosineG4,"gate_soak_ttl_events_per_sec":$gateSoakEv,"gate_soak_ttl_drift":$gateSoakDrift,"gate_soak_ttl_sec":$gateSoakSec,"neardup_batch_10x_sec":${math.round(neardup10xSec * 1000) / 1000.0},"cc_rounds":$cc10xRounds,"cc_regime_default":"$cc10xRegimeDefault","cc_distributed_sec":${math.round(ccDistributedSec * 1000) / 1000.0},"loadavg_before":"$loadavgBefore","loadavg":"$loadavg","cpu_steal_pct":${math.round(stealPct * 100) / 100.0},"loaded_box":${loadavgBefore.trim.split("\\s+").headOption.flatMap(s => scala.util.Try(s.toDouble).toOption).exists(_ > 2.0) || stealPct > 1.0},"gate_pipeline":${graft.streaming.CommitPipeline.enabled}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$scalars}""")
     // Compact summary LAST: the driver's artifact keeps a bounded tail of
     // this output, and the full line above (102 per-query timings) has

@@ -820,6 +820,68 @@ object CvQueries {
     require(crashed, "expected the batch to crash")
   }
 
+  /** EXECUTOR-BACKEND gate fixture (q_dedup_stream_exec /
+    * q_neardup_stream_exec): an exact gate and a jaccard gate, both
+    * DDL-declared with `backend = 'executor'` (state on
+    * executor-partitioned shards — ExecutorSeenStore / ExecutorGateIndex —
+    * no driver bloom, no driver hot tier), fed in three batches with a
+    * mid-feed engine restart (catalog replay carries the backend option;
+    * the new instance's shards rebuild from the durable stores). Jaccard
+    * bodies are synthesized from doc_id with disjoint token sets, so its
+    * suppression is exactly the seeded copies and both admitted sets are
+    * pure doc_id arithmetic for DuckDB. */
+  private val execGateEngines =
+    scala.collection.mutable.Map.empty[(SparkSession, String), ContViewEngine]
+
+  private def execGateFor(s: SparkSession, dir: String): ContViewEngine =
+    synchronized {
+      execGateEngines.getOrElseUpdate((s, dir), {
+        val root = java.nio.file.Files.createTempDirectory("graft_cvxg").toString
+        def body(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+          concat_ws(" ", (1 to 12).map(i =>
+            concat(lit("x"), (id * 41 + lit(i)).cast("string"))): _*)
+        val ids = Tables.documents(s, dir).select("doc_id")
+        val base = ids.select(col("doc_id"), body(col("doc_id")).as("text"))
+        // every 4th doc re-fed as an exact copy (+600000) — suppressed by
+        // BOTH gates (md5 equality; jaccard estimate 1.0)
+        val copies = base.where(pmod(col("doc_id"), lit(4)) === 0)
+          .select((col("doc_id") + 600000L).as("doc_id"), col("text"))
+        val corpus = base.unionByName(copies)
+        def setup(eng: ContViewEngine): ContViewEngine = {
+          eng.createStream("xg_in", corpus.schema)
+          eng.createStream("xg_d_out", org.apache.spark.sql.types.StructType(
+            corpus.schema.fields :+ org.apache.spark.sql.types.StructField(
+              "h", org.apache.spark.sql.types.StringType)))
+          eng.createStream("xg_j_out", corpus.schema)
+          eng.sql("""CREATE VIEW xg_dedup WITH (action = transform,
+                    |  sink = 'xg_d_out', backend = 'executor',
+                    |  outputfunc = dedup_gate('md5(text)', 'doc_id')) AS
+                    |SELECT doc_id, text FROM xg_in""".stripMargin)
+          eng.sql("""CREATE VIEW xg_jac WITH (action = transform,
+                    |  sink = 'xg_j_out', backend = 'executor',
+                    |  outputfunc = jaccard_gate('text', 'doc_id', 0.8)) AS
+                    |SELECT doc_id, text FROM xg_in""".stripMargin)
+          eng.createContView("v_xg_d", "SELECT doc_id FROM xg_d_out",
+            emitChanges = false)
+          eng.createContView("v_xg_j", "SELECT doc_id FROM xg_j_out",
+            emitChanges = false)
+          eng
+        }
+        def feed(eng: ContViewEngine, lo: Long, hi: Long): Unit =
+          eng.insertInto("xg_in",
+            corpus.where(col("doc_id") >= lo && col("doc_id") < hi))
+        val eng1 = setup(new ContViewEngine(s, root))
+        feed(eng1, Long.MinValue, 300L)
+        // mid-feed "crash": the replayed gates must carry backend =
+        // 'executor' from the catalog and rebuild their shards from the
+        // persisted stores — the +600000 copies of batch-1 content arrive
+        // only AFTER the restart
+        val eng2 = setup(new ContViewEngine(s, root))
+        feed(eng2, 300L, Long.MaxValue)
+        eng2
+      })
+    }
+
   private def dedupGateFor(s: SparkSession, dir: String): ContViewEngine = synchronized {
     gateEngines.getOrElseUpdate((s, dir), {
       val root = java.nio.file.Files.createTempDirectory("graft_cvdg").toString
@@ -1477,6 +1539,28 @@ object CvQueries {
         |ORDER BY doc_id""".stripMargin) {
       (s, dir) => gateStreamingFor(s, dir).sql(
         "SELECT doc_id, c FROM v_gst ORDER BY doc_id")
+    },
+
+    // EXECUTOR-BACKEND gates, oracle-gated end-to-end (see execGateFor):
+    // an exact gate and a jaccard gate with their decision state on
+    // executor-partitioned shards (no driver bloom / hot tier), declared
+    // through DDL with backend = 'executor', catalog-replayed across a
+    // mid-feed restart. Synthesized disjoint-token bodies make both
+    // admitted sets doc_id arithmetic: every +600000 exact copy is
+    // suppressed (md5 equality; jaccard signature estimate 1.0), every
+    // base doc admitted.
+    QDef(
+      "q_dedup_stream_exec",
+      "SELECT doc_id FROM documents ORDER BY doc_id") {
+      (s, dir) => execGateFor(s, dir).sql(
+        "SELECT doc_id FROM v_xg_d ORDER BY doc_id")
+    },
+
+    QDef(
+      "q_neardup_stream_exec",
+      "SELECT doc_id FROM documents ORDER BY doc_id") {
+      (s, dir) => execGateFor(s, dir).sql(
+        "SELECT doc_id FROM v_xg_j ORDER BY doc_id")
     },
 
     // NEAR-DUP gate (exactly-once jaccard) under the REAL Structured
