@@ -1429,6 +1429,12 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     gates.remove(name)
     graft.streaming.CommitPipeline.drainUnder(
       Paths.get(root, name).toString)
+    // executor-backend shards keyed under this store root are dead weight
+    // once the store is deleted — evict them from the in-JVM registry
+    // (cluster caveat documented on dropUnder: remote executors' orphans
+    // are generation-fenced and bounded by dropped-gate count)
+    graft.streaming.ExecutorGateState.dropUnder(
+      Paths.get(root, name).toAbsolutePath.toString)
     gateSignatures.remove(name)
     readers.get(h.streamName).foreach(b => { b -= name; () })
     streams.remove(osrel)

@@ -671,6 +671,38 @@ private[graft] object ExecutorGateState {
 
   def payloadShardFor(storeKey: String, k: Int): PayloadShard =
     payloadShards.computeIfAbsent(s"$storeKey#$k", _ => new PayloadShard)
+
+  /** Drop-path eviction: free every shard registered under a store-root
+    * prefix (the engine deletes `root/<gate>/` wholesale). In-JVM only —
+    * local mode and same-process restart fixtures free their heap here;
+    * on a real cluster a REMOTE executor's orphaned shards are
+    * generation-fenced (a re-created gate never reads them) and bounded
+    * by the dropped-gate count, reclaimed at executor recycle. A
+    * production impl would ride an executor-broadcast cleanup job. */
+  def dropUnder(dir: String): Unit = {
+    val prefix = if (dir.endsWith("/")) dir else dir + "/"
+    def sweep[V](m: ConcurrentHashMap[String, V]): Unit = {
+      val it = m.keySet().iterator()
+      while (it.hasNext) {
+        val k = it.next()
+        if (k.startsWith(prefix) || k.startsWith(dir + "#")) it.remove()
+      }
+    }
+    sweep(shards)
+    sweep(payloadShards)
+  }
+
+  /** Test seam: live registry entries under a store-root prefix. */
+  private[graft] def registeredUnder(dir: String): Int = {
+    val prefix = if (dir.endsWith("/")) dir else dir + "/"
+    def count[V](m: ConcurrentHashMap[String, V]): Int = {
+      var n = 0
+      m.keySet().forEach(k =>
+        if (k.startsWith(prefix) || k.startsWith(dir + "#")) n += 1)
+      n
+    }
+    count(shards) + count(payloadShards)
+  }
 }
 
 /** An RDD whose P partitions each carry one pre-grouped task payload and

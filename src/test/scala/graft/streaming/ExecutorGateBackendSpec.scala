@@ -300,6 +300,28 @@ class ExecutorGateBackendSpec extends AnyFunSuite {
       "windowed exact-gate executor backend diverged")
   }
 
+  test("dropping a gate evicts its executor shards from the JVM registry") {
+    val root = java.nio.file.Files.createTempDirectory("graft_xr1").toString
+    val eng = new ContViewEngine(spark, root) // gate store under the ENGINE root
+    val schema = Seq((0L, "x")).toDF("id", "body").schema
+    eng.createStream("xr_in", schema)
+    eng.createStream("xr_out", org.apache.spark.sql.types.StructType(
+      schema.fields :+ org.apache.spark.sql.types.StructField("fp",
+        org.apache.spark.sql.types.LongType)))
+    eng.sql("""CREATE VIEW xr_gate WITH (action = transform, sink = 'xr_out',
+              |  backend = 'executor',
+              |  outputfunc = neardup_gate('body', 'id')) AS
+              |SELECT id, body FROM xr_in""".stripMargin)
+    eng.sql("INSERT INTO xr_in (id, body) VALUES (1, 'alpha beta gamma delta')")
+    val gateRoot = java.nio.file.Paths.get(root, "xr_gate")
+      .toAbsolutePath.toString
+    assert(ExecutorGateState.registeredUnder(gateRoot) > 0,
+      "the probe must have registered shards")
+    eng.dropContTransform("xr_gate")
+    assert(ExecutorGateState.registeredUnder(gateRoot) === 0,
+      "drop must evict the gate's shards from the registry")
+  }
+
   test("executor backend refuses driver-thread core sharding") {
     intercept[IllegalArgumentException] {
       new ExecutorGateIndex(spark, java.nio.file.Paths.get("/tmp/never"), 0, false)
