@@ -41,10 +41,6 @@ private[graft] final class CommitPipeline(name: String,
     })
   @volatile private var worker: Thread = null
   @volatile private var last: JFuture[_] = null
-  // first unreported task failure: (task label, cause) — recorded INSIDE
-  // the task so attribution is exact (awaiting only `last` would blame
-  // whatever batch happens to drain next)
-  @volatile private var failure: (String, Throwable) = null
   private val lost = new java.util.concurrent.atomic.AtomicLong()
 
   /** Deferred commits whose append failed and was dropped — each is a
@@ -71,7 +67,15 @@ private[graft] final class CommitPipeline(name: String,
           if (failNow) throw new IllegalStateException("failpoint:commit-task")
           task()
         } catch {
-          case e: Throwable => if (failure == null) failure = (label, e)
+          // count + log AT FAILURE TIME (task-side), with the failing
+          // batch's identity: drain() only joins — so a loss on the FINAL
+          // batch of an idle stream is still visible in graft_gate_stats,
+          // and every failure counts, not just the first before a drain.
+          // Fatal errors (OOM etc.) propagate — a "lost commit" must mean
+          // the append failed, not that the JVM is dying.
+          case e: InterruptedException =>
+            recordLoss(label, e); Thread.currentThread().interrupt()
+          case scala.util.control.NonFatal(e) => recordLoss(label, e)
         }
       }
     })
@@ -79,33 +83,34 @@ private[graft] final class CommitPipeline(name: String,
     roots.foreach(CommitPipeline.inFlight.put(_, f))
   }
 
+  private def recordLoss(label: String, e: Throwable): Unit = {
+    lost.incrementAndGet()
+    System.err.println(s"[graft] gate $name: deferred commit of " +
+      s"'$label' FAILED and its append is lost - future duplicates of " +
+      s"that batch's content may be admitted (at-least-once): $e")
+  }
+
   /** Block until every queued commit is durable. A failed commit does NOT
     * fail the (innocent) draining batch: the loss belongs to the batch
     * whose append died — already reported delivered, never retried — so
-    * rethrowing here would make the upstream retry the WRONG batch while
-    * the real loss went unrecorded. Instead the failure is logged loudly
-    * WITH the failed task's identity and counted in [[lostCommits]] (the
-    * at-least-once loss class, surfaced in `graft_gate_stats`). Must be
-    * called BEFORE taking the gate monitor — the running task takes it per
-    * commit hook. No-op from the pipeline's own thread (compaction cadence
-    * runs inside a task). */
+    * rethrowing here would make the upstream retry the WRONG batch. The
+    * failure was logged + counted AT TASK TIME (see [[submit]]) with the
+    * failing batch's identity, so even a loss on a stream's final batch is
+    * operator-visible without another drain. Must be called BEFORE taking
+    * the gate monitor — the running task takes it per commit hook. No-op
+    * from the pipeline's own thread (compaction cadence runs inside a
+    * task). */
   def drain(): Unit = {
     if (Thread.currentThread() eq worker) return
     val f = last
     if (f != null) {
       try { f.get(); () }
       catch {
-        case _: ExecutionException => () // recorded task-side with its label
+        // non-fatal task failures were counted + logged task-side; only a
+        // FATAL error (OOM etc.) reaches here — rethrow it
+        case e: ExecutionException => throw e.getCause
         case _: InterruptedException => Thread.currentThread().interrupt()
       }
-    }
-    val fl = failure
-    if (fl != null) {
-      failure = null
-      lost.incrementAndGet()
-      System.err.println(s"[graft] gate $name: deferred commit of " +
-        s"'${fl._1}' FAILED and its append is lost - future duplicates of " +
-        s"that batch's content may be admitted (at-least-once): ${fl._2}")
     }
   }
 }

@@ -121,21 +121,21 @@ private[graft] final class ExecutorGateIndex(
     pending.clear()
     val floor = appliedFloor
     appliedFloor = expectApplied
-    runProbe(probes, deltas, floor, expectApplied, cutoff, ttlMicros) match {
-      case Right(hit) => hit
-      case Left(staleShards) =>
-        // an executor moved/lost its shard (never on local[n]): one
-        // rebuild heals every shard, then the probe must answer
-        System.err.println(s"[graft] ExecutorGateIndex($storeKey): shards " +
-          s"${staleShards.mkString(",")} stale; rebuilding from the store")
-        rebuildAll(expectApplied)
-        runProbe(probes, Array.empty, expectApplied, expectApplied, cutoff,
-          ttlMicros) match {
-          case Right(hit) => hit
-          case Left(still) => throw new IllegalStateException(
-            s"gate shards $still stale after rebuild — store $storeKey")
-        }
+    var out = runProbe(probes, deltas, floor, expectApplied, cutoff, ttlMicros)
+    var attempts = 0
+    while (out.isLeft && attempts < 2) {
+      // an executor moved/lost its shard (never on local[n] — and the
+      // executor-granular pin makes a repeat rare on a cluster): rebuild
+      // heals every shard, then the probe must answer
+      System.err.println(s"[graft] ExecutorGateIndex($storeKey): shards " +
+        s"${out.swap.getOrElse(Nil).mkString(",")} stale; rebuilding from the store")
+      rebuildAll(expectApplied)
+      out = runProbe(probes, Array.empty, expectApplied, expectApplied,
+        cutoff, ttlMicros)
+      attempts += 1
     }
+    out.getOrElse(throw new IllegalStateException(
+      s"gate shards ${out.swap.getOrElse(Nil)} stale after $attempts rebuilds — store $storeKey"))
   }
 
   /** One probe job. Left(stale shard ids) if any shard could not answer. */
@@ -165,7 +165,7 @@ private[graft] final class ExecutorGateIndex(
     val rdd = new GateTaskRDD(spark.sparkContext, payload, shardHosts.clone())
     val results = rdd.mapPartitionsWithIndex { (k, it) =>
       val task = it.next()
-      val host = org.apache.spark.SparkEnv.get.blockManager.blockManagerId.host
+      val host = ExecutorGateState.taskLocation
       val shard = ExecutorGateState.shardFor(sKey, k, ttl, ids)
       shard.synchronized {
         if (shard.gen != expectGen || shard.applied != floor) {
@@ -228,7 +228,7 @@ private[graft] final class ExecutorGateIndex(
       }
     val hosts = rows.partitionBy(new BucketPartitioner(p))
       .mapPartitionsWithIndex { (k, it) =>
-        val host = org.apache.spark.SparkEnv.get.blockManager.blockManagerId.host
+        val host = ExecutorGateState.taskLocation
         val shard = ExecutorGateState.shardFor(sKey, k, ttl, ids)
         shard.synchronized {
           shard.reset()
@@ -359,18 +359,17 @@ private[graft] final class ExecutorPayloadPool(
       pending.clear()
       val floor = appliedFloor
       appliedFloor = expectApplied
-      runFetch(ids, deltas, floor, expectApplied) match {
-        case Right(out) => out
-        case Left(stale) =>
-          System.err.println(s"[graft] ExecutorPayloadPool($storeKey): " +
-            s"shards ${stale.mkString(",")} stale; rebuilding from the store")
-          rebuildAll(expectApplied)
-          runFetch(ids, Array.empty, expectApplied, expectApplied) match {
-            case Right(out) => out
-            case Left(still) => throw new IllegalStateException(
-              s"payload shards $still stale after rebuild — $storeKey")
-          }
+      var out = runFetch(ids, deltas, floor, expectApplied)
+      var attempts = 0
+      while (out.isLeft && attempts < 2) {
+        System.err.println(s"[graft] ExecutorPayloadPool($storeKey): " +
+          s"shards ${out.swap.getOrElse(Nil).mkString(",")} stale; rebuilding from the store")
+        rebuildAll(expectApplied)
+        out = runFetch(ids, Array.empty, expectApplied, expectApplied)
+        attempts += 1
       }
+      out.getOrElse(throw new IllegalStateException(
+        s"payload shards ${out.swap.getOrElse(Nil)} stale after $attempts rebuilds — $storeKey"))
     }
 
   private def runFetch(ids: Array[Any],
@@ -387,10 +386,10 @@ private[graft] final class ExecutorPayloadPool(
     }
     val payload = (0 until p).map(k =>
       PayloadTask(idPerShard(k).toArray, deltaPerShard(k).toArray)).toArray
-    val rdd = new PayloadTaskRDD(spark.sparkContext, payload, shardHosts.clone())
+    val rdd = new GateTaskRDD(spark.sparkContext, payload, shardHosts.clone())
     val results = rdd.mapPartitionsWithIndex { (k, it) =>
       val task = it.next()
-      val host = org.apache.spark.SparkEnv.get.blockManager.blockManagerId.host
+      val host = ExecutorGateState.taskLocation
       val shard = ExecutorGateState.payloadShardFor(sKey, k)
       shard.synchronized {
         if (shard.gen != expectGen || shard.applied != floor) {
@@ -433,7 +432,7 @@ private[graft] final class ExecutorPayloadPool(
         java.lang.Math.floorMod(if (key == null) 0 else key.hashCode, p)
     })
     val hosts = parted.mapPartitionsWithIndex { (k, it) =>
-      val host = org.apache.spark.SparkEnv.get.blockManager.blockManagerId.host
+      val host = ExecutorGateState.taskLocation
       val shard = ExecutorGateState.payloadShardFor(sKey, k)
       shard.synchronized {
         shard.map.clear()
@@ -515,18 +514,17 @@ private[graft] final class ExecutorSeenStore(
       pending.clear()
       val floor = appliedFloor
       appliedFloor = expectApplied
-      runLookup(keys, deltas, floor, expectApplied) match {
-        case Right(out) => out
-        case Left(stale) =>
-          System.err.println(s"[graft] ExecutorSeenStore($storeKey): shards " +
-            s"${stale.mkString(",")} stale; rebuilding from the store")
-          rebuildAll(expectApplied)
-          runLookup(keys, Array.empty, expectApplied, expectApplied) match {
-            case Right(out) => out
-            case Left(still) => throw new IllegalStateException(
-              s"seen-store shards $still stale after rebuild — $storeKey")
-          }
+      var out = runLookup(keys, deltas, floor, expectApplied)
+      var attempts = 0
+      while (out.isLeft && attempts < 2) {
+        System.err.println(s"[graft] ExecutorSeenStore($storeKey): shards " +
+          s"${out.swap.getOrElse(Nil).mkString(",")} stale; rebuilding from the store")
+        rebuildAll(expectApplied)
+        out = runLookup(keys, Array.empty, expectApplied, expectApplied)
+        attempts += 1
       }
+      out.getOrElse(throw new IllegalStateException(
+        s"seen-store shards ${out.swap.getOrElse(Nil)} stale after $attempts rebuilds — $storeKey"))
     }
 
   private def runLookup(keys: Array[Any],
@@ -545,10 +543,10 @@ private[graft] final class ExecutorSeenStore(
     }
     val payload = (0 until p).map(k =>
       PayloadTask(keyPerShard(k).toArray, deltaPerShard(k).toArray)).toArray
-    val rdd = new PayloadTaskRDD(spark.sparkContext, payload, shardHosts.clone())
+    val rdd = new GateTaskRDD(spark.sparkContext, payload, shardHosts.clone())
     val results = rdd.mapPartitionsWithIndex { (k, it) =>
       val task = it.next()
-      val host = org.apache.spark.SparkEnv.get.blockManager.blockManagerId.host
+      val host = ExecutorGateState.taskLocation
       val shard = ExecutorGateState.payloadShardFor(sKey, k)
       shard.synchronized {
         if (shard.gen != expectGen || shard.applied != floor) {
@@ -601,7 +599,7 @@ private[graft] final class ExecutorSeenStore(
         java.lang.Math.floorMod(if (key == null) 0 else key.hashCode, p)
     })
     val hosts = parted.mapPartitionsWithIndex { (k, it) =>
-      val host = org.apache.spark.SparkEnv.get.blockManager.blockManagerId.host
+      val host = ExecutorGateState.taskLocation
       val shard = ExecutorGateState.payloadShardFor(sKey, k)
       shard.synchronized {
         shard.map.clear()
@@ -656,8 +654,24 @@ private[graft] object ExecutorGateState {
 
   private val shards = new ConcurrentHashMap[String, Shard]()
 
+  /** The running task's pin target, at EXECUTOR granularity (Spark's
+    * `executor_<host>_<id>` TaskLocation form): the registry is per-JVM,
+    * so a host-level pin would be satisfied by the WRONG executor when
+    * two share a host — the shard would read as permanently stale. Local
+    * mode pins by host (one JVM; locality is trivially satisfied). */
+  def taskLocation: String = {
+    val env = org.apache.spark.SparkEnv.get
+    val host = env.blockManager.blockManagerId.host
+    if (env.executorId == "driver") host
+    else s"executor_${host}_${env.executorId}"
+  }
+
   def shardFor(storeKey: String, k: Int, ttl: Boolean, ids: Boolean): Shard =
-    shards.computeIfAbsent(s"$storeKey#$k", _ => new Shard(ttl, ids))
+    // config flags are part of the KEY: a gate re-created at a reused path
+    // with different windowing must get fresh shards, not a Shard whose
+    // baked-in ttl/ids layout is wrong (generation fencing resets data,
+    // not construction flags)
+    shards.computeIfAbsent(s"$storeKey#$k#$ttl#$ids", _ => new Shard(ttl, ids))
 
   /** One payload shard: (id → resident payload) + the same consistency
     * header as [[Shard]]. */
@@ -705,22 +719,26 @@ private[graft] object ExecutorGateState {
   }
 }
 
-/** An RDD whose P partitions each carry one pre-grouped task payload and
+/** An RDD whose P partitions each carry ONE pre-grouped task payload and
   * prefer the executor that last hosted their shard — the minimal form of
   * Structured Streaming's StateStoreRDD placement contract. No shuffle:
-  * the payload is batch-bounded and grouped on the driver. */
-private[graft] final class GateTaskRDD(
+  * the payload is batch-bounded, grouped on the driver, and rides the
+  * PARTITION objects (ParallelCollectionRDD-style), so each task ships
+  * only its own slice; the driver-side array is @transient so the
+  * broadcast task binary carries none of it (an RDD-field payload would
+  * ship every shard's slice to every executor). */
+private[graft] final class GateTaskRDD[T: scala.reflect.ClassTag](
     sc: SparkContext,
-    payload: Array[ExecutorGateIndex.ShardTask],
+    @transient private val payload: Array[T],
     hosts: Array[String])
-  extends RDD[ExecutorGateIndex.ShardTask](sc, Nil) {
+  extends RDD[T](sc, Nil) {
 
   override def getPartitions: Array[Partition] =
-    payload.indices.map(new GateTaskPartition(_): Partition).toArray
+    payload.indices
+      .map(i => new GateTaskPartition[T](i, payload(i)): Partition).toArray
 
-  override def compute(split: Partition,
-      context: TaskContext): Iterator[ExecutorGateIndex.ShardTask] =
-    Iterator.single(payload(split.index))
+  override def compute(split: Partition, context: TaskContext): Iterator[T] =
+    Iterator.single(split.asInstanceOf[GateTaskPartition[T]].task)
 
   override def getPreferredLocations(split: Partition): Seq[String] = {
     val h = hosts(split.index)
@@ -728,25 +746,5 @@ private[graft] final class GateTaskRDD(
   }
 }
 
-private final class GateTaskPartition(override val index: Int)
-  extends Partition
-
-/** [[GateTaskRDD]]'s payload-pool sibling (same placement contract). */
-private[graft] final class PayloadTaskRDD(
-    sc: SparkContext,
-    payload: Array[ExecutorPayloadPool.PayloadTask],
-    hosts: Array[String])
-  extends RDD[ExecutorPayloadPool.PayloadTask](sc, Nil) {
-
-  override def getPartitions: Array[Partition] =
-    payload.indices.map(new GateTaskPartition(_): Partition).toArray
-
-  override def compute(split: Partition,
-      context: TaskContext): Iterator[ExecutorPayloadPool.PayloadTask] =
-    Iterator.single(payload(split.index))
-
-  override def getPreferredLocations(split: Partition): Seq[String] = {
-    val h = hosts(split.index)
-    if (h == null || h.isEmpty) Nil else Seq(h)
-  }
-}
+private final class GateTaskPartition[T](override val index: Int,
+    val task: T) extends Partition

@@ -198,11 +198,6 @@ final class StreamDedupGate private[streaming] (
   /** The windowed store append: ONE (h, max ts) row per batch key. */
   private def appendTtlKeys(keyed: org.apache.spark.sql.DataFrame,
       maxByKey: java.util.HashMap[Any, java.lang.Long], epoch: Long): Unit = {
-    if (executorBackend) {
-      val delta = new scala.collection.mutable.ArrayBuffer[(Any, Long)]()
-      maxByKey.forEach { (h, t) => delta += ((h, t.longValue)); () }
-      execSeen.bufferDelta(delta.toArray)
-    }
     if (maxByKey.isEmpty) return
     val hType = keyed.schema(keyed.schema.fieldIndex("h")).dataType
     val out = new java.util.ArrayList[org.apache.spark.sql.Row](maxByKey.size)
@@ -217,6 +212,14 @@ final class StreamDedupGate private[streaming] (
         sortCol = Some("h")))
       GateStore.append(keyed.sparkSession.createDataFrame(out, schema),
         storeDir, "keys", epoch, sortCol = Some("h"))
+    // executor shards: delta AFTER the durable append (the module-wide
+    // ordering contract) — a failed append must fail the batch WITHOUT
+    // the shards learning its keys, or the retry would self-suppress
+    if (executorBackend) {
+      val delta = new scala.collection.mutable.ArrayBuffer[(Any, Long)]()
+      maxByKey.forEach { (h, t) => delta += ((h, t.longValue)); () }
+      execSeen.bufferDelta(delta.toArray)
+    }
   }
 
   private var bloom = BloomFilter.empty(bloomP, bloomN0)
