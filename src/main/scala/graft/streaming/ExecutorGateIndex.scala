@@ -343,6 +343,11 @@ private[graft] final class ExecutorPayloadPool(
   def bufferDelta(n: Long, entries: Array[(Any, AnyRef)]): Unit =
     synchronized { pending.addLast((n, entries)); () }
 
+  /** Spec seam: undrained delta batches on the driver. The gate drains
+    * every batch (even candidate-free ones), so this stays ≤ 1 — a grown
+    * queue is the payload-accumulation bug the per-batch drain removes. */
+  private[graft] def pendingDepthForSpec: Int = synchronized(pending.size)
+
   def invalidate(): Unit = synchronized {
     pending.clear()
     invalidations += 1

@@ -91,12 +91,15 @@ private[streaming] abstract class IndexedNearDupGate[P](
   /** EXECUTOR STATE BACKEND — `backend = "executor"`
     * ([[ExecutorGateIndex]]): phase 1 runs against bucket-partitioned
     * executor-local shards (index entries + sketch digests + event times
-    * off the driver heap); the driver keeps only the bloom/CMS prefilters
-    * and the bounded per-batch rows. Phase 2's candidate payload fetch
-    * stays the id-pruned store read — bounded by true (sketch-admissible)
-    * candidates, not store size — and the driver payload POOL is disabled
-    * (no corpus-sized driver state at all). Decision semantics are
-    * bit-identical to the driver paths. */
+    * off the driver heap); the driver keeps NO corpus-sized state — no
+    * bucket bloom (the shards answer every under-cap key from memory),
+    * no hot tier, no payload pool — only the opt-in CMS occupancy cap
+    * and the bounded per-batch rows. Phase 2 fetches candidate payloads
+    * from the id-partitioned [[ExecutorPayloadPool]] (misses fall back
+    * to the id-pruned store read); payload deltas drain to the shards
+    * EVERY batch, even candidate-free ones, so the driver's pending
+    * queue stays O(batch). Decision semantics are bit-identical to the
+    * driver paths. */
   private val executorBackend = backend == StreamDedupGate.ExecutorBackend
 
   /** Per-core resident budget: the gate-level `resident_mb` DDL option
@@ -234,8 +237,15 @@ private[streaming] abstract class IndexedNearDupGate[P](
   private lazy val coreSession =
     if (shardCount == 1) eng.spark else eng.spark.newSession()
 
-  private var bloom = BloomFilter.empty(bloomP, bloomN0)
+  // null on the executor backend — NO corpus-sized driver structure exists
+  // there at all, and an accidental probe/add fails loudly instead of
+  // silently regrowing to store size
+  private var bloom: BloomFilter =
+    if (executorBackend) null else BloomFilter.empty(bloomP, bloomN0)
   private var bloomN = bloomN0
+  /** Spec seam: the driver bucket bloom (must be null on the executor
+    * backend — the round-12 overclaim this nulling closes). */
+  private[graft] def driverBloomForSpec: BloomFilter = bloom
   // occupancy as of batch START, overestimate-only — see SimHashNearDupGate
   private val bucketCounts: graft.sketch.CountMinSketch =
     if (maxBucketSize == Int.MaxValue) null
@@ -271,6 +281,9 @@ private[streaming] abstract class IndexedNearDupGate[P](
       auxCol = if (sketchColOf.isEmpty) None else Some("sk"))
   /** Probe/spec seam: the distributed index (null on the driver backend). */
   private[graft] def executorIndex: ExecutorGateIndex = execIdx
+  /** Probe/spec seam: the executor payload pool (null on the driver
+    * backend and on non-payload-writing cores). */
+  private[graft] def executorPayloads: ExecutorPayloadPool = execPay
 
   /** Executor-resident payload pool (executor backend, payload-writing
     * core): phase 2's candidate fetch becomes memory lookups on the
@@ -418,7 +431,7 @@ private[streaming] abstract class IndexedNearDupGate[P](
           s"(bucket, id) index at $idxDir — a pre-split-layout store; " +
           "rebuild the index (one pass re-keying the payloads) before " +
           "restarting this gate")
-    if (files.nonEmpty) {
+    if (files.nonEmpty && !executorBackend) {
       // right-size FIRST (metadata-only count): a corpus-sized index under
       // the construction-time design n would run the filter saturated
       // until the next compaction regrew it
@@ -437,6 +450,13 @@ private[streaming] abstract class IndexedNearDupGate[P](
       if (bucketCounts != null)
         bucketCounts.merge(
           graft.sketch.CountMinSketch.deserialize(row.getAs[Array[Byte]]("c")))
+    } else if (files.nonEmpty && bucketCounts != null) {
+      // executor backend: no driver bloom at all (the shards answer every
+      // under-cap key from memory); only the opt-in CMS cap rebuilds
+      val row = eng.spark.read.parquet(files: _*).select(col("bucket"))
+        .agg(GraftFunctions.freq_agg(col("bucket")).as("c")).collect()(0)
+      bucketCounts.merge(
+        graft.sketch.CountMinSketch.deserialize(row.getAs[Array[Byte]]("c")))
     }
     batches = math.max(GateStore.maxBatch(idxDir, "keys"),
       if (writesPayload) GateStore.maxBatch(payloadDir, payloadPrefix) else 0L)
@@ -471,8 +491,11 @@ private[streaming] abstract class IndexedNearDupGate[P](
       .persist()
     try {
       appendStores(keyed)
-      updateFilters(keyed.select(explode(ownedKeysCol(col("__p"))).as("bucket"))
-        .collect().map(_.getLong(0)))
+      // executor backend with no occupancy cap: no driver filter exists,
+      // so the O(seed) bucket collect is skipped entirely
+      if (!executorBackend || bucketCounts != null)
+        updateFilters(keyed.select(explode(ownedKeysCol(col("__p"))).as("bucket"))
+          .collect().map(_.getLong(0)))
       residentStale = true // bulk write bypassed the hot tier — rebuild lazily
       if (executorBackend) {
         execIdx.invalidate() // ... and the exec shards
@@ -509,13 +532,16 @@ private[streaming] abstract class IndexedNearDupGate[P](
     }
   }
 
-  /** Driver-side filter update — see SimHashNearDupGate.updateFilters. */
+  /** Driver-side filter update — see SimHashNearDupGate.updateFilters
+    * (executor backend: no bloom; only the opt-in CMS cap updates). */
   private def updateFilters(buckets: Array[Long]): Unit = {
+    if (executorBackend && bucketCounts == null) return
     var i = 0
-    val seen = new java.util.HashSet[java.lang.Long]()
+    val seen =
+      if (executorBackend) null else new java.util.HashSet[java.lang.Long]()
     while (i < buckets.length) {
       val b = buckets(i)
-      if (seen.add(b)) bloom.add(b)
+      if (seen != null && seen.add(b)) bloom.add(b)
       if (bucketCounts != null) bucketCounts.add(b)
       i += 1
     }
@@ -715,16 +741,19 @@ private[streaming] abstract class IndexedNearDupGate[P](
           }
         }
       } else if (executorBackend) traced("phase1-exec") {
-        // distributed phase 1: ship (rowIdx, bucket, sketch[, ts]) for the
-        // bloom-positive under-cap keys; the shards return the
-        // sketch-admissible in-window candidate (row, store id) pairs —
-        // O(batch) out, O(candidates) back, state stays on the executors
+        // distributed phase 1: ship (rowIdx, bucket, sketch[, ts]) for ALL
+        // under-cap keys — no driver bloom prefilter (the shards answer
+        // misses from memory at the same O(batch) job cost, and a
+        // corpus-sized driver filter is exactly what this backend exists
+        // to remove); the shards return the sketch-admissible in-window
+        // candidate (row, store id) pairs — O(batch) out, O(candidates)
+        // back, state stays on the executors
         val probes =
           new scala.collection.mutable.ArrayBuffer[(Int, Long, Long, Long)]()
         var i = 0
         while (i < rows.length) {
           rowKeys(i).foreach { b =>
-            if (!overCapSet.contains(b) && bloom.contains(b))
+            if (!overCapSet.contains(b))
               probes += ((i, b, if (rowSks == null) 0L else rowSks(i),
                 if (ttlEnabled) collected.tss(i) else 0L))
           }
@@ -895,7 +924,16 @@ private[streaming] abstract class IndexedNearDupGate[P](
       }
       if (ctx.storeTs != null) storeTs.putAll(ctx.storeTs)
     }
-    if (pairs.isEmpty) return out
+    if (pairs.isEmpty) {
+      // executor backend: drain the buffered payload deltas even with no
+      // candidates — on a low-duplicate stream the driver's pending queue
+      // would otherwise accumulate full-precision payloads for up to
+      // compactEvery batches (GBs for embeddings), quietly rebuilding the
+      // corpus-sized driver state this backend removes
+      if (execPay != null)
+        execPay.fetch(Array.empty[Any], synchronized(batches))
+      return out
+    }
     // windowed mode: a candidate only suppresses rows whose trailing
     // window contains its stored event time (same check all three verify
     // paths apply — the resident phase-1 already prefiltered, re-checking
@@ -1257,10 +1295,12 @@ private[streaming] abstract class IndexedNearDupGate[P](
       resident.retainRemap(remap, nIds.length.toLong * 48)
     }
     // the fold rewrote the store files (and reaped, when windowed): the
-    // executor shards rebuild from the new snapshot at the next probe
+    // executor shards rebuild from the new snapshot at the next probe —
+    // and there is no driver bloom to regrow on that backend
     if (executorBackend) {
       execIdx.invalidate()
       if (execPay != null) execPay.invalidate()
+      return
     }
     if (n > bloomN) {
       bloomN = GateStore.bloomSizeFor(n, bloomN)

@@ -176,8 +176,15 @@ final class SimHashNearDupGate private (
   private lazy val coreSession =
     if (shardCount == 1) eng.spark else eng.spark.newSession()
 
-  private var bloom = BloomFilter.empty(bloomP, bloomN0)
+  // null on the executor backend — NO corpus-sized driver structure exists
+  // there at all, and an accidental probe/add fails loudly instead of
+  // silently regrowing to store size
+  private var bloom: BloomFilter =
+    if (executorBackend) null else BloomFilter.empty(bloomP, bloomN0)
   private var bloomN = bloomN0
+  /** Spec seam: the driver bucket bloom (must be null on the executor
+    * backend — the round-12 overclaim this nulling closes). */
+  private[graft] def driverBloomForSpec: BloomFilter = bloom
   // Hot-bucket guard (opt-in, the SimHash.nearDuplicates cap's streaming
   // form): a boilerplate-heavy crawl floods banded buckets — thousands of
   // near-identical fingerprints sharing every key — and the candidate join
@@ -284,23 +291,33 @@ final class SimHashNearDupGate private (
         s"$name: fingerprint store at $storeDir predates the exploded " +
           "(bucket, id, fp) layout — re-band it (one pass re-exploding fp) " +
           "before restarting this gate")
-      // right-size FIRST (metadata-only count): a corpus-sized store under
-      // the construction-time design n would run the filter saturated
-      // until the next compaction regrew it
-      bloomN = GateStore.bloomSizeFor(store.count(), bloomN)
-      val keys = store.select(col("bucket"))
-      val row =
-        if (bucketCounts == null)
-          keys.agg(GraftFunctions.bloom_agg(col("bucket"), bloomP, bloomN).as("b"))
-            .collect()(0)
-        else
-          keys.agg(GraftFunctions.bloom_agg(col("bucket"), bloomP, bloomN).as("b"),
-            GraftFunctions.freq_agg(col("bucket")).as("c")).collect()(0)
-      bloom = BloomFilter.empty(bloomP, bloomN)
-      bloom.union(BloomFilter.deserialize(row.getAs[Array[Byte]]("b")))
-      if (bucketCounts != null)
+      // executor backend: NO driver bloom at all — probe state lives on
+      // the shards, which answer every under-cap key from memory; only
+      // the CMS occupancy cap (opt-in) stays driver-resident
+      if (!executorBackend) {
+        // right-size FIRST (metadata-only count): a corpus-sized store
+        // under the construction-time design n would run the filter
+        // saturated until the next compaction regrew it
+        bloomN = GateStore.bloomSizeFor(store.count(), bloomN)
+        val keys = store.select(col("bucket"))
+        val row =
+          if (bucketCounts == null)
+            keys.agg(GraftFunctions.bloom_agg(col("bucket"), bloomP, bloomN).as("b"))
+              .collect()(0)
+          else
+            keys.agg(GraftFunctions.bloom_agg(col("bucket"), bloomP, bloomN).as("b"),
+              GraftFunctions.freq_agg(col("bucket")).as("c")).collect()(0)
+        bloom = BloomFilter.empty(bloomP, bloomN)
+        bloom.union(BloomFilter.deserialize(row.getAs[Array[Byte]]("b")))
+        if (bucketCounts != null)
+          bucketCounts.merge(
+            graft.sketch.CountMinSketch.deserialize(row.getAs[Array[Byte]]("c")))
+      } else if (bucketCounts != null) {
+        val row = store.select(col("bucket"))
+          .agg(GraftFunctions.freq_agg(col("bucket")).as("c")).collect()(0)
         bucketCounts.merge(
           graft.sketch.CountMinSketch.deserialize(row.getAs[Array[Byte]]("c")))
+      }
       batches = GateStore.maxBatch(storeDir, "fps")
       if (ttlEnabled) {
         val r = store.agg(max(unix_micros(col("ts")))).collect()(0)
@@ -354,8 +371,9 @@ final class SimHashNearDupGate private (
       resident.retainRemap(remap, nTs.length.toLong * 8)
     }
     // the fold rewrote the store files (and reaped, when windowed): the
-    // executor shards rebuild from the new snapshot at the next probe
-    if (executorBackend) execIdx.invalidate()
+    // executor shards rebuild from the new snapshot at the next probe —
+    // and there is no driver bloom to regrow on that backend
+    if (executorBackend) { execIdx.invalidate(); return }
     if (n > bloomN) {
       bloomN = GateStore.bloomSizeFor(n, bloomN)
       System.err.println(s"[graft] SimHashNearDupGate($name): store at $n keys " +
@@ -391,7 +409,10 @@ final class SimHashNearDupGate private (
         if (!r.isNullAt(0) && r.getLong(0) > maxSeenTsMicros)
           maxSeenTsMicros = r.getLong(0)
       }
-      updateFilters(collectBuckets(keyed))
+      // executor backend with no occupancy cap: no driver filter exists,
+      // so the O(seed) bucket collect is skipped entirely
+      if (!executorBackend || bucketCounts != null)
+        updateFilters(collectBuckets(keyed))
       residentStale = true // bulk write bypassed the hot tier
       if (executorBackend) execIdx.invalidate() // ... and the exec shards
     } finally { keyed.unpersist(); () }
@@ -399,13 +420,18 @@ final class SimHashNearDupGate private (
 
   /** Driver-side filter update from the batch's collected bucket keys
     * (with multiplicity, for the CMS): every stored row's buckets are
-    * exactly this multiset, so the bloom ⊇ store invariant stays exact. */
+    * exactly this multiset, so the bloom ⊇ store invariant stays exact.
+    * Executor backend: no bloom (the shards ARE the membership state —
+    * O(corpus) driver bits would defeat the backend's purpose); only the
+    * opt-in CMS occupancy cap updates. */
   private def updateFilters(buckets: Array[Long]): Unit = {
+    if (executorBackend && bucketCounts == null) return
     var i = 0
-    val seen = new java.util.HashSet[java.lang.Long]()
+    val seen =
+      if (executorBackend) null else new java.util.HashSet[java.lang.Long]()
     while (i < buckets.length) {
       val b = buckets(i)
-      if (seen.add(b)) bloom.add(b)
+      if (seen != null && seen.add(b)) bloom.add(b)
       if (bucketCounts != null) bucketCounts.add(b)
       i += 1
     }
@@ -606,16 +632,18 @@ final class SimHashNearDupGate private (
         return new BatchCtx(keyed, rows, rowKeys, suppressedSet, tss)
       }
       if (executorBackend) {
-        // distributed probe: ship (rowIdx, bucket, fp[, ts]) for the
-        // bloom-positive, under-cap keys — O(batch) out, O(suppressed)
-        // back; the corpus-sized state stays on the executors
+        // distributed probe: ship (rowIdx, bucket, fp[, ts]) for ALL
+        // under-cap keys — O(batch) out, O(suppressed) back; no driver
+        // bloom prefilter (the shards answer misses from memory at the
+        // same O(batch) job cost, and a corpus-sized driver filter is
+        // exactly what this backend exists to remove)
         val probes =
           new scala.collection.mutable.ArrayBuffer[(Int, Long, Long, Long)]()
         var i = 0
         while (i < rows.length) {
           if (rows(i)._1 != null) {
             rowKeys(i).foreach { b =>
-              if (!overCapSet.contains(b) && bloom.contains(b))
+              if (!overCapSet.contains(b))
                 probes += ((i, b, rows(i)._2, if (ttlEnabled) tss(i) else 0L))
             }
           }

@@ -42,7 +42,9 @@ class ExecutorGateBackendSpec extends AnyFunSuite {
 
   private def runGate(root: String, engSuffix: String, backend: String,
       batches: Seq[DataFrame], ttl: Boolean = false,
-      compactBetween: Boolean = false): (ContViewEngine, SimHashNearDupGate) = {
+      compactBetween: Boolean = false,
+      storeSuffix: String = null): (ContViewEngine, SimHashNearDupGate) = {
+    val stSuffix = if (storeSuffix == null) engSuffix else storeSuffix
     val eng = new ContViewEngine(spark, s"$root/eng$engSuffix")
     val schema0 = Seq((0L, "x")).toDF("id", "body").schema
     val schema =
@@ -59,7 +61,7 @@ class ExecutorGateBackendSpec extends AnyFunSuite {
       (if (!ttl) "SELECT id, body FROM xb_in"
        else "SELECT id, body, ts FROM xb_in"),
       textSql = "body", orderCol = "id",
-      sink = "xb_out", storeRoot = s"$root/gate_$backend$engSuffix",
+      sink = "xb_out", storeRoot = s"$root/gate_$backend$stSuffix",
       maxDist = 3, backend = backend, stateParts = 5,
       ttlMillis = if (ttl) 24L * 3600 * 1000 else 0L,
       ttlColumn = if (ttl) "ts" else "")
@@ -102,14 +104,19 @@ class ExecutorGateBackendSpec extends AnyFunSuite {
     val (eT, _) = runGate(rT, "t", StreamDedupGate.DriverBackend, Seq(c))
     val expected = admitted(eT)
     // executor backend: feed half, "crash" (abandon engine), re-create on
-    // the same store — the new instance's nonce orphans every shard, so
-    // the first post-restart probe rebuilds from parquet
+    // the SAME store — the new instance's nonce orphans every shard, so
+    // the first post-restart probe rebuilds from parquet. Split AT a
+    // suppressed near-dup so its suppressor (id−2) lands pre-crash: a
+    // fresh store would admit it and the assertion below would catch that.
+    val split = (0 until 90).find(i =>
+      i % 3 == 2 && !expected.contains(i.toLong)).getOrElse(
+      fail("fixture must suppress at least one near-dup")).toLong
     val eng1 = runGate(root, "1", StreamDedupGate.ExecutorBackend,
-      Seq(c.where(col("id") < 45)))._1
-    assert(admitted(eng1) === expected.filter(_ < 45L))
+      Seq(c.where(col("id") < split)), storeSuffix = "shared")._1
+    assert(admitted(eng1) === expected.filter(_ < split))
     val (eng2, _) = runGate(root, "2", StreamDedupGate.ExecutorBackend,
-      Seq(c.where(col("id") >= 45)))
-    assert(admitted(eng2) === expected.filter(_ >= 45L),
+      Seq(c.where(col("id") >= split)), storeSuffix = "shared")
+    assert(admitted(eng2) === expected.filter(_ >= split),
       "post-restart decisions must see the pre-crash store")
   }
 
@@ -373,6 +380,71 @@ class ExecutorGateBackendSpec extends AnyFunSuite {
     assert(eng2.overlay("v_xj").collect().map(_.getLong(0)).toSet
       === expected.filter(_ >= 40L),
       "jaccard executor backend diverged across restart")
+  }
+
+  test("near-dup executor backends build NO driver bloom (exact gate parity)") {
+    // the r12 residual: the exec near-dup paths still grew a corpus-sized
+    // driver bucket bloom. Now the field is NULL on the exec backend (an
+    // accidental probe would NPE loudly), while the driver backend keeps
+    // its bloom — and decisions stay identical either way (covered by the
+    // equivalence tests above; re-pinned here through feed + compact +
+    // restart so no later phase quietly re-introduces a build site).
+    val c = corpus(60)
+    val rD = java.nio.file.Files.createTempDirectory("graft_xnb_d").toString
+    val (_, gD) = runGate(rD, "d", StreamDedupGate.DriverBackend, Seq(c))
+    assert(gD.driverBloomForSpec != null, "driver backend must keep its bloom")
+    val rX = java.nio.file.Files.createTempDirectory("graft_xnb_x").toString
+    val (_, gX) = runGate(rX, "x1", StreamDedupGate.ExecutorBackend,
+      Seq(c.where(col("id") < 30)), compactBetween = true,
+      storeSuffix = "shared")
+    assert(gX.driverBloomForSpec == null,
+      "simhash executor backend must hold no driver bloom")
+    // restart on the same store: bootstrap must not rebuild a bloom either
+    val (e2, g2) = runGate(rX, "x2", StreamDedupGate.ExecutorBackend,
+      Seq(c.where(col("id") >= 30)), storeSuffix = "shared")
+    assert(g2.driverBloomForSpec == null,
+      "bootstrap on the executor backend must not rebuild a driver bloom")
+    assert(admitted(e2).nonEmpty)
+    // split-store family: same invariant on the jaccard gate
+    val rJ = java.nio.file.Files.createTempDirectory("graft_xnb_j").toString
+    val engJ = new ContViewEngine(spark, s"$rJ/eng")
+    val schema = Seq((0L, "x")).toDF("id", "body").schema
+    engJ.createStream("xnb_in", schema)
+    engJ.createStream("xnb_out", schema)
+    val gJ = JaccardNearDupGate.create(engJ, "xnb_gate",
+      "SELECT id, body FROM xnb_in", textSql = "body", orderCol = "id",
+      sink = "xnb_out", storeRoot = s"$rJ/gate", threshold = 0.7,
+      backend = StreamDedupGate.ExecutorBackend, stateParts = 3)
+    engJ.insertInto("xnb_in",
+      (0 until 20).map(i => (i.toLong,
+        (0 until 30).map(j => s"n${i}t$j").mkString(" "))).toDF("id", "body"))
+    assert(gJ.driverBloomForSpec == null,
+      "jaccard executor backend must hold no driver bloom")
+  }
+
+  test("executor payload deltas drain every batch, even candidate-free ones") {
+    // low-duplicate stream: no batch after the first surfaces candidates,
+    // so without the per-batch drain the driver's pending queue would
+    // accumulate one full-precision payload delta per batch
+    val root = java.nio.file.Files.createTempDirectory("graft_xpd").toString
+    val eng = new ContViewEngine(spark, s"$root/eng")
+    val schema = Seq((0L, "x")).toDF("id", "body").schema
+    eng.createStream("xpd_in", schema)
+    eng.createStream("xpd_out", schema)
+    eng.createContView("v_xpd", "SELECT id FROM xpd_out", emitChanges = false)
+    val g = JaccardNearDupGate.create(eng, "xpd_gate",
+      "SELECT id, body FROM xpd_in", textSql = "body", orderCol = "id",
+      sink = "xpd_out", storeRoot = s"$root/gate", threshold = 0.7,
+      backend = StreamDedupGate.ExecutorBackend, stateParts = 3)
+    def uniq(lo: Int, hi: Int) = (lo until hi).map(i => (i.toLong,
+      (0 until 30).map(j => s"u${i}t$j").mkString(" "))).toDF("id", "body")
+    (0 until 6).foreach(b => eng.insertInto("xpd_in", uniq(b * 10, b * 10 + 10)))
+    g.drainCommits() // join the deferred commit of the last batch
+    val pool = g.executorPayloads
+    assert(pool != null)
+    assert(pool.pendingDepthForSpec <= 1,
+      s"payload deltas accumulated on the driver (depth ${pool.pendingDepthForSpec})")
+    assert(eng.overlay("v_xpd").count() === 60L, "unique stream must pass whole")
   }
 
   test("cosine executor backend: windowed admission matches the driver") {
