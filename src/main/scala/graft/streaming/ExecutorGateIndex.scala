@@ -76,6 +76,7 @@ private[graft] final class ExecutorGateIndex(
   // generation: instance nonce + invalidation count — a gate restart, a
   // compaction fold, or a bulk seed invalidates every shard (rebuild)
   private val nonce = java.util.UUID.randomUUID().toString.take(8)
+  ExecutorGateIndex.stampOwner(storeDir, "_owner_idx", nonce)
   private var invalidations = 0L
   private def gen: String = s"$nonce:$invalidations"
   private var needRebuild = true // bootstrap starts from the store
@@ -115,6 +116,8 @@ private[graft] final class ExecutorGateIndex(
     */
   def probe(probes: Array[(Int, Long, Long, Long)], batch: Long,
       cutoff: Int, ttlMicros: Long): Array[(Int, Any, Long)] = synchronized {
+    ExecutorGateIndex.checkOwner(storeDir, "_owner_idx", nonce,
+      "ExecutorGateIndex")
     val expectApplied = batch - 1
     if (needRebuild) rebuildAll(expectApplied)
     val deltas = pending.toArray(Array.empty[(Long, Array[DeltaRow])])
@@ -163,7 +166,7 @@ private[graft] final class ExecutorGateIndex(
       ShardTask(perShard(k).toArray, deltaPerShard(k).toArray)
     }.toArray
     val rdd = new GateTaskRDD(spark.sparkContext, payload, shardHosts.clone())
-    val results = rdd.mapPartitionsWithIndex { (k, it) =>
+    val results = try rdd.mapPartitionsWithIndex { (k, it) =>
       val task = it.next()
       val host = ExecutorGateState.taskLocation
       val shard = ExecutorGateState.shardFor(sKey, k, ttl, ids)
@@ -193,7 +196,7 @@ private[graft] final class ExecutorGateIndex(
           Iterator.single((k, host, false, out.toArray))
         }
       }
-    }.collect()
+    }.collect() finally rdd.destroy()
     results.foreach { case (k, host, _, _) => shardHosts(k) = host }
     val stale = results.collect { case (k, _, true, _) => k }.toSeq
     if (stale.nonEmpty) Left(stale)
@@ -256,10 +259,10 @@ private[graft] final class ExecutorGateIndex(
     val (sKey, p, ttl, ids) = (storeKey, parts, ttlEnabled, withIds)
     val rdd = new GateTaskRDD(spark.sparkContext,
       Array.fill(p)(ShardTask(Array.empty, Array.empty)), shardHosts.clone())
-    rdd.mapPartitionsWithIndex { (k, _) =>
+    try rdd.mapPartitionsWithIndex { (k, _) =>
       Iterator.single(
         ExecutorGateState.shardFor(sKey, k, ttl, ids).idx.size.toLong)
-    }.collect().sum
+    }.collect().sum finally rdd.destroy()
   }
 }
 
@@ -278,6 +281,32 @@ private[graft] object ExecutorGateIndex {
     * real cluster this would be sized to executors × cores. */
   def defaultParts(spark: SparkSession): Int =
     math.max(4, spark.sparkContext.defaultParallelism / 2)
+
+  /** Owner-nonce stamp: two LIVE instances sharing a store path have
+    * different nonces, so interleaved probes would ping-pong full
+    * O(store) rebuilds (each instance's generation orphans the other's
+    * shards) rather than erroring. Each instance stamps its nonce at
+    * construction; a probe finding someone else's stamp fails FAST with
+    * the real diagnosis. Restart fixtures are unaffected — the abandoned
+    * instance is never probed again. The marker is not `.parquet`, so
+    * store scans/compaction never see it. */
+  private[streaming] def stampOwner(dir: java.nio.file.Path, marker: String,
+      nonce: String): Unit =
+    java.nio.file.Files.write(dir.resolve(marker),
+      nonce.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  private[streaming] def checkOwner(dir: java.nio.file.Path, marker: String,
+      nonce: String, what: String): Unit = {
+    val f = dir.resolve(marker)
+    val cur =
+      if (!java.nio.file.Files.exists(f)) nonce
+      else new String(java.nio.file.Files.readAllBytes(f),
+        java.nio.charset.StandardCharsets.UTF_8)
+    if (cur != nonce) throw new IllegalStateException(
+      s"$what at $dir was superseded by another live instance (owner " +
+        s"stamp $cur != this instance's $nonce): two gates share one " +
+        "store path — drop this instance, or give each its own store")
+  }
 }
 
 /** Deterministic bucket→shard routing shared by probe grouping, delta
@@ -327,6 +356,7 @@ private[graft] final class ExecutorPayloadPool(
 
   private val storeKey = payloadDir.toAbsolutePath.toString + "#pay"
   private val nonce = java.util.UUID.randomUUID().toString.take(8)
+  ExecutorGateIndex.stampOwner(payloadDir, "_owner_pay", nonce)
   private var invalidations = 0L
   private def gen: String = s"$nonce:$invalidations"
   private var needRebuild = true
@@ -358,6 +388,8 @@ private[graft] final class ExecutorPayloadPool(
     * must cover ≤ batch-1 (the gate drains commits before deciding). */
   def fetch(ids: Array[Any], batch: Long): java.util.HashMap[Any, AnyRef] =
     synchronized {
+      ExecutorGateIndex.checkOwner(payloadDir, "_owner_pay", nonce,
+        "ExecutorPayloadPool")
       val expectApplied = batch - 1
       if (needRebuild) rebuildAll(expectApplied)
       val deltas = pending.toArray(Array.empty[(Long, Array[(Any, AnyRef)])])
@@ -392,7 +424,7 @@ private[graft] final class ExecutorPayloadPool(
     val payload = (0 until p).map(k =>
       PayloadTask(idPerShard(k).toArray, deltaPerShard(k).toArray)).toArray
     val rdd = new GateTaskRDD(spark.sparkContext, payload, shardHosts.clone())
-    val results = rdd.mapPartitionsWithIndex { (k, it) =>
+    val results = try rdd.mapPartitionsWithIndex { (k, it) =>
       val task = it.next()
       val host = ExecutorGateState.taskLocation
       val shard = ExecutorGateState.payloadShardFor(sKey, k)
@@ -410,7 +442,7 @@ private[graft] final class ExecutorPayloadPool(
           Iterator.single((k, host, false, out))
         }
       }
-    }.collect()
+    }.collect() finally rdd.destroy()
     results.foreach { case (k, host, _, _) => shardHosts(k) = host }
     val stale = results.collect { case (k, _, true, _) => k }.toSeq
     if (stale.nonEmpty) Left(stale)
@@ -483,6 +515,7 @@ private[graft] final class ExecutorSeenStore(
 
   private val storeKey = storeDir.toAbsolutePath.toString + "#seen"
   private val nonce = java.util.UUID.randomUUID().toString.take(8)
+  ExecutorGateIndex.stampOwner(storeDir, "_owner_seen", nonce)
   private var invalidations = 0L
   private def gen: String = s"$nonce:$invalidations"
   private var needRebuild = true
@@ -513,6 +546,8 @@ private[graft] final class ExecutorSeenStore(
     * signal). */
   def lookup(keys: Array[Any]): java.util.HashMap[Any, java.lang.Long] =
     synchronized {
+      ExecutorGateIndex.checkOwner(storeDir, "_owner_seen", nonce,
+        "ExecutorSeenStore")
       val expectApplied = seq
       if (needRebuild) rebuildAll(expectApplied)
       val deltas = pending.toArray(Array.empty[(Long, Array[(Any, Long)])])
@@ -549,7 +584,7 @@ private[graft] final class ExecutorSeenStore(
     val payload = (0 until p).map(k =>
       PayloadTask(keyPerShard(k).toArray, deltaPerShard(k).toArray)).toArray
     val rdd = new GateTaskRDD(spark.sparkContext, payload, shardHosts.clone())
-    val results = rdd.mapPartitionsWithIndex { (k, it) =>
+    val results = try rdd.mapPartitionsWithIndex { (k, it) =>
       val task = it.next()
       val host = ExecutorGateState.taskLocation
       val shard = ExecutorGateState.payloadShardFor(sKey, k)
@@ -571,7 +606,7 @@ private[graft] final class ExecutorSeenStore(
           Iterator.single((k, host, false, out))
         }
       }
-    }.collect()
+    }.collect() finally rdd.destroy()
     results.foreach { case (k, host, _, _) => shardHosts(k) = host }
     val stale = results.collect { case (k, _, true, _) => k }.toSeq
     if (stale.nonEmpty) Left(stale)
@@ -727,29 +762,36 @@ private[graft] object ExecutorGateState {
 /** An RDD whose P partitions each carry ONE pre-grouped task payload and
   * prefer the executor that last hosted their shard — the minimal form of
   * Structured Streaming's StateStoreRDD placement contract. No shuffle:
-  * the payload is batch-bounded, grouped on the driver, and rides the
-  * PARTITION objects (ParallelCollectionRDD-style), so each task ships
-  * only its own slice; the driver-side array is @transient so the
-  * broadcast task binary carries none of it (an RDD-field payload would
-  * ship every shard's slice to every executor). */
+  * the payload is batch-bounded, grouped on the driver, and ships as ONE
+  * BROADCAST of the per-shard array — partitions carry only their index,
+  * so tasks serialize small (kilobytes) however large the batch; probe
+  * slices riding the Partition objects instead were serialized through
+  * the scheduler per task (measured "task of very large size (1696 KiB)"
+  * warnings at 5k-row batches — tens of MB of driver→executor closure
+  * traffic per 100k-row batch). Callers MUST [[destroy]] after the job —
+  * one probe per batch would otherwise leak a broadcast per batch. */
 private[graft] final class GateTaskRDD[T: scala.reflect.ClassTag](
     sc: SparkContext,
     @transient private val payload: Array[T],
     hosts: Array[String])
   extends RDD[T](sc, Nil) {
 
+  private val bc = sc.broadcast(payload)
+
   override def getPartitions: Array[Partition] =
-    payload.indices
-      .map(i => new GateTaskPartition[T](i, payload(i)): Partition).toArray
+    payload.indices.map(i => new GateTaskPartition(i): Partition).toArray
 
   override def compute(split: Partition, context: TaskContext): Iterator[T] =
-    Iterator.single(split.asInstanceOf[GateTaskPartition[T]].task)
+    Iterator.single(bc.value(split.index))
 
   override def getPreferredLocations(split: Partition): Seq[String] = {
     val h = hosts(split.index)
     if (h == null || h.isEmpty) Nil else Seq(h)
   }
+
+  /** Release the batch's broadcast blocks (driver + executors). */
+  def destroy(): Unit = bc.destroy()
 }
 
-private final class GateTaskPartition[T](override val index: Int,
-    val task: T) extends Partition
+private final class GateTaskPartition(override val index: Int)
+  extends Partition

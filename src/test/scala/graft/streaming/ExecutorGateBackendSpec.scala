@@ -329,6 +329,25 @@ class ExecutorGateBackendSpec extends AnyFunSuite {
       "drop must evict the gate's shards from the registry")
   }
 
+  test("a superseded executor-gate instance fails fast instead of thrashing") {
+    // two LIVE instances on one store path have different nonces; without
+    // the owner stamp each probe would orphan the other's shards — a
+    // silent full-rebuild ping-pong. The stamp turns that into an error.
+    val c = corpus(30)
+    val root = java.nio.file.Files.createTempDirectory("graft_xow").toString
+    val (e1, _) = runGate(root, "a", StreamDedupGate.ExecutorBackend,
+      Seq(c.where(col("id") < 10)), storeSuffix = "shared")
+    runGate(root, "b", StreamDedupGate.ExecutorBackend,
+      Seq(c.where(col("id") >= 10 && col("id") < 20)), storeSuffix = "shared")
+    val ex = intercept[Throwable] {
+      e1.insertInto("xb_in", c.where(col("id") >= 20))
+    }
+    def chain(t: Throwable): String =
+      if (t == null) "" else s"${t.getMessage} ${chain(t.getCause)}"
+    assert(chain(ex).contains("superseded"),
+      s"expected the owner-stamp diagnosis, got: ${chain(ex)}")
+  }
+
   test("executor backend refuses driver-thread core sharding") {
     intercept[IllegalArgumentException] {
       new ExecutorGateIndex(spark, java.nio.file.Paths.get("/tmp/never"), 0, false)
