@@ -32,3 +32,20 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// The local-cluster[...] specs own their SparkContext (a JVM singleton
+// with a different master), so they run in their OWN forked JVM; every
+// other suite shares the default group's JVM as before.
+Test / testGrouping := {
+  // SPARK_SCALA_VERSION: the launcher's getScalaVersion() needs it to
+  // build the forked executor command under local-cluster[...] (the
+  // distribution at /opt/spark has no source-build dirs to infer it from)
+  val forkOpts = ForkOptions()
+    .withRunJVMOptions((Test / javaOptions).value.toVector)
+    .withEnvVars(Map("SPARK_SCALA_VERSION" -> "2.13"))
+  val (cluster, rest) =
+    (Test / definedTests).value.partition(_.name.endsWith("ClusterSpec"))
+  Seq(
+    new Tests.Group("cluster", cluster, Tests.SubProcess(forkOpts)),
+    new Tests.Group("rest", rest, Tests.SubProcess(forkOpts)),
+  ).filter(_.tests.nonEmpty)
+}

@@ -1,0 +1,189 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cv.ContViewEngine
+
+/** The executor-distributed gate tier across REAL JVM boundaries:
+  * `local-cluster[2,2,2048]` forks two genuine executor processes (the
+  * master/worker run as driver threads, executors as separate JVMs), so
+  * task serialization, the per-JVM shard registry, preferred-location
+  * pinning, and cross-JVM rebuild shuffles all run for real — none of
+  * which local[n] exercises (there every "executor" shard shares the
+  * driver JVM and the pin is trivially satisfied). Reference anchor: the
+  * combiner tier is genuinely multi-process (config.c:300-306), and the
+  * reference's test harness spins real multi-process clusters
+  * (src/test/py/base.py).
+  *
+  * Runs in its own forked JVM (build.sbt testGrouping): a SparkContext
+  * is a JVM singleton and this one's master differs from every other
+  * suite's local[4].
+  */
+class ExecutorGateClusterSpec extends AnyFunSuite {
+
+  private val jdk17Opens = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar",
+  ).map(p => s"--add-opens=$p=ALL-UNNAMED").mkString(" ")
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local-cluster[2,2,2048]")
+      // forked executor JVMs need the application classes (this repo's
+      // target dirs ride the test JVM's own classpath) and the JDK17
+      // module opens Spark needs outside spark-submit
+      .config("spark.executor.extraClassPath", sys.props("java.class.path"))
+      .config("spark.executor.extraJavaOptions", jdk17Opens)
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    // wait for both executor processes to register (driver + 2)
+    val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+    while (s.sparkContext.statusTracker.getExecutorInfos.length < 3 &&
+        System.nanoTime() < deadline) Thread.sleep(500)
+    assert(s.sparkContext.statusTracker.getExecutorInfos.length >= 3,
+      "local-cluster executors failed to register")
+    s
+  }
+
+  import spark.implicits._
+
+  // same corpus family as ExecutorGateBackendSpec: every 3rd doc a light
+  // edit of an earlier one; only some land within simhash distance 3
+  private def corpus(n: Int): DataFrame = {
+    def base(i: Int) = (0 until 24).map(j => s"d${i}w$j").mkString(" ")
+    (0 until n).map { i =>
+      val text = if (i % 3 == 2) base(i - 2) + " tail" else base(i)
+      (i.toLong, text)
+    }.toDF("id", "body")
+  }
+
+  private def runSimhash(root: String, engSuffix: String, backend: String,
+      batches: Seq[DataFrame],
+      storeSuffix: String = null): (ContViewEngine, SimHashNearDupGate) = {
+    val st = if (storeSuffix == null) engSuffix else storeSuffix
+    val eng = new ContViewEngine(spark, s"$root/eng$engSuffix")
+    val schema = Seq((0L, "x")).toDF("id", "body").schema
+    eng.createStream("xc_in", schema)
+    eng.createStream("xc_out", org.apache.spark.sql.types.StructType(
+      schema.fields :+ org.apache.spark.sql.types.StructField("fp",
+        org.apache.spark.sql.types.LongType)))
+    eng.createContView("v_xc", "SELECT id FROM xc_out", emitChanges = false)
+    val g = SimHashNearDupGate.create(eng, "xc_gate",
+      "SELECT id, body FROM xc_in", textSql = "body", orderCol = "id",
+      sink = "xc_out", storeRoot = s"$root/gate_$st", maxDist = 3,
+      backend = backend, stateParts = 4)
+    batches.foreach(b => eng.insertInto("xc_in", b))
+    (eng, g)
+  }
+
+  private def admitted(eng: ContViewEngine): Set[Long] =
+    eng.overlay("v_xc").collect().map(_.getLong(0)).toSet
+
+  test("cluster: executor backend matches the driver backend; shards live OFF the driver JVM") {
+    val c = corpus(90)
+    val batches = Seq(c.where(col("id") < 45), c.where(col("id") >= 45))
+    val r1 = java.nio.file.Files.createTempDirectory("graft_cl1").toString
+    val (e1, _) = runSimhash(r1, "d", StreamDedupGate.DriverBackend, batches)
+    val expected = admitted(e1)
+    assert(expected.size < 90 && expected.size > 45,
+      s"fixture must exercise suppression (got ${expected.size})")
+    val r2 = java.nio.file.Files.createTempDirectory("graft_cl2").toString
+    val (e2, g2) = runSimhash(r2, "x", StreamDedupGate.ExecutorBackend, batches)
+    assert(admitted(e2) === expected,
+      "executor backend diverged from driver across real JVM boundaries")
+    // the proof this exercised REAL executors: probe tasks ran in the
+    // forked executor JVMs, so the DRIVER's shard registry holds nothing
+    // for this gate's store (on local[n] these registries coincide)
+    assert(ExecutorGateState.registeredUnder(s"$r2/gate_x") === 0,
+      "shards must live in the executor JVMs, not the driver registry")
+    assert(g2.driverBloomForSpec == null)
+    assert(g2.executorIndex.totalEntries > 0L,
+      "executor-resident shards must hold the exploded store")
+  }
+
+  test("cluster: restart rebuilds shards from the durable store via a real shuffle") {
+    val c = corpus(90)
+    val rT = java.nio.file.Files.createTempDirectory("graft_cl3t").toString
+    val (eT, _) = runSimhash(rT, "t", StreamDedupGate.DriverBackend, Seq(c))
+    val expected = admitted(eT)
+    // split AT a suppressed near-dup so its suppressor lands pre-restart
+    val split = (0 until 90).find(i =>
+      i % 3 == 2 && !expected.contains(i.toLong)).getOrElse(
+      fail("fixture must suppress at least one near-dup")).toLong
+    val root = java.nio.file.Files.createTempDirectory("graft_cl3").toString
+    val eng1 = runSimhash(root, "1", StreamDedupGate.ExecutorBackend,
+      Seq(c.where(col("id") < split)), storeSuffix = "shared")._1
+    assert(admitted(eng1) === expected.filter(_ < split))
+    // "crash": abandon eng1; the new instance's nonce orphans every
+    // executor-resident shard, so the first probe rebuilds from parquet —
+    // a genuine cross-JVM scan + shuffle on this master
+    val (eng2, _) = runSimhash(root, "2", StreamDedupGate.ExecutorBackend,
+      Seq(c.where(col("id") >= split)), storeSuffix = "shared")
+    assert(admitted(eng2) === expected.filter(_ >= split),
+      "post-restart decisions must see the pre-crash store")
+  }
+
+  test("cluster: exact gate's distributed membership tier (ExecutorSeenStore)") {
+    def b(rows: (Long, String)*) = rows.toDF("id", "k")
+    def run(backend: String): Set[Long] = {
+      val root = java.nio.file.Files.createTempDirectory("graft_cl4").toString
+      val eng = new ContViewEngine(spark, s"$root/eng")
+      val schema = Seq((0L, "x")).toDF("id", "k").schema
+      eng.createStream("xd_in", schema)
+      eng.createStream("xd_out", org.apache.spark.sql.types.StructType(
+        schema.fields :+ org.apache.spark.sql.types.StructField("h",
+          org.apache.spark.sql.types.StringType)))
+      eng.createContView("v_xd", "SELECT id FROM xd_out", emitChanges = false)
+      StreamDedupGate.create(eng, "xd_gate", "SELECT id, k FROM xd_in",
+        keySql = "md5(k)", orderCol = "id", sink = "xd_out",
+        storeRoot = s"$root/gate", backend = backend, stateParts = 4)
+      eng.insertInto("xd_in", b((1L, "a"), (2L, "b"), (3L, "a")))
+      eng.insertInto("xd_in", b((4L, "b"), (5L, "c"), (6L, "c")))
+      eng.overlay("v_xd").collect().map(_.getLong(0)).toSet
+    }
+    val expected = run(StreamDedupGate.DriverBackend)
+    assert(expected === Set(1L, 2L, 5L))
+    assert(run(StreamDedupGate.ExecutorBackend) === expected,
+      "exact-gate membership diverged across real JVM boundaries")
+  }
+
+  test("cluster: exactly-once delivery composes with executor shards across a crash") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cl5").toString
+    val eng = new ContViewEngine(spark, s"$root/eng")
+    val schema = Seq((0L, "x")).toDF("id", "body").schema
+    eng.createStream("xe_in", schema)
+    eng.createStream("xe_out", org.apache.spark.sql.types.StructType(
+      schema.fields :+ org.apache.spark.sql.types.StructField("fp",
+        org.apache.spark.sql.types.LongType)))
+    eng.createContView("v_xe", "SELECT id, count(*) AS c FROM xe_out GROUP BY id",
+      emitChanges = false)
+    val g = SimHashNearDupGate.create(eng, "xe_gate",
+      "SELECT id, body FROM xe_in", textSql = "body", orderCol = "id",
+      sink = "xe_out", storeRoot = s"$root/gate",
+      backend = StreamDedupGate.ExecutorBackend, stateParts = 3,
+      delivery = StreamDedupGate.ExactlyOnce)
+    def b(rows: (Long, String)*) = rows.toDF("id", "body")
+    eng.insertInto("xe_in", b((1L, "alpha beta gamma delta")))
+    g.epochs.failAt = "after-spool"
+    intercept[Exception] {
+      eng.insertInto("xe_in",
+        b((2L, "epsilon zeta eta theta"), (3L, "alpha beta gamma delta")))
+    }
+    eng.insertInto("xe_in",
+      b((2L, "epsilon zeta eta theta"), (3L, "alpha beta gamma delta")))
+    val counts = eng.overlay("v_xe").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(counts === Map(1L -> 1L, 2L -> 1L),
+      "every admitted row exactly once; suppressed rows still suppress")
+  }
+}
