@@ -199,7 +199,8 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
               ttl = Option(fields("ttl")).filter(_.nonEmpty),
               ttlColumn = Option(fields("ttlColumn")).filter(_.nonEmpty),
               residentMb = gateOpts.get("resident_mb").map(_.toLong),
-              backendOpt = gateOpts.get("backend"))
+              backendOpt = gateOpts.get("backend"),
+              statePartsOpt = gateOpts.get("state_parts").map(_.toInt))
           case "activate" => activate(fields("name"))
           case "deactivate" => deactivate(fields("name"))
           case "drop" => fields("payload") match {
@@ -387,9 +388,9 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
         s"outputfunc insert_into_stream('$s'): unknown stream $s") }
       createContTransform(name, select, sinkStream = sink, emitChanges = changes); ()
     case CvDdl.CreateGateTransform(name, select, gateSpec, sink, ttl, ttlCol,
-        residentMb, backendOpt) =>
+        residentMb, backendOpt, statePartsOpt) =>
       createGateTransform(name, select, gateSpec, sink, ttl, ttlCol,
-        residentMb, backendOpt); ()
+        residentMb, backendOpt, statePartsOpt); ()
     case CvDdl.Rename(name0, newName) =>
       val name = normalizeName(name0, "continuous query")
       if (transforms.contains(name)) renameContTransform(name, newName)
@@ -1020,7 +1021,8 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
       sink0: String, ttl: Option[String] = None,
       ttlColumn: Option[String] = None,
       residentMb: Option[Long] = None,
-      backendOpt: Option[String] = None): AnyRef = synchronized {
+      backendOpt: Option[String] = None,
+      statePartsOpt: Option[Int] = None): AnyRef = synchronized {
     val name = normalizeName(name0, "continuous transform")
     val sink = normalizeName(sink0, "stream")
     require(streams.contains(sink), s"gate sink: unknown stream $sink")
@@ -1043,6 +1045,15 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
         b == graft.streaming.StreamDedupGate.ExecutorBackend,
         s"unknown backend '$b' (expected driver or executor)")
     }
+    // state_parts sizes the executor shard count — the first knob an
+    // operator tunes on a real cluster (P ≈ executors × cores); it is
+    // meaningless without backend = 'executor'
+    statePartsOpt.foreach { p =>
+      require(backendOpt.contains(graft.streaming.StreamDedupGate.ExecutorBackend),
+        "state_parts sizes the executor state shards — it requires " +
+          "backend = 'executor'")
+      require(p >= 1, s"state_parts must be >= 1, got $p")
+    }
     // windowed (TTL) gating: supported on the exact dedup gate; an
     // interval spec resolves through the same parser as CV ttl options
     val ttlMillis = ttl.map(CvPlanner.intervalSeconds(_) * 1000L).getOrElse(0L)
@@ -1052,7 +1063,8 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
       "ttl on a contamination gate is meaningless: the reference store " +
         "is static (nothing ages)")
     val optStr = (residentMb.map(v => s"resident_mb=$v") ++
-      backendOpt.map(v => s"backend=$v")).mkString(",")
+      backendOpt.map(v => s"backend=$v") ++
+      statePartsOpt.map(v => s"state_parts=$v")).mkString(",")
     if (transforms.contains(name)) {
       // mirror idempotent(): an identical re-declaration is a no-op, a
       // different one (or a clash with a non-gate transform) fails loudly
@@ -1093,7 +1105,8 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
               .getOrElse(graft.streaming.StreamDedupGate.AtLeastOnce),
             ttlMillis = ttlMillis, ttlColumn = ttlColumn.getOrElse(""),
             backend = backendOpt
-              .getOrElse(graft.streaming.StreamDedupGate.DriverBackend))
+              .getOrElse(graft.streaming.StreamDedupGate.DriverBackend),
+            stateParts = statePartsOpt.getOrElse(0))
         case dedupRe(keySql, orderCol, shards, dv) =>
           require(!backendOpt.contains(
             graft.streaming.StreamDedupGate.ExecutorBackend),
@@ -1115,6 +1128,7 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
             ttlMillis = ttlMillis, ttlColumn = ttlColumn.getOrElse(""),
             backend = backendOpt
               .getOrElse(graft.streaming.StreamDedupGate.DriverBackend),
+            stateParts = statePartsOpt.getOrElse(0),
             residentMb = residentMb.getOrElse(-1L))
         case neardupRe(textSql, orderCol, maxDist, cap, shards, dv) =>
           require(!backendOpt.contains(
@@ -1142,6 +1156,7 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
             ttlMillis = ttlMillis, ttlColumn = ttlColumn.getOrElse(""),
             backend = backendOpt
               .getOrElse(graft.streaming.StreamDedupGate.DriverBackend),
+            stateParts = statePartsOpt.getOrElse(0),
             residentMb = residentMb.getOrElse(-1L))
         case cosineRe(embSql, orderCol, threshold, dim, cap, expected, shards, dv) =>
           require(!backendOpt.contains(
@@ -1169,6 +1184,7 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
             ttlMillis = ttlMillis, ttlColumn = ttlColumn.getOrElse(""),
             backend = backendOpt
               .getOrElse(graft.streaming.StreamDedupGate.DriverBackend),
+            stateParts = statePartsOpt.getOrElse(0),
             residentMb = residentMb.getOrElse(-1L))
         case jaccardRe(textSql, orderCol, threshold, cap, shards, dv) =>
           require(!backendOpt.contains(

@@ -43,7 +43,8 @@ object CvDdl {
       name: String, select: String, gateSpec: String, sink: String,
       ttl: Option[String] = None, ttlColumn: Option[String] = None,
       residentMb: Option[Long] = None,
-      backend: Option[String] = None) extends Stmt
+      backend: Option[String] = None,
+      stateParts: Option[Int] = None) extends Stmt
   final case class Activate(name: String) extends Stmt
   final case class Deactivate(name: String) extends Stmt
   /** kind ∈ view | transform | stream (plain DROP VIEW resolves either CQ kind). */
@@ -224,15 +225,16 @@ object CvDdl {
     val emitChanges = opts.get("changes").forall(_.toBoolean)
     val known = Set("action", "sw", "sw_column", "step_factor", "ttl", "ttl_column",
       "changes", "outputfunc", "sink", "pk", "fillfactor", "batch",
-      "resident_mb", "backend")
+      "resident_mb", "backend", "state_parts")
     val unknown = opts.keySet -- known
     require(unknown.isEmpty, s"unknown WITH option(s): ${unknown.mkString(", ")}")
     action match {
       case "materialize" =>
         require(!opts.contains("outputfunc") && !opts.contains("sink"),
           "outputfunc/sink apply to transforms, not materialized views")
-        require(!opts.contains("resident_mb") && !opts.contains("backend"),
-          "resident_mb/backend apply to gate transforms only")
+        require(!opts.contains("resident_mb") && !opts.contains("backend") &&
+          !opts.contains("state_parts"),
+          "resident_mb/backend/state_parts apply to gate transforms only")
         // create_cont_view.sql: "No sw option" — sw_column alone is an error
         require(!opts.contains("sw_column") || opts.contains("sw"),
           "sw_column can only be specified with sw")
@@ -266,13 +268,15 @@ object CvDdl {
             CreateGateTransform(name, select, f.trim, sink,
               ttl = opts.get("ttl"), ttlColumn = opts.get("ttl_column"),
               residentMb = opts.get("resident_mb").map(_.toLong),
-              backend = opts.get("backend"))
+              backend = opts.get("backend"),
+              stateParts = opts.get("state_parts").map(_.toInt))
           case _ =>
             require(!opts.contains("ttl") && !opts.contains("ttl_column"),
               "ttl options on a transform apply to gates only " +
                 "(windowed dedup_gate)")
-            require(!opts.contains("resident_mb") && !opts.contains("backend"),
-              "resident_mb/backend apply to gate transforms only")
+            require(!opts.contains("resident_mb") && !opts.contains("backend") &&
+              !opts.contains("state_parts"),
+              "resident_mb/backend/state_parts apply to gate transforms only")
             val sink = opts.get("sink").orElse(opts.get("outputfunc").map { f =>
               val m = """(?i)(?:pipelinedb\.)?insert_into_stream\s*\(\s*'([^']+)'\s*\)""".r
               f match {

@@ -42,6 +42,7 @@ private[graft] final class CommitPipeline(name: String,
   @volatile private var worker: Thread = null
   @volatile private var last: JFuture[_] = null
   private val lost = new java.util.concurrent.atomic.AtomicLong()
+  private val consecutiveLosses = new java.util.concurrent.atomic.AtomicInteger()
 
   /** Deferred commits whose append failed and was dropped — each is a
     * batch of fingerprints the store never got, i.e. future duplicates of
@@ -56,8 +57,30 @@ private[graft] final class CommitPipeline(name: String,
     * in submit order on one thread — commits never reorder. The gates'
     * drain-before-submit convention keeps queue depth ≤ 1 (drain() relies
     * on it only for promptness, not correctness: the single thread runs
-    * tasks in order, and failures are recorded per task, not per future). */
+    * tasks in order, and failures are recorded per task, not per future).
+    *
+    * ESCALATION: a single lost commit is the accepted at-least-once loss
+    * class, but [[CommitPipeline.escalateAfter]] CONSECUTIVE losses mean
+    * the store itself is broken (disk full, permissions) — deferring
+    * further would silently degrade the gate to pass-through forever, its
+    * only trace a counter and stderr. From that point commits run
+    * SYNCHRONOUSLY inside submit, so the failure reaches the caller (the
+    * batch fails and the upstream retries THIS batch — correct now,
+    * because nothing of it was deferred). One inline success re-arms the
+    * pipeline. */
   def submit(task: () => Unit, label: String = "commit"): Unit = {
+    if (consecutiveLosses.get() >= CommitPipeline.escalateAfter) {
+      drain() // keep ordering: join whatever is still queued
+      val failNow = failNextTask
+      failNextTask = false
+      System.err.println(s"[graft] gate $name: ${consecutiveLosses.get()} " +
+        "consecutive deferred commits lost - committing '" + label +
+        "' SYNCHRONOUSLY so the store failure reaches the caller")
+      if (failNow) throw new IllegalStateException("failpoint:commit-task")
+      task() // a throw here propagates: the caller's batch fails loudly
+      consecutiveLosses.set(0)
+      return
+    }
     val failNow = failNextTask
     failNextTask = false
     val f = pool.submit(new Runnable {
@@ -66,6 +89,7 @@ private[graft] final class CommitPipeline(name: String,
         try {
           if (failNow) throw new IllegalStateException("failpoint:commit-task")
           task()
+          consecutiveLosses.set(0)
         } catch {
           // count + log AT FAILURE TIME (task-side), with the failing
           // batch's identity: drain() only joins — so a loss on the FINAL
@@ -85,6 +109,7 @@ private[graft] final class CommitPipeline(name: String,
 
   private def recordLoss(label: String, e: Throwable): Unit = {
     lost.incrementAndGet()
+    consecutiveLosses.incrementAndGet()
     System.err.println(s"[graft] gate $name: deferred commit of " +
       s"'$label' FAILED and its append is lost - future duplicates of " +
       s"that batch's content may be admitted (at-least-once): $e")
@@ -119,6 +144,11 @@ private[graft] object CommitPipeline {
   /** Kill switch for A/B probes: GRAFT_GATE_PIPELINE=0 restores the fully
     * synchronous batch loop. */
   val enabled: Boolean = !sys.env.get("GRAFT_GATE_PIPELINE").contains("0")
+
+  /** Consecutive lost commits before the pipeline stops deferring and
+    * surfaces store failures synchronously (see [[CommitPipeline.submit]]). */
+  val escalateAfter: Int =
+    sys.env.get("GRAFT_GATE_COMMIT_ESCALATE").map(_.toInt).getOrElse(3)
 
   private val inFlight = new ConcurrentHashMap[String, JFuture[_]]()
 

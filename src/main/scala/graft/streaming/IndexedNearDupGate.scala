@@ -340,8 +340,8 @@ private[streaming] abstract class IndexedNearDupGate[P](
         if (n * 24 > residentBudgetBytes) {
           System.err.println(s"[graft] ${getClass.getSimpleName}($name): " +
             s"index slice at $n entries exceeds the resident budget — " +
-            "running on the disk path (raise GRAFT_GATE_RESIDENT_MB, " +
-            "shard the gate, or window it with a ttl)")
+            "running on the O(store)/batch disk path. " +
+            IndexedNearDupGate.overflowAdvice)
           resident.deactivate()
         } else {
           val ordOf = new java.util.HashMap[Any, Integer]()
@@ -1159,6 +1159,11 @@ private[streaming] abstract class IndexedNearDupGate[P](
             }
             i += 1
           }
+          if (!resident.active)
+            System.err.println(s"[graft] ${getClass.getSimpleName}($name): " +
+              "resident hot tier overflowed its byte budget mid-stream — " +
+              "now on the O(store)/batch disk path. " +
+              IndexedNearDupGate.overflowAdvice)
         }
         if (ttlEnabled) {
           var i = 0
@@ -1309,4 +1314,16 @@ private[streaming] abstract class IndexedNearDupGate[P](
       bloom = GateStore.buildBloom(eng.spark, idxDir, "bucket", bloomP, bloomN)
     }
   }
+}
+
+private[streaming] object IndexedNearDupGate {
+  /** What an operator should DO about a resident-budget overflow, in
+    * preference order — the distributed tier is the designed scale path
+    * (its probes stay flat past any driver budget: BENCH `gate_exec_*`
+    * vs the disk regime's `gate_large_store_*` 0.4 slope). */
+  val overflowAdvice: String =
+    "Recreate the gate with backend = 'executor' to shard this state " +
+      "across the cluster (probes stay flat past any driver budget — " +
+      "BENCH gate_exec_* vs gate_large_store_*), or raise resident_mb / " +
+      "GRAFT_GATE_RESIDENT_MB, shard the gate, or window it with a ttl."
 }

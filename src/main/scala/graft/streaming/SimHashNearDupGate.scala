@@ -247,8 +247,8 @@ final class SimHashNearDupGate private (
     val df = coreSession.read.parquet(files: _*)
     if (df.count() * 16 > residentBudgetBytes) {
       System.err.println(s"[graft] SimHashNearDupGate($name): store slice " +
-        "exceeds the resident budget — running on the disk path (raise " +
-        "GRAFT_GATE_RESIDENT_MB, shard the gate, or window it with a ttl)")
+        "exceeds the resident budget — running on the O(store)/batch disk " +
+        "path. " + IndexedNearDupGate.overflowAdvice)
       resident.deactivate()
       return
     }
@@ -842,6 +842,10 @@ final class SimHashNearDupGate private (
           rowKeys(i).foreach(b => { resident.add(b, fp, ord); () })
           i += 1
         }
+        if (!resident.active)
+          System.err.println(s"[graft] SimHashNearDupGate($name): resident " +
+            "hot tier overflowed its byte budget mid-stream — now on the " +
+            "O(store)/batch disk path. " + IndexedNearDupGate.overflowAdvice)
       }
       if (ttlEnabled) {
         var i = 0

@@ -35,6 +35,34 @@ class CommitPipelineSpec extends AnyFunSuite {
     assert(p.lostCommits === 2L)
   }
 
+  test("consecutive losses escalate to synchronous commits; one success re-arms") {
+    val p = new CommitPipeline("t-escalate", Nil)
+    // N consecutive losses: still the deferred, non-failing behavior
+    (1 to CommitPipeline.escalateAfter).foreach { i =>
+      p.submit(() => throw new IllegalStateException("disk full"),
+        label = s"batch $i")
+      p.drain() // drain never throws for non-fatal task failures
+    }
+    assert(p.lostCommits === CommitPipeline.escalateAfter.toLong)
+    // the NEXT commit runs synchronously: a persistent store failure now
+    // reaches the caller instead of degrading to pass-through forever
+    val ex = intercept[IllegalStateException] {
+      p.submit(() => throw new IllegalStateException("disk still full"),
+        label = "batch N+1")
+    }
+    assert(ex.getMessage === "disk still full")
+    // a synchronous SUCCESS re-arms the deferred pipeline
+    var ranInline = false
+    p.submit(() => { ranInline = true }, label = "batch N+2")
+    assert(ranInline, "escalated commit must have run inline")
+    var deferredRan = false
+    p.submit(() => { deferredRan = true }, label = "batch N+3")
+    p.drain()
+    assert(deferredRan && p.lostCommits === CommitPipeline.escalateAfter.toLong,
+      "after a success the pipeline defers again; inline failures were " +
+        "never counted as losses (the caller retries those batches)")
+  }
+
   test("drain from the pipeline's own thread is a no-op (compaction cadence)") {
     val p = new CommitPipeline("t-self", Nil)
     @volatile var completed = false

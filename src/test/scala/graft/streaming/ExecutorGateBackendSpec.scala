@@ -329,6 +329,30 @@ class ExecutorGateBackendSpec extends AnyFunSuite {
       "drop must evict the gate's shards from the registry")
   }
 
+  test("resident-budget overflow names backend = 'executor' in its warning") {
+    // the driver tier's overflow degrades into the documented O(store)
+    // disk regime — the warning must tell the operator the designed way
+    // out (the distributed tier), not just how to postpone the cliff
+    val buf = new java.io.ByteArrayOutputStream()
+    val orig = System.err
+    ResidentIndex.budgetOverride = Some(4096L)
+    try {
+      System.setErr(new java.io.PrintStream(buf, true))
+      val root = java.nio.file.Files.createTempDirectory("graft_xov").toString
+      val (_, g) = runGate(root, "o", StreamDedupGate.DriverBackend,
+        Seq(corpus(40)))
+      g.drainCommits() // the mirror runs in the deferred commit
+    } finally {
+      System.setErr(orig)
+      ResidentIndex.budgetOverride = None
+    }
+    val err = buf.toString
+    assert(err.contains("byte budget mid-stream") ||
+      err.contains("exceeds the resident budget"), err.take(400))
+    assert(err.contains("backend = 'executor'"),
+      "overflow advice must name the executor backend")
+  }
+
   test("a superseded executor-gate instance fails fast instead of thrashing") {
     // two LIVE instances on one store path have different nonces; without
     // the owner stamp each probe would orphan the other's shards — a

@@ -163,6 +163,57 @@ class GateDdlSpec extends AnyFunSuite {
     assert(e4.getMessage.contains("does not compose with shards"))
   }
 
+  test("state_parts WITH option: applied, catalog-replayed, guarded") {
+    // the executor shard count is the first knob an operator tunes on a
+    // real cluster (P ≈ executors × cores) — DDL-settable, persisted,
+    // replayed, and diff-refused like every other gate option
+    val root = java.nio.file.Files.createTempDirectory("graft_gddl6").toString
+    val eng1 = new ContViewEngine(spark, root)
+    eng1.sql("CREATE STREAM p_in (id int8, body text)")
+    eng1.sql("CREATE STREAM p_clean (id int8, body text, fp int8)")
+    eng1.sql("""CREATE VIEW p_gate WITH (action = transform, sink = 'p_clean',
+              |  backend = 'executor', state_parts = 7,
+              |  outputfunc = neardup_gate('body', 'id')) AS
+              |SELECT id, body FROM p_in""".stripMargin)
+    eng1.sql("""CREATE CONTINUOUS VIEW v_p WITH (changes = false) AS
+              |SELECT id FROM p_clean""".stripMargin)
+    val g1 = eng1.gateOf("p_gate").get.asInstanceOf[SimHashNearDupGate]
+    assert(g1.executorIndex.parts === 7, "state_parts must size the shards")
+    eng1.sql("INSERT INTO p_in (id, body) VALUES " +
+      "(1, 'alpha beta gamma delta'), (2, 'epsilon zeta eta theta')")
+    eng1.sql("INSERT INTO p_in (id, body) VALUES (3, 'alpha beta gamma delta')")
+    assert(eng1.sql("SELECT id FROM v_p ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    // catalog replay restores the shard count
+    val eng2 = new ContViewEngine(spark, root)
+    val g2 = eng2.gateOf("p_gate").get.asInstanceOf[SimHashNearDupGate]
+    assert(g2.executorIndex.parts === 7, "replay must restore state_parts")
+    eng2.sql("INSERT INTO p_in (id, body) VALUES (4, 'alpha beta gamma delta')")
+    assert(eng2.sql("SELECT id FROM v_p ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    // changing only state_parts is a DIFFERENT definition
+    val e1 = intercept[IllegalArgumentException] {
+      eng2.sql("""CREATE VIEW p_gate WITH (action = transform, sink = 'p_clean',
+                |  backend = 'executor', state_parts = 8,
+                |  outputfunc = neardup_gate('body', 'id')) AS
+                |SELECT id, body FROM p_in""".stripMargin)
+    }
+    assert(e1.getMessage.contains("different definition"))
+    // guards: needs the executor backend; gate transforms only
+    val e2 = intercept[IllegalArgumentException] {
+      eng1.sql("""CREATE VIEW bad_p WITH (action = transform, sink = 'p_clean',
+                |  state_parts = 4,
+                |  outputfunc = neardup_gate('body', 'id')) AS
+                |SELECT id, body FROM p_in""".stripMargin)
+    }
+    assert(e2.getMessage.contains("requires"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException] {
+      eng1.sql("""CREATE CONTINUOUS VIEW bad_v WITH (state_parts = 4) AS
+                |SELECT id FROM p_clean""".stripMargin)
+    }
+    assert(e3.getMessage.contains("gate transforms only"))
+  }
+
   test("gate-spec string args support SQL '' quote escaping") {
     val root = java.nio.file.Files.createTempDirectory("graft_gddl3").toString
     val eng = new ContViewEngine(spark, root)
