@@ -139,50 +139,67 @@ object Bench {
           case re(n) => Some((n.toInt, f))
           case _ => None
         }).sortBy(-_._1).headOption.map(_._2)
-      newest.map { f =>
-        // the driver WRAPS the bench line in its own JSON ({"n":…,
-        // "tail":"<escaped summary line>"}), so unescape before matching
-        // and take the LAST occurrence of each key (the summary line is
-        // complete; the front-truncated full line may not be)
-        val txt = (try java.nio.file.Files.readString(f.toPath)
-          catch { case _: Throwable => "" })
-          .replace("\\\"", "\"").replace("\\\\", "\\")
+      // a REAL JSON parse (Jackson rides the Spark jars), not regex over
+      // unescaped text: the driver WRAPS the bench line ({"n":…,
+      // "tail":"<escaped summary line>"}) and a key landing in a
+      // truncated/wrapped tail used to silently yield stale values
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      def parse(s: String): Option[com.fasterxml.jackson.databind.JsonNode] =
+        try Option(om.readTree(s)) catch { case _: Throwable => None }
+      newest.flatMap { f =>
+        val raw = try java.nio.file.Files.readString(f.toPath)
+          catch { case _: Throwable => "" }
+        parse(raw) match {
+          case Some(n) if n.has("tail") =>
+            // the tail keeps a bounded SUFFIX of the output: the summary
+            // line (printed last, short) is complete there even when the
+            // full line is front-truncated — parse from its LAST start
+            // (readTree ignores trailing tokens by default)
+            val tail = n.get("tail").asText()
+            val i = tail.lastIndexOf("{\"metric\":\"summary\"")
+            if (i >= 0) parse(tail.substring(i)) else None
+          case Some(n) if n.has("metric") => Some(n)
+          case _ =>
+            // raw multi-line bench output: last self-contained metric line
+            raw.linesIterator.filter(_.startsWith("{\"metric\""))
+              .toSeq.lastOption.flatMap(parse)
+        }
+      }.filter { n =>
         // only adjudicate against an artifact at the SAME scale factor — a
         // local sf0.001 smoke run must not burn retries against the
         // driver's sf0.1 numbers
-        val sameSf = ("\"sf\"\\s*:\\s*\"([^\"]+)\"").r.findAllMatchIn(txt)
-          .toSeq.lastOption.exists(_.group(1) == sfDir)
-        if (!sameSf) Map.empty[String, Double]
-        else Seq("cv_ingest_events_per_sec", "cv_large_state_sec",
+        n.path("sf").asText() == sfDir
+      }.map { n =>
+        Seq("cv_ingest_events_per_sec", "cv_large_state_sec",
           "cv_soak_events_per_sec").flatMap { k =>
-          (("\"" + k + "\":([0-9.]+)").r).findAllMatchIn(txt).toSeq.lastOption
-            .map(m => k -> m.group(1).toDouble)
+          val v = n.path(k)
+          if (v.isNumber) Some(k -> v.asDouble()) else None
         }.toMap
       }.getOrElse(Map.empty)
     }
-    val (largeStateSec, ingestEventsPerSec, ingestAttempts) = {
-      def oneIngestPass(): (Double, Double) = {
-        val root = java.nio.file.Files.createTempDirectory("graft_lgbench").toString
-        val eng = new graft.cv.ContViewEngine(spark, root, smallStateBytes = 0L)
-        val events = graft.queries.Tables.events(spark, sfDir)
-        val nEvents = events.count()
-        eng.createStream("lg_stream", events.schema)
-        eng.createContView("v_lg",
-          """SELECT user_id, count(*) AS n, sum(value) AS sv, avg(value) AS av
-            |FROM lg_stream GROUP BY user_id""".stripMargin,
-          emitChanges = false)
-        val chunks = 2
-        val t0 = System.nanoTime()
-        (0 until chunks).foreach { i =>
-          val chunk = events.where(pmod(col("event_id"), lit(chunks)) === i).persist()
-          try eng.insertInto("lg_stream", chunk) finally chunk.unpersist()
-        }
-        val sec = (System.nanoTime() - t0) / 1e9
-        // release the store's persisted state + temp views so pass 2 (and
-        // the rest of the JVM) doesn't inherit this pass's cached footprint
-        eng.dropContView("v_lg"); eng.dropStream("lg_stream")
-        (sec, nEvents / sec)
+    def oneIngestPass(): (Double, Double) = {
+      val root = java.nio.file.Files.createTempDirectory("graft_lgbench").toString
+      val eng = new graft.cv.ContViewEngine(spark, root, smallStateBytes = 0L)
+      val events = graft.queries.Tables.events(spark, sfDir)
+      val nEvents = events.count()
+      eng.createStream("lg_stream", events.schema)
+      eng.createContView("v_lg",
+        """SELECT user_id, count(*) AS n, sum(value) AS sv, avg(value) AS av
+          |FROM lg_stream GROUP BY user_id""".stripMargin,
+        emitChanges = false)
+      val chunks = 2
+      val t0 = System.nanoTime()
+      (0 until chunks).foreach { i =>
+        val chunk = events.where(pmod(col("event_id"), lit(chunks)) === i).persist()
+        try eng.insertInto("lg_stream", chunk) finally chunk.unpersist()
       }
+      val sec = (System.nanoTime() - t0) / 1e9
+      // release the store's persisted state + temp views so pass 2 (and
+      // the rest of the JVM) doesn't inherit this pass's cached footprint
+      eng.dropContView("v_lg"); eng.dropStream("lg_stream")
+      (sec, nEvents / sec)
+    }
+    val (largeStateSec, ingestEventsPerSec, ingestAttempts) = {
       var best = Seq(oneIngestPass(), oneIngestPass()).minBy(_._1)
       var attempts = 2
       // previous-artifact adjudication: ingest >1.5x slower than last round
@@ -467,6 +484,13 @@ object Bench {
     val (exec10x, exec100x, execTries) = execScalePair("simhash", 5000)
     val (execExact10x, execExact100x, execExactTries) =
       execScalePair("exact", 20000)
+    // ... and the split-store members (jaccard/cosine: distributed phase 1
+    // + the executor payload pool) — their flat slopes lived only in
+    // PERF_NOTES prose until r13; now machine-checked per round
+    val (execJac10x, execJac100x, execJacTries) =
+      execScalePair("jaccard", 4000)
+    val (execCos10x, execCos100x, execCosTries) =
+      execScalePair("cosine", 2000)
     // Windowed-gate soak (r11 verdict item 7): a TTL jaccard gate under
     // sustained load with event time advancing ~12 min per batch and
     // compaction REAPS riding the feed (compactEvery = 8, window = 1 h →
@@ -584,8 +608,57 @@ object Bench {
     val (steal1, total1) = cpuTicks()
     val stealPct =
       if (total1 > total0) 100.0 * (steal1 - steal0) / (total1 - total0) else 0.0
+    val loadedBox = loadavgBefore.trim.split("\\s+").headOption
+      .flatMap(s => scala.util.Try(s.toDouble).toOption).exists(_ > 2.0) ||
+      stealPct > 1.0
+    // Quiet re-check (three rounds of hand-adjudicating steal pollution is
+    // enough): when the run itself was contaminated, wait for the next
+    // quiet window and re-run the CORE probes — the query sweep, one CV
+    // ingest pass, one soak, the exact-gate probe — stamping them into the
+    // SAME artifact as a `quiet_recheck` object, so the round's canonical
+    // numbers are machine-readable without PERF_NOTES forensics. Bounded:
+    // the wait gives up after SPARK_GRAFT_QUIET_WAIT_SEC (default 480) and
+    // says so.
+    val quietRecheck: String =
+      if (!loadedBox ||
+          sys.env.getOrElse("SPARK_GRAFT_QUIET_RECHECK", "1") == "0") ""
+      else {
+        val maxWait =
+          sys.env.getOrElse("SPARK_GRAFT_QUIET_WAIT_SEC", "480").toDouble
+        val w0 = System.nanoTime()
+        var (ws, wc) = cpuTicks()
+        var windowSteal = 100.0
+        var la = 99.0
+        var quiet = false
+        while (!quiet && (System.nanoTime() - w0) / 1e9 < maxWait) {
+          Thread.sleep(15000)
+          val (s2, c2) = cpuTicks()
+          windowSteal = if (c2 > wc) 100.0 * (s2 - ws) / (c2 - wc) else 0.0
+          ws = s2; wc = c2
+          la = loadavgNow().split("\\s+").headOption
+            .flatMap(s => scala.util.Try(s.toDouble).toOption).getOrElse(99.0)
+          quiet = la < 1.0 && windowSteal < 0.5
+        }
+        val waited = math.round((System.nanoTime() - w0) / 1e9)
+        if (!quiet)
+          s""","quiet_recheck":{"quiet_window_found":false,"waited_sec":$waited,"loadavg":"${loadavgNow()}"}"""
+        else {
+          val (rs0, rc0) = cpuTicks()
+          val sweepT0 = System.nanoTime()
+          val sweep = SparkEntry.queries.toSeq.sortBy(_._1)
+            .map { case (_, fn) => timeOnce(fn) }.sum
+          val sweepSec = (System.nanoTime() - sweepT0) / 1e9
+          val ing = oneIngestPass()
+          val soak = if (soakSec > 0) soakOnce() else (0.0, 0.0, 0.0, 0L, 0L)
+          val gate = gateProbe(nd = false, nBatches = 6, batchRows = 20000)
+          val (rs1, rc1) = cpuTicks()
+          val rSteal =
+            if (rc1 > rc0) 100.0 * (rs1 - rs0) / (rc1 - rc0) else 0.0
+          s""","quiet_recheck":{"quiet_window_found":true,"waited_sec":$waited,"sweep_sec":${math.round(sweepSec * 1000) / 1000.0},"query_sec_sum":${math.round(sweep * 1000) / 1000.0},"cv_large_state_sec":${math.round(ing._1 * 1000) / 1000.0},"cv_ingest_events_per_sec":${ing._2.round},"cv_soak_events_per_sec":${soak._1.round},"cv_soak_drift":${math.round(soak._2 * 1000) / 1000.0},"gate_events_per_sec":$gate,"loadavg":"${loadavgNow()}","cpu_steal_pct":${math.round(rSteal * 100) / 100.0}}"""
+        }
+      }
     // every scalar metric, shared by both output lines
-    val scalars = s""""sf":"$sfDir","runs_per_query":$repeats,"cv_large_state_sec":$largeStateSec,"cv_ingest_events_per_sec":${ingestEventsPerSec.round},"cv_probe_attempts":{"ingest":$ingestAttempts,"soak":$soakAttempts},"cv_reap_noop_sec":$reapNoopSec,"cv_soak_sec":$soakSec,"cv_soak_events_per_sec":${soakEvPerSec.round},"cv_soak_drift":${math.round(soakDrift * 1000) / 1000.0},"cv_soak_reap_ms":${math.round(soakReapMs * 100) / 100.0},"cv_soak_batches":$soakBatches,"cv_soak_commits":$soakCommits,"gate_events_per_sec":$gateEvPerSec,"ndgate_events_per_sec":$ndGateEvPerSec,"gate_large_store_exact_10x":$exact10x,"gate_large_store_exact_100x":$exact100x,"gate_large_store_simhash_10x":$simhash10x,"gate_large_store_simhash_100x":$simhash100x,"gate_large_store_jaccard_10x":$jaccard10x,"gate_large_store_jaccard_100x":$jaccard100x,"gate_large_store_cosine_10x":$cosine10x,"gate_large_store_cosine_100x":$cosine100x,"gate_exec_simhash_10x":$exec10x,"gate_exec_simhash_100x":$exec100x,"gate_exec_exact_10x":$execExact10x,"gate_exec_exact_100x":$execExact100x,"gate_scale_attempts":{"exact":$exactTries,"simhash":$simhashTries,"jaccard":$jaccardTries,"cosine":$cosineTries,"sharded":$shardTries,"exec":$execTries,"exec_exact":$execExactTries},"gate_sharded_cosine_g1":$cosineG1,"gate_sharded_cosine_g4":$cosineG4,"gate_soak_ttl_events_per_sec":$gateSoakEv,"gate_soak_ttl_drift":$gateSoakDrift,"gate_soak_ttl_sec":$gateSoakSec,"neardup_batch_10x_sec":${math.round(neardup10xSec * 1000) / 1000.0},"cc_rounds":$cc10xRounds,"cc_regime_default":"$cc10xRegimeDefault","cc_distributed_sec":${math.round(ccDistributedSec * 1000) / 1000.0},"loadavg_before":"$loadavgBefore","loadavg":"$loadavg","cpu_steal_pct":${math.round(stealPct * 100) / 100.0},"loaded_box":${loadavgBefore.trim.split("\\s+").headOption.flatMap(s => scala.util.Try(s.toDouble).toOption).exists(_ > 2.0) || stealPct > 1.0},"gate_pipeline":${graft.streaming.CommitPipeline.enabled}"""
+    val scalars = s""""sf":"$sfDir","runs_per_query":$repeats,"cv_large_state_sec":$largeStateSec,"cv_ingest_events_per_sec":${ingestEventsPerSec.round},"cv_probe_attempts":{"ingest":$ingestAttempts,"soak":$soakAttempts},"cv_reap_noop_sec":$reapNoopSec,"cv_soak_sec":$soakSec,"cv_soak_events_per_sec":${soakEvPerSec.round},"cv_soak_drift":${math.round(soakDrift * 1000) / 1000.0},"cv_soak_reap_ms":${math.round(soakReapMs * 100) / 100.0},"cv_soak_batches":$soakBatches,"cv_soak_commits":$soakCommits,"gate_events_per_sec":$gateEvPerSec,"ndgate_events_per_sec":$ndGateEvPerSec,"gate_large_store_exact_10x":$exact10x,"gate_large_store_exact_100x":$exact100x,"gate_large_store_simhash_10x":$simhash10x,"gate_large_store_simhash_100x":$simhash100x,"gate_large_store_jaccard_10x":$jaccard10x,"gate_large_store_jaccard_100x":$jaccard100x,"gate_large_store_cosine_10x":$cosine10x,"gate_large_store_cosine_100x":$cosine100x,"gate_exec_simhash_10x":$exec10x,"gate_exec_simhash_100x":$exec100x,"gate_exec_exact_10x":$execExact10x,"gate_exec_exact_100x":$execExact100x,"gate_exec_jaccard_10x":$execJac10x,"gate_exec_jaccard_100x":$execJac100x,"gate_exec_cosine_10x":$execCos10x,"gate_exec_cosine_100x":$execCos100x,"gate_scale_attempts":{"exact":$exactTries,"simhash":$simhashTries,"jaccard":$jaccardTries,"cosine":$cosineTries,"sharded":$shardTries,"exec":$execTries,"exec_exact":$execExactTries,"exec_jaccard":$execJacTries,"exec_cosine":$execCosTries},"gate_sharded_cosine_g1":$cosineG1,"gate_sharded_cosine_g4":$cosineG4,"gate_soak_ttl_events_per_sec":$gateSoakEv,"gate_soak_ttl_drift":$gateSoakDrift,"gate_soak_ttl_sec":$gateSoakSec,"neardup_batch_10x_sec":${math.round(neardup10xSec * 1000) / 1000.0},"cc_rounds":$cc10xRounds,"cc_regime_default":"$cc10xRegimeDefault","cc_distributed_sec":${math.round(ccDistributedSec * 1000) / 1000.0},"loadavg_before":"$loadavgBefore","loadavg":"$loadavg","cpu_steal_pct":${math.round(stealPct * 100) / 100.0},"loaded_box":$loadedBox,"gate_pipeline":${graft.streaming.CommitPipeline.enabled}$quietRecheck"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$scalars}""")
     // Compact summary LAST: the driver's artifact keeps a bounded tail of
     // this output, and the full line above (102 per-query timings) has
