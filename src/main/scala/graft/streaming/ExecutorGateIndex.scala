@@ -789,8 +789,13 @@ private[graft] final class GateTaskRDD[T: scala.reflect.ClassTag](
     if (h == null || h.isEmpty) Nil else Seq(h)
   }
 
-  /** Release the batch's broadcast blocks (driver + executors). */
-  def destroy(): Unit = bc.destroy()
+  /** Release the batch's broadcast blocks. Non-blocking on purpose: the
+    * no-arg `Broadcast.destroy()` WAITS for every executor to drop its
+    * blocks — a per-job synchronous round-trip the gate would pay once or
+    * twice per batch. `unpersist(false)` frees executor copies
+    * asynchronously and the ContextCleaner reaps the driver block when
+    * this RDD is GC'd (the gate holds no reference past the job). */
+  def destroy(): Unit = bc.unpersist(false)
 }
 
 private final class GateTaskPartition(override val index: Int)
