@@ -157,6 +157,45 @@ class ExecutorGateClusterSpec extends AnyFunSuite {
       "exact-gate membership diverged across real JVM boundaries")
   }
 
+  test("cluster: split-store gate fetches candidate payloads from executor-resident pools") {
+    // jaccard = the payload-pool path: phase 1 returns candidate ids from
+    // the index shards, phase 2 fetches their STORED payloads from the
+    // id-partitioned ExecutorPayloadPool — here across real JVMs, so the
+    // payloads round-trip through task results, not a shared heap
+    def toks(i: Int) = (0 until 30).map(j => s"c${i}t$j")
+    val c = (0 until 60).map { i =>
+      val t = if (i % 4 == 3) toks(i - 3).drop(2) ++ Seq("x", "y") else toks(i)
+      (i.toLong, t.mkString(" "))
+    }.toDF("id", "body")
+    def run(backend: String): Set[Long] = {
+      val root = java.nio.file.Files.createTempDirectory("graft_cl6").toString
+      val eng = new ContViewEngine(spark, s"$root/eng")
+      val schema = Seq((0L, "x")).toDF("id", "body").schema
+      eng.createStream("xj_in", schema)
+      eng.createStream("xj_out", schema)
+      eng.createContView("v_xj", "SELECT id FROM xj_out", emitChanges = false)
+      val g = JaccardNearDupGate.create(eng, "xj_gate",
+        "SELECT id, body FROM xj_in", textSql = "body", orderCol = "id",
+        sink = "xj_out", storeRoot = s"$root/gate", threshold = 0.7,
+        backend = backend, stateParts = 4)
+      eng.insertInto("xj_in", c.where(col("id") < 30))
+      eng.insertInto("xj_in", c.where(col("id") >= 30))
+      if (backend == StreamDedupGate.ExecutorBackend) {
+        g.drainCommits()
+        assert(g.executorPayloads != null &&
+          g.executorPayloads.pendingDepthForSpec <= 1)
+        assert(ExecutorGateState.registeredUnder(s"$root/gate") === 0,
+          "payload pool shards must live in the executor JVMs too")
+      }
+      eng.overlay("v_xj").collect().map(_.getLong(0)).toSet
+    }
+    val expected = run(StreamDedupGate.DriverBackend)
+    assert(expected.size < 60 && expected.size > 30,
+      s"fixture must exercise suppression (got ${expected.size})")
+    assert(run(StreamDedupGate.ExecutorBackend) === expected,
+      "payload-pool verification diverged across real JVM boundaries")
+  }
+
   test("cluster: exactly-once delivery composes with executor shards across a crash") {
     val root = java.nio.file.Files.createTempDirectory("graft_cl5").toString
     val eng = new ContViewEngine(spark, s"$root/eng")
