@@ -645,10 +645,15 @@ object Bench {
         else {
           val (rs0, rc0) = cpuTicks()
           val sweepT0 = System.nanoTime()
+          // same min-of-N discipline as the main pass: a single-shot
+          // sweep right after an hour of heavy work reads WORSE than the
+          // contaminated run it is meant to adjudicate (GC/page-cache
+          // churn), defeating the purpose
           val sweep = SparkEntry.queries.toSeq.sortBy(_._1)
-            .map { case (_, fn) => timeOnce(fn) }.sum
+            .map { case (_, fn) => (1 to repeats).map(_ => timeOnce(fn)).min }
+            .sum
           val sweepSec = (System.nanoTime() - sweepT0) / 1e9
-          val ing = oneIngestPass()
+          val ing = Seq(oneIngestPass(), oneIngestPass()).minBy(_._1)
           val soak = if (soakSec > 0) soakOnce() else (0.0, 0.0, 0.0, 0L, 0L)
           val gate = gateProbe(nd = false, nBatches = 6, batchRows = 20000)
           val (rs1, rc1) = cpuTicks()

@@ -266,9 +266,13 @@ private[streaming] object GateStore {
     * rename like [[append]].
     *
     * Supports the gate stores' PRIMITIVE column types (long/int/string/
-    * double/timestamp/date — index stores and exact-gate key stores);
-    * returns false on any other schema (array payloads) and the caller
-    * falls back to the Spark write. */
+    * double/timestamp/date — index stores and exact-gate key stores) plus
+    * standard-layout LISTs of long/float/double (the split-store payload
+    * columns: minhash signatures, quantized embeddings — round 13: the
+    * payload append used to fall back to a Spark LocalRelation write,
+    * paying a whole job's latency AND shipping the batch's payloads in
+    * one task closure per batch); returns false on any other schema and
+    * the caller falls back to the Spark write. */
   def appendLocal(rows: java.util.List[org.apache.spark.sql.Row],
       schema: org.apache.spark.sql.types.StructType, dir: Path,
       prefix: String, batch: Long, sortCol: Option[String] = None): Boolean = {
@@ -277,20 +281,34 @@ private[streaming] object GateStore {
       PrimitiveType, MessageType}
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
     def fieldOf(f: StructField): Option[org.apache.parquet.schema.Type] = {
-      val b: Option[PT.PrimitiveBuilder[PrimitiveType]] = f.dataType match {
-        case LongType => Some(PT.optional(INT64))
-        case IntegerType => Some(PT.optional(INT32)
-          .as(L.intType(32, true)))
-        case StringType => Some(PT.optional(BINARY).as(L.stringType()))
-        case DoubleType => Some(PT.optional(DOUBLE))
-        case FloatType => Some(PT.optional(FLOAT))
-        case BooleanType => Some(PT.optional(BOOLEAN))
-        case TimestampType => Some(PT.optional(INT64)
-          .as(L.timestampType(true, L.TimeUnit.MICROS)))
-        case DateType => Some(PT.optional(INT32).as(L.dateType()))
-        case _ => None
+      f.dataType match {
+        // Spark's standard 3-level LIST layout (optional group (LIST) {
+        // repeated group list { optional element } }) — what
+        // spark.read.parquet round-trips bit-identically
+        case ArrayType(elem, _) =>
+          val e: Option[PrimitiveType.PrimitiveTypeName] = elem match {
+            case LongType => Some(INT64)
+            case FloatType => Some(FLOAT)
+            case DoubleType => Some(DOUBLE)
+            case _ => None
+          }
+          e.map(t => PT.optionalList().optionalElement(t).named(f.name))
+        case _ =>
+          val b: Option[PT.PrimitiveBuilder[PrimitiveType]] = f.dataType match {
+            case LongType => Some(PT.optional(INT64))
+            case IntegerType => Some(PT.optional(INT32)
+              .as(L.intType(32, true)))
+            case StringType => Some(PT.optional(BINARY).as(L.stringType()))
+            case DoubleType => Some(PT.optional(DOUBLE))
+            case FloatType => Some(PT.optional(FLOAT))
+            case BooleanType => Some(PT.optional(BOOLEAN))
+            case TimestampType => Some(PT.optional(INT64)
+              .as(L.timestampType(true, L.TimeUnit.MICROS)))
+            case DateType => Some(PT.optional(INT32).as(L.dateType()))
+            case _ => None
+          }
+          b.map(_.named(f.name))
       }
-      b.map(_.named(f.name))
     }
     val fields = schema.fields.map(fieldOf)
     if (fields.exists(_.isEmpty)) return false
@@ -330,6 +348,23 @@ private[streaming] object GateStore {
           var i = 0
           while (i < schema.length) {
             if (!r.isNullAt(i)) schema.fields(i).dataType match {
+              case ArrayType(elem, _) =>
+                val lst = g.addGroup(i)
+                val vals: Iterator[Any] = r.get(i) match {
+                  case a: Array[_] => a.iterator
+                  case s: scala.collection.Seq[_] => s.iterator
+                  case other => throw new IllegalStateException(
+                    s"unexpected array host ${other.getClass}")
+                }
+                vals.foreach { v =>
+                  val e = lst.addGroup("list")
+                  elem match {
+                    case LongType => e.add("element", v.asInstanceOf[Long])
+                    case FloatType => e.add("element", v.asInstanceOf[Float])
+                    case DoubleType => e.add("element", v.asInstanceOf[Double])
+                    case other => throw new IllegalStateException(s"$other")
+                  }
+                }
               case LongType => g.add(i, r.getLong(i))
               case IntegerType => g.add(i, r.getInt(i))
               case StringType => g.add(i, r.getString(i))

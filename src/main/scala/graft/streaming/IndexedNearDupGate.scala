@@ -1085,10 +1085,16 @@ private[streaming] abstract class IndexedNearDupGate[P](
           (if (!ttlEnabled) Nil
            else Seq(org.apache.spark.sql.types.StructField("ts",
              org.apache.spark.sql.types.TimestampType)))
-        GateStore.append(
-          coreSession.createDataFrame(pay,
-            org.apache.spark.sql.types.StructType(payFields)),
-          payloadDir, payloadPrefix, batches, sortCol = Some("id"))
+        val paySchema = org.apache.spark.sql.types.StructType(payFields)
+        // driver-direct parquet write (round 13 — the index store's r11
+        // treatment extended to array payloads): skips a whole Spark job
+        // per batch AND the one-task LocalRelation closure that shipped
+        // every payload through the scheduler; exotic id/payload types
+        // fall back to the Spark write
+        if (!GateStore.appendLocal(pay, paySchema, payloadDir,
+            payloadPrefix, batches, sortCol = Some("id")))
+          GateStore.append(coreSession.createDataFrame(pay, paySchema),
+            payloadDir, payloadPrefix, batches, sortCol = Some("id"))
         // hot-tier mirror (skip when stale: the pending rebuild re-reads
         // the store, which now includes this append)
         if (payloadPool != null && payloadPool.active && !residentStale)
