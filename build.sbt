@@ -49,3 +49,9 @@ Test / testGrouping := {
     new Tests.Group("rest", rest, Tests.SubProcess(forkOpts)),
   ).filter(_.tests.nonEmpty)
 }
+// Forked test groups run SERIALLY: each group's JVM takes the full -Xmx
+// (default 8g) and the cluster group additionally spawns two 2048 MB
+// executor JVMs — concurrent groups would oversubscribe memory on
+// smaller boxes.
+// (sbt tags every forked test-group task with ForkedTestGroup itself)
+concurrentRestrictions in Global += Tags.limit(Tags.ForkedTestGroup, 1)

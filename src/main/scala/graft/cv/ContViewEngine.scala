@@ -1446,10 +1446,11 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     graft.streaming.CommitPipeline.drainUnder(
       Paths.get(root, name).toString)
     // executor-backend shards keyed under this store root are dead weight
-    // once the store is deleted — evict them from the in-JVM registry
-    // (cluster caveat documented on dropUnder: remote executors' orphans
-    // are generation-fenced and bounded by dropped-gate count)
-    graft.streaming.ExecutorGateState.dropUnder(
+    // once the store is deleted — evict them from EVERY JVM's registry
+    // (local sweep always; plus one task-per-slot cluster job when this
+    // root ever hosted executor-tier instances, so remote executors free
+    // their heap instead of waiting for recycle)
+    graft.streaming.ExecutorGateState.dropDistributedUnder(spark,
       Paths.get(root, name).toAbsolutePath.toString)
     gateSignatures.remove(name)
     readers.get(h.streamName).foreach(b => { b -= name; () })

@@ -196,7 +196,9 @@ object CvQueries {
       // driver parquet carries TIMESTAMP(NANOS) ts (readable only as long
       // under nanosAsLong, which a long→timestamp cast would misinterpret
       // as seconds), so stage the normalized table once and COPY that
-      val copySrc = s"$root/_copy_src"
+      // no leading underscore: DataSource treats `_`/`.`-prefixed paths as
+      // hidden and logs a spurious "All paths were ignored" WARN per read
+      val copySrc = s"$root/copy_src"
       events.write.parquet(copySrc)
       eng.copyInto("cp_stream", copySrc)
       // combine_table backfill (combiner.c:2252-2350): two CVs each fed a
@@ -853,12 +855,17 @@ object CvQueries {
             corpus.schema.fields :+ org.apache.spark.sql.types.StructField(
               "h", org.apache.spark.sql.types.StringType)))
           eng.createStream("xg_j_out", corpus.schema)
+          // state_parts = 4 / 3: NON-default shard counts, so the oracle
+          // rows drive the sharded-state geometry (and its catalog replay
+          // across the mid-feed restart) end-to-end, not just the default
           eng.sql("""CREATE VIEW xg_dedup WITH (action = transform,
                     |  sink = 'xg_d_out', backend = 'executor',
+                    |  state_parts = 4,
                     |  outputfunc = dedup_gate('md5(text)', 'doc_id')) AS
                     |SELECT doc_id, text FROM xg_in""".stripMargin)
           eng.sql("""CREATE VIEW xg_jac WITH (action = transform,
                     |  sink = 'xg_j_out', backend = 'executor',
+                    |  state_parts = 3,
                     |  outputfunc = jaccard_gate('text', 'doc_id', 0.8)) AS
                     |SELECT doc_id, text FROM xg_in""".stripMargin)
           eng.createContView("v_xg_d", "SELECT doc_id FROM xg_d_out",

@@ -77,6 +77,7 @@ private[graft] final class ExecutorGateIndex(
   // compaction fold, or a bulk seed invalidates every shard (rebuild)
   private val nonce = java.util.UUID.randomUUID().toString.take(8)
   ExecutorGateIndex.stampOwner(storeDir, "_owner_idx", nonce)
+  ExecutorGateState.registerLiveDir(storeKey)
   private var invalidations = 0L
   private def gen: String = s"$nonce:$invalidations"
   private var needRebuild = true // bootstrap starts from the store
@@ -299,7 +300,14 @@ private[graft] object ExecutorGateIndex {
       nonce: String, what: String): Unit = {
     val f = dir.resolve(marker)
     val cur =
-      if (!java.nio.file.Files.exists(f)) nonce
+      if (!java.nio.file.Files.exists(f)) {
+        // marker deleted out-of-band (store dir cleaned/recreated while
+        // instances live): RE-STAMP this caller's nonce instead of assuming
+        // ownership, so another live instance still fails fast on its next
+        // probe rather than silently reverting to rebuild ping-pong
+        stampOwner(dir, marker, nonce)
+        nonce
+      }
       else new String(java.nio.file.Files.readAllBytes(f),
         java.nio.charset.StandardCharsets.UTF_8)
     if (cur != nonce) throw new IllegalStateException(
@@ -357,6 +365,7 @@ private[graft] final class ExecutorPayloadPool(
   private val storeKey = payloadDir.toAbsolutePath.toString + "#pay"
   private val nonce = java.util.UUID.randomUUID().toString.take(8)
   ExecutorGateIndex.stampOwner(payloadDir, "_owner_pay", nonce)
+  ExecutorGateState.registerLiveDir(storeKey)
   private var invalidations = 0L
   private def gen: String = s"$nonce:$invalidations"
   private var needRebuild = true
@@ -516,6 +525,7 @@ private[graft] final class ExecutorSeenStore(
   private val storeKey = storeDir.toAbsolutePath.toString + "#seen"
   private val nonce = java.util.UUID.randomUUID().toString.take(8)
   ExecutorGateIndex.stampOwner(storeDir, "_owner_seen", nonce)
+  ExecutorGateState.registerLiveDir(storeKey)
   private var invalidations = 0L
   private def gen: String = s"$nonce:$invalidations"
   private var needRebuild = true
@@ -726,13 +736,59 @@ private[graft] object ExecutorGateState {
   def payloadShardFor(storeKey: String, k: Int): PayloadShard =
     payloadShards.computeIfAbsent(s"$storeKey#$k", _ => new PayloadShard)
 
-  /** Drop-path eviction: free every shard registered under a store-root
-    * prefix (the engine deletes `root/<gate>/` wholesale). In-JVM only —
-    * local mode and same-process restart fixtures free their heap here;
-    * on a real cluster a REMOTE executor's orphaned shards are
-    * generation-fenced (a re-created gate never reads them) and bounded
-    * by the dropped-gate count, reclaimed at executor recycle. A
-    * production impl would ride an executor-broadcast cleanup job. */
+  /** Store dirs with LIVE executor-tier instances constructed by THIS
+    * driver — lets the drop path skip the cluster-wide sweep job for the
+    * (common) gates that never used the executor backend. */
+  private val liveDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private[streaming] def registerLiveDir(dir: String): Unit = {
+    liveDirs.add(dir); ()
+  }
+
+  /** Drop-path eviction across the WHOLE cluster: sweep this JVM's
+    * registry, then — when the dropped store ever had executor-tier
+    * instances and the master is not local — run one short job with a
+    * task per core slot so every executor JVM sweeps its own registry
+    * (at stage submit the scheduler fills every free slot in one wave,
+    * so ≥ totalSlots instantaneous tasks reach every executor; the
+    * visited-executor check retries the rare miss). Without this, a
+    * dropped gate's REMOTE shards — generation-fenced, so never read
+    * again — would wait for executor recycle to free their heap.
+    * Reference anchor: the reaper/terminate path frees per-CQ combiner
+    * state (scheduler.c:584-698), it does not leak it until process
+    * exit. */
+  def dropDistributedUnder(spark: SparkSession, dir: String): Unit = {
+    dropUnder(dir)
+    val prefix = if (dir.endsWith("/")) dir else dir + "/"
+    var had = false
+    val it = liveDirs.iterator()
+    while (it.hasNext) {
+      val d = it.next()
+      if (d == dir || d.startsWith(prefix) || d.startsWith(dir + "#")) {
+        it.remove(); had = true
+      }
+    }
+    val sc = spark.sparkContext
+    if (!had || sc.isLocal) return
+    def executors(): Int =
+      math.max(0, sc.statusTracker.getExecutorInfos.length - 1)
+    val visited = scala.collection.mutable.Set[String]()
+    var attempts = 0
+    while (attempts < 3 && visited.size < executors()) {
+      val slots = math.max(sc.defaultParallelism, executors() * 2) * 2
+      visited ++= sc.parallelize(0 until slots, slots).mapPartitions { _ =>
+        ExecutorGateState.dropUnder(dir)
+        Iterator.single(org.apache.spark.SparkEnv.get.executorId)
+      }.collect()
+      attempts += 1
+    }
+  }
+
+  /** Drop-path eviction, THIS JVM only: free every shard registered under
+    * a store-root prefix (the engine deletes `root/<gate>/` wholesale).
+    * Executor tasks of [[dropDistributedUnder]]'s sweep job call this in
+    * their own JVMs. */
   def dropUnder(dir: String): Unit = {
     val prefix = if (dir.endsWith("/")) dir else dir + "/"
     def sweep[V](m: ConcurrentHashMap[String, V]): Unit = {
@@ -793,9 +849,24 @@ private[graft] final class GateTaskRDD[T: scala.reflect.ClassTag](
     * no-arg `Broadcast.destroy()` WAITS for every executor to drop its
     * blocks — a per-job synchronous round-trip the gate would pay once or
     * twice per batch. `unpersist(false)` frees executor copies
-    * asynchronously and the ContextCleaner reaps the driver block when
-    * this RDD is GC'd (the gate holds no reference past the job). */
-  def destroy(): Unit = bc.unpersist(false)
+    * asynchronously but leaves the DRIVER block until ContextCleaner reaps
+    * the GC'd Broadcast object — on a large driver heap, GCs can be far
+    * apart and batch-sized blocks accumulate (MEMORY_AND_DISK, so they
+    * spill rather than OOM, but still). Every
+    * [[GateTaskRDD.FullDestroyEvery]]-th release is therefore a full
+    * `destroy()`, which also drops the driver block — amortizing the
+    * synchronous round-trip to <2% of batches while bounding the driver's
+    * lingering blocks. */
+  def destroy(): Unit =
+    if (GateTaskRDD.releases.incrementAndGet() % GateTaskRDD.FullDestroyEvery == 0)
+      bc.destroy()
+    else bc.unpersist(false)
+}
+
+private[graft] object GateTaskRDD {
+  /** Cadence of full (driver-block-freeing) broadcast destroys. */
+  val FullDestroyEvery: Int = 64
+  private val releases = new java.util.concurrent.atomic.AtomicLong(0L)
 }
 
 private final class GateTaskPartition(override val index: Int)

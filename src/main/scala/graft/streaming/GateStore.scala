@@ -76,10 +76,28 @@ private[streaming] object GateStore {
       case other =>
         org.apache.spark.sql.catalyst.CatalystTypeConverters.convertToCatalyst(other)
     }.toSet
+    if (captureInSetStats) {
+      // bench probe seam: the InSet's value set is what a large candidate
+      // list serializes into EVERY scan task's binary — java-serialize it
+      // here (same mechanism the TaskSetManager sizes) so the trade behind
+      // maxPushdownKeys carries a measured number per round
+      val bos = new java.io.ByteArrayOutputStream()
+      val oos = new java.io.ObjectOutputStream(bos)
+      oos.writeObject(conv)
+      oos.close()
+      lastInSetKeys = conv.size
+      lastInSetBytes = bos.size.toLong
+    }
     org.apache.spark.sql.GraftBridge.column(
       org.apache.spark.sql.catalyst.expressions.InSet(
         org.apache.spark.sql.GraftBridge.expression(c), conv))
   }
+
+  /** Bench/probe seam ([[inSetCol]]): when enabled, record each pushed
+    * candidate set's cardinality and java-serialized bytes. */
+  @volatile private[graft] var captureInSetStats: Boolean = false
+  @volatile private[graft] var lastInSetKeys: Int = 0
+  @volatile private[graft] var lastInSetBytes: Long = 0L
 
   /** A store file plus the encoded [min,max] of its sort column when the
     * filename carries one (range-sharded compaction output). Ranges are
@@ -358,7 +376,10 @@ private[streaming] object GateStore {
                 }
                 vals.foreach { v =>
                   val e = lst.addGroup("list")
-                  elem match {
+                  // a null element stays an EMPTY list entry (the layout's
+                  // optional element) — `v.asInstanceOf[Long]` would
+                  // silently unbox null to 0 and corrupt the payload
+                  if (v != null) elem match {
                     case LongType => e.add("element", v.asInstanceOf[Long])
                     case FloatType => e.add("element", v.asInstanceOf[Float])
                     case DoubleType => e.add("element", v.asInstanceOf[Double])
@@ -479,7 +500,11 @@ private[streaming] object GateStore {
         // over the just-written, page-cached stage) + exact row count
         val ranged: Map[String, (String, String)] = sortCol match {
           case Some(c) =>
-            spark.read.parquet(stage.toString)
+            // explicit part paths, not the stage DIRECTORY: the dir's
+            // dot-prefixed name trips DataSource's hidden-path check and
+            // logs a spurious "All paths were ignored" WARN per compaction
+            // (dozens per bench run — they drowned the artifact tail)
+            spark.read.parquet(parts.map(_.getAbsolutePath).toSeq: _*)
               .groupBy(input_file_name().as("f"))
               .agg(min(col(c)).as("lo"), max(col(c)).as("hi"))
               .collect()

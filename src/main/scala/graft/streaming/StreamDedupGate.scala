@@ -865,6 +865,13 @@ object StreamDedupGate {
   val DriverBackend = "driver"
   val ExecutorBackend = "executor"
 
+  /** Bench-probe seam into [[GateStore]]'s InSet capture (GateStore is
+    * package-private to streaming; the probes live in package graft). */
+  private[graft] def setInSetCapture(on: Boolean): Unit =
+    GateStore.captureInSetStats = on
+  private[graft] def lastInSetStats: (Int, Long) =
+    (GateStore.lastInSetKeys, GateStore.lastInSetBytes)
+
   private[streaming] def deleteRecursively(f: java.io.File): Unit =
     GateStore.deleteRecursively(f)
 

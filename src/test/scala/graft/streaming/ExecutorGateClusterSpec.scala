@@ -196,6 +196,92 @@ class ExecutorGateClusterSpec extends AnyFunSuite {
       "payload-pool verification diverged across real JVM boundaries")
   }
 
+  test("cluster: dropping a gate frees executor-resident shards in EVERY executor JVM") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cl7").toString
+    val eng = new ContViewEngine(spark, root) // store under the ENGINE root
+    val schema = Seq((0L, "x")).toDF("id", "body").schema
+    eng.createStream("xg_in", schema)
+    eng.createStream("xg_out", org.apache.spark.sql.types.StructType(
+      schema.fields :+ org.apache.spark.sql.types.StructField("fp",
+        org.apache.spark.sql.types.LongType)))
+    val g = SimHashNearDupGate.create(eng, "xg_gate",
+      "SELECT id, body FROM xg_in", textSql = "body", orderCol = "id",
+      sink = "xg_out", storeRoot = s"$root/xg_gate", maxDist = 3,
+      backend = StreamDedupGate.ExecutorBackend, stateParts = 4)
+    // two batches: batch 1's index delta rides batch 2's probe job, so
+    // only then do the executor-resident shards hold entries
+    val c60 = corpus(60)
+    eng.insertInto("xg_in", c60.where(col("id") < 30))
+    eng.insertInto("xg_in", c60.where(col("id") >= 30))
+    assert(g.executorIndex.totalEntries > 0L)
+    val gateDir = java.nio.file.Paths.get(root, "xg_gate")
+      .toAbsolutePath.toString
+    // probe every executor JVM's registry: one instantaneous task per core
+    // slot fills every free slot in one wave, so both forked JVMs answer
+    def perJvm(): Map[String, Int] = {
+      val sc = spark.sparkContext
+      val slots = sc.defaultParallelism * 2
+      sc.parallelize(0 until slots, slots).mapPartitions { _ =>
+        Iterator.single((org.apache.spark.SparkEnv.get.executorId,
+          ExecutorGateState.registeredUnder(gateDir)))
+      }.collect().groupBy(_._1).map { case (e, v) => e -> v.map(_._2).max }
+    }
+    val before = perJvm()
+    assert(before.size >= 2, s"probe must reach both executor JVMs: $before")
+    assert(before.values.sum > 0,
+      s"executor JVMs must hold shards before the drop: $before")
+    eng.dropContTransform("xg_gate")
+    val after = perJvm()
+    assert(after.size >= 2, s"probe must reach both executor JVMs: $after")
+    assert(after.values.forall(_ == 0),
+      s"drop must free REMOTE executor registries, not just the driver's: $after")
+  }
+
+  test("cluster: TTL reap of executor-resident state matches the driver backend across JVMs") {
+    // windowed simhash corpus with the three-case schedule: in-window
+    // near-dup → suppressed; re-crawl after every seen-time aged out →
+    // admitted; copy inside the re-crawl's refreshed window → suppressed.
+    // Compaction reaps ride every batch, so the executor shards are
+    // invalidated and REBUILT from the reaped store across real JVMs.
+    def base(i: Int) = (0 until 24).map(j => s"d${i}w$j").mkString(" ")
+    val rows = (0 until 30).map { i =>
+      (i.toLong, base(i), s"2024-01-01 0${i % 6}:00:00")
+    } ++ Seq(
+      // exact copies (simhash distance 0 — deterministic), so the three
+      // window cases depend ONLY on the ts schedule
+      (100L, base(0), "2024-01-01 06:00:00"), // in-window → suppressed
+      (101L, base(1), "2024-01-03 00:00:00"), // aged out → admitted
+      (102L, base(1), "2024-01-03 06:00:00")  // inside 101's window → suppressed
+    )
+    val df = rows.toDF("id", "body", "tss")
+      .withColumn("ts", col("tss").cast("timestamp")).drop("tss")
+    def run(backend: String): Set[Long] = {
+      val root = java.nio.file.Files.createTempDirectory("graft_cl8").toString
+      val eng = new ContViewEngine(spark, s"$root/eng")
+      eng.createStream("xt_in", df.schema)
+      eng.createStream("xt_out", org.apache.spark.sql.types.StructType(
+        df.schema.fields :+ org.apache.spark.sql.types.StructField("fp",
+          org.apache.spark.sql.types.LongType)))
+      eng.createContView("v_xt", "SELECT id FROM xt_out", emitChanges = false)
+      val g = SimHashNearDupGate.create(eng, "xt_gate",
+        "SELECT id, body, ts FROM xt_in", textSql = "body", orderCol = "id",
+        sink = "xt_out", storeRoot = s"$root/gate", maxDist = 3,
+        backend = backend, stateParts = 4,
+        ttlMillis = 24L * 3600 * 1000, ttlColumn = "ts")
+      eng.insertInto("xt_in", df.where(col("id") < 100))
+      g.compact() // reap: every later batch probes REBUILT post-reap shards
+      eng.insertInto("xt_in", df.where(col("id") === 100))
+      g.compact()
+      eng.insertInto("xt_in", df.where(col("id") > 100))
+      eng.overlay("v_xt").collect().map(_.getLong(0)).toSet
+    }
+    val expected = run(StreamDedupGate.DriverBackend)
+    assert(expected.contains(101L) && !expected.contains(100L) &&
+      !expected.contains(102L), s"fixture must exercise all 3 window cases: $expected")
+    assert(run(StreamDedupGate.ExecutorBackend) === expected,
+      "windowed executor backend diverged from driver across real JVM boundaries")
+  }
+
   test("cluster: exactly-once delivery composes with executor shards across a crash") {
     val root = java.nio.file.Files.createTempDirectory("graft_cl5").toString
     val eng = new ContViewEngine(spark, s"$root/eng")
