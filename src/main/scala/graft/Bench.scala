@@ -163,6 +163,7 @@ object Bench {
     val qcvMax = if (qcv.isEmpty) 0.0 else qcv.map(_._2).max
     val slowest = results.sortBy(-_._2).take(5)
       .map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
+    val probeSecs = scala.collection.mutable.LinkedHashMap[String, Double]()
     def scalarsNow(): String = {
       // live run-health fields refresh at every emit
       str("loadavg_before", loadavgBefore)
@@ -175,16 +176,30 @@ object Bench {
       num("bench_budget_sec", budgetSec)
       raw("probes_skipped",
         skipped.map("\"" + _ + "\"").mkString("[", ",", "]"))
+      // measured wall per probe: what the next round tunes estimates from,
+      // and what explains any skip decision after the fact
+      raw("probe_secs", probeSecs
+        .map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}"))
       fields.map { case (k, v) => "\"" + k + "\":" + v }.mkString(",")
     }
     def emitSummary(): Unit =
       println(s"""{"metric":"summary","value":${f3(total)},"unit":"sec","n_queries":${results.size},"q_cv_max_sec":${f3(qcvMax)},"slowest":$slowest,${scalarsNow()}}""")
     /** Budget gate: run the probe when its rough cost fits the remaining
       * budget, else record it as skipped; either way re-emit the summary
-      * so the artifact carries everything known so far. */
+      * so the artifact carries everything known so far. Each probe opens
+      * with a GC pause billed to its untimed boundary: late probes in the
+      * sequence otherwise inherit the earlier probes' heap debris — the
+      * full-artifact run measured jaccard 100× ratios of 0.52/0.59 that an
+      * isolated fresh-JVM run of the SAME probe reads as 1.07/1.06. */
     def probe(name: String, estSec: Double)(run: => Unit): Unit = {
       if (remainingSec < estSec) { skipped += name; () }
-      else run
+      else {
+        System.gc()
+        Thread.sleep(200)
+        val t0 = elapsedSec
+        run
+        probeSecs(name) = elapsedSec - t0
+      }
       emitSummary()
     }
 
@@ -484,11 +499,14 @@ object Bench {
     val gateScale = sys.env.getOrElse("SPARK_GRAFT_GATE_SCALE", "1") != "0"
     if (gateScale) {
       val kinds = Seq(
-        // (kind, batchRows, bigBatchRows, estSec)
-        ("exact", 20000, 100000, 300.0),
-        ("simhash", 5000, 0, 220.0),
-        ("jaccard", 4000, 0, 260.0),
-        ("cosine", 2000, 0, 200.0))
+        // (kind, batchRows, bigBatchRows, estSec) — estimates re-measured
+        // after the store-reuse rewrite (probe_secs, sf0.01 smoke on a
+        // loaded 8-core box: cosine 55 s): one seeding chain per kind cut
+        // the old 200-300 s estimates to well under half
+        ("exact", 20000, 100000, 170.0),
+        ("simhash", 5000, 0, 110.0),
+        ("jaccard", 4000, 0, 130.0),
+        ("cosine", 2000, 0, 90.0))
       kinds.foreach { case (kind, rows, big, est) =>
         probe(s"gate_scale_$kind", estSec = est) {
           val r = GateProbes.dualScaleProbe(spark, kind, rows,

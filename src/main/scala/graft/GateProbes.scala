@@ -363,6 +363,36 @@ object GateProbes {
   }
 }
 
+/** Dual-backend scale-probe driver: `runMain graft.ProfileGateDual [kind]
+  * [batchRows] [bigBatchRows]` — the exact probe Bench runs, in isolation,
+  * for estimate tuning and anomaly reproduction. */
+object ProfileGateDual {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val kind = args.headOption.getOrElse("jaccard")
+    val rows = args.lift(1).map(_.toInt).getOrElse(kind match {
+      case "exact" => 20000
+      case "simhash" => 5000
+      case "jaccard" => 4000
+      case _ => 2000
+    })
+    val big = args.lift(2).map(_.toInt).getOrElse(0)
+    val t0 = System.nanoTime()
+    val r = GateProbes.dualScaleProbe(spark, kind, rows, bigBatchRows = big)
+    val wall = (System.nanoTime() - t0) / 1e9
+    println(f"[gate-dual] $kind%s batchRows=$rows%d driver=${r.driver.mkString("/")} " +
+      f"exec=${r.exec.mkString("/")} attempts=${r.driverAttempts}%d/${r.execAttempts}%d " +
+      f"(wall $wall%.1f s)")
+    spark.stop()
+  }
+}
+
 /** Shard scale-out driver: `runMain graft.ProfileGateShards [kind]
   * [batchRows] [storeMult] [gs,csv]` — aggregate ev/s per shard count at a
   * seeded store. */

@@ -1029,7 +1029,7 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     // per-gate state options (beyond-ref; the combiner-tier analogues):
     // resident_mb caps THIS gate's driver hot tier (beats the process-wide
     // GRAFT_GATE_RESIDENT_MB); backend = 'executor' moves the probe state
-    // to executor-partitioned shards — near-dup gates only, and the
+    // to executor-partitioned shards — every gate kind, and the
     // executor backend does not compose with driver-thread core sharding
     val kindWord = gateSpec.trim.takeWhile(c => c.isLetter || c == '_').toLowerCase
     val nearDupKind = Set("neardup_gate", "cosine_gate", "jaccard_gate")(kindWord)
@@ -1038,9 +1038,6 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
         "the exact/contamination gates keep no resident payload tier")
     require(residentMb.forall(_ >= 0), s"negative resident_mb $residentMb")
     backendOpt.foreach { b =>
-      require(nearDupKind || kindWord == "dedup_gate",
-        "backend applies to the dedup/near-dup gates (the contamination " +
-          "gate's reference store is static)")
       require(b == graft.streaming.StreamDedupGate.DriverBackend ||
         b == graft.streaming.StreamDedupGate.ExecutorBackend,
         s"unknown backend '$b' (expected driver or executor)")
@@ -1209,8 +1206,14 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
             reference = spark.sql(unq(refSql)),
             n = Option(n).map(_.toInt).getOrElse(3),
             delivery = Option(dv).map(unq)
-              .getOrElse(graft.streaming.StreamDedupGate.AtLeastOnce))
+              .getOrElse(graft.streaming.StreamDedupGate.AtLeastOnce),
+            backend = backendOpt
+              .getOrElse(graft.streaming.StreamDedupGate.DriverBackend),
+            stateParts = statePartsOpt.getOrElse(0))
         case contaminationRe(textSql, orderCol, refSql, n, shards, dv) =>
+          require(!backendOpt.contains(
+            graft.streaming.StreamDedupGate.ExecutorBackend),
+            "backend = 'executor' does not compose with shards >= 2")
           graft.streaming.ContaminationGate.createSharded(this, name,
             selectSql, unq(textSql), unq(orderCol), sink, storeRoot = root,
             reference = spark.sql(unq(refSql)), shards = shards.toInt,

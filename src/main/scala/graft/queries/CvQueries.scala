@@ -849,12 +849,21 @@ object CvQueries {
         val copies = base.where(pmod(col("doc_id"), lit(4)) === 0)
           .select((col("doc_id") + 600000L).as("doc_id"), col("text"))
         val corpus = base.unionByName(copies)
+        // reference corpus for the executor contamination gate: every 20th
+        // base doc. Tokens are doc-disjoint by construction, so a streamed
+        // doc shares a 3-gram with the reference iff it IS a reference doc
+        // or its +600000 exact copy — doc_id arithmetic for DuckDB. The
+        // view registers BEFORE the engine constructs (catalog replay
+        // re-resolves the reference SQL at the mid-feed restart).
+        base.where(pmod(col("doc_id"), lit(20)) === 0).select("text")
+          .createOrReplaceTempView("xg_ct_ref")
         def setup(eng: ContViewEngine): ContViewEngine = {
           eng.createStream("xg_in", corpus.schema)
           eng.createStream("xg_d_out", org.apache.spark.sql.types.StructType(
             corpus.schema.fields :+ org.apache.spark.sql.types.StructField(
               "h", org.apache.spark.sql.types.StringType)))
           eng.createStream("xg_j_out", corpus.schema)
+          eng.createStream("xg_ct_out", corpus.schema)
           // state_parts = 4 / 3: NON-default shard counts, so the oracle
           // rows drive the sharded-state geometry (and its catalog replay
           // across the mid-feed restart) end-to-end, not just the default
@@ -868,9 +877,21 @@ object CvQueries {
                     |  state_parts = 3,
                     |  outputfunc = jaccard_gate('text', 'doc_id', 0.8)) AS
                     |SELECT doc_id, text FROM xg_in""".stripMargin)
+          // third sibling, SAME input stream: the contamination gate with
+          // its static reference membership on executor shards (no driver
+          // bloom, no driver reference read) — ExecutorSeenStore over the
+          // hashed-gram store, state_parts = 5 (another non-default count)
+          eng.sql("""CREATE VIEW xg_ct WITH (action = transform,
+                    |  sink = 'xg_ct_out', backend = 'executor',
+                    |  state_parts = 5,
+                    |  outputfunc = contamination_gate('text', 'doc_id',
+                    |    'SELECT text FROM xg_ct_ref')) AS
+                    |SELECT doc_id, text FROM xg_in""".stripMargin)
           eng.createContView("v_xg_d", "SELECT doc_id FROM xg_d_out",
             emitChanges = false)
           eng.createContView("v_xg_j", "SELECT doc_id FROM xg_j_out",
+            emitChanges = false)
+          eng.createContView("v_xg_ct", "SELECT doc_id FROM xg_ct_out",
             emitChanges = false)
           eng
         }
@@ -1568,6 +1589,26 @@ object CvQueries {
       "SELECT doc_id FROM documents ORDER BY doc_id") {
       (s, dir) => execGateFor(s, dir).sql(
         "SELECT doc_id FROM v_xg_j ORDER BY doc_id")
+    },
+
+    // Contamination gate with backend = 'executor' (see execGateFor): the
+    // static reference-gram membership lives on ExecutorSeenStore shards
+    // (state_parts = 5), catalog-replayed across the mid-feed restart.
+    // Reference = every 20th base doc; tokens are doc-disjoint, so the
+    // suppressed set is exactly the reference docs + their +600000 copies.
+    QDef(
+      "q_contamination_stream_exec",
+      """WITH ids AS (
+        |  SELECT doc_id FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 600000 AS doc_id FROM documents WHERE doc_id % 4 = 0
+        |)
+        |SELECT doc_id FROM ids
+        |WHERE NOT (doc_id < 600000 AND doc_id % 20 = 0)
+        |  AND NOT (doc_id >= 600000 AND (doc_id - 600000) % 20 = 0)
+        |ORDER BY doc_id""".stripMargin) {
+      (s, dir) => execGateFor(s, dir).sql(
+        "SELECT doc_id FROM v_xg_ct ORDER BY doc_id")
     },
 
     // NEAR-DUP gate (exactly-once jaccard) under the REAL Structured

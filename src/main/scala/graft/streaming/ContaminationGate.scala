@@ -35,6 +35,12 @@ import graft.cv.ContViewEngine
   * failure-retry (no store writes at all, so a retried batch is simply
   * re-gated against the same reference).
   *
+  * `backend = "executor"` moves the gram membership to executor-local
+  * shards (see the field scaladoc below) — the path for reference sets
+  * past the driver budget (the reference is O(eval corpus), not
+  * O(stream), but a 100-GB eval set is still ~10^10 grams ≈ 12 GB of
+  * bloom bits + an 80-GB hash store no single driver should carry).
+  *
   * Restart: the hashed reference store persists under the engine root;
   * re-running `create` on it skips re-seeding (or seeds it on first
   * creation) and rebuilds the driver bloom from the store.
@@ -58,13 +64,36 @@ final class ContaminationGate private (
     bloomN0: Int,
     shardId: Int = 0,
     shardCount: Int = 1,
-    delivery: String = StreamDedupGate.AtLeastOnce) extends ShardableGateCore {
+    delivery: String = StreamDedupGate.AtLeastOnce,
+    backend: String = StreamDedupGate.DriverBackend,
+    stateParts: Int = 0) extends ShardableGateCore {
 
   require(shardCount >= 1 && shardId >= 0 && shardId < shardCount,
     s"bad shard assignment $shardId/$shardCount")
   require(delivery == StreamDedupGate.AtLeastOnce ||
     delivery == StreamDedupGate.ExactlyOnce,
     s"unknown delivery mode '$delivery'")
+  require(backend == StreamDedupGate.DriverBackend ||
+    backend == StreamDedupGate.ExecutorBackend,
+    s"unknown state backend '$backend'")
+
+  /** EXECUTOR STATE BACKEND — `backend = "executor"`: the reference-gram
+    * membership moves to hash-partitioned executor-local shards
+    * ([[ExecutorSeenStore]] over the static `gh` store), replacing BOTH
+    * driver-resident O(reference) structures at once — the Bloom filter
+    * (a 100-GB eval corpus is ~10^10 grams → ~12 GB of driver bloom bits
+    * at p=0.01) and the pruned reference read whose driver-verify slice
+    * creeps toward O(reference) as batch grams span every range shard.
+    * Per batch: ONE P-partition job shipping the batch's distinct gram
+    * hashes, only the PRESENT (= contaminated) grams coming back. The
+    * store is STATIC, so the shards never receive deltas — they rebuild
+    * once at the first lookup and serve pure membership thereafter.
+    * Decision semantics bit-identical to the driver path. Does not
+    * compose with driver-thread core sharding (the family rule — the
+    * shards ARE the horizontal scale-out). */
+  private val executorBackend = backend == StreamDedupGate.ExecutorBackend
+  require(!executorBackend || shardCount == 1,
+    "backend = 'executor' does not compose with shards >= 2")
 
   private val exactlyOnce = delivery == StreamDedupGate.ExactlyOnce
   /** The epoch-spool protocol (exactly-once mode; see [[GateEpochs]]).
@@ -135,11 +164,26 @@ final class ContaminationGate private (
   @inline private def owns(gh: Long): Boolean =
     shardCount == 1 || java.lang.Math.floorMod(gh, shardCount.toLong) == shardId.toLong
 
-  private var bloom = graft.sketch.BloomFilter.empty(bloomP, bloomN0)
+  // no driver bloom at all on the executor backend — membership lives on
+  // the shards (the spec asserts this stays null, like the dedup family)
+  private var bloom =
+    if (executorBackend) null else graft.sketch.BloomFilter.empty(bloomP, bloomN0)
   private var bloomN = bloomN0
   private var batches = 0L
   private var admitted = 0L
   private var suppressed = 0L
+
+  /** Executor-partitioned reference-gram store (executor backend only);
+    * static — constructed lazily-rebuilding, never fed deltas. */
+  private val execSeen: ExecutorSeenStore =
+    if (!executorBackend) null
+    else new ExecutorSeenStore(eng.spark, storeDir,
+      if (stateParts > 0) stateParts
+      else ExecutorGateIndex.defaultParts(eng.spark),
+      ttlEnabled = false, keyCol = "gh")
+  /** Probe/spec seams (null on the driver backend / executor backend). */
+  private[graft] def executorSeen: ExecutorSeenStore = execSeen
+  private[graft] def driverBloomForSpec: AnyRef = bloom
 
   /** (batches, admitted clean docs, suppressed contaminated docs) so far. */
   def stats: (Long, Long, Long) = synchronized((batches, admitted, suppressed))
@@ -174,9 +218,11 @@ final class ContaminationGate private (
     * to the store's size. */
   private[streaming] def bootstrap(): Unit = synchronized {
     val files = GateStore.files(storeDir)
-    if (files.nonEmpty) {
+    if (files.nonEmpty && !executorBackend) {
       // the count is footer-metadata only; the bloom build is the one real
       // read — both sized off the store's actual gram count
+      // (executor backend: no driver bloom at all — the shards rebuild
+      // from the store at the first lookup)
       bloomN = GateStore.bloomSizeFor(
         eng.spark.read.parquet(files: _*).count(), bloomN)
       bloom = GateStore.buildBloom(eng.spark, storeDir, "gh", bloomP, bloomN)
@@ -237,15 +283,18 @@ final class ContaminationGate private (
       batches += 1
       val s = keyed.sparkSession
       val rows = rows0.asInstanceOf[Array[(Any, Array[Long])]]
-      val storeF = GateStore.storeFiles(storeDir)
-      // candidate map: bloom-positive hash -> doc row indices
+      val storeF: Array[GateStore.StoreFile] =
+        if (executorBackend) Array.empty else GateStore.storeFiles(storeDir)
+      // candidate map: bloom-positive hash -> doc row indices (executor
+      // backend: EVERY owned hash — the shards are the filter, and the
+      // lookup returns only the present ones)
       val candByHash =
         new java.util.HashMap[java.lang.Long, java.util.ArrayList[Integer]]()
-      if (storeF.nonEmpty) {
+      if (storeF.nonEmpty || executorBackend) {
         var i = 0
         while (i < rows.length) {
           rows(i)._2.foreach { gh =>
-            if (owns(gh) && bloom.contains(gh))
+            if (owns(gh) && (executorBackend || bloom.contains(gh)))
               candByHash.computeIfAbsent(gh, _ => new java.util.ArrayList[Integer]()).add(i)
           }
           i += 1
@@ -258,7 +307,20 @@ final class ContaminationGate private (
         arr
       }
       val suppressedSet = new java.util.HashSet[Any]()
-      if (hitKeys.nonEmpty) {
+      if (executorBackend && hitKeys.nonEmpty) {
+        // distributed membership: ship the batch's distinct gram hashes,
+        // get back exactly the reference-present (= contaminated) ones —
+        // no driver bloom, no reference read on the driver
+        execSeen.lookup(hitKeys.map(Long.box(_): Any))
+          .keySet().forEach { gh =>
+            val cands = candByHash.get(gh.asInstanceOf[java.lang.Long])
+            if (cands != null)
+              cands.forEach(i => {
+                if (rows(i)._1 != null) suppressedSet.add(rows(i)._1)
+                ()
+              })
+          }
+      } else if (hitKeys.nonEmpty) {
         val pushdown = hitKeys.length <= GateStore.maxPushdownKeys
         val paths =
           if (pushdown) GateStore.pruned(storeF, hitKeys)
@@ -355,7 +417,9 @@ object ContaminationGate {
       textSql: String, orderCol: String, sink: String, storeRoot: String,
       reference: DataFrame, refTextCol: String = "text", n: Int = 3,
       bloomP: Double = 0.01, bloomN: Int = 1 << 20,
-      delivery: String = StreamDedupGate.AtLeastOnce): ContaminationGate = {
+      delivery: String = StreamDedupGate.AtLeastOnce,
+      backend: String = StreamDedupGate.DriverBackend,
+      stateParts: Int = 0): ContaminationGate = {
     require(n >= 1, s"gram size must be >= 1, got $n")
     val root = Paths.get(storeRoot, name)
     Files.createDirectories(root)
@@ -363,7 +427,8 @@ object ContaminationGate {
     val dir = root.resolve("ref_grams")
     Files.createDirectories(dir)
     val gate = new ContaminationGate(eng, name, textSql, orderCol, sink,
-      dir, n, bloomP, bloomN, delivery = delivery)
+      dir, n, bloomP, bloomN, delivery = delivery, backend = backend,
+      stateParts = stateParts)
     gate.seedReference(reference, refTextCol)
     gate.bootstrap()
     eng.createContTransform(name, selectSql,

@@ -513,12 +513,17 @@ private[graft] object ExecutorPayloadPool {
   * decision, so everything below the floor is already durable and a
   * rebuild — one distributed scan of the (h[, ts]) store, maxing
   * seen-times per key — always covers the shards' knowledge). Same
-  * stale-detect/rebuild/pinning protocol as [[ExecutorGateIndex]]. */
+  * stale-detect/rebuild/pinning protocol as [[ExecutorGateIndex]].
+  *
+  * `keyCol` names the store's key column: "h" for the dedup gate's
+  * seen-keys store, "gh" for the contamination gate's STATIC reference-
+  * gram store (which never calls [[bufferDelta]] — membership only). */
 private[graft] final class ExecutorSeenStore(
     spark: SparkSession,
     storeDir: java.nio.file.Path,
     val parts: Int,
-    ttlEnabled: Boolean) {
+    ttlEnabled: Boolean,
+    keyCol: String = "h") {
 
   import ExecutorPayloadPool.PayloadTask
 
@@ -637,7 +642,7 @@ private[graft] final class ExecutorSeenStore(
     val rows =
       if (files.isEmpty) spark.sparkContext.emptyRDD[(Any, Long)]
       else {
-        val cols = Seq(col("h")) ++
+        val cols = Seq(col(keyCol)) ++
           (if (ttl) Seq(unix_micros(col("ts"))) else Nil)
         spark.read.parquet(files.toSeq: _*).select(cols: _*).rdd
           .map(r => (r.get(0), if (ttl && !r.isNullAt(1)) r.getLong(1)

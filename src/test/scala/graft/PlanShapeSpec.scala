@@ -120,6 +120,7 @@ class PlanShapeSpec extends AnyFunSuite {
     "q_neardup_stream_ttl" -> 1, "q_gate_streaming" -> 1,
     "q_neardup_streaming" -> 1,
     "q_dedup_stream_exec" -> 1, "q_neardup_stream_exec" -> 1,
+    "q_contamination_stream_exec" -> 1,
     "q_gate_stats" -> 1, "q_gate_pipeline_eo" -> 1,
     "q_neardup_stream" -> 2, "q_cosine_stream" -> 1,
     // q_jaccard_stream: same read shape as q_neardup_stream — the seeded

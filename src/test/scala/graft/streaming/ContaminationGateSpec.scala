@@ -64,7 +64,9 @@ class ContaminationGateSpec extends AnyFunSuite {
   }
 
   private def runGate(root: String, engSuffix: String, ref: DataFrame,
-      batches: Seq[DataFrame]): (ContViewEngine, ContaminationGate) = {
+      batches: Seq[DataFrame],
+      backend: String = StreamDedupGate.DriverBackend)
+      : (ContViewEngine, ContaminationGate) = {
     val eng = new ContViewEngine(spark, root + "/eng" + engSuffix)
     val schema = Seq((0L, "x")).toDF("id", "body").schema
     eng.createStream("d_in", schema)
@@ -73,7 +75,8 @@ class ContaminationGateSpec extends AnyFunSuite {
     val g = ContaminationGate.create(eng, "d_gate",
       "SELECT id, body FROM d_in", textSql = "body", orderCol = "id",
       sink = "d_out", storeRoot = root + "/gate",
-      reference = ref, refTextCol = "body", bloomP = 0.2, bloomN = 64)
+      reference = ref, refTextCol = "body", bloomP = 0.2, bloomN = 64,
+      backend = backend, stateParts = if (backend == "executor") 3 else 0)
     eng.createContView("v_d", "SELECT id FROM d_out", emitChanges = false)
     batches.foreach(b => eng.insertInto("d_in", b))
     (eng, g)
@@ -124,5 +127,76 @@ class ContaminationGateSpec extends AnyFunSuite {
     val (e2, _) = runGate(root, "2", emptyRef, Seq(stream.where(col("id") >= 120)))
     assert(admitted(e2) === expected.filter(_ >= 120L),
       "post-restart batches gate against the persisted reference")
+  }
+
+  test("executor backend: same admitted set, NO driver bloom, restart rebuilds shards") {
+    val (ref, stream) = fixture()
+    val expected = expectedAdmitted(ref, stream)
+    val root = java.nio.file.Files.createTempDirectory("graft_ct5").toString
+    val (e1, g1) = runGate(root, "x", ref,
+      Seq(stream.where(col("id") < 120)),
+      backend = StreamDedupGate.ExecutorBackend)
+    assert(admitted(e1) === expected.filter(_ < 120L))
+    assert(g1.driverBloomForSpec == null,
+      "executor backend must build NO driver bloom")
+    assert(g1.executorSeen != null && g1.executorSeen.parts === 3)
+    // "crash" + restart with an EMPTY reference frame: the persisted store
+    // must feed the new incarnation's shard rebuild, not a re-seed
+    val (e2, _) = runGate(root, "y", ref.where(lit(false)),
+      Seq(stream.where(col("id") >= 120)),
+      backend = StreamDedupGate.ExecutorBackend)
+    assert(admitted(e2) === expected.filter(_ >= 120L),
+      "post-restart executor shards must rebuild from the persisted reference")
+  }
+
+  test("executor backend: DDL spelling + catalog replay; drop frees the shard registry") {
+    val (ref, stream) = fixture()
+    val expected = expectedAdmitted(ref, stream)
+    val root = java.nio.file.Files.createTempDirectory("graft_ct6").toString
+    ref.createOrReplaceTempView("ct_ref_exec_spec")
+    val schema = Seq((0L, "x")).toDF("id", "body").schema
+    def setup(eng: ContViewEngine): ContViewEngine = {
+      eng.createStream("d_in", schema)
+      eng.createStream("d_out", schema)
+      eng.sql("""CREATE VIEW d_gate WITH (action = transform, sink = 'd_out',
+                |  backend = 'executor', state_parts = 3,
+                |  outputfunc = contamination_gate('body', 'id',
+                |    'SELECT body AS text FROM ct_ref_exec_spec')) AS
+                |SELECT id, body FROM d_in""".stripMargin)
+      eng.createContView("v_d", "SELECT id FROM d_out", emitChanges = false)
+      eng
+    }
+    val e1 = setup(new ContViewEngine(spark, root))
+    e1.insertInto("d_in", stream.where(col("id") < 120))
+    // mid-feed restart: the catalog must replay backend + state_parts
+    val e2 = setup(new ContViewEngine(spark, root))
+    e2.insertInto("d_in", stream.where(col("id") >= 120))
+    assert(admitted(e2) === expected,
+      "DDL-declared executor contamination gate diverged")
+    val gateDir = java.nio.file.Paths.get(root, "d_gate")
+      .toAbsolutePath.toString
+    assert(ExecutorGateState.registeredUnder(gateDir) > 0,
+      "live gate must hold shard registry entries (local[n]: same JVM)")
+    e2.dropContTransform("d_gate")
+    assert(ExecutorGateState.registeredUnder(gateDir) === 0,
+      "drop must free the executor shard registry")
+  }
+
+  test("executor backend does not compose with driver-core sharding") {
+    val (ref, _) = fixture()
+    val root = java.nio.file.Files.createTempDirectory("graft_ct7").toString
+    ref.createOrReplaceTempView("ct_ref_exec_spec2")
+    val eng = new ContViewEngine(spark, root)
+    val schema = Seq((0L, "x")).toDF("id", "body").schema
+    eng.createStream("d_in", schema)
+    eng.createStream("d_out", schema)
+    val ex = intercept[IllegalArgumentException] {
+      eng.sql("""CREATE VIEW d_gate WITH (action = transform, sink = 'd_out',
+                |  backend = 'executor',
+                |  outputfunc = contamination_gate('body', 'id',
+                |    'SELECT body AS text FROM ct_ref_exec_spec2', 3, 2)) AS
+                |SELECT id, body FROM d_in""".stripMargin)
+    }
+    assert(ex.getMessage.contains("does not compose"))
   }
 }

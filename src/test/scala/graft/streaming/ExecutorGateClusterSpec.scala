@@ -282,6 +282,47 @@ class ExecutorGateClusterSpec extends AnyFunSuite {
       "windowed executor backend diverged from driver across real JVM boundaries")
   }
 
+  test("cluster: contamination gate's static reference membership on executor shards") {
+    // reference docs 0-7; streamed docs where every 4th embeds a verbatim
+    // reference 3-gram — the membership question ("is this gram in the
+    // reference?") answered by executor-resident ExecutorSeenStore shards
+    // across real JVM boundaries, no driver bloom at all
+    def doc(i: Int, n: Int) = (0 until n).map(j => s"r${i}g$j").mkString(" ")
+    val ref = (0 until 8).map(i => (i.toLong, doc(i, 20))).toDF("id", "body")
+    val stream = (100 until 160).map { i =>
+      val t =
+        if (i % 4 == 0) doc(i, 18) + " " + doc(i % 8, 20).split(" ").slice(5, 8).mkString(" ")
+        else doc(i, 18)
+      (i.toLong, t)
+    }.toDF("id", "body")
+    def run(backend: String): Set[Long] = {
+      val root = java.nio.file.Files.createTempDirectory("graft_cl9").toString
+      val eng = new ContViewEngine(spark, s"$root/eng")
+      val schema = Seq((0L, "x")).toDF("id", "body").schema
+      eng.createStream("xm_in", schema)
+      eng.createStream("xm_out", schema)
+      eng.createContView("v_xm", "SELECT id FROM xm_out", emitChanges = false)
+      val g = ContaminationGate.create(eng, "xm_gate",
+        "SELECT id, body FROM xm_in", textSql = "body", orderCol = "id",
+        sink = "xm_out", storeRoot = s"$root/gate",
+        reference = ref, refTextCol = "body",
+        backend = backend, stateParts = 4)
+      eng.insertInto("xm_in", stream.where(col("id") < 130))
+      eng.insertInto("xm_in", stream.where(col("id") >= 130))
+      if (backend == StreamDedupGate.ExecutorBackend) {
+        assert(g.driverBloomForSpec == null)
+        assert(ExecutorGateState.registeredUnder(s"$root/gate") === 0,
+          "reference shards must live in the executor JVMs, not the driver")
+      }
+      eng.overlay("v_xm").collect().map(_.getLong(0)).toSet
+    }
+    val expected = run(StreamDedupGate.DriverBackend)
+    assert(expected === (100 until 160).filter(_ % 4 != 0).map(_.toLong).toSet,
+      "exactly the reference-gram carriers must be suppressed")
+    assert(run(StreamDedupGate.ExecutorBackend) === expected,
+      "contamination membership diverged across real JVM boundaries")
+  }
+
   test("cluster: exactly-once delivery composes with executor shards across a crash") {
     val root = java.nio.file.Files.createTempDirectory("graft_cl5").toString
     val eng = new ContViewEngine(spark, s"$root/eng")
