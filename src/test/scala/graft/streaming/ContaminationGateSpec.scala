@@ -182,6 +182,41 @@ class ContaminationGateSpec extends AnyFunSuite {
       "drop must free the executor shard registry")
   }
 
+  test("executor backend composes with exactly-once delivery across a crash") {
+    val (ref, stream) = fixture()
+    val expected = expectedAdmitted(ref, stream)
+    val root = java.nio.file.Files.createTempDirectory("graft_ct8").toString
+    val eng = new ContViewEngine(spark, root)
+    val schema = Seq((0L, "x")).toDF("id", "body").schema
+    eng.createStream("d_in", schema)
+    eng.createStream("d_out", schema)
+    // counting CV: c = 1 everywhere pins exactly-once across the retry
+    eng.createContView("v_dc", "SELECT id, count(*) AS c FROM d_out GROUP BY id",
+      emitChanges = false)
+    val g = ContaminationGate.create(eng, "d_gate",
+      "SELECT id, body FROM d_in", textSql = "body", orderCol = "id",
+      sink = "d_out", storeRoot = root + "/gate",
+      reference = ref, refTextCol = "body",
+      delivery = StreamDedupGate.ExactlyOnce,
+      backend = StreamDedupGate.ExecutorBackend, stateParts = 3)
+    eng.insertInto("d_in", stream.where(col("id") < 120))
+    // crash BETWEEN the epoch spool and its delivery marker; the upstream
+    // retry re-feeds the same batch — recovery must deliver the spooled
+    // epoch once and the retry-dedup window must swallow the re-feed
+    g.epochs.failAt = "after-spool"
+    val crashed = try {
+      eng.insertInto("d_in", stream.where(col("id") >= 120)); false
+    } catch { case _: Exception => true }
+    assert(crashed, "failpoint must fire")
+    eng.insertInto("d_in", stream.where(col("id") >= 120))
+    val counts = eng.overlay("v_dc").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(counts.keySet === expected,
+      "exactly-once exec gate admitted set diverged")
+    assert(counts.values.forall(_ == 1L),
+      s"every admitted row exactly once: ${counts.filter(_._2 != 1L)}")
+  }
+
   test("executor backend does not compose with driver-core sharding") {
     val (ref, _) = fixture()
     val root = java.nio.file.Files.createTempDirectory("graft_ct7").toString
