@@ -490,12 +490,15 @@ object Bench {
     // across the two scales = per-batch cost tracks the batch, not the
     // corpus). Retries re-measure on the live store (max-of-2 attempts per
     // point + up to 2 extra at the 100× point when the cross-scale ratio
-    // lands outside [0.7, 1.5] — both directions suspicious: <0.7 reads as
-    // store-growth decay, >1.5 means the LOW point was squeezed).
+    // reads < 0.7 — the store-growth-decay signature, repairable by
+    // re-measuring the high point; a > 1.5 ratio means the LOW point was
+    // squeezed, unrepairable on a shared seeding chain, so it stands
+    // self-documented by the attempt counts).
     // The exact kind also carries the 100k-row big-batch pushdown probe:
-    // the measured serialized size of the candidate InSet (what rides
-    // every scan task's binary) and the big-batch throughput — the number
-    // behind the maxPushdownKeys bound.
+    // the measured serialized size of the LARGEST InSet actually shipped
+    // in task binaries (sets past GateStore.MaxPushdownBytes switch to
+    // broadcast joins, so this should stay under Spark's 1 MiB task
+    // warning BY DESIGN) and the big-batch throughput.
     val gateScale = sys.env.getOrElse("SPARK_GRAFT_GATE_SCALE", "1") != "0"
     if (gateScale) {
       val kinds = Seq(
@@ -669,12 +672,15 @@ object Bench {
       stealPctNow() > 1.0
     val recheckCoreEst = 200.0 // sweep + one ingest + exact gate
     val recheckOn = sys.env.getOrElse("SPARK_GRAFT_QUIET_RECHECK", "1") != "0"
-    if (loadedNow && recheckOn && remainingSec <= recheckCoreEst + 60) {
+    // remaining budget sampled ONCE: two independent reads could straddle
+    // the threshold and silently take neither branch
+    val recheckBudgetOk = remainingSec > recheckCoreEst + 60
+    if (loadedNow && recheckOn && !recheckBudgetOk) {
       // over budget: say so instead of silently omitting the object
       raw("quiet_recheck", """{"skipped_budget":true}""")
       emitSummary()
     }
-    if (loadedNow && recheckOn && remainingSec > recheckCoreEst + 60) {
+    if (loadedNow && recheckOn && recheckBudgetOk) {
       val maxWait = math.min(
         sys.env.getOrElse("SPARK_GRAFT_QUIET_WAIT_SEC", "480").toDouble,
         remainingSec - recheckCoreEst)

@@ -301,10 +301,18 @@ private[graft] object ExecutorGateIndex {
     val f = dir.resolve(marker)
     val cur =
       if (!java.nio.file.Files.exists(f)) {
-        // marker deleted out-of-band (store dir cleaned/recreated while
-        // instances live): RE-STAMP this caller's nonce instead of assuming
-        // ownership, so another live instance still fails fast on its next
-        // probe rather than silently reverting to rebuild ping-pong
+        // the whole store dir gone = the gate was DROPPED while this
+        // instance lived (dropContTransform deletes root/<name> wholesale)
+        // — this instance is the stale one; fail with that diagnosis
+        // instead of letting stampOwner throw NoSuchFileException
+        if (!java.nio.file.Files.isDirectory(dir))
+          throw new IllegalStateException(
+            s"$what at $dir: the store directory was deleted (gate " +
+              "dropped?) while this instance was live — drop this instance")
+        // marker alone deleted out-of-band (store dir cleaned/recreated
+        // while instances live): RE-STAMP this caller's nonce instead of
+        // assuming ownership, so another live instance still fails fast on
+        // its next probe rather than silently reverting to rebuild ping-pong
         stampOwner(dir, marker, nonce)
         nonce
       }
@@ -850,28 +858,14 @@ private[graft] final class GateTaskRDD[T: scala.reflect.ClassTag](
     if (h == null || h.isEmpty) Nil else Seq(h)
   }
 
-  /** Release the batch's broadcast blocks. Non-blocking on purpose: the
-    * no-arg `Broadcast.destroy()` WAITS for every executor to drop its
-    * blocks — a per-job synchronous round-trip the gate would pay once or
-    * twice per batch. `unpersist(false)` frees executor copies
-    * asynchronously but leaves the DRIVER block until ContextCleaner reaps
-    * the GC'd Broadcast object — on a large driver heap, GCs can be far
-    * apart and batch-sized blocks accumulate (MEMORY_AND_DISK, so they
-    * spill rather than OOM, but still). Every
-    * [[GateTaskRDD.FullDestroyEvery]]-th release is therefore a full
-    * `destroy()`, which also drops the driver block — amortizing the
-    * synchronous round-trip to <2% of batches while bounding the driver's
-    * lingering blocks. */
-  def destroy(): Unit =
-    if (GateTaskRDD.releases.incrementAndGet() % GateTaskRDD.FullDestroyEvery == 0)
-      bc.destroy()
-    else bc.unpersist(false)
-}
-
-private[graft] object GateTaskRDD {
-  /** Cadence of full (driver-block-freeing) broadcast destroys. */
-  val FullDestroyEvery: Int = 64
-  private val releases = new java.util.concurrent.atomic.AtomicLong(0L)
+  /** Release the batch's broadcast blocks — driver AND executor copies.
+    * In Spark 4 the no-arg `Broadcast.destroy()` delegates to
+    * `destroy(blocking = false)` (verified in spark-core 4.1.2 bytecode:
+    * `destroy()` loads iconst_0), so this is an async message, not a
+    * per-job synchronous round-trip — unlike `unpersist(false)`, which
+    * frees only executor copies and leaves the DRIVER block to linger
+    * until the Broadcast object is GC'd and ContextCleaner reaps it. */
+  def destroy(): Unit = bc.destroy()
 }
 
 private final class GateTaskPartition(override val index: Int)

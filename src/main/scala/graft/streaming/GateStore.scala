@@ -44,13 +44,67 @@ private[streaming] object GateStore {
     * driver path is the low-latency small-store regime. */
   val MaxDriverVerifyBytes: Long = 128L << 20
 
+  /** Per-batch candidate sets beyond this ESTIMATED java-serialized size
+    * are not pushed as an InSet filter: the set rides EVERY scan task's
+    * binary and Spark warns at 1000 KiB. Measured (bench pushdown probe):
+    * 32-char md5-string keys serialize at ~45 B each, boxed longs at
+    * ~14 B — a 100k-row batch's ~25k string candidates already cross
+    * 1 MB, so string-keyed gates hit this bound long before the count
+    * bound. Over-bound paths fall back to shipping the set ONCE per
+    * executor as a broadcast join side. */
+  val MaxPushdownBytes: Long = 768L << 10
+
   /** Test seams: specs shrink the bounds to force the distributed fallback
     * paths on small fixtures and assert result equality with the driver
     * paths (the invariant that makes concurrent-suite interference
     * harmless: either path must produce identical admitted sets). */
   private[graft] var maxPushdownKeysOverride: Option[Int] = None
   private[graft] var maxDriverVerifyBytesOverride: Option[Long] = None
+  private[graft] var maxPushdownBytesOverride: Option[Long] = None
   def maxPushdownKeys: Int = maxPushdownKeysOverride.getOrElse(MaxPushdownKeys)
+  def maxPushdownBytes: Long =
+    maxPushdownBytesOverride.getOrElse(MaxPushdownBytes)
+
+  /** Whether `keys` fits scan-task binaries as an InSet filter — count
+    * bound AND estimated-bytes bound (string: len+16; other: 16 — the
+    * measured java-serialization footprints rounded down, so the estimate
+    * never blocks a set the measurement would allow). */
+  def pushdownOk(keys: Array[_]): Boolean = {
+    if (keys.length > maxPushdownKeys) return false
+    val cap = maxPushdownBytes
+    var bytes = 0L
+    var i = 0
+    while (i < keys.length && bytes <= cap) {
+      bytes += (keys(i) match {
+        case s: String => s.length + 16
+        case _ => 16
+      })
+      i += 1
+    }
+    bytes <= cap
+  }
+
+  /** Rows of `df` whose `column` is NOT in `ids`, rows with a NULL
+    * `column` always kept — an InSet filter when `ids` fits task
+    * binaries, else a broadcast LEFT ANTI join (one per-executor transfer
+    * of the set instead of a copy in every task; a null join key never
+    * matches, so the null-passes contract holds on both paths). */
+  def exceptIds(df: org.apache.spark.sql.DataFrame, column: String,
+      ids: Array[Any]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    if (ids.isEmpty) df
+    else if (pushdownOk(ids))
+      df.where(col(column).isNull || !inSetCol(col(column), ids.toSeq))
+    else {
+      val t = df.schema(df.schema.fieldIndex(column)).dataType
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row](ids.length)
+      ids.foreach(k => { rows.add(org.apache.spark.sql.Row(k)); () })
+      val idsDf = df.sparkSession.createDataFrame(rows,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("__gate_sup", t))))
+      df.join(broadcast(idsDf), col(column) === col("__gate_sup"), "left_anti")
+    }
+  }
   def maxDriverVerifyBytes: Long =
     maxDriverVerifyBytesOverride.getOrElse(MaxDriverVerifyBytes)
 
@@ -80,13 +134,18 @@ private[streaming] object GateStore {
       // bench probe seam: the InSet's value set is what a large candidate
       // list serializes into EVERY scan task's binary — java-serialize it
       // here (same mechanism the TaskSetManager sizes) so the trade behind
-      // maxPushdownKeys carries a measured number per round
+      // maxPushdownKeys carries a measured number per round. A gate batch
+      // builds SEVERAL in-sets (the candidate-key store filter, then the
+      // smaller suppressed-id survivor filter), so the capture keeps the
+      // LARGEST since enable — the worst task binary IS the trade.
       val bos = new java.io.ByteArrayOutputStream()
       val oos = new java.io.ObjectOutputStream(bos)
       oos.writeObject(conv)
       oos.close()
-      lastInSetKeys = conv.size
-      lastInSetBytes = bos.size.toLong
+      if (bos.size.toLong > lastInSetBytes) {
+        lastInSetKeys = conv.size
+        lastInSetBytes = bos.size.toLong
+      }
     }
     org.apache.spark.sql.GraftBridge.column(
       org.apache.spark.sql.catalyst.expressions.InSet(

@@ -392,8 +392,10 @@ final class StreamDedupGate private[streaming] (
     def survivors: DataFrame =
       if (suppressedIds.isEmpty && storeSuppressedNullId == 0) keyed
       else if (storeSuppressedNullId == 0)
-        keyed.where(col(orderCol).isNull ||
-          !GateStore.inSetCol(col(orderCol), suppressedIds.toArray.toSeq))
+        // InSet filter under the task-binary bound, broadcast anti-join
+        // above it (GateStore.exceptIds) — the suppressed-id set grows
+        // with the batch, like the candidate set
+        GateStore.exceptIds(keyed, orderCol, suppressedIds.toArray)
       else {
         // a suppressed null-order-id winner is only filterable by key
         val presentKeys = new java.util.ArrayList[Any]()
@@ -514,10 +516,26 @@ final class StreamDedupGate private[streaming] (
       val cand = pre.batchKeys.filter(bloom.contains)
       val set = new java.util.HashSet[Any]()
       if (storeF.nonEmpty && cand.nonEmpty) {
-        GateStore.withInPushdown(s, cand.length)(
+        if (GateStore.pushdownOk(cand)) {
+          GateStore.withInPushdown(s, cand.length)(
+            s.read.parquet(GateStore.pruned(storeF, cand): _*)
+              .where(GateStore.inSetCol(col("h"), cand.toSeq))
+              .select("h").collect()).foreach(r => set.add(r.get(0)))
+        } else {
+          // candidate set too big for task closures (measured ~45 B per
+          // md5 key — a 100k-row batch's candidates cross Spark's 1 MiB
+          // task warning): ship it ONCE per executor as a broadcast
+          // semi-join side instead; result identical
+          val hType = pre.keyed.schema(pre.keyed.schema.fieldIndex("h")).dataType
+          val rows = new java.util.ArrayList[org.apache.spark.sql.Row](cand.length)
+          cand.foreach(k => { rows.add(org.apache.spark.sql.Row(k)); () })
+          val candDf = s.createDataFrame(rows,
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("h", hType))))
           s.read.parquet(GateStore.pruned(storeF, cand): _*)
-            .where(GateStore.inSetCol(col("h"), cand.toSeq))
-            .select("h").collect()).foreach(r => set.add(r.get(0)))
+            .join(broadcast(candDf), Seq("h"), "left_semi")
+            .select("h").collect().foreach(r => set.add(r.get(0)))
+        }
       }
       set
     }
@@ -592,11 +610,28 @@ final class StreamDedupGate private[streaming] (
         ()
       }
     } else if (storeF.nonEmpty && cand.nonEmpty) {
-      GateStore.withInPushdown(s, cand.length)(
-        s.read.parquet(GateStore.pruned(storeF, cand): _*)
-          .where(GateStore.inSetCol(col("h"), cand.toSeq))
-          .select(col("h"), unix_micros(col("ts")))
-          .collect()).foreach { r =>
+      val collected =
+        if (GateStore.pushdownOk(cand)) {
+          GateStore.withInPushdown(s, cand.length)(
+            s.read.parquet(GateStore.pruned(storeF, cand): _*)
+              .where(GateStore.inSetCol(col("h"), cand.toSeq))
+              .select(col("h"), unix_micros(col("ts")))
+              .collect())
+        } else {
+          // over the task-binary bound: broadcast-join the candidates
+          // (seen-times needed, so inner join rather than semi)
+          val hType = keyed.schema(keyed.schema.fieldIndex("h")).dataType
+          val rows = new java.util.ArrayList[org.apache.spark.sql.Row](cand.length)
+          cand.foreach(k => { rows.add(org.apache.spark.sql.Row(k)); () })
+          val candDf = s.createDataFrame(rows,
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("h", hType))))
+          s.read.parquet(GateStore.pruned(storeF, cand): _*)
+            .join(broadcast(candDf), Seq("h"))
+            .select(col("h"), unix_micros(col("ts")))
+            .collect()
+        }
+      collected.foreach { r =>
         if (!r.isNullAt(1)) {
           val t = r.getLong(1)
           val prev = storeMax.get(r.get(0))
@@ -651,9 +686,7 @@ final class StreamDedupGate private[streaming] (
   }
 
   private def ttlSurvivors(d: TtlDecision): DataFrame =
-    if (d.suppressedIds.isEmpty) d.keyed
-    else d.keyed.where(col(orderCol).isNull ||
-      !GateStore.inSetCol(col(orderCol), d.suppressedIds.toArray.toSeq))
+    GateStore.exceptIds(d.keyed, orderCol, d.suppressedIds.toArray)
 
   private def onBatchTtl(batch: DataFrame): Unit = {
     batches += 1
@@ -866,13 +899,17 @@ object StreamDedupGate {
   val ExecutorBackend = "executor"
 
   /** Bench-probe seam into [[GateStore]]'s InSet capture (GateStore is
-    * package-private to streaming; the probes live in package graft). */
-  private[graft] def setInSetCapture(on: Boolean): Unit =
+    * package-private to streaming; the probes live in package graft).
+    * Enabling RESETS the max-tracking stats — one capture window per
+    * probe. */
+  private[graft] def setInSetCapture(on: Boolean): Unit = {
+    if (on) { GateStore.lastInSetKeys = 0; GateStore.lastInSetBytes = 0L }
     GateStore.captureInSetStats = on
+  }
   private[graft] def lastInSetStats: (Int, Long) =
     (GateStore.lastInSetKeys, GateStore.lastInSetBytes)
 
-  private[streaming] def deleteRecursively(f: java.io.File): Unit =
+  private[graft] def deleteRecursively(f: java.io.File): Unit =
     GateStore.deleteRecursively(f)
 
   /** Register a dedup gate on `eng`: a continuous transform reading

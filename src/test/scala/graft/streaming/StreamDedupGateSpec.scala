@@ -300,6 +300,49 @@ class StreamDedupGateSpec extends AnyFunSuite {
       "the replayed gate must keep the window semantics (3 within, 4 beyond)")
   }
 
+  test("over the pushdown-bytes bound: broadcast-join fallbacks match the InSet paths") {
+    // candidate sets / suppressed-id sets past GateStore.MaxPushdownBytes
+    // must switch from task-closure InSet filters to broadcast joins with
+    // IDENTICAL admitted sets — forced here by shrinking the bound to 1
+    // byte so EVERY set takes the join path (plain + windowed mode)
+    def feedBoth(): (Set[Long], Set[Long]) = {
+      val (eng, _, _) = fixture()
+      def b(rows: (Long, String)*) = rows.toDF("id", "body")
+      eng.insertInto("g_in", b((1L, "a"), (2L, "b"), (3L, "a")))
+      eng.insertInto("g_in", b((4L, "b"), (5L, "c"), (6L, "c"), (7L, "a")))
+      val plain = admitted(eng)
+      // windowed sibling: ttl decisions + ttl survivors on the same bound
+      val root = java.nio.file.Files.createTempDirectory("graft_gate_pb").toString
+      val e2 = new ContViewEngine(spark, root)
+      val rows = Seq(
+        (1L, "x", "2024-01-01 00:00:00"), (2L, "x", "2024-01-01 01:00:00"),
+        (3L, "x", "2024-01-03 00:00:00"), (4L, "y", "2024-01-03 01:00:00"))
+        .toDF("id", "body", "tss")
+        .withColumn("ts", col("tss").cast("timestamp")).drop("tss")
+      e2.createStream("gp_in", rows.schema)
+      e2.createStream("gp_out", org.apache.spark.sql.types.StructType(
+        rows.schema.fields :+ org.apache.spark.sql.types.StructField("h",
+          org.apache.spark.sql.types.StringType)))
+      e2.createContView("v_gp", "SELECT id FROM gp_out", emitChanges = false)
+      StreamDedupGate.create(e2, "gp_gate", "SELECT id, body, ts FROM gp_in",
+        keySql = "md5(body)", orderCol = "id", sink = "gp_out",
+        storeRoot = root + "/gate", ttlMillis = 24L * 3600 * 1000,
+        ttlColumn = "ts")
+      e2.insertInto("gp_in", rows.where(col("id") <= 2))
+      e2.insertInto("gp_in", rows.where(col("id") > 2))
+      (plain, e2.overlay("v_gp").collect().map(_.getLong(0)).toSet)
+    }
+    val (plainRef, ttlRef) = feedBoth()
+    assert(plainRef === Set(1L, 2L, 5L) && ttlRef === Set(1L, 3L, 4L),
+      "fixture must exercise suppression on both modes")
+    GateStore.maxPushdownBytesOverride = Some(1L)
+    try {
+      val (plainJoin, ttlJoin) = feedBoth()
+      assert(plainJoin === plainRef, "broadcast semi-join store check diverged")
+      assert(ttlJoin === ttlRef, "broadcast ttl store check / survivors diverged")
+    } finally GateStore.maxPushdownBytesOverride = None
+  }
+
   test("bloom misses are admitted without reading the store; store is append-only") {
     val (eng, gate, root) = fixture()
     // 60 distinct keys across 3 batches + full repeat of batch 1
