@@ -261,10 +261,7 @@ final class ContaminationGate private (
 
   private[streaming] def survivorsOf(keyed: DataFrame,
       sup: java.util.HashSet[Any]): DataFrame =
-    (if (sup.isEmpty) keyed
-     else keyed.where(col(orderCol).isNull ||
-       !GateStore.inSetCol(col(orderCol), sup.toArray.toSeq)))
-      .drop("__gh")
+    GateStore.exceptIds(keyed, orderCol, sup.toArray).drop("__gh")
 
   private[streaming] def admittedCol(sup: java.util.HashSet[Any]): Column =
     if (sup.isEmpty) lit(true)

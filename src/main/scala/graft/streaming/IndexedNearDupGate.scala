@@ -618,10 +618,7 @@ private[streaming] abstract class IndexedNearDupGate[P](
 
   private[streaming] def survivorsOf(keyed: DataFrame,
       sup: java.util.HashSet[Any]): DataFrame =
-    (if (sup.isEmpty) keyed
-     else keyed.where(col(orderCol).isNull ||
-       !GateStore.inSetCol(col(orderCol), sup.toArray.toSeq)))
-      .drop("__p")
+    GateStore.exceptIds(keyed, orderCol, sup.toArray).drop("__p")
 
   private[streaming] def admittedCol(sup: java.util.HashSet[Any]): Column =
     if (sup.isEmpty) lit(true)

@@ -502,10 +502,10 @@ final class SimHashNearDupGate private (
   private[streaming] def survivorsOf(keyed: DataFrame,
       sup: java.util.HashSet[Any]): DataFrame =
     // fp rides to the sink (the gate's documented payload); null order
-    // ids can never be suppressed and pass through the negated filter
-    if (sup.isEmpty) keyed
-    else keyed.where(col(orderCol).isNull ||
-      !GateStore.inSetCol(col(orderCol), sup.toArray.toSeq))
+    // ids can never be suppressed and pass through on either path
+    // (InSet filter under the task-binary bound, broadcast anti-join
+    // above it — GateStore.exceptIds)
+    GateStore.exceptIds(keyed, orderCol, sup.toArray)
 
   private[streaming] def admittedCol(sup: java.util.HashSet[Any]): org.apache.spark.sql.Column =
     if (sup.isEmpty) lit(true)
