@@ -508,7 +508,7 @@ object Bench {
         // the old 200-300 s estimates to well under half
         ("exact", 20000, 100000, 170.0),
         ("simhash", 5000, 0, 110.0),
-        ("jaccard", 4000, 0, 130.0),
+        ("jaccard", 4000, 0, 200.0),
         ("cosine", 2000, 0, 90.0))
       kinds.foreach { case (kind, rows, big, est) =>
         probe(s"gate_scale_$kind", estSec = est) {

@@ -273,6 +273,51 @@ class ExecutorGateBackendSpec extends AnyFunSuite {
       "exact-gate executor backend diverged")
   }
 
+  test("executor backend under the REAL Structured Streaming driver, restart mid-stream") {
+    // the one composition cell the suites didn't cover: exec-backend state
+    // under startStreamingInto's checkpointed file source, with an engine
+    // restart between micro-batch groups — the replayed gate must carry
+    // backend='executor' from the catalog, rebuild shards from the durable
+    // store, and suppress the post-restart copies of pre-restart content
+    val root = java.nio.file.Files.createTempDirectory("graft_xgst").toString
+    val docs = (0 until 60).map(i => (i.toLong, s"doc body $i")).toDF("doc_id", "text")
+    val copies = docs.where(pmod(col("doc_id"), lit(3)) === 0)
+      .select((col("doc_id") + 700000L).as("doc_id"), col("text"))
+    def setup(eng: ContViewEngine): ContViewEngine = {
+      eng.createStream("xs_in", docs.schema)
+      eng.createStream("xs_clean", org.apache.spark.sql.types.StructType(
+        docs.schema.fields :+ org.apache.spark.sql.types.StructField("h",
+          org.apache.spark.sql.types.StringType)))
+      eng.createContView("v_xs",
+        "SELECT doc_id, count(*) AS c FROM xs_clean GROUP BY doc_id",
+        emitChanges = false)
+      eng.sql("""CREATE VIEW xs_gate WITH (action = transform, sink = 'xs_clean',
+                |  backend = 'executor', state_parts = 3,
+                |  outputfunc = dedup_gate('md5(text)', 'doc_id')) AS
+                |SELECT doc_id, text FROM xs_in""".stripMargin)
+      eng
+    }
+    val srcDir = s"$root/_stream_src"
+    (0 until 2).foreach { i =>
+      docs.where(pmod(col("doc_id"), lit(2)) === i)
+        .coalesce(1).write.mode("append").parquet(srcDir)
+    }
+    val eng1 = setup(new ContViewEngine(spark, root))
+    def source() = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val q1 = eng1.startStreamingInto("xs_in", source())
+    try { q1.processAllAvailable() } finally q1.stop()
+    copies.coalesce(1).write.mode("append").parquet(srcDir)
+    val eng2 = setup(new ContViewEngine(spark, root))
+    val q2 = eng2.startStreamingInto("xs_in", source())
+    try { q2.processAllAvailable() } finally q2.stop()
+    val counts = eng2.overlay("v_xs").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(counts.keySet === (0 until 60).map(_.toLong).toSet,
+      "every original admitted once, every post-restart copy suppressed")
+    assert(counts.values.forall(_ == 1L), "no duplicate deliveries")
+  }
+
   test("exact gate executor backend: ttl window matches the driver") {
     def rows(v: (Long, String, String)*): DataFrame =
       v.toDF("id", "k", "tss").withColumn("ts", col("tss").cast("timestamp"))
