@@ -373,6 +373,88 @@ object GateProbes {
   }
 }
 
+/** Contamination-gate reference-scale probe: `runMain
+  * graft.ProfileContaminationScale [batchRows] [refDocs,csv]` — per-batch
+  * gate ev/s for BOTH backends at growing REFERENCE sizes (the gate's
+  * state axis: the reference is static, so this is the only dimension
+  * that grows). Batches carry 25% contaminated rows (a verbatim 3-token
+  * span of a reference doc) so every batch pays the membership path. */
+object ProfileContaminationScale {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val batchRows = args.headOption.map(_.toInt).getOrElse(5000)
+    val refDocs = args.lift(1).map(_.split(",").toSeq.map(_.toInt))
+      .getOrElse(Seq(10000, 100000))
+    val nBatches = 4
+    // doc body: 30 tokens unique to the doc id (hash-spread namespaces)
+    def body(c: Column, ns: String) = concat_ws(" ",
+      (0 until 30).map(i => concat(lit(ns),
+        xxhash64(c * (i + 1)).cast("string"))): _*)
+    // contaminated body: fresh prefix + a 3-token verbatim reference span
+    def span(refId: Column) = concat_ws(" ",
+      (5 to 7).map(i => concat(lit("r"),
+        xxhash64(refId * (i + 1)).cast("string"))): _*)
+    refDocs.foreach { nRef =>
+      Seq(graft.streaming.StreamDedupGate.DriverBackend,
+          graft.streaming.StreamDedupGate.ExecutorBackend).foreach { backend =>
+        val root = java.nio.file.Files.createTempDirectory("graft_ctsc").toString
+        val eng = new graft.cv.ContViewEngine(spark, root + "/eng")
+        import org.apache.spark.sql.types.{StructField, StructType, StringType, LongType}
+        val schema = StructType(Seq(StructField("id", LongType),
+          StructField("text", StringType)))
+        eng.createStream("cs_in", schema)
+        eng.createStream("cs_out", schema)
+        val ref = spark.range(nRef).select(body(col("id"), "r").as("text"))
+        val t0 = System.nanoTime()
+        val gate = graft.streaming.ContaminationGate.create(eng, "cs_gate",
+          "SELECT id, text FROM cs_in", textSql = "text", orderCol = "id",
+          sink = "cs_out", storeRoot = root, reference = ref,
+          backend = backend, stateParts = 0)
+        val setupSec = (System.nanoTime() - t0) / 1e9
+        var nextId = 1L << 40
+        def feedOne(): Double = {
+          val nNew = batchRows * 3 / 4
+          val base = nextId
+          nextId += batchRows
+          val fresh = spark.range(nNew).select((col("id") + base).as("id"),
+            body(col("id") + base, "f").as("text"))
+          val dirty = spark.range(batchRows - nNew)
+            .select((col("id") + base + nNew).as("id"),
+              concat(body(col("id") + base + nNew, "f"), lit(" "),
+                span(pmod(xxhash64(col("id") + base), lit(nRef.toLong))))
+                .as("text"))
+          val batch = fresh.unionByName(dirty).persist()
+          batch.count()
+          val s0 = System.nanoTime()
+          eng.insertInto("cs_in", batch)
+          val sec = (System.nanoTime() - s0) / 1e9
+          batch.unpersist()
+          sec
+        }
+        (0 until 2).foreach(_ => feedOne()) // untimed JIT/bootstrap warm-up
+        val secs = (0 until nBatches).map(_ => feedOne())
+        val steady = secs.drop(1).sorted.apply((nBatches - 1) / 2)
+        val (_, adm, sup) = gate.stats
+        println(f"[ct-scale] backend=$backend%s refDocs=$nRef%d " +
+          f"(~${nRef * 28}%d grams) batchRows=$batchRows%d " +
+          f"ev_s=${math.round(batchRows / steady)}%d setup=${setupSec}%.1f s " +
+          f"admitted=$adm%d suppressed=$sup%d")
+        eng.dropContTransform("cs_gate")
+        eng.dropStream("cs_in"); eng.dropStream("cs_out")
+        graft.streaming.StreamDedupGate.deleteRecursively(
+          new java.io.File(root))
+      }
+    }
+    spark.stop()
+  }
+}
+
 /** Dual-backend scale-probe driver: `runMain graft.ProfileGateDual [kind]
   * [batchRows] [bigBatchRows]` — the exact probe Bench runs, in isolation,
   * for estimate tuning and anomaly reproduction. */
