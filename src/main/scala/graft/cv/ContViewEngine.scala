@@ -1814,28 +1814,36 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     synchronized {
       gates.toSeq.sortBy(_._1).map { case (nm, g) =>
         def row(kind: String, shards: Int, t: (Long, Long, Long),
-            lost: Long): GateStats =
+            lost: Long,
+            be: (String, Int) = (StreamDedupGate.DriverBackend, 0)): GateStats =
           GateStats(nm, kind, shards, t._1, t._2, t._3,
-            rowsIn = t._2 + t._3, rowsOut = t._2, lostCommits = lost)
+            rowsIn = t._2 + t._3, rowsOut = t._2, lostCommits = lost,
+            backend = be._1, stateParts = be._2)
         g match {
+          // sharded wrappers are always driver-tier (exec×shards refused)
           case sd: ShardedDedupGate =>
             row("dedup", sd.shardCount, sd.stats, sd.lostCommits)
           case sn: ShardedNearDupGate =>
             row(kindOf(sn.firstCore), sn.shardCount, sn.stats,
               sn.commitPipeline.lostCommits)
           case d: StreamDedupGate =>
-            row("dedup", 1, d.stats, d.commitPipeline.lostCommits)
+            row("dedup", 1, d.stats, d.commitPipeline.lostCommits,
+              d.backendInfo)
           case h: SimHashNearDupGate =>
-            row("simhash", 1, h.stats, h.commitPipeline.lostCommits)
+            row("simhash", 1, h.stats, h.commitPipeline.lostCommits,
+              h.backendInfo)
           case c: CosineNearDupGate =>
-            row("cosine", 1, c.stats, c.commitPipeline.lostCommits)
+            row("cosine", 1, c.stats, c.commitPipeline.lostCommits,
+              c.backendInfo)
           case j: JaccardNearDupGate =>
-            row("jaccard", 1, j.stats, j.commitPipeline.lostCommits)
+            row("jaccard", 1, j.stats, j.commitPipeline.lostCommits,
+              j.backendInfo)
           // the contamination gate never appends (static reference store)
-          case ct: ContaminationGate => row("contamination", 1, ct.stats, 0L)
+          case ct: ContaminationGate =>
+            row("contamination", 1, ct.stats, 0L, ct.backendInfo)
           case other =>
             GateStats(nm, other.getClass.getSimpleName, 1, 0L, 0L, 0L, 0L, 0L,
-              0L)
+              0L, StreamDedupGate.DriverBackend, 0)
         }
       }
     }.toDF()
@@ -2550,7 +2558,11 @@ final case class GateStats(gate: String, kind: String, shards: Int,
     // deferred store appends that failed and were dropped (the accepted
     // at-least-once loss class — each one means future duplicates of that
     // batch's content may be admitted); operators alert on it growing
-    lostCommits: Long)
+    lostCommits: Long,
+    // state placement: 'driver' | 'executor', and the RESOLVED executor
+    // shard count (0 on the driver tier) — the first things an operator
+    // checks when a gate's per-batch cost surprises
+    backend: String, stateParts: Int)
 
 /** pipelinedb.views catalog row (sql:77-93 shape). */
 final case class CvCatalogRow(

@@ -183,6 +183,9 @@ final class ContaminationGate private (
       ttlEnabled = false, keyCol = "gh")
   /** Probe/spec seams (null on the driver backend / executor backend). */
   private[graft] def executorSeen: ExecutorSeenStore = execSeen
+  /** (backend, resolved executor shard count — 0 on the driver tier). */
+  private[graft] def backendInfo: (String, Int) =
+    (backend, if (execSeen == null) 0 else execSeen.parts)
   private[graft] def driverBloomForSpec: AnyRef = bloom
 
   /** (batches, admitted clean docs, suppressed contaminated docs) so far. */

@@ -281,6 +281,10 @@ private[streaming] abstract class IndexedNearDupGate[P](
       auxCol = if (sketchColOf.isEmpty) None else Some("sk"))
   /** Probe/spec seam: the distributed index (null on the driver backend). */
   private[graft] def executorIndex: ExecutorGateIndex = execIdx
+  /** (backend, resolved executor shard count — 0 on the driver tier):
+    * the `graft_gate_stats` placement columns. */
+  private[graft] def backendInfo: (String, Int) =
+    (backend, if (execIdx == null) 0 else execIdx.parts)
   /** Probe/spec seam: the executor payload pool (null on the driver
     * backend and on non-payload-writing cores). */
   private[graft] def executorPayloads: ExecutorPayloadPool = execPay

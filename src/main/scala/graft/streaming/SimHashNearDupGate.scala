@@ -224,6 +224,9 @@ final class SimHashNearDupGate private (
       ttlEnabled)
   /** Probe/spec seam: the distributed index (null on the driver backend). */
   private[graft] def executorIndex: ExecutorGateIndex = execIdx
+  /** (backend, resolved executor shard count — 0 on the driver tier). */
+  private[graft] def backendInfo: (String, Int) =
+    (backend, if (execIdx == null) 0 else execIdx.parts)
   private val residentTs = new scala.collection.mutable.ArrayBuffer[Long]()
   private var residentStale = false
 

@@ -244,6 +244,9 @@ final class StreamDedupGate private[streaming] (
       else ExecutorGateIndex.defaultParts(eng.spark), ttlEnabled)
   /** Probe/spec seam (null on the driver backend). */
   private[graft] def executorSeen: ExecutorSeenStore = execSeen
+  /** (backend, resolved executor shard count — 0 on the driver tier). */
+  private[graft] def backendInfo: (String, Int) =
+    (backend, if (execSeen == null) 0 else execSeen.parts)
   private val ingestLock = new Object
 
   /** Barrier for callers about to read or delete the durable store. */

@@ -173,6 +173,12 @@ class ContaminationGateSpec extends AnyFunSuite {
     e2.insertInto("d_in", stream.where(col("id") >= 120))
     assert(admitted(e2) === expected,
       "DDL-declared executor contamination gate diverged")
+    // placement telemetry: graft_gate_stats names the tier and the
+    // RESOLVED shard count
+    val st = e2.gateStats().where(col("gate") === "d_gate")
+      .select("backend", "stateParts").collect()(0)
+    assert(st.getString(0) === "executor" && st.getInt(1) === 3,
+      s"gate stats must carry placement: $st")
     val gateDir = java.nio.file.Paths.get(root, "d_gate")
       .toAbsolutePath.toString
     assert(ExecutorGateState.registeredUnder(gateDir) > 0,
