@@ -404,6 +404,9 @@ object ProfileContaminationScale {
       Seq(graft.streaming.StreamDedupGate.DriverBackend,
           graft.streaming.StreamDedupGate.ExecutorBackend).foreach { backend =>
         val root = java.nio.file.Files.createTempDirectory("graft_ctsc").toString
+        // engine root == store root: dropContTransform's shard eviction
+        // sweeps <engineRoot>/<gate>, so a split root would leak the
+        // executor shard registry across iterations and skew later points
         val eng = new graft.cv.ContViewEngine(spark, root + "/eng")
         import org.apache.spark.sql.types.{StructField, StructType, StringType, LongType}
         val schema = StructType(Seq(StructField("id", LongType),
@@ -414,7 +417,7 @@ object ProfileContaminationScale {
         val t0 = System.nanoTime()
         val gate = graft.streaming.ContaminationGate.create(eng, "cs_gate",
           "SELECT id, text FROM cs_in", textSql = "text", orderCol = "id",
-          sink = "cs_out", storeRoot = root, reference = ref,
+          sink = "cs_out", storeRoot = root + "/eng", reference = ref,
           backend = backend, stateParts = 0)
         val setupSec = (System.nanoTime() - t0) / 1e9
         var nextId = 1L << 40
@@ -442,7 +445,7 @@ object ProfileContaminationScale {
         val steady = secs.drop(1).sorted.apply((nBatches - 1) / 2)
         val (_, adm, sup) = gate.stats
         println(f"[ct-scale] backend=$backend%s refDocs=$nRef%d " +
-          f"(~${nRef * 28}%d grams) batchRows=$batchRows%d " +
+          f"(~${nRef * 28L}%d grams) batchRows=$batchRows%d " +
           f"ev_s=${math.round(batchRows / steady)}%d setup=${setupSec}%.1f s " +
           f"admitted=$adm%d suppressed=$sup%d")
         eng.dropContTransform("cs_gate")

@@ -266,10 +266,7 @@ final class ContaminationGate private (
       sup: java.util.HashSet[Any]): DataFrame =
     GateStore.exceptIds(keyed, orderCol, sup.toArray).drop("__gh")
 
-  private[streaming] def admittedCol(sup: java.util.HashSet[Any]): Column =
-    if (sup.isEmpty) lit(true)
-    else col(orderCol).isNull ||
-      !GateStore.inSetCol(col(orderCol), sup.toArray.toSeq)
+  private[streaming] def orderColName: String = orderCol
 
   private[streaming] def commitPayloadBatch(ctx: AnyRef): Unit = ()
   private[streaming] def commitIndexBatch(ctx: AnyRef): Unit = ()
@@ -386,7 +383,7 @@ final class ContaminationGate private (
       if (exactlyOnce) {
         val epoch = batches // decideBatch advanced it to this batch
         epochs.failpoint("before-spool")
-        epochs.spool(epoch, keyed, admittedCol(ctx.sup))
+        epochs.spool(epoch, keyed, orderCol, ctx.sup)
         // remember only AFTER the spool commit point: remembering earlier
         // would suppress the legitimate retry of a pre-spool crash
         rememberRetryIds(retryIds)

@@ -86,9 +86,16 @@ private[streaming] final class GateEpochs(
     math.max(spoolEpochs().lastOption.map(_._1).getOrElse(0L), deliveredEpoch())
 
   /** THE commit point: the full prepared batch + `__admitted` lands as one
-    * atomically-renamed parquet file. */
-  def spool(epoch: Long, keyed: DataFrame, admitted: Column): Unit =
-    GateStore.append(keyed.withColumn("__admitted", admitted),
+    * atomically-renamed parquet file. The flag (true unless `orderCol` is
+    * in `suppressed`; NULL order ids always admitted) is built through
+    * [[GateStore.withAdmittedFlag]], so a batch-sized suppressed set rides
+    * the spool job as a broadcast join side instead of every task binary —
+    * the same bound the survivor filters carry. */
+  def spool(epoch: Long, keyed: DataFrame, orderCol: String,
+      suppressed: java.util.HashSet[Any]): Unit =
+    GateStore.append(
+      GateStore.withAdmittedFlag(keyed, orderCol, suppressed.toArray,
+        "__admitted"),
       spoolDir, "fwd", epoch)
 
   /** Deliver epoch `epoch`'s admitted subset to the sink and mark it. */

@@ -105,6 +105,32 @@ private[streaming] object GateStore {
       df.join(broadcast(idsDf), col(column) === col("__gate_sup"), "left_anti")
     }
   }
+
+  /** `df` plus a boolean `flag` column: true unless `column` is in `ids`
+    * (NULL `column` → true) — the [[exceptIds]] predicate as a FLAG
+    * instead of a filter, for the exactly-once spool's `__admitted`
+    * column. Same two regimes: InSet under the task-binary bound,
+    * broadcast LEFT join + null-marker test above it (`ids` is a set, so
+    * the join never multiplies rows). */
+  def withAdmittedFlag(df: org.apache.spark.sql.DataFrame, column: String,
+      ids: Array[Any], flag: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, lit}
+    if (ids.isEmpty) df.withColumn(flag, lit(true))
+    else if (pushdownOk(ids))
+      df.withColumn(flag,
+        col(column).isNull || !inSetCol(col(column), ids.toSeq))
+    else {
+      val t = df.schema(df.schema.fieldIndex(column)).dataType
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row](ids.length)
+      ids.foreach(k => { rows.add(org.apache.spark.sql.Row(k)); () })
+      val idsDf = df.sparkSession.createDataFrame(rows,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("__gate_sup", t))))
+      df.join(broadcast(idsDf), col(column) === col("__gate_sup"), "left")
+        .withColumn(flag, col("__gate_sup").isNull)
+        .drop("__gate_sup")
+    }
+  }
   def maxDriverVerifyBytes: Long =
     maxDriverVerifyBytesOverride.getOrElse(MaxDriverVerifyBytes)
 

@@ -624,10 +624,7 @@ private[streaming] abstract class IndexedNearDupGate[P](
       sup: java.util.HashSet[Any]): DataFrame =
     GateStore.exceptIds(keyed, orderCol, sup.toArray).drop("__p")
 
-  private[streaming] def admittedCol(sup: java.util.HashSet[Any]): Column =
-    if (sup.isEmpty) lit(true)
-    else col(orderCol).isNull ||
-      !GateStore.inSetCol(col(orderCol), sup.toArray.toSeq)
+  private[streaming] def orderColName: String = orderCol
 
   private[streaming] override def storeMaxBatch: Long =
     math.max(GateStore.maxBatch(idxDir, "keys"),
@@ -1229,7 +1226,7 @@ private[streaming] abstract class IndexedNearDupGate[P](
         // never defers
         val epoch = batches // decideBatch advanced it to this batch
         epochs.failpoint("before-spool")
-        epochs.spool(epoch, keyed, admittedCol(ctx.sup))
+        epochs.spool(epoch, keyed, orderCol, ctx.sup)
         epochs.failpoint("after-spool")
         commitPayloadBatch(ctx)
         commitIndexBatch(ctx)

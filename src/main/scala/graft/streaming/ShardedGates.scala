@@ -40,9 +40,9 @@ private[streaming] trait ShardableGateCore {
   private[streaming] def suppressedOf(ctx: AnyRef): java.util.HashSet[Any]
   private[streaming] def survivorsOf(keyed: DataFrame,
       sup: java.util.HashSet[Any]): DataFrame
-  /** The survivor filter as a BOOLEAN column (the exactly-once spool's
-    * `__admitted` flag — must agree with [[survivorsOf]] exactly). */
-  private[streaming] def admittedCol(sup: java.util.HashSet[Any]): org.apache.spark.sql.Column
+  /** The order-id column name (the exactly-once spool builds its
+    * `__admitted` flag over it — [[GateEpochs.spool]]). */
+  private[streaming] def orderColName: String
   private[streaming] def commitPayloadBatch(ctx: AnyRef): Unit
   private[streaming] def commitIndexBatch(ctx: AnyRef): Unit
   /** Exactly-once recovery hook ([[GateEpochs]]): re-derive this core's
@@ -217,7 +217,7 @@ final class ShardedNearDupGate private[streaming] (
         // spool is the commit point — exactly-once never defers.
         val epoch = epoch0
         epochs.failpoint("before-spool")
-        epochs.spool(epoch, keyed, cores.head.admittedCol(sup))
+        epochs.spool(epoch, keyed, cores.head.orderColName, sup)
         // remember only AFTER the spool commit point (see retrySuppress)
         if (retryIds != null) cores.head.rememberRetryIds(retryIds)
         epochs.failpoint("after-spool")

@@ -510,10 +510,7 @@ final class SimHashNearDupGate private (
     // above it — GateStore.exceptIds)
     GateStore.exceptIds(keyed, orderCol, sup.toArray)
 
-  private[streaming] def admittedCol(sup: java.util.HashSet[Any]): org.apache.spark.sql.Column =
-    if (sup.isEmpty) lit(true)
-    else col(orderCol).isNull ||
-      !GateStore.inSetCol(col(orderCol), sup.toArray.toSeq)
+  private[streaming] def orderColName: String = orderCol
 
   private[streaming] override def storeMaxBatch: Long =
     GateStore.maxBatch(storeDir, "fps")
@@ -904,7 +901,7 @@ final class SimHashNearDupGate private (
         // batch's durability, so exactly-once never defers
         val epoch = batches // decideBatch advanced it to this batch
         epochs.failpoint("before-spool")
-        epochs.spool(epoch, keyed, admittedCol(ctx.sup))
+        epochs.spool(epoch, keyed, orderCol, ctx.sup)
         epochs.failpoint("after-spool")
         commitIndexBatch(ctx)
         epochs.failpoint("after-store")

@@ -721,10 +721,7 @@ final class StreamDedupGate private[streaming] (
       admitted += n
       suppressed += total - n
       ttlEpochs.failpoint("before-spool")
-      ttlEpochs.spool(epoch, d.keyed,
-        if (d.suppressedIds.isEmpty) lit(true)
-        else col(orderCol).isNull ||
-          !GateStore.inSetCol(col(orderCol), d.suppressedIds.toArray.toSeq))
+      ttlEpochs.spool(epoch, d.keyed, orderCol, d.suppressedIds)
       ttlEpochs.failpoint("after-spool")
       appendTtlKeys(d.keyed, d.maxByKey, epoch)
       ttlEpochs.failpoint("after-store")

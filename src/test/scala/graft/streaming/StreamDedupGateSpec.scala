@@ -311,7 +311,9 @@ class StreamDedupGateSpec extends AnyFunSuite {
       eng.insertInto("g_in", b((1L, "a"), (2L, "b"), (3L, "a")))
       eng.insertInto("g_in", b((4L, "b"), (5L, "c"), (6L, "c"), (7L, "a")))
       val plain = admitted(eng)
-      // windowed sibling: ttl decisions + ttl survivors on the same bound
+      // windowed EXACTLY-ONCE sibling on the same bound: covers the ttl
+      // decision read, the ttl survivors, AND the epoch spool's
+      // __admitted flag (GateStore.withAdmittedFlag broadcast regime)
       val root = java.nio.file.Files.createTempDirectory("graft_gate_pb").toString
       val e2 = new ContViewEngine(spark, root)
       val rows = Seq(
@@ -327,7 +329,7 @@ class StreamDedupGateSpec extends AnyFunSuite {
       StreamDedupGate.create(e2, "gp_gate", "SELECT id, body, ts FROM gp_in",
         keySql = "md5(body)", orderCol = "id", sink = "gp_out",
         storeRoot = root + "/gate", ttlMillis = 24L * 3600 * 1000,
-        ttlColumn = "ts")
+        ttlColumn = "ts", delivery = StreamDedupGate.ExactlyOnce)
       e2.insertInto("gp_in", rows.where(col("id") <= 2))
       e2.insertInto("gp_in", rows.where(col("id") > 2))
       (plain, e2.overlay("v_gp").collect().map(_.getLong(0)).toSet)
@@ -339,7 +341,8 @@ class StreamDedupGateSpec extends AnyFunSuite {
     try {
       val (plainJoin, ttlJoin) = feedBoth()
       assert(plainJoin === plainRef, "broadcast semi-join store check diverged")
-      assert(ttlJoin === ttlRef, "broadcast ttl store check / survivors diverged")
+      assert(ttlJoin === ttlRef,
+        "broadcast ttl store check / survivors / spool flag diverged")
     } finally GateStore.maxPushdownBytesOverride = None
   }
 
