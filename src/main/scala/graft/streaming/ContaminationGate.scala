@@ -114,6 +114,13 @@ final class ContaminationGate private (
     storeDir.getParent.resolve("spool"), Seq(this), dropCols = Seq("__gh"))
 
   private val recentEpochIds = new java.util.ArrayDeque[java.util.HashSet[Any]]()
+  // highest epoch whose ids the window already holds: [[commitRecovered]]
+  // runs at EVERY recovery attempt of a pending epoch (restart bootstrap
+  // AND each batch-head retry after a failed delivery) — without this
+  // guard, repeated retries of one stuck epoch would push duplicate
+  // copies into the bounded deque and evict the older epochs the window
+  // exists to remember
+  private var lastRememberedEpoch = 0L
   private def rememberEpoch(ids: java.util.HashSet[Any]): Unit = {
     recentEpochIds.addLast(ids)
     while (recentEpochIds.size > ContaminationGate.RetryWindowEpochs) {
@@ -129,6 +136,8 @@ final class ContaminationGate private (
   private[streaming] override def commitRecovered(spooled: DataFrame,
       epoch: Long): Unit = synchronized {
     if (batches < epoch) batches = epoch
+    if (epoch <= lastRememberedEpoch) return // idempotent re-recovery
+    lastRememberedEpoch = epoch
     val ids = new java.util.HashSet[Any]()
     spooled.select(orderCol).collect()
       .foreach(r => if (!r.isNullAt(0)) { ids.add(r.get(0)); () })
@@ -155,7 +164,13 @@ final class ContaminationGate private (
   }
 
   private[streaming] override def rememberRetryIds(
-      ids: java.util.HashSet[Any]): Unit = synchronized(rememberEpoch(ids))
+      ids: java.util.HashSet[Any]): Unit = synchronized {
+    // the batch path remembers under the current epoch (batches was
+    // advanced by decideBatch); a later recovery of the SAME epoch must
+    // not re-remember it
+    lastRememberedEpoch = math.max(lastRememberedEpoch, batches)
+    rememberEpoch(ids)
+  }
 
   /** Gram-hash-value ownership (the static-store gate has no banded key
     * positions): core k owns hashes ≡ k (mod G) — its reference slice,
@@ -388,9 +403,16 @@ final class ContaminationGate private (
         // would suppress the legitimate retry of a pre-spool crash
         rememberRetryIds(retryIds)
         epochs.failpoint("after-spool")
-        epochs.deliverAndMark(epoch)
+        epochs.deliverAndMark(epoch, knownNonEmpty = Some(nOut > 0))
       } else if (nOut > 0) eng.insertInto(sink, survivorsOf(keyed, ctx.sup))
     } finally keyed.unpersist()
+  }
+
+  /** Deliver any epoch the last crash interrupted RIGHT NOW (instead of
+    * at the next batch head). Must not be called while holding engine
+    * locks. No-op in at-least-once mode. */
+  def recover(): Unit = synchronized {
+    if (exactlyOnce) epochs.recoverPending()
   }
 }
 

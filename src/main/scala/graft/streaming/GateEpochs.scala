@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.nio.file.{Files, Path}
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.cv.ContViewEngine
@@ -58,10 +58,88 @@ private[streaming] final class GateEpochs(
       throw new IllegalStateException(s"failpoint:$p")
     }
 
-  private val spoolRe = """fwd_(\d+)\.parquet""".r
-  private val markerRe = """delivered_(\d+)""".r
+  /** Highest epoch this spool has seen (bootstrap counter floor). */
+  def maxEpoch(): Long = math.max(
+    GateSpool.spoolEpochs(spoolDir).lastOption.map(_._1).getOrElse(0L),
+    GateSpool.deliveredEpoch(spoolDir))
 
-  private def spoolEpochs(): Seq[(Long, Path)] = {
+  /** THE commit point: the full prepared batch + `__admitted` lands as one
+    * atomically-renamed parquet file, fsynced (data before the rename,
+    * dirent after) so the commit survives power loss, not just process
+    * crash. The flag (true unless `orderCol` is in `suppressed`; NULL
+    * order ids always admitted) is built through
+    * [[GateStore.withAdmittedFlag]], so a batch-sized suppressed set rides
+    * the spool job as a broadcast join side instead of every task binary —
+    * the same bound the survivor filters carry. */
+  def spool(epoch: Long, keyed: DataFrame, orderCol: String,
+      suppressed: java.util.HashSet[Any]): Unit =
+    GateStore.append(
+      GateStore.withAdmittedFlag(keyed, orderCol, suppressed.toArray,
+        "__admitted"),
+      spoolDir, "fwd", epoch, force = true)
+
+  /** Deliver epoch `epoch`'s admitted subset to the sink and mark it.
+    * `knownNonEmpty`: the batch path already knows whether any row was
+    * admitted (n = total − suppressed) — passing it skips a whole
+    * emptiness-probe job per batch; recovery, which doesn't know, omits
+    * it and pays the probe. */
+  def deliverAndMark(epoch: Long,
+      knownNonEmpty: Option[Boolean] = None): Unit = {
+    val spooled = eng.spark.read.parquet(
+      spoolDir.resolve(f"fwd_$epoch%05d.parquet").toString)
+    val admitted = spooled.where(col("__admitted"))
+      .drop("__admitted").drop(dropCols: _*)
+    if (knownNonEmpty.getOrElse(admitted.take(1).nonEmpty))
+      eng.insertInto(sink, admitted)
+    failpoint("after-deliver")
+    GateSpool.markDelivered(spoolDir, epoch)
+  }
+
+  /** Store half of recovery — engine-API-free (file ops + reads + the
+    * cores' commit hooks), safe under the registration lock the DDL-replay
+    * path holds during bootstrap. Delivery completes at the next batch
+    * head (or an explicit recover). */
+  def recoverStores(): Unit = recoverEach(deliver = false)
+
+  /** Finish every epoch whose spool committed but whose marker didn't:
+    * rebuild missing store appends, deliver, mark. Runs at the head of
+    * every exactly-once batch so restart-recovery and in-process retry
+    * converge on the same state. */
+  def recoverPending(): Unit = recoverEach(deliver = true)
+
+  /** ONE recovery loop for both halves (restart bootstrap delivers at the
+    * next batch head; in-process retry delivers inline) — a guard or
+    * persist-semantics change cannot drift between them. An UNREADABLE
+    * spool file (power loss persisted the rename but not the data) is
+    * quarantined by [[GateSpool.readSpool]] instead of wedging every
+    * future batch: that epoch's rows become the documented at-least-once
+    * loss class (the upstream retry re-feeds them). */
+  private def recoverEach(deliver: Boolean): Unit = {
+    val delivered = GateSpool.deliveredEpoch(spoolDir)
+    GateSpool.spoolEpochs(spoolDir).filter(_._1 > delivered).foreach {
+      case (e, path) =>
+        GateSpool.readSpool(eng.spark, path, s"gate $name epoch $e").foreach {
+          df =>
+            val spooled = df.persist()
+            try commitRecoveredHook(spooled, e)
+            finally { spooled.unpersist(); () }
+            if (deliver) deliverAndMark(e)
+        }
+    }
+  }
+}
+
+/** The spool/marker FILE PROTOCOL, shared by [[GateEpochs]] (the
+  * seen-based gate family) and [[StreamDedupGate]]'s survivors-only spool
+  * — one implementation so a fix to filename parsing, delete ordering, or
+  * the marker convention cannot drift between them. */
+private[streaming] object GateSpool {
+
+  val spoolRe: scala.util.matching.Regex = """fwd_(\d+)\.parquet""".r
+  val markerRe: scala.util.matching.Regex = """delivered_(\d+)""".r
+
+  /** Pending + undelivered spool files, ascending by epoch. */
+  def spoolEpochs(spoolDir: Path): Seq[(Long, Path)] = {
     val d = spoolDir.toFile
     Option(d.listFiles()).getOrElse(Array.empty).toSeq.flatMap { f =>
       f.getName match {
@@ -71,7 +149,8 @@ private[streaming] final class GateEpochs(
     }.sortBy(_._1)
   }
 
-  private def deliveredEpoch(): Long = {
+  /** Highest delivered-marker epoch (0 when none — epochs start at 1). */
+  def deliveredEpoch(spoolDir: Path): Long = {
     val d = spoolDir.toFile
     Option(d.listFiles()).getOrElse(Array.empty).toSeq.flatMap { f =>
       f.getName match {
@@ -81,36 +160,14 @@ private[streaming] final class GateEpochs(
     }.foldLeft(0L)(math.max)
   }
 
-  /** Highest epoch this spool has seen (bootstrap counter floor). */
-  def maxEpoch(): Long =
-    math.max(spoolEpochs().lastOption.map(_._1).getOrElse(0L), deliveredEpoch())
-
-  /** THE commit point: the full prepared batch + `__admitted` lands as one
-    * atomically-renamed parquet file. The flag (true unless `orderCol` is
-    * in `suppressed`; NULL order ids always admitted) is built through
-    * [[GateStore.withAdmittedFlag]], so a batch-sized suppressed set rides
-    * the spool job as a broadcast join side instead of every task binary —
-    * the same bound the survivor filters carry. */
-  def spool(epoch: Long, keyed: DataFrame, orderCol: String,
-      suppressed: java.util.HashSet[Any]): Unit =
-    GateStore.append(
-      GateStore.withAdmittedFlag(keyed, orderCol, suppressed.toArray,
-        "__admitted"),
-      spoolDir, "fwd", epoch)
-
-  /** Deliver epoch `epoch`'s admitted subset to the sink and mark it. */
-  def deliverAndMark(epoch: Long): Unit = {
-    val spooled = eng.spark.read.parquet(
-      spoolDir.resolve(f"fwd_$epoch%05d.parquet").toString)
-    val admitted = spooled.where(col("__admitted"))
-      .drop("__admitted").drop(dropCols: _*)
-    if (admitted.take(1).nonEmpty) eng.insertInto(sink, admitted)
-    failpoint("after-deliver")
-    markDelivered(epoch)
-  }
-
-  private def markDelivered(epoch: Long): Unit = {
-    Files.write(spoolDir.resolve(s"delivered_$epoch"), Array.emptyByteArray)
+  /** Drop the `delivered_<epoch>` marker (fsynced — a vanished marker
+    * widens re-delivery past the documented ack window) and delete dead
+    * spools/markers at or below the watermark. */
+  def markDelivered(spoolDir: Path, epoch: Long): Unit = {
+    val marker = spoolDir.resolve(s"delivered_$epoch")
+    Files.write(marker, Array.emptyByteArray)
+    try GateStore.fsyncFile(marker) catch { case _: Throwable => () }
+    GateStore.fsyncDir(spoolDir)
     val d = spoolDir.toFile
     Option(d.listFiles()).getOrElse(Array.empty).foreach { g =>
       g.getName match {
@@ -121,30 +178,20 @@ private[streaming] final class GateEpochs(
     }
   }
 
-  /** Store half of recovery — engine-API-free (file ops + reads + the
-    * cores' commit hooks), safe under the registration lock the DDL-replay
-    * path holds during bootstrap. Delivery completes at the next batch
-    * head (or an explicit recover). */
-  def recoverStores(): Unit = {
-    val delivered = deliveredEpoch()
-    spoolEpochs().filter(_._1 > delivered).foreach { case (e, path) =>
-      val spooled = eng.spark.read.parquet(path.toString).persist()
-      try commitRecoveredHook(spooled, e)
-      finally { spooled.unpersist(); () }
+  /** Open a spool file, quarantining an unreadable one (renamed to
+    * `<name>.corrupt`, loudly logged) instead of letting a poison file
+    * wedge every future recovery pass — None means "skip this epoch". */
+  def readSpool(spark: org.apache.spark.sql.SparkSession, path: Path,
+      what: String): Option[DataFrame] =
+    try Some(spark.read.parquet(path.toString))
+    catch {
+      case e: Throwable =>
+        val corrupt = path.resolveSibling(path.getFileName.toString + ".corrupt")
+        try { Files.move(path, corrupt); () } catch { case _: Throwable => () }
+        System.err.println(s"[graft] $what: spool file ${path.getFileName} " +
+          s"is unreadable (${e.getClass.getSimpleName}: ${e.getMessage}) — " +
+          s"quarantined to ${corrupt.getFileName}; that epoch's rows fall " +
+          "to the at-least-once class (upstream retry re-feeds them)")
+        None
     }
-  }
-
-  /** Finish every epoch whose spool committed but whose marker didn't:
-    * rebuild missing store appends, deliver, mark. Runs at the head of
-    * every exactly-once batch so restart-recovery and in-process retry
-    * converge on the same state. */
-  def recoverPending(): Unit = {
-    val delivered = deliveredEpoch()
-    spoolEpochs().filter(_._1 > delivered).foreach { case (e, path) =>
-      val spooled = eng.spark.read.parquet(path.toString).persist()
-      try commitRecoveredHook(spooled, e)
-      finally { spooled.unpersist(); () }
-      deliverAndMark(e)
-    }
-  }
 }

@@ -334,7 +334,7 @@ private[streaming] object GateStore {
     * temp-write + atomic rename, sorted by `sortCol` when given so row
     * groups carry tight key stats. */
   def append(rows: DataFrame, dir: Path, prefix: String, batch: Long,
-      sortCol: Option[String] = None): Unit = {
+      sortCol: Option[String] = None, force: Boolean = false): Unit = {
     val tmp = Files.createTempFile(dir, s".tmp_$prefix", ".inprogress")
     val stage = Files.createTempDirectory(dir, ".stage")
     try {
@@ -347,13 +347,36 @@ private[streaming] object GateStore {
         .getOrElse(Array.empty).find(_.getName.endsWith(".parquet"))
         .getOrElse(throw new IllegalStateException(s"no $prefix part written"))
       Files.move(part.toPath, tmp, StandardCopyOption.REPLACE_EXISTING)
+      // `force`: fsync data BEFORE the rename and the dirent AFTER it, so
+      // the rename is a real commit point across power loss, not just
+      // process crash — requested only by the exactly-once SPOOL writes
+      // (a lost STORE append is the documented at-least-once class and
+      // does not pay the sync)
+      if (force) fsyncFile(tmp)
       Files.move(tmp, dir.resolve(f"${prefix}%s_$batch%05d.parquet"),
         StandardCopyOption.ATOMIC_MOVE)
+      if (force) fsyncDir(dir)
     } finally {
       Files.deleteIfExists(tmp)
       deleteRecursively(stage.toFile)
     }
   }
+
+  /** fsync a file's data+metadata (the spool commit's durability half). */
+  def fsyncFile(p: Path): Unit = {
+    val ch = java.nio.channels.FileChannel.open(p,
+      java.nio.file.StandardOpenOption.WRITE)
+    try ch.force(true) finally ch.close()
+  }
+
+  /** Best-effort directory fsync (persists renames/creates on Linux;
+    * filesystems that refuse a read-open dir channel just skip it). */
+  def fsyncDir(dir: Path): Unit =
+    try {
+      val ch = java.nio.channels.FileChannel.open(dir,
+        java.nio.file.StandardOpenOption.READ)
+      try ch.force(true) finally ch.close()
+    } catch { case _: Throwable => () }
 
   /** Write driver-held rows as ONE parquet file `<prefix>_<batch>.parquet`
     * DIRECTLY through parquet-mr — no Spark job at all. The per-batch gate

@@ -162,6 +162,13 @@ private[streaming] abstract class IndexedNearDupGate[P](
     * (engine drop path, probes): joins any deferred commit. */
   private[graft] def drainCommits(): Unit = pipeline.drain()
 
+  /** Deliver any epoch the last crash interrupted RIGHT NOW (instead of
+    * at the next batch head — a quiet stream would otherwise withhold a
+    * spool-committed epoch's rows indefinitely). Must not be called while
+    * holding engine locks. No-op in at-least-once mode. */
+  def recover(): Unit =
+    if (exactlyOnce) { pipeline.drain(); synchronized(epochs.recoverPending()) }
+
   /** The payload column (nullable → row passes through unstored) computed
     * over the transform's projected columns, named `__p`. */
   protected def payloadCol: Column
@@ -1231,7 +1238,7 @@ private[streaming] abstract class IndexedNearDupGate[P](
         commitPayloadBatch(ctx)
         commitIndexBatch(ctx)
         epochs.failpoint("after-store")
-        epochs.deliverAndMark(epoch)
+        epochs.deliverAndMark(epoch, knownNonEmpty = Some(n > 0))
       } else {
         // sink BEFORE store append (at-least-once under failure-retry —
         // see StreamDedupGate's delivery contract)

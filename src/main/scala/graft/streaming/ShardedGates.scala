@@ -186,6 +186,13 @@ final class ShardedNearDupGate private[streaming] (
     * (engine drop path, probes): joins any deferred commit. */
   private[graft] def drainCommits(): Unit = pipeline.drain()
 
+  /** Deliver any epoch the last crash interrupted RIGHT NOW (instead of
+    * at the next batch head — a quiet stream would otherwise withhold a
+    * spool-committed epoch's rows indefinitely). Must not be called while
+    * holding engine locks. No-op in at-least-once mode. */
+  def recover(): Unit =
+    if (exactlyOnce) { pipeline.drain(); synchronized(epochs.recoverPending()) }
+
   private[streaming] def onBatch(batch: DataFrame): Unit = ingestLock.synchronized { traced("sh-total") {
     if (exactlyOnce) { pipeline.drain(); epochs.recoverPending() }
     val epoch0 = synchronized { batches += 1; batches }
@@ -225,7 +232,7 @@ final class ShardedNearDupGate private[streaming] (
         traced("sh-idx")(inPool(
           cores.zip(ctxs).map { case (c, ctx) => () => c.commitIndexBatch(ctx) }))
         epochs.failpoint("after-store")
-        epochs.deliverAndMark(epoch)
+        epochs.deliverAndMark(epoch, knownNonEmpty = Some(n > 0))
       } else {
         // sink BEFORE store append (at-least-once under failure-retry)
         if (n > 0) traced("sh-sink")(

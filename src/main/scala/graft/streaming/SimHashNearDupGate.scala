@@ -150,6 +150,13 @@ final class SimHashNearDupGate private (
     * (engine drop path, probes): joins any deferred commit. */
   private[graft] def drainCommits(): Unit = pipeline.drain()
 
+  /** Deliver any epoch the last crash interrupted RIGHT NOW (instead of
+    * at the next batch head — a quiet stream would otherwise withhold a
+    * spool-committed epoch's rows indefinitely). Must not be called while
+    * holding engine locks. No-op in at-least-once mode. */
+  def recover(): Unit =
+    if (exactlyOnce) { pipeline.drain(); synchronized(epochs.recoverPending()) }
+
   /** Key-position ownership (see [[ShardedNearDupGate]]): the block
     * permutation emits C(blocks, blocks-maxDist/…) keys in a fixed order,
     * and core k owns positions ≡ k (mod shardCount) — every colliding
@@ -905,7 +912,7 @@ final class SimHashNearDupGate private (
         epochs.failpoint("after-spool")
         commitIndexBatch(ctx)
         epochs.failpoint("after-store")
-        epochs.deliverAndMark(epoch)
+        epochs.deliverAndMark(epoch, knownNonEmpty = Some(n > 0))
       } else {
         // sink BEFORE store append (at-least-once under failure-retry, see
         // StreamDedupGate's delivery contract): a batch that fails mid-gate

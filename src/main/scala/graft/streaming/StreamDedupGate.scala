@@ -725,7 +725,7 @@ final class StreamDedupGate private[streaming] (
       ttlEpochs.failpoint("after-spool")
       appendTtlKeys(d.keyed, d.maxByKey, epoch)
       ttlEpochs.failpoint("after-store")
-      ttlEpochs.deliverAndMark(epoch)
+      ttlEpochs.deliverAndMark(epoch, knownNonEmpty = Some(n > 0))
       if (!executorBackend) d.batchKeys.foreach(bloom.add)
     } finally { d.keyed.unpersist(); () }
   }
@@ -770,45 +770,15 @@ final class StreamDedupGate private[streaming] (
 
   // ---- exactly-once epochs -----------------------------------------------
 
-  private val spoolRe = """fwd_(\d+)\.parquet""".r
-  private val markerRe = """delivered_(\d+)""".r
-
-  private def spoolEpochs(): Seq[(Long, Path)] = {
-    val d = spoolDir.toFile
-    Option(d.listFiles()).getOrElse(Array.empty).toSeq.flatMap { f =>
-      f.getName match {
-        case spoolRe(e) => Some((e.toLong, f.toPath))
-        case _ => None
-      }
-    }.sortBy(_._1)
-  }
-
+  // spool/marker file protocol: ONE implementation shared with the
+  // seen-based gate family ([[GateSpool]]) — parsing/housekeeping fixes
+  // cannot drift between the two spool formats
+  private def spoolEpochs(): Seq[(Long, Path)] = GateSpool.spoolEpochs(spoolDir)
   private def spoolMaxEpoch(): Long =
     spoolEpochs().lastOption.map(_._1).getOrElse(0L)
-
-  private def deliveredEpoch(): Long = {
-    val d = spoolDir.toFile
-    Option(d.listFiles()).getOrElse(Array.empty).toSeq.flatMap { f =>
-      f.getName match {
-        case markerRe(e) => Some(e.toLong)
-        case _ => None
-      }
-    }.foldLeft(0L)(math.max)
-  }
-
-  private def markDelivered(epoch: Long): Unit = {
-    val f = spoolDir.resolve(s"delivered_$epoch")
-    Files.write(f, Array.emptyByteArray)
-    // housekeeping: spools and markers at or below the watermark are dead
-    val d = spoolDir.toFile
-    Option(d.listFiles()).getOrElse(Array.empty).foreach { g =>
-      g.getName match {
-        case spoolRe(e) if e.toLong <= epoch => g.delete(); ()
-        case markerRe(e) if e.toLong < epoch => g.delete(); ()
-        case _ =>
-      }
-    }
-  }
+  private def deliveredEpoch(): Long = GateSpool.deliveredEpoch(spoolDir)
+  private def markDelivered(epoch: Long): Unit =
+    GateSpool.markDelivered(spoolDir, epoch)
 
   /** Store half of epoch recovery: rebuild keys_E from any pending spool
     * whose rename committed before the crash beat the store append —
@@ -819,10 +789,13 @@ final class StreamDedupGate private[streaming] (
     var rebuilt = false
     spoolEpochs().filter(_._1 > delivered).foreach { case (e, path) =>
       if (GateStore.maxBatch(storeDir, "keys") < e) {
-        val keys = eng.spark.read.parquet(path.toString)
-          .where(col("h").isNotNull).select("h").distinct()
-        GateStore.append(keys, storeDir, "keys", e, sortCol = Some("h"))
-        rebuilt = true
+        GateSpool.readSpool(eng.spark, path, s"gate $name epoch $e").foreach {
+          spooled =>
+            val keys = spooled
+              .where(col("h").isNotNull).select("h").distinct()
+            GateStore.append(keys, storeDir, "keys", e, sortCol = Some("h"))
+            rebuilt = true
+        }
       }
     }
     if (rebuilt && executorBackend) execSeen.invalidate()
@@ -836,7 +809,8 @@ final class StreamDedupGate private[streaming] (
   private def recoverPending(): Unit = {
     val delivered = deliveredEpoch()
     spoolEpochs().filter(_._1 > delivered).foreach { case (e, path) =>
-      val spooled = eng.spark.read.parquet(path.toString)
+      GateSpool.readSpool(eng.spark, path, s"gate $name epoch $e").foreach {
+      spooled =>
       if (GateStore.maxBatch(storeDir, "keys") < e) {
         val keys = spooled.where(col("h").isNotNull).select("h").distinct()
         GateStore.append(keys, storeDir, "keys", e, sortCol = Some("h"))
@@ -849,6 +823,7 @@ final class StreamDedupGate private[streaming] (
       if (spooled.take(1).nonEmpty) eng.insertInto(sink, spooled)
       markDelivered(e)
       if (e > batches) batches = e
+      }
     }
   }
 
@@ -869,7 +844,7 @@ final class StreamDedupGate private[streaming] (
       failpoint("before-spool")
       // THE commit point: the survivor set lands as one atomically-renamed
       // file; everything after it is replayable from this file alone
-      GateStore.append(d.survivors, spoolDir, "fwd", epoch)
+      GateStore.append(d.survivors, spoolDir, "fwd", epoch, force = true)
       batches = epoch
       admitted += n
       suppressed += total - n

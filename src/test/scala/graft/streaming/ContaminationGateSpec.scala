@@ -223,6 +223,53 @@ class ContaminationGateSpec extends AnyFunSuite {
       s"every admitted row exactly once: ${counts.filter(_._2 != 1L)}")
   }
 
+  test("repeated recovery of a stuck epoch does not flush the retry-dedup window") {
+    // commitRecovered runs at EVERY recovery attempt of a pending epoch;
+    // it must be idempotent — before the lastRememberedEpoch guard, each
+    // failed delivery retry pushed another copy of the stuck epoch's ids
+    // into the 8-slot window, evicting the older epochs and re-admitting
+    // an upstream's re-feed of them
+    val (ref, stream) = fixture()
+    val root = java.nio.file.Files.createTempDirectory("graft_ct9").toString
+    val eng = new ContViewEngine(spark, root)
+    val schema = Seq((0L, "x")).toDF("id", "body").schema
+    eng.createStream("d_in", schema)
+    eng.createStream("d_out", schema)
+    eng.createContView("v_dc", "SELECT id, count(*) AS c FROM d_out GROUP BY id",
+      emitChanges = false)
+    val g = ContaminationGate.create(eng, "d_gate",
+      "SELECT id, body FROM d_in", textSql = "body", orderCol = "id",
+      sink = "d_out", storeRoot = root + "/gate",
+      reference = ref, refTextCol = "body",
+      delivery = StreamDedupGate.ExactlyOnce)
+    eng.insertInto("d_in", stream.where(col("id") < 110))   // epoch 1
+    eng.insertInto("d_in",
+      stream.where(col("id") >= 110 && col("id") < 120))    // epoch 2
+    eng.insertInto("d_in",
+      stream.where(col("id") >= 120 && col("id") < 125))    // epoch 3
+    // epoch 4 crashes after its spool committed — pending, undelivered
+    g.epochs.failAt = "after-spool"
+    intercept[Exception] {
+      eng.insertInto("d_in",
+        stream.where(col("id") >= 125 && col("id") < 130))
+    }
+    // ten recovery attempts that each fail between delivery and marker
+    (0 until 10).foreach { _ =>
+      g.epochs.failAt = "after-deliver"
+      intercept[Exception] { g.recover() }
+    }
+    g.recover() // epoch 4 finally completes
+    // upstream re-feed of epoch 2 (well inside RetryWindowEpochs = 8):
+    // the window must still suppress every row
+    eng.insertInto("d_in",
+      stream.where(col("id") >= 110 && col("id") < 120))
+    val counts = eng.overlay("v_dc").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val epoch2Admitted = counts.filter { case (id, _) => id >= 110 && id < 120 }
+    assert(epoch2Admitted.values.forall(_ == 1L),
+      s"re-fed epoch-2 rows must stay window-suppressed: $epoch2Admitted")
+  }
+
   test("executor backend does not compose with driver-core sharding") {
     val (ref, _) = fixture()
     val root = java.nio.file.Files.createTempDirectory("graft_ct7").toString

@@ -80,6 +80,36 @@ class StreamDedupGateEoSpec extends AnyFunSuite {
     assert(adm == 3L && sup == 4L, s"stats admitted=$adm suppressed=$sup")
   }
 
+  test("an unreadable spool file is quarantined, not a permanent wedge") {
+    // a power loss can persist the spool RENAME but not its data (the
+    // page cache died with the kernel): recovery must quarantine the
+    // poison file and keep ingesting — before GateSpool.readSpool, every
+    // subsequent batch head re-threw the corrupt-footer error forever
+    val root = java.nio.file.Files.createTempDirectory("graft_eoq").toString
+    val (eng1, g1) = build(root, "1")
+    eng1.insertInto("e_in", b((1L, "aa")))
+    g1.failAt = "after-spool"
+    intercept[Exception] { eng1.insertInto("e_in", b((2L, "bb"))) }
+    // simulate the torn write: truncate epoch 2's spool to garbage
+    val spool = java.nio.file.Paths.get(s"$root/gate/e_gate/spool")
+    val f = spool.resolve("fwd_00002.parquet")
+    assert(java.nio.file.Files.exists(f))
+    java.nio.file.Files.write(f, "not parquet".getBytes)
+    // restart: bootstrap + the next batch must proceed, not wedge
+    val (eng2, _) = build(root, "2")
+    eng2.insertInto("e_in", b((3L, "cc")))
+    assert(counts(eng2) === Map(3L -> 1L),
+      "ingest must continue past the quarantined epoch")
+    assert(java.nio.file.Files.exists(
+      spool.resolve("fwd_00002.parquet.corrupt")),
+      "the poison spool must be quarantined in place")
+    assert(!java.nio.file.Files.exists(f))
+    // the lost epoch falls to at-least-once: the upstream re-feed is
+    // re-decided (its keys never reached the store) and admitted
+    eng2.insertInto("e_in", b((2L, "bb")))
+    assert(counts(eng2) === Map(2L -> 1L, 3L -> 1L))
+  }
+
   test("crash after store append, before delivery: restart recovery delivers exactly once") {
     val root = java.nio.file.Files.createTempDirectory("graft_eo2").toString
     val (eng1, g1) = build(root, "1")
