@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev probe: scan-tier vs indexed-tier BM25 cost at a given sf dir —
+  * the measurement behind the `bm25_*` bench fields. Usage:
+  *   runMain graft.ProfileBm25 [sfDir]
+  */
+object ProfileBm25 {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = graft.queries.Tables.documents(spark, dir)
+    val terms = Seq("spark", "query", "vector")
+    def t(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    graft.ops.KeywordScore.bm25(docs, "doc_id", "text", terms).count() // warm
+    val scan = (1 to 3).map(_ => t {
+      graft.ops.KeywordScore.bm25(docs, "doc_id", "text", terms).count(); ()
+    }).sorted.apply(1)
+    val idxDir = java.nio.file.Files.createTempDirectory("bm25x").toString
+    val build = t(graft.ops.KeywordScore.buildIndex(docs, "doc_id", "text", idxDir))
+    graft.ops.KeywordScore.bm25Indexed(spark, idxDir, terms).count() // warm
+    val idx = (1 to 3).map(_ => t {
+      graft.ops.KeywordScore.bm25Indexed(spark, idxDir, terms).count(); ()
+    }).sorted.apply(1)
+    println(f"RESULT scan=$scan%.3f build=$build%.3f indexed=$idx%.3f " +
+      f"speedup=${scan / idx}%.2fx")
+    spark.stop()
+  }
+}

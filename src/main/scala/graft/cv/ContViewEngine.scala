@@ -1811,6 +1811,7 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
       case _: ContaminationGate => "contamination"
       case other => other.getClass.getSimpleName
     }
+    val pendingDrops = ExecutorGateState.pendingRemoteDrops
     synchronized {
       gates.toSeq.sortBy(_._1).map { case (nm, g) =>
         def row(kind: String, shards: Int, t: (Long, Long, Long),
@@ -1818,7 +1819,8 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
             be: (String, Int) = (StreamDedupGate.DriverBackend, 0)): GateStats =
           GateStats(nm, kind, shards, t._1, t._2, t._3,
             rowsIn = t._2 + t._3, rowsOut = t._2, lostCommits = lost,
-            backend = be._1, stateParts = be._2)
+            backend = be._1, stateParts = be._2,
+            pendingRemoteDrops = pendingDrops)
         g match {
           // sharded wrappers are always driver-tier (exec×shards refused)
           case sd: ShardedDedupGate =>
@@ -1843,7 +1845,7 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
             row("contamination", 1, ct.stats, 0L, ct.backendInfo)
           case other =>
             GateStats(nm, other.getClass.getSimpleName, 1, 0L, 0L, 0L, 0L, 0L,
-              0L, StreamDedupGate.DriverBackend, 0)
+              0L, StreamDedupGate.DriverBackend, 0, pendingDrops)
         }
       }
     }.toDF()
@@ -2562,7 +2564,12 @@ final case class GateStats(gate: String, kind: String, shards: Int,
     // state placement: 'driver' | 'executor', and the RESOLVED executor
     // shard count (0 on the driver tier) — the first things an operator
     // checks when a gate's per-batch cost surprises
-    backend: String, stateParts: Int)
+    backend: String, stateParts: Int,
+    // SESSION-GLOBAL counter stamped on every row (not per-gate):
+    // executor JVMs the distributed drop sweep gave up on — each keeps a
+    // dropped gate's dead shards on heap until recycle. Zero is healthy;
+    // growth means drops are quietly leaking remote memory.
+    pendingRemoteDrops: Long)
 
 /** pipelinedb.views catalog row (sql:77-93 shape). */
 final case class CvCatalogRow(

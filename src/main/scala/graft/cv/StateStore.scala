@@ -192,8 +192,13 @@ final class StateStore(
     val tmp = Paths.get(root, s"_manifest.tmp.${m.version}")
     Files.createDirectories(Paths.get(root))
     Files.writeString(tmp, txt)
-    Files.move(tmp, manifestPath, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    // THE matrel commit point: readers resolve buckets through the
+    // manifest, so this pointer swap is what makes a version visible —
+    // routed through the CommitFs seam (DESIGN_NOTES "Shared-storage
+    // commit points"; on S3 this becomes a conditional PUT of the
+    // manifest key, the only operation that must be atomic)
+    graft.io.CommitFs.current.publish(tmp, manifestPath,
+      durable = false, replace = true)
   }
 
   /** Below this many state bytes on disk, a merge rewrites the whole state

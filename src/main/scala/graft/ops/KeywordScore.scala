@@ -66,4 +66,126 @@ object KeywordScore {
     withTf.where(terms.indices.map(i => col(s"tf$i") > 0).reduce(_ || _))
       .select(col(idCol), score.as("score"))
   }
+
+  // ---- persisted inverted-index tier (round 15) -------------------------
+  //
+  // The scan tier above is O(corpus) PER QUERY SET — right for one-off
+  // scoring, wrong for repeated retrieval. This tier builds the posting/
+  // df/stats summary ONCE (two corpus scans + one shuffle, the same cost
+  // as a single scan-tier query), after which every query reads only the
+  // slices its terms touch: the postings table is partitioned by
+  // `bucket = pmod(xxhash64(term), 64)` and term-sorted within partitions,
+  // so a k-term query prunes to ≤ k partition dirs and, inside them, to
+  // the row groups whose term-range stats contain the terms — O(matching
+  // postings), not O(corpus). The only shuffle per query is the per-doc
+  // score aggregation over MATCHING postings.
+
+  /** Term-hash partition count of a persisted index. 64 keeps partition
+    * dirs ≥ tens of MB at TB-scale corpora while still pruning a
+    * few-term query to ~1/64 of the postings bytes before row-group
+    * stats narrow further. */
+  val IndexBuckets = 64
+
+  /** Build the persisted index under `dir`: `postings/` (term, doc_id,
+    * tf, dl — dl denormalized so scoring never re-touches the corpus),
+    * `df/` (term, df), `stats/` (one row: N over ALL docs incl.
+    * token-less ones, avgdl) — the exact statistics the scan tier
+    * computes per query, persisted. At production scale `dir` lives on
+    * shared storage and the build is re-run on corpus changes (or the
+    * postings are appended per-partition — out of scope here). */
+  def buildIndex(docs: DataFrame, idCol: String, textCol: String,
+      dir: String): Unit = {
+    val spark = docs.sparkSession
+    val toks = tokenize(col(textCol))
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        size(toks).cast("double").as("dl"), explode(toks).as("term"))
+      .groupBy("term", "doc_id", "dl")
+      .agg(count(lit(1)).cast("double").as("tf"))
+      .withColumn("bucket",
+        pmod(xxhash64(col("term")), lit(IndexBuckets.toLong)))
+      .repartition(col("bucket"))
+      .sortWithinPartitions("term")
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$dir/postings")
+    // df per term from the WRITTEN postings — no third corpus scan
+    spark.read.parquet(s"$dir/postings")
+      .groupBy("bucket", "term")
+      .agg(count(lit(1)).cast("double").as("df"))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/df")
+    docs.select(size(tokenize(col(textCol))).cast("double").as("dl"))
+      .agg(count(lit(1)).cast("double").as("n"), avg("dl").as("avgdl"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  /** BM25 over a persisted index — same contract and (to rounding) same
+    * scores as [[bm25]], at O(matching postings) per query. The per-doc
+    * term pivot restores the scan tier's FIXED term-order arithmetic, so
+    * the two tiers agree bit-for-bit given identical stats. */
+  def bm25Indexed(spark: org.apache.spark.sql.SparkSession, dir: String,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25 requires at least one query term")
+    // corpus stats are one STATIC row per index — cached per dir (a
+    // rebuilt index goes to a fresh dir), so repeated queries pay zero
+    // jobs for them, like any search service holding N/avgdl in memory
+    val (n, avgdl0) = statsCache.computeIfAbsent(dir, _ => {
+      val st = spark.read.parquet(s"$dir/stats").collect()(0)
+      (st.getDouble(st.fieldIndex("n")), st.getDouble(st.fieldIndex("avgdl")))
+    })
+    if (n == 0.0)
+      return spark.range(0)
+        .select(col("id").as("doc_id"), lit(0.0).as("score"))
+    val avgdl = math.max(avgdl0, 1e-9)
+    // term → partition bucket: the SAME hash the build's `xxhash64`
+    // column computed (seed 42), evaluated driver-side — no job
+    val buckets = terms.map { t =>
+      val h = org.apache.spark.sql.catalyst.expressions.XxHash64(
+        Seq(org.apache.spark.sql.catalyst.expressions.Literal.create(t,
+          org.apache.spark.sql.types.StringType)), 42L).eval(null)
+      java.lang.Math.floorMod(h.asInstanceOf[Long], IndexBuckets.toLong)
+    }.distinct
+    // df slice: partition-pruned + term predicate pushed to row groups —
+    // k rows back to the driver
+    val dfMap = spark.read.parquet(s"$dir/df")
+      .where(col("bucket").isin(buckets: _*) && col("term").isin(terms: _*))
+      .select("term", "df").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val idf = terms.map { t =>
+      val df = dfMap.getOrElse(t, 0.0)
+      math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    }
+    val posts = spark.read.parquet(s"$dir/postings")
+      .where(col("bucket").isin(buckets: _*) && col("term").isin(terms: _*))
+    val pivoted = posts.groupBy(col("doc_id")).agg(
+      max(col("dl")).as("dl"),
+      terms.zipWithIndex.map { case (t, i) =>
+        sum(when(col("term") === t, col("tf")).otherwise(lit(0.0)))
+          .as(s"tf$i")
+      }: _*)
+    val score = terms.indices.map { i =>
+      val tfc = col(s"tf$i") * lit(k1 + 1) /
+        (col(s"tf$i") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / lit(avgdl)))
+      lit(idf(i)) * tfc
+    }.reduce(_ + _)
+    pivoted.select(col("doc_id"), score.as("score"))
+  }
+
+  private val statsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Double, Double)]()
+
+  // one built index per corpus key (Verify/Bench convenience — repeated
+  // queries against the same sf dir reuse the build, which is the entire
+  // point of the tier)
+  private val builtIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Path of a (possibly cached) index for `docs`, keyed by `cacheKey`. */
+  def indexFor(docs: DataFrame, idCol: String, textCol: String,
+      cacheKey: String): String =
+    builtIndexes.computeIfAbsent(cacheKey, _ => {
+      val dir =
+        java.nio.file.Files.createTempDirectory("graft_bm25idx").toString
+      buildIndex(docs, idCol, textCol, dir)
+      dir
+    })
 }

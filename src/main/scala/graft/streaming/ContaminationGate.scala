@@ -137,11 +137,15 @@ final class ContaminationGate private (
       epoch: Long): Unit = synchronized {
     if (batches < epoch) batches = epoch
     if (epoch <= lastRememberedEpoch) return // idempotent re-recovery
-    lastRememberedEpoch = epoch
     val ids = new java.util.HashSet[Any]()
     spooled.select(orderCol).collect()
       .foreach(r => if (!r.isNullAt(0)) { ids.add(r.get(0)); () })
     rememberEpoch(ids)
+    // the guard advances ONLY once the ids are actually in the window: a
+    // transient collect failure above leaves the epoch un-guarded, so the
+    // next recovery attempt remembers it instead of early-returning into
+    // a permanently-missing retry-dedup window
+    lastRememberedEpoch = epoch
   }
 
   /** Exactly-once retry-dedup window, shared-path form (the sharded

@@ -771,6 +771,21 @@ private[graft] object ExecutorGateState {
     * Reference anchor: the reaper/terminate path frees per-CQ combiner
     * state (scheduler.c:584-698), it does not leak it until process
     * exit. */
+  /** Executors the drop sweep gave up on, cumulatively (session counter,
+    * like `lost_commits`): each unit is one executor JVM whose registry
+    * was never reached by any sweep wave — its generation-fenced shards
+    * (never read again, but heap-resident) leak until executor recycle.
+    * Surfaced as `graft_gate_stats.pendingRemoteDrops` so the quiet
+    * degradation is operator-visible instead of silent. */
+  private val pendingDropCount = new java.util.concurrent.atomic.AtomicLong(0L)
+  def pendingRemoteDrops: Long = pendingDropCount.get()
+  /** Test seams: spoof the cluster's executor count (forces the sweep to
+    * miss "executors" no wave can reach) / reset the session counter. */
+  private[graft] var spoofExecutorCount: Option[Int] = None
+  private[graft] def resetPendingRemoteDrops(): Unit = {
+    pendingDropCount.set(0L); ()
+  }
+
   def dropDistributedUnder(spark: SparkSession, dir: String): Unit = {
     dropUnder(dir)
     val prefix = if (dir.endsWith("/")) dir else dir + "/"
@@ -784,8 +799,8 @@ private[graft] object ExecutorGateState {
     }
     val sc = spark.sparkContext
     if (!had || sc.isLocal) return
-    def executors(): Int =
-      math.max(0, sc.statusTracker.getExecutorInfos.length - 1)
+    def executors(): Int = spoofExecutorCount.getOrElse(
+      math.max(0, sc.statusTracker.getExecutorInfos.length - 1))
     val visited = scala.collection.mutable.Set[String]()
     var attempts = 0
     while (attempts < 3 && visited.size < executors()) {
@@ -795,6 +810,18 @@ private[graft] object ExecutorGateState {
         Iterator.single(org.apache.spark.SparkEnv.get.executorId)
       }.collect()
       attempts += 1
+    }
+    // LOUD give-up: a sweep that never reached every executor leaves
+    // heap-resident (dead) shards there until recycle — count it and name
+    // what we know, instead of exiting without a trace
+    val missed = executors() - visited.size
+    if (missed > 0) {
+      pendingDropCount.addAndGet(missed.toLong)
+      System.err.println(s"[graft] drop sweep for $dir gave up after " +
+        s"$attempts waves: reached ${visited.size} of ${executors()} " +
+        s"executors (ids ${visited.toSeq.sorted.mkString(",")}) — $missed " +
+        "executor(s) keep dead shards until recycle " +
+        "(graft_gate_stats.pendingRemoteDrops)")
     }
   }
 

@@ -51,10 +51,16 @@ private[streaming] final class GateEpochs(
   Files.createDirectories(spoolDir)
 
   // test failpoint: throws once when execution reaches the named point
+  // (failWith overrides the thrown exception — how the specs simulate a
+  // corrupt-data-page read surfacing mid-recovery)
   private[graft] var failAt: String = null
+  private[graft] var failWith: Throwable = null
   @inline private[streaming] def failpoint(p: String): Unit =
     if (p == failAt) {
       failAt = null
+      val t = failWith
+      failWith = null
+      if (t != null) throw t
       throw new IllegalStateException(s"failpoint:$p")
     }
 
@@ -109,21 +115,35 @@ private[streaming] final class GateEpochs(
 
   /** ONE recovery loop for both halves (restart bootstrap delivers at the
     * next batch head; in-process retry delivers inline) — a guard or
-    * persist-semantics change cannot drift between them. An UNREADABLE
-    * spool file (power loss persisted the rename but not the data) is
-    * quarantined by [[GateSpool.readSpool]] instead of wedging every
-    * future batch: that epoch's rows become the documented at-least-once
-    * loss class (the upstream retry re-feeds them). */
+    * persist-semantics change cannot drift between them. A CORRUPT spool
+    * file (power loss persisted the rename but not the data) is
+    * quarantined instead of wedging every future batch: that epoch's rows
+    * become the documented at-least-once loss class (the upstream retry
+    * re-feeds them). The quarantine covers the whole per-epoch recovery
+    * body, not just the footer read — a torn write that keeps a valid
+    * footer but corrupts data PAGES only throws once the recovery hook or
+    * delivery actually scans the rows. Non-corruption failures rethrow:
+    * transient errors stay retryable. */
   private def recoverEach(deliver: Boolean): Unit = {
     val delivered = GateSpool.deliveredEpoch(spoolDir)
     GateSpool.spoolEpochs(spoolDir).filter(_._1 > delivered).foreach {
       case (e, path) =>
         GateSpool.readSpool(eng.spark, path, s"gate $name epoch $e").foreach {
           df =>
-            val spooled = df.persist()
-            try commitRecoveredHook(spooled, e)
-            finally { spooled.unpersist(); () }
-            if (deliver) deliverAndMark(e)
+            try {
+              failpoint("recover-epoch")
+              val spooled = df.persist()
+              try commitRecoveredHook(spooled, e)
+              finally { spooled.unpersist(); () }
+              if (deliver) deliverAndMark(e)
+            } catch {
+              case t: Throwable if scala.util.control.NonFatal(t) &&
+                  !t.isInstanceOf[InterruptedException] &&
+                  GateSpool.looksCorrupt(t) =>
+                GateSpool.quarantine(path, s"gate $name epoch $e",
+                  s"corrupt data pages: ${t.getClass.getSimpleName}: " +
+                    s"${t.getMessage}")
+            }
         }
     }
   }
@@ -165,9 +185,7 @@ private[streaming] object GateSpool {
     * spools/markers at or below the watermark. */
   def markDelivered(spoolDir: Path, epoch: Long): Unit = {
     val marker = spoolDir.resolve(s"delivered_$epoch")
-    Files.write(marker, Array.emptyByteArray)
-    try GateStore.fsyncFile(marker) catch { case _: Throwable => () }
-    GateStore.fsyncDir(spoolDir)
+    graft.io.CommitFs.current.writeMarker(marker, durable = true)
     val d = spoolDir.toFile
     Option(d.listFiles()).getOrElse(Array.empty).foreach { g =>
       g.getName match {
@@ -178,20 +196,89 @@ private[streaming] object GateSpool {
     }
   }
 
-  /** Open a spool file, quarantining an unreadable one (renamed to
+  /** Open a spool file, quarantining a CORRUPT one (renamed to
     * `<name>.corrupt`, loudly logged) instead of letting a poison file
-    * wedge every future recovery pass — None means "skip this epoch". */
+    * wedge every future recovery pass — None means "skip this epoch".
+    * Quarantine fires only on corruption EVIDENCE: a failed parquet
+    * magic-bytes frame check, or a read error whose cause chain is a
+    * parquet footer/decoding failure ([[looksCorrupt]]). Any other
+    * failure — interrupted thread, fs hiccup, session mid-shutdown,
+    * fatal VM error — RETHROWS: a transient error must stay retryable,
+    * not silently convert a committed exactly-once epoch into the
+    * at-least-once loss class. */
   def readSpool(spark: org.apache.spark.sql.SparkSession, path: Path,
-      what: String): Option[DataFrame] =
+      what: String): Option[DataFrame] = {
+    if (!magicOk(path)) {
+      quarantine(path, what,
+        "parquet magic-bytes check failed (torn write)")
+      return None
+    }
     try Some(spark.read.parquet(path.toString))
     catch {
-      case e: Throwable =>
-        val corrupt = path.resolveSibling(path.getFileName.toString + ".corrupt")
-        try { Files.move(path, corrupt); () } catch { case _: Throwable => () }
-        System.err.println(s"[graft] $what: spool file ${path.getFileName} " +
-          s"is unreadable (${e.getClass.getSimpleName}: ${e.getMessage}) — " +
-          s"quarantined to ${corrupt.getFileName}; that epoch's rows fall " +
-          "to the at-least-once class (upstream retry re-feeds them)")
+      case e: InterruptedException => throw e
+      case e: Throwable if !scala.util.control.NonFatal(e) => throw e
+      case e: Throwable if looksCorrupt(e) =>
+        quarantine(path, what, s"${e.getClass.getSimpleName}: ${e.getMessage}")
         None
+      // transient (executor loss, fs hiccup, shutdown): retryable, rethrow
     }
+  }
+
+  /** Parquet single-file frame check: ≥12 bytes, "PAR1" at both ends —
+    * what a torn write (rename persisted, data pages not) fails. */
+  def magicOk(path: Path): Boolean =
+    try {
+      val ch = java.nio.channels.FileChannel.open(path,
+        java.nio.file.StandardOpenOption.READ)
+      try {
+        val len = ch.size()
+        def four(at: Long): Array[Byte] = {
+          val b = java.nio.ByteBuffer.allocate(4)
+          var off = at
+          var eof = false
+          while (b.hasRemaining && !eof) {
+            val n = ch.read(b, off)
+            if (n < 0) eof = true else off += n
+          }
+          if (eof) Array.emptyByteArray else b.array()
+        }
+        len >= 12 &&
+          java.util.Arrays.equals(four(0L), Magic) &&
+          java.util.Arrays.equals(four(len - 4), Magic)
+      } finally ch.close()
+    } catch { case scala.util.control.NonFatal(_) => false }
+
+  private val Magic = "PAR1".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** Does this failure's cause chain carry parquet-corruption evidence
+    * (footer/decoding errors), as opposed to a transient infrastructure
+    * error? Matched by class/package name so the check doesn't need
+    * parquet-mr exception types on this classpath path. */
+  def looksCorrupt(e: Throwable): Boolean = {
+    var t = e
+    var depth = 0
+    while (t != null && depth < 12) {
+      val cls = t.getClass.getName
+      val msg = Option(t.getMessage).getOrElse("")
+      if (cls.startsWith("org.apache.parquet") ||
+          cls.endsWith("ParquetDecodingException") ||
+          msg.contains("not a Parquet file") ||
+          msg.contains("Could not read footer") ||
+          msg.contains("Unable to infer schema")) return true
+      t = t.getCause
+      depth += 1
+    }
+    false
+  }
+
+  /** Rename a spool file to `<name>.corrupt` and log the downgrade: that
+    * epoch's rows fall to the documented at-least-once class. */
+  def quarantine(path: Path, what: String, why: String): Unit = {
+    val corrupt = path.resolveSibling(path.getFileName.toString + ".corrupt")
+    graft.io.CommitFs.current.rename(path, corrupt)
+    System.err.println(s"[graft] $what: spool file ${path.getFileName} " +
+      s"is corrupt ($why) — quarantined to ${corrupt.getFileName}; that " +
+      "epoch's rows fall to the at-least-once class (upstream retry " +
+      "re-feeds them)")
+  }
 }

@@ -66,9 +66,13 @@ private[streaming] object GateStore {
     maxPushdownBytesOverride.getOrElse(MaxPushdownBytes)
 
   /** Whether `keys` fits scan-task binaries as an InSet filter — count
-    * bound AND estimated-bytes bound (string: len+16; other: 16 — the
-    * measured java-serialization footprints rounded down, so the estimate
-    * never blocks a set the measurement would allow). */
+    * bound AND estimated-bytes bound (string: UTF-8 byte length + 16;
+    * other: 16 — the measured java-serialization footprints rounded down,
+    * so the estimate never blocks a set the measurement would allow).
+    * The string term counts BYTES OF UTF-8, not chars: the set ships as
+    * UTF8String values, so a multi-byte key (CJK text is 3 B/char) would
+    * be undercounted up to ~3× by `s.length`. Counted without
+    * materializing the encoded array per key. */
   def pushdownOk(keys: Array[_]): Boolean = {
     if (keys.length > maxPushdownKeys) return false
     val cap = maxPushdownBytes
@@ -76,12 +80,29 @@ private[streaming] object GateStore {
     var i = 0
     while (i < keys.length && bytes <= cap) {
       bytes += (keys(i) match {
-        case s: String => s.length + 16
+        case s: String => utf8Length(s) + 16
         case _ => 16
       })
       i += 1
     }
     bytes <= cap
+  }
+
+  /** UTF-8 encoded length of `s` without allocating the byte array
+    * (surrogate pairs → one 4-byte sequence). */
+  def utf8Length(s: String): Long = {
+    var n = 0L
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c < 0x80) n += 1
+      else if (c < 0x800) n += 2
+      else if (Character.isHighSurrogate(c) && i + 1 < s.length &&
+        Character.isLowSurrogate(s.charAt(i + 1))) { n += 4; i += 1 }
+      else n += 3
+      i += 1
+    }
+    n
   }
 
   /** Rows of `df` whose `column` is NOT in `ids`, rows with a NULL
@@ -351,11 +372,11 @@ private[streaming] object GateStore {
       // the rename is a real commit point across power loss, not just
       // process crash — requested only by the exactly-once SPOOL writes
       // (a lost STORE append is the documented at-least-once class and
-      // does not pay the sync)
-      if (force) fsyncFile(tmp)
-      Files.move(tmp, dir.resolve(f"${prefix}%s_$batch%05d.parquet"),
-        StandardCopyOption.ATOMIC_MOVE)
-      if (force) fsyncDir(dir)
+      // does not pay the sync). Routed through the CommitFs seam — this
+      // publish is a storage commit point (DESIGN_NOTES "Shared-storage
+      // commit points"), the exact operation an object-store port swaps.
+      graft.io.CommitFs.current.publish(tmp,
+        dir.resolve(f"${prefix}%s_$batch%05d.parquet"), durable = force)
     } finally {
       Files.deleteIfExists(tmp)
       deleteRecursively(stage.toFile)
@@ -363,20 +384,11 @@ private[streaming] object GateStore {
   }
 
   /** fsync a file's data+metadata (the spool commit's durability half). */
-  def fsyncFile(p: Path): Unit = {
-    val ch = java.nio.channels.FileChannel.open(p,
-      java.nio.file.StandardOpenOption.WRITE)
-    try ch.force(true) finally ch.close()
-  }
+  def fsyncFile(p: Path): Unit = graft.io.LocalCommitFs.fsyncFile(p)
 
   /** Best-effort directory fsync (persists renames/creates on Linux;
     * filesystems that refuse a read-open dir channel just skip it). */
-  def fsyncDir(dir: Path): Unit =
-    try {
-      val ch = java.nio.channels.FileChannel.open(dir,
-        java.nio.file.StandardOpenOption.READ)
-      try ch.force(true) finally ch.close()
-    } catch { case _: Throwable => () }
+  def fsyncDir(dir: Path): Unit = graft.io.LocalCommitFs.fsyncDir(dir)
 
   /** Write driver-held rows as ONE parquet file `<prefix>_<batch>.parquet`
     * DIRECTLY through parquet-mr — no Spark job at all. The per-batch gate
@@ -519,8 +531,9 @@ private[streaming] object GateStore {
           w.write(g)
         }
       } finally w.close()
-      Files.move(tmp, dir.resolve(f"${prefix}%s_$batch%05d.parquet"),
-        StandardCopyOption.ATOMIC_MOVE)
+      // same commit point as [[append]], driver-written bytes
+      graft.io.CommitFs.current.publish(tmp,
+        dir.resolve(f"${prefix}%s_$batch%05d.parquet"), durable = false)
       true
     } finally { Files.deleteIfExists(tmp); () }
   }
@@ -627,9 +640,12 @@ private[streaming] object GateStore {
         parts.zipWithIndex.foreach { case (part, k) =>
           val suffix = ranged.get(part.getName)
             .map { case (lo, hi) => s"_r${lo}_$hi" }.getOrElse("")
-          Files.move(part.toPath,
+          // compaction publish: each range-stamped shard becomes visible
+          // atomically; the old files are deleted only after every shard
+          // landed (a crash mid-loop leaves extra rows, never missing)
+          graft.io.CommitFs.current.publish(part.toPath,
             dir.resolve(f"${prefix}%s_$batch%05d_c${nanos}%d_s$k%d$suffix%s.parquet"),
-            StandardCopyOption.ATOMIC_MOVE)
+            durable = false)
         }
         fs.foreach(f => Files.deleteIfExists(Paths.get(f)))
         totalCount()

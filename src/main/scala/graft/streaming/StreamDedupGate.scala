@@ -253,10 +253,16 @@ final class StreamDedupGate private[streaming] (
   private[graft] def drainCommits(): Unit = pipeline.drain()
 
   // test failpoint: throws once when execution reaches the named point
+  // (failWith overrides the thrown exception — how the specs simulate a
+  // corrupt-data-page read surfacing mid-recovery)
   private[graft] var failAt: String = null
+  private[graft] var failWith: Throwable = null
   @inline private def failpoint(p: String): Unit =
     if (p == failAt) {
       failAt = null
+      val t = failWith
+      failWith = null
+      if (t != null) throw t
       throw new IllegalStateException(s"failpoint:$p")
     }
 
@@ -791,10 +797,19 @@ final class StreamDedupGate private[streaming] (
       if (GateStore.maxBatch(storeDir, "keys") < e) {
         GateSpool.readSpool(eng.spark, path, s"gate $name epoch $e").foreach {
           spooled =>
-            val keys = spooled
-              .where(col("h").isNotNull).select("h").distinct()
-            GateStore.append(keys, storeDir, "keys", e, sortCol = Some("h"))
-            rebuilt = true
+            // corrupt data PAGES surface here, not at the footer read —
+            // same quarantine-or-rethrow split as GateEpochs.recoverEach
+            try {
+              val keys = spooled
+                .where(col("h").isNotNull).select("h").distinct()
+              GateStore.append(keys, storeDir, "keys", e, sortCol = Some("h"))
+              rebuilt = true
+            } catch {
+              case t: Throwable if scala.util.control.NonFatal(t) &&
+                  GateSpool.looksCorrupt(t) =>
+                GateSpool.quarantine(path, s"gate $name epoch $e",
+                  s"corrupt data pages: ${t.getClass.getSimpleName}")
+            }
         }
       }
     }
@@ -811,18 +826,27 @@ final class StreamDedupGate private[streaming] (
     spoolEpochs().filter(_._1 > delivered).foreach { case (e, path) =>
       GateSpool.readSpool(eng.spark, path, s"gate $name epoch $e").foreach {
       spooled =>
-      if (GateStore.maxBatch(storeDir, "keys") < e) {
-        val keys = spooled.where(col("h").isNotNull).select("h").distinct()
-        GateStore.append(keys, storeDir, "keys", e, sortCol = Some("h"))
-        if (executorBackend) execSeen.invalidate() // shards rebuild lazily
+      try {
+        if (GateStore.maxBatch(storeDir, "keys") < e) {
+          val keys = spooled.where(col("h").isNotNull).select("h").distinct()
+          GateStore.append(keys, storeDir, "keys", e, sortCol = Some("h"))
+          if (executorBackend) execSeen.invalidate() // shards rebuild lazily
+        }
+        if (!executorBackend)
+          spooled.where(col("h").isNotNull).select("h")
+            .collect().foreach(r => bloom.add(r.get(0)))
+        failpoint("recovery-after-store")
+        if (spooled.take(1).nonEmpty) eng.insertInto(sink, spooled)
+        markDelivered(e)
+        if (e > batches) batches = e
+      } catch {
+        // corrupt data pages surfacing past the footer read: quarantine
+        // (→ documented at-least-once class); anything else rethrows
+        case t: Throwable if scala.util.control.NonFatal(t) &&
+            GateSpool.looksCorrupt(t) =>
+          GateSpool.quarantine(path, s"gate $name epoch $e",
+            s"corrupt data pages: ${t.getClass.getSimpleName}")
       }
-      if (!executorBackend)
-        spooled.where(col("h").isNotNull).select("h")
-          .collect().foreach(r => bloom.add(r.get(0)))
-      failpoint("recovery-after-store")
-      if (spooled.take(1).nonEmpty) eng.insertInto(sink, spooled)
-      markDelivered(e)
-      if (e > batches) batches = e
       }
     }
   }

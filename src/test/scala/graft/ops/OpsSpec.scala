@@ -604,4 +604,35 @@ class OpsSpec extends AnyFunSuite {
     // more matched occurrences in a shorter doc must not score lower
     assert(got(0L) > got(1L))
   }
+
+  test("bm25 indexed tier: same scores as the scan tier, pruned per-query reads") {
+    val docs = Seq(
+      (0L, "spark spark query fast"),
+      (1L, "query join slow table table table"),
+      (2L, "spark"),
+      (3L, "row scan merge sort"),
+      (4L, "Spark, QUERY! spark-join"),
+      (5L, "")) // token-less doc still counts toward N/avgdl
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25t").toString
+    KeywordScore.buildIndex(docs, "doc_id", "text", dir)
+    def scores(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    for (terms <- Seq(Seq("spark", "query"), Seq("table"), Seq("spark"),
+        Seq("absentterm"), Seq("absentterm", "join"))) {
+      val scan = scores(KeywordScore.bm25(docs, "doc_id", "text", terms))
+      val idx = scores(KeywordScore.bm25Indexed(spark, dir, terms))
+      assert(idx.keySet === scan.keySet, s"terms=$terms")
+      scan.foreach { case (id, s) =>
+        assert(math.abs(idx(id) - s) < 1e-12,
+          s"terms=$terms doc=$id scan=$s indexed=${idx(id)}")
+      }
+    }
+    // the per-query plan must PRUNE: only the query terms' hash buckets
+    // are read (partition filter on the postings scan), never the corpus
+    val plan = KeywordScore.bm25Indexed(spark, dir, Seq("spark"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") || plan.contains("bucket"),
+      s"postings scan must carry a bucket partition filter:\n$plan")
+  }
 }

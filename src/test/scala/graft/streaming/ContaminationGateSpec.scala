@@ -270,6 +270,86 @@ class ContaminationGateSpec extends AnyFunSuite {
       s"re-fed epoch-2 rows must stay window-suppressed: $epoch2Admitted")
   }
 
+  test("a transient failure inside commitRecovered leaves the window repairable") {
+    // the guard must advance only AFTER the epoch's ids are remembered: if
+    // the spool collect dies transiently with the guard already set, every
+    // later recovery attempt early-returns and the retry-dedup window
+    // permanently misses that epoch — an upstream re-feed of it would then
+    // be re-admitted (duplicates under exactly-once)
+    val (ref, _) = fixture()
+    val root = java.nio.file.Files.createTempDirectory("graft_ctw").toString
+    val eng = new ContViewEngine(spark, root)
+    val schema = Seq((0L, "x")).toDF("id", "body").schema
+    eng.createStream("d_in", schema)
+    eng.createStream("d_out", schema)
+    val g = ContaminationGate.create(eng, "d_gate",
+      "SELECT id, body FROM d_in", textSql = "body", orderCol = "id",
+      sink = "d_out", storeRoot = root + "/gate",
+      reference = ref, refTextCol = "body",
+      delivery = StreamDedupGate.ExactlyOnce)
+    val boom = udf((x: Long) => {
+      if (x >= 0) throw new RuntimeException("transient collect failure")
+      x
+    })
+    val failing = spark.range(1).select(boom(col("id")).as("id"), lit("t").as("body"))
+    intercept[Exception] { g.commitRecovered(failing, 5L) }
+    // the SAME epoch recovers on retry — its ids must land in the window
+    g.commitRecovered(Seq((500L, "t"), (501L, "t")).toDF("id", "body"), 5L)
+    val sup = new java.util.HashSet[Any]()
+    g.retrySuppress(Seq((500L, "t"), (502L, "t")).toDF("id", "body"), sup)
+    assert(sup.contains(500L) && !sup.contains(502L),
+      s"the retried epoch's ids must be window-suppressed, got $sup")
+  }
+
+  test("corrupt spool surfacing mid-recovery is quarantined; transient errors rethrow") {
+    val (ref, stream) = fixture()
+    val root = java.nio.file.Files.createTempDirectory("graft_ctq").toString
+    val eng = new ContViewEngine(spark, root)
+    val schema = Seq((0L, "x")).toDF("id", "body").schema
+    eng.createStream("d_in", schema)
+    eng.createStream("d_out", schema)
+    eng.createContView("v_d", "SELECT id FROM d_out", emitChanges = false)
+    val g = ContaminationGate.create(eng, "d_gate",
+      "SELECT id, body FROM d_in", textSql = "body", orderCol = "id",
+      sink = "d_out", storeRoot = root + "/gate",
+      reference = ref, refTextCol = "body",
+      delivery = StreamDedupGate.ExactlyOnce)
+    g.epochs.failAt = "after-spool"
+    intercept[Exception] {
+      eng.insertInto("d_in", stream.where(col("id") < 110))
+    }
+    // transient error mid-recovery: rethrown, spool intact
+    g.epochs.failAt = "recover-epoch"
+    g.epochs.failWith = new java.io.IOException("fs hiccup")
+    intercept[Exception] { g.recover() }
+    def spoolFiles(suffix: String): Seq[java.nio.file.Path] = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+      try {
+        val it = s.iterator()
+        val buf = scala.collection.mutable.ArrayBuffer[java.nio.file.Path]()
+        while (it.hasNext) {
+          val p = it.next()
+          if (p.toString.contains("spool") &&
+            p.getFileName.toString.endsWith(suffix)) buf += p
+        }
+        buf.toSeq
+      } finally s.close()
+    }
+    assert(spoolFiles(".parquet.corrupt").isEmpty &&
+      spoolFiles(".parquet").nonEmpty,
+      "transient recovery error must not quarantine the spool")
+    // corrupt-decode error mid-recovery: quarantined, recovery completes
+    g.epochs.failAt = "recover-epoch"
+    g.epochs.failWith =
+      new org.apache.parquet.io.ParquetDecodingException("Can not read value")
+    g.recover()
+    assert(spoolFiles(".parquet.corrupt").nonEmpty,
+      "decode-time corruption must quarantine the epoch's spool")
+    // the gate keeps working past the quarantined epoch
+    eng.insertInto("d_in", stream.where(col("id") >= 110 && col("id") < 115))
+    assert(admitted(eng).nonEmpty)
+  }
+
   test("executor backend does not compose with driver-core sharding") {
     val (ref, _) = fixture()
     val root = java.nio.file.Files.createTempDirectory("graft_ct7").toString

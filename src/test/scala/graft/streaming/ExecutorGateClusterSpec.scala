@@ -237,6 +237,61 @@ class ExecutorGateClusterSpec extends AnyFunSuite {
       s"drop must free REMOTE executor registries, not just the driver's: $after")
   }
 
+  test("cluster: a drop sweep that cannot reach every executor is LOUD, not silent") {
+    // r14 residue: after 3 waves the sweep exited without a trace, so an
+    // unreached executor's dead shards leaked heap invisibly. Spoofing a
+    // third (unreachable) executor forces the give-up path: the session
+    // counter must grow and graft_gate_stats must surface it.
+    val root = java.nio.file.Files.createTempDirectory("graft_cl9").toString
+    val eng = new ContViewEngine(spark, root)
+    val schema = Seq((0L, "x")).toDF("id", "body").schema
+    eng.createStream("xl_in", schema)
+    eng.createStream("xl_out", org.apache.spark.sql.types.StructType(
+      schema.fields :+ org.apache.spark.sql.types.StructField("fp",
+        org.apache.spark.sql.types.LongType)))
+    val g = SimHashNearDupGate.create(eng, "xl_gate",
+      "SELECT id, body FROM xl_in", textSql = "body", orderCol = "id",
+      sink = "xl_out", storeRoot = s"$root/xl_gate", maxDist = 3,
+      backend = StreamDedupGate.ExecutorBackend, stateParts = 4)
+    val c = corpus(40)
+    eng.insertInto("xl_in", c.where(col("id") < 20))
+    eng.insertInto("xl_in", c.where(col("id") >= 20))
+    assert(g.executorIndex.totalEntries > 0L)
+    // a second gate (DDL-declared: the graft_gate_stats relation lists
+    // catalog gates) stays live so the stats view has rows to stamp
+    eng.sql("""CREATE VIEW xl_live WITH (action = transform, sink = 'xl_out',
+              |  outputfunc = neardup_gate('body', 'id')) AS
+              |SELECT id, body FROM xl_in""".stripMargin)
+    ExecutorGateState.resetPendingRemoteDrops()
+    try {
+      ExecutorGateState.spoofExecutorCount = Some(3) // only 2 exist
+      eng.dropContTransform("xl_gate")
+    } finally ExecutorGateState.spoofExecutorCount = None
+    assert(ExecutorGateState.pendingRemoteDrops === 1L,
+      "one spoofed-unreachable executor must be counted, not swallowed")
+    val stamped = eng.gateStats().where(col("gate") === "xl_live")
+      .select("pendingRemoteDrops").collect()(0).getLong(0)
+    assert(stamped === 1L,
+      "graft_gate_stats must carry the pending-drop counter")
+    // the REAL executors were still swept despite the spoofed miss
+    val gateDir = java.nio.file.Paths.get(root, "xl_gate")
+      .toAbsolutePath.toString
+    val sc = spark.sparkContext
+    val slots = sc.defaultParallelism * 2
+    val perJvm = sc.parallelize(0 until slots, slots).mapPartitions { _ =>
+      Iterator.single((org.apache.spark.SparkEnv.get.executorId,
+        ExecutorGateState.registeredUnder(gateDir)))
+    }.collect().groupBy(_._1).map { case (e, v) => e -> v.map(_._2).max }
+    assert(perJvm.size >= 2 && perJvm.values.forall(_ == 0),
+      s"reachable executors must still be swept: $perJvm")
+    // happy path stays silent: dropping the second gate with the true
+    // executor count leaves the counter unchanged
+    eng.dropContTransform("xl_live")
+    assert(ExecutorGateState.pendingRemoteDrops === 1L,
+      "a fully-reached sweep must not grow the counter")
+    ExecutorGateState.resetPendingRemoteDrops()
+  }
+
   test("cluster: TTL reap of executor-resident state matches the driver backend across JVMs") {
     // windowed simhash corpus with the three-case schedule: in-window
     // near-dup → suppressed; re-crawl after every seen-time aged out →

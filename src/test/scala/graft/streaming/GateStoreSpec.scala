@@ -23,6 +23,27 @@ class GateStoreSpec extends AnyFunSuite {
     s
   }
 
+  test("pushdownOk counts UTF-8 BYTES, not chars — multi-byte keys straddle the bound") {
+    // per-key estimate = utf8Length + 16. Ten 8-char keys of 3-byte CJK
+    // chars: 10 × (24 + 16) = 400 estimated bytes — a 409-byte bound
+    // admits them, a 399-byte bound must refuse (a char-count estimate
+    // would read 10 × 24 = 240 and wrongly admit under both)
+    val cjk = Array.fill[Any](10)("世界世界世界世界")
+    assert(GateStore.utf8Length(cjk(0).asInstanceOf[String]) === 24L)
+    assert(GateStore.utf8Length("aé世😀") === 10L,
+      "1B ascii + 2B latin + 3B CJK + 4B surrogate pair")
+    try {
+      GateStore.maxPushdownBytesOverride = Some(409L)
+      assert(GateStore.pushdownOk(cjk), "40 est bytes/key × 10 fits 409")
+      GateStore.maxPushdownBytesOverride = Some(399L)
+      assert(!GateStore.pushdownOk(cjk),
+        "multi-byte keys past the byte bound must fall back to broadcast")
+      // same-length ASCII keys estimate 24 B/key and still fit
+      val ascii = Array.fill[Any](10)("abcdefgh")
+      assert(GateStore.pushdownOk(ascii))
+    } finally GateStore.maxPushdownBytesOverride = None
+  }
+
   test("pruned keeps un-ranged files and only intersecting ranged shards") {
     def enc(v: Long): String = GateStore.encodeKey(v).get
     val fs = Array(

@@ -110,6 +110,54 @@ class StreamDedupGateEoSpec extends AnyFunSuite {
     assert(counts(eng2) === Map(2L -> 1L, 3L -> 1L))
   }
 
+  test("a transient recovery failure rethrows — retryable, never quarantined") {
+    // an fs hiccup / interrupted job during recovery must NOT destroy the
+    // committed epoch: the error propagates, the spool survives, and the
+    // next attempt delivers exactly once
+    val root = java.nio.file.Files.createTempDirectory("graft_eot").toString
+    val (eng, g) = build(root, "1")
+    g.failAt = "after-spool"
+    intercept[Exception] { eng.insertInto("e_in", b((1L, "aa"), (2L, "bb"))) }
+    g.failAt = "recovery-after-store"
+    g.failWith = new java.io.IOException("fs hiccup")
+    intercept[Exception] {
+      eng.insertInto("e_in", b((1L, "aa"), (2L, "bb")))
+    }
+    val spool = java.nio.file.Paths.get(s"$root/gate/e_gate/spool")
+    assert(java.nio.file.Files.exists(spool.resolve("fwd_00001.parquet")),
+      "the committed spool must survive a transient recovery failure")
+    assert(!java.nio.file.Files.exists(
+      spool.resolve("fwd_00001.parquet.corrupt")),
+      "a transient error is not corruption evidence — no quarantine")
+    eng.insertInto("e_in", b((1L, "aa"), (2L, "bb")))
+    assert(counts(eng) === Map(1L -> 1L, 2L -> 1L),
+      "the retried epoch delivers exactly once")
+  }
+
+  test("corrupt data pages surfacing mid-recovery quarantine the epoch, ingest continues") {
+    // a torn write can keep a VALID footer and corrupt only data pages:
+    // the failure then throws past readSpool, inside the recovery body —
+    // the quarantine must cover that path too, or the poison file wedges
+    // every future batch
+    val root = java.nio.file.Files.createTempDirectory("graft_eoc").toString
+    val (eng, g) = build(root, "1")
+    g.failAt = "after-spool"
+    intercept[Exception] { eng.insertInto("e_in", b((1L, "aa"))) }
+    g.failAt = "recovery-after-store"
+    g.failWith =
+      new org.apache.parquet.io.ParquetDecodingException("Can not read value")
+    // the re-feed's batch head hits the decode error, quarantines epoch 1,
+    // and the batch itself proceeds (its content is store-suppressed)
+    eng.insertInto("e_in", b((1L, "aa")))
+    val spool = java.nio.file.Paths.get(s"$root/gate/e_gate/spool")
+    assert(java.nio.file.Files.exists(
+      spool.resolve("fwd_00001.parquet.corrupt")),
+      "decode-time corruption must quarantine the spool")
+    eng.insertInto("e_in", b((2L, "bb")))
+    assert(counts(eng) === Map(2L -> 1L),
+      "the quarantined epoch falls to at-least-once; fresh rows deliver")
+  }
+
   test("crash after store append, before delivery: restart recovery delivers exactly once") {
     val root = java.nio.file.Files.createTempDirectory("graft_eo2").toString
     val (eng1, g1) = build(root, "1")
