@@ -1695,17 +1695,23 @@ object CvQueries {
         |  SELECT 'pl_g1' AS gate,
         |         (SELECT count(*) FROM corpus WHERE doc_id >= 400) AS rows_in,
         |         (SELECT count(*) FROM b3s1) AS rows_out,
-        |         CAST(1 AS BIGINT) AS lost_commits
+        |         CAST(1 AS BIGINT) AS lost_commits,
+        |         CAST(0 AS BIGINT) AS pending_remote_drops
         |  UNION ALL
         |  SELECT 'pl_g2', (SELECT count(*) FROM b3s1),
-        |         (SELECT count(*) FROM b3s2), CAST(0 AS BIGINT)
+        |         (SELECT count(*) FROM b3s2), CAST(0 AS BIGINT),
+        |         CAST(0 AS BIGINT)
         |  UNION ALL
         |  SELECT 'pl_g3', (SELECT count(*) FROM b3s2),
-        |         (SELECT count(*) FROM b3s3), CAST(0 AS BIGINT)
+        |         (SELECT count(*) FROM b3s3), CAST(0 AS BIGINT),
+        |         CAST(0 AS BIGINT)
         |) ORDER BY gate""".stripMargin) {
+      // pending_remote_drops: executors a distributed drop sweep gave up
+      // on (session-global, stamped on every row) — 0 on a healthy run
       (s, dir) => pipelineFor(s, dir).sql(
         """SELECT gate, rowsIn AS rows_in, rowsOut AS rows_out,
-          |       lostCommits AS lost_commits
+          |       lostCommits AS lost_commits,
+          |       pendingRemoteDrops AS pending_remote_drops
           |FROM graft_gate_stats WHERE gate LIKE 'pl\_g%' ORDER BY gate""".stripMargin)
     },
 
