@@ -315,7 +315,8 @@ object Bench {
         line = summaryLine()
       }
       if (moved > 0) detailFields("overflow_moved") = moved.toString
-      println(s"""{"metric":"detail",${joined(detailFields)}}""")
+      println(s"""{"metric":"detail"${
+        if (detailFields.isEmpty) "" else "," + joined(detailFields)}}""")
       println(line)
     }
     /** Budget gate: run the probe when its estimated cost — seeded from

@@ -771,19 +771,25 @@ private[graft] object ExecutorGateState {
     * Reference anchor: the reaper/terminate path frees per-CQ combiner
     * state (scheduler.c:584-698), it does not leak it until process
     * exit. */
-  /** Executors the drop sweep gave up on, cumulatively (session counter,
-    * like `lost_commits`): each unit is one executor JVM whose registry
-    * was never reached by any sweep wave — its generation-fenced shards
-    * (never read again, but heap-resident) leak until executor recycle.
-    * Surfaced as `graft_gate_stats.pendingRemoteDrops` so the quiet
-    * degradation is operator-visible instead of silent. */
-  private val pendingDropCount = new java.util.concurrent.atomic.AtomicLong(0L)
-  def pendingRemoteDrops: Long = pendingDropCount.get()
+  /** Store dirs whose drop sweep gave up before reaching every executor
+    * (value = executors missed at give-up): each missed JVM's registry — its generation-fenced shards
+    * keeps the
+    * dropped gates' generation-fenced shards (never read again, but
+    * heap-resident) until executor recycle OR a later sweep: every
+    * subsequent [[dropDistributedUnder]] retries the pending dirs in its
+    * own tasks and clears them once a wave reaches the whole cluster, so
+    * the leak SELF-HEALS instead of persisting silently. Surfaced (as
+    * the missed-executor sum) via
+    * `graft_gate_stats.pendingRemoteDrops`. */
+  private val pendingDropDirs =
+    new ConcurrentHashMap[String, Integer]()
+  def pendingRemoteDrops: Long =
+    pendingDropDirs.values().stream().mapToLong(_.toLong).sum()
   /** Test seams: spoof the cluster's executor count (forces the sweep to
-    * miss "executors" no wave can reach) / reset the session counter. */
+    * miss "executors" no wave can reach) / reset the session state. */
   private[graft] var spoofExecutorCount: Option[Int] = None
   private[graft] def resetPendingRemoteDrops(): Unit = {
-    pendingDropCount.set(0L); ()
+    pendingDropDirs.clear(); ()
   }
 
   def dropDistributedUnder(spark: SparkSession, dir: String): Unit = {
@@ -801,27 +807,41 @@ private[graft] object ExecutorGateState {
     if (!had || sc.isLocal) return
     def executors(): Int = spoofExecutorCount.getOrElse(
       math.max(0, sc.statusTracker.getExecutorInfos.length - 1))
+    // this sweep also retries every dir a PREVIOUS sweep gave up on --
+    // the task payload is a name list, so piggybacking costs nothing
+    val dirs: Seq[String] =
+      dir +: pendingDropDirs.keySet().toArray(Array.empty[String]).toSeq
     val visited = scala.collection.mutable.Set[String]()
     var attempts = 0
     while (attempts < 3 && visited.size < executors()) {
       val slots = math.max(sc.defaultParallelism, executors() * 2) * 2
       visited ++= sc.parallelize(0 until slots, slots).mapPartitions { _ =>
-        ExecutorGateState.dropUnder(dir)
+        dirs.foreach(ExecutorGateState.dropUnder)
         Iterator.single(org.apache.spark.SparkEnv.get.executorId)
       }.collect()
       attempts += 1
     }
-    // LOUD give-up: a sweep that never reached every executor leaves
-    // heap-resident (dead) shards there until recycle — count it and name
-    // what we know, instead of exiting without a trace
     val missed = executors() - visited.size
-    if (missed > 0) {
-      pendingDropCount.addAndGet(missed.toLong)
+    if (missed <= 0) {
+      // full-cluster wave: every pending dir was swept everywhere, so any
+      // previously-leaked dead shards are gone -- the counter self-heals
+      if (!pendingDropDirs.isEmpty) {
+        pendingDropDirs.clear()
+        System.err.println(s"[graft] drop sweep for $dir reached all " +
+          s"${executors()} executors; previously-pending drops cleared " +
+          "(graft_gate_stats.pendingRemoteDrops back to 0)")
+      }
+    } else {
+      // LOUD give-up: a sweep that never reached every executor leaves
+      // heap-resident (dead) shards there until recycle OR a later full
+      // sweep (the retry above) -- record it and name what we know,
+      // instead of exiting without a trace
+      dirs.foreach(d => pendingDropDirs.put(d, Integer.valueOf(missed)))
       System.err.println(s"[graft] drop sweep for $dir gave up after " +
         s"$attempts waves: reached ${visited.size} of ${executors()} " +
-        s"executors (ids ${visited.toSeq.sorted.mkString(",")}) — $missed " +
-        "executor(s) keep dead shards until recycle " +
-        "(graft_gate_stats.pendingRemoteDrops)")
+        s"executors (ids ${visited.toSeq.sorted.mkString(",")}) -- $missed " +
+        "executor(s) keep dead shards until recycle or the next full " +
+        "sweep (graft_gate_stats.pendingRemoteDrops)")
     }
   }
 

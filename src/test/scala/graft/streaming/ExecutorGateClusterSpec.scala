@@ -284,11 +284,27 @@ class ExecutorGateClusterSpec extends AnyFunSuite {
     }.collect().groupBy(_._1).map { case (e, v) => e -> v.map(_._2).max }
     assert(perJvm.size >= 2 && perJvm.values.forall(_ == 0),
       s"reachable executors must still be swept: $perJvm")
-    // happy path stays silent: dropping the second gate with the true
-    // executor count leaves the counter unchanged
+    // happy path stays silent: dropping the (driver-tier) second gate
+    // runs no sweep and leaves the counter unchanged
     eng.dropContTransform("xl_live")
     assert(ExecutorGateState.pendingRemoteDrops === 1L,
-      "a fully-reached sweep must not grow the counter")
+      "a no-sweep drop must not touch the counter")
+    // SELF-HEAL: a later exec-backend drop whose sweep reaches the whole
+    // cluster retries the pending dirs in its own tasks and clears them
+    eng.createStream("xh_in", schema)
+    eng.createStream("xh_out", org.apache.spark.sql.types.StructType(
+      schema.fields :+ org.apache.spark.sql.types.StructField("fp",
+        org.apache.spark.sql.types.LongType)))
+    val g2 = SimHashNearDupGate.create(eng, "xh_gate",
+      "SELECT id, body FROM xh_in", textSql = "body", orderCol = "id",
+      sink = "xh_out", storeRoot = s"$root/xh_gate", maxDist = 3,
+      backend = StreamDedupGate.ExecutorBackend, stateParts = 4)
+    eng.insertInto("xh_in", c.where(col("id") < 20))
+    eng.insertInto("xh_in", c.where(col("id") >= 20))
+    assert(g2.executorIndex.totalEntries > 0L)
+    eng.dropContTransform("xh_gate") // true executor count: full sweep
+    assert(ExecutorGateState.pendingRemoteDrops === 0L,
+      "a full-cluster sweep must clear previously-pending drops")
     ExecutorGateState.resetPendingRemoteDrops()
   }
 
