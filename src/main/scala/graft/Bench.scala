@@ -7,17 +7,27 @@ import org.apache.spark.sql.SparkSession
   * (session init, codegen, parquet footer reads) runs before any timer
   * starts so the first query doesn't absorb startup cost.
   *
-  * ARTIFACT PROTOCOL (round 14 — r13's driver artifact was rc=124/empty
-  * because the probe matrix outgrew the driver's time budget and the
-  * summary line was only emitted at the very end):
-  *  - the `{"metric":"summary",...}` line is emitted INCREMENTALLY — once
-  *    right after the query sweep, then re-emitted enriched after every
-  *    probe — so a kill at ANY point leaves the last complete summary
-  *    parseable (the driver takes the LAST occurrence);
+  * ARTIFACT PROTOCOL (round 15 — r14's single enriched summary line grew
+  * past the driver's bounded tail window and front-truncated itself out
+  * of machine parseability; r13's artifact was empty because the probe
+  * matrix outgrew the time budget):
+  *  - TWO lines per emission, re-emitted INCREMENTALLY after the sweep
+  *    and every probe (a kill at ANY point leaves the last pair
+  *    parseable; the driver takes the LAST summary occurrence): a bulky
+  *    `{"metric":"detail",...}` line (probe_secs, attempt maps,
+  *    quiet_recheck, soak internals), then a compact FLAT
+  *    `{"metric":"summary",...}` line LAST — headline scalars only, no
+  *    arrays (`probes_skipped` is a comma-joined string), an overflow
+  *    guard demoting past ~1850 chars so the line sits intact inside a
+  *    2000-char tail window;
   *  - a TOTAL time budget (SPARK_GRAFT_BENCH_BUDGET_SEC, default 1320 s
-  *    from main() entry) gates every probe: a probe whose rough cost
-  *    estimate exceeds the remaining budget is SKIPPED and named in the
-  *    summary's `probes_skipped` array instead of silently missing;
+  *    from main() entry) gates every probe with HEADROOM: admitted only
+  *    when est × 1.3 fits the remaining budget, estimates seeded from
+  *    the previous artifact's measured `probe_secs` (regex fallback for
+  *    a front-truncated tail); skipped probes are named, never silent;
+  *  - the cheap TTL-soak and 10×-near-dup probes run before the
+  *    heavyweight scale probes, so a loaded box skips a late
+  *    heavyweight instead of the same two cheap probes every round;
   *  - the gate scale probes seed each 10×/100× store ONCE per kind and
   *    reuse it across both backends and all measurement attempts
   *    (GateProbes.dualScaleProbe) — retries re-measure, never re-seed.
