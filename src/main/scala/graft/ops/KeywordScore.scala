@@ -136,14 +136,8 @@ object KeywordScore {
       return spark.range(0)
         .select(col("id").as("doc_id"), lit(0.0).as("score"))
     val avgdl = math.max(avgdl0, 1e-9)
-    // term → partition bucket: the SAME hash the build's `xxhash64`
-    // column computed (seed 42), evaluated driver-side — no job
-    val buckets = terms.map { t =>
-      val h = org.apache.spark.sql.catalyst.expressions.XxHash64(
-        Seq(org.apache.spark.sql.catalyst.expressions.Literal.create(t,
-          org.apache.spark.sql.types.StringType)), 42L).eval(null)
-      java.lang.Math.floorMod(h.asInstanceOf[Long], IndexBuckets.toLong)
-    }.distinct
+    // term → partition bucket, evaluated driver-side — no job
+    val buckets = terms.map(termBucket).distinct
     // df slice: partition-pruned + term predicate pushed to row groups —
     // k rows back to the driver
     val dfMap = spark.read.parquet(s"$dir/df")
@@ -168,6 +162,62 @@ object KeywordScore {
       lit(idf(i)) * tfc
     }.reduce(_ + _)
     pivoted.select(col("doc_id"), score.as("score"))
+  }
+
+  /** BM25 for a whole BATCH of queries against one index, in one pass:
+    * returns (query, doc_id, score) for every document matching at least
+    * one of its query's terms. The workload shape a pipeline actually
+    * runs — thousands of eval/benchmark queries against the corpus —
+    * where per-query jobs would be dominated by fixed latency: here the
+    * UNION of all terms drives one pruned postings read, the per-(query,
+    * term) idf weights ship as ONE broadcast frame, and the only shuffle
+    * is the (query, doc_id) score aggregation over matching postings —
+    * O(Σ matching postings) for the entire batch, independent of query
+    * count. Scores match [[bm25]] per query (summation order inside the
+    * aggregate is engine-chosen; agreement is to FP round-off). */
+  def bm25IndexedMulti(spark: org.apache.spark.sql.SparkSession,
+      dir: String, queries: Map[String, Seq[String]],
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty && queries.values.forall(_.nonEmpty),
+      "every query needs at least one term")
+    val (n, avgdl0) = statsCache.computeIfAbsent(dir, _ => {
+      val st = spark.read.parquet(s"$dir/stats").collect()(0)
+      (st.getDouble(st.fieldIndex("n")), st.getDouble(st.fieldIndex("avgdl")))
+    })
+    import spark.implicits._
+    if (n == 0.0)
+      return Seq.empty[(String, Long, Double)].toDF("query", "doc_id", "score")
+    val avgdl = math.max(avgdl0, 1e-9)
+    val terms = queries.values.flatten.toSeq.distinct
+    val buckets = terms.map(termBucket).distinct
+    val dfMap = spark.read.parquet(s"$dir/df")
+      .where(col("bucket").isin(buckets: _*) && col("term").isin(terms: _*))
+      .select("term", "df").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    def idfOf(t: String): Double = {
+      val df = dfMap.getOrElse(t, 0.0)
+      math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    }
+    // (query, term, idf): one small broadcast side for the whole batch
+    val qt = queries.toSeq.flatMap { case (q, ts) =>
+      ts.distinct.map(t => (q, t, idfOf(t)))
+    }.toDF("query", "term", "idf")
+    val posts = spark.read.parquet(s"$dir/postings")
+      .where(col("bucket").isin(buckets: _*) && col("term").isin(terms: _*))
+    val tfc = col("tf") * lit(k1 + 1) /
+      (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / lit(avgdl)))
+    posts.join(broadcast(qt), "term")
+      .select(col("query"), col("doc_id"), (col("idf") * tfc).as("contrib"))
+      .groupBy("query", "doc_id").agg(sum("contrib").as("score"))
+  }
+
+  /** Partition bucket of a term — the driver-side twin of the build's
+    * `pmod(xxhash64(term), IndexBuckets)` column (seed 42). */
+  private def termBucket(t: String): Long = {
+    val h = org.apache.spark.sql.catalyst.expressions.XxHash64(
+      Seq(org.apache.spark.sql.catalyst.expressions.Literal.create(t,
+        org.apache.spark.sql.types.StringType)), 42L).eval(null)
+    java.lang.Math.floorMod(h.asInstanceOf[Long], IndexBuckets.toLong)
   }
 
   private val statsCache =

@@ -74,10 +74,11 @@ class PlanShapeSpec extends AnyFunSuite {
     "q_cv_subselect" -> 1, "q_cv_json_unroll" -> 1, "q_cv_typed" -> 1,
     "q_cv_filter" -> 1,
     "q_pii_redact" -> 2, "q_bm25_search" -> 1, "q_embed_clusters" -> 4,
-    // q_bm25_indexed/topk: per-doc score agg over the pruned posting
-    // slices (one hash shuffle) + final presentation (range sort /
-    // TakeOrdered) — never a corpus-wide exchange
-    "q_bm25_indexed" -> 2, "q_bm25_topk" -> 2,
+    // q_bm25_indexed/topk/multi: per-doc score agg over the pruned
+    // posting slices (one hash shuffle) + final presentation (range sort
+    // / TakeOrdered) — never a corpus-wide exchange; multi adds the
+    // per-(query,term) idf broadcast
+    "q_bm25_indexed" -> 2, "q_bm25_topk" -> 2, "q_bm25_multi" -> 3,
     "q_stratified_sample" -> 2,
     // q_dedup_clusters: the returned frame is the per-cluster summary over
     // the final (checkpointed) labels — the iterative rounds' shuffles run

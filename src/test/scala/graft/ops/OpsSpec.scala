@@ -635,4 +635,34 @@ class OpsSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters") || plan.contains("bucket"),
       s"postings scan must carry a bucket partition filter:\n$plan")
   }
+
+  test("bm25 batch retrieval: one pass scores every query like the scan tier") {
+    val docs = Seq(
+      (0L, "spark spark query fast"),
+      (1L, "query join slow table table table"),
+      (2L, "spark"),
+      (3L, "row scan merge sort"),
+      (4L, "Spark, QUERY! spark-join"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25m").toString
+    KeywordScore.buildIndex(docs, "doc_id", "text", dir)
+    val queries = Map(
+      "a" -> Seq("spark", "query"),
+      "b" -> Seq("table"),
+      "c" -> Seq("join", "absentterm"),
+      "d" -> Seq("absentterm")) // matches nothing -> zero rows for d
+    val got = KeywordScore.bm25IndexedMulti(spark, dir, queries)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(!got.keys.exists(_._1 == "d"), "no-match query contributes no rows")
+    queries.foreach { case (q, terms) =>
+      val want = KeywordScore.bm25(docs, "doc_id", "text", terms)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(got.keys.filter(_._1 == q).map(_._2).toSet === want.keySet,
+        s"query $q matched-doc set")
+      want.foreach { case (id, s) =>
+        assert(math.abs(got((q, id)) - s) < 1e-9, s"query $q doc $id")
+      }
+    }
+  }
 }
