@@ -80,5 +80,19 @@ class GateSpoolSpec extends AnyFunSuite {
     assert(!Files.exists(bad) &&
       Files.exists(dir.resolve("fwd_00002.parquet.corrupt")),
       "a torn spool must be quarantined in place")
+
+    // magic frame INTACT but the footer bytes are garbage: the magic
+    // check passes, the parquet footer read throws, and the exception
+    // CLASSIFIER (looksCorrupt) must still route it to quarantine
+    val framed = dir.resolve("fwd_00003.parquet")
+    val junk = new Array[Byte](256)
+    java.util.Arrays.fill(junk, 'x'.toByte)
+    val payload = "PAR1".getBytes ++ junk ++ "PAR1".getBytes
+    Files.write(framed, payload)
+    assert(GateSpool.magicOk(framed), "the frame check alone must pass")
+    assert(GateSpool.readSpool(spark, framed, "spec").isEmpty)
+    assert(!Files.exists(framed) &&
+      Files.exists(dir.resolve("fwd_00003.parquet.corrupt")),
+      "a corrupt-footer spool must be quarantined via the classifier")
   }
 }
