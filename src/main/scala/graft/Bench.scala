@@ -284,6 +284,9 @@ object Bench {
     val slowest = results.sortBy(-_._2).take(5)
       .map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
     val probeSecs = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // per-probe admission estimate, suffixed "s" when it fell back to the
+    // static table (i.e. NOT seeded from the previous artifact)
+    val probeEst = scala.collection.mutable.LinkedHashMap[String, String]()
     def refreshHealth(): Unit = {
       // live run-health fields refresh at every emit
       str("loadavg_before", loadavgBefore)
@@ -301,6 +304,9 @@ object Bench {
       // from, and what explains any skip decision after the fact
       draw("probe_secs", probeSecs
         .map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}"))
+      draw("probe_est", probeEst
+        .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+        .mkString("{", ",", "}"))
     }
     def joined(m: scala.collection.mutable.LinkedHashMap[String, String]) =
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString(",")
@@ -342,6 +348,10 @@ object Bench {
       * 1.07/1.06. */
     def probe(name: String, estSec: Double)(run: => Unit): Unit = {
       val est = prevProbeSecs.getOrElse(name, estSec)
+      // audit trail: the estimate each admission decision used, and
+      // whether it came from the previous artifact or the static table
+      probeEst(name) =
+        f3(est).toString + (if (prevProbeSecs.contains(name)) "" else "s")
       if (remainingSec < est * 1.3) { skipped += name; () }
       else {
         System.gc()
