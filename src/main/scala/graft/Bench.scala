@@ -169,94 +169,8 @@ object Bench {
     // attempt count recorded; (2) the measured `probe_secs` map — what
     // seeds this run's budget-gate estimates (a static guess was 3x off
     // in both directions in r14).
-    val (prevBench: Map[String, Double], prevProbeSecs: Map[String, Double]) = {
-      val dir = new java.io.File(".")
-      val re = """BENCH_r(\d+)\.json""".r
-      val newest = Option(dir.listFiles()).getOrElse(Array.empty)
-        .flatMap(f => f.getName match {
-          case re(n) => Some((n.toInt, f))
-          case _ => None
-        }).sortBy(-_._1).headOption.map(_._2)
-      // a REAL JSON parse (Jackson rides the Spark jars) where a complete
-      // line/object exists: the driver WRAPS the bench output ({"n":…,
-      // "tail":"<bounded output suffix>"}) and a key landing in a
-      // truncated/wrapped tail used to silently yield stale values
-      val om = new com.fasterxml.jackson.databind.ObjectMapper()
-      def parse(s: String): Option[com.fasterxml.jackson.databind.JsonNode] =
-        try Option(om.readTree(s)) catch { case _: Throwable => None }
-      // the artifact is two-line from r15 on (a bulky "detail" line, then
-      // the compact "summary" line): collect the LAST of each and merge,
-      // summary winning — one logical field map however the split falls
-      def lastOf(text: Seq[String], marker: String) = {
-        val i = text.mkString("\n").lastIndexOf(marker)
-        if (i < 0) None else parse(text.mkString("\n").substring(i))
-      }
-      // second element: UNESCAPED text for the regex fallback (a
-      // driver-wrapped artifact carries the tail as an escaped JSON
-      // string — regexes must run on the decoded tail, not the raw file)
-      val raws: (Seq[String], String) = newest.map { f =>
-        val raw = try java.nio.file.Files.readString(f.toPath)
-          catch { case _: Throwable => "" }
-        val lines = raw.linesIterator.filter(_.startsWith("{\"metric\"")).toSeq
-        if (lines.nonEmpty) (lines, raw)
-        else parse(raw) match {
-          case Some(n) if n.has("tail") =>
-            val t = n.get("tail").asText()
-            (Seq(t), t)
-          case _ => (Seq(raw), raw)
-        }
-      }.getOrElse((Seq.empty, ""))
-      val merged = scala.collection.mutable.Map[String, Double]()
-      var probeMap = Map.empty[String, Double]
-      var sfOk = false
-      Seq("{\"metric\":\"detail\"", "{\"metric\":\"summary\"").foreach { m =>
-        lastOf(raws._1, m).foreach { n =>
-          if (n.path("sf").asText() == sfDir) sfOk = true
-          val it = n.fields()
-          while (it.hasNext) {
-            val e = it.next()
-            if (e.getValue.isNumber)
-              merged(e.getKey) = e.getValue.asDouble()
-          }
-          val ps = n.path("probe_secs")
-          if (ps.isObject) {
-            val pit = ps.fields()
-            val b = Map.newBuilder[String, Double]
-            while (pit.hasNext) {
-              val e = pit.next()
-              if (e.getValue.isNumber) b += (e.getKey -> e.getValue.asDouble())
-            }
-            probeMap = b.result()
-          }
-        }
-      }
-      // regex fallback for a FRONT-TRUNCATED tail (r14's failure shape:
-      // the summary line started before the tail window, so no parseable
-      // object start survives — but the probe_secs object itself does)
-      if (probeMap.isEmpty && raws._2.contains("\"sf\":\"" + sfDir + "\"")) {
-        sfOk = true
-        val psRe = """"probe_secs":\{([^{}]*)\}""".r
-        val kvRe = """"([a-z0-9_]+)":([0-9.]+)""".r
-        psRe.findFirstMatchIn(raws._2).foreach { m =>
-          probeMap = kvRe.findAllMatchIn(m.group(1))
-            .map(g => g.group(1) -> g.group(2).toDouble).toMap
-        }
-        Seq("cv_ingest_events_per_sec", "cv_large_state_sec",
-          "cv_soak_events_per_sec").foreach { k =>
-          kvRe.findAllMatchIn(raws._2)
-            .find(_.group(1) == k)
-            .foreach(g => merged(k) = g.group(2).toDouble)
-        }
-      }
-      // only adjudicate/seed from an artifact at the SAME scale factor — a
-      // local sf0.001 smoke run must not burn retries against the
-      // driver's sf0.1 numbers
-      if (!sfOk) (Map.empty[String, Double], Map.empty[String, Double])
-      else (Seq("cv_ingest_events_per_sec", "cv_large_state_sec",
-        "cv_soak_events_per_sec")
-        .flatMap(k => merged.get(k).filter(_ > 0).map(k -> _)).toMap,
-        probeMap)
-    }
+    val (prevBench: Map[String, Double], prevProbeSecs: Map[String, Double]) =
+      BenchArtifacts.parsePrev(new java.io.File("."), sfDir)
 
     // ---- incremental artifact state -------------------------------------
     // TWO lines per emission (round 15 — r14's single enriched summary
