@@ -526,6 +526,23 @@ object Bench {
       num("bm25_indexed_query_sec", med3 {
         graft.ops.KeywordScore.bm25Indexed(spark, idxDir, terms).count(); ()
       })
+      // batch tier: 50 three-term queries over the corpus's most frequent
+      // terms, scored in ONE pass — the number that shows batch cost
+      // tracks matching postings, not query count (50 per-query calls
+      // would cost ~50 × bm25_indexed_query_sec)
+      val topTerms = spark.read.parquet(s"$idxDir/df")
+        .orderBy(org.apache.spark.sql.functions.desc("df"))
+        .limit(120).select("term").collect().map(_.getString(0))
+      if (topTerms.length >= 3) {
+        val n = topTerms.length
+        val fifty = (0 until 50).map(i =>
+          s"q$i" -> Seq(topTerms(i % n), topTerms((i * 7 + 3) % n),
+            topTerms((i * 13 + 5) % n)).distinct).toMap
+        num("bm25_multi_50q_sec", med3 {
+          graft.ops.KeywordScore.bm25IndexedMulti(spark, idxDir, fifty)
+            .count(); ()
+        })
+      }
     }
 
     // The TTL-soak and 10x-near-dup probes run BEFORE the expensive
