@@ -71,9 +71,10 @@ object KeywordScore {
   //
   // The scan tier above is O(corpus) PER QUERY SET — right for one-off
   // scoring, wrong for repeated retrieval. This tier builds the posting/
-  // df/stats summary ONCE (two corpus scans + one shuffle, the same cost
-  // as a single scan-tier query), after which every query reads only the
-  // slices its terms touch: the postings table is partitioned by
+  // df/stats summary ONCE (two corpus scans; two shuffles of partially-
+  // aggregated postings — the (term, doc) aggregation and the bucket
+  // repartition), after which every query reads only the slices its
+  // terms touch: the postings table is partitioned by
   // `bucket = pmod(xxhash64(term), 64)` and term-sorted within partitions,
   // so a k-term query prunes to ≤ k partition dirs and, inside them, to
   // the row groups whose term-range stats contain the terms — O(matching
