@@ -89,14 +89,34 @@ object KeywordScore {
 
   /** Build the persisted index under `dir`: `postings/` (term, doc_id,
     * tf, dl — dl denormalized so scoring never re-touches the corpus),
-    * `df/` (term, df), `stats/` (one row: N over ALL docs incl.
-    * token-less ones, avgdl) — the exact statistics the scan tier
-    * computes per query, persisted. At production scale `dir` lives on
-    * shared storage and the build is re-run on corpus changes (or the
-    * postings are appended per-partition — out of scope here). */
+    * `df/` (term, df), `stats/` (N over ALL docs incl. token-less ones +
+    * the corpus token sum) — the exact statistics the scan tier computes
+    * per query, persisted. All three tables are APPEND-ONLY generations
+    * (readers aggregate; see [[appendIndex]]), so a growing corpus pays
+    * O(delta) per ingest instead of a rebuild. At production scale `dir`
+    * lives on shared storage. */
   def buildIndex(docs: DataFrame, idCol: String, textCol: String,
       dir: String): Unit = {
+    statsCache.remove(dir)
+    writeGeneration(docs, idCol, textCol, dir, overwrite = true)
+  }
+
+  /** Append NEW documents (caller contract: doc_ids not already indexed)
+    * as one more generation of postings/df/stats files — O(delta) work:
+    * two scans of the DELTA and one shuffle of its aggregated postings,
+    * the index never rewritten. Readers sum df and stats across
+    * generations, and a term's postings simply span more files (the
+    * bucket partitioning and per-file term sort still prune). */
+  def appendIndex(docs: DataFrame, idCol: String, textCol: String,
+      dir: String): Unit = {
+    statsCache.remove(dir) // this JVM's cached (n, dl_sum) is now stale
+    writeGeneration(docs, idCol, textCol, dir, overwrite = false)
+  }
+
+  private def writeGeneration(docs: DataFrame, idCol: String,
+      textCol: String, dir: String, overwrite: Boolean): Unit = {
     val spark = docs.sparkSession
+    val mode = if (overwrite) "overwrite" else "append"
     val toks = tokenize(col(textCol))
     docs.select(col(idCol).cast("long").as("doc_id"),
         size(toks).cast("double").as("dl"), explode(toks).as("term"))
@@ -106,18 +126,45 @@ object KeywordScore {
         pmod(xxhash64(col("term")), lit(IndexBuckets.toLong)))
       .repartition(col("bucket"))
       .sortWithinPartitions("term")
-      .write.mode("overwrite").partitionBy("bucket")
+      .write.mode(mode).partitionBy("bucket")
       .parquet(s"$dir/postings")
-    // df per term from the WRITTEN postings — no third corpus scan
-    spark.read.parquet(s"$dir/postings")
-      .groupBy("bucket", "term")
-      .agg(count(lit(1)).cast("double").as("df"))
+    // this generation's per-term doc counts, straight from the delta (a
+    // doc contributes once per distinct term) — readers SUM generations
+    docs.select(explode(array_distinct(tokenize(col(textCol)))).as("term"))
+      .groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+      .withColumn("bucket",
+        pmod(xxhash64(col("term")), lit(IndexBuckets.toLong)))
       .repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/df")
+      .write.mode(mode).partitionBy("bucket").parquet(s"$dir/df")
     docs.select(size(tokenize(col(textCol))).cast("double").as("dl"))
-      .agg(count(lit(1)).cast("double").as("n"), avg("dl").as("avgdl"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+      .agg(count(lit(1)).cast("double").as("n"),
+        coalesce(sum("dl"), lit(0.0)).as("dl_sum"))
+      .coalesce(1).write.mode(mode).parquet(s"$dir/stats")
   }
+
+  /** Corpus stats summed across generations: (N, avgdl). Cached per dir
+    * and per JVM — [[buildIndex]]/[[appendIndex]] invalidate locally; a
+    * DIFFERENT process appending to a shared index is not seen until
+    * this process re-opens it (document-store freshness, not a
+    * correctness hazard: stats drift only dampens score calibration). */
+  private def readStats(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (Double, Double) =
+    statsCache.computeIfAbsent(dir, _ => {
+      val st = spark.read.parquet(s"$dir/stats")
+        .agg(coalesce(sum("n"), lit(0.0)), coalesce(sum("dl_sum"), lit(0.0)))
+        .collect()(0)
+      val n = st.getDouble(0)
+      (n, if (n > 0) st.getDouble(1) / n else 0.0)
+    })
+
+  /** df of each queried term summed across generations — partition-
+    * pruned + term predicate pushed to row groups; ≤ |terms| rows back. */
+  private def readDf(spark: org.apache.spark.sql.SparkSession, dir: String,
+      terms: Seq[String], buckets: Seq[Long]): Map[String, Double] =
+    spark.read.parquet(s"$dir/df")
+      .where(col("bucket").isin(buckets: _*) && col("term").isin(terms: _*))
+      .groupBy("term").agg(sum("df").as("df"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
 
   /** BM25 over a persisted index — same contract and (to rounding) same
     * scores as [[bm25]], at O(matching postings) per query. The per-doc
@@ -126,25 +173,17 @@ object KeywordScore {
   def bm25Indexed(spark: org.apache.spark.sql.SparkSession, dir: String,
       terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "bm25 requires at least one query term")
-    // corpus stats are one STATIC row per index — cached per dir (a
-    // rebuilt index goes to a fresh dir), so repeated queries pay zero
-    // jobs for them, like any search service holding N/avgdl in memory
-    val (n, avgdl0) = statsCache.computeIfAbsent(dir, _ => {
-      val st = spark.read.parquet(s"$dir/stats").collect()(0)
-      (st.getDouble(st.fieldIndex("n")), st.getDouble(st.fieldIndex("avgdl")))
-    })
+    // corpus stats are STATIC per index generation — cached per dir, so
+    // repeated queries pay zero jobs for them, like any search service
+    // holding N/avgdl in memory
+    val (n, avgdl0) = readStats(spark, dir)
     if (n == 0.0)
       return spark.range(0)
         .select(col("id").as("doc_id"), lit(0.0).as("score"))
     val avgdl = math.max(avgdl0, 1e-9)
     // term → partition bucket, evaluated driver-side — no job
     val buckets = terms.map(termBucket).distinct
-    // df slice: partition-pruned + term predicate pushed to row groups —
-    // k rows back to the driver
-    val dfMap = spark.read.parquet(s"$dir/df")
-      .where(col("bucket").isin(buckets: _*) && col("term").isin(terms: _*))
-      .select("term", "df").collect()
-      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val dfMap = readDf(spark, dir, terms, buckets)
     val idf = terms.map { t =>
       val df = dfMap.getOrElse(t, 0.0)
       math.log(1.0 + (n - df + 0.5) / (df + 0.5))
@@ -181,20 +220,14 @@ object KeywordScore {
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queries.nonEmpty && queries.values.forall(_.nonEmpty),
       "every query needs at least one term")
-    val (n, avgdl0) = statsCache.computeIfAbsent(dir, _ => {
-      val st = spark.read.parquet(s"$dir/stats").collect()(0)
-      (st.getDouble(st.fieldIndex("n")), st.getDouble(st.fieldIndex("avgdl")))
-    })
+    val (n, avgdl0) = readStats(spark, dir)
     import spark.implicits._
     if (n == 0.0)
       return Seq.empty[(String, Long, Double)].toDF("query", "doc_id", "score")
     val avgdl = math.max(avgdl0, 1e-9)
     val terms = queries.values.flatten.toSeq.distinct
     val buckets = terms.map(termBucket).distinct
-    val dfMap = spark.read.parquet(s"$dir/df")
-      .where(col("bucket").isin(buckets: _*) && col("term").isin(terms: _*))
-      .select("term", "df").collect()
-      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val dfMap = readDf(spark, dir, terms, buckets)
     def idfOf(t: String): Double = {
       val df = dfMap.getOrElse(t, 0.0)
       math.log(1.0 + (n - df + 0.5) / (df + 0.5))

@@ -636,6 +636,48 @@ class OpsSpec extends AnyFunSuite {
       s"postings scan must carry a bucket partition filter:\n$plan")
   }
 
+  test("bm25 appendable index: build+append scores equal a full rebuild") {
+    val part1 = Seq(
+      (0L, "spark spark query fast"),
+      (1L, "query join slow table table table"),
+      (2L, "spark")).toDF("doc_id", "text")
+    val part2 = Seq(
+      (3L, "row scan merge sort"),
+      (4L, "Spark, QUERY! spark-join"),
+      (5L, "vector vector index"), // NEW vocabulary in the delta
+      (6L, "")).toDF("doc_id", "text")
+    val all = part1.unionByName(part2)
+    val full = java.nio.file.Files.createTempDirectory("graft_bm25f").toString
+    KeywordScore.buildIndex(all, "doc_id", "text", full)
+    val inc = java.nio.file.Files.createTempDirectory("graft_bm25i").toString
+    KeywordScore.buildIndex(part1, "doc_id", "text", inc)
+    // pre-append reads populate the stats cache — the append must
+    // invalidate it, or post-append queries would score with stale N
+    assert(KeywordScore.bm25Indexed(spark, inc, Seq("spark")).count() == 2,
+      "pre-append: part1's two spark docs")
+    KeywordScore.appendIndex(part2, "doc_id", "text", inc)
+    def scores(dir: String, terms: Seq[String]): Map[Long, Double] =
+      KeywordScore.bm25Indexed(spark, dir, terms)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    for (terms <- Seq(Seq("spark", "query"), Seq("table"),
+        Seq("vector"), Seq("spark", "vector", "absent"))) {
+      val f = scores(full, terms)
+      val i = scores(inc, terms)
+      assert(i.keySet === f.keySet, s"terms=$terms matched-doc set")
+      f.foreach { case (id, v) =>
+        assert(math.abs(i(id) - v) < 1e-9,
+          s"terms=$terms doc=$id full=$v incremental=${i(id)}")
+      }
+    }
+    // batch API over the appended index agrees too
+    val multi = KeywordScore.bm25IndexedMulti(spark, inc,
+      Map("a" -> Seq("vector"), "b" -> Seq("spark", "query")))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    scores(full, Seq("vector")).foreach { case (id, v) =>
+      assert(math.abs(multi(("a", id)) - v) < 1e-9)
+    }
+  }
+
   test("bm25 batch retrieval: one pass scores every query like the scan tier") {
     val docs = Seq(
       (0L, "spark spark query fast"),
