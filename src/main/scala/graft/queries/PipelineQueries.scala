@@ -246,6 +246,56 @@ object PipelineQueries {
         .orderBy("query", "doc_id")
     },
 
+    // Index MAINTENANCE (round 16): delete every doc_id ≡ 3 (mod 7) as a
+    // committed tombstone generation, then compact — the dedup→re-index
+    // loop's shape, oracled against DuckDB scoring the FILTERED corpus
+    // directly. Both the tombstone read path (negative df/stats, posting
+    // anti-join) and the compaction fold (which must preserve scores
+    // bit-for-bit) sit under this row. Idempotent delta ids + the
+    // compaction no-op make repeated runs (bench min-of-N) stable.
+    QDef(
+      "q_bm25_delete",
+      """WITH tf AS (
+        |  SELECT doc_id,
+        |    CAST(len(tk) AS DOUBLE) AS dl,
+        |    CAST(len(list_filter(tk, x -> x = 'spark')) AS DOUBLE) AS tf0,
+        |    CAST(len(list_filter(tk, x -> x = 'query')) AS DOUBLE) AS tf1,
+        |    CAST(len(list_filter(tk, x -> x = 'vector')) AS DOUBLE) AS tf2
+        |  FROM (SELECT doc_id,
+        |          list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |                      x -> x <> '') AS tk
+        |        FROM documents WHERE doc_id % 7 <> 3)
+        |), st AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+        |         sum(CASE WHEN tf0 > 0 THEN 1.0 ELSE 0.0 END) AS df0,
+        |         sum(CASE WHEN tf1 > 0 THEN 1.0 ELSE 0.0 END) AS df1,
+        |         sum(CASE WHEN tf2 > 0 THEN 1.0 ELSE 0.0 END) AS df2
+        |  FROM tf
+        |)
+        |SELECT doc_id,
+        |  round(ln(1 + (n - df0 + 0.5) / (df0 + 0.5))
+        |          * tf0 * 2.2 / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |      + ln(1 + (n - df1 + 0.5) / (df1 + 0.5))
+        |          * tf1 * 2.2 / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |      + ln(1 + (n - df2 + 0.5) / (df2 + 0.5))
+        |          * tf2 * 2.2 / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)), 4) AS score
+        |FROM tf, st
+        |WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      // own index instance (distinct cacheKey) so the mutation never
+      // touches q_bm25_indexed/topk/multi's shared index
+      val idx = KeywordScore.indexFor(docs, "doc_id", "text",
+        cacheKey = dir + "#delete")
+      KeywordScore.deleteDocs(s, idx,
+        docs.where(col("doc_id") % 7 === 3).select("doc_id"),
+        deltaId = Some("q_bm25_delete"))
+      KeywordScore.compactIndex(s, idx)
+      KeywordScore.bm25Indexed(s, idx, Seq("spark", "query", "vector"))
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+        .orderBy("doc_id")
+    },
+
     // Embedding cluster assignment: 8 deterministic seed centroids
     // (vec_id < 8) broadcast against the corpus, argmax-cosine assignment
     // map-side, then one tiny per-cluster aggregation. The same plan holds

@@ -79,6 +79,9 @@ class PlanShapeSpec extends AnyFunSuite {
     // / TakeOrdered) — never a corpus-wide exchange; multi adds the
     // per-(query,term) idf broadcast
     "q_bm25_indexed" -> 2, "q_bm25_topk" -> 2, "q_bm25_multi" -> 3,
+    // q_bm25_delete runs over the POST-COMPACTION index (single folded
+    // generation, tombstones retired) — same plan as q_bm25_indexed
+    "q_bm25_delete" -> 2,
     "q_stratified_sample" -> 2,
     // q_dedup_clusters: the returned frame is the per-cluster summary over
     // the final (checkpointed) labels — the iterative rounds' shuffles run
