@@ -22,10 +22,23 @@ package graft
   */
 private[graft] object BenchArtifacts {
 
-  /** (CV adjudication map, measured per-probe seconds) from the newest
-    * `BENCH_r*.json` under `dir`, empty maps when none matches `sfDir`. */
-  def parsePrev(dir: java.io.File,
-      sfDir: String): (Map[String, Double], Map[String, Double]) = {
+  /** Everything Bench reads from the previous round's artifact:
+    * `bench` — adjudication scalars (off-band probe values re-measure
+    * against these), `probeSecs` — measured wall per probe (seeds this
+    * run's budget estimates), `skipped` — probes the previous run
+    * budget-skipped (they get priority ordering this run, so no probe is
+    * a PERMANENT skip victim), `loadedBox` — whether the previous run
+    * self-reported contamination (its measured probe_secs then get a
+    * haircut instead of inflating this run's estimates forever). */
+  final case class Prev(bench: Map[String, Double],
+      probeSecs: Map[String, Double], skipped: Set[String],
+      loadedBox: Boolean)
+
+  val Empty: Prev = Prev(Map.empty, Map.empty, Set.empty, loadedBox = false)
+
+  /** Parsed previous artifact from the newest `BENCH_r*.json` under
+    * `dir`; [[Empty]] when none matches `sfDir`. */
+  def parsePrev(dir: java.io.File, sfDir: String): Prev = {
     val re = """BENCH_r(\d+)\.json""".r
     val newest = Option(dir.listFiles()).getOrElse(Array.empty)
       .flatMap(f => f.getName match {
@@ -36,14 +49,15 @@ private[graft] object BenchArtifacts {
       val raw = try java.nio.file.Files.readString(f.toPath)
         catch { case _: Throwable => "" }
       parseArtifact(raw, sfDir)
-    }.getOrElse((Map.empty, Map.empty))
+    }.getOrElse(Empty)
   }
 
   /** Same, over artifact CONTENT (the spec seam). */
-  def parseArtifact(raw: String,
-      sfDir: String): (Map[String, Double], Map[String, Double]) = {
+  def parseArtifact(raw: String, sfDir: String): Prev = {
     val adjudicationKeys = Seq("cv_ingest_events_per_sec",
-      "cv_large_state_sec", "cv_soak_events_per_sec")
+      "cv_large_state_sec", "cv_soak_events_per_sec",
+      "gate_pushdown_100k_ev_s", "gate_events_per_sec",
+      "ndgate_events_per_sec")
     // a REAL JSON parse (Jackson rides the Spark jars) where a complete
     // line/object exists
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -69,6 +83,8 @@ private[graft] object BenchArtifacts {
     }
     val merged = scala.collection.mutable.Map[String, Double]()
     var probeMap = Map.empty[String, Double]
+    var skipped = Set.empty[String]
+    var loaded = false
     var sfOk = false
     Seq("{\"metric\":\"detail\"", "{\"metric\":\"summary\"").foreach { m =>
       lastOf(m).foreach { n =>
@@ -79,6 +95,12 @@ private[graft] object BenchArtifacts {
           if (e.getValue.isNumber)
             merged(e.getKey) = e.getValue.asDouble()
         }
+        if (n.path("loaded_box").isBoolean)
+          loaded = n.path("loaded_box").asBoolean()
+        val sk = n.path("probes_skipped")
+        if (sk.isTextual)
+          skipped = sk.asText().split(",").map(_.trim)
+            .filter(_.nonEmpty).toSet
         val ps = n.path("probe_secs")
         if (ps.isObject) {
           val pit = ps.fields()
@@ -106,11 +128,16 @@ private[graft] object BenchArtifacts {
           .find(_.group(1) == k)
           .foreach(g => merged(k) = g.group(2).toDouble)
       }
+      """"probes_skipped":"([^"]*)"""".r.findFirstMatchIn(fallbackText)
+        .foreach(m => skipped = m.group(1).split(",").map(_.trim)
+          .filter(_.nonEmpty).toSet)
+      loaded = """"loaded_box":true""".r
+        .findFirstIn(fallbackText).isDefined
     }
     // only adjudicate/seed from an artifact at the SAME scale factor
-    if (!sfOk) (Map.empty, Map.empty)
-    else (adjudicationKeys
+    if (!sfOk) Empty
+    else Prev(adjudicationKeys
       .flatMap(k => merged.get(k).filter(_ > 0).map(k -> _)).toMap,
-      probeMap)
+      probeMap, skipped, loaded)
   }
 }

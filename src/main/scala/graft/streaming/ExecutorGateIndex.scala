@@ -772,14 +772,17 @@ private[graft] object ExecutorGateState {
     * state (scheduler.c:584-698), it does not leak it until process
     * exit. */
   /** Store dirs whose drop sweep gave up before reaching every executor
-    * (value = executors missed at give-up): each missed JVM's registry — its generation-fenced shards
-    * keeps the
-    * dropped gates' generation-fenced shards (never read again, but
-    * heap-resident) until executor recycle OR a later sweep: every
-    * subsequent [[dropDistributedUnder]] retries the pending dirs in its
-    * own tasks and clears them once a wave reaches the whole cluster, so
-    * the leak SELF-HEALS instead of persisting silently. Surfaced (as
-    * the missed-executor sum) via
+    * (value = executors missed by the LATEST give-up wave — an
+    * APPROXIMATION: a retry that misses a different executor overwrites
+    * the count, so the number says "how behind is the newest attempt",
+    * not "exactly which JVMs still leak"): each missed JVM's registry
+    * keeps the dropped gates' generation-fenced shards (never read
+    * again, but heap-resident) until executor recycle OR a later sweep.
+    * EVERY subsequent [[dropDistributedUnder]] — including one whose own
+    * dir has no executor shards — retries the pending dirs in its tasks
+    * and clears them once a wave reaches the whole cluster, so the leak
+    * SELF-HEALS at the next drop of any gate instead of persisting
+    * silently. Surfaced (as the missed-executor sum) via
     * `graft_gate_stats.pendingRemoteDrops`. */
   private val pendingDropDirs =
     new ConcurrentHashMap[String, Integer]()
@@ -804,7 +807,12 @@ private[graft] object ExecutorGateState {
       }
     }
     val sc = spark.sparkContext
-    if (!had || sc.isLocal) return
+    // run the sweep when THIS dir had executor-tier shards, OR when a
+    // previous sweep left pending debt — otherwise a cluster that never
+    // drops another executor-backed gate would keep the leaked shards
+    // until executor recycle, making the "self-heal" conditional on
+    // unrelated future work
+    if (sc.isLocal || (!had && pendingDropDirs.isEmpty)) return
     def executors(): Int = spoofExecutorCount.getOrElse(
       math.max(0, sc.statusTracker.getExecutorInfos.length - 1))
     // this sweep also retries every dir a PREVIOUS sweep gave up on --

@@ -119,27 +119,35 @@ private[streaming] final class GateEpochs(
     * file (power loss persisted the rename but not the data) is
     * quarantined instead of wedging every future batch: that epoch's rows
     * become the documented at-least-once loss class (the upstream retry
-    * re-feeds them). The quarantine covers the whole per-epoch recovery
-    * body, not just the footer read — a torn write that keeps a valid
-    * footer but corrupts data PAGES only throws once the recovery hook or
-    * delivery actually scans the rows. Non-corruption failures rethrow:
-    * transient errors stay retryable. */
+    * re-feeds them). Ordering matters: the spool is VALIDATED IN FULL
+    * (cache-building count materializes every column of every row)
+    * BEFORE any store append or remember hook runs, so corruption
+    * surfaces while quarantining is still safe — if it somehow surfaces
+    * only AFTER validation passed (store state already committed), the
+    * epoch RETHROWS instead: quarantining then would leave the epoch's
+    * keys admitted in the store while its rows never reach the sink —
+    * silent at-most-once loss, worse than a retry loop. Non-corruption
+    * failures always rethrow: transient errors stay retryable. */
   private def recoverEach(deliver: Boolean): Unit = {
     val delivered = GateSpool.deliveredEpoch(spoolDir)
     GateSpool.spoolEpochs(spoolDir).filter(_._1 > delivered).foreach {
       case (e, path) =>
         GateSpool.readSpool(eng.spark, path, s"gate $name epoch $e").foreach {
           df =>
+            var validated = false
             try {
               failpoint("recover-epoch")
               val spooled = df.persist()
-              try commitRecoveredHook(spooled, e)
-              finally { spooled.unpersist(); () }
+              try {
+                spooled.count() // full-column validation, no state yet
+                validated = true
+                commitRecoveredHook(spooled, e)
+              } finally { spooled.unpersist(); () }
               if (deliver) deliverAndMark(e)
             } catch {
               case t: Throwable if scala.util.control.NonFatal(t) &&
                   !t.isInstanceOf[InterruptedException] &&
-                  GateSpool.looksCorrupt(t) =>
+                  GateSpool.looksCorrupt(t) && !validated =>
                 GateSpool.quarantine(path, s"gate $name epoch $e",
                   s"corrupt data pages: ${t.getClass.getSimpleName}: " +
                     s"${t.getMessage}")
@@ -225,28 +233,43 @@ private[streaming] object GateSpool {
   }
 
   /** Parquet single-file frame check: ≥12 bytes, "PAR1" at both ends —
-    * what a torn write (rename persisted, data pages not) fails. */
-  def magicOk(path: Path): Boolean =
-    try {
-      val ch = java.nio.channels.FileChannel.open(path,
+    * what a torn write (rename persisted, data pages not) fails. Returns
+    * false ONLY on corruption EVIDENCE (bytes actually read and
+    * mismatched, or a size no parquet file can have); a missing file is
+    * also false (nothing to read — the caller skips it). Any OTHER
+    * open/read failure (fs hiccup, EMFILE, interrupt-closed channel) is
+    * INCONCLUSIVE → true, deferring to [[looksCorrupt]] on the real read
+    * — a transient error here must not destructively quarantine a
+    * healthy committed spool. */
+  def magicOk(path: Path): Boolean = {
+    val ch =
+      try java.nio.channels.FileChannel.open(path,
         java.nio.file.StandardOpenOption.READ)
-      try {
-        val len = ch.size()
-        def four(at: Long): Array[Byte] = {
-          val b = java.nio.ByteBuffer.allocate(4)
-          var off = at
-          var eof = false
-          while (b.hasRemaining && !eof) {
-            val n = ch.read(b, off)
-            if (n < 0) eof = true else off += n
-          }
-          if (eof) Array.emptyByteArray else b.array()
+      catch {
+        case _: java.nio.file.NoSuchFileException => return false
+        case e: Throwable if !scala.util.control.NonFatal(e) => throw e
+        case _: Throwable => return true // inconclusive: defer to the read
+      }
+    try {
+      val len = ch.size()
+      def four(at: Long): Array[Byte] = {
+        val b = java.nio.ByteBuffer.allocate(4)
+        var off = at
+        var eof = false
+        while (b.hasRemaining && !eof) {
+          val n = ch.read(b, off)
+          if (n < 0) eof = true else off += n
         }
-        len >= 12 &&
-          java.util.Arrays.equals(four(0L), Magic) &&
-          java.util.Arrays.equals(four(len - 4), Magic)
-      } finally ch.close()
-    } catch { case scala.util.control.NonFatal(_) => false }
+        if (eof) Array.emptyByteArray else b.array()
+      }
+      len >= 12 &&
+        java.util.Arrays.equals(four(0L), Magic) &&
+        java.util.Arrays.equals(four(len - 4), Magic)
+    } catch {
+      case e: Throwable if !scala.util.control.NonFatal(e) => throw e
+      case _: Throwable => true // inconclusive mid-read: defer
+    } finally ch.close()
+  }
 
   private val Magic = "PAR1".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
 

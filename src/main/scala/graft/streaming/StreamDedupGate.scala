@@ -796,17 +796,25 @@ final class StreamDedupGate private[streaming] (
     spoolEpochs().filter(_._1 > delivered).foreach { case (e, path) =>
       if (GateStore.maxBatch(storeDir, "keys") < e) {
         GateSpool.readSpool(eng.spark, path, s"gate $name epoch $e").foreach {
-          spooled =>
-            // corrupt data PAGES surface here, not at the footer read —
-            // same quarantine-or-rethrow split as GateEpochs.recoverEach
+          df =>
+            // corrupt data PAGES surface at the FULL-COLUMN validation,
+            // BEFORE the store append — same ordering + quarantine-or-
+            // rethrow split as GateEpochs.recoverEach (post-validation
+            // corruption rethrows: state is already partially committed)
+            var validated = false
             try {
-              val keys = spooled
-                .where(col("h").isNotNull).select("h").distinct()
-              GateStore.append(keys, storeDir, "keys", e, sortCol = Some("h"))
+              val spooled = df.persist()
+              try {
+                spooled.count()
+                validated = true
+                val keys = spooled
+                  .where(col("h").isNotNull).select("h").distinct()
+                GateStore.append(keys, storeDir, "keys", e, sortCol = Some("h"))
+              } finally { spooled.unpersist(); () }
               rebuilt = true
             } catch {
               case t: Throwable if scala.util.control.NonFatal(t) &&
-                  GateSpool.looksCorrupt(t) =>
+                  GateSpool.looksCorrupt(t) && !validated =>
                 GateSpool.quarantine(path, s"gate $name epoch $e",
                   s"corrupt data pages: ${t.getClass.getSimpleName}")
             }
@@ -825,8 +833,17 @@ final class StreamDedupGate private[streaming] (
     val delivered = deliveredEpoch()
     spoolEpochs().filter(_._1 > delivered).foreach { case (e, path) =>
       GateSpool.readSpool(eng.spark, path, s"gate $name epoch $e").foreach {
-      spooled =>
+      df =>
+      // FULL-COLUMN validation first (cache-building count), so corrupt
+      // data pages surface BEFORE the keys append / bloom feed — a
+      // quarantine after those would leave the epoch's keys admitted in
+      // the store while its rows never reach the sink (silent
+      // at-most-once loss). Post-validation corruption rethrows instead.
+      var validated = false
+      val spooled = df.persist()
       try {
+        spooled.count()
+        validated = true
         if (GateStore.maxBatch(storeDir, "keys") < e) {
           val keys = spooled.where(col("h").isNotNull).select("h").distinct()
           GateStore.append(keys, storeDir, "keys", e, sortCol = Some("h"))
@@ -840,13 +857,14 @@ final class StreamDedupGate private[streaming] (
         markDelivered(e)
         if (e > batches) batches = e
       } catch {
-        // corrupt data pages surfacing past the footer read: quarantine
-        // (→ documented at-least-once class); anything else rethrows
+        // pre-commit corruption evidence: quarantine (→ documented
+        // at-least-once class); anything else — transient errors, or
+        // corruption reported only after a clean full read — rethrows
         case t: Throwable if scala.util.control.NonFatal(t) &&
-            GateSpool.looksCorrupt(t) =>
+            GateSpool.looksCorrupt(t) && !validated =>
           GateSpool.quarantine(path, s"gate $name epoch $e",
             s"corrupt data pages: ${t.getClass.getSimpleName}")
-      }
+      } finally { spooled.unpersist(); () }
       }
     }
   }

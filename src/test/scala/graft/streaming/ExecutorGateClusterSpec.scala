@@ -284,13 +284,15 @@ class ExecutorGateClusterSpec extends AnyFunSuite {
     }.collect().groupBy(_._1).map { case (e, v) => e -> v.map(_._2).max }
     assert(perJvm.size >= 2 && perJvm.values.forall(_ == 0),
       s"reachable executors must still be swept: $perJvm")
-    // happy path stays silent: dropping the (driver-tier) second gate
-    // runs no sweep and leaves the counter unchanged
+    // SELF-HEAL does not wait for another exec-backend drop: dropping the
+    // DRIVER-TIER second gate (no executor shards of its own) still
+    // retries the pending dirs — with the spoof gone, the wave reaches
+    // both real executors and clears the debt
     eng.dropContTransform("xl_live")
-    assert(ExecutorGateState.pendingRemoteDrops === 1L,
-      "a no-sweep drop must not touch the counter")
-    // SELF-HEAL: a later exec-backend drop whose sweep reaches the whole
-    // cluster retries the pending dirs in its own tasks and clears them
+    assert(ExecutorGateState.pendingRemoteDrops === 0L,
+      "a drop with pending debt must retry the sweep even when its own " +
+        "dir had no executor shards")
+    // and a full-cluster exec-backend drop keeps the counter at zero
     eng.createStream("xh_in", schema)
     eng.createStream("xh_out", org.apache.spark.sql.types.StructType(
       schema.fields :+ org.apache.spark.sql.types.StructField("fp",

@@ -134,11 +134,15 @@ class StreamDedupGateEoSpec extends AnyFunSuite {
       "the retried epoch delivers exactly once")
   }
 
-  test("corrupt data pages surfacing mid-recovery quarantine the epoch, ingest continues") {
-    // a torn write can keep a VALID footer and corrupt only data pages:
-    // the failure then throws past readSpool, inside the recovery body —
-    // the quarantine must cover that path too, or the poison file wedges
-    // every future batch
+  test("corruption reported only AFTER the spool validated in full " +
+      "rethrows — quarantining then would be silent at-most-once loss") {
+    // the recovery body validates every column of every spooled row
+    // BEFORE the store append; a parquet-flavored error past that point
+    // (store state possibly committed, file just proven readable) is
+    // treated as transient: rethrow, keep the spool, deliver on retry.
+    // Quarantining would strand the epoch's keys in the store while its
+    // rows never reach the sink — the upstream re-feed then suppressed
+    // as duplicates.
     val root = java.nio.file.Files.createTempDirectory("graft_eoc").toString
     val (eng, g) = build(root, "1")
     g.failAt = "after-spool"
@@ -146,16 +150,16 @@ class StreamDedupGateEoSpec extends AnyFunSuite {
     g.failAt = "recovery-after-store"
     g.failWith =
       new org.apache.parquet.io.ParquetDecodingException("Can not read value")
-    // the re-feed's batch head hits the decode error, quarantines epoch 1,
-    // and the batch itself proceeds (its content is store-suppressed)
-    eng.insertInto("e_in", b((1L, "aa")))
+    intercept[Exception] { eng.insertInto("e_in", b((1L, "aa"))) }
     val spool = java.nio.file.Paths.get(s"$root/gate/e_gate/spool")
-    assert(java.nio.file.Files.exists(
-      spool.resolve("fwd_00001.parquet.corrupt")),
-      "decode-time corruption must quarantine the spool")
+    assert(java.nio.file.Files.exists(spool.resolve("fwd_00001.parquet")) &&
+      !java.nio.file.Files.exists(spool.resolve("fwd_00001.parquet.corrupt")),
+      "post-validation corruption must keep the spool, not quarantine it")
+    // next batch head retries recovery cleanly: epoch 1 delivers exactly
+    // once, then the fresh batch flows
     eng.insertInto("e_in", b((2L, "bb")))
-    assert(counts(eng) === Map(2L -> 1L),
-      "the quarantined epoch falls to at-least-once; fresh rows deliver")
+    assert(counts(eng) === Map(1L -> 1L, 2L -> 1L),
+      "the rethrown epoch must deliver on retry — nothing lost")
   }
 
   test("crash after store append, before delivery: restart recovery delivers exactly once") {
