@@ -93,7 +93,13 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
       sw: String, swColumn: String, stepFactor: Double,
       ttl: String, ttlColumn: String, sink: String, changes: Boolean)
 
-  private def catalogPath = Paths.get(root, "_catalog.jsonl")
+  // scheme-portable store ops (plain root = java.nio; URI root = Hadoop
+  // FileSystem — see graft.io.StoreFs). The CV tier (catalog journal,
+  // matrel state, tick marks, renames, drops) is fully routed; the gate
+  // tier's stores remain POSIX-rooted (GateStore staging writes).
+  private def sfs: graft.io.StoreFs = graft.io.StoreFs.forRoot(root)
+
+  private def catalogPath = s"$root/_catalog.jsonl"
   private var loading = false
   // set while a compound DDL (ALTER SCHEMA RENAME) performs constituent
   // renames: only the ONE compound entry is persisted, so replay doesn't
@@ -109,19 +115,18 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
   } + "\""
 
   private def appendCatalog(e: CatalogEntry): Unit = if (!loading && !suppressCatalog) {
-    Files.createDirectories(Paths.get(root))
+    sfs.mkdirs(root)
     val line = s"""{"kind":${q(e.kind)},"name":${q(e.name)},"payload":${q(e.payload)},""" +
       s""""sw":${q(e.sw)},"swColumn":${q(e.swColumn)},"stepFactor":${e.stepFactor},""" +
       s""""ttl":${q(e.ttl)},"ttlColumn":${q(e.ttlColumn)},"sink":${q(e.sink)},"changes":${e.changes}}"""
-    Files.writeString(catalogPath, line + "\n",
-      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+    sfs.appendLine(catalogPath, line)
   }
 
   /** Rebuild streams/CVs/CTs from the persisted catalog — definitions (and
     * their state tables, which live under the same root) survive restarts.
     */
   private def loadCatalog(): Unit = {
-    if (!Files.exists(catalogPath)) return
+    if (!sfs.exists(catalogPath)) return
     loading = true
     try {
       val fieldRe = """"(\w+)":(?:"((?:[^"\\]|\\.)*)"|([0-9.]+|true|false))""".r
@@ -149,7 +154,7 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
         }
         sb.toString
       }
-      Files.readAllLines(catalogPath).forEach { line =>
+      sfs.readString(catalogPath).linesIterator.foreach { line =>
         val fields = fieldRe.findAllMatchIn(line).map { m =>
           val raw = Option(m.group(2)).getOrElse(m.group(3))
           m.group(1) -> unescape(raw)
@@ -817,9 +822,8 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
       // drain any in-flight background version-dir deletion BEFORE the move:
       // its absolute paths go stale the instant the tree relocates
       h.store.quiesceGc()
-      val from = Paths.get(root, name)
-      if (Files.exists(from))
-        Files.move(from, Paths.get(root, newName), StandardCopyOption.ATOMIC_MOVE)
+      val from = s"$root/$name"
+      if (sfs.exists(from)) sfs.move(from, s"$root/$newName")
       h.store.relocate(s"$root/$newName/state")
     }
     views.remove(name)
@@ -903,9 +907,8 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
       s"$name is not a continuous transform"))
     require(!views.contains(newName) && !transforms.contains(newName) &&
       !streams.contains(newName), s"cannot rename $name: '$newName' is already in use")
-    val from = Paths.get(root, name)
-    if (Files.exists(from))
-      Files.move(from, Paths.get(root, newName), StandardCopyOption.ATOMIC_MOVE)
+    val from = s"$root/$name"
+    if (sfs.exists(from)) sfs.move(from, s"$root/$newName")
     transforms.remove(name)
     transforms(newName) = h.copy(plan = h.plan.copy(name = newName))
     defs.remove(name).foreach(defs(newName) = _)
@@ -1392,10 +1395,7 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
   // ---- DROP (reference ExecDropContQuery path: dropping a CV cascades to
   // its matrel/osrel/seq/def relations, pipeline_query.c:552-684) ----
 
-  private def deleteDir(p: java.nio.file.Path): Unit =
-    if (Files.exists(p))
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(f => { Files.deleteIfExists(f); () })
+  private def deleteDir(p: String): Unit = sfs.deleteRecursively(p)
 
   /** DROP a continuous view: removes the definition, its state and changes
     * storage, and its output stream. Fails while downstream CQs still read
@@ -1420,7 +1420,7 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     // drop removes storage
     if (!loading) {
       h.store.truncate()
-      deleteDir(Paths.get(root, name))
+      deleteDir(s"$root/$name")
     }
     defs.remove(name)
     // session temp views the engine may have bound for this CV (overlay,
@@ -1446,20 +1446,22 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     // delete races the in-flight append. Drained by DIRECTORY, not gate
     // handle: Scala-API gates never enter the gates map.
     gates.remove(name)
-    graft.streaming.CommitPipeline.drainUnder(
-      Paths.get(root, name).toString)
+    graft.streaming.CommitPipeline.drainUnder(s"$root/$name")
     // executor-backend shards keyed under this store root are dead weight
     // once the store is deleted — evict them from EVERY JVM's registry
     // (local sweep always; plus one task-per-slot cluster job when this
     // root ever hosted executor-tier instances, so remote executors free
     // their heap instead of waiting for recycle)
     graft.streaming.ExecutorGateState.dropDistributedUnder(spark,
-      Paths.get(root, name).toAbsolutePath.toString)
+      // shard registries key by the gate's ABSOLUTE store path (gate tier
+      // is POSIX-rooted; a URI root never hosts executor-tier gates)
+      if (graft.io.StoreFs.hasScheme(root)) s"$root/$name"
+      else Paths.get(root, name).toAbsolutePath.toString)
     gateSignatures.remove(name)
     readers.get(h.streamName).foreach(b => { b -= name; () })
     streams.remove(osrel)
     readers.remove(osrel)
-    if (!loading) deleteDir(Paths.get(root, name))
+    if (!loading) deleteDir(s"$root/$name")
     defs.remove(name)
     Seq(bindName(osrel), "__graft_read_" + bindName(osrel))
       .foreach { n => spark.catalog.dropTempView(n); ownedTempViews -= n }
@@ -1992,23 +1994,22 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
   private lazy val swTickMarks =
     new scala.collection.concurrent.TrieMap[String, java.sql.Timestamp]
 
-  private def tickMarkPath(name: String) = Paths.get(root, name, "_sw_tickmark")
+  private def tickMarkPath(name: String) = s"$root/$name/_sw_tickmark"
 
   private def loadTickMark(name: String): java.sql.Timestamp =
     swTickMarks.getOrElseUpdate(name, {
       val p = tickMarkPath(name)
-      if (Files.exists(p)) new java.sql.Timestamp(Files.readString(p).trim.toLong)
+      if (sfs.exists(p)) new java.sql.Timestamp(sfs.readString(p).trim.toLong)
       else new java.sql.Timestamp(0L)
     })
 
   private def saveTickMark(name: String, mark: java.sql.Timestamp): Unit = {
     swTickMarks(name) = mark
     val p = tickMarkPath(name)
-    Files.createDirectories(p.getParent)
-    val tmp = p.resolveSibling("_sw_tickmark.tmp")
-    Files.writeString(tmp, mark.getTime.toString)
-    Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    sfs.mkdirs(s"$root/$name")
+    val tmp = p + ".tmp"
+    sfs.writeString(tmp, mark.getTime.toString)
+    sfs.publish(tmp, p, durable = false, replace = true)
   }
 
   /** SW tick pass (reference combiner.c:992-1141 `tick_sw_groups` +
@@ -2365,7 +2366,7 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
   /** The output stream (output_of('cv')): all (old, new, delta) changes. */
   def outputOf(name: String): Option[DataFrame] = {
     val dir = s"$root/$name/changes"
-    if (Files.exists(Paths.get(dir))) Some(exec.read.parquet(dir)) else None
+    if (sfs.exists(dir)) Some(exec.read.parquet(dir)) else None
   }
 
   /** combine((delta).col) over a CV's output stream: merge the partial-state

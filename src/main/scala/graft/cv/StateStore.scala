@@ -1,6 +1,5 @@
 package graft.cv
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import scala.collection.mutable
 import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -71,16 +70,22 @@ final class StateStore(
   }
 
   def relocate(newRoot: String): Unit = this.synchronized {
-    val old = Paths.get(_root)
+    val old = _root.stripSuffix("/")
     quiesceGc() // belt: callers quiesce before moving the tree (see above)
     _root = newRoot
     // stale version dirs awaiting deferred GC moved with the tree
-    pendingGc = pendingGc.map(p => Paths.get(newRoot).resolve(old.relativize(p)))
+    pendingGc = pendingGc.map(p =>
+      newRoot.stripSuffix("/") + "/" + p.stripPrefix(old + "/"))
     footerMinCache.clear() // keyed by absolute file path under the old root
     refreshCache() // cached plan reads parquet at old absolute paths
   }
 
-  private def manifestPath: Path = Paths.get(root, "_manifest.json")
+  // every metadata/listing/delete op routes through the scheme-portable
+  // store seam: a plain root stays on java.nio, a URI root ("file:/…",
+  // "hdfs://…") runs on the Hadoop FileSystem API — see graft.io.StoreFs
+  private def sfs: graft.io.StoreFs = graft.io.StoreFs.forRoot(root)
+
+  private def manifestPath: String = s"$root/_manifest.json"
 
   // opt-in phase timing (GRAFT_PROF=1): prints driver-side wall per phase
   private val prof = sys.env.contains("GRAFT_PROF")
@@ -158,9 +163,9 @@ final class StateStore(
   private case class Manifest(version: Long, buckets: Map[Int, String], small: Boolean)
 
   private def readManifest(): Option[Manifest] =
-    if (!Files.exists(manifestPath)) None
+    if (!sfs.exists(manifestPath)) None
     else {
-      val txt = Files.readString(manifestPath)
+      val txt = sfs.readString(manifestPath)
       // minimal parser for the flat structure we write
       val version = """"version"\s*:\s*(\d+)""".r.findFirstMatchIn(txt).get.group(1).toLong
       val pairs = """"(\d+)"\s*:\s*"([^"]+)"""".r.findAllMatchIn(txt)
@@ -189,16 +194,16 @@ final class StateStore(
     val entries = m.buckets.toSeq.sortBy(_._1)
       .map { case (b, p) => s""""$b": "$p"""" }.mkString(",")
     val txt = s"""{"version": ${m.version}, "small": ${m.small}, "buckets": {$entries}}"""
-    val tmp = Paths.get(root, s"_manifest.tmp.${m.version}")
-    Files.createDirectories(Paths.get(root))
-    Files.writeString(tmp, txt)
+    val tmp = s"$root/_manifest.tmp.${m.version}"
+    sfs.mkdirs(root)
+    sfs.writeString(tmp, txt)
     // THE matrel commit point: readers resolve buckets through the
     // manifest, so this pointer swap is what makes a version visible —
-    // routed through the CommitFs seam (DESIGN_NOTES "Shared-storage
-    // commit points"; on S3 this becomes a conditional PUT of the
-    // manifest key, the only operation that must be atomic)
-    graft.io.CommitFs.current.publish(tmp, manifestPath,
-      durable = false, replace = true)
+    // routed through the store seam (DESIGN_NOTES "Shared-storage commit
+    // points"; local = CommitFs atomic rename, Hadoop = FileSystem
+    // rename, S3 = a conditional PUT of the manifest key — the only
+    // operation that must be atomic)
+    sfs.publish(tmp, manifestPath, durable = false, replace = true)
   }
 
   /** Below this many state bytes on disk, a merge rewrites the whole state
@@ -221,12 +226,7 @@ final class StateStore(
     try f finally set((System.nanoTime() - t) / 1000000L)
   }
 
-  private def dirBytes(rel: String): Long = {
-    val p = Paths.get(root, rel)
-    if (!Files.exists(p)) 0L
-    else Files.walk(p).iterator().asScala.filter(Files.isRegularFile(_))
-      .map(Files.size).sum
-  }
+  private def dirBytes(rel: String): Long = sfs.treeBytes(s"$root/$rel")
 
   private def measureSmall(buckets: Map[Int, String]): Boolean =
     buckets.values.map(dirBytes).sum < SmallStateBytes
@@ -587,10 +587,8 @@ final class StateStore(
   }
 
   private def writtenBuckets(outDir: String): Set[Int] =
-    Option(Paths.get(outDir).toFile.list())
-      .map(_.toSeq.filter(_.startsWith(s"$BucketCol="))
-        .map(_.stripPrefix(s"$BucketCol=").toInt).toSet)
-      .getOrElse(Set.empty[Int])
+    sfs.list(outDir).filter(_.startsWith(s"$BucketCol="))
+      .map(_.stripPrefix(s"$BucketCol=").toInt).toSet
 
   /** First commit into an empty store: single write job; touched buckets
     * come from the partition dirs the write produced, the group count from
@@ -661,9 +659,7 @@ final class StateStore(
     val n = observedCount(obs, up.count())
     if (n == 0L) {
       // nothing arrived: drop the empty segment, no manifest bump
-      val dir = Paths.get(root, s"v$version")
-      if (Files.exists(dir))
-        Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      sfs.deleteRecursively(s"$root/v$version")
       val empty = up.limit(0)
       return (if (needOldRows) Some(empty) else None, () => empty, 0L)
     }
@@ -841,17 +837,13 @@ final class StateStore(
     * missing/unusable stats answer true (the bucket gets scanned).
     */
   private def bucketMayMatchLt(rel: String, colName: String, boundMicros: Long): Boolean = {
-    val dir = Paths.get(root, rel)
-    if (!Files.exists(dir)) return false
-    // close the directory stream eagerly: this runs per bucket per reaper
-    // pass (1 s cadence) — GC-reclaimed descriptors accumulate to EMFILE
-    val listing = Files.list(dir)
-    val files =
-      try listing.iterator().asScala
-        .filter(p => p.getFileName.toString.endsWith(".parquet")).toSeq
-      finally listing.close()
-    files.exists { f =>
-      footerMinCache.getOrElseUpdate((f.toString, colName),
+    val dir = s"$root/$rel"
+    // sfs.list closes its directory handle eagerly: this runs per bucket
+    // per reaper pass (1 s cadence) — leaked descriptors reach EMFILE
+    val files = sfs.list(dir).filter(_.endsWith(".parquet"))
+    files.exists { name =>
+      val f = s"$dir/$name"
+      footerMinCache.getOrElseUpdate((f, colName),
         readFooterMinMicros(f, colName)) match {
         case None => true // unknown → must scan
         case Some(min) => min < boundMicros
@@ -865,13 +857,13 @@ final class StateStore(
     * stats-bearing timestamp (e.g. INT96). Long.MaxValue when the file has
     * no non-null values (nothing can match).
     */
-  private def readFooterMinMicros(file: Path, colName: String): Option[Long] = try {
+  private def readFooterMinMicros(file: String, colName: String): Option[Long] = try {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import org.apache.parquet.schema.LogicalTypeAnnotation
     import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
     val in = HadoopInputFile.fromPath(
-      new org.apache.hadoop.fs.Path(file.toUri),
+      new org.apache.hadoop.fs.Path(file),
       spark.sessionState.newHadoopConf())
     val r = ParquetFileReader.open(in)
     try {
@@ -916,27 +908,22 @@ final class StateStore(
     cachedState.foreach(_.unpersist())
     cachedState = None
     cacheWarm = false
-    if (Files.exists(Paths.get(root))) {
-      Files.walk(Paths.get(root)).iterator().asScala.toSeq.reverse
-        .foreach(p => Files.deleteIfExists(p))
-    }
+    sfs.deleteRecursively(root)
   }
 
   /** Version dirs superseded by the last commit, deleted at the next
     * mutation — by which point the previous cycle's readers have drained.
     */
-  private var pendingGc: Set[Path] = Set.empty
+  private var pendingGc: Set[String] = Set.empty
 
   // last background deletion handed to the shared GC thread; relocate()
   // joins it before moving the tree
   private var gcInFlight: Option[java.util.concurrent.Future[_]] = None
 
   private def deferGcOldVersions(keep: Set[String]): Unit = {
-    val rootPath = Paths.get(root)
-    if (!Files.exists(rootPath)) return
-    pendingGc = Files.list(rootPath).iterator().asScala
-      .filter(p => p.getFileName.toString.startsWith("v"))
-      .filterNot(p => keep.contains(p.getFileName.toString))
+    pendingGc = sfs.list(root)
+      .filter(n => n.startsWith("v") && !keep.contains(n))
+      .map(n => s"$root/$n")
       .toSet
   }
 
@@ -951,19 +938,17 @@ final class StateStore(
     if (pendingGc.isEmpty) return
     val batch = pendingGc
     pendingGc = Set.empty
-    val deleted = batch.map(_.toString)
     footerMinCache.filterInPlace { case ((path, _), _) =>
-      !deleted.exists(d => path.startsWith(d + "/") || path == d)
+      !batch.exists(d => path.startsWith(d + "/") || path == d)
     }
+    val deleter = sfs
     gcInFlight = Some(StateStore.gcPool.submit(new Runnable {
       override def run(): Unit = batch.foreach { dir =>
         // per-dir isolation: one dir's transient IO failure must not leak
         // the REST of the batch (pendingGc no longer references them) —
         // and failures are reported, not swallowed into quiesce joins
-        try {
-          if (Files.exists(dir))
-            Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-        } catch { case e: Exception =>
+        try deleter.deleteRecursively(dir)
+        catch { case e: Exception =>
           System.err.println(s"[graft] background GC failed to delete $dir: $e")
         }
       }

@@ -1,0 +1,224 @@
+package graft.io
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/** Scheme-portable filesystem operations for the engine's STORE layer —
+  * the listing/metadata/small-file half that [[CommitFs]]'s doc comment
+  * names as its non-goal. Paths are plain STRINGS: a scheme-less root
+  * ("/tmp/x") runs on java.nio exactly as before, while a URI root
+  * ("file:/tmp/x", "hdfs://…", "s3a://…") routes every operation through
+  * the Hadoop `FileSystem` API — the same abstraction Spark itself reads
+  * and writes bulk parquet through, so one root string drives both the
+  * job-level IO and the engine's own metadata.
+  *
+  * What goes through here: manifest read/publish, catalog journal
+  * append, directory listings (version dirs, bucket dirs, footer-prune
+  * candidates), recursive deletes, tree sizing, renames, tick marks.
+  * What does NOT: bulk DataFrame reads/writes (`spark.read.parquet` is
+  * already URI-capable) and the gate tier's local staging
+  * (GateStore.appendLocal writes through parquet-mr — its port rides the
+  * same seam later; gates keep POSIX store roots today).
+  *
+  * Commit-point semantics per implementation mirror [[CommitFs]]:
+  * local = atomic rename (+fsync for durable); Hadoop `file://` =
+  * FileSystem.rename (atomic on RawLocal/HDFS); a replace-publish on a
+  * no-rename object store becomes a conditional PUT — the
+  * [[HadoopStoreFs.publish]] replace path documents its delete+rename
+  * window, which HDFS deployments close with FileContext overwrite
+  * rename and object stores close with conditional PUT.
+  */
+trait StoreFs {
+  def exists(p: String): Boolean
+  /** Child NAMES of a directory; empty when absent or not a dir. */
+  def list(dir: String): Seq[String]
+  def mkdirs(dir: String): Unit
+  def readString(p: String): String
+  /** Overwrite-write of a small control file (NOT a commit point). */
+  def writeString(p: String, s: String): Unit
+  /** Append one line to a journal file, creating it if absent. */
+  def appendLine(p: String, line: String): Unit
+  /** Housekeeping move (dir or file); atomic where the fs can. */
+  def move(src: String, dest: String, replace: Boolean = false): Unit
+  def deleteRecursively(p: String): Unit
+  /** Total bytes of regular files under `p` (0 when absent). */
+  def treeBytes(p: String): Long
+  /** Atomically publish fully-written `tmp` as `dest` (THE commit point
+    * for a manifest/marker swap). See [[CommitFs.publish]]. */
+  def publish(tmp: String, dest: String, durable: Boolean,
+      replace: Boolean = false): Unit
+}
+
+object StoreFs {
+  private val schemeRe = "^[a-zA-Z][a-zA-Z0-9+.-]*:".r
+
+  /** Does this root select the Hadoop path? (A scheme prefix that is not
+    * a plain absolute/relative OS path.) */
+  def hasScheme(root: String): Boolean =
+    !root.startsWith("/") && !root.startsWith(".") &&
+      schemeRe.findPrefixOf(root).isDefined
+
+  private val hadoopCache =
+    new java.util.concurrent.ConcurrentHashMap[String, HadoopStoreFs]()
+
+  /** The implementation serving `root` — java.nio for plain paths, a
+    * (cached per scheme+authority) Hadoop FileSystem for URI roots. */
+  def forRoot(root: String): StoreFs =
+    if (!hasScheme(root)) LocalStoreFs
+    else {
+      val uri = java.net.URI.create(root)
+      val key = uri.getScheme + "://" + Option(uri.getAuthority).getOrElse("")
+      hadoopCache.computeIfAbsent(key, _ => new HadoopStoreFs(uri))
+    }
+}
+
+/** java.nio implementation — byte-for-byte the operations the store layer
+  * ran before the seam existed; commit points delegate to [[LocalCommitFs]]. */
+object LocalStoreFs extends StoreFs {
+  override def exists(p: String): Boolean = Files.exists(Paths.get(p))
+
+  override def list(dir: String): Seq[String] = {
+    val d = Paths.get(dir).toFile
+    Option(d.list()).map(_.toSeq).getOrElse(Nil)
+  }
+
+  override def mkdirs(dir: String): Unit = {
+    Files.createDirectories(Paths.get(dir)); ()
+  }
+
+  override def readString(p: String): String = Files.readString(Paths.get(p))
+
+  override def writeString(p: String, s: String): Unit = {
+    Files.writeString(Paths.get(p), s); ()
+  }
+
+  override def appendLine(p: String, line: String): Unit = {
+    Files.writeString(Paths.get(p), line + "\n",
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+    ()
+  }
+
+  override def move(src: String, dest: String, replace: Boolean): Unit = {
+    val opts =
+      if (replace) Seq(StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+      else Seq(StandardCopyOption.ATOMIC_MOVE)
+    Files.move(Paths.get(src), Paths.get(dest), opts: _*)
+    ()
+  }
+
+  override def deleteRecursively(p: String): Unit = {
+    val path = Paths.get(p)
+    if (Files.exists(path))
+      Files.walk(path).iterator().asScala.toSeq.reverse
+        .foreach(q => { Files.deleteIfExists(q); () })
+  }
+
+  override def treeBytes(p: String): Long = {
+    val path = Paths.get(p)
+    if (!Files.exists(path)) 0L
+    else Files.walk(path).iterator().asScala
+      .filter(Files.isRegularFile(_)).map(Files.size).sum
+  }
+
+  override def publish(tmp: String, dest: String, durable: Boolean,
+      replace: Boolean): Unit =
+    CommitFs.current.publish(Paths.get(tmp), Paths.get(dest),
+      durable = durable, replace = replace)
+}
+
+/** Hadoop `FileSystem` implementation — what a `file://`-scheme root
+  * (RawLocalFileSystem in the specs) or a cluster deployment
+  * (`hdfs://`, `s3a://`) runs the store layer through. One private
+  * FileSystem instance per (scheme, authority); checksum side-files are
+  * disabled so listings stay name-clean on the checksummed local fs. */
+final class HadoopStoreFs(rootUri: java.net.URI) extends StoreFs {
+  import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+
+  private val fs: FileSystem = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val f = FileSystem.newInstance(rootUri, conf)
+    try f.setWriteChecksum(false) catch { case _: Throwable => () }
+    try f.setVerifyChecksum(false) catch { case _: Throwable => () }
+    f
+  }
+
+  override def exists(p: String): Boolean = fs.exists(new HPath(p))
+
+  override def list(dir: String): Seq[String] = {
+    val d = new HPath(dir)
+    if (!fs.exists(d)) Nil
+    else
+      try fs.listStatus(d).toSeq.map(_.getPath.getName)
+      catch { case _: java.io.FileNotFoundException => Nil }
+  }
+
+  override def mkdirs(dir: String): Unit = { fs.mkdirs(new HPath(dir)); () }
+
+  override def readString(p: String): String = {
+    val in = fs.open(new HPath(p))
+    try {
+      val bos = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 4096, false)
+      new String(bos.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+  }
+
+  override def writeString(p: String, s: String): Unit = {
+    val out = fs.create(new HPath(p), true)
+    try out.write(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Journal append. `FileSystem.append` is unsupported on several
+    * implementations (raw local included in some releases, object stores
+    * always) — fall back to read + rewrite-through-temp + atomic publish:
+    * the journal is small control metadata, correctness over efficiency. */
+  override def appendLine(p: String, line: String): Unit = {
+    val path = new HPath(p)
+    val appended =
+      try {
+        val out = fs.append(path)
+        try out.write((line + "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        true
+      } catch { case _: Throwable => false }
+    if (!appended) {
+      val prior = if (fs.exists(path)) readString(p) else ""
+      val tmp = p + ".tmp"
+      writeString(tmp, prior + line + "\n")
+      publish(tmp, p, durable = false, replace = true)
+    }
+  }
+
+  override def move(src: String, dest: String, replace: Boolean): Unit = {
+    val d = new HPath(dest)
+    if (replace && fs.exists(d)) { fs.delete(d, true); () }
+    if (!fs.rename(new HPath(src), d))
+      throw new java.io.IOException(s"rename $src -> $dest failed")
+  }
+
+  override def deleteRecursively(p: String): Unit = {
+    val path = new HPath(p)
+    if (fs.exists(path)) { fs.delete(path, true); () }
+  }
+
+  override def treeBytes(p: String): Long = {
+    val path = new HPath(p)
+    if (!fs.exists(path)) 0L
+    else fs.getContentSummary(path).getLength
+  }
+
+  /** `durable` is best-effort here (hsync on create when the stream
+    * supports it); the replace path is delete+rename — atomic on nothing,
+    * documented: HDFS deployments close the window with FileContext
+    * overwrite rename, object stores with a conditional PUT (the
+    * [[CommitFs]] S3 notes). The specs drive `file://` where rename
+    * itself is atomic and the delete+rename window is the manifest-swap
+    * read-retry case StateStore.readManifest already tolerates (absent
+    * manifest = empty store view, next read sees the new pointer). */
+  override def publish(tmp: String, dest: String, durable: Boolean,
+      replace: Boolean): Unit = move(tmp, dest, replace)
+}

@@ -1,0 +1,135 @@
+package graft.cv
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The CV tier on a Hadoop-FileSystem root: every engine constructed here
+  * gets a `file:`-SCHEME root URI, so all store metadata ops (catalog
+  * journal, manifest publish, version-dir GC, bucket listings, footer
+  * pruning, renames, drops) run through `graft.io.HadoopStoreFs` — the
+  * Hadoop FileSystem API — instead of java.nio, while Spark's own bulk
+  * parquet IO rides the same URI. This is the deploy shape of a shared-
+  * storage cluster (swap `file:` for `hdfs:`/`s3a:`); a java.nio call
+  * surviving on the CV store path fails here with an unparseable-path
+  * error. The gate tier's stores stay POSIX-rooted (GateStore's local
+  * staging) — documented in StoreFs's scaladoc as the seam's next port.
+  */
+class HadoopRootSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  import spark.implicits._
+
+  private def uriRoot(): String =
+    "file:" + java.nio.file.Files.createTempDirectory("graft_huri").toString
+
+  private val schema = StructType(Seq(
+    StructField("key", StringType), StructField("v", DoubleType),
+    StructField("ts", TimestampType)))
+
+  private val t0 = Timestamp.valueOf("2024-06-01 00:00:00")
+  private def tAt(sec: Long) = new Timestamp(t0.getTime + sec * 1000)
+
+  private def batch(rows: Seq[(String, Double, Timestamp)]): DataFrame =
+    rows.toDF("key", "v", "ts")
+
+  private val rows: Seq[(String, Double, Timestamp)] =
+    (1 to 600).map(i => (s"k${i % 5}", i.toDouble, tAt(i.toLong)))
+
+  private def counts(df: DataFrame): Map[String, Long] =
+    df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("CV ingest + overlay reads on a file:-scheme root (manifest " +
+      "publish, bucket listing, version GC all through Hadoop FS)") {
+    val root = uriRoot()
+    val eng = new ContViewEngine(spark, root)
+    eng.createStream("hs", schema)
+    eng.createContView("v_h",
+      "SELECT key, count(*) AS n, sum(v) AS sv FROM hs GROUP BY key",
+      emitChanges = false)
+    rows.grouped(200).foreach(c => eng.insertInto("hs", batch(c)))
+    val got = eng.overlay("v_h").select("key", "n").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = rows.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    assert(got === want, "three merged micro-batches on the URI root")
+    eng.dropContView("v_h")
+    eng.dropStream("hs")
+  }
+
+  test("restart replay: the catalog journal and matrel state survive on " +
+      "the URI root") {
+    val root = uriRoot()
+    val eng1 = new ContViewEngine(spark, root)
+    eng1.createStream("hr", schema)
+    eng1.createContView("v_hr",
+      "SELECT key, count(*) AS n FROM hr GROUP BY key", emitChanges = false)
+    eng1.insertInto("hr", batch(rows.take(300)))
+    // "restart": a fresh engine on the same root replays _catalog.jsonl
+    // (read through Hadoop FS) and re-binds the persisted state
+    val eng2 = new ContViewEngine(spark, root)
+    eng2.insertInto("hr", batch(rows.drop(300)))
+    val got = counts(eng2.overlay("v_hr").select("key", "n"))
+    val want = rows.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    assert(got === want, "pre-restart state + post-restart batch")
+    eng2.dropContView("v_hr"); eng2.dropStream("hr")
+  }
+
+  test("ALTER VIEW RENAME moves the store dir with FileSystem.rename and " +
+      "re-points the live store") {
+    val root = uriRoot()
+    val eng = new ContViewEngine(spark, root)
+    eng.createStream("hn", schema)
+    eng.createContView("v_old",
+      "SELECT key, count(*) AS n FROM hn GROUP BY key", emitChanges = false)
+    eng.insertInto("hn", batch(rows.take(200)))
+    eng.renameContView("v_old", "v_new")
+    eng.insertInto("hn", batch(rows.slice(200, 400)))
+    val got = counts(eng.overlay("v_new").select("key", "n"))
+    val want = rows.take(400).groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    assert(got === want, "state carried across the rename, new writes land")
+    eng.dropContView("v_new"); eng.dropStream("hn")
+  }
+
+  test("TTL reap (footer-stat pruned listings) and truncate on the URI root") {
+    val root = uriRoot()
+    val eng = new ContViewEngine(spark, root)
+    eng.createStream("ht", schema)
+    eng.createContView("v_ht",
+      "SELECT key, max(ts) AS latest, count(*) AS n FROM ht GROUP BY key",
+      CvPlanner.CvOptions(ttl = Some("1 second"), ttlColumn = Some("latest")),
+      emitChanges = false)
+    eng.insertInto("ht", batch(rows.take(400)))
+    assert(eng.overlay("v_ht").count() > 0)
+    // every group's latest is far in the past relative to this bound:
+    // the reap both LISTS bucket dirs and reads footers through the seam
+    eng.expireTtl("v_ht", Some(tAt(100000)))
+    assert(eng.overlay("v_ht").count() === 0, "everything expired")
+    eng.truncateContView("v_ht")
+    eng.insertInto("ht", batch(rows.take(100)))
+    assert(eng.overlay("v_ht").count() > 0, "store usable after truncate")
+    eng.dropContView("v_ht"); eng.dropStream("ht")
+  }
+
+  test("append-only CV (segment manifest, no merge) on the URI root") {
+    val root = uriRoot()
+    val eng = new ContViewEngine(spark, root)
+    eng.createStream("ha", schema)
+    eng.createContView("v_ha", "SELECT key, v FROM ha", emitChanges = false)
+    rows.take(300).grouped(100).foreach(c => eng.insertInto("ha", batch(c)))
+    assert(eng.overlay("v_ha").count() === 300,
+      "three blind-append segments readable through the manifest")
+    eng.dropContView("v_ha"); eng.dropStream("ha")
+  }
+}
