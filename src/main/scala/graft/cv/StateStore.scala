@@ -162,10 +162,16 @@ final class StateStore(
     */
   private case class Manifest(version: Long, buckets: Map[Int, String], small: Boolean)
 
-  private def readManifest(): Option[Manifest] =
-    if (!sfs.exists(manifestPath)) None
-    else {
-      val txt = sfs.readString(manifestPath)
+  private def readManifest(): Option[Manifest] = {
+    // a crash between HadoopStoreFs.publish's two replace-renames leaves
+    // the PREVIOUS pointer aside at .prev — stale-but-consistent beats
+    // empty-store amnesia (the superseding commit never completed, so
+    // the previous version IS the committed state)
+    val path =
+      if (sfs.exists(manifestPath)) Some(manifestPath)
+      else Option(manifestPath + ".prev").filter(sfs.exists)
+    path.map { p =>
+      val txt = sfs.readString(p)
       // minimal parser for the flat structure we write
       val version = """"version"\s*:\s*(\d+)""".r.findFirstMatchIn(txt).get.group(1).toLong
       val pairs = """"(\d+)"\s*:\s*"([^"]+)"""".r.findAllMatchIn(txt)
@@ -184,8 +190,9 @@ final class StateStore(
             s
           }
         }
-      Some(Manifest(version, pairs, small))
+      Manifest(version, pairs, small)
     }
+  }
 
   // one-time measurement memo for pre-flag manifests (see readManifest)
   @volatile private var measuredSmallMemo: Option[Boolean] = None

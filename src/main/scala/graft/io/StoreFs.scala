@@ -211,14 +211,36 @@ final class HadoopStoreFs(rootUri: java.net.URI) extends StoreFs {
     else fs.getContentSummary(path).getLength
   }
 
-  /** `durable` is best-effort here (hsync on create when the stream
-    * supports it); the replace path is delete+rename — atomic on nothing,
-    * documented: HDFS deployments close the window with FileContext
-    * overwrite rename, object stores with a conditional PUT (the
-    * [[CommitFs]] S3 notes). The specs drive `file://` where rename
-    * itself is atomic and the delete+rename window is the manifest-swap
-    * read-retry case StateStore.readManifest already tolerates (absent
-    * manifest = empty store view, next read sees the new pointer). */
+  // test seam: throw after the aside-rename, before the tmp-rename —
+  // the replace-publish crash window readers must survive
+  private[graft] var failBetweenRenames: Boolean = false
+
+  /** `durable` is best-effort here; `FileSystem.rename` has no overwrite
+    * flag, so a replace-publish runs TWO renames: dest → dest.prev
+    * (aside), tmp → dest, then the aside is deleted. A crash between the
+    * renames leaves no current pointer but a consistent PREVIOUS one at
+    * `<dest>.prev` — readers that fall back to it (StateStore
+    * .readManifest does) see the pre-publish state instead of an
+    * empty-store amnesia, which is the correct loss class for an
+    * uncommitted publish. HDFS deployments can close the window entirely
+    * with FileContext overwrite-rename; object stores with a conditional
+    * PUT (the [[CommitFs]] S3 notes). */
   override def publish(tmp: String, dest: String, durable: Boolean,
-      replace: Boolean): Unit = move(tmp, dest, replace)
+      replace: Boolean): Unit = {
+    val d = new HPath(dest)
+    if (replace && fs.exists(d)) {
+      val aside = new HPath(dest + ".prev")
+      if (fs.exists(aside)) { fs.delete(aside, true); () }
+      if (!fs.rename(d, aside))
+        throw new java.io.IOException(s"aside rename $dest failed")
+      if (failBetweenRenames) {
+        failBetweenRenames = false
+        throw new java.io.IOException("failpoint: between publish renames")
+      }
+      if (!fs.rename(new HPath(tmp), d))
+        throw new java.io.IOException(s"publish rename $tmp -> $dest failed")
+      fs.delete(aside, true)
+      ()
+    } else move(tmp, dest, replace)
+  }
 }

@@ -122,6 +122,31 @@ class HadoopRootSpec extends AnyFunSuite {
     eng.dropContView("v_ht"); eng.dropStream("ht")
   }
 
+  test("a crash between the replace-publish renames leaves the PREVIOUS " +
+      "manifest readable — no empty-store amnesia, retry converges") {
+    val root = uriRoot()
+    val eng = new ContViewEngine(spark, root)
+    eng.createStream("hc", schema)
+    eng.createContView("v_hc",
+      "SELECT key, count(*) AS n FROM hc GROUP BY key", emitChanges = false)
+    eng.insertInto("hc", batch(rows.take(200))) // commits manifest v0
+    val want0 = counts(eng.overlay("v_hc").select("key", "n"))
+    val hfs = graft.io.StoreFs.forRoot(root)
+      .asInstanceOf[graft.io.HadoopStoreFs]
+    hfs.failBetweenRenames = true
+    intercept[Exception] { eng.insertInto("hc", batch(rows.slice(200, 400))) }
+    // the crashed publish must NOT have destroyed the committed pointer:
+    // readers fall back to the aside copy and see the pre-crash state
+    assert(counts(eng.overlay("v_hc").select("key", "n")) === want0,
+      "pre-crash state visible through the .prev fallback")
+    // the caller's retry lands on top of the previous version cleanly
+    eng.insertInto("hc", batch(rows.slice(200, 400)))
+    val want = rows.take(400).groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    assert(counts(eng.overlay("v_hc").select("key", "n")) === want,
+      "retried batch merges onto the surviving previous version")
+    eng.dropContView("v_hc"); eng.dropStream("hc")
+  }
+
   test("append-only CV (segment manifest, no merge) on the URI root") {
     val root = uriRoot()
     val eng = new ContViewEngine(spark, root)
