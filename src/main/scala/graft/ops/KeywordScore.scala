@@ -168,6 +168,11 @@ object KeywordScore {
     * (temp write + CommitFs.publish, fsynced — a torn index silently
     * skews every future score, so this commit pays the durable class). */
   private def publishMarker(dir: String, g: Gen): Unit = {
+    // delta ids are interpolated into the marker JSON verbatim — keep
+    // them out of JSON-syntax territory (they are caller-chosen batch
+    // stamps, not free text)
+    g.deltaId.foreach(id => require(!id.exists(c => c == '"' || c == '\\' ||
+      c < ' '), s"delta id must not contain quotes/backslashes/control chars: $id"))
     Files.createDirectories(commitsDir(dir))
     val delta = g.deltaId.map(d => s""","delta_id": "$d"""").getOrElse("")
     val repl = if (g.replaces.isEmpty) ""
@@ -278,7 +283,10 @@ object KeywordScore {
 
   /** Remove documents BY ID as one committed tombstone generation — the
     * dedup→re-index loop's maintenance op, costing one pruned-to-active
-    * postings scan instead of a corpus rebuild. The generation carries
+    * postings scan instead of a corpus rebuild. Document UPDATE composes
+    * from the two primitives: `deleteDocs(ids)` then `appendIndex(new
+    * versions)` — the tombstone is scoped to earlier generations, so the
+    * re-appended rows score immediately. The generation carries
     * (a) the deleted doc_id list (scoring reads anti-join it, scoped to
     * EARLIER generations — so a doc_id re-appended later scores again),
     * (b) NEGATIVE df rows for the deleted docs' terms, (c) a NEGATIVE
@@ -366,19 +374,16 @@ object KeywordScore {
         coalesce(sum("dl_sum"), lit(0.0)).as("dl_sum"))
       .coalesce(1).write.parquet(s"$dir/stats/gen=$g")
     publishMarker(dir, Gen(g, "compact", None, active))
-    // data-dir sweep: retired actives + crashed writers' orphans (any
-    // gen dir no marker ever committed). Best-effort — invisible either way.
-    val keep = Set(g)
-    val committed = readCommits(dir).map(_.gen).toSet
+    // data-dir sweep: after the compact marker, generation g is the ONLY
+    // active one — every other gen dir (retired actives, crashed
+    // writers' orphans, leftovers from an earlier failed sweep) is dead.
+    // Best-effort — readers never resolve them either way.
     val genDirRe = """gen=(\d+)""".r
     Seq("postings", "df", "stats", "deleted").foreach { t =>
       Option(Paths.get(dir, t).toFile.listFiles()).getOrElse(Array.empty)
         .foreach { f =>
           f.getName match {
-            case genDirRe(k)
-                if !keep(k.toInt) &&
-                  (activeSet(k.toInt) || !committed(k.toInt)) =>
-              deleteRecursively(f.toPath)
+            case genDirRe(k) if k.toInt != g => deleteRecursively(f.toPath)
             case _ =>
           }
         }

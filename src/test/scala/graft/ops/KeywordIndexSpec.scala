@@ -131,6 +131,46 @@ class KeywordIndexSpec extends AnyFunSuite {
       scores(fresh, Seq("spark", "query")), "re-appended doc")
   }
 
+  test("randomized mutation sequence equals a fresh build of the " +
+      "surviving doc set (seeded, deterministic)") {
+    val rng = new scala.util.Random(42)
+    val vocab = Seq("spark", "query", "vector", "table", "join", "scan",
+      "merge", "index", "row", "fast")
+    def doc(id: Long): (Long, String) =
+      (id, (0 until 3 + rng.nextInt(6)).map(_ => vocab(rng.nextInt(vocab.size)))
+        .mkString(" "))
+    val dir = tmp()
+    var live = Map.empty[Long, String] // the oracle: current corpus
+    var nextId = 0L
+    def appendN(n: Int): Unit = {
+      val docs = (0 until n).map { _ => nextId += 1; doc(nextId) }
+      live ++= docs
+      KeywordScore.appendIndex(docs.toDF("doc_id", "text"), "doc_id", "text", dir)
+    }
+    KeywordScore.buildIndex(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text", dir)
+    (0 until 12).foreach { step =>
+      rng.nextInt(4) match {
+        case 0 | 1 => appendN(1 + rng.nextInt(4))
+        case 2 if live.nonEmpty =>
+          val victims = live.keys.toSeq.sorted
+            .filter(_ => rng.nextBoolean()).take(3)
+          live --= victims
+          KeywordScore.deleteDocs(spark, dir, victims.toDF("doc_id"))
+        case _ => KeywordScore.compactIndex(spark, dir)
+      }
+      // invariant after EVERY step: indexed scores == fresh build of the
+      // oracle corpus, for a multi-term query
+      val fresh = tmp()
+      val corpus =
+        if (live.isEmpty) Seq.empty[(Long, String)].toDF("doc_id", "text")
+        else live.toSeq.toDF("doc_id", "text")
+      KeywordScore.buildIndex(corpus, "doc_id", "text", fresh)
+      val terms = Seq("spark", "vector", "join")
+      assertSame(scores(dir, terms), scores(fresh, terms), s"step $step")
+    }
+  }
+
   test("compactIndex folds generations into one, preserves scores " +
       "exactly, and sweeps retired + orphaned dirs") {
     val dir = tmp()
