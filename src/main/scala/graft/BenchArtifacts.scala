@@ -86,8 +86,10 @@ private[graft] object BenchArtifacts {
     var skipped = Set.empty[String]
     var loaded = false
     var sfOk = false
+    var parsedAny = false
     Seq("{\"metric\":\"detail\"", "{\"metric\":\"summary\"").foreach { m =>
       lastOf(m).foreach { n =>
+        parsedAny = true
         if (n.path("sf").asText() == sfDir) sfOk = true
         val it = n.fields()
         while (it.hasNext) {
@@ -128,11 +130,19 @@ private[graft] object BenchArtifacts {
           .find(_.group(1) == k)
           .foreach(g => merged(k) = g.group(2).toDouble)
       }
-      """"probes_skipped":"([^"]*)"""".r.findFirstMatchIn(fallbackText)
-        .foreach(m => skipped = m.group(1).split(",").map(_.trim)
-          .filter(_.nonEmpty).toSet)
-      loaded = """"loaded_box":true""".r
-        .findFirstIn(fallbackText).isDefined
+      // the regex scan sees the WHOLE raw log, where early emissions may
+      // carry values the final summary superseded — only fill fields the
+      // JSON parse produced nothing for, and take the LAST occurrence
+      // (matching the lastOf semantics of the line parse)
+      if (!parsedAny) {
+        """"probes_skipped":"([^"]*)"""".r.findAllMatchIn(fallbackText)
+          .toSeq.lastOption
+          .foreach(m => skipped = m.group(1).split(",").map(_.trim)
+            .filter(_.nonEmpty).toSet)
+        """"loaded_box":(true|false)""".r.findAllMatchIn(fallbackText)
+          .toSeq.lastOption
+          .foreach(m => loaded = m.group(1).toBoolean)
+      }
     }
     // only adjudicate/seed from an artifact at the SAME scale factor
     if (!sfOk) Empty

@@ -126,7 +126,13 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     * their state tables, which live under the same root) survive restarts.
     */
   private def loadCatalog(): Unit = {
-    if (!sfs.exists(catalogPath)) return
+    // a crash inside HadoopStoreFs's rewrite-append leaves only the
+    // .prev aside — replay from it rather than forgetting every
+    // definition (the same fallback StateStore.readManifest carries)
+    val path =
+      if (sfs.exists(catalogPath)) catalogPath
+      else if (sfs.exists(catalogPath + ".prev")) catalogPath + ".prev"
+      else return
     loading = true
     try {
       val fieldRe = """"(\w+)":(?:"((?:[^"\\]|\\.)*)"|([0-9.]+|true|false))""".r
@@ -154,7 +160,7 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
         }
         sb.toString
       }
-      sfs.readString(catalogPath).linesIterator.foreach { line =>
+      sfs.readString(path).linesIterator.foreach { line =>
         val fields = fieldRe.findAllMatchIn(line).map { m =>
           val raw = Option(m.group(2)).getOrElse(m.group(3))
           m.group(1) -> unescape(raw)

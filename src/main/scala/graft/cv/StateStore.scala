@@ -166,12 +166,35 @@ final class StateStore(
     // a crash between HadoopStoreFs.publish's two replace-renames leaves
     // the PREVIOUS pointer aside at .prev — stale-but-consistent beats
     // empty-store amnesia (the superseding commit never completed, so
-    // the previous version IS the committed state)
-    val path =
-      if (sfs.exists(manifestPath)) Some(manifestPath)
-      else Option(manifestPath + ".prev").filter(sfs.exists)
-    path.map { p =>
-      val txt = sfs.readString(p)
+    // the previous version IS the committed state). A CONCURRENT reader
+    // can also catch the µs window where neither name exists (or lose
+    // the file between exists and read) — retried briefly, but only when
+    // version dirs prove a store lives here, so an actually-empty store
+    // pays nothing.
+    var attempt = 0
+    while (true) {
+      val path =
+        if (sfs.exists(manifestPath)) Some(manifestPath)
+        else Option(manifestPath + ".prev").filter(sfs.exists)
+      val txt: Option[String] =
+        try path.map(sfs.readString)
+        catch {
+          case _: java.io.FileNotFoundException |
+              _: java.nio.file.NoSuchFileException => None // raced: retry
+        }
+      txt match {
+        case Some(t) => return Some(parseManifest(t))
+        case None =>
+          val storeLive = sfs.list(root).exists(_.startsWith("v"))
+          if (!storeLive || attempt >= 3) return None
+          attempt += 1
+          Thread.sleep(5L * attempt)
+      }
+    }
+    None // unreachable
+  }
+
+  private def parseManifest(txt: String): Manifest = {
       // minimal parser for the flat structure we write
       val version = """"version"\s*:\s*(\d+)""".r.findFirstMatchIn(txt).get.group(1).toLong
       val pairs = """"(\d+)"\s*:\s*"([^"]+)"""".r.findAllMatchIn(txt)
@@ -191,7 +214,6 @@ final class StateStore(
           }
         }
       Manifest(version, pairs, small)
-    }
   }
 
   // one-time measurement memo for pre-flag manifests (see readManifest)
@@ -869,8 +891,16 @@ final class StateStore(
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import org.apache.parquet.schema.LogicalTypeAnnotation
     import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
-    val in = HadoopInputFile.fromPath(
-      new org.apache.hadoop.fs.Path(file),
+    // a scheme-less path must resolve against the LOCAL fs (plain roots
+    // are POSIX by the StoreFs contract), never fs.defaultFS — on a
+    // cluster with defaultFS=hdfs:// an unqualified path would silently
+    // miss every footer and disable reaper pruning
+    val hPath =
+      if (graft.io.StoreFs.hasScheme(file))
+        new org.apache.hadoop.fs.Path(file)
+      else new org.apache.hadoop.fs.Path(
+        java.nio.file.Paths.get(file).toUri)
+    val in = HadoopInputFile.fromPath(hPath,
       spark.sessionState.newHadoopConf())
     val r = ParquetFileReader.open(in)
     try {

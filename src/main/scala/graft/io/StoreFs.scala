@@ -174,19 +174,31 @@ final class HadoopStoreFs(rootUri: java.net.URI) extends StoreFs {
   /** Journal append. `FileSystem.append` is unsupported on several
     * implementations (raw local included in some releases, object stores
     * always) — fall back to read + rewrite-through-temp + atomic publish:
-    * the journal is small control metadata, correctness over efficiency. */
+    * the journal is small control metadata, correctness over efficiency.
+    * The rewrite path reads the prior content from the live file OR its
+    * `.prev` aside (a crash between a previous rewrite's two renames
+    * leaves only the aside — see [[publish]]), so an interrupted append
+    * SELF-REPAIRS instead of silently truncating the journal to one line. */
+  // test seam: pretend this FileSystem refuses append() (object stores,
+  // checksum-wrapped local in some releases) so specs can drive the
+  // rewrite-publish path and its crash window on any box
+  private[graft] var forceAppendFallback: Boolean = false
+
   override def appendLine(p: String, line: String): Unit = {
     val path = new HPath(p)
-    val appended =
-      try {
+    val appended = !forceAppendFallback &&
+      (try {
         val out = fs.append(path)
         try out.write((line + "\n")
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
         finally out.close()
         true
-      } catch { case _: Throwable => false }
+      } catch { case _: Throwable => false })
     if (!appended) {
-      val prior = if (fs.exists(path)) readString(p) else ""
+      val prior =
+        if (fs.exists(path)) readString(p)
+        else if (fs.exists(new HPath(p + ".prev"))) readString(p + ".prev")
+        else ""
       val tmp = p + ".tmp"
       writeString(tmp, prior + line + "\n")
       publish(tmp, p, durable = false, replace = true)

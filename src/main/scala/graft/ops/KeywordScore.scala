@@ -138,15 +138,21 @@ object KeywordScore {
 
   /** All commit markers ever published, ascending by generation. Marker
     * files are never deleted (compaction retires DATA dirs only), so
-    * delta-id idempotence survives compaction. */
+    * delta-id idempotence survives compaction. A marker that cannot be
+    * READ or PARSED throws — defaulting it would silently misclassify a
+    * compact marker as a plain delta, resurrecting every generation its
+    * `replaces` list retired (double-counted scores, no error). Markers
+    * are published atomically, so an unreadable one is a transient IO
+    * fault: fail the query, let the caller retry. */
   private[graft] def readCommits(dir: String): Seq[Gen] = {
     val d = commitsDir(dir).toFile
     Option(d.listFiles()).getOrElse(Array.empty).toSeq.flatMap { f =>
       f.getName match {
         case markerRe(k) =>
-          val txt = try Files.readString(f.toPath) catch { case _: Throwable => "" }
+          val txt = Files.readString(f.toPath) // IO failure: propagate
           val kind = """"kind"\s*:\s*"(\w+)"""".r.findFirstMatchIn(txt)
-            .map(_.group(1)).getOrElse("delta")
+            .map(_.group(1)).getOrElse(throw new IllegalStateException(
+              s"bm25 index marker ${f.getName} under $dir is unparseable: $txt"))
           val deltaId = """"delta_id"\s*:\s*"([^"]*)"""".r
             .findFirstMatchIn(txt).map(_.group(1))
           val replaces = """"replaces"\s*:\s*\[([^\]]*)\]""".r
@@ -543,35 +549,39 @@ object KeywordScore {
     new java.util.concurrent.ConcurrentHashMap[String, (String, Double, Double)]()
 
   private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(q => { Files.deleteIfExists(q); () })
-    }
+    graft.io.LocalStoreFs.deleteRecursively(p.toString)
 
   // One built index per (cacheKey, corpus fingerprint) — Verify/Bench
   // convenience: repeated queries against the same sf dir reuse the
   // build, which is the entire point of the tier. The FINGERPRINT keys
-  // out a regenerated corpus at the same path (stale-index hazard), an
-  // LRU bound + shutdown hook keep a long session from leaking temp-dir
-  // parquet.
+  // out a regenerated corpus at the same path (stale-index hazard).
+  // Eviction only drops the CACHE ENTRY — the dir may still be reachable
+  // through a path indexFor returned earlier (whose lazy DataFrames
+  // execute later), so deleting it then would turn in-flight queries
+  // into errors or, worse, a fresh read of the deleted dir into a
+  // silent zero-row answer. Evicted dirs join the shutdown-hook sweep
+  // instead: the temp-dir leak is bounded by the session's DISTINCT
+  // corpora and reclaimed at exit.
+  private val evictedIndexDirs =
+    java.util.Collections.synchronizedList(new java.util.ArrayList[String]())
   private val builtIndexes =
     new java.util.LinkedHashMap[String, String](16, 0.75f, true) {
       override def removeEldestEntry(
           e: java.util.Map.Entry[String, String]): Boolean = {
         val evict = size() > 8
-        if (evict) deleteRecursively(Paths.get(e.getValue))
+        if (evict) { evictedIndexDirs.add(e.getValue); () }
         evict
       }
     }
   locally {
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      builtIndexes.synchronized {
-        import scala.jdk.CollectionConverters._
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import scala.jdk.CollectionConverters._
+      val dirs = builtIndexes.synchronized {
         builtIndexes.values().asScala.toSeq
-          .foreach(d => try deleteRecursively(Paths.get(d))
-            catch { case _: Throwable => () })
-      }, "graft-bm25idx-clean"))
+      } ++ evictedIndexDirs.asScala
+      dirs.foreach(d => try deleteRecursively(Paths.get(d))
+        catch { case _: Throwable => () })
+    }, "graft-bm25idx-clean"))
   }
 
   /** Identity of the corpus behind `docs`, from its input files' paths +

@@ -843,8 +843,12 @@ private[graft] object ExecutorGateState {
       // LOUD give-up: a sweep that never reached every executor leaves
       // heap-resident (dead) shards there until recycle OR a later full
       // sweep (the retry above) -- record it and name what we know,
-      // instead of exiting without a trace
-      dirs.foreach(d => pendingDropDirs.put(d, Integer.valueOf(missed)))
+      // instead of exiting without a trace. Record only dirs that ever
+      // HELD executor shards (this dir when had, plus the already-pending
+      // debt) -- a shard-less dir riding the retry piggyback must not
+      // inflate the counter
+      val record = (if (had) Seq(dir) else Nil) ++ dirs.drop(1)
+      record.foreach(d => pendingDropDirs.put(d, Integer.valueOf(missed)))
       System.err.println(s"[graft] drop sweep for $dir gave up after " +
         s"$attempts waves: reached ${visited.size} of ${executors()} " +
         s"executors (ids ${visited.toSeq.sorted.mkString(",")}) -- $missed " +

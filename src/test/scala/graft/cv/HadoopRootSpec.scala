@@ -147,6 +147,50 @@ class HadoopRootSpec extends AnyFunSuite {
     eng.dropContView("v_hc"); eng.dropStream("hc")
   }
 
+  test("a crash inside the catalog journal's rewrite-append loses no " +
+      "definitions: replay falls back to .prev, the next append repairs") {
+    val root = uriRoot()
+    val eng1 = new ContViewEngine(spark, root)
+    eng1.createStream("hxs", schema) // first append: plain create
+    eng1.createContView("v_hx",
+      "SELECT key, count(*) AS n FROM hxs GROUP BY key", emitChanges = false)
+    eng1.insertInto("hxs", batch(rows.take(200)))
+    val hfs = graft.io.StoreFs.forRoot(root)
+      .asInstanceOf[graft.io.HadoopStoreFs]
+    // force the rewrite-publish append path (file:// supports native
+    // append; object stores and checksummed-local configs do not) and
+    // crash it between the publish's two renames: only
+    // _catalog.jsonl.prev survives
+    hfs.forceAppendFallback = true
+    try {
+      hfs.failBetweenRenames = true
+      intercept[Exception] { eng1.createStream("hx2", schema) }
+      assert(!hfs.exists(s"$root/_catalog.jsonl") &&
+        hfs.exists(s"$root/_catalog.jsonl.prev"),
+        "crash window: live journal gone, aside present")
+    // restart: definitions replay from the aside — nothing forgotten
+    val eng2 = new ContViewEngine(spark, root)
+    eng2.insertInto("hxs", batch(rows.slice(200, 400)))
+    val got = counts(eng2.overlay("v_hx").select("key", "n"))
+    val want = rows.take(400).groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    assert(got === want, "stream+CV replayed from .prev, state intact")
+    // the next append SELF-REPAIRS the journal from the aside: the live
+    // file reappears carrying the old definitions AND the new one
+    eng2.createStream("hx2", schema)
+    val journal = hfs.readString(s"$root/_catalog.jsonl")
+    for (n <- Seq("hxs", "v_hx", "hx2"))
+      assert(journal.contains("\"name\":\"" + n + "\""),
+        s"repaired journal must carry $n:\n$journal")
+    // and a fresh engine replays all three (ingest through the repaired
+    // definitions works end to end)
+    val eng3 = new ContViewEngine(spark, root)
+    eng3.insertInto("hxs", batch(rows.slice(400, 500)))
+    assert(counts(eng3.overlay("v_hx").select("key", "n")).values.sum === 500L,
+      "post-repair restart: all definitions live, state intact")
+    eng3.dropStream("hx2"); eng3.dropContView("v_hx"); eng3.dropStream("hxs")
+    } finally hfs.forceAppendFallback = false
+  }
+
   test("append-only CV (segment manifest, no merge) on the URI root") {
     val root = uriRoot()
     val eng = new ContViewEngine(spark, root)
