@@ -191,6 +191,36 @@ class HadoopRootSpec extends AnyFunSuite {
     } finally hfs.forceAppendFallback = false
   }
 
+  test("exactly-once streaming restart on the URI root: checkpoint, " +
+      "catalog replay, and matrel state all ride the Hadoop FS") {
+    val root = uriRoot()
+    val srcDir =
+      java.nio.file.Files.createTempDirectory("graft_husrc").toString + "/in"
+    val eng1 = new ContViewEngine(spark, root)
+    eng1.createStream("hq", schema)
+    eng1.createContView("v_hq",
+      "SELECT key, count(*) AS n FROM hq GROUP BY key", emitChanges = false)
+    batch(rows.take(300)).write.mode("append").parquet(srcDir)
+    val srcSchema = batch(rows.take(1)).schema
+    val q1 = eng1.startStreaming("v_hq",
+      spark.readStream.schema(srcSchema).parquet(srcDir))
+    q1.processAllAvailable()
+    q1.stop()
+    // "crash": more data lands while the query is down; a fresh engine
+    // on the same URI root replays the catalog and resumes from the
+    // checkpoint — files before the crash are NOT re-applied
+    batch(rows.drop(300)).write.mode("append").parquet(srcDir)
+    val eng2 = new ContViewEngine(spark, root)
+    val q2 = eng2.startStreaming("v_hq",
+      spark.readStream.schema(srcSchema).parquet(srcDir))
+    q2.processAllAvailable()
+    q2.stop()
+    val got = counts(eng2.overlay("v_hq").select("key", "n"))
+    val want = rows.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    assert(got === want, "exactly-once across the restart on the URI root")
+    eng2.dropContView("v_hq"); eng2.dropStream("hq")
+  }
+
   test("append-only CV (segment manifest, no merge) on the URI root") {
     val root = uriRoot()
     val eng = new ContViewEngine(spark, root)
