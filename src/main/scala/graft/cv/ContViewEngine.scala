@@ -1452,17 +1452,21 @@ final class ContViewEngine(val spark: SparkSession, val root: String,
     // delete races the in-flight append. Drained by DIRECTORY, not gate
     // handle: Scala-API gates never enter the gates map.
     gates.remove(name)
-    graft.streaming.CommitPipeline.drainUnder(s"$root/$name")
+    // the gate registered its pipeline roots under GateStore.gateRoot's
+    // spelling (absolute for plain paths) — the barrier must prefix-match
+    // that exact spelling, not the raw engine-root string
+    graft.streaming.CommitPipeline.drainUnder(
+      graft.streaming.GateStore.gateRoot(root, name))
     // executor-backend shards keyed under this store root are dead weight
     // once the store is deleted — evict them from EVERY JVM's registry
     // (local sweep always; plus one task-per-slot cluster job when this
     // root ever hosted executor-tier instances, so remote executors free
     // their heap instead of waiting for recycle)
     graft.streaming.ExecutorGateState.dropDistributedUnder(spark,
-      // shard registries key by the gate's ABSOLUTE store path (gate tier
-      // is POSIX-rooted; a URI root never hosts executor-tier gates)
-      if (graft.io.StoreFs.hasScheme(root)) s"$root/$name"
-      else Paths.get(root, name).toAbsolutePath.toString)
+      // shard registries key by the gate's store root — absolute for
+      // plain paths, verbatim for URI roots (GateStore.gateRoot is the
+      // one place that spelling lives)
+      graft.streaming.GateStore.gateRoot(root, name))
     gateSignatures.remove(name)
     readers.get(h.streamName).foreach(b => { b -= name; () })
     streams.remove(osrel)

@@ -14,11 +14,13 @@ import scala.jdk.CollectionConverters._
   *
   * What goes through here: manifest read/publish, catalog journal
   * append, directory listings (version dirs, bucket dirs, footer-prune
-  * candidates), recursive deletes, tree sizing, renames, tick marks.
-  * What does NOT: bulk DataFrame reads/writes (`spark.read.parquet` is
-  * already URI-capable) and the gate tier's local staging
-  * (GateStore.appendLocal writes through parquet-mr — its port rides the
-  * same seam later; gates keep POSIX store roots today).
+  * candidates), recursive deletes, tree sizing, renames, tick marks —
+  * for the CV store tier (round 16), the gate tier's stores, spools, and
+  * geometry/owner stamps (round 17), and the BM25 index's generation
+  * markers (round 17). What does NOT: bulk DataFrame reads/writes
+  * (`spark.read.parquet` is already URI-capable; GateStore.appendLocal
+  * writes parquet-mr through the Hadoop Path API, URI-capable too) and
+  * executor-LOCAL shard scratch, which is node-local by design.
   *
   * Commit-point semantics per implementation mirror [[CommitFs]]:
   * local = atomic rename (+fsync for durable); Hadoop `file://` =
@@ -47,6 +49,14 @@ trait StoreFs {
     * for a manifest/marker swap). See [[CommitFs.publish]]. */
   def publish(tmp: String, dest: String, durable: Boolean,
       replace: Boolean = false): Unit
+  /** Drop an empty marker file (`durable` fsyncs file + dirent where the
+    * fs can — object/cluster stores make create-close the durability
+    * point). */
+  def writeMarker(p: String, durable: Boolean): Unit
+  /** Size of a regular file; throws (NoSuchFile/FileNotFound) if absent. */
+  def fileSize(p: String): Long
+  /** Up to `len` bytes of `p` starting at `at` (shorter at EOF). */
+  def readAt(p: String, at: Long, len: Int): Array[Byte]
 }
 
 object StoreFs {
@@ -100,6 +110,13 @@ object LocalStoreFs extends StoreFs {
   }
 
   override def move(src: String, dest: String, replace: Boolean): Unit = {
+    // non-replace refuses an EXISTING dest explicitly: POSIX rename(2)
+    // silently replaces an empty directory target, which would mask a
+    // name collision during ALTER … RENAME — and the Hadoop impl must
+    // refuse anyway (FileSystem.rename would nest src inside a dest dir),
+    // so both impls converge on the loud failure
+    if (!replace && Files.exists(Paths.get(dest)))
+      throw new java.nio.file.FileAlreadyExistsException(dest)
     val opts =
       if (replace) Seq(StandardCopyOption.ATOMIC_MOVE,
         StandardCopyOption.REPLACE_EXISTING)
@@ -126,6 +143,26 @@ object LocalStoreFs extends StoreFs {
       replace: Boolean): Unit =
     CommitFs.current.publish(Paths.get(tmp), Paths.get(dest),
       durable = durable, replace = replace)
+
+  override def writeMarker(p: String, durable: Boolean): Unit =
+    CommitFs.current.writeMarker(Paths.get(p), durable = durable)
+
+  override def fileSize(p: String): Long = Files.size(Paths.get(p))
+
+  override def readAt(p: String, at: Long, len: Int): Array[Byte] = {
+    val ch = java.nio.channels.FileChannel.open(Paths.get(p),
+      java.nio.file.StandardOpenOption.READ)
+    try {
+      val b = java.nio.ByteBuffer.allocate(len)
+      var off = at
+      var eof = false
+      while (b.hasRemaining && !eof) {
+        val n = ch.read(b, off)
+        if (n < 0) eof = true else off += n
+      }
+      java.util.Arrays.copyOf(b.array(), b.position())
+    } finally ch.close()
+  }
 }
 
 /** Hadoop `FileSystem` implementation — what a `file://`-scheme root
@@ -208,6 +245,12 @@ final class HadoopStoreFs(rootUri: java.net.URI) extends StoreFs {
   override def move(src: String, dest: String, replace: Boolean): Unit = {
     val d = new HPath(dest)
     if (replace && fs.exists(d)) { fs.delete(d, true); () }
+    else if (!replace && fs.exists(d))
+      // FileSystem.rename onto an EXISTING DIRECTORY moves src INSIDE it
+      // (returns true) on HDFS/RawLocal — a leftover dir at the target
+      // would silently nest the tree instead of failing like java.nio
+      // ATOMIC_MOVE does; match LocalStoreFs semantics loudly
+      throw new java.nio.file.FileAlreadyExistsException(dest)
     if (!fs.rename(new HPath(src), d))
       throw new java.io.IOException(s"rename $src -> $dest failed")
   }
@@ -254,5 +297,24 @@ final class HadoopStoreFs(rootUri: java.net.URI) extends StoreFs {
       fs.delete(aside, true)
       ()
     } else move(tmp, dest, replace)
+  }
+
+  override def writeMarker(p: String, durable: Boolean): Unit = {
+    // create-close IS the durability point on cluster/object stores
+    fs.create(new HPath(p), true).close()
+  }
+
+  override def fileSize(p: String): Long =
+    fs.getFileStatus(new HPath(p)).getLen // absent → FileNotFoundException
+
+  override def readAt(p: String, at: Long, len: Int): Array[Byte] = {
+    val in = fs.open(new HPath(p))
+    try {
+      val sz = fileSize(p)
+      val n = math.max(0L, math.min(len.toLong, sz - at)).toInt
+      val buf = new Array[Byte](n)
+      if (n > 0) { in.seek(at); in.readFully(buf, 0, n) }
+      buf
+    } finally in.close()
   }
 }

@@ -408,7 +408,10 @@ object CvQueries {
 
   private def eoGateFor(s: SparkSession, dir: String): ContViewEngine = synchronized {
     eoEngines.getOrElseUpdate((s, dir), {
-      val root = java.nio.file.Files.createTempDirectory("graft_cveo").toString
+      // file:-SCHEME root: the exactly-once spool commits, the crash
+      // recovery, and the restart bootstrap run through HadoopStoreFs
+      val root = "file:" +
+        java.nio.file.Files.createTempDirectory("graft_cveo").toString
       val docs = Tables.documents(s, dir).select("doc_id", "text")
       val corpus = docs.unionByName(
         docs.where(pmod(col("doc_id"), lit(6)) === 0)
@@ -758,7 +761,10 @@ object CvQueries {
   private def neardupStreamingFor(s: SparkSession, dir: String): ContViewEngine =
     synchronized {
       neardupStreamingEngines.getOrElseUpdate((s, dir), {
-        val root = java.nio.file.Files.createTempDirectory("graft_cvngst").toString
+        // file:-SCHEME root (see dedupGateFor): near-dup gate + TTL +
+        // Structured Streaming restart on the Hadoop FS path
+        val root = "file:" +
+          java.nio.file.Files.createTempDirectory("graft_cvngst").toString
         def body(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
           concat_ws(" ",
           (1 to 12).map(i =>
@@ -912,7 +918,14 @@ object CvQueries {
 
   private def dedupGateFor(s: SparkSession, dir: String): ContViewEngine = synchronized {
     gateEngines.getOrElseUpdate((s, dir), {
-      val root = java.nio.file.Files.createTempDirectory("graft_cvdg").toString
+      // file:-SCHEME root: this whole fixture — the DDL sharded exact
+      // gate, simhash + sharded-cosine + jaccard near-dup gates, their
+      // stores/spools/geometry stamps, and the mid-feed engine restart —
+      // drives the gate tier through HadoopStoreFs, so the driver's own
+      // oracle battery gates the URI-root port every round (the deploy
+      // shape of an hdfs://-rooted curation pipeline)
+      val root = "file:" +
+        java.nio.file.Files.createTempDirectory("graft_cvdg").toString
       val docs = Tables.documents(s, dir).select("doc_id", "text", "lang")
       val corpus = docs.unionByName(
         docs.where(pmod(col("doc_id"), lit(4)) === 0)

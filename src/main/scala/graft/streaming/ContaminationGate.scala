@@ -1,7 +1,5 @@
 package graft.streaming
 
-import java.nio.file.{Files, Path, Paths}
-
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -58,7 +56,7 @@ final class ContaminationGate private (
     textSql: String,
     orderCol: String,
     sink: String,
-    storeDir: Path,
+    storeDir: String,
     n: Int,
     bloomP: Double,
     bloomN0: Int,
@@ -111,7 +109,8 @@ final class ContaminationGate private (
     * at-least-once — the static gate's analogue of the exact gate's
     * null-key caveat, documented not hidden. */
   private[graft] lazy val epochs = new GateEpochs(eng, name, sink,
-    storeDir.getParent.resolve("spool"), Seq(this), dropCols = Seq("__gh"))
+    GateStore.child(GateStore.parentOf(storeDir), "spool"), Seq(this),
+    dropCols = Seq("__gh"))
 
   private val recentEpochIds = new java.util.ArrayDeque[java.util.HashSet[Any]]()
   // highest epoch whose ids the window already holds: [[commitRecovered]]
@@ -342,7 +341,7 @@ final class ContaminationGate private (
           if (pushdown) GateStore.pruned(storeF, hitKeys)
           else storeF.map(_.path)
         if (paths.nonEmpty) {
-          val sliceBytes = paths.map(p => new java.io.File(p).length()).sum
+          val sliceBytes = GateStore.bytesOf(paths)
           if (pushdown && sliceBytes <= GateStore.maxDriverVerifyBytes) {
             // verify on the driver: which bloom-hit hashes are really in
             // the reference?
@@ -444,11 +443,12 @@ object ContaminationGate {
       backend: String = StreamDedupGate.DriverBackend,
       stateParts: Int = 0): ContaminationGate = {
     require(n >= 1, s"gram size must be >= 1, got $n")
-    val root = Paths.get(storeRoot, name)
-    Files.createDirectories(root)
+    val root = GateStore.gateRoot(storeRoot, name)
+    val sfs = graft.io.StoreFs.forRoot(root)
+    sfs.mkdirs(root)
     GateStore.stampGeometry(root, "shards_1")
-    val dir = root.resolve("ref_grams")
-    Files.createDirectories(dir)
+    val dir = GateStore.child(root, "ref_grams")
+    sfs.mkdirs(dir)
     val gate = new ContaminationGate(eng, name, textSql, orderCol, sink,
       dir, n, bloomP, bloomN, delivery = delivery, backend = backend,
       stateParts = stateParts)
@@ -475,12 +475,13 @@ object ContaminationGate {
       delivery: String = StreamDedupGate.AtLeastOnce): ShardedNearDupGate = {
     require(shards >= 2, s"use create() for an unsharded gate (shards=$shards)")
     require(n >= 1, s"gram size must be >= 1, got $n")
-    val root = Paths.get(storeRoot, name)
-    Files.createDirectories(root)
+    val root = GateStore.gateRoot(storeRoot, name)
+    val sfs = graft.io.StoreFs.forRoot(root)
+    sfs.mkdirs(root)
     GateStore.stampGeometry(root, s"shards_$shards")
     val cores = (0 until shards).map { k =>
-      val dir = root.resolve(s"s${k}of$shards").resolve("ref_grams")
-      Files.createDirectories(dir)
+      val dir = GateStore.child(GateStore.child(root, s"s${k}of$shards"), "ref_grams")
+      sfs.mkdirs(dir)
       val core = new ContaminationGate(eng, name, textSql, orderCol, sink,
         dir, n, bloomP, bloomN, k, shards)
       core.seedReference(reference, refTextCol)

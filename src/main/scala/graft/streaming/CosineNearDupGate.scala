@@ -1,7 +1,5 @@
 package graft.streaming
 
-import java.nio.file.{Files, Path, Paths}
-
 import org.apache.spark.sql.{Column, Row}
 import org.apache.spark.sql.functions._
 
@@ -52,8 +50,8 @@ final class CosineNearDupGate private (
     embSql: String,
     orderCol: String,
     sink: String,
-    embDir: Path,
-    idxDir: Path,
+    embDir: String,
+    idxDir: String,
     threshold: Double,
     dim: Int,
     numTables: Int,
@@ -253,13 +251,14 @@ object CosineNearDupGate {
         f"bitsPerTable=$autoB%d is ~$recall%.3f — near-pairs at the " +
         "threshold may be falsely admitted; raise numTables or lower " +
         "bitsPerTable to restore recall")
-    val root = Paths.get(storeRoot, name)
-    Files.createDirectories(root)
+    val root = GateStore.gateRoot(storeRoot, name)
+    val sfs = graft.io.StoreFs.forRoot(root)
+    sfs.mkdirs(root)
     GateStore.stampGeometry(root, "shards_1")
-    val embDir = root.resolve("seen_embs")
-    val idxDir = root.resolve("seen_keys")
-    Files.createDirectories(embDir)
-    Files.createDirectories(idxDir)
+    val embDir = GateStore.child(root, "seen_embs")
+    val idxDir = GateStore.child(root, "seen_keys")
+    sfs.mkdirs(embDir)
+    sfs.mkdirs(idxDir)
     GateStore.stampGeometry(idxDir,
       s"cosine_d${dim}_t${autoT}_b${autoB}_s${seed}_sk64" +
         (if (ttlMillis > 0) "_ttl" else ""))
@@ -303,14 +302,15 @@ object CosineNearDupGate {
         (if (numTables > 0) numTables else t,
           if (bitsPerTable > 0) bitsPerTable else b)
       }
-    val root = Paths.get(storeRoot, name)
-    Files.createDirectories(root)
+    val root = GateStore.gateRoot(storeRoot, name)
+    val sfs = graft.io.StoreFs.forRoot(root)
+    sfs.mkdirs(root)
     GateStore.stampGeometry(root, s"shards_$shards")
-    val embDir = root.resolve("seen_embs")
-    Files.createDirectories(embDir)
+    val embDir = GateStore.child(root, "seen_embs")
+    sfs.mkdirs(embDir)
     val cores = (0 until shards).map { k =>
-      val idxDir = root.resolve(s"s${k}of$shards").resolve("seen_keys")
-      Files.createDirectories(idxDir)
+      val idxDir = GateStore.child(GateStore.child(root, s"s${k}of$shards"), "seen_keys")
+      sfs.mkdirs(idxDir)
       GateStore.stampGeometry(idxDir,
         s"cosine_d${dim}_t${autoT}_b${autoB}_s${seed}_sk64" +
           (if (ttlMillis > 0) "_ttl" else ""))

@@ -62,7 +62,7 @@ import org.apache.spark.sql.functions._
   */
 private[graft] final class ExecutorGateIndex(
     spark: SparkSession,
-    storeDir: java.nio.file.Path,
+    storeDir: String,
     val parts: Int,
     ttlEnabled: Boolean,
     withIds: Boolean = false,
@@ -72,7 +72,7 @@ private[graft] final class ExecutorGateIndex(
 
   require(parts >= 1, s"need at least one state partition, got $parts")
 
-  private val storeKey = storeDir.toAbsolutePath.toString
+  private val storeKey = storeDir
   // generation: instance nonce + invalidation count — a gate restart, a
   // compaction fold, or a bulk seed invalidates every shard (rebuild)
   private val nonce = java.util.UUID.randomUUID().toString.take(8)
@@ -291,21 +291,22 @@ private[graft] object ExecutorGateIndex {
     * the real diagnosis. Restart fixtures are unaffected — the abandoned
     * instance is never probed again. The marker is not `.parquet`, so
     * store scans/compaction never see it. */
-  private[streaming] def stampOwner(dir: java.nio.file.Path, marker: String,
+  private[streaming] def stampOwner(dir: String, marker: String,
       nonce: String): Unit =
-    java.nio.file.Files.write(dir.resolve(marker),
-      nonce.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    graft.io.StoreFs.forRoot(dir).writeString(
+      GateStore.child(dir, marker), nonce)
 
-  private[streaming] def checkOwner(dir: java.nio.file.Path, marker: String,
+  private[streaming] def checkOwner(dir: String, marker: String,
       nonce: String, what: String): Unit = {
-    val f = dir.resolve(marker)
+    val fs = graft.io.StoreFs.forRoot(dir)
+    val f = GateStore.child(dir, marker)
     val cur =
-      if (!java.nio.file.Files.exists(f)) {
+      if (!fs.exists(f)) {
         // the whole store dir gone = the gate was DROPPED while this
         // instance lived (dropContTransform deletes root/<name> wholesale)
         // — this instance is the stale one; fail with that diagnosis
         // instead of letting stampOwner throw NoSuchFileException
-        if (!java.nio.file.Files.isDirectory(dir))
+        if (!fs.exists(dir))
           throw new IllegalStateException(
             s"$what at $dir: the store directory was deleted (gate " +
               "dropped?) while this instance was live — drop this instance")
@@ -316,8 +317,7 @@ private[graft] object ExecutorGateIndex {
         stampOwner(dir, marker, nonce)
         nonce
       }
-      else new String(java.nio.file.Files.readAllBytes(f),
-        java.nio.charset.StandardCharsets.UTF_8)
+      else fs.readString(f)
     if (cur != nonce) throw new IllegalStateException(
       s"$what at $dir was superseded by another live instance (owner " +
         s"stamp $cur != this instance's $nonce): two gates share one " +
@@ -363,14 +363,14 @@ private[graft] case object FloatsPayload extends PayloadDecoder {
   * preferred-location pinning. */
 private[graft] final class ExecutorPayloadPool(
     spark: SparkSession,
-    payloadDir: java.nio.file.Path,
+    payloadDir: String,
     val parts: Int,
     payloadColName: String,
     decoder: PayloadDecoder) {
 
   import ExecutorPayloadPool.PayloadTask
 
-  private val storeKey = payloadDir.toAbsolutePath.toString + "#pay"
+  private val storeKey = payloadDir + "#pay"
   private val nonce = java.util.UUID.randomUUID().toString.take(8)
   ExecutorGateIndex.stampOwner(payloadDir, "_owner_pay", nonce)
   ExecutorGateState.registerLiveDir(storeKey)
@@ -528,14 +528,14 @@ private[graft] object ExecutorPayloadPool {
   * gram store (which never calls [[bufferDelta]] — membership only). */
 private[graft] final class ExecutorSeenStore(
     spark: SparkSession,
-    storeDir: java.nio.file.Path,
+    storeDir: String,
     val parts: Int,
     ttlEnabled: Boolean,
     keyCol: String = "h") {
 
   import ExecutorPayloadPool.PayloadTask
 
-  private val storeKey = storeDir.toAbsolutePath.toString + "#seen"
+  private val storeKey = storeDir + "#seen"
   private val nonce = java.util.UUID.randomUUID().toString.take(8)
   ExecutorGateIndex.stampOwner(storeDir, "_owner_seen", nonce)
   ExecutorGateState.registerLiveDir(storeKey)

@@ -1,11 +1,10 @@
 package graft.streaming
 
-import java.nio.file.{Files, Path}
-
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.cv.ContViewEngine
+import graft.io.StoreFs
 
 /** The exactly-once epoch protocol for the near-dup / contamination gate
   * family — the [[StreamDedupGate]] spool generalized to gates whose store
@@ -38,17 +37,17 @@ private[streaming] final class GateEpochs(
     eng: ContViewEngine,
     name: String,
     sink: String,
-    spoolDir: Path,
+    spoolDir: String,
     commitRecoveredHook: (DataFrame, Long) => Unit,
     dropCols: Seq[String]) {
 
-  def this(eng: ContViewEngine, name: String, sink: String, spoolDir: Path,
+  def this(eng: ContViewEngine, name: String, sink: String, spoolDir: String,
       cores: Seq[ShardableGateCore], dropCols: Seq[String]) =
     this(eng, name, sink, spoolDir,
       (df: DataFrame, e: Long) => cores.foreach(_.commitRecovered(df, e)),
       dropCols)
 
-  Files.createDirectories(spoolDir)
+  StoreFs.forRoot(spoolDir).mkdirs(spoolDir)
 
   // test failpoint: throws once when execution reaches the named point
   // (failWith overrides the thrown exception — how the specs simulate a
@@ -92,7 +91,7 @@ private[streaming] final class GateEpochs(
   def deliverAndMark(epoch: Long,
       knownNonEmpty: Option[Boolean] = None): Unit = {
     val spooled = eng.spark.read.parquet(
-      spoolDir.resolve(f"fwd_$epoch%05d.parquet").toString)
+      GateStore.child(spoolDir, f"fwd_$epoch%05d.parquet"))
     val admitted = spooled.where(col("__admitted"))
       .drop("__admitted").drop(dropCols: _*)
     if (knownNonEmpty.getOrElse(admitted.take(1).nonEmpty))
@@ -167,38 +166,32 @@ private[streaming] object GateSpool {
   val markerRe: scala.util.matching.Regex = """delivered_(\d+)""".r
 
   /** Pending + undelivered spool files, ascending by epoch. */
-  def spoolEpochs(spoolDir: Path): Seq[(Long, Path)] = {
-    val d = spoolDir.toFile
-    Option(d.listFiles()).getOrElse(Array.empty).toSeq.flatMap { f =>
-      f.getName match {
-        case spoolRe(e) => Some((e.toLong, f.toPath))
-        case _ => None
-      }
+  def spoolEpochs(spoolDir: String): Seq[(Long, String)] =
+    StoreFs.forRoot(spoolDir).list(spoolDir).flatMap {
+      case name @ spoolRe(e) => Some((e.toLong, GateStore.child(spoolDir, name)))
+      case _ => None
     }.sortBy(_._1)
-  }
 
   /** Highest delivered-marker epoch (0 when none — epochs start at 1). */
-  def deliveredEpoch(spoolDir: Path): Long = {
-    val d = spoolDir.toFile
-    Option(d.listFiles()).getOrElse(Array.empty).toSeq.flatMap { f =>
-      f.getName match {
-        case markerRe(e) => Some(e.toLong)
-        case _ => None
-      }
+  def deliveredEpoch(spoolDir: String): Long =
+    StoreFs.forRoot(spoolDir).list(spoolDir).flatMap {
+      case markerRe(e) => Some(e.toLong)
+      case _ => None
     }.foldLeft(0L)(math.max)
-  }
 
-  /** Drop the `delivered_<epoch>` marker (fsynced — a vanished marker
-    * widens re-delivery past the documented ack window) and delete dead
-    * spools/markers at or below the watermark. */
-  def markDelivered(spoolDir: Path, epoch: Long): Unit = {
-    val marker = spoolDir.resolve(s"delivered_$epoch")
-    graft.io.CommitFs.current.writeMarker(marker, durable = true)
-    val d = spoolDir.toFile
-    Option(d.listFiles()).getOrElse(Array.empty).foreach { g =>
-      g.getName match {
-        case spoolRe(e) if e.toLong <= epoch => g.delete(); ()
-        case markerRe(e) if e.toLong < epoch => g.delete(); ()
+  /** Drop the `delivered_<epoch>` marker (fsynced where the fs can — a
+    * vanished marker widens re-delivery past the documented ack window)
+    * and delete dead spools/markers at or below the watermark. */
+  def markDelivered(spoolDir: String, epoch: Long): Unit = {
+    val fs = StoreFs.forRoot(spoolDir)
+    fs.writeMarker(GateStore.child(spoolDir, s"delivered_$epoch"),
+      durable = true)
+    fs.list(spoolDir).foreach { name =>
+      name match {
+        case spoolRe(e) if e.toLong <= epoch =>
+          fs.deleteRecursively(GateStore.child(spoolDir, name))
+        case markerRe(e) if e.toLong < epoch =>
+          fs.deleteRecursively(GateStore.child(spoolDir, name))
         case _ =>
       }
     }
@@ -214,14 +207,14 @@ private[streaming] object GateSpool {
     * fatal VM error — RETHROWS: a transient error must stay retryable,
     * not silently convert a committed exactly-once epoch into the
     * at-least-once loss class. */
-  def readSpool(spark: org.apache.spark.sql.SparkSession, path: Path,
+  def readSpool(spark: org.apache.spark.sql.SparkSession, path: String,
       what: String): Option[DataFrame] = {
     if (!magicOk(path)) {
       quarantine(path, what,
         "parquet magic-bytes check failed (torn write)")
       return None
     }
-    try Some(spark.read.parquet(path.toString))
+    try Some(spark.read.parquet(path))
     catch {
       case e: InterruptedException => throw e
       case e: Throwable if !scala.util.control.NonFatal(e) => throw e
@@ -241,26 +234,20 @@ private[streaming] object GateSpool {
     * INCONCLUSIVE → true, deferring to [[looksCorrupt]] on the real read
     * — a transient error here must not destructively quarantine a
     * healthy committed spool. */
-  def magicOk(path: Path): Boolean = {
-    val ch =
-      try java.nio.channels.FileChannel.open(path,
-        java.nio.file.StandardOpenOption.READ)
+  def magicOk(path: String): Boolean = {
+    val fs = StoreFs.forRoot(path)
+    val len =
+      try fs.fileSize(path)
       catch {
         case _: java.nio.file.NoSuchFileException => return false
+        case _: java.io.FileNotFoundException => return false
         case e: Throwable if !scala.util.control.NonFatal(e) => throw e
         case _: Throwable => return true // inconclusive: defer to the read
       }
     try {
-      val len = ch.size()
       def four(at: Long): Array[Byte] = {
-        val b = java.nio.ByteBuffer.allocate(4)
-        var off = at
-        var eof = false
-        while (b.hasRemaining && !eof) {
-          val n = ch.read(b, off)
-          if (n < 0) eof = true else off += n
-        }
-        if (eof) Array.emptyByteArray else b.array()
+        val b = fs.readAt(path, at, 4)
+        if (b.length < 4) Array.emptyByteArray else b
       }
       len >= 12 &&
         java.util.Arrays.equals(four(0L), Magic) &&
@@ -268,7 +255,7 @@ private[streaming] object GateSpool {
     } catch {
       case e: Throwable if !scala.util.control.NonFatal(e) => throw e
       case _: Throwable => true // inconclusive mid-read: defer
-    } finally ch.close()
+    }
   }
 
   private val Magic = "PAR1".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
@@ -296,12 +283,12 @@ private[streaming] object GateSpool {
 
   /** Rename a spool file to `<name>.corrupt` and log the downgrade: that
     * epoch's rows fall to the documented at-least-once class. */
-  def quarantine(path: Path, what: String, why: String): Unit = {
-    val corrupt = path.resolveSibling(path.getFileName.toString + ".corrupt")
-    graft.io.CommitFs.current.rename(path, corrupt)
-    System.err.println(s"[graft] $what: spool file ${path.getFileName} " +
-      s"is corrupt ($why) — quarantined to ${corrupt.getFileName}; that " +
-      "epoch's rows fall to the at-least-once class (upstream retry " +
-      "re-feeds them)")
+  def quarantine(path: String, what: String, why: String): Unit = {
+    val corrupt = path + ".corrupt"
+    StoreFs.forRoot(path).move(path, corrupt, replace = true)
+    System.err.println(s"[graft] $what: spool file " +
+      s"${GateStore.baseName(path)} is corrupt ($why) — quarantined to " +
+      s"${GateStore.baseName(corrupt)}; that epoch's rows fall to the " +
+      "at-least-once class (upstream retry re-feeds them)")
   }
 }

@@ -1,14 +1,22 @@
 package graft.streaming
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+
+import graft.io.StoreFs
 
 /** Shared append-only store plumbing for the streaming dedup gates: file
   * listing, atomic single-file batch append, range-sharded compaction, and
   * batch-counter recovery. One implementation so a fix (filename parse,
   * move ordering) cannot drift between the three gates.
+  *
+  * Store dirs are STRINGS routed through the [[graft.io.StoreFs]] seam
+  * (round 17): a plain root runs java.nio byte-for-byte as before, while
+  * a URI root ("file:/…", "hdfs://…", "s3a://…") drives every listing/
+  * marker/publish through the Hadoop FileSystem — the port the CV tier
+  * took in round 16, extended to the gates (the production LLM-pipeline
+  * surface). Executor-LOCAL scratch (shard heaps) stays node-local by
+  * design; only the SHARED store root rides the seam.
   *
   * Layout: `<prefix>_NNNNN.parquet` per appended batch (rows sorted by the
   * gate's key column), plus `<prefix>_NNNNN_c<nanos>_s<k>[_r<lo>_<hi>]
@@ -27,7 +35,7 @@ import org.apache.spark.sql.functions._
   * before the old files are unlinked, and a crash in between only
   * re-reads bytes.
   */
-private[streaming] object GateStore {
+private[graft] object GateStore {
 
   /** Per-batch candidate keys beyond this are not pushed into the store
     * scan as an in-set filter (the filter itself would dwarf the read);
@@ -243,6 +251,44 @@ private[streaming] object GateStore {
     a != null && b != null &&
       a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
 
+  // ---- string-path helpers (URI-root-safe; '/'-joined both ways) ---------
+
+  /** `dir`/`name` as one path string (plain roots normalized absolute so
+    * shard-registry keys and CommitPipeline roots compare stably). */
+  def child(dir: String, name: String): String =
+    dir.stripSuffix("/") + "/" + name
+
+  /** The gate-root dir for `name` under an engine store root — absolute
+    * for plain paths (registry/pipeline keys), verbatim for URI roots. */
+  def gateRoot(storeRoot: String, name: String): String = {
+    val base =
+      if (StoreFs.hasScheme(storeRoot)) storeRoot.stripSuffix("/")
+      else java.nio.file.Paths.get(storeRoot).toAbsolutePath.toString
+    base + "/" + name
+  }
+
+  /** Parent dir of a '/'-joined path string. */
+  def parentOf(p: String): String = {
+    val s = p.stripSuffix("/")
+    val i = s.lastIndexOf('/')
+    require(i > 0, s"no parent: $p")
+    s.substring(0, i)
+  }
+
+  /** Last path segment. */
+  def baseName(p: String): String =
+    p.stripSuffix("/").split('/').last
+
+  /** Total bytes of the given store FILES (driver-side sizing checks). */
+  def bytesOf(paths: Iterable[String]): Long =
+    paths.map(p => StoreFs.forRoot(p).treeBytes(p)).sum
+
+  private val tmpCounter = new java.util.concurrent.atomic.AtomicLong()
+
+  /** A fresh unique name for in-progress staging under a store dir. */
+  private def uniqueName(prefix: String, suffix: String): String =
+    f"$prefix${System.nanoTime()}%d_${tmpCounter.incrementAndGet()}%d$suffix"
+
   /** Record (or verify) the key-geometry a gate store was built with. The
     * bucket keys persisted in a near-dup index are a pure function of the
     * gate's geometry parameters (planes/bands/seed); reopening a store
@@ -252,30 +298,24 @@ private[streaming] object GateStore {
     * ignores; an existing UN-stamped store (pre-stamp layout) adopts the
     * current stamp, which is correct exactly when the caller kept its
     * parameters — the same contract it already lived under. */
-  def stampGeometry(dir: Path, stamp: String): Unit = {
-    val f = dir.resolve(".geometry")
-    if (Files.exists(f)) {
-      val prev = new String(Files.readAllBytes(f),
-        java.nio.charset.StandardCharsets.UTF_8).trim
+  def stampGeometry(dir: String, stamp: String): Unit = {
+    val fs = StoreFs.forRoot(dir)
+    val f = child(dir, ".geometry")
+    if (fs.exists(f)) {
+      val prev = fs.readString(f).trim
       require(prev == stamp,
         s"gate store at $dir was built with key geometry '$prev' but is " +
           s"being reopened with '$stamp' — stored bucket keys would " +
           "silently never match; recreate the store or restore the " +
           "original gate parameters")
-    } else {
-      Files.write(f, stamp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      ()
-    }
+    } else fs.writeString(f, stamp)
   }
 
-  def files(dir: Path): Array[String] = {
-    val d = dir.toFile
-    Option(d.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-      .map(_.getAbsolutePath)
-  }
+  def files(dir: String): Array[String] =
+    StoreFs.forRoot(dir).list(dir)
+      .filter(_.endsWith(".parquet")).map(child(dir, _)).toArray
 
-  def storeFiles(dir: Path): Array[StoreFile] = files(dir).map {
+  def storeFiles(dir: String): Array[StoreFile] = files(dir).map {
     case p @ rangeRe(lo, hi) => StoreFile(p, Some((lo, hi)))
     case p => StoreFile(p, None)
   }
@@ -307,9 +347,9 @@ private[streaming] object GateStore {
 
   /** Highest batch number recorded in the dir's filenames — compacted
     * files (`_c` suffix) count via their numeric prefix. */
-  def maxBatch(dir: Path, prefix: String): Long = {
+  def maxBatch(dir: String, prefix: String): Long = {
     val re = (java.util.regex.Pattern.quote(prefix) + "_(\\d+)").r
-    files(dir).flatMap(f => re.findFirstMatchIn(new java.io.File(f).getName)
+    files(dir).flatMap(f => re.findFirstMatchIn(baseName(f))
       .map(_.group(1).toLong)).foldLeft(0L)(math.max)
   }
 
@@ -354,41 +394,29 @@ private[streaming] object GateStore {
   /** Write `rows` as ONE parquet file `<prefix>_<batch>.parquet` via
     * temp-write + atomic rename, sorted by `sortCol` when given so row
     * groups carry tight key stats. */
-  def append(rows: DataFrame, dir: Path, prefix: String, batch: Long,
+  def append(rows: DataFrame, dir: String, prefix: String, batch: Long,
       sortCol: Option[String] = None, force: Boolean = false): Unit = {
-    val tmp = Files.createTempFile(dir, s".tmp_$prefix", ".inprogress")
-    val stage = Files.createTempDirectory(dir, ".stage")
+    val fs = StoreFs.forRoot(dir)
+    val stage = child(dir, uniqueName(".stage_", ""))
     try {
       val one = rows.coalesce(1)
       val sorted = sortCol.fold(one)(c => one.sortWithinPartitions(c))
       sorted.write.mode("overwrite")
         .option("parquet.page.size", PageBytes.toString)
-        .parquet(stage.toString)
-      val part = Option(stage.toFile.listFiles())
-        .getOrElse(Array.empty).find(_.getName.endsWith(".parquet"))
+        .parquet(stage)
+      val part = fs.list(stage).find(_.endsWith(".parquet"))
         .getOrElse(throw new IllegalStateException(s"no $prefix part written"))
-      Files.move(part.toPath, tmp, StandardCopyOption.REPLACE_EXISTING)
       // `force`: fsync data BEFORE the rename and the dirent AFTER it, so
       // the rename is a real commit point across power loss, not just
       // process crash — requested only by the exactly-once SPOOL writes
       // (a lost STORE append is the documented at-least-once class and
-      // does not pay the sync). Routed through the CommitFs seam — this
+      // does not pay the sync). Routed through the StoreFs seam — this
       // publish is a storage commit point (DESIGN_NOTES "Shared-storage
       // commit points"), the exact operation an object-store port swaps.
-      graft.io.CommitFs.current.publish(tmp,
-        dir.resolve(f"${prefix}%s_$batch%05d.parquet"), durable = force)
-    } finally {
-      Files.deleteIfExists(tmp)
-      deleteRecursively(stage.toFile)
-    }
+      fs.publish(child(stage, part),
+        child(dir, f"${prefix}%s_$batch%05d.parquet"), durable = force)
+    } finally fs.deleteRecursively(stage)
   }
-
-  /** fsync a file's data+metadata (the spool commit's durability half). */
-  def fsyncFile(p: Path): Unit = graft.io.LocalCommitFs.fsyncFile(p)
-
-  /** Best-effort directory fsync (persists renames/creates on Linux;
-    * filesystems that refuse a read-open dir channel just skip it). */
-  def fsyncDir(dir: Path): Unit = graft.io.LocalCommitFs.fsyncDir(dir)
 
   /** Write driver-held rows as ONE parquet file `<prefix>_<batch>.parquet`
     * DIRECTLY through parquet-mr — no Spark job at all. The per-batch gate
@@ -412,7 +440,7 @@ private[streaming] object GateStore {
     * one task closure per batch); returns false on any other schema and
     * the caller falls back to the Spark write. */
   def appendLocal(rows: java.util.List[org.apache.spark.sql.Row],
-      schema: org.apache.spark.sql.types.StructType, dir: Path,
+      schema: org.apache.spark.sql.types.StructType, dir: String,
       prefix: String, batch: Long, sortCol: Option[String] = None): Boolean = {
     import org.apache.spark.sql.types._
     import org.apache.parquet.schema.{LogicalTypeAnnotation => L, Types => PT,
@@ -463,14 +491,20 @@ private[streaming] object GateStore {
         else x.asInstanceOf[Comparable[Any]].compareTo(y)
       }
     }
-    val tmp = Files.createTempFile(dir, s".tmp_$prefix", ".inprogress")
-    Files.delete(tmp) // parquet-mr refuses to overwrite; keep only the name
+    val fs = StoreFs.forRoot(dir)
+    val tmp = child(dir, uniqueName(s".tmp_$prefix", ".inprogress"))
+    // parquet-mr writes through the Hadoop Path API, which is URI-capable
+    // — the driver-direct fast path survives the port to shared-storage
+    // roots (an HDFS-rooted gate store still skips the per-batch Spark job)
+    val hTmp =
+      if (StoreFs.hasScheme(dir)) new org.apache.hadoop.fs.Path(tmp)
+      else new org.apache.hadoop.fs.Path(new java.io.File(tmp).toURI)
     try {
       val conf = new org.apache.hadoop.conf.Configuration(false)
       conf.setClassLoader(getClass.getClassLoader)
       org.apache.parquet.hadoop.example.GroupWriteSupport.setSchema(msg, conf)
       val w = org.apache.parquet.hadoop.example.ExampleParquetWriter
-        .builder(new org.apache.hadoop.fs.Path(tmp.toUri))
+        .builder(hTmp)
         .withConf(conf)
         .withCompressionCodec(
           org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
@@ -532,10 +566,10 @@ private[streaming] object GateStore {
         }
       } finally w.close()
       // same commit point as [[append]], driver-written bytes
-      graft.io.CommitFs.current.publish(tmp,
-        dir.resolve(f"${prefix}%s_$batch%05d.parquet"), durable = false)
+      fs.publish(tmp, child(dir, f"${prefix}%s_$batch%05d.parquet"),
+        durable = false)
       true
-    } finally { Files.deleteIfExists(tmp); () }
+    } finally fs.deleteRecursively(tmp)
   }
 
   /** Compacted GENERATIONS beyond this trigger a MAJOR fold (all files);
@@ -570,21 +604,21 @@ private[streaming] object GateStore {
     * across generations count multiply — a conservative over-estimate for
     * the bloom-regrow sizing it feeds). Crash-safe without a manifest:
     * every shard lands (atomic moves) before any old file is unlinked. */
-  def compact(spark: SparkSession, dir: Path, prefix: String,
+  def compact(spark: SparkSession, dir: String, prefix: String,
       cols: Seq[String], batch: Long, sortCol: Option[String] = None,
       shards: Int = 8, majorGens: Int = MajorCompactGenerations,
       rowFilter: Option[org.apache.spark.sql.Column] = None): Long = {
+    val sfs = StoreFs.forRoot(dir)
     val all = files(dir)
     // compacted generations carry the `_c<nanos>` marker; appends do not
-    val compacted = all.filter(new java.io.File(_).getName.contains("_c"))
-    val appends = all.filterNot(new java.io.File(_).getName.contains("_c"))
+    val compacted = all.filter(baseName(_).contains("_c"))
+    val appends = all.filterNot(baseName(_).contains("_c"))
     val genRe = """_c(\d+)_""".r
     val generations = compacted.flatMap(p =>
-      genRe.findFirstMatchIn(new java.io.File(p).getName).map(_.group(1)))
+      genRe.findFirstMatchIn(baseName(p)).map(_.group(1)))
       .distinct.length
     val major = generations > majorGens
     val fs = if (major) all else appends
-    val keep = if (major) Array.empty[String] else compacted
     def totalCount(): Long = {
       val now = files(dir)
       if (now.isEmpty) 0L else spark.read.parquet(now: _*).count()
@@ -595,9 +629,9 @@ private[streaming] object GateStore {
       // even a single append folds: the rewrite is what range-stamps the
       // file for pruned() (a freshly-seeded single-file store must not
       // stay unprunable forever)
-      val stage = Files.createTempDirectory(dir, ".stage")
+      val stage = child(dir, uniqueName(".stage_", ""))
       try {
-        val inputBytes = fs.map(f => new java.io.File(f).length()).sum
+        val inputBytes = bytesOf(fs)
         val nShards = math.max(shards, math.min(1 << 14,
           ((inputBytes + TargetShardBytes - 1) / TargetShardBytes).toInt))
         // rowFilter is the TTL reaper's hook: expired rows are dropped at
@@ -614,9 +648,8 @@ private[streaming] object GateStore {
         }
         out.write.mode("overwrite")
           .option("parquet.page.size", PageBytes.toString)
-          .parquet(stage.toString)
-        val parts = Option(stage.toFile.listFiles()).getOrElse(Array.empty)
-          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+          .parquet(stage)
+        val parts = sfs.list(stage).filter(_.endsWith(".parquet")).sorted
         // per-shard [min,max] of the sort column (one metadata-light pass
         // over the just-written, page-cached stage) + exact row count
         val ranged: Map[String, (String, String)] = sortCol match {
@@ -625,31 +658,31 @@ private[streaming] object GateStore {
             // dot-prefixed name trips DataSource's hidden-path check and
             // logs a spurious "All paths were ignored" WARN per compaction
             // (dozens per bench run — they drowned the artifact tail)
-            spark.read.parquet(parts.map(_.getAbsolutePath).toSeq: _*)
+            spark.read.parquet(parts.map(child(stage, _)): _*)
               .groupBy(input_file_name().as("f"))
               .agg(min(col(c)).as("lo"), max(col(c)).as("hi"))
               .collect()
               .flatMap { r =>
                 for (lo <- encodeKey(r.get(1)); hi <- encodeKey(r.get(2)))
-                  yield (new java.io.File(new java.net.URI(r.getString(0)).getPath)
-                    .getName, (lo, hi))
+                  yield (baseName(new java.net.URI(r.getString(0)).getPath),
+                    (lo, hi))
               }.toMap
           case _ => Map.empty
         }
         val nanos = System.nanoTime()
         parts.zipWithIndex.foreach { case (part, k) =>
-          val suffix = ranged.get(part.getName)
+          val suffix = ranged.get(part)
             .map { case (lo, hi) => s"_r${lo}_$hi" }.getOrElse("")
           // compaction publish: each range-stamped shard becomes visible
           // atomically; the old files are deleted only after every shard
           // landed (a crash mid-loop leaves extra rows, never missing)
-          graft.io.CommitFs.current.publish(part.toPath,
-            dir.resolve(f"${prefix}%s_$batch%05d_c${nanos}%d_s$k%d$suffix%s.parquet"),
+          sfs.publish(child(stage, part),
+            child(dir, f"${prefix}%s_$batch%05d_c${nanos}%d_s$k%d$suffix%s.parquet"),
             durable = false)
         }
-        fs.foreach(f => Files.deleteIfExists(Paths.get(f)))
+        fs.foreach(sfs.deleteRecursively)
         totalCount()
-      } finally deleteRecursively(stage.toFile)
+      } finally sfs.deleteRecursively(stage)
     }
   }
 
@@ -657,7 +690,7 @@ private[streaming] object GateStore {
     * `colName` across every file in `dir` — the shared regrow/bootstrap
     * primitive (compaction and restart both right-size the filter from
     * the store's actual key count so it never runs saturated). */
-  def buildBloom(spark: SparkSession, dir: Path, colName: String,
+  def buildBloom(spark: SparkSession, dir: String, colName: String,
       p: Double, n: Int): graft.sketch.BloomFilter = {
     val out = graft.sketch.BloomFilter.empty(p, n)
     val fs = files(dir)

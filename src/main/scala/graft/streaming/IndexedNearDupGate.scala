@@ -1,6 +1,6 @@
 package graft.streaming
 
-import java.nio.file.Path
+
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
@@ -56,8 +56,8 @@ private[streaming] abstract class IndexedNearDupGate[P](
     val name: String,
     orderCol: String,
     sink: String,
-    payloadDir: Path,
-    idxDir: Path,
+    payloadDir: String,
+    idxDir: String,
     payloadPrefix: String,
     payloadColName: String,
     bloomP: Double,
@@ -144,11 +144,11 @@ private[streaming] abstract class IndexedNearDupGate[P](
   /** The epoch-spool protocol (exactly-once mode; see [[GateEpochs]]) —
     * the unsharded composition; sharded gates run the wrapper's. */
   private[graft] lazy val epochs = new GateEpochs(eng, name, sink,
-    payloadDir.getParent.resolve("spool"), Seq(this), dropCols = Seq("__p"))
+    GateStore.child(GateStore.parentOf(payloadDir), "spool"), Seq(this),
+    dropCols = Seq("__p"))
 
   private[streaming] override def storeRoots: Seq[String] =
-    Seq(idxDir.toString) ++
-      (if (writesPayload) Seq(payloadDir.toString) else Nil)
+    Seq(idxDir) ++ (if (writesPayload) Seq(payloadDir) else Nil)
   /** Deferred-commit pipeline (at-least-once unsharded batches): store
     * appends + compaction of batch N overlap batch N+1's prepare/collect;
     * [[CommitPipeline]] documents the ordering contract. */
@@ -826,7 +826,7 @@ private[streaming] abstract class IndexedNearDupGate[P](
         // batch-row) hits as a broadcast LocalRelation, join the index
         // distributed, and collect only the surviving deduplicated pairs
         // (bounded by true candidate pairs, not store size).
-        val idxBytes = idxPaths.map(p => new java.io.File(p).length()).sum
+        val idxBytes = GateStore.bytesOf(idxPaths)
         val idxReadCols =
           Seq(col("bucket"), col("id")) ++
             (if (rowSks == null) Nil else Seq(col("sk"))) ++
@@ -1000,7 +1000,7 @@ private[streaming] abstract class IndexedNearDupGate[P](
       if (idPush && idArr.forall(_.isInstanceOf[Long]))
         GateStore.pruned(payF, idArr.map(_.asInstanceOf[Long]).sorted)
       else payF.map(_.path)
-    val payBytes = payPaths.map(p => new java.io.File(p).length()).sum
+    val payBytes = GateStore.bytesOf(payPaths)
     if (payPaths.isEmpty) ()
     else if (idPush && payBytes <= GateStore.maxDriverVerifyBytes) {
       val vs0 = s.read.parquet(payPaths: _*)

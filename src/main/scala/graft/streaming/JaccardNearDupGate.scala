@@ -1,7 +1,5 @@
 package graft.streaming
 
-import java.nio.file.{Files, Path, Paths}
-
 import org.apache.spark.sql.{Column, Row}
 import org.apache.spark.sql.functions._
 
@@ -41,8 +39,8 @@ final class JaccardNearDupGate private (
     textSql: String,
     orderCol: String,
     sink: String,
-    sigDir: Path,
-    idxDir: Path,
+    sigDir: String,
+    idxDir: String,
     threshold: Double,
     shingleN: Int,
     numBands: Int,
@@ -183,13 +181,14 @@ object JaccardNearDupGate {
         f"rowsPerBand=$rowsPerBand%d is ~$recall%.3f — near-pairs at the " +
         "threshold may be falsely admitted; raise numBands or lower " +
         "rowsPerBand to restore recall")
-    val root = Paths.get(storeRoot, name)
-    Files.createDirectories(root)
+    val root = GateStore.gateRoot(storeRoot, name)
+    val sfs = graft.io.StoreFs.forRoot(root)
+    sfs.mkdirs(root)
     GateStore.stampGeometry(root, "shards_1")
-    val sigDir = root.resolve("seen_sigs")
-    val idxDir = root.resolve("seen_keys")
-    Files.createDirectories(sigDir)
-    Files.createDirectories(idxDir)
+    val sigDir = GateStore.child(root, "seen_sigs")
+    val idxDir = GateStore.child(root, "seen_keys")
+    sfs.mkdirs(sigDir)
+    sfs.mkdirs(idxDir)
     // band keys and signatures are pure functions of the shingle/banding
     // geometry — refuse a silently-mismatched reopen
     GateStore.stampGeometry(idxDir,
@@ -232,14 +231,15 @@ object JaccardNearDupGate {
         f"rowsPerBand=$rowsPerBand%d is ~$recall%.3f — near-pairs at the " +
         "threshold may be falsely admitted; raise numBands or lower " +
         "rowsPerBand to restore recall")
-    val root = Paths.get(storeRoot, name)
-    Files.createDirectories(root)
+    val root = GateStore.gateRoot(storeRoot, name)
+    val sfs = graft.io.StoreFs.forRoot(root)
+    sfs.mkdirs(root)
     GateStore.stampGeometry(root, s"shards_$shards")
-    val sigDir = root.resolve("seen_sigs")
-    Files.createDirectories(sigDir)
+    val sigDir = GateStore.child(root, "seen_sigs")
+    sfs.mkdirs(sigDir)
     val cores = (0 until shards).map { k =>
-      val idxDir = root.resolve(s"s${k}of$shards").resolve("seen_keys")
-      Files.createDirectories(idxDir)
+      val idxDir = GateStore.child(GateStore.child(root, s"s${k}of$shards"), "seen_keys")
+      sfs.mkdirs(idxDir)
       GateStore.stampGeometry(idxDir,
         s"jaccard_n${shingleN}_nb${numBands}_r${rowsPerBand}_sk64" +
           (if (ttlMillis > 0) "_ttl" else ""))

@@ -102,7 +102,7 @@ final class ShardedNearDupGate private[streaming] (
     val name: String,
     sink: String,
     cores: Seq[ShardableGateCore],
-    spoolRoot: Option[java.nio.file.Path] = None,
+    spoolRoot: Option[String] = None,
     delivery: String = StreamDedupGate.AtLeastOnce) {
 
   require(cores.nonEmpty, "sharded gate needs at least one core")
@@ -120,7 +120,7 @@ final class ShardedNearDupGate private[streaming] (
   // (Spark's drop ignores absent names; simhash's `fp` is documented sink
   // payload and stays)
   private[graft] lazy val epochs = new GateEpochs(eng, name, sink,
-    spoolRoot.getOrElse(java.nio.file.Paths.get(".")).resolve("spool"),
+    GateStore.child(spoolRoot.getOrElse("."), "spool"),
     cores, dropCols = Seq("__p", "__gh"))
 
   private val pool = java.util.concurrent.Executors.newFixedThreadPool(

@@ -1,7 +1,5 @@
 package graft.streaming
 
-import java.nio.file.{Files, Path, Paths}
-
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -66,7 +64,7 @@ final class SimHashNearDupGate private (
     textSql: String,
     orderCol: String,
     sink: String,
-    storeDir: Path,
+    storeDir: String,
     maxDist: Int,
     blocks: Int,
     bloomP: Double,
@@ -135,9 +133,10 @@ final class SimHashNearDupGate private (
     * spooled `fp` column is part of the gate's documented sink payload,
     * so nothing beyond the flag is dropped at delivery. */
   private[graft] lazy val epochs = new GateEpochs(eng, name, sink,
-    storeDir.getParent.resolve("spool"), Seq(this), dropCols = Nil)
+    GateStore.child(GateStore.parentOf(storeDir), "spool"), Seq(this),
+    dropCols = Nil)
 
-  private[streaming] override def storeRoots: Seq[String] = Seq(storeDir.toString)
+  private[streaming] override def storeRoots: Seq[String] = Seq(storeDir)
   /** Deferred-commit pipeline (at-least-once unsharded batches): the
     * store append + compaction of batch N overlap batch N+1's
     * prepare/collect; [[CommitPipeline]] documents the ordering. */
@@ -707,7 +706,7 @@ final class SimHashNearDupGate private (
           // no join, no distinct, no second stage. Larger slices take the
           // distributed verify join instead.
           val sliceBytes =
-            storePaths.map(pth => new java.io.File(pth).length()).sum
+            GateStore.bytesOf(storePaths)
           val driverVerify = pushdown &&
             sliceBytes <= GateStore.maxDriverVerifyBytes
           if (driverVerify) {
@@ -950,11 +949,12 @@ object SimHashNearDupGate {
       ttlMillis: Long = 0L, ttlColumn: String = "",
       backend: String = StreamDedupGate.DriverBackend,
       stateParts: Int = 0, residentMb: Long = -1L): SimHashNearDupGate = {
-    val root = Paths.get(storeRoot, name)
-    Files.createDirectories(root)
+    val root = GateStore.gateRoot(storeRoot, name)
+    val sfs = graft.io.StoreFs.forRoot(root)
+    sfs.mkdirs(root)
     GateStore.stampGeometry(root, "shards_1")
-    val dir = root.resolve("seen_fps")
-    Files.createDirectories(dir)
+    val dir = GateStore.child(root, "seen_fps")
+    sfs.mkdirs(dir)
     // bucket keys are a pure function of the block split — refuse a
     // silently-mismatched reopen (see GateStore.stampGeometry)
     GateStore.stampGeometry(dir,
@@ -986,12 +986,13 @@ object SimHashNearDupGate {
       ttlMillis: Long = 0L, ttlColumn: String = "",
       residentMb: Long = -1L): ShardedNearDupGate = {
     require(shards >= 2, s"use create() for an unsharded gate (shards=$shards)")
-    val root = Paths.get(storeRoot, name)
-    Files.createDirectories(root)
+    val root = GateStore.gateRoot(storeRoot, name)
+    val sfs = graft.io.StoreFs.forRoot(root)
+    sfs.mkdirs(root)
     GateStore.stampGeometry(root, s"shards_$shards")
     val cores = (0 until shards).map { k =>
-      val dir = root.resolve(s"s${k}of$shards").resolve("seen_fps")
-      Files.createDirectories(dir)
+      val dir = GateStore.child(GateStore.child(root, s"s${k}of$shards"), "seen_fps")
+      sfs.mkdirs(dir)
       GateStore.stampGeometry(dir,
         s"simhash_k$blocks" + (if (ttlMillis > 0) "_ttl" else ""))
       val core = new SimHashNearDupGate(eng, name, textSql, orderCol, sink,

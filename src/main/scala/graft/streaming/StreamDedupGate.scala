@@ -1,7 +1,5 @@
 package graft.streaming
 
-import java.nio.file.{Files, Path, Paths}
-
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -98,7 +96,7 @@ final class StreamDedupGate private[streaming] (
     keySql: String,
     orderCol: String,
     sink: String,
-    storeDir: Path,
+    storeDir: String,
     bloomP: Double,
     bloomN0: Int,
     compactEvery: Int,
@@ -160,8 +158,9 @@ final class StreamDedupGate private[streaming] (
   }
 
   private val exactlyOnce = delivery == StreamDedupGate.ExactlyOnce
-  private val spoolDir: Path = storeDir.getParent.resolve("spool")
-  if (exactlyOnce) Files.createDirectories(spoolDir)
+  private val spoolDir: String =
+    GateStore.child(GateStore.parentOf(storeDir), "spool")
+  if (exactlyOnce) graft.io.StoreFs.forRoot(spoolDir).mkdirs(spoolDir)
 
   /** ttl × exactly_once: the survivors-only spool cannot rebuild a
     * windowed store (every arrival's seen-time must be recorded, not just
@@ -232,7 +231,7 @@ final class StreamDedupGate private[streaming] (
     * append of batch N overlaps batch N+1's collect; `drain()` before the
     * store-presence check keeps decisions serialized on committed store
     * state ([[CommitPipeline]] documents the contract). */
-  private val pipeline = new CommitPipeline(name, Seq(storeDir.toString))
+  private val pipeline = new CommitPipeline(name, Seq(storeDir))
   /** Test/stats seam: see [[CommitPipeline]]. */
   private[graft] def commitPipeline: CommitPipeline = pipeline
 
@@ -282,7 +281,7 @@ final class StreamDedupGate private[streaming] (
   private[streaming] def bootstrap(): Unit = {
     // same-JVM restart fixtures: wait out any deferred commit an abandoned
     // instance of this store still has in flight (see CommitPipeline)
-    CommitPipeline.drainRoots(Seq(storeDir.toString))
+    CommitPipeline.drainRoots(Seq(storeDir))
     bootstrapLocked()
   }
 
@@ -779,7 +778,7 @@ final class StreamDedupGate private[streaming] (
   // spool/marker file protocol: ONE implementation shared with the
   // seen-based gate family ([[GateSpool]]) — parsing/housekeeping fixes
   // cannot drift between the two spool formats
-  private def spoolEpochs(): Seq[(Long, Path)] = GateSpool.spoolEpochs(spoolDir)
+  private def spoolEpochs(): Seq[(Long, String)] = GateSpool.spoolEpochs(spoolDir)
   private def spoolMaxEpoch(): Long =
     spoolEpochs().lastOption.map(_._1).getOrElse(0L)
   private def deliveredEpoch(): Long = GateSpool.deliveredEpoch(spoolDir)
@@ -894,7 +893,7 @@ final class StreamDedupGate private[streaming] (
       d.appendNewKeys(epoch)
       failpoint("after-store")
       val spooled = eng.spark.read.parquet(
-        spoolDir.resolve(f"fwd_$epoch%05d.parquet").toString)
+        GateStore.child(spoolDir, f"fwd_$epoch%05d.parquet"))
       if (n > 0) eng.insertInto(sink, spooled)
       failpoint("after-deliver")
       markDelivered(epoch)
@@ -944,11 +943,12 @@ object StreamDedupGate {
       ttlMillis: Long = 0L, ttlColumn: String = "",
       backend: String = DriverBackend,
       stateParts: Int = 0): StreamDedupGate = {
-    val root = Paths.get(storeRoot, name)
-    Files.createDirectories(root)
+    val root = GateStore.gateRoot(storeRoot, name)
+    val sfs = graft.io.StoreFs.forRoot(root)
+    sfs.mkdirs(root)
     GateStore.stampGeometry(root, "shards_1")
-    val dir = root.resolve("seen_keys")
-    Files.createDirectories(dir)
+    val dir = GateStore.child(root, "seen_keys")
+    sfs.mkdirs(dir)
     // the windowed store carries (h, ts), the plain one (h): a mode flip
     // over an existing store is refused, not silently misread
     GateStore.stampGeometry(dir,
@@ -981,12 +981,13 @@ object StreamDedupGate {
       delivery: String = AtLeastOnce,
       ttlMillis: Long = 0L, ttlColumn: String = ""): ShardedDedupGate = {
     require(shards >= 2, s"use create() for an unsharded gate (shards=$shards)")
-    val root = Paths.get(storeRoot, name)
-    Files.createDirectories(root)
+    val root = GateStore.gateRoot(storeRoot, name)
+    val sfs = graft.io.StoreFs.forRoot(root)
+    sfs.mkdirs(root)
     GateStore.stampGeometry(root, s"shards_$shards")
     val cores = (0 until shards).map { k =>
-      val dir = root.resolve(s"s${k}of$shards").resolve("seen_keys")
-      Files.createDirectories(dir)
+      val dir = GateStore.child(GateStore.child(root, s"s${k}of$shards"), "seen_keys")
+      sfs.mkdirs(dir)
       GateStore.stampGeometry(dir,
         if (ttlMillis > 0) "dedup_windowed" else "dedup")
       val core = new StreamDedupGate(eng, name, keySql, orderCol, sink, dir,

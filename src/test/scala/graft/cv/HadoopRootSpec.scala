@@ -14,8 +14,8 @@ import org.scalatest.funsuite.AnyFunSuite
   * parquet IO rides the same URI. This is the deploy shape of a shared-
   * storage cluster (swap `file:` for `hdfs:`/`s3a:`); a java.nio call
   * surviving on the CV store path fails here with an unparseable-path
-  * error. The gate tier's stores stay POSIX-rooted (GateStore's local
-  * staging) — documented in StoreFs's scaladoc as the seam's next port.
+  * error. The gate tier's equivalent battery is GateHadoopRootSpec
+  * (round 17); the BM25 index's is KeywordIndexSpec's file-uri rows.
   */
 class HadoopRootSpec extends AnyFunSuite {
 

@@ -80,4 +80,21 @@ class StoreFsSpec extends AnyFunSuite {
         fs.readString(s"$root/b/inner/x") === "12345")
     }
   }
+
+  test("move without replace refuses an existing destination on both " +
+      "impls (FileSystem.rename would silently nest src INSIDE a dest dir)") {
+    withBoth { (fs, root) =>
+      fs.mkdirs(s"$root/src")
+      fs.writeString(s"$root/src/x", "1")
+      fs.mkdirs(s"$root/dest") // leftover dir at the rename target
+      intercept[java.nio.file.FileAlreadyExistsException] {
+        fs.move(s"$root/src", s"$root/dest")
+      }
+      assert(fs.readString(s"$root/src/x") === "1", "src untouched")
+      assert(!fs.exists(s"$root/dest/src"), "no silent nesting")
+      // replace=true still works
+      fs.move(s"$root/src", s"$root/dest", replace = true)
+      assert(fs.readString(s"$root/dest/x") === "1")
+    }
+  }
 }

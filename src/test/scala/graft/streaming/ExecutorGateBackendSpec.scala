@@ -419,7 +419,7 @@ class ExecutorGateBackendSpec extends AnyFunSuite {
 
   test("executor backend refuses driver-thread core sharding") {
     intercept[IllegalArgumentException] {
-      new ExecutorGateIndex(spark, java.nio.file.Paths.get("/tmp/never"), 0, false)
+      new ExecutorGateIndex(spark, "/tmp/never", 0, false)
     }
   }
 

@@ -29,25 +29,25 @@ class GateSpoolSpec extends AnyFunSuite {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_spool_magic")
     GateStore.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"),
-      dir, "fwd", 1L)
+      dir.toString, "fwd", 1L)
     val good = dir.resolve("fwd_00001.parquet")
-    assert(GateSpool.magicOk(good), "a real single-file parquet must pass")
+    assert(GateSpool.magicOk(good.toString), "a real single-file parquet must pass")
 
     val garbage = dir.resolve("garbage")
     Files.write(garbage, "not parquet at all".getBytes)
-    assert(!GateSpool.magicOk(garbage))
+    assert(!GateSpool.magicOk(garbage.toString))
 
     // torn write: header magic intact, tail never made it to disk
     val torn = dir.resolve("torn")
     val bytes = Files.readAllBytes(good)
     Files.write(torn, bytes.take(bytes.length / 2))
-    assert(!GateSpool.magicOk(torn))
+    assert(!GateSpool.magicOk(torn.toString))
 
     val tiny = dir.resolve("tiny")
     Files.write(tiny, "PAR1".getBytes)
-    assert(!GateSpool.magicOk(tiny), "< 12 bytes cannot be a parquet file")
+    assert(!GateSpool.magicOk(tiny.toString), "< 12 bytes cannot be a parquet file")
 
-    assert(!GateSpool.magicOk(dir.resolve("missing")))
+    assert(!GateSpool.magicOk(dir.resolve("missing").toString))
   }
 
   test("looksCorrupt: parquet decode/footer evidence yes; transient errors no") {
@@ -68,15 +68,15 @@ class GateSpoolSpec extends AnyFunSuite {
   test("readSpool: quarantines a magic-failed file, reads a valid one") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_spool_read")
-    GateStore.append(Seq((7L, "x")).toDF("id", "v"), dir, "fwd", 1L)
+    GateStore.append(Seq((7L, "x")).toDF("id", "v"), dir.toString, "fwd", 1L)
     val good = dir.resolve("fwd_00001.parquet")
-    assert(GateSpool.readSpool(spark, good, "spec")
+    assert(GateSpool.readSpool(spark, good.toString, "spec")
       .exists(_.count() == 1L), "valid spool must read")
     assert(Files.exists(good), "a valid spool must not be touched")
 
     val bad = dir.resolve("fwd_00002.parquet")
     Files.write(bad, "definitely not parquet".getBytes)
-    assert(GateSpool.readSpool(spark, bad, "spec").isEmpty)
+    assert(GateSpool.readSpool(spark, bad.toString, "spec").isEmpty)
     assert(!Files.exists(bad) &&
       Files.exists(dir.resolve("fwd_00002.parquet.corrupt")),
       "a torn spool must be quarantined in place")
@@ -89,8 +89,8 @@ class GateSpoolSpec extends AnyFunSuite {
     java.util.Arrays.fill(junk, 'x'.toByte)
     val payload = "PAR1".getBytes ++ junk ++ "PAR1".getBytes
     Files.write(framed, payload)
-    assert(GateSpool.magicOk(framed), "the frame check alone must pass")
-    assert(GateSpool.readSpool(spark, framed, "spec").isEmpty)
+    assert(GateSpool.magicOk(framed.toString), "the frame check alone must pass")
+    assert(GateSpool.readSpool(spark, framed.toString, "spec").isEmpty)
     assert(!Files.exists(framed) &&
       Files.exists(dir.resolve("fwd_00003.parquet.corrupt")),
       "a corrupt-footer spool must be quarantined via the classifier")

@@ -73,7 +73,7 @@ class GateStoreSpec extends AnyFunSuite {
 
   test("compaction writes range-stamped sorted shards; reads prune to them") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft_gs")
+    val dir = java.nio.file.Files.createTempDirectory("graft_gs").toString
     // three per-batch appends with interleaved key ranges
     (1 to 3).foreach { b =>
       val rows = (0 until 100).map(i => (i.toLong * 3 + b, b.toLong, i.toLong))
@@ -106,12 +106,12 @@ class GateStoreSpec extends AnyFunSuite {
     assert(rows.length === 1)
     // full store content unchanged by compaction
     assert(spark.read.parquet(GateStore.files(dir): _*).count() === 300L)
-    GateStore.deleteRecursively(dir.toFile)
+    GateStore.deleteRecursively(new java.io.File(dir))
   }
 
   test("compaction distincts duplicated rows; re-compaction is TIERED") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft_gs2")
+    val dir = java.nio.file.Files.createTempDirectory("graft_gs2").toString
     val rows = (0 until 50).map(i => (i.toLong, "k" + i)).toDF("bucket", "id")
     GateStore.append(rows, dir, "p", 1L, sortCol = Some("bucket"))
     GateStore.append(rows, dir, "p", 2L, sortCol = Some("bucket")) // retry duplicate
@@ -134,7 +134,7 @@ class GateStoreSpec extends AnyFunSuite {
     val sf = GateStore.storeFiles(dir)
     assert(spark.read.parquet(GateStore.pruned(sf, Array(55L)): _*)
       .where(org.apache.spark.sql.functions.col("bucket") === 55L).count() === 1L)
-    GateStore.deleteRecursively(dir.toFile)
+    GateStore.deleteRecursively(new java.io.File(dir))
   }
 
   test("inSetCol matches Catalyst-internal forms beyond string/long") {
@@ -188,7 +188,7 @@ class GateStoreSpec extends AnyFunSuite {
 
   test("major fold collapses generations once they exceed the bound") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft_gs5")
+    val dir = java.nio.file.Files.createTempDirectory("graft_gs5").toString
     // one append + one minor fold per cycle (shards=1 → one generation
     // file each); at majorGens=3 the 5th cycle must fold EVERYTHING
     var maxFiles = 0
@@ -208,7 +208,7 @@ class GateStoreSpec extends AnyFunSuite {
     // content survives the collapse, deduplicated and range-stamped
     assert(spark.read.parquet(GateStore.files(dir): _*).count() === 6L)
     assert(GateStore.storeFiles(dir).forall(_.range.isDefined))
-    GateStore.deleteRecursively(dir.toFile)
+    GateStore.deleteRecursively(new java.io.File(dir))
   }
 
   test("dedup gate bloom regrows once the store outgrows its design size") {
