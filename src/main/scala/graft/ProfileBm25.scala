@@ -30,8 +30,14 @@ object ProfileBm25 {
     val idx = (1 to 3).map(_ => t {
       graft.ops.KeywordScore.bm25Indexed(spark, idxDir, terms).count(); ()
     }).sorted.apply(1)
+    graft.ops.KeywordScore.bm25IndexedTopK(spark, idxDir, terms, 20).count() // warm
+    val topk = (1 to 3).map(_ => t {
+      graft.ops.KeywordScore.bm25IndexedTopK(spark, idxDir, terms, 20)
+        .count(); ()
+    }).sorted.apply(1)
     println(f"RESULT scan=$scan%.3f build=$build%.3f indexed=$idx%.3f " +
-      f"speedup=${scan / idx}%.2fx")
+      f"topk=$topk%.3f speedup=${scan / idx}%.2fx " +
+      f"topk_vs_indexed=${idx / topk}%.2fx")
     spark.stop()
   }
 }

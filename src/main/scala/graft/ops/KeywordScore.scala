@@ -115,12 +115,19 @@ object KeywordScore {
   // Explicit reader schemas: no footer-based inference, so files of an
   // UNCOMMITTED (possibly torn) generation are listed but never opened —
   // the gen partition filter prunes them before any byte is read.
+  // `impact`/`max_impact` (round 17, postings format 2): the normalized
+  // tf-saturation term tfc/(k1+1) at the BUILD's reference avgdl and the
+  // DEFAULT (k1=1.2, b=0.75) — what impact-ordered row groups and the
+  // top-k pruning bound ([[bm25IndexedTopK]]) run on. NULL on format-1
+  // generations; readers fall back to full scoring there.
   private val postingsSchema = StructType(Seq(
     StructField("term", StringType), StructField("doc_id", LongType),
     StructField("dl", DoubleType), StructField("tf", DoubleType),
+    StructField("impact", DoubleType),
     StructField("gen", IntegerType), StructField("bucket", IntegerType)))
   private val dfSchema = StructType(Seq(
     StructField("term", StringType), StructField("df", DoubleType),
+    StructField("max_impact", DoubleType),
     StructField("gen", IntegerType), StructField("bucket", IntegerType)))
   private val statsSchema = StructType(Seq(
     StructField("n", DoubleType), StructField("dl_sum", DoubleType),
@@ -128,12 +135,24 @@ object KeywordScore {
   private val deletedSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("gen", IntegerType)))
 
-  /** One committed generation, parsed from its `_commits/gen_<k>.json`
-    * marker. `kind`: base | delta | tombstone | compact. */
-  private[graft] case class Gen(gen: Int, kind: String,
-      deltaId: Option[String], replaces: Seq[Int])
+  /** The (k1, b) the stored impact column was computed with. A top-k
+    * query at other parameters falls back to full scoring — the bound
+    * below is only valid at the build's parameters. */
+  val ImpactK1 = 1.2
+  val ImpactB = 0.75
 
-  private def commitsDir(dir: String): Path = Paths.get(dir, "_commits")
+  /** One committed generation, parsed from its `_commits/gen_<k>.json`
+    * marker. `kind`: base | delta | tombstone | compact | noop.
+    * `pfmt`: postings format — 2 carries the impact column (absent on
+    * pre-r17 markers → 1). */
+  private[graft] case class Gen(gen: Int, kind: String,
+      deltaId: Option[String], replaces: Seq[Int], pfmt: Int = 1)
+
+  // Index metadata (markers, listings, sweeps) runs through the StoreFs
+  // seam, so an index dir may be a plain path OR a URI root ("file:/…",
+  // "hdfs://…") — the same portability the CV store tier has. Bulk
+  // postings/df/stats IO was always URI-capable (spark.read/write).
+  private def commitsDir(dir: String): String = s"$dir/_commits"
   private val markerRe = """gen_(\d+)\.json""".r
 
   /** All commit markers ever published, ascending by generation. Marker
@@ -143,64 +162,79 @@ object KeywordScore {
     * compact marker as a plain delta, resurrecting every generation its
     * `replaces` list retired (double-counted scores, no error). Markers
     * are published atomically, so an unreadable one is a transient IO
-    * fault: fail the query, let the caller retry. */
+    * fault: fail the query, let the caller retry. A dir with postings
+    * DATA but no markers at all is a pre-generational (unmigrated) index
+    * — scoring it as an empty corpus would be silently wrong, so it
+    * throws too. */
   private[graft] def readCommits(dir: String): Seq[Gen] = {
-    val d = commitsDir(dir).toFile
-    Option(d.listFiles()).getOrElse(Array.empty).toSeq.flatMap { f =>
-      f.getName match {
-        case markerRe(k) =>
-          val txt = Files.readString(f.toPath) // IO failure: propagate
-          val kind = """"kind"\s*:\s*"(\w+)"""".r.findFirstMatchIn(txt)
-            .map(_.group(1)).getOrElse(throw new IllegalStateException(
-              s"bm25 index marker ${f.getName} under $dir is unparseable: $txt"))
-          val deltaId = """"delta_id"\s*:\s*"([^"]*)"""".r
-            .findFirstMatchIn(txt).map(_.group(1))
-          val replaces = """"replaces"\s*:\s*\[([^\]]*)\]""".r
-            .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
-            .split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq
-          Some(Gen(k.toInt, kind, deltaId, replaces))
-        case _ => None
-      }
+    val fs = graft.io.StoreFs.forRoot(dir)
+    val cd = commitsDir(dir)
+    val gens = fs.list(cd).flatMap {
+      case name @ markerRe(k) =>
+        val txt = fs.readString(s"$cd/$name") // IO failure: propagate
+        val kind = """"kind"\s*:\s*"(\w+)"""".r.findFirstMatchIn(txt)
+          .map(_.group(1)).getOrElse(throw new IllegalStateException(
+            s"bm25 index marker $name under $dir is unparseable: $txt"))
+        val deltaId = """"delta_id"\s*:\s*"([^"]*)"""".r
+          .findFirstMatchIn(txt).map(_.group(1))
+        val replaces = """"replaces"\s*:\s*\[([^\]]*)\]""".r
+          .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+          .split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq
+        val pfmt = """"pfmt"\s*:\s*(\d+)""".r.findFirstMatchIn(txt)
+          .map(_.group(1).toInt).getOrElse(1)
+        Some(Gen(k.toInt, kind, deltaId, replaces, pfmt))
+      case _ => None
     }.sortBy(_.gen)
+    if (gens.isEmpty && fs.list(s"$dir/postings").nonEmpty)
+      throw new IllegalStateException(
+        s"bm25 index at $dir has postings data but no commit markers — an " +
+          "unmigrated pre-generational index; rebuild it with buildIndex " +
+          "(scoring it would silently return an empty corpus)")
+    gens
   }
 
-  /** Committed-and-not-replaced generations — what readers may see. */
+  /** Committed-and-not-replaced generations — what readers may see.
+    * `noop` markers (an idempotence stamp with no data — see
+    * [[deleteDocs]]'s no-active-index path) carry no reader-visible
+    * state and are excluded. */
   private def activeOf(commits: Seq[Gen]): Seq[Int] = {
     val replaced = commits.flatMap(_.replaces).toSet
-    commits.map(_.gen).filterNot(replaced)
+    commits.filter(_.kind != "noop").map(_.gen).filterNot(replaced)
   }
 
   /** THE commit point: the staged generation's marker lands atomically
-    * (temp write + CommitFs.publish, fsynced — a torn index silently
-    * skews every future score, so this commit pays the durable class). */
+    * (temp write + StoreFs.publish, fsynced where the fs can — a torn
+    * index silently skews every future score, so this commit pays the
+    * durable class). */
   private def publishMarker(dir: String, g: Gen): Unit = {
     // delta ids are interpolated into the marker JSON verbatim — keep
     // them out of JSON-syntax territory (they are caller-chosen batch
     // stamps, not free text)
     g.deltaId.foreach(id => require(!id.exists(c => c == '"' || c == '\\' ||
       c < ' '), s"delta id must not contain quotes/backslashes/control chars: $id"))
-    Files.createDirectories(commitsDir(dir))
+    val fs = graft.io.StoreFs.forRoot(dir)
+    fs.mkdirs(commitsDir(dir))
     val delta = g.deltaId.map(d => s""","delta_id": "$d"""").getOrElse("")
     val repl = if (g.replaces.isEmpty) ""
       else s""","replaces": [${g.replaces.mkString(",")}]"""
-    val txt = s"""{"gen": ${g.gen}, "kind": "${g.kind}"$delta$repl}"""
-    val tmp = commitsDir(dir).resolve(s".gen_${g.gen}.tmp")
-    Files.writeString(tmp, txt)
-    graft.io.CommitFs.current.publish(tmp,
-      commitsDir(dir).resolve(s"gen_${g.gen}.json"), durable = true)
+    val txt =
+      s"""{"gen": ${g.gen}, "kind": "${g.kind}", "pfmt": ${g.pfmt}$delta$repl}"""
+    val tmp = s"${commitsDir(dir)}/.gen_${g.gen}.tmp"
+    fs.writeString(tmp, txt)
+    fs.publish(tmp, s"${commitsDir(dir)}/gen_${g.gen}.json", durable = true)
   }
 
   /** Next unused generation number: above every committed marker AND
     * every data dir present (an orphan dir from a crashed writer must
     * never be reused — its torn files would alias the new generation). */
   private def nextGen(dir: String, commits: Seq[Gen]): Int = {
+    val fs = graft.io.StoreFs.forRoot(dir)
     val genDirRe = """gen=(\d+)""".r
     val onDisk = Seq("postings", "df", "stats", "deleted").flatMap { t =>
-      Option(Paths.get(dir, t).toFile.listFiles()).getOrElse(Array.empty)
-        .toSeq.flatMap(f => f.getName match {
-          case genDirRe(k) => Some(k.toInt)
-          case _ => None
-        })
+      fs.list(s"$dir/$t").flatMap {
+        case genDirRe(k) => Some(k.toInt)
+        case _ => None
+      }
     }
     ((commits.map(_.gen) ++ onDisk) :+ -1).max + 1
   }
@@ -224,10 +258,10 @@ object KeywordScore {
   def buildIndex(docs: DataFrame, idCol: String, textCol: String,
       dir: String): Unit = {
     // a rebuild owns the dir: clear any previous index (data + markers)
-    deleteRecursively(Paths.get(dir))
+    graft.io.StoreFs.forRoot(dir).deleteRecursively(dir)
     statsCache.remove(dir)
     writeGeneration(docs, idCol, textCol, dir, gen = 0)
-    publishMarker(dir, Gen(0, "base", None, Nil))
+    publishMarker(dir, Gen(0, "base", None, Nil, pfmt = 2))
   }
 
   /** Append NEW documents (caller contract: doc_ids not already indexed —
@@ -250,42 +284,68 @@ object KeywordScore {
     statsCache.remove(dir) // this JVM's cached (n, dl_sum) is now stale
     val g = nextGen(dir, commits)
     writeGeneration(docs, idCol, textCol, dir, gen = g)
-    publishMarker(dir, Gen(g, "delta", deltaId, Nil))
+    publishMarker(dir, Gen(g, "delta", deltaId, Nil, pfmt = 2))
   }
+
+  /** The stored impact of a posting: tfc/(k1+1) at the build defaults
+    * and reference avgdl `a` — a (0,1] saturation value whose row-group
+    * min/max let a top-k scan skip groups that cannot contribute. */
+  private def impactCol(tf: Column, dl: Column, a: Double): Column =
+    tf / (tf + lit(ImpactK1 * (1 - ImpactB)) +
+      lit(ImpactK1 * ImpactB) * dl / lit(math.max(a, 1e-9)))
 
   /** Stage one generation's three tables under `gen=<gen>/` partition
     * dirs. NOT a commit — nothing is reader-visible until
     * [[publishMarker]] lands; a crash at any point here leaves an orphan
-    * dir that [[nextGen]] skips and [[compactIndex]] sweeps. */
+    * dir that [[nextGen]] skips and [[compactIndex]] sweeps. The corpus
+    * stats run FIRST (one tiny-result job) because the generation's OWN
+    * avgdl is the impact column's reference (reader bound:
+    * tfc_now/(k1+1) ≤ impact × max(1, avgdl_now/avgdl_gen) — see
+    * [[bm25IndexedTopK]]); the df table then derives from the
+    * just-written postings (one doc-term pair per row), which replaces
+    * the old second corpus scan with a re-read of the generation's own
+    * (page-cached, pruned) output. */
   private def writeGeneration(docs: DataFrame, idCol: String,
       textCol: String, dir: String, gen: Int): Unit = {
     val toks = tokenize(col(textCol))
+    val st = docs.select(size(toks).cast("double").as("dl"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        coalesce(sum("dl"), lit(0.0)).as("dl_sum"))
+      .collect()(0)
+    val (n, dlSum) = (st.getDouble(0), st.getDouble(1))
+    val aRef = if (n > 0) dlSum / n else 0.0
     docs.select(col(idCol).cast("long").as("doc_id"),
         size(toks).cast("double").as("dl"), explode(toks).as("term"))
       .groupBy("term", "doc_id", "dl")
       .agg(count(lit(1)).cast("double").as("tf"))
+      .withColumn("impact", impactCol(col("tf"), col("dl"), aRef))
       .withColumn("bucket",
         pmod(xxhash64(col("term")), lit(IndexBuckets.toLong)))
       .repartition(col("bucket"))
-      .sortWithinPartitions("term")
+      .sortWithinPartitions(col("term"), col("impact").desc)
       .write.partitionBy("bucket")
       .parquet(s"$dir/postings/gen=$gen")
     failpoint("postings")
-    // this generation's per-term doc counts, straight from the delta (a
-    // doc contributes once per distinct term) — readers SUM generations
-    docs.select(explode(array_distinct(tokenize(col(textCol)))).as("term"))
-      .groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    // this generation's per-term doc counts + max impact, derived from
+    // the staged postings (one row per doc-term pair) — readers SUM df
+    // and MAX max_impact across generations
+    spark(docs).read.schema(postingsSchema)
+      .option("basePath", s"$dir/postings") // keep gen/bucket partition cols
+      .parquet(s"$dir/postings/gen=$gen")
+      .groupBy("term").agg(count(lit(1)).cast("double").as("df"),
+        max("impact").as("max_impact"))
       .withColumn("bucket",
         pmod(xxhash64(col("term")), lit(IndexBuckets.toLong)))
       .repartition(col("bucket"))
       .write.partitionBy("bucket").parquet(s"$dir/df/gen=$gen")
     failpoint("df")
-    docs.select(size(tokenize(col(textCol))).cast("double").as("dl"))
-      .agg(count(lit(1)).cast("double").as("n"),
-        coalesce(sum("dl"), lit(0.0)).as("dl_sum"))
+    docs.sparkSession.range(1)
+      .select(lit(n).as("n"), lit(dlSum).as("dl_sum"))
       .coalesce(1).write.parquet(s"$dir/stats/gen=$gen")
     failpoint("stats")
   }
+
+  private def spark(df: DataFrame) = df.sparkSession
 
   /** Remove documents BY ID as one committed tombstone generation — the
     * dedup→re-index loop's maintenance op, costing one pruned-to-active
@@ -312,7 +372,18 @@ object KeywordScore {
       return
     }
     val active = activeOf(commits)
-    if (active.isEmpty) return
+    if (active.isEmpty) {
+      // no index to subtract from — but the delta id must still be
+      // RECORDED, or a retry of this same id after the index is later
+      // (re)built would apply the delete against data the original call
+      // never saw. A `noop` marker carries the id with no data dirs;
+      // readers skip it (activeOf), idempotence checks see it.
+      deltaId.foreach { id =>
+        publishMarker(dir,
+          Gen(nextGen(dir, commits), "noop", Some(id), Nil, pfmt = 2))
+      }
+      return
+    }
     statsCache.remove(dir)
     val g = nextGen(dir, commits)
     val ids = docIds.select(
@@ -340,7 +411,7 @@ object KeywordScore {
         .write.parquet(s"$dir/deleted/gen=$g")
       failpoint("deleted")
     } finally { mine.unpersist(); () }
-    publishMarker(dir, Gen(g, "tombstone", deltaId, Nil))
+    publishMarker(dir, Gen(g, "tombstone", deltaId, Nil, pfmt = 2))
   }
 
   /** Fold every active generation (applying tombstones) into ONE fresh
@@ -358,41 +429,70 @@ object KeywordScore {
     val active = activeOf(commits)
     val activeSet = active.toSet
     val tombs = commits.exists(c => activeSet(c.gen) && c.kind == "tombstone")
-    if (active.size <= 1 && !tombs) return // nothing to fold
+    if (active.size <= 1 && !tombs) {
+      // nothing to fold — but a PREVIOUS compaction's deferred retirees
+      // (see sweepDead's deferral contract) may still be on disk
+      sweepDead(dir, keep = activeSet)
+      return
+    }
     statsCache.remove(dir)
     val g = nextGen(dir, commits)
-    activePostings(spark, dir, active, commits, lit(true))
-      .select("term", "doc_id", "dl", "tf", "bucket")
-      .repartition(col("bucket"))
-      .sortWithinPartitions("term")
-      .write.partitionBy("bucket").parquet(s"$dir/postings/gen=$g")
-    spark.read.schema(dfSchema).parquet(s"$dir/df")
+    // folded stats first: the fold's OWN avgdl is the new generation's
+    // impact reference, so the impact column is recomputed here — which
+    // also UPGRADES a pre-impact (format-1) index to format 2
+    val st = spark.read.schema(statsSchema).parquet(s"$dir/stats")
       .where(col("gen").isin(active: _*))
-      .groupBy("term").agg(sum("df").as("df"))
+      .agg(coalesce(sum("n"), lit(0.0)), coalesce(sum("dl_sum"), lit(0.0)))
+      .collect()(0)
+    val (n, dlSum) = (st.getDouble(0), st.getDouble(1))
+    val aRef = if (n > 0) dlSum / n else 0.0
+    activePostings(spark, dir, active, commits, lit(true))
+      .select(col("term"), col("doc_id"), col("dl"), col("tf"),
+        impactCol(col("tf"), col("dl"), aRef).as("impact"), col("bucket"))
+      .repartition(col("bucket"))
+      .sortWithinPartitions(col("term"), col("impact").desc)
+      .write.partitionBy("bucket").parquet(s"$dir/postings/gen=$g")
+    // folded df + max_impact derive from the folded postings (tombstones
+    // already applied there), like writeGeneration's — token-less docs
+    // have no postings, so a df(term) can never go missing this way
+    spark.read.schema(postingsSchema)
+      .option("basePath", s"$dir/postings")
+      .parquet(s"$dir/postings/gen=$g")
+      .groupBy("term").agg(count(lit(1)).cast("double").as("df"),
+        max("impact").as("max_impact"))
       .where(col("df") > 0)
       .withColumn("bucket",
         pmod(xxhash64(col("term")), lit(IndexBuckets.toLong)))
       .repartition(col("bucket"))
       .write.partitionBy("bucket").parquet(s"$dir/df/gen=$g")
-    spark.read.schema(statsSchema).parquet(s"$dir/stats")
-      .where(col("gen").isin(active: _*))
-      .agg(coalesce(sum("n"), lit(0.0)).as("n"),
-        coalesce(sum("dl_sum"), lit(0.0)).as("dl_sum"))
+    spark.range(1).select(lit(n).as("n"), lit(dlSum).as("dl_sum"))
       .coalesce(1).write.parquet(s"$dir/stats/gen=$g")
-    publishMarker(dir, Gen(g, "compact", None, active))
-    // data-dir sweep: after the compact marker, generation g is the ONLY
-    // active one — every other gen dir (retired actives, crashed
-    // writers' orphans, leftovers from an earlier failed sweep) is dead.
-    // Best-effort — readers never resolve them either way.
+    publishMarker(dir, Gen(g, "compact", None, active, pfmt = 2))
+    // data-dir sweep, DEFERRED by one compaction cycle: the generations
+    // THIS fold just retired stay on disk until the NEXT compaction, so a
+    // concurrent reader in another process that resolved the old active
+    // set just before the marker landed can still finish its scan (the
+    // same hazard the indexFor LRU eviction defers deletion for). What
+    // sweeps NOW: dirs retired by the PREVIOUS compaction, crashed
+    // writers' orphans, and leftovers of an earlier failed sweep — none
+    // of which any reader could have resolved against the pre-fold
+    // marker set.
+    sweepDead(dir, keep = active.toSet + g)
+  }
+
+  /** Delete every on-disk `gen=<k>` data dir whose generation is not in
+    * `keep` — best-effort (readers never resolve swept gens from the
+    * current markers either way). Callers choose `keep` to implement the
+    * one-cycle sweep deferral documented at [[compactIndex]]. */
+  private def sweepDead(dir: String, keep: Set[Int]): Unit = {
+    val fs = graft.io.StoreFs.forRoot(dir)
     val genDirRe = """gen=(\d+)""".r
     Seq("postings", "df", "stats", "deleted").foreach { t =>
-      Option(Paths.get(dir, t).toFile.listFiles()).getOrElse(Array.empty)
-        .foreach { f =>
-          f.getName match {
-            case genDirRe(k) if k.toInt != g => deleteRecursively(f.toPath)
-            case _ =>
-          }
-        }
+      fs.list(s"$dir/$t").foreach {
+        case name @ genDirRe(k) if !keep(k.toInt) =>
+          fs.deleteRecursively(s"$dir/$t/$name")
+        case _ =>
+      }
     }
   }
 
@@ -421,24 +521,30 @@ object KeywordScore {
     }
   }
 
-  /** Corpus stats summed across active generations: (N, avgdl). Cached
-    * per dir WITH the active-generation signature — a marker published by
-    * this or ANY OTHER process changes the signature, so the cache
-    * self-refreshes on the next read instead of serving stale stats. */
+  /** Corpus stats summed across active generations: (N, avgdl, and the
+    * SMALLEST per-generation avgdl — [[bm25IndexedTopK]]'s impact
+    * conversion reference; 0 when no generation has positive n). ONE
+    * tiny-result job, cached per dir WITH the active-generation
+    * signature — a marker published by this or ANY OTHER process changes
+    * the signature, so the cache self-refreshes on the next read instead
+    * of serving stale stats. */
   private def readStats(spark: SparkSession, dir: String,
-      active: Seq[Int]): (Double, Double) = {
+      active: Seq[Int]): (Double, Double, Double) = {
     val sig = active.mkString(",")
     val cached = statsCache.get(dir)
-    if (cached != null && cached._1 == sig) return (cached._2, cached._3)
-    if (active.isEmpty) return (0.0, 0.0)
+    if (cached != null && cached._1 == sig)
+      return (cached._2, cached._3, cached._4)
+    if (active.isEmpty) return (0.0, 0.0, 0.0)
     val st = spark.read.schema(statsSchema).parquet(s"$dir/stats")
       .where(col("gen").isin(active: _*))
-      .agg(coalesce(sum("n"), lit(0.0)), coalesce(sum("dl_sum"), lit(0.0)))
+      .agg(coalesce(sum("n"), lit(0.0)), coalesce(sum("dl_sum"), lit(0.0)),
+        min(when(col("n") > 0, col("dl_sum") / col("n"))))
       .collect()(0)
     val n = st.getDouble(0)
     val avgdl = if (n > 0) st.getDouble(1) / n else 0.0
-    statsCache.put(dir, (sig, n, avgdl))
-    (n, avgdl)
+    val aMin = if (st.isNullAt(2)) 0.0 else st.getDouble(2)
+    statsCache.put(dir, (sig, n, avgdl, aMin))
+    (n, avgdl, aMin)
   }
 
   /** df of each queried term summed across active generations (tombstone
@@ -464,7 +570,7 @@ object KeywordScore {
     // corpus stats are STATIC per committed generation set — cached per
     // dir+signature, so repeated queries pay zero jobs for them, like any
     // search service holding N/avgdl in memory
-    val (n, avgdl0) = readStats(spark, dir, active)
+    val (n, avgdl0, _) = readStats(spark, dir, active)
     if (n == 0.0)
       return spark.range(0)
         .select(col("id").as("doc_id"), lit(0.0).as("score"))
@@ -492,6 +598,207 @@ object KeywordScore {
     pivoted.select(col("doc_id"), score.as("score"))
   }
 
+  /** Top-k BM25 over a persisted index with MAX-IMPACT PRUNING — exact
+    * scores, sub-full-scoring cost (round 17; the r15/r16 verdicts'
+    * carried stretch item). Doc-at-a-time WAND is inexpressible at Spark
+    * scan granularity (PERF_NOTES §30), but its bound carries over to
+    * scan-at-a-time: postings are IMPACT-ORDERED within each term (build
+    * sorts by (term, impact desc)), so a pushed `impact >= θ` filter
+    * skips whole row groups of low-impact postings via their min/max
+    * stats, and the per-term `max_impact` in the df table bounds what
+    * the skipped rows could have contributed.
+    *
+    * The stored impact was computed at the GENERATION's own avgdl A and
+    * the default (k1, b); at query time with avgdl_now the sound bound is
+    *   tfc_now/(k1+1) ≤ impact × max(1, avgdl_now / A)
+    * (denominators differ only in the dl term; see the inline proof at
+    * `bf`). Algorithm, exact by construction:
+    *  1. phase A reads only postings with impact ≥ θ (row-group skipped):
+    *     every (doc, term) pair is atomic — seen pairs contribute their
+    *     EXACT score term; unseen pairs are bounded by
+    *     idf·(k1+1)·min(1, θ·bf, max_impact_t·bf);
+    *  2. docs NOT seen at all are bounded by U0 = Σ_t that bound; the
+    *     kth-largest LOWER bound L_k among seen docs must beat U0, else
+    *     θ lowers and phase A re-runs (≤3 tries, then full fallback);
+    *  3. the candidate set C = {seen docs with upper ≥ L_k − tieMargin}
+    *     is re-scored EXACTLY (phase B: same pruned term slices, doc_id
+    *     IN-set filter, no aggregation shuffle — C is collected);
+    *  4. the final top-k (plus `tieMargin` ties for deterministic
+    *     rounded-boundary callers) selects by exact score.
+    * At corpus scale the win is twofold: phase A's IO is the high-impact
+    * row groups only, and nothing corpus-sized ever shuffles — full
+    * scoring's per-doc aggregation moves every matching doc.
+    *
+    * Falls back to full scoring (identical results) when: non-default
+    * (k1, b); any active generation predates the impact format (pfmt<2
+    * markers — compaction upgrades them); bounds fail to converge; or
+    * candidates exceed [[MaxTopKCandidates]]. */
+  def bm25IndexedTopK(spark: SparkSession, dir: String, terms: Seq[String],
+      k: Int, k1: Double = 1.2, b: Double = 0.75,
+      tieMargin: Double = 0.0): DataFrame = {
+    require(terms.nonEmpty, "bm25 requires at least one query term")
+    require(k >= 1, s"k must be >= 1, got $k")
+    import spark.implicits._
+    def fromPairs(rows: Seq[(Long, Double)]): DataFrame =
+      rows.toDF("doc_id", "score")
+    def fullFallback(): DataFrame = {
+      val scored = bm25Indexed(spark, dir, terms, k1, b)
+      val top = scored.orderBy(col("score").desc, col("doc_id"))
+        .limit(k).collect()
+      if (top.isEmpty) return fromPairs(Nil)
+      val kth = top.last.getDouble(1)
+      scored.where(col("score") >= kth - tieMargin)
+    }
+    val commits = readCommits(dir)
+    val active = activeOf(commits)
+    val activeSet = active.toSet
+    // per-generation impact reference A = that gen's own dl_sum/n; the
+    // conservative global conversion factor uses the SMALLEST A —
+    // tombstones (negative n) have no postings and are excluded. Rides
+    // the SAME cached stats read as N/avgdl — zero extra jobs.
+    val (n, avgdl0, aMin) = readStats(spark, dir, active)
+    if (n == 0.0) return fromPairs(Nil)
+    if (k1 != ImpactK1 || b != ImpactB ||
+        commits.exists(c => activeSet(c.gen) && c.pfmt < 2))
+      return fullFallback()
+    val avgdl = math.max(avgdl0, 1e-9)
+    if (aMin <= 0.0) return fullFallback()
+    val bf = math.max(1.0, avgdl / aMin)
+    val buckets = terms.map(termBucket).distinct
+    // df + per-term max impact, pruned — launched CONCURRENTLY with phase
+    // A's first scan (neither depends on the other; both are tiny-result
+    // jobs, and at small corpora the per-job fixed latency is the whole
+    // cost of this path)
+    val dfTask = new java.util.concurrent.FutureTask(() =>
+      spark.read.schema(dfSchema).parquet(s"$dir/df")
+        .where(col("gen").isin(active: _*) &&
+          col("bucket").isin(buckets: _*) && col("term").isin(terms: _*))
+        .groupBy("term").agg(sum("df").as("df"),
+          max("max_impact").as("mi"))
+        .collect().map(r => r.getString(0) ->
+          (r.getDouble(1), if (r.isNullAt(2)) 1.0 else r.getDouble(2))).toMap)
+    val dfThread = new Thread(dfTask, "graft-bm25-topk-df")
+    dfThread.setDaemon(true)
+    dfThread.start()
+    // both phases collect RAW (doc_id, term, tf, dl) rows — CollectLimit
+    // scans with NO aggregation shuffle; scoring runs on the driver in
+    // the SAME fixed term order as the pivot tier's expression, so the
+    // floating-point arithmetic agrees bit-for-bit with bm25Indexed
+    def rawScan(cond: Column, max: Int): Array[org.apache.spark.sql.Row] = {
+      // take(max) alone runs CollectLimit's INCREMENTAL rounds (1, then 4,
+      // 16… partitions — a job per round); forcing the initial round to
+      // cover every partition keeps the row cap at ONE job
+      val key = "spark.sql.limit.initialNumPartitions"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "100000")
+      try activePostings(spark, dir, active, commits,
+        col("bucket").isin(buckets: _*) && col("term").isin(terms: _*) && cond)
+        .select(col("doc_id"), col("term"), col("tf"), col("dl"))
+        .take(max)
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+    val termIdx = terms.zipWithIndex.toMap
+    def tfVectors(rows: Array[org.apache.spark.sql.Row])
+        : java.util.LinkedHashMap[Long, (Double, Array[Double])] = {
+      val m = new java.util.LinkedHashMap[Long, (Double, Array[Double])]()
+      rows.foreach { r =>
+        val e = m.computeIfAbsent(r.getLong(0),
+          _ => (r.getDouble(3), new Array[Double](terms.length)))
+        e._2(termIdx(r.getString(1))) = r.getDouble(2)
+      }
+      m
+    }
+    def tfcOf(tf: Double, dl: Double): Double =
+      tf * (k1 + 1) / (tf + k1 * ((1 - b) + b * dl / avgdl))
+    // fixed term-order left fold — the pivot expression's exact shape
+    def scoreOf(dl: Double, tfs: Array[Double]): Double = {
+      var s = 0.0
+      var i = 0
+      while (i < terms.length) {
+        s += idfArr(i) * tfcOf(tfs(i), dl)
+        i += 1
+      }
+      s
+    }
+    lazy val dfRows = dfTask.get()
+    lazy val idfArr: Array[Double] = terms.map { t =>
+      val df = math.max(dfRows.get(t).map(_._1).getOrElse(0.0), 0.0)
+      math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    }.toArray
+    lazy val mi: Array[Double] =
+      // a term with NO df rows has no postings anywhere — its cap is 0
+      terms.map(t => dfRows.get(t).map(_._2).getOrElse(0.0)).toArray
+    // θ0 is ABSOLUTE (impact ∈ (0,1]; 0.5 ≈ the tf=1 saturation point at
+    // average dl), not derived from max_impact — so the first θ-scan
+    // launches immediately, overlapping the df job. A term whose stored
+    // impacts all sit below θ contributes nothing to phase A but its cap
+    // uses min(θ, max_impact) — the bounds stay sound, and the θ/4 retry
+    // catches rare-term-driven rankings.
+    var theta = 0.5
+    var tries = 0
+    while (tries < 3) {
+      tries += 1
+      val th = theta
+      val rawA = rawScan(col("impact") >= th, MaxTopKScanRows + 1)
+      if (rawA.length > MaxTopKScanRows) return fullFallback()
+      val perDoc = tfVectors(rawA)
+      def capOf(i: Int): Double =
+        idfArr(i) * (k1 + 1) * math.min(1.0, math.min(th, mi(i)) * bf)
+      val caps = terms.indices.map(capOf).toArray
+      val u0 = caps.sum
+      if (perDoc.size >= k) {
+        // lower = exact score over SEEN pairs (unseen tf slots are 0 and
+        // contribute 0 — identical arithmetic to the full pivot); upper
+        // adds each unseen term's cap
+        val docs = new Array[(Long, Double, Double)](perDoc.size)
+        var j = 0
+        perDoc.forEach { (id, e) =>
+          val lower = scoreOf(e._1, e._2)
+          var up = lower
+          var i = 0
+          while (i < terms.length) {
+            if (e._2(i) == 0.0) up += caps(i)
+            i += 1
+          }
+          docs(j) = (id, lower, up)
+          j += 1
+        }
+        val lowers = docs.map(_._2).sorted(Ordering[Double].reverse)
+        val lk = lowers(k - 1)
+        if (u0 < lk - tieMargin) {
+          val cids = docs.filter(_._3 >= lk - tieMargin).map(_._1)
+          if (cids.length > MaxTopKCandidates) return fullFallback()
+          // phase B: the candidates' FULL tf vectors — same pruned term
+          // slices, IN-set doc filter, still no shuffle
+          val rawB = rawScan(col("doc_id").isInCollection(cids.toSeq),
+            MaxTopKScanRows + 1)
+          if (rawB.length > MaxTopKScanRows) return fullFallback()
+          val exact = new scala.collection.mutable.ArrayBuffer[(Long, Double)]
+          tfVectors(rawB).forEach { (id, e) =>
+            exact += ((id, scoreOf(e._1, e._2)))
+            ()
+          }
+          val kth = exact.map(_._2).sorted(Ordering[Double].reverse)
+            .take(k).last
+          return fromPairs(exact.filter(_._2 >= kth - tieMargin).toSeq)
+        }
+      }
+      theta = theta / 4.0
+    }
+    fullFallback()
+  }
+
+  /** Phase-B candidate ceiling for [[bm25IndexedTopK]] — past it, the
+    * bound isn't selective enough to beat full scoring; fall back. */
+  val MaxTopKCandidates: Int = 65536
+
+  /** Raw-row collect ceiling for the top-k phases (~40 B/row driver
+    * heap); a θ-scan past it isn't selective enough to win. */
+  val MaxTopKScanRows: Int = 400000
+
   /** BM25 for a whole BATCH of queries against one index, in one pass:
     * returns (query, doc_id, score) for every document matching at least
     * one of its query's terms. The workload shape a pipeline actually
@@ -510,7 +817,7 @@ object KeywordScore {
       "every query needs at least one term")
     val commits = readCommits(dir)
     val active = activeOf(commits)
-    val (n, avgdl0) = readStats(spark, dir, active)
+    val (n, avgdl0, _) = readStats(spark, dir, active)
     import spark.implicits._
     if (n == 0.0)
       return Seq.empty[(String, Long, Double)].toDF("query", "doc_id", "score")
@@ -546,7 +853,7 @@ object KeywordScore {
 
   // (active-gen signature, N, avgdl) per index dir
   private val statsCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, Double, Double)]()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Double, Double, Double)]()
 
   private def deleteRecursively(p: Path): Unit =
     graft.io.LocalStoreFs.deleteRecursively(p.toString)

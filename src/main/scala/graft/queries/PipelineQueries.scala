@@ -199,6 +199,52 @@ object PipelineQueries {
         .orderBy(desc("score"), col("doc_id")).limit(20)
     },
 
+    // The SAME top-k through the max-impact-pruned path (round 17):
+    // bm25IndexedTopK reads only the row groups whose impact stats can
+    // reach the running kth score and re-scores the surviving candidate
+    // set exactly — scores must be bit-identical to full scoring, so the
+    // oracle is the SAME SQL as q_bm25_topk. tieMargin=1e-4 widens the
+    // candidate cut to one rounding ulp so the (rounded score, doc_id)
+    // boundary ordering is decided over exact scores, same as the oracle.
+    QDef(
+      "q_bm25_topk_pruned",
+      """WITH tf AS (
+        |  SELECT doc_id,
+        |    CAST(len(tk) AS DOUBLE) AS dl,
+        |    CAST(len(list_filter(tk, x -> x = 'spark')) AS DOUBLE) AS tf0,
+        |    CAST(len(list_filter(tk, x -> x = 'query')) AS DOUBLE) AS tf1,
+        |    CAST(len(list_filter(tk, x -> x = 'vector')) AS DOUBLE) AS tf2
+        |  FROM (SELECT doc_id,
+        |          list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |                      x -> x <> '') AS tk
+        |        FROM documents)
+        |), st AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+        |         sum(CASE WHEN tf0 > 0 THEN 1.0 ELSE 0.0 END) AS df0,
+        |         sum(CASE WHEN tf1 > 0 THEN 1.0 ELSE 0.0 END) AS df1,
+        |         sum(CASE WHEN tf2 > 0 THEN 1.0 ELSE 0.0 END) AS df2
+        |  FROM tf
+        |)
+        |SELECT doc_id, score FROM (
+        |  SELECT doc_id,
+        |    round(ln(1 + (n - df0 + 0.5) / (df0 + 0.5))
+        |            * tf0 * 2.2 / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |        + ln(1 + (n - df1 + 0.5) / (df1 + 0.5))
+        |            * tf1 * 2.2 / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |        + ln(1 + (n - df2 + 0.5) / (df2 + 0.5))
+        |            * tf2 * 2.2 / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)), 4) AS score
+        |  FROM tf, st
+        |  WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
+        |)
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin) { (s, dir) =>
+      val idx = KeywordScore.indexFor(Tables.documents(s, dir),
+        "doc_id", "text", cacheKey = dir)
+      KeywordScore.bm25IndexedTopK(s, idx, Seq("spark", "query", "vector"),
+        k = 20, tieMargin = 1e-4)
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+        .orderBy(desc("score"), col("doc_id")).limit(20)
+    },
+
     // BATCH retrieval: many query term-sets scored against the index in
     // ONE pass — union of terms drives one pruned postings read, per-
     // (query, term) idf weights ride one broadcast, one (query, doc_id)

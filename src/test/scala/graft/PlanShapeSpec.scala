@@ -79,6 +79,10 @@ class PlanShapeSpec extends AnyFunSuite {
     // / TakeOrdered) — never a corpus-wide exchange; multi adds the
     // per-(query,term) idf broadcast
     "q_bm25_indexed" -> 2, "q_bm25_topk" -> 2, "q_bm25_multi" -> 3,
+    // q_bm25_topk_pruned: the RETURNED frame is a LocalRelation of the
+    // exactly re-scored candidates (phases A/B ran inside the builder,
+    // each bounded by the pruned term slices) + presentation sort
+    "q_bm25_topk_pruned" -> 1,
     // q_bm25_delete runs over the POST-COMPACTION index (single folded
     // generation, tombstones retired) — same plan as q_bm25_indexed
     "q_bm25_delete" -> 2,

@@ -34,6 +34,15 @@ class KeywordIndexSpec extends AnyFunSuite {
   private def tmp(): String =
     java.nio.file.Files.createTempDirectory("graft_bm25gen").toString
 
+  /** The same dir as a `file:`-scheme URI root — index METADATA (markers,
+    * listings, sweeps) then runs through HadoopStoreFs, the path an
+    * `hdfs://`/`s3a://`-rooted production index takes. */
+  private def tmpUri(): String = "file:" + tmp()
+
+  /** (label, fresh-root factory) — the protocol tests run on both. */
+  private def roots: Seq[(String, () => String)] =
+    Seq(("posix", () => tmp()), ("file-uri", () => tmpUri()))
+
   private def scores(dir: String, terms: Seq[String]): Map[Long, Double] =
     KeywordScore.bm25Indexed(spark, dir, terms)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
@@ -47,9 +56,9 @@ class KeywordIndexSpec extends AnyFunSuite {
   }
 
   test("a crash between generation writes leaves the torn generation " +
-      "invisible; the retry commits cleanly") {
-    for (point <- Seq("postings", "df", "stats")) {
-      val dir = tmp()
+      "invisible; the retry commits cleanly (posix + file-uri roots)") {
+    for ((label, mk) <- roots; point <- Seq("postings", "df", "stats")) {
+      val dir = mk()
       KeywordScore.buildIndex(part1, "doc_id", "text", dir)
       val before = scores(dir, Seq("spark", "query"))
       KeywordScore.failAt = point
@@ -60,9 +69,9 @@ class KeywordIndexSpec extends AnyFunSuite {
       // the torn generation must not skew ANY statistic: scores over the
       // surviving index equal the pre-crash index exactly
       assertSame(scores(dir, Seq("spark", "query")), before,
-        s"crash at $point")
+        s"[$label] crash at $point")
       assert(scores(dir, Seq("vector")).isEmpty,
-        s"crash at $point: torn delta's postings must be invisible")
+        s"[$label] crash at $point: torn delta's postings must be invisible")
       // retry (same delta id — the crashed attempt never committed it)
       KeywordScore.appendIndex(part2, "doc_id", "text", dir,
         deltaId = Some("d1"))
@@ -70,7 +79,7 @@ class KeywordIndexSpec extends AnyFunSuite {
       KeywordScore.buildIndex(part1.unionByName(part2), "doc_id", "text", full)
       assertSame(scores(dir, Seq("spark", "query", "vector")),
         scores(full, Seq("spark", "query", "vector")),
-        s"recovered-after-$point index vs fresh build")
+        s"[$label] recovered-after-$point index vs fresh build")
     }
   }
 
@@ -133,13 +142,21 @@ class KeywordIndexSpec extends AnyFunSuite {
 
   test("randomized mutation sequence equals a fresh build of the " +
       "surviving doc set (seeded, deterministic)") {
+    mutationOracle(tmp())
+  }
+
+  test("randomized mutation sequence on a file:-scheme URI root " +
+      "(metadata through HadoopStoreFs)") {
+    mutationOracle(tmpUri())
+  }
+
+  private def mutationOracle(dir: String): Unit = {
     val rng = new scala.util.Random(42)
     val vocab = Seq("spark", "query", "vector", "table", "join", "scan",
       "merge", "index", "row", "fast")
     def doc(id: Long): (Long, String) =
       (id, (0 until 3 + rng.nextInt(6)).map(_ => vocab(rng.nextInt(vocab.size)))
         .mkString(" "))
-    val dir = tmp()
     var live = Map.empty[Long, String] // the oracle: current corpus
     var nextId = 0L
     def appendN(n: Int): Unit = {
@@ -168,11 +185,37 @@ class KeywordIndexSpec extends AnyFunSuite {
       KeywordScore.buildIndex(corpus, "doc_id", "text", fresh)
       val terms = Seq("spark", "vector", "join")
       assertSame(scores(dir, terms), scores(fresh, terms), s"step $step")
+      // the max-impact-pruned top-k must agree with full scoring at every
+      // mutation point — appends/deletes drift avgdl away from each
+      // generation's stored impact reference, which is exactly what the
+      // bf = max(1, avgdl_now/A_min) bound must absorb
+      assertTopK(dir, terms, k = 4, s"step $step topk")
     }
   }
 
-  test("compactIndex folds generations into one, preserves scores " +
-      "exactly, and sweeps retired + orphaned dirs") {
+  /** bm25IndexedTopK == the top-k slice of full scoring (score-tied
+    * boundary docs included on both sides; FP tolerance because the two
+    * paths sum contributions in different engine orders). */
+  private def assertTopK(dir: String, terms: Seq[String], k: Int,
+      what: String): Unit = {
+    val full = scores(dir, terms)
+    val got = KeywordScore.bm25IndexedTopK(spark, dir, terms, k,
+      tieMargin = 1e-9)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    if (full.isEmpty) { assert(got.isEmpty, s"$what: empty corpus"); return }
+    val kth = full.values.toSeq.sorted(Ordering[Double].reverse)
+      .take(k).last
+    val expect = full.filter { case (_, s) => s >= kth - 1e-9 }
+    assert(got.keySet === expect.keySet,
+      s"$what: got ${got.keySet} want ${expect.keySet} (kth=$kth)")
+    got.foreach { case (id, s) =>
+      assert(math.abs(s - full(id)) < 1e-9, s"$what: doc $id $s vs ${full(id)}")
+    }
+  }
+
+  test("compactIndex folds generations into one, preserves scores exactly, " +
+      "sweeps orphans now, and defers retirees one cycle (in-flight " +
+      "readers survive)") {
     val dir = tmp()
     KeywordScore.buildIndex(part1, "doc_id", "text", dir)
     KeywordScore.appendIndex(part2, "doc_id", "text", dir)
@@ -183,20 +226,27 @@ class KeywordIndexSpec extends AnyFunSuite {
       KeywordScore.appendIndex(
         Seq((9L, "orphan text")).toDF("doc_id", "text"), "doc_id", "text", dir)
     }
-    val before = scores(dir, Seq("spark", "query", "vector"))
-    KeywordScore.compactIndex(spark, dir)
-    assertSame(scores(dir, Seq("spark", "query", "vector")), before,
-      "post-compaction scores")
     def genDirs(table: String): Seq[String] =
       Option(java.nio.file.Paths.get(dir, table).toFile.listFiles())
         .getOrElse(Array.empty).toSeq.map(_.getName)
         .filter(_.startsWith("gen="))
-    for (t <- Seq("postings", "df", "stats"))
-      assert(genDirs(t).size == 1, s"$t dirs after compaction: ${genDirs(t)}")
-    assert(genDirs("deleted").isEmpty,
-      "tombstone data retired by compaction")
+    val orphanGens = genDirs("postings").size // 3: base, delta, orphan
+    val before = scores(dir, Seq("spark", "query", "vector"))
+    // an in-flight reader: its plan resolved the PRE-compact generation
+    // set; the one-cycle sweep deferral keeps those files alive
+    val inFlight = KeywordScore.bm25Indexed(spark, dir,
+      Seq("spark", "query", "vector"))
+    KeywordScore.compactIndex(spark, dir)
+    assertSame(scores(dir, Seq("spark", "query", "vector")), before,
+      "post-compaction scores")
+    assertSame(inFlight.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap,
+      before, "pre-compact reader collected AFTER the fold")
+    // deferral: the just-retired generations are still on disk (only the
+    // uncommitted ORPHAN swept immediately — no reader could resolve it)
+    assert(genDirs("postings").size == orphanGens, // -orphan +folded
+      s"deferred sweep: expected retirees kept, got ${genDirs("postings")}")
     // folded index keeps behaving: append after compaction, incl. the
-    // previously-deleted id (its tombstone is gone)
+    // previously-deleted id (its tombstone is retired)
     KeywordScore.appendIndex(
       Seq((1L, "query join slow table table table")).toDF("doc_id", "text"),
       "doc_id", "text", dir)
@@ -204,11 +254,71 @@ class KeywordIndexSpec extends AnyFunSuite {
     KeywordScore.buildIndex(part1.unionByName(part2), "doc_id", "text", fresh)
     assertSame(scores(dir, Seq("spark", "query", "table")),
       scores(fresh, Seq("spark", "query", "table")), "append after compaction")
-    // an already-compact index: no-op (no new generation)
+    // second compaction: folds (compact gen + new delta) AND sweeps the
+    // previous cycle's retirees; a third is a no-op that still sweeps
     val n = KeywordScore.readCommits(dir).size
     KeywordScore.compactIndex(spark, dir)
     KeywordScore.compactIndex(spark, dir)
     assert(KeywordScore.readCommits(dir).size <= n + 1,
       "repeated compaction must not keep committing generations")
+    for (t <- Seq("postings", "df", "stats"))
+      assert(genDirs(t).size == 1,
+        s"$t dirs after second compaction: ${genDirs(t)}")
+    assert(genDirs("deleted").isEmpty,
+      "tombstone data retired by compaction")
+  }
+
+  test("deleteDocs against a never-built index records its delta id " +
+      "(noop marker): the retry after a later build must not re-apply") {
+    val dir = tmp()
+    // the delete arrives before any index exists — nothing to subtract,
+    // but the id commits as a noop marker
+    KeywordScore.deleteDocs(spark, dir, Seq(0L).toDF("doc_id"),
+      deltaId = Some("early-del"))
+    val commits = KeywordScore.readCommits(dir)
+    assert(commits.size == 1 && commits.head.deltaId.contains("early-del"),
+      s"noop marker expected, got $commits")
+    // the index appears later (append path — buildIndex would wipe the dir)
+    KeywordScore.appendIndex(part1, "doc_id", "text", dir)
+    val full = scores(dir, Seq("spark", "query"))
+    assert(full.contains(0L), "doc 0 indexed")
+    // the RETRY of the early delete: already committed → no-op; doc 0
+    // (which did not exist when the original call ran) survives
+    KeywordScore.deleteDocs(spark, dir, Seq(0L).toDF("doc_id"),
+      deltaId = Some("early-del"))
+    assertSame(scores(dir, Seq("spark", "query")), full, "after retry")
+  }
+
+  test("top-k pruning: exact agreement with full scoring, and a " +
+      "pre-impact (format-1) index falls back instead of mis-pruning") {
+    val dir = tmp()
+    KeywordScore.buildIndex(part1.unionByName(part2), "doc_id", "text", dir)
+    for (k <- Seq(1, 2, 3, 10))
+      assertTopK(dir, Seq("spark", "query", "table"), k, s"k=$k")
+    // single-term and unmatched-term shapes
+    assertTopK(dir, Seq("table"), 2, "single term")
+    assert(KeywordScore.bm25IndexedTopK(spark, dir, Seq("zzznope"), 3)
+      .collect().isEmpty, "no matches → empty")
+    // simulate a pre-r17 index: strip pfmt from the marker — the reader
+    // must take the full-scoring fallback (same answer), never trust a
+    // null impact column
+    val fs = graft.io.StoreFs.forRoot(dir)
+    val marker = s"$dir/_commits/gen_0.json"
+    fs.writeString(marker,
+      fs.readString(marker).replaceAll(""",\s*"pfmt"\s*:\s*\d+""", ""))
+    assert(!fs.readString(marker).contains("pfmt"))
+    assertTopK(dir, Seq("spark", "query", "table"), 3, "format-1 fallback")
+  }
+
+  test("a marker-less dir with postings data is refused as unmigrated " +
+      "(never scored as an empty corpus)") {
+    val dir = tmp()
+    KeywordScore.buildIndex(part1, "doc_id", "text", dir)
+    // simulate a pre-generational index: data present, no _commits
+    graft.io.LocalStoreFs.deleteRecursively(s"$dir/_commits")
+    val e = intercept[IllegalStateException] {
+      KeywordScore.bm25Indexed(spark, dir, Seq("spark")).collect()
+    }
+    assert(e.getMessage.contains("unmigrated"), e.getMessage)
   }
 }
