@@ -191,14 +191,25 @@ object Bench {
     val fields = scala.collection.mutable.LinkedHashMap[String, String]()
     val detailFields = scala.collection.mutable.LinkedHashMap[String, String]()
     val skipped = scala.collection.mutable.ArrayBuffer[String]()
-    def num(k: String, v: Double): Unit = { fields(k) = f3(v).toString; () }
-    def lng(k: String, v: Long): Unit = { fields(k) = v.toString; () }
-    def str(k: String, v: String): Unit = { fields(k) = "\"" + v + "\""; () }
-    def raw(k: String, v: String): Unit = { fields(k) = v; () }
-    def dnum(k: String, v: Double): Unit = { detailFields(k) = f3(v).toString; () }
-    def dlng(k: String, v: Long): Unit = { detailFields(k) = v.toString; () }
-    def dstr(k: String, v: String): Unit = { detailFields(k) = "\"" + v + "\""; () }
-    def draw(k: String, v: String): Unit = { detailFields(k) = v; () }
+    // `fields` doubles as the lock for BOTH maps: probe bodies run on
+    // their own (deadline-bounded) threads, and a just-aborted thread may
+    // still be mid-write while the main thread emits
+    def num(k: String, v: Double): Unit =
+      fields.synchronized { fields(k) = f3(v).toString; () }
+    def lng(k: String, v: Long): Unit =
+      fields.synchronized { fields(k) = v.toString; () }
+    def str(k: String, v: String): Unit =
+      fields.synchronized { fields(k) = "\"" + v + "\""; () }
+    def raw(k: String, v: String): Unit =
+      fields.synchronized { fields(k) = v; () }
+    def dnum(k: String, v: Double): Unit =
+      fields.synchronized { detailFields(k) = f3(v).toString; () }
+    def dlng(k: String, v: Long): Unit =
+      fields.synchronized { detailFields(k) = v.toString; () }
+    def dstr(k: String, v: String): Unit =
+      fields.synchronized { detailFields(k) = "\"" + v + "\""; () }
+    def draw(k: String, v: String): Unit =
+      fields.synchronized { detailFields(k) = v; () }
     val qcv = results.filter(_._1.startsWith("q_cv"))
     val qcvMax = if (qcv.isEmpty) 0.0 else qcv.map(_._2).max
     val slowest = results.sortBy(-_._2).take(5)
@@ -240,12 +251,14 @@ object Bench {
         .mkString("{", ",", "}"))
     }
     def joined(m: scala.collection.mutable.LinkedHashMap[String, String]) =
-      m.map { case (k, v) => "\"" + k + "\":" + v }.mkString(",")
+      fields.synchronized {
+        m.map { case (k, v) => "\"" + k + "\":" + v }.mkString(",")
+      }
     // health/skip fields the overflow guard must never demote
     val protectedKeys = Set("sf", "loadavg_before", "loadavg",
       "cpu_steal_pct", "loaded_box", "bench_elapsed_sec",
       "bench_budget_sec", "probes_skipped")
-    def emitSummary(): Unit = {
+    def emitSummary(): Unit = fields.synchronized {
       refreshHealth()
       // the final line MUST survive a 2000-char tail window INTACT (plus
       // an sbt "[success] ..." trailer): past ~1850 chars, demote the
@@ -276,7 +289,19 @@ object Bench {
       * in the sequence otherwise inherit the earlier probes' heap debris —
       * the full-artifact run measured jaccard 100× ratios of 0.52/0.59
       * that an isolated fresh-JVM run of the SAME probe reads as
-      * 1.07/1.06. */
+      * 1.07/1.06.
+      *
+      * MID-FLIGHT DEADLINE (round 17): admission gates on the ESTIMATE,
+      * but nothing used to bound a probe that inflated under co-tenant
+      * load arriving mid-run — r16's gate_sharded_cosine seeded from a
+      * quiet 126 s measurement, then ran 715 s loaded, starving three
+      * cheaper probes AND overshooting the total budget. Each probe now
+      * runs on its own thread inside a Spark job group; past
+      * max(est × 2.5, est + 60) seconds the group is cancelled, the
+      * thread interrupted, and the probe recorded as `<name>_aborted`
+      * (detail line, with its partial fields kept) AND appended to
+      * `probes_skipped`, so the existing skip-rotation runs it early
+      * next round. The enforcement half of the r15/r16 budget design. */
     def probe(name: String, estSec: Double)(run: => Unit): Unit = {
       // seeded from the previous artifact's measured wall; a LOADED-box
       // measurement is inflated evidence, so it never RAISES the estimate
@@ -300,8 +325,40 @@ object Bench {
         System.gc()
         Thread.sleep(200)
         val t0 = elapsedSec
-        run
-        probeSecs(name) = elapsedSec - t0
+        // the deadline also never exceeds what the budget can absorb:
+        // aborting AT the remaining budget keeps bench_elapsed ≤ budget
+        // even when est × 2.5 would overshoot it
+        val deadlineSec = math.min(math.max(est * 2.5, est + 60.0),
+          math.max(30.0, remainingSec - 15.0))
+        @volatile var thrown: Throwable = null
+        val group = s"graft_bench_$name"
+        val runner = new Thread(() => {
+          spark.sparkContext.setJobGroup(group, s"bench probe $name",
+            interruptOnCancel = true)
+          try run
+          catch { case t: Throwable => thrown = t }
+          finally spark.sparkContext.clearJobGroup()
+        }, s"graft-bench-$name")
+        runner.setDaemon(true)
+        runner.start()
+        runner.join((deadlineSec * 1000).toLong)
+        if (runner.isAlive) {
+          spark.sparkContext.cancelJobGroup(group)
+          runner.interrupt()
+          runner.join(30000) // bounded grace for the unwind
+          skipped += name // next round's rotation runs this probe early
+          draw(s"${name}_aborted",
+            s"""{"after_sec":${f3(elapsedSec - t0)},"deadline_sec":${f3(deadlineSec)},"est_sec":${f3(est)}}""")
+        } else if (thrown != null) {
+          // a real probe failure stays loud (r13's silent-empty lesson):
+          // record it in the artifact, then rethrow after the emit
+          draw(s"${name}_error",
+            "\"" + thrown.getClass.getSimpleName.replace("\"", "'") + "\"")
+          emitSummary()
+          throw thrown
+        } else {
+          probeSecs(name) = elapsedSec - t0
+        }
       }
       emitSummary()
     }
@@ -566,9 +623,18 @@ object Bench {
       val tB = System.nanoTime()
       graft.ops.KeywordScore.buildIndex(docs, "doc_id", "text", idxDir)
       num("bm25_index_build_sec", (System.nanoTime() - tB) / 1e9)
-      num("bm25_scan_query_sec", scanSec)
+      // scan tier demoted to detail (round 17): the sweep's q_bm25_search
+      // already times it, and the summary line's ~1850-char overflow
+      // guard needs the slot for bm25_topk_sec
+      dnum("bm25_scan_query_sec", scanSec)
       num("bm25_indexed_query_sec", med3 {
         graft.ops.KeywordScore.bm25Indexed(spark, idxDir, terms).count(); ()
+      })
+      // impact-ordered top-k (round 17): max-impact pruning must land
+      // BELOW full scoring — same scores (q_bm25_topk_pruned oracles that)
+      num("bm25_topk_sec", med3 {
+        graft.ops.KeywordScore.bm25IndexedTopK(spark, idxDir, terms, 20)
+          .count(); ()
       })
       // batch tier: 50 three-term queries over the corpus's most frequent
       // terms, scored in ONE pass — the number that shows batch cost
@@ -598,6 +664,35 @@ object Bench {
       graft.ops.KeywordScore.compactIndex(spark, idxDir)
       num("bm25_compact_sec", (System.nanoTime() - tC) / 1e9)
     }
+
+    // Multi-SF execution evidence (round 17): the whole oracle QUERY SET
+    // re-run at the sibling sf0.001 dir — ok/err counts into the DETAIL
+    // line, so the "queries hold across scale factors" claim (PERF_NOTES
+    // §33 was builder-attested only) rides a driver-parsed artifact.
+    // Execution evidence, not hash-compare: DuckDB is a driver-side tool
+    // by contract, so value-level oracle checks stay in the Verify +
+    // selfcheck channel; what THIS field pins is that every query
+    // (fixtures, gates, restarts included) builds and runs at a second
+    // SF in the same JVM. Skipped silently only when the sibling dir
+    // does not exist (non-standard layouts).
+    val sfEvDir = {
+      val base = sfDir.stripSuffix("/")
+      val i = base.lastIndexOf('/')
+      if (i < 0) "" else base.substring(0, i) + "/sf0.001"
+    }
+    if (sfEvDir.nonEmpty && sfEvDir != sfDir &&
+        new java.io.File(sfEvDir).isDirectory)
+      probe("oracle_sf_evidence", estSec = 75) {
+        graft.queries.CvQueries.warm(spark, sfEvDir)
+        var ok = 0
+        var err = 0
+        SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+          try { fn(spark, sfEvDir).count(); ok += 1 }
+          catch { case scala.util.control.NonFatal(_) => err += 1 }
+        }
+        draw("oracle_sf_evidence",
+          s"""{"sf":"sf0.001","ok":$ok,"err":$err}""")
+      }
 
     // The TTL-soak and 10x-near-dup probes run BEFORE the expensive
     // scale/sharded probes (r15): on a loaded box the budget gate must
@@ -747,36 +842,48 @@ object Bench {
       // into G concurrent cores at a 50x seeded store. g4/g1 measures how
       // much of the single-driver decision loop sharding removes (bounded
       // locally by per-job latency and the serial collect/forward —
-      // PERF_NOTES §13). Retry rule: g4 ≤ g1 contradicts code reality
-      // (quiet-box 1.9-2.7×).
-      // static estimate = quiet band high edge (107–123 s measured;
-      // r14's 383 s was a loaded-box artifact that then blocked r15's
-      // admission — the loaded-box haircut plus this table prevent that)
-      def shardedCosineProbe(): Unit = probe("gate_sharded_cosine", estSec = 170) {
-        def once(): (Long, Long) = {
-          val out = GateProbes.shardProbe(spark, "cosine", 10000, 50L, Seq(1, 4))
-          (out.head._2, out.last._2)
-        }
+      // PERF_NOTES §13). SPLIT into two separately-admitted halves
+      // (round 17): r16's combined probe inflated 5.7× under mid-run
+      // load and its single admission decision cost three cheaper probes
+      // — per-half admission + the probe deadline bound the damage to
+      // half. Retry rule (g4 ≤ g1 contradicts code reality, quiet-box
+      // 1.9-2.7×) re-measures the G=4 half against the G=1 reading.
+      // static estimates = the quiet band split per half (107–123 s
+      // combined; the G=1 half is the cheaper seed/measure)
+      var shardedG1 = -1L
+      def shardedCosineG1(): Unit = probe("gate_sharded_cosine_g1", estSec = 75) {
+        shardedG1 = GateProbes.shardProbe(spark, "cosine", 10000, 50L,
+          Seq(1)).head._2
+        lng("gate_sharded_cosine_g1", shardedG1)
+      }
+      def shardedCosineG4(): Unit = probe("gate_sharded_cosine_g4", estSec = 95) {
+        def once(): Long =
+          GateProbes.shardProbe(spark, "cosine", 10000, 50L, Seq(4)).head._2
         var best = once()
         var attempts = 1
-        while (best._2 <= best._1 && attempts < 3 && remainingSec > 250) {
-          val retry = once()
-          if (retry._2.toDouble / math.max(1L, retry._1) >
-              best._2.toDouble / math.max(1L, best._1)) best = retry
+        while (shardedG1 > 0 && best <= shardedG1 && attempts < 3 &&
+            remainingSec > 150) {
+          best = math.max(best, once())
           attempts += 1
         }
-        lng("gate_sharded_cosine_g1", best._1)
-        lng("gate_sharded_cosine_g4", best._2)
+        lng("gate_sharded_cosine_g4", best)
         dlng("gate_sharded_attempts", attempts.toLong)
       }
-      // a probe the PREVIOUS round budget-skipped runs BEFORE the scale
-      // family this round — no probe may be a permanent skip victim
-      // (r15 skipped gate_sharded_cosine behind four admitted scale
-      // probes; this rotation would have run it first)
-      val shardedFirst = prev.skipped.contains("gate_sharded_cosine")
+      def shardedCosineProbe(): Unit = { shardedCosineG1(); shardedCosineG4() }
+      // probes the PREVIOUS round budget-skipped (or deadline-aborted)
+      // run BEFORE the rest of the family this round — no probe may be a
+      // permanent skip victim (r15 skipped gate_sharded_cosine behind
+      // four admitted scale probes; r16's sharded overrun then skipped
+      // three scale probes — the rotation now covers the scale kinds too)
+      val shardedFirst = prev.skipped.exists(_.startsWith("gate_sharded_cosine"))
       if (shardedFirst) shardedCosineProbe()
 
-      kinds.foreach { case (kind, rows, big, est) =>
+      // skip victims of the previous round move to the FRONT of the kind
+      // order (stable within each group)
+      val kindsRotated = kinds.sortBy { case (kind, _, _, _) =>
+        if (prev.skipped.contains(s"gate_scale_$kind")) 0 else 1
+      }
+      kindsRotated.foreach { case (kind, rows, big, est) =>
         probe(s"gate_scale_$kind", estSec = est) {
           val r = GateProbes.dualScaleProbe(spark, kind, rows,
             bigBatchRows = big,
