@@ -140,9 +140,17 @@ object LocalStoreFs extends StoreFs {
   }
 
   override def publish(tmp: String, dest: String, durable: Boolean,
-      replace: Boolean): Unit =
+      replace: Boolean): Unit = {
+    // non-replace publish REFUSES an existing destination (rename(2)
+    // silently replaces a file) — put-if-absent semantics, matching the
+    // Hadoop and object-store impls; every non-replace commit point
+    // (generation markers, batch appends) allocates fresh names, so a
+    // hit here is a protocol violation worth a loud error
+    if (!replace && Files.exists(Paths.get(dest)))
+      throw new java.nio.file.FileAlreadyExistsException(dest)
     CommitFs.current.publish(Paths.get(tmp), Paths.get(dest),
       durable = durable, replace = replace)
+  }
 
   override def writeMarker(p: String, durable: Boolean): Unit =
     CommitFs.current.writeMarker(Paths.get(p), durable = durable)

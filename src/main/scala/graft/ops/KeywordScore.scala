@@ -707,7 +707,10 @@ object KeywordScore {
       rows.foreach { r =>
         val e = m.computeIfAbsent(r.getLong(0),
           _ => (r.getDouble(3), new Array[Double](terms.length)))
-        e._2(termIdx(r.getString(1))) = r.getDouble(2)
+        // += not =: the pivot tier SUMS tf over rows, so a duplicated
+        // (term, doc) pair (an append-contract violation) degrades both
+        // tiers identically instead of diverging
+        e._2(termIdx(r.getString(1))) += r.getDouble(2)
       }
       m
     }

@@ -2,10 +2,12 @@ package graft.io
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** The scheme-portable store seam, both implementations driven through
-  * the SAME assertions: plain-root java.nio and file:-scheme Hadoop
-  * FileSystem must be observationally identical for every operation the
-  * store layer uses. No Spark session needed.
+/** The scheme-portable store seam, ALL implementations driven through
+  * the SAME assertions: plain-root java.nio, file:-scheme Hadoop
+  * FileSystem, and the conditional-PUT object-store form (round 17 —
+  * [[ObjectStoreFs]] over the in-memory [[MemBlobStore]] double) must be
+  * observationally identical for every operation the store layer uses.
+  * No Spark session needed.
   */
 class StoreFsSpec extends AnyFunSuite {
 
@@ -15,6 +17,7 @@ class StoreFsSpec extends AnyFunSuite {
     val uri = "file:" +
       java.nio.file.Files.createTempDirectory("graft_sfs_h").toString
     testBody(StoreFs.forRoot(uri), uri)
+    testBody(new ObjectStoreFs(new MemBlobStore), "mem:/sfs")
   }
 
   test("forRoot picks the implementation by scheme") {
@@ -81,20 +84,48 @@ class StoreFsSpec extends AnyFunSuite {
     }
   }
 
-  test("move without replace refuses an existing destination on both " +
-      "impls (FileSystem.rename would silently nest src INSIDE a dest dir)") {
+  test("move without replace refuses an existing destination on every " +
+      "impl (FileSystem.rename would silently nest src INSIDE a dest dir)") {
     withBoth { (fs, root) =>
       fs.mkdirs(s"$root/src")
       fs.writeString(s"$root/src/x", "1")
-      fs.mkdirs(s"$root/dest") // leftover dir at the rename target
+      // a leftover NON-EMPTY dir at the rename target (object stores
+      // have no empty dirs — content is what makes a prefix exist)
+      fs.mkdirs(s"$root/dest")
+      fs.writeString(s"$root/dest/z", "stale")
       intercept[java.nio.file.FileAlreadyExistsException] {
         fs.move(s"$root/src", s"$root/dest")
       }
       assert(fs.readString(s"$root/src/x") === "1", "src untouched")
       assert(!fs.exists(s"$root/dest/src"), "no silent nesting")
-      // replace=true still works
-      fs.move(s"$root/src", s"$root/dest", replace = true)
+      fs.deleteRecursively(s"$root/dest")
+      fs.move(s"$root/src", s"$root/dest") // target gone: move succeeds
       assert(fs.readString(s"$root/dest/x") === "1")
+    }
+  }
+
+  test("move with replace swaps a FILE target (the quarantine shape)") {
+    withBoth { (fs, root) =>
+      fs.mkdirs(root)
+      fs.writeString(s"$root/a", "new")
+      fs.writeString(s"$root/a.corrupt", "old")
+      fs.move(s"$root/a", s"$root/a.corrupt", replace = true)
+      assert(fs.readString(s"$root/a.corrupt") === "new")
+      assert(!fs.exists(s"$root/a"))
+    }
+  }
+
+  test("publish without replace refuses an existing destination " +
+      "(put-if-absent semantics on the object store)") {
+    withBoth { (fs, root) =>
+      fs.mkdirs(root)
+      fs.writeString(s"$root/t1", "v1")
+      fs.publish(s"$root/t1", s"$root/final", durable = false)
+      fs.writeString(s"$root/t2", "v2")
+      intercept[Exception] { // FileAlreadyExists (local/mem) or IOException
+        fs.publish(s"$root/t2", s"$root/final", durable = false)
+      }
+      assert(fs.readString(s"$root/final") === "v1", "winner kept")
     }
   }
 }
