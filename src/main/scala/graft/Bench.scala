@@ -325,11 +325,12 @@ object Bench {
         System.gc()
         Thread.sleep(200)
         val t0 = elapsedSec
-        // the deadline also never exceeds what the budget can absorb:
-        // aborting AT the remaining budget keeps bench_elapsed ≤ budget
-        // even when est × 2.5 would overshoot it
-        val deadlineSec = math.min(math.max(est * 2.5, est + 60.0),
-          math.max(30.0, remainingSec - 15.0))
+        // the deadline also never exceeds what the budget can absorb
+        // (remaining − 25 leaves room for the abort grace + emit), while
+        // an admitted probe always gets ≥ est × 1.2 — aborting a healthy
+        // probe below its own estimate would be admission lying to itself
+        val deadlineSec = math.max(est * 1.2,
+          math.min(math.max(est * 2.5, est + 60.0), remainingSec - 25.0))
         @volatile var thrown: Throwable = null
         val group = s"graft_bench_$name"
         val runner = new Thread(() => {
@@ -345,7 +346,7 @@ object Bench {
         if (runner.isAlive) {
           spark.sparkContext.cancelJobGroup(group)
           runner.interrupt()
-          runner.join(30000) // bounded grace for the unwind
+          runner.join(10000) // bounded grace (cancelled jobs unwind in ms)
           skipped += name // next round's rotation runs this probe early
           draw(s"${name}_aborted",
             s"""{"after_sec":${f3(elapsedSec - t0)},"deadline_sec":${f3(deadlineSec)},"est_sec":${f3(est)}}""")
@@ -689,9 +690,32 @@ object Bench {
         graft.queries.CvQueries.warm(spark, sfEvDir)
         var ok = 0
         var err = 0
-        SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        // a CANCELLED job (the probe deadline firing) must STOP the loop,
+        // not count as a query failure: Spark wraps the interrupt in a
+        // NonFatal SparkException (consuming the thread's interrupt
+        // flag), and swallowing it here would keep ~120 queries running
+        // concurrently with the next probes — the exact overrun the
+        // deadline exists to prevent
+        def cancelled(e: Throwable): Boolean = {
+          var t = e
+          var depth = 0
+          while (t != null && depth < 8) {
+            if (t.isInstanceOf[InterruptedException] ||
+              Option(t.getMessage).exists(_.toLowerCase.contains("cancel")))
+              return true
+            t = t.getCause
+            depth += 1
+          }
+          false
+        }
+        val it = SparkEntry.queries.toSeq.sortBy(_._1).iterator
+        while (it.hasNext && !Thread.currentThread().isInterrupted) {
+          val (_, fn) = it.next()
           try { fn(spark, sfEvDir).count(); ok += 1 }
-          catch { case scala.util.control.NonFatal(_) => err += 1 }
+          catch {
+            case e: Throwable if scala.util.control.NonFatal(e) &&
+                !cancelled(e) => err += 1
+          }
         }
         draw("oracle_sf_evidence",
           s"""{"sf":"sf0.001","ok":$ok,"err":$err}""")

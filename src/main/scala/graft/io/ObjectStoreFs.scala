@@ -73,11 +73,23 @@ final class ObjectStoreFs(store: BlobStore) extends StoreFs {
 
   override def writeString(p: String, s: String): Unit = {
     // overwrite-write of a control file (NOT a commit point): plain
-    // last-writer-wins PUT via an unconditional CAS loop
+    // last-writer-wins PUT via a CAS loop, bounded like every other CAS
+    // here — persistent condition failures mean a concurrent writer
     val key = norm(p)
     val bytes = s.getBytes(Utf8)
-    var done = false
-    while (!done) done = store.putIf(key, bytes, store.get(key))
+    casPut(key, bytes, s"write to $p")
+  }
+
+  /** Last-writer-wins PUT as a bounded CAS loop. */
+  private def casPut(key: String, bytes: Array[Byte], what: String): Unit = {
+    var tries = 0
+    while (tries < 16) {
+      tries += 1
+      if (store.putIf(key, bytes, store.get(key))) return
+    }
+    throw new java.io.IOException(
+      s"$what lost 16 straight CAS races — a concurrent writer is " +
+        "violating the single-writer contract")
   }
 
   /** Journal append as one CAS read-modify-write — atomic, no torn
@@ -113,8 +125,7 @@ final class ObjectStoreFs(store: BlobStore) extends StoreFs {
     keys.foreach { k =>
       val bytes = store.get(k).getOrElse(Array.emptyByteArray)
       val target = d + k.substring(s.length)
-      var done = false
-      while (!done) done = store.putIf(target, bytes, store.get(target))
+      casPut(target, bytes, s"move to $target")
       store.delete(k)
     }
   }

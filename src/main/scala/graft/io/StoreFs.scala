@@ -316,13 +316,22 @@ final class HadoopStoreFs(rootUri: java.net.URI) extends StoreFs {
     fs.getFileStatus(new HPath(p)).getLen // absent → FileNotFoundException
 
   override def readAt(p: String, at: Long, len: Int): Array[Byte] = {
+    // no extra getFileStatus round trip: seek + read loop to EOF (a seek
+    // past EOF surfaces as EOF on read, not an error, on the FS impls
+    // this serves — and the caller sized `at` from fileSize anyway)
     val in = fs.open(new HPath(p))
     try {
-      val sz = fileSize(p)
-      val n = math.max(0L, math.min(len.toLong, sz - at)).toInt
-      val buf = new Array[Byte](n)
-      if (n > 0) { in.seek(at); in.readFully(buf, 0, n) }
-      buf
+      val buf = new Array[Byte](len)
+      var off = 0
+      try {
+        in.seek(at)
+        var n = 0
+        while (off < len && n >= 0) {
+          n = in.read(buf, off, len - off)
+          if (n > 0) off += n
+        }
+      } catch { case _: java.io.EOFException => () }
+      java.util.Arrays.copyOf(buf, off)
     } finally in.close()
   }
 }

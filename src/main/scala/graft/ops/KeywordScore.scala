@@ -187,8 +187,9 @@ object KeywordScore {
     }.sortBy(_.gen)
     if (gens.isEmpty && fs.list(s"$dir/postings").nonEmpty)
       throw new IllegalStateException(
-        s"bm25 index at $dir has postings data but no commit markers — an " +
-          "unmigrated pre-generational index; rebuild it with buildIndex " +
+        s"bm25 index at $dir has postings data but no commit markers — " +
+          "either an unmigrated pre-generational index or a first build " +
+          "that crashed before its marker; rebuild with buildIndex " +
           "(scoring it would silently return an empty corpus)")
     gens
   }
@@ -658,7 +659,11 @@ object KeywordScore {
     // the SAME cached stats read as N/avgdl — zero extra jobs.
     val (n, avgdl0, aMin) = readStats(spark, dir, active)
     if (n == 0.0) return fromPairs(Nil)
-    if (k1 != ImpactK1 || b != ImpactB ||
+    // a DUPLICATED query term double-counts in the pivot tier (one
+    // contribution per term position) but would fill one tf slot here —
+    // the full path is the semantics, so duplicates take the fallback
+    if (terms.distinct.length != terms.length ||
+        k1 != ImpactK1 || b != ImpactB ||
         commits.exists(c => activeSet(c.gen) && c.pfmt < 2))
       return fullFallback()
     val avgdl = math.max(avgdl0, 1e-9)
@@ -687,17 +692,23 @@ object KeywordScore {
     def rawScan(cond: Column, max: Int): Array[org.apache.spark.sql.Row] = {
       // take(max) alone runs CollectLimit's INCREMENTAL rounds (1, then 4,
       // 16… partitions — a job per round); forcing the initial round to
-      // cover every partition keeps the row cap at ONE job
+      // cover every partition keeps the row cap at ONE job. The set +
+      // restore is serialized across THIS module's queries (limitConfLock)
+      // so two concurrent top-k calls cannot torn-restore the session
+      // conf; other concurrent session users see the brief override, the
+      // same trade GateStore.withInPushdown already makes.
       val key = "spark.sql.limit.initialNumPartitions"
-      val prev = spark.conf.getOption(key)
-      spark.conf.set(key, "100000")
-      try activePostings(spark, dir, active, commits,
-        col("bucket").isin(buckets: _*) && col("term").isin(terms: _*) && cond)
-        .select(col("doc_id"), col("term"), col("tf"), col("dl"))
-        .take(max)
-      finally prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None => spark.conf.unset(key)
+      limitConfLock.synchronized {
+        val prev = spark.conf.getOption(key)
+        spark.conf.set(key, "100000")
+        try activePostings(spark, dir, active, commits,
+          col("bucket").isin(buckets: _*) && col("term").isin(terms: _*) && cond)
+          .select(col("doc_id"), col("term"), col("tf"), col("dl"))
+          .take(max)
+        finally prev match {
+          case Some(v) => spark.conf.set(key, v)
+          case None => spark.conf.unset(key)
+        }
       }
     }
     val termIdx = terms.zipWithIndex.toMap
@@ -853,6 +864,8 @@ object KeywordScore {
         StringType)), 42L).eval(null)
     java.lang.Math.floorMod(h.asInstanceOf[Long], IndexBuckets.toLong).toInt
   }
+
+  private val limitConfLock = new Object
 
   // (active-gen signature, N, avgdl) per index dir
   private val statsCache =

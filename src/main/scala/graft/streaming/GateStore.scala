@@ -279,9 +279,17 @@ private[graft] object GateStore {
   def baseName(p: String): String =
     p.stripSuffix("/").split('/').last
 
-  /** Total bytes of the given store FILES (driver-side sizing checks). */
+  /** Total bytes of the given store FILES (per-batch driver-side sizing
+    * checks) — ONE stat per file (absent files count 0, matching the old
+    * File.length behavior); treeBytes would walk/list per file. */
   def bytesOf(paths: Iterable[String]): Long =
-    paths.map(p => StoreFs.forRoot(p).treeBytes(p)).sum
+    paths.map { p =>
+      try StoreFs.forRoot(p).fileSize(p)
+      catch {
+        case _: java.io.FileNotFoundException => 0L
+        case _: java.nio.file.NoSuchFileException => 0L
+      }
+    }.sum
 
   private val tmpCounter = new java.util.concurrent.atomic.AtomicLong()
 

@@ -297,6 +297,9 @@ class KeywordIndexSpec extends AnyFunSuite {
       assertTopK(dir, Seq("spark", "query", "table"), k, s"k=$k")
     // single-term and unmatched-term shapes
     assertTopK(dir, Seq("table"), 2, "single term")
+    // a DUPLICATED term double-counts in the pivot tier; the pruned path
+    // must agree (it falls back) rather than fill one tf slot
+    assertTopK(dir, Seq("spark", "spark", "query"), 3, "duplicate term")
     assert(KeywordScore.bm25IndexedTopK(spark, dir, Seq("zzznope"), 3)
       .collect().isEmpty, "no matches → empty")
     // simulate a pre-r17 index: strip pfmt from the marker — the reader
