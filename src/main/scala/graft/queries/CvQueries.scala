@@ -844,7 +844,10 @@ object CvQueries {
   private def execGateFor(s: SparkSession, dir: String): ContViewEngine =
     synchronized {
       execGateEngines.getOrElseUpdate((s, dir), {
-        val root = java.nio.file.Files.createTempDirectory("graft_cvxg").toString
+        // file:-SCHEME root: the executor-distributed backend's shared
+        // store (shard rebuild scans, owner stamps) rides HadoopStoreFs
+        val root = "file:" +
+          java.nio.file.Files.createTempDirectory("graft_cvxg").toString
         def body(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
           concat_ws(" ", (1 to 12).map(i =>
             concat(lit("x"), (id * 41 + lit(i)).cast("string"))): _*)
