@@ -532,7 +532,10 @@ object CvQueries {
 
   private def ttlGateFor(s: SparkSession, dir: String): ContViewEngine = synchronized {
     ttlEngines.getOrElseUpdate((s, dir), {
-      val root = java.nio.file.Files.createTempDirectory("graft_cvttl").toString
+      // file:-SCHEME root (see dedupGateFor): the TTL gate's seen-time
+      // store + fold-time reaping on the Hadoop FS path
+      val root = "file:" +
+        java.nio.file.Files.createTempDirectory("graft_cvttl").toString
       val events = Tables.events(s, dir).select("event_id", "ts", "user_id")
       def setup(eng: ContViewEngine): ContViewEngine = {
         eng.createStream("tw_in", events.schema)
@@ -635,7 +638,10 @@ object CvQueries {
 
   private def pipelineEoFor(s: SparkSession, dir: String): ContViewEngine = synchronized {
     pipelineEoEngines.getOrElseUpdate((s, dir), {
-      val root = java.nio.file.Files.createTempDirectory("graft_cvpleo").toString
+      // file:-SCHEME root (see dedupGateFor): the stacked exactly-once
+      // gate pipeline's per-stage spools + recovery on the Hadoop FS path
+      val root = "file:" +
+        java.nio.file.Files.createTempDirectory("graft_cvpleo").toString
       val docs = Tables.documents(s, dir).select("doc_id", "text")
       docs.where(col("doc_id") < 20).createOrReplaceTempView("pl2_ref")
       val feedDocs = docs.where(col("doc_id") >= 20)
