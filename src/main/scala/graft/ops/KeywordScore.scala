@@ -856,6 +856,31 @@ object KeywordScore {
       .groupBy("query", "doc_id").agg(sum("contrib").as("score"))
   }
 
+  /** Per-query TOP-K over the batch tier — the eval-harness shape
+    * (thousands of queries × top-k) as ONE plan: [[bm25IndexedMulti]]'s
+    * single pruned read + one (query, doc_id) aggregation, then one
+    * query-partitioned window rank — the window input is already the
+    * AGGREGATED (query, doc, score) frame, so the extra shuffle moves
+    * O(matching docs), never postings. Ranking is (score DESC, doc_id)
+    * with ties beyond k dropped; `scoreRounding` ≥ 0 ranks AND returns
+    * round(score, n) — the deterministic boundary an oracle or a
+    * reproducible eval wants (FP summation order makes raw scores
+    * engine-ambiguous in the last ulps). */
+  def bm25IndexedMultiTopK(spark: SparkSession, dir: String,
+      queries: Map[String, Seq[String]], k: Int,
+      k1: Double = 1.2, b: Double = 0.75,
+      scoreRounding: Int = -1): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val scored0 = bm25IndexedMulti(spark, dir, queries, k1, b)
+    val scored =
+      if (scoreRounding < 0) scored0
+      else scored0.withColumn("score", round(col("score"), scoreRounding))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query").orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k).drop("__rn")
+  }
+
   /** Partition bucket of a term — the driver-side twin of the build's
     * `pmod(xxhash64(term), IndexBuckets)` column (seed 42). */
   private def termBucket(t: String): Int = {

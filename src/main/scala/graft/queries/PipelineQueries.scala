@@ -292,6 +292,54 @@ object PipelineQueries {
         .orderBy("query", "doc_id")
     },
 
+    // Per-query TOP-K over the batch tier (round 17): the eval-harness
+    // shape — same single-pass plan as q_bm25_multi plus ONE
+    // query-partitioned window over the aggregated (query, doc, score)
+    // frame. Ranked on the ROUNDED score (scoreRounding = 4) so the
+    // k-boundary is deterministic across engines, like q_bm25_topk.
+    QDef(
+      "q_bm25_multi_topk",
+      """WITH tf AS (
+        |  SELECT doc_id,
+        |    CAST(len(tk) AS DOUBLE) AS dl,
+        |    CAST(len(list_filter(tk, x -> x = 'spark')) AS DOUBLE) AS tf0,
+        |    CAST(len(list_filter(tk, x -> x = 'query')) AS DOUBLE) AS tf1,
+        |    CAST(len(list_filter(tk, x -> x = 'vector')) AS DOUBLE) AS tf2
+        |  FROM (SELECT doc_id,
+        |          list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |                      x -> x <> '') AS tk
+        |        FROM documents)
+        |), st AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+        |         sum(CASE WHEN tf0 > 0 THEN 1.0 ELSE 0.0 END) AS df0,
+        |         sum(CASE WHEN tf1 > 0 THEN 1.0 ELSE 0.0 END) AS df1,
+        |         sum(CASE WHEN tf2 > 0 THEN 1.0 ELSE 0.0 END) AS df2
+        |  FROM tf
+        |), scored AS (
+        |  SELECT 'q_sq' AS query, doc_id,
+        |    round(ln(1 + (n - df0 + 0.5) / (df0 + 0.5))
+        |            * tf0 * 2.2 / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |        + ln(1 + (n - df1 + 0.5) / (df1 + 0.5))
+        |            * tf1 * 2.2 / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl)), 4) AS score
+        |  FROM tf, st WHERE tf0 > 0 OR tf1 > 0
+        |  UNION ALL
+        |  SELECT 'q_v', doc_id,
+        |    round(ln(1 + (n - df2 + 0.5) / (df2 + 0.5))
+        |            * tf2 * 2.2 / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)), 4)
+        |  FROM tf, st WHERE tf2 > 0
+        |)
+        |SELECT query, doc_id, score FROM scored
+        |QUALIFY row_number() OVER
+        |  (PARTITION BY query ORDER BY score DESC, doc_id) <= 10
+        |ORDER BY query, doc_id""".stripMargin) { (s, dir) =>
+      val idx = KeywordScore.indexFor(Tables.documents(s, dir),
+        "doc_id", "text", cacheKey = dir)
+      KeywordScore.bm25IndexedMultiTopK(s, idx, Map(
+        "q_sq" -> Seq("spark", "query"), "q_v" -> Seq("vector")),
+        k = 10, scoreRounding = 4)
+        .orderBy("query", "doc_id")
+    },
+
     // Index MAINTENANCE (round 16): delete every doc_id ≡ 3 (mod 7) as a
     // committed tombstone generation, then compact — the dedup→re-index
     // loop's shape, oracled against DuckDB scoring the FILTERED corpus

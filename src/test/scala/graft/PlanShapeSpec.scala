@@ -79,6 +79,9 @@ class PlanShapeSpec extends AnyFunSuite {
     // / TakeOrdered) — never a corpus-wide exchange; multi adds the
     // per-(query,term) idf broadcast
     "q_bm25_indexed" -> 2, "q_bm25_topk" -> 2, "q_bm25_multi" -> 3,
+    // multi_topk adds ONE query-partitioned window exchange over the
+    // already-aggregated (query, doc, score) frame — O(matching docs)
+    "q_bm25_multi_topk" -> 4,
     // q_bm25_topk_pruned: the RETURNED frame is a LocalRelation of the
     // exactly re-scored candidates (phases A/B ran inside the builder,
     // each bounded by the pruned term slices) + presentation sort
