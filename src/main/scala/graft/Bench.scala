@@ -297,12 +297,38 @@ object Bench {
       * quiet 126 s measurement, then ran 715 s loaded, starving three
       * cheaper probes AND overshooting the total budget. Each probe now
       * runs on its own thread inside a Spark job group; past
-      * max(est × 2.5, est + 60) seconds the group is cancelled, the
+      * max(est × m, est + 60) seconds the group is cancelled, the
       * thread interrupted, and the probe recorded as `<name>_aborted`
       * (detail line, with its partial fields kept) AND appended to
       * `probes_skipped`, so the existing skip-rotation runs it early
-      * next round. The enforcement half of the r15/r16 budget design. */
-    def probe(name: String, estSec: Double)(run: => Unit): Unit = {
+      * next round. The enforcement half of the r15/r16 budget design.
+      *
+      * The multiplier m is LOAD-AWARE (round 18): r17's fronted
+      * gate_scale_simhash ran ~3× its quiet band under co-tenant load
+      * and the 2.5× deadline aborted it at ~287 s — burning the full
+      * spend AND delivering nothing, the worst of both. A loaded box
+      * legitimately inflates the scale probes ~3× (simhash 95→~290,
+      * jaccard 173→298 across r16/r17 artifacts), so when the box is
+      * loaded AT PROBE START the deadline stretches to est × 3.5 —
+      * still clipped by remaining − 25, so the total budget holds by
+      * skipping LATER probes (which the rotation then fronts) instead
+      * of wasting a completed-but-unrecorded heavyweight.
+      *
+      * After the 10 s post-abort grace, a runner thread still alive
+      * means driver-side loops ignored the interrupt — its leftovers run
+      * CONCURRENTLY with the next probes, contaminating exactly what the
+      * per-probe System.gc() isolation protects. That state is recorded
+      * (`abort_thread_leaked`) and every later probe sharing the same
+      * `family` is skipped: same-family probes reuse the same fixture
+      * shapes, the ones a leaked predecessor most plausibly poisons. */
+    var leakedFamily: Option[String] = None
+    def probe(name: String, estSec: Double, family: String = "")(run: => Unit): Unit = {
+      if (family.nonEmpty && leakedFamily.contains(family)) {
+        skipped += name
+        draw(s"${name}_skipped_leaked_family", "\"" + family + "\"")
+        emitSummary()
+        return
+      }
       // seeded from the previous artifact's measured wall; a LOADED-box
       // measurement is inflated evidence, so it never RAISES the estimate
       // past the static table — a decayed stale number re-admits the
@@ -325,12 +351,18 @@ object Bench {
         System.gc()
         Thread.sleep(200)
         val t0 = elapsedSec
+        // loaded AT PROBE START (not at bench start): the load that
+        // matters is the one this probe will run under
+        val loadedHere = loadavgNow().split("\\s+").headOption
+          .flatMap(s => scala.util.Try(s.toDouble).toOption).exists(_ > 2.0) ||
+          stealPctNow() > 1.0
+        val mult = if (loadedHere) 3.5 else 2.5
         // the deadline also never exceeds what the budget can absorb
         // (remaining − 25 leaves room for the abort grace + emit), while
         // an admitted probe always gets ≥ est × 1.2 — aborting a healthy
         // probe below its own estimate would be admission lying to itself
         val deadlineSec = math.max(est * 1.2,
-          math.min(math.max(est * 2.5, est + 60.0), remainingSec - 25.0))
+          math.min(math.max(est * mult, est + 60.0), remainingSec - 25.0))
         @volatile var thrown: Throwable = null
         val group = s"graft_bench_$name"
         val runner = new Thread(() => {
@@ -348,8 +380,13 @@ object Bench {
           runner.interrupt()
           runner.join(10000) // bounded grace (cancelled jobs unwind in ms)
           skipped += name // next round's rotation runs this probe early
+          // a runner that survived the grace is still executing — its
+          // leftovers contaminate whatever runs next; make that visible
+          // in the artifact and fence off the rest of its family
+          val leaked = runner.isAlive
+          if (leaked && family.nonEmpty) leakedFamily = Some(family)
           draw(s"${name}_aborted",
-            s"""{"after_sec":${f3(elapsedSec - t0)},"deadline_sec":${f3(deadlineSec)},"est_sec":${f3(est)}}""")
+            s"""{"after_sec":${f3(elapsedSec - t0)},"deadline_sec":${f3(deadlineSec)},"est_sec":${f3(est)},"abort_thread_leaked":$leaked}""")
         } else if (thrown != null) {
           // a real probe failure stays loud (r13's silent-empty lesson):
           // record it in the artifact, then rethrow after the emit
@@ -886,12 +923,14 @@ object Bench {
       // static estimates = the quiet band split per half (107–123 s
       // combined; the G=1 half is the cheaper seed/measure)
       var shardedG1 = -1L
-      def shardedCosineG1(): Unit = probe("gate_sharded_cosine_g1", estSec = 75) {
+      def shardedCosineG1(): Unit = probe("gate_sharded_cosine_g1", estSec = 75,
+          family = "gate_scale") {
         shardedG1 = GateProbes.shardProbe(spark, "cosine", 10000, 50L,
           Seq(1)).head._2
         lng("gate_sharded_cosine_g1", shardedG1)
       }
-      def shardedCosineG4(): Unit = probe("gate_sharded_cosine_g4", estSec = 95) {
+      def shardedCosineG4(): Unit = probe("gate_sharded_cosine_g4", estSec = 95,
+          family = "gate_scale") {
         def once(): Long =
           GateProbes.shardProbe(spark, "cosine", 10000, 50L, Seq(4)).head._2
         var best = once()
@@ -919,7 +958,7 @@ object Bench {
         if (prev.skipped.contains(s"gate_scale_$kind")) 0 else 1
       }
       kindsRotated.foreach { case (kind, rows, big, est) =>
-        probe(s"gate_scale_$kind", estSec = est) {
+        probe(s"gate_scale_$kind", estSec = est, family = "gate_scale") {
           val r = GateProbes.dualScaleProbe(spark, kind, rows,
             bigBatchRows = big,
             // off-band pushdown reading (below HALF the previous

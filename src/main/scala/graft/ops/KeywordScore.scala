@@ -892,7 +892,9 @@ object KeywordScore {
 
   private val limitConfLock = new Object
 
-  // (active-gen signature, N, avgdl) per index dir
+  // (active-gen signature, N, avgdl, min per-generation avgdl) per index
+  // dir — the last slot is the top-k impact conversion's reference aMin
+  // (see bm25IndexedTopK)
   private val statsCache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, Double, Double, Double)]()
 

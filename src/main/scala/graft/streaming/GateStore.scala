@@ -319,6 +319,12 @@ private[graft] object GateStore {
     } else fs.writeString(f, stamp)
   }
 
+  /** Store-dir layout contract: every `*.parquet` entry directly under a
+    * store dir is a regular FILE (appendLocal/compact allocate flat
+    * unique names; nothing creates a `*.parquet` DIRECTORY here). The
+    * listing relies on that — StoreFs.list cannot ask "is it a file?"
+    * portably, and a dir named `*.parquet` would reach spark.read and
+    * fileSize, which only the Local impl rejects loudly. */
   def files(dir: String): Array[String] =
     StoreFs.forRoot(dir).list(dir)
       .filter(_.endsWith(".parquet")).map(child(dir, _)).toArray
