@@ -71,14 +71,55 @@ object StoreFs {
   private val hadoopCache =
     new java.util.concurrent.ConcurrentHashMap[String, HadoopStoreFs]()
 
+  // ---- object-store scheme registry (round 18) --------------------------
+  // Opt-in routing: a scheme registered here serves its roots through
+  // [[ObjectStoreFs]] (conditional-PUT commit points, segmented journals)
+  // instead of the rename-emulating Hadoop path. Unregistered schemes keep
+  // the Hadoop default — an `s3a://` deployment without a BlobStore
+  // adapter still works through S3A's rename emulation with the documented
+  // `.prev` windows. One ObjectStoreFs instance per scheme (its journal
+  // next-seq cache is per-instance). [[BlobFileSystem]] resolves the SAME
+  // registry so Spark's bulk parquet IO on a registered root sees the
+  // same bytes the seam writes.
+  private val objectSchemes =
+    new java.util.concurrent.ConcurrentHashMap[String, ObjectStoreFs]()
+  private val objectStores =
+    new java.util.concurrent.ConcurrentHashMap[String, BlobStore]()
+
+  /** Route every root with this URI scheme through [[ObjectStoreFs]] over
+    * `store`. JVM-local (executors in forked JVMs must register too —
+    * the in-memory test double is inherently single-JVM). */
+  def registerObjectScheme(scheme: String, store: BlobStore): Unit = {
+    objectStores.put(scheme, store)
+    objectSchemes.put(scheme, new ObjectStoreFs(store))
+    ()
+  }
+
+  /** Undo [[registerObjectScheme]] (spec teardown). */
+  def unregisterObjectScheme(scheme: String): Unit = {
+    objectStores.remove(scheme)
+    objectSchemes.remove(scheme)
+    ()
+  }
+
+  /** The registered [[BlobStore]] behind `scheme`, if any — what
+    * [[BlobFileSystem]] resolves its backing store from. */
+  def objectStoreFor(scheme: String): Option[BlobStore] =
+    Option(objectStores.get(scheme))
+
   /** The implementation serving `root` — java.nio for plain paths, a
+    * registered [[ObjectStoreFs]] for opt-in object-store schemes, else a
     * (cached per scheme+authority) Hadoop FileSystem for URI roots. */
   def forRoot(root: String): StoreFs =
     if (!hasScheme(root)) LocalStoreFs
     else {
       val uri = java.net.URI.create(root)
-      val key = uri.getScheme + "://" + Option(uri.getAuthority).getOrElse("")
-      hadoopCache.computeIfAbsent(key, _ => new HadoopStoreFs(uri))
+      val obj = objectSchemes.get(uri.getScheme)
+      if (obj != null) obj
+      else {
+        val key = uri.getScheme + "://" + Option(uri.getAuthority).getOrElse("")
+        hadoopCache.computeIfAbsent(key, _ => new HadoopStoreFs(uri))
+      }
     }
 }
 

@@ -64,7 +64,9 @@ object KeywordScore {
     val score = terms.indices.map { i =>
       val tfc = col(s"tf$i") * lit(k1 + 1) /
         (col(s"tf$i") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / lit(avgdl)))
-      lit(idf(i)) * tfc
+      // a zero-tf slot contributes 0 — guarded explicitly because at
+      // k1 = 0 the raw expression is 0/0 (ANSI divide-by-zero)
+      lit(idf(i)) * when(col(s"tf$i") > 0, tfc).otherwise(lit(0.0))
     }.reduce(_ + _)
     withTf.where(terms.indices.map(i => col(s"tf$i") > 0).reduce(_ || _))
       .select(col(idCol), score.as("score"))
@@ -594,7 +596,8 @@ object KeywordScore {
     val score = terms.indices.map { i =>
       val tfc = col(s"tf$i") * lit(k1 + 1) /
         (col(s"tf$i") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / lit(avgdl)))
-      lit(idf(i)) * tfc
+      // zero-tf slots guarded like the scan tier's (0/0 at k1 = 0)
+      lit(idf(i)) * when(col(s"tf$i") > 0, tfc).otherwise(lit(0.0))
     }.reduce(_ + _)
     pivoted.select(col("doc_id"), score.as("score"))
   }
@@ -610,10 +613,23 @@ object KeywordScore {
     * the skipped rows could have contributed.
     *
     * The stored impact was computed at the GENERATION's own avgdl A and
-    * the default (k1, b); at query time with avgdl_now the sound bound is
-    *   tfc_now/(k1+1) ≤ impact × max(1, avgdl_now / A)
-    * (denominators differ only in the dl term; see the inline proof at
-    * `bf`). Algorithm, exact by construction:
+    * the build defaults (K1, B) = ([[ImpactK1]], [[ImpactB]]); a query at
+    * ANY (k1', b') with the current avgdl is bounded through one
+    * conversion constant (round 18 — generalizing the r17 default-only
+    * bound). Write the saturation denominators as affine functions of dl:
+    *   stored:  I = tf/(tf + D),  D  = K1(1−B)      + (K1·B/A)·dl
+    *   query:       tfc'/(k1'+1) = tf/(tf + D'), D' = k1'(1−b') + (k1'·b'/avgdl_now)·dl
+    * For c = min( k1'(1−b') / (K1(1−B)),  k1'·b'·A / (K1·B·avgdl_now) )
+    * both affine coefficients of D' dominate c× those of D, so
+    * D' ≥ c·D for every dl ≥ 0, hence (substituting D = tf(1−I)/I)
+    *   tfc'/(k1'+1) ≤ tf/(tf + c·D) = I / (c + (1−c)·I)  (and ≤ 1).
+    * Across generations the conservative A is the smallest per-gen avgdl
+    * (aMin). At the defaults this reduces to the r17 bound exactly
+    * (c = aMin/avgdl_now, I/(c+(1−c)I) ≤ I·avgdl_now/aMin). The bound is
+    * vacuous — c = 0 — when k1' = 0, b' = 0, or b' = 1 (the dl term or
+    * the constant term vanishes and the stored impact can no longer cap
+    * the query's saturation); those parameters take the full-scoring
+    * fallback, loudly. Algorithm, exact by construction:
     *  1. phase A reads only postings with impact ≥ θ (row-group skipped):
     *     every (doc, term) pair is atomic — seen pairs contribute their
     *     EXACT score term; unseen pairs are bounded by
@@ -630,10 +646,12 @@ object KeywordScore {
     * row groups only, and nothing corpus-sized ever shuffles — full
     * scoring's per-doc aggregation moves every matching doc.
     *
-    * Falls back to full scoring (identical results) when: non-default
-    * (k1, b); any active generation predates the impact format (pfmt<2
-    * markers — compaction upgrades them); bounds fail to converge; or
-    * candidates exceed [[MaxTopKCandidates]]. */
+    * Falls back to full scoring (identical results) when: degenerate
+    * (k1, b) — k1 = 0, b = 0, or b = 1, see above; any active generation
+    * predates the impact format (pfmt<2 markers — compaction upgrades
+    * them); bounds fail to converge; or candidates exceed
+    * [[MaxTopKCandidates]]. Every fallback logs its reason to stderr and
+    * stamps [[lastTopKPath]] (spec/telemetry hook). */
   def bm25IndexedTopK(spark: SparkSession, dir: String, terms: Seq[String],
       k: Int, k1: Double = 1.2, b: Double = 0.75,
       tieMargin: Double = 0.0): DataFrame = {
@@ -642,6 +660,12 @@ object KeywordScore {
     import spark.implicits._
     def fromPairs(rows: Seq[(Long, Double)]): DataFrame =
       rows.toDF("doc_id", "score")
+    def fallback(reason: String): DataFrame = {
+      lastTopKPath = s"fallback:$reason"
+      System.err.println(s"[graft] bm25IndexedTopK: impact pruning " +
+        s"unavailable ($reason) under $dir — full scoring (same answer)")
+      fullFallback()
+    }
     def fullFallback(): DataFrame = {
       val scored = bm25Indexed(spark, dir, terms, k1, b)
       val top = scored.orderBy(col("score").desc, col("doc_id"))
@@ -662,13 +686,24 @@ object KeywordScore {
     // a DUPLICATED query term double-counts in the pivot tier (one
     // contribution per term position) but would fill one tf slot here —
     // the full path is the semantics, so duplicates take the fallback
-    if (terms.distinct.length != terms.length ||
-        k1 != ImpactK1 || b != ImpactB ||
-        commits.exists(c => activeSet(c.gen) && c.pfmt < 2))
-      return fullFallback()
+    if (terms.distinct.length != terms.length)
+      return fallback("duplicate query term")
+    if (commits.exists(c => activeSet(c.gen) && c.pfmt < 2))
+      return fallback("format-1 generation (pre-impact; compact to upgrade)")
     val avgdl = math.max(avgdl0, 1e-9)
-    if (aMin <= 0.0) return fullFallback()
-    val bf = math.max(1.0, avgdl / aMin)
+    if (aMin <= 0.0) return fallback("no positive per-generation avgdl")
+    // the (k1', b') conversion constant of the scaladoc's bound proof;
+    // c = 1 when nothing drifted and the query runs at the build defaults
+    val convC = math.min(
+      k1 * (1 - b) / (ImpactK1 * (1 - ImpactB)),
+      k1 * b * aMin / (ImpactK1 * ImpactB * avgdl))
+    if (!(convC > 1e-9))
+      return fallback(s"degenerate (k1=$k1, b=$b) — the stored impact " +
+        "cannot bound this query's saturation")
+    // stored impact v caps the query-parameter saturation at g(v) ≤ 1
+    def gBound(v: Double): Double =
+      if (v <= 0.0) 0.0
+      else math.min(1.0, v / (convC + (1.0 - convC) * v))
     val buckets = terms.map(termBucket).distinct
     // df + per-term max impact, pruned — launched CONCURRENTLY with phase
     // A's first scan (neither depends on the other; both are tiny-result
@@ -757,10 +792,11 @@ object KeywordScore {
       tries += 1
       val th = theta
       val rawA = rawScan(col("impact") >= th, MaxTopKScanRows + 1)
-      if (rawA.length > MaxTopKScanRows) return fullFallback()
+      if (rawA.length > MaxTopKScanRows)
+        return fallback(s"theta-scan exceeded $MaxTopKScanRows rows")
       val perDoc = tfVectors(rawA)
       def capOf(i: Int): Double =
-        idfArr(i) * (k1 + 1) * math.min(1.0, math.min(th, mi(i)) * bf)
+        idfArr(i) * (k1 + 1) * gBound(math.min(th, mi(i)))
       val caps = terms.indices.map(capOf).toArray
       val u0 = caps.sum
       if (perDoc.size >= k) {
@@ -784,12 +820,14 @@ object KeywordScore {
         val lk = lowers(k - 1)
         if (u0 < lk - tieMargin) {
           val cids = docs.filter(_._3 >= lk - tieMargin).map(_._1)
-          if (cids.length > MaxTopKCandidates) return fullFallback()
+          if (cids.length > MaxTopKCandidates)
+            return fallback(s"${cids.length} candidates > $MaxTopKCandidates")
           // phase B: the candidates' FULL tf vectors — same pruned term
           // slices, IN-set doc filter, still no shuffle
           val rawB = rawScan(col("doc_id").isInCollection(cids.toSeq),
             MaxTopKScanRows + 1)
-          if (rawB.length > MaxTopKScanRows) return fullFallback()
+          if (rawB.length > MaxTopKScanRows)
+            return fallback(s"candidate re-scan exceeded $MaxTopKScanRows rows")
           val exact = new scala.collection.mutable.ArrayBuffer[(Long, Double)]
           tfVectors(rawB).forEach { (id, e) =>
             exact += ((id, scoreOf(e._1, e._2)))
@@ -797,13 +835,19 @@ object KeywordScore {
           }
           val kth = exact.map(_._2).sorted(Ordering[Double].reverse)
             .take(k).last
+          lastTopKPath = "pruned"
           return fromPairs(exact.filter(_._2 >= kth - tieMargin).toSeq)
         }
       }
       theta = theta / 4.0
     }
-    fullFallback()
+    fallback("theta bounds failed to converge in 3 tries")
   }
+
+  /** Which path the LAST [[bm25IndexedTopK]] call on this JVM took —
+    * "pruned" or "fallback:<reason>" (spec/telemetry hook; the fallback
+    * is also logged to stderr when it fires). */
+  @volatile private[graft] var lastTopKPath: String = ""
 
   /** Phase-B candidate ceiling for [[bm25IndexedTopK]] — past it, the
     * bound isn't selective enough to beat full scoring; fall back. */

@@ -188,18 +188,24 @@ class KeywordIndexSpec extends AnyFunSuite {
       // the max-impact-pruned top-k must agree with full scoring at every
       // mutation point — appends/deletes drift avgdl away from each
       // generation's stored impact reference, which is exactly what the
-      // bf = max(1, avgdl_now/A_min) bound must absorb
+      // conversion-constant bound must absorb — at the build defaults AND
+      // at tuned non-default parameters (the round-18 generalization:
+      // same stored impacts, (k1', b')-dependent conversion)
       assertTopK(dir, terms, k = 4, s"step $step topk")
+      assertTopK(dir, terms, k = 4, s"step $step topk(0.9,0.4)",
+        k1 = 0.9, b = 0.4)
     }
   }
 
   /** bm25IndexedTopK == the top-k slice of full scoring (score-tied
     * boundary docs included on both sides; FP tolerance because the two
-    * paths sum contributions in different engine orders). */
+    * paths sum contributions in different engine orders), at the build
+    * defaults or any caller (k1, b). */
   private def assertTopK(dir: String, terms: Seq[String], k: Int,
-      what: String): Unit = {
-    val full = scores(dir, terms)
-    val got = KeywordScore.bm25IndexedTopK(spark, dir, terms, k,
+      what: String, k1: Double = 1.2, b: Double = 0.75): Unit = {
+    val full = KeywordScore.bm25Indexed(spark, dir, terms, k1, b)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val got = KeywordScore.bm25IndexedTopK(spark, dir, terms, k, k1, b,
       tieMargin = 1e-9)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     if (full.isEmpty) { assert(got.isEmpty, s"$what: empty corpus"); return }
@@ -300,8 +306,25 @@ class KeywordIndexSpec extends AnyFunSuite {
     // a DUPLICATED term double-counts in the pivot tier; the pruned path
     // must agree (it falls back) rather than fill one tf slot
     assertTopK(dir, Seq("spark", "spark", "query"), 3, "duplicate term")
+    assert(KeywordScore.lastTopKPath.startsWith("fallback:"),
+      s"duplicate term takes the fallback, got ${KeywordScore.lastTopKPath}")
     assert(KeywordScore.bm25IndexedTopK(spark, dir, Seq("zzznope"), 3)
       .collect().isEmpty, "no matches → empty")
+    // tuned (k1, b): the generalized conversion bound keeps the PRUNED
+    // path engaged (round 18); degenerate parameters fall back loudly
+    for ((k1x, bx) <- Seq((0.9, 0.4), (2.0, 0.25), (1.2, 0.99)))
+      assertTopK(dir, Seq("spark", "query", "table"), 3,
+        s"tuned ($k1x,$bx)", k1 = k1x, b = bx)
+    assertTopK(dir, Seq("spark", "query", "table"), 3, "pruned engages",
+      k1 = 0.9, b = 0.4)
+    assert(KeywordScore.lastTopKPath === "pruned",
+      s"(0.9,0.4) must ride the pruned path, got ${KeywordScore.lastTopKPath}")
+    for ((k1x, bx) <- Seq((0.0, 0.75), (1.2, 0.0), (1.2, 1.0))) {
+      assertTopK(dir, Seq("spark", "query", "table"), 3,
+        s"degenerate ($k1x,$bx)", k1 = k1x, b = bx)
+      assert(KeywordScore.lastTopKPath.startsWith("fallback:degenerate"),
+        s"($k1x,$bx) must fall back, got ${KeywordScore.lastTopKPath}")
+    }
     // simulate a pre-r17 index: strip pfmt from the marker — the reader
     // must take the full-scoring fallback (same answer), never trust a
     // null impact column
