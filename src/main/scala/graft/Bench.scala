@@ -690,6 +690,15 @@ object Bench {
           graft.ops.KeywordScore.bm25IndexedMulti(spark, idxDir, fifty)
             .count(); ()
         })
+        // per-query top-k over the same 50-query batch (round 18): the
+        // bounded BottomKAgg rank — detail-line evidence that the
+        // skew-free aggregate rank stays within a small constant of the
+        // scoring pass (the r17 window spelling had a one-task-per-query
+        // sort ceiling at scale)
+        dnum("bm25_multi_topk_sec", med3 {
+          graft.ops.KeywordScore.bm25IndexedMultiTopK(spark, idxDir,
+            fifty, 10).count(); ()
+        })
       }
       // maintenance tier (round 16): tombstone-delete 1/7 of the corpus,
       // then compact the generations — the dedup→re-index loop's cost

@@ -35,9 +35,43 @@ object ProfileBm25 {
       graft.ops.KeywordScore.bm25IndexedTopK(spark, idxDir, terms, 20)
         .count(); ()
     }).sorted.apply(1)
+    // the bench's 50-query batch shape: 3 frequent terms each, scored in
+    // one pass, then per-query top-k (multi vs multiTopK isolates the
+    // rank step's cost on top of the shared scoring plan)
+    val topTerms = spark.read.parquet(s"$idxDir/df")
+      .orderBy(org.apache.spark.sql.functions.desc("df"))
+      .limit(120).select("term").collect().map(_.getString(0))
+    val n = topTerms.length
+    val fifty = (0 until 50).map(i =>
+      s"q$i" -> Seq(topTerms(i % n), topTerms((i * 7 + 3) % n),
+        topTerms((i * 13 + 5) % n)).distinct).toMap
+    graft.ops.KeywordScore.bm25IndexedMulti(spark, idxDir, fifty).count() // warm
+    val multi = (1 to 3).map(_ => t {
+      graft.ops.KeywordScore.bm25IndexedMulti(spark, idxDir, fifty).count(); ()
+    }).sorted.apply(1)
+    graft.ops.KeywordScore.bm25IndexedMultiTopK(spark, idxDir, fifty, 10)
+      .count() // warm
+    val multiTopk = (1 to 3).map(_ => t {
+      graft.ops.KeywordScore.bm25IndexedMultiTopK(spark, idxDir, fifty, 10)
+        .count(); ()
+    }).sorted.apply(1)
+    // A/B: the r17 window spelling of the same rank step
+    import org.apache.spark.sql.functions.{col, row_number}
+    def windowTopK() = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query").orderBy(col("score").desc, col("doc_id"))
+      graft.ops.KeywordScore.bm25IndexedMulti(spark, idxDir, fifty)
+        .withColumn("__rn", row_number().over(w))
+        .where(col("__rn") <= 10).drop("__rn")
+    }
+    windowTopK().count() // warm
+    val multiTopkWin = (1 to 3).map(_ => t { windowTopK().count(); () })
+      .sorted.apply(1)
     println(f"RESULT scan=$scan%.3f build=$build%.3f indexed=$idx%.3f " +
       f"topk=$topk%.3f speedup=${scan / idx}%.2fx " +
-      f"topk_vs_indexed=${idx / topk}%.2fx")
+      f"topk_vs_indexed=${idx / topk}%.2fx " +
+      f"multi50=$multi%.3f multi50_topk=$multiTopk%.3f " +
+      f"multi50_topk_window=$multiTopkWin%.3f")
     spark.stop()
   }
 }

@@ -882,15 +882,28 @@ object KeywordScore {
     val avgdl = math.max(avgdl0, 1e-9)
     val terms = queries.values.flatten.toSeq.distinct
     val buckets = terms.map(termBucket).distinct
-    val dfMap = readDf(spark, dir, terms, buckets, active)
-    def idfOf(t: String): Double = {
-      val df = math.max(dfMap.getOrElse(t, 0.0), 0.0)
-      math.log(1.0 + (n - df + 0.5) / (df + 0.5))
-    }
+    // per-term idf computed IN-PLAN from the pruned df slices (round 18):
+    // the r17 spelling collected df to the driver first — a serial job
+    // ahead of the scoring job every batch pays. As a broadcast-side
+    // subplan the tiny df aggregation overlaps the postings scan instead
+    // (broadcast exchanges build concurrently); N stays a driver literal
+    // (readStats — cached per generation signature, zero jobs here).
+    val dfAgg = spark.read.schema(dfSchema).parquet(s"$dir/df")
+      .where(col("gen").isin(active: _*) &&
+        col("bucket").isin(buckets: _*) && col("term").isin(terms: _*))
+      .groupBy("term").agg(sum("df").as("df"))
+    val qtPairs = queries.toSeq.flatMap { case (q, ts) =>
+      ts.distinct.map(t => (q, t))
+    }.toDF("query", "term")
+    // tombstone generations can drive a term's summed df negative-to-zero
+    // and an unmatched term has no df row at all — both clamp to 0, the
+    // same arithmetic the driver-side idfOf used
+    val dfc = greatest(coalesce(col("df"), lit(0.0)), lit(0.0))
     // (query, term, idf): one small broadcast side for the whole batch
-    val qt = queries.toSeq.flatMap { case (q, ts) =>
-      ts.distinct.map(t => (q, t, idfOf(t)))
-    }.toDF("query", "term", "idf")
+    val qt = qtPairs.join(broadcast(dfAgg), Seq("term"), "left")
+      .select(col("query"), col("term"),
+        log(lit(1.0) + (lit(n) - dfc + lit(0.5)) / (dfc + lit(0.5)))
+          .as("idf"))
     val posts = activePostings(spark, dir, active, commits,
       col("bucket").isin(buckets: _*) && col("term").isin(terms: _*))
     val tfc = col("tf") * lit(k1 + 1) /
@@ -902,14 +915,20 @@ object KeywordScore {
 
   /** Per-query TOP-K over the batch tier — the eval-harness shape
     * (thousands of queries × top-k) as ONE plan: [[bm25IndexedMulti]]'s
-    * single pruned read + one (query, doc_id) aggregation, then one
-    * query-partitioned window rank — the window input is already the
-    * AGGREGATED (query, doc, score) frame, so the extra shuffle moves
-    * O(matching docs), never postings. Ranking is (score DESC, doc_id)
-    * with ties beyond k dropped; `scoreRounding` ≥ 0 ranks AND returns
-    * round(score, n) — the deterministic boundary an oracle or a
-    * reproducible eval wants (FP summation order makes raw scores
-    * engine-ambiguous in the last ulps). */
+    * single pruned read + one (query, doc_id) aggregation, then a
+    * per-query BOUNDED top-k AGGREGATE ([[graft.functions.BottomKAgg]]
+    * over struct(−score, doc_id) — round 18; the r17 window rank moved
+    * every matching doc to its query's partition before ranking, where
+    * the O(k) aggregate ships at most k rows per map partition per query
+    * into the final exchange: at corpus scale the last shuffle carries
+    * O(queries × k × partitions) instead of O(matching docs)). Ranking
+    * is (score DESC, doc_id) with ties beyond k dropped — the struct
+    * ordering is lexicographic, so the kept set and its boundary
+    * tie-break are IDENTICAL to the window spelling's row_number.
+    * `scoreRounding` ≥ 0 ranks AND returns round(score, n) — the
+    * deterministic boundary an oracle or a reproducible eval wants (FP
+    * summation order makes raw scores engine-ambiguous in the last
+    * ulps). */
   def bm25IndexedMultiTopK(spark: SparkSession, dir: String,
       queries: Map[String, Seq[String]], k: Int,
       k1: Double = 1.2, b: Double = 0.75,
@@ -919,10 +938,18 @@ object KeywordScore {
     val scored =
       if (scoreRounding < 0) scored0
       else scored0.withColumn("score", round(col("score"), scoreRounding))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query").orderBy(col("score").desc, col("doc_id"))
-    scored.withColumn("__rn", row_number().over(w))
-      .where(col("__rn") <= k).drop("__rn")
+    // smallest-k of (−score, doc_id) == top-k of (score DESC, doc_id);
+    // double negation is exact in IEEE, so the returned score is the
+    // aggregate's own value bit-for-bit
+    val pair = struct(negate(col("score")).as("ns"), col("doc_id"))
+    val topK = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.BottomKAgg(
+        org.apache.spark.sql.GraftBridge.expression(pair), k)
+        .toAggregateExpression()).as("__top")
+    scored.groupBy("query").agg(topK)
+      .select(col("query"), explode(col("__top")).as("__e"))
+      .select(col("query"), col("__e.doc_id").as("doc_id"),
+        negate(col("__e.ns")).as("score"))
   }
 
   /** Partition bucket of a term — the driver-side twin of the build's

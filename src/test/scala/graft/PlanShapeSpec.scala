@@ -77,11 +77,17 @@ class PlanShapeSpec extends AnyFunSuite {
     // q_bm25_indexed/topk/multi: per-doc score agg over the pruned
     // posting slices (one hash shuffle) + final presentation (range sort
     // / TakeOrdered) — never a corpus-wide exchange; multi adds the
-    // per-(query,term) idf broadcast
-    "q_bm25_indexed" -> 2, "q_bm25_topk" -> 2, "q_bm25_multi" -> 3,
-    // multi_topk adds ONE query-partitioned window exchange over the
-    // already-aggregated (query, doc, score) frame — O(matching docs)
-    "q_bm25_multi_topk" -> 4,
+    // per-(query,term) idf broadcast, whose idf is now computed IN-PLAN
+    // (round 18): the tiny df aggregation rides the broadcast subplan
+    // (+2 counted exchange LINES — its term-hash shuffle and its
+    // broadcast, both over ≤|terms| rows) instead of a SERIAL driver
+    // collect job ahead of the scoring job — one fewer action per batch
+    "q_bm25_indexed" -> 2, "q_bm25_topk" -> 2, "q_bm25_multi" -> 5,
+    // multi_topk ranks via the bounded per-query BottomKAgg (round 18 —
+    // partial top-k map-side, final exchange carries ≤ k rows per map
+    // partition per query; the r17 window spelling moved EVERY matching
+    // doc to one task per query)
+    "q_bm25_multi_topk" -> 6,
     // q_bm25_topk_pruned: the RETURNED frame is a LocalRelation of the
     // exactly re-scored candidates (phases A/B ran inside the builder,
     // each bounded by the pruned term slices) + presentation sort
