@@ -1,12 +1,16 @@
 package graft.io
 
-/** In-memory [[BlobStore]] double for the conditional-PUT object-store
-  * contract tests: a flat key→(bytes, etag) namespace whose `put` is
-  * atomic per key (one lock — the stand-in for a real store's per-key
-  * conditional PUT). Etags are per-key version counters, opaque to the
-  * caller like a real store's. Optional fail-injection: `failPutsOnce(n)`
-  * makes the next n put calls fail their condition regardless, simulating
-  * lost CAS races (a concurrent writer) for the bounded-retry assertions. */
+/** The reference in-memory [[BlobStore]] implementation — what the
+  * object-store contract tests AND the driver-oracle object-root fixture
+  * ([[graft.queries.CvQueries]] q_cv_object_restart) run the seam
+  * against: a flat key→(bytes, etag) namespace whose `put` is atomic per
+  * key (one lock — the stand-in for a real store's per-key conditional
+  * PUT). Etags are per-key version counters, opaque to the caller like a
+  * real store's. Single-JVM by nature; a cluster deployment registers a
+  * real S3-class adapter instead. Optional fail-injection:
+  * `failPutsOnce(n)` makes the next n put calls fail their condition
+  * regardless, simulating lost CAS races (a concurrent writer) for the
+  * bounded-retry assertions. */
 final class MemBlobStore extends BlobStore {
   private val m = new java.util.HashMap[String, (Array[Byte], String)]()
   private var failPuts = 0

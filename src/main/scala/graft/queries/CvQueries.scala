@@ -336,6 +336,43 @@ object CvQueries {
     })
   }
 
+  /** Object-store-root engine (round 18): the SAME restart shape as
+    * [[restartFor]], but every byte — catalog journal (segmented
+    * put-if-absent objects), matrel manifests (etag conditional-PUT
+    * swaps), and Spark's bulk parquet (through
+    * [[graft.io.BlobFileSystem]]) — lives in a registered in-memory
+    * object store under a `graftoq://` root. The S3-class deployment
+    * shape, hash-gated by the driver oracle every round like the
+    * `file:`-scheme fixtures (ObjectRootSpec carries the crash windows;
+    * THIS carries the clean-path end-to-end equality). */
+  private val objectEngines =
+    scala.collection.mutable.Map.empty[(SparkSession, String), ContViewEngine]
+  private val objectRootCounter = new java.util.concurrent.atomic.AtomicInteger()
+
+  private def objectRootFor(s: SparkSession, dir: String): ContViewEngine = synchronized {
+    objectEngines.getOrElseUpdate((s, dir), {
+      val scheme = "graftoq"
+      if (graft.io.StoreFs.objectStoreFor(scheme).isEmpty)
+        graft.io.StoreFs.registerObjectScheme(scheme, new graft.io.MemBlobStore)
+      s.sparkContext.hadoopConfiguration.set(s"fs.$scheme.impl",
+        classOf[graft.io.BlobFileSystem].getName)
+      val root = s"$scheme://cv${objectRootCounter.incrementAndGet()}/root"
+      val events = Tables.events(s, dir)
+      val eng1 = new ContViewEngine(s, root)
+      eng1.createStream("oq_ev", events.schema)
+      eng1.sql("""CREATE CONTINUOUS VIEW oq_agg WITH (changes = false) AS
+                |SELECT event_type, count(*) AS n, sum(value) AS sv,
+                |       count(DISTINCT user_id) AS nd
+                |FROM oq_ev GROUP BY event_type""".stripMargin)
+      eng1.insertInto("oq_ev", events.where(pmod(col("event_id"), lit(2)) === 0))
+      // "crash": the replacement engine replays the segmented catalog and
+      // rebinds the conditional-PUT-committed matrel state from the store
+      val eng2 = new ContViewEngine(s, root)
+      eng2.insertInto("oq_ev", events.where(pmod(col("event_id"), lit(2)) === 1))
+      eng2
+    })
+  }
+
   /** Fourth memoized engine: the Structured Streaming driver end-to-end
     * (previously spec-only). Events are staged as three parquet drops and
     * consumed by a real `readStream` file source one file-batch at a time
@@ -1175,6 +1212,22 @@ object CvQueries {
         restartFor(s, dir).sql(
           """SELECT event_type, n, round(sv, 2) AS sv, round(av, 6) AS av, nd
             |FROM rs1.agg ORDER BY event_type""".stripMargin)
+    },
+
+    // Checkpoint restart on an OBJECT-STORE root (round 18): the same
+    // incremental-across-restart-equals-batch invariant as q_cv_restart,
+    // with every commit point a conditional PUT (no renames exist) and
+    // the catalog a concatenation of put-if-absent segment objects —
+    // the s3://-rooted deployment shape, oracle-hash-gated per round.
+    QDef(
+      "q_cv_object_restart",
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sv,
+        |       count(DISTINCT user_id) AS nd
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) {
+      (s, dir) =>
+        objectRootFor(s, dir).sql(
+          """SELECT event_type, n, round(sv, 2) AS sv, nd
+            |FROM oq_agg ORDER BY event_type""".stripMargin)
     },
 
     // cont_matrel.sql: direct matrel DML under matrels_writable. Groups
