@@ -674,6 +674,13 @@ object Bench {
         graft.ops.KeywordScore.bm25IndexedTopK(spark, idxDir, terms, 20)
           .count(); ()
       })
+      // row-skip evidence (round 18): what the pruned phases collected
+      // vs the matching postings full scoring reads — the measured basis
+      // of the 100× retrieval claim (ProfileBm25Scale carries the
+      // large-corpus version)
+      val (ra, rb, df) = graft.ops.KeywordScore.lastTopKScan
+      draw("bm25_topk_scan",
+        s"""{"phase_a_rows":$ra,"phase_b_rows":$rb,"matching_postings":$df}""")
       // batch tier: 50 three-term queries over the corpus's most frequent
       // terms, scored in ONE pass — the number that shows batch cost
       // tracks matching postings, not query count (50 per-query calls

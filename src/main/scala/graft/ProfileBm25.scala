@@ -67,9 +67,11 @@ object ProfileBm25 {
     windowTopK().count() // warm
     val multiTopkWin = (1 to 3).map(_ => t { windowTopK().count(); () })
       .sorted.apply(1)
+    val (ra, rb, dfm) = graft.ops.KeywordScore.lastTopKScan
     println(f"RESULT scan=$scan%.3f build=$build%.3f indexed=$idx%.3f " +
       f"topk=$topk%.3f speedup=${scan / idx}%.2fx " +
       f"topk_vs_indexed=${idx / topk}%.2fx " +
+      f"topk_scan=$ra%d+$rb%d/$dfm%d " +
       f"multi50=$multi%.3f multi50_topk=$multiTopk%.3f " +
       f"multi50_topk_window=$multiTopkWin%.3f")
     spark.stop()

@@ -780,25 +780,57 @@ object KeywordScore {
     lazy val mi: Array[Double] =
       // a term with NO df rows has no postings anywhere — its cap is 0
       terms.map(t => dfRows.get(t).map(_._2).getOrElse(0.0)).toArray
-    // θ0 is ABSOLUTE (impact ∈ (0,1]; 0.5 ≈ the tf=1 saturation point at
-    // average dl), not derived from max_impact — so the first θ-scan
-    // launches immediately, overlapping the df job. A term whose stored
-    // impacts all sit below θ contributes nothing to phase A but its cap
-    // uses min(θ, max_impact) — the bounds stay sound, and the θ/4 retry
-    // catches rare-term-driven rankings.
-    var theta = 0.5
+    // θ is PER TERM (round 18 — a single global θ cannot prune a
+    // frequent low-idf term's tf=1 tail whenever the true kth score sits
+    // below the all-terms cap, the no-co-occurrence shape ProfileBm25Scale
+    // exposed): round 1 scans everything at θ_t = 0.5 — an ABSOLUTE
+    // start (impact ∈ (0,1]; 0.5 ≈ the tf=1 saturation point at average
+    // dl), not derived from max_impact, so the first scan launches
+    // immediately and overlaps the df job. Failed rounds re-allocate by
+    // EQUAL BUDGET: each term gets cap_t = 0.9·lk/|T|, i.e.
+    // θ_t = g⁻¹(0.9·lk/(|T|·idf_t·(k1+1))) — low-idf (high-df) terms
+    // receive the HIGHEST thresholds, which is exactly where the rows
+    // are. θ_t only ever decreases (a rise can shrink the scan but never
+    // helps convergence, and monotone-down keeps progress guaranteed);
+    // the u0 < lk check re-gates soundness every round regardless.
+    def gInv(y: Double): Double = convC * y / (1.0 - (1.0 - convC) * y)
+    var thetas = Array.fill(terms.length)(0.5)
     var tries = 0
     while (tries < 3) {
       tries += 1
-      val th = theta
-      val rawA = rawScan(col("impact") >= th, MaxTopKScanRows + 1)
+      val th = thetas.clone()
+      val cond = terms.indices.map(i =>
+        col("term") === terms(i) && col("impact") >= th(i)).reduce(_ || _)
+      val rawA = rawScan(cond, MaxTopKScanRows + 1)
       if (rawA.length > MaxTopKScanRows)
         return fallback(s"theta-scan exceeded $MaxTopKScanRows rows")
       val perDoc = tfVectors(rawA)
+      // degraded-case fast path (round 18): when the θ-scan collected
+      // EVERY matching posting (Σ df rows — a corpus shape where the
+      // query terms rarely co-occur, so no θ can prune: the unseen-doc
+      // cap Σ idf·(k1+1)·g(θ) stays above the kth REAL score), the
+      // per-doc vectors in hand are already complete — score them
+      // exactly and return, skipping phase B and the convergence
+      // machinery. Bounds soundness is moot: nothing was skipped.
+      val matching = dfRows.values.map(v => math.max(v._1, 0.0)).sum.toLong
+      if (rawA.length >= matching) {
+        val exact = new scala.collection.mutable.ArrayBuffer[(Long, Double)]
+        perDoc.forEach { (id, e) =>
+          exact += ((id, scoreOf(e._1, e._2)))
+          ()
+        }
+        if (exact.isEmpty) { lastTopKPath = "pruned"; return fromPairs(Nil) }
+        val kth = exact.map(_._2).sorted(Ordering[Double].reverse)
+          .take(k).last
+        lastTopKPath = "pruned"
+        lastTopKScan = (rawA.length.toLong, 0L, matching)
+        return fromPairs(exact.filter(_._2 >= kth - tieMargin).toSeq)
+      }
       def capOf(i: Int): Double =
-        idfArr(i) * (k1 + 1) * gBound(math.min(th, mi(i)))
+        idfArr(i) * (k1 + 1) * gBound(math.min(th(i), mi(i)))
       val caps = terms.indices.map(capOf).toArray
       val u0 = caps.sum
+      var lkSeen = -1.0
       if (perDoc.size >= k) {
         // lower = exact score over SEEN pairs (unseen tf slots are 0 and
         // contribute 0 — identical arithmetic to the full pivot); upper
@@ -818,6 +850,7 @@ object KeywordScore {
         }
         val lowers = docs.map(_._2).sorted(Ordering[Double].reverse)
         val lk = lowers(k - 1)
+        lkSeen = lk
         if (u0 < lk - tieMargin) {
           val cids = docs.filter(_._3 >= lk - tieMargin).map(_._1)
           if (cids.length > MaxTopKCandidates)
@@ -836,10 +869,23 @@ object KeywordScore {
           val kth = exact.map(_._2).sorted(Ordering[Double].reverse)
             .take(k).last
           lastTopKPath = "pruned"
+          // scan-volume telemetry: rows the two pruned phases actually
+          // collected vs the matching postings full scoring reads (Σ df
+          // of the queried terms — already on the driver, zero jobs)
+          lastTopKScan = (rawA.length.toLong, rawB.length.toLong, matching)
           return fromPairs(exact.filter(_._2 >= kth - tieMargin).toSeq)
         }
       }
-      theta = theta / 4.0
+      // equal-budget re-allocation from the lk estimate (header comment);
+      // /4 when no estimate exists (fewer than k docs seen)
+      thetas = terms.indices.map { i =>
+        val byBudget =
+          if (lkSeen > 0) {
+            val y = 0.9 * lkSeen / (terms.length * idfArr(i) * (k1 + 1))
+            if (y > 0 && y < 1) gInv(y) else th(i) / 4.0
+          } else th(i) / 4.0
+        math.max(1e-4, math.min(byBudget, th(i)))
+      }.toArray
     }
     fallback("theta bounds failed to converge in 3 tries")
   }
@@ -848,6 +894,10 @@ object KeywordScore {
     * "pruned" or "fallback:<reason>" (spec/telemetry hook; the fallback
     * is also logged to stderr when it fires). */
   @volatile private[graft] var lastTopKPath: String = ""
+
+  /** (phase-A rows, phase-B rows, Σ matching df) of the last PRUNED
+    * [[bm25IndexedTopK]] — what the bench's row-skip evidence reads. */
+  @volatile private[graft] var lastTopKScan: (Long, Long, Long) = (0L, 0L, 0L)
 
   /** Phase-B candidate ceiling for [[bm25IndexedTopK]] — past it, the
     * bound isn't selective enough to beat full scoring; fall back. */
