@@ -677,10 +677,15 @@ object Bench {
       // row-skip evidence (round 18): what the pruned phases collected
       // vs the matching postings full scoring reads — the measured basis
       // of the 100× retrieval claim (ProfileBm25Scale carries the
-      // large-corpus version)
-      val (ra, rb, df) = graft.ops.KeywordScore.lastTopKScan
-      draw("bm25_topk_scan",
-        s"""{"phase_a_rows":$ra,"phase_b_rows":$rb,"matching_postings":$df}""")
+      // large-corpus version). Only stamped when the pruned path
+      // actually ran; a fallback stamps its reason instead so the
+      // artifact never carries numbers that belong to another call.
+      if (graft.ops.KeywordScore.lastTopKPath == "pruned") {
+        val (ra, rb, df) = graft.ops.KeywordScore.lastTopKScan
+        draw("bm25_topk_scan",
+          s"""{"phase_a_rows":$ra,"phase_b_rows":$rb,"matching_postings":$df}""")
+      } else draw("bm25_topk_scan", "\"" +
+        graft.ops.KeywordScore.lastTopKPath.replace("\"", "'") + "\"")
       // batch tier: 50 three-term queries over the corpus's most frequent
       // terms, scored in ONE pass — the number that shows batch cost
       // tracks matching postings, not query count (50 per-query calls

@@ -30,7 +30,6 @@ import org.apache.hadoop.util.Progressable
   */
 final class BlobFileSystem extends FileSystem {
   private var fsUri: URI = _
-  private var store: BlobStore = _
   private var schemeAuth: String = _
   private var workDir: Path = _
 
@@ -40,11 +39,18 @@ final class BlobFileSystem extends FileSystem {
     fsUri = URI.create(
       uri.getScheme + "://" + Option(uri.getAuthority).getOrElse(""))
     schemeAuth = fsUri.toString
-    store = StoreFs.objectStoreFor(uri.getScheme).getOrElse(
-      throw new IOException(s"no BlobStore registered for scheme " +
-        s"'${uri.getScheme}' — call StoreFs.registerObjectScheme first"))
+    // fail fast on an unregistered scheme…
+    store
     workDir = new Path(schemeAuth + "/")
   }
+
+  // …but re-resolve per operation: Hadoop's FileSystem cache outlives a
+  // test-scoped registry entry, and an instance pinned to the OLD store
+  // after unregister/re-register would split-brain against the seam
+  private def store: BlobStore =
+    StoreFs.objectStoreFor(fsUri.getScheme).getOrElse(
+      throw new IOException(s"no BlobStore registered for scheme " +
+        s"'${fsUri.getScheme}' — call StoreFs.registerObjectScheme first"))
 
   override def getUri: URI = fsUri
   override def getScheme: String = fsUri.getScheme
@@ -129,18 +135,30 @@ final class BlobFileSystem extends FileSystem {
     val key = keyOf(f)
     if (isDir(key) && !isRoot(key) && store.listPrefix(key + "/").nonEmpty)
       throw new IOException(s"create: $f is a directory")
-    val buf = new java.io.ByteArrayOutputStream()
+    // spool to a local temp FILE, then stream one conditional PUT on
+    // close — heap stays O(stream buffer) however large the object (the
+    // same disk-block spooling S3A's default output stream does; a
+    // whole-object ByteArrayOutputStream here would be exactly the
+    // driver-buffering hazard the round-18 BlobStore redesign removed
+    // from the seam)
+    val tmp = java.nio.file.Files.createTempFile("graft_blobfs", ".spool")
+    val fileOut = java.nio.file.Files.newOutputStream(tmp)
     val out = new java.io.OutputStream {
-      override def write(b: Int): Unit = buf.write(b)
+      override def write(b: Int): Unit = fileOut.write(b)
       override def write(b: Array[Byte], off: Int, len: Int): Unit =
-        buf.write(b, off, len)
+        fileOut.write(b, off, len)
       override def close(): Unit = {
-        val bytes = buf.toByteArray
-        val cond = if (overwrite) PutCond.Always else PutCond.IfAbsent
-        if (store.putBytes(key, bytes, cond).isEmpty)
-          throw new org.apache.hadoop.fs.FileAlreadyExistsException(f.toString)
-        dirs.remove(key)
-        ()
+        fileOut.close()
+        try {
+          val len = java.nio.file.Files.size(tmp)
+          val cond = if (overwrite) PutCond.Always else PutCond.IfAbsent
+          val ok = store.put(key,
+            () => java.nio.file.Files.newInputStream(tmp), len, cond)
+          if (ok.isEmpty)
+            throw new org.apache.hadoop.fs.FileAlreadyExistsException(f.toString)
+          dirs.remove(key)
+          ()
+        } finally { java.nio.file.Files.deleteIfExists(tmp); () }
       }
     }
     new FSDataOutputStream(out, statistics)
@@ -161,6 +179,15 @@ final class BlobFileSystem extends FileSystem {
       if (fileStat(dKey0).isEmpty && isDir(dKey0) && !isRoot(dKey0))
         dKey0 + "/" + src.getName
       else dKey0
+    // the into-dir adjustment can resolve BACK to the source (renaming
+    // /a/x into /a): copy-to-self + delete would destroy the object —
+    // report failure like HDFS does, touch nothing
+    if (dKey == sKey) return false
+    // an existing FILE destination fails the rename (HDFS/S3A contract —
+    // what rename-based commit protocols use to detect a lost race);
+    // silently overwriting would let two writers both believe they
+    // committed
+    if (fileStat(dKey).isDefined) return false
     if (fileStat(sKey).isDefined) {
       if (!store.copy(sKey, dKey)) return false
       store.delete(sKey)
@@ -213,6 +240,13 @@ object BlobFileSystem {
     * like the in-memory store the test double serves. */
   private[io] val dirMarkers = new java.util.concurrent.ConcurrentHashMap[
     String, java.util.concurrent.ConcurrentHashMap.KeySetView[String, java.lang.Boolean]]()
+
+  /** Forget every dir marker of `scheme` (all authorities) — scheme
+    * unregistration hygiene; see [[StoreFs.unregisterObjectScheme]]. */
+  private[io] def dropMarkersFor(scheme: String): Unit = {
+    dirMarkers.keySet.removeIf(_.startsWith(scheme + "://"))
+    ()
+  }
 }
 
 /** Seekable read stream over one blob: range-GETs on demand, positioned

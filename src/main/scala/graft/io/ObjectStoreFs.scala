@@ -148,13 +148,19 @@ final class ObjectStoreFs(store: BlobStore) extends StoreFs {
   override def writeString(p: String, s: String): Unit = {
     // overwrite-write of a control file (NOT a commit point): plain
     // last-writer-wins PUT; journal segments of a previous incarnation
-    // are dropped so overwrite semantics hold for appendLine-built files
+    // are dropped so overwrite semantics hold for appendLine-built
+    // files. ORDER matters for concurrent readers: segments delete
+    // HIGHEST-seq first, THEN the direct object lands — every
+    // intermediate readString observes (old direct + a seq-PREFIX of
+    // segments), i.e. a state the journal actually passed through, never
+    // a new-content/stale-tail splice (deleting after the PUT produced
+    // exactly that).
     val key = norm(p)
+    val segs = segKeys(key)
+    segs.sorted(Ordering[String].reverse).foreach(store.delete)
+    if (segs.nonEmpty) nextSeq.remove(key)
     store.putBytes(key, s.getBytes(Utf8), PutCond.Always).getOrElse(
       throw new java.io.IOException(s"unconditional put to $p failed"))
-    val segs = segKeys(key)
-    segs.foreach(store.delete)
-    if (segs.nonEmpty) nextSeq.remove(key)
     ()
   }
 
@@ -263,15 +269,17 @@ final class ObjectStoreFs(store: BlobStore) extends StoreFs {
   override def writeMarker(p: String, durable: Boolean): Unit =
     writeString(p, "")
 
-  /** Size of the direct object, or the segment total for a journal
-    * built by [[appendLine]] (matching what [[readString]] returns). */
+  /** Size of the direct object PLUS any [[appendLine]] segments —
+    * always matching what [[readString]] returns (a legacy direct
+    * journal later appended to has both). */
   override def fileSize(p: String): Long = {
     val key = norm(p)
-    store.stat(key).map(_.size).getOrElse {
-      val segs = segKeys(key)
-      if (segs.isEmpty) throw new java.io.FileNotFoundException(p)
+    val direct = store.stat(key).map(_.size)
+    val segs = segKeys(key)
+    if (direct.isEmpty && segs.isEmpty)
+      throw new java.io.FileNotFoundException(p)
+    direct.getOrElse(0L) +
       segs.map(k => store.stat(k).map(_.size).getOrElse(0L)).sum
-    }
   }
 
   /** Ranged read of a DIRECT object (the spool magic check's shape) —

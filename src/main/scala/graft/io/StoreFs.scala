@@ -95,10 +95,15 @@ object StoreFs {
     ()
   }
 
-  /** Undo [[registerObjectScheme]] (spec teardown). */
+  /** Undo [[registerObjectScheme]] (spec teardown). Also drops the
+    * [[BlobFileSystem]] dir markers of the scheme — a later
+    * re-registration with a fresh store must not inherit phantom
+    * directories (Hadoop-cached BlobFileSystem instances re-resolve the
+    * store per operation, so they follow the registry either way). */
   def unregisterObjectScheme(scheme: String): Unit = {
     objectStores.remove(scheme)
     objectSchemes.remove(scheme)
+    BlobFileSystem.dropMarkersFor(scheme)
     ()
   }
 

@@ -657,6 +657,10 @@ object KeywordScore {
       tieMargin: Double = 0.0): DataFrame = {
     require(terms.nonEmpty, "bm25 requires at least one query term")
     require(k >= 1, s"k must be >= 1, got $k")
+    // telemetry belongs to THIS call: a fallback or early return must
+    // not leave a previous pruned call's numbers for Bench/profiles
+    lastTopKScan = (0L, 0L, 0L)
+    lastTopKPath = ""
     import spark.implicits._
     def fromPairs(rows: Seq[(Long, Double)]): DataFrame =
       rows.toDF("doc_id", "score")
@@ -819,11 +823,11 @@ object KeywordScore {
           exact += ((id, scoreOf(e._1, e._2)))
           ()
         }
-        if (exact.isEmpty) { lastTopKPath = "pruned"; return fromPairs(Nil) }
-        val kth = exact.map(_._2).sorted(Ordering[Double].reverse)
-          .take(k).last
         lastTopKPath = "pruned"
         lastTopKScan = (rawA.length.toLong, 0L, matching)
+        if (exact.isEmpty) return fromPairs(Nil)
+        val kth = exact.map(_._2).sorted(Ordering[Double].reverse)
+          .take(k).last
         return fromPairs(exact.filter(_._2 >= kth - tieMargin).toSeq)
       }
       def capOf(i: Int): Double =

@@ -103,6 +103,8 @@ class PlanShapeSpec extends AnyFunSuite {
     "q_decontaminate" -> 4, "q_hash_sample" -> 2,
     "q_cv_async" -> 1, "q_cv_activate" -> 1, "q_cv_sw_combine" -> 1,
     "q_cv_constraint" -> 1, "q_cv_schema" -> 1, "q_cv_restart" -> 1,
+    // same overlay-read shape as q_cv_restart, on the object-store root
+    "q_cv_object_restart" -> 1,
     "q_cv_stats" -> 1, "q_cv_streaming" -> 1,
     "q_cv_matrel_dml" -> 1, "q_cv_rename" -> 1, "q_cv_truncate" -> 1,
     "q_cv_transform_chain" -> 1, "q_date_round" -> 1, "q_dedup_exact" -> 2,

@@ -322,6 +322,51 @@ class ObjectRootSpec extends AnyFunSuite {
       "vanished key skipped — no empty object published")
   }
 
+  test("fileSize sums a legacy direct journal PLUS its appended " +
+      "segments, matching readString (mixed r17/r18 layout)") {
+    val fs = new ObjectStoreFs(store)
+    val j = objRoot("mix") + "/_catalog.jsonl"
+    fs.writeString(j, "legacy\n")   // r17-era whole-object journal
+    fs.appendLine(j, "seg-one")     // r18 segments on top
+    fs.appendLine(j, "seg-two")
+    val content = fs.readString(j)
+    assert(content === "legacy\nseg-one\nseg-two\n")
+    assert(fs.fileSize(j) === content.getBytes.length.toLong)
+  }
+
+  test("BlobFileSystem rename: self-resolving and existing-file targets " +
+      "fail without touching data (the HDFS/S3A commit-race contract)") {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      java.net.URI.create("graftmem://bucket/"),
+      spark.sparkContext.hadoopConfiguration)
+    val base = new org.apache.hadoop.fs.Path(objRoot("rn"))
+    def write(p: org.apache.hadoop.fs.Path, s: String): Unit = {
+      val o = fs.create(p, true); o.write(s.getBytes); o.close()
+    }
+    def read(p: org.apache.hadoop.fs.Path): String = {
+      val in = fs.open(p)
+      try new String(in.readAllBytes()) finally in.close()
+    }
+    // rename INTO the directory that already contains the source would
+    // resolve back to the source key — must fail, not copy-to-self+delete
+    val x = new org.apache.hadoop.fs.Path(base, "a/x")
+    write(x, "keep me")
+    assert(!fs.rename(x, new org.apache.hadoop.fs.Path(base, "a")),
+      "self-resolving rename fails")
+    assert(read(x) === "keep me", "source untouched")
+    // an existing FILE destination fails (two racing committers must not
+    // both believe they won)
+    val y = new org.apache.hadoop.fs.Path(base, "a/y")
+    write(y, "winner")
+    write(x, "loser-content")
+    assert(!fs.rename(x, y), "existing-file destination fails")
+    assert(read(y) === "winner", "committed file not overwritten")
+    // and the normal move still works
+    val z = new org.apache.hadoop.fs.Path(base, "b/z")
+    assert(fs.rename(y, z))
+    assert(read(z) === "winner" && !fs.exists(y))
+  }
+
   test("readAt/fileSize are range reads, and etag CAS publish never " +
       "observes the destination absent") {
     val fs = new ObjectStoreFs(store)
