@@ -63,35 +63,50 @@ object AnnSearch {
     */
   case class LshBuckets(child: org.apache.spark.sql.catalyst.expressions.Expression,
       planes: Array[Array[Array[Double]]])
-      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
-      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
     import org.apache.spark.sql.types._
     override def prettyName: String = "lsh_buckets"
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
-    override def nullSafeEval(v: Any): Any = {
-      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray()
-      val out = new Array[Any](planes.length)
-      var t = 0
-      while (t < planes.length) {
-        val tp = planes(t)
-        var bucket = 0L
-        var b = 0
-        while (b < tp.length) {
-          val plane = tp(b)
-          var dot = 0.0
-          var i = 0
-          val n = math.min(arr.length, plane.length)
-          while (i < n) { dot += arr(i) * plane(i); i += 1 }
-          if (dot >= 0) bucket |= (1L << b)
-          b += 1
-        }
-        out(t) = bucket
-        t += 1
-      }
-      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    override def nullSafeEval(v: Any): Any = AnnSearch.lshBucketsEval(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], planes)
+    // codegen'd via a static call (guide §4 — a CodegenFallback expression
+    // excludes its operator from whole-stage codegen); the plane matrices
+    // ride in as a codegen reference object
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+      val ps = ctx.addReferenceObj("lshPlanes", planes, "double[][][]")
+      defineCodeGen(ctx, ev, c => s"graft.ops.AnnSearch.lshBucketsEval($c, $ps)")
     }
     override protected def withNewChildInternal(
         c: org.apache.spark.sql.catalyst.expressions.Expression): LshBuckets = copy(child = c)
+  }
+
+  /** [[LshBuckets]]' evaluation body (callable from generated code). */
+  def lshBucketsEval(arrData: org.apache.spark.sql.catalyst.util.ArrayData,
+      planes: Array[Array[Array[Double]]])
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val arr = arrData.toDoubleArray()
+    val out = new Array[Any](planes.length)
+    var t = 0
+    while (t < planes.length) {
+      val tp = planes(t)
+      var bucket = 0L
+      var b = 0
+      while (b < tp.length) {
+        val plane = tp(b)
+        var dot = 0.0
+        var i = 0
+        val n = math.min(arr.length, plane.length)
+        while (i < n) { dot += arr(i) * plane(i); i += 1 }
+        if (dot >= 0) bucket |= (1L << b)
+        b += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
   private def lshBuckets(v: Column, planes: Array[Array[Array[Double]]]): Column =
@@ -182,29 +197,44 @@ object AnnSearch {
     */
   case class IvfAssign(child: org.apache.spark.sql.catalyst.expressions.Expression,
       centroids: Array[Array[Double]], nprobe: Int)
-      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
-      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
     import org.apache.spark.sql.types._
     override def prettyName: String = "ivf_assign"
     override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
-    override def nullSafeEval(v: Any): Any = {
-      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray()
-      var vn = 0.0
-      var i = 0
-      while (i < arr.length) { vn += arr(i) * arr(i); i += 1 }
-      vn = math.sqrt(vn)
-      val sims = centroids.zipWithIndex.map { case (cvec, ci) =>
-        var dot = 0.0; var cn = 0.0
-        var j = 0
-        val n = math.min(arr.length, cvec.length)
-        while (j < n) { dot += arr(j) * cvec(j); cn += cvec(j) * cvec(j); j += 1 }
-        (dot / (vn * math.sqrt(cn) + 1e-12), ci)
-      }
-      val top = sims.sortBy { case (s, ci) => (-s, ci) }.take(nprobe).map(_._2)
-      new org.apache.spark.sql.catalyst.util.GenericArrayData(top.toArray[Any])
+    override def nullSafeEval(v: Any): Any = AnnSearch.ivfAssignEval(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], centroids, nprobe)
+    // codegen'd via a static call (guide §4); centroids ride in as a
+    // codegen reference object
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+      val cs = ctx.addReferenceObj("ivfCentroids", centroids, "double[][]")
+      defineCodeGen(ctx, ev,
+        c => s"graft.ops.AnnSearch.ivfAssignEval($c, $cs, $nprobe)")
     }
     override protected def withNewChildInternal(
         c: org.apache.spark.sql.catalyst.expressions.Expression): IvfAssign = copy(child = c)
+  }
+
+  /** [[IvfAssign]]'s evaluation body (callable from generated code). */
+  def ivfAssignEval(arrData: org.apache.spark.sql.catalyst.util.ArrayData,
+      centroids: Array[Array[Double]], nprobe: Int)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val arr = arrData.toDoubleArray()
+    var vn = 0.0
+    var i = 0
+    while (i < arr.length) { vn += arr(i) * arr(i); i += 1 }
+    vn = math.sqrt(vn)
+    val sims = centroids.zipWithIndex.map { case (cvec, ci) =>
+      var dot = 0.0; var cn = 0.0
+      var j = 0
+      val n = math.min(arr.length, cvec.length)
+      while (j < n) { dot += arr(j) * cvec(j); cn += cvec(j) * cvec(j); j += 1 }
+      (dot / (vn * math.sqrt(cn) + 1e-12), ci)
+    }
+    val top = sims.sortBy { case (s, ci) => (-s, ci) }.take(nprobe).map(_._2)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(top.toArray[Any])
   }
 
   /** Deterministic driver-side Lloyd k-means on a corpus sample — the IVF

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /** Duplicate-cluster closure: connected components over a near-duplicate
@@ -64,14 +64,23 @@ object DedupClusters {
     // null-hostile joins would silently strand it)
     val fwd = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
-    val edges = fwd.unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint(true)
-    // count() on the materialized checkpoint is metadata-cheap; the gate
-    // keeps the collect() strictly bounded
-    if (edges.count() <= maxDriverEdges) {
+    val edges0 = fwd.unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    // Regime probe and driver collect in ONE bounded job: limit(N+1)
+    // returning ≤ N rows proves the whole (distinct) edge set was
+    // collected — the r18 spelling of the old checkpoint+count()+collect()
+    // triple (three sequential jobs on the slowest bench query's path, two
+    // of them over data the first had already materialized). The collect
+    // stays strictly bounded at N+1 rows either way.
+    val driverCap = math.min(maxDriverEdges, Int.MaxValue - 2L)
+    val probe = edges0.limit(driverCap.toInt + 1).collect()
+    if (probe.length <= driverCap) {
       lastClosure = ("driver", 0)
-      return driverUnionFind(pairs.sparkSession, edges)
+      return driverUnionFind(pairs.sparkSession, probe)
     }
+    // distributed regime: materialize the edge set once for the loop
+    // (lineage truncation — each round otherwise doubles the plan)
+    val edges = edges0.localCheckpoint(true)
     var (labels, prevSum) = checkpointWithSum(
       edges.select(col("src").as("id")).distinct()
         .select(col("id"), col("id").as("comp")), "cc_init")
@@ -106,7 +115,7 @@ object DedupClusters {
     * would assign.
     */
   private def driverUnionFind(
-      spark: org.apache.spark.sql.SparkSession, edges: DataFrame): DataFrame = {
+      spark: org.apache.spark.sql.SparkSession, edges: Array[Row]): DataFrame = {
     import spark.implicits._
     val parent = new java.util.HashMap[Long, Long]()
     def find(x: Long): Long = {
@@ -116,7 +125,7 @@ object DedupClusters {
       while (parent.getOrDefault(c, c) != r) { val n = parent.getOrDefault(c, c); parent.put(c, r); c = n }
       r
     }
-    edges.select(col("src"), col("dst")).collect().foreach { row =>
+    edges.foreach { row =>
       val (a, b) = (row.getLong(0), row.getLong(1))
       val (ra, rb) = (find(a), find(b))
       if (ra != rb) { // union by min: smaller root wins

@@ -2,7 +2,6 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, GraftBridge}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.functions._
@@ -27,31 +26,42 @@ import graft.sketch.Hashing
   */
 object MinHashLsh {
 
-  /** minhash_signature(shingles_array) → array<long> of k minima. */
+  /** minhash_signature(shingles_array) → array<long> of k minima.
+    * Codegen'd via a static call (guide §4: a CodegenFallback expression
+    * excludes its operator from whole-stage codegen, splitting the
+    * scan→shingle→signature pipeline at its hottest stage). */
   case class MinHashSignature(child: Expression, k: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def prettyName: String = "minhash_signature"
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
-    override def nullSafeEval(v: Any): Any = {
-      val arr = v.asInstanceOf[ArrayData]
-      val mins = Array.fill(k)(Long.MaxValue)
-      var i = 0
-      val n = arr.numElements()
-      while (i < n) {
-        val s = arr.getUTF8String(i)
-        val h = Hashing.murmur128(s.getBytes)
-        // k derived hashes from one 128-bit hash (Kirsch–Mitzenmacher)
-        var j = 0
-        while (j < k) {
-          val hj = h.h1 + (j + 1).toLong * h.h2
-          if (hj < mins(j)) mins(j) = hj
-          j += 1
-        }
-        i += 1
-      }
-      new GenericArrayData(mins.toArray[Any])
-    }
+    override def nullSafeEval(v: Any): Any =
+      MinHashLsh.signatureEval(v.asInstanceOf[ArrayData], k)
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.ops.MinHashLsh.signatureEval($c, $k)")
     override protected def withNewChildInternal(c: Expression): MinHashSignature = copy(child = c)
+  }
+
+  /** [[MinHashSignature]]'s evaluation body (callable from generated code). */
+  def signatureEval(arr: ArrayData, k: Int): GenericArrayData = {
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      val h = Hashing.murmur128(s.getBytes)
+      // k derived hashes from one 128-bit hash (Kirsch–Mitzenmacher)
+      var j = 0
+      while (j < k) {
+        val hj = h.h1 + (j + 1).toLong * h.h2
+        if (hj < mins(j)) mins(j) = hj
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins.toArray[Any])
   }
 
   def minhashSignature(shingles: Column, k: Int): Column =
@@ -98,15 +108,24 @@ object MinHashLsh {
     * cost more than the rest of the pipeline combined.
     */
   case class MinHashBuckets(child: Expression, numBands: Int, rowsPerBand: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def prettyName: String = "minhash_buckets"
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullSafeEval(v: Any): Any =
-      new GenericArrayData(bandKeysOf(
-        v.asInstanceOf[ArrayData].toLongArray(), numBands, rowsPerBand)
-        .map(_.asInstanceOf[Any]))
+      MinHashLsh.bucketsEval(v.asInstanceOf[ArrayData], numBands, rowsPerBand)
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.ops.MinHashLsh.bucketsEval($c, $numBands, $rowsPerBand)")
     override protected def withNewChildInternal(c: Expression): MinHashBuckets = copy(child = c)
   }
+
+  /** [[MinHashBuckets]]' evaluation body (callable from generated code). */
+  def bucketsEval(sig: ArrayData, numBands: Int, rowsPerBand: Int): GenericArrayData =
+    new GenericArrayData(
+      bandKeysOf(sig.toLongArray(), numBands, rowsPerBand).map(_.asInstanceOf[Any]))
 
   /** The banded bucket keys of one signature, evaluated directly (the
     * streaming gate derives a batch's keys on the driver from collected

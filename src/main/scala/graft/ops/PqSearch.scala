@@ -51,88 +51,105 @@ object PqSearch {
   }
 
   /** pq_encode(vec) → array<int>: nearest-centroid id per subspace. Runs
-    * once per corpus row (map-only); interpreted eval is fine here — the
-    * per-pair hot path is [[AdcDot]] below.
+    * once per corpus row (map-only). Codegen'd via a static call (guide §4:
+    * a CodegenFallback expression excludes its operator from whole-stage
+    * codegen, splitting the corpus scan→encode pipeline).
     */
   case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
-      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
-      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
     override def prettyName: String = "pq_encode"
     override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
-    override def nullSafeEval(v: Any): Any = {
-      val arr = v.asInstanceOf[ArrayData].toDoubleArray()
-      val m = codebooks.length
-      val dsub = codebooks(0)(0).length
-      // loud, not lossy: a row whose dimensionality disagrees with the fit
-      // would otherwise be silently zero-padded/truncated while its stored
-      // norm covers the full vector — systematically deflated scores
-      if (arr.length != m * dsub)
-        throw new IllegalArgumentException(
-          s"pq_encode: vector has ${arr.length} dims, codebooks fit ${m * dsub}")
-      val out = new Array[Any](m)
-      var s = 0
-      while (s < m) {
-        val cb = codebooks(s)
-        var best = 0
-        var bestD = Double.MaxValue
-        var c = 0
-        while (c < cb.length) {
-          val cent = cb(c)
-          var d = 0.0
-          var i = 0
-          while (i < dsub) {
-            val diff = arr(s * dsub + i) - cent(i)
-            d += diff * diff
-            i += 1
-          }
-          if (d < bestD) { bestD = d; best = c }
-          c += 1
-        }
-        out(s) = best
-        s += 1
-      }
-      new GenericArrayData(out)
+    override def nullSafeEval(v: Any): Any =
+      PqSearch.pqEncodeEval(v.asInstanceOf[ArrayData], codebooks)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cb = ctx.addReferenceObj("pqCodebooks", codebooks, "double[][][]")
+      defineCodeGen(ctx, ev, c => s"graft.ops.PqSearch.pqEncodeEval($c, $cb)")
     }
     override protected def withNewChildInternal(c: Expression): PqEncode = copy(child = c)
+  }
+
+  /** [[PqEncode]]'s evaluation body (callable from generated code). */
+  def pqEncodeEval(arrData: ArrayData,
+      codebooks: Array[Array[Array[Double]]]): GenericArrayData = {
+    val arr = arrData.toDoubleArray()
+    val m = codebooks.length
+    val dsub = codebooks(0)(0).length
+    // loud, not lossy: a row whose dimensionality disagrees with the fit
+    // would otherwise be silently zero-padded/truncated while its stored
+    // norm covers the full vector — systematically deflated scores
+    if (arr.length != m * dsub)
+      throw new IllegalArgumentException(
+        s"pq_encode: vector has ${arr.length} dims, codebooks fit ${m * dsub}")
+    val out = new Array[Any](m)
+    var s = 0
+    while (s < m) {
+      val cb = codebooks(s)
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < cb.length) {
+        val cent = cb(c)
+        var d = 0.0
+        var i = 0
+        while (i < dsub) {
+          val diff = arr(s * dsub + i) - cent(i)
+          d += diff * diff
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(s) = best
+      s += 1
+    }
+    new GenericArrayData(out)
   }
 
   /** pq_lut(vec) → array<double> of length m·ksub (flattened [m][c]):
     * lut[m·ksub + c] = <vec_sub_m, codebook_m[c]>. Runs once per PROBE row.
     */
   case class PqLut(child: Expression, codebooks: Array[Array[Array[Double]]])
-      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
-      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
     override def prettyName: String = "pq_lut"
     override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
-    override def nullSafeEval(v: Any): Any = {
-      val arr = v.asInstanceOf[ArrayData].toDoubleArray()
-      val m = codebooks.length
-      val ksub = codebooks(0).length
-      val dsub = codebooks(0)(0).length
-      if (arr.length != m * dsub) // see PqEncode: loud, not lossy
-        throw new IllegalArgumentException(
-          s"pq_lut: vector has ${arr.length} dims, codebooks fit ${m * dsub}")
-      val out = new Array[Any](m * ksub)
-      var s = 0
-      while (s < m) {
-        val cb = codebooks(s)
-        var c = 0
-        while (c < ksub) {
-          val cent = cb(c)
-          var dot = 0.0
-          var i = 0
-          while (i < dsub) {
-            dot += arr(s * dsub + i) * cent(i)
-            i += 1
-          }
-          out(s * ksub + c) = dot
-          c += 1
-        }
-        s += 1
-      }
-      new GenericArrayData(out)
+    override def nullSafeEval(v: Any): Any =
+      PqSearch.pqLutEval(v.asInstanceOf[ArrayData], codebooks)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cb = ctx.addReferenceObj("pqCodebooks", codebooks, "double[][][]")
+      defineCodeGen(ctx, ev, c => s"graft.ops.PqSearch.pqLutEval($c, $cb)")
     }
     override protected def withNewChildInternal(c: Expression): PqLut = copy(child = c)
+  }
+
+  /** [[PqLut]]'s evaluation body (callable from generated code). */
+  def pqLutEval(arrData: ArrayData,
+      codebooks: Array[Array[Array[Double]]]): GenericArrayData = {
+    val arr = arrData.toDoubleArray()
+    val m = codebooks.length
+    val ksub = codebooks(0).length
+    val dsub = codebooks(0)(0).length
+    if (arr.length != m * dsub) // see PqEncode: loud, not lossy
+      throw new IllegalArgumentException(
+        s"pq_lut: vector has ${arr.length} dims, codebooks fit ${m * dsub}")
+    val out = new Array[Any](m * ksub)
+    var s = 0
+    while (s < m) {
+      val cb = codebooks(s)
+      var c = 0
+      while (c < ksub) {
+        val cent = cb(c)
+        var dot = 0.0
+        var i = 0
+        while (i < dsub) {
+          dot += arr(s * dsub + i) * cent(i)
+          i += 1
+        }
+        out(s * ksub + c) = dot
+        c += 1
+      }
+      s += 1
+    }
+    new GenericArrayData(out)
   }
 
   /** adc_dot(lut, codes) → Σ_m lut[m·ksub + codes[m]] — the asymmetric

@@ -2,7 +2,6 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, GraftBridge}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.functions._
@@ -18,33 +17,44 @@ import graft.sketch.Hashing
   */
 object SimHash {
 
-  /** simhash64(tokens_array) → long fingerprint. */
-  case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+  /** simhash64(tokens_array) → long fingerprint. Codegen'd via a static
+    * call (guide §4: a CodegenFallback expression excludes its operator
+    * from whole-stage codegen, splitting the corpus scan→fingerprint
+    * pipeline at its hottest stage). */
+  case class SimHash64(child: Expression) extends UnaryExpression {
     override def prettyName: String = "simhash64"
     override def dataType: DataType = LongType
-    override def nullSafeEval(v: Any): Any = {
-      val arr = v.asInstanceOf[ArrayData]
-      val acc = new Array[Int](64)
-      var i = 0
-      val n = arr.numElements()
-      while (i < n) {
-        val h = Hashing.hash64(arr.getUTF8String(i).getBytes)
-        var b = 0
-        while (b < 64) {
-          if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
-          b += 1
-        }
-        i += 1
-      }
-      var fp = 0L
+    override def nullSafeEval(v: Any): Any =
+      SimHash.simhashEval(v.asInstanceOf[ArrayData])
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.ops.SimHash.simhashEval($c)")
+    override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+  }
+
+  /** [[SimHash64]]'s evaluation body (callable from generated code). */
+  def simhashEval(arr: ArrayData): Long = {
+    val acc = new Array[Int](64)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      val h = Hashing.hash64(arr.getUTF8String(i).getBytes)
       var b = 0
       while (b < 64) {
-        if (acc(b) > 0) fp |= (1L << b)
+        if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
         b += 1
       }
-      fp
+      i += 1
     }
-    override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+    var fp = 0L
+    var b = 0
+    while (b < 64) {
+      if (acc(b) > 0) fp |= (1L << b)
+      b += 1
+    }
+    fp
   }
 
   def simhash64(tokens: Column): Column =
@@ -62,7 +72,7 @@ object SimHash {
     * folded into the key's high bits so one long identifies (table, bucket).
     */
   case class SimHashBlockKeys(child: Expression, blocks: Int, maxDist: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def prettyName: String = "simhash_block_keys"
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     // geometry hoisted out of the per-row path: the cache lookup (tuple
@@ -72,9 +82,29 @@ object SimHash {
     override def nullSafeEval(v: Any): Any =
       new org.apache.spark.sql.catalyst.util.GenericArrayData(
         blockKeysWith(geo, v.asInstanceOf[Long]).map(_.asInstanceOf[Any]))
+    // codegen'd via a static call (guide §4 — see SimHash64); the generated
+    // code passes the cached geometry in as a reference object, so the
+    // per-row path stays lookup-free
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+      val geoRef = ctx.addReferenceObj("shbkGeo", geo, "scala.Tuple2")
+      defineCodeGen(ctx, ev,
+        c => s"graft.ops.SimHash.blockKeysData($geoRef, $c)")
+    }
     override protected def withNewChildInternal(c: Expression): SimHashBlockKeys =
       copy(child = c)
   }
+
+  /** [[SimHashBlockKeys]]' evaluation body (callable from generated code;
+    * `geoAny` is the precomputed [[geometry]] tuple passed as a codegen
+    * reference object). */
+  def blockKeysData(geoAny: AnyRef, fp: Long)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      blockKeysWith(geoAny.asInstanceOf[(Array[Int], Array[Array[Int]])], fp)
+        .map(_.asInstanceOf[Any]))
 
   /** The block split's precomputed geometry: block bit offsets + the
     * C(blocks, keep) combination index. */

@@ -2,7 +2,6 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, GraftBridge}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.sql.functions._
@@ -19,37 +18,49 @@ object TextOps {
 
   /** word_shingles(text, n) → distinct space-joined word n-grams in first-
     * occurrence order (whitespace tokens, empties dropped). Documents with
-    * fewer than n tokens yield an empty array.
+    * fewer than n tokens yield an empty array. Codegen'd via a static call
+    * (guide §4 — a CodegenFallback expression excludes its whole operator
+    * from whole-stage codegen, splitting the scan→project pipeline of every
+    * near-dup/gate corpus pass at exactly its hottest stage).
     */
   case class WordShingles(child: Expression, n: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def prettyName: String = "word_shingles"
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
-    override def nullSafeEval(v: Any): Any = {
-      val toksAll = v.asInstanceOf[UTF8String].toString.split(' ')
-      val toks = new Array[String](toksAll.length)
-      var m = 0
-      var i = 0
-      while (i < toksAll.length) {
-        if (toksAll(i).nonEmpty) { toks(m) = toksAll(i); m += 1 }
-        i += 1
-      }
-      val out = new java.util.LinkedHashSet[String]()
-      i = 0
-      while (i <= m - n) {
-        val sb = new java.lang.StringBuilder(toks(i))
-        var j = 1
-        while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
-        out.add(sb.toString)
-        i += 1
-      }
-      val arr = new Array[Any](out.size)
-      val it = out.iterator()
-      var k = 0
-      while (it.hasNext) { arr(k) = UTF8String.fromString(it.next()); k += 1 }
-      new GenericArrayData(arr)
-    }
+    override def nullSafeEval(v: Any): Any =
+      TextOps.shinglesEval(v.asInstanceOf[UTF8String], n)
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.ops.TextOps.shinglesEval($c, $n)")
     override protected def withNewChildInternal(c: Expression): WordShingles = copy(child = c)
+  }
+
+  /** [[WordShingles]]' evaluation body (callable from generated code). */
+  def shinglesEval(v: UTF8String, n: Int): GenericArrayData = {
+    val toksAll = v.toString.split(' ')
+    val toks = new Array[String](toksAll.length)
+    var m = 0
+    var i = 0
+    while (i < toksAll.length) {
+      if (toksAll(i).nonEmpty) { toks(m) = toksAll(i); m += 1 }
+      i += 1
+    }
+    val out = new java.util.LinkedHashSet[String]()
+    i = 0
+    while (i <= m - n) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+      out.add(sb.toString)
+      i += 1
+    }
+    val arr = new Array[Any](out.size)
+    val it = out.iterator()
+    var k = 0
+    while (it.hasNext) { arr(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(arr)
   }
 
   /** Whitespace tokens, empties dropped. */
