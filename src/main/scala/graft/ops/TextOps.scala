@@ -63,9 +63,51 @@ object TextOps {
     new GenericArrayData(arr)
   }
 
+  /** word_tokens(text) → whitespace tokens, empties dropped, duplicates and
+    * order preserved. A dedicated codegen'd expression: the
+    * `filter(split(...), lambda)` spelling evaluates its lambda through the
+    * interpreted higher-order-function path AND — being CodegenFallback —
+    * excluded the whole projection from whole-stage codegen, splitting the
+    * corpus scan→fingerprint stage of the SimHash pipeline and gate (r18;
+    * same rationale as [[WordShingles]]).
+    */
+  case class WordTokens(child: Expression)
+      extends UnaryExpression {
+    override def prettyName: String = "word_tokens"
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      TextOps.tokensEval(v.asInstanceOf[UTF8String])
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.ops.TextOps.tokensEval($c)")
+    override protected def withNewChildInternal(c: Expression): WordTokens = copy(child = c)
+  }
+
+  /** [[WordTokens]]' evaluation body (callable from generated code) —
+    * identical output to `filter(split(text, " "), t => t =!= "")`. */
+  def tokensEval(v: UTF8String): GenericArrayData = {
+    val toksAll = v.toString.split(' ')
+    var m = 0
+    var i = 0
+    while (i < toksAll.length) {
+      if (toksAll(i).nonEmpty) m += 1
+      i += 1
+    }
+    val arr = new Array[Any](m)
+    var k = 0
+    i = 0
+    while (i < toksAll.length) {
+      if (toksAll(i).nonEmpty) { arr(k) = UTF8String.fromString(toksAll(i)); k += 1 }
+      i += 1
+    }
+    new GenericArrayData(arr)
+  }
+
   /** Whitespace tokens, empties dropped. */
   def tokens(text: Column): Column =
-    filter(split(text, " "), t => t =!= "")
+    GraftBridge.column(WordTokens(GraftBridge.expression(text)))
 
   /** Distinct word n-gram shingles. */
   def shingles(text: Column, n: Int = 3): Column =

@@ -502,11 +502,6 @@ private[streaming] abstract class IndexedNearDupGate[P](
       .persist()
     try {
       appendStores(keyed)
-      // executor backend with no occupancy cap: no driver filter exists,
-      // so the O(seed) bucket collect is skipped entirely
-      if (!executorBackend || bucketCounts != null)
-        updateFilters(keyed.select(explode(ownedKeysCol(col("__p"))).as("bucket"))
-          .collect().map(_.getLong(0)))
       residentStale = true // bulk write bypassed the hot tier — rebuild lazily
       if (executorBackend) {
         execIdx.invalidate() // ... and the exec shards
@@ -529,6 +524,34 @@ private[streaming] abstract class IndexedNearDupGate[P](
       keyed.select(Seq(col(orderCol).as("id"),
         storedPayloadCol.as(payloadColName)) ++ tsCols: _*),
       payloadDir, payloadPrefix, batches, sortCol = Some("id"))
+    // the payload append above materialized the persisted frame; the index
+    // append and the driver-filter bucket collect are now independent reads
+    // of the executor cache — run them as CONCURRENT jobs (guide §2.6:
+    // overlap independent jobs) instead of back-to-back. The payload-first
+    // crash invariant is untouched; a crash between/among the two leaves
+    // either an index-less payload (re-appended on retry) or a filter-less
+    // index (the bloom is rebuilt from the index at the next compact/
+    // bootstrap — both already-tolerated states of the bulk-seed path).
+    // executor backend with no occupancy cap: no driver filter exists, so
+    // the O(seed) bucket collect is skipped entirely.
+    val needFilters = !executorBackend || bucketCounts != null
+    val collectFut: Option[java.util.concurrent.Future[Array[Long]]] =
+      if (!needFilters) None
+      else {
+        val sc = keyed.sparkSession.sparkContext
+        // propagate the caller's job group (thread-local) so a bench probe
+        // deadline's cancelJobGroup still reaches the overlapped job
+        val group = sc.getLocalProperty("spark.jobGroup.id")
+        val desc = sc.getLocalProperty("spark.job.description")
+        val interrupt = sc.getLocalProperty("spark.job.interruptOnCancel")
+        Some(seedPool.submit(() => {
+          if (group != null) sc.setJobGroup(group,
+            if (desc == null) "" else desc, interrupt == "true")
+          try keyed.select(explode(ownedKeysCol(col("__p"))).as("bucket"))
+            .collect().map(_.getLong(0))
+          finally if (group != null) sc.clearJobGroup()
+        }))
+      }
     val idxCols = Seq(explode(ownedKeysCol(col("__p"))).as("bucket"),
       col(orderCol).as("id")) ++
       sketchColOf.map(f => f(col("__p")).as("sk")) ++ tsCols
@@ -541,7 +564,16 @@ private[streaming] abstract class IndexedNearDupGate[P](
       if (!r.isNullAt(0) && r.getLong(0) > maxSeenTsMicros)
         maxSeenTsMicros = r.getLong(0)
     }
+    collectFut.foreach(f => updateFilters(f.get()))
   }
+
+  // one shared lazy worker for the seed-path overlap above (bulk seeding is
+  // rare and serialized under the gate monitor — a single daemon thread
+  // suffices and dies with the JVM)
+  private lazy val seedPool = java.util.concurrent.Executors
+    .newSingleThreadExecutor(r => {
+      val t = new Thread(r, s"graft-gate-seed-$name"); t.setDaemon(true); t
+    })
 
   /** Driver-side filter update — see SimHashNearDupGate.updateFilters
     * (executor backend: no bloom; only the opt-in CMS cap updates). */
@@ -1123,17 +1155,32 @@ private[streaming] abstract class IndexedNearDupGate[P](
           ctx.keyed.schema(ctx.keyed.schema.fieldIndex(orderCol)).dataType
         val idx = new java.util.ArrayList[Row](
           ctx.rowKeys.iterator.map(_.length).sum)
+        // flat preallocated-array row build: the Seq-concat + varargs Row
+        // spelling allocated ~6 objects per index entry, and this loop runs
+        // |batch|×bands times on the commit thread — at 64k entries/batch
+        // it was a measurable slice of the deferred commit whose duration
+        // bounds the pipeline's overlap window (GRAFT_GATE_TRACE medians:
+        // append-idx 340 ms, of which the parquet write itself only 170)
+        val hasSk = ctx.rowSks != null
+        val arity = 2 + (if (hasSk) 1 else 0) + (if (ttlEnabled) 1 else 0)
         var i = 0
         while (i < ctx.rows.length) {
           val tsOrNull: Any =
             if (!ttlEnabled) null else microsToTs(ctx.rowTs(i))
-          ctx.rowKeys(i).foreach(b => {
-            val base: Seq[Any] = Seq(b, ctx.rows(i)._1) ++
-              (if (ctx.rowSks == null) Nil else Seq(ctx.rowSks(i))) ++
-              (if (!ttlEnabled) Nil else Seq(tsOrNull))
-            idx.add(Row(base: _*))
-            ()
-          })
+          val id = ctx.rows(i)._1
+          val sk: Any = if (hasSk) java.lang.Long.valueOf(ctx.rowSks(i)) else null
+          val ks = ctx.rowKeys(i)
+          var j = 0
+          while (j < ks.length) {
+            val arr = new Array[Any](arity)
+            arr(0) = java.lang.Long.valueOf(ks(j))
+            arr(1) = id
+            var c = 2
+            if (hasSk) { arr(c) = sk; c += 1 }
+            if (ttlEnabled) arr(c) = tsOrNull
+            idx.add(new org.apache.spark.sql.catalyst.expressions.GenericRow(arr))
+            j += 1
+          }
           i += 1
         }
         val idxFields = Seq(
@@ -1150,10 +1197,12 @@ private[streaming] abstract class IndexedNearDupGate[P](
           val schema = org.apache.spark.sql.types.StructType(idxFields)
           // driver-direct parquet write — no Spark job (see appendLocal);
           // exotic id types fall back to the LocalRelation write
-          if (!GateStore.appendLocal(idx, schema, idxDir, "keys", batches,
-              sortCol = Some("bucket")))
-            GateStore.append(coreSession.createDataFrame(idx, schema),
-              idxDir, "keys", batches, sortCol = Some("bucket"))
+          traced("append-idx-write") {
+            if (!GateStore.appendLocal(idx, schema, idxDir, "keys", batches,
+                sortCol = Some("bucket")))
+              GateStore.append(coreSession.createDataFrame(idx, schema),
+                idxDir, "keys", batches, sortCol = Some("bucket"))
+          }
         }
         // hot-tier mirror from the keys already in hand (skip when stale —
         // the pending rebuild covers this append from disk)
