@@ -66,21 +66,27 @@ object DedupClusters {
       .where(col("src").isNotNull && col("dst").isNotNull)
     val edges0 = fwd.unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-    // Regime probe and driver collect in ONE bounded job: limit(N+1)
-    // returning ≤ N rows proves the whole (distinct) edge set was
-    // collected — the r18 spelling of the old checkpoint+count()+collect()
-    // triple (three sequential jobs on the slowest bench query's path, two
-    // of them over data the first had already materialized). The collect
-    // stays strictly bounded at N+1 rows either way.
-    val driverCap = math.min(maxDriverEdges, Int.MaxValue - 2L)
-    val probe = edges0.limit(driverCap.toInt + 1).collect()
-    if (probe.length <= driverCap) {
+    // Regime probe rides the checkpoint job via observe() (r18): the old
+    // spelling paid a separate count() job between the checkpoint and the
+    // driver collect — three sequential driver-synced jobs on the slowest
+    // bench query's path, two of them over data the first had already
+    // materialized. (A limit(N+1).collect() single-job probe was tried
+    // first and REVERTED: CollectLimit's incremental executeTake runs
+    // 1/4/16/... partition jobs when the limit isn't reached — MORE jobs
+    // than it saved — and its driver bound is (N+1)×partitions, weaker
+    // than count-then-collect.) Now: one job materializes the checkpoint
+    // and delivers the exact edge count for free; the bounded collect —
+    // gated on that count, so never more than maxDriverEdges rows — reads
+    // the already-cached blocks.
+    val obs = org.apache.spark.sql.Observation("cc_edges")
+    val edges = edges0.observe(obs, count(lit(1)).as("n")).localCheckpoint(true)
+    val nEdges = Option(obs.get("n")).map(_.asInstanceOf[Long]).getOrElse(0L)
+    if (nEdges <= maxDriverEdges) {
       lastClosure = ("driver", 0)
-      return driverUnionFind(pairs.sparkSession, probe)
+      val out = driverUnionFind(pairs.sparkSession, edges.collect())
+      edges.unpersist()
+      return out
     }
-    // distributed regime: materialize the edge set once for the loop
-    // (lineage truncation — each round otherwise doubles the plan)
-    val edges = edges0.localCheckpoint(true)
     var (labels, prevSum) = checkpointWithSum(
       edges.select(col("src").as("id")).distinct()
         .select(col("id"), col("id").as("comp")), "cc_init")
