@@ -2,6 +2,32 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
+/** Probe-abort channel (round 19): when a probe's mid-flight deadline
+  * fires, `cancelJobGroup` kills the RUNNING Spark job and the thread
+  * interrupt reaches whatever is blocked — but a driver-side LOOP that
+  * submits many jobs sequentially survives both (Spark wraps the cancel in
+  * a NonFatal SparkException that CONSUMES the interrupt flag, and the
+  * loop's next iteration launches a fresh job the one-shot group cancel no
+  * longer covers). r18's `oracle_sf_evidence` leaked exactly this way:
+  * 122-query loop, abort at 355 s, thread still running at +10 s grace —
+  * and its leftovers ran concurrently with every later probe
+  * (`abort_thread_leaked: true`). The fix is cooperative: the probe runner
+  * installs a thread-local flag, the deadline path sets it BEFORE the
+  * cancel, and every probe-owned driver loop (oracle battery, gate feed/
+  * seed/measure loops) checks it between units via [[BenchAbort.check]].
+  * Thread-local (not global) so a leaked runner's flag cannot abort the
+  * NEXT probe's loops. */
+private[graft] object BenchAbort {
+  private val flag =
+    new ThreadLocal[java.util.concurrent.atomic.AtomicBoolean]()
+  def install(b: java.util.concurrent.atomic.AtomicBoolean): Unit =
+    flag.set(b)
+  def aborted: Boolean = { val b = flag.get(); b != null && b.get() }
+  /** Throw (unwinding the probe body fast) when the deadline fired. */
+  def check(): Unit =
+    if (aborted) throw new InterruptedException("bench probe aborted")
+}
+
 /** Benchmark main: runs every SparkEntry query against
   * SPARK_GRAFT_SF_DIR and prints per-round artifact lines. A warm-up pass
   * (session init, codegen, parquet footer reads) runs before any timer
@@ -365,7 +391,12 @@ object Bench {
           math.min(math.max(est * mult, est + 60.0), remainingSec - 25.0))
         @volatile var thrown: Throwable = null
         val group = s"graft_bench_$name"
+        // cooperative abort flag (see [[BenchAbort]]): set BEFORE the group
+        // cancel so driver-side loops whose interrupt flag Spark consumed
+        // still stop at their next between-units check
+        val abortFlag = new java.util.concurrent.atomic.AtomicBoolean(false)
         val runner = new Thread(() => {
+          BenchAbort.install(abortFlag)
           spark.sparkContext.setJobGroup(group, s"bench probe $name",
             interruptOnCancel = true)
           try run
@@ -376,6 +407,7 @@ object Bench {
         runner.start()
         runner.join((deadlineSec * 1000).toLong)
         if (runner.isAlive) {
+          abortFlag.set(true)
           spark.sparkContext.cancelJobGroup(group)
           runner.interrupt()
           runner.join(10000) // bounded grace (cancelled jobs unwind in ms)
@@ -425,6 +457,7 @@ object Bench {
       val chunks = 2
       val t0 = System.nanoTime()
       (0 until chunks).foreach { i =>
+        BenchAbort.check()
         val chunk = events.where(pmod(col("event_id"), lit(chunks)) === i).persist()
         try eng.insertInto("lg_stream", chunk) finally chunk.unpersist()
       }
@@ -505,7 +538,7 @@ object Bench {
       def soakHalf(deadlineNanos: Long, startBatch: Long): (Long, Long) = {
         var sent = 0L
         var i = startBatch
-        while (System.nanoTime() < deadlineNanos) {
+        while (System.nanoTime() < deadlineNanos && !BenchAbort.aborted) {
           val c = (i % chunks).toInt
           eng.insertIntoAsync("sk_stream", chunkDfs(c))
           sent += chunkSizes(c)
@@ -526,7 +559,7 @@ object Bench {
       val warmDeadline = System.nanoTime() +
         (math.min(soakSec * 0.4, 15.0) * 1e9).toLong
       var warmBatches = 0L
-      while (System.nanoTime() < warmDeadline) {
+      while (System.nanoTime() < warmDeadline && !BenchAbort.aborted) {
         eng.insertIntoAsync("sk_stream", chunkDfs((warmBatches % chunks).toInt))
         warmBatches += 1
       }
@@ -598,6 +631,7 @@ object Bench {
           pmod(xxhash64(idCol * (i + 1)), lit(99991L)).cast("string"))): _*)
       val nNew = batchRows * 3 / 4
       val secs = (0 until nBatches).map { b =>
+        BenchAbort.check()
         val base = b.toLong * batchRows
         val fresh = spark.range(nNew).select(
           (col("id") + base).as("id"), body(col("id") + b.toLong * nNew).as("body"))
@@ -773,12 +807,17 @@ object Bench {
           false
         }
         val it = SparkEntry.queries.toSeq.sortBy(_._1).iterator
-        while (it.hasNext && !Thread.currentThread().isInterrupted) {
+        // BenchAbort: the belt to the interrupt's braces — Spark's cancel
+        // exception CONSUMES the thread interrupt flag, so isInterrupted
+        // alone let r18's loop keep submitting fresh queries for 122 - n
+        // more rounds after its deadline (abort_thread_leaked)
+        while (it.hasNext && !Thread.currentThread().isInterrupted &&
+            !BenchAbort.aborted) {
           val (_, fn) = it.next()
           try { fn(spark, sfEvDir).count(); ok += 1 }
           catch {
             case e: Throwable if scala.util.control.NonFatal(e) &&
-                !cancelled(e) => err += 1
+                !cancelled(e) && !BenchAbort.aborted => err += 1
           }
         }
         draw("oracle_sf_evidence",
@@ -843,7 +882,9 @@ object Bench {
       def half(deadline: Long): (Long, Double) = {
         var sent = 0L
         var secs = 0.0
-        while (System.nanoTime() < deadline) { secs += feedOne(); sent += batchRows }
+        while (System.nanoTime() < deadline && !BenchAbort.aborted) {
+          secs += feedOne(); sent += batchRows
+        }
         (sent, secs)
       }
       val t0 = System.nanoTime()
@@ -899,6 +940,92 @@ object Bench {
         pairs.unpersist(); docs10.unpersist()
       }
 
+
+    // Sketch-expression codegen A/B (round 19): the r18 round moved 9
+    // near-dup/ANN expressions from CodegenFallback to fused static-call
+    // codegen — a plan-shape win invisible at sf0.1, where per-query job
+    // overhead dominates per-row compute. This probe measures the per-row
+    // effect directly on a COMPUTE-DOMINANT synthetic corpus (long docs,
+    // wide vectors): each stage is timed fused (production) and then in
+    // the pre-r18 execution shape (wholeStage codegen off + the
+    // SketchCodegen seam emitting CodegenFallback-equivalent boxed eval).
+    // Noop sink per guide §1.4; min-of-2 per mode, modes interleaved.
+    if (sys.env.getOrElse("SPARK_GRAFT_CODEGEN_AB", "1") != "0")
+      probe("sketch_codegen_ab", estSec = 45) {
+        val nDocs = 30000L
+        def longBody(c: org.apache.spark.sql.Column) = concat_ws(" ",
+          (0 until 160).map(i => concat(lit(s"w$i"),
+            pmod(xxhash64(c * (i + 1)), lit(99991L)).cast("string"))): _*)
+        val docs = spark.range(nDocs)
+          .select(col("id").as("doc_id"), longBody(col("id")).as("text"))
+          .persist()
+        docs.count()
+        val emb = spark.range(nDocs).select(col("id").as("vec_id"),
+          array((1 to 64).map(k =>
+            (pmod(xxhash64(col("id") * k), lit(2001L)) - lit(1000L))
+              .cast("double") / lit(1000.0)): _*).as("v")).persist()
+        emb.count()
+        val planes = Array.fill(8, 12)(Array.fill(64)(0.01))
+        val centroids = Array.fill(16)(Array.fill(64)(0.02))
+        val codebooks = Array.fill(16, 16)(Array.fill(4)(0.03))
+        import org.apache.spark.sql.GraftBridge.{column => gcol, expression => gexp}
+        val stages: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+          // WordShingles + MinHashSignature + MinHashBuckets
+          "minhash" -> docs.select(col("doc_id"),
+            explode(gcol(graft.ops.MinHashLsh.MinHashBuckets(
+              gexp(graft.ops.MinHashLsh.minhashSignature(
+                graft.ops.TextOps.shingles(col("text"), 3), 128)), 64, 2)))
+              .as("bucket")),
+          // WordTokens + SimHash64 + SimHashBlockKeys
+          "simhash" -> docs.select(col("doc_id"),
+            explode(graft.ops.SimHash.blockKeys(
+              graft.ops.SimHash.simhash64(
+                graft.ops.TextOps.tokens(col("text"))), 6, 3)).as("k")),
+          // LshBuckets + IvfAssign
+          "ann_assign" -> emb.select(col("vec_id"),
+            explode(gcol(graft.ops.AnnSearch.LshBuckets(
+              gexp(col("v")), planes))).as("bkt"),
+            gcol(graft.ops.AnnSearch.IvfAssign(
+              gexp(col("v")), centroids, 2)).as("cl")),
+          // PqEncode
+          "pq_encode" -> emb.select(col("vec_id"),
+            gcol(graft.ops.PqSearch.PqEncode(gexp(col("v")), codebooks))
+              .as("codes")))
+        def timeStage(df: org.apache.spark.sql.DataFrame): Double = {
+          val t0 = System.nanoTime()
+          df.write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val wsKey = "spark.sql.codegen.wholeStage"
+        val wsPrev = spark.conf.getOption(wsKey)
+        val parts = scala.collection.mutable.ArrayBuffer[String]()
+        try {
+          stages.foreach { case (sname, df) =>
+            BenchAbort.check()
+            // interleave modes A/B/A/B so a co-tenant burst cannot bias
+            // one whole mode; keep the min per mode
+            var fused = Double.MaxValue
+            var interp = Double.MaxValue
+            (0 until 2).foreach { _ =>
+              spark.conf.unset(wsKey)
+              graft.ops.SketchCodegen.interpretedForBench = false
+              fused = math.min(fused, timeStage(df))
+              spark.conf.set(wsKey, "false")
+              graft.ops.SketchCodegen.interpretedForBench = true
+              interp = math.min(interp, timeStage(df))
+            }
+            parts += s""""$sname":{"fused_sec":${f3(fused)},"interp_sec":${f3(interp)},"speedup":${f3(if (fused > 0) interp / fused else 0.0)}}"""
+          }
+        } finally {
+          graft.ops.SketchCodegen.interpretedForBench = false
+          wsPrev match {
+            case Some(v) => spark.conf.set(wsKey, v)
+            case None => spark.conf.unset(wsKey)
+          }
+          docs.unpersist(); emb.unpersist(); ()
+        }
+        draw("sketch_codegen_ab", parts.mkString("{", ",", "}"))
+      }
 
     // Gate-scale growth probes (GateProbes.dualScaleProbe): per-batch gate
     // ev/s at seen-stores seeded to 10×/100× the per-batch volume, BOTH
@@ -969,16 +1096,25 @@ object Bench {
       // run BEFORE the rest of the family this round — no probe may be a
       // permanent skip victim (r15 skipped gate_sharded_cosine behind
       // four admitted scale probes; r16's sharded overrun then skipped
-      // three scale probes — the rotation now covers the scale kinds too)
+      // three scale probes — the rotation now covers the scale kinds too).
+      // gate_scale_simhash outranks even the sharded pair when BOTH were
+      // skipped (round 19): its 10×/100× slopes are the executor backend's
+      // — the family's declared 100-TB path — and they have been missing
+      // from three consecutive driver artifacts while the generic rotation
+      // kept spending the budget's front on other family members.
       val shardedFirst = prev.skipped.exists(_.startsWith("gate_sharded_cosine"))
-      if (shardedFirst) shardedCosineProbe()
-
+      val simhashFirst = prev.skipped.contains("gate_scale_simhash")
       // skip victims of the previous round move to the FRONT of the kind
-      // order (stable within each group)
+      // order (stable within each group); simhash, when skipped, to the
+      // very front
       val kindsRotated = kinds.sortBy { case (kind, _, _, _) =>
-        if (prev.skipped.contains(s"gate_scale_$kind")) 0 else 1
+        if (kind == "simhash" && simhashFirst) -1
+        else if (prev.skipped.contains(s"gate_scale_$kind")) 0 else 1
       }
+      if (shardedFirst && !simhashFirst) shardedCosineProbe()
       kindsRotated.foreach { case (kind, rows, big, est) =>
+        if (shardedFirst && simhashFirst && kind == kindsRotated(1)._1)
+          shardedCosineProbe() // after the fronted simhash, before the rest
         probe(s"gate_scale_$kind", estSec = est, family = "gate_scale") {
           val r = GateProbes.dualScaleProbe(spark, kind, rows,
             bigBatchRows = big,

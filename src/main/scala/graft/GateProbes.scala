@@ -101,6 +101,7 @@ object GateProbes {
       val chunk = 100000L
       var off = 0L
       while (off < n) {
+        BenchAbort.check() // deadline-abortable between seed chunks
         val m = math.min(chunk, n - off)
         val rows = payload(spark.range(m)
           .select((col("id") + fromId + off).as("id"))
@@ -140,11 +141,15 @@ object GateProbes {
       sec
     }
     def measureOnce(seeded: Long, backend: String): Long = {
+      BenchAbort.check() // deadline-abortable between measurement batches
       if (!warmedBackends.contains(backend)) {
         (0 until 2).foreach(b => { feedOne(seeded, -1 - b, batchRows); () })
         warmedBackends += backend
       }
-      val secs = (0 until nBatches).map(b => feedOne(seeded, b, batchRows))
+      val secs = (0 until nBatches).map { b =>
+        BenchAbort.check()
+        feedOne(seeded, b, batchRows)
+      }
       val steady = secs.drop(1).sorted.apply((nBatches - 1) / 2)
       math.round(batchRows / steady)
     }
@@ -206,8 +211,10 @@ object GateProbes {
         graft.streaming.StreamDedupGate.setInSetCapture(true)
         try {
           def measurePd(): Long = {
-            val secs = (0 until nBatches).map(b =>
-              feedOne(seededTo, 100 + b, bigBatchRows))
+            val secs = (0 until nBatches).map { b =>
+              BenchAbort.check()
+              feedOne(seededTo, 100 + b, bigBatchRows)
+            }
             val steady = secs.drop(1).sorted.apply((nBatches - 1) / 2)
             math.round(bigBatchRows / steady)
           }
@@ -322,6 +329,7 @@ object GateProbes {
       val chunk = 100000L
       var off = 0L
       while (off < n) {
+        BenchAbort.check() // deadline-abortable between seed chunks
         val m = math.min(chunk, n - off)
         val rows = payload(spark.range(m)
           .select((col("id") + fromId + off).as("id"))
@@ -373,7 +381,10 @@ object GateProbes {
       // 10-20x slower than the same code warm — a fake "ratio > 1" (or a
       // sub-1k absolute) that says nothing about store growth
       if (!warmed) { (0 until 2).foreach(b => { feedOne(-1 - b); () }); warmed = true }
-      val secs = (0 until nBatches).map(feedOne)
+      val secs = (0 until nBatches).map { b =>
+        BenchAbort.check() // deadline-abortable between measurement batches
+        feedOne(b)
+      }
       val steady = secs.drop(1).sorted.apply((nBatches - 1) / 2)
       math.round(batchRows / steady)
     }

@@ -39,17 +39,29 @@ object PlanDump {
           val df = fn(spark, dir)
           // execute the plan first (RDD-level action — no result decode) so
           // the dump shows the FINAL adaptive plan with codegen ids, not the
-          // pre-AQE skeleton
-          try { df.queryExecution.executedPlan.execute().count(); () }
-          catch { case _: Throwable => () } // command-like roots: dump as-is
-          val txt = df.queryExecution.explainString(
-            org.apache.spark.sql.execution.FormattedMode)
+          // pre-AQE skeleton. A failure here is LOGGED (and stamped into
+          // the dump): a silent fall-through would pass a pre-AQE skeleton
+          // off as an executed-plan dump.
+          val executed =
+            try { df.queryExecution.executedPlan.execute().count(); true }
+            catch { case scala.util.control.NonFatal(e) =>
+              println(s"[plandump] $name materialize failed " +
+                s"(${e.getClass.getSimpleName}) — dumping INITIAL plan")
+              false
+            }
+          val txt = (if (executed) ""
+            else "-- NOTE: materializing action failed; this is the " +
+              "INITIAL (pre-AQE) plan, not an executed-plan dump\n") +
+            df.queryExecution.explainString(
+              org.apache.spark.sql.execution.FormattedMode)
           java.nio.file.Files.write(
             java.nio.file.Paths.get(outDir, s"${name}_$tag.txt"),
             txt.getBytes("UTF-8"))
           println(s"[plandump] $name ok (${txt.length} chars)")
         } catch {
-          case e: Throwable =>
+          // NonFatal only: an OOM/LinkageError must kill the tool, not
+          // continue the loop in a corrupted JVM
+          case scala.util.control.NonFatal(e) =>
             println(s"[plandump] $name ERROR ${e.getClass.getSimpleName}: " +
               s"${Option(e.getMessage).getOrElse("").take(120)}")
         }

@@ -67,7 +67,9 @@ object PlanStages {
         // executedPlan.toString marks whole-stage spans with "*(n) " prefixes
         println(s"[planstages] $name wscg=${txt.linesIterator.next().startsWith("*(")}")
       } catch {
-        case e: Throwable => println(s"[planstages] $name ERROR ${e.getMessage}")
+        // NonFatal only: a fatal JVM error must not keep the loop running
+        case scala.util.control.NonFatal(e) =>
+          println(s"[planstages] $name ERROR ${e.getMessage}")
       }
     }
     spark.stop()

@@ -63,6 +63,33 @@ object ProfileBm25Scale {
       f"(${full / topk}%.2fx) path=${graft.ops.KeywordScore.lastTopKPath}%s " +
       f"phaseA=$ra%d phaseB=$rb%d matching=$df%d " +
       f"scanned=${100.0 * (ra + rb) / math.max(df, 1L)}%.1f%%")
+    // batch tier at corpus scale (round 19): 50 frequent-term queries,
+    // per-query top-k — the bounded BottomK aggregate rank vs the r17
+    // window spelling (PERF_NOTES §37's trade, now measured at 45M
+    // postings where the window's one-task-per-query sort should start
+    // paying)
+    val fifty = (0 until 50).map(i =>
+      s"q$i" -> Seq(byDf(i % 120).getString(0),
+        byDf((i * 7 + 3) % 120).getString(0),
+        byDf((i * 13 + 5) % 120).getString(0)).distinct).toMap
+    def multiOnce(): Long =
+      graft.ops.KeywordScore.bm25IndexedMultiTopK(spark, dir, fifty, 10)
+        .count()
+    import org.apache.spark.sql.functions.{col, row_number}
+    def windowOnce(): Long = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query").orderBy(col("score").desc, col("doc_id"))
+      graft.ops.KeywordScore.bm25IndexedMulti(spark, dir, fifty)
+        .withColumn("__rn", row_number().over(w))
+        .where(col("__rn") <= 10).count()
+    }
+    val rowsAgg = multiOnce() // warm + row count
+    val aggSec = med3 { multiOnce(); () }
+    val rowsWin = windowOnce()
+    val winSec = med3 { windowOnce(); () }
+    println(f"[bm25-scale] MULTI50 topk agg=$aggSec%.3f s " +
+      f"window=$winSec%.3f s (${winSec / aggSec}%.2fx) " +
+      f"rows=$rowsAgg%d/$rowsWin%d (must be equal)")
     graft.io.LocalStoreFs.deleteRecursively(dir)
     spark.stop()
   }

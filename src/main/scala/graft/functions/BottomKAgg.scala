@@ -25,6 +25,16 @@ final class BottomKBuffer(val k: Int, val ord: Ordering[Any]) {
   def add(v: Any): Unit =
     if (heap.size < k) heap.add(v)
     else if (k > 0 && ord.lt(v, heap.peek())) { heap.poll(); heap.add(v) }
+  /** [[add]] with the (deep) copy DEFERRED until admission: once the
+    * buffer is full, the common case is a one-comparison rejection, and
+    * copying every candidate first (the r18 spelling) made the per-row
+    * update cost a full struct copy even for the ~100% of rows the kth
+    * bound rejects (round 19; the multi-top-k rank stage's dominant
+    * per-row term). The uncopied value is only COMPARED, never retained,
+    * so a reused backing buffer is safe. */
+  def addLazy(v: Any, copy: Any => Any): Unit =
+    if (heap.size < k) heap.add(copy(v))
+    else if (k > 0 && ord.lt(v, heap.peek())) { heap.poll(); heap.add(copy(v)) }
   def foreach(f: Any => Unit): Unit = heap.forEach(v => f(v))
   /** Ascending order — the contract of first_values / bottom-k sampling. */
   def sortedAsc: Array[Any] = {
@@ -56,7 +66,21 @@ case class BottomKAgg(
       throw new IllegalArgumentException(s"bottom_k(flatten): array input required, got $dt")
     case dt => dt
   }
-  @transient private lazy val ord = TypeUtils.getInterpretedOrdering(elementType)
+  // struct elements (the multi-top-k (−score, doc_id) pair) get a
+  // CODEGEN'D ordering: the interpreted struct ordering boxes both sides'
+  // fields per comparison, and the heap does one comparison per input row
+  // (round 19). Scalar elements keep the interpreted natural ordering
+  // (primitive compare — nothing to win). Semantics identical: field-wise
+  // ascending, nulls first — exactly InterpretedOrdering's.
+  @transient private lazy val ord: Ordering[Any] = elementType match {
+    case st: StructType =>
+      import org.apache.spark.sql.catalyst.expressions.{Ascending, BoundReference, SortOrder}
+      new org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering(
+        st.fields.toIndexedSeq.zipWithIndex.map { case (f, i) =>
+          SortOrder(BoundReference(i, f.dataType, f.nullable), Ascending)
+        }).asInstanceOf[Ordering[Any]]
+    case _ => TypeUtils.getInterpretedOrdering(elementType)
+  }
   @transient private lazy val serProj = UnsafeProjection.create(Array(elementType))
   @transient private lazy val serRow = new UnsafeRow(1)
 
@@ -74,10 +98,10 @@ case class BottomKAgg(
         var i = 0
         while (i < arr.numElements()) {
           val e = arr.get(i, elementType)
-          if (e != null) b.add(InternalRow.copyValue(e))
+          if (e != null) b.addLazy(e, InternalRow.copyValue)
           i += 1
         }
-      } else b.add(InternalRow.copyValue(v))
+      } else b.addLazy(v, InternalRow.copyValue)
     }
     b
   }

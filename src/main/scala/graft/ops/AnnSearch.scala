@@ -76,8 +76,10 @@ object AnnSearch {
         ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
         ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
         : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
-      val ps = ctx.addReferenceObj("lshPlanes", planes, "double[][][]")
-      defineCodeGen(ctx, ev, c => s"graft.ops.AnnSearch.lshBucketsEval($c, $ps)")
+      SketchCodegen.gen(ctx, ev, this) {
+        val ps = ctx.addReferenceObj("lshPlanes", planes, "double[][][]")
+        defineCodeGen(ctx, ev, c => s"graft.ops.AnnSearch.lshBucketsEval($c, $ps)")
+      }
     }
     override protected def withNewChildInternal(
         c: org.apache.spark.sql.catalyst.expressions.Expression): LshBuckets = copy(child = c)
@@ -209,9 +211,11 @@ object AnnSearch {
         ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
         ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
         : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
-      val cs = ctx.addReferenceObj("ivfCentroids", centroids, "double[][]")
-      defineCodeGen(ctx, ev,
-        c => s"graft.ops.AnnSearch.ivfAssignEval($c, $cs, $nprobe)")
+      SketchCodegen.gen(ctx, ev, this) {
+        val cs = ctx.addReferenceObj("ivfCentroids", centroids, "double[][]")
+        defineCodeGen(ctx, ev,
+          c => s"graft.ops.AnnSearch.ivfAssignEval($c, $cs, $nprobe)")
+      }
     }
     override protected def withNewChildInternal(
         c: org.apache.spark.sql.catalyst.expressions.Expression): IvfAssign = copy(child = c)

@@ -982,7 +982,21 @@ object KeywordScore {
     * `scoreRounding` ≥ 0 ranks AND returns round(score, n) — the
     * deterministic boundary an oracle or a reproducible eval wants (FP
     * summation order makes raw scores engine-ambiguous in the last
-    * ulps). */
+    * ulps).
+    *
+    * A per-(query, term) impact PRUNE of the scoring pass (drop postings
+    * whose contribution bound cannot reach the query's phase-A k-boundary
+    * — the single-query tier's math vectorized over queries) was built,
+    * proven result-identical, measured, and REVERTED in round 19: any
+    * phase-A boundary estimate must RE-SCAN the matching postings (same
+    * columns; term-major row groups give an impact predicate nothing to
+    * skip), which costs about as much as the main scan, while the prune
+    * only saves aggregation input — measured 1.4× SLOWER at sf0.1 and
+    * 1.6× slower at a 1.5M-doc synthetic corpus at equal answers. The
+    * single-query tier wins with the same math only because its phases
+    * avoid all shuffles and collect ~k rows; a 50-query batch has no such
+    * asymmetry. An impact-major physical postings layout would change the
+    * trade, but that is a storage-format change, not an optimization. */
   def bm25IndexedMultiTopK(spark: SparkSession, dir: String,
       queries: Map[String, Seq[String]], k: Int,
       k1: Double = 1.2, b: Double = 0.75,

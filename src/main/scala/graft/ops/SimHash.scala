@@ -30,7 +30,8 @@ object SimHash {
         ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
         ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
         : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
-      defineCodeGen(ctx, ev, c => s"graft.ops.SimHash.simhashEval($c)")
+      SketchCodegen.gen(ctx, ev, this)(
+        defineCodeGen(ctx, ev, c => s"graft.ops.SimHash.simhashEval($c)"))
     override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
   }
 
@@ -89,9 +90,11 @@ object SimHash {
         ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
         ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
         : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
-      val geoRef = ctx.addReferenceObj("shbkGeo", geo, "scala.Tuple2")
-      defineCodeGen(ctx, ev,
-        c => s"graft.ops.SimHash.blockKeysData($geoRef, $c)")
+      SketchCodegen.gen(ctx, ev, this) {
+        val geoRef = ctx.addReferenceObj("shbkGeo", geo, "scala.Tuple2")
+        defineCodeGen(ctx, ev,
+          c => s"graft.ops.SimHash.blockKeysData($geoRef, $c)")
+      }
     }
     override protected def withNewChildInternal(c: Expression): SimHashBlockKeys =
       copy(child = c)

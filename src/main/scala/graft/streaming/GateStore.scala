@@ -516,68 +516,18 @@ private[graft] object GateStore {
     try {
       val conf = new org.apache.hadoop.conf.Configuration(false)
       conf.setClassLoader(getClass.getClassLoader)
-      org.apache.parquet.hadoop.example.GroupWriteSupport.setSchema(msg, conf)
-      val w = org.apache.parquet.hadoop.example.ExampleParquetWriter
-        .builder(hTmp)
-        .withConf(conf)
-        .withCompressionCodec(
-          org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
-        .withPageSize(PageBytes)
-        .build()
+      // Direct RecordConsumer writer with per-field closures bound ONCE per
+      // schema (round 19; guide §1.2 step 2): the old example-Group path
+      // allocated a SimpleGroup (one ArrayList per column) per row and
+      // re-matched every CELL's dataType on the gates' COMMIT THREAD, whose
+      // duration bounds the deferred-commit pipeline's overlap window —
+      // ~170 ms of the 64k-row index append was this loop, not parquet
+      // encoding. Identical bytes: same MessageType, same field order, same
+      // LIST layout events the Group writer emitted.
+      val w = RowParquetWriter.build(hTmp, conf, msg, schema, PageBytes)
       try {
-        val factory =
-          new org.apache.parquet.example.data.simple.SimpleGroupFactory(msg)
         val it = rows.iterator()
-        while (it.hasNext) {
-          val r = it.next()
-          val g = factory.newGroup()
-          var i = 0
-          while (i < schema.length) {
-            if (!r.isNullAt(i)) schema.fields(i).dataType match {
-              case ArrayType(elem, _) =>
-                val lst = g.addGroup(i)
-                val vals: Iterator[Any] = r.get(i) match {
-                  case a: Array[_] => a.iterator
-                  case s: scala.collection.Seq[_] => s.iterator
-                  case other => throw new IllegalStateException(
-                    s"unexpected array host ${other.getClass}")
-                }
-                vals.foreach { v =>
-                  val e = lst.addGroup("list")
-                  // a null element stays an EMPTY list entry (the layout's
-                  // optional element) — `v.asInstanceOf[Long]` would
-                  // silently unbox null to 0 and corrupt the payload
-                  if (v != null) elem match {
-                    case LongType => e.add("element", v.asInstanceOf[Long])
-                    case FloatType => e.add("element", v.asInstanceOf[Float])
-                    case DoubleType => e.add("element", v.asInstanceOf[Double])
-                    case other => throw new IllegalStateException(s"$other")
-                  }
-                }
-              case LongType => g.add(i, r.getLong(i))
-              case IntegerType => g.add(i, r.getInt(i))
-              case StringType => g.add(i, r.getString(i))
-              case DoubleType => g.add(i, r.getDouble(i))
-              case FloatType => g.add(i, r.getFloat(i))
-              case BooleanType => g.add(i, r.getBoolean(i))
-              case TimestampType => g.add(i,
-                org.apache.spark.sql.catalyst.util.DateTimeUtils
-                  .instantToMicros(r.get(i) match {
-                    case t: java.sql.Timestamp => t.toInstant
-                    case t: java.time.Instant => t
-                  }))
-              case DateType => g.add(i, r.get(i) match {
-                case d: java.sql.Date =>
-                  org.apache.spark.sql.catalyst.util.DateTimeUtils
-                    .fromJavaDate(d)
-                case d: java.time.LocalDate => d.toEpochDay.toInt
-              })
-              case other => throw new IllegalStateException(s"$other")
-            }
-            i += 1
-          }
-          w.write(g)
-        }
+        while (it.hasNext) w.write(it.next())
       } finally w.close()
       // same commit point as [[append]], driver-written bytes
       fs.publish(tmp, child(dir, f"${prefix}%s_$batch%05d.parquet"),
@@ -726,4 +676,119 @@ private[graft] object GateStore {
     Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
     f.delete(); ()
   }
+}
+
+/** Driver-direct parquet writer behind [[GateStore.appendLocal]] (round
+  * 19): Spark `Row`s written straight into parquet-mr's `RecordConsumer`
+  * through per-FIELD writer closures bound once per schema — no
+  * intermediate Group materialization (one object + one ArrayList per
+  * column per row) and no per-CELL dataType pattern match on the gates'
+  * commit thread. Emits exactly the event sequence the example-Group
+  * writer produced for the same MessageType (same 3-level LIST layout,
+  * null element → empty inner group, null column → absent field), so the
+  * bytes spark.read sees are unchanged. */
+private[streaming] object RowParquetWriter {
+  import org.apache.spark.sql.Row
+  import org.apache.spark.sql.types._
+  import org.apache.parquet.io.api.{Binary, RecordConsumer}
+  import org.apache.parquet.schema.MessageType
+
+  private def writerFor(f: StructField, i: Int): (RecordConsumer, Row) => Unit = {
+    val name = f.name
+    def framed(body: (RecordConsumer, Row) => Unit): (RecordConsumer, Row) => Unit =
+      (rc, r) => { rc.startField(name, i); body(rc, r); rc.endField(name, i) }
+    f.dataType match {
+      case LongType => framed((rc, r) => rc.addLong(r.getLong(i)))
+      case IntegerType => framed((rc, r) => rc.addInteger(r.getInt(i)))
+      case StringType =>
+        framed((rc, r) => rc.addBinary(Binary.fromString(r.getString(i))))
+      case DoubleType => framed((rc, r) => rc.addDouble(r.getDouble(i)))
+      case FloatType => framed((rc, r) => rc.addFloat(r.getFloat(i)))
+      case BooleanType => framed((rc, r) => rc.addBoolean(r.getBoolean(i)))
+      case TimestampType => framed((rc, r) => rc.addLong(
+        org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(
+          r.get(i) match {
+            case t: java.sql.Timestamp => t.toInstant
+            case t: java.time.Instant => t
+          })))
+      case DateType => framed((rc, r) => rc.addInteger(r.get(i) match {
+        case d: java.sql.Date =>
+          org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(d)
+        case d: java.time.LocalDate => d.toEpochDay.toInt
+      }))
+      case ArrayType(elem, _) =>
+        val addElem: (RecordConsumer, Any) => Unit = elem match {
+          case LongType => (rc, v) => rc.addLong(v.asInstanceOf[Long])
+          case FloatType => (rc, v) => rc.addFloat(v.asInstanceOf[Float])
+          case DoubleType => (rc, v) => rc.addDouble(v.asInstanceOf[Double])
+          case other => throw new IllegalStateException(s"$other")
+        }
+        framed { (rc, r) =>
+          rc.startGroup()
+          val vals: Iterator[Any] = r.get(i) match {
+            case a: Array[_] => a.iterator
+            case s: scala.collection.Seq[_] => s.iterator
+            case other => throw new IllegalStateException(
+              s"unexpected array host ${other.getClass}")
+          }
+          if (vals.hasNext) {
+            rc.startField("list", 0)
+            vals.foreach { v =>
+              rc.startGroup()
+              // a null element stays an EMPTY list entry (the layout's
+              // optional element) — an unguarded unbox would silently turn
+              // null into 0 and corrupt the payload
+              if (v != null) {
+                rc.startField("element", 0)
+                addElem(rc, v)
+                rc.endField("element", 0)
+              }
+              rc.endGroup()
+            }
+            rc.endField("list", 0)
+          }
+          rc.endGroup()
+        }
+      case other => throw new IllegalStateException(s"$other")
+    }
+  }
+
+  private final class Support(msg: MessageType, schema: StructType)
+      extends org.apache.parquet.hadoop.api.WriteSupport[Row] {
+    private var rc: RecordConsumer = _
+    private val writers: Array[(RecordConsumer, Row) => Unit] =
+      schema.fields.zipWithIndex.map { case (f, i) => writerFor(f, i) }
+    override def init(conf: org.apache.hadoop.conf.Configuration)
+        : org.apache.parquet.hadoop.api.WriteSupport.WriteContext =
+      new org.apache.parquet.hadoop.api.WriteSupport.WriteContext(msg,
+        java.util.Collections.emptyMap[String, String]())
+    override def prepareForWrite(c: RecordConsumer): Unit = rc = c
+    override def write(r: Row): Unit = {
+      rc.startMessage()
+      var i = 0
+      while (i < writers.length) {
+        if (!r.isNullAt(i)) writers(i)(rc, r)
+        i += 1
+      }
+      rc.endMessage()
+    }
+  }
+
+  private final class Builder(path: org.apache.hadoop.fs.Path, support: Support)
+      extends org.apache.parquet.hadoop.ParquetWriter.Builder[Row, Builder](path) {
+    override def self(): Builder = this
+    override def getWriteSupport(conf: org.apache.hadoop.conf.Configuration)
+        : org.apache.parquet.hadoop.api.WriteSupport[Row] = support
+  }
+
+  def build(path: org.apache.hadoop.fs.Path,
+      conf: org.apache.hadoop.conf.Configuration, msg: MessageType,
+      schema: StructType, pageBytes: Int)
+      : org.apache.parquet.hadoop.ParquetWriter[Row] =
+    new Builder(path, new Support(msg, schema))
+      .withConf(conf)
+      .withCompressionCodec(
+        org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+      .withPageSize(pageBytes)
+      .build()
 }

@@ -533,38 +533,88 @@ private[streaming] abstract class IndexedNearDupGate[P](
     // index (the bloom is rebuilt from the index at the next compact/
     // bootstrap — both already-tolerated states of the bulk-seed path).
     // executor backend with no occupancy cap: no driver filter exists, so
-    // the O(seed) bucket collect is skipped entirely.
+    // the O(seed) bucket collect is skipped entirely. The overlap is only
+    // sound when the payload append above MATERIALIZED the persisted frame
+    // — without it the two jobs race to populate the cache and compute the
+    // same partitions twice, losing the overlap's point (the results stay
+    // correct either way); payload-less gates run the two jobs in sequence.
     val needFilters = !executorBackend || bucketCounts != null
+    val sc = keyed.sparkSession.sparkContext
+    // propagate the caller's job group (thread-local) so a bench probe
+    // deadline's cancelJobGroup still reaches the overlapped job; a caller
+    // with NO group gets a private one so the failure path below can still
+    // cancel the overlapped job (not just interrupt its await thread)
+    val callerGroup = sc.getLocalProperty("spark.jobGroup.id")
+    val overlapGroup =
+      if (callerGroup != null) callerGroup
+      else s"graft-gate-seed-$name-${System.nanoTime()}"
     val collectFut: Option[java.util.concurrent.Future[Array[Long]]] =
-      if (!needFilters) None
+      if (!needFilters || !writesPayload) None
       else {
-        val sc = keyed.sparkSession.sparkContext
-        // propagate the caller's job group (thread-local) so a bench probe
-        // deadline's cancelJobGroup still reaches the overlapped job
-        val group = sc.getLocalProperty("spark.jobGroup.id")
         val desc = sc.getLocalProperty("spark.job.description")
         val interrupt = sc.getLocalProperty("spark.job.interruptOnCancel")
         Some(seedPool.submit(() => {
-          if (group != null) sc.setJobGroup(group,
-            if (desc == null) "" else desc, interrupt == "true")
+          sc.setJobGroup(overlapGroup,
+            if (desc == null) "" else desc,
+            interruptOnCancel = callerGroup == null || interrupt == "true")
           try keyed.select(explode(ownedKeysCol(col("__p"))).as("bucket"))
             .collect().map(_.getLong(0))
-          finally if (group != null) sc.clearJobGroup()
+          finally sc.clearJobGroup()
         }))
       }
-    val idxCols = Seq(explode(ownedKeysCol(col("__p"))).as("bucket"),
-      col(orderCol).as("id")) ++
-      sketchColOf.map(f => f(col("__p")).as("sk")) ++ tsCols
-    GateStore.append(
-      keyed.select(idxCols: _*),
-      idxDir, "keys", batches, sortCol = Some("bucket"))
-    if (ttlEnabled) {
-      val r = keyed.agg(max(unix_micros(col(ttlColumn).cast("timestamp"))))
-        .collect()(0)
-      if (!r.isNullAt(0) && r.getLong(0) > maxSeenTsMicros)
-        maxSeenTsMicros = r.getLong(0)
+    // the overlapped collect must not outlive a failure in the index append
+    // or the ttl agg below: a leaked background job would keep running
+    // after seedStoreLocked's finally unpersists `keyed` (forcing a full
+    // recompute) and would poison exactly what a bench probe deadline
+    // measures next — cancel-or-await on every exit path
+    var seedOk = false
+    try {
+      val idxCols = Seq(explode(ownedKeysCol(col("__p"))).as("bucket"),
+        col(orderCol).as("id")) ++
+        sketchColOf.map(f => f(col("__p")).as("sk")) ++ tsCols
+      GateStore.append(
+        keyed.select(idxCols: _*),
+        idxDir, "keys", batches, sortCol = Some("bucket"))
+      if (ttlEnabled) {
+        val r = keyed.agg(max(unix_micros(col(ttlColumn).cast("timestamp"))))
+          .collect()(0)
+        if (!r.isNullAt(0) && r.getLong(0) > maxSeenTsMicros)
+          maxSeenTsMicros = r.getLong(0)
+      }
+      seedOk = true
+    } finally {
+      collectFut match {
+        case Some(f) if !seedOk =>
+          // failure path: CANCEL the overlapped job (group cancel — an
+          // interrupt on the await thread alone would orphan the running
+          // job) and AWAIT it so nothing of this seed chunk is still
+          // running when the caller sees the exception; the overlap's own
+          // failure is secondary — swallowed
+          // (no f.cancel: a cancelled FutureTask's get() returns
+          // immediately WITHOUT waiting for the worker — the group cancel
+          // is what stops the job, and the bounded get is the real await)
+          sc.cancelJobGroup(overlapGroup)
+          try { f.get(30, java.util.concurrent.TimeUnit.SECONDS); () }
+          catch { case _: Throwable => () }
+        case _ => ()
+      }
     }
-    collectFut.foreach(f => updateFilters(f.get()))
+    if (needFilters && collectFut.isEmpty)
+      // payload-less path: sequential bucket collect over the frame the
+      // index append just materialized
+      updateFilters(keyed
+        .select(explode(ownedKeysCol(col("__p"))).as("bucket"))
+        .collect().map(_.getLong(0)))
+    collectFut.foreach { f =>
+      // surface the ORIGINAL failure, not the ExecutionException wrapper
+      val buckets =
+        try f.get()
+        catch {
+          case e: java.util.concurrent.ExecutionException
+              if e.getCause != null => throw e.getCause
+        }
+      updateFilters(buckets)
+    }
   }
 
   // one shared lazy worker for the seed-path overlap above (bulk seeding is

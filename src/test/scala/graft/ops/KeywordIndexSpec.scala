@@ -140,6 +140,56 @@ class KeywordIndexSpec extends AnyFunSuite {
       scores(fresh, Seq("spark", "query")), "re-appended doc")
   }
 
+  test("bm25IndexedMultiTopK returns the window spelling's exact rows " +
+      "(round 19: BottomKAgg's deferred-copy + codegen'd struct ordering)") {
+    import org.apache.spark.sql.functions._
+    val rng = new scala.util.Random(7)
+    val vocab = Seq("spark", "query", "vector", "table", "join", "scan",
+      "merge", "index", "row", "fast", "page", "cache")
+    // 400 docs, 3–40 tokens, zipf-ish term choice so frequent terms have a
+    // deep low-impact tail — the shape pruning must cut without changing
+    // any top-k row
+    val docs = (0L until 400L).map { id =>
+      val len = 3 + rng.nextInt(38)
+      (id, (0 until len)
+        .map(_ => vocab(math.min(rng.nextInt(12), rng.nextInt(12))))
+        .mkString(" "))
+    }.toDF("doc_id", "text")
+    val dir = tmp()
+    KeywordScore.buildIndex(docs, "doc_id", "text", dir)
+    val queries = Map(
+      "q0" -> Seq("spark", "query", "vector"),
+      "q1" -> Seq("table", "join"),
+      "q2" -> Seq("scan"),
+      "q3" -> Seq("spark", "cache"),
+      "q4" -> Seq("nosuchterm"), // no matches at all
+      "q5" -> Seq("merge", "nosuchterm"))
+    for (k <- Seq(1, 5, 17); rounding <- Seq(-1, 4)) {
+      val got = KeywordScore.bm25IndexedMultiTopK(spark, dir, queries, k,
+        scoreRounding = rounding)
+      val scored0 = KeywordScore.bm25IndexedMulti(spark, dir, queries)
+      val scored = if (rounding < 0) scored0
+        else scored0.withColumn("score", round(col("score"), rounding))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query").orderBy(col("score").desc, col("doc_id"))
+      val want = scored.withColumn("rk", row_number().over(w))
+        .where(col("rk") <= k).drop("rk")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(t => (t._1, t._2))
+      val gotRows = got.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(t => (t._1, t._2))
+      assert(gotRows.map(t => (t._1, t._2)).toSeq ===
+        want.map(t => (t._1, t._2)).toSeq,
+        s"k=$k rounding=$rounding: (query, doc) sets must match the " +
+          "window spelling")
+      gotRows.zip(want).foreach { case (g, e) =>
+        assert(math.abs(g._3 - e._3) < 1e-9,
+          s"k=$k rounding=$rounding: score of ${g._1}/${g._2}")
+      }
+    }
+  }
+
   test("randomized mutation sequence equals a fresh build of the " +
       "surviving doc set (seeded, deterministic)") {
     mutationOracle(tmp())

@@ -239,4 +239,60 @@ class GateStoreSpec extends AnyFunSuite {
     assert(out.contains(502L) && !out.contains(500L) && !out.contains(501L))
     eng.dropContView("v_bg"); ()
   }
+
+  test("appendLocal (RecordConsumer writer) round-trips every supported " +
+      "type identically to the Spark write path") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("n", IntegerType),
+      StructField("s", StringType),
+      StructField("d", DoubleType),
+      StructField("f", FloatType),
+      StructField("b", BooleanType),
+      StructField("ts", TimestampType),
+      StructField("dt", DateType),
+      StructField("al", ArrayType(LongType)),
+      StructField("ad", ArrayType(DoubleType)),
+      StructField("af", ArrayType(FloatType))))
+    val ts = java.sql.Timestamp.valueOf("2024-03-01 12:34:56.789")
+    val dt = java.sql.Date.valueOf("2024-03-01")
+    val rows = new java.util.ArrayList[Row]()
+    rows.add(Row(3L, 7, "héllo 世界", 1.5, 2.5f, true, ts, dt,
+      Seq(1L, 2L, 3L), Seq(0.25, -0.5), Seq(1.0f)))
+    // null column of every type, empty arrays
+    rows.add(Row(1L, null, null, null, null, null, null, null,
+      Seq.empty[Long], Seq.empty[Double], null))
+    // null ELEMENT inside an array + Array host (not Seq)
+    rows.add(Row(2L, 0, "", 0.0, 0.0f, false, ts, dt,
+      Array(9L), Seq[Any](1.25, null, 3.75), Seq(-2.0f)))
+    val dirLocal = java.nio.file.Files
+      .createTempDirectory("graft_alrt_l").toString
+    val dirSpark = java.nio.file.Files
+      .createTempDirectory("graft_alrt_s").toString
+    assert(GateStore.appendLocal(rows, schema, dirLocal, "t", 1L,
+      sortCol = Some("id")), "all types above are appendLocal-supported")
+    GateStore.append(
+      spark.createDataFrame(rows, schema), dirSpark, "t", 1L,
+      sortCol = Some("id"))
+    val got = spark.read.parquet(GateStore.files(dirLocal): _*)
+      .orderBy("id").collect()
+    val want = spark.read.parquet(GateStore.files(dirSpark): _*)
+      .orderBy("id").collect()
+    assert(got.toSeq === want.toSeq,
+      "RecordConsumer writer must round-trip bit-identically to the " +
+        "Spark parquet path")
+    // schema must round-trip too (nullability differences aside, Spark
+    // reads both back with the same dataTypes)
+    assert(spark.read.parquet(GateStore.files(dirLocal): _*).schema
+      .map(f => (f.name, f.dataType)) ===
+      spark.read.parquet(GateStore.files(dirSpark): _*).schema
+        .map(f => (f.name, f.dataType)))
+    // unsupported element type still reports false (caller falls back)
+    val bad = StructType(Seq(StructField("x", ArrayType(StringType))))
+    val badRows = new java.util.ArrayList[Row]()
+    badRows.add(Row(Seq("a")))
+    assert(!GateStore.appendLocal(badRows, bad, dirLocal, "u", 2L))
+  }
 }
