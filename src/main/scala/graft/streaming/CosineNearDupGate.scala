@@ -104,6 +104,11 @@ final class CosineNearDupGate private (
   override protected def payloadCol: Column = expr(embSql).cast("array<double>")
   override protected def keysCol(payload: Column): Column =
     AnnSearch.srpBucketKeys(payload, dim, numTables, bitsPerTable, seed)
+  // SRP keys + sketch are numTables·bitsPerTable + 64 dot products of dim
+  // per row — real compute that belongs on the executors, not the single
+  // driver thread of the batch collect (round 19; the other gates' key
+  // math is bit folds and stays driver-side)
+  override protected def keysInCollect: Boolean = true
   override protected def payloadOf(r: Row): Array[Double] =
     r.getSeq[Double](1).toArray
   override protected def keysOf(p: Array[Double]): Array[Long] =

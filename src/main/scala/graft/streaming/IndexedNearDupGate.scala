@@ -178,6 +178,24 @@ private[streaming] abstract class IndexedNearDupGate[P](
   protected def payloadOf(r: Row): P
   /** Driver-side bucket keys — the same math as [[keysCol]]. */
   protected def keysOf(p: P): Array[Long]
+  /** Whether the batch collect evaluates [[keysCol]]/[[sketchColOf]] in
+    * the collect job (executors) instead of [[keysOf]]/[[sketchOf]] on the
+    * driver. Turn on for gates whose key math is real per-row compute
+    * (cosine's SRP projections); leave off where the key bytes shipped
+    * would cost more than the driver math saved (bit slices, band folds).
+    * Either way the stored keys are identical — the seeding path writes
+    * the index through [[keysCol]] already. */
+  protected def keysInCollect: Boolean = false
+  /** Rows of the previous collected batch (−1 before the first), the
+    * input-derived signal [[prepareBatch]]'s task sizing adapts to. */
+  @volatile private var lastCollectedRows: Long = -1L
+  /** Target collected rows per task of the per-batch jobs — env-tunable
+    * (`GRAFT_GATE_ROWS_PER_TASK`), defaulting to 2000: small enough that
+    * the payload/key expressions still spread across a cluster for real
+    * batch sizes, large enough that a bounded driver-collected batch is
+    * not split into hundreds of sub-millisecond tasks. */
+  private val collectRowsPerTask: Long =
+    math.max(1L, sys.env.getOrElse("GRAFT_GATE_ROWS_PER_TASK", "2000").toLong)
   /** The exact similarity predicate (driver-side). */
   protected def similar(a: P, b: P): Boolean
   /** Executor-side form of [[similar]] for the distributed verify fallback
@@ -672,7 +690,23 @@ private[streaming] abstract class IndexedNearDupGate[P](
       obs: Option[org.apache.spark.sql.Observation]): DataFrame = {
     val base = batch.drop("arrival_timestamp")
     val observed = obs.fold(base)(o => base.observe(o, count(lit(1)).as("rows")))
-    observed.withColumn("__p", payloadCol).persist()
+    val projected = observed.withColumn("__p", payloadCol)
+    // Scale-adaptive task sizing for the per-batch jobs (round 19, guide
+    // §2.2/§6): every row of this frame lands on the driver via the batch
+    // collect anyway, so tasks beyond ~rowsPerTask rows each add scheduler
+    // round-trips (the dominant slice of the serial batch collect at probe
+    // scale: 64 sub-200-row tasks) without any parallelism benefit. Target
+    // = ceil(previous batch's collected rows / rowsPerTask) — derived from
+    // observed input, not a local-mode constant; coalesce() never raises a
+    // frame's partition count, so a mis-sized target can only no-op. The
+    // first batch (no history) keeps the caller's partitioning.
+    val prev = lastCollectedRows
+    val shaped =
+      if (prev < 0) projected
+      else projected.coalesce(
+        math.max(1L, (prev + collectRowsPerTask - 1) / collectRowsPerTask)
+          .min(Int.MaxValue.toLong).toInt)
+    shaped.persist()
   }
 
   /** Batch rows plus the FULL banded key set and sketch per row, computed
@@ -696,14 +730,44 @@ private[streaming] abstract class IndexedNearDupGate[P](
       val base = keyed.where(col("__p").isNotNull && col(orderCol).isNotNull)
       val filtered = if (!ttlEnabled) base
         else base.where(col(ttlColumn).isNotNull)
-      val cols = Seq(col(orderCol), col("__p")) ++
+      // keysInCollect (round 19): gates whose key/sketch math is real
+      // per-row compute (the cosine gate's SRP dot products) evaluate it
+      // INSIDE the collect job — the executors run the exact same
+      // expression the seeding path already writes the index with
+      // (keysCol/sketchColOf ≡ keysOf/sketchOf is a store invariant) — so
+      // the driver stops being the single thread doing O(batch · dim ·
+      // tables · bits) flops per batch (guide §5: the driver should do
+      // almost no data work). Gates with trivial key math (bit slices,
+      // band folds) keep the driver spelling: shipping their key arrays
+      // would cost more in collect bytes than the driver math saves.
+      val distKeys = keysInCollect
+      val keyCols =
+        if (!distKeys) Nil
+        else Seq(keysCol(col("__p")).as("__ks")) ++
+          sketchColOf.map(f => f(col("__p")).as("__sk")).toSeq
+      val cols = Seq(col(orderCol), col("__p")) ++ keyCols ++
         (if (ttlEnabled)
           Seq(unix_micros(col(ttlColumn).cast("timestamp"))) else Nil)
       val collected = filtered.select(cols: _*).collect()
+      lastCollectedRows = collected.length.toLong
       val rows = collected.map(r => (r.get(0), payloadOf(r)))
-      new CollectedRows(rows, rows.map(r => keysOf(r._2)),
-        if (sketchColOf.isEmpty) null else rows.map(r => sketchOf(r._2)),
-        if (!ttlEnabled) null else collected.map(_.getLong(2)))
+      val tsPos = cols.length - 1
+      if (distKeys) {
+        val skPos = if (sketchColOf.isEmpty) -1 else 3
+        new CollectedRows(rows,
+          collected.map { r =>
+            val s = r.getSeq[Long](2)
+            val out = new Array[Long](s.length)
+            var i = 0
+            while (i < out.length) { out(i) = s(i); i += 1 }
+            out
+          },
+          if (skPos < 0) null else collected.map(_.getLong(skPos)),
+          if (!ttlEnabled) null else collected.map(_.getLong(tsPos)))
+      } else
+        new CollectedRows(rows, rows.map(r => keysOf(r._2)),
+          if (sketchColOf.isEmpty) null else rows.map(r => sketchOf(r._2)),
+          if (!ttlEnabled) null else collected.map(_.getLong(tsPos)))
     }
 
   private[streaming] def suppressedOf(ctx: AnyRef): java.util.HashSet[Any] =
